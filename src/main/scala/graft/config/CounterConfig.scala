@@ -1,0 +1,79 @@
+package graft.config
+
+/** Counter configuration model — the reference's YAML config
+  * (`/root/reference/config.go:25-38`) re-expressed as Scala case classes.
+  * A `CounterDef` is the whole "query plan" of the reference engine; here it
+  * compiles to a declarative DataFrame pipeline (graft.operators.Counters)
+  * so Catalyst owns optimization.
+  */
+sealed abstract class CounterType(val name: String)
+object CounterType {
+  case object Count extends CounterType("count")
+  case object ApproxCountDistinct extends CounterType("approx_count_distinct")
+  val values: Seq[CounterType] = Seq(Count, ApproxCountDistinct)
+  def fromName(s: String): Either[String, CounterType] =
+    values.find(_.name == s).toRight(s"unknown counter type: $s")
+}
+
+/** One counter (`config.go:25-38`).
+  *
+  * @param id            counter id; becomes `counter_id` in the output
+  * @param counterType   count | approx_count_distinct
+  * @param targetColumn  top-level field to count; `"*"` counts every record
+  *                      (illegal for ACD, `config.go:106-108`)
+  * @param targetExpr    alternative: expression in the target_expr dialect
+  * @param inputStreamArn  wildcard ARN pattern routing events to this counter
+  * @param outputArn     concrete sink ARN (`config.go:81-86`); informational
+  *                      in batch mode
+  * @param aggregateStreamArn  if set, run the explicit two-phase (per-shard
+  *                      partial → cross-shard merge) topology (O10/O11)
+  * @param windowDuration  tumbling window width, Spark interval string
+  * @param jqExpr        optional output-record transform (O14), object-
+  *                      construction jq subset
+  * @param siphashKeyHex per-counter hash key (`config.go:33`); honored by the
+  *                      SipHash64 expression used in value canonicalization
+  */
+final case class CounterDef(
+    id: String,
+    counterType: CounterType,
+    targetColumn: Option[String] = None,
+    targetExpr: Option[String] = None,
+    inputStreamArn: Option[Arn] = None,
+    outputArn: Option[Arn] = None,
+    aggregateStreamArn: Option[Arn] = None,
+    windowDuration: String = "1 hour",
+    jqExpr: Option[String] = None,
+    siphashKeyHex: String = CounterDef.DefaultSipHashKeyHex) {
+
+  /** Mirror of the reference's validation (`config.go:77-120`). */
+  def validate: Either[String, CounterDef] = {
+    if (id.isEmpty) Left("counter id is required")
+    else if (targetColumn.isEmpty && targetExpr.isEmpty)
+      Left(s"counter $id: target_column or target_expr is required")
+    else if (targetColumn.contains("*") && counterType == CounterType.ApproxCountDistinct)
+      Left(s"counter $id: target_column '*' is not allowed for approx_count_distinct")
+    else if (outputArn.exists(!_.isConcrete))
+      Left(s"counter $id: output ARN must be concrete")
+    else if (aggregateStreamArn.exists(!_.isConcrete))
+      Left(s"counter $id: aggregate stream ARN must be concrete")
+    else if (aggregateStreamArn.exists(_.service != "kinesis"))
+      Left(s"counter $id: aggregate stream must be a kinesis stream")
+    else Right(this)
+  }
+
+  /** ARN routing (O16): does this counter apply to `eventSource`? */
+  def matchesSource(eventSource: Arn): Boolean =
+    inputStreamArn.forall(_.matches(eventSource))
+}
+
+object CounterDef {
+  /** Default SipHash key (`/root/reference/config.go:73-75`). */
+  val DefaultSipHashKeyHex = "0ad102230405360708090a0b0c0d0e0f"
+
+  /** The CLI "instant counter" (`config.go:141-150`): id `__instant__`,
+    * type count, column `*`.
+    */
+  def instant(window: String = "1 minute"): CounterDef =
+    CounterDef(id = "__instant__", counterType = CounterType.Count,
+      targetColumn = Some("*"), windowDuration = window)
+}

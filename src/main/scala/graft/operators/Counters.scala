@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
+
+import graft.config.{CounterDef, CounterType}
+import graft.functions.TargetExpr
+
+/** The counter pipeline (reference operators O4–O14, O16) as declarative
+  * DataFrame transforms:
+  *
+  * {{{
+  * qualify (project/filter, O5–O7)
+  *   → groupBy(window(ts, w) [, shard]) (O12)
+  *   → count | approx_count_distinct (O8/O9)
+  *   → finalize projection (O13) [→ jq transform (O14)]
+  * }}}
+  *
+  * Scale notes (the whole point of the Spark re-expression):
+  *  - The qualifying predicate is a `Column`, so Catalyst pushes it below
+  *    the aggregate and into the parquet scan (`PushedFilters`) — at 100 TB
+  *    the filter runs in the reader, not per-row in an interpreter.
+  *  - `groupBy(window, ...)` compiles to partial `HashAggregateExec` →
+  *    shuffle on the group keys → final merge. That shuffle IS the
+  *    reference's IntermediateRecord hop (`counter.go:331-337, 348-412`),
+  *    done natively with map-side combine: each of 1000 executors ships one
+  *    partial row (or one HLL sketch) per (window, counter), not raw rows.
+  *  - The number of groups is bounded by windows×shards — tiny relative to
+  *    input — so the aggregation output never becomes a shuffle hotspot.
+  *  - `approx_count_distinct(col, rsd=0.0041)` is Spark's native HLL++ at
+  *    the reference's precision 16 (`counter.go:206-208`): a fixed 64 KiB
+  *    buffer per group regardless of cardinality, mergeable across
+  *    partitions exactly like the reference's gob-serialized sketch.
+  */
+object Counters {
+
+  /** rsd for Spark's HLL++ matching the reference's fixed precision p=16
+    * (`counter.go:206-208`): 1.04 / sqrt(2^16) ≈ 0.0040625.
+    */
+  val ReferenceRsd: Double = 1.04 / math.sqrt(1 << 16)
+
+  /** Resolve the counter's target value column (O5/O7).
+    * None means "every record" (`target_column: "*"`).
+    */
+  def valueColumn(c: CounterDef): Option[Column] =
+    c.targetExpr match {
+      case Some(src) => Some(TargetExpr.compile(src))
+      case None =>
+        c.targetColumn match {
+          case Some("*") => None
+          case Some(name) => Some(col(name))
+          case None => None
+        }
+    }
+
+  /** Count-semantics qualifying predicate (O6/O7): keep a row iff the
+    * target value is non-null AND not boolean false
+    * (`counter.go:260-277`). Type-directed: only boolean-typed values can
+    * be "false", so the false-rejection only applies when the resolved
+    * type is BooleanType — mirroring the reference, where any non-bool,
+    * non-nil value qualifies.
+    */
+  def countPredicate(df: DataFrame, value: Column): Column = {
+    val dt = df.select(value.as("__v")).schema.head.dataType
+    dt match {
+      case BooleanType => coalesce(value, lit(false)) === lit(true)
+      case _ => value.isNotNull
+    }
+  }
+
+  /** ACD qualifying predicate (O6): non-null only — boolean false IS a
+    * countable distinct value (`counter.go:296-313`), unlike count.
+    */
+  def acdPredicate(value: Column): Column = value.isNotNull
+
+  /** The per-counter aggregate expression, usable standalone or fanned out
+    * (several counters in ONE groupBy pass — see [[fanOut]]).
+    * Conditional form: rows not qualifying contribute NULL, which both
+    * `count` and `approx_count_distinct` ignore — this is what lets N
+    * differently-filtered counters share a single shuffle.
+    */
+  def aggExpr(df: DataFrame, c: CounterDef): Column = {
+    val v = valueColumn(c)
+    c.counterType match {
+      case CounterType.Count =>
+        v match {
+          case None => count(lit(1)) // target_column "*": every record
+          case Some(value) => count(when(countPredicate(df, value), lit(1)))
+        }
+      case CounterType.ApproxCountDistinct =>
+        val value = v.getOrElse(
+          throw new IllegalArgumentException(
+            s"counter ${c.id}: approx_count_distinct requires a target"))
+        approx_count_distinct(value, ReferenceRsd)
+    }
+  }
+
+  /** Exact-distinct twin of an ACD counter — used by the oracle harness
+    * (DuckDB can check it bit-exactly) and by ε-tests as ground truth.
+    */
+  def exactDistinctExpr(c: CounterDef): Column = {
+    val value = valueColumn(c).getOrElse(
+      throw new IllegalArgumentException(s"counter ${c.id} requires a target"))
+    count_distinct(value)
+  }
+
+  private def windowed(df: DataFrame, tsCol: String, c: CounterDef, extraKeys: Seq[Column] = Nil) =
+    df.groupBy(window(col(tsCol), c.windowDuration) +: extraKeys: _*)
+
+  /** Single-phase counter (O8/O9/O12/O13): the standard path. */
+  def run(df: DataFrame, tsCol: String, c: CounterDef,
+          eventSourceArn: Option[String] = None): DataFrame =
+    finalizeOutput(
+      windowed(df, tsCol, c).agg(aggExpr(df, c).as("value")),
+      c, eventSourceArn)
+
+  /** Exact-distinct variant of [[run]] for oracle checking. */
+  def runExactDistinct(df: DataFrame, tsCol: String, c: CounterDef,
+                       eventSourceArn: Option[String] = None): DataFrame =
+    finalizeOutput(
+      windowed(df, tsCol, c).agg(exactDistinctExpr(c).as("value")),
+      c, eventSourceArn)
+
+  /** Explicit two-phase topology (O10/O11): per-shard partial aggregate,
+    * then cross-shard merge — the reference's aggregate-stream architecture
+    * (`counter.go:331-412`) made visible as two aggregation steps.
+    *
+    * Spark already does partial→final inside one `groupBy`; this exists to
+    * (a) prove merge associativity in tests and (b) model the topology
+    * where partials are materialized (e.g. per-Kinesis-shard jobs shipping
+    * sketches through an intermediate stream). For ACD the partial is a
+    * DataSketches HLL sketch (`hll_sketch_agg`, lgConfigK=16 — the
+    * reference's precision), merged with `hll_union_agg`: serializable,
+    * mergeable bytes, exactly like the reference's `base64_hllpp` state.
+    */
+  def runTwoPhase(df: DataFrame, tsCol: String, shardCol: String, c: CounterDef,
+                  eventSourceArn: Option[String] = None): DataFrame = {
+    val partial = partialState(df, tsCol, shardCol, c)
+    finalizeOutput(mergePartials(partial, c), c, eventSourceArn)
+  }
+
+  /** Phase 1: per-(window, shard) partial state — the IntermediateRecord
+    * (`counter.go:483-491`). Count → partial row count; ACD → HLL sketch
+    * bytes (mergeable, bounded size).
+    */
+  def partialState(df: DataFrame, tsCol: String, shardCol: String, c: CounterDef): DataFrame = {
+    val grouped = windowed(df, tsCol, c, Seq(col(shardCol).as("shard_id")))
+    c.counterType match {
+      case CounterType.Count =>
+        val v = valueColumn(c)
+        val agg = v match {
+          case None => count(lit(1))
+          case Some(value) => count(when(countPredicate(df, value), lit(1)))
+        }
+        grouped.agg(agg.as("partial_count"))
+      case CounterType.ApproxCountDistinct =>
+        val value = valueColumn(c).get
+        grouped.agg(hll_sketch_agg(value, lit(16)).as("partial_sketch"))
+    }
+  }
+
+  /** Phase 2: merge partials across shards (`counter.go:372-403`):
+    * count → sum of partial counts; ACD → HLL union + estimate.
+    */
+  def mergePartials(partial: DataFrame, c: CounterDef): DataFrame =
+    c.counterType match {
+      case CounterType.Count =>
+        partial.groupBy(col("window"))
+          .agg(sum(col("partial_count")).cast("long").as("value"))
+      case CounterType.ApproxCountDistinct =>
+        partial.groupBy(col("window"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("partial_sketch"))).as("value"))
+    }
+
+  /** O13 final projection: epoch-millisecond window bounds + counter
+    * identity, matching the reference's output record
+    * (`counter.go:414-434`, millis at `counter.go:418-419`).
+    */
+  def finalizeOutput(agg: DataFrame, c: CounterDef,
+                     eventSourceArn: Option[String] = None): DataFrame = {
+    val base = Seq(
+      unix_millis(col("window.start")).as("window_start"),
+      unix_millis(col("window.end")).as("window_end"),
+      lit(c.id).as("counter_id"),
+      lit(c.counterType.name).as("counter_type"),
+      col("value"))
+    val withArn = eventSourceArn match {
+      case Some(arn) => lit(arn).as("event_source_arn") +: base
+      case None => base
+    }
+    agg.select(withArn: _*)
+  }
+
+  /** O16 multi-counter fan-out: ALL counters sharing a window width run in
+    * ONE groupBy pass — one scan, one shuffle — as conditional aggregates;
+    * the per-counter rows are then unpivoted from the (tiny) aggregated
+    * result. At 100 TB this is the difference between N full scans and 1.
+    */
+  def fanOut(df: DataFrame, tsCol: String, counters: Seq[CounterDef],
+             eventSourceArn: Option[String] = None): DataFrame = {
+    require(counters.nonEmpty, "fanOut requires at least one counter")
+    val byWindow = counters.groupBy(_.windowDuration).toSeq.sortBy(_._1)
+    val perWindow = byWindow.map { case (w, cs) =>
+      val aggs = cs.map(c => aggExpr(df, c).as(s"__agg_${c.id}"))
+      val agged = df.groupBy(window(col(tsCol), w))
+        .agg(aggs.head, aggs.tail: _*)
+      cs.map { c =>
+        finalizeOutput(
+          agged.select(col("window"), col(s"__agg_${c.id}").as("value")),
+          c, eventSourceArn)
+      }.reduce(_.union(_))
+    }
+    perWindow.reduce(_.union(_))
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.config.{CounterDef, CounterType}
+import graft.operators.Counters
+
+/** Counter pipeline semantics, mirroring the reference's test strategy
+  * (`/root/reference/counter_test.go`): known n records over m distinct
+  * users in one window; exact equality for count, ε=5% for HLL; explicit
+  * partial→final merge equivalence (the aggregate-stream contract).
+  */
+class CountersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = 1638357540000L // 2021-12-01T11:19:00Z — reference window
+  private val n = 2000
+  private val m = 100
+
+  /** Reference-shaped synthetic events: n rows, m users, ~half on /my_page. */
+  private lazy val synth = {
+    val rows = (0 until n).map { i =>
+      val uid = i % m
+      (new Timestamp(base + i * 60000L / n), 1000L + i, uid.toLong,
+        if (uid < m / 2) "/my_page" else "/", i % 3)
+    }
+    rows.toDF("ts", "request_id", "user_id", "path", "shard")
+  }
+
+  private def valueOf(df: org.apache.spark.sql.DataFrame): Long =
+    df.select("value").as[Long].collect().head
+
+  test("count with target_column '*' counts every record") {
+    val c = CounterDef("req", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    val out = Counters.run(synth, "ts", c)
+    assert(out.count() == 1) // one window
+    assert(valueOf(out) == n)
+  }
+
+  test("column count skips nulls (counter.go:274-276)") {
+    val withNulls = synth.withColumn("maybe",
+      when(col("user_id") < 10, col("user_id"))) // 10 users → 200 rows non-null
+    val c = CounterDef("nn", CounterType.Count, Some("maybe"), windowDuration = "1 minute")
+    assert(valueOf(Counters.run(withNulls, "ts", c)) == n / m * 10)
+  }
+
+  test("count vs ACD false-asymmetry: count drops false, ACD counts it") {
+    // expr yields boolean false for half the rows, nil for none
+    val cCount = CounterDef("b", CounterType.Count,
+      targetExpr = Some("""string_contains(path, "my_page")"""), windowDuration = "1 minute")
+    // count keeps non-null ∧ non-false → only the my_page half
+    assert(valueOf(Counters.run(synth, "ts", cCount)) == n / 2)
+    // ACD over the same expr counts BOTH distinct values {true, false}
+    val cAcd = CounterDef("b2", CounterType.ApproxCountDistinct,
+      targetExpr = Some("""string_contains(path, "my_page")"""), windowDuration = "1 minute")
+    assert(valueOf(Counters.run(synth, "ts", cAcd)) == 2L)
+  }
+
+  test("ACD ≈ m within 5% (counter_test.go:66 tolerance)") {
+    val c = CounterDef("u", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 minute")
+    val est = valueOf(Counters.run(synth, "ts", c))
+    assert(math.abs(est - m.toDouble) / m <= 0.05, s"estimate $est vs exact $m")
+  }
+
+  test("expr-valued ACD: login users ≈ m/2 (target_expr.yaml fixture)") {
+    val c = CounterDef("login", CounterType.ApproxCountDistinct,
+      targetExpr = Some("""if(string_contains(path, "my_page"), user_id, nil)"""),
+      windowDuration = "1 minute")
+    val est = valueOf(Counters.run(synth, "ts", c))
+    assert(math.abs(est - m / 2.0) / (m / 2.0) <= 0.05, s"estimate $est vs ${m / 2}")
+  }
+
+  test("two-phase count ≡ single-phase (merge associativity, counter.go:373-379)") {
+    val c = CounterDef("req2p", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    val direct = valueOf(Counters.run(synth, "ts", c))
+    val merged = valueOf(Counters.runTwoPhase(synth, "ts", "shard", c))
+    assert(direct == merged && merged == n)
+  }
+
+  test("two-phase ACD: sketch union across shards ≈ exact (counter.go:380-399)") {
+    val c = CounterDef("u2p", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 minute")
+    val merged = valueOf(Counters.runTwoPhase(synth, "ts", "shard", c))
+    assert(math.abs(merged - m.toDouble) / m <= 0.05, s"merged estimate $merged vs $m")
+  }
+
+  test("partial state is bounded and mergeable (IntermediateRecord analog)") {
+    val c = CounterDef("u", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 minute")
+    val partial = Counters.partialState(synth, "ts", "shard", c)
+    assert(partial.count() == 3) // one sketch per shard
+    assert(partial.columns.contains("partial_sketch"))
+  }
+
+  test("tumbling windows bucket by floor(ts/w) (run.go:148-159)") {
+    val c = CounterDef("req", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    // spread rows across two 1-minute windows
+    val twoWin = synth.withColumn("ts",
+      when(col("request_id") % 2 === 0, col("ts"))
+        .otherwise(col("ts") + expr("INTERVAL 1 MINUTE")))
+    val out = Counters.run(twoWin, "ts", c).orderBy("window_start")
+    val rows = out.select("window_start", "window_end", "value")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 2)
+    assert(rows(0)._1 == base && rows(0)._2 == base + 60000L)
+    assert(rows(1)._1 == base + 60000L)
+    assert(rows.map(_._3).sum == n)
+  }
+
+  test("output record shape matches counter.go:414-434 (epoch millis)") {
+    val c = CounterDef("req", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    val out = Counters.run(synth, "ts", c,
+      eventSourceArn = Some("arn:aws:kinesis:ap-northeast-1:1:stream/s"))
+    assert(out.columns.toSeq ==
+      Seq("event_source_arn", "window_start", "window_end", "counter_id", "counter_type", "value"))
+    val r = out.head()
+    assert(r.getAs[Long]("window_start") == base)
+    assert(r.getAs[Long]("window_end") == base + 60000L)
+    assert(r.getAs[String]("counter_type") == "count")
+  }
+
+  test("fanOut: N counters share one pass, results match standalone runs") {
+    val c1 = CounterDef("all", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    val c2 = CounterDef("pages", CounterType.Count,
+      targetExpr = Some("""if(string_contains(path, "my_page"), 1, nil)"""),
+      windowDuration = "1 minute")
+    val c3 = CounterDef("users", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 minute")
+    val out = Counters.fanOut(synth, "ts", Seq(c1, c2, c3))
+      .select("counter_id", "value").as[(String, Long)].collect().toMap
+    assert(out("all") == n)
+    assert(out("pages") == n / 2)
+    assert(math.abs(out("users") - m.toDouble) / m <= 0.05)
+  }
+
+  test("counter validation mirrors config.go:77-120") {
+    assert(CounterDef("", CounterType.Count, Some("*")).validate.isLeft)
+    assert(CounterDef("x", CounterType.Count).validate.isLeft)
+    assert(CounterDef("x", CounterType.ApproxCountDistinct, Some("*")).validate.isLeft)
+    assert(CounterDef("x", CounterType.Count, Some("*")).validate.isRight)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TargetExpr
+
+/** target_expr dialect compiler: function surface from the reference's
+  * testdata YAML fixtures + operator semantics.
+  */
+class TargetExprSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def evalOn[T](expr: String, rows: Seq[(Long, String)]): Seq[Any] = {
+    val df = rows.toDF("user_id", "path")
+    df.select(TargetExpr.compile(expr).as("v")).collect().map(_.get(0)).toSeq
+  }
+
+  test("literals and identifiers") {
+    val df = Seq((7L, "/my_page")).toDF("user_id", "path")
+    val out = df.select(
+      TargetExpr.compile("1").as("a"),
+      TargetExpr.compile("1.5").as("b"),
+      TargetExpr.compile("\"x\"").as("c"),
+      TargetExpr.compile("user_id").as("d"),
+      TargetExpr.compile("nil").as("e"),
+      TargetExpr.compile("true").as("f")).head()
+    assert(out.getLong(0) == 1L)
+    assert(out.getDouble(1) == 1.5)
+    assert(out.getString(2) == "x")
+    assert(out.getLong(3) == 7L)
+    assert(out.isNullAt(4))
+    assert(out.getBoolean(5))
+  }
+
+  test("if(string_contains(path, my_page), user_id, nil) — reference fixture") {
+    val vals = evalOn("""if(string_contains(path, "my_page"), user_id, nil)""",
+      Seq((1L, "/my_page"), (2L, "/"), (3L, "/my_page?q=1")))
+    assert(vals == Seq(1L, null, 3L))
+  }
+
+  test("as_string(coalesce(user_id, \"\")) != \"\" — reference aggregate fixture") {
+    val c = TargetExpr.compile("""as_string(coalesce(user_id, "")) != """"")
+    val df = Seq(Some(1L), None, Some(3L)).toDF("user_id")
+    val vals = df.select(c.as("v")).collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    // coalesce(null,"") → "" → "" != "" → false
+    assert(vals.toSeq == Seq(true, false, true))
+  }
+
+  test("comparisons, arithmetic, boolean connectives") {
+    val df = Seq((10L, "a"), (60L, "b")).toDF("user_id", "path")
+    val v1 = df.select(TargetExpr.compile("user_id > 50").as("v")).collect().map(_.getBoolean(0))
+    assert(v1.toSeq == Seq(false, true))
+    val v2 = df.select(TargetExpr.compile("user_id * 2 + 1").as("v")).collect().map(_.getLong(0))
+    assert(v2.toSeq == Seq(21L, 121L))
+    val v3 = df.select(TargetExpr.compile("""user_id > 5 && path == "a" || false""").as("v"))
+      .collect().map(_.getBoolean(0))
+    assert(v3.toSeq == Seq(true, false))
+    val v4 = df.select(TargetExpr.compile("-user_id % 3").as("v")).collect().map(_.getLong(0))
+    assert(v4.toSeq == Seq(-1L, 0L))
+  }
+
+  test("parse errors throw (config-load failure, config.go:93-99)") {
+    assertThrows[IllegalArgumentException](TargetExpr.compile("if(1,2"))
+    assertThrows[IllegalArgumentException](TargetExpr.compile("no_such_fn(1)"))
+    assertThrows[IllegalArgumentException](TargetExpr.compile("\"unterminated"))
+  }
+}
