@@ -31,19 +31,48 @@ final case class Arn(
 }
 
 object Arn {
-  /** Parse `arn:aws:kinesis:region:acct:stream/name`; resource keeps any `:`/`/`. */
+  /** Parse `arn:aws:kinesis:region:acct:stream/name`; resource keeps any
+    * `:`/`/`. Mirrors the reference's `ARN.Set` (`arn.go:16-43`): the bare
+    * `"*"` shorthand expands to the all-wildcard ARN (`arn.go:17-25`), the
+    * partition must be `aws`, and the service/resource pair must be a
+    * kinesis `stream/…`, a firehose `deliverystream/…`, or the wildcard
+    * `*`/`*​/…` form (`arn.go:30-42`).
+    */
   def parse(s: String): Either[String, Arn] = {
+    if (s == "*") return Right(Arn("*", "*", "*", "*", "*/*"))
     val parts = s.split(":", 6)
-    if (parts.length != 6 || parts(0) != "arn")
-      Left(s"invalid ARN: $s")
-    else
-      Right(Arn(parts(1), parts(2), parts(3), parts(4), parts(5)))
+    if (parts.length != 6 || parts(0) != "arn") Left(s"invalid ARN: $s")
+    else {
+      val arn = Arn(parts(1), parts(2), parts(3), parts(4), parts(5))
+      if (arn.partition != "aws" && arn.partition != "*")
+        Left(s"ARN partition is not aws: $s")
+      else if (arn.service == "kinesis" && arn.resource.startsWith("stream/"))
+        Right(arn)
+      else if (arn.service == "firehose" && arn.resource.startsWith("deliverystream/"))
+        Right(arn)
+      else if (arn.service == "*" && arn.resource.startsWith("*/"))
+        Right(arn)
+      else
+        Left(s"ARN is not a kinesis data stream or firehose delivery stream: $s")
+    }
   }
 
   def unsafe(s: String): Arn =
     parse(s).fold(e => throw new IllegalArgumentException(e), identity)
 
-  /** Glob match one segment: `*` matches any run of characters. */
+  /** Resource name after the `type/` prefix (reference `arn.go:88-91`). */
+  def streamName(arn: Arn): String = arn.resource.split("/", 2).last
+
+  /** Glob match one segment: `*` matches any run of characters.
+    *
+    * Intentional (stricter) divergence from the reference: its `matchPart`
+    * (`arn.go:93-107`) does UNANCHORED in-order substring matching once a
+    * `*` is present — e.g. pattern `stream/foo*` matches `xstream/fooy`.
+    * Here the glob is anchored (`stream/foo*` matches only values that
+    * START with `stream/foo`), which is the documented intent of wildcard
+    * ARN routing; the reference's behavior looks like an accident of its
+    * scanning loop.
+    */
   private[config] def segMatch(pattern: String, value: String): Boolean = {
     if (!pattern.contains("*")) return pattern == value
     // Convert the glob to an anchored regex; quote everything else.

@@ -30,8 +30,13 @@ object CounterType {
   * @param windowDuration  tumbling window width, Spark interval string
   * @param jqExpr        optional output-record transform (O14), object-
   *                      construction jq subset
-  * @param siphashKeyHex per-counter hash key (`config.go:33`); honored by the
-  *                      SipHash64 expression used in value canonicalization
+  * @param siphashKeyHex per-counter hash key (`config.go:33`); accepted for
+  *                      config parity only — the Spark aggregation
+  *                      (`approx_count_distinct` / DataSketches HLL) uses its
+  *                      own internal hashing, so the key does not influence
+  *                      results. Only estimates are observable in the
+  *                      reference's output, so hash-identical sketches are a
+  *                      non-goal (SURVEY.md §4).
   */
 final case class CounterDef(
     id: String,

@@ -40,7 +40,13 @@ object TargetExpr {
       else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
         val start = i
         while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
-        out += TNum(src.substring(start, i))
+        val tok = src.substring(start, i)
+        // A malformed numeric token ('1.2.3', '1.') is a LEX error — surface
+        // it as the IllegalArgumentException the config-load contract
+        // promises, not a NumberFormatException from lit(…toDouble) later.
+        if (tok.count(_ == '.') > 1 || tok.endsWith("."))
+          return Left(s"malformed number literal '$tok' in: $src")
+        out += TNum(tok)
       } else if (c == '"' || c == '\'') {
         val quote = c
         val sb = new StringBuilder

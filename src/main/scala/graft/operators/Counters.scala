@@ -54,12 +54,16 @@ object Counters {
         }
     }
 
-  /** Count-semantics qualifying predicate (O6/O7): keep a row iff the
-    * target value is non-null AND not boolean false
-    * (`counter.go:260-277`). Type-directed: only boolean-typed values can
+  /** Count-semantics qualifying predicate for the `target_expr` path (O7):
+    * keep a row iff the evaluated value is non-null AND not boolean false
+    * (`counter.go:260-270`). Type-directed: only boolean-typed values can
     * be "false", so the false-rejection only applies when the resolved
     * type is BooleanType — mirroring the reference, where any non-bool,
     * non-nil value qualifies.
+    *
+    * NOT applied to the plain `target_column` path: there the reference
+    * counts every present non-nil value, boolean `false` included
+    * (`counter.go:271-276`) — see [[countAgg]].
     */
   def countPredicate(df: DataFrame, value: Column): Column = {
     val dt = df.select(value.as("__v")).schema.head.dataType
@@ -68,6 +72,18 @@ object Counters {
       case _ => value.isNotNull
     }
   }
+
+  /** The count aggregate honoring the reference's path asymmetry:
+    * `target_expr` → non-null ∧ non-false (`counter.go:260-270`);
+    * `target_column` → non-null only, `false` counts (`counter.go:271-276`);
+    * `*` → every record (`counter.go:273`).
+    */
+  private def countAgg(df: DataFrame, c: CounterDef): Column =
+    (c.targetExpr, valueColumn(c)) match {
+      case (_, None) => count(lit(1)) // target_column "*": every record
+      case (Some(_), Some(value)) => count(when(countPredicate(df, value), lit(1)))
+      case (None, Some(value)) => count(value) // count() already skips NULLs
+    }
 
   /** ACD qualifying predicate (O6): non-null only — boolean false IS a
     * countable distinct value (`counter.go:296-313`), unlike count.
@@ -83,11 +99,7 @@ object Counters {
   def aggExpr(df: DataFrame, c: CounterDef): Column = {
     val v = valueColumn(c)
     c.counterType match {
-      case CounterType.Count =>
-        v match {
-          case None => count(lit(1)) // target_column "*": every record
-          case Some(value) => count(when(countPredicate(df, value), lit(1)))
-        }
+      case CounterType.Count => countAgg(df, c)
       case CounterType.ApproxCountDistinct =>
         val value = v.getOrElse(
           throw new IllegalArgumentException(
@@ -148,12 +160,7 @@ object Counters {
     val grouped = windowed(df, tsCol, c, Seq(col(shardCol).as("shard_id")))
     c.counterType match {
       case CounterType.Count =>
-        val v = valueColumn(c)
-        val agg = v match {
-          case None => count(lit(1))
-          case Some(value) => count(when(countPredicate(df, value), lit(1)))
-        }
-        grouped.agg(agg.as("partial_count"))
+        grouped.agg(countAgg(df, c).as("partial_count"))
       case CounterType.ApproxCountDistinct =>
         val value = valueColumn(c).get
         grouped.agg(hll_sketch_agg(value, lit(16)).as("partial_sketch"))

@@ -21,6 +21,25 @@ class ArnSpec extends AnyFunSuite {
     assert(Arn.parse("arn:aws:kinesis").isLeft)
   }
 
+  test("parse validates partition and resource prefix (arn.go:30-42)") {
+    assert(Arn.parse("arn:gcp:kinesis:r:a:stream/x").isLeft)
+    assert(Arn.parse("arn:aws:s3:r:a:bucket/x").isLeft)
+    assert(Arn.parse("arn:aws:kinesis:r:a:wrongprefix/x").isLeft)
+    assert(Arn.parse("arn:aws:firehose:r:a:deliverystream/x").isRight)
+    assert(Arn.parse("arn:aws:*:r:a:*/anything").isRight)
+  }
+
+  test("bare '*' shorthand expands to the all-wildcard ARN (arn.go:17-25)") {
+    val all = Arn.unsafe("*")
+    assert(all == Arn("*", "*", "*", "*", "*/*"))
+    assert(all.matches(concrete))
+    assert(!all.isConcrete)
+  }
+
+  test("streamName strips the resource-type prefix (arn.go:88-91)") {
+    assert(Arn.streamName(concrete) == "input-stream")
+  }
+
   test("exact match") {
     assert(concrete.matches(concrete))
     assert(!Arn.unsafe("arn:aws:kinesis:ap-northeast-1:111122223333:stream/other")
@@ -32,7 +51,7 @@ class ArnSpec extends AnyFunSuite {
     assert(Arn.unsafe("arn:aws:kinesis:*:*:stream/*").matches(concrete))
     assert(Arn.unsafe("arn:aws:kinesis:*:*:stream/input-*").matches(concrete))
     assert(!Arn.unsafe("arn:aws:kinesis:*:*:stream/output-*").matches(concrete))
-    assert(!Arn.unsafe("arn:aws:firehose:*:*:*").matches(concrete))
+    assert(!Arn.unsafe("arn:aws:firehose:*:*:deliverystream/*").matches(concrete))
   }
 
   test("isConcrete") {

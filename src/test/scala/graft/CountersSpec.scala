@@ -57,6 +57,18 @@ class CountersSpec extends SparkTestBase {
     assert(valueOf(Counters.run(synth, "ts", cAcd)) == 2L)
   }
 
+  test("boolean target_column counts false too (counter.go:271-276 vs 260-270)") {
+    // A plain target_column only rejects absent/nil — boolean false IS
+    // counted. Only the target_expr path drops false.
+    val withBool = synth.withColumn("flag",
+      when(col("user_id") < 10, col("user_id") % 2 === 0)) // 200 non-null, half false
+    val viaColumn = CounterDef("bc", CounterType.Count, Some("flag"), windowDuration = "1 minute")
+    assert(valueOf(Counters.run(withBool, "ts", viaColumn)) == n / m * 10)
+    val viaExpr = CounterDef("be", CounterType.Count,
+      targetExpr = Some("flag"), windowDuration = "1 minute")
+    assert(valueOf(Counters.run(withBool, "ts", viaExpr)) == n / m * 10 / 2)
+  }
+
   test("ACD ≈ m within 5% (counter_test.go:66 tolerance)") {
     val c = CounterDef("u", CounterType.ApproxCountDistinct, Some("user_id"),
       windowDuration = "1 minute")

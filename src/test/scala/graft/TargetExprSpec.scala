@@ -63,4 +63,11 @@ class TargetExprSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](TargetExpr.compile("no_such_fn(1)"))
     assertThrows[IllegalArgumentException](TargetExpr.compile("\"unterminated"))
   }
+
+  test("malformed number literals are lex errors, not NumberFormatException") {
+    assertThrows[IllegalArgumentException](TargetExpr.compile("1.2.3"))
+    assertThrows[IllegalArgumentException](TargetExpr.compile("user_id > 1."))
+    // single-dot numbers still fine
+    assert(TargetExpr.compile("0.25") != null)
+  }
 }
