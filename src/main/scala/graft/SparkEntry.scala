@@ -4,7 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.{CounterDef, CounterType}
+import graft.dedup.Dedup
+import graft.functions.Canonical
+import graft.multimodal.Multimodal
 import graft.operators.{Counters, JqTransform}
+import graft.similarity.Ann
+import graft.textops.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -87,6 +92,47 @@ object SparkEntry {
       Counters.run(
         events(s, dir).withColumn("k", get_json_object(col("props"), "$.k").cast("long")),
         "ts", cBigValueCount)),
+
+    // ---- text analysis (training-data pipeline ops) ----
+    "t01_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "t02_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "t03_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir))),
+    "t04_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    // ---- deduplication ----
+    "d01_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir))),
+    "d02_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    "d03_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir))),
+    "d04_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    "d05_embed_neardup" -> ((s, dir) =>
+      Dedup.cosineNearDupPairs(Tables.embeddings(s, dir))),
+
+    // ---- similarity search ----
+    "s01_ann_topk" -> ((s, dir) =>
+      Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    "s02_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+
+    // ---- multimodal columns ----
+    "m01_media_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(Multimodal.asMedia(Tables.documents(s, dir))).toDF()),
+    "m02_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, dir))).toDF()),
+
+    // ---- custom Catalyst expression in a real plan (no DuckDB siphash:
+    //      rows-only check; value parity proven by SipHash vectors spec) ----
+    "a01_siphash_acd" -> ((s, dir) =>
+      Counters.run(
+        events(s, dir).withColumn("user_id", Canonical.siphashCanonical(col("user_id"))),
+        "ts", cUserAcd.copy(id = "unique_users_siphash"))),
   )
 
   /** DuckDB-equivalent SQL per query (column names/aliases must match the
@@ -135,6 +181,125 @@ object SparkEntry {
         s"""SELECT $win, 'big_value_count' AS counter_id, 'count' AS counter_type,
            | count(*) FILTER (WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) > 50) AS value
            | FROM events GROUP BY 1, 2""".stripMargin,
+    ) ++ pipelineOracles
+  }
+
+  /** DuckDB oracles for the training-data pipeline operators. All hashes are
+    * md5-derived and all ratios integer ppm, so these reproduce the Spark
+    * results bit-for-bit (see PortableHash).
+    */
+  private def pipelineOracles: Map[String, String] = {
+    val toks = "string_split(text, ' ')"
+    val enStop = "['the','a','of','and','to','in','is','for','on','with']"
+    // distinct word 3-gram shingles of a token list column t
+    val kgrams =
+      "list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])"
+    val h60 = (e: String) => s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+    Map(
+      "t01_token_count" ->
+        s"""SELECT doc_id, len($toks)::BIGINT AS n_tokens,
+           | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens
+           | FROM documents""".stripMargin,
+      "t02_quality_score" ->
+        s"""SELECT doc_id, length(text)::BIGINT AS n_chars_m,
+           | (len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1000000 // length(text))::BIGINT AS punct_ppm,
+           | (len(list_filter($toks, t -> list_contains($enStop, t))) * 1000000 // len($toks))::BIGINT AS stopword_ppm,
+           | (least(length(text), 500) * 1000000 // 500)::BIGINT AS len_ppm,
+           | ((1000000 - punct_ppm + stopword_ppm + len_ppm) // 3)::BIGINT AS quality_ppm
+           | FROM documents""".stripMargin,
+      "t03_lang_id" ->
+        s"""WITH s AS (SELECT doc_id,
+           |  len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','von','mit','den','ein','nicht'], t)))::BIGINT AS s_de,
+           |  len(list_filter($toks, t -> list_contains($enStop, t)))::BIGINT AS s_en,
+           |  len(list_filter($toks, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))::BIGINT AS s_es,
+           |  len(list_filter($toks, t -> list_contains(['le','la','de','et','les','des','un','une','du','dans'], t)))::BIGINT AS s_fr,
+           |  len(list_filter($toks, t -> list_contains(['de','shi','le','zai','you','wo','ta','men','zhe','na'], t)))::BIGINT AS s_zh
+           |  FROM documents)
+           |SELECT doc_id,
+           | CASE WHEN g = 0 THEN 'und' WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+           |      WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang,
+           | g AS lang_score
+           |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)""".stripMargin,
+      "t04_fingerprint" ->
+        s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents))
+           |SELECT doc_id, list_min(list_transform(gs, g -> ${h60("g")})) AS fingerprint,
+           | len(list_distinct(gs))::BIGINT AS n_kgrams FROM kg""".stripMargin,
+      "d01_dedup_exact" ->
+        """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
+          | FROM documents GROUP BY 1""".stripMargin,
+      "d02_minhash_lsh" ->
+        s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
+           |sh AS (SELECT doc_id, unnest(gs) AS g FROM kg),
+           |hs AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || g)) AS h
+           |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) GROUP BY doc_id, i),
+           |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+           |bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
+           |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+           |         JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+           |est AS (SELECT a, b,
+           |  (len(list_filter(generate_series(1, 64), i -> sa.sig[i] = sb.sig[i])) * 1000000 // 64)::BIGINT AS est_ppm
+           |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id)
+           |SELECT a, b, est_ppm FROM est WHERE est_ppm >= 500000""".stripMargin,
+      "d03_simhash_pairs" ->
+        s"""WITH tc AS (SELECT doc_id, t AS tok, count(*)::BIGINT AS c
+           |            FROM (SELECT doc_id, unnest($toks) AS t FROM documents) GROUP BY doc_id, tok),
+           |th AS (SELECT doc_id, ${h60("tok")} AS h, c FROM tc),
+           |bits AS (SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN c ELSE -c END)::BIGINT AS s
+           |         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY doc_id, b),
+           |sh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+           |       FROM bits GROUP BY doc_id)
+           |SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+           |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+      "d04_ngram_jaccard" ->
+        s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
+           |sh AS (SELECT doc_id, unnest(gs) AS g FROM kg),
+           |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+           |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS c
+           |           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)
+           |SELECT a, b, (c * 1000000 // (na.n + nb.n - c))::BIGINT AS jaccard_ppm
+           |FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
+           |WHERE (c * 1000000 // (na.n + nb.n - c)) >= 500000""".stripMargin,
+      "d05_embed_neardup" ->
+        """SELECT x.vec_id AS a, y.vec_id AS b
+          |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+          |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.42""".stripMargin,
+      "s01_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+          |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) AS rank
+          |  FROM q JOIN embeddings e ON e.vec_id != q.query_id)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin,
+      "s02_ann_ivf" ->
+        """WITH cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
+          |assigned AS (SELECT vec_id, embedding, cell FROM (
+          |  SELECT e.vec_id, e.embedding, c.cell,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rn
+          |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+          |probes AS (SELECT query_id, qe, cell FROM (
+          |  SELECT q.query_id, q.qe, c.cell,
+          |    row_number() OVER (PARTITION BY q.query_id
+          |      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
+          |  FROM q CROSS JOIN cent c) WHERE rn <= 3),
+          |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+          |  row_number() OVER (PARTITION BY p.query_id
+          |    ORDER BY list_cosine_similarity(p.qe, a.embedding) DESC, a.vec_id) AS rank
+          |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin,
+      "m01_media_meta" ->
+        """SELECT doc_id, length(text)::BIGINT AS n_bytes, sha256(text) AS sha256,
+          | ((ascii(substr(text, 1, 1)) % 64) + 1)::BIGINT AS width,
+          | ((ascii(substr(text, 2, 1)) % 64) + 1)::BIGINT AS height,
+          | (length(text) // 100 + 1)::BIGINT AS n_frames
+          |FROM documents""".stripMargin,
+      "m02_frame_sample" ->
+        """SELECT doc_id, i::BIGINT AS frame_idx, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
+          |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+          |WHERE i % 2 = 0 AND i <= length(text) // 100""".stripMargin,
     )
   }
 }

@@ -1,0 +1,229 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.textops.TextAnalysis
+
+/** Deduplication operators for training-data pipelines, over
+  * `documents(doc_id, text, ...)` and `embeddings(vec_id, embedding, ...)`.
+  *
+  * Scale design (the reason each variant exists):
+  *
+  *  - [[exactGroups]]: hash-groupBy — one shuffle on a 128-bit digest, never
+  *    on raw text; group count ≈ distinct docs, no skew (md5 is uniform).
+  *  - [[minhashLshPairs]]: the 100 TB near-dup workhorse. Cost is linear in
+  *    corpus size: shingle → 64-way min (map-side combinable groupBy) →
+  *    band keys → equi-join on (band, key). No O(n²) anywhere; candidate
+  *    pairs ≪ n² by LSH design, then verified on the tiny signature table.
+  *  - [[simhashPairs]]: 60-bit fingerprint per doc (one aggregate), then
+  *    Hamming-≤h pairing WITHOUT a cross join: pigeonhole blocking — split
+  *    60 bits into h+1 chunks; any pair within distance h agrees on ≥1
+  *    whole chunk, so an equi-join on (chunk_idx, chunk_value) finds every
+  *    such pair. Cross join only inside blocks.
+  *  - [[ngramJaccardPairs]]: exact Jaccard via an inverted shingle index
+  *    (explode → equi-join on shingle → count), with an optional document-
+  *    frequency cap to bound hot-shingle blowup at scale.
+  *  - [[cosineNearDupPairs]]: exact all-pairs baseline (broadcast
+  *    nested-loop, fine to ~10^4 vectors); the sub-quadratic scale path is
+  *    the IVF/LSH bucketing in [[graft.similarity.Ann]].
+  *
+  * All hashes are md5-derived ([[PortableHash]]) so the DuckDB oracle
+  * reproduces every value bit-for-bit; all ratios are integer ppm.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact --
+
+  /** Exact dedup groups: key = md5(text); keeper = min doc_id per group.
+    * `n_docs > 1` rows are the duplicate clusters to drop.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(PortableHash.md5Hex(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  // ------------------------------------------------------------- shingles --
+
+  /** Distinct word-k-gram shingles, exploded to (doc_id, shingle). */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(array_distinct(TextAnalysis.kgrams(TextAnalysis.tokens(col("text")), k))).as("shingle"))
+
+  // -------------------------------------------------------- MinHash + LSH --
+
+  /** MinHash signatures: sig[i] = MIN over shingles of md5("i:" ++ shingle)
+    * (lexicographic min of hex strings — a portable permutation surrogate).
+    * One groupBy with `numHashes` min-aggregates: fully map-side combinable,
+    * signature size is O(numHashes) per doc regardless of doc length.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingles(docs, k)
+    val mins = (0 until numHashes).map(i =>
+      min(PortableHash.md5HexSeeded(i, col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** (band_idx, band_key) rows for LSH bucketing: key = md5 of the band's
+    * `rowsPerBand` signature slots joined with ','.
+    */
+  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(
+        b.as("band"),
+        md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("binary")).as("key")))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * bands=16 × rows=4 over 64 hashes ⇒ candidate threshold ≈ (1/16)^(1/4)
+    * ≈ 0.5 Jaccard (the S-curve knee). Candidates from the band equi-join
+    * are then verified on signatures: est = matching slots / numHashes,
+    * kept when est_ppm ≥ tauPpm.
+    *
+    * Output: (a, b, est_ppm), a < b.
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, tauPpm: Long = 500000L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val sig = minhashSignatures(docs, k, numHashes)
+    val banded = sig.select(
+      col("doc_id"),
+      explode(bandKeys(col("sig"), bands, rpb)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val matches = size(filter(
+      zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y),
+      m => m)).cast("long")
+    cand
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        TextAnalysis.intDiv(matches * lit(1000000L), lit(numHashes.toLong)).as("est_ppm"))
+      .where(col("est_ppm") >= tauPpm)
+  }
+
+  // -------------------------------------------------------------- SimHash --
+
+  /** 60-bit SimHash per doc: token-count weighted bit votes over the 60-bit
+    * md5 hash of each token; bit b of the fingerprint is set iff the signed
+    * vote sum is > 0. One exploded groupBy(doc, token) + one groupBy(doc)
+    * with 60 conditional sums — no per-bit row blowup.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokCounts = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), PortableHash.md5Long60(col("tok")).as("h"), col("c"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("c"))
+        .otherwise(-col("c"))).as(s"s$b")
+    }
+    val voted = tokCounts.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming(simhash) ≤ maxHamming, found by pigeonhole
+    * blocking: 60 bits split into maxHamming+1 chunks; a pair within the
+    * distance budget must agree exactly on at least one chunk, so an
+    * equi-join on (chunk_idx, chunk_value) has full recall with no n²
+    * candidate generation. Output: (a, b, hamming), a < b.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(60 % nChunks == 0, s"60 bits must split evenly into $nChunks chunks")
+    val chunkBits = 60 / nChunks
+    val sh = simhash(docs)
+    val chunks = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until nChunks).map(j =>
+        struct(lit(j).as("j"),
+          shiftright(col("simhash"), j * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.j").as("j"), col("ck.v").as("v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.j") === col("y.j") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard --
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode distinct shingles → equi-join on shingle → per-pair common
+    * count → Jaccard from per-doc shingle-set sizes. `maxDocFreq` drops
+    * shingles present in more than that many docs (non-discriminative hot
+    * keys that would otherwise quadratically blow up the index join at
+    * scale); None = no cap.
+    *
+    * Output: (a, b, jaccard_ppm), a < b, jaccard_ppm ≥ tauPpm.
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, tauPpm: Long = 500000L,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = shingles(docs, k)
+    val indexed = maxDocFreq match {
+      case Some(cap) =>
+        val freq = Window.partitionBy(col("shingle"))
+        sh.withColumn("__df", count(lit(1)).over(freq)).where(col("__df") <= cap).drop("__df")
+      case None => sh
+    }
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = indexed.as("x").join(indexed.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.as("na")), col("a") === col("na.doc_id"))
+      .join(broadcast(sizes.as("nb")), col("b") === col("nb.doc_id"))
+      .select(col("a"), col("b"),
+        TextAnalysis.intDiv(col("common") * lit(1000000L),
+          col("na.n") + col("nb.n") - col("common")).as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= tauPpm)
+  }
+
+  // -------------------------------------------------- embedding near-dup --
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * precision with sequential fold order (portable across engines).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact embedding near-duplicate pairs: cosine ≥ tau, a < b.
+    * Norms are precomputed per row (one scan) so the pair loop does one dot
+    * product, not three. The small side broadcasts; at ≫10^5 vectors use
+    * the ANN bucketing in [[graft.similarity.Ann]] to prefilter candidates.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, tau: Double = 0.42): DataFrame = {
+    val normed = embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    val dot = aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q),
+      lit(0.0), (acc, x) => acc + x)
+    normed.as("x").join(normed.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .where(dot / (col("x.norm") * col("y.norm")) >= tau)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing used by the dedup / fingerprint
+  * operators.
+  *
+  * The only hash primitive Spark and the DuckDB oracle share bit-for-bit is
+  * `md5` over UTF-8 bytes, so every hash-derived value in the oracle-checked
+  * query surface is defined as a function of the md5 hex string:
+  *
+  *  - [[md5Long60]]: first 15 hex chars (60 bits) parsed as a non-negative
+  *    BIGINT — fits a signed 64-bit value with no overflow ambiguity.
+  *    DuckDB equivalent: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+  *  - [[md5Hex]]: the full 32-char hex string; lexicographic MIN over these
+  *    is a valid (and portable) MinHash permutation surrogate.
+  *
+  * At scale these evaluate inside whole-stage codegen (`md5`, `conv`,
+  * `substring` are all built-in codegen'd expressions); no UDFs.
+  */
+object PortableHash {
+
+  /** 60-bit non-negative hash of any column's string form. */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Full md5 hex string (32 chars, lowercase). */
+  def md5Hex(c: Column): Column = md5(c.cast("string").cast("binary"))
+
+  /** Seeded variant: an independent hash family member per integer seed,
+    * h_i(x) = md5(i || ':' || x) — the portable stand-in for the reference
+    * MinHash literature's "k independent permutations".
+    */
+  def md5HexSeeded(seed: Int, c: Column): Column =
+    md5(concat(lit(s"$seed:"), c.cast("string")).cast("binary"))
+
+  /** DuckDB SQL fragment equivalent of [[md5Long60]] for oracle authoring. */
+  def duckMd5Long60(sqlExpr: String): String =
+    s"(('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT)"
+}

@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media as opaque `binary` columns plus typed metadata, with
+  * decode / feature-extraction as *batched* partition-local transforms.
+  *
+  * The Spark-side plumbing is the real deliverable — schema, partitioning,
+  * batch shape, typed Encoders — while the codec itself is STUBBED with a
+  * deterministic fake (this container has no image/audio libraries; a real
+  * deployment swaps [[StubCodec]] for JNI/FFI bindings without touching the
+  * pipeline).
+  *
+  * Scale design:
+  *  - media bytes never pass through a shuffle: decode/extract are
+  *    `mapPartitions` (narrow) transforms; only small metadata/features
+  *    flow downstream.
+  *  - batching: records are decoded in groups of `batchSize` mirroring the
+  *    vectorized-UDF batch shape (amortizes codec init per batch, exactly
+  *    like Arrow batches in a Pandas UDF).
+  *  - partition sizing: callers repartition upstream so one partition's
+  *    media fits executor memory (`spark.sql.files.maxPartitionBytes`
+  *    governs the scan; binary payloads make row size the binding
+  *    constraint, not row count).
+  */
+object Multimodal {
+
+  /** A media row: id + raw bytes + declared type ("image"|"audio"|"video"). */
+  case class MediaRecord(doc_id: Long, media: Array[Byte], media_type: String)
+
+  /** Decoded metadata + features for one media record. */
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      sha256: String,
+      width: Long,
+      height: Long,
+      n_frames: Long)
+
+  /** One sampled frame: parent doc, frame index, frame payload digest. */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** The codec boundary. A real implementation decodes pixels/samples; the
+    * stub derives deterministic fake dimensions from the payload bytes so
+    * the pipeline is end-to-end testable (and oracle-checkable).
+    */
+  trait Codec extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta]
+  }
+
+  /** Deterministic fake decode: width/height from the first two payload
+    * bytes, one fake "frame" per 100 bytes. sha256 matches Spark's
+    * `sha2(col, 256)` and DuckDB's `sha256(...)` (lowercase hex).
+    */
+  object StubCodec extends Codec {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] = batch.map { r =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(r.media).map("%02x".format(_)).mkString
+      val b0 = if (r.media.nonEmpty) r.media(0) & 0x3f else 0
+      val b1 = if (r.media.length > 1) r.media(1) & 0x3f else 0
+      MediaMeta(
+        doc_id = r.doc_id,
+        n_bytes = r.media.length.toLong,
+        sha256 = hex,
+        width = b0 + 1L,
+        height = b1 + 1L,
+        n_frames = r.media.length / 100 + 1L)
+    }
+  }
+
+  /** Lift the documents table into a media table — text bytes stand in for
+    * an image payload (binary column + type tag); in production this is a
+    * parquet/iceberg table with a real BinaryType column.
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      lit("image").as("media_type"))
+
+  /** Batched decode / feature extraction: the mapInPandas-equivalent.
+    * Typed `Dataset[MediaRecord] → Dataset[MediaMeta]`, decoding
+    * `batchSize` records at a time inside each partition.
+    */
+  def extractMeta(media: DataFrame, codec: Codec = StubCodec,
+                  batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(codec.decodeBatch))
+  }
+
+  /** Frame sampling: emit every `stride`-th 100-byte "frame" of the payload
+    * (the video-keyframe-sampling shape: 1→N explode of a binary column,
+    * emitting digests/features, never shipping frames through a shuffle).
+    */
+  def sampleFrames(media: DataFrame, stride: Int = 2): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val n = r.media.length / 100 + 1
+        (0L until n.toLong by stride.toLong).map { i =>
+          val from = (i * 100).toInt
+          val until = math.min(from + 100, r.media.length)
+          val slice = java.util.Arrays.copyOfRange(r.media, from, until)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          Frame(r.doc_id, i, md.digest(slice).map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
+  /** "Resize" stub: crop/pad the payload to `targetBytes` — the shape of an
+    * image-resize (binary in, binary out, 1→1, partition-local).
+    */
+  def resize(media: DataFrame, targetBytes: Int = 256): DataFrame =
+    media.withColumn("media",
+      substring(col("media"), 1, targetBytes))
+      .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+}

@@ -1,0 +1,138 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings(vec_id, embedding: array<float>, label)`).
+  *
+  * Two paths:
+  *
+  *  - [[bruteForceTopK]]: the exact baseline. Queries are a small set →
+  *    broadcast; each corpus partition scans once computing one dot product
+  *    per (query, vector); ranking is a per-query window over k·|queries|
+  *    rows. Linear in corpus size, embarrassingly parallel, no shuffle of
+  *    the corpus — this is the "exact re-rank" building block.
+  *
+  *  - [[ivfTopK]]: the 100 TB scale path (IVF — inverted-file index).
+  *    Deterministic coarse quantizer: centroid set = rows with
+  *    `vec_id % centroidStep == 0` (a k-means fit would drop in here; the
+  *    assignment/probe/search topology is identical and what matters for
+  *    scale). Every vector is assigned to its nearest centroid (one
+  *    broadcast join — the "index build"); a query probes only `nprobe`
+  *    cells, so the search join is an equi-join on cell id touching
+  *    nprobe/|cells| of the corpus instead of all of it.
+  *
+  * Cosines are computed in double precision; outputs expose only ids and
+  * ranks (floats never cross the oracle-compare boundary).
+  */
+object Ann {
+
+  private def normalize(embeddings: DataFrame, idCol: String): DataFrame =
+    embeddings.select(
+      col(idCol),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+
+  private def dotCol(a: String, b: String): Column =
+    aggregate(zip_with(col(a), col(b), (p, q) => p * q), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact top-k by cosine for each query vector. `queryPred` selects the
+    * query rows out of the corpus (they are excluded as their own
+    * neighbors). Output: (query_id, rank, neighbor_id), rank 1..k ordered
+    * by (cosine desc, neighbor_id asc).
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val cos = (dotCol("qv", "v") / (col("qnorm") * col("norm"))).as("cos")
+    val scored = broadcast(queries)
+      .join(corpus, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Assign every vector to its nearest centroid (cosine, deterministic
+    * id-asc tiebreak). Returns (vec_id, v, norm, cell).
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cos = dotCol("v", "cv") / (col("norm") * col("cnorm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("__cos").desc, col("cell").asc)
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"), cos.as("__cos"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__cos", "__rn")
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` nearest cells per query and
+    * rank only vectors in those cells. Same output shape as
+    * [[bruteForceTopK]]; recall < 1 by design (that's the trade).
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+              centroidStep: Long = 25L, nprobe: Int = 3): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    val centroids = corpus.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val assigned = assignCells(corpus, centroids)
+
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val qcos = dotCol("qv", "cv") / (col("qnorm") * col("cnorm"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("cell").asc)
+    val probes = broadcast(queries).crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("qnorm"), col("cell"), qcos.as("__cos"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nprobe)
+      .drop("__cos", "__rn")
+
+    // search join: equi-join on cell — touches only probed cells' vectors
+    val cos = (dotCol("qv", "v") / (col("qnorm") * col("norm"))).as("cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes)
+      .join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Sign-LSH bucketing (random-hyperplane surrogate): bucket id = sign
+    * pattern of the vector against `nPlanes` deterministic pseudo-random
+    * hyperplanes (component j of plane p = ±1 chosen by bit j of a 60-bit
+    * md5 stream keyed by p). Vectors in the same bucket are cosine-close
+    * with probability (1 - θ/π)^nPlanes — the candidate generator for
+    * embedding near-dup at corpus scale. Output: (vec_id, bucket).
+    */
+  def signLshBuckets(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    val dim = 64 // corpus embedding width (documents' contract)
+    val planeSign: (Int, Int) => Double = (p, j) => {
+      // deterministic ±1 from md5 — computed once on the driver, inlined as
+      // literals into codegen (tiny: nPlanes × dim doubles)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane:$p:${j / 60}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bits = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      if (((bits >> (j % 60)) & 1L) == 1L) 1.0 else -1.0
+    }
+    val bucketBits = (0 until nPlanes).map { p =>
+      val dot = (0 until dim).map(j => element_at(col("v"), j + 1) * lit(planeSign(p, j)))
+        .reduce(_ + _)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    corpus.select(col("vec_id"), bucketBits.reduce(_ + _).as("bucket"))
+  }
+}

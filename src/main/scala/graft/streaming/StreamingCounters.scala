@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.config.CounterDef
+import graft.operators.Counters
+
+/** Structured Streaming execution of the counter pipeline — the engine's
+  * equivalent of the reference's Lambda tumbling-window invocation loop
+  * (O1/O2/O12: `counter.go:150-204`, `run.go:17-53`).
+  *
+  * What the reference hand-implements, the streaming engine provides:
+  *  - carried per-window state (`CounterState` JSON round-trip,
+  *    `counter.go:210-231`) ↔ the state store + checkpoint;
+  *  - window close / final invoke (`run.go:107-129`) ↔ watermark expiry in
+  *    append mode;
+  *  - per-shard readers (`run.go:38-48`) ↔ source partitions;
+  *  - the cross-shard aggregate stream ↔ the shuffle between partial and
+  *    final aggregation inside the streaming micro-batch.
+  *
+  * Sources are an I/O detail (`readStream.format("kafka"/"rate"/file)` — a
+  * Kinesis connector slots in unchanged); these transforms only require a
+  * streaming DataFrame with a timestamp column.
+  */
+object StreamingCounters {
+
+  /** O4: parse raw JSON payloads (PERMISSIVE), keeping unparseable records
+    * in a `_corrupt` column — the `batchItemFailures` side channel
+    * (`counter.go:245-248`): bad rows are reported, never fatal.
+    */
+  def parseRecords(raw: DataFrame, schema: StructType, payloadCol: String = "value"): DataFrame = {
+    val withCorrupt = schema.add("_corrupt", "string")
+    raw.withColumn("__rec",
+        from_json(col(payloadCol).cast("string"), withCorrupt,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+      .select(col("*"), col("__rec.*"))
+      .drop("__rec")
+  }
+
+  /** The failed-record side output (analog of `BatchItemFailures`). */
+  def failures(parsed: DataFrame): DataFrame =
+    parsed.where(col("_corrupt").isNotNull).select(col("_corrupt"))
+
+  /** Qualifying rows only (parse succeeded). */
+  def parsedOk(parsed: DataFrame): DataFrame =
+    parsed.where(col("_corrupt").isNull).drop("_corrupt")
+
+  /** Streaming counter: tumbling event-time window + watermark; in append
+    * output mode a window's row is emitted exactly once, when the watermark
+    * passes its end — the `isFinalInvokeForWindow` contract
+    * (`counter.go:339-344`). The aggregation state (count or HLL buffer) is
+    * engine-managed and mergeable, like `CounterState`.
+    *
+    * The returned frame has the reference's output shape (O13) and can be
+    * wired to any sink via `writeStream` (`foreachBatch` for SDK puts —
+    * O15).
+    */
+  def run(stream: DataFrame, tsCol: String, c: CounterDef,
+          watermarkDelay: String = "10 seconds",
+          eventSourceArn: Option[String] = None): DataFrame = {
+    val watermarked = stream.withWatermark(tsCol, watermarkDelay)
+    Counters.finalizeOutput(
+      watermarked
+        .groupBy(window(col(tsCol), c.windowDuration))
+        .agg(Counters.aggExpr(stream, c).as("value")),
+      c, eventSourceArn)
+  }
+
+  /** Multi-counter fan-out over one stream (O16): counters sharing the
+    * window width share ONE streaming aggregation (single state store,
+    * single shuffle), mirroring [[Counters.fanOut]].
+    */
+  def fanOut(stream: DataFrame, tsCol: String, counters: Seq[CounterDef],
+             watermarkDelay: String = "10 seconds",
+             eventSourceArn: Option[String] = None): DataFrame = {
+    require(counters.nonEmpty, "fanOut requires at least one counter")
+    require(counters.map(_.windowDuration).distinct.size == 1,
+      "streaming fanOut requires a shared window duration")
+    val watermarked = stream.withWatermark(tsCol, watermarkDelay)
+    val aggs = counters.map(c => Counters.aggExpr(stream, c).as(s"__agg_${c.id}"))
+    val agged = watermarked
+      .groupBy(window(col(tsCol), counters.head.windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+    counters.map { c =>
+      Counters.finalizeOutput(
+        agged.select(col("window"), col(s"__agg_${c.id}").as("value")),
+        c, eventSourceArn)
+    }.reduce(_.union(_))
+  }
+}

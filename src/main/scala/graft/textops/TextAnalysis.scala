@@ -1,0 +1,162 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Text-analysis operators for large-scale training-data pipelines, over a
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * Everything here is a narrow per-row projection — no shuffle, no UDF:
+  * tokenization, counting, scoring and hashing all compile to built-in
+  * codegen'd expressions (`split`, `regexp_extract_all`, higher-order
+  * `filter`/`transform`, `md5`/`conv`), so at 100 TB each operator is a
+  * single scan that whole-stage-codegens and prunes to exactly the columns
+  * it reads (`doc_id`, `text`).
+  *
+  * Ratio-style outputs are integer parts-per-million (`*_ppm`), not
+  * doubles: integer arithmetic is bit-identical across engines, so the
+  * DuckDB oracle can hash-match them exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The corpus contract is single-space separated
+    * (TESTDATA.md); `split` on one space is the portable tokenizer
+    * (DuckDB: `string_split(text, ' ')`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish pre-tokenizer regex: letter runs | digit runs | single
+    * non-alphanumeric, the usual shape of byte-pair-encoding
+    * pre-tokenization (GPT-2-style contractions dropped — corpus is bare
+    * lowercase words).
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens per doc. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"))
+
+  /** English stopwords used by quality scoring and language ID.
+    * Shared vocabulary with [[StopwordLists]] ("en").
+    */
+  val EnStopwords: Seq[String] = StopwordLists.byLang("en")
+
+  /** Quality scoring: the standard cheap heuristics (length, punctuation
+    * density, stopword density) as ppm integers plus a composite score.
+    *
+    *  - `punct_ppm`   = non-alphanumeric-non-space chars / chars
+    *  - `stopword_ppm`= stopword tokens / tokens
+    *  - `len_ppm`     = min(n_chars, 500) / 500 (length saturation)
+    *  - `quality_ppm` = mean of (1e6 - punct_ppm, stopword_ppm, len_ppm)
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
+    val nToks = size(toks).cast("long")
+    val stopArr = typedLit(EnStopwords)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_m"),
+      intDiv(nPunct * lit(1000000L), nChars).as("punct_ppm"),
+      intDiv(nStop * lit(1000000L), nToks).as("stopword_ppm"),
+      intDiv(least(nChars, lit(500L)) * lit(1000000L), lit(500L)).as("len_ppm"))
+      .withColumn("quality_ppm",
+        intDiv(lit(1000000L) - col("punct_ppm") + col("stopword_ppm") + col("len_ppm"), lit(3L)))
+  }
+
+  /** Exact integer division for non-negative operands whose product stays
+    * below 2^53 (ppm scaling of counts — always true here), matching
+    * DuckDB's `//`. Kept in double space only transiently; result exact.
+    */
+  private[graft] def intDiv(a: Column, b: Column): Column =
+    floor(a / b).cast("long")
+
+  /** Language-ID by stopword-list voting (the classic cheap n-gram/stopword
+    * heuristic): score(lang) = # tokens in that language's stopword list;
+    * prediction = argmax with alphabetical tiebreak, `und` when no list
+    * matches at all.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +:
+        StopwordLists.langs.map { l =>
+          val arr = typedLit(StopwordLists.byLang(l))
+          size(filter(toks, t => array_contains(arr, t))).cast("long").as(s"s_$l")
+        }): _*)
+    val g = greatest(StopwordLists.langs.map(l => col(s"s_$l")): _*)
+    // first lang (alphabetical) reaching the max — deterministic tiebreak
+    val pred = StopwordLists.langs.foldRight(lit("und")) { (l, els) =>
+      when(col(s"s_$l") === g, lit(l)).otherwise(els)
+    }
+    scored.select(
+      col("doc_id"),
+      when(g === 0, lit("und")).otherwise(pred).as("pred_lang"),
+      g.as("lang_score"))
+  }
+
+  /** Word k-grams of a token array (empty when fewer than k tokens). */
+  def kgrams(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array())
+
+  /** Document fingerprinting via rolling k-gram hashes: fingerprint = MIN of
+    * the 60-bit hashes of all word k-grams (the deterministic 1-value
+    * winnowing degenerate); also emits the distinct k-gram count.
+    * See [[winnow]] for the full winnowing fingerprint set (the scale path
+    * for plagiarism-style containment search).
+    */
+  def fingerprint(docs: DataFrame, k: Int = 3): DataFrame = {
+    val kg = kgrams(tokens(col("text")), k)
+    val hashes = transform(kg, g => PortableHash.md5Long60(g))
+    docs.select(
+      col("doc_id"),
+      array_min(hashes).as("fingerprint"),
+      size(array_distinct(kg)).cast("long").as("n_kgrams"))
+  }
+
+  /** Winnowing (Schleimer et al., SIGMOD'03): slide a window of `w`
+    * consecutive k-gram hashes, keep each window's minimum (rightmost on
+    * ties) — the selected hash set is the document's fingerprint sketch.
+    * Emitted exploded as (doc_id, pos, hash): at scale this feeds an
+    * inverted-index join exactly like [[graft.dedup.Dedup.ngramJaccardPairs]].
+    */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val kg = kgrams(tokens(col("text")), k)
+    val hashes = transform(kg, g => PortableHash.md5Long60(g))
+    val n = size(hashes)
+    val wins = when(n >= w,
+      transform(sequence(lit(0), n - w),
+        i => array_min(slice(hashes, i + 1, lit(w)))))
+      .otherwise(when(n > 0, array(array_min(hashes))).otherwise(array()))
+    docs
+      .select(col("doc_id"), array_distinct(wins).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+  }
+}
+
+/** Per-language stopword vocabularies for the language-ID heuristic.
+  * Deterministic, tiny, broadcast as literals into codegen.
+  */
+object StopwordLists {
+  val langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  private val lists: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "dans"),
+    // romanized (pinyin) function words — the corpus is latin-script
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "na"))
+
+  def byLang(l: String): Seq[String] = lists(l)
+}
