@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorbs one-off JVM/executor/parquet-footer/codegen
+    // startup so the first measured query isn't charged for it.
+    try SparkEntry.queries.head._2(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink fully materializes every column — a bare .count() would let

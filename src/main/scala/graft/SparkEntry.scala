@@ -131,7 +131,8 @@ object SparkEntry {
     //      rows-only check; value parity proven by SipHash vectors spec) ----
     "a01_siphash_acd" -> ((s, dir) =>
       Counters.run(
-        events(s, dir).withColumn("user_id", Canonical.siphashCanonical(col("user_id"))),
+        events(s, dir).withColumn("user_id",
+          Canonical.siphashCanonicalTyped(org.apache.spark.sql.types.LongType, col("user_id"))),
         "ts", cUserAcd.copy(id = "unique_users_siphash"))),
   )
 
@@ -230,8 +231,10 @@ object SparkEntry {
       "d02_minhash_lsh" ->
         s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
            |sh AS (SELECT doc_id, unnest(gs) AS g FROM kg),
-           |hs AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || g)) AS h
-           |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) GROUP BY doc_id, i),
+           |h2 AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+           |       (('0x' || substr(md5(g), 16, 14))::BIGINT % (1::BIGINT << 55)) AS h2 FROM sh),
+           |hs AS (SELECT doc_id, i, min((h1 + i * h2) % 2305843009213693951) AS h
+           |       FROM h2 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) GROUP BY doc_id, i),
            |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
            |bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
            |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)),

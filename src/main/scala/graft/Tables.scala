@@ -33,7 +33,17 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  /** The documents table feeds explode/higher-order-function-heavy text ops
+    * (shingling, minhash, simhash) whose per-row cost dwarfs the scan. The
+    * local single-file, single-row-group layout would pin all of that to ONE
+    * task (a 600 KB parquet is unsplittable below row-group granularity), so
+    * spread rows across the cluster first — one tiny shuffle of the raw
+    * docs. At production scale the source arrives in thousands of splits
+    * and this is a no-op cost-wise.
+    */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, VecDot}
 import graft.textops.TextAnalysis
 
 /** Deduplication operators for training-data pipelines, over
@@ -55,16 +55,31 @@ object Dedup {
 
   // -------------------------------------------------------- MinHash + LSH --
 
-  /** MinHash signatures: sig[i] = MIN over shingles of md5("i:" ++ shingle)
-    * (lexicographic min of hex strings — a portable permutation surrogate).
+  /** MinHash hash family via Kirsch–Mitzenmacher double hashing: ONE md5
+    * per shingle yields two 55/60-bit integers (h1, h2); family member i is
+    * `(h1 + i·h2) mod P` with P = 2^61−1. Asymptotically as good as k
+    * independent hashes (Kirsch & Mitzenmacher, ESA'06) at 1/64th the
+    * hashing cost — the md5, not the arithmetic, dominates the map side.
+    * All operands stay < 2^62, so the same expression runs overflow-free as
+    * DuckDB BIGINT arithmetic (bit-for-bit oracle parity).
+    */
+  private val P: Long = (1L << 61) - 1
+
+  /** sig[i] = MIN over the doc's shingles of ((h1 + i·h2) mod P).
     * One groupBy with `numHashes` min-aggregates: fully map-side combinable,
     * signature size is O(numHashes) per doc regardless of doc length.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 64): DataFrame = {
     val sh = shingles(docs, k)
+    // h1: md5 hex chars 1–15 (60 bits); h2: chars 16–29 mod 2^55 (so that
+    // i·h2 ≤ 63·2^55 < 2^61 never overflows a signed 64-bit value)
+    val hx = md5(col("shingle").cast("binary"))
+    val h1 = conv(substring(hx, 1, 15), 16, 10).cast("long")
+    val h2 = pmod(conv(substring(hx, 16, 14), 16, 10).cast("long"), lit(1L << 55))
+    val hashed = sh.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
     val mins = (0 until numHashes).map(i =>
-      min(PortableHash.md5HexSeeded(i, col("shingle"))).as(s"h$i"))
-    sh.groupBy(col("doc_id"))
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"h$i"))
+    hashed.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -76,7 +91,9 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(
         b.as("band"),
-        md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("binary")).as("key")))
+        md5(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string"))
+        ).cast("binary")).as("key")))
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -200,29 +217,33 @@ object Dedup {
   // -------------------------------------------------- embedding near-dup --
 
   /** Cosine similarity between two float-array columns, computed in double
-    * precision with sequential fold order (portable across engines).
+    * precision with sequential fold order (portable across engines), via the
+    * codegen'd [[graft.functions.VecDot]] kernel.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(u: Column, v: Column): Column =
-      aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    def d(u: Column, v: Column): Column =
+      VecDot.dot(transform(u, x => x.cast("double")), transform(v, x => x.cast("double")))
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
   }
 
   /** Exact embedding near-duplicate pairs: cosine ≥ tau, a < b.
-    * Norms are precomputed per row (one scan) so the pair loop does one dot
-    * product, not three. The small side broadcasts; at ≫10^5 vectors use
-    * the ANN bucketing in [[graft.similarity.Ann]] to prefilter candidates.
+    * Norms are precomputed per row (one scan) so the pair loop does exactly
+    * one allocation-free [[graft.functions.VecDot]] dot product. The stream
+    * side is repartitioned so the O(n²/2) pair scan spreads across all
+    * cores (a single parquet file would otherwise pin it to one task). The
+    * small side broadcasts; at ≫10^5 vectors use the ANN bucketing in
+    * [[graft.similarity.Ann]] to prefilter candidates.
     */
   def cosineNearDupPairs(embeddings: DataFrame, tau: Double = 0.42): DataFrame = {
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val normed = embeddings.select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
-    val dot = aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q),
-      lit(0.0), (acc, x) => acc + x)
-    normed.as("x").join(normed.as("y"), col("x.vec_id") < col("y.vec_id"))
+    val dot = VecDot.dot(col("x.v"), col("y.v"))
+    normed.repartition(par).as("x")
+      .join(broadcast(normed).as("y"), col("x.vec_id") < col("y.vec_id"))
       .where(dot / (col("x.norm") * col("y.norm")) >= tau)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
   }

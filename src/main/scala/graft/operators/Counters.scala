@@ -2,10 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BooleanType
+import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, LongType, StringType}
 
 import graft.config.{CounterDef, CounterType}
-import graft.functions.TargetExpr
+import graft.functions.{Canonical, TargetExpr}
 
 /** The counter pipeline (reference operators O4–O14, O16) as declarative
   * DataFrame transforms:
@@ -104,8 +104,31 @@ object Counters {
         val value = v.getOrElse(
           throw new IllegalArgumentException(
             s"counter ${c.id}: approx_count_distinct requires a target"))
-        approx_count_distinct(value, ReferenceRsd)
+        acdAgg(df, value)
     }
+  }
+
+  /** The ACD aggregate: DataSketches HLL at lgConfigK=16 — the reference's
+    * precision (`counter.go:206-208`) — via `hll_sketch_agg`, which runs in
+    * `ObjectHashAggregateExec` with one heap sketch object per group.
+    *
+    * Deliberately NOT Spark's `approx_count_distinct(rsd≈0.004)`: that is an
+    * `ImperativeAggregate` whose buffer is a flat 2^16-register row — ~52 KiB
+    * of fixed-width aggregation-buffer per group materialized in the hash
+    * map of EVERY partial task — measured 10× slower at p=16 (sf0.01:
+    * 12.6 s vs 1.3 s for the identical query via DataSketches).
+    *
+    * Types DataSketches can't ingest (bool/double/struct/...) are first
+    * canonical-JSON-encoded — which is precisely the reference's distinct
+    * domain: it hashes `json.Marshal(value)` (`counter.go:314-319`).
+    */
+  def acdAgg(df: DataFrame, value: Column): Column = {
+    val dt = df.select(value.as("__v")).schema.head.dataType
+    val sketchable = dt match {
+      case IntegerType | LongType | StringType | BinaryType => value
+      case _ => Canonical.canonicalJsonTyped(dt, value)
+    }
+    hll_sketch_estimate(hll_sketch_agg(sketchable, lit(16)))
   }
 
   /** Exact-distinct twin of an ACD counter — used by the oracle harness
@@ -163,7 +186,12 @@ object Counters {
         grouped.agg(countAgg(df, c).as("partial_count"))
       case CounterType.ApproxCountDistinct =>
         val value = valueColumn(c).get
-        grouped.agg(hll_sketch_agg(value, lit(16)).as("partial_sketch"))
+        val dt = df.select(value.as("__v")).schema.head.dataType
+        val sketchable = dt match {
+          case IntegerType | LongType | StringType | BinaryType => value
+          case _ => Canonical.canonicalJsonTyped(dt, value)
+        }
+        grouped.agg(hll_sketch_agg(sketchable, lit(16)).as("partial_sketch"))
     }
   }
 

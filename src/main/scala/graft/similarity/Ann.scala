@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.functions.VecDot
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`embeddings(vec_id, embedding: array<float>, label)`).
@@ -31,15 +31,19 @@ import graft.dedup.Dedup
   */
 object Ann {
 
+  /** Double-cast vectors + norms, repartitioned across all cores: the
+    * corpus is the stream side of every broadcast join downstream, so its
+    * partitioning IS the parallelism of the scan-and-score loop.
+    */
   private def normalize(embeddings: DataFrame, idCol: String): DataFrame =
     embeddings.select(
       col(idCol),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
 
-  private def dotCol(a: String, b: String): Column =
-    aggregate(zip_with(col(a), col(b), (p, q) => p * q), lit(0.0), (acc, x) => acc + x)
+  private def dotCol(a: String, b: String): Column = VecDot.dot(col(a), col(b))
 
   /** Exact top-k by cosine for each query vector. `queryPred` selects the
     * query rows out of the corpus (they are excluded as their own
