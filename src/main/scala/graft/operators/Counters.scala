@@ -230,22 +230,44 @@ object Counters {
   /** O16 multi-counter fan-out: ALL counters sharing a window width run in
     * ONE groupBy pass — one scan, one shuffle — as conditional aggregates;
     * the per-counter rows are then unpivoted from the (tiny) aggregated
-    * result. At 100 TB this is the difference between N full scans and 1.
+    * result by a single `explode` (not an N-way self-union, so the
+    * aggregation exists once in the plan — which also makes this legal
+    * after a streaming aggregation). At 100 TB this is the difference
+    * between N full scans and 1.
     */
   def fanOut(df: DataFrame, tsCol: String, counters: Seq[CounterDef],
              eventSourceArn: Option[String] = None): DataFrame = {
     require(counters.nonEmpty, "fanOut requires at least one counter")
     val byWindow = counters.groupBy(_.windowDuration).toSeq.sortBy(_._1)
-    val perWindow = byWindow.map { case (w, cs) =>
-      val aggs = cs.map(c => aggExpr(df, c).as(s"__agg_${c.id}"))
-      val agged = df.groupBy(window(col(tsCol), w))
-        .agg(aggs.head, aggs.tail: _*)
-      cs.map { c =>
-        finalizeOutput(
-          agged.select(col("window"), col(s"__agg_${c.id}").as("value")),
-          c, eventSourceArn)
-      }.reduce(_.union(_))
+    byWindow.map { case (w, cs) =>
+      unpivotCounters(
+        df.groupBy(window(col(tsCol), w))
+          .agg(aggExpr(df, cs.head).as(s"__agg_${cs.head.id}"),
+            cs.tail.map(c => aggExpr(df, c).as(s"__agg_${c.id}")): _*),
+        cs, eventSourceArn)
+    }.reduce(_.union(_))
+  }
+
+  /** Unpivot one wide aggregated row (window, __agg_c1, …, __agg_cN) into N
+    * output records via a single generator — shared by batch and streaming
+    * fan-out.
+    */
+  private[graft] def unpivotCounters(agged: DataFrame, cs: Seq[CounterDef],
+                                     eventSourceArn: Option[String]): DataFrame = {
+    val recs = explode(array(cs.map(c => struct(
+      lit(c.id).as("counter_id"),
+      lit(c.counterType.name).as("counter_type"),
+      col(s"__agg_${c.id}").cast("long").as("value"))): _*))
+    val base = Seq(
+      unix_millis(col("window.start")).as("window_start"),
+      unix_millis(col("window.end")).as("window_end"),
+      col("r.counter_id").as("counter_id"),
+      col("r.counter_type").as("counter_type"),
+      col("r.value").as("value"))
+    val cols = eventSourceArn match {
+      case Some(arn) => lit(arn).as("event_source_arn") +: base
+      case None => base
     }
-    perWindow.reduce(_.union(_))
+    agged.select(col("window"), recs.as("r")).select(cols: _*)
   }
 }

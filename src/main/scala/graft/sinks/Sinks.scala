@@ -1,0 +1,87 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.config.{Arn, CounterDef}
+
+/** Output record sinks (reference O15, `/root/reference/counter.go:514-555`):
+  * final counter rows are serialized to JSON and put to the counter's
+  * `output_stream_arn`, routed by ARN service — kinesis `PutRecord`,
+  * firehose `PutRecord`, or a line writer (stdout) in CLI mode — with
+  * partition key = counter id (`counter.go:530`). A `-put` style gate
+  * decides between really putting and dry-run printing
+  * (`counter.go:520-523`).
+  *
+  * The service clients are behind [[RecordPutter]] so the engine carries no
+  * SDK dependency: a deployment provides kinesis/firehose putters; tests use
+  * [[CollectingPutter]]; the CLI uses [[StdoutPutter]]. Batch writes drain
+  * per-partition on the executors (`foreachPartition` — rows never collect
+  * to the driver); for streams wire [[foreachBatchSink]] into
+  * `writeStream.foreachBatch`.
+  */
+object Sinks {
+
+  /** One put per output record. Implementations must be serializable —
+    * they are invoked on executors.
+    */
+  trait RecordPutter extends Serializable {
+    def put(target: Arn, partitionKey: String, data: String): Unit
+  }
+
+  /** CLI writer (`counter.go:455-459,474-479`): one JSON line per record. */
+  object StdoutPutter extends RecordPutter {
+    def put(target: Arn, partitionKey: String, data: String): Unit =
+      // scalastyle:off println
+      println(data)
+      // scalastyle:on println
+  }
+
+  /** Dry-run gate (the reference's `-put record` flag defaulting to off). */
+  object NullPutter extends RecordPutter {
+    def put(target: Arn, partitionKey: String, data: String): Unit = ()
+  }
+
+  /** Test double: accumulates puts in a static buffer (single-JVM tests). */
+  class CollectingPutter extends RecordPutter {
+    def put(target: Arn, partitionKey: String, data: String): Unit =
+      CollectingPutter.add((target.toString, partitionKey, data))
+  }
+  object CollectingPutter {
+    private val buf = new scala.collection.mutable.ArrayBuffer[(String, String, String)]
+    private[Sinks] def add(r: (String, String, String)): Unit = synchronized { buf += r }
+    def drain(): Seq[(String, String, String)] = synchronized {
+      val out = buf.toVector; buf.clear(); out
+    }
+  }
+
+  /** Serialize an output frame to the reference's record JSON (one object
+    * per row, field order as produced by the O13 projection).
+    */
+  def toJsonRecords(out: DataFrame): DataFrame =
+    out.select(to_json(struct(out.columns.map(col).toSeq: _*)).as("value"))
+
+  /** Route a finished batch to the counter's output ARN: service kinesis/
+    * firehose → putter (partition key = counter id); no/blank ARN → stdout
+    * lines, as in CLI mode.
+    */
+  def write(out: DataFrame, c: CounterDef, putter: RecordPutter): Unit = {
+    val target = c.outputArn
+    val rows = toJsonRecords(out)
+    target match {
+      case Some(arn) if arn.service == "kinesis" || arn.service == "firehose" =>
+        val id = c.id
+        rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach(r => putter.put(arn, id, r.getString(0)))
+        }
+      case _ =>
+        rows.collect().foreach(r => StdoutPutter.put(null, c.id, r.getString(0)))
+    }
+  }
+
+  /** `writeStream.foreachBatch(foreachBatchSink(c, putter))` — the streaming
+    * sink wiring (SURVEY.md O15 ↔ Structured Streaming).
+    */
+  def foreachBatchSink(c: CounterDef, putter: RecordPutter): (DataFrame, Long) => Unit =
+    (batch, _) => write(batch, c, putter)
+}

@@ -83,10 +83,8 @@ object StreamingCounters {
     val agged = watermarked
       .groupBy(window(col(tsCol), counters.head.windowDuration))
       .agg(aggs.head, aggs.tail: _*)
-    counters.map { c =>
-      Counters.finalizeOutput(
-        agged.select(col("window"), col(s"__agg_${c.id}").as("value")),
-        c, eventSourceArn)
-    }.reduce(_.union(_))
+    // Single aggregation + one generator (NOT an N-way union of the agg,
+    // which would plan N streaming aggregations and be rejected).
+    Counters.unpivotCounters(agged, counters, eventSourceArn)
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.config.{CounterDef, CounterType}
+import graft.streaming.StreamingCounters
+
+/** Structured Streaming execution of the counter pipeline (SURVEY.md
+  * O1/O2/O12 streaming semantics): tumbling event-time windows close via
+  * watermark (the `isFinalInvokeForWindow` contract, counter.go:339-344),
+  * state is engine-managed, corrupt records surface on a side channel
+  * instead of failing the batch (counter.go:245-248).
+  */
+class StreamingCountersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = 1638357540000L // 2021-12-01T11:19:00Z
+
+  private def ts(offsetSec: Int) = new Timestamp(base + offsetSec * 1000L)
+
+  test("streaming tumbling count emits a window once the watermark passes it") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val c = CounterDef("req", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    val out = StreamingCounters.run(
+      input.toDF().toDF("ts", "user_id"), "ts", c, watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("stream_count")
+      .outputMode("append").start()
+    try {
+      // window [11:19, 11:20): 30 rows
+      input.addData((0 until 30).map(i => (ts(i), i.toLong)): _*)
+      query.processAllAvailable()
+      // advance event time past window end + watermark → closes the window
+      input.addData((ts(70), 99L))
+      query.processAllAvailable()
+      input.addData((ts(140), 100L)) // push watermark again to flush [11:20,11:21)
+      query.processAllAvailable()
+      val rows = spark.table("stream_count")
+        .select("window_start", "value").as[(Long, Long)].collect().toMap
+      assert(rows(base) == 30L) // first window emitted exactly once, complete
+    } finally query.stop()
+  }
+
+  test("streaming ACD with sketch state emits approximate distinct per window") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val c = CounterDef("u", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 minute")
+    val out = StreamingCounters.run(
+      input.toDF().toDF("ts", "user_id"), "ts", c, watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("stream_acd")
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 200).map(i => (ts(i % 50), i.toLong % 40)): _*)
+      query.processAllAvailable()
+      input.addData((ts(140), 999L))
+      query.processAllAvailable()
+      val rows = spark.table("stream_acd")
+        .select("window_start", "value").as[(Long, Long)].collect().toMap
+      val est = rows(base)
+      assert(math.abs(est - 40.0) / 40.0 <= 0.05, s"estimate $est vs 40")
+    } finally query.stop()
+  }
+
+  test("corrupt JSON records surface as side-channel failures (counter.go:245-248)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    val raw = Seq("""{"user_id": 7}""", """not json at all""", """{"user_id": 9}""")
+      .toDF("value")
+    val parsed = StreamingCounters.parseRecords(raw, schema)
+    assert(StreamingCounters.parsedOk(parsed).select("user_id").as[Long].collect().sorted
+      .toSeq == Seq(7L, 9L))
+    val failures = StreamingCounters.failures(parsed).as[String].collect()
+    assert(failures.toSeq == Seq("not json at all"))
+  }
+
+  test("streaming fanOut shares one aggregation across counters (O16)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val c1 = CounterDef("all", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    val c2 = CounterDef("evens", CounterType.Count,
+      targetExpr = Some("if(user_id % 2 == 0, 1, nil)"), windowDuration = "1 minute")
+    val out = StreamingCounters.fanOut(
+      input.toDF().toDF("ts", "user_id"), "ts", Seq(c1, c2), watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("stream_fanout")
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 20).map(i => (ts(i), i.toLong)): _*)
+      query.processAllAvailable()
+      input.addData((ts(140), 99L))
+      query.processAllAvailable()
+      val rows = spark.table("stream_fanout")
+        .where(col("window_start") === base)
+        .select("counter_id", "value").as[(String, Long)].collect().toMap
+      assert(rows("all") == 20L)
+      assert(rows("evens") == 10L)
+    } finally query.stop()
+  }
+}
