@@ -102,6 +102,9 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, dir))),
     "t04_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    // winnowing fingerprint sets (Schleimer et al., SIGMOD'03)
+    "t05_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -120,6 +123,9 @@ object SparkEntry {
       Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     "s02_ann_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // sign-LSH (random-hyperplane) bucketing — candidate generator at scale
+    "s03_lsh_buckets" -> ((s, dir) =>
+      Ann.signLshBuckets(Tables.embeddings(s, dir))),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -225,6 +231,23 @@ object SparkEntry {
         s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents))
            |SELECT doc_id, list_min(list_transform(gs, g -> ${h60("g")})) AS fingerprint,
            | len(list_distinct(gs))::BIGINT AS n_kgrams FROM kg""".stripMargin,
+      "t05_winnow" ->
+        s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
+           |hs AS (SELECT doc_id, list_transform(gs, g -> ${h60("g")}) AS h FROM kg),
+           |wins AS (SELECT doc_id,
+           |  CASE WHEN len(h) >= 4 THEN list_transform(generate_series(1, len(h)-3), i -> list_min(h[i:i+3]))
+           |       WHEN len(h) > 0 THEN [list_min(h)] ELSE [] END AS ws FROM hs)
+           |SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint FROM wins""".stripMargin,
+      "s03_lsh_buckets" ->
+        """WITH pl AS (SELECT p, list_transform(generate_series(0, 63), j ->
+          |    CASE WHEN ((('0x'||substr(md5('plane:'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
+          |         THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |d AS (SELECT vec_id, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
+          |      FROM v CROSS JOIN pl)
+          |SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          |FROM d GROUP BY vec_id""".stripMargin,
       "d01_dedup_exact" ->
         """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
           | FROM documents GROUP BY 1""".stripMargin,
