@@ -47,11 +47,30 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles --
 
-  /** Distinct word-k-gram shingles, exploded to (doc_id, shingle). */
-  def shingles(docs: DataFrame, k: Int): DataFrame =
-    docs.select(
-      col("doc_id"),
-      explode(array_distinct(TextAnalysis.kgrams(TextAnalysis.tokens(col("text")), k))).as("shingle"))
+  /** Distinct word-k-gram shingles, exploded to (doc_id, shingle).
+    *
+    * Deliberately a TYPED flatMap, not `explode(transform(...))`: the
+    * higher-order-function route is an optimizer trap — on some plan shapes
+    * (V2 writes) the token-split projection gets inlined into the k-gram
+    * lambda, which interpreted HOFs then re-evaluate PER ELEMENT, turning
+    * the shingle scan into O(len²) per document (observed as 10-100×
+    * run-to-run swings). The flatMap splits each document exactly once, is
+    * partition-local (no shuffle), and everything downstream (hashing,
+    * aggregation, joins) stays declarative and codegen'd. Semantics are
+    * bit-identical: `split(text,' ',-1)` / `concat_ws` / first-occurrence
+    * distinct.
+    */
+  def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < k) Iterator.empty
+        else toks.sliding(k).map(w => (id, w.mkString(" "))).distinct
+      }
+      .toDF("doc_id", "shingle")
+  }
 
   // -------------------------------------------------------- MinHash + LSH --
 

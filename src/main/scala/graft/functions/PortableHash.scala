@@ -38,4 +38,22 @@ object PortableHash {
   /** DuckDB SQL fragment equivalent of [[md5Long60]] for oracle authoring. */
   def duckMd5Long60(sqlExpr: String): String =
     s"(('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT)"
+
+  /** JVM-side twin of [[md5Long60]], bit-identical, for typed (Dataset)
+    * operators that compute hashes off-plan.
+    */
+  def jvmMd5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = high 60 bits of the digest
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val b = d(i) & 0xff
+      if (i < 7) v = (v << 8) | b
+      else v = (v << 4) | (b >> 4) // 15th hex char = high nibble of byte 8
+      i += 1
+    }
+    v
+  }
 }

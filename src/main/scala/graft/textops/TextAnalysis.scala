@@ -46,6 +46,21 @@ object TextAnalysis {
     */
   val EnStopwords: Seq[String] = StopwordLists.byLang("en")
 
+  /** Materialize the token array ONCE as a projection attribute.
+    *
+    * CRITICAL evaluation-model rule for every operator in this package:
+    * higher-order functions are interpreted, and an expression inside a
+    * lambda BODY is re-evaluated per element — so `slice(split(text), …)`
+    * inside a `transform` re-runs the full split for EVERY output element
+    * (O(len²) per doc; observed as minutes-long tasks on long docs).
+    * Expensive expressions may appear as a lambda's *input*, never inside
+    * its body: bodies reference only lambda variables and attributes.
+    * (Each materialized array is referenced ≥2 times downstream, so
+    * CollapseProject keeps the projection boundary.)
+    */
+  private[graft] def withTokens(docs: DataFrame): DataFrame =
+    docs.select(col("*"), tokens(col("text")).as("__toks"))
+
   /** Quality scoring: the standard cheap heuristics (length, punctuation
     * density, stopword density) as ppm integers plus a composite score.
     *
@@ -55,13 +70,13 @@ object TextAnalysis {
     *  - `quality_ppm` = mean of (1e6 - punct_ppm, stopword_ppm, len_ppm)
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("__toks")
     val nChars = length(col("text")).cast("long")
     val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
     val nToks = size(toks).cast("long")
     val stopArr = typedLit(EnStopwords)
     val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
-    docs.select(
+    withTokens(docs).select(
       col("doc_id"),
       nChars.as("n_chars_m"),
       intDiv(nPunct * lit(1000000L), nChars).as("punct_ppm"),
@@ -84,8 +99,8 @@ object TextAnalysis {
     * matches at all.
     */
   def languageId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = docs.select(
+    val toks = col("__toks") // one split per row, not one per language list
+    val scored = withTokens(docs).select(
       (col("doc_id") +:
         StopwordLists.langs.map { l =>
           val arr = typedLit(StopwordLists.byLang(l))
@@ -115,14 +130,13 @@ object TextAnalysis {
     * See [[winnow]] for the full winnowing fingerprint set (the scale path
     * for plagiarism-style containment search).
     */
-  def fingerprint(docs: DataFrame, k: Int = 3): DataFrame = {
-    val kg = kgrams(tokens(col("text")), k)
-    val hashes = transform(kg, g => PortableHash.md5Long60(g))
-    docs.select(
-      col("doc_id"),
-      array_min(hashes).as("fingerprint"),
-      size(array_distinct(kg)).cast("long").as("n_kgrams"))
-  }
+  def fingerprint(docs: DataFrame, k: Int = 3): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), kgrams(col("__toks"), k).as("__kg"))
+      .select(
+        col("doc_id"),
+        array_min(transform(col("__kg"), g => PortableHash.md5Long60(g))).as("fingerprint"),
+        size(array_distinct(col("__kg"))).cast("long").as("n_kgrams"))
 
   /** Winnowing (Schleimer et al., SIGMOD'03): slide a window of `w`
     * consecutive k-gram hashes, keep each window's minimum (rightmost on
@@ -131,16 +145,32 @@ object TextAnalysis {
     * inverted-index join exactly like [[graft.dedup.Dedup.ngramJaccardPairs]].
     */
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val kg = kgrams(tokens(col("text")), k)
-    val hashes = transform(kg, g => PortableHash.md5Long60(g))
-    val n = size(hashes)
-    val wins = when(n >= w,
-      transform(sequence(lit(0), n - w),
-        i => array_min(slice(hashes, i + 1, lit(w)))))
-      .otherwise(when(n > 0, array(array_min(hashes))).otherwise(array()))
-    docs
-      .select(col("doc_id"), array_distinct(wins).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+    // Typed flatMap, same rationale as [[graft.dedup.Dedup.shingles]]: the
+    // nested-HOF spelling (window-min lambda over a transformed hash array)
+    // is an optimizer trap — inlined into a Generate on some plan shapes,
+    // interpreted lambdas re-evaluate the whole kgram+hash chain per
+    // window, O(n²·len) per doc. Here each doc is tokenized and hashed
+    // exactly once; [[PortableHash.jvmMd5Long60]] is bit-identical to the
+    // plan-side md5Long60, so the DuckDB oracle is unchanged.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val hs =
+          if (toks.length < k) Array.emptyLongArray
+          else toks.sliding(k).map(g => PortableHash.jvmMd5Long60(g.mkString(" "))).toArray
+        val wins =
+          if (hs.length >= w) (0 to hs.length - w).iterator.map(i => {
+            var m = hs(i); var j = i + 1
+            while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+            m
+          })
+          else if (hs.nonEmpty) Iterator(hs.min)
+          else Iterator.empty
+        wins.toSeq.distinct.map(fp => (id, fp))
+      }
+      .toDF("doc_id", "fingerprint")
   }
 }
 
