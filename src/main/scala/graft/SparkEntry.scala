@@ -7,7 +7,7 @@ import graft.config.{CounterDef, CounterType}
 import graft.dedup.Dedup
 import graft.functions.Canonical
 import graft.multimodal.Multimodal
-import graft.operators.{Counters, JqTransform}
+import graft.operators.{Counters, Intermediate, JqTransform}
 import graft.similarity.Ann
 import graft.textops.TextAnalysis
 
@@ -92,6 +92,24 @@ object SparkEntry {
       Counters.run(
         events(s, dir).withColumn("k", get_json_object(col("props"), "$.k").cast("long")),
         "ts", cBigValueCount)),
+    // O4/O5 via the VARIANT type — the 100 TB path for dynamic payloads:
+    // parse once into the binary variant encoding, typed access after
+    "c12_variant_count" -> ((s, dir) =>
+      Counters.run(
+        events(s, dir).withColumn("k",
+          variant_get(parse_json(col("props")), "$.k", "long")),
+        "ts", cBigValueCount.copy(id = "big_value_count_variant"))),
+    // O10 through the SERIALIZED intermediate-record hop: partial state →
+    // JSON records (the aggregate-stream payload) → parse+filter → merge
+    "c13_intermediate_roundtrip" -> ((s, dir) => {
+      val c = cRequestCount.copy(id = "request_count_rt")
+      val sharded = events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8)))
+      Intermediate.mergeRecords(
+        Intermediate.toRecords(
+          Counters.partialState(sharded, "ts", "shard", c),
+          c, "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in"),
+        c, requiredVersion = Some(">=0.1.0"))
+    }),
 
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
@@ -188,6 +206,13 @@ object SparkEntry {
         s"""SELECT $win, 'big_value_count' AS counter_id, 'count' AS counter_type,
            | count(*) FILTER (WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) > 50) AS value
            | FROM events GROUP BY 1, 2""".stripMargin,
+      "c12_variant_count" ->
+        s"""SELECT $win, 'big_value_count_variant' AS counter_id, 'count' AS counter_type,
+           | count(*) FILTER (WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) > 50) AS value
+           | FROM events GROUP BY 1, 2""".stripMargin,
+      "c13_intermediate_roundtrip" ->
+        s"""SELECT $win, 'request_count_rt' AS counter_id, 'count' AS counter_type,
+           | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,
     ) ++ pipelineOracles
   }
 
