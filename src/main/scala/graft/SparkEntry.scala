@@ -150,6 +150,10 @@ object SparkEntry {
       Multimodal.extractMeta(Multimodal.asMedia(Tables.documents(s, dir))).toDF()),
     "m02_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, dir))).toDF()),
+    // resize plumbing: binary in → binary out, 1→1, partition-local
+    "m03_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.asMedia(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_bytes"), md5(col("media")).as("media_md5"))),
 
     // ---- custom Catalyst expression in a real plan (no DuckDB siphash:
     //      rows-only check; value parity proven by SipHash vectors spec) ----
@@ -347,6 +351,9 @@ object SparkEntry {
           | ((ascii(substr(text, 2, 1)) % 64) + 1)::BIGINT AS height,
           | (length(text) // 100 + 1)::BIGINT AS n_frames
           |FROM documents""".stripMargin,
+      "m03_resize" ->
+        """SELECT doc_id, least(length(text), 256)::BIGINT AS n_bytes,
+          | md5(substr(text, 1, 256)) AS media_md5 FROM documents""".stripMargin,
       "m02_frame_sample" ->
         """SELECT doc_id, i::BIGINT AS frame_idx, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
           |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)

@@ -68,15 +68,23 @@ object Ann {
 
   /** Assign every vector to its nearest centroid (cosine, deterministic
     * id-asc tiebreak). Returns (vec_id, v, norm, cell).
+    *
+    * argmax via `max_by` over a (cos, -cell) ordering struct — a hash
+    * aggregate with map-side combine, NOT a row_number window (which would
+    * shuffle + sort every (vector, centroid) pair globally; the aggregate
+    * reduces each vector's candidates inside its partition first, so at
+    * corpus scale only one row per vector crosses the wire).
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cos = dotCol("v", "cv") / (col("norm") * col("cnorm"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("__cos").desc, col("cell").asc)
     corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("norm"), col("cell"), cos.as("__cos"))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__cos", "__rn")
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("v")).as("v"),
+        first(col("norm")).as("norm"),
+        max_by(col("cell"), struct(col("__cos"), (-col("cell")).as("t"))).as("cell"))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
   }
 
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query and

@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.config.CounterDef
-import graft.operators.Counters
+import graft.config.{CounterDef, CounterType}
+import graft.operators.{Counters, Intermediate}
 
 /** Structured Streaming execution of the counter pipeline — the engine's
   * equivalent of the reference's Lambda tumbling-window invocation loop
@@ -86,5 +86,33 @@ object StreamingCounters {
     // Single aggregation + one generator (NOT an N-way union of the agg,
     // which would plan N streaming aggregations and be rejected).
     Counters.unpivotCounters(agged, counters, eventSourceArn)
+  }
+
+  /** Streaming consumer of the aggregate stream (EP3,
+    * `counter.go:348-412`, ticker-driven close `run.go:201-270`): a stream
+    * of intermediate-record JSON (from per-shard jobs shipping
+    * [[Intermediate.toRecords]] payloads) is parsed, filtered to this
+    * counter + compatible versions, and merged per window — `sum` of
+    * partial counts or HLL-sketch union — with the watermark as the
+    * window-close signal. Re-windowing on the records' own `window.start`
+    * reproduces the original bucket (starts are aligned) while giving the
+    * streaming engine a real event-time window to finalize.
+    */
+  def mergeIntermediate(records: DataFrame, c: CounterDef,
+                        watermarkDelay: String = "10 seconds",
+                        requiredVersion: Option[String] = None,
+                        eventSourceArn: Option[String] = None): DataFrame = {
+    val parsed = Intermediate.parse(records, c, requiredVersion)
+      .withColumn("__ws", col("window.start"))
+      .drop("window")
+      .withWatermark("__ws", watermarkDelay)
+    val grouped = parsed.groupBy(window(col("__ws"), c.windowDuration))
+    val merged = c.counterType match {
+      case CounterType.Count =>
+        grouped.agg(sum(col("partial_count")).cast("long").as("value"))
+      case CounterType.ApproxCountDistinct =>
+        grouped.agg(hll_sketch_estimate(hll_union_agg(col("partial_sketch"))).as("value"))
+    }
+    Counters.finalizeOutput(merged, c, eventSourceArn)
   }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.CounterType
+
+/** CLI flag surface parity with the reference's main.go: instant counter,
+  * env-to-flag overrides, the <15m window cap.
+  */
+class CliSpec extends AnyFunSuite {
+
+  test("instant counter defaults (config.go:141-150)") {
+    val o = Cli.parseArgs(Seq("-input", "/x"), env = Map.empty).toOption.get
+    val cfg = Cli.resolveConfig(o).toOption.get
+    val c = cfg.counters.head
+    assert(c.id == "__instant__")
+    assert(c.counterType == CounterType.Count)
+    assert(c.targetColumn.contains("*"))
+  }
+
+  test("flags build the instant counter") {
+    val o = Cli.parseArgs(Seq("-input", "/x", "-id", "clicks",
+      "-counter-type", "approx_count_distinct", "-target-column", "user_id",
+      "-window", "5 minutes"), env = Map.empty).toOption.get
+    val c = Cli.resolveConfig(o).toOption.get.counters.head
+    assert(c.id == "clicks" && c.counterType == CounterType.ApproxCountDistinct)
+    assert(c.windowDuration == "5 minutes")
+  }
+
+  test("env overrides flags like KINESIS_DATA_COUNTER_* (main.go:129-134)") {
+    val o = Cli.parseArgs(Seq("-input", "/x"),
+      env = Map("GRAFT_WINDOW" -> "2 minutes", "GRAFT_TS_COL" -> "event_time")).toOption.get
+    assert(o.window == "2 minutes" && o.tsCol == "event_time")
+  }
+
+  test("window cap <15m (main.go:113-116) and parse errors") {
+    assert(Cli.parseArgs(Seq("-input", "/x", "-window", "15 minutes"), Map.empty).isLeft)
+    assert(Cli.parseArgs(Seq("-input", "/x", "-window", "1 hour"), Map.empty).isLeft)
+    assert(Cli.parseArgs(Seq("-input", "/x", "-window", "bogus"), Map.empty).isLeft)
+    assert(Cli.parseArgs(Seq("-input", "/x", "-window", "14 minutes"), Map.empty).isRight)
+    assert(Cli.parseArgs(Seq.empty, Map.empty).isLeft) // input required
+    assert(Cli.parseArgs(Seq("-nope", "x"), Map.empty).isLeft)
+  }
+
+  test("target-expr flag switches off the default column") {
+    val o = Cli.parseArgs(Seq("-input", "/x", "-target-expr", "user_id > 5"),
+      env = Map.empty).toOption.get
+    assert(o.targetColumn.isEmpty && o.targetExpr.contains("user_id > 5"))
+    assert(Cli.resolveConfig(o).isRight)
+  }
+}

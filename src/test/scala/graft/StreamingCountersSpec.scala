@@ -76,6 +76,34 @@ class StreamingCountersSpec extends SparkTestBase {
     assert(failures.toSeq == Seq("not json at all"))
   }
 
+  test("streaming aggregate-stream consumer merges intermediate records (EP3)") {
+    implicit val sc = spark.sqlContext
+    val c = CounterDef("req", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    // per-shard partials for two windows, serialized as the stream payload
+    val events = (0 until 40).map(i => (ts(i % 50), i.toLong % 4))
+      .toDF("ts", "shard")
+    val lateEvents = Seq((ts(600), 0L)).toDF("ts", "shard") // much later window
+    def records(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      graft.operators.Intermediate.toRecords(
+        graft.operators.Counters.partialState(df, "ts", "shard", c),
+        c, "arn:aws:kinesis:ap-northeast-1:1:stream/agg")
+        .select("value").as[String].collect().toSeq
+    val input = MemoryStream[String]
+    val out = StreamingCounters.mergeIntermediate(
+      input.toDF().toDF("value"), c, watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("stream_merge")
+      .outputMode("append").start()
+    try {
+      input.addData(records(events): _*)
+      query.processAllAvailable()
+      input.addData(records(lateEvents): _*) // watermark past first window
+      query.processAllAvailable()
+      val rows = spark.table("stream_merge")
+        .select("window_start", "value").as[(Long, Long)].collect().toMap
+      assert(rows(base) == 40L) // all four shards' partials summed
+    } finally query.stop()
+  }
+
   test("streaming fanOut shares one aggregation across counters (O16)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
