@@ -28,13 +28,6 @@ object PortableHash {
   /** Full md5 hex string (32 chars, lowercase). */
   def md5Hex(c: Column): Column = md5(c.cast("string").cast("binary"))
 
-  /** Seeded variant: an independent hash family member per integer seed,
-    * h_i(x) = md5(i || ':' || x) — the portable stand-in for the reference
-    * MinHash literature's "k independent permutations".
-    */
-  def md5HexSeeded(seed: Int, c: Column): Column =
-    md5(concat(lit(s"$seed:"), c.cast("string")).cast("binary"))
-
   /** DuckDB SQL fragment equivalent of [[md5Long60]] for oracle authoring. */
   def duckMd5Long60(sqlExpr: String): String =
     s"(('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT)"

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.config.{CounterDef, CounterType}
+import graft.dedup.Dedup
+import graft.operators.Counters
+import graft.textops.TextAnalysis
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100× scale-up, asserted so regressions show up as test failures —
+  * column pruning into the scan, two-phase (partial/final) aggregation,
+  * broadcast joins for small sides, and whole-stage codegen on hot paths.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+  private lazy val events = Tables.events(spark, sf0001)
+  private lazy val embeddings = Tables.embeddings(spark, sf0001)
+
+  test("column pruning: token counting reads only (doc_id, text)") {
+    val p = plan(TextAnalysis.tokenCounts(docs))
+    val readSchema = "ReadSchema: struct<doc_id:bigint,text:string>"
+    assert(p.contains(readSchema), s"scan not pruned:\n$p")
+    assert(!p.contains("lang"), "unused columns must not be read")
+  }
+
+  test("counter aggregation is two-phase: partial + final HashAggregate") {
+    val c = CounterDef("x", CounterType.Count, Some("*"), windowDuration = "1 hour")
+    val p = plan(Counters.run(events, "ts", c))
+    // map-side combine (partial_count) before the exchange, merge after —
+    // the reference's IntermediateRecord hop, natively
+    assert(p.contains("HashAggregate") && p.contains("Exchange"),
+      s"expected partial/final aggregate around a shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"not two-phase:\n$p")
+  }
+
+  test("ACD runs as ObjectHashAggregate sketches, not flat HLL++ buffers") {
+    val c = CounterDef("u", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 hour")
+    val p = plan(Counters.run(events, "ts", c))
+    assert(p.contains("ObjectHashAggregate"), s"expected DataSketches path:\n$p")
+  }
+
+  test("embedding near-dup broadcasts the build side") {
+    val p = plan(Dedup.cosineNearDupPairs(embeddings))
+    assert(p.contains("Broadcast"), s"expected a broadcast join:\n$p")
+  }
+
+  test("MinHash banded join is an equi-join on (band, key), not a cross join") {
+    val p = plan(Dedup.minhashLshPairs(docs))
+    assert(!p.contains("CartesianProduct"), s"cross join leaked into LSH:\n$p")
+  }
+
+  test("counter pipeline stays inside whole-stage codegen") {
+    // AQE wraps stages lazily and its initial plan string omits codegen
+    // nodes — disable it for this audit only (restored in finally).
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val c = CounterDef("x", CounterType.Count,
+        targetExpr = Some("""if(string_contains(event_type, "click"), 1, nil)"""),
+        windowDuration = "1 hour")
+      val p = plan(Counters.run(events, "ts", c))
+      // '*(n)' prefixes mark WholeStageCodegen membership in plan strings
+      assert(p.contains("*(1)"), s"no codegen span:\n$p")
+      // the qualifying predicate and the partial aggregate share span 1
+      // with the scan — the filter runs inside the codegen'd reader loop
+      assert(p.contains("*(1) HashAggregate") && p.contains("*(1) Filter"),
+        s"partial aggregate and filter not fused with the scan:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("fanOut plans exactly ONE aggregation pass for N same-window counters") {
+    val cs = Seq(
+      CounterDef("a", CounterType.Count, Some("*"), windowDuration = "1 hour"),
+      CounterDef("b", CounterType.Count, Some("user_id"), windowDuration = "1 hour"),
+      CounterDef("c", CounterType.ApproxCountDistinct, Some("user_id"), windowDuration = "1 hour"))
+    val p = plan(Counters.fanOut(events, "ts", cs))
+    // one partial + one final aggregate over a single scan; unpivot is a
+    // Generate, not N unioned aggregations
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"fanOut re-scanned the source:\n$p")
+    assert(p.contains("Generate"), s"expected generator unpivot:\n$p")
+  }
+}
