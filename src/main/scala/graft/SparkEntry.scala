@@ -123,6 +123,9 @@ object SparkEntry {
     // winnowing fingerprint sets (Schleimer et al., SIGMOD'03)
     "t05_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(Tables.documents(s, dir))),
+    // vocabulary building: global token top-k (tokenizer-training precursor)
+    "t06_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -135,6 +138,10 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "d05_embed_neardup" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(s, dir))),
+    // pair list → duplicate clusters (keeper = min doc_id per component)
+    "d06_dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables.documents(s, dir)).select(col("a"), col("b")))),
 
     // ---- similarity search ----
     "s01_ann_topk" -> ((s, dir) =>
@@ -144,6 +151,9 @@ object SparkEntry {
     // sign-LSH (random-hyperplane) bucketing — candidate generator at scale
     "s03_lsh_buckets" -> ((s, dir) =>
       Ann.signLshBuckets(Tables.embeddings(s, dir))),
+    // shuffle-exact per-label centroid accumulation (k-means building block)
+    "s04_centroid_sums" -> ((s, dir) =>
+      Ann.centroidSums(Tables.embeddings(s, dir))),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -231,6 +241,23 @@ object SparkEntry {
     val kgrams =
       "list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])"
     val h60 = (e: String) => s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+    // shared MinHash CTE chain (shingle → KM double-hash family → signature
+    // → LSH bands → candidate pairs → signature-estimated similarity)
+    val minhashCtes =
+      s"""kg AS (SELECT doc_id, list_distinct($kgrams) AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
+         |sh AS (SELECT doc_id, unnest(gs) AS g FROM kg),
+         |h2 AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+         |       (('0x' || substr(md5(g), 16, 14))::BIGINT % (1::BIGINT << 55)) AS h2 FROM sh),
+         |hs AS (SELECT doc_id, i, min((h1 + i * h2) % 2305843009213693951) AS h
+         |       FROM h2 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
+         |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |         JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         |est AS (SELECT a, b,
+         |  (len(list_filter(generate_series(1, 64), i -> sa.sig[i] = sb.sig[i])) * 1000000 // 64)::BIGINT AS est_ppm
+         |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id)""".stripMargin
     Map(
       "t01_token_count" ->
         s"""SELECT doc_id, len($toks)::BIGINT AS n_tokens,
@@ -260,6 +287,17 @@ object SparkEntry {
         s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents))
            |SELECT doc_id, list_min(list_transform(gs, g -> ${h60("g")})) AS fingerprint,
            | len(list_distinct(gs))::BIGINT AS n_kgrams FROM kg""".stripMargin,
+      "t06_vocab" ->
+        s"""WITH g AS (SELECT token, count(*)::BIGINT AS n
+           |  FROM (SELECT unnest($toks) AS token FROM documents) GROUP BY token)
+           |SELECT token, n, row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rank
+           |FROM g ORDER BY n DESC, token LIMIT 1000""".stripMargin,
+      "s04_centroid_sums" ->
+        """SELECT label, j::BIGINT AS dim,
+          | sum(CAST(floor(embedding[j]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          | count(*)::BIGINT AS n_vectors
+          |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
+          |GROUP BY 1, 2""".stripMargin,
       "t05_winnow" ->
         s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
            |hs AS (SELECT doc_id, list_transform(gs, g -> ${h60("g")}) AS h FROM kg),
@@ -281,21 +319,17 @@ object SparkEntry {
         """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
           | FROM documents GROUP BY 1""".stripMargin,
       "d02_minhash_lsh" ->
-        s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
-           |sh AS (SELECT doc_id, unnest(gs) AS g FROM kg),
-           |h2 AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
-           |       (('0x' || substr(md5(g), 16, 14))::BIGINT % (1::BIGINT << 55)) AS h2 FROM sh),
-           |hs AS (SELECT doc_id, i, min((h1 + i * h2) % 2305843009213693951) AS h
-           |       FROM h2 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) GROUP BY doc_id, i),
-           |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY doc_id),
-           |bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
-           |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)),
-           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
-           |         JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
-           |est AS (SELECT a, b,
-           |  (len(list_filter(generate_series(1, 64), i -> sa.sig[i] = sb.sig[i])) * 1000000 // 64)::BIGINT AS est_ppm
-           |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id)
-           |SELECT a, b, est_ppm FROM est WHERE est_ppm >= 500000""".stripMargin,
+        s"WITH $minhashCtes\nSELECT a, b, est_ppm FROM est WHERE est_ppm >= 500000",
+      "d06_dup_clusters" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |p AS (SELECT a, b FROM est WHERE est_ppm >= 500000),
+           |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p),
+           |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+           |reach(n, m) AS (
+           |  SELECT n, n FROM nodes
+           |  UNION
+           |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u)
+           |SELECT n AS node, min(m) AS component FROM reach GROUP BY n""".stripMargin,
       "d03_simhash_pairs" ->
         s"""WITH tc AS (SELECT doc_id, t AS tok, count(*)::BIGINT AS c
            |            FROM (SELECT doc_id, unnest($toks) AS t FROM documents) GROUP BY doc_id, tok),

@@ -233,6 +233,56 @@ object Dedup {
       .where(col("jaccard_ppm") >= tauPpm)
   }
 
+  // --------------------------------------------- duplicate-cluster labels --
+
+  /** Connected components over an undirected near-dup pair list (a, b):
+    * the step that turns pairwise matches into actual dedup decisions
+    * (component id = min doc_id of the cluster = the keeper; everything
+    * else in the component drops).
+    *
+    * Iterative min-label propagation: label(v) ← min(label(v),
+    * min(label(neighbors))) until fixpoint — converges in O(graph
+    * diameter) rounds, and near-dup graphs are overwhelmingly small
+    * cliques (diameter 1–2), so 2–3 shuffle rounds in practice. Each round
+    * is one equi-join + one map-side-combined min aggregate;
+    * `localCheckpoint` truncates the growing lineage. (At adversarial
+    * diameters the alternating large-star/small-star algorithm — Kiveris
+    * et al., "Connected Components in MapReduce", SoCC'14 — drops in
+    * here; the per-round plan shape is the same.)
+    *
+    * Output: (node, component), one row per node that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .distinct()
+      .persist()
+    edges.count() // materialize once; reused every round
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("v") === labels("node"))
+        .groupBy(col("u"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels
+        .join(nbrMin, labels("node") === nbrMin("u"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .where(col("component") < col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // -------------------------------------------------- embedding near-dup --
 
   /** Cosine similarity between two float-array columns, computed in double

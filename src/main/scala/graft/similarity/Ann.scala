@@ -121,6 +121,23 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Per-label centroid accumulation — the shuffle-exact building block of
+    * distributed k-means / class prototypes: element-wise sums per label
+    * in scaled-integer space (`floor(x·10⁶)` per component), which makes
+    * the aggregation ORDER-INDEPENDENT (integer addition is associative-
+    * commutative; floating-point sums differ by partitioning) and thus
+    * bit-reproducible across engines and cluster sizes. Mean = sum/n on
+    * the consumer side. One posexplode + one map-side-combined aggregate;
+    * group count = labels × dim, tiny.
+    */
+  def centroidSums(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000000d).cast("long").as("x_ppm"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x_ppm")).as("sum_ppm"), count(lit(1)).as("n_vectors"))
+
   /** Sign-LSH bucketing (random-hyperplane surrogate): bucket id = sign
     * pattern of the vector against `nPlanes` deterministic pseudo-random
     * hyperplanes (component j of plane p = ±1 chosen by bit j of a 60-bit

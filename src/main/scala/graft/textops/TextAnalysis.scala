@@ -138,6 +138,25 @@ object TextAnalysis {
         array_min(transform(col("__kg"), g => PortableHash.md5Long60(g))).as("fingerprint"),
         size(array_distinct(col("__kg"))).cast("long").as("n_kgrams"))
 
+  /** Vocabulary building (the BPE/tokenizer-training precursor): global
+    * token frequencies, top `k` by (count desc, token asc). One explode +
+    * one map-side-combined count aggregate; the top-k is
+    * `TakeOrderedAndProject` (per-partition heaps, never a global sort of
+    * the full vocabulary). Output: (token, n, rank).
+    */
+  def vocabulary(docs: DataFrame, k: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+    // rank over the already-top-k rows (tiny, single partition by design)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+  }
+
   /** Winnowing (Schleimer et al., SIGMOD'03): slide a window of `w`
     * consecutive k-gram hashes, keep each window's minimum (rightmost on
     * ties) — the selected hash set is the document's fingerprint sketch.
