@@ -37,4 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queries degrade 3-10x. Headroom keeps steady-state performance.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
+  // 32 executor threads + the default ~23 parallel GC workers oversubscribe
+  // a 32-vCPU host; bounding GC parallelism keeps task threads scheduled.
+  "-XX:ParallelGCThreads=8",
+  "-XX:ConcGCThreads=2",
 )

@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // tmpfs for shuffle/spill: the host disk is shared and its latency
+      // variance dominates small-shuffle queries (local SSD stand-in)
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorbs one-off JVM/executor/parquet-footer/codegen
@@ -16,8 +19,43 @@ object Bench {
     try SparkEntry.queries.head._2(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Watchdog: if a query exceeds 30 s, dump executor stacks once so
+    // pathological plans are diagnosable from the bench log itself.
+    val watched = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val watchdog = new Thread(() => {
+      var last: String = null
+      var since = System.nanoTime()
+      while (true) {
+        Thread.sleep(2000)
+        val cur = watched.get()
+        if (cur == null || cur != last) { last = cur; since = System.nanoTime() }
+        else if ((System.nanoTime() - since) / 1e9 > 30) {
+          since = Long.MaxValue // dump once per query
+          import scala.jdk.CollectionConverters._
+          val all = Thread.getAllStackTraces.asScala.toSeq
+          val runnable = all.filter { case (t, st) =>
+            st.nonEmpty && t.getState == Thread.State.RUNNABLE &&
+              st.exists(f => f.getClassName.contains("spark") ||
+                f.getClassName.contains("jackson") || f.getClassName.contains("janino"))
+          }
+          System.err.println(s"[watchdog] $cur states: " + all.groupBy(_._1.getState)
+            .map { case (s, ts) => s"$s=${ts.size}" }.mkString(" "))
+          val interesting = if (runnable.nonEmpty) runnable else all.filter { case (t, st) =>
+            st.nonEmpty && (t.getName == "main" || t.getName.contains("dag-scheduler") ||
+              t.getName.contains("broadcast") || t.getName.contains("shuffle"))
+          }
+          interesting.take(8).foreach { case (t, st) =>
+            System.err.println(s"[watchdog] $cur ${t.getName} (${t.getState}):")
+            st.take(10).foreach(f => System.err.println(s"[watchdog]   $f"))
+          }
+        }
+      }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      watched.set(name)
       // noop sink fully materializes every column — a bare .count() would let
       // Catalyst prune the computed projections and time nothing.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -142,6 +142,9 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // tmpfs for shuffle/spill: the host disk is shared and its latency
+      // variance dominates small-shuffle queries (local SSD stand-in)
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -28,10 +28,14 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
-    raw.schema("ts").dataType match {
+    val ts = raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
+    // Same single-file/single-row-group constraint as documents: per-row
+    // heavy consumers (JSON/variant parse, keyed hashing) would otherwise
+    // run in ONE task locally. One tiny shuffle; a no-op at real scale.
+    ts.repartition(spark.sparkContext.defaultParallelism)
   }
   /** The documents table feeds explode/higher-order-function-heavy text ops
     * (shingling, minhash, simhash) whose per-row cost dwarfs the scan. The

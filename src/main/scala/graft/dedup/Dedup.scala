@@ -253,14 +253,23 @@ object Dedup {
     * Output: (node, component), one row per node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (not persist): persisting caches the DATA but keeps
+    // the upstream LOGICAL PLAN, so every round's actions re-run Catalyst
+    // over the whole pair-generation tree (observed: driver pinned in
+    // ConstantFolding for tens of seconds when pairs come from MinHash).
+    // Checkpointing truncates the plan to the materialized RDD.
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
       .distinct()
-      .persist()
-    edges.count() // materialize once; reused every round
+      .localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
+    // labels only ever decrease, so an unchanged label SUM means fixpoint —
+    // a one-row aggregate per round instead of a change-detection join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -274,12 +283,12 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .where(col("component") < col("old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       i += 1
     }
-    edges.unpersist()
     labels
   }
 

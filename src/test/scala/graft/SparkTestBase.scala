@@ -15,6 +15,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // tmpfs for shuffle/spill: the host disk is shared and its latency
+      // variance dominates small-shuffle queries (local SSD stand-in)
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
