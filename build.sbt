@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNPREFIXED: sbt's default LoggedOutput
+// prepends "[info] " to every stdout line, which breaks machine parsing of
+// Bench's single JSON result line (round 1's bench JSON failed to parse).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
