@@ -30,13 +30,17 @@ object CounterType {
   * @param windowDuration  tumbling window width, Spark interval string
   * @param jqExpr        optional output-record transform (O14), object-
   *                      construction jq subset
-  * @param siphashKeyHex per-counter hash key (`config.go:33`); accepted for
-  *                      config parity only — the Spark aggregation
-  *                      (`approx_count_distinct` / DataSketches HLL) uses its
-  *                      own internal hashing, so the key does not influence
-  *                      results. Only estimates are observable in the
-  *                      reference's output, so hash-identical sketches are a
-  *                      non-goal (SURVEY.md §4).
+  * @param siphashKeyHex per-counter hash key (`config.go:33`), honored by
+  *                      the keyed SipHash-2-4 canonical-value path
+  *                      (`graft.functions.Canonical.siphashCanonicalTyped`,
+  *                      backed by the `siphash64` Catalyst expression —
+  *                      paper-vector-verified). The DEFAULT ACD aggregate
+  *                      (DataSketches HLL) uses its own internal hashing:
+  *                      only estimates are observable in the reference's
+  *                      output, so hash-identical sketch contents are a
+  *                      non-goal (SURVEY.md §4); pre-hash the target with
+  *                      `siphashCanonicalTyped(dt, col, keyHex)` when the
+  *                      keyed domain is wanted end-to-end.
   */
 final case class CounterDef(
     id: String,
