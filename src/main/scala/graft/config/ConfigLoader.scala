@@ -11,7 +11,11 @@ import scala.util.matching.Regex
 final case class VersionConstraint(raw: String) {
   import VersionConstraint._
 
-  private val clauses: Seq[(String, SemVer)] = raw.split(",").toSeq.map { part =>
+  /** Parsed `(operator, version)` conjunction — public so callers can
+    * compile the identical check into another evaluator (e.g. a Catalyst
+    * `Column` predicate, see `graft.operators.Intermediate.versionCheck`).
+    */
+  val clauses: Seq[(String, SemVer)] = raw.split(",").toSeq.map { part =>
     val t = part.trim
     val m = ClauseRe.findFirstMatchIn(t).getOrElse(
       throw new IllegalArgumentException(s"required_version has invalid format: '$t'"))

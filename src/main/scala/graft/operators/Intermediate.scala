@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -65,6 +65,56 @@ object Intermediate {
       StructField("row_count", LongType),
       StructField("base64_hll", StringType))))))
 
+  /** The `required_version` gate (`counter.go:366-368` → `config.go:122-138`)
+    * compiled to a pure `Column` predicate — no Scala UDF, so the
+    * intermediate-record parse plan stays entirely inside whole-stage
+    * codegen. Semantics mirror [[VersionConstraint.check]] with its
+    * throw-on-invalid treated as `false` (the reference warns and skips the
+    * record): the version core is the prefix before any `-`/`+`, its first
+    * three dot-parts must be numeric (missing parts default to 0, extra
+    * parts are ignored — exactly `SemVer.parse`), and every clause of the
+    * conjunction must hold.
+    */
+  def versionCheck(vc: VersionConstraint, v: Column): Column = {
+    val core = split(v, "[-+]", 2).getItem(0)
+    val parts = split(core, "\\.")
+    // try_element_at (not element_at): ANSI mode makes a short version like
+    // "0.1" an out-of-bounds error rather than a null for the missing patch
+    def rawPart(i: Int): Column = try_element_at(parts, lit(i + 1))
+    def num(i: Int): Column =
+      when(rawPart(i).isNull, lit(0)).otherwise(rawPart(i).try_cast("int"))
+    // A present-but-non-numeric part makes the version unparseable (SemVer
+    // .parse throws → check() is false); guard explicitly so a null from a
+    // bad minor can't be masked by a short-circuiting `||` on the major.
+    // try_cast (not cast): under ANSI mode a plain cast would throw on the
+    // very garbage this gate exists to reject.
+    val valid = v.isNotNull && (0 to 2).map(i =>
+      rawPart(i).isNull || rawPart(i).try_cast("int").isNotNull).reduce(_ && _)
+    val (maj, min_, pat) = (num(0), num(1), num(2))
+    def cmp(c: VersionConstraint.SemVer): (Column, Column, Column) = {
+      val eq = maj === c.major && min_ === c.minor && pat === c.patch
+      val gt = maj > c.major ||
+        (maj === c.major && (min_ > c.minor ||
+          (min_ === c.minor && pat > c.patch)))
+      (eq, gt, !eq && !gt)
+    }
+    val clauseCols = vc.clauses.map { case (op, c) =>
+      val (eq, gt, lt) = cmp(c)
+      op match {
+        case "="  => eq
+        case "!=" => !eq
+        case ">"  => gt
+        case ">=" => gt || eq
+        case "<"  => lt
+        case "<=" => lt || eq
+        case "~>" => // pessimistic: ~>1.2.3 ⇒ [1.2.3, 1.3); ~>1.2 ⇒ [1.2, 2.0)
+          (gt || eq) && maj === c.major &&
+            (if (c.patchSpecified) min_ === c.minor else lit(true))
+      }
+    }
+    valid && clauseCols.reduce(_ && _)
+  }
+
   /** Parse a stream of intermediate-record JSON strings back into the
     * partial-state shape, keeping only records addressed to counter `c`
     * (`counter.go:365-371`) whose `counter_version` satisfies
@@ -74,18 +124,16 @@ object Intermediate {
     */
   def parse(records: DataFrame, c: CounterDef,
             requiredVersion: Option[String] = None): DataFrame = {
-    val versionOk = requiredVersion.map(VersionConstraint(_)) match {
-      case None => (_: String) => true
-      case Some(vc) => (v: String) =>
-        try vc.check(v) catch { case _: IllegalArgumentException => false }
+    val versionOk: Column = requiredVersion.map(VersionConstraint(_)) match {
+      case None => lit(true)
+      case Some(vc) => versionCheck(vc, col("r.counter_version"))
     }
-    val versionOkUdf = udf(versionOk)
     val parsed = records
       .select(from_json(col("value"), recordSchema).as("r"))
       .where(col("r").isNotNull &&
         col("r.counter_id") === c.id &&
         col("r.counter_type") === c.counterType.name &&
-        versionOkUdf(col("r.counter_version")))
+        versionOk)
     c.counterType match {
       case CounterType.Count =>
         parsed.select(

@@ -75,7 +75,10 @@ object Sinks {
           it.foreach(r => putter.put(arn, id, r.getString(0)))
         }
       case _ =>
-        rows.collect().foreach(r => StdoutPutter.put(null, c.id, r.getString(0)))
+        // stdout is inherently driver-side; stream partitions through the
+        // driver one at a time instead of materializing them all at once.
+        rows.toLocalIterator().forEachRemaining(r =>
+          StdoutPutter.put(null, c.id, r.getString(0)))
     }
   }
 

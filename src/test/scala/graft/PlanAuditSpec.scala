@@ -78,6 +78,19 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("intermediate-record version gate runs without a ScalaUDF") {
+    val c = CounterDef("rt", CounterType.Count, Some("*"), windowDuration = "1 hour")
+    val sharded = events.withColumn("shard", pmod(col("user_id"), lit(8)))
+    val merged = graft.operators.Intermediate.mergeRecords(
+      graft.operators.Intermediate.toRecords(
+        Counters.partialState(sharded, "ts", "shard", c),
+        c, "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in"),
+      c, requiredVersion = Some(">=0.1.0"))
+    val p = plan(merged)
+    assert(!p.contains("ScalaUDF"),
+      s"semver gate fell out of codegen into a Scala UDF:\n$p")
+  }
+
   test("fanOut plans exactly ONE aggregation pass for N same-window counters") {
     val cs = Seq(
       CounterDef("a", CounterType.Count, Some("*"), windowDuration = "1 hour"),
