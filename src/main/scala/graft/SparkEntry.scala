@@ -111,6 +111,21 @@ object SparkEntry {
         c, requiredVersion = Some(">=0.1.0"))
     }),
 
+    // O14 general jq: stage pipes + select() filter + value-level function
+    // pipe (counter.go:441-465 — 0..N outputs; here the select drops half
+    // the fan-out records and tostring rewrites the value)
+    "c14_jq_select_pipe" -> ((s, dir) =>
+      JqTransform(
+        Counters.fanOut(events(s, dir), "ts", Seq(cRequestCount, cClickCount)),
+        """select(.counter_id == "click_count")
+          | {"time": .window_start, "name": .counter_id, "value": (.value | tostring)}""")),
+    // O13 per-shard topology: shard_id in the output record
+    // (counter.go:423-425)
+    "c15_per_shard_count" -> ((s, dir) =>
+      Counters.runPerShard(
+        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8))),
+        "ts", "shard", cRequestCount.copy(id = "request_count_shard"))),
+
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -227,6 +242,15 @@ object SparkEntry {
       "c13_intermediate_roundtrip" ->
         s"""SELECT $win, 'request_count_rt' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,
+      "c14_jq_select_pipe" ->
+        """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
+          | 'click_count' AS name,
+          | CAST(count(*) FILTER (WHERE event_type LIKE '%click%') AS VARCHAR) AS value
+          | FROM events GROUP BY 1""".stripMargin,
+      "c15_per_shard_count" ->
+        s"""SELECT $win, 'request_count_shard' AS counter_id, 'count' AS counter_type,
+           | CAST(user_id % 8 AS VARCHAR) AS shard_id, count(*) AS value
+           | FROM events GROUP BY 1, 2, 5""".stripMargin,
     ) ++ pipelineOracles
   }
 

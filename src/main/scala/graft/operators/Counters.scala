@@ -157,6 +157,20 @@ object Counters {
       windowed(df, tsCol, c).agg(exactDistinctExpr(c).as("value")),
       c, eventSourceArn)
 
+  /** Per-shard (non-aggregate) topology: one output record per
+    * (window, shard), with `shard_id` included in the emitted record —
+    * the reference does exactly this when a counter has no aggregate
+    * stream (`counter.go:338-345`, conditional shard_id at
+    * `counter.go:423-425`). Same single shuffle as [[run]], just with the
+    * shard in the grouping key.
+    */
+  def runPerShard(df: DataFrame, tsCol: String, shardCol: String, c: CounterDef,
+                  eventSourceArn: Option[String] = None): DataFrame =
+    finalizeOutput(
+      windowed(df, tsCol, c, Seq(col(shardCol).cast("string").as("shard_id")))
+        .agg(aggExpr(df, c).as("value")),
+      c, eventSourceArn, includeShard = true)
+
   /** Explicit two-phase topology (O10/O11): per-shard partial aggregate,
     * then cross-shard merge — the reference's aggregate-stream architecture
     * (`counter.go:331-412`) made visible as two aggregation steps.
@@ -210,16 +224,20 @@ object Counters {
 
   /** O13 final projection: epoch-millisecond window bounds + counter
     * identity, matching the reference's output record
-    * (`counter.go:414-434`, millis at `counter.go:418-419`).
+    * (`counter.go:414-434`, millis at `counter.go:418-419`); `includeShard`
+    * adds the conditional `shard_id` field the reference emits for
+    * per-shard topologies (`counter.go:423-425`).
     */
   def finalizeOutput(agg: DataFrame, c: CounterDef,
-                     eventSourceArn: Option[String] = None): DataFrame = {
+                     eventSourceArn: Option[String] = None,
+                     includeShard: Boolean = false): DataFrame = {
     val base = Seq(
       unix_millis(col("window.start")).as("window_start"),
       unix_millis(col("window.end")).as("window_end"),
       lit(c.id).as("counter_id"),
-      lit(c.counterType.name).as("counter_type"),
-      col("value"))
+      lit(c.counterType.name).as("counter_type")) ++
+      (if (includeShard) Seq(col("shard_id")) else Nil) :+
+      col("value")
     val withArn = eventSourceArn match {
       case Some(arn) => lit(arn).as("event_source_arn") +: base
       case None => base

@@ -36,4 +36,86 @@ class JqTransformSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](JqTransform.compile("""{"a": }"""))
     assertThrows[IllegalArgumentException](JqTransform.compile("""not-an-object"""))
   }
+
+  // ---- general jq surface (counter.go:441-465: 0..N outputs, pipes) ----
+
+  private lazy val multi = Seq(
+    (1L, 10L, "click"), (2L, 0L, "view"), (3L, -5L, "click"))
+    .toDF("id", "value", "event_type")
+
+  test("select(cond) | object pipeline filters then projects") {
+    val out = JqTransform(multi,
+      """select(.value > 0) | {"id": .id, "v": .value}""")
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("jq truthiness: select keeps 0 and empty string, drops false/null") {
+    val t = Seq((0L, "", true), (1L, "x", false))
+      .toDF("n", "s", "b")
+    assert(JqTransform(t, """select(.n) | {n: .n}""").count() == 2) // 0 is truthy
+    assert(JqTransform(t, """select(.s) | {s: .s}""").count() == 2) // "" is truthy
+    assert(JqTransform(t, """select(.b) | {n: .n}""").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    val withNull = Seq((Some(1L), 1L), (None, 2L)).toDF("v", "id")
+    assert(JqTransform(withNull, """select(.v) | {id: .id}""")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("select over equality and boolean connectives") {
+    val out = JqTransform(multi,
+      """select(.event_type == "click" and .value > 0) | {id: .id}""")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val out2 = JqTransform(multi,
+      """select(.value == 0 or .value < 0) | {id: .id}""")
+    assert(out2.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("value-level function pipes: tostring / tonumber / length / downcase") {
+    val out = JqTransform(df,
+      """{v: (.value | tostring), n: ("42" | tonumber), l: ("abc" | length), d: ("AbC" | ascii_downcase)}""")
+    val r = out.head()
+    assert(r.getString(0) == "100")
+    assert(r.getDouble(1) == 42.0)
+    assert(r.getLong(2) == 3L)
+    assert(r.getString(3) == "abc")
+  }
+
+  test("comma stage emits N records per input row through one generator") {
+    val out = JqTransform(df,
+      """{metric: "start", t: .window_start}, {metric: "end", t: .window_end}""")
+    assert(out.columns.toSeq == Seq("metric", "t"))
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("start", 1638357540000L), ("end", 1638357600000L)))
+    // one Generate node, not a unioned double-plan
+    assert("Generate".r.findAllIn(out.queryExecution.executedPlan.toString).size == 1)
+  }
+
+  test("comma stage rejects mismatched field sets") {
+    assertThrows[IllegalArgumentException](
+      JqTransform(df, """{a: .value}, {b: .value}"""))
+  }
+
+  test("nested object and array construction") {
+    val out = JqTransform(df,
+      """{w: {s: .window_start, e: .window_end}, pair: [.value, .value * 2]}""")
+    val r = out.head()
+    assert(r.getStruct(0).getLong(0) == 1638357540000L)
+    assert(r.getSeq[Long](1) == Seq(100L, 200L))
+  }
+
+  test("path stage expands a struct, scalar path keeps one column") {
+    val nested = JqTransform(df, """{w: {s: .window_start, e: .window_end}}""")
+    val expanded = JqTransform(nested, """.w""")
+    assert(expanded.columns.toSeq == Seq("s", "e"))
+    assert(expanded.head().getLong(0) == 1638357540000L)
+    val scalar = JqTransform(nested, """.w.s | {start: .s}""")
+    // .w.s is scalar → single column named s; then rename via object stage
+    assert(scalar.columns.toSeq == Seq("start"))
+  }
+
+  test("three-stage pipeline: select | construct | select") {
+    val out = JqTransform(multi,
+      """select(.value >= 0) | {id: .id, big: .value >= 5} | select(.big)""")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
