@@ -126,6 +126,21 @@ object SparkEntry {
         events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8))),
         "ts", "shard", cRequestCount.copy(id = "request_count_shard"))),
 
+    // O1/O2/O12 streaming semantics, oracle-checked: the SAME counter run
+    // through Structured Streaming (file-stream source → tumbling window →
+    // memory sink) must hash-match the batch oracle — batch/stream
+    // semantic unification, end to end
+    "c16_streaming_parity" -> ((s, dir) => {
+      val c = cRequestCount.copy(id = "request_count_stream")
+      val out = graft.streaming.StreamingCounters.run(
+        Tables.eventsStream(s, dir), "ts", c)
+      val sink = "c16_streaming_parity_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
+
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -251,6 +266,9 @@ object SparkEntry {
         s"""SELECT $win, 'request_count_shard' AS counter_id, 'count' AS counter_type,
            | CAST(user_id % 8 AS VARCHAR) AS shard_id, count(*) AS value
            | FROM events GROUP BY 1, 2, 5""".stripMargin,
+      "c16_streaming_parity" ->
+        s"""SELECT $win, 'request_count_stream' AS counter_id, 'count' AS counter_type,
+           | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,
     ) ++ pipelineOracles
   }
 

@@ -37,6 +37,24 @@ object Tables {
     // run in ONE task locally. One tiny shuffle; a no-op at real scale.
     ts.repartition(spark.sparkContext.defaultParallelism)
   }
+  /** Streaming twin of [[events]]: the same parquet read as a file-stream
+    * source (schema pinned from one batch-footer read, same nanos→micros
+    * conversion). Lets a query prove batch/stream semantic unification by
+    * running the identical counter over both and hash-comparing outputs.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = load(spark, sfDir, "events").schema
+    // the table is a bare file, not a directory; the file-stream source
+    // rejects a plain file path (basePath must be a directory) but accepts
+    // it as a glob, which anchors basePath at the containing directory
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/{events}.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   /** The documents table feeds explode/higher-order-function-heavy text ops
     * (shingling, minhash, simhash) whose per-row cost dwarfs the scan. The
     * local single-file, single-row-group layout would pin all of that to ONE

@@ -21,13 +21,24 @@ final case class Arn(
   def isConcrete: Boolean =
     !productIterator.exists(_.asInstanceOf[String].contains("*"))
 
-  /** Does this (possibly wildcarded) ARN pattern match the concrete `other`? */
-  def matches(other: Arn): Boolean =
-    Arn.segMatch(partition, other.partition) &&
-      Arn.segMatch(service, other.service) &&
-      Arn.segMatch(region, other.region) &&
-      Arn.segMatch(accountId, other.accountId) &&
-      Arn.segMatch(resource, other.resource)
+  /** Does this (possibly wildcarded) ARN pattern match the concrete `other`?
+    * Anchored glob semantics (the default — see [[Arn.segMatch]]).
+    */
+  def matches(other: Arn): Boolean = matches(other, refCompat = false)
+
+  /** As [[matches]]; `refCompat = true` selects the reference-exact
+    * UNANCHORED matcher ([[Arn.segMatchCompat]], `arn.go:93-107`) for
+    * configs that depend on the reference's looser behavior.
+    */
+  def matches(other: Arn, refCompat: Boolean): Boolean = {
+    val seg: (String, String) => Boolean =
+      if (refCompat) Arn.segMatchCompat else Arn.segMatch
+    seg(partition, other.partition) &&
+      seg(service, other.service) &&
+      seg(region, other.region) &&
+      seg(accountId, other.accountId) &&
+      seg(resource, other.resource)
+  }
 }
 
 object Arn {
@@ -73,10 +84,31 @@ object Arn {
     * ARN routing; the reference's behavior looks like an accident of its
     * scanning loop.
     */
-  private[config] def segMatch(pattern: String, value: String): Boolean = {
+  private[graft] def segMatch(pattern: String, value: String): Boolean = {
     if (!pattern.contains("*")) return pattern == value
     // Convert the glob to an anchored regex; quote everything else.
     val rx = pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
     value.matches(rx)
+  }
+
+  /** Reference-exact segment matcher (`arn.go:93-107`), for configs that
+    * rely on the reference's behavior: once a `*` is present, the literal
+    * pieces are scanned as UNANCHORED in-order substrings — `stream/foo*`
+    * matches `xstream/fooy`. The scan also reproduces the reference's
+    * relative-index arithmetic (`index = nextIndex + len(part)`, with
+    * `nextIndex` relative to the sliced string rather than the whole), so
+    * later pieces may re-scan text before the previous match — behavioral
+    * parity, quirks included, guarded by a property test against the
+    * anchored matcher.
+    */
+  private[graft] def segMatchCompat(pattern: String, value: String): Boolean = {
+    if (!pattern.contains("*")) return pattern == value
+    val parts = pattern.split("\\*", -1)
+    var index = 0
+    parts.forall { part =>
+      val next = value.substring(math.min(index, value.length)).indexOf(part)
+      if (next == -1) false
+      else { index = next + part.length; true }
+    }
   }
 }

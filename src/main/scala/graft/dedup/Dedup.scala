@@ -245,14 +245,20 @@ object Dedup {
     * diameter) rounds, and near-dup graphs are overwhelmingly small
     * cliques (diameter 1–2), so 2–3 shuffle rounds in practice. Each round
     * is one equi-join + one map-side-combined min aggregate;
-    * `localCheckpoint` truncates the growing lineage. (At adversarial
-    * diameters the alternating large-star/small-star algorithm — Kiveris
-    * et al., "Connected Components in MapReduce", SoCC'14 — drops in
-    * here; the per-round plan shape is the same.)
+    * `localCheckpoint` truncates the growing lineage.
+    *
+    * If the graph hasn't converged after `propagationRounds` rounds the
+    * diameter is adversarial (long chains), and the loop switches to
+    * [[largeSmallStar]] — alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14), which
+    * contracts any graph in O(log²·n) rounds instead of O(diameter). The
+    * hand-off seeds the star graph with the current (node → label) edges,
+    * so propagation progress is preserved (a node's label is always a
+    * member of its component).
     *
     * Output: (node, component), one row per node that appears in a pair.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, propagationRounds: Int = 8): DataFrame = {
     // localCheckpoint (not persist): persisting caches the DATA but keeps
     // the upstream LOGICAL PLAN, so every round's actions re-run Catalyst
     // over the whole pair-generation tree (observed: driver pinned in
@@ -272,7 +278,7 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < propagationRounds) {
       val nbrMin = edges
         .join(labels, edges("v") === labels("node"))
         .groupBy(col("u"))
@@ -289,7 +295,67 @@ object Dedup {
       labels = next
       i += 1
     }
-    labels
+    if (converged) labels
+    else largeSmallStar(
+      edges.union(labels.where(col("node") =!= col("component"))
+        .select(col("node").as("u"), col("component").as("v"))))
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * SoCC'14): converges in O(log² n) rounds on ANY graph shape, so it is
+    * the fallback when min-label propagation meets an adversarial
+    * diameter (long chains), where O(diameter) rounds would stall the
+    * driver loop.
+    *
+    *  - large-star: each node u attaches its LARGER neighbors to
+    *    m(u) = min(Γ(u) ∪ u) — breaks up high-degree stars without ever
+    *    creating new minima;
+    *  - small-star: each node u attaches its smaller-or-equal neighbors
+    *    and itself to m(u) — hops chains toward the minimum.
+    *
+    * Each half-round is one groupBy-min + one equi-join (map-side
+    * combinable, no collect); the edge set is checkpointed per round. At
+    * the fixpoint every edge is (v, c) with c the component minimum, and
+    * the labels fall out of one final aggregate.
+    */
+  private[graft] def largeSmallStar(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def bidirect(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+    // one tiny action per round: (edge count, order-independent checksum)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = bidirect(edges0.where(col("u") =!= col("v"))).localCheckpoint()
+    var prev = checksum(edges)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      // large-star over the bidirected edge list: m = min(Γ(u) ∪ u)
+      val mins = edges.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = edges.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+      val largeBi = bidirect(large).localCheckpoint()
+      // small-star: orient edges (big, small); attach small neighbors + self
+      val oriented = largeBi.where(col("v") < col("u"))
+      val mins2 = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = oriented.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+      edges = bidirect(small).localCheckpoint()
+      val cur = checksum(edges)
+      stable = cur == prev
+      prev = cur
+      round += 1
+    }
+    // star fixpoint: every node's component = min(neighbors ∪ self)
+    edges.groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), first(col("u"))).as("component"))
+      .select(col("node"), col("component"))
   }
 
   // -------------------------------------------------- embedding near-dup --

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.config.{CounterDef, CounterType}
 import graft.operators.{Counters, Intermediate}
+import graft.sources.Deaggregate
 
 /** Structured Streaming execution of the counter pipeline — the engine's
   * equivalent of the reference's Lambda tumbling-window invocation loop
@@ -38,6 +39,18 @@ object StreamingCounters {
       .select(col("*"), col("__rec.*"))
       .drop("__rec")
   }
+
+  /** O3+O4 composed, the reference's exact ingest order: KPL-deaggregate
+    * every payload BEFORE parsing (`counter.go:163-169` — the handler
+    * deaggregates the batch, then `process` JSON-parses each sub-record).
+    * Packed envelopes explode 1→N (partition-local generator, no shuffle);
+    * non-aggregated payloads pass through unchanged; the corrupt side
+    * channel then applies per SUB-record, so one bad user record inside a
+    * KPL envelope fails alone, not the whole envelope.
+    */
+  def parsePackedRecords(raw: DataFrame, schema: StructType,
+                         payloadCol: String = "value"): DataFrame =
+    parseRecords(Deaggregate.explodeRecords(raw, payloadCol), schema, payloadCol)
 
   /** The failed-record side output (analog of `BatchItemFailures`). */
   def failures(parsed: DataFrame): DataFrame =

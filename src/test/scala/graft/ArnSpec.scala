@@ -58,4 +58,37 @@ class ArnSpec extends AnyFunSuite {
     assert(concrete.isConcrete)
     assert(!Arn.unsafe("arn:aws:kinesis:*:*:stream/*").isConcrete)
   }
+
+  test("refCompat mode reproduces the reference's unanchored matching (arn.go:93-107)") {
+    // the documented divergence case: once a '*' is present, literal
+    // pieces match as unanchored substrings in the reference
+    assert(Arn.segMatchCompat("stream/foo*", "xstream/fooy"))
+    assert(!Arn.segMatch("stream/foo*", "xstream/fooy"))
+    // wildcard-free segments stay exact-equality in both modes
+    assert(!Arn.segMatchCompat("stream/foo", "xstream/foo"))
+    // whole-ARN: compat flag widens, default stays anchored
+    val loose = Arn.unsafe("arn:aws:kinesis:*:*:stream/in*")
+    // 'stream/in' occurs mid-resource ('.../stream/inner'), not as a prefix
+    val victim = Arn.unsafe("arn:aws:kinesis:r:a:stream/foo-stream/inner")
+    assert(!loose.matches(victim))
+    assert(loose.matches(victim, refCompat = true))
+  }
+
+  test("property: anchored glob match implies compat match (strictly stricter)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab*"
+    def randStr(maxLen: Int, alpha: String): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    var implications = 0
+    for (_ <- 1 to 5000) {
+      val pattern = randStr(6, alphabet)
+      val value = randStr(8, "ab")
+      val anchored = Arn.segMatch(pattern, value)
+      val compat = Arn.segMatchCompat(pattern, value)
+      if (anchored) { assert(compat, s"anchored matched but compat didn't: '$pattern' vs '$value'"); implications += 1 }
+      if (!pattern.contains("*"))
+        assert(anchored == compat, s"wildcard-free must agree: '$pattern' vs '$value'")
+    }
+    assert(implications > 100) // the generator actually exercised matches
+  }
 }

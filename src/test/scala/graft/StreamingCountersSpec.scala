@@ -104,6 +104,54 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("KPL-packed payloads deaggregate, parse and count end-to-end (counter.go:163-169)") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.Deaggregate
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    def packed(ids: Seq[Long]): Array[Byte] =
+      Deaggregate.aggregate(ids.map(id =>
+        Deaggregate.SubRecord(s"pk$id", s"""{"user_id": $id}""".getBytes("UTF-8"))))
+    val input = MemoryStream[(Timestamp, Array[Byte])]
+    val c = CounterDef("packed_users", CounterType.Count, Some("user_id"),
+      windowDuration = "1 minute")
+    val parsed = StreamingCounters.parsePackedRecords(
+      input.toDF().toDF("ts", "value"), schema)
+    val out = StreamingCounters.run(
+      StreamingCounters.parsedOk(parsed), "ts", c, watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("stream_kpl")
+      .outputMode("append").start()
+    try {
+      // 3 envelopes x 4 user records + 1 bare (non-aggregated) JSON payload
+      input.addData(
+        (ts(0), packed(Seq(1L, 2L, 3L, 4L))),
+        (ts(5), packed(Seq(5L, 6L, 7L, 8L))),
+        (ts(10), packed(Seq(9L, 10L, 11L, 12L))),
+        (ts(15), """{"user_id": 13}""".getBytes("UTF-8")))
+      query.processAllAvailable()
+      input.addData((ts(140), packed(Seq(99L)))) // advance watermark
+      query.processAllAvailable()
+      val rows = spark.table("stream_kpl")
+        .select("window_start", "value").as[(Long, Long)].collect().toMap
+      assert(rows(base) == 13L) // 12 packed sub-records + 1 passthrough
+    } finally query.stop()
+  }
+
+  test("a corrupt sub-record inside a KPL envelope fails alone") {
+    import graft.sources.Deaggregate
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    val env = Deaggregate.aggregate(Seq(
+      Deaggregate.SubRecord("a", """{"user_id": 1}""".getBytes("UTF-8")),
+      Deaggregate.SubRecord("b", """garbage""".getBytes("UTF-8")),
+      Deaggregate.SubRecord("c", """{"user_id": 3}""".getBytes("UTF-8"))))
+    val raw = Seq(env).toDF("value")
+    val parsed = StreamingCounters.parsePackedRecords(raw, schema)
+    assert(StreamingCounters.parsedOk(parsed).select("user_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    assert(StreamingCounters.failures(parsed).as[String].collect().toSeq == Seq("garbage"))
+  }
+
   test("streaming fanOut shares one aggregation across counters (O16)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
