@@ -23,14 +23,21 @@ import graft.sinks.Sinks
   */
 object Engine {
 
-  /** One counter's full pipeline: count/ACD (+ two-phase when configured),
-    * O13 projection, optional jq transform.
+  /** One counter's full pipeline: count/ACD, O13 projection, optional jq
+    * transform. Topology selection mirrors the reference
+    * (`counter.go:331-345`): with an `aggregate_stream_arn` the per-shard
+    * partials merge cross-shard (two-phase, one record per window);
+    * WITHOUT one, a sharded source emits one record per (window, shard)
+    * with `shard_id` in the output — the reference's non-aggregate Lambda
+    * topology, where each shard's invocation emits its own record
+    * (`counter.go:423-425`).
     */
   def pipeline(df: DataFrame, tsCol: String, c: CounterDef,
                shardCol: Option[String] = None,
                eventSourceArn: Option[String] = None): DataFrame = {
     val base = (c.aggregateStreamArn, shardCol) match {
       case (Some(_), Some(shard)) => Counters.runTwoPhase(df, tsCol, shard, c, eventSourceArn)
+      case (None, Some(shard)) => Counters.runPerShard(df, tsCol, shard, c, eventSourceArn)
       case _ => Counters.run(df, tsCol, c, eventSourceArn)
     }
     c.jqExpr match {
@@ -41,12 +48,14 @@ object Engine {
 
   /** Route + run all counters of `config` against one batch.
     * Returns (counter, output) for every counter matching `eventSource`.
+    * Routing honors `config.arnMatchCompat` (reference-exact unanchored
+    * segment matching, `arn.go:93-107`).
     */
   def process(df: DataFrame, tsCol: String, config: AppConfig,
               eventSource: Arn,
               shardCol: Option[String] = None): Seq[(CounterDef, DataFrame)] =
     config.counters
-      .filter(_.matchesSource(eventSource))
+      .filter(_.matchesSource(eventSource, config.arnMatchCompat))
       .map(c => c -> pipeline(df, tsCol, c, shardCol, Some(eventSource.toString)))
 
   /** [[process]] + sink each output (O15): the batch-mode equivalent of the

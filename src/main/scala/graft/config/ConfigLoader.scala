@@ -68,10 +68,15 @@ object VersionConstraint {
   }
 }
 
-/** Top-level engine configuration (`/root/reference/config.go:17-23`). */
+/** Top-level engine configuration (`/root/reference/config.go:17-23`).
+  * `arnMatchCompat` (YAML `arn_match_compat`, default false) opts into the
+  * reference's unanchored wildcard ARN matching (`arn.go:93-107`) for
+  * configs that depend on it; the default is the stricter anchored glob.
+  */
 final case class AppConfig(
     requiredVersion: Option[String],
-    counters: Seq[CounterDef]) {
+    counters: Seq[CounterDef],
+    arnMatchCompat: Boolean = false) {
 
   /** `Restrict()` (`config.go:52-75`): version gate + per-counter rules. */
   def validate(engineVersion: String = ConfigLoader.EngineVersion): Either[String, AppConfig] = {
@@ -136,6 +141,11 @@ object ConfigLoader {
       } catch { case e: Exception => return Left(s"yaml parse error: ${e.getMessage}") }
 
     val requiredVersion = root.get("required_version").collect { case s: String => s }
+    val arnCompat = root.get("arn_match_compat").exists {
+      case b: java.lang.Boolean => b.booleanValue()
+      case s: String => s == "true"
+      case _ => false
+    }
     val countersRaw = root.get("counters") match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq
       case Some(_) => return Left("counters must be a list")
@@ -149,7 +159,7 @@ object ConfigLoader {
         }
       case (_, i) => return Left(s"counters[$i]: must be a mapping")
     }
-    AppConfig(requiredVersion, counters).validate()
+    AppConfig(requiredVersion, counters, arnCompat).validate()
   }
 
   private def str(m: Map[String, Any], k: String): Option[String] =

@@ -70,9 +70,11 @@ final case class CounterDef(
     else Right(this)
   }
 
-  /** ARN routing (O16): does this counter apply to `eventSource`? */
-  def matchesSource(eventSource: Arn): Boolean =
-    inputStreamArn.forall(_.matches(eventSource))
+  /** ARN routing (O16): does this counter apply to `eventSource`?
+    * `refCompat` selects the reference-exact unanchored matcher.
+    */
+  def matchesSource(eventSource: Arn, refCompat: Boolean = false): Boolean =
+    inputStreamArn.forall(_.matches(eventSource, refCompat))
 }
 
 object CounterDef {

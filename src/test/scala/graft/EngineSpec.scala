@@ -73,6 +73,36 @@ class EngineSpec extends SparkTestBase {
     assert(data.contains("\"counter_id\":\"all_records\"") && data.contains(s""""value":$n"""))
   }
 
+  test("non-aggregate sharded topology emits per-shard records with shard_id (counter.go:423-425)") {
+    val cfg = ConfigLoader.fromYaml(yaml).fold(e => fail(e), identity)
+    val outs = Engine.process(events, "ts", cfg, source, shardCol = Some("shard"))
+      .toMap.map { case (c, df) => c.id -> df }
+    val all = outs("all_records")
+    assert(all.columns.contains("shard_id"))
+    val byShard = all.select("shard_id", "value").as[(String, Long)].collect().toMap
+    assert(byShard.keySet == Set("0", "1", "2", "3"))
+    assert(byShard.values.sum == n)
+  }
+
+  test("arn_match_compat widens routing to the reference's unanchored matcher") {
+    val compatYaml =
+      """arn_match_compat: true
+        |counters:
+        |  - id: mid_match
+        |    input_stream_arn: "arn:aws:kinesis:*:*:stream/in*"
+        |    target_column: "*"
+        |    window_duration: 1 minute
+        |""".stripMargin
+    // 'stream/in' occurs mid-resource only — anchored glob rejects it
+    val oblique = Arn.unsafe("arn:aws:kinesis:r:a:stream/x-stream/inner")
+    val strict = ConfigLoader.fromYaml(compatYaml.replace("arn_match_compat: true\n", ""))
+      .fold(e => fail(e), identity)
+    assert(Engine.process(events, "ts", strict, oblique).isEmpty)
+    val compat = ConfigLoader.fromYaml(compatYaml).fold(e => fail(e), identity)
+    assert(compat.arnMatchCompat)
+    assert(Engine.process(events, "ts", compat, oblique).map(_._1.id) == Seq("mid_match"))
+  }
+
   test("intermediate records round-trip: serialize → parse → merge ≡ direct (counter.go:483-512)") {
     val c = ConfigLoader.fromYaml(yaml).toOption.get.counters.head
     val partial = Counters.partialState(events, "ts", "shard", c)
