@@ -156,6 +156,12 @@ object SparkEntry {
     // vocabulary building: global token top-k (tokenizer-training precursor)
     "t06_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    // TF-IDF top-k terms per doc (integer-exact idf, per-doc window top-k)
+    "t07_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
+    // Gopher-style repetition/quality signals (dup words, top-bigram mass)
+    "t08_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -172,6 +178,17 @@ object SparkEntry {
     "d06_dup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.minhashLshPairs(Tables.documents(s, dir)).select(col("a"), col("b")))),
+    // embedding near-dup at SCALE: sign-LSH bucket equi-join candidates +
+    // exact cosine verify (the sub-quadratic substitute for d05). 4 planes
+    // because this corpus's "near" is θ≈69° (max cosine ≈ 0.5) — per-plane
+    // agreement 0.62, so 4 planes ≈ 15% per-table recall; production stacks
+    // tables/planes per its own similarity floor
+    "d07_lsh_neardup" -> ((s, dir) =>
+      Dedup.lshNearDupPairs(Tables.embeddings(s, dir), tau = 0.35, nPlanes = 4)),
+    // benchmark contamination: corpus docs sharing a word k-gram with the
+    // (broadcast) benchmark subset
+    "d08_contamination" -> ((s, dir) =>
+      Dedup.contamination(Tables.documents(s, dir), col("doc_id") % 25 === 0, k = 3)),
 
     // ---- similarity search ----
     "s01_ann_topk" -> ((s, dir) =>
@@ -334,6 +351,33 @@ object SparkEntry {
            |  FROM (SELECT unnest($toks) AS token FROM documents) GROUP BY token)
            |SELECT token, n, row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rank
            |FROM g ORDER BY n DESC, token LIMIT 1000""".stripMargin,
+      "t07_tfidf" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+           |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+           |scored AS (SELECT doc_id, token, (tf * ((n.n * 1000000) // df))::BIGINT AS tfidf
+           |           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+           |ranked AS (SELECT doc_id, token, tfidf,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token)::BIGINT AS rank
+           |  FROM scored)
+           |SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
+      "t08_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+           |words AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+           |          len(list_distinct(t))::BIGINT AS n_distinct FROM t),
+           |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+           |         THEN list_transform(generate_series(1, len(t)-1), i -> t[i]||' '||t[i+1])
+           |         ELSE [NULL] END) AS bigram FROM t),
+           |bgc AS (SELECT doc_id, bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+           |top AS (SELECT doc_id, max(CASE WHEN bigram IS NOT NULL THEN c END)::BIGINT AS top_c,
+           |        sum(CASE WHEN bigram IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n_bigrams
+           |        FROM bgc GROUP BY 1)
+           |SELECT w.doc_id,
+           | ((w.n_tokens - w.n_distinct) * 1000000 // w.n_tokens)::BIGINT AS dup_word_ppm,
+           | (CASE WHEN tp.n_bigrams > 0 THEN (tp.top_c * 1000000 // tp.n_bigrams)
+           |       ELSE 0 END)::BIGINT AS top_bigram_ppm
+           |FROM words w JOIN top tp USING (doc_id)""".stripMargin,
       "s04_centroid_sums" ->
         """SELECT label, j::BIGINT AS dim,
           | sum(CAST(floor(embedding[j]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
@@ -396,6 +440,29 @@ object SparkEntry {
         """SELECT x.vec_id AS a, y.vec_id AS b
           |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
           |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.42""".stripMargin,
+      "d07_lsh_neardup" ->
+        """WITH pl AS (SELECT p, list_transform(generate_series(0, 63), j ->
+          |    CASE WHEN ((('0x'||substr(md5('plane:'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
+          |         THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |d AS (SELECT vec_id, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
+          |      FROM v CROSS JOIN pl),
+          |bk AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          |       FROM d GROUP BY vec_id)
+          |SELECT x.vec_id AS a, y.vec_id AS b
+          |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          |JOIN embeddings ex ON ex.vec_id = x.vec_id
+          |JOIN embeddings ey ON ey.vec_id = y.vec_id
+          |WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.35""".stripMargin,
+      "d08_contamination" ->
+        s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs
+           |            FROM (SELECT doc_id, $toks AS t FROM documents)),
+           |g AS (SELECT doc_id, unnest(gs) AS gram FROM kg),
+           |bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 25 = 0),
+           |shared AS (SELECT DISTINCT g.doc_id, g.gram
+           |           FROM g JOIN bench b ON g.gram = b.gram AND g.doc_id != b.bench_id)
+           |SELECT doc_id, count(*)::BIGINT AS n_shared_grams FROM shared GROUP BY 1""".stripMargin,
       "s01_ann_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
           |scored AS (SELECT query_id, e.vec_id AS neighbor_id,

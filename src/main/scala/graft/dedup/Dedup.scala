@@ -391,4 +391,60 @@ object Dedup {
       .where(dot / (col("x.norm") * col("y.norm")) >= tau)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
   }
+
+  /** The SCALE path for embedding near-dup — [[cosineNearDupPairs]] is the
+    * exact O(n²) baseline; this one generates candidates by sign-LSH bucket
+    * ([[graft.similarity.Ann.signLshBuckets]]: vectors agreeing on all
+    * `nPlanes` hyperplane signs land in one bucket) and verifies each
+    * candidate with the exact cosine. The pair join is an EQUI-join on
+    * bucket id — cost Σ|bucket|², not n², and buckets stay small because
+    * the bucket count grows 2^nPlanes. Recall is the standard LSH trade
+    * ((1-θ/π)^nPlanes per pair); stack multiple hash tables (vary the
+    * plane seed) when higher recall is needed.
+    */
+  def lshNearDupPairs(embeddings: DataFrame, tau: Double = 0.42,
+                      nPlanes: Int = 8): DataFrame = {
+    val buckets = graft.similarity.Ann.signLshBuckets(embeddings, nPlanes)
+    val normed = embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .join(buckets, "vec_id")
+    val dot = VecDot.dot(col("x.v"), col("y.v"))
+    normed.as("x")
+      .join(normed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .where(dot / (col("x.norm") * col("y.norm")) >= tau)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+  }
+
+  // ------------------------------------------------ benchmark contamination --
+
+  /** Benchmark contamination detection (the train/test-overlap audit every
+    * training-data pipeline needs): a document is contaminated iff it
+    * shares at least one word `k`-gram with a benchmark document other
+    * than itself. Output: (doc_id, n_shared_grams) — the count of DISTINCT
+    * k-grams the doc shares with the benchmark set, only rows with ≥ 1.
+    *
+    * Shape for 100 TB: the benchmark side (eval sets) is tiny relative to
+    * the corpus, so its distinct grams BROADCAST; the corpus side streams
+    * through one scan + one generator, and the join never shuffles the
+    * corpus. The count aggregate groups by doc_id — bounded by matched
+    * docs, not grams.
+    */
+  def contamination(docs: DataFrame, benchmarkPred: Column, k: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.kgrams(col("__toks"), k))).as("gram"))
+    val bench = grams.where(benchmarkPred)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    grams.as("g")
+      .join(broadcast(bench).as("b"),
+        col("g.gram") === col("b.gram") && col("g.doc_id") =!= col("b.bench_id"))
+      .select(col("g.doc_id"), col("g.gram")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

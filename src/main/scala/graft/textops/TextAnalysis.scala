@@ -157,6 +157,68 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
   }
 
+  /** TF-IDF top-`k` terms per document — the classic relevance/keyword
+    * signal, integer-exact so the oracle hash-matches:
+    * `idf_ppm = (N·10⁶) // df(token)`, `tfidf = tf(doc,token) · idf_ppm`,
+    * rank by (tfidf desc, token asc), keep rank ≤ k.
+    *
+    * Scale shape: one explode + two map-side-combined aggregates (term
+    * frequencies by (doc, token); document frequencies by token), one
+    * equi-join on token (the df side is vocabulary-sized — AQE broadcasts
+    * it when small), and a window PARTITIONED BY doc_id (per-doc top-k,
+    * never a global sort). N comes from a 1-row aggregate cross-joined in,
+    * not a driver-side count.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("token")).agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * intDiv(col("n") * lit(1000000L), col("df"))).as("tfidf"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))
+  }
+
+  /** Repetition signals (the Gopher/MassiveText-style quality rules for
+    * detecting degenerate repetitive text), integer ppm:
+    *
+    *  - `dup_word_ppm`   = (n_tokens − n_distinct_tokens)·10⁶ // n_tokens
+    *  - `top_bigram_ppm` = occurrences of the most frequent word bigram
+    *                       ·10⁶ // n_bigrams (0 when the doc has < 2 tokens)
+    *
+    * One scan computes the token stats; the bigram side is explode →
+    * count → per-doc max — all map-side combinable, group count bounded by
+    * distinct (doc, bigram).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val words = withTokens(docs).select(
+      col("doc_id"),
+      size(col("__toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("__toks"))).cast("long").as("n_distinct"))
+    val bg = withTokens(docs)
+      .select(col("doc_id"), explode_outer(kgrams(col("__toks"), 2)).as("bigram"))
+    val topBg = bg
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("bigram").isNotNull, col("c"))).as("top_c"),
+        sum(when(col("bigram").isNotNull, col("c")).otherwise(lit(0L))).as("n_bigrams"))
+    words.join(topBg, "doc_id").select(
+      col("doc_id"),
+      intDiv((col("n_tokens") - col("n_distinct")) * lit(1000000L), col("n_tokens"))
+        .as("dup_word_ppm"),
+      when(col("n_bigrams") > 0,
+        intDiv(col("top_c") * lit(1000000L), col("n_bigrams")))
+        .otherwise(lit(0L)).as("top_bigram_ppm"))
+  }
+
   /** Winnowing (Schleimer et al., SIGMOD'03): slide a window of `w`
     * consecutive k-gram hashes, keep each window's minimum (rightmost on
     * ties) — the selected hash set is the document's fingerprint sketch.

@@ -78,6 +78,24 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("contamination broadcasts the benchmark grams, never shuffles the corpus side") {
+    val p = plan(Dedup.contamination(docs, col("doc_id") % 25 === 0, k = 3))
+    assert(p.contains("Broadcast"), s"benchmark side must broadcast:\n$p")
+  }
+
+  test("tfidf per-doc top-k windows partition by doc_id (no global sort)") {
+    val p = plan(TextAnalysis.tfidfTopK(docs))
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"window must partition by doc_id:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort may appear in a per-doc top-k:\n$p")
+  }
+
+  test("LSH near-dup candidates join on bucket equality, not a cross join") {
+    val p = plan(Dedup.lshNearDupPairs(embeddings, tau = 0.35, nPlanes = 4))
+    assert(!p.contains("CartesianProduct"), s"cross join leaked into LSH near-dup:\n$p")
+  }
+
   test("intermediate-record version gate runs without a ScalaUDF") {
     val c = CounterDef("rt", CounterType.Count, Some("*"), windowDuration = "1 hour")
     val sharded = events.withColumn("shard", pmod(col("user_id"), lit(8)))
