@@ -45,6 +45,13 @@ object SparkEntry {
   private val cBigValueCount =
     CounterDef("big_value_count", CounterType.Count, targetExpr = Some("k > 50"), windowDuration = Hour)
 
+  /** Per-language sampling rates (ppm) for the stratified-sample query —
+    * the kind of language-balancing mix a multilingual training run uses.
+    */
+  private val SampleRates = Map(
+    "en" -> 900000L, "de" -> 600000L, "es" -> 600000L,
+    "fr" -> 600000L, "zh" -> 300000L)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Counters.run(events(spark, "/root/testdata/sf0.001"), "ts", cRequestCount)
@@ -162,6 +169,15 @@ object SparkEntry {
     // Gopher-style repetition/quality signals (dup words, top-bigram mass)
     "t08_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
+    // deterministic hash-based stratified sampling (reproducible data mix)
+    "t09_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir), SampleRates)),
+    // data-mixture accounting per (lang, source) stratum
+    "t10_mixture" -> ((s, dir) =>
+      TextAnalysis.mixtureReport(Tables.documents(s, dir))),
+    // fixed-size token chunking (sequence packing / context-window prep)
+    "t11_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -189,6 +205,11 @@ object SparkEntry {
     // (broadcast) benchmark subset
     "d08_contamination" -> ((s, dir) =>
       Dedup.contamination(Tables.documents(s, dir), col("doc_id") % 25 === 0, k = 3)),
+    // the full dedup story applied: pairs → clusters → surviving corpus
+    "d09_dedup_apply" -> ((s, dir) =>
+      Dedup.applyDedup(
+        Tables.documents(s, dir),
+        Dedup.minhashLshPairs(Tables.documents(s, dir)).select(col("a"), col("b")))),
 
     // ---- similarity search ----
     "s01_ann_topk" -> ((s, dir) =>
@@ -378,6 +399,26 @@ object SparkEntry {
            | (CASE WHEN tp.n_bigrams > 0 THEN (tp.top_c * 1000000 // tp.n_bigrams)
            |       ELSE 0 END)::BIGINT AS top_bigram_ppm
            |FROM words w JOIN top tp USING (doc_id)""".stripMargin,
+      "t09_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE (('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000000) <
+          |  CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 600000 WHEN 'es' THEN 600000
+          |            WHEN 'fr' THEN 600000 WHEN 'zh' THEN 300000 ELSE 500000 END""".stripMargin,
+      "t10_mixture" ->
+        s"""WITH per AS (SELECT lang, source, count(*)::BIGINT AS n_docs,
+           |  sum(len($toks))::BIGINT AS n_tokens, sum(length(text))::BIGINT AS n_chars
+           |  FROM documents GROUP BY 1, 2),
+           |tot AS (SELECT count(*)::BIGINT AS total FROM documents)
+           |SELECT lang, source, n_docs, n_tokens, n_chars,
+           | (n_docs * 1000000 // tot.total)::BIGINT AS doc_share_ppm
+           |FROM per, tot""".stripMargin,
+      "t11_chunks" ->
+        s"""SELECT doc_id, i::BIGINT AS chunk_idx,
+           | least(32, len(t) - i*32)::BIGINT AS n_chunk_tokens,
+           | md5(array_to_string(t[i*32+1 : i*32+32], ' ')) AS chunk_md5
+           |FROM (SELECT doc_id, $toks AS t FROM documents)
+           |CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+           |WHERE i <= ceil(len(t)/32.0) - 1""".stripMargin,
       "s04_centroid_sums" ->
         """SELECT label, j::BIGINT AS dim,
           | sum(CAST(floor(embedding[j]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
@@ -463,6 +504,19 @@ object SparkEntry {
            |shared AS (SELECT DISTINCT g.doc_id, g.gram
            |           FROM g JOIN bench b ON g.gram = b.gram AND g.doc_id != b.bench_id)
            |SELECT doc_id, count(*)::BIGINT AS n_shared_grams FROM shared GROUP BY 1""".stripMargin,
+      "d09_dedup_apply" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |p AS (SELECT a, b FROM est WHERE est_ppm >= 500000),
+           |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p),
+           |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+           |reach(n, m) AS (
+           |  SELECT n, n FROM nodes
+           |  UNION
+           |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+           |comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+           |drops AS (SELECT node FROM comp WHERE node != component)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
       "s01_ann_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
           |scored AS (SELECT query_id, e.vec_id AS neighbor_id,

@@ -419,6 +419,21 @@ object Dedup {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
   }
 
+  /** End-to-end dedup APPLICATION — the step the pair/cluster operators
+    * exist for: given the corpus and a near-dup pair list, return the
+    * surviving doc ids. A doc survives iff it is in no duplicate cluster,
+    * or is its cluster's keeper (the component minimum). The drop set is
+    * bounded by clustered docs (tiny vs corpus), so the final filter is a
+    * broadcast LEFT ANTI join — the corpus streams through unshuffled.
+    */
+  def applyDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drops = connectedComponents(pairs)
+      .where(col("node") =!= col("component"))
+      .select(col("node"))
+    docs.join(broadcast(drops), docs("doc_id") === drops("node"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   // ------------------------------------------------ benchmark contamination --
 
   /** Benchmark contamination detection (the train/test-overlap audit every

@@ -219,6 +219,65 @@ object TextAnalysis {
         .otherwise(lit(0L)).as("top_bigram_ppm"))
   }
 
+  /** Deterministic stratified sampling — the reproducible-data-mix
+    * primitive: a document is kept iff its 60-bit md5 sampling coordinate
+    * (`md5("sample:" ++ doc_id) % 10⁶`) falls below its language's rate
+    * (ppm). Hash-based (not `rand()`): the SAME subset comes out on every
+    * engine, every cluster size, every rerun — which is what makes a
+    * training mix auditable. Pure narrow projection + filter; the rate
+    * table is a literal `when`-chain in codegen.
+    */
+  def stratifiedSample(docs: DataFrame, ratesPpm: Map[String, Long],
+                       defaultPpm: Long = 500000L): DataFrame = {
+    val coord = PortableHash.md5Long60(
+      concat(lit("sample:"), col("doc_id").cast("string"))) % lit(1000000L)
+    val rate = ratesPpm.toSeq.sortBy(_._1).foldRight(lit(defaultPpm): Column) {
+      case ((l, r), els) => when(col("lang") === l, lit(r)).otherwise(els)
+    }
+    docs.where(coord < rate).select(col("doc_id"), col("lang"))
+  }
+
+  /** Data-mixture accounting: per-(lang, source) document/token/char
+    * volumes plus each stratum's document share of the corpus (ppm) — the
+    * report every training run wants next to its data card. Two map-side
+    * combinable aggregates (strata, 1-row total) + a broadcast of the
+    * total; group count = |langs|·|sources|, tiny at any corpus size.
+    */
+  def mixtureReport(docs: DataFrame): DataFrame = {
+    val per = withTokens(docs)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("__toks")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    val tot = docs.agg(count(lit(1)).as("__total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        intDiv(col("n_docs") * lit(1000000L), col("__total")).as("doc_share_ppm"))
+  }
+
+  /** Fixed-size token chunking (sequence packing / context-window prep):
+    * split each doc into consecutive `chunkTokens`-token chunks, emitting
+    * (doc_id, chunk_idx, n_chunk_tokens, chunk_md5). One tokenize + one
+    * generator per doc — partition-local, no shuffle; the chunk text
+    * leaves the operator only as its md5 (the downstream packer joins by
+    * (doc_id, chunk_idx)).
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 32): DataFrame = {
+    val nChunks = ceil(size(col("__toks")) / lit(chunkTokens.toDouble)).cast("int")
+    withTokens(docs)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("__n"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens.toLong),
+          col("__n") - col("chunk_idx") * chunkTokens).as("n_chunk_tokens"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+  }
+
   /** Winnowing (Schleimer et al., SIGMOD'03): slide a window of `w`
     * consecutive k-gram hashes, keep each window's minimum (rightmost on
     * ties) — the selected hash set is the document's fingerprint sketch.
