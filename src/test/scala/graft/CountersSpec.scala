@@ -106,6 +106,23 @@ class CountersSpec extends SparkTestBase {
     assert(partial.columns.contains("partial_sketch"))
   }
 
+  test("per-shard topology: shard_id in output, shards partition the count (counter.go:423-425)") {
+    val c = CounterDef("req", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    val out = Counters.runPerShard(synth, "ts", "shard", c)
+    assert(out.columns.contains("shard_id"))
+    val byShard = out.select("shard_id", "value").as[(String, Long)].collect().toMap
+    assert(byShard.keySet == Set("0", "1", "2"))
+    assert(byShard.values.sum == n)
+    // ACD flavor: per-shard sketches estimate each shard's distinct users
+    val acd = CounterDef("u", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 minute")
+    val acdOut = Counters.runPerShard(synth, "ts", "shard", acd)
+      .select("shard_id", "value").as[(String, Long)].collect().toMap
+    // every user appears in every shard (i%3 cycles across i%m classes)
+    acdOut.values.foreach(est =>
+      assert(math.abs(est - m.toDouble) / m <= 0.05, s"estimate $est vs $m"))
+  }
+
   test("tumbling windows bucket by floor(ts/w) (run.go:148-159)") {
     val c = CounterDef("req", CounterType.Count, Some("*"), windowDuration = "1 minute")
     // spread rows across two 1-minute windows

@@ -73,6 +73,22 @@ class EngineSpec extends SparkTestBase {
     assert(data.contains("\"counter_id\":\"all_records\"") && data.contains(s""""value":$n"""))
   }
 
+  test("multi-stage jq pipeline flows from YAML config through the engine") {
+    val jqYaml =
+      """counters:
+        |  - id: piped
+        |    input_stream_arn: "arn:aws:kinesis:*:*:stream/in*"
+        |    target_column: "*"
+        |    window_duration: 1 minute
+        |    jq_expr: 'select(.value > 0) | {"t": .window_start, "v": (.value | tostring)}'
+        |""".stripMargin
+    val cfg = ConfigLoader.fromYaml(jqYaml).fold(e => fail(e), identity)
+    val out = Engine.process(events, "ts", cfg, source).head._2
+    assert(out.columns.toSeq == Seq("t", "v"))
+    val r = out.as[(Long, String)].collect().head
+    assert(r._1 == base && r._2 == n.toString) // tostring → string value
+  }
+
   test("non-aggregate sharded topology emits per-shard records with shard_id (counter.go:423-425)") {
     val cfg = ConfigLoader.fromYaml(yaml).fold(e => fail(e), identity)
     val outs = Engine.process(events, "ts", cfg, source, shardCol = Some("shard"))
