@@ -222,6 +222,10 @@ object SparkEntry {
     // shuffle-exact per-label centroid accumulation (k-means building block)
     "s04_centroid_sums" -> ((s, dir) =>
       Ann.centroidSums(Tables.embeddings(s, dir))),
+    // distributed k-means (2 Lloyd iterations), engine-exact via
+    // scaled-integer centroid updates — the ITERATIVE path oracle-checked
+    "s05_kmeans" -> ((s, dir) =>
+      Ann.kmeansCentroids(Tables.embeddings(s, dir))),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -425,6 +429,29 @@ object SparkEntry {
           | count(*)::BIGINT AS n_vectors
           |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
           |GROUP BY 1, 2""".stripMargin,
+      "s05_kmeans" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, v AS cv FROM v WHERE vec_id % 25 = 0),
+          |a1 AS (SELECT vec_id, v, cell FROM (
+          |  SELECT v.vec_id, v.v, c.cell,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_cosine_similarity(v.v, c.cv) DESC, c.cell) AS rn
+          |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
+          |s1 AS (SELECT cell, j::BIGINT AS dim,
+          |  sum(CAST(floor(v[j] * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          |  count(*)::BIGINT AS n
+          |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list((sum_ppm // n)::DOUBLE ORDER BY dim) AS cv FROM s1 GROUP BY cell),
+          |a2 AS (SELECT vec_id, v, cell FROM (
+          |  SELECT v.vec_id, v.v, c.cell,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_cosine_similarity(v.v, c.cv) DESC, c.cell) AS rn
+          |  FROM v CROSS JOIN c1 c) WHERE rn = 1),
+          |s2 AS (SELECT cell, j::BIGINT AS dim,
+          |  sum(CAST(floor(v[j] * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          |  count(*)::BIGINT AS n
+          |  FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2)
+          |SELECT cell, dim, (sum_ppm // n)::BIGINT AS mean_ppm, n AS n_vectors FROM s2""".stripMargin,
       "t05_winnow" ->
         s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
            |hs AS (SELECT doc_id, list_transform(gs, g -> ${h60("g")}) AS h FROM kg),

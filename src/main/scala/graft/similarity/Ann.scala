@@ -138,6 +138,62 @@ object Ann {
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("x_ppm")).as("sum_ppm"), count(lit(1)).as("n_vectors"))
 
+  /** Distributed k-means (Lloyd) over the embedding corpus — the training
+    * loop for the IVF coarse quantizer ([[ivfTopK]] uses the round-0
+    * centroids; this runs the actual refinement), and the standard
+    * clustering primitive for data curation (topic balance, cluster-based
+    * dedup/filtering).
+    *
+    * Deterministic and engine-exact by construction, so even the ITERATIVE
+    * path is oracle-checkable:
+    *  - assignment = argmax cosine with id-asc tiebreak (the proven
+    *    [[assignCells]] map-side `max_by` — one row per vector crosses the
+    *    shuffle);
+    *  - centroid update in scaled-integer space: component sums of
+    *    `floor(x·10⁶)` (order-independent — integer addition commutes,
+    *    same trick as [[centroidSums]]), then TRUNCATING integer division
+    *    `sum div n` (= DuckDB's BIGINT `//`);
+    *  - new centroids rebuilt as exact-integer-valued doubles — cosine is
+    *    scale-invariant, so ppm-scaled centroids rank identically.
+    *
+    * Per iteration: one broadcast of |cells| centroids + one map-side
+    * aggregate over the corpus + one tiny (cells × dim) aggregate. The
+    * corpus is scanned once per iteration and never shuffled.
+    *
+    * Output: the post-final-assignment per-(cell, dim) statistics
+    * `(cell, dim, mean_ppm, n_vectors)` — empty cells drop (no assigned
+    * vectors), exactly like a Lloyd step.
+    */
+  def kmeansCentroids(embeddings: DataFrame, centroidStep: Long = 25L,
+                      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "kmeans needs at least one iteration")
+    val corpus = normalize(embeddings, "vec_id")
+    // truncating long division (Spark `div`), = DuckDB BIGINT `//`;
+    // NOT floor division — they differ on negative sums
+    val meanPpm = expr("sum_ppm div n_vectors")
+    var cents = corpus.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    var stats: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val assigned = assignCells(corpus, cents)
+      stats = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+          floor(col("x") * 1000000d).cast("long").as("x_ppm"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x_ppm")).as("sum_ppm"), count(lit(1)).as("n_vectors"))
+      cents = stats
+        .select(col("cell"), col("dim"), meanPpm.cast("double").as("m"))
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("dim"), col("m"))).as("__dm"))
+        .select(col("cell"),
+          transform(array_sort(col("__dm")), s => s.getField("m")).as("cv"))
+        .withColumn("cnorm", sqrt(aggregate(
+          transform(col("cv"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    }
+    stats.select(col("cell"), col("dim"), meanPpm.as("mean_ppm"), col("n_vectors"))
+  }
+
   /** Sign-LSH bucketing (random-hyperplane surrogate): bucket id = sign
     * pattern of the vector against `nPlanes` deterministic pseudo-random
     * hyperplanes (component j of plane p = ±1 chosen by bit j of a 60-bit
