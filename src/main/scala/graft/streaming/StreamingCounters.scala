@@ -1,12 +1,34 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 import graft.config.{CounterDef, CounterType}
 import graft.operators.{Counters, Intermediate}
 import graft.sources.Deaggregate
+
+/** Typed row shapes for the explicit-state path
+  * ([[StreamingCounters.runCustomState]]). Top-level so `Encoder`s derive.
+  * `ts` is the raw watermarked event-time column — it must survive into
+  * the typed Dataset as a field, or the analyzer rejects the event-time
+  * timeout ("Watermark must be specified").
+  */
+private[streaming] case class StateEvent(
+    ts: java.sql.Timestamp,
+    windowStart: Long, windowEnd: Long, shard: String, value: String)
+
+/** The reference's `CounterState` tagged union (`counter.go:78-82`):
+  * `{row_count}` for count, a serialized HLL sketch for ACD — here
+  * DataSketches updatable bytes instead of gob'd clarkduvall HLL++
+  * (merging the Go tool's sketches is a non-goal, SURVEY.md §4).
+  */
+private[streaming] case class CounterStateBuf(rowCount: Long, sketch: Array[Byte])
+
+private[streaming] case class StateOutput(
+    window_start: Long, window_end: Long, counter_id: String,
+    counter_type: String, shard_id: String, value: Long)
 
 /** Structured Streaming execution of the counter pipeline — the engine's
   * equivalent of the reference's Lambda tumbling-window invocation loop
@@ -99,6 +121,87 @@ object StreamingCounters {
     // Single aggregation + one generator (NOT an N-way union of the agg,
     // which would plan N streaming aggregations and be rejected).
     Counters.unpivotCounters(agged, counters, eventSourceArn)
+  }
+
+  /** The reference's EXPLICIT window-state protocol, on Spark's custom
+    * state API: the Lambda contract hands the handler carried-forward
+    * per-(window, shard) state and re-injects what it returns
+    * (`counter.go:150-204`, state round-trip `counter.go:210-231`),
+    * emitting the output record on `isFinalInvokeForWindow`
+    * (`counter.go:339-344`). `flatMapGroupsWithState` is that exact
+    * protocol: the state store carries a `CounterStateBuf` per
+    * (window, shard) key across micro-batches — `row_count` for count, a
+    * serialized DataSketches HLL (lgK=16, the reference's precision) for
+    * ACD — and the event-time timeout at window end IS the final invoke,
+    * where the record is emitted and the state dropped.
+    *
+    * [[run]] (engine-managed aggregation state) is the idiomatic path;
+    * this one exists for state-protocol parity and for topologies needing
+    * custom per-window state (it is also what a Lambda-style incremental
+    * deployment would checkpoint). `valueCol`: null = row does not
+    * qualify (the O5–O7 projection happens upstream); for
+    * `target_column: "*"` pass a non-null literal.
+    *
+    * Scale: one shuffle on (window, shard) into the state store; state
+    * size is bounded by live windows × shards × sketch size — the same
+    * envelope as the reference's 1 MB Lambda state ceiling, minus the
+    * ceiling (the store is disk-backed).
+    */
+  def runCustomState(stream: DataFrame, tsCol: String, c: CounterDef,
+                     valueCol: Column,
+                     watermarkDelay: String = "10 seconds",
+                     shardCol: Option[String] = None): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val counterType = c.counterType
+    val (cid, ctype) = (c.id, c.counterType.name)
+    val events = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(
+        col(tsCol).as("ts"),
+        unix_millis(window(col(tsCol), c.windowDuration).getField("start")).as("windowStart"),
+        unix_millis(window(col(tsCol), c.windowDuration).getField("end")).as("windowEnd"),
+        shardCol.map(col(_).cast("string")).getOrElse(lit("")).as("shard"),
+        valueCol.cast("string").as("value"))
+      .as[StateEvent]
+    val out = events
+      .groupByKey(e => (e.windowStart, e.windowEnd, e.shard))
+      .flatMapGroupsWithState[CounterStateBuf, StateOutput](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((ws, we, shard), rows, state) =>
+          if (state.hasTimedOut) {
+            // the final invoke for the window (counter.go:339-344)
+            val buf = state.getOption.getOrElse(CounterStateBuf(0L, null))
+            val value = counterType match {
+              case CounterType.Count => buf.rowCount
+              case CounterType.ApproxCountDistinct =>
+                if (buf.sketch == null) 0L
+                else math.round(
+                  org.apache.datasketches.hll.HllSketch.heapify(buf.sketch).getEstimate)
+            }
+            state.remove()
+            Iterator.single(StateOutput(ws, we, cid, ctype, shard, value))
+          } else {
+            val next = counterType match {
+              case CounterType.Count =>
+                val prev = state.getOption.map(_.rowCount).getOrElse(0L)
+                CounterStateBuf(prev + rows.count(_.value != null), null)
+              case CounterType.ApproxCountDistinct =>
+                val sk = state.getOption.filter(_.sketch != null)
+                  .map(b => org.apache.datasketches.hll.HllSketch.heapify(b.sketch))
+                  .getOrElse(new org.apache.datasketches.hll.HllSketch(16))
+                rows.foreach(r => if (r.value != null) sk.update(r.value))
+                CounterStateBuf(0L, sk.toUpdatableByteArray)
+            }
+            state.update(next)
+            // window close = watermark passing window end; keep the timeout
+            // strictly ahead of the current watermark (late-arrival guard)
+            state.setTimeoutTimestamp(math.max(we, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+    val df = out.toDF()
+    if (shardCol.isDefined) df else df.drop("shard_id")
   }
 
   /** Streaming consumer of the aggregate stream (EP3,

@@ -152,6 +152,57 @@ class StreamingCountersSpec extends SparkTestBase {
     assert(StreamingCounters.failures(parsed).as[String].collect().toSeq == Seq("garbage"))
   }
 
+  test("explicit CounterState protocol: count state carried across batches, emitted on window close") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val c = CounterDef("req", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    val out = StreamingCounters.runCustomState(
+      input.toDF().toDF("ts", "user_id"), "ts", c,
+      valueCol = lit("x"), watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("custom_count")
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 12).map(i => (ts(i), i.toLong)): _*)
+      query.processAllAvailable() // state folded, nothing emitted yet
+      assert(spark.table("custom_count").count() == 0)
+      input.addData((0 until 18).map(i => (ts(20 + i), i.toLong)): _*)
+      query.processAllAvailable() // second invoke folds into SAME state
+      input.addData((ts(140), 999L)) // watermark past window end → final invoke
+      query.processAllAvailable()
+      val rows = spark.table("custom_count")
+        .select("window_start", "value").as[(Long, Long)].collect().toMap
+      assert(rows(base) == 30L) // both batches' rows in one record
+      assert(!spark.table("custom_count").columns.contains("shard_id"))
+    } finally query.stop()
+  }
+
+  test("explicit CounterState protocol: per-shard HLL sketch state, estimates on close") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val c = CounterDef("u", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 minute")
+    val out = StreamingCounters.runCustomState(
+      input.toDF().toDF("ts", "user_id", "shard"), "ts", c,
+      valueCol = col("user_id").cast("string"),
+      watermarkDelay = "5 seconds", shardCol = Some("shard"))
+    val query = out.writeStream.format("memory").queryName("custom_acd")
+      .outputMode("append").start()
+    try {
+      // 2 shards × 40 distinct users each (disjoint ranges), two batches
+      input.addData((0 until 100).map(i => (ts(i % 50), (i % 40).toLong, 0L)): _*)
+      input.addData((0 until 100).map(i => (ts(i % 50), (100 + i % 40).toLong, 1L)): _*)
+      query.processAllAvailable()
+      input.addData((ts(140), 999L, 0L))
+      query.processAllAvailable()
+      val rows = spark.table("custom_acd")
+        .where(col("window_start") === base)
+        .select("shard_id", "value").as[(String, Long)].collect().toMap
+      assert(rows.keySet == Set("0", "1"))
+      rows.values.foreach(est =>
+        assert(math.abs(est - 40.0) / 40.0 <= 0.05, s"estimate $est vs 40"))
+    } finally query.stop()
+  }
+
   test("streaming fanOut shares one aggregation across counters (O16)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
