@@ -113,6 +113,25 @@ class JqTransformSpec extends SparkTestBase {
     assert(scalar.columns.toSeq == Seq("start"))
   }
 
+  test(".path[] iterates arrays: one output per element, none for empty") {
+    val arr = Seq(
+      (1L, Seq(10L, 20L, 30L)),
+      (2L, Seq.empty[Long])).toDF("id", "xs")
+    // array of scalars: iterate then rename via an object stage
+    val out = JqTransform(arr, """{keep: .id, pair: [.id, .id * 2]} | .pair[]""")
+    assert(out.columns.toSeq == Seq("pair"))
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 2L, 4L))
+    // array of structs: iteration expands the element's fields
+    val structs = JqTransform(df,
+      """{items: [{t: .window_start, v: .value}, {t: .window_end, v: .value * 2}]} | .items[]""")
+    assert(structs.columns.toSeq == Seq("t", "v"))
+    val rows = structs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1638357540000L, 100L), (1638357600000L, 200L)))
+    // empty arrays emit nothing (jq semantics): only doc 1's elements
+    val none = JqTransform(arr, """.xs[]""")
+    assert(none.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
   test("three-stage pipeline: select | construct | select") {
     val out = JqTransform(multi,
       """select(.value >= 0) | {id: .id, big: .value >= 5} | select(.big)""")
