@@ -148,6 +148,22 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // O2 explicit-state protocol, oracle-checked: the flatMapGroupsWithState
+    // CounterState path (state carried per window, emitted on the
+    // event-time timeout = final invoke) must hash-match the batch oracle
+    // for every window the watermark closed — all but the stream's last
+    "c17_custom_state_parity" -> ((s, dir) => {
+      val c = cRequestCount.copy(id = "request_count_state")
+      val out = graft.streaming.StreamingCounters.runCustomState(
+        Tables.eventsStream(s, dir), "ts", c,
+        valueCol = lit("x"), watermarkDelay = "0 seconds")
+      val sink = "c17_custom_state_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
+
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -311,6 +327,10 @@ object SparkEntry {
       "c16_streaming_parity" ->
         s"""SELECT $win, 'request_count_stream' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,
+      "c17_custom_state_parity" ->
+        s"""SELECT $win, 'request_count_state' AS counter_id, 'count' AS counter_type,
+           | count(*) AS value FROM events GROUP BY 1, 2
+           | HAVING window_end < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
     ) ++ pipelineOracles
   }
 
