@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-native deduplication — the streaming analog of
+  * [[graft.dedup.Dedup.exactGroups]], for ingest-time dedup of a document
+  * firehose (the common shape: crawled/ingested text arrives continuously
+  * and exact repeats should never reach storage).
+  *
+  * `dropDuplicatesWithinWatermark` keys the state store by content hash
+  * and — unlike plain `dropDuplicates` on a stream — EVICTS each key once
+  * the watermark passes its event time, so state is bounded by the
+  * watermark horizon × ingest rate, not by all-time distinct content.
+  * That bound is what makes this runnable forever at pipeline scale; an
+  * all-time exact pass stays a batch job ([[graft.dedup.Dedup]]).
+  *
+  * Only the md5 (16 bytes) enters the state store — never the document
+  * bytes.
+  */
+object StreamingDedup {
+
+  /** Keep the first occurrence of each `contentCol` value within the
+    * watermark horizon; later exact repeats are dropped. Emits the input
+    * columns unchanged.
+    */
+  def dropExactDuplicates(stream: DataFrame, tsCol: String, contentCol: String,
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("__content_md5", md5(col(contentCol).cast("binary")))
+      .dropDuplicatesWithinWatermark("__content_md5")
+      .drop("__content_md5")
+}

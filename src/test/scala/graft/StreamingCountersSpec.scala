@@ -203,6 +203,27 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming exact dedup drops repeats within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDedup.dropExactDuplicates(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text",
+      watermarkDelay = "1 minute")
+    val query = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "alpha"), (ts(1), 2L, "beta"), (ts(2), 3L, "alpha"))
+      query.processAllAvailable()
+      // cross-batch repeat within the horizon is dropped too
+      input.addData((ts(10), 4L, "beta"), (ts(11), 5L, "gamma"))
+      query.processAllAvailable()
+      val kept = spark.table("stream_dedup")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L, 5L)) // first alpha, first beta, gamma
+    } finally query.stop()
+  }
+
   test("streaming fanOut shares one aggregation across counters (O16)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
