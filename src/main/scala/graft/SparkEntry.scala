@@ -252,6 +252,9 @@ object SparkEntry {
     "m03_resize" -> ((s, dir) =>
       Multimodal.resize(Multimodal.asMedia(Tables.documents(s, dir)))
         .select(col("doc_id"), col("n_bytes"), md5(col("media")).as("media_md5"))),
+    // media near-dup signal: frames shared across documents
+    "m04_shared_frames" -> ((s, dir) =>
+      Multimodal.sharedFrames(Multimodal.asMedia(Tables.documents(s, dir)))),
 
     // ---- custom Catalyst expression in a real plan (no DuckDB siphash:
     //      rows-only check; value parity proven by SipHash vectors spec) ----
@@ -602,6 +605,13 @@ object SparkEntry {
         """SELECT doc_id, i::BIGINT AS frame_idx, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
           |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
           |WHERE i % 2 = 0 AND i <= length(text) // 100""".stripMargin,
+      "m04_shared_frames" ->
+        """WITH fr AS (SELECT doc_id, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
+          |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+          |  WHERE i % 2 = 0 AND i <= length(text) // 100)
+          |SELECT frame_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
+          | min(doc_id) AS keeper_doc
+          |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
     )
   }
 }

@@ -121,4 +121,22 @@ object Multimodal {
     media.withColumn("media",
       substring(col("media"), 1, targetBytes))
       .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+
+  /** Cross-document shared-frame detection — media-level near-dup signal
+    * (re-encoded/trimmed copies of a video share keyframes even when the
+    * container bytes differ): frames whose digest appears in more than one
+    * document, with the member count and the min-doc keeper.
+    *
+    * Only 32-char digests cross the shuffle (via [[sampleFrames]] the
+    * frame bytes are digested partition-locally); group count is bounded
+    * by distinct frames. The output feeds the same clustering path as
+    * text near-dup pairs ([[graft.dedup.Dedup.connectedComponents]]).
+    */
+  def sharedFrames(media: DataFrame, stride: Int = 2): DataFrame =
+    sampleFrames(media, stride).toDF()
+      .groupBy(col("frame_md5"))
+      .agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .where(col("n_docs") > 1)
 }
