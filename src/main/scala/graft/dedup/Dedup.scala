@@ -404,13 +404,10 @@ object Dedup {
     */
   def lshNearDupPairs(embeddings: DataFrame, tau: Double = 0.42,
                       nPlanes: Int = 8): DataFrame = {
-    val buckets = graft.similarity.Ann.signLshBuckets(embeddings, nPlanes)
-    val normed = embeddings.select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
-      .join(buckets, "vec_id")
+    // ONE corpus scan: norms and bucket bits are projections of the same
+    // normed frame (Ann.normalize) — no separate bucket scan, no re-join
+    val normed = graft.similarity.Ann.normalize(embeddings, "vec_id")
+      .withColumn("bucket", graft.similarity.Ann.bucketExpr(nPlanes))
     val dot = VecDot.dot(col("x.v"), col("y.v"))
     normed.as("x")
       .join(normed.as("y"),
@@ -422,15 +419,17 @@ object Dedup {
   /** End-to-end dedup APPLICATION — the step the pair/cluster operators
     * exist for: given the corpus and a near-dup pair list, return the
     * surviving doc ids. A doc survives iff it is in no duplicate cluster,
-    * or is its cluster's keeper (the component minimum). The drop set is
-    * bounded by clustered docs (tiny vs corpus), so the final filter is a
-    * broadcast LEFT ANTI join — the corpus streams through unshuffled.
+    * or is its cluster's keeper (the component minimum). The final filter
+    * is a LEFT ANTI join on the drop set; no forced broadcast hint — at
+    * web-crawl dup rates (30%+ of the corpus) the drop set is NOT tiny,
+    * and AQE picks broadcast vs shuffled anti-join from the actual
+    * post-clustering size.
     */
   def applyDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val drops = connectedComponents(pairs)
       .where(col("node") =!= col("component"))
       .select(col("node"))
-    docs.join(broadcast(drops), docs("doc_id") === drops("node"), "left_anti")
+    docs.join(drops, docs("doc_id") === drops("node"), "left_anti")
       .select(col("doc_id"))
   }
 

@@ -76,7 +76,10 @@ object Intermediate {
     * conjunction must hold.
     */
   def versionCheck(vc: VersionConstraint, v: Column): Column = {
-    val core = split(v, "[-+]", 2).getItem(0)
+    // Trailing dots: Java's String.split drops trailing empty strings, so
+    // the driver parses "1.2." as 1.2.0 — strip them so Spark's split
+    // (limit -1, keeps them) agrees.
+    val core = regexp_replace(split(v, "[-+]", 2).getItem(0), "\\.+$", "")
     val parts = split(core, "\\.")
     // try_element_at (not element_at): ANSI mode makes a short version like
     // "0.1" an out-of-bounds error rather than a null for the missing patch
@@ -86,10 +89,15 @@ object Intermediate {
     // A present-but-non-numeric part makes the version unparseable (SemVer
     // .parse throws → check() is false); guard explicitly so a null from a
     // bad minor can't be masked by a short-circuiting `||` on the major.
-    // try_cast (not cast): under ANSI mode a plain cast would throw on the
-    // very garbage this gate exists to reject.
+    // Digits-only rlike: Spark's string→int cast TRIMS whitespace that
+    // Scala's toIntOption rejects (" 1".toIntOption = None), so the cast
+    // alone would accept versions the driver check refuses. try_cast
+    // (not cast) on top: under ANSI a plain cast throws on the very
+    // garbage this gate exists to reject, and it still rejects overflow.
+    def numericPart(i: Int): Column =
+      rawPart(i).rlike("^[0-9]+$") && rawPart(i).try_cast("int").isNotNull
     val valid = v.isNotNull && (0 to 2).map(i =>
-      rawPart(i).isNull || rawPart(i).try_cast("int").isNotNull).reduce(_ && _)
+      rawPart(i).isNull || numericPart(i)).reduce(_ && _)
     val (maj, min_, pat) = (num(0), num(1), num(2))
     def cmp(c: VersionConstraint.SemVer): (Column, Column, Column) = {
       val eq = maj === c.major && min_ === c.minor && pat === c.patch

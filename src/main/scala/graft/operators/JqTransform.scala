@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, StructType}
 
 /** Output-record transform (reference O14, `jq_expr`):
   * `/root/reference/counter.go:439-466`, compiled at config load
@@ -26,16 +26,29 @@ import org.apache.spark.sql.types.{BooleanType, StructType}
   *  - path stages `.field.sub` → struct expansion / scalar projection;
   *    `.field[]` → array iteration, one output per element (`explode`);
   *  - value-level function pipes: `.value | tostring`, plus `tonumber`,
-  *    `length`, `floor`, `ascii_downcase`, `ascii_upcase`, `not`;
-  *  - comparisons `== != < <= > >=`, boolean `and`/`or`, arithmetic
-  *    `+ - * /`, parentheses, string/number/bool/null literals.
+  *    `length`, `floor`, `ascii_downcase`, `ascii_upcase`, `not` —
+  *    type-directed where jq semantics demand it (`not` uses jq
+  *    truthiness; `length` counts array/map elements and string chars);
+  *  - `==` / `!=` are jq's TOTAL equality (null == null is true, null !=
+  *    "x" is true) — compiled null-safe (`<=>`), unlike SQL equality;
+  *    the ordering comparisons `< <= > >=` keep SQL semantics over
+  *    same-type operands (jq's cross-type total order is out of scope);
+  *  - boolean `and`/`or`, arithmetic `+ - * /`, parentheses,
+  *    string/number/bool/null literals.
   *
   * Out of scope (documented divergence, unused by the reference's own
-  * fixtures): `.[]` iteration, slurp/reduce/foreach, def bindings, string
-  * interpolation, `//` alternative. Programs needing those belong in a
-  * real jq; every config observed in the reference repo compiles here.
+  * fixtures): slurp/reduce/foreach, def bindings, string interpolation,
+  * `//` alternative. Programs needing those belong in a real jq; every
+  * config observed in the reference repo compiles here.
+  *
+  * Internally a parsed value is a `DataFrame => Column` — type-dependent
+  * constructs (truthiness, `not`, `length`, struct expansion) resolve
+  * against the actual input schema at stage-apply time.
   */
 object JqTransform {
+
+  /** A value expression, resolved against the stage's input frame. */
+  private type V = DataFrame => Column
 
   def apply(df: DataFrame, jqExpr: String): DataFrame = compile(jqExpr)(df)
 
@@ -48,6 +61,9 @@ object JqTransform {
     val compiled = stages.map(compileStage)
     df => compiled.foldLeft(df)((d, stage) => stage(d))
   }
+
+  private def dtOf(df: DataFrame, c: Column): DataType =
+    df.select(c.as("__v")).schema.head.dataType
 
   // ------------------------------------------------------------- stages --
 
@@ -67,7 +83,7 @@ object JqTransform {
     * exercised by the reference's iterator loop `counter.go:449-457`).
     */
   private def compileSelect(stage: String): DataFrame => DataFrame = {
-    val inner = {
+    val inner: V = {
       val p = new P(stage)
       p.expectWord("select"); p.expect('(')
       val v = p.parseValue()
@@ -76,9 +92,8 @@ object JqTransform {
       v
     }
     df => {
-      val v = inner
-      val dt = df.select(v.as("__v")).schema.head.dataType
-      val keep = dt match {
+      val v = inner(df)
+      val keep = dtOf(df, v) match {
         case BooleanType => coalesce(v, lit(false)) === lit(true)
         case _ => v.isNotNull
       }
@@ -99,7 +114,7 @@ object JqTransform {
       val fields = p.parseObjectFields()
       p.skipWs()
       require(!p.hasMore, s"jq_expr: trailing input after object: $stage")
-      df => df.select(fields.map { case (k, v) => v.as(k) }: _*)
+      df => df.select(fields.map { case (k, v) => v(df).as(k) }: _*)
     } else if (p.peek == '.') {
       val path = p.parsePathParts()
       val iterate = p.tryConsume("[]")
@@ -127,7 +142,7 @@ object JqTransform {
     * field set; Spark unifies compatible field types.
     */
   private def compileMultiOutput(constructs: Seq[String]): DataFrame => DataFrame = {
-    val parsed: Seq[Seq[(String, Column)]] = constructs.map { c =>
+    val parsed: Seq[Seq[(String, V)]] = constructs.map { c =>
       val p = new P(c)
       p.skipWs()
       require(p.peek == '{',
@@ -142,7 +157,7 @@ object JqTransform {
       s"jq_expr: comma-constructed objects must share one field set " +
         s"(got ${parsed.map(_.map(_._1).mkString("{", ",", "}")).mkString(" vs ")})")
     df => {
-      val structs = parsed.map(fs => struct(fs.map { case (k, v) => v.as(k) }: _*))
+      val structs = parsed.map(fs => struct(fs.map { case (k, v) => v(df).as(k) }: _*))
       df.select(explode(array(structs: _*)).as("__r")).select(col("__r.*"))
     }
   }
@@ -177,22 +192,34 @@ object JqTransform {
 
   // ------------------------------------------------------- value parser --
 
-  private val Funcs: Map[String, Column => Column] = Map(
-    "tostring" -> (c => c.cast("string")),
+  /** Named functions for value-level pipes; type-directed against the
+    * stage's input frame where jq semantics depend on the operand type.
+    */
+  private val Funcs: Map[String, (DataFrame, Column) => Column] = Map(
+    "tostring" -> ((_, c) => c.cast("string")),
     // jq errors on non-numeric tonumber; here the row's value becomes NULL
     // (try_cast), the declarative analog of skip-on-error. Doubles: jq
     // numbers are doubles, so "3" -> 3.0.
-    "tonumber" -> (c => c.try_cast("double")),
-    "length" -> (c => length(c).cast("long")),
-    "floor" -> (c => floor(c)),
-    "ascii_downcase" -> (c => lower(c)),
-    "ascii_upcase" -> (c => upper(c)),
-    "not" -> (c => !coalesce(c.cast("boolean"), lit(false))))
+    "tonumber" -> ((_, c) => c.try_cast("double")),
+    // jq length: element count for arrays/objects, char count for strings
+    "length" -> ((df, c) => dtOf(df, c) match {
+      case _: ArrayType | _: MapType => size(c).cast("long")
+      case _ => length(c).cast("long")
+    }),
+    "floor" -> ((_, c) => floor(c)),
+    "ascii_downcase" -> ((_, c) => lower(c)),
+    "ascii_upcase" -> ((_, c) => upper(c)),
+    // jq not: true for the falsy values (null, false), false otherwise —
+    // 0 and "" are truthy, and non-boolean types never cast (ANSI-safe)
+    "not" -> ((df, c) => dtOf(df, c) match {
+      case BooleanType => when(c.isNull, lit(true)).otherwise(!c)
+      case _ => c.isNull
+    }))
 
   private final class P(s: String) {
     private var i = 0
     def hasMore: Boolean = { skipWs(); i < s.length }
-    def peek: Char = if (i < s.length) s.charAt(i) else ' '
+    def peek: Char = if (i < s.length) s.charAt(i) else ' '
     def next(): Char = { val c = peek; i += 1; c }
     def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def expect(c: Char): Unit = {
@@ -243,9 +270,9 @@ object JqTransform {
     }
 
     /** `{k: v, shorthand, ...}` — cursor must be at `{`. */
-    def parseObjectFields(): Seq[(String, Column)] = {
+    def parseObjectFields(): Seq[(String, V)] = {
       expect('{')
-      val out = Seq.newBuilder[(String, Column)]
+      val out = Seq.newBuilder[(String, V)]
       skipWs()
       if (peek != '}') {
         var more = true
@@ -253,7 +280,7 @@ object JqTransform {
           val key = parseKey()
           skipWs()
           if (peek == ':') { next(); out += (key -> parseValue()) }
-          else out += (key -> col(key)) // {user_id} shorthand ≡ {user_id: .user_id}
+          else out += (key -> ((_: DataFrame) => col(key))) // {user_id} shorthand
           skipWs()
           if (peek == ',') { next(); skipWs(); more = true }
           else more = false
@@ -265,26 +292,28 @@ object JqTransform {
 
     // value := or-chain of and-chains of comparisons of additive chains,
     // each term optionally piped into named functions: `.v | tostring`
-    def parseValue(): Column = parseOr()
+    def parseValue(): V = parseOr()
 
-    private def parseOr(): Column = {
+    private def parseOr(): V = {
       var l = parseAnd()
       skipWs()
       while (s.startsWith("or", i) && boundary(i + 2)) {
         i += 2
         val r = parseAnd()
-        l = l || r
+        val ll = l
+        l = df => ll(df) || r(df)
         skipWs()
       }
       l
     }
-    private def parseAnd(): Column = {
+    private def parseAnd(): V = {
       var l = parseCmp()
       skipWs()
       while (s.startsWith("and", i) && boundary(i + 3)) {
         i += 3
         val r = parseCmp()
-        l = l && r
+        val ll = l
+        l = df => ll(df) && r(df)
         skipWs()
       }
       l
@@ -292,7 +321,7 @@ object JqTransform {
     private def boundary(at: Int): Boolean =
       at >= s.length || !(s.charAt(at).isLetterOrDigit || s.charAt(at) == '_')
 
-    private def parseCmp(): Column = {
+    private def parseCmp(): V = {
       val l = parsePiped()
       skipWs()
       val ops = Seq("==", "!=", "<=", ">=", "<", ">")
@@ -301,19 +330,20 @@ object JqTransform {
           i += op.length
           val r = parsePiped()
           op match {
-            case "==" => l === r
-            case "!=" => l =!= r
-            case "<=" => l <= r
-            case ">=" => l >= r
-            case "<" => l < r
-            case ">" => l > r
+            // jq equality is TOTAL: null == null → true, null != x → true
+            case "==" => df => l(df) <=> r(df)
+            case "!=" => df => !(l(df) <=> r(df))
+            case "<=" => df => l(df) <= r(df)
+            case ">=" => df => l(df) >= r(df)
+            case "<" => df => l(df) < r(df)
+            case ">" => df => l(df) > r(df)
           }
         case None => l
       }
     }
 
     /** additive chain, then any `| func` postfix pipes. */
-    private def parsePiped(): Column = {
+    private def parsePiped(): V = {
       var v = parseAdd()
       skipWs()
       while (peek == '|' && !s.startsWith("||", i)) {
@@ -321,35 +351,38 @@ object JqTransform {
         val fn = parseIdent()
         val f = Funcs.getOrElse(fn, throw new IllegalArgumentException(
           s"jq_expr: unsupported function '$fn' (supported: ${Funcs.keys.toSeq.sorted.mkString(", ")})"))
-        v = f(v)
+        val vv = v
+        v = df => f(df, vv(df))
         skipWs()
       }
       v
     }
 
-    private def parseAdd(): Column = {
+    private def parseAdd(): V = {
       var l = parseTerm()
       skipWs()
       while (peek == '+' || peek == '-') {
         val op = next(); skipWs()
         val r = parseTerm()
-        l = if (op == '+') l + r else l - r
+        val ll = l
+        l = if (op == '+') df => ll(df) + r(df) else df => ll(df) - r(df)
         skipWs()
       }
       l
     }
-    private def parseTerm(): Column = {
+    private def parseTerm(): V = {
       var l = parseAtom()
       skipWs()
       while (peek == '*' || peek == '/') {
         val op = next(); skipWs()
         val r = parseAtom()
-        l = if (op == '*') l * r else l / r
+        val ll = l
+        l = if (op == '*') df => ll(df) * r(df) else df => ll(df) / r(df)
         skipWs()
       }
       l
     }
-    private def parseAtom(): Column = {
+    private def parseAtom(): V = {
       skipWs()
       peek match {
         case '(' =>
@@ -359,10 +392,10 @@ object JqTransform {
           v
         case '{' =>
           val fields = parseObjectFields()
-          struct(fields.map { case (k, v) => v.as(k) }: _*)
+          df => struct(fields.map { case (k, v) => v(df).as(k) }: _*)
         case '[' =>
           next(); skipWs()
-          val elems = Seq.newBuilder[Column]
+          val elems = Seq.newBuilder[V]
           if (peek != ']') {
             var more = true
             while (more) {
@@ -372,20 +405,24 @@ object JqTransform {
             }
           }
           expect(']')
-          array(elems.result(): _*)
+          val es = elems.result()
+          df => array(es.map(_(df)): _*)
         case '.' =>
           val parts = parsePathParts()
-          parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
-        case '"' => lit(parseStringLit())
+          _ => parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
+        case '"' =>
+          val v = parseStringLit()
+          _ => lit(v)
         case c if c.isDigit || c == '-' =>
           val start = i
           if (peek == '-') next()
           while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
           val t = s.substring(start, i)
-          if (t.contains('.')) lit(t.toDouble) else lit(t.toLong)
-        case 't' if s.startsWith("true", i) && boundary(i + 4) => i += 4; lit(true)
-        case 'f' if s.startsWith("false", i) && boundary(i + 5) => i += 5; lit(false)
-        case 'n' if s.startsWith("null", i) && boundary(i + 4) => i += 4; lit(null)
+          if (t.contains('.')) { val d = t.toDouble; _ => lit(d) }
+          else { val n = t.toLong; _ => lit(n) }
+        case 't' if s.startsWith("true", i) && boundary(i + 4) => i += 4; _ => lit(true)
+        case 'f' if s.startsWith("false", i) && boundary(i + 5) => i += 5; _ => lit(false)
+        case 'n' if s.startsWith("null", i) && boundary(i + 4) => i += 4; _ => lit(null)
         case c =>
           throw new IllegalArgumentException(s"jq_expr parse error: unexpected '$c' at $i in: $s")
       }

@@ -34,8 +34,10 @@ object Ann {
   /** Double-cast vectors + norms, repartitioned across all cores: the
     * corpus is the stream side of every broadcast join downstream, so its
     * partitioning IS the parallelism of the scan-and-score loop.
+    * `private[graft]`: dedup's LSH near-dup reuses the same normed frame
+    * instead of re-scanning the corpus.
     */
-  private def normalize(embeddings: DataFrame, idCol: String): DataFrame =
+  private[graft] def normalize(embeddings: DataFrame, idCol: String): DataFrame =
     embeddings.select(
       col(idCol),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -201,8 +203,16 @@ object Ann {
     * with probability (1 - θ/π)^nPlanes — the candidate generator for
     * embedding near-dup at corpus scale. Output: (vec_id, bucket).
     */
-  def signLshBuckets(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
-    val corpus = normalize(embeddings, "vec_id")
+  def signLshBuckets(embeddings: DataFrame, nPlanes: Int = 8): DataFrame =
+    normalize(embeddings, "vec_id")
+      .select(col("vec_id"), bucketExpr(nPlanes).as("bucket"))
+
+  /** The sign-LSH bucket id as a column expression over a normed frame's
+    * `v` column — shared by [[signLshBuckets]] and
+    * [[graft.dedup.Dedup.lshNearDupPairs]] (which already carries a
+    * normed frame and must not re-scan the corpus for buckets).
+    */
+  private[graft] def bucketExpr(nPlanes: Int): Column = {
     val dim = 64 // corpus embedding width (documents' contract)
     val planeSign: (Int, Int) => Double = (p, j) => {
       // deterministic ±1 from md5 — computed once on the driver, inlined as
@@ -213,11 +223,10 @@ object Ann {
       val bits = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       if (((bits >> (j % 60)) & 1L) == 1L) 1.0 else -1.0
     }
-    val bucketBits = (0 until nPlanes).map { p =>
+    (0 until nPlanes).map { p =>
       val dot = (0 until dim).map(j => element_at(col("v"), j + 1) * lit(planeSign(p, j)))
         .reduce(_ + _)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    corpus.select(col("vec_id"), bucketBits.reduce(_ + _).as("bucket"))
+    }.reduce(_ + _)
   }
 }

@@ -132,6 +132,29 @@ class JqTransformSpec extends SparkTestBase {
     assert(none.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L, 30L))
   }
 
+  test("jq total equality: null == null is true, null != x is true") {
+    val t = Seq((Some(1L), 1L), (None, 2L), (None, 3L)).toDF("v", "id")
+    assert(JqTransform(t, """select(.v == null) | {id: .id}""")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(JqTransform(t, """select(.v != 1) | {id: .id}""")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(JqTransform(t, """select(.v == 1) | {id: .id}""")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("jq not follows truthiness; length is type-directed") {
+    val t = Seq((0L, "", Some(false), Seq(1L, 2L, 3L)), (1L, "x", None, Seq.empty[Long]))
+      .toDF("n", "s", "b", "xs")
+    val out = JqTransform(t,
+      """{zn: (.n | not), zs: (.s | not), zb: (.b | not), la: (.xs | length), ls: (.s | length)}""")
+    val rows = out.collect()
+    // 0 and "" are truthy → not = false; false and null → not = true
+    assert(!rows(0).getBoolean(0) && !rows(0).getBoolean(1) && rows(0).getBoolean(2))
+    assert(rows(1).getBoolean(2)) // null | not → true
+    assert(rows(0).getLong(3) == 3L && rows(1).getLong(3) == 0L) // array length
+    assert(rows(0).getLong(4) == 0L && rows(1).getLong(4) == 1L) // string length
+  }
+
   test("three-stage pipeline: select | construct | select") {
     val out = JqTransform(multi,
       """select(.value >= 0) | {id: .id, big: .value >= 5} | select(.big)""")

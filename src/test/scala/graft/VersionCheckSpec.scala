@@ -20,7 +20,11 @@ class VersionCheckSpec extends SparkTestBase {
   private val versions = Seq(
     "0.1.0", "0.1.1", "0.0.9", "0.2.0", "1.0.0", "1.2.3", "1.2.4", "1.3.0",
     "2.0.0", "0.1", "1", "10.0.0", "0.1.0-beta", "0.1.0+build.7",
-    "1.2.3.4", "1.2.3.x", "abc", "1.x", "x.2", "1..2", "", "0.10.0")
+    "1.2.3.4", "1.2.3.x", "abc", "1.x", "x.2", "1..2", "", "0.10.0",
+    // trailing dots (Java split drops trailing empties — version parses),
+    // whitespace (toIntOption rejects what Spark's cast would trim),
+    // overflow (toIntOption rejects)
+    "1.2.", "1.2..", " 1.0.0", "1. 2.3", "0.1.0 ", "99999999999.0.0")
 
   private def oracle(c: String, v: String): Boolean = {
     val vc = VersionConstraint(c)
