@@ -164,6 +164,20 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // ---- relational analytics over the TPC-H-shaped tables ----
+    // Q1 shape: single-scan small-group pricing summary, integer-exact
+    "h01_pricing_summary" -> ((s, dir) =>
+      graft.relational.Relational.pricingSummary(Tables.lineitem(s, dir))),
+    // Q3 shape: segment filter → orders ⋈ lineitem → top-k by revenue
+    "h02_top_orders" -> ((s, dir) =>
+      graft.relational.Relational.topOrdersByRevenue(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Q5 shape: broadcast region/nation dims → customer/orders/lineitem
+    "h03_region_revenue" -> ((s, dir) =>
+      graft.relational.Relational.regionRevenue(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -334,6 +348,38 @@ object SparkEntry {
         s"""SELECT $win, 'request_count_state' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2
            | HAVING window_end < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
+      "h01_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          | sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+          | sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS sum_base_cents,
+          | sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |     * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT AS sum_disc_cpct,
+          | count(*)::BIGINT AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-07-01'
+          |GROUP BY 1, 2""".stripMargin,
+      "h02_top_orders" ->
+        """SELECT o_orderkey AS orderkey, epoch_ms(o_orderdate) AS order_date_ms,
+          | sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |     * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT AS revenue_cpct
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND l_shipdate > TIMESTAMP '1998-01-01'
+          |GROUP BY 1, 2
+          |ORDER BY revenue_cpct DESC, orderkey LIMIT 10""".stripMargin,
+      "h03_region_revenue" ->
+        """SELECT n_name,
+          | sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |     * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT AS revenue_cpct
+          |FROM region JOIN nation ON n_regionkey = r_regionkey
+          |JOIN customer ON c_nationkey = n_nationkey
+          |JOIN orders ON o_custkey = c_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY 1""".stripMargin,
     ) ++ pipelineOracles
   }
 

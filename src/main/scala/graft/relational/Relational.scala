@@ -1,0 +1,96 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-shaped tables — the engine's
+  * general aggregation/join surface beyond the counter pipeline (the
+  * training-data side of the house uses the same shapes for metadata
+  * joins: document ↔ source manifests ↔ license tables).
+  *
+  * Money columns arrive as DOUBLE; to make results engine-exact the
+  * queries do all arithmetic in scaled-integer space with the IDENTICAL
+  * expression on both engines (`floor(x·100)` cents — same IEEE multiply,
+  * same floor, then exact integer sums), never summing raw doubles
+  * (double-sum results depend on partitioning order).
+  *
+  * Plan shapes to preserve at scale:
+  *  - filters on scan columns (`l_shipdate`, `o_orderdate`,
+  *    `c_mktsegment`, `r_name`) sit in WHERE position → Catalyst pushes
+  *    them into the parquet scan (`PushedFilters`);
+  *  - dimension tables (`region`, `nation`) broadcast explicitly; the
+  *    fact-fact joins (`orders` ⋈ `lineitem`) shuffle on the join key and
+  *    AQE handles skew/size at runtime;
+  *  - aggregations are map-side combinable (integer sums + counts).
+  */
+object Relational {
+
+  /** Exact cents: floor(x·100) — identical IEEE double op on both engines,
+    * then integer arithmetic only.
+    */
+  private def cents(c: Column): Column = floor(c * 100).cast("long")
+
+  /** TPC-H Q1 shape (pricing summary): per (returnflag, linestatus) over
+    * shipped-before-cutoff lines — quantities, base cents, discounted
+    * cents·pct, line count. One scan, one small-group aggregate.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-07-01"): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("sum_disc_cpct"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape (shipping priority): top-`k` open orders by revenue
+    * for one market segment. The segment-filtered customer keys join into
+    * orders, orders into lineitem (both equi-joins; AQE sizes them), and
+    * the top-k is an `orderBy(...).limit(k)` → `TakeOrderedAndProject`
+    * (per-partition heaps, no global sort). Ties break on orderkey so the
+    * selected set is deterministic.
+    */
+  def topOrdersByRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                         segment: String = "BUILDING", date: String = "1998-01-01",
+                         k: Int = 10): DataFrame = {
+    val cut = lit(date).cast("timestamp")
+    val revenue = sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+    customer.where(col("c_mktsegment") === segment).select(col("c_custkey"))
+      .join(orders.where(col("o_orderdate") < cut), col("c_custkey") === col("o_custkey"))
+      .join(lineitem.where(col("l_shipdate") > cut), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(revenue.as("revenue_cpct"))
+      .select(col("o_orderkey").as("orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ in parquet; UTC session makes the
+        // cast ≡ DuckDB's epoch_ms of the naive timestamp
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_date_ms"),
+        col("revenue_cpct"))
+      .orderBy(col("revenue_cpct").desc, col("orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q5 shape (local revenue by nation): one region's per-nation
+    * revenue for a date-bounded order year. `region` and `nation` are
+    * genuinely tiny dimensions → explicit broadcast; customer/orders/
+    * lineitem chain on their keys.
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame,
+                    regionName: String = "ASIA",
+                    from: String = "1997-01-01", until: String = "1998-01-01"): DataFrame = {
+    val revenue = sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+    val dims = broadcast(
+      region.where(col("r_name") === regionName)
+        .join(nation, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    customer.join(dims, col("c_nationkey") === col("n_nationkey"))
+      .join(orders.where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue.as("revenue_cpct"))
+  }
+}

@@ -96,6 +96,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cross join leaked into LSH near-dup:\n$p")
   }
 
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan(graft.relational.Relational.pricingSummary(Tables.lineitem(spark, sf0001)))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"date filter not pushed to scan:\n$p")
+  }
+
+  test("region revenue broadcasts the dimension side; top orders heap-selects") {
+    val p = plan(graft.relational.Relational.regionRevenue(
+      Tables.region(spark, sf0001), Tables.nation(spark, sf0001),
+      Tables.customer(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001)))
+    assert(p.contains("Broadcast"), s"region/nation dims must broadcast:\n$p")
+    val p2 = plan(graft.relational.Relational.topOrdersByRevenue(
+      Tables.customer(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001)))
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n$p2")
+  }
+
   test("intermediate-record version gate runs without a ScalaUDF") {
     val c = CounterDef("rt", CounterType.Count, Some("*"), windowDuration = "1 hour")
     val sharded = events.withColumn("shard", pmod(col("user_id"), lit(8)))
