@@ -177,6 +177,12 @@ object SparkEntry {
       graft.relational.Relational.regionRevenue(
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Q9-ish shape: broadcast part/supplier dims → fact scan, no shuffle
+    // before the final small-group aggregate
+    "h04_brand_profit" -> ((s, dir) =>
+      graft.relational.Relational.brandProfit(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.lineitem(s, dir))),
 
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
@@ -368,6 +374,17 @@ object SparkEntry {
           |  AND l_shipdate > TIMESTAMP '1998-01-01'
           |GROUP BY 1, 2
           |ORDER BY revenue_cpct DESC, orderkey LIMIT 10""".stripMargin,
+      "h04_brand_profit" ->
+        """SELECT n_name AS supp_nation, p_brand,
+          | sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |     * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT AS revenue_cpct,
+          | count(*)::BIGINT AS n_lines
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE p_type = 'PROMO'
+          |GROUP BY 1, 2""".stripMargin,
       "h03_region_revenue" ->
         """SELECT n_name,
           | sum(CAST(floor(l_extendedprice*100) AS BIGINT)

@@ -71,6 +71,27 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q9-ish shape (profit by supplier nation and brand): lineitem
+    * joined to its part (filtered by type) and supplier, profit =
+    * revenue − cost-proxy, grouped by (supplier nation, brand). `part`
+    * and `supplier` are dimension-sized → explicit broadcast; the fact
+    * scan streams through both joins without a shuffle.
+    */
+  def brandProfit(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                  lineitem: DataFrame, pType: String = "PROMO"): DataFrame = {
+    val profit = sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+    val parts = broadcast(part.where(col("p_type") === pType)
+      .select(col("p_partkey"), col("p_brand")))
+    val supps = broadcast(supplier
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    lineitem
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supps, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"), col("p_brand"))
+      .agg(profit.as("revenue_cpct"), count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q5 shape (local revenue by nation): one region's per-nation
     * revenue for a date-bounded order year. `region` and `nation` are
     * genuinely tiny dimensions → explicit broadcast; customer/orders/
