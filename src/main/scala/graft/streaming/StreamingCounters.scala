@@ -103,6 +103,22 @@ object StreamingCounters {
       c, eventSourceArn)
   }
 
+  /** One counter's full STREAMING pipeline, mirroring the batch
+    * `Engine.pipeline`: windowed aggregation ([[run]]) plus the counter's
+    * optional `jq_expr` output transform (O14) — jq compiles to
+    * projections/filters/generators, all legal after a streaming
+    * aggregation in append mode.
+    */
+  def pipeline(stream: DataFrame, tsCol: String, c: CounterDef,
+               watermarkDelay: String = "10 seconds",
+               eventSourceArn: Option[String] = None): DataFrame = {
+    val base = run(stream, tsCol, c, watermarkDelay, eventSourceArn)
+    c.jqExpr match {
+      case Some(jq) => graft.operators.JqTransform(base, jq)
+      case None => base
+    }
+  }
+
   /** Multi-counter fan-out over one stream (O16): counters sharing the
     * window width share ONE streaming aggregation (single state store,
     * single shuffle), mirroring [[Counters.fanOut]].

@@ -203,6 +203,25 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming pipeline applies the counter's jq_expr after the window closes") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val c = CounterDef("req", CounterType.Count, Some("*"), windowDuration = "1 minute",
+      jqExpr = Some("""select(.value > 0) | {"t": .window_start, "v": (.value | tostring)}"""))
+    val out = StreamingCounters.pipeline(
+      input.toDF().toDF("ts", "user_id"), "ts", c, watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("stream_jq")
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 25).map(i => (ts(i), i.toLong)): _*)
+      query.processAllAvailable()
+      input.addData((ts(140), 99L))
+      query.processAllAvailable()
+      val rows = spark.table("stream_jq").as[(Long, String)].collect().toMap
+      assert(rows(base) == "25") // jq projection + tostring applied
+    } finally query.stop()
+  }
+
   test("streaming exact dedup drops repeats within the watermark horizon") {
     implicit val sc = spark.sqlContext
     import graft.streaming.StreamingDedup
