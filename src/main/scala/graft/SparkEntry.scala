@@ -667,11 +667,11 @@ object SparkEntry {
       "m02_frame_sample" ->
         """SELECT doc_id, i::BIGINT AS frame_idx, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
           |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
-          |WHERE i % 2 = 0 AND i <= length(text) // 100""".stripMargin,
+          |WHERE i % 2 = 0 AND i*100 < length(text)""".stripMargin,
       "m04_shared_frames" ->
         """WITH fr AS (SELECT doc_id, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
           |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
-          |  WHERE i % 2 = 0 AND i <= length(text) // 100)
+          |  WHERE i % 2 = 0 AND i*100 < length(text))
           |SELECT frame_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
           | min(doc_id) AS keeper_doc
           |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,

@@ -103,7 +103,11 @@ object Multimodal {
     media.select(col("doc_id"), col("media"), col("media_type"))
       .as[MediaRecord]
       .flatMap { r =>
-        val n = r.media.length / 100 + 1
+        // a frame exists iff it has ≥1 byte: ceil(len/100), no empty tail
+        // frame when the length is an exact multiple (an empty slice would
+        // hash to md5("") for EVERY such doc — downstream shared-frame
+        // dedup would then link unrelated documents through it)
+        val n = (r.media.length + 99) / 100
         (0L until n.toLong by stride.toLong).map { i =>
           val from = (i * 100).toInt
           val until = math.min(from + 100, r.media.length)

@@ -78,8 +78,14 @@ object Intermediate {
   def versionCheck(vc: VersionConstraint, v: Column): Column = {
     // Trailing dots: Java's String.split drops trailing empty strings, so
     // the driver parses "1.2." as 1.2.0 — strip them so Spark's split
-    // (limit -1, keeps them) agrees.
-    val core = regexp_replace(split(v, "[-+]", 2).getItem(0), "\\.+$", "")
+    // (limit -1, keeps them) agrees. Degenerate dots-only strings (".",
+    // "..") split to an EMPTY array in Java, which SemVer.parse reads as
+    // 0.0.0 — normalize them to "0" so both engines accept them.
+    // Known (strictly-safer) divergence: the driver's Integer.parseInt
+    // accepts Unicode digits ("١.2.3"); this gate accepts ASCII only.
+    val core0 = split(v, "[-+]", 2).getItem(0)
+    val core = when(core0.rlike("^\\.+$"), lit("0"))
+      .otherwise(regexp_replace(core0, "\\.+$", ""))
     val parts = split(core, "\\.")
     // try_element_at (not element_at): ANSI mode makes a short version like
     // "0.1" an out-of-bounds error rather than a null for the missing patch

@@ -176,15 +176,20 @@ object Ann {
     var cents = corpus.where(col("vec_id") % centroidStep === 0)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
     var stats: DataFrame = null
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val assigned = assignCells(corpus, cents)
+      // localCheckpoint: truncate the iterative lineage (cells × dim rows,
+      // tiny) — without it each round's plan NESTS all prior rounds'
+      // broadcasts and corpus scans, the driver-stall class the
+      // connectedComponents loop already guards against
       stats = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
           floor(col("x") * 1000000d).cast("long").as("x_ppm"))
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("x_ppm")).as("sum_ppm"), count(lit(1)).as("n_vectors"))
-      cents = stats
+        .localCheckpoint()
+      if (i < iterations) cents = stats
         .select(col("cell"), col("dim"), meanPpm.cast("double").as("m"))
         .groupBy(col("cell"))
         .agg(collect_list(struct(col("dim"), col("m"))).as("__dm"))

@@ -22,13 +22,19 @@ object StreamingDedup {
 
   /** Keep the first occurrence of each `contentCol` value within the
     * watermark horizon; later exact repeats are dropped. Emits the input
-    * columns unchanged.
+    * columns unchanged. Null-content records (e.g. extraction failures)
+    * pass through untouched — md5(null) is null, and letting them into
+    * the dedup key would collapse EVERY null-content record onto one
+    * state entry, silently dropping all but the first.
     */
   def dropExactDuplicates(stream: DataFrame, tsCol: String, contentCol: String,
-                          watermarkDelay: String = "10 minutes"): DataFrame =
-    stream
-      .withWatermark(tsCol, watermarkDelay)
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    val watermarked = stream.withWatermark(tsCol, watermarkDelay)
+    val deduped = watermarked
+      .where(col(contentCol).isNotNull)
       .withColumn("__content_md5", md5(col(contentCol).cast("binary")))
       .dropDuplicatesWithinWatermark("__content_md5")
       .drop("__content_md5")
+    deduped.unionByName(watermarked.where(col(contentCol).isNull))
+  }
 }

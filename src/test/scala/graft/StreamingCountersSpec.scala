@@ -243,6 +243,26 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming dedup passes null-content records through untouched") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[(Timestamp, Long, Option[String])]
+    val out = StreamingDedup.dropExactDuplicates(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text",
+      watermarkDelay = "1 minute")
+    val query = out.writeStream.format("memory").queryName("stream_dedup_null")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), 1L, Some("alpha")), (ts(1), 2L, None),
+        (ts(2), 3L, None), (ts(3), 4L, Some("alpha")))
+      query.processAllAvailable()
+      val kept = spark.table("stream_dedup_null")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L, 3L)) // both nulls survive; dup alpha dropped
+    } finally query.stop()
+  }
+
   test("streaming fanOut shares one aggregation across counters (O16)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]

@@ -23,8 +23,10 @@ class VersionCheckSpec extends SparkTestBase {
     "1.2.3.4", "1.2.3.x", "abc", "1.x", "x.2", "1..2", "", "0.10.0",
     // trailing dots (Java split drops trailing empties — version parses),
     // whitespace (toIntOption rejects what Spark's cast would trim),
-    // overflow (toIntOption rejects)
-    "1.2.", "1.2..", " 1.0.0", "1. 2.3", "0.1.0 ", "99999999999.0.0")
+    // overflow (toIntOption rejects), dots-only (Java split yields an
+    // EMPTY array — parses as 0.0.0)
+    "1.2.", "1.2..", " 1.0.0", "1. 2.3", "0.1.0 ", "99999999999.0.0",
+    ".", "..", ".1")
 
   private def oracle(c: String, v: String): Boolean = {
     val vc = VersionConstraint(c)
