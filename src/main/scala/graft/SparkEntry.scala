@@ -164,6 +164,16 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // windowing EXTENSIONS beyond the reference's tumbling-only surface:
+    // sliding windows (each record in window/slide overlapping buckets)
+    "c18_sliding_count" -> ((s, dir) =>
+      Counters.runSliding(events(s, dir), "ts",
+        cRequestCount.copy(id = "sliding_count"), slide = "30 minutes")),
+    // session windows (gap-merged per-user activity)
+    "c19_session_count" -> ((s, dir) =>
+      Counters.runSessions(events(s, dir), "ts", "user_id",
+        cRequestCount.copy(id = "session_events"), gap = "2 hours")),
+
     // ---- relational analytics over the TPC-H-shaped tables ----
     // Q1 shape: single-scan small-group pricing summary, integer-exact
     "h01_pricing_summary" -> ((s, dir) =>
@@ -374,6 +384,28 @@ object SparkEntry {
           |  AND l_shipdate > TIMESTAMP '1998-01-01'
           |GROUP BY 1, 2
           |ORDER BY revenue_cpct DESC, orderkey LIMIT 10""".stripMargin,
+      "c18_sliding_count" ->
+        """WITH w AS (SELECT ts,
+          |  time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS wstart
+          |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+          |SELECT epoch_ms(wstart) AS window_start,
+          | epoch_ms(wstart + INTERVAL '1 hour') AS window_end,
+          | 'sliding_count' AS counter_id, 'count' AS counter_type,
+          | count(*) AS value
+          |FROM w WHERE ts >= wstart AND ts < wstart + INTERVAL '1 hour'
+          |GROUP BY 1, 2""".stripMargin,
+      "c19_session_count" ->
+        """WITH o AS (SELECT user_id, ts,
+          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '2 hours'
+          |       THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+          |SELECT user_id, epoch_ms(min(ts)) AS session_start,
+          | epoch_ms(max(ts) + INTERVAL '2 hours') AS session_end,
+          | 'session_events' AS counter_id, count(*) AS value
+          |FROM s GROUP BY user_id, sid""".stripMargin,
       "h04_brand_profit" ->
         """SELECT n_name AS supp_nation, p_brand,
           | sum(CAST(floor(l_extendedprice*100) AS BIGINT)

@@ -222,6 +222,38 @@ object Counters {
           .agg(hll_sketch_estimate(hll_union_agg(col("partial_sketch"))).as("value"))
     }
 
+  /** ENGINE EXTENSION beyond the reference (tumbling-only, README.md:44):
+    * sliding-window counter — each record contributes to
+    * `window/slide` overlapping windows. Same partial/final aggregation
+    * shape as [[run]]; group count scales by the overlap factor, still
+    * bounded by windows×counters, never by rows.
+    */
+  def runSliding(df: DataFrame, tsCol: String, c: CounterDef,
+                 slide: String,
+                 eventSourceArn: Option[String] = None): DataFrame =
+    finalizeOutput(
+      df.groupBy(window(col(tsCol), c.windowDuration, slide))
+        .agg(aggExpr(df, c).as("value")),
+      c, eventSourceArn)
+
+  /** ENGINE EXTENSION: session-window counter — consecutive records of one
+    * `keyCol` merge into a session while gaps stay under `gap`; a gap ≥
+    * `gap` starts a new session (Spark's `session_window` semantics:
+    * a session's reach is last-event + gap, end-exclusive). The natural
+    * fit for per-user activity metrics the reference can't express.
+    * Output: (key, session_start/end epoch millis, value).
+    */
+  def runSessions(df: DataFrame, tsCol: String, keyCol: String, c: CounterDef,
+                  gap: String): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(aggExpr(df, c).as("value"))
+      .select(
+        col(keyCol),
+        unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        lit(c.id).as("counter_id"),
+        col("value"))
+
   /** O13 final projection: epoch-millisecond window bounds + counter
     * identity, matching the reference's output record
     * (`counter.go:414-434`, millis at `counter.go:418-419`); `includeShard`
