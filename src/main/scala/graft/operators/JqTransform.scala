@@ -34,12 +34,13 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, St
   *    the ordering comparisons `< <= > >=` keep SQL semantics over
   *    same-type operands (jq's cross-type total order is out of scope);
   *  - boolean `and`/`or`, arithmetic `+ - * /`, parentheses,
-  *    string/number/bool/null literals.
+  *    string/number/bool/null literals, and string INTERPOLATION
+  *    (`"metric.\(.counter_id)"` → `concat`, null printing as "null").
   *
   * Out of scope (documented divergence, unused by the reference's own
-  * fixtures): slurp/reduce/foreach, def bindings, string interpolation,
-  * `//` alternative. Programs needing those belong in a real jq; every
-  * config observed in the reference repo compiles here.
+  * fixtures): slurp/reduce/foreach, def bindings, `//` alternative.
+  * Programs needing those belong in a real jq; every config observed in
+  * the reference repo compiles here.
   *
   * Internally a parsed value is a `DataFrame => Column` — type-dependent
   * constructs (truthiness, `not`, `length`, struct expansion) resolve
@@ -258,6 +259,38 @@ object JqTransform {
       expect('"')
       sb.toString
     }
+
+    /** String literal in VALUE position, with jq string interpolation:
+      * `"metric.\(.counter_id)"` → `concat` of literal segments and
+      * stringified expression values (null stringifies to "null", as jq
+      * does). Keys stay plain strings ([[parseStringLit]]).
+      */
+    def parseInterpString(): V = {
+      expect('"')
+      val segs = Seq.newBuilder[Either[String, V]]
+      val sb = new StringBuilder
+      while (peek != '"' && i < s.length) {
+        if (peek == '\\') {
+          next()
+          if (peek == '(') {
+            next()
+            if (sb.nonEmpty) { segs += Left(sb.toString); sb.clear() }
+            segs += Right(parseValue())
+            expect(')')
+          } else sb.append(next())
+        } else sb.append(next())
+      }
+      expect('"')
+      if (sb.nonEmpty) segs += Left(sb.toString)
+      val parts = segs.result()
+      if (!parts.exists(_.isRight)) {
+        val lits = parts.collect { case Left(x) => x }.mkString
+        _ => lit(lits)
+      } else df => concat(parts.map {
+        case Left(x) => lit(x)
+        case Right(v) => coalesce(v(df).cast("string"), lit("null"))
+      }: _*)
+    }
     def parsePathParts(): Seq[String] = {
       expect('.')
       val path = Seq.newBuilder[String]
@@ -410,9 +443,7 @@ object JqTransform {
         case '.' =>
           val parts = parsePathParts()
           _ => parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
-        case '"' =>
-          val v = parseStringLit()
-          _ => lit(v)
+        case '"' => parseInterpString()
         case c if c.isDigit || c == '-' =>
           val start = i
           if (peek == '-') next()

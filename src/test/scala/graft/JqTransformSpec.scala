@@ -155,6 +155,19 @@ class JqTransformSpec extends SparkTestBase {
     assert(rows(0).getLong(4) == 0L && rows(1).getLong(4) == 1L) // string length
   }
 
+  test("string interpolation builds names from field values") {
+    val out = JqTransform(df,
+      """{name: "metric.\(.value).window", v: .value}""")
+    assert(out.head().getString(0) == "metric.100.window")
+    // null interpolates as the string "null" (jq semantics)
+    val withNull = Seq((Option.empty[Long], 7L)).toDF("x", "id")
+    val out2 = JqTransform(withNull, """{s: "x=\(.x)!", id: .id}""")
+    assert(out2.head().getString(0) == "x=null!")
+    // arithmetic inside the interpolation
+    val out3 = JqTransform(df, """{s: "\(.value * 2)"}""")
+    assert(out3.head().getString(0) == "200")
+  }
+
   test("three-stage pipeline: select | construct | select") {
     val out = JqTransform(multi,
       """select(.value >= 0) | {id: .id, big: .value >= 5} | select(.big)""")
