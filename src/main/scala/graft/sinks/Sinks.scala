@@ -42,10 +42,13 @@ object Sinks {
     def put(target: Arn, partitionKey: String, data: String): Unit = ()
   }
 
-  /** Test double: accumulates puts in a static buffer (single-JVM tests). */
+  /** Test double: accumulates puts in a static buffer (single-JVM tests).
+    * Null-safe on the target: side channels (e.g. the failures stream)
+    * have no output ARN.
+    */
   class CollectingPutter extends RecordPutter {
     def put(target: Arn, partitionKey: String, data: String): Unit =
-      CollectingPutter.add((target.toString, partitionKey, data))
+      CollectingPutter.add((String.valueOf(target), partitionKey, data))
   }
   object CollectingPutter {
     private val buf = new scala.collection.mutable.ArrayBuffer[(String, String, String)]

@@ -263,6 +263,71 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("StreamingEngine composes KPL → parse → route → count → sink end-to-end") {
+    implicit val sc = spark.sqlContext
+    import graft.config.{Arn, ConfigLoader}
+    import graft.sinks.Sinks
+    import graft.sources.Deaggregate
+    import graft.streaming.StreamingEngine
+    val yaml =
+      """counters:
+        |  - id: packed_all
+        |    input_stream_arn: "arn:aws:kinesis:*:*:stream/in*"
+        |    output_stream_arn: "arn:aws:kinesis:ap-northeast-1:111122223333:stream/out"
+        |    target_column: "*"
+        |    window_duration: 1 minute
+        |  - id: packed_users
+        |    input_stream_arn: "arn:aws:kinesis:*:*:stream/in*"
+        |    output_stream_arn: "arn:aws:kinesis:ap-northeast-1:111122223333:stream/out2"
+        |    target_column: user_id
+        |    counter_type: approx_count_distinct
+        |    window_duration: 1 minute
+        |    jq_expr: '{"t": .window_start, "v": .value}'
+        |  - id: elsewhere
+        |    input_stream_arn: "arn:aws:kinesis:*:*:stream/other"
+        |    target_column: "*"
+        |    window_duration: 1 minute
+        |""".stripMargin
+    val cfg = ConfigLoader.fromYaml(yaml).fold(e => fail(e), identity)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    def packed(ids: Seq[Long]): Array[Byte] =
+      Deaggregate.aggregate(ids.map(id =>
+        Deaggregate.SubRecord(s"pk$id", s"""{"user_id": $id}""".getBytes("UTF-8"))))
+    val input = MemoryStream[(Timestamp, Array[Byte])]
+    Sinks.CollectingPutter.drain()
+    // the failures sink runs on executors: collect through the static
+    // buffer (a closure-captured local queue would be serialized per task
+    // and the executor-side copy's writes lost)
+    val queries = StreamingEngine.run(
+      input.toDF().toDF("ts", "value"), schema, "ts", cfg,
+      Arn.unsafe("arn:aws:kinesis:ap-northeast-1:111122223333:stream/input"),
+      new Sinks.CollectingPutter, watermarkDelay = "5 seconds",
+      failurePutter = Some(new Sinks.CollectingPutter), queryNamePrefix = "e2e")
+    try {
+      assert(queries.keySet == Set("packed_all", "packed_users", "__failures__"))
+      input.addData(
+        (ts(0), packed(Seq(1L, 2L, 3L))),
+        (ts(5), packed(Seq(1L, 2L, 3L, 4L))),
+        (ts(10), "corrupt! not json".getBytes("UTF-8")))
+      queries.values.foreach(_.processAllAvailable())
+      input.addData((ts(140), packed(Seq(9L)))) // close the window
+      queries.values.foreach(_.processAllAvailable())
+      val puts = Sinks.CollectingPutter.drain()
+      val byArn = puts.groupBy(_._1)
+      // counter 1: the 7 parsed sub-records (corrupt payload excluded by
+      // the parsedOk gate)
+      val allRec = byArn("arn:aws:kinesis:ap-northeast-1:111122223333:stream/out").head._3
+      assert(allRec.contains("\"counter_id\":\"packed_all\"") && allRec.contains("\"value\":7"))
+      // counter 2: jq-projected {t, v}, 4 distinct users
+      val userRec = byArn("arn:aws:kinesis:ap-northeast-1:111122223333:stream/out2").head._3
+      assert(userRec.contains("\"v\":4") && userRec.contains("\"t\":" + base))
+      // the corrupt payload surfaced on the failures channel, not as an error
+      val fails = puts.filter(_._2 == "failures")
+      assert(fails.size == 1 && fails.head._3.contains("corrupt!"))
+    } finally queries.values.foreach(_.stop())
+  }
+
   test("streaming fanOut shares one aggregation across counters (O16)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
