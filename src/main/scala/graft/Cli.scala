@@ -32,6 +32,10 @@ object Cli {
       stream: String = "local",
       window: String = "1 minute",
       put: Boolean = false,
+      // per-shard topology (counter.go:423-425): group by this column and
+      // emit shard_id in each output record, like the reference's
+      // per-shard readers (run.go:38-48)
+      shardCol: Option[String] = None,
       // instant counter flags (config.go:152-158)
       id: String = "__instant__",
       counterType: String = "count",
@@ -51,7 +55,8 @@ object Cli {
       table = envFor("table").getOrElse("events"),
       tsCol = envFor("ts-col").getOrElse("ts"),
       window = envFor("window").getOrElse("1 minute"),
-      put = envFor("put").contains("true"))
+      put = envFor("put").contains("true"),
+      shardCol = envFor("shard-col"))
     var rest = args.toList
     while (rest.nonEmpty) rest match {
       case f :: v :: t if f.startsWith("-") && !v.startsWith("-") =>
@@ -60,6 +65,7 @@ object Cli {
           case "input" => o = o.copy(input = Some(v))
           case "table" => o = o.copy(table = v)
           case "ts-col" => o = o.copy(tsCol = v)
+          case "shard-col" => o = o.copy(shardCol = Some(v))
           case "stream" => o = o.copy(stream = v)
           case "window" => o = o.copy(window = v)
           case "id" => o = o.copy(id = v)
@@ -157,7 +163,7 @@ object Cli {
       // output falls back to the stdout line writer (the reference's
       // ignore-put path, counter.go:520-523). A deployment passes real
       // kinesis/firehose RecordPutters to Engine.run directly.
-      Engine.run(df, opts.tsCol, cfg, source, Sinks.StdoutPutter)
+      Engine.run(df, opts.tsCol, cfg, source, Sinks.StdoutPutter, opts.shardCol)
     } finally spark.stop()
   }
 }

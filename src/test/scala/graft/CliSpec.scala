@@ -33,6 +33,14 @@ class CliSpec extends AnyFunSuite {
     assert(o.window == "2 minutes" && o.tsCol == "event_time")
   }
 
+  test("-shard-col selects the per-shard topology (counter.go:423-425)") {
+    val o = Cli.parseArgs(Seq("-input", "/x", "-shard-col", "shard"), Map.empty).toOption.get
+    assert(o.shardCol.contains("shard"))
+    val viaEnv = Cli.parseArgs(Seq("-input", "/x"),
+      env = Map("GRAFT_SHARD_COL" -> "partition_key")).toOption.get
+    assert(viaEnv.shardCol.contains("partition_key"))
+  }
+
   test("window cap <15m (main.go:113-116) and parse errors") {
     assert(Cli.parseArgs(Seq("-input", "/x", "-window", "15 minutes"), Map.empty).isLeft)
     assert(Cli.parseArgs(Seq("-input", "/x", "-window", "1 hour"), Map.empty).isLeft)
