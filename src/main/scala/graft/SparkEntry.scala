@@ -173,6 +173,15 @@ object SparkEntry {
     "c19_session_count" -> ((s, dir) =>
       Counters.runSessions(events(s, dir), "ts", "user_id",
         cRequestCount.copy(id = "session_events"), gap = "2 hours")),
+    // O14 jq `//` alternative + dynamic-object semantics: absent fields
+    // read as null (counter.go:274) and fall through to the alternative;
+    // the name falls back to an interpolated string
+    "c20_jq_alternative" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{"time": .window_start,
+          | "name": (.metric_name // "metric.\(.counter_id)"),
+          | "value": (.shard_id // .value)}""".stripMargin)),
 
     // ---- relational analytics over the TPC-H-shaped tables ----
     // Q1 shape: single-scan small-group pricing summary, integer-exact
@@ -357,6 +366,10 @@ object SparkEntry {
         s"""SELECT $win, 'request_count_shard' AS counter_id, 'count' AS counter_type,
            | CAST(user_id % 8 AS VARCHAR) AS shard_id, count(*) AS value
            | FROM events GROUP BY 1, 2, 5""".stripMargin,
+      "c20_jq_alternative" ->
+        """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
+          | 'metric.request_count' AS name, count(*) AS value
+          | FROM events GROUP BY 1""".stripMargin,
       "c16_streaming_parity" ->
         s"""SELECT $win, 'request_count_stream' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,

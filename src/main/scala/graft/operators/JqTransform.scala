@@ -35,10 +35,18 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, St
   *    same-type operands (jq's cross-type total order is out of scope);
   *  - boolean `and`/`or`, arithmetic `+ - * /`, parentheses,
   *    string/number/bool/null literals, and string INTERPOLATION
-  *    (`"metric.\(.counter_id)"` → `concat`, null printing as "null").
+  *    (`"metric.\(.counter_id)"` → `concat`, null printing as "null");
+  *  - `//` ALTERNATIVE operator (right-assoc, binds looser than `or`,
+  *    jq truthiness: `a // b` is `a` unless `a` is null/false) — a
+  *    `coalesce` for non-boolean operands, a truthiness `when` for
+  *    booleans;
+  *  - a path whose top-level field does not exist in the input emits
+  *    jq's `null` (NOT an analyzer error), so `.maybe_missing // 0`
+  *    works against any record shape, like the reference's dynamic
+  *    JSON objects.
   *
   * Out of scope (documented divergence, unused by the reference's own
-  * fixtures): slurp/reduce/foreach, def bindings, `//` alternative.
+  * fixtures): slurp/reduce/foreach, def bindings.
   * Programs needing those belong in a real jq; every config observed in
   * the reference repo compiles here.
   *
@@ -65,6 +73,28 @@ object JqTransform {
 
   private def dtOf(df: DataFrame, c: Column): DataType =
     df.select(c.as("__v")).schema.head.dataType
+
+  /** Resolve a `.a.b.c` path against the frame's ACTUAL schema. A field
+    * missing at any step yields jq's `null` instead of an analyzer error —
+    * the reference's records are dynamic JSON objects where an absent key
+    * reads as nil (`counter.go:274`), and jq follows suit. Struct fields
+    * navigate by schema; map-typed columns fall back to key lookup (whose
+    * absent-key semantics are already null).
+    */
+  private def pathColumn(df: DataFrame, parts: Seq[String]): Column = {
+    @annotation.tailrec
+    def loop(dt: DataType, acc: Option[Column], rest: List[String]): Column = rest match {
+      case Nil => acc.getOrElse(lit(null))
+      case p :: tail => dt match {
+        case st: StructType if st.fieldNames.contains(p) =>
+          loop(st(p).dataType, Some(acc.fold(col(p))(_.getField(p))), tail)
+        case mt: MapType if acc.nonEmpty =>
+          loop(mt.valueType, Some(acc.get.getItem(p)), tail)
+        case _ => lit(null)
+      }
+    }
+    loop(df.schema, None, parts.toList)
+  }
 
   // ------------------------------------------------------------- stages --
 
@@ -123,7 +153,7 @@ object JqTransform {
       require(!p.hasMore, s"jq_expr: trailing input after path: $stage")
       require(path.nonEmpty, s"jq_expr: bare '.' handled above: $stage")
       df => {
-        val c = path.tail.foldLeft(col(path.head))((acc, f) => acc.getField(f))
+        val c = pathColumn(df, path)
         val projected =
           if (iterate) df.select(explode(c).as("__v"))
           else df.select(c.as("__v"))
@@ -323,9 +353,31 @@ object JqTransform {
       out.result()
     }
 
-    // value := or-chain of and-chains of comparisons of additive chains,
-    // each term optionally piped into named functions: `.v | tostring`
-    def parseValue(): V = parseOr()
+    // value := //-chain of or-chains of and-chains of comparisons of
+    // additive chains, each term optionally piped into named functions:
+    // `.v | tostring`
+    def parseValue(): V = parseAlt()
+
+    /** jq `//` alternative operator: `a // b` is `a` unless `a` is falsy
+      * (null or false), right-associative, binds looser than `or`. For
+      * non-boolean operands this is exactly `coalesce`; booleans need the
+      * truthiness test (false must fall through to `b`).
+      */
+    private def parseAlt(): V = {
+      val l = parseOr()
+      skipWs()
+      if (s.startsWith("//", i)) {
+        i += 2
+        val r = parseAlt()
+        df => {
+          val lv = l(df)
+          dtOf(df, lv) match {
+            case BooleanType => when(coalesce(lv, lit(false)) === lit(true), lv).otherwise(r(df))
+            case _ => coalesce(lv, r(df))
+          }
+        }
+      } else l
+    }
 
     private def parseOr(): V = {
       var l = parseAnd()
@@ -406,7 +458,8 @@ object JqTransform {
     private def parseTerm(): V = {
       var l = parseAtom()
       skipWs()
-      while (peek == '*' || peek == '/') {
+      // a single '/' is division; '//' is the alternative operator
+      while (peek == '*' || (peek == '/' && !s.startsWith("//", i))) {
         val op = next(); skipWs()
         val r = parseAtom()
         val ll = l
@@ -442,7 +495,7 @@ object JqTransform {
           df => array(es.map(_(df)): _*)
         case '.' =>
           val parts = parsePathParts()
-          _ => parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
+          df => pathColumn(df, parts)
         case '"' => parseInterpString()
         case c if c.isDigit || c == '-' =>
           val start = i

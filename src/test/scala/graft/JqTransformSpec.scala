@@ -173,4 +173,42 @@ class JqTransformSpec extends SparkTestBase {
       """select(.value >= 0) | {id: .id, big: .value >= 5} | select(.big)""")
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("// alternative: null falls through, values and 0/\"\" do not") {
+    val t = Seq((Some(1L), "a", 10L), (None, "b", 20L)).toDF("v", "s", "id")
+    val out = JqTransform(t, """{id: .id, v: (.v // -1)}""")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((10L, 1L), (20L, -1L)))
+    // 0 is truthy in jq: 0 // 9 is 0
+    val z = JqTransform(df, """{a: (0 // 9), b: ("" // "fallback")}""").head()
+    assert(z.getLong(0) == 0L && z.getString(1) == "")
+  }
+
+  test("// alternative: false falls through for booleans; right-assoc chains") {
+    val t = Seq((Some(false), 1L), (Some(true), 2L), (None, 3L)).toDF("b", "id")
+    val out = JqTransform(t, """{id: .id, b: (.b // true)}""")
+    assert(out.collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq ==
+      Seq((1L, true), (2L, true), (3L, true)))
+    // chain: first truthy wins, null // null // x ≡ x
+    val c = JqTransform(df, """{v: (null // null // .value)}""").head()
+    assert(c.getLong(0) == 100L)
+    // division still parses: value / 2 vs value // 2 are different operators
+    val d = JqTransform(df, """{half: .value / 2, alt: (.value // 2)}""").head()
+    assert(d.getDouble(0) == 50.0 && d.getLong(1) == 100L)
+  }
+
+  test("missing top-level field reads as jq null, not an analyzer error") {
+    // the reference's records are dynamic JSON: absent key == nil
+    // (counter.go:274); jq mirrors that, and so do we
+    val out = JqTransform(df, """{v: .value, ghost: .no_such_field}""")
+    assert(out.head().isNullAt(1))
+    // the canonical use: default a maybe-missing field
+    val alt = JqTransform(df, """{v: (.shard_id // .value)}""").head()
+    assert(alt.getLong(0) == 100L)
+    // select on a missing field drops every row (null is falsy)
+    assert(JqTransform(df, """select(.no_such) | {v: .value}""").count() == 0)
+    // missing nested subfield on a real struct is null too
+    val nested = JqTransform(df, """{w: {s: .window_start}}""")
+    assert(JqTransform(nested, """{x: .w.nope}""").head().isNullAt(0))
+  }
 }
