@@ -48,7 +48,11 @@ object Bench {
     })
     watchdog.setDaemon(true)
     watchdog.start()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Steady-state measurement: an untimed first run absorbs the warm-up
       // cost specific to THIS plan shape (codegen compilation, JIT,
       // broadcast builds, parquet footer caches); the second run is the

@@ -264,13 +264,17 @@ object Dedup {
     // over the whole pair-generation tree (observed: driver pinned in
     // ConstantFolding for tens of seconds when pairs come from MinHash).
     // Checkpointing truncates the plan to the materialized RDD.
+    // lazy checkpoints: the convergence-probe aggregate below materializes
+    // the marked RDD in the SAME job, so each round costs ONE driver
+    // round-trip instead of two (eager checkpoint job + probe job) — on a
+    // real cluster the per-job scheduling latency is pure overhead
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // labels only ever decrease, so an unchanged label SUM means fixpoint —
     // a one-row aggregate per round instead of a change-detection join
     def labelSum(df: DataFrame): Long =
@@ -288,7 +292,7 @@ object Dedup {
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -326,7 +330,9 @@ object Dedup {
       val r = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
-    var edges = bidirect(edges0.where(col("u") =!= col("v"))).localCheckpoint()
+    // lazy: the checksum probe materializes the checkpoint in the same job
+    var edges = bidirect(edges0.where(col("u") =!= col("v")))
+      .localCheckpoint(eager = false)
     var prev = checksum(edges)
     var round = 0
     var stable = false
@@ -346,7 +352,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
-      edges = bidirect(small).localCheckpoint()
+      edges = bidirect(small).localCheckpoint(eager = false)
       val cur = checksum(edges)
       stable = cur == prev
       prev = cur
