@@ -265,6 +265,12 @@ object SparkEntry {
       Dedup.applyDedup(
         Tables.documents(s, dir),
         Dedup.minhashLshPairs(Tables.documents(s, dir)).select(col("a"), col("b")))),
+    // multi-table LSH (OR-construction): the recall lever over d07 — 3
+    // independent plane families, candidate if ANY table collides; pairs
+    // dedup'd before the single cosine verify
+    "d10_lsh_multitable" -> ((s, dir) =>
+      Dedup.lshNearDupPairsMulti(Tables.embeddings(s, dir),
+        tau = 0.35, nPlanes = 4, tables = 3)),
 
     // ---- similarity search ----
     "s01_ann_topk" -> ((s, dir) =>
@@ -653,6 +659,23 @@ object SparkEntry {
           |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
           |JOIN embeddings ex ON ex.vec_id = x.vec_id
           |JOIN embeddings ey ON ey.vec_id = y.vec_id
+          |WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.35""".stripMargin,
+      "d10_lsh_multitable" ->
+        """WITH pl AS (SELECT t, p, list_transform(generate_series(0, 63), j ->
+          |    CASE WHEN ((('0x'||substr(md5('plane:'||t||':'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
+          |         THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(generate_series(0, 2)) AS t)
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)),
+          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |d AS (SELECT vec_id, t, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
+          |      FROM v CROSS JOIN pl),
+          |bk AS (SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          |       FROM d GROUP BY vec_id, t),
+          |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          |         FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+          |SELECT a, b FROM cand
+          |JOIN embeddings ex ON ex.vec_id = a
+          |JOIN embeddings ey ON ey.vec_id = b
           |WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.35""".stripMargin,
       "d08_contamination" ->
         s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs

@@ -422,6 +422,42 @@ object Dedup {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
   }
 
+  /** Multi-table sign-LSH near-dup — the RECALL lever over
+    * [[lshNearDupPairs]]: `tables` independent hyperplane families
+    * (OR-construction), a pair is a candidate if it collides in ANY table.
+    * Per-pair recall rises from (1-θ/π)^nPlanes to
+    * 1-(1-(1-θ/π)^nPlanes)^tables while per-table bucket sizes (and thus
+    * the Σ|bucket|² join cost) stay unchanged — cost is linear in
+    * `tables`, the standard LSH recall/cost trade.
+    *
+    * Shape for 100 TB: ONE corpus scan emits all tables' bucket ids
+    * through a single generator; the candidate join is an equi-join on
+    * (table, bucket); candidates are DISTINCT'd on (a, b) — collisions in
+    * several tables verify once, not `tables` times — and only then
+    * cosine-verified against the normed vectors.
+    */
+  def lshNearDupPairsMulti(embeddings: DataFrame, tau: Double = 0.35,
+                           nPlanes: Int = 4, tables: Int = 3): DataFrame = {
+    val normed = graft.similarity.Ann.normalize(embeddings, "vec_id")
+    val tb = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        graft.similarity.Ann.bucketExpr(nPlanes, table = t).as("bucket"))): _*))
+    val bucketed = normed
+      .select(col("vec_id"), tb.as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val dot = VecDot.dot(col("na.v"), col("nb.v"))
+    cand
+      .join(normed.as("na"), col("a") === col("na.vec_id"))
+      .join(normed.as("nb"), col("b") === col("nb.vec_id"))
+      .where(dot / (col("na.norm") * col("nb.norm")) >= tau)
+      .select(col("a"), col("b"))
+  }
+
   /** End-to-end dedup APPLICATION — the step the pair/cluster operators
     * exist for: given the corpus and a near-dup pair list, return the
     * surviving doc ids. A doc survives iff it is in no duplicate cluster,

@@ -216,14 +216,20 @@ object Ann {
     * `v` column — shared by [[signLshBuckets]] and
     * [[graft.dedup.Dedup.lshNearDupPairs]] (which already carries a
     * normed frame and must not re-scan the corpus for buckets).
+    *
+    * `table >= 0` keys the hyperplane family by table index — each hash
+    * table of a multi-table (OR-construction) LSH index gets independent
+    * planes ([[graft.dedup.Dedup.lshNearDupPairsMulti]]). The default -1
+    * keeps the original single-table plane stream.
     */
-  private[graft] def bucketExpr(nPlanes: Int): Column = {
+  private[graft] def bucketExpr(nPlanes: Int, table: Int = -1): Column = {
     val dim = 64 // corpus embedding width (documents' contract)
     val planeSign: (Int, Int) => Double = (p, j) => {
       // deterministic ±1 from md5 — computed once on the driver, inlined as
       // literals into codegen (tiny: nPlanes × dim doubles)
+      val key = if (table < 0) s"plane:$p:${j / 60}" else s"plane:$table:$p:${j / 60}"
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"plane:$p:${j / 60}".getBytes("UTF-8"))
+        .digest(key.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       val bits = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       if (((bits >> (j % 60)) & 1L) == 1L) 1.0 else -1.0
