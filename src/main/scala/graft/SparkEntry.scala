@@ -202,6 +202,17 @@ object SparkEntry {
       graft.relational.Relational.brandProfit(
         Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
         Tables.lineitem(s, dir))),
+    // Q18 shape: aggregate-then-join — HAVING on the fact pre-aggregate
+    // bounds both joins by qualifying orders
+    "h05_large_orders" -> ((s, dir) =>
+      graft.relational.Relational.largeOrders(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Q7 shape: nation-pair revenue by direction and ship year; supplier
+    // side broadcast, customer side left to AQE
+    "h06_volume_shipping" -> ((s, dir) =>
+      graft.relational.Relational.volumeShipping(
+        Tables.supplier(s, dir), Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
@@ -403,6 +414,29 @@ object SparkEntry {
           |  AND l_shipdate > TIMESTAMP '1998-01-01'
           |GROUP BY 1, 2
           |ORDER BY revenue_cpct DESC, orderkey LIMIT 10""".stripMargin,
+      "h05_large_orders" ->
+        """SELECT c_name, c_custkey AS custkey, o_orderkey AS orderkey,
+          | epoch_ms(o_orderdate) AS order_date_ms, total_qty
+          |FROM (SELECT l_orderkey,
+          |        sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT AS total_qty
+          |      FROM lineitem GROUP BY 1 HAVING total_qty > 250) big
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+      "h06_volume_shipping" ->
+        """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+          | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+          | sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |     * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT AS revenue_cpct,
+          | count(*)::BIGINT AS n_lines
+          |FROM lineitem
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation sn ON sn.n_nationkey = s_nationkey
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |JOIN nation cn ON cn.n_nationkey = c_nationkey
+          |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+          |   OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3')
+          |GROUP BY 1, 2, 3""".stripMargin,
       "c18_sliding_count" ->
         """WITH w AS (SELECT ts,
           |  time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS wstart

@@ -92,6 +92,57 @@ object Relational {
       .agg(profit.as("revenue_cpct"), count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q18 shape (large-volume orders): pre-aggregate the fact table
+    * by orderkey (map-side combinable sum), filter ON THE AGGREGATE
+    * (HAVING), and only then join — the join inputs are bounded by the
+    * qualifying orders, not by lineitem size. The aggregate-then-join
+    * order is the scale decision; joining first would shuffle the whole
+    * fact table twice.
+    */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  minQty: Long = 250): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_date_ms"),
+        col("total_qty"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping): revenue between two nations, by
+    * direction and ship year. The supplier-side lookup is dimension-sized
+    * → explicit broadcast prunes lineitem to the two nations' suppliers
+    * early; the customer side is NOT broadcast (customer is fact-sized at
+    * scale even after the 2-nation filter) — orders⋈customer shuffles on
+    * custkey and AQE sizes it at runtime.
+    */
+  def volumeShipping(supplier: DataFrame, customer: DataFrame, nation: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame,
+                     n1: String = "NATION_3", n2: String = "NATION_8"): DataFrame = {
+    val rev = sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+    val nat = nation.select(col("n_nationkey"), col("n_name"))
+    val supps = broadcast(supplier
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .where(col("n_name").isin(n1, n2))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custs = customer
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .where(col("n_name").isin(n1, n2))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(supps, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.join(custs, col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+             (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(rev.as("revenue_cpct"), count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q5 shape (local revenue by nation): one region's per-nation
     * revenue for a date-bounded order year. `region` and `nation` are
     * genuinely tiny dimensions → explicit broadcast; customer/orders/
