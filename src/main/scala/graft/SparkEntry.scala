@@ -173,6 +173,21 @@ object SparkEntry {
     "c19_session_count" -> ((s, dir) =>
       Counters.runSessions(events(s, dir), "ts", "user_id",
         cRequestCount.copy(id = "session_events"), gap = "2 hours")),
+    // session windows through Structured Streaming, oracle-checked like
+    // c17: zero-delay watermark closes every session whose reach (last
+    // event + gap) precedes the stream's max event time; the oracle
+    // mirrors with the same HAVING bound
+    "c21_session_streaming_parity" -> ((s, dir) => {
+      val c = cRequestCount.copy(id = "session_events_stream")
+      val out = graft.streaming.StreamingCounters.runSessions(
+        Tables.eventsStream(s, dir), "ts", "user_id", c,
+        gap = "2 hours", watermarkDelay = "0 seconds")
+      val sink = "c21_session_stream_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
     // O14 jq `//` alternative + dynamic-object semantics: absent fields
     // read as null (counter.go:274) and fall through to the alternative;
     // the name falls back to an interpolated string
@@ -459,6 +474,19 @@ object SparkEntry {
           | epoch_ms(max(ts) + INTERVAL '2 hours') AS session_end,
           | 'session_events' AS counter_id, count(*) AS value
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      "c21_session_streaming_parity" ->
+        """WITH o AS (SELECT user_id, ts,
+          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '2 hours'
+          |       THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+          |SELECT user_id, epoch_ms(min(ts)) AS session_start,
+          | epoch_ms(max(ts) + INTERVAL '2 hours') AS session_end,
+          | 'session_events_stream' AS counter_id, count(*) AS value
+          |FROM s GROUP BY user_id, sid
+          |HAVING session_end < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
       "h04_brand_profit" ->
         """SELECT n_name AS supp_nation, p_brand,
           | sum(CAST(floor(l_extendedprice*100) AS BIGINT)

@@ -139,6 +139,27 @@ object StreamingCounters {
     Counters.unpivotCounters(agged, counters, eventSourceArn)
   }
 
+  /** Streaming session windows (ENGINE EXTENSION, batch parity with
+    * [[Counters.runSessions]]): consecutive records of one key merge into
+    * a session while gaps stay under `gap`; in append mode a session row
+    * emits exactly once, when the watermark passes the session's reach
+    * (last event + gap). Spark's session-window state MERGES adjacent
+    * partial sessions in the state store across micro-batches — the same
+    * mergeable-state property the counter protocol is built on, applied
+    * to variable-extent windows.
+    */
+  def runSessions(stream: DataFrame, tsCol: String, keyCol: String, c: CounterDef,
+                  gap: String, watermarkDelay: String = "10 seconds"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(Counters.aggExpr(stream, c).as("value"))
+      .select(
+        col(keyCol),
+        unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        lit(c.id).as("counter_id"),
+        col("value"))
+
   /** The reference's EXPLICIT window-state protocol, on Spark's custom
     * state API: the Lambda contract hands the handler carried-forward
     * per-(window, shard) state and re-injects what it returns
