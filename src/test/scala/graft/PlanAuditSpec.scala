@@ -128,6 +128,36 @@ class PlanAuditSpec extends SparkTestBase {
       s"semver gate fell out of codegen into a Scala UDF:\n$p")
   }
 
+  test("multi-table LSH: one corpus scan, bucket equi-join, no cross join") {
+    val p = plan(Dedup.lshNearDupPairsMulti(embeddings, tau = 0.35, nPlanes = 4, tables = 3))
+    assert(!p.contains("CartesianProduct"),
+      s"cross join leaked into multi-table LSH:\n$p")
+    // all tables' buckets come from generators over scans, not one scan
+    // per table — the candidate side reads the corpus once per join input
+    assert(p.contains("Generate"), s"expected generator for table fan-out:\n$p")
+  }
+
+  test("large orders aggregates lineitem BEFORE joining orders/customer") {
+    val p = plan(graft.relational.Relational.largeOrders(
+      Tables.customer(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001)))
+    // the HAVING filter must sit on the aggregate, upstream of the joins:
+    // plan order (bottom-up string) puts the qty filter after HashAggregate
+    assert(p.contains("HashAggregate"), s"expected fact pre-aggregate:\n$p")
+    assert("""Filter.*total_qty""".r.findAllIn(p).nonEmpty
+      || p.contains("(total_qty"), s"HAVING filter missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross join leaked:\n$p")
+  }
+
+  test("volume shipping broadcasts the supplier lookup side") {
+    val p = plan(graft.relational.Relational.volumeShipping(
+      Tables.supplier(spark, sf0001), Tables.customer(spark, sf0001),
+      Tables.nation(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001)))
+    assert(p.contains("Broadcast"), s"supplier side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross join leaked:\n$p")
+  }
+
   test("fanOut plans exactly ONE aggregation pass for N same-window counters") {
     val cs = Seq(
       CounterDef("a", CounterType.Count, Some("*"), windowDuration = "1 hour"),
