@@ -173,6 +173,20 @@ object SparkEntry {
     "c19_session_count" -> ((s, dir) =>
       Counters.runSessions(events(s, dir), "ts", "user_id",
         cRequestCount.copy(id = "session_events"), gap = "2 hours")),
+    // sliding windows through Structured Streaming, oracle-checked like
+    // c17: every overlapping bucket the watermark closed must hash-match
+    // the batch sliding result
+    "c22_sliding_streaming_parity" -> ((s, dir) => {
+      val c = cRequestCount.copy(id = "sliding_count_stream")
+      val out = graft.streaming.StreamingCounters.runSliding(
+        Tables.eventsStream(s, dir), "ts", c,
+        slide = "30 minutes", watermarkDelay = "0 seconds")
+      val sink = "c22_sliding_stream_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
     // session windows through Structured Streaming, oracle-checked like
     // c17: zero-delay watermark closes every session whose reach (last
     // event + gap) precedes the stream's max event time; the oracle
@@ -474,6 +488,17 @@ object SparkEntry {
           | epoch_ms(max(ts) + INTERVAL '2 hours') AS session_end,
           | 'session_events' AS counter_id, count(*) AS value
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      "c22_sliding_streaming_parity" ->
+        """WITH w AS (SELECT ts,
+          |  time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS wstart
+          |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+          |SELECT epoch_ms(wstart) AS window_start,
+          | epoch_ms(wstart + INTERVAL '1 hour') AS window_end,
+          | 'sliding_count_stream' AS counter_id, 'count' AS counter_type,
+          | count(*) AS value
+          |FROM w WHERE ts >= wstart AND ts < wstart + INTERVAL '1 hour'
+          |GROUP BY 1, 2
+          |HAVING window_end < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
       "c21_session_streaming_parity" ->
         """WITH o AS (SELECT user_id, ts,
           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

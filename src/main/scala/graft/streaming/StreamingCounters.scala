@@ -139,6 +139,21 @@ object StreamingCounters {
     Counters.unpivotCounters(agged, counters, eventSourceArn)
   }
 
+  /** Streaming sliding windows (ENGINE EXTENSION, batch parity with
+    * [[Counters.runSliding]]): each record lands in window/slide
+    * overlapping buckets; in append mode each bucket emits once when the
+    * watermark passes its end. State grows by the overlap factor
+    * (window/slide) relative to tumbling — same shuffle shape.
+    */
+  def runSliding(stream: DataFrame, tsCol: String, c: CounterDef, slide: String,
+                 watermarkDelay: String = "10 seconds",
+                 eventSourceArn: Option[String] = None): DataFrame =
+    Counters.finalizeOutput(
+      stream.withWatermark(tsCol, watermarkDelay)
+        .groupBy(window(col(tsCol), c.windowDuration, slide))
+        .agg(Counters.aggExpr(stream, c).as("value")),
+      c, eventSourceArn)
+
   /** Streaming session windows (ENGINE EXTENSION, batch parity with
     * [[Counters.runSessions]]): consecutive records of one key merge into
     * a session while gaps stay under `gap`; in append mode a session row
