@@ -443,19 +443,22 @@ object Dedup {
       struct(lit(t).as("t"),
         graft.similarity.Ann.bucketExpr(nPlanes, table = t).as("bucket"))): _*))
     val bucketed = normed
-      .select(col("vec_id"), tb.as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val cand = bucketed.as("x").join(bucketed.as("y"),
+      .select(col("vec_id"), col("v"), col("norm"), tb.as("tb"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // verify IN the join (like [[lshNearDupPairs]]) rather than dedup-then-
+    // re-join: a pair colliding in several tables pays the (codegen'd,
+    // allocation-free) cosine up to `tables` times, but the distinct then
+    // runs over the tiny SURVIVING set instead of all candidates, and the
+    // two verification joins disappear. The vectors ride the (t, bucket)
+    // shuffle `tables` times — O(tables·n·dim), linear in corpus size.
+    val dot = VecDot.dot(col("x.v"), col("y.v"))
+    bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
+      .where(dot / (col("x.norm") * col("y.norm")) >= tau)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
-    val dot = VecDot.dot(col("na.v"), col("nb.v"))
-    cand
-      .join(normed.as("na"), col("a") === col("na.vec_id"))
-      .join(normed.as("nb"), col("b") === col("nb.vec_id"))
-      .where(dot / (col("na.norm") * col("nb.norm")) >= tau)
-      .select(col("a"), col("b"))
   }
 
   /** End-to-end dedup APPLICATION — the step the pair/cluster operators
