@@ -173,6 +173,29 @@ object SparkEntry {
     "c19_session_count" -> ((s, dir) =>
       Counters.runSessions(events(s, dir), "ts", "user_id",
         cRequestCount.copy(id = "session_events"), gap = "2 hours")),
+    // EP3 as a real stream, oracle-checked: per-shard partials serialized
+    // to intermediate-record JSON (the aggregate-stream payload), CONSUMED
+    // via readStream → parse/filter/version-gate → merge per window —
+    // the reference's two-job topology (counter.go:348-412) end to end
+    "c23_intermediate_streaming_parity" -> ((s, dir) => {
+      val c = cRequestCount.copy(id = "request_count_rt_stream")
+      val sharded = events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8)))
+      val recDir = "/tmp/graft_c23_records"
+      Intermediate.toRecords(
+          Counters.partialState(sharded, "ts", "shard", c),
+          c, "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in")
+        .write.mode("overwrite").parquet(recDir)
+      val recStream = s.readStream
+        .schema("partition_key STRING, value STRING")
+        .parquet(recDir)
+      val merged = graft.streaming.StreamingCounters.mergeIntermediate(
+        recStream, c, watermarkDelay = "0 seconds")
+      val sink = "c23_intermediate_stream_sink"
+      val q = merged.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
     // sliding windows through Structured Streaming, oracle-checked like
     // c17: every overlapping bucket the watermark closed must hash-match
     // the batch sliding result
@@ -488,6 +511,12 @@ object SparkEntry {
           | epoch_ms(max(ts) + INTERVAL '2 hours') AS session_end,
           | 'session_events' AS counter_id, count(*) AS value
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      "c23_intermediate_streaming_parity" ->
+        s"""SELECT $win, 'request_count_rt_stream' AS counter_id,
+           | 'count' AS counter_type, count(*) AS value
+           | FROM events GROUP BY 1, 2
+           | HAVING window_end <= (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', max(ts)))
+           |                       FROM events)""".stripMargin,
       "c22_sliding_streaming_parity" ->
         """WITH w AS (SELECT ts,
           |  time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS wstart
