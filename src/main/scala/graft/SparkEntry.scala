@@ -296,6 +296,9 @@ object SparkEntry {
     // fixed-size token chunking (sequence packing / context-window prep)
     "t11_chunks" -> ((s, dir) =>
       TextAnalysis.chunk(Tables.documents(s, dir))),
+    // rollup subtotals in one Expand+aggregate pass (grouping-sets surface)
+    "t12_mixture_rollup" -> ((s, dir) =>
+      TextAnalysis.mixtureRollup(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -669,6 +672,12 @@ object SparkEntry {
            |SELECT lang, source, n_docs, n_tokens, n_chars,
            | (n_docs * 1000000 // tot.total)::BIGINT AS doc_share_ppm
            |FROM per, tot""".stripMargin,
+      "t12_mixture_rollup" ->
+        s"""SELECT lang, source, count(*)::BIGINT AS n_docs,
+           | sum(len($toks))::BIGINT AS n_tokens,
+           | sum(length(text))::BIGINT AS n_chars,
+           | GROUPING(lang, source)::BIGINT AS grouping_level
+           |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
       "t11_chunks" ->
         s"""SELECT doc_id, i::BIGINT AS chunk_idx,
            | least(32, len(t) - i*32)::BIGINT AS n_chunk_tokens,

@@ -256,6 +256,22 @@ object TextAnalysis {
         intDiv(col("n_docs") * lit(1000000L), col("__total")).as("doc_share_ppm"))
   }
 
+  /** Mixture accounting with ROLLUP subtotals: (lang, source) details,
+    * per-lang subtotals, and the grand total in ONE aggregation pass —
+    * Spark plans rollup as a single Expand + aggregate over one scan, not
+    * three scans (the grouping-sets surface the reference lacks).
+    * `grouping_level` is the standard bit vector (1 bit per rolled-up
+    * column) disambiguating subtotal rows from real NULL groups.
+    */
+  def mixtureRollup(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .rollup(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("__toks")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        grouping_id().cast("long").as("grouping_level"))
+
   /** Fixed-size token chunking (sequence packing / context-window prep):
     * split each doc into consecutive `chunkTokens`-token chunks, emitting
     * (doc_id, chunk_idx, n_chunk_tokens, chunk_md5). One tokenize + one
