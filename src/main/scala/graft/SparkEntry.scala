@@ -173,6 +173,22 @@ object SparkEntry {
     "c19_session_count" -> ((s, dir) =>
       Counters.runSessions(events(s, dir), "ts", "user_id",
         cRequestCount.copy(id = "session_events"), gap = "2 hours")),
+    // O16 through Structured Streaming, oracle-checked: N counters share
+    // ONE streaming aggregation (single state store) + one generator
+    // unpivot; every watermark-closed window hash-matches the batch
+    // fan-out oracle
+    "c24_fanout_streaming_parity" -> ((s, dir) => {
+      val cs = Seq(
+        cRequestCount.copy(id = "request_count_fo_stream"),
+        cClickCount.copy(id = "click_count_fo_stream"))
+      val out = graft.streaming.StreamingCounters.fanOut(
+        Tables.eventsStream(s, dir), "ts", cs, watermarkDelay = "0 seconds")
+      val sink = "c24_fanout_stream_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
     // EP3 as a real stream, oracle-checked: per-shard partials serialized
     // to intermediate-record JSON (the aggregate-stream payload), CONSUMED
     // via readStream → parse/filter/version-gate → merge per window —
@@ -299,6 +315,9 @@ object SparkEntry {
     // rollup subtotals in one Expand+aggregate pass (grouping-sets surface)
     "t12_mixture_rollup" -> ((s, dir) =>
       TextAnalysis.mixtureRollup(Tables.documents(s, dir))),
+    // exact per-lang length quantiles via histogram + cumulative window
+    "t13_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -514,6 +533,18 @@ object SparkEntry {
           | epoch_ms(max(ts) + INTERVAL '2 hours') AS session_end,
           | 'session_events' AS counter_id, count(*) AS value
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      "c24_fanout_streaming_parity" ->
+        s"""SELECT * FROM (
+           | SELECT $win, 'request_count_fo_stream' AS counter_id,
+           |  'count' AS counter_type, count(*) AS value
+           |  FROM events GROUP BY 1, 2
+           |  HAVING window_end <= (SELECT epoch_ms(max(ts)) FROM events)
+           | UNION ALL
+           | SELECT $win, 'click_count_fo_stream' AS counter_id,
+           |  'count' AS counter_type,
+           |  count(*) FILTER (WHERE event_type LIKE '%click%') AS value
+           |  FROM events GROUP BY 1, 2
+           |  HAVING window_end <= (SELECT epoch_ms(max(ts)) FROM events))""".stripMargin,
       "c23_intermediate_streaming_parity" ->
         s"""SELECT $win, 'request_count_rt_stream' AS counter_id,
            | 'count' AS counter_type, count(*) AS value
@@ -678,6 +709,16 @@ object SparkEntry {
            | sum(length(text))::BIGINT AS n_chars,
            | GROUPING(lang, source)::BIGINT AS grouping_level
            |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+      "t13_length_quantiles" ->
+        """WITH h AS (SELECT lang, length(text)::BIGINT AS len, count(*)::BIGINT AS cnt
+          |           FROM documents GROUP BY 1, 2),
+          |c AS (SELECT lang, len, cnt,
+          |        sum(cnt) OVER (PARTITION BY lang ORDER BY len) AS cum,
+          |        sum(cnt) OVER (PARTITION BY lang) AS n FROM h)
+          |SELECT lang, p_ppm, len
+          |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
+          |WHERE (floor((n-1) * p_ppm / 1000000.0) + 1)::BIGINT > cum - cnt
+          |  AND (floor((n-1) * p_ppm / 1000000.0) + 1)::BIGINT <= cum""".stripMargin,
       "t11_chunks" ->
         s"""SELECT doc_id, i::BIGINT AS chunk_idx,
            | least(32, len(t) - i*32)::BIGINT AS n_chunk_tokens,

@@ -1,6 +1,7 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -271,6 +272,35 @@ object TextAnalysis {
         sum(size(col("__toks")).cast("long")).as("n_tokens"),
         sum(length(col("text")).cast("long")).as("n_chars"),
         grouping_id().cast("long").as("grouping_level"))
+
+  /** Exact per-group quantiles of document length (the curation
+    * length-filter calibration step), by the HISTOGRAM method: aggregate
+    * to (lang, len, count) first — distinct lengths ≪ documents — then a
+    * cumulative-sum window over the tiny histogram picks the value whose
+    * cumulative range covers rank floor((n-1)·p)+1 (lower discrete
+    * quantile). The sort the window needs runs over the histogram, never
+    * the corpus; at 100 TB the corpus-side work is one map-side-combined
+    * groupBy. (The one-pass approximate alternative is
+    * `percentile_approx`'s KLL sketch — not oracle-comparable, so the
+    * exact formulation is the checked one.)
+    */
+  def lengthQuantiles(docs: DataFrame,
+                      psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
+    val hist = docs
+      .select(col("lang"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("lang"), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("len"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    val target = (floor((col("n") - 1) * col("p_ppm") / lit(1000000.0)) + 1).cast("long")
+    cum
+      .select(col("lang"), col("len"), col("cnt"), col("cum"), col("n"),
+        explode(array(psPpm.map(lit): _*)).as("p_ppm"))
+      .where(target > col("cum") - col("cnt") && target <= col("cum"))
+      .select(col("lang"), col("p_ppm"), col("len"))
+  }
 
   /** Fixed-size token chunking (sequence packing / context-window prep):
     * split each doc into consecutive `chunkTokens`-token chunks, emitting
