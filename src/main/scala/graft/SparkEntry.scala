@@ -350,6 +350,14 @@ object SparkEntry {
       Dedup.applyDedup(
         Tables.documents(s, dir),
         Dedup.minhashLshPairs(Tables.documents(s, dir)).select(col("a"), col("b")))),
+    // snapshot delta by content digest (set-operation surface): docs in
+    // the even-id snapshot whose content the odd-id snapshot lacks
+    "d11_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.snapshotDiff(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
     // multi-table LSH (OR-construction): the recall lever over d07 — 3
     // independent plane families, candidate if ANY table collides; pairs
     // dedup'd before the single cosine verify
@@ -775,6 +783,10 @@ object SparkEntry {
       "d01_dedup_exact" ->
         """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
           | FROM documents GROUP BY 1""".stripMargin,
+      "d11_snapshot_diff" ->
+        """SELECT md5(text) AS text_md5 FROM documents WHERE doc_id % 2 = 0
+          |EXCEPT
+          |SELECT md5(text) AS text_md5 FROM documents WHERE doc_id % 2 = 1""".stripMargin,
       "d02_minhash_lsh" ->
         s"WITH $minhashCtes\nSELECT a, b, est_ppm FROM est WHERE est_ppm >= 500000",
       "d06_dup_clusters" ->

@@ -478,6 +478,15 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** Snapshot delta by content (the incremental-crawl bookkeeping step):
+    * digests present in snapshot `a` but not `b` — docs to (re)process.
+    * EXCEPT DISTINCT on the md5 digest: one shuffle on a uniform 128-bit
+    * key, never on raw text; both sides prune to (text) at the scan.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(PortableHash.md5Hex(col("text")).as("text_md5"))
+      .except(b.select(PortableHash.md5Hex(col("text")).as("text_md5")))
+
   // ------------------------------------------------ benchmark contamination --
 
   /** Benchmark contamination detection (the train/test-overlap audit every
