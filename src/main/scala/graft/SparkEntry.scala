@@ -173,6 +173,33 @@ object SparkEntry {
     "c19_session_count" -> ((s, dir) =>
       Counters.runSessions(events(s, dir), "ts", "user_id",
         cRequestCount.copy(id = "session_events"), gap = "2 hours")),
+    // THE WHOLE ENGINE from config, oracle-checked: YAML in (env-template
+    // loader), ARN wildcard routing selects the matching counter, its
+    // pipeline runs target_expr + jq — records out must hash-match the
+    // oracle. The non-matching counter proves routing drops it.
+    "c25_engine_config_e2e" -> ((s, dir) => {
+      val yaml =
+        """counters:
+          |  - id: cfg_clicks
+          |    counter_type: count
+          |    input_stream_arn: arn:aws:kinesis:ap-northeast-1:111122223333:stream/events*
+          |    target_expr: 'if(string_contains(event_type, "click"), 1, nil)'
+          |    jq_expr: '{"time": .window_start, "name": "metric.\(.counter_id)", "value": .value}'
+          |  - id: cfg_other
+          |    counter_type: count
+          |    input_stream_arn: arn:aws:kinesis:ap-northeast-1:111122223333:stream/other
+          |    target_column: "*"
+          |""".stripMargin
+      val cfg = graft.config.ConfigLoader.fromYaml(yaml)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      val src = graft.config.Arn.parse(
+          "arn:aws:kinesis:ap-northeast-1:111122223333:stream/events-prod")
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      val outs = Engine.process(events(s, dir), "ts", cfg, src)
+      require(outs.map(_._1.id) == Seq("cfg_clicks"),
+        s"routing must select exactly cfg_clicks, got ${outs.map(_._1.id)}")
+      outs.head._2
+    }),
     // O16 through Structured Streaming, oracle-checked: N counters share
     // ONE streaming aggregation (single state store) + one generator
     // unpivot; every watermark-closed window hash-matches the batch
@@ -541,6 +568,11 @@ object SparkEntry {
           | epoch_ms(max(ts) + INTERVAL '2 hours') AS session_end,
           | 'session_events' AS counter_id, count(*) AS value
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      "c25_engine_config_e2e" ->
+        """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
+          | 'metric.cfg_clicks' AS name,
+          | count(*) FILTER (WHERE event_type LIKE '%click%') AS value
+          |FROM events GROUP BY 1""".stripMargin,
       "c24_fanout_streaming_parity" ->
         s"""SELECT * FROM (
            | SELECT $win, 'request_count_fo_stream' AS counter_id,
