@@ -308,6 +308,10 @@ object SparkEntry {
       graft.relational.Relational.volumeShipping(
         Tables.supplier(s, dir), Tables.customer(s, dir), Tables.nation(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Q14 shape: promo/total conditional-aggregate ratio in one pass
+    "h07_promo_share" -> ((s, dir) =>
+      graft.relational.Relational.promoRevenueShare(
+        Tables.part(s, dir), Tables.lineitem(s, dir))),
 
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
@@ -546,6 +550,23 @@ object SparkEntry {
           |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
           |   OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3')
           |GROUP BY 1, 2, 3""".stripMargin,
+      "h07_promo_share" ->
+        """SELECT
+          | sum(CASE WHEN p_type = 'PROMO'
+          |      THEN CAST(floor(l_extendedprice*100) AS BIGINT)
+          |           * (100 - CAST(floor(l_discount*100) AS BIGINT))
+          |      ELSE 0 END)::BIGINT AS promo_cpct,
+          | sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |     * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT AS total_cpct,
+          | (sum(CASE WHEN p_type = 'PROMO'
+          |      THEN CAST(floor(l_extendedprice*100) AS BIGINT)
+          |           * (100 - CAST(floor(l_discount*100) AS BIGINT))
+          |      ELSE 0 END) * 1000000
+          |  // sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |     * (100 - CAST(floor(l_discount*100) AS BIGINT))))::BIGINT AS promo_share_ppm
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
       "c18_sliding_count" ->
         """WITH w AS (SELECT ts,
           |  time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS wstart

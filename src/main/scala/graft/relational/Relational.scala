@@ -143,6 +143,27 @@ object Relational {
       .agg(rev.as("revenue_cpct"), count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q14 shape (promo revenue share): one month's lineitem joined to
+    * its (broadcast) part type, promo vs total revenue as a conditional
+    * aggregate in ONE pass — no second scan, no self-join. The ratio is
+    * integer ppm (`promo·10⁶ div total`, both engines' truncating BIGINT
+    * division), so the oracle hash-matches exactly.
+    */
+  def promoRevenueShare(part: DataFrame, lineitem: DataFrame,
+                        from: String = "1997-09-01",
+                        until: String = "1997-10-01"): DataFrame = {
+    val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    lineitem
+      .where(col("l_shipdate") >= lit(from).cast("timestamp") &&
+             col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_cpct"),
+        sum(rev).as("total_cpct"))
+      .withColumn("promo_share_ppm", expr("promo_cpct * 1000000 div total_cpct"))
+  }
+
   /** TPC-H Q5 shape (local revenue by nation): one region's per-nation
     * revenue for a date-bounded order year. `region` and `nation` are
     * genuinely tiny dimensions → explicit broadcast; customer/orders/
