@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.textops.TextAnalysis
+
+/** Unit semantics for the round-3 extension operators (their cross-engine
+  * values are locked by the DuckDB oracle gate; these specs pin the
+  * SEMANTIC contracts on hand-built inputs).
+  */
+class ExtensionOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+  private lazy val embeddings = Tables.embeddings(spark, sf0001)
+
+  test("multi-table LSH finds a superset of the single-table pairs' spirit: more recall") {
+    // OR-construction can only add candidate buckets, and every pair is
+    // cosine-verified at the same tau — so more tables ⇒ ≥ as many pairs
+    val multi1 = Dedup.lshNearDupPairsMulti(embeddings, tau = 0.35, nPlanes = 4, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi3 = Dedup.lshNearDupPairsMulti(embeddings, tau = 0.35, nPlanes = 4, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi1.subsetOf(multi3), "tables=3 must contain every tables=1 pair")
+    assert(multi3.size > multi1.size, "extra tables should add recall on this corpus")
+    // every emitted pair is ordered and cosine-verified
+    assert(multi3.forall { case (a, b) => a < b })
+  }
+
+  test("snapshotDiff is EXCEPT by content, not by id") {
+    val a = Seq((1L, "same text"), (2L, "only in a"), (3L, "shared dup"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "same text"), (11L, "shared dup"), (12L, "only in b"))
+      .toDF("doc_id", "text")
+    val diff = Dedup.snapshotDiff(a, b).collect().map(_.getString(0)).toSet
+    val md5OnlyInA = graft.functions.PortableHash
+    // exactly one digest survives: "only in a"
+    assert(diff.size == 1)
+    val expected = a.where(col("doc_id") === 2)
+      .select(md5OnlyInA.md5Hex(col("text"))).head().getString(0)
+    assert(diff == Set(expected))
+    // symmetric direction picks up b's unique content
+    assert(Dedup.snapshotDiff(b, a).count() == 1)
+    // identical snapshots diff to empty
+    assert(Dedup.snapshotDiff(a, a).count() == 0)
+  }
+
+  test("mixtureRollup grouping levels: detail=0, lang subtotal=1, grand total=3") {
+    val t = Seq(
+      ("en", "s1", "w w w"), ("en", "s2", "w w"), ("de", "s1", "w"))
+      .toDF("lang", "source", "text")
+    val rows = TextAnalysis.mixtureRollup(t).collect()
+    val byLevel = rows.groupBy(_.getLong(rows.head.length - 1).toInt)
+    assert(byLevel(0).length == 3) // (en,s1), (en,s2), (de,s1)
+    assert(byLevel(1).length == 2) // en, de subtotals
+    assert(byLevel(3).length == 1) // grand total
+    val grand = byLevel(3).head
+    assert(grand.getLong(2) == 3L) // n_docs
+    assert(grand.getLong(3) == 6L) // n_tokens: 3 + 2 + 1
+    // subtotal row for en aggregates its two sources
+    val en = byLevel(1).find(_.getString(0) == "en").get
+    assert(en.getLong(2) == 2L && en.getLong(3) == 5L)
+  }
+
+  test("lengthQuantiles picks the lower discrete quantile per group") {
+    // lang x: lengths 1..10 (texts of i chars) → p50 rank floor(9*.5)+1=5
+    val t = (1 to 10).map(i => ("x", "a" * i)).toDF("lang", "text")
+    val q = TextAnalysis.lengthQuantiles(t, psPpm = Seq(500000L, 900000L, 990000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(q(500000L) == 5L)  // rank 5 of 1..10
+    assert(q(900000L) == 9L)  // floor(9*.9)+1 = 9
+    assert(q(990000L) == 9L)  // floor(9*.99)+1 = 9
+    // duplicates: histogram ranges cover ties correctly
+    val dup = Seq.fill(4)(("y", "aa")).++(Seq(("y", "aaaa"))).toDF("lang", "text")
+    val qd = TextAnalysis.lengthQuantiles(dup, psPpm = Seq(500000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(qd(500000L) == 2L) // rank floor(4*.5)+1=3 of [2,2,2,2,4]
+  }
+
+  test("promoRevenueShare: ratio is truncating integer ppm of one aggregate") {
+    val part = Seq((1L, "PROMO"), (2L, "OTHER")).toDF("p_partkey", "p_type")
+    val li = Seq(
+      (1L, "1997-09-10", 2.00, 0.00), // promo: 200 cents, no discount
+      (2L, "1997-09-20", 4.00, 0.00), // other: 400 cents
+      (1L, "1998-01-01", 99.0, 0.00)) // outside window — excluded
+      .toDF("l_partkey", "d", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", col("d").cast("timestamp"))
+    val r = graft.relational.Relational.promoRevenueShare(part, li).head()
+    assert(r.getLong(0) == 200L * 100)        // promo cpct
+    assert(r.getLong(1) == 600L * 100)        // total cpct
+    assert(r.getLong(2) == 333333L)           // 20000*1e6 div 60000
+  }
+
+  test("largeOrders keeps only orders above the quantity HAVING bound") {
+    val li = Seq(
+      (1L, 100.0), (1L, 200.0), // order 1: 300 > 250 ✓
+      (2L, 50.0))               // order 2: 50 ✗
+      .toDF("l_orderkey", "l_quantity")
+    val orders = Seq((1L, 7L, "1997-01-01"), (2L, 8L, "1997-01-02"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp"))
+    val cust = Seq((7L, "alice"), (8L, "bob")).toDF("c_custkey", "c_name")
+    val out = graft.relational.Relational.largeOrders(cust, orders, li, minQty = 250)
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Long]("orderkey") == 1L)
+    assert(out.head.getAs[Long]("total_qty") == 300L)
+  }
+}
