@@ -272,8 +272,13 @@ object Dedup {
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
       .distinct()
       .localCheckpoint(eager = false)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // seed label(v) = min(Γ(v) ∪ v): the first propagation round for FREE
+    // as one map-side-combined groupBy over the bidirected edges (no join)
+    // — cliques (the dominant near-dup shape, diameter 1) arrive at their
+    // fixpoint immediately and the loop's first probe just confirms it.
+    // Correct for any init ≥ the component min, since labels only decrease.
+    var labels = edges.groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), first(col("u"))).as("component"))
       .localCheckpoint(eager = false)
     // labels only ever decrease, so an unchanged label SUM means fixpoint —
     // a one-row aggregate per round instead of a change-detection join

@@ -181,14 +181,17 @@ object Ann {
       // localCheckpoint: truncate the iterative lineage (cells × dim rows,
       // tiny) — without it each round's plan NESTS all prior rounds'
       // broadcasts and corpus scans, the driver-stall class the
-      // connectedComponents loop already guards against
+      // connectedComponents loop already guards against. Lazy: there is no
+      // per-round probe action here, so the next round's centroid
+      // broadcast (or the final action) materializes it — one fewer job
+      // per iteration.
       stats = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
           floor(col("x") * 1000000d).cast("long").as("x_ppm"))
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("x_ppm")).as("sum_ppm"), count(lit(1)).as("n_vectors"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       if (i < iterations) cents = stats
         .select(col("cell"), col("dim"), meanPpm.cast("double").as("m"))
         .groupBy(col("cell"))
