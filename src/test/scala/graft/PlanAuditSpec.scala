@@ -158,6 +158,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cross join leaked:\n$p")
   }
 
+  test("length quantiles window-sorts the HISTOGRAM, not the corpus") {
+    val p = plan(TextAnalysis.lengthQuantiles(docs))
+    // the aggregation (histogram build) must sit UPSTREAM of the window
+    // sort: Window appears above HashAggregate in the plan string
+    val winAt = p.indexOf("Window")
+    val aggAt = p.indexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt >= 0 && winAt < aggAt,
+      s"window must run over the aggregated histogram:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"window must partition by lang:\n$p")
+  }
+
   test("fanOut plans exactly ONE aggregation pass for N same-window counters") {
     val cs = Seq(
       CounterDef("a", CounterType.Count, Some("*"), windowDuration = "1 hour"),
