@@ -36,6 +36,8 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, St
   *  - boolean `and`/`or`, arithmetic `+ - * /`, parentheses,
   *    string/number/bool/null literals, and string INTERPOLATION
   *    (`"metric.\(.counter_id)"` → `concat`, null printing as "null");
+  *  - `map(expr)` over array values — ONE codegen'd `transform`, with
+  *    `.`/`.field` bound to the element inside the body (jq shadowing);
   *  - `//` ALTERNATIVE operator (right-assoc, binds looser than `or`,
   *    jq truthiness: `a // b` is `a` unless `a` is null/false) — a
   *    `coalesce` for non-boolean operands, a truthiness `when` for
@@ -247,6 +249,15 @@ object JqTransform {
       case _ => c.isNull
     }))
 
+  /** The element binding for `map(expr)`: inside the map body, `.` and
+    * `.field` resolve against the array ELEMENT (jq's semantics — map
+    * shadows the input). Spark invokes the transform lambda exactly once
+    * at plan-construction time with the lambda-variable Column, so a
+    * dynamically-scoped binding at V-evaluation time is sound (and nests
+    * for map-in-map).
+    */
+  private val elemBinding = new scala.util.DynamicVariable[Option[Column]](None)
+
   private final class P(s: String) {
     private var i = 0
     def hasMore: Boolean = { skipWs(); i < s.length }
@@ -427,17 +438,28 @@ object JqTransform {
       }
     }
 
-    /** additive chain, then any `| func` postfix pipes. */
+    /** additive chain, then any `| func` postfix pipes; `map(expr)` runs
+      * its body per element (a codegen'd `transform`, `.` = the element).
+      */
     private def parsePiped(): V = {
       var v = parseAdd()
       skipWs()
       while (peek == '|' && !s.startsWith("||", i)) {
         next()
         val fn = parseIdent()
-        val f = Funcs.getOrElse(fn, throw new IllegalArgumentException(
-          s"jq_expr: unsupported function '$fn' (supported: ${Funcs.keys.toSeq.sorted.mkString(", ")})"))
-        val vv = v
-        v = df => f(df, vv(df))
+        skipWs()
+        if (fn == "map") {
+          expect('(')
+          val inner = parseValue()
+          expect(')')
+          val vv = v
+          v = df => transform(vv(df), x => elemBinding.withValue(Some(x))(inner(df)))
+        } else {
+          val f = Funcs.getOrElse(fn, throw new IllegalArgumentException(
+            s"jq_expr: unsupported function '$fn' (supported: map, ${Funcs.keys.toSeq.sorted.mkString(", ")})"))
+          val vv = v
+          v = df => f(df, vv(df))
+        }
         skipWs()
       }
       v
@@ -494,8 +516,23 @@ object JqTransform {
           val es = elems.result()
           df => array(es.map(_(df)): _*)
         case '.' =>
-          val parts = parsePathParts()
-          df => pathColumn(df, parts)
+          // '.path' — or bare '.' (the current value: only defined inside
+          // a map(...) body, where it is the array element)
+          if (i + 1 < s.length &&
+              (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')) {
+            val parts = parsePathParts()
+            df => elemBinding.value match {
+              // element paths navigate the element struct (the element's
+              // runtime type isn't known at compile time — a missing field
+              // is an analyzer error here, unlike top-level paths)
+              case Some(el) => parts.foldLeft(el)((c, f) => c.getField(f))
+              case None => pathColumn(df, parts)
+            }
+          } else {
+            next()
+            _ => elemBinding.value.getOrElse(throw new IllegalArgumentException(
+              "jq_expr: bare '.' as a value is only supported inside map(...)"))
+          }
         case '"' => parseInterpString()
         case c if c.isDigit || c == '-' =>
           val start = i
@@ -504,6 +541,22 @@ object JqTransform {
           val t = s.substring(start, i)
           if (t.contains('.')) { val d = t.toDouble; _ => lit(d) }
           else { val n = t.toLong; _ => lit(n) }
+        case 'm' if s.startsWith("map", i) && {
+          // value-position map(f): applies to the current value '.' —
+          // meaningful only where '.' is bound (inside an enclosing map)
+          val save = i; i += 3; skipWs()
+          val ok = peek == '('
+          if (!ok) i = save
+          ok
+        } =>
+          next() // '('
+          val inner = parseValue()
+          expect(')')
+          df => {
+            val cur = elemBinding.value.getOrElse(throw new IllegalArgumentException(
+              "jq_expr: value-position map(...) needs '.' bound by an enclosing map"))
+            transform(cur, x => elemBinding.withValue(Some(x))(inner(df)))
+          }
         case 't' if s.startsWith("true", i) && boundary(i + 4) => i += 4; _ => lit(true)
         case 'f' if s.startsWith("false", i) && boundary(i + 5) => i += 5; _ => lit(false)
         case 'n' if s.startsWith("null", i) && boundary(i + 4) => i += 4; _ => lit(null)

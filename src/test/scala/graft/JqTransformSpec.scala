@@ -197,6 +197,26 @@ class JqTransformSpec extends SparkTestBase {
     assert(d.getDouble(0) == 50.0 && d.getLong(1) == 100L)
   }
 
+  test("map(expr): element-bound '.' over arrays, nested fields, map-in-map") {
+    val t = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "xs")
+    val out = JqTransform(t, """{doubled: (.xs | map(. * 2)), id: .id}""").head()
+    assert(out.getSeq[Long](0) == Seq(2L, 4L, 6L))
+    // field access on struct elements
+    val structs = JqTransform(df,
+      """{items: [{t: .window_start, v: .value}, {t: .window_end, v: .value * 2}]} | {ts: (.items | map(.t)), doubled: (.items | map(.v * 10))}""")
+    val r = structs.head()
+    assert(r.getSeq[Long](0) == Seq(1638357540000L, 1638357600000L))
+    assert(r.getSeq[Long](1) == Seq(1000L, 2000L))
+    // nested map: inner '.' binds to the inner element
+    val nested = Seq((Seq(Seq(1L, 2L), Seq(3L)), 1L)).toDF("xss", "id")
+    val n = JqTransform(nested, """{out: (.xss | map(map(. + 1)))}""").head()
+    assert(n.getSeq[scala.collection.Seq[Long]](0).map(_.toSeq).toSeq ==
+      Seq(Seq(2L, 3L), Seq(4L)))
+    // bare '.' outside map is a compile error
+    assertThrows[IllegalArgumentException](
+      JqTransform(df, """{x: .}""").collect())
+  }
+
   test("missing top-level field reads as jq null, not an analyzer error") {
     // the reference's records are dynamic JSON: absent key == nil
     // (counter.go:274); jq mirrors that, and so do we
