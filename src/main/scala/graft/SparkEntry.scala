@@ -173,6 +173,13 @@ object SparkEntry {
     "c19_session_count" -> ((s, dir) =>
       Counters.runSessions(events(s, dir), "ts", "user_id",
         cRequestCount.copy(id = "session_events"), gap = "2 hours")),
+    // O14 jq map + array construction + iteration composed: per output
+    // record build an array, map over it (element-bound '.'), then emit
+    // one row per element — 0..N outputs through one generator
+    "c26_jq_map_iterate" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{pair: ([.value, .value * 2] | map(. * 10)), time: .window_start} | .pair[]""")),
     // THE WHOLE ENGINE from config, oracle-checked: YAML in (env-template
     // loader), ARN wildcard routing selects the matching counter, its
     // pipeline runs target_expr + jq — records out must hash-match the
@@ -589,6 +596,10 @@ object SparkEntry {
           | epoch_ms(max(ts) + INTERVAL '2 hours') AS session_end,
           | 'session_events' AS counter_id, count(*) AS value
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      "c26_jq_map_iterate" ->
+        """SELECT unnest([value * 10, value * 20]) AS pair
+          |FROM (SELECT count(*) AS value FROM events
+          |      GROUP BY time_bucket(INTERVAL '1 hour', ts))""".stripMargin,
       "c25_engine_config_e2e" ->
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'metric.cfg_clicks' AS name,
