@@ -38,6 +38,8 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, St
   *    (`"metric.\(.counter_id)"` → `concat`, null printing as "null");
   *  - `map(expr)` over array values — ONE codegen'd `transform`, with
   *    `.`/`.field` bound to the element inside the body (jq shadowing);
+  *  - `reduce .path[] as $x (init; update)` — ONE codegen'd `aggregate`
+  *    HOF; `.` is the accumulator and `$x` the element in the update;
   *  - `//` ALTERNATIVE operator (right-assoc, binds looser than `or`,
   *    jq truthiness: `a // b` is `a` unless `a` is null/false) — a
   *    `coalesce` for non-boolean operands, a truthiness `when` for
@@ -48,7 +50,7 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, St
   *    JSON objects.
   *
   * Out of scope (documented divergence, unused by the reference's own
-  * fixtures): slurp/reduce/foreach, def bindings.
+  * fixtures): slurp, foreach, def bindings.
   * Programs needing those belong in a real jq; every config observed in
   * the reference repo compiles here.
   *
@@ -257,6 +259,12 @@ object JqTransform {
     * for map-in-map).
     */
   private val elemBinding = new scala.util.DynamicVariable[Option[Column]](None)
+
+  /** `$name` variables bound by `reduce ... as $name` (scoped like
+    * [[elemBinding]]: resolved at plan-construction time).
+    */
+  private val varBindings =
+    new scala.util.DynamicVariable[Map[String, Column]](Map.empty)
 
   private final class P(s: String) {
     private var i = 0
@@ -556,6 +564,40 @@ object JqTransform {
             val cur = elemBinding.value.getOrElse(throw new IllegalArgumentException(
               "jq_expr: value-position map(...) needs '.' bound by an enclosing map"))
             transform(cur, x => elemBinding.withValue(Some(x))(inner(df)))
+          }
+        case '$' =>
+          next()
+          val name = parseIdent()
+          _ => varBindings.value.getOrElse(name, throw new IllegalArgumentException(
+            s"jq_expr: unbound variable $$$name (bound: ${varBindings.value.keys.mkString(", ")})"))
+        case 'r' if s.startsWith("reduce", i) && boundary(i + 6) =>
+          // reduce .path[] as $x (init; update) — a single codegen'd
+          // `aggregate` HOF; inside update, '.' is the ACCUMULATOR and $x
+          // the element (jq semantics). The init literal's type drives the
+          // accumulator type (integer literals parse as long here, so the
+          // common `0` init folds long arrays without a cast).
+          i += 6; skipWs()
+          val parts = parsePathParts()
+          if (!tryConsume("[]"))
+            throw new IllegalArgumentException(
+              s"jq_expr: reduce source must be a '.path[]' iterator in: $s")
+          skipWs(); expectWord("as"); skipWs()
+          expect('$')
+          val name = parseIdent()
+          skipWs(); expect('(')
+          val init = parseValue()
+          expect(';')
+          val update = parseValue()
+          expect(')')
+          df => {
+            val arr = elemBinding.value match {
+              case Some(el) => parts.foldLeft(el)((c, f) => c.getField(f))
+              case None => pathColumn(df, parts)
+            }
+            aggregate(arr, init(df), (acc, x) =>
+              elemBinding.withValue(Some(acc)) {
+                varBindings.withValue(varBindings.value + (name -> x))(update(df))
+              })
           }
         case 't' if s.startsWith("true", i) && boundary(i + 4) => i += 4; _ => lit(true)
         case 'f' if s.startsWith("false", i) && boundary(i + 5) => i += 5; _ => lit(false)

@@ -217,6 +217,25 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform(df, """{x: .}""").collect())
   }
 
+  test("reduce .path[] as $x (init; update): fold with acc-bound '.'") {
+    val t = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq.empty[Long])).toDF("id", "xs")
+    val out = JqTransform(t, """{id: .id, total: (reduce .xs[] as $x (0; . + $x))}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 6L, 2L -> 0L)) // empty array folds to init
+    // update can mix acc and element arbitrarily: sum of squares
+    val sq = JqTransform(t, """{s: (reduce .xs[] as $v (0; . + $v * $v)), id: .id}""")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(sq(1L) == 14L)
+    // reduce composes with map in one expression
+    val c = JqTransform(t,
+      """{m: (reduce .xs[] as $x (0; . + $x)), d: (.xs | map(. * 2) | length), id: .id}""")
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).toMap
+    assert(c(1L) == ((6L, 3L)))
+    // unbound variable is a compile-time error
+    assertThrows[IllegalArgumentException](
+      JqTransform(t, """{x: ($nope + 1)}""").collect())
+  }
+
   test("missing top-level field reads as jq null, not an analyzer error") {
     // the reference's records are dynamic JSON: absent key == nil
     // (counter.go:274); jq mirrors that, and so do we
