@@ -319,6 +319,10 @@ object SparkEntry {
     "h07_promo_share" -> ((s, dir) =>
       graft.relational.Relational.promoRevenueShare(
         Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // Q4 shape: EXISTS → left-semi join (probe side never duplicates)
+    "h08_late_priority" -> ((s, dir) =>
+      graft.relational.Relational.latePriority(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
@@ -396,6 +400,10 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1))
     }),
+    // asymmetric containment (the subset-duplication signal Jaccard
+    // misses): either direction ≥ 0.8 of the smaller side's grams
+    "d12_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir))),
     // multi-table LSH (OR-construction): the recall lever over d07 — 3
     // independent plane families, candidate if ANY table collides; pairs
     // dedup'd before the single cosine verify
@@ -574,6 +582,15 @@ object SparkEntry {
           |FROM lineitem JOIN part ON p_partkey = l_partkey
           |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
           |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+      "h08_late_priority" ->
+        """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+          |FROM orders o
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o.o_orderkey
+          |                AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY 1""".stripMargin,
       "c18_sliding_count" ->
         """WITH w AS (SELECT ts,
           |  time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS wstart
@@ -883,6 +900,16 @@ object SparkEntry {
            |SELECT a, b, (c * 1000000 // (na.n + nb.n - c))::BIGINT AS jaccard_ppm
            |FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
            |WHERE (c * 1000000 // (na.n + nb.n - c)) >= 500000""".stripMargin,
+      "d12_containment" ->
+        s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
+           |sh AS (SELECT doc_id, unnest(gs) AS g FROM kg),
+           |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+           |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS c
+           |           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)
+           |SELECT a, b, (c * 1000000 // na.n)::BIGINT AS cont_a_ppm,
+           |       (c * 1000000 // nb.n)::BIGINT AS cont_b_ppm
+           |FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
+           |WHERE (c * 1000000 // na.n) >= 800000 OR (c * 1000000 // nb.n) >= 800000""".stripMargin,
       "d05_embed_neardup" ->
         """SELECT x.vec_id AS a, y.vec_id AS b
           |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id

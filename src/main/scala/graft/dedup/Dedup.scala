@@ -233,6 +233,30 @@ object Dedup {
       .where(col("jaccard_ppm") >= tauPpm)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — |A∩B|/|A| and |A∩B|/|B|: the
+    * subset-duplication signal Jaccard misses (a long doc quoting a short
+    * one entirely scores low Jaccard but containment ≈ 1 on the short
+    * side — the "document embedded in another" case). Same inverted-index
+    * shape as [[ngramJaccardPairs]]; a pair is kept when EITHER direction
+    * reaches `tauPpm`.
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 3,
+                       tauPpm: Long = 800000L): DataFrame = {
+    val sh = shingles(docs, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.as("na")), col("a") === col("na.doc_id"))
+      .join(broadcast(sizes.as("nb")), col("b") === col("nb.doc_id"))
+      .select(col("a"), col("b"),
+        TextAnalysis.intDiv(col("common") * lit(1000000L), col("na.n")).as("cont_a_ppm"),
+        TextAnalysis.intDiv(col("common") * lit(1000000L), col("nb.n")).as("cont_b_ppm"))
+      .where(col("cont_a_ppm") >= tauPpm || col("cont_b_ppm") >= tauPpm)
+  }
+
   // --------------------------------------------- duplicate-cluster labels --
 
   /** Connected components over an undirected near-dup pair list (a, b):

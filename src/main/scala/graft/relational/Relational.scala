@@ -164,6 +164,26 @@ object Relational {
       .withColumn("promo_share_ppm", expr("promo_cpct * 1000000 div total_cpct"))
   }
 
+  /** TPC-H Q4 shape (order priority with EXISTS): count orders per
+    * priority that have at least one LATE line (shipped > 60 days after
+    * the order date). The EXISTS compiles to a LEFT SEMI join — each
+    * order contributes once no matter how many late lines, and the probe
+    * side never duplicates rows (the plan property the Q4 rewrite exists
+    * for).
+    */
+  def latePriority(orders: DataFrame, lineitem: DataFrame,
+                   from: String = "1997-01-01",
+                   until: String = "1997-07-01"): DataFrame =
+    orders
+      .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+             col("o_orderdate") < lit(until).cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
   /** TPC-H Q5 shape (local revenue by nation): one region's per-nation
     * revenue for a date-bounded order year. `region` and `nation` are
     * genuinely tiny dimensions → explicit broadcast; customer/orders/

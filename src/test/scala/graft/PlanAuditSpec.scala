@@ -170,6 +170,13 @@ class PlanAuditSpec extends SparkTestBase {
       s"window must partition by lang:\n$p")
   }
 
+  test("late priority compiles the EXISTS to a left-semi join") {
+    val p = plan(graft.relational.Relational.latePriority(
+      Tables.orders(spark, sf0001), Tables.lineitem(spark, sf0001)))
+    assert(p.contains("LeftSemi"), s"EXISTS must be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross join leaked:\n$p")
+  }
+
   test("fanOut plans exactly ONE aggregation pass for N same-window counters") {
     val cs = Seq(
       CounterDef("a", CounterType.Count, Some("*"), windowDuration = "1 hour"),
