@@ -360,6 +360,9 @@ object SparkEntry {
     // exact per-lang length quantiles via histogram + cumulative window
     "t13_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(Tables.documents(s, dir))),
+    // token-frequency spectrum (Zipf / corpus-health): two stacked aggs
+    "t14_token_spectrum" -> ((s, dir) =>
+      TextAnalysis.tokenSpectrum(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -808,6 +811,12 @@ object SparkEntry {
           |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
           |WHERE (floor((n-1) * p_ppm / 1000000.0) + 1)::BIGINT > cum - cnt
           |  AND (floor((n-1) * p_ppm / 1000000.0) + 1)::BIGINT <= cum""".stripMargin,
+      "t14_token_spectrum" ->
+        s"""SELECT n AS n_occurrences, count(*)::BIGINT AS n_tokens
+           |FROM (SELECT count(*)::BIGINT AS n
+           |      FROM (SELECT unnest($toks) AS tok FROM documents)
+           |      GROUP BY tok)
+           |GROUP BY 1""".stripMargin,
       "t11_chunks" ->
         s"""SELECT doc_id, i::BIGINT AS chunk_idx,
            | least(32, len(t) - i*32)::BIGINT AS n_chunk_tokens,

@@ -302,6 +302,19 @@ object TextAnalysis {
       .select(col("lang"), col("p_ppm"), col("len"))
   }
 
+  /** Token-frequency SPECTRUM (frequency of frequencies): how many
+    * distinct tokens occur exactly n times — the Zipf-shape / corpus-health
+    * check (a healthy crawl has a long singleton tail; boilerplate
+    * contamination shows up as mass at high n). Two stacked
+    * map-side-combinable aggregates; the second one's group count is
+    * bounded by distinct frequencies (tiny).
+    */
+  def tokenSpectrum(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tokens"))
+      .select(col("n").as("n_occurrences"), col("n_tokens"))
+
   /** Fixed-size token chunking (sequence packing / context-window prep):
     * split each doc into consecutive `chunkTokens`-token chunks, emitting
     * (doc_id, chunk_idx, n_chunk_tokens, chunk_md5). One tokenize + one
