@@ -104,6 +104,37 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming merge UNIONS ACD sketches across shards (EP3 approx path)") {
+    implicit val sc = spark.sqlContext
+    val c = CounterDef("uniq", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 minute")
+    // 4 shards, user ids 0..19 spread with cross-shard overlap: the union
+    // must dedupe ACROSS shard sketches, not sum the per-shard estimates
+    val events = (0 until 40).map(i => (ts(i % 50), i.toLong % 20, i.toLong % 4))
+      .toDF("ts", "user_id", "shard")
+    val late = Seq((ts(600), 99L, 0L)).toDF("ts", "user_id", "shard")
+    def records(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      graft.operators.Intermediate.toRecords(
+        graft.operators.Counters.partialState(df, "ts", "shard", c),
+        c, "arn:aws:kinesis:ap-northeast-1:1:stream/agg")
+        .select("value").as[String].collect().toSeq
+    val input = MemoryStream[String]
+    val out = StreamingCounters.mergeIntermediate(
+      input.toDF().toDF("value"), c, watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("stream_merge_acd")
+      .outputMode("append").start()
+    try {
+      input.addData(records(events): _*)
+      query.processAllAvailable()
+      input.addData(records(late): _*) // watermark past the first window
+      query.processAllAvailable()
+      val rows = spark.table("stream_merge_acd")
+        .select("window_start", "value").as[(Long, Long)].collect().toMap
+      // lgK=16 HLL is exact at cardinality 20
+      assert(rows(base) == 20L)
+    } finally query.stop()
+  }
+
   test("KPL-packed payloads deaggregate, parse and count end-to-end (counter.go:163-169)") {
     implicit val sc = spark.sqlContext
     import graft.sources.Deaggregate
