@@ -49,7 +49,16 @@ object Bench {
     watchdog.setDaemon(true)
     watchdog.start()
     // optional comma-separated query filter for targeted iteration
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+      if (o.isEmpty || (o -- unknown).isEmpty)
+        System.err.println("[bench] WARNING: SPARK_GRAFT_ONLY matches no queries — empty run")
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -230,7 +230,9 @@ object SparkEntry {
     "c23_intermediate_streaming_parity" -> ((s, dir) => {
       val c = cRequestCount.copy(id = "request_count_rt_stream")
       val sharded = events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8)))
-      val recDir = "/tmp/graft_c23_records"
+      // per-application path: concurrent runs on one host must not clobber
+      // each other's record files mid-stream
+      val recDir = s"/tmp/graft_c23_records_${s.sparkContext.applicationId}"
       Intermediate.toRecords(
           Counters.partialState(sharded, "ts", "shard", c),
           c, "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in")
@@ -809,8 +811,8 @@ object SparkEntry {
           |        sum(cnt) OVER (PARTITION BY lang) AS n FROM h)
           |SELECT lang, p_ppm, len
           |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
-          |WHERE (floor((n-1) * p_ppm / 1000000.0) + 1)::BIGINT > cum - cnt
-          |  AND (floor((n-1) * p_ppm / 1000000.0) + 1)::BIGINT <= cum""".stripMargin,
+          |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
+          |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
       "t14_token_spectrum" ->
         s"""SELECT n AS n_occurrences, count(*)::BIGINT AS n_tokens
            |FROM (SELECT count(*)::BIGINT AS n

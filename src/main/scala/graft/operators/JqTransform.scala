@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, NullType, StructType}
 
 /** Output-record transform (reference O14, `jq_expr`):
   * `/root/reference/counter.go:439-466`, compiled at config load
@@ -75,8 +75,38 @@ object JqTransform {
     df => compiled.foldLeft(df)((d, stage) => stage(d))
   }
 
+  /** TYPE PROBING for expressions inside map/reduce bodies: a lambda
+    * variable cannot be analyzed against the top-level frame (only its
+    * enclosing higher-order function binds it), so every bound variable
+    * carries a typed-null PROBE twin. Under [[probeMode]] the `.`/`$x`
+    * atoms evaluate to the probe instead of the real lambda variable,
+    * making any subexpression independently analyzable for the
+    * type-directed constructs (`//`, `length`, `not`, select truthiness).
+    * Spark invokes HOF builder lambdas exactly once at plan-construction
+    * time, so dynamically-scoped bindings are sound and nest.
+    */
+  private case class Bound(real: Column, probe: Column)
+
+  private val probeMode = new scala.util.DynamicVariable[Boolean](false)
+
   private def dtOf(df: DataFrame, c: Column): DataType =
     df.select(c.as("__v")).schema.head.dataType
+
+  /** The type a value expression produces against this frame — evaluated
+    * in probe mode so it works inside map/reduce bodies too.
+    */
+  private def dtOfV(df: DataFrame, v: V): DataType =
+    probeMode.withValue(true)(dtOf(df, v(df)))
+
+  /** The element type of an array-typed value, with a jq-flavored error
+    * when it is not an array.
+    */
+  private def elementTypeV(df: DataFrame, arr: V, what: String): DataType =
+    dtOfV(df, arr) match {
+      case ArrayType(t, _) => t
+      case other => throw new IllegalArgumentException(
+        s"jq_expr: $what expects an array input, got $other")
+    }
 
   /** Resolve a `.a.b.c` path against the frame's ACTUAL schema. A field
     * missing at any step yields jq's `null` instead of an analyzer error —
@@ -86,12 +116,22 @@ object JqTransform {
     * absent-key semantics are already null).
     */
   private def pathColumn(df: DataFrame, parts: Seq[String]): Column = {
+    // honor the session's resolution mode (Spark default: case-insensitive)
+    // so `.Value` finds a `value` column exactly like col("Value") would
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def find(st: StructType, p: String): Option[String] =
+      if (caseSensitive) st.fieldNames.find(_ == p)
+      else st.fieldNames.find(_.equalsIgnoreCase(p))
     @annotation.tailrec
     def loop(dt: DataType, acc: Option[Column], rest: List[String]): Column = rest match {
       case Nil => acc.getOrElse(lit(null))
       case p :: tail => dt match {
-        case st: StructType if st.fieldNames.contains(p) =>
-          loop(st(p).dataType, Some(acc.fold(col(p))(_.getField(p))), tail)
+        case st: StructType => find(st, p) match {
+          case Some(actual) =>
+            loop(st(actual).dataType, Some(acc.fold(col(actual))(_.getField(actual))), tail)
+          case None => lit(null)
+        }
         case mt: MapType if acc.nonEmpty =>
           loop(mt.valueType, Some(acc.get.getItem(p)), tail)
         case _ => lit(null)
@@ -128,7 +168,7 @@ object JqTransform {
     }
     df => {
       val v = inner(df)
-      val keep = dtOf(df, v) match {
+      val keep = dtOfV(df, inner) match {
         case BooleanType => coalesce(v, lit(false)) === lit(true)
         case _ => v.isNotNull
       }
@@ -228,43 +268,46 @@ object JqTransform {
   // ------------------------------------------------------- value parser --
 
   /** Named functions for value-level pipes; type-directed against the
-    * stage's input frame where jq semantics depend on the operand type.
+    * stage's input frame where jq semantics depend on the operand type
+    * (taking the V, not a built Column, so the type probe can run even
+    * inside map/reduce bodies).
     */
-  private val Funcs: Map[String, (DataFrame, Column) => Column] = Map(
-    "tostring" -> ((_, c) => c.cast("string")),
+  private val Funcs: Map[String, (DataFrame, V) => Column] = Map(
+    "tostring" -> ((df, v) => v(df).cast("string")),
     // jq errors on non-numeric tonumber; here the row's value becomes NULL
     // (try_cast), the declarative analog of skip-on-error. Doubles: jq
     // numbers are doubles, so "3" -> 3.0.
-    "tonumber" -> ((_, c) => c.try_cast("double")),
+    "tonumber" -> ((df, v) => v(df).try_cast("double")),
     // jq length: element count for arrays/objects, char count for strings
-    "length" -> ((df, c) => dtOf(df, c) match {
-      case _: ArrayType | _: MapType => size(c).cast("long")
-      case _ => length(c).cast("long")
+    "length" -> ((df, v) => dtOfV(df, v) match {
+      case _: ArrayType | _: MapType => size(v(df)).cast("long")
+      case _ => length(v(df)).cast("long")
     }),
-    "floor" -> ((_, c) => floor(c)),
-    "ascii_downcase" -> ((_, c) => lower(c)),
-    "ascii_upcase" -> ((_, c) => upper(c)),
+    "floor" -> ((df, v) => floor(v(df))),
+    "ascii_downcase" -> ((df, v) => lower(v(df))),
+    "ascii_upcase" -> ((df, v) => upper(v(df))),
     // jq not: true for the falsy values (null, false), false otherwise —
     // 0 and "" are truthy, and non-boolean types never cast (ANSI-safe)
-    "not" -> ((df, c) => dtOf(df, c) match {
-      case BooleanType => when(c.isNull, lit(true)).otherwise(!c)
-      case _ => c.isNull
+    "not" -> ((df, v) => dtOfV(df, v) match {
+      case BooleanType =>
+        val c = v(df)
+        when(c.isNull, lit(true)).otherwise(!c)
+      case _ => v(df).isNull
     }))
 
   /** The element binding for `map(expr)`: inside the map body, `.` and
     * `.field` resolve against the array ELEMENT (jq's semantics — map
-    * shadows the input). Spark invokes the transform lambda exactly once
-    * at plan-construction time with the lambda-variable Column, so a
-    * dynamically-scoped binding at V-evaluation time is sound (and nests
-    * for map-in-map).
+    * shadows the input); in [[probeMode]] the typed-null probe stands in.
     */
-  private val elemBinding = new scala.util.DynamicVariable[Option[Column]](None)
+  private val elemBinding = new scala.util.DynamicVariable[Option[Bound]](None)
 
   /** `$name` variables bound by `reduce ... as $name` (scoped like
     * [[elemBinding]]: resolved at plan-construction time).
     */
   private val varBindings =
-    new scala.util.DynamicVariable[Map[String, Column]](Map.empty)
+    new scala.util.DynamicVariable[Map[String, Bound]](Map.empty)
+
+  private def pick(b: Bound): Column = if (probeMode.value) b.probe else b.real
 
   private final class P(s: String) {
     private var i = 0
@@ -388,12 +431,17 @@ object JqTransform {
       if (s.startsWith("//", i)) {
         i += 2
         val r = parseAlt()
-        df => {
-          val lv = l(df)
-          dtOf(df, lv) match {
-            case BooleanType => when(coalesce(lv, lit(false)) === lit(true), lv).otherwise(r(df))
-            case _ => coalesce(lv, r(df))
+        df => dtOfV(df, l) match {
+          case BooleanType => dtOfV(df, r) match {
+            case BooleanType | NullType =>
+              val lv = l(df)
+              when(coalesce(lv, lit(false)) === lit(true), lv).otherwise(r(df))
+            case other => throw new IllegalArgumentException(
+              s"jq_expr: '//' with a boolean left side and $other right side " +
+                "has no single output type in a statically-typed plan; " +
+                "cast one side (e.g. '| tostring')")
           }
+          case _ => coalesce(l(df), r(df))
         }
       } else l
     }
@@ -461,12 +509,16 @@ object JqTransform {
           val inner = parseValue()
           expect(')')
           val vv = v
-          v = df => transform(vv(df), x => elemBinding.withValue(Some(x))(inner(df)))
+          v = df => {
+            val et = elementTypeV(df, vv, "map")
+            transform(vv(df), x =>
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
+          }
         } else {
           val f = Funcs.getOrElse(fn, throw new IllegalArgumentException(
             s"jq_expr: unsupported function '$fn' (supported: map, ${Funcs.keys.toSeq.sorted.mkString(", ")})"))
           val vv = v
-          v = df => f(df, vv(df))
+          v = df => f(df, vv)
         }
         skipWs()
       }
@@ -531,14 +583,14 @@ object JqTransform {
             val parts = parsePathParts()
             df => elemBinding.value match {
               // element paths navigate the element struct (the element's
-              // runtime type isn't known at compile time — a missing field
-              // is an analyzer error here, unlike top-level paths)
-              case Some(el) => parts.foldLeft(el)((c, f) => c.getField(f))
+              // fields resolve when the enclosing HOF analyzes — a missing
+              // field is an analyzer error here, unlike top-level paths)
+              case Some(el) => parts.foldLeft(pick(el))((c, f) => c.getField(f))
               case None => pathColumn(df, parts)
             }
           } else {
             next()
-            _ => elemBinding.value.getOrElse(throw new IllegalArgumentException(
+            _ => elemBinding.value.map(pick).getOrElse(throw new IllegalArgumentException(
               "jq_expr: bare '.' as a value is only supported inside map(...)"))
           }
         case '"' => parseInterpString()
@@ -563,12 +615,18 @@ object JqTransform {
           df => {
             val cur = elemBinding.value.getOrElse(throw new IllegalArgumentException(
               "jq_expr: value-position map(...) needs '.' bound by an enclosing map"))
-            transform(cur, x => elemBinding.withValue(Some(x))(inner(df)))
+            val et = dtOf(df, cur.probe) match {
+              case ArrayType(t, _) => t
+              case other => throw new IllegalArgumentException(
+                s"jq_expr: map expects an array input, got $other")
+            }
+            transform(pick(cur), x =>
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
           }
         case '$' =>
           next()
           val name = parseIdent()
-          _ => varBindings.value.getOrElse(name, throw new IllegalArgumentException(
+          _ => varBindings.value.get(name).map(pick).getOrElse(throw new IllegalArgumentException(
             s"jq_expr: unbound variable $$$name (bound: ${varBindings.value.keys.mkString(", ")})"))
         case 'r' if s.startsWith("reduce", i) && boundary(i + 6) =>
           // reduce .path[] as $x (init; update) — a single codegen'd
@@ -590,13 +648,16 @@ object JqTransform {
           val update = parseValue()
           expect(')')
           df => {
-            val arr = elemBinding.value match {
-              case Some(el) => parts.foldLeft(el)((c, f) => c.getField(f))
-              case None => pathColumn(df, parts)
+            val arrV: V = d => elemBinding.value match {
+              case Some(el) => parts.foldLeft(pick(el))((c, f) => c.getField(f))
+              case None => pathColumn(d, parts)
             }
-            aggregate(arr, init(df), (acc, x) =>
-              elemBinding.withValue(Some(acc)) {
-                varBindings.withValue(varBindings.value + (name -> x))(update(df))
+            val et = elementTypeV(df, arrV, "reduce")
+            val accType = dtOfV(df, init)
+            aggregate(arrV(df), init(df), (acc, x) =>
+              elemBinding.withValue(Some(Bound(acc, lit(null).cast(accType)))) {
+                varBindings.withValue(
+                  varBindings.value + (name -> Bound(x, lit(null).cast(et))))(update(df))
               })
           }
         case 't' if s.startsWith("true", i) && boundary(i + 4) => i += 4; _ => lit(true)

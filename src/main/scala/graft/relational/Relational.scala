@@ -153,15 +153,26 @@ object Relational {
                         from: String = "1997-09-01",
                         until: String = "1997-10-01"): DataFrame = {
     val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    // sums in DECIMAL(38,0): a month of cpct revenue can exceed a Long at
+    // large SF (each line contributes ~1e9), and the ratio's ×10⁶ would
+    // overflow well before that — DuckDB's BIGINT sums promote to HUGEINT,
+    // so decimal is the Spark-side equivalent; `div` on decimals is the
+    // same truncating integral division as DuckDB's `//`. The final casts
+    // fail loudly on a true BIGINT overflow, exactly like DuckDB's
+    // ::BIGINT cast.
     lineitem
       .where(col("l_shipdate") >= lit(from).cast("timestamp") &&
              col("l_shipdate") < lit(until).cast("timestamp"))
       .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_cpct"),
-        sum(rev).as("total_cpct"))
-      .withColumn("promo_share_ppm", expr("promo_cpct * 1000000 div total_cpct"))
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("promo_d"),
+        sum(rev.cast("decimal(38,0)")).as("total_d"))
+      .select(
+        col("promo_d").cast("long").as("promo_cpct"),
+        col("total_d").cast("long").as("total_cpct"),
+        expr("(promo_d * 1000000) div total_d").as("promo_share_ppm"))
   }
 
   /** TPC-H Q4 shape (order priority with EXISTS): count orders per

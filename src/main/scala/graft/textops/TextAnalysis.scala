@@ -294,7 +294,11 @@ object TextAnalysis {
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("lang")).orderBy(col("len"))))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
-    val target = (floor((col("n") - 1) * col("p_ppm") / lit(1000000.0)) + 1).cast("long")
+    // integer rank arithmetic: (n-1)·p_ppm stays exact in a Long where the
+    // double round-trip would lose exactness past 2^53 (n ≈ 9e9 docs per
+    // group at p=0.99 — in range for the 100 TB framing); `div` matches
+    // DuckDB's truncating `//`
+    val target = expr("((n - 1) * p_ppm) div 1000000") + lit(1L)
     cum
       .select(col("lang"), col("len"), col("cnt"), col("cum"), col("n"),
         explode(array(psPpm.map(lit): _*)).as("p_ppm"))

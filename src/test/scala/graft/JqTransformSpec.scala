@@ -236,6 +236,31 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform(t, """{x: ($nope + 1)}""").collect())
   }
 
+  test("type-directed constructs work inside map/reduce bodies (lambda typing)") {
+    // regression: dtOf used to analyze the lambda variable against the
+    // top-level frame and crash with UNRESOLVED_COLUMN
+    val t = Seq((Seq(Some(1L), None, Some(3L)), Seq("ab", "c"), 1L))
+      .toDF("xs", "ss", "id")
+    val defaulted = JqTransform(t, """{v: (.xs | map(. // 0)), id: .id}""").head()
+    assert(defaulted.getSeq[Long](0) == Seq(1L, 0L, 3L)) // null elements default
+    val lens = JqTransform(t, """{l: (.ss | map(. | length))}""").head()
+    assert(lens.getSeq[Long](0) == Seq(2L, 1L)) // string length per element
+    val red = JqTransform(t, """{s: (reduce .xs[] as $x (0; . + ($x // 10)))}""").head()
+    assert(red.getLong(0) == 14L) // 1 + 10 + 3
+  }
+
+  test("// with boolean left and non-boolean right raises a clear error") {
+    val t = Seq((Some(true), 1L)).toDF("b", "id")
+    val e = intercept[IllegalArgumentException](
+      JqTransform(t, """{x: (.b // 0)}""").collect())
+    assert(e.getMessage.contains("boolean left side"))
+  }
+
+  test("paths resolve case-insensitively like the rest of Spark") {
+    val out = JqTransform(df, """{v: .Value, t: .WINDOW_START}""").head()
+    assert(out.getLong(0) == 100L && out.getLong(1) == 1638357540000L)
+  }
+
   test("missing top-level field reads as jq null, not an analyzer error") {
     // the reference's records are dynamic JSON: absent key == nil
     // (counter.go:274); jq mirrors that, and so do we
