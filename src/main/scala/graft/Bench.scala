@@ -56,7 +56,7 @@ object Bench {
       if (unknown.nonEmpty)
         System.err.println(
           s"[bench] WARNING: SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
-      if (o.isEmpty || (o -- unknown).isEmpty)
+      if ((o -- unknown).isEmpty)
         System.err.println("[bench] WARNING: SPARK_GRAFT_ONLY matches no queries — empty run")
     }
     val results = SparkEntry.queries

@@ -231,22 +231,30 @@ object SparkEntry {
       val c = cRequestCount.copy(id = "request_count_rt_stream")
       val sharded = events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8)))
       // per-application path: concurrent runs on one host must not clobber
-      // each other's record files mid-stream
+      // each other's record files mid-stream; deleted once drained (the
+      // memory sink holds the rows — the files are scratch)
       val recDir = s"/tmp/graft_c23_records_${s.sparkContext.applicationId}"
-      Intermediate.toRecords(
-          Counters.partialState(sharded, "ts", "shard", c),
-          c, "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in")
-        .write.mode("overwrite").parquet(recDir)
-      val recStream = s.readStream
-        .schema("partition_key STRING, value STRING")
-        .parquet(recDir)
-      val merged = graft.streaming.StreamingCounters.mergeIntermediate(
-        recStream, c, watermarkDelay = "0 seconds")
-      val sink = "c23_intermediate_stream_sink"
-      val q = merged.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      try {
+        Intermediate.toRecords(
+            Counters.partialState(sharded, "ts", "shard", c),
+            c, "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in")
+          .write.mode("overwrite").parquet(recDir)
+        val recStream = s.readStream
+          .schema("partition_key STRING, value STRING")
+          .parquet(recDir)
+        val merged = graft.streaming.StreamingCounters.mergeIntermediate(
+          recStream, c, watermarkDelay = "0 seconds")
+        val sink = "c23_intermediate_stream_sink"
+        val q = merged.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(recDir))
+      }
     }),
     // sliding windows through Structured Streaming, oracle-checked like
     // c17: every overlapping bucket the watermark closed must hash-match

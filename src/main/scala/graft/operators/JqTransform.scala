@@ -92,11 +92,32 @@ object JqTransform {
   private def dtOf(df: DataFrame, c: Column): DataType =
     df.select(c.as("__v")).schema.head.dataType
 
+  /** Per-probe memo of V → type, keyed by object identity (a parse node's
+    * binding context is fixed by its syntactic position, so its probed
+    * type is stable within one stage application). Without it, nested
+    * type-directed constructs re-probe their operand subtrees — a
+    * right-assoc `//` chain of depth d would cost 2^d evaluations.
+    */
+  private val dtMemo = new scala.util.DynamicVariable[
+    java.util.IdentityHashMap[AnyRef, DataType]](null)
+
   /** The type a value expression produces against this frame — evaluated
     * in probe mode so it works inside map/reduce bodies too.
     */
-  private def dtOfV(df: DataFrame, v: V): DataType =
-    probeMode.withValue(true)(dtOf(df, v(df)))
+  private def dtOfV(df: DataFrame, v: V): DataType = {
+    val memo = dtMemo.value
+    if (memo == null)
+      dtMemo.withValue(new java.util.IdentityHashMap[AnyRef, DataType])(dtOfV(df, v))
+    else {
+      val cached = memo.get(v)
+      if (cached != null) cached
+      else {
+        val t = probeMode.withValue(true)(dtOf(df, v(df)))
+        memo.put(v, t)
+        t
+      }
+    }
+  }
 
   /** The element type of an array-typed value, with a jq-flavored error
     * when it is not an array.
@@ -120,9 +141,11 @@ object JqTransform {
     // so `.Value` finds a `value` column exactly like col("Value") would
     val caseSensitive =
       df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    // exact match wins outright (a struct can legally hold both "Value"
+    // and "value"); only then fall back to the case-insensitive scan
     def find(st: StructType, p: String): Option[String] =
-      if (caseSensitive) st.fieldNames.find(_ == p)
-      else st.fieldNames.find(_.equalsIgnoreCase(p))
+      st.fieldNames.find(_ == p).orElse(
+        if (caseSensitive) None else st.fieldNames.find(_.equalsIgnoreCase(p)))
     @annotation.tailrec
     def loop(dt: DataType, acc: Option[Column], rest: List[String]): Column = rest match {
       case Nil => acc.getOrElse(lit(null))
@@ -431,17 +454,24 @@ object JqTransform {
       if (s.startsWith("//", i)) {
         i += 2
         val r = parseAlt()
-        df => dtOfV(df, l) match {
-          case BooleanType => dtOfV(df, r) match {
-            case BooleanType | NullType =>
-              val lv = l(df)
-              when(coalesce(lv, lit(false)) === lit(true), lv).otherwise(r(df))
-            case other => throw new IllegalArgumentException(
-              s"jq_expr: '//' with a boolean left side and $other right side " +
-                "has no single output type in a statically-typed plan; " +
-                "cast one side (e.g. '| tostring')")
+        df => {
+          def mismatch(lt: DataType, rt: DataType) = throw new IllegalArgumentException(
+            s"jq_expr: '//' over $lt and $rt has no single output type in a " +
+              "statically-typed plan; cast one side (e.g. '| tostring')")
+          dtOfV(df, l) match {
+            case BooleanType => dtOfV(df, r) match {
+              case BooleanType | NullType =>
+                val lv = l(df)
+                when(coalesce(lv, lit(false)) === lit(true), lv).otherwise(r(df))
+              case other => mismatch(BooleanType, other)
+            }
+            case lt => dtOfV(df, r) match {
+              // boolean right under a non-boolean, non-null left is the
+              // mirrored mismatch — fail with the same clear message
+              case BooleanType if lt != NullType => mismatch(lt, BooleanType)
+              case _ => coalesce(l(df), r(df))
+            }
           }
-          case _ => coalesce(l(df), r(df))
         }
       } else l
     }
@@ -615,11 +645,7 @@ object JqTransform {
           df => {
             val cur = elemBinding.value.getOrElse(throw new IllegalArgumentException(
               "jq_expr: value-position map(...) needs '.' bound by an enclosing map"))
-            val et = dtOf(df, cur.probe) match {
-              case ArrayType(t, _) => t
-              case other => throw new IllegalArgumentException(
-                s"jq_expr: map expects an array input, got $other")
-            }
+            val et = elementTypeV(df, _ => pick(cur), "map")
             transform(pick(cur), x =>
               elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
           }

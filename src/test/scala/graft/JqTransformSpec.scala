@@ -249,11 +249,26 @@ class JqTransformSpec extends SparkTestBase {
     assert(red.getLong(0) == 14L) // 1 + 10 + 3
   }
 
-  test("// with boolean left and non-boolean right raises a clear error") {
+  test("// with mixed boolean/non-boolean operands raises a clear error") {
     val t = Seq((Some(true), 1L)).toDF("b", "id")
     val e = intercept[IllegalArgumentException](
       JqTransform(t, """{x: (.b // 0)}""").collect())
-    assert(e.getMessage.contains("boolean left side"))
+    assert(e.getMessage.contains("no single output type"))
+    // mirrored: non-boolean left, boolean right
+    val e2 = intercept[IllegalArgumentException](
+      JqTransform(t, """{x: (.id // false)}""").collect())
+    assert(e2.getMessage.contains("no single output type"))
+    // null left + boolean right is fine (coalesce)
+    assert(JqTransform(t, """{x: (.ghost // true)}""").head().getBoolean(0))
+  }
+
+  test("case-variant duplicate columns fail loudly, never silently misresolve") {
+    // Spark's case-insensitive resolution rejects [Value, value] as
+    // ambiguous; jq paths inherit that loud failure (no wrong-column pick)
+    val t = Seq((1L, 2L)).toDF("Value", "value")
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      JqTransform(t, """{a: .value}""").collect())
+    assert(e.getMessage.contains("AMBIGUOUS_REFERENCE"))
   }
 
   test("paths resolve case-insensitively like the rest of Spark") {
