@@ -452,6 +452,10 @@ object SparkEntry {
     // media near-dup signal: frames shared across documents
     "m04_shared_frames" -> ((s, dir) =>
       Multimodal.sharedFrames(Multimodal.asMedia(Tables.documents(s, dir)))),
+    // media near-dup clusters: shared-frame star edges → the same
+    // connected-components path as text near-dups
+    "m05_media_clusters" -> ((s, dir) =>
+      Multimodal.mediaDupClusters(Multimodal.asMedia(Tables.documents(s, dir)))),
 
     // ---- custom Catalyst expression in a real plan (no DuckDB siphash:
     //      rows-only check; value parity proven by SipHash vectors spec) ----
@@ -1031,6 +1035,20 @@ object SparkEntry {
           |SELECT frame_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
           | min(doc_id) AS keeper_doc
           |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+      "m05_media_clusters" ->
+        """WITH RECURSIVE fr AS (SELECT doc_id, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
+          |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+          |  WHERE i % 2 = 0 AND i*100 < length(text)),
+          |ctr AS (SELECT frame_md5, min(doc_id) AS a FROM fr GROUP BY 1),
+          |p AS (SELECT DISTINCT ctr.a, fr.doc_id AS b
+          |      FROM fr JOIN ctr USING (frame_md5) WHERE fr.doc_id != ctr.a),
+          |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p),
+          |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+          |reach(n, m) AS (
+          |  SELECT n, n FROM nodes
+          |  UNION
+          |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u)
+          |SELECT n AS node, min(m) AS component FROM reach GROUP BY n""".stripMargin,
     )
   }
 }

@@ -143,4 +143,22 @@ object Multimodal {
         count_distinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("keeper_doc"))
       .where(col("n_docs") > 1)
+
+  /** Media duplicate CLUSTERS: documents sharing ≥1 sampled frame collapse
+    * into one component via the same [[graft.dedup.Dedup.connectedComponents]]
+    * path as text near-dups. Edges are the STAR form — each frame
+    * contributes (its min doc → other doc) edges, k-1 per k-doc frame,
+    * which yields the same components as the full per-frame clique at 1/k
+    * the edge volume (transitivity through the star center). Only digests
+    * and doc ids cross the shuffle.
+    */
+  def mediaDupClusters(media: DataFrame, stride: Int = 2): DataFrame = {
+    val fr = sampleFrames(media, stride).toDF()
+    val centers = fr.groupBy(col("frame_md5")).agg(min(col("doc_id")).as("a"))
+    val edges = fr.join(centers, "frame_md5")
+      .where(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"))
+      .distinct()
+    graft.dedup.Dedup.connectedComponents(edges)
+  }
 }
