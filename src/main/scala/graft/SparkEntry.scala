@@ -333,6 +333,31 @@ object SparkEntry {
     "h08_late_priority" -> ((s, dir) =>
       graft.relational.Relational.latePriority(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Q16 shape: NOT IN → broadcast anti-join + two-phase count(DISTINCT)
+    "h09_supplier_diversity" -> ((s, dir) =>
+      graft.relational.Relational.supplierDiversity(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // Q2 shape: correlated min subquery decorrelated to aggregate-then-join
+    "h10_min_cost_supplier" -> ((s, dir) =>
+      graft.relational.Relational.minCostSupplier(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // Q22 shape: broadcast scalar aggregate + NOT EXISTS anti-join,
+    // integer-exact above-average test via cross-multiplication
+    "h11_idle_rich" -> ((s, dir) =>
+      graft.relational.Relational.idleRichCustomers(
+        Tables.customer(s, dir), Tables.orders(s, dir))),
+
+    // ---- temporal / event-sequence analytics (events table) ----
+    // as-of join: most recent click at-or-before each purchase, via the
+    // union-and-carry encoding (ONE shuffle, no range-join blow-up)
+    "e01_asof_attribution" -> ((s, dir) =>
+      graft.relational.Temporal.purchaseAttribution(events(s, dir))),
+    // first-seen cohorts × active-day offsets (retention triangle)
+    "e02_retention" -> ((s, dir) =>
+      graft.relational.Temporal.retentionCohorts(events(s, dir))),
+    // ordered funnel signup → click → purchase: deepest stage per user
+    "e03_funnel" -> ((s, dir) =>
+      graft.relational.Temporal.funnelStages(events(s, dir))),
 
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
@@ -373,6 +398,19 @@ object SparkEntry {
     // token-frequency spectrum (Zipf / corpus-health): two stacked aggs
     "t14_token_spectrum" -> ((s, dir) =>
       TextAnalysis.tokenSpectrum(Tables.documents(s, dir))),
+    // PII scrubbing: count + redact emails / IPv4s / long digit runs in
+    // one codegen'd scan. The corpus is synthetic word-soup with no PII,
+    // so the carrier text is constructed from customer fields — the
+    // construction is part of the query and fully deterministic.
+    "t15_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(
+        Tables.customer(s, dir).select(col("c_custkey").as("custkey"),
+          concat(
+            col("c_name"), lit(" <customer"), col("c_custkey"),
+            lit("@shop.example.com> ip 10."), pmod(col("c_custkey"), lit(250)),
+            lit(".0."), col("c_nationkey"), lit(" acct "),
+            col("c_custkey") * 1009 + 1000000).as("contact")),
+        "custkey", "contact")),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -439,6 +477,10 @@ object SparkEntry {
     // scaled-integer centroid updates — the ITERATIVE path oracle-checked
     "s05_kmeans" -> ((s, dir) =>
       Ann.kmeansCentroids(Tables.embeddings(s, dir))),
+    // product-quantization codes: 8×8-dim subspaces, nearest codebook
+    // entry per subspace via broadcast join + map-side min_by
+    "s06_pq_codes" -> ((s, dir) =>
+      Ann.pqCodes(Tables.embeddings(s, dir))),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -692,6 +734,67 @@ object SparkEntry {
           |JOIN nation ON s_nationkey = n_nationkey
           |WHERE p_type = 'PROMO'
           |GROUP BY 1, 2""".stripMargin,
+      "h09_supplier_diversity" ->
+        """SELECT p_brand, p_size::BIGINT AS p_size,
+          | count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_type <> 'PROMO'
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY 1, 2""".stripMargin,
+      "h10_min_cost_supplier" ->
+        """WITH priced AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+          |       CAST(floor(l_extendedprice*100) AS BIGINT) AS price_cents
+          |     FROM lineitem JOIN part ON l_partkey = p_partkey
+          |     WHERE p_type = 'PROMO'),
+          |mn AS (SELECT partkey, min(price_cents) AS min_cents FROM priced GROUP BY 1)
+          |SELECT DISTINCT partkey, suppkey, s_name, min_cents
+          |FROM priced JOIN mn USING (partkey)
+          |JOIN supplier ON suppkey = s_suppkey
+          |WHERE price_cents = min_cents""".stripMargin,
+      "h11_idle_rich" ->
+        """WITH c AS (SELECT c_custkey,
+          |       CAST(floor(c_acctbal*100) AS BIGINT) AS bal FROM customer),
+          |st AS (SELECT count(*)::BIGINT AS n_pos, sum(bal)::BIGINT AS sum_pos
+          |       FROM c WHERE bal > 0)
+          |SELECT count(*)::BIGINT AS n_customers, sum(bal)::BIGINT AS total_cents
+          |FROM c, st
+          |WHERE bal * n_pos > sum_pos
+          |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+      "e01_asof_attribution" ->
+        """SELECT p.user_id, p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ms,
+          | c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
+          | epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+      "e02_retention" ->
+        """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |coh AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY 1)
+          |SELECT epoch_ms(cohort::TIMESTAMP) AS cohort_ms,
+          | date_diff('day', cohort, day)::BIGINT AS day_offset,
+          | count(*)::BIGINT AS n_users
+          |FROM days JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin,
+      "e03_funnel" ->
+        """WITH w1 AS (SELECT user_id, ts, event_type,
+          |  min(CASE WHEN event_type = 'signup' THEN ts END)
+          |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sign_so_far
+          |  FROM events),
+          |w2 AS (SELECT *,
+          |  min(CASE WHEN event_type = 'click' AND sign_so_far < ts
+          |            AND ts <= sign_so_far + INTERVAL '6 hours' THEN ts END)
+          |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS click_so_far
+          |  FROM w1),
+          |u AS (SELECT user_id,
+          |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+          |  max(CASE WHEN event_type = 'click' AND sign_so_far < ts
+          |           AND ts <= sign_so_far + INTERVAL '6 hours' THEN 1 ELSE 0 END) AS c,
+          |  max(CASE WHEN event_type = 'purchase' AND click_so_far < ts
+          |           AND ts <= click_so_far + INTERVAL '6 hours' THEN 1 ELSE 0 END) AS p
+          |  FROM w2 GROUP BY 1)
+          |SELECT (CASE WHEN p = 1 THEN 3 WHEN c = 1 THEN 2
+          |             WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS funnel_stage,
+          | count(*)::BIGINT AS n_users
+          |FROM u GROUP BY 1""".stripMargin,
       "h03_region_revenue" ->
         """SELECT n_name,
           | sum(CAST(floor(l_extendedprice*100) AS BIGINT)
@@ -831,6 +934,39 @@ object SparkEntry {
            |      FROM (SELECT unnest($toks) AS tok FROM documents)
            |      GROUP BY tok)
            |GROUP BY 1""".stripMargin,
+      "t15_pii_scrub" ->
+        """WITH t AS (SELECT c_custkey AS custkey,
+          |  c_name || ' <customer' || c_custkey::VARCHAR ||
+          |  '@shop.example.com> ip 10.' || (c_custkey % 250)::VARCHAR ||
+          |  '.0.' || c_nationkey::VARCHAR || ' acct ' ||
+          |  (c_custkey * 1009 + 1000000)::VARCHAR AS text FROM customer),
+          |s1 AS (SELECT custkey, text,
+          |  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+          |    '<EMAIL>', 'g') AS no_email FROM t),
+          |s2 AS (SELECT *, regexp_replace(no_email,
+          |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS no_ip
+          |  FROM s1)
+          |SELECT custkey,
+          | len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+          | len(regexp_extract_all(no_email, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips,
+          | len(regexp_extract_all(no_ip, '[0-9]{6,}'))::BIGINT AS n_longnums,
+          | regexp_replace(no_ip, '[0-9]{6,}', '<NUM>', 'g') AS redacted
+          |FROM s2""".stripMargin,
+      "s06_pq_codes" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          |           FROM embeddings),
+          |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+          |cb AS (SELECT m, vec_id AS code, v[m*8+1 : m*8+8] AS cv
+          |       FROM v CROSS JOIN ms WHERE vec_id < 16),
+          |sv AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM v CROSS JOIN ms),
+          |d AS (SELECT vec_id, sv.m, code,
+          |      list_sum(list_transform(generate_series(1, 8),
+          |        i -> (s[i] - cv[i]) * (s[i] - cv[i]))) AS dist
+          |      FROM sv JOIN cb ON sv.m = cb.m),
+          |r AS (SELECT vec_id, m, code,
+          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+          |      FROM d)
+          |SELECT vec_id, m::BIGINT AS m, code FROM r WHERE rn = 1""".stripMargin,
       "t11_chunks" ->
         s"""SELECT doc_id, i::BIGINT AS chunk_idx,
            | least(32, len(t) - i*32)::BIGINT AS n_chunk_tokens,

@@ -217,4 +217,72 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(revenue.as("revenue_cpct"))
   }
+
+  /** TPC-H Q16 shape (supplier diversity): per (brand, size) the number of
+    * DISTINCT suppliers shipping that part, excluding a supplier denylist
+    * (negative account balance here; Q16's is a complaint list). The
+    * denylist is a broadcast LEFT ANTI join — the NOT IN subquery
+    * decorrelated to a join that never duplicates and streams the big
+    * side. The distinct count is a real two-phase `count(DISTINCT)`
+    * (Expand → partial → final), the scale-correct plan for counting
+    * distinct keys inside groups.
+    */
+  def supplierDiversity(part: DataFrame, supplier: DataFrame,
+                        lineitem: DataFrame,
+                        excludeType: String = "PROMO"): DataFrame = {
+    val denied = supplier.where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    lineitem
+      .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part.where(col("p_type") =!= excludeType)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+  }
+
+  /** TPC-H Q2 shape (min-cost supplier): for each part of one type, the
+    * supplier(s) selling it at the part's minimum observed price. The
+    * correlated `= (SELECT min(...) WHERE same part)` subquery is
+    * decorrelated into aggregate-then-join: one per-part min aggregate,
+    * then an equi-join back on (partkey, price). Both the min side and
+    * the detail side shuffle on `l_partkey` only — the same exchange,
+    * which AQE/exchange-reuse can share. DISTINCT collapses multiple
+    * lineitems of the same (part, supplier) at the min price.
+    */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame,
+                      lineitem: DataFrame,
+                      partType: String = "PROMO"): DataFrame = {
+    val priced = lineitem
+      .join(broadcast(part.where(col("p_type") === partType).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    val mins = priced.groupBy(col("partkey").as("mk"))
+      .agg(min(col("price_cents")).as("min_cents"))
+    priced
+      .join(mins, col("partkey") === col("mk") && col("price_cents") === col("min_cents"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("suppkey") === col("s_suppkey"))
+      .select(col("partkey"), col("suppkey"), col("s_name"), col("min_cents"))
+      .distinct()
+  }
+
+  /** TPC-H Q22 shape (idle rich customers): customers with above-average
+    * balance and no orders at all. Two classic sub-plans in one query:
+    * a scalar aggregate ((n, sum) of positive balances) broadcast into
+    * the filter — the comparison stays in exact integer space by
+    * cross-multiplying `cents·n > sum` instead of dividing — and a LEFT
+    * ANTI join against `orders` for the NOT EXISTS. Output is the
+    * one-row summary (count + total cents) the Q22 report wants.
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val c = customer.select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+    val stats = c.where(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("sum_pos"))
+    c.crossJoin(broadcast(stats))
+      .where(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_customers"), sum(col("bal_cents")).as("total_cents"))
+  }
 }

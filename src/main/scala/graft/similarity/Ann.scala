@@ -243,4 +243,48 @@ object Ann {
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Product-quantization codes (Jégou et al., PAMI'11) — the embedding
+    * COMPRESSION half of large-scale ANN: each vector is cut into
+    * `subspaces` contiguous sub-vectors, and each sub-vector is replaced by
+    * the id of its nearest codebook entry (L2). 64-dim float32 → 8 bytes
+    * at the defaults; an IVF-PQ index stores only these codes.
+    *
+    * Deterministic codebook = the sub-vectors of the first `codebookSize`
+    * corpus rows (a per-subspace k-means fit would drop in — the
+    * encode topology is what matters for scale; [[kmeansCentroids]] IS that
+    * fit). The encode is one corpus scan: explode into (vector, subspace)
+    * rows, equi-join the broadcast codebook on the subspace id, and reduce
+    * with a map-side-combined `min_by` — only one row per (vector,
+    * subspace) crosses the shuffle, never the K candidates.
+    *
+    * Output: (vec_id, m, code) — ties on distance break to the smallest
+    * code, so the encoding is engine-exact and oracle-checkable.
+    */
+  def pqCodes(embeddings: DataFrame, subspaces: Int = 8,
+              codebookSize: Int = 16): DataFrame = {
+    val dim = 64 // corpus embedding width (documents' contract)
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val v = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def slices(df: DataFrame, out: String): DataFrame = df
+      .select(col("vec_id"), explode(sequence(lit(0), lit(subspaces - 1))).as("m"),
+        col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * subDim + 1, lit(subDim)).as(out))
+    val codebook = slices(v.where(col("vec_id") < codebookSize), "cv")
+      .select(col("m"), col("vec_id").as("code"), col("cv"))
+    // Sequential left-to-right fold, the same summation order as the
+    // oracle's list_sum — double addition does not commute.
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    slices(v.repartition(v.sparkSession.sparkContext.defaultParallelism), "sv")
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("code"),
+        dist.as("__d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
+  }
 }

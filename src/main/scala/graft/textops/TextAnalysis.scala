@@ -375,6 +375,40 @@ object TextAnalysis {
       }
       .toDF("doc_id", "fingerprint")
   }
+
+  /** Email / IPv4 / long-digit-run patterns for [[piiScrub]]. Kept to the
+    * regex subset whose semantics are identical between Java regex (Spark
+    * codegen) and RE2 (DuckDB, Go scrubbers): character classes,
+    * bounded/unbounded repetition, no backrefs or lookaround.
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val LongNumRe = "[0-9]{6,}"
+
+  /** PII scrubbing: count and redact emails, IPv4 addresses, and long
+    * digit runs (account/card-number stand-ins) in a text column. One
+    * narrow scan, fully codegen'd `regexp_extract_all`/`regexp_replace` —
+    * no UDF, so at 100 TB this is a pure map stage that pushes the
+    * projection into the parquet scan. Redaction order matters (an email's
+    * host would otherwise re-match as a digit run): emails, then IPs, then
+    * bare digit runs.
+    *
+    * Returns one row per input row: the counts and the redacted text.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    // Each count runs against the PREVIOUS redaction stage, so an email's
+    // local-part digits are never double-counted as a bare digit run.
+    val noEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    val redacted = regexp_replace(noIp, LongNumRe, "<NUM>")
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(noIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+      redacted.as("redacted"))
+  }
 }
 
 /** Per-language stopword vocabularies for the language-ID heuristic.
