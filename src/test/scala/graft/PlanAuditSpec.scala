@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.config.{CounterDef, CounterType}
 import graft.dedup.Dedup
 import graft.operators.Counters
+import graft.similarity.Ann
 import graft.textops.TextAnalysis
 
 /** Physical-plan audits: the properties that make these queries survive a
@@ -187,5 +188,35 @@ class PlanAuditSpec extends SparkTestBase {
     // Generate, not N unioned aggregations
     assert("Scan parquet".r.findAllIn(p).size == 1, s"fanOut re-scanned the source:\n$p")
     assert(p.contains("Generate"), s"expected generator unpivot:\n$p")
+  }
+
+  test("as-of join is window-based: one key shuffle, zero join operators") {
+    val p = plan(graft.relational.Temporal.purchaseAttribution(events))
+    assert(!p.contains("Join"),
+      s"as-of must use union-and-carry, not a join:\n$p")
+    // exactly the user_id exchange (Tables.events adds one round-robin
+    // repartition; that is not a keyed shuffle)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one keyed shuffle:\n$p")
+  }
+
+  test("supplier diversity anti-joins the denylist as a broadcast") {
+    val p = plan(graft.relational.Relational.supplierDiversity(
+      Tables.part(spark, sf0001), Tables.supplier(spark, sf0001),
+      Tables.lineitem(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"denylist must be a broadcast anti-join:\n$p")
+  }
+
+  test("PQ encode reduces candidates map-side: aggregate, not a window rank") {
+    val p = plan(Ann.pqCodes(Tables.embeddings(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook must broadcast:\n$p")
+    // struct-ordered min_by buffers are not hash-aggregable, so the plan is
+    // a SortAggregate pair — what matters for scale is the map-side partial
+    // (one row per (vector, subspace) crosses the exchange)
+    assert(p.contains("partial_min_by"),
+      s"min_by must combine map-side before the shuffle:\n$p")
+    assert(!p.contains("Window"), s"no window rank in the encode path:\n$p")
   }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.relational.{Relational, Temporal}
+import graft.similarity.Ann
+import graft.textops.TextAnalysis
+
+/** Unit semantics of the round-3 additions: as-of join edge cases,
+  * retention/funnel ordering rules, PII scrub staging, PQ encode, and the
+  * new relational shapes — on constructed micro-fixtures where the
+  * expected answer is checkable by hand (the sf-corpus answers are covered
+  * by the DuckDB oracle via Verify).
+  */
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("asofJoin matches the most recent right row, inclusively at equal ts") {
+    val left = Seq((1L, ts(1000), 100L), (1L, ts(2000), 101L), (2L, ts(500), 102L))
+      .toDF("user_id", "ts", "purchase_id")
+    val right = Seq((1L, ts(1000), 900L), (1L, ts(1500), 901L), (2L, ts(600), 902L))
+      .toDF("user_id", "ts", "click_id")
+    val out = Temporal.asofJoin(left, right, "user_id", "ts",
+      leftCols = Seq("user_id", "purchase_id"), matchCols = Seq("click_id"))
+      .collect().map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    // equal-ts right row matches (inclusive bound)
+    assert(out(100L) == Some(900L))
+    // most recent prior, not first prior
+    assert(out(101L) == Some(901L))
+    // right row strictly after the left row does NOT match
+    assert(out(102L) == None)
+  }
+
+  test("asofJoin never matches across keys") {
+    val left = Seq((1L, ts(5000), 10L)).toDF("user_id", "ts", "purchase_id")
+    val right = Seq((2L, ts(1000), 99L)).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asofJoin(left, right, "user_id", "ts",
+      Seq("purchase_id"), Seq("click_id")).collect()
+    assert(out.length == 1 && out.head.isNullAt(1))
+  }
+
+  test("retentionCohorts: cohort day is first-seen; offsets count active days") {
+    val day0 = 1704067200000L // 2024-01-01 00:00 UTC
+    val d = 86400000L
+    val events = Seq(
+      (1L, ts(day0 + 3600000)), (1L, ts(day0 + d)), (1L, ts(day0 + d + 60)),
+      (2L, ts(day0 + d)), (2L, ts(day0 + 3 * d)))
+      .toDF("user_id", "ts")
+    val rows = Temporal.retentionCohorts(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // user 1: cohort day0, active offsets {0, 1} (two events on day1 = one)
+    // user 2: cohort day1, active offsets {0, 2}
+    assert(rows == Map(
+      (day0, 0L) -> 1L, (day0, 1L) -> 1L,
+      (day0 + d, 0L) -> 1L, (day0 + d, 2L) -> 1L))
+  }
+
+  test("funnelStages: order and step bound both gate the stage") {
+    val h = 3600000L
+    val events = Seq(
+      // u1: full ordered funnel within bounds → stage 3
+      (1L, ts(h), "signup"), (1L, ts(2 * h), "click"), (1L, ts(3 * h), "purchase"),
+      // u2: click BEFORE signup never counts → stage 1
+      (2L, ts(h), "click"), (2L, ts(2 * h), "signup"), (2L, ts(100 * h), "purchase"),
+      // u3: click too late after signup (> 6h) → stage 1
+      (3L, ts(h), "signup"), (3L, ts(9 * h), "click"),
+      // u4: no signup at all → stage 0
+      (4L, ts(h), "click"), (4L, ts(2 * h), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val stages = Temporal.funnelStages(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stages == Map(3L -> 1L, 1L -> 2L, 0L -> 1L))
+  }
+
+  test("piiScrub counts each pattern on the previous redaction stage") {
+    val df = Seq(
+      (1L, "mail bob.smith@corp.example.org from 10.1.2.3 acct 12345678"),
+      // the email's digits must NOT also count as a digit run
+      (2L, "user123456@x.io only"),
+      (3L, "plain text, nothing to scrub"))
+      .toDF("id", "text")
+    val out = TextAnalysis.piiScrub(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, "mail <EMAIL> from <IP> acct <NUM>")))
+    assert(out(2L) == ((1L, 0L, 0L, "<EMAIL> only")))
+    assert(out(3L) == ((0L, 0L, 0L, "plain text, nothing to scrub")))
+  }
+
+  test("pqCodes: codebook rows encode to themselves; others to the nearest") {
+    // vec j = constant vector of value j → subspace distance to codebook
+    // entry c is 8·(j−c)²; nearest is c = min(j, 15) for every subspace
+    val vecs = (0 until 20).map(j => (j.toLong, Array.fill(64)(j.toFloat)))
+      .toDF("vec_id", "embedding")
+    val codes = Ann.pqCodes(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(codes.size == 20 * 8)
+    for (j <- 0 until 20; m <- 0 until 8)
+      assert(codes((j.toLong, m.toLong)) == math.min(j, 15).toLong,
+        s"vec $j subspace $m")
+  }
+
+  test("idleRichCustomers: integer cross-multiplied above-average test") {
+    // balances (cents): 100, 200, 300 → avg 200; only 300 is above; customer
+    // 3 has no orders → qualifies; customer 1 is below average
+    val customer = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      .toDF("c_custkey", "c_acctbal")
+    val orders = Seq((10L, 2L)).toDF("o_orderkey", "o_custkey")
+      .select(col("o_custkey"))
+    val r = Relational.idleRichCustomers(customer, orders).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 300L)
+  }
+
+  test("minCostSupplier keeps every supplier tied at the minimum, once") {
+    val part = Seq((1L, "PROMO"), (2L, "PROMO")).toDF("p_partkey", "p_type")
+    val supplier = Seq((7L, "S7"), (8L, "S8")).toDF("s_suppkey", "s_name")
+    val lineitem = Seq(
+      (1L, 7L, 5.00), (1L, 8L, 5.00), (1L, 8L, 5.00), // tie, 8 twice
+      (2L, 7L, 3.00), (2L, 8L, 9.99))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val rows = Relational.minCostSupplier(part, supplier, lineitem)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(rows == Set((1L, 7L, 500L), (1L, 8L, 500L), (2L, 7L, 300L)))
+  }
+}
