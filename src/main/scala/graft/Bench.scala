@@ -68,8 +68,10 @@ object Bench {
       // reported number. Warming only one query charged 10s+ of JVM
       // warm-up to whichever queries happened to run first.
       watched.set(s"$name#warm")
+      val w0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name warm: $e") }
+      val wt = (System.nanoTime() - w0) / 1e9
       val t0 = System.nanoTime()
       watched.set(name)
       // noop sink fully materializes every column — a bare .count() would let
@@ -77,7 +79,9 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs")
+      // warm time reported for wall-clock accounting (codegen + JIT +
+      // broadcast/file-listing first-time costs live there, not in dt)
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs  (warm $wt%8.2fs)")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

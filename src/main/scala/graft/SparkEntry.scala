@@ -358,6 +358,13 @@ object SparkEntry {
     // ordered funnel signup → click → purchase: deepest stage per user
     "e03_funnel" -> ((s, dir) =>
       graft.relational.Temporal.funnelStages(events(s, dir))),
+    // RANGE-framed trailing-week sums over the calendar-bounded daily agg
+    "e04_rolling_activity" -> ((s, dir) =>
+      graft.relational.Temporal.rollingActivity(events(s, dir))),
+    // Q21 shape: double EXISTS decorrelated into per-order counters
+    "h12_lonely_late" -> ((s, dir) =>
+      graft.relational.Relational.lonelyLateSupplier(
+        Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
 
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
@@ -795,6 +802,27 @@ object SparkEntry {
           |             WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS funnel_stage,
           | count(*)::BIGINT AS n_users
           |FROM u GROUP BY 1""".stripMargin,
+      "e04_rolling_activity" ->
+        """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_events,
+          |  count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1),
+          |d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS dn FROM daily)
+          |SELECT epoch_ms(day::TIMESTAMP) AS day_ms, n_events, n_users,
+          | sum(n_events) OVER (ORDER BY dn
+          |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS roll7_events,
+          | sum(n_users) OVER (ORDER BY dn
+          |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS roll7_user_days
+          |FROM d2""".stripMargin,
+      "h12_lonely_late" ->
+        """WITH pairs AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+          |  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |      THEN 1 ELSE 0 END) AS late
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+          |st AS (SELECT ok, count(*) AS n_supp, sum(late) AS n_late
+          |       FROM pairs GROUP BY 1)
+          |SELECT s_name, count(*)::BIGINT AS n_orders
+          |FROM pairs JOIN st USING (ok) JOIN supplier ON sk = s_suppkey
+          |WHERE late = 1 AND n_supp > 1 AND n_late = 1
+          |GROUP BY 1""".stripMargin,
       "h03_region_revenue" ->
         """SELECT n_name,
           | sum(CAST(floor(l_extendedprice*100) AS BIGINT)

@@ -285,4 +285,34 @@ object Relational {
         "left_anti")
       .agg(count(lit(1)).as("n_customers"), sum(col("bal_cents")).as("total_cents"))
   }
+
+  /** TPC-H Q21 shape (the lone late supplier): per supplier, how many
+    * multi-supplier orders they alone shipped late. Q21's EXISTS (another
+    * supplier) + NOT EXISTS (another LATE supplier) pair is decorrelated
+    * into per-order counters — `n_supp > 1 ∧ n_late = 1 ∧ this one late` —
+    * which is both simpler and scale-correct: two stacked aggregates on
+    * the same `l_orderkey` grouping (exchange reuse), no correlated
+    * re-probe of lineitem per candidate. "Late" = shipped more than
+    * `graceDays` after the order date, collapsed per (order, supplier)
+    * with a `max` so multi-line suppliers count once.
+    */
+  def lonelyLateSupplier(orders: DataFrame, lineitem: DataFrame,
+                         supplier: DataFrame, graceDays: Int = 60): DataFrame = {
+    val pairs = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $graceDays DAYS"), 1).otherwise(0))
+        .as("late"))
+    val perOrder = pairs.groupBy(col("ok").as("ok2"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+    pairs.where(col("late") === 1)
+      .join(perOrder, col("ok") === col("ok2"))
+      .where(col("n_supp") > 1 && col("n_late") === 1)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("sk") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
 }

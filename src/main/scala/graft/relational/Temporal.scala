@@ -128,4 +128,31 @@ object Temporal {
           .when(col("s") === 1, 1L).otherwise(0L).as("funnel_stage"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Rolling 7-day activity: per calendar day, that day's event volume and
+    * distinct users, plus RANGE-framed trailing-week sums (`RANGE BETWEEN
+    * 6 PRECEDING` over the epoch-day number — a range frame, not a row
+    * frame, so absent days genuinely age out of the window).
+    *
+    * The rolling window is unpartitioned BY DESIGN: it runs over the
+    * per-day aggregate, whose cardinality is calendar-bounded (365 rows a
+    * year no matter how many trillion events) — the corpus-sized work all
+    * happens in the partial/final groupBy before it. Rolling DISTINCT
+    * users is deliberately not offered this way (distinct doesn't
+    * decompose over a frame); `roll7_user_days` sums per-day distincts,
+    * the standard DAU-style accounting.
+    */
+  def rollingActivity(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("dn", unix_date(col("day")))
+    val w = Window.orderBy(col("dn")).rangeBetween(-6, Window.currentRow)
+    daily.select(
+      unix_millis(col("day").cast("timestamp")).as("day_ms"),
+      col("n_events"), col("n_users"),
+      sum(col("n_events")).over(w).as("roll7_events"),
+      sum(col("n_users")).over(w).as("roll7_user_days"))
+  }
 }

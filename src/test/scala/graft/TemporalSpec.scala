@@ -104,6 +104,41 @@ class TemporalSpec extends SparkTestBase {
         s"vec $j subspace $m")
   }
 
+  test("rollingActivity: RANGE frame ages absent days out of the week") {
+    val day0 = 1704067200000L
+    val d = 86400000L
+    // activity on days 0, 1, then a gap to day 10: the day-10 rolling week
+    // must NOT include days 0/1 (a ROWS frame would)
+    val events = Seq(
+      (1L, ts(day0)), (2L, ts(day0)), (1L, ts(day0 + d)), (1L, ts(day0 + 10 * d)))
+      .toDF("user_id", "ts")
+    val rows = Temporal.rollingActivity(events)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(rows(day0) == ((2L, 2L)))
+    assert(rows(day0 + d) == ((3L, 3L))) // day0's 2 events + day1's 1
+    assert(rows(day0 + 10 * d) == ((1L, 1L))) // gap: nothing carried
+  }
+
+  test("lonelyLateSupplier: only the sole late supplier of a shared order counts") {
+    val day = 86400000L
+    val orders = Seq((1L, ts(0)), (2L, ts(0)), (3L, ts(0)))
+      .toDF("o_orderkey", "o_orderdate")
+    val supplier = Seq((7L, "S7"), (8L, "S8")).toDF("s_suppkey", "s_name")
+    val late = ts(61 * day)
+    val fine = ts(day)
+    val lineitem = Seq(
+      // order 1: S7 late, S8 on time → S7 counts
+      (1L, 7L, late), (1L, 8L, fine),
+      // order 2: both late → nobody counts (n_late = 2)
+      (2L, 7L, late), (2L, 8L, late),
+      // order 3: single-supplier late → not a multi-supplier order
+      (3L, 7L, late))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val rows = Relational.lonelyLateSupplier(orders, lineitem, supplier)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("S7" -> 1L))
+  }
+
   test("idleRichCustomers: integer cross-multiplied above-average test") {
     // balances (cents): 100, 200, 300 → avg 200; only 300 is above; customer
     // 3 has no orders → qualifies; customer 1 is below average
