@@ -225,7 +225,13 @@ object Ann {
     * planes ([[graft.dedup.Dedup.lshNearDupPairsMulti]]). The default -1
     * keeps the original single-table plane stream.
     */
-  private[graft] def bucketExpr(nPlanes: Int, table: Int = -1): Column = {
+  private[graft] def bucketExpr(nPlanes: Int, table: Int = -1): Column =
+    bucketExprOn(col("v"), nPlanes, table)
+
+  /** [[bucketExpr]] against an explicit (double-cast) vector column —
+    * used by the streaming near-dup path, which builds its own frame.
+    */
+  private[graft] def bucketExprOn(v: Column, nPlanes: Int, table: Int = -1): Column = {
     val dim = 64 // corpus embedding width (documents' contract)
     val planeSign: (Int, Int) => Double = (p, j) => {
       // deterministic ±1 from md5 — computed once on the driver, inlined as
@@ -238,7 +244,7 @@ object Ann {
       if (((bits >> (j % 60)) & 1L) == 1L) 1.0 else -1.0
     }
     (0 until nPlanes).map { p =>
-      val dot = (0 until dim).map(j => element_at(col("v"), j + 1) * lit(planeSign(p, j)))
+      val dot = (0 until dim).map(j => element_at(v, j + 1) * lit(planeSign(p, j)))
         .reduce(_ + _)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

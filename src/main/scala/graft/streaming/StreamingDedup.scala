@@ -37,4 +37,36 @@ object StreamingDedup {
       .drop("__content_md5")
     deduped.unionByName(watermarked.where(col(contentCol).isNull))
   }
+
+  /** Ingest-time NEAR-dup suppression over an embedding column: keep the
+    * first document per sign-LSH bucket within the watermark horizon.
+    *
+    * This is the streaming face of the batch LSH candidate generator
+    * ([[graft.similarity.Ann.signLshBuckets]]): the bucket id (sign
+    * pattern against `nPlanes` deterministic hyperplanes) is ONE state-
+    * store key per document — 8 bytes, same eviction bound as
+    * [[dropExactDuplicates]] — so it composes with
+    * `dropDuplicatesWithinWatermark` directly instead of needing a
+    * banded multi-key join that chained stateful operators make painful.
+    *
+    * Semantics are candidate-level, deliberately: two documents in the
+    * same bucket are cosine-close with probability (1 − θ/π)^nPlanes, so
+    * this drops aggressively (no exact-cosine verify pass — that needs
+    * the batch path). Tune `nPlanes` per the corpus's similarity floor:
+    * more planes → finer buckets → fewer false drops, less recall.
+    */
+  def dropNearDuplicatesWithinWatermark(stream: DataFrame, tsCol: String,
+                                        embedCol: String, nPlanes: Int = 8,
+                                        watermarkDelay: String = "10 minutes"): DataFrame = {
+    val watermarked = stream.withWatermark(tsCol, watermarkDelay)
+    val withVec = watermarked
+      .where(col(embedCol).isNotNull)
+      .withColumn("__v", transform(col(embedCol), x => x.cast("double")))
+    withVec
+      .withColumn("__bucket",
+        graft.similarity.Ann.bucketExprOn(col("__v"), nPlanes))
+      .dropDuplicatesWithinWatermark("__bucket")
+      .drop("__v", "__bucket")
+      .unionByName(watermarked.where(col(embedCol).isNull))
+  }
 }

@@ -294,6 +294,31 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming near-dup drops same-LSH-bucket vectors within the horizon") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[(Timestamp, Long, Option[Array[Float]])]
+    val ones = Array.fill(64)(1.0f)
+    val negs = Array.fill(64)(-1.0f)
+    val out = StreamingDedup.dropNearDuplicatesWithinWatermark(
+      input.toDF().toDF("ts", "doc_id", "embedding"), "ts", "embedding",
+      nPlanes = 4, watermarkDelay = "1 minute")
+    val query = out.writeStream.format("memory").queryName("stream_neardup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), 1L, Some(ones)), (ts(1), 2L, Some(negs)), (ts(2), 3L, Some(ones)))
+      query.processAllAvailable()
+      // cross-batch same-bucket repeat within the horizon drops too;
+      // null embeddings pass through untouched
+      input.addData((ts(10), 4L, Some(ones)), (ts(11), 5L, None))
+      query.processAllAvailable()
+      val kept = spark.table("stream_neardup")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L, 5L)) // first of each bucket + the null
+    } finally query.stop()
+  }
+
   test("StreamingEngine composes KPL → parse → route → count → sink end-to-end") {
     implicit val sc = spark.sqlContext
     import graft.config.{Arn, ConfigLoader}
