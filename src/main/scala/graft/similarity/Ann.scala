@@ -41,8 +41,9 @@ object Ann {
     embeddings.select(
       col(idCol),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      // vec_dot(v, v) sums squares in the same left-to-right order as the
+      // aggregate-HOF spelling (bit-identical) but stays in codegen
+      .withColumn("norm", sqrt(VecDot.dot(col("v"), col("v"))))
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
 
   private def dotCol(a: String, b: String): Column = VecDot.dot(col(a), col(b))
@@ -235,7 +236,7 @@ object Ann {
     val dim = 64 // corpus embedding width (documents' contract)
     val planeSign: (Int, Int) => Double = (p, j) => {
       // deterministic ±1 from md5 — computed once on the driver, inlined as
-      // literals into codegen (tiny: nPlanes × dim doubles)
+      // ONE array literal per plane (tiny: nPlanes × dim doubles)
       val key = if (table < 0) s"plane:$p:${j / 60}" else s"plane:$table:$p:${j / 60}"
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8"))
@@ -243,10 +244,15 @@ object Ann {
       val bits = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       if (((bits >> (j % 60)) & 1L) == 1L) 1.0 else -1.0
     }
+    // Each plane's ±1 weights ride as a single ArrayType literal through the
+    // codegen'd vec_dot kernel. An unrolled element_at(v,1)*s1 + … spelling
+    // computes the same left-to-right sum (bit-identical doubles) but costs
+    // dim expression nodes PER PLANE — at nPlanes×tables×both-join-sides that
+    // is thousands of tree nodes, and Catalyst planning (not the data) came
+    // to dominate the multi-table LSH wall-clock.
     (0 until nPlanes).map { p =>
-      val dot = (0 until dim).map(j => element_at(v, j + 1) * lit(planeSign(p, j)))
-        .reduce(_ + _)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = lit((0 until dim).map(j => planeSign(p, j)).toArray)
+      when(VecDot.dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
