@@ -365,6 +365,18 @@ object SparkEntry {
     "h12_lonely_late" -> ((s, dir) =>
       graft.relational.Relational.lonelyLateSupplier(
         Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    // Q13 shape: zero-inclusive order-count histogram, aggregate-then-
+    // outer-join (orders collapse before meeting customer)
+    "h13_order_histogram" -> ((s, dir) =>
+      graft.relational.Relational.customerOrderHistogram(
+        Tables.customer(s, dir), Tables.orders(s, dir))),
+    // gaps-and-islands sessionization: per-(user, session) analytic rows
+    "e05_user_sessions" -> ((s, dir) =>
+      graft.relational.Temporal.userSessions(events(s, dir))),
+    // count spike detection: integer-exact trailing z² flags over the
+    // hourly per-type counts (the alerting step on counter output)
+    "e06_count_spikes" -> ((s, dir) =>
+      graft.relational.Temporal.countSpikes(events(s, dir))),
 
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
@@ -468,6 +480,10 @@ object SparkEntry {
     "d10_lsh_multitable" -> ((s, dir) =>
       Dedup.lshNearDupPairsMulti(Tables.embeddings(s, dir),
         tau = 0.35, nPlanes = 4, tables = 3)),
+    // chunk-level exact dedup (C4/RefinedWeb line dedup at this corpus's
+    // chunk granularity): first occurrence survives, per-doc accounting
+    "d13_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedupStats(Tables.documents(s, dir))),
 
     // ---- similarity search ----
     "s01_ann_topk" -> ((s, dir) =>
@@ -802,6 +818,41 @@ object SparkEntry {
           |             WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS funnel_stage,
           | count(*)::BIGINT AS n_users
           |FROM u GROUP BY 1""".stripMargin,
+      "h13_order_histogram" ->
+        """WITH pc AS (SELECT o_custkey, count(*)::BIGINT AS n FROM orders
+          |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+          |SELECT coalesce(n, 0)::BIGINT AS c_count, count(*)::BIGINT AS custdist
+          |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+          |GROUP BY 1""".stripMargin,
+      "e05_user_sessions" ->
+        """WITH o AS (SELECT user_id, ts,
+          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |        OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |             + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS session_seq FROM o)
+          |SELECT user_id, session_seq::BIGINT AS session_seq,
+          | epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+          | count(*)::BIGINT AS n_events,
+          | epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+          |FROM s GROUP BY user_id, session_seq""".stripMargin,
+      "e06_count_spikes" ->
+        """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+          |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+          |h2 AS (SELECT *, epoch_ms(hour) // 3600000 AS hn FROM hourly),
+          |w AS (SELECT event_type, hour, n,
+          |  count(*) OVER tw AS c,
+          |  coalesce(sum(n) OVER tw, 0)::BIGINT AS s,
+          |  coalesce(sum(n::HUGEINT * n) OVER tw, 0::HUGEINT) AS q
+          |  FROM h2 WINDOW tw AS (PARTITION BY event_type ORDER BY hn
+          |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+          |SELECT epoch_ms(hour) AS hour_ms, event_type, n AS n_events,
+          | c::BIGINT AS trail_cnt, s AS trail_sum,
+          | (CASE WHEN c >= 12 AND n*c - s > 0
+          |   AND ((n*c - s)::HUGEINT * (n*c - s)) > 9 * (c::HUGEINT * q - s::HUGEINT * s)
+          |  THEN 1 ELSE 0 END)::BIGINT AS is_spike
+          |FROM w""".stripMargin,
       "e04_rolling_activity" ->
         """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_events,
           |  count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1),
@@ -1097,6 +1148,24 @@ object SparkEntry {
            |       (c * 1000000 // nb.n)::BIGINT AS cont_b_ppm
            |FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
            |WHERE (c * 1000000 // na.n) >= 800000 OR (c * 1000000 // nb.n) >= 800000""".stripMargin,
+      "d13_chunk_dedup" ->
+        s"""WITH ch AS (
+           |  SELECT doc_id, i::BIGINT AS chunk_idx,
+           |    md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS chunk_md5
+           |  FROM (SELECT doc_id, $toks AS t FROM documents)
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+           |  WHERE i <= ceil(len(t)/8.0) - 1),
+           |f1 AS (SELECT chunk_md5, min(doc_id) AS kd FROM ch GROUP BY 1),
+           |f2 AS (SELECT ch.chunk_md5, f1.kd, min(ch.chunk_idx) AS ki
+           |       FROM ch JOIN f1 ON ch.chunk_md5 = f1.chunk_md5 AND ch.doc_id = f1.kd
+           |       GROUP BY 1, 2)
+           |SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
+           | sum(CASE WHEN f2.kd = ch.doc_id AND f2.ki = ch.chunk_idx
+           |     THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           | sum(CASE WHEN f2.kd = ch.doc_id AND f2.ki = ch.chunk_idx
+           |     THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+           |FROM ch JOIN f2 ON ch.chunk_md5 = f2.chunk_md5
+           |GROUP BY 1""".stripMargin,
       "d05_embed_neardup" ->
         """SELECT x.vec_id AS a, y.vec_id AS b
           |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id

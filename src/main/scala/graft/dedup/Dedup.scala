@@ -516,6 +516,39 @@ object Dedup {
     a.select(PortableHash.md5Hex(col("text")).as("text_md5"))
       .except(b.select(PortableHash.md5Hex(col("text")).as("text_md5")))
 
+  // ------------------------------------------------------ chunk-level dedup --
+
+  /** Sub-document exact dedup at chunk granularity — the "line-level"
+    * dedup of C4/RefinedWeb (this corpus has no newlines, so the unit is
+    * the fixed `chunkTokens`-token chunk from
+    * [[graft.textops.TextAnalysis.chunk]]): across the whole corpus each
+    * distinct chunk survives exactly once, at its first occurrence
+    * (smallest (doc_id, chunk_idx)); every other occurrence — in later
+    * docs OR repeated within one doc — is dropped. Output per doc:
+    * total/kept/dropped chunk counts, the boilerplate-removal accounting.
+    *
+    * Scale shape: chunks shuffle on the md5 digest only (never text); the
+    * first-occurrence winner is a map-side-combinable `min(struct)` — no
+    * window over the corpus — and the winner table joins back by digest
+    * (AQE sizes it). Hot boilerplate chunks make big digest groups but the
+    * aggregate collapses them map-side, same story as [[exactGroups]].
+    */
+  def chunkDedupStats(docs: DataFrame, chunkTokens: Int = 8): DataFrame = {
+    val chunks = TextAnalysis.chunk(docs, chunkTokens)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
+    val firsts = chunks
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__first"))
+    chunks.join(firsts, "chunk_md5")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__first.doc_id") === col("doc_id") &&
+          col("__first.chunk_idx") === col("chunk_idx"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+  }
+
   // ------------------------------------------------ benchmark contamination --
 
   /** Benchmark contamination detection (the train/test-overlap audit every

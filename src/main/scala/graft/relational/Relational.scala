@@ -315,4 +315,26 @@ object Relational {
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("n_orders"))
   }
+
+  /** TPC-H Q13 shape (customer order distribution): how many customers
+    * placed exactly k qualifying orders, INCLUDING the zero-order
+    * customers — the left-outer-join + double-aggregate shape.
+    *
+    * Scale-correct plan: aggregate BEFORE the join — orders collapse to
+    * one (custkey, count) row each before meeting customer, so the outer
+    * join's right side is bounded by the customer count, never the order
+    * count; both sides shuffle once on the join key and the histogram
+    * re-aggregate is a few dozen groups. (Join-then-count would drag every
+    * order row through the join for the same answer.)
+    */
+  def customerOrderHistogram(customer: DataFrame, orders: DataFrame,
+                             excludePriority: String = "1-URGENT"): DataFrame = {
+    val perCust = orders
+      .where(col("o_orderpriority") =!= excludePriority)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("__n"))
+    customer.select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
 }

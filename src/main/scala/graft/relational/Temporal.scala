@@ -129,6 +129,83 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Gaps-and-islands sessionization: one row per (user, session), where a
+    * session is a maximal run of events with inter-event gap ≤ `gap`
+    * (strictly larger gaps start a new session; `session_seq` numbers a
+    * user's sessions 1, 2, … in time order). Unlike the engine's
+    * `session_window` counters (c19/c21) this is the ANALYTIC surface —
+    * per-session rows with start/end/duration for downstream behavioral
+    * features, not a windowed count.
+    *
+    * One shuffle on `user_id`; the lag, the running new-session sum and the
+    * final per-session aggregate all share that partitioning (the groupBy
+    * keys lead with `user_id`, so AQE reuses the exchange). Equal-timestamp
+    * ties are order-insensitive: a zero gap can never start a session, so
+    * `session_seq` is deterministic whatever order the tie sorts in.
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newSession = when(
+      col("__prev").isNull || col("ts") > col("__prev") + expr(s"INTERVAL $gap"),
+      1L).otherwise(0L)
+    events.select(col("user_id"), col("ts"))
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("session_seq", sum(newSession).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+  }
+
+  /** Count spike detection — the alerting step a production counter
+    * pipeline bolts onto its windowed counts: per (event_type, hour), flag
+    * hours whose count is > `zThreshold` standard deviations above the
+    * trailing `trailHours`-hour mean (current hour excluded from its own
+    * baseline; a RANGE frame on the epoch-hour number, so absent hours
+    * genuinely age out rather than stretching the frame).
+    *
+    * The z² test is evaluated in EXACT integer arithmetic — with trailing
+    * count C, sum S, sum-of-squares Q:  z² > t²  ⟺  (n·C − S)² > t²·(C·Q − S²)
+    * (both sides ≥0 once n·C > S is required) — so the flag is
+    * engine-exact, no float variance/sqrt to disagree on. The quadratic
+    * terms ride DECIMAL(38,0)/HUGEINT: at 10⁹ events/hour the square hits
+    * ~10²³, past int64. A constant baseline (variance 0) flags ANY
+    * positive deviation — the conventional degenerate-σ reading.
+    *
+    * Like [[rollingActivity]], the window input is the per-hour aggregate —
+    * calendar-bounded (≤ 8,760 rows/type/year) regardless of event volume;
+    * the corpus-sized work is all in the map-side-combinable groupBy.
+    */
+  def countSpikes(events: DataFrame, trailHours: Int = 24, minTrail: Int = 12,
+                  zThreshold: Int = 3): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("hn", (unix_seconds(col("hour")) / 3600).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy(col("hn"))
+      .rangeBetween(-trailHours, -1)
+    val dev = col("n_events") * col("trail_cnt") - col("trail_sum")
+    val varTimesC2 = // C·Q − S², i.e. C²·σ² — ≥ 0 by Cauchy–Schwarz
+      dec(col("trail_cnt")) * col("trail_sumsq") - dec(col("trail_sum")) * dec(col("trail_sum"))
+    hourly
+      .select(
+        unix_millis(col("hour")).as("hour_ms"),
+        col("event_type"), col("n_events"),
+        count(lit(1)).over(w).as("trail_cnt"),
+        coalesce(sum(col("n_events")).over(w), lit(0L)).as("trail_sum"),
+        coalesce(sum(dec(col("n_events")) * dec(col("n_events"))).over(w),
+          dec(lit(0L))).as("trail_sumsq"))
+      .withColumn("is_spike",
+        (col("trail_cnt") >= minTrail && dev > 0 &&
+          dec(dev) * dec(dev) > lit(zThreshold * zThreshold) * varTimesC2)
+          .cast("long"))
+      .drop("trail_sumsq")
+  }
+
   /** Rolling 7-day activity: per calendar day, that day's event volume and
     * distinct users, plus RANGE-framed trailing-week sums (`RANGE BETWEEN
     * 6 PRECEDING` over the epoch-day number — a range frame, not a row

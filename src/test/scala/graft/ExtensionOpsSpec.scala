@@ -28,6 +28,17 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(multi3.forall { case (a, b) => a < b })
   }
 
+  test("chunkDedupStats keeps first occurrence only — across docs AND within one") {
+    val docs = Seq(
+      (1L, "a b c d a b"), // chunks (k=2): [a b][c d][a b] — last is a within-doc dup
+      (2L, "a b x y"))     // [a b] lost to doc 1; [x y] kept
+      .toDF("doc_id", "text")
+    val rows = Dedup.chunkDedupStats(docs, chunkTokens = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L) == (3L, 2L, 1L), s"doc 1: $rows")
+    assert(rows(2L) == (2L, 1L, 1L), s"doc 2: $rows")
+  }
+
   test("snapshotDiff is EXCEPT by content, not by id") {
     val a = Seq((1L, "same text"), (2L, "only in a"), (3L, "shared dup"))
       .toDF("doc_id", "text")

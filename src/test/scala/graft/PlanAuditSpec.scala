@@ -208,6 +208,45 @@ class PlanAuditSpec extends SparkTestBase {
       s"denylist must be a broadcast anti-join:\n$p")
   }
 
+  test("order histogram aggregates orders BEFORE the outer join") {
+    val p = plan(graft.relational.Relational.customerOrderHistogram(
+      Tables.customer(spark, sf0001), Tables.orders(spark, sf0001)))
+    // an aggregate must sit between the join and the orders scan — the
+    // outer join's right side is per-customer counts, never raw orders
+    assert("(?s)Join.*HashAggregate.*orders".r.findFirstIn(p).isDefined,
+      s"orders must pre-aggregate below the join:\n$p")
+    assert(!p.contains("Cartesian"), s"no cartesian:\n$p")
+  }
+
+  test("sessionization shuffles once on user_id; the session agg reuses it") {
+    val p = plan(graft.relational.Temporal.userSessions(events))
+    // hashpartitioning(user_id) serves the lag window, the running sum AND
+    // the (user_id, session_seq) groupBy (subset-clustering) — one shuffle
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one keyed shuffle:\n$p")
+    assert(!"Exchange hashpartitioning\\(user_id#\\d+, session_seq".r
+      .findFirstIn(p).isDefined, s"groupBy must reuse the window partitioning:\n$p")
+  }
+
+  test("spike detection windows over the per-hour aggregate, not the events") {
+    val p = plan(graft.relational.Temporal.countSpikes(events))
+    // corpus-sized work is the map-side-combinable groupBy; the z² window
+    // runs over calendar-bounded hourly rows
+    assert("(?s)Window.*HashAggregate.*partial_count".r.findFirstIn(p).isDefined,
+      s"window must sit above the hourly aggregate:\n$p")
+  }
+
+  test("chunk dedup shuffles digests, never text; first-occurrence min is map-side") {
+    val p = plan(Dedup.chunkDedupStats(docs))
+    assert("Exchange hashpartitioning\\(chunk_md5".r.findFirstIn(p).isDefined,
+      s"winner aggregate must shuffle on the md5 digest:\n$p")
+    assert("partial_min".r.findFirstIn(p).isDefined,
+      s"first-occurrence winner must combine map-side:\n$p")
+    assert(!"Exchange hashpartitioning\\(chunk#".r.findFirstIn(p).isDefined &&
+      !"Exchange hashpartitioning\\(text".r.findFirstIn(p).isDefined,
+      s"raw chunk text must never cross a shuffle:\n$p")
+  }
+
   test("PQ encode reduces candidates map-side: aggregate, not a window rank") {
     val p = plan(Ann.pqCodes(Tables.embeddings(spark, sf0001)))
     assert(p.contains("BroadcastHashJoin"),

@@ -150,6 +150,60 @@ class TemporalSpec extends SparkTestBase {
     assert(r.getLong(0) == 1L && r.getLong(1) == 300L)
   }
 
+  test("userSessions: a gap strictly over the threshold starts a new session") {
+    val m = 60000L
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10 * m)),      // session 1: 0..10min (gap 10m ≤ 30m)
+      (1L, ts(40 * m)), (1L, ts(70 * m)), // session 2: 30m gap is NOT over → same?
+      (2L, ts(5 * m)))
+      .toDF("user_id", "ts")
+    // gaps: 10m (same), 30m (exactly the threshold — same session), 30m (same)
+    val all = Temporal.userSessions(events, gap = "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(all((1L, 1L)) == (0L, 70 * m, 4L, 70 * m)) // exact-gap ties stay merged
+    assert(all((2L, 1L)) == (5 * m, 5 * m, 1L, 0L))
+    // one minute less of tolerance splits BOTH 30-minute gaps
+    val split = Temporal.userSessions(events, gap = "29 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(split((1L, 1L)) == 2L && split((1L, 2L)) == 1L && split((1L, 3L)) == 1L)
+  }
+
+  test("countSpikes: integer z² flag — exact at the threshold boundary") {
+    val h = 3600000L
+    // types a and b share the history: hours 0..23 alternate 1 and 2 events
+    // (mean 1.5, σ² = 0.25 ⇒ σ = 0.5). Hour 24: a=4 (z=5 → spike),
+    // b=3 (z=3, NOT > 3 → no spike — the exact boundary).
+    val hist = for {
+      t <- Seq("a", "b"); hr <- 0 until 24
+      n <- 0 until (if (hr % 2 == 0) 1 else 2)
+    } yield (t, ts(hr * h + n))
+    val last = Seq.tabulate(4)(n => ("a", ts(24 * h + n))) ++
+      Seq.tabulate(3)(n => ("b", ts(24 * h + n)))
+    val events = (hist ++ last).toDF("event_type", "ts")
+    val rows = Temporal.countSpikes(events)
+      .where(col("hour_ms") === 24 * h)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(rows("a") == (4L, 24L, 1L), s"z=5 must flag: $rows")
+    assert(rows("b") == (3L, 24L, 0L), s"z=3 is not > 3, must not flag: $rows")
+    // hours with under minTrail history never flag, even huge ones
+    val early = Temporal.countSpikes(events)
+      .where(col("hour_ms") < 12 * h).agg(sum(col("is_spike"))).head().getLong(0)
+    assert(early == 0L)
+  }
+
+  test("customerOrderHistogram counts zero-order customers and excludes the priority") {
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L, "2-HIGH"), (11L, 1L, "5-LOW"), (12L, 1L, "1-URGENT"), // c1: 2 qualifying
+      (13L, 3L, "3-MEDIUM"))                                          // c3: 1; c2: none
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val rows = Relational.customerOrderHistogram(customer, orders)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("minCostSupplier keeps every supplier tied at the minimum, once") {
     val part = Seq((1L, "PROMO"), (2L, "PROMO")).toDF("p_partkey", "p_type")
     val supplier = Seq((7L, "S7"), (8L, "S8")).toDF("s_suppkey", "s_name")
