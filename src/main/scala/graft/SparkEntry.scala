@@ -431,6 +431,11 @@ object SparkEntry {
             col("c_custkey") * 1009 + 1000000).as("contact")),
         "custkey", "contact")),
 
+    // composite quality gate: per-rule fail flags + pass verdict in ONE
+    // narrow scan — the filter step the scoring ops feed
+    "t16_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityGate(Tables.documents(s, dir))),
+
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))),
@@ -504,6 +509,12 @@ object SparkEntry {
     // entry per subspace via broadcast join + map-side min_by
     "s06_pq_codes" -> ((s, dir) =>
       Ann.pqCodes(Tables.embeddings(s, dir))),
+    // recall@k eval: IVF result graded against the exact top-k — the
+    // accept/reject gate for any approximate index
+    "s07_recall_eval" -> ((s, dir) =>
+      Ann.recallAtK(
+        Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
+        Ann.ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0))),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -900,6 +911,32 @@ object SparkEntry {
     val kgrams =
       "list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])"
     val h60 = (e: String) => s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+    // ANN top-k oracles, hoisted: s07's recall eval embeds both as CTEs
+    val s01Sql =
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) AS rank
+        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin
+    val s02Sql =
+      """WITH cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
+        |assigned AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+        |probes AS (SELECT query_id, qe, cell FROM (
+        |  SELECT q.query_id, q.qe, c.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
+        |  FROM q CROSS JOIN cent c) WHERE rn <= 3),
+        |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY p.query_id
+        |    ORDER BY list_cosine_similarity(p.qe, a.embedding) DESC, a.vec_id) AS rank
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id)
+        |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin
     // shared MinHash CTE chain (shingle → KM double-hash family → signature
     // → LSH bands → candidate pairs → signature-estimated similarity)
     val minhashCtes =
@@ -1223,31 +1260,32 @@ object SparkEntry {
            |drops AS (SELECT node FROM comp WHERE node != component)
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
-      "s01_ann_topk" ->
-        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
-          |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
-          |  row_number() OVER (PARTITION BY query_id
-          |    ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) AS rank
-          |  FROM q JOIN embeddings e ON e.vec_id != q.query_id)
-          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin,
-      "s02_ann_ivf" ->
-        """WITH cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
-          |assigned AS (SELECT vec_id, embedding, cell FROM (
-          |  SELECT e.vec_id, e.embedding, c.cell,
-          |    row_number() OVER (PARTITION BY e.vec_id
-          |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rn
-          |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-          |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
-          |probes AS (SELECT query_id, qe, cell FROM (
-          |  SELECT q.query_id, q.qe, c.cell,
-          |    row_number() OVER (PARTITION BY q.query_id
-          |      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
-          |  FROM q CROSS JOIN cent c) WHERE rn <= 3),
-          |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-          |  row_number() OVER (PARTITION BY p.query_id
-          |    ORDER BY list_cosine_similarity(p.qe, a.embedding) DESC, a.vec_id) AS rank
-          |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id)
-          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin,
+      "s01_ann_topk" -> s01Sql,
+      "s02_ann_ivf" -> s02Sql,
+      "s07_recall_eval" ->
+        s"""WITH exact AS ($s01Sql),
+           |approx AS ($s02Sql)
+           |SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits,
+           | (count(a.neighbor_id) * 1000000 // 5)::BIGINT AS recall_ppm
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |GROUP BY 1""".stripMargin,
+      "t16_quality_gate" ->
+        s"""WITH s AS (SELECT doc_id, len($toks) AS nt,
+           |  len(list_distinct($toks)) AS nd,
+           |  len(list_filter($toks, t -> list_contains($enStop, t))) AS ns,
+           |  length(text) AS nc,
+           |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS np
+           |  FROM documents)
+           |SELECT doc_id, nt::BIGINT AS n_tokens,
+           | (CASE WHEN nt < 30 THEN 1 ELSE 0 END)::BIGINT AS fail_short,
+           | (CASE WHEN ns*1000000//nt < 30000 THEN 1 ELSE 0 END)::BIGINT AS fail_stopword,
+           | (CASE WHEN (nt-nd)*1000000//nt > 600000 THEN 1 ELSE 0 END)::BIGINT AS fail_repetition,
+           | (CASE WHEN np*1000000//nc > 100000 THEN 1 ELSE 0 END)::BIGINT AS fail_punct,
+           | (CASE WHEN nt >= 30 AND ns*1000000//nt >= 30000
+           |        AND (nt-nd)*1000000//nt <= 600000
+           |        AND np*1000000//nc <= 100000 THEN 1 ELSE 0 END)::BIGINT AS pass
+           |FROM s""".stripMargin,
       "m01_media_meta" ->
         """SELECT doc_id, length(text)::BIGINT AS n_bytes, sha256(text) AS sha256,
           | ((ascii(substr(text, 1, 1)) % 64) + 1)::BIGINT AS width,

@@ -124,6 +124,29 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * EVAL step every ANN deployment runs before trusting an index: per
+    * query, how many of the exact top-k the approximate search recovered
+    * (`n_hits`) and the ppm recall. Both inputs are (query_id, rank,
+    * neighbor_id) tables as produced by [[bruteForceTopK]] (ground truth)
+    * and [[ivfTopK]] / an LSH variant (candidate).
+    *
+    * Scale shape: both sides are already top-k projections — #queries × k
+    * rows, microscopic next to the corpus that produced them — so the
+    * equi-join on (query_id, neighbor_id) and the per-query count are
+    * AQE-sized (broadcast in practice). The expensive part of a recall
+    * eval is producing the inputs, not this comparison.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int = 5): DataFrame =
+    exact.as("e")
+      .join(approx.as("a"),
+        col("e.query_id") === col("a.query_id") &&
+          col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("a.neighbor_id")).as("n_hits"))
+      .withColumn("recall_ppm",
+        floor(col("n_hits") * lit(1000000L) / lit(k.toLong)).cast("long"))
+
   /** Per-label centroid accumulation — the shuffle-exact building block of
     * distributed k-means / class prototypes: element-wise sums per label
     * in scaled-integer space (`floor(x·10⁶)` per component), which makes

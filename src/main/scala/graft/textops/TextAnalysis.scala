@@ -220,6 +220,51 @@ object TextAnalysis {
         .otherwise(lit(0L)).as("top_bigram_ppm"))
   }
 
+  /** Composite quality gate — the FILTER step the scoring operators exist
+    * for (Gopher/C4-style rule chain): per doc, one flag per rule plus the
+    * pass verdict, so downstream can both filter (`pass = 1`) and account
+    * for WHY documents dropped (sum the flags). Rules, all integer ppm:
+    *
+    *  - `fail_short`      — fewer than `minTokens` tokens
+    *  - `fail_stopword`   — stopword density below `minStopPpm` (gibberish
+    *    / non-prose signal; Gopher's "no stop words" rule)
+    *  - `fail_repetition` — duplicate-word mass above `maxDupPpm`
+    *    (Gopher's repetition class)
+    *  - `fail_punct`      — symbol density above `maxPunctPpm` (C4's
+    *    punctuation/boilerplate signal; inert on this all-[a-z0-9 ]
+    *    corpus, kept because real crawls need it)
+    *
+    * ONE narrow scan (doc_id, text), no joins, no shuffle — the verdict
+    * is a per-row projection, the cheapest possible 100 TB shape. Flags
+    * are emitted rather than a filtered corpus so the oracle checks every
+    * rule's boundary on every doc (the apply step is a trivial
+    * `where(pass = 1)`).
+    */
+  def qualityGate(docs: DataFrame, minTokens: Int = 30, minStopPpm: Long = 30000,
+                  maxDupPpm: Long = 600000, maxPunctPpm: Long = 100000): DataFrame = {
+    val toks = col("__toks")
+    val nToks = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
+    val stopArr = typedLit(EnStopwords)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+    withTokens(docs)
+      .select(
+        col("doc_id"),
+        nToks.as("n_tokens"),
+        (nToks < minTokens).cast("long").as("fail_short"),
+        (intDiv(nStop * lit(1000000L), nToks) < minStopPpm).cast("long")
+          .as("fail_stopword"),
+        (intDiv((nToks - nDistinct) * lit(1000000L), nToks) > maxDupPpm).cast("long")
+          .as("fail_repetition"),
+        (intDiv(nPunct * lit(1000000L), nChars) > maxPunctPpm).cast("long")
+          .as("fail_punct"))
+      .withColumn("pass",
+        (col("fail_short") + col("fail_stopword") +
+          col("fail_repetition") + col("fail_punct") === 0).cast("long"))
+  }
+
   /** Deterministic stratified sampling — the reproducible-data-mix
     * primitive: a document is kept iff its 60-bit md5 sampling coordinate
     * (`md5("sample:" ++ doc_id) % 10⁶`) falls below its language's rate

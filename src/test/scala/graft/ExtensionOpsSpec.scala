@@ -39,6 +39,44 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(rows(2L) == (2L, 1L, 1L), s"doc 2: $rows")
   }
 
+  test("qualityGate: each rule trips independently; clean docs pass") {
+    val stopPad = Seq.fill(6)("the a of and to").mkString(" ") // 30 toks, all stop
+    val docs = Seq(
+      (1L, stopPad),                                        // clean: 30 toks, stop-dense, distinct-ish? dup high!
+      (2L, "too short the a"),                              // < 30 tokens
+      (3L, Seq.tabulate(30)(i => s"w$i").mkString(" ")),    // no stopwords
+      (4L, ("the a of and to " * 6).trim + " !!!"))         // punct over 10%? no — tiny; stays clean
+      .toDF("doc_id", "text")
+    val rows = graft.textops.TextAnalysis.qualityGate(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // doc 1: 30 tokens of 5 distinct words → dup 833333 ppm > 600000 → repetition fail
+    assert(rows(1L) == (0L, 0L, 1L, 0L, 0L))
+    assert(rows(2L) == (1L, 0L, 0L, 0L, 0L), s"short: $rows")
+    assert(rows(3L) == (0L, 1L, 0L, 0L, 0L), s"no stopwords: $rows")
+    // doc 4: 31 tokens, 6 distinct → repetition fail; '!!!' is 3 of 99
+    // chars ≈ 30303 ppm < 100000 → punct ok
+    assert(rows(4L) == (0L, 0L, 1L, 0L, 0L), s"doc4: $rows")
+    // a genuinely clean doc: 30 distinct tokens with a few stopwords
+    val clean = Seq((9L, (Seq("the", "a", "of") ++
+      Seq.tabulate(27)(i => s"w$i")).mkString(" "))).toDF("doc_id", "text")
+    val r9 = graft.textops.TextAnalysis.qualityGate(clean).head()
+    assert((2 to 5).map(r9.getLong).sum == 0L && r9.getLong(6) == 1L)
+  }
+
+  test("recallAtK: hits counted per query, ppm floor-scaled") {
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val approx = Seq((1L, 1L, 10L), (1L, 2L, 99L), (1L, 3L, 12L),
+      (2L, 1L, 98L), (2L, 2L, 97L), (2L, 3L, 96L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val rows = graft.similarity.Ann.recallAtK(exact, approx, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == (2L, 666666L)) // 2/3 → floor ppm
+    assert(rows(2L) == (0L, 0L))      // disjoint → zero, query still present
+  }
+
   test("snapshotDiff is EXCEPT by content, not by id") {
     val a = Seq((1L, "same text"), (2L, "only in a"), (3L, "shared dup"))
       .toDF("doc_id", "text")

@@ -247,6 +247,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"raw chunk text must never cross a shuffle:\n$p")
   }
 
+  test("quality gate is one narrow scan: no shuffle, pruned read") {
+    val p = plan(TextAnalysis.qualityGate(docs))
+    // Tables.documents adds a round-robin repartition (single-file scan
+    // parallelization) — what the gate itself must never add is a KEYED
+    // shuffle or an aggregate/join
+    assert(!p.contains("Exchange hashpartitioning"), s"gate must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"gate is a pure projection:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"gate must read only (doc_id, text):\n$p")
+  }
+
   test("PQ encode reduces candidates map-side: aggregate, not a window rank") {
     val p = plan(Ann.pqCodes(Tables.embeddings(spark, sf0001)))
     assert(p.contains("BroadcastHashJoin"),
