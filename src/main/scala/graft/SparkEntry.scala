@@ -377,6 +377,15 @@ object SparkEntry {
     // hourly per-type counts (the alerting step on counter output)
     "e06_count_spikes" -> ((s, dir) =>
       graft.relational.Temporal.countSpikes(events(s, dir))),
+    // windowed heavy hitters: per-hour top-k users — rank runs over the
+    // per-(window, user) aggregate, never the raw events
+    "e07_heavy_hitters" -> ((s, dir) =>
+      graft.relational.Temporal.windowHeavyHitters(events(s, dir))),
+    // Q17 shape: correlated scalar aggregate decorrelated — per-part avg
+    // via (sum, count) join-back, integer cross-multiplied threshold
+    "h14_small_qty_revenue" -> ((s, dir) =>
+      graft.relational.Relational.smallQuantityRevenue(
+        Tables.part(s, dir), Tables.lineitem(s, dir))),
 
     // ---- text analysis (training-data pipeline ops) ----
     "t01_token_count" -> ((s, dir) =>
@@ -864,6 +873,20 @@ object SparkEntry {
           |   AND ((n*c - s)::HUGEINT * (n*c - s)) > 9 * (c::HUGEINT * q - s::HUGEINT * s)
           |  THEN 1 ELSE 0 END)::BIGINT AS is_spike
           |FROM w""".stripMargin,
+      "e07_heavy_hitters" ->
+        """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, user_id,
+          |  count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY h
+          |  ORDER BY n_events DESC, user_id) AS rank FROM c)
+          |SELECT epoch_ms(h) AS window_start, user_id, n_events, rank::BIGINT AS rank
+          |FROM r WHERE rank <= 3""".stripMargin,
+      "h14_small_qty_revenue" ->
+        """WITH li AS (SELECT l_partkey AS pk, floor(l_quantity)::BIGINT AS qty,
+          |   CAST(floor(l_extendedprice*100) AS BIGINT) AS price_cents
+          | FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'PROMO'),
+          |st AS (SELECT pk, sum(qty)::BIGINT AS s, count(*)::BIGINT AS c FROM li GROUP BY 1)
+          |SELECT sum(price_cents)::BIGINT AS sum_cents, count(*)::BIGINT AS n_lines
+          |FROM li JOIN st USING (pk) WHERE qty * c * 5 < s""".stripMargin,
       "e04_rolling_activity" ->
         """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_events,
           |  count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1),

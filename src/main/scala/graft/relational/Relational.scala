@@ -316,6 +316,35 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** TPC-H Q17 shape (small-quantity revenue): total revenue of lines
+    * whose quantity is below 20% of their part's average quantity — the
+    * classic CORRELATED SCALAR AGGREGATE, decorrelated: per-part
+    * (sum, count) aggregate once, join back by partkey, and test
+    * `5·qty·C < S` — the integer cross-multiplication of
+    * `qty < 0.2·(S/C)`, engine-exact with no division.
+    *
+    * Scale shape: the part-type filter broadcasts its keys into the fact
+    * scan (the fact is pruned before anything else happens); the stats
+    * aggregate is map-side combinable on the SAME partkey the join-back
+    * shuffles on, so AQE reuses one exchange; the final global aggregate
+    * is a single row. A per-row correlated subquery — the naive reading —
+    * would re-scan lineitem per part.
+    */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
+                           ptype: String = "PROMO"): DataFrame = {
+    val keys = part.where(col("p_type") === ptype).select(col("p_partkey"))
+    val li = lineitem
+      .join(broadcast(keys), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey").as("pk"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    val stats = li.groupBy(col("pk").as("pk2"))
+      .agg(sum(col("qty")).as("s"), count(lit(1)).as("c"))
+    li.join(stats, col("pk") === col("pk2"))
+      .where(col("qty") * col("c") * lit(5L) < col("s"))
+      .agg(sum(col("price_cents")).as("sum_cents"), count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q13 shape (customer order distribution): how many customers
     * placed exactly k qualifying orders, INCLUDING the zero-order
     * customers — the left-outer-join + double-aggregate shape.

@@ -160,6 +160,32 @@ object Temporal {
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
   }
 
+  /** Windowed heavy hitters (the leaderboard step on counter output): per
+    * tumbling window, the top-`k` users by event count with their rank
+    * (count desc, user asc tiebreak — deterministic).
+    *
+    * Exact, not sketched, and still scale-safe: the rank window runs over
+    * the per-(window, user) AGGREGATE — bounded by active users per
+    * window, not events — and that aggregate is map-side combinable. The
+    * rank partitions by window, so no global sort ever happens. (A
+    * SpaceSaving/count-min sketch is the sub-memory alternative when even
+    * per-window user cardinality is too big to shuffle; at that point the
+    * aggregate itself is the bottleneck, not the rank.)
+    */
+  def windowHeavyHitters(events: DataFrame, windowDuration: String = "1 hour",
+                         k: Int = 3): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), windowDuration).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val rankW = Window.partitionBy(col("w"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(unix_millis(col("w.start")).as("window_start"),
+        col("user_id"), col("n_events"), col("rank"))
+  }
+
   /** Count spike detection — the alerting step a production counter
     * pipeline bolts onto its windowed counts: per (event_type, hour), flag
     * hours whose count is > `zThreshold` standard deviations above the

@@ -247,6 +247,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"raw chunk text must never cross a shuffle:\n$p")
   }
 
+  test("heavy hitters ranks the per-window aggregate, not the events") {
+    val p = plan(graft.relational.Temporal.windowHeavyHitters(events))
+    assert("(?s)Window.*HashAggregate.*partial_count".r.findFirstIn(p).isDefined,
+      s"rank must sit above the (window, user) aggregate:\n$p")
+  }
+
+  test("small-quantity revenue broadcasts part keys and prunes the fact scan") {
+    val p = plan(graft.relational.Relational.smallQuantityRevenue(
+      Tables.part(spark, sf0001), Tables.lineitem(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), s"part keys must broadcast:\n$p")
+    assert(!p.contains("Cartesian"), s"no cartesian:\n$p")
+  }
+
   test("quality gate is one narrow scan: no shuffle, pruned read") {
     val p = plan(TextAnalysis.qualityGate(docs))
     // Tables.documents adds a round-robin repartition (single-file scan

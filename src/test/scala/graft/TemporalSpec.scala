@@ -192,6 +192,35 @@ class TemporalSpec extends SparkTestBase {
     assert(early == 0L)
   }
 
+  test("windowHeavyHitters ranks within each window, count desc then user asc") {
+    val h = 3600000L
+    val events = (Seq.fill(3)((1L, ts(10))) ++ Seq.fill(3)((2L, ts(20))) ++
+      Seq.fill(1)((3L, ts(30))) ++ Seq.fill(1)((4L, ts(40))) ++ // hour 0: ties
+      Seq.fill(2)((9L, ts(h + 5))))                             // hour 1
+      .map { case (u, t) => (u, t) }.toDF("user_id", "ts")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+    val rows = Temporal.windowHeavyHitters(events, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    // hour 0: counts u1=3, u2=3, u3=1, u4=1 → ranks: u1, u2 (tie → user asc), u3
+    assert(rows((0L, 1L)) == (1L, 3L) && rows((0L, 2L)) == (2L, 3L)
+      && rows((0L, 3L)) == (3L, 1L))
+    // hour 1 has fewer users than k — all present
+    assert(rows((h, 1L)) == (9L, 2L) && rows.size == 4)
+  }
+
+  test("smallQuantityRevenue: strict integer threshold qty < avg/5") {
+    val part = Seq((1L, "PROMO"), (2L, "OTHER")).toDF("p_partkey", "p_type")
+    // part 1 lines: qty 1, 9, 10, 40 → S=60, C=4, avg=15, threshold 3:
+    // qualifying: qty 1 (5·1·4=20 < 60); qty 9 (180 ≥ 60? 5·9·4=180 NOT < 60) no
+    // boundary: qty 3 would be 5·3·4 = 60 NOT < 60 — strict
+    val lineitem = Seq(
+      (1L, 1.0, 10.00), (1L, 9.0, 20.00), (1L, 10.0, 30.00), (1L, 40.0, 40.00),
+      (2L, 1.0, 99.00)) // non-PROMO part — excluded entirely
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val r = Relational.smallQuantityRevenue(part, lineitem).head()
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 1L, s"got $r")
+  }
+
   test("customerOrderHistogram counts zero-order customers and excludes the priority") {
     val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
     val orders = Seq(
