@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-inspection helper: `runMain graft.Explain q1 q2 …` prints each named
-  * query's formatted physical plan (the same session config as [[Bench]]),
-  * so shuffle/join/codegen choices are reviewable without editing code.
+  * query's formatted physical plan, so shuffle/join/codegen choices are
+  * reviewable without editing code. Session config mirrors [[Verify]]
+  * (incl. the UTC timezone, which affects time-expression folding);
+  * defaults to sf0.01 — set `SPARK_GRAFT_SF_DIR` to match the run you are
+  * diagnosing, since AQE decisions are input-size dependent.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -13,6 +16,7 @@ object Explain {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))

@@ -1289,7 +1289,7 @@ object SparkEntry {
         s"""WITH exact AS ($s01Sql),
            |approx AS ($s02Sql)
            |SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits,
-           | (count(a.neighbor_id) * 1000000 // 5)::BIGINT AS recall_ppm
+           | (count(a.neighbor_id) * 1000000 // count(*))::BIGINT AS recall_ppm
            |FROM exact e LEFT JOIN approx a
            |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
            |GROUP BY 1""".stripMargin,
@@ -1297,7 +1297,7 @@ object SparkEntry {
         s"""WITH s AS (SELECT doc_id, len($toks) AS nt,
            |  len(list_distinct($toks)) AS nd,
            |  len(list_filter($toks, t -> list_contains($enStop, t))) AS ns,
-           |  length(text) AS nc,
+           |  greatest(length(text), 1) AS nc,
            |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS np
            |  FROM documents)
            |SELECT doc_id, nt::BIGINT AS n_tokens,

@@ -137,15 +137,19 @@ object Ann {
     * AQE-sized (broadcast in practice). The expensive part of a recall
     * eval is producing the inputs, not this comparison.
     */
-  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int = 5): DataFrame =
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.as("e")
       .join(approx.as("a"),
         col("e.query_id") === col("a.query_id") &&
           col("e.neighbor_id") === col("a.neighbor_id"), "left")
       .groupBy(col("e.query_id").as("query_id"))
-      .agg(count(col("a.neighbor_id")).as("n_hits"))
+      // denominator = this query's exact-row count, not a caller-supplied
+      // k that could silently disagree with the input shape (recall > 1)
+      .agg(count(col("a.neighbor_id")).as("n_hits"),
+        count(lit(1)).as("__n"))
       .withColumn("recall_ppm",
-        floor(col("n_hits") * lit(1000000L) / lit(k.toLong)).cast("long"))
+        floor(col("n_hits") * lit(1000000L) / col("__n")).cast("long"))
+      .drop("__n")
 
   /** Per-label centroid accumulation — the shuffle-exact building block of
     * distributed k-means / class prototypes: element-wise sums per label
@@ -273,10 +277,15 @@ object Ann {
     // dim expression nodes PER PLANE — at nPlanes×tables×both-join-sides that
     // is thousands of tree nodes, and Catalyst planning (not the data) came
     // to dominate the multi-table LSH wall-clock.
-    (0 until nPlanes).map { p =>
+    val bucket = (0 until nPlanes).map { p =>
       val plane = lit((0 until dim).map(j => planeSign(p, j)).toArray)
       when(VecDot.dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // Undersized (corrupt) vectors quarantine in bucket 0 — the behavior
+    // the unrolled spelling had via element_at's NULL past the end —
+    // instead of prefix-hashing into a genuine bucket, where a streaming
+    // dedup could mistake them for a real document's near-dup.
+    when(size(v) >= dim, bucket).otherwise(lit(0L))
   }
 
   /** Product-quantization codes (Jégou et al., PAMI'11) — the embedding

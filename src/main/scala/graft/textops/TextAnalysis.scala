@@ -72,11 +72,10 @@ object TextAnalysis {
     */
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = col("__toks")
-    val nChars = length(col("text")).cast("long")
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
+    val nChars = nCharsCol
+    val nPunct = nPunctCol
     val nToks = size(toks).cast("long")
-    val stopArr = typedLit(EnStopwords)
-    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+    val nStop = enStopCount(toks)
     withTokens(docs).select(
       col("doc_id"),
       nChars.as("n_chars_m"),
@@ -93,6 +92,17 @@ object TextAnalysis {
     */
   private[graft] def intDiv(a: Column, b: Column): Column =
     floor(a / b).cast("long")
+
+  // The cheap per-doc metric expressions, shared by [[qualityScore]] and
+  // [[qualityGate]] so a regex/stopword change can never de-sync the score
+  // from the gate that filters on it.
+  private def nCharsCol: Column = length(col("text")).cast("long")
+  private def nPunctCol: Column =
+    size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
+  private def enStopCount(toks: Column): Column = {
+    val stopArr = typedLit(EnStopwords)
+    size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+  }
 
   /** Language-ID by stopword-list voting (the classic cheap n-gram/stopword
     * heuristic): score(lang) = # tokens in that language's stopword list;
@@ -245,10 +255,11 @@ object TextAnalysis {
     val toks = col("__toks")
     val nToks = size(toks).cast("long")
     val nDistinct = size(array_distinct(toks)).cast("long")
-    val nChars = length(col("text")).cast("long")
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
-    val stopArr = typedLit(EnStopwords)
-    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+    // empty text (0 chars) must yield punct 0 ppm, not NULL/NaN — the
+    // token denominators can't hit zero (split("") is one empty token)
+    val nChars = greatest(nCharsCol, lit(1L))
+    val nPunct = nPunctCol
+    val nStop = enStopCount(toks)
     withTokens(docs)
       .select(
         col("doc_id"),

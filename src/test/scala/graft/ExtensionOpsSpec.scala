@@ -64,6 +64,18 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert((2 to 5).map(r9.getLong).sum == 0L && r9.getLong(6) == 1L)
   }
 
+  test("sign-LSH buckets quarantine undersized vectors in bucket 0") {
+    // a corrupt 10-dim vector must NOT prefix-hash into a genuine bucket
+    // (streaming near-dup would then drop a real doc as its duplicate)
+    val df = Seq(
+      (1L, Seq.tabulate(64)(i => if (i % 3 == 0) 0.9f else -0.4f)),
+      (2L, Seq.fill(10)(0.9f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.similarity.Ann.signLshBuckets(df, nPlanes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(2L) == 0L, s"short vector must quarantine: $rows")
+  }
+
   test("recallAtK: hits counted per query, ppm floor-scaled") {
     val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
       (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L))
@@ -71,7 +83,7 @@ class ExtensionOpsSpec extends SparkTestBase {
     val approx = Seq((1L, 1L, 10L), (1L, 2L, 99L), (1L, 3L, 12L),
       (2L, 1L, 98L), (2L, 2L, 97L), (2L, 3L, 96L))
       .toDF("query_id", "rank", "neighbor_id")
-    val rows = graft.similarity.Ann.recallAtK(exact, approx, k = 3)
+    val rows = graft.similarity.Ann.recallAtK(exact, approx)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rows(1L) == (2L, 666666L)) // 2/3 → floor ppm
     assert(rows(2L) == (0L, 0L))      // disjoint → zero, query still present
