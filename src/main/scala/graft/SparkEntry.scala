@@ -180,6 +180,14 @@ object SparkEntry {
       JqTransform(
         Counters.run(events(s, dir), "ts", cRequestCount),
         """{pair: ([.value, .value * 2] | map(. * 10)), time: .window_start} | .pair[]""")),
+    // O14 jq if/then/elif/else: conditional output classification with
+    // jq-truthy conditions — one codegen'd when-chain
+    "c27_jq_conditional" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{"time": .window_start,
+          | "level": (if .value > 15 then "high" elif .value > 12 then "mid" else "low" end),
+          | "value": .value}""".stripMargin)),
     // THE WHOLE ENGINE from config, oracle-checked: YAML in (env-template
     // loader), ARN wildcard routing selects the matching counter, its
     // pipeline runs target_expr + jq — records out must hash-match the
@@ -584,6 +592,12 @@ object SparkEntry {
       "c09_jq_output" ->
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'events.request_count' AS name, count(*) AS value
+          | FROM events GROUP BY 1""".stripMargin,
+      "c27_jq_conditional" ->
+        """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
+          | CASE WHEN count(*) > 15 THEN 'high' WHEN count(*) > 12 THEN 'mid'
+          |      ELSE 'low' END AS level,
+          | count(*) AS value
           | FROM events GROUP BY 1""".stripMargin,
       "c10_fanout" ->
         s"""SELECT * FROM (

@@ -44,6 +44,9 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    jq truthiness: `a // b` is `a` unless `a` is null/false) — a
   *    `coalesce` for non-boolean operands, a truthiness `when` for
   *    booleans;
+  *  - `if C then A [elif C2 then B]* else E end` → one `when`-chain with
+  *    jq-truthy conditions (the else-less form, which emits `.`, is out:
+  *    branches are explicit and must share a Spark type);
   *  - a path whose top-level field does not exist in the input emits
   *    jq's `null` (NOT an analyzer error), so `.maybe_missing // 0`
   *    works against any record shape, like the reference's dynamic
@@ -685,6 +688,38 @@ object JqTransform {
                 varBindings.withValue(
                   varBindings.value + (name -> Bound(x, lit(null).cast(et))))(update(df))
               })
+          }
+        case 'i' if s.startsWith("if", i) && boundary(i + 2) =>
+          // if C then A [elif C2 then B]* else E end — one codegen'd
+          // when-chain; conditions use jq truthiness (only null/false are
+          // falsy). jq's else-less form (emits '.') is not supported:
+          // branches must be explicit, and must share a Spark type.
+          i += 2
+          val branches = Seq.newBuilder[(V, V)]
+          val c0 = parseValue()
+          skipWs(); expectWord("then")
+          branches += ((c0, parseValue()))
+          skipWs()
+          while (s.startsWith("elif", i) && boundary(i + 4)) {
+            i += 4
+            val c = parseValue()
+            skipWs(); expectWord("then")
+            branches += ((c, parseValue()))
+            skipWs()
+          }
+          expectWord("else")
+          val elseV = parseValue()
+          skipWs(); expectWord("end")
+          val bs = branches.result()
+          df => {
+            def truthy(cond: V): Column = dtOfV(df, cond) match {
+              case BooleanType => coalesce(cond(df), lit(false)) === lit(true)
+              case _ => cond(df).isNotNull
+            }
+            bs.tail
+              .foldLeft(when(truthy(bs.head._1), bs.head._2(df)))(
+                (w, b) => w.when(truthy(b._1), b._2(df)))
+              .otherwise(elseV(df))
           }
         case 't' if s.startsWith("true", i) && boundary(i + 4) => i += 4; _ => lit(true)
         case 'f' if s.startsWith("false", i) && boundary(i + 5) => i += 5; _ => lit(false)

@@ -276,6 +276,24 @@ class JqTransformSpec extends SparkTestBase {
     assert(out.getLong(0) == 100L && out.getLong(1) == 1638357540000L)
   }
 
+  test("if/then/elif/else/end: when-chain with jq truthiness") {
+    val out = JqTransform(df,
+      """{lvl: (if .value > 150 then "high" elif .value > 50 then "mid" else "low" end)}""")
+    assert(out.head().getString(0) == "mid")
+    // non-boolean condition: null is falsy, any value (even 0) is truthy
+    val t = JqTransform(df, """{x: (if .no_such then 1 else 2 end)}""").head()
+    assert(t.getLong(0) == 2L)
+    val t2 = JqTransform(df, """{x: (if .value then 1 else 2 end)}""").head()
+    assert(t2.getLong(0) == 1L)
+    // null boolean condition falls to else (jq: null is falsy)
+    val t3 = JqTransform(df,
+      """{x: (if .no_such == "y" then 1 else 2 end)}""").head()
+    assert(t3.getLong(0) == 2L)
+    // missing end is a compile error
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: (if .value then 1 else 2)}"""))
+  }
+
   test("missing top-level field reads as jq null, not an analyzer error") {
     // the reference's records are dynamic JSON: absent key == nil
     // (counter.go:274); jq mirrors that, and so do we
