@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Streaming TEMP checkpoints land in java.io.tmpdir (not
+    // spark.local.dir); point it at the same tmpfs so per-micro-batch
+    // state commits don't pay the shared host disk's fsync latency.
+    val tmp = new java.io.File(
+      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark") + "/tmp")
+    tmp.mkdirs()
+    System.setProperty("java.io.tmpdir", tmp.getAbsolutePath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

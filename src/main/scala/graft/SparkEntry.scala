@@ -56,6 +56,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Counters.run(events(spark, "/root/testdata/sf0.001"), "ts", cRequestCount)
 
+  /** Stateful-stream state sizing: `spark.sql.shuffle.partitions` is ALSO
+    * the stateful-operator state-store count, and a real deployment sizes
+    * it per stream volume, not per batch parallelism — every micro-batch
+    * commits every store, so 32 stores for a trickle stream is pure
+    * overhead (measured ~1.5× on the parity queries). The streaming parity
+    * queries run their stream under `n` partitions and restore the
+    * session's batch setting after.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O8+O12+O13: tumbling-window count of every record (target_column "*")
@@ -137,7 +152,7 @@ object SparkEntry {
     // through Structured Streaming (file-stream source → tumbling window →
     // memory sink) must hash-match the batch oracle — batch/stream
     // semantic unification, end to end
-    "c16_streaming_parity" -> ((s, dir) => {
+    "c16_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val c = cRequestCount.copy(id = "request_count_stream")
       val out = graft.streaming.StreamingCounters.run(
         Tables.eventsStream(s, dir), "ts", c)
@@ -152,7 +167,7 @@ object SparkEntry {
     // CounterState path (state carried per window, emitted on the
     // event-time timeout = final invoke) must hash-match the batch oracle
     // for every window the watermark closed — all but the stream's last
-    "c17_custom_state_parity" -> ((s, dir) => {
+    "c17_custom_state_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val c = cRequestCount.copy(id = "request_count_state")
       val out = graft.streaming.StreamingCounters.runCustomState(
         Tables.eventsStream(s, dir), "ts", c,
@@ -219,7 +234,7 @@ object SparkEntry {
     // ONE streaming aggregation (single state store) + one generator
     // unpivot; every watermark-closed window hash-matches the batch
     // fan-out oracle
-    "c24_fanout_streaming_parity" -> ((s, dir) => {
+    "c24_fanout_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val cs = Seq(
         cRequestCount.copy(id = "request_count_fo_stream"),
         cClickCount.copy(id = "click_count_fo_stream"))
@@ -235,7 +250,7 @@ object SparkEntry {
     // to intermediate-record JSON (the aggregate-stream payload), CONSUMED
     // via readStream → parse/filter/version-gate → merge per window —
     // the reference's two-job topology (counter.go:348-412) end to end
-    "c23_intermediate_streaming_parity" -> ((s, dir) => {
+    "c23_intermediate_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val c = cRequestCount.copy(id = "request_count_rt_stream")
       val sharded = events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8)))
       // per-application path: concurrent runs on one host must not clobber
@@ -267,7 +282,7 @@ object SparkEntry {
     // sliding windows through Structured Streaming, oracle-checked like
     // c17: every overlapping bucket the watermark closed must hash-match
     // the batch sliding result
-    "c22_sliding_streaming_parity" -> ((s, dir) => {
+    "c22_sliding_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val c = cRequestCount.copy(id = "sliding_count_stream")
       val out = graft.streaming.StreamingCounters.runSliding(
         Tables.eventsStream(s, dir), "ts", c,
@@ -282,7 +297,7 @@ object SparkEntry {
     // c17: zero-delay watermark closes every session whose reach (last
     // event + gap) precedes the stream's max event time; the oracle
     // mirrors with the same HAVING bound
-    "c21_session_streaming_parity" -> ((s, dir) => {
+    "c21_session_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val c = cRequestCount.copy(id = "session_events_stream")
       val out = graft.streaming.StreamingCounters.runSessions(
         Tables.eventsStream(s, dir), "ts", "user_id", c,

@@ -7,6 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // streaming temp checkpoints → tmpfs (same rationale as Bench)
+    val tmp = new java.io.File(
+      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark") + "/tmp")
+    tmp.mkdirs()
+    System.setProperty("java.io.tmpdir", tmp.getAbsolutePath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
