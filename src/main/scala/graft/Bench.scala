@@ -66,7 +66,17 @@ object Bench {
       if ((o -- unknown).isEmpty)
         System.err.println("[bench] WARNING: SPARK_GRAFT_ONLY matches no queries — empty run")
     }
-    val results = SparkEntry.queries
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              tag: String): Double = {
+      // noop sink fully materializes every column — a bare .count() would
+      // let Catalyst prune the computed projections and time nothing.
+      val t0 = System.nanoTime()
+      watched.set(tag)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $tag: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // Steady-state measurement: an untimed first run absorbs the warm-up
@@ -74,23 +84,32 @@ object Bench {
       // broadcast builds, parquet footer caches); the second run is the
       // reported number. Warming only one query charged 10s+ of JVM
       // warm-up to whichever queries happened to run first.
-      watched.set(s"$name#warm")
-      val w0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name warm: $e") }
-      val wt = (System.nanoTime() - w0) / 1e9
-      val t0 = System.nanoTime()
-      watched.set(name)
-      // noop sink fully materializes every column — a bare .count() would let
-      // Catalyst prune the computed projections and time nothing.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val wt = timed(fn, s"$name#warm")
+      // TWO timed runs, report the min: shared-host noise (CPU steal, page
+      // cache, GC) is one-sided additive, so min is the consistent
+      // estimator of the plan's steady-state cost.
+      val dt1 = timed(fn, name)
+      val dt2 = timed(fn, s"$name#2")
+      val dt = math.min(dt1, dt2)
       // warm time reported for wall-clock accounting (codegen + JIT +
       // broadcast/file-listing first-time costs live there, not in dt)
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs  (warm $wt%8.2fs)")
-      name -> dt
+      System.err.println(
+        f"[bench] $name%-24s $dt%8.2fs  (runs $dt1%.2f/$dt2%.2f, warm $wt%8.2fs)")
+      (name, fn, wt, dt)
     }
+    // Outlier retry: a measured time several times the query's OWN warm run
+    // can only be a host-noise window that spanned both timed runs (warm
+    // includes codegen on top of the same work) — re-measure once, later,
+    // after the window has passed. Observed: a ~25 s noisy-neighbor window
+    // turned two adjacent sub-second queries into 12 s readings.
+    val results = firstPass.map { case (name, fn, wt, dt) =>
+      if (dt > 1.0 && dt > 3 * wt) {
+        val dt3 = timed(fn, s"$name#retry")
+        val best = math.min(dt, dt3)
+        System.err.println(f"[bench] $name%-24s $best%8.2fs  (retry $dt3%.2f)")
+        name -> best
+      } else name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -393,6 +393,12 @@ object SparkEntry {
     "h13_order_histogram" -> ((s, dir) =>
       graft.relational.Relational.customerOrderHistogram(
         Tables.customer(s, dir), Tables.orders(s, dir))),
+    // Q10 shape: returned-item revenue per customer, star join with the
+    // revenue aggregate collapsed BEFORE the dimension joins, heap top-k
+    "h15_returned_items" -> ((s, dir) =>
+      graft.relational.Relational.returnedItemReport(
+        Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
     // gaps-and-islands sessionization: per-(user, session) analytic rows
     "e05_user_sessions" -> ((s, dir) =>
       graft.relational.Temporal.userSessions(events(s, dir))),
@@ -467,6 +473,10 @@ object SparkEntry {
     // narrow scan — the filter step the scoring ops feed
     "t16_quality_gate" -> ((s, dir) =>
       TextAnalysis.qualityGate(Tables.documents(s, dir))),
+    // bigram novelty: ppm of a doc's distinct bigrams appearing in no
+    // other doc — corpus-wide boilerplate/memorization signal
+    "t17_bigram_novelty" -> ((s, dir) =>
+      TextAnalysis.bigramNovelty(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -867,6 +877,20 @@ object SparkEntry {
           |             WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS funnel_stage,
           | count(*)::BIGINT AS n_users
           |FROM u GROUP BY 1""".stripMargin,
+      "h15_returned_items" ->
+        """WITH pc AS (SELECT o_custkey,
+          |  sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |      * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT AS revenue_cpct
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE l_returnflag = 'R'
+          |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+          |    AND o_orderdate < TIMESTAMP '1997-07-01'
+          |  GROUP BY 1)
+          |SELECT c_custkey, c_name, n_name,
+          | CAST(floor(c_acctbal*100) AS BIGINT) AS acctbal_cents, revenue_cpct
+          |FROM pc JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |ORDER BY revenue_cpct DESC, c_custkey LIMIT 20""".stripMargin,
       "h13_order_histogram" ->
         """WITH pc AS (SELECT o_custkey, count(*)::BIGINT AS n FROM orders
           |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
@@ -1322,6 +1346,17 @@ object SparkEntry {
            |FROM exact e LEFT JOIN approx a
            |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
            |GROUP BY 1""".stripMargin,
+      "t17_bigram_novelty" ->
+        s"""WITH bg AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+           |    i -> t[i]||' '||t[i+1])) AS g
+           |  FROM (SELECT doc_id, $toks AS t FROM documents))),
+           |dfq AS (SELECT gh, count(*) AS df FROM bg GROUP BY 1)
+           |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           | sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           | (sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+           |   AS novelty_ppm
+           |FROM bg JOIN dfq USING (gh) GROUP BY 1""".stripMargin,
       "t16_quality_gate" ->
         s"""WITH s AS (SELECT doc_id, len($toks) AS nt,
            |  len(list_distinct($toks)) AS nd,

@@ -345,6 +345,38 @@ object Relational {
       .agg(sum(col("price_cents")).as("sum_cents"), count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q10 shape (returned-item report): top-`k` customers by revenue
+    * lost to returns within a date window. The canonical star-join +
+    * heap-top-k composite: date-filtered orders ⋈ return-filtered
+    * lineitem (both filters PUSHED to the scans), the revenue aggregate
+    * collapses to one row per customer BEFORE the customer/nation
+    * dimensions join on (so the dims see ≤|customer| rows), nation
+    * broadcast, and the top-k is `TakeOrderedAndProject` heaps — no
+    * global sort. Ties break on custkey for determinism.
+    */
+  def returnedItemReport(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         from: String = "1997-01-01", to: String = "1997-07-01",
+                         k: Int = 20): DataFrame = {
+    val revenue = sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+    val perCust = lineitem.where(col("l_returnflag") === "R")
+      .join(orders.where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(revenue.as("revenue_cpct"))
+    perCust
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"), col("revenue_cpct"))
+      .orderBy(col("revenue_cpct").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
   /** TPC-H Q13 shape (customer order distribution): how many customers
     * placed exactly k qualifying orders, INCLUDING the zero-order
     * customers — the left-outer-join + double-aggregate shape.

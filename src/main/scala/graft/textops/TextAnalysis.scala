@@ -230,6 +230,33 @@ object TextAnalysis {
         .otherwise(lit(0L)).as("top_bigram_ppm"))
   }
 
+  /** Bigram novelty — a per-doc memorization/boilerplate signal the dedup
+    * family doesn't give directly: of a document's DISTINCT bigrams, the
+    * ppm that appear in no other document. Low novelty = the doc is
+    * assembled from corpus-common phrases (template/boilerplate); high =
+    * unique content. (Pairwise overlap is [[graft.dedup.Dedup]]'s job;
+    * this is the corpus-wide aggregate per doc.)
+    *
+    * Shape: one generator over per-doc distinct bigrams → document
+    * frequency by md5 digest (map-side combinable; raw text never crosses
+    * the shuffle) → join back by digest → per-doc counts. Docs with fewer
+    * than 2 tokens have no bigrams and drop out, like jq's empty stream.
+    */
+  def bigramNovelty(docs: DataFrame): DataFrame = {
+    val bg = withTokens(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(kgrams(col("__toks"), 2))).as("g"))
+      .select(col("doc_id"), graft.functions.PortableHash.md5Hex(col("g")).as("gh"))
+    val docFreq = bg.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    bg.join(docFreq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        intDiv(col("n_novel") * lit(1000000L), col("n_bigrams")))
+  }
+
   /** Composite quality gate — the FILTER step the scoring operators exist
     * for (Gopher/C4-style rule chain): per doc, one flag per rule plus the
     * pass verdict, so downstream can both filter (`pass = 1`) and account

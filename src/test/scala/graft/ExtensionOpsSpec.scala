@@ -28,6 +28,19 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(multi3.forall { case (a, b) => a < b })
   }
 
+  test("bigramNovelty: novel = in no other doc; distinct within doc; <2 tokens drop") {
+    val docs = Seq(
+      (1L, "a b c a b"), // distinct bigrams: {a b, b c, c a} — "a b" shared with doc 2
+      (2L, "a b x"),     // {a b, b x}
+      (3L, "solo"))      // no bigrams → absent from output
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramNovelty(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L) == (3L, 2L, 666666L), s"doc 1: $rows")
+    assert(rows(2L) == (2L, 1L, 500000L), s"doc 2: $rows")
+    assert(!rows.contains(3L))
+  }
+
   test("chunkDedupStats keeps first occurrence only — across docs AND within one") {
     val docs = Seq(
       (1L, "a b c d a b"), // chunks (k=2): [a b][c d][a b] — last is a within-doc dup

@@ -260,6 +260,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Cartesian"), s"no cartesian:\n$p")
   }
 
+  test("returned-item report aggregates revenue before the dimension joins") {
+    val p = plan(graft.relational.Relational.returnedItemReport(
+      Tables.customer(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001), Tables.nation(spark, sf0001)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must heap-select:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || p.contains("EqualTo(l_returnflag,R)"),
+      s"return-flag filter must push into the scan:\n$p")
+    // the customer join's left side is the per-customer aggregate
+    assert("(?s)TakeOrderedAndProject.*HashAggregate.*lineitem".r.findFirstIn(p).isDefined,
+      s"revenue must collapse per customer before the dims:\n$p")
+  }
+
   test("quality gate is one narrow scan: no shuffle, pruned read") {
     val p = plan(TextAnalysis.qualityGate(docs))
     // Tables.documents adds a round-robin repartition (single-file scan

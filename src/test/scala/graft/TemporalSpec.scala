@@ -208,6 +208,27 @@ class TemporalSpec extends SparkTestBase {
     assert(rows((h, 1L)) == (9L, 2L) && rows.size == 4)
   }
 
+  test("returnedItemReport: only 'R' lines inside the window count; top-k ordered") {
+    val customer = Seq((1L, "C1", 1.0, 10), (2L, "C2", 2.0, 10))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nation = Seq((10, "JAPAN")).toDF("n_nationkey", "n_name")
+    val orders = Seq(
+      (100L, 1L, "1997-02-01"), (101L, 2L, "1997-02-01"),
+      (102L, 1L, "1999-01-01")) // outside the date window
+      .toDF("o_orderkey", "o_custkey", "o_date")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_timestamp(col("o_date")).as("o_orderdate"))
+    val lineitem = Seq(
+      (100L, "R", 10.00, 0.00), (100L, "N", 99.00, 0.00), // N excluded
+      (101L, "R", 5.00, 0.50),                            // 50% discount
+      (102L, "R", 77.00, 0.00))                           // late order excluded
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val rows = Relational.returnedItemReport(customer, orders, lineitem, nation)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // c1: 1000 cents * (100-0) = 100000; c2: 500 * (100-50) = 25000
+    assert(rows == Map(1L -> 100000L, 2L -> 25000L))
+  }
+
   test("smallQuantityRevenue: strict integer threshold qty < avg/5") {
     val part = Seq((1L, "PROMO"), (2L, "OTHER")).toDF("p_partkey", "p_type")
     // part 1 lines: qty 1, 9, 10, 40 → S=60, C=4, avg=15, threshold 3:
