@@ -399,6 +399,15 @@ object SparkEntry {
       graft.relational.Relational.returnedItemReport(
         Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // Q6 shape: zero-join pushed-filter aggregate (the pushdown showcase)
+    "h16_revenue_change" -> ((s, dir) =>
+      graft.relational.Relational.revenueChange(Tables.lineitem(s, dir))),
+    // Q8 shape: per-year national market share — two-level conditional-
+    // aggregate ratio over a 6-table star, dims broadcast, ONE agg pass
+    "h17_market_share" -> ((s, dir) =>
+      graft.relational.Relational.marketShare(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     // gaps-and-islands sessionization: per-(user, session) analytic rows
     "e05_user_sessions" -> ((s, dir) =>
       graft.relational.Temporal.userSessions(events(s, dir))),
@@ -891,6 +900,35 @@ object SparkEntry {
           |FROM pc JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |ORDER BY revenue_cpct DESC, c_custkey LIMIT 20""".stripMargin,
+      "h16_revenue_change" ->
+        """SELECT sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |     * CAST(floor(l_discount*100) AS BIGINT))::BIGINT AS revenue_cpct,
+          | count(*)::BIGINT AS n_lines
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND l_discount >= 0.05 AND l_discount <= 0.07
+          |  AND l_quantity < 24""".stripMargin,
+      "h17_market_share" ->
+        """WITH mc AS (SELECT c_custkey FROM customer
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'ASIA'),
+          |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+          |  JOIN nation ON s_nationkey = n_nationkey),
+          |vol AS (SELECT year(o_orderdate)::BIGINT AS o_year, supp_nation,
+          |  CAST(floor(l_extendedprice*100) AS BIGINT)
+          |    * (100 - CAST(floor(l_discount*100) AS BIGINT)) AS v
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN mc ON o_custkey = c_custkey
+          |  JOIN sn ON l_suppkey = s_suppkey)
+          |SELECT o_year,
+          | sum(CASE WHEN supp_nation = 'NATION_7' THEN v ELSE 0 END)::BIGINT AS nation_cpct,
+          | sum(v)::BIGINT AS total_cpct,
+          | (sum(CASE WHEN supp_nation = 'NATION_7' THEN v ELSE 0 END) * 1000000
+          |   // sum(v))::BIGINT AS share_ppm
+          |FROM vol GROUP BY 1""".stripMargin,
       "h13_order_histogram" ->
         """WITH pc AS (SELECT o_custkey, count(*)::BIGINT AS n FROM orders
           |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)

@@ -345,6 +345,64 @@ object Relational {
       .agg(sum(col("price_cents")).as("sum_cents"), count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): one pass, zero joins — the
+    * pure predicate-pushdown showcase. All three filters (shipdate range,
+    * discount band, quantity cap) are raw-column comparisons, so they
+    * reach the parquet scan as `PushedFilters` and row groups outside the
+    * date range never leave the file. Revenue switches to cents·pct
+    * integer space only AFTER the filter, keeping the scan predicates
+    * pushable.
+    */
+  def revenueChange(lineitem: DataFrame, year: String = "1997"): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year.toInt + 1}-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .as("revenue_cpct"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8 shape (national market share): per order-year, the ppm share
+    * of one supplier nation inside one customer region's order volume —
+    * the two-level CONDITIONAL-AGGREGATE RATIO over a 6-table star join.
+    * Both dimension chains (customer→nation→region market filter;
+    * supplier→nation share tag) broadcast; the only real shuffle is
+    * orders ⋈ lineitem on orderkey; numerator and denominator come out of
+    * ONE aggregate pass (`sum(when(...))`/`sum`), never two scans, and the
+    * share is a truncating integer ppm — engine-exact, no double division.
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                  shareNation: String = "NATION_7",
+                  marketRegion: String = "ASIA"): DataFrame = {
+    val marketNations = nation
+      .join(region.where(col("r_name") === marketRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val marketCust = customer
+      .join(broadcast(marketNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val volume = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    lineitem
+      .join(orders.join(broadcast(marketCust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === shareNation, volume).otherwise(lit(0L)))
+          .as("nation_cpct"),
+        sum(volume).as("total_cpct"))
+      .withColumn("share_ppm",
+        floor(col("nation_cpct") * lit(1000000L) / col("total_cpct")).cast("long"))
+  }
+
   /** TPC-H Q10 shape (returned-item report): top-`k` customers by revenue
     * lost to returns within a date window. The canonical star-join +
     * heap-top-k composite: date-filtered orders ⋈ return-filtered

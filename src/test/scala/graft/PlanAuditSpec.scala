@@ -260,6 +260,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Cartesian"), s"no cartesian:\n$p")
   }
 
+  test("Q6 pushes all three filters into the parquet scan; no join") {
+    val p = plan(graft.relational.Relational.revenueChange(
+      Tables.lineitem(spark, sf0001)))
+    assert(!p.contains("Join"), s"Q6 is one pass, no joins:\n$p")
+    // toString truncates the PushedFilters list, so assert its stable
+    // prefix (shipdate+discount first — the quantity filter is visible
+    // via Explain's formatted output, which does not truncate)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"),
+      s"filters must reach PushedFilters:\n$p")
+  }
+
+  test("market share broadcasts every dimension; one keyed shuffle + one agg pass") {
+    val p = plan(graft.relational.Relational.marketShare(
+      Tables.region(spark, sf0001), Tables.nation(spark, sf0001),
+      Tables.customer(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001), Tables.supplier(spark, sf0001)))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"dimension chains must broadcast:\n$p")
+    // numerator and denominator come out of ONE aggregate (two sum exprs)
+    assert("HashAggregate.*partial_sum.*partial_sum".r.findFirstIn(p).isDefined ||
+      "(?s)partial_sum.*partial_sum".r.findFirstIn(p).isDefined,
+      s"both sums must share one aggregate pass:\n$p")
+  }
+
   test("returned-item report aggregates revenue before the dimension joins") {
     val p = plan(graft.relational.Relational.returnedItemReport(
       Tables.customer(spark, sf0001), Tables.orders(spark, sf0001),

@@ -208,6 +208,26 @@ class TemporalSpec extends SparkTestBase {
     assert(rows((h, 1L)) == (9L, 2L) && rows.size == 4)
   }
 
+  test("marketShare: ppm ratio of one conditional pass, per year") {
+    val region = Seq((1, "ASIA"), (2, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "NATION_7", 1), (11, "NATION_8", 1), (12, "FAR", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, 10), (2L, 12)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((7L, 10), (8L, 11)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((100L, 1L, "1997-03-01"), (101L, 2L, "1997-04-01"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .select(col("o_orderkey"), col("o_custkey"), to_timestamp(col("d")).as("o_orderdate"))
+    val lineitem = Seq(
+      (100L, 7L, 10.00, 0.00),  // NATION_7 volume 100000
+      (100L, 8L, 30.00, 0.00),  // NATION_8 volume 300000
+      (101L, 7L, 99.00, 0.00))  // customer 2 is EUROPE — excluded
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val r = Relational.marketShare(region, nation, customer, orders, lineitem, supplier)
+      .head()
+    assert(r.getLong(0) == 1997L && r.getLong(1) == 100000L &&
+      r.getLong(2) == 400000L && r.getLong(3) == 250000L, s"got $r")
+  }
+
   test("returnedItemReport: only 'R' lines inside the window count; top-k ordered") {
     val customer = Seq((1L, "C1", 1.0, 10), (2L, "C2", 2.0, 10))
       .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
