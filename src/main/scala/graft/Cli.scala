@@ -77,6 +77,7 @@ object Cli {
         rest = t
       case "-put" :: t => o = o.copy(put = true); rest = t
       case f :: _ => return Left(s"malformed arguments at '$f'")
+      case Nil => () // unreachable (loop guard) — keeps the match total
     }
     // window cap (<15m, main.go:113-116)
     val minutes = parseWindowMinutes(o.window)

@@ -402,6 +402,11 @@ object SparkEntry {
     // Q6 shape: zero-join pushed-filter aggregate (the pushdown showcase)
     "h16_revenue_change" -> ((s, dir) =>
       graft.relational.Relational.revenueChange(Tables.lineitem(s, dir))),
+    // Q15 shape: scalar-max subquery decorrelated to a broadcast scalar
+    // equality join; ties surface
+    "h18_top_supplier" -> ((s, dir) =>
+      graft.relational.Relational.topSupplier(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir))),
     // Q8 shape: per-year national market share — two-level conditional-
     // aggregate ratio over a 6-table star, dims broadcast, ONE agg pass
     "h17_market_share" -> ((s, dir) =>
@@ -900,6 +905,17 @@ object SparkEntry {
           |FROM pc JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |ORDER BY revenue_cpct DESC, c_custkey LIMIT 20""".stripMargin,
+      "h18_top_supplier" ->
+        """WITH ps AS (SELECT l_suppkey,
+          |  sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |      * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT AS total_cpct
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01'
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, total_cpct
+          |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE total_cpct = (SELECT max(total_cpct) FROM ps)""".stripMargin,
       "h16_revenue_change" ->
         """SELECT sum(CAST(floor(l_extendedprice*100) AS BIGINT)
           |     * CAST(floor(l_discount*100) AS BIGINT))::BIGINT AS revenue_cpct,

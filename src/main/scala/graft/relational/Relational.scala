@@ -403,6 +403,31 @@ object Relational {
         floor(col("nation_cpct") * lit(1000000L) / col("total_cpct")).cast("long"))
   }
 
+  /** TPC-H Q15 shape (top supplier): suppliers whose quarter revenue
+    * equals the GLOBAL maximum — the scalar-aggregate-subquery
+    * decorrelation (`WHERE total = (SELECT max(total) ...)`): one
+    * per-supplier aggregate, a single-row max over it, and an equality
+    * join against that broadcast scalar. Ties all surface (the reference
+    * semantics of Q15's view formulation). The per-supplier aggregate is
+    * computed ONCE — Spark reuses the exchange feeding both the max and
+    * the equality probe — never re-derived per candidate.
+    */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  from: String = "1997-01-01", to: String = "1997-04-01"): DataFrame = {
+    val perSupp = lineitem
+      .where(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(to).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("total_cpct"))
+    val best = perSupp.agg(max(col("total_cpct")).as("best_cpct"))
+    perSupp
+      .join(broadcast(best), col("total_cpct") === col("best_cpct"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cpct"))
+  }
+
   /** TPC-H Q10 shape (returned-item report): top-`k` customers by revenue
     * lost to returns within a date window. The canonical star-join +
     * heap-top-k composite: date-filtered orders ⋈ return-filtered

@@ -208,6 +208,21 @@ class TemporalSpec extends SparkTestBase {
     assert(rows((h, 1L)) == (9L, 2L) && rows.size == 4)
   }
 
+  test("topSupplier surfaces every supplier tied at the scalar max") {
+    val supplier = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+      .toDF("s_suppkey", "s_name")
+    val lineitem = Seq(
+      (1L, 10.00, 0.00, "1997-02-01"), // 100000
+      (2L, 5.00, 0.00, "1997-02-01"), (2L, 5.00, 0.00, "1997-02-01"), // tie: 100000
+      (3L, 99.00, 0.00, "1999-01-01")) // outside window
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "d")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+        to_timestamp(col("d")).as("l_shipdate"))
+    val rows = Relational.topSupplier(supplier, lineitem)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows == Map(1L -> 100000L, 2L -> 100000L))
+  }
+
   test("marketShare: ppm ratio of one conditional pass, per year") {
     val region = Seq((1, "ASIA"), (2, "EUROPE")).toDF("r_regionkey", "r_name")
     val nation = Seq((10, "NATION_7", 1), (11, "NATION_8", 1), (12, "FAR", 2))
