@@ -7,10 +7,15 @@ object Bench {
     // Streaming TEMP checkpoints land in java.io.tmpdir (not
     // spark.local.dir); point it at the same tmpfs so per-micro-batch
     // state commits don't pay the shared host disk's fsync latency.
+    // SPARK_LOCAL_DIRS may be a comma list (valid for spark.local.dir) —
+    // tmpdir needs ONE path, so take the first; keep the JVM default if
+    // the dir can't be created (a broken tmpdir fails every temp file).
     val tmp = new java.io.File(
-      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark") + "/tmp")
-    tmp.mkdirs()
-    System.setProperty("java.io.tmpdir", tmp.getAbsolutePath)
+      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark")
+        .split(',').head.trim + "/tmp")
+    if (tmp.isDirectory || tmp.mkdirs())
+      System.setProperty("java.io.tmpdir", tmp.getAbsolutePath)
+    else System.err.println(s"[bench] WARNING: cannot create $tmp; keeping default tmpdir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -7,11 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // streaming temp checkpoints → tmpfs (same rationale as Bench)
+    // streaming temp checkpoints → tmpfs (same rationale and comma-list
+    // handling as Bench)
     val tmp = new java.io.File(
-      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark") + "/tmp")
-    tmp.mkdirs()
-    System.setProperty("java.io.tmpdir", tmp.getAbsolutePath)
+      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark")
+        .split(',').head.trim + "/tmp")
+    if (tmp.isDirectory || tmp.mkdirs())
+      System.setProperty("java.io.tmpdir", tmp.getAbsolutePath)
+    else System.err.println(s"[verify] WARNING: cannot create $tmp; keeping default tmpdir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

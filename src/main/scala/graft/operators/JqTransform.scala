@@ -352,6 +352,13 @@ object JqTransform {
         throw new IllegalArgumentException(s"jq_expr parse error: expected '$w' at $i in: $s")
       i += w.length
     }
+    /** [[expectWord]] + word boundary: `then1` must not satisfy `then`. */
+    def expectKeyword(w: String): Unit = {
+      expectWord(w)
+      if (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_'))
+        throw new IllegalArgumentException(
+          s"jq_expr parse error: expected keyword '$w' at ${i - w.length} in: $s")
+    }
     def tryConsume(w: String): Boolean = {
       skipWs()
       if (s.startsWith(w, i)) { i += w.length; true } else false
@@ -668,7 +675,7 @@ object JqTransform {
           if (!tryConsume("[]"))
             throw new IllegalArgumentException(
               s"jq_expr: reduce source must be a '.path[]' iterator in: $s")
-          skipWs(); expectWord("as"); skipWs()
+          skipWs(); expectKeyword("as"); skipWs()
           expect('$')
           val name = parseIdent()
           skipWs(); expect('(')
@@ -697,19 +704,19 @@ object JqTransform {
           i += 2
           val branches = Seq.newBuilder[(V, V)]
           val c0 = parseValue()
-          skipWs(); expectWord("then")
+          skipWs(); expectKeyword("then")
           branches += ((c0, parseValue()))
           skipWs()
           while (s.startsWith("elif", i) && boundary(i + 4)) {
             i += 4
             val c = parseValue()
-            skipWs(); expectWord("then")
+            skipWs(); expectKeyword("then")
             branches += ((c, parseValue()))
             skipWs()
           }
-          expectWord("else")
+          expectKeyword("else")
           val elseV = parseValue()
-          skipWs(); expectWord("end")
+          skipWs(); expectKeyword("end")
           val bs = branches.result()
           df => {
             def truthy(cond: V): Column = dtOfV(df, cond) match {

@@ -395,12 +395,19 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
+      // decimal sums + `div`, like [[promoRevenueShare]]: a year of cpct
+      // volume × 10⁶ overflows a Long LONG before sf1, and Spark's `/` on
+      // longs is double division (loses exactness past 2^53, where DuckDB's
+      // `//` stays exact). The casts fail loudly on true BIGINT overflow.
       .agg(
-        sum(when(col("supp_nation") === shareNation, volume).otherwise(lit(0L)))
-          .as("nation_cpct"),
-        sum(volume).as("total_cpct"))
-      .withColumn("share_ppm",
-        floor(col("nation_cpct") * lit(1000000L) / col("total_cpct")).cast("long"))
+        sum(when(col("supp_nation") === shareNation, volume).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("nation_d"),
+        sum(volume.cast("decimal(38,0)")).as("total_d"))
+      .select(
+        col("o_year"),
+        col("nation_d").cast("long").as("nation_cpct"),
+        col("total_d").cast("long").as("total_cpct"),
+        expr("(nation_d * 1000000) div total_d").as("share_ppm"))
   }
 
   /** TPC-H Q15 shape (top supplier): suppliers whose quarter revenue

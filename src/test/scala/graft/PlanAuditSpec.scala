@@ -276,11 +276,14 @@ class PlanAuditSpec extends SparkTestBase {
       Tables.region(spark, sf0001), Tables.nation(spark, sf0001),
       Tables.customer(spark, sf0001), Tables.orders(spark, sf0001),
       Tables.lineitem(spark, sf0001), Tables.supplier(spark, sf0001)))
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
-      s"dimension chains must broadcast:\n$p")
-    // numerator and denominator come out of ONE aggregate (two sum exprs)
-    assert("HashAggregate.*partial_sum.*partial_sum".r.findFirstIn(p).isDefined ||
-      "(?s)partial_sum.*partial_sum".r.findFirstIn(p).isDefined,
+    // the ONLY shuffled join allowed is orders ⋈ lineitem; all three
+    // dimension chains (region/nation→customer, nation→supplier) broadcast
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      s"dimension chains must broadcast (≤1 shuffled join):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join found:\n$p")
+    // numerator and denominator come out of ONE aggregate: a single
+    // HashAggregate node lists both partial_sums on its own line
+    assert("HashAggregate[^\\n]*partial_sum[^\\n]*partial_sum".r.findFirstIn(p).isDefined,
       s"both sums must share one aggregate pass:\n$p")
   }
 
@@ -292,9 +295,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
       || p.contains("EqualTo(l_returnflag,R)"),
       s"return-flag filter must push into the scan:\n$p")
-    // the customer join's left side is the per-customer aggregate
-    assert("(?s)TakeOrderedAndProject.*HashAggregate.*lineitem".r.findFirstIn(p).isDefined,
+    // the revenue aggregate groups by the PRE-JOIN key (o_custkey): had
+    // aggregation been deferred past the dimension joins, the grouping
+    // keys would be the dim columns (c_custkey, c_name, n_name, ...)
+    assert("HashAggregate\\(keys=\\[o_custkey".r.findFirstIn(p).isDefined,
       s"revenue must collapse per customer before the dims:\n$p")
+    assert(!"HashAggregate\\(keys=\\[[^\\]]*c_name".r.findFirstIn(p).isDefined,
+      s"no aggregate keyed on dimension columns:\n$p")
   }
 
   test("quality gate is one narrow scan: no shuffle, pruned read") {
