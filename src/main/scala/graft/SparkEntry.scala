@@ -203,6 +203,19 @@ object SparkEntry {
         """{"time": .window_start,
           | "level": (if .value > 15 then "high" elif .value > 12 then "mid" else "low" end),
           | "value": .value}""".stripMargin)),
+    // stream-stream INTERVAL JOIN, oracle-checked: purchases ⋈ clicks of
+    // the same user within a 1-hour lookback, both sides live streams
+    // with watermark-bounded join state — must hash-match the batch
+    // range join
+    "c28_interval_join_parity" -> ((s, dir) => withStatePartitions(s, 8) {
+      val out = graft.streaming.StreamingJoins.purchaseClickPairs(
+        Tables.eventsStream(s, dir))
+      val sink = "c28_interval_join_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
     // THE WHOLE ENGINE from config, oracle-checked: YAML in (env-template
     // loader), ARN wildcard routing selects the matching counter, its
     // pipeline runs target_expr + jq — records out must hash-match the
@@ -632,6 +645,13 @@ object SparkEntry {
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'events.request_count' AS name, count(*) AS value
           | FROM events GROUP BY 1""".stripMargin,
+      "c28_interval_join_parity" ->
+        """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+          | epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
+          |FROM events p JOIN events c
+          |  ON p.user_id = c.user_id
+          | AND p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts""".stripMargin,
       "c27_jq_conditional" ->
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | CASE WHEN count(*) > 15 THEN 'high' WHEN count(*) > 12 THEN 'mid'

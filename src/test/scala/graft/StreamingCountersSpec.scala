@@ -406,4 +406,28 @@ class StreamingCountersSpec extends SparkTestBase {
       assert(rows("evens") == 10L)
     } finally query.stop()
   }
+
+  test("stream-stream interval join matches across micro-batches, within lookback") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val out = graft.streaming.StreamingJoins.purchaseClickPairs(
+      events, lookback = "1 minute")
+    val query = out.writeStream.format("memory").queryName("stream_ivj")
+      .outputMode("append").start()
+    try {
+      // batch 1: two clicks (user 1), one click (user 2)
+      input.addData((ts(0), 1L, "click", 10L), (ts(30), 1L, "click", 11L),
+        (ts(0), 2L, "click", 20L))
+      query.processAllAvailable()
+      // batch 2: purchase for user 1 at +40s — joins BOTH prior clicks
+      // (cross-batch, both within the 1-minute lookback); user 2's
+      // purchase at +90s is beyond its click's lookback → no match
+      input.addData((ts(40), 1L, "purchase", 100L), (ts(90), 2L, "purchase", 200L))
+      query.processAllAvailable()
+      val rows = spark.table("stream_ivj")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 10L), (100L, 11L)), s"got $rows")
+    } finally query.stop()
+  }
 }
