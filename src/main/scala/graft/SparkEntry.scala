@@ -203,6 +203,26 @@ object SparkEntry {
         """{"time": .window_start,
           | "level": (if .value > 15 then "high" elif .value > 12 then "mid" else "low" end),
           | "value": .value}""".stripMargin)),
+    // O2 on Spark 4's transformWithState (the modern arbitrary-state API:
+    // named ValueState + explicit event-time timers, RocksDB-backed),
+    // oracle-checked against the same watermark-closed-window bound as c17
+    "c29_tws_state_parity" -> ((s, dir) => withStatePartitions(s, 8) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val c = cRequestCount.copy(id = "request_count_tws")
+        val out = graft.streaming.StreamingCounters.runCustomStateTws(
+          Tables.eventsStream(s, dir), "ts", c,
+          valueCol = lit("x"), watermarkDelay = "0 seconds")
+        val sink = "c29_tws_state_sink"
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }),
     // stream-stream INTERVAL JOIN, oracle-checked: purchases ⋈ clicks of
     // the same user within a 1-hour lookback, both sides live streams
     // with watermark-bounded join state — must hash-match the batch
@@ -437,6 +457,10 @@ object SparkEntry {
     // per-(window, user) aggregate, never the raw events
     "e07_heavy_hitters" -> ((s, dir) =>
       graft.relational.Temporal.windowHeavyHitters(events(s, dir))),
+    // exact inter-event-gap quantiles per type (histogram method — the
+    // cumulative window runs over distinct gaps, never the events)
+    "e08_gap_quantiles" -> ((s, dir) =>
+      graft.relational.Temporal.gapQuantiles(events(s, dir))),
     // Q17 shape: correlated scalar aggregate decorrelated — per-part avg
     // via (sum, count) join-back, integer cross-multiplied threshold
     "h14_small_qty_revenue" -> ((s, dir) =>
@@ -645,6 +669,10 @@ object SparkEntry {
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'events.request_count' AS name, count(*) AS value
           | FROM events GROUP BY 1""".stripMargin,
+      "c29_tws_state_parity" ->
+        s"""SELECT $win, 'request_count_tws' AS counter_id, 'count' AS counter_type,
+           | count(*) AS value FROM events GROUP BY 1, 2
+           | HAVING window_end < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
       "c28_interval_join_parity" ->
         """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
           | epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
@@ -1000,6 +1028,20 @@ object SparkEntry {
           |   AND ((n*c - s)::HUGEINT * (n*c - s)) > 9 * (c::HUGEINT * q - s::HUGEINT * s)
           |  THEN 1 ELSE 0 END)::BIGINT AS is_spike
           |FROM w""".stripMargin,
+      "e08_gap_quantiles" ->
+        """WITH g AS (SELECT event_type,
+          |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY event_type, user_id
+          |    ORDER BY ts)) AS gap_ms
+          |  FROM events),
+          |h AS (SELECT event_type, gap_ms, count(*)::BIGINT AS cnt FROM g
+          |      WHERE gap_ms IS NOT NULL GROUP BY 1, 2),
+          |c AS (SELECT event_type, gap_ms, cnt,
+          |  sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_ms) AS cum,
+          |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM h)
+          |SELECT event_type, p_ppm, gap_ms
+          |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
+          |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
+          |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
       "e07_heavy_hitters" ->
         """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, user_id,
           |  count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),

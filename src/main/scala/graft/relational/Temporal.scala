@@ -160,6 +160,39 @@ object Temporal {
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
   }
 
+  /** Exact inter-event-gap quantiles per event type — the latency/cadence
+    * distribution behind rate alerting and session-gap calibration
+    * (what should [[userSessions]]' gap be? read p90 off this). Same
+    * HISTOGRAM method as `TextAnalysis.lengthQuantiles`: gaps collapse to
+    * (type, gap, count) — distinct gaps ≪ events — and the cumulative
+    * window runs over that tiny histogram, never the event stream; rank
+    * arithmetic is exact-integer (`div`, matching DuckDB's `//`). Gap
+    * multisets are tie-stable: permuting equal timestamps never changes
+    * the sorted adjacent differences, so the lag order is immaterial.
+    */
+  def gapQuantiles(events: DataFrame,
+                   psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
+    val byUser = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts").asc)
+    val gaps = events
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser)))
+      .where(col("gap_ms").isNotNull)
+    val hist = gaps
+      .groupBy(col("event_type"), col("gap_ms")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("gap_ms"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val target = expr("((n - 1) * p_ppm) div 1000000") + lit(1L)
+    cum
+      .select(col("event_type"), col("gap_ms"), col("cnt"), col("cum"), col("n"),
+        explode(array(psPpm.map(lit): _*)).as("p_ppm"))
+      .where(target > col("cum") - col("cnt") && target <= col("cum"))
+      .select(col("event_type"), col("p_ppm"), col("gap_ms"))
+  }
+
   /** Windowed heavy hitters (the leaderboard step on counter output): per
     * tumbling window, the top-`k` users by event count with their rank
     * (count desc, user asc tiebreak — deterministic).

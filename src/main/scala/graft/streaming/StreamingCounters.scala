@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import graft.config.{CounterDef, CounterType}
@@ -29,6 +30,61 @@ private[streaming] case class CounterStateBuf(rowCount: Long, sketch: Array[Byte
 private[streaming] case class StateOutput(
     window_start: Long, window_end: Long, counter_id: String,
     counter_type: String, shard_id: String, value: Long)
+
+/** The CounterState protocol on Spark 4's `transformWithState` — the
+  * modern arbitrary-state API ([[StreamingCounters.runCustomStateTws]]):
+  * per-(window, shard) [[CounterStateBuf]] in a named `ValueState`, an
+  * event-time TIMER at window end as the final invoke
+  * (`counter.go:339-344`), emit-and-clear on expiry. Re-registered timers
+  * are idempotent here: expiry emits only while state exists.
+  */
+private[streaming] class CounterStateProcessor(cid: String, ctypeName: String)
+    extends StatefulProcessor[(Long, Long, String), StateEvent, StateOutput] {
+  @transient private var state: ValueState[CounterStateBuf] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[CounterStateBuf](
+      "counterState", Encoders.product[CounterStateBuf], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, Long, String), rows: Iterator[StateEvent],
+                               timerValues: TimerValues): Iterator[StateOutput] = {
+    val next = ctypeName match {
+      case "count" =>
+        val prev = if (state.exists()) state.get().rowCount else 0L
+        CounterStateBuf(prev + rows.count(_.value != null), null)
+      case _ =>
+        val sk =
+          if (state.exists() && state.get().sketch != null)
+            org.apache.datasketches.hll.HllSketch.heapify(state.get().sketch)
+          else new org.apache.datasketches.hll.HllSketch(16)
+        rows.foreach(r => if (r.value != null) sk.update(r.value))
+        CounterStateBuf(0L, sk.toUpdatableByteArray)
+    }
+    state.update(next)
+    // final invoke when the watermark passes window end; strictly ahead of
+    // the current watermark (late-arrival guard, same as runCustomState)
+    getHandle.registerTimer(
+      math.max(key._2, timerValues.getCurrentWatermarkInMs() + 1))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (Long, Long, String), timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[StateOutput] = {
+    if (!state.exists()) Iterator.empty
+    else {
+      val buf = state.get()
+      val value = ctypeName match {
+        case "count" => buf.rowCount
+        case _ =>
+          if (buf.sketch == null) 0L
+          else math.round(
+            org.apache.datasketches.hll.HllSketch.heapify(buf.sketch).getEstimate)
+      }
+      state.clear()
+      Iterator.single(StateOutput(key._1, key._2, cid, ctypeName, key._3, value))
+    }
+  }
+}
 
 /** Structured Streaming execution of the counter pipeline — the engine's
   * equivalent of the reference's Lambda tumbling-window invocation loop
@@ -252,6 +308,42 @@ object StreamingCounters {
             Iterator.empty
           }
       }
+    val df = out.toDF()
+    if (shardCol.isDefined) df else df.drop("shard_id")
+  }
+
+  /** [[runCustomState]] re-expressed on Spark 4's `transformWithState` —
+    * the NEW arbitrary-state API (named state variables, explicit
+    * event-time timers, optional TTL) that supersedes
+    * `flatMapGroupsWithState`. Same protocol, same output: per-(window,
+    * shard) [[CounterStateBuf]], an event-time timer at window end as the
+    * final invoke, emit-and-clear on expiry ([[CounterStateProcessor]]).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`); the HDFS-backed
+    * default does not support transformWithState's state layout. The
+    * caller sets it before the stream starts (see `c29` in SparkEntry).
+    */
+  def runCustomStateTws(stream: DataFrame, tsCol: String, c: CounterDef,
+                        valueCol: Column,
+                        watermarkDelay: String = "10 seconds",
+                        shardCol: Option[String] = None): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val events = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(
+        col(tsCol).as("ts"),
+        unix_millis(window(col(tsCol), c.windowDuration).getField("start")).as("windowStart"),
+        unix_millis(window(col(tsCol), c.windowDuration).getField("end")).as("windowEnd"),
+        shardCol.map(col(_).cast("string")).getOrElse(lit("")).as("shard"),
+        valueCol.cast("string").as("value"))
+      .as[StateEvent]
+    val out = events
+      .groupByKey(e => (e.windowStart, e.windowEnd, e.shard))
+      .transformWithState(
+        new CounterStateProcessor(c.id, c.counterType.name),
+        TimeMode.EventTime(), OutputMode.Append())
     val df = out.toDF()
     if (shardCol.isDefined) df else df.drop("shard_id")
   }

@@ -407,6 +407,35 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("transformWithState carries CounterState across batches, emits on timer") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long)]
+      val c = CounterDef("req_tws", CounterType.Count, Some("*"), windowDuration = "1 minute")
+      val out = StreamingCounters.runCustomStateTws(
+        input.toDF().toDF("ts", "user_id"), "ts", c,
+        valueCol = lit("x"), watermarkDelay = "5 seconds")
+      val query = out.writeStream.format("memory").queryName("tws_count")
+        .outputMode("append").start()
+      try {
+        input.addData((0 until 10).map(i => (ts(i), i.toLong)): _*)
+        query.processAllAvailable()
+        // second batch adds to the SAME window — state must carry
+        input.addData((10 until 30).map(i => (ts(i), i.toLong)): _*)
+        query.processAllAvailable()
+        // watermark past window end + delay fires the event-time timer
+        input.addData((ts(70), 99L))
+        query.processAllAvailable()
+        val rows = spark.table("tws_count")
+          .select("window_start", "value").as[(Long, Long)].collect().toMap
+        assert(rows(base) == 30L, s"state must merge both batches: $rows")
+      } finally query.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("stream-stream interval join matches across micro-batches, within lookback") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Long)]
