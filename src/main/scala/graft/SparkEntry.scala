@@ -64,12 +64,18 @@ object SparkEntry {
     * queries run their stream under `n` partitions and restore the
     * session's batch setting after.
     */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+  /** Run `body` with one session-conf key overridden, restoring (or
+    * unsetting) it after — the scoped-config primitive the streaming
+    * queries use for state sizing and store-provider selection.
+    */
+  private def withConf[T](s: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
+
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    withConf(s, "spark.sql.shuffle.partitions", n.toString)(body)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -207,11 +213,8 @@ object SparkEntry {
     // named ValueState + explicit event-time timers, RocksDB-backed),
     // oracle-checked against the same watermark-closed-window bound as c17
     "c29_tws_state_parity" -> ((s, dir) => withStatePartitions(s, 8) {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
         val c = cRequestCount.copy(id = "request_count_tws")
         val out = graft.streaming.StreamingCounters.runCustomStateTws(
           Tables.eventsStream(s, dir), "ts", c,
@@ -221,7 +224,7 @@ object SparkEntry {
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
         s.table(sink)
-      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+      }
     }),
     // stream-stream INTERVAL JOIN, oracle-checked: purchases ⋈ clicks of
     // the same user within a 1-hour lookback, both sides live streams

@@ -162,13 +162,13 @@ object Temporal {
 
   /** Exact inter-event-gap quantiles per event type — the latency/cadence
     * distribution behind rate alerting and session-gap calibration
-    * (what should [[userSessions]]' gap be? read p90 off this). Same
-    * HISTOGRAM method as `TextAnalysis.lengthQuantiles`: gaps collapse to
-    * (type, gap, count) — distinct gaps ≪ events — and the cumulative
-    * window runs over that tiny histogram, never the event stream; rank
-    * arithmetic is exact-integer (`div`, matching DuckDB's `//`). Gap
-    * multisets are tie-stable: permuting equal timestamps never changes
-    * the sorted adjacent differences, so the lag order is immaterial.
+    * (what should [[userSessions]]' gap be? read p90 off this). Gaps
+    * collapse to a (type, gap, count) histogram — distinct gaps ≪ events —
+    * and [[graft.functions.Quantiles.fromHistogram]] picks the exact
+    * lower discrete quantiles over it (shared with
+    * `TextAnalysis.lengthQuantiles`). Gap multisets are tie-stable:
+    * permuting equal timestamps never changes the sorted adjacent
+    * differences, so the lag order is immaterial.
     */
   def gapQuantiles(events: DataFrame,
                    psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
@@ -179,18 +179,9 @@ object Temporal {
       .withColumn("gap_ms",
         unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser)))
       .where(col("gap_ms").isNotNull)
-    val hist = gaps
-      .groupBy(col("event_type"), col("gap_ms")).agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("gap_ms"))))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
-    val target = expr("((n - 1) * p_ppm) div 1000000") + lit(1L)
-    cum
-      .select(col("event_type"), col("gap_ms"), col("cnt"), col("cum"), col("n"),
-        explode(array(psPpm.map(lit): _*)).as("p_ppm"))
-      .where(target > col("cum") - col("cnt") && target <= col("cum"))
-      .select(col("event_type"), col("p_ppm"), col("gap_ms"))
+    graft.functions.Quantiles.fromHistogram(
+      gaps.groupBy(col("event_type"), col("gap_ms")).agg(count(lit(1)).as("cnt")),
+      groupCol = "event_type", valueCol = "gap_ms", cntCol = "cnt", psPpm = psPpm)
   }
 
   /** Windowed heavy hitters (the leaderboard step on counter output): per

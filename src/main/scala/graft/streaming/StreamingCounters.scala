@@ -27,6 +27,36 @@ private[streaming] case class StateEvent(
   */
 private[streaming] case class CounterStateBuf(rowCount: Long, sketch: Array[Byte])
 
+/** The CounterState fold/finalize protocol, shared by BOTH arbitrary-state
+  * APIs ([[StreamingCounters.runCustomState]] on flatMapGroupsWithState and
+  * [[CounterStateProcessor]] on transformWithState) so the two paths can
+  * never drift: one accumulate, one finalize, exhaustive over the sealed
+  * [[CounterType]].
+  */
+private[streaming] object CounterStateBuf {
+  import org.apache.datasketches.hll.HllSketch
+
+  def accumulate(prev: Option[CounterStateBuf], rows: Iterator[StateEvent],
+                 ctype: CounterType): CounterStateBuf = ctype match {
+    case CounterType.Count =>
+      CounterStateBuf(
+        prev.map(_.rowCount).getOrElse(0L) + rows.count(_.value != null), null)
+    case CounterType.ApproxCountDistinct =>
+      val sk = prev.filter(_.sketch != null)
+        .map(b => HllSketch.heapify(b.sketch))
+        .getOrElse(new HllSketch(16))
+      rows.foreach(r => if (r.value != null) sk.update(r.value))
+      CounterStateBuf(0L, sk.toUpdatableByteArray)
+  }
+
+  def finalValue(buf: CounterStateBuf, ctype: CounterType): Long = ctype match {
+    case CounterType.Count => buf.rowCount
+    case CounterType.ApproxCountDistinct =>
+      if (buf.sketch == null) 0L
+      else math.round(HllSketch.heapify(buf.sketch).getEstimate)
+  }
+}
+
 private[streaming] case class StateOutput(
     window_start: Long, window_end: Long, counter_id: String,
     counter_type: String, shard_id: String, value: Long)
@@ -38,7 +68,7 @@ private[streaming] case class StateOutput(
   * (`counter.go:339-344`), emit-and-clear on expiry. Re-registered timers
   * are idempotent here: expiry emits only while state exists.
   */
-private[streaming] class CounterStateProcessor(cid: String, ctypeName: String)
+private[streaming] class CounterStateProcessor(cid: String, ctype: CounterType)
     extends StatefulProcessor[(Long, Long, String), StateEvent, StateOutput] {
   @transient private var state: ValueState[CounterStateBuf] = _
 
@@ -48,19 +78,10 @@ private[streaming] class CounterStateProcessor(cid: String, ctypeName: String)
 
   override def handleInputRows(key: (Long, Long, String), rows: Iterator[StateEvent],
                                timerValues: TimerValues): Iterator[StateOutput] = {
-    val next = ctypeName match {
-      case "count" =>
-        val prev = if (state.exists()) state.get().rowCount else 0L
-        CounterStateBuf(prev + rows.count(_.value != null), null)
-      case _ =>
-        val sk =
-          if (state.exists() && state.get().sketch != null)
-            org.apache.datasketches.hll.HllSketch.heapify(state.get().sketch)
-          else new org.apache.datasketches.hll.HllSketch(16)
-        rows.foreach(r => if (r.value != null) sk.update(r.value))
-        CounterStateBuf(0L, sk.toUpdatableByteArray)
-    }
-    state.update(next)
+    // ONE store read: the RocksDB-backed get() deserializes the whole
+    // buffer (multi-KB for ACD sketches) on every call
+    val prev = if (state.exists()) Some(state.get()) else None
+    state.update(CounterStateBuf.accumulate(prev, rows, ctype))
     // final invoke when the watermark passes window end; strictly ahead of
     // the current watermark (late-arrival guard, same as runCustomState)
     getHandle.registerTimer(
@@ -70,18 +91,13 @@ private[streaming] class CounterStateProcessor(cid: String, ctypeName: String)
 
   override def handleExpiredTimer(key: (Long, Long, String), timerValues: TimerValues,
                                   expiredTimerInfo: ExpiredTimerInfo): Iterator[StateOutput] = {
+    // duplicate timers (re-registered each batch) no-op: state is gone
     if (!state.exists()) Iterator.empty
     else {
       val buf = state.get()
-      val value = ctypeName match {
-        case "count" => buf.rowCount
-        case _ =>
-          if (buf.sketch == null) 0L
-          else math.round(
-            org.apache.datasketches.hll.HllSketch.heapify(buf.sketch).getEstimate)
-      }
       state.clear()
-      Iterator.single(StateOutput(key._1, key._2, cid, ctypeName, key._3, value))
+      Iterator.single(StateOutput(key._1, key._2, cid, ctype.name, key._3,
+        CounterStateBuf.finalValue(buf, ctype)))
     }
   }
 }
@@ -255,15 +271,16 @@ object StreamingCounters {
     * envelope as the reference's 1 MB Lambda state ceiling, minus the
     * ceiling (the store is disk-backed).
     */
-  def runCustomState(stream: DataFrame, tsCol: String, c: CounterDef,
-                     valueCol: Column,
-                     watermarkDelay: String = "10 seconds",
-                     shardCol: Option[String] = None): DataFrame = {
+  /** The (window, shard, value) projection both arbitrary-state paths fold
+    * over — ONE definition so [[runCustomState]] and [[runCustomStateTws]]
+    * can never drift apart.
+    */
+  private def stateEvents(stream: DataFrame, tsCol: String, c: CounterDef,
+                          valueCol: Column, watermarkDelay: String,
+                          shardCol: Option[String]): org.apache.spark.sql.Dataset[StateEvent] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val counterType = c.counterType
-    val (cid, ctype) = (c.id, c.counterType.name)
-    val events = stream
+    stream
       .withWatermark(tsCol, watermarkDelay)
       .select(
         col(tsCol).as("ts"),
@@ -272,36 +289,32 @@ object StreamingCounters {
         shardCol.map(col(_).cast("string")).getOrElse(lit("")).as("shard"),
         valueCol.cast("string").as("value"))
       .as[StateEvent]
-    val out = events
+  }
+
+  def runCustomState(stream: DataFrame, tsCol: String, c: CounterDef,
+                     valueCol: Column,
+                     watermarkDelay: String = "10 seconds",
+                     shardCol: Option[String] = None): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val counterType = c.counterType
+    val cid = c.id
+    val out = stateEvents(stream, tsCol, c, valueCol, watermarkDelay, shardCol)
       .groupByKey(e => (e.windowStart, e.windowEnd, e.shard))
       .flatMapGroupsWithState[CounterStateBuf, StateOutput](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((ws, we, shard), rows, state) =>
           if (state.hasTimedOut) {
-            // the final invoke for the window (counter.go:339-344)
-            val buf = state.getOption.getOrElse(CounterStateBuf(0L, null))
-            val value = counterType match {
-              case CounterType.Count => buf.rowCount
-              case CounterType.ApproxCountDistinct =>
-                if (buf.sketch == null) 0L
-                else math.round(
-                  org.apache.datasketches.hll.HllSketch.heapify(buf.sketch).getEstimate)
-            }
+            // the final invoke for the window (counter.go:339-344); a
+            // timeout with no state (unreachable: state always precedes
+            // the timeout) emits nothing, same as the TWS path
+            val out = state.getOption.map(buf => StateOutput(
+              ws, we, cid, counterType.name, shard,
+              CounterStateBuf.finalValue(buf, counterType)))
             state.remove()
-            Iterator.single(StateOutput(ws, we, cid, ctype, shard, value))
+            out.iterator
           } else {
-            val next = counterType match {
-              case CounterType.Count =>
-                val prev = state.getOption.map(_.rowCount).getOrElse(0L)
-                CounterStateBuf(prev + rows.count(_.value != null), null)
-              case CounterType.ApproxCountDistinct =>
-                val sk = state.getOption.filter(_.sketch != null)
-                  .map(b => org.apache.datasketches.hll.HllSketch.heapify(b.sketch))
-                  .getOrElse(new org.apache.datasketches.hll.HllSketch(16))
-                rows.foreach(r => if (r.value != null) sk.update(r.value))
-                CounterStateBuf(0L, sk.toUpdatableByteArray)
-            }
-            state.update(next)
+            state.update(CounterStateBuf.accumulate(state.getOption, rows, counterType))
             // window close = watermark passing window end; keep the timeout
             // strictly ahead of the current watermark (late-arrival guard)
             state.setTimeoutTimestamp(math.max(we, state.getCurrentWatermarkMs() + 1))
@@ -330,19 +343,10 @@ object StreamingCounters {
                         shardCol: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val events = stream
-      .withWatermark(tsCol, watermarkDelay)
-      .select(
-        col(tsCol).as("ts"),
-        unix_millis(window(col(tsCol), c.windowDuration).getField("start")).as("windowStart"),
-        unix_millis(window(col(tsCol), c.windowDuration).getField("end")).as("windowEnd"),
-        shardCol.map(col(_).cast("string")).getOrElse(lit("")).as("shard"),
-        valueCol.cast("string").as("value"))
-      .as[StateEvent]
-    val out = events
+    val out = stateEvents(stream, tsCol, c, valueCol, watermarkDelay, shardCol)
       .groupByKey(e => (e.windowStart, e.windowEnd, e.shard))
       .transformWithState(
-        new CounterStateProcessor(c.id, c.counterType.name),
+        new CounterStateProcessor(c.id, c.counterType),
         TimeMode.EventTime(), OutputMode.Append())
     val df = out.toDF()
     if (shardCol.isDefined) df else df.drop("shard_id")

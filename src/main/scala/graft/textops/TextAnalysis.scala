@@ -356,38 +356,22 @@ object TextAnalysis {
         sum(length(col("text")).cast("long")).as("n_chars"),
         grouping_id().cast("long").as("grouping_level"))
 
-  /** Exact per-group quantiles of document length (the curation
-    * length-filter calibration step), by the HISTOGRAM method: aggregate
-    * to (lang, len, count) first — distinct lengths ≪ documents — then a
-    * cumulative-sum window over the tiny histogram picks the value whose
-    * cumulative range covers rank floor((n-1)·p)+1 (lower discrete
-    * quantile). The sort the window needs runs over the histogram, never
-    * the corpus; at 100 TB the corpus-side work is one map-side-combined
-    * groupBy. (The one-pass approximate alternative is
+  /** Exact per-lang quantiles of document length (the curation
+    * length-filter calibration step): aggregate to a (lang, len, count)
+    * histogram — distinct lengths ≪ documents — and let
+    * [[graft.functions.Quantiles.fromHistogram]] pick the exact lower
+    * discrete quantiles over it. (The one-pass approximate alternative is
     * `percentile_approx`'s KLL sketch — not oracle-comparable, so the
     * exact formulation is the checked one.)
     */
   def lengthQuantiles(docs: DataFrame,
-                      psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
-    val hist = docs
-      .select(col("lang"), length(col("text")).cast("long").as("len"))
-      .groupBy(col("lang"), col("len"))
-      .agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("lang")).orderBy(col("len"))))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
-    // integer rank arithmetic: (n-1)·p_ppm stays exact in a Long where the
-    // double round-trip would lose exactness past 2^53 (n ≈ 9e9 docs per
-    // group at p=0.99 — in range for the 100 TB framing); `div` matches
-    // DuckDB's truncating `//`
-    val target = expr("((n - 1) * p_ppm) div 1000000") + lit(1L)
-    cum
-      .select(col("lang"), col("len"), col("cnt"), col("cum"), col("n"),
-        explode(array(psPpm.map(lit): _*)).as("p_ppm"))
-      .where(target > col("cum") - col("cnt") && target <= col("cum"))
-      .select(col("lang"), col("p_ppm"), col("len"))
-  }
+                      psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame =
+    graft.functions.Quantiles.fromHistogram(
+      docs
+        .select(col("lang"), length(col("text")).cast("long").as("len"))
+        .groupBy(col("lang"), col("len"))
+        .agg(count(lit(1)).as("cnt")),
+      groupCol = "lang", valueCol = "len", cntCol = "cnt", psPpm = psPpm)
 
   /** Token-frequency SPECTRUM (frequency of frequencies): how many
     * distinct tokens occur exactly n times — the Zipf-shape / corpus-health

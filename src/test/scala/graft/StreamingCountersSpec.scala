@@ -429,9 +429,13 @@ class StreamingCountersSpec extends SparkTestBase {
         // watermark past window end + delay fires the event-time timer
         input.addData((ts(70), 99L))
         query.processAllAvailable()
+        // collect as a Seq, not a Map: a Map would silently collapse a
+        // double emission — the emit-once contract is the point here
         val rows = spark.table("tws_count")
-          .select("window_start", "value").as[(Long, Long)].collect().toMap
-        assert(rows(base) == 30L, s"state must merge both batches: $rows")
+          .select("window_start", "value").as[(Long, Long)].collect().toSeq
+          .filter(_._1 == base)
+        assert(rows == Seq((base, 30L)),
+          s"window must emit once with both batches merged: $rows")
       } finally query.stop()
     } finally spark.conf.unset(key)
   }
