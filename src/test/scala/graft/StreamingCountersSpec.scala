@@ -440,6 +440,38 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally spark.conf.unset(key)
   }
 
+  test("transformWithState ACD carries the HLL sketch across batches") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long)]
+      val c = CounterDef("acd_tws", CounterType.ApproxCountDistinct,
+        Some("user_id"), windowDuration = "1 minute")
+      val out = StreamingCounters.runCustomStateTws(
+        input.toDF().toDF("ts", "user_id"), "ts", c,
+        valueCol = col("user_id"), watermarkDelay = "5 seconds")
+      val query = out.writeStream.format("memory").queryName("tws_acd")
+        .outputMode("append").start()
+      try {
+        // 40 distinct users split across two batches, 10 overlapping
+        input.addData((0 until 25).map(i => (ts(i), i.toLong)): _*)
+        query.processAllAvailable()
+        input.addData((25 until 50).map(i => (ts(i), (i % 40).toLong)): _*)
+        query.processAllAvailable()
+        input.addData((ts(70), 99L)) // close the window
+        query.processAllAvailable()
+        val rows = spark.table("tws_acd")
+          .select("window_start", "value").as[(Long, Long)].collect().toSeq
+          .filter(_._1 == base)
+        assert(rows.size == 1, s"window must emit once: $rows")
+        // 40 true distincts; lgK=16 sketch is exact at this cardinality
+        assert(math.abs(rows.head._2 - 40L) <= 2, s"sketch estimate off: $rows")
+      } finally query.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("stream-stream interval join matches across micro-batches, within lookback") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Long)]
