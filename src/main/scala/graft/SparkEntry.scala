@@ -628,6 +628,10 @@ object SparkEntry {
     // connected-components path as text near-dups
     "m05_media_clusters" -> ((s, dir) =>
       Multimodal.mediaDupClusters(Multimodal.asMedia(Tables.documents(s, dir)))),
+    // media dedup APPLIED: clusters → keeper per component → surviving
+    // docs via left-anti join (the multimodal mirror of d09)
+    "m06_media_dedup_apply" -> ((s, dir) =>
+      Multimodal.applyMediaDedup(Multimodal.asMedia(Tables.documents(s, dir)))),
 
     // ---- custom Catalyst expression in a real plan (no DuckDB siphash:
     //      rows-only check; value parity proven by SipHash vectors spec) ----
@@ -1132,6 +1136,22 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(p.qe, a.embedding) DESC, a.vec_id) AS rank
         |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id)
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin
+    // media shared-frame clusters (m05) — hoisted: m06's dedup-apply
+    // embeds it as a CTE
+    val m05Sql =
+      """WITH RECURSIVE fr AS (SELECT doc_id, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+        |  WHERE i % 2 = 0 AND i*100 < length(text)),
+        |ctr AS (SELECT frame_md5, min(doc_id) AS a FROM fr GROUP BY 1),
+        |p AS (SELECT DISTINCT ctr.a, fr.doc_id AS b
+        |      FROM fr JOIN ctr USING (frame_md5) WHERE fr.doc_id != ctr.a),
+        |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p),
+        |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u)
+        |SELECT n AS node, min(m) AS component FROM reach GROUP BY n""".stripMargin
     // shared MinHash CTE chain (shingle → KM double-hash family → signature
     // → LSH bands → candidate pairs → signature-estimated similarity)
     val minhashCtes =
@@ -1512,20 +1532,11 @@ object SparkEntry {
           |SELECT frame_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
           | min(doc_id) AS keeper_doc
           |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
-      "m05_media_clusters" ->
-        """WITH RECURSIVE fr AS (SELECT doc_id, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
-          |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
-          |  WHERE i % 2 = 0 AND i*100 < length(text)),
-          |ctr AS (SELECT frame_md5, min(doc_id) AS a FROM fr GROUP BY 1),
-          |p AS (SELECT DISTINCT ctr.a, fr.doc_id AS b
-          |      FROM fr JOIN ctr USING (frame_md5) WHERE fr.doc_id != ctr.a),
-          |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p),
-          |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
-          |reach(n, m) AS (
-          |  SELECT n, n FROM nodes
-          |  UNION
-          |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u)
-          |SELECT n AS node, min(m) AS component FROM reach GROUP BY n""".stripMargin,
+      "m05_media_clusters" -> m05Sql,
+      "m06_media_dedup_apply" ->
+        s"""WITH comp AS ($m05Sql)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin,
     )
   }
 }

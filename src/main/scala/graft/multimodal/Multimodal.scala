@@ -161,4 +161,19 @@ object Multimodal {
       .distinct()
     graft.dedup.Dedup.connectedComponents(edges)
   }
+
+  /** Media dedup APPLIED — the multimodal mirror of
+    * [[graft.dedup.Dedup.applyDedup]]: the surviving doc ids after
+    * collapsing each shared-frame cluster to its keeper (the component
+    * minimum). Same left-anti shape: docs in no cluster survive, keepers
+    * survive, everything else drops; AQE sizes the anti-join from the
+    * actual post-clustering drop-set.
+    */
+  def applyMediaDedup(media: DataFrame, stride: Int = 2): DataFrame = {
+    val drops = mediaDupClusters(media, stride)
+      .where(col("node") =!= col("component"))
+      .select(col("node"))
+    media.join(drops, media("doc_id") === drops("node"), "left_anti")
+      .select(col("doc_id"))
+  }
 }

@@ -102,6 +102,19 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(rows(2L) == (0L, 0L))      // disjoint → zero, query still present
   }
 
+  test("applyMediaDedup keeps the cluster keeper and untouched docs only") {
+    val a100 = "a" * 100
+    val docs = Seq(
+      (1L, a100 + "b" * 100), // shares frame 0 with doc 2 → keeper (min id)
+      (2L, a100 + "c" * 100), // duplicate of 1's frame → dropped
+      (3L, "z" * 150))        // no shared frame → survives
+      .toDF("doc_id", "text")
+    val survivors = graft.multimodal.Multimodal
+      .applyMediaDedup(graft.multimodal.Multimodal.asMedia(docs))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L), s"got $survivors")
+  }
+
   test("snapshotDiff is EXCEPT by content, not by id") {
     val a = Seq((1L, "same text"), (2L, "only in a"), (3L, "shared dup"))
       .toDF("doc_id", "text")
