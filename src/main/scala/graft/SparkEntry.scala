@@ -443,6 +443,16 @@ object SparkEntry {
     "h18_top_supplier" -> ((s, dir) =>
       graft.relational.Relational.topSupplier(
         Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // Q19 shape: OR-of-ANDs disjunctive revenue with hand-hoisted
+    // convex hulls so both scans still prune (Catalyst won't derive them)
+    "h19_disjunctive_revenue" -> ((s, dir) =>
+      graft.relational.Relational.disjunctiveRevenue(
+        Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // Q12 shape: per-line lateness × priority conditional-count matrix,
+    // both counts from ONE aggregate pass over the hash join
+    "h20_lateness_matrix" -> ((s, dir) =>
+      graft.relational.Relational.latenessPriorityMatrix(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // Q8 shape: per-year national market share — two-level conditional-
     // aggregate ratio over a 6-table star, dims broadcast, ONE agg pass
     "h17_market_share" -> ((s, dir) =>
@@ -980,6 +990,28 @@ object SparkEntry {
           |  AND l_shipdate < TIMESTAMP '1998-01-01'
           |  AND l_discount >= 0.05 AND l_discount <= 0.07
           |  AND l_quantity < 24""".stripMargin,
+      "h19_disjunctive_revenue" ->
+        """SELECT sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+          |     * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT AS revenue_cpct,
+          | count(*)::BIGINT AS n_lines
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+          |       AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+      "h20_lateness_matrix" ->
+        """SELECT l_returnflag,
+          | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+          | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |GROUP BY 1""".stripMargin,
       "h17_market_share" ->
         """WITH mc AS (SELECT c_custkey FROM customer
           |  JOIN nation ON c_nationkey = n_nationkey

@@ -488,4 +488,85 @@ object Relational {
       .groupBy(coalesce(col("__n"), lit(0L)).as("c_count"))
       .agg(count(lit(1)).as("custdist"))
   }
+
+  /** One Q19 disjunct: brand equality plus size and quantity bands. */
+  final case class RevenueBranch(brand: String, sizeLo: Int, sizeHi: Int,
+                                 qtyLo: Int, qtyHi: Int)
+
+  /** TPC-H Q19 shape (disjunctive revenue): total discounted revenue over
+    * lines matching ANY of several (brand, size-band, quantity-band)
+    * clauses — the OR-of-ANDs pushdown exercise. Adapted to the reduced
+    * schema: brand/size carry the part-side bands (no container column),
+    * quantity the fact-side band.
+    *
+    * The scale move is HOISTING the convex hulls of the disjunction:
+    * Catalyst will not infer that `(qty∈[1,11]) OR (qty∈[10,20]) OR
+    * (qty∈[20,30])` implies `qty∈[1,30]`, so without the redundant range
+    * conjunct the fact scan reads every row group. We add the derived
+    * hulls explicitly — `l_quantity` hull on the fact scan (PushedFilters
+    * prunes row groups at 100 TB), brand-set + size hull on the part scan
+    * — and keep the exact OR as a post-join residual. `part` collapses to
+    * the matching keys only → broadcast; no shuffle anywhere, one
+    * aggregate row out.
+    */
+  def disjunctiveRevenue(part: DataFrame, lineitem: DataFrame,
+                         branches: Seq[RevenueBranch] = Seq(
+                           RevenueBranch("Brand#13", 1, 15, 1, 11),
+                           RevenueBranch("Brand#19", 10, 30, 10, 20),
+                           RevenueBranch("Brand#25", 20, 50, 20, 30))): DataFrame = {
+    require(branches.nonEmpty, "disjunctiveRevenue needs at least one branch")
+    val qtyHull = (branches.map(_.qtyLo).min, branches.map(_.qtyHi).max)
+    val sizeHull = (branches.map(_.sizeLo).min, branches.map(_.sizeHi).max)
+    val p = part
+      .where(col("p_brand").isin(branches.map(_.brand): _*) &&
+        col("p_size").between(sizeHull._1, sizeHull._2))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = lineitem
+      .where(col("l_quantity").between(qtyHull._1, qtyHull._2))
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val residual = branches.map { b =>
+      col("p_brand") === b.brand &&
+        col("p_size").between(b.sizeLo, b.sizeHi) &&
+        col("l_quantity").between(b.qtyLo, b.qtyHi)
+    }.reduce(_ || _)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(residual)
+      .agg(
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_cpct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q12 shape (late lines by priority class): for each return flag
+    * (ship-mode stand-in — the reduced schema has no `l_shipmode`), how
+    * many severely-late lines belong to critical-priority orders vs the
+    * rest. Unlike Q4's EXISTS (h08: one row per ORDER via left-semi),
+    * this is the per-LINE inner join with BOTH conditional counts out of
+    * ONE aggregate pass (`sum(when)` twins) — no second scan, no
+    * self-join.
+    *
+    * Scale shape: the shipdate window is a raw-column predicate → pushed
+    * to the fact scan; orders projects to (orderkey, orderdate, priority)
+    * only; the lateness predicate (`l_shipdate > o_orderdate + lateness`)
+    * rides the equi-join as a residual, so the join stays a hash join on
+    * orderkey (AQE-sized), never a range join.
+    */
+  def latenessPriorityMatrix(orders: DataFrame, lineitem: DataFrame,
+                             from: String = "1997-01-01",
+                             until: String = "1998-01-01",
+                             latenessDays: Int = 60): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .where(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $latenessDays DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+  }
 }

@@ -179,6 +179,44 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(r.getLong(2) == 333333L)           // 20000*1e6 div 60000
   }
 
+  test("disjunctiveRevenue: per-branch bands bind jointly, not as separate hulls") {
+    val part = Seq(
+      (1L, "Brand#13", 5),   // branch-1 part
+      (2L, "Brand#19", 20),  // branch-2 part
+      (3L, "Brand#13", 40))  // size inside the HULL but outside branch 1's band
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 5.0, 2.00, 0.00),   // branch 1 ✓ → 200c·100
+      (1L, 15.0, 99.0, 0.00),  // qty in hull, but no single branch matches ✗
+      (2L, 15.0, 3.00, 0.10),  // branch 2 ✓ → 300c·90
+      (3L, 5.0, 99.0, 0.00),   // part 3: size escapes every branch ✗
+      (1L, 40.0, 99.0, 0.00))  // qty outside the hull entirely ✗
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val r = graft.relational.Relational.disjunctiveRevenue(part, li).head()
+    assert(r.getLong(0) == 200L * 100 + 300L * 90, s"revenue: $r")
+    assert(r.getLong(1) == 2L, s"n_lines: $r")
+  }
+
+  test("latenessPriorityMatrix: per-line counts, both from one pass") {
+    val orders = Seq(
+      (1L, "1997-01-01", "1-URGENT"),
+      (2L, "1997-01-01", "5-LOW"),
+      (3L, "1997-06-01", "2-HIGH"))
+      .toDF("o_orderkey", "d", "o_orderpriority")
+      .withColumn("o_orderdate", col("d").cast("timestamp"))
+    val li = Seq(
+      (1L, "A", "1997-05-01"),  // 120 days late, urgent → high under A
+      (2L, "A", "1997-05-01"),  // late, low priority → low under A
+      (3L, "A", "1997-06-15"),  // only 14 days late → excluded
+      (1L, "R", "1997-03-15"),  // 73 days late, urgent → high under R
+      (1L, "A", "1998-06-01"))  // outside the shipdate window → excluded
+      .toDF("l_orderkey", "l_returnflag", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp"))
+    val rows = graft.relational.Relational.latenessPriorityMatrix(orders, li)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == Map("A" -> (1L, 1L), "R" -> (1L, 0L)), s"got $rows")
+  }
+
   test("largeOrders keeps only orders above the quantity HAVING bound") {
     val li = Seq(
       (1L, 100.0), (1L, 200.0), // order 1: 300 > 250 ✓

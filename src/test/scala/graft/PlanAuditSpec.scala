@@ -316,6 +316,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"gate must read only (doc_id, text):\n$p")
   }
 
+  test("Q19 disjunction: hoisted quantity hull pushes to the fact scan; part broadcasts") {
+    val p = plan(graft.relational.Relational.disjunctiveRevenue(
+      Tables.part(spark, sf0001), Tables.lineitem(spark, sf0001)))
+    // the manually-derived hull reaches the parquet scan — Catalyst won't
+    // infer it from the OR, which stays as a post-join residual
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)")
+      && p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity hull must reach PushedFilters:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"filtered part must broadcast:\n$p")
+    assert(!p.contains("Cartesian"), s"no cartesian:\n$p")
+  }
+
+  test("Q12 lateness matrix: hash join with lateness residual, one agg pass") {
+    val p = plan(graft.relational.Relational.latenessPriorityMatrix(
+      Tables.orders(spark, sf0001), Tables.lineitem(spark, sf0001)))
+    // the lateness comparison must ride the orderkey equi-join as a
+    // residual condition — never degrade to a cartesian/range join
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateness predicate must stay a join residual:\n$p")
+    // both conditional counts come from ONE aggregate pass
+    assert("HashAggregate[^\\n]*partial_sum[^\\n]*partial_sum".r.findFirstIn(p).isDefined,
+      s"both counts must share one aggregate pass:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window must push into the scan:\n$p")
+  }
+
   test("PQ encode reduces candidates map-side: aggregate, not a window rank") {
     val p = plan(Ann.pqCodes(Tables.embeddings(spark, sf0001)))
     assert(p.contains("BroadcastHashJoin"),
