@@ -621,6 +621,10 @@ object SparkEntry {
       Ann.recallAtK(
         Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
         Ann.ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0))),
+    // IVF-PQ ADC search: probed cells scored from 8-byte PQ codes via
+    // per-query flattened lookup tables — the production index shape
+    "s08_ivfpq_search" -> ((s, dir) =>
+      Ann.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -1509,6 +1513,51 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
       "s01_ann_topk" -> s01Sql,
       "s02_ann_ivf" -> s02Sql,
+      "s08_ivfpq_search" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          |           FROM embeddings),
+          |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+          |cb AS (SELECT m, vec_id AS code, v[m*8+1 : m*8+8] AS cv
+          |       FROM v CROSS JOIN ms WHERE vec_id < 16),
+          |sv AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM v CROSS JOIN ms),
+          |d AS (SELECT vec_id, sv.m, code,
+          |      list_sum(list_transform(generate_series(1, 8),
+          |        i -> (s[i] - cv[i]) * (s[i] - cv[i]))) AS dist
+          |      FROM sv JOIN cb ON sv.m = cb.m),
+          |pq AS (SELECT vec_id, m, code FROM (
+          |       SELECT vec_id, m, code,
+          |         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+          |       FROM d) WHERE rn = 1),
+          |codes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM pq GROUP BY vec_id),
+          |cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
+          |assigned AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, c.cell,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rn
+          |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+          |qd AS (SELECT query_id, s.m, code,
+          |       list_sum(list_transform(generate_series(1, 8),
+          |         i -> (qs[i] - cv[i]) * (qs[i] - cv[i]))) AS dist
+          |       FROM (SELECT query_id, m,
+          |             list_transform(qe, x -> x::DOUBLE)[m*8+1 : m*8+8] AS qs
+          |             FROM q CROSS JOIN ms) s
+          |       JOIN cb ON s.m = cb.m),
+          |dtab AS (SELECT query_id, list(dist ORDER BY m, code) AS dtab FROM qd GROUP BY query_id),
+          |probes AS (SELECT query_id, cell FROM (
+          |  SELECT q.query_id, c.cell,
+          |    row_number() OVER (PARTITION BY q.query_id
+          |      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
+          |  FROM q CROSS JOIN cent c) WHERE rn <= 3),
+          |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+          |  row_number() OVER (PARTITION BY p.query_id ORDER BY
+          |    list_sum(list_transform(generate_series(0, 7),
+          |      m -> t.dtab[m*16 + cd.codes[m+1] + 1])) ASC,
+          |    a.vec_id ASC) AS rank
+          |  FROM probes p JOIN dtab t USING (query_id)
+          |  JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id
+          |  JOIN codes cd ON cd.vec_id = a.vec_id)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin,
       "s07_recall_eval" ->
         s"""WITH exact AS ($s01Sql),
            |approx AS ($s02Sql)

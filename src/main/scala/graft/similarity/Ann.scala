@@ -307,28 +307,126 @@ object Ann {
     */
   def pqCodes(embeddings: DataFrame, subspaces: Int = 8,
               codebookSize: Int = 16): DataFrame = {
-    val dim = 64 // corpus embedding width (documents' contract)
-    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
-    val subDim = dim / subspaces
+    val subDim = pqSubDim(subspaces)
     val v = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    def slices(df: DataFrame, out: String): DataFrame = df
-      .select(col("vec_id"), explode(sequence(lit(0), lit(subspaces - 1))).as("m"),
-        col("v"))
-      .select(col("vec_id"), col("m"),
-        slice(col("v"), col("m") * subDim + 1, lit(subDim)).as(out))
-    val codebook = slices(v.where(col("vec_id") < codebookSize), "cv")
-      .select(col("m"), col("vec_id").as("code"), col("cv"))
-    // Sequential left-to-right fold, the same summation order as the
-    // oracle's list_sum — double addition does not commute.
-    val dist = aggregate(
-      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    slices(v.repartition(v.sparkSession.sparkContext.defaultParallelism), "sv")
-      .join(broadcast(codebook), Seq("m"))
+    slices(v.repartition(v.sparkSession.sparkContext.defaultParallelism),
+        subspaces, subDim, "sv")
+      .join(broadcast(pqCodebook(embeddings, subspaces, codebookSize)), Seq("m"))
       .select(col("vec_id"), col("m").cast("long").as("m"), col("code"),
-        dist.as("__d"))
+        pqDist("sv", "cv").as("__d"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
+  }
+
+  private val Dim = 64 // corpus embedding width (documents' contract)
+
+  private def pqSubDim(subspaces: Int): Int = {
+    require(Dim % subspaces == 0, s"dim $Dim not divisible into $subspaces subspaces")
+    Dim / subspaces
+  }
+
+  /** (vec_id, m-explode, sub-vector slice) — one row per (vector, subspace). */
+  private def slices(df: DataFrame, subspaces: Int, subDim: Int, out: String): DataFrame = df
+    .select(col("vec_id"), explode(sequence(lit(0), lit(subspaces - 1))).as("m"),
+      col("v"))
+    .select(col("vec_id"), col("m"),
+      slice(col("v"), col("m") * subDim + 1, lit(subDim)).as(out))
+
+  /** Sub-vector L2²: sequential left-to-right fold, the same summation
+    * order as the oracle's `list_sum` — double addition does not commute.
+    */
+  private def pqDist(a: String, b: String): Column = aggregate(
+    zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
+    lit(0.0), (acc, x) => acc + x)
+
+  /** The deterministic per-subspace codebook shared by [[pqCodes]] (encode)
+    * and [[ivfPqTopK]] (ADC search): the sub-vectors of the first
+    * `codebookSize` corpus rows, as (m, code, cv).
+    */
+  private def pqCodebook(embeddings: DataFrame, subspaces: Int,
+                         codebookSize: Int): DataFrame = {
+    val subDim = pqSubDim(subspaces)
+    val v = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    slices(v.where(col("vec_id") < codebookSize), subspaces, subDim, "cv")
+      .select(col("m"), col("vec_id").as("code"), col("cv"))
+  }
+
+  /** IVF-PQ search (Jégou et al., PAMI'11) — the two halves composed the
+    * way a production 100 TB ANN index serves queries: the IVF coarse
+    * quantizer restricts each query to `nprobe` cells, and candidates in
+    * those cells are scored from their 8-byte PQ CODES via asymmetric
+    * distance computation (ADC) — never from the raw vectors.
+    *
+    * Per query, the ADC lookup table `d(m, c) = L2²(query_m, codebook[m][c])`
+    * (subspaces × codebookSize doubles, m-major) is built against the
+    * broadcast codebook and flattened to ONE array, so scoring a candidate
+    * is `subspaces` array lookups — no float vector is touched at search
+    * time. At index scale the corpus side carries only (cell, codes):
+    * 8 bytes/vector of payload instead of 256, which is the entire point
+    * of PQ; the probe side (queries × tables, ~1 KiB each) broadcasts.
+    *
+    * The cell assignment ⋈ codes join is the INDEX BUILD (one keyed
+    * shuffle, precomputed and stored in a real deployment); the search
+    * itself is a broadcast equi-join on cell touching nprobe/|cells| of
+    * the corpus, scored in-place, ranked per query over the candidate set
+    * only. Approximate distances fold m=0..M-1 left-to-right — the exact
+    * order the DuckDB oracle sums — so ranks are engine-exact.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+                centroidStep: Long = 25L, nprobe: Int = 3,
+                subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
+    val subDim = pqSubDim(subspaces)
+    val corpus = normalize(embeddings, "vec_id")
+    val centroids = corpus.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+
+    // ---- index build (precomputed in a real deployment) ----
+    // (vec_id, cell, codes[subspaces]) — codes m-ordered via the unique
+    // (m, code) struct sort, so element_at(codes, m+1) is THE m-th code
+    val codes = pqCodes(embeddings, subspaces, codebookSize)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    val index = assignCells(corpus, centroids)
+      .select(col("vec_id"), col("cell"))
+      .join(codes, Seq("vec_id"))
+
+    // ---- per-query ADC lookup tables, m-major flat ----
+    val qv = embeddings.where(queryPred).select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dtab = slices(qv.withColumnRenamed("query_id", "vec_id"), subspaces, subDim, "qs")
+      .join(broadcast(pqCodebook(embeddings, subspaces, codebookSize)), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        pqDist("qs", "cv").as("__d"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code"), col("__d")))),
+        s => s.getField("__d")).as("dtab"))
+
+    // ---- coarse probe: nprobe nearest cells per query (by cosine) ----
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val qcos = dotCol("qv", "cv") / (col("qnorm") * col("cnorm"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("cell").asc)
+    val probes = broadcast(queries).crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cell"), qcos.as("__cos"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+
+    // ---- ADC search: equi-join on cell, subspaces array lookups/candidate
+    val adist = aggregate(sequence(lit(0), lit(subspaces - 1)), lit(0.0),
+      (acc, m) => acc + element_at(col("dtab"),
+        (m * codebookSize + element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    broadcast(probes.join(dtab, Seq("query_id")))
+      .join(index, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 }

@@ -342,6 +342,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"shipdate window must push into the scan:\n$p")
   }
 
+  test("IVF-PQ search scores codes via a broadcast cell equi-join, vectors never join") {
+    val p = plan(Ann.ivfPqTopK(Tables.embeddings(spark, sf0001),
+      col("vec_id") % 50 === 0))
+    // the candidate-scoring join must be a broadcast hash join on cell —
+    // the corpus side streams; only the probe/table side broadcasts
+    assert(p.contains("BroadcastHashJoin"), s"cell join must broadcast probes:\n$p")
+    // no unbounded cartesian: the only nested-loop is queries × centroids
+    // (both broadcast-tiny, the probe build)
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked into search:\n$p")
+  }
+
   test("PQ encode reduces candidates map-side: aggregate, not a window rank") {
     val p = plan(Ann.pqCodes(Tables.embeddings(spark, sf0001)))
     assert(p.contains("BroadcastHashJoin"),
