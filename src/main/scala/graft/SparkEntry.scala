@@ -541,6 +541,14 @@ object SparkEntry {
     // other doc — corpus-wide boilerplate/memorization signal
     "t17_bigram_novelty" -> ((s, dir) =>
       TextAnalysis.bigramNovelty(Tables.documents(s, dir))),
+    // deterministic stratified train/val/test split: membership is a pure
+    // hash of doc_id (no shuffle decides it), accounting per stratum
+    "t18_train_split" -> ((s, dir) =>
+      TextAnalysis.trainValTestSplit(Tables.documents(s, dir))),
+    // token-budget shard packing: contiguous ≈50k-token shards, boundary
+    // never splits a doc; per-shard accounting
+    "t19_shard_packing" -> ((s, dir) =>
+      TextAnalysis.shardPacking(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -1577,6 +1585,23 @@ object SparkEntry {
            | (sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
            |   AS novelty_ppm
            |FROM bg JOIN dfq USING (gh) GROUP BY 1""".stripMargin,
+      "t18_train_split" ->
+        s"""SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |      ELSE 'test' END AS split,
+           | lang, source, count(*)::BIGINT AS n_docs,
+           | sum(len($toks))::BIGINT AS n_tokens
+           |FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b,
+           |      lang, source, text FROM documents)
+           |GROUP BY 1, 2, 3""".stripMargin,
+      "t19_shard_packing" ->
+        s"""WITH n AS (SELECT doc_id, len($toks)::BIGINT AS n FROM documents),
+           |c AS (SELECT doc_id, n,
+           |      coalesce(sum(n) OVER (ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           |      FROM n)
+           |SELECT (pre // 50000)::BIGINT AS shard_id, count(*)::BIGINT AS n_docs,
+           | sum(n)::BIGINT AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY 1""".stripMargin,
       "t16_quality_gate" ->
         s"""WITH s AS (SELECT doc_id, len($toks) AS nt,
            |  len(list_distinct($toks)) AS nd,

@@ -476,6 +476,60 @@ object TextAnalysis {
       size(regexp_extract_all(noIp, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
       redacted.as("redacted"))
   }
+
+  /** Deterministic stratified train/val/test split accounting. Each doc's
+    * assignment is a pure function of its id — `md5(doc_id)`'s leading
+    * 32 bits mod 100 against the (train, train+val) percent cut points —
+    * so the split is reproducible run-to-run, engine-exact, and
+    * embarrassingly parallel (a projection; NO shuffle decides membership,
+    * only the tiny per-(split, lang, source) accounting aggregate at the
+    * end). Content-independent by design: near-duplicate texts must not
+    * correlate across splits, and re-crawled docs keep their assignment.
+    */
+  def trainValTestSplit(docs: DataFrame, trainPct: Int = 90,
+                        valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"bad split cut points: train=$trainPct val=$valPct")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val split = when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val").otherwise("test")
+    withTokens(docs)
+      .groupBy(split.as("split"), col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("__toks")).cast("long")).as("n_tokens"))
+  }
+
+  /** Token-budget shard packing: cut the doc_id-ordered corpus into
+    * contiguous shards of ≈`budget` tokens (the training-file layout
+    * step — fixed-size shards feed a data loader evenly). A doc lands in
+    * shard `floor(exclusive_cumsum_tokens / budget)`: shard boundaries
+    * never split a document, and every shard except the last holds ≥ the
+    * budget's worth minus one document.
+    *
+    * The exclusive running sum is a window over the GLOBAL doc_id order —
+    * at corpus scale Spark range-partitions the sort, and the single-
+    * partition window is the honest sequential dependency of any
+    * contiguous packing (each shard cut depends on all prior sizes).
+    * Everything before it (token counts) and after it (per-shard
+    * accounting) is map-side parallel; the window's input is one LONG per
+    * doc, not the text.
+    */
+  def shardPacking(docs: DataFrame, budget: Long = 50000L): DataFrame = {
+    require(budget > 0, s"bad shard budget: $budget")
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    withTokens(docs)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("__n"))
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .groupBy((col("__before") / budget).cast("long").as("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 }
 
 /** Per-language stopword vocabularies for the language-ID heuristic.

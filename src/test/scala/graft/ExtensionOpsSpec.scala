@@ -134,6 +134,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(survivors == Set(1L, 3L), s"got $survivors")
   }
 
+  test("trainValTestSplit: hash-stable, exhaustive, stratum counts sum to corpus") {
+    val rows = TextAnalysis.trainValTestSplit(docs).collect()
+    assert(rows.map(_.getLong(3)).sum == docs.count(), "every doc lands in one stratum")
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // reproducible: the assignment is a pure function of doc_id
+    val again = TextAnalysis.trainValTestSplit(docs).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainValTestSplit(docs, trainPct = 95, valPct = 5)
+    }
+  }
+
+  test("shardPacking: contiguous shards, boundary never splits a doc") {
+    val d = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    // exclusive cumsums 0,3,6 against budget 5 → doc 3 starts shard 1
+    val shards = TextAnalysis.shardPacking(d, budget = 5L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(shards(0L) == (2L, 6L, 1L, 2L), s"shard 0: $shards")
+    assert(shards(1L) == (1L, 3L, 3L, 3L), s"shard 1: $shards")
+  }
+
   test("snapshotDiff is EXCEPT by content, not by id") {
     val a = Seq((1L, "same text"), (2L, "only in a"), (3L, "shared dup"))
       .toDF("doc_id", "text")
