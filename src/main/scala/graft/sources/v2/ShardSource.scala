@@ -1,0 +1,179 @@
+package graft.sources.v2
+
+import java.io.{BufferedReader, File, FileInputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Deaggregate
+
+/** `graft-shards` — a DataSource V2 connector for the reference's shard
+  * scan (`run.go:70-131`: per-shard `GetShardIterator` + `GetRecords`
+  * loop), re-expressed the Spark way: the STREAM is a table, each shard is
+  * one `InputPartition`, and the per-shard sequential read happens inside
+  * a `PartitionReader` on an executor — so a 512-shard stream scans as 512
+  * parallel partition readers with no driver-side loop.
+  *
+  * File-backed by design: a shard is an append-only JSON-lines log
+  * `<path>/<shardId>.jsonl` of Kinesis-wire-shaped records
+  * (`{"partitionKey","sequenceNumber","approximateArrivalTimestamp",
+  * "data"(base64)}` — the same fields `events.KinesisRecord` carries in
+  * `counter.go:167-176`). The AWS SDK client is an I/O slot-in at exactly
+  * one seam: [[ShardPartitionReader]]'s line iterator is what a
+  * `GetRecords` pager would replace (no SDK in this sandbox).
+  *
+  * Spark-first behaviors the reference's loop cannot express:
+  *  - **column pruning pushdown** ([[SupportsPushDownRequiredColumns]]):
+  *    `SELECT shard_id, count(*)` never materializes `data` bytes;
+  *  - **KPL deaggregation inside the reader** (option
+  *    `deaggregate=true`): the 1→N envelope explode (`deaggregate.go:19`)
+  *    happens before rows exist, so downstream operators see exactly the
+  *    record stream the reference's handler sees (`counter.go:163-169`);
+  *  - shard-count parallelism is the partitioning — `groupBy(shard_id)`
+  *    aggregates are map-side-local until the final merge.
+  */
+class ShardTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-shards"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ShardTable(properties.asScala.toMap)
+}
+
+object ShardTable {
+  /** The Kinesis record surface (`counter.go:167-176`), plus the shard id
+    * the reference threads through its handler (`counter.go:102`).
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("shard_id", StringType, nullable = false),
+    StructField("partition_key", StringType, nullable = true),
+    StructField("sequence_number", StringType, nullable = true),
+    StructField("arrival_ts", TimestampType, nullable = true),
+    StructField("data", BinaryType, nullable = true)))
+}
+
+final class ShardTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  private val path = properties.getOrElse("path",
+    throw new IllegalArgumentException("graft-shards requires a path"))
+  override def name(): String = s"graft-shards(`$path`)"
+  override def schema(): StructType = ShardTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ShardScanBuilder(path, options.getBoolean("deaggregate", false))
+}
+
+final class ShardScanBuilder(path: String, deaggregate: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ShardTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ShardScan(path, deaggregate, required)
+}
+
+final class ShardScan(path: String, deaggregate: Boolean, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-shards path=$path deaggregate=$deaggregate " +
+      s"ReadSchema: ${required.simpleString}"
+  override def toBatch: Batch = this
+
+  // one partition per shard log — the scan's parallelism IS the shard count
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = Option(new File(path).listFiles())
+      .getOrElse(throw new IllegalArgumentException(s"no shard directory at $path"))
+    files.filter(f => f.isFile && f.getName.endsWith(".jsonl")).sortBy(_.getName)
+      .map(f => ShardInputPartition(f.getName.stripSuffix(".jsonl"), f.getAbsolutePath)
+        : InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardReaderFactory(deaggregate, required.fieldNames)
+}
+
+final case class ShardInputPartition(shardId: String, file: String)
+    extends InputPartition
+
+final class ShardReaderFactory(deaggregate: Boolean, fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardInputPartition]
+    new ShardPartitionReader(p.shardId, p.file, deaggregate, fields)
+  }
+}
+
+/** Sequential reader over one shard's log — the executor-side stand-in for
+  * the reference's per-shard `GetRecords` loop. Reads one line ahead;
+  * KPL envelopes (when `deaggregate`) expand to a queue of sub-records
+  * sharing the envelope's sequence number and arrival time, exactly the
+  * expansion `counter.go:163-169` applies before counting.
+  */
+final class ShardPartitionReader(shardId: String, file: String,
+                                 deaggregate: Boolean, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper
+  private val in = new BufferedReader(new InputStreamReader(
+    new FileInputStream(file), StandardCharsets.UTF_8))
+  private val shardUtf8 = UTF8String.fromString(shardId)
+  private var queue: List[InternalRow] = Nil
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (queue.isEmpty) {
+      val line = in.readLine()
+      if (line == null) return false
+      if (line.trim.nonEmpty) queue = parse(line)
+    }
+    current = queue.head
+    queue = queue.tail
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+
+  private def parse(line: String): List[InternalRow] = {
+    val node = mapper.readTree(line)
+    def strOrNull(field: String): String =
+      if (node.hasNonNull(field)) node.get(field).asText() else null
+    val seq = strOrNull("sequenceNumber")
+    val tsMicros: Any =
+      if (node.hasNonNull("approximateArrivalTimestamp"))
+        node.get("approximateArrivalTimestamp").asLong() * 1000L
+      else null
+    val payload =
+      if (node.hasNonNull("data")) Base64.getDecoder.decode(node.get("data").asText())
+      else null
+    val subs =
+      if (deaggregate && payload != null)
+        Deaggregate.deaggregate(payload).map { s =>
+          // non-KPL payloads pass through as the SAME array — keep the
+          // record's own partition key, as the reference's handler does
+          val pk = if (s.data eq payload) strOrNull("partitionKey") else s.partitionKey
+          (pk, s.data)
+        }.toList
+      else List((strOrNull("partitionKey"), payload))
+    subs.map { case (pk, data) =>
+      InternalRow.fromSeq(fields.toSeq.map {
+        case "shard_id" => shardUtf8
+        case "partition_key" => if (pk == null) null else UTF8String.fromString(pk)
+        case "sequence_number" => if (seq == null) null else UTF8String.fromString(seq)
+        case "arrival_ts" => tsMicros
+        case "data" => data
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      })
+    }
+  }
+}
