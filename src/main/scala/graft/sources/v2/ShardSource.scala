@@ -71,7 +71,7 @@ final class ShardTable(properties: Map[String, String])
   override def name(): String = s"graft-shards(`$path`)"
   override def schema(): StructType = ShardTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardScanBuilder(path, options.getBoolean("deaggregate", false))
 }
@@ -91,28 +91,113 @@ final class ShardScan(path: String, deaggregate: Boolean, required: StructType)
     s"graft-shards path=$path deaggregate=$deaggregate " +
       s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ShardMicroBatchStream(path, deaggregate, required.fieldNames)
 
   // one partition per shard log — the scan's parallelism IS the shard count
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = Option(new File(path).listFiles())
-      .getOrElse(throw new IllegalArgumentException(s"no shard directory at $path"))
-    files.filter(f => f.isFile && f.getName.endsWith(".jsonl")).sortBy(_.getName)
-      .map(f => ShardInputPartition(f.getName.stripSuffix(".jsonl"), f.getAbsolutePath)
-        : InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    ShardScan.listShards(path).map { case (shardId, file) =>
+      ShardInputPartition(shardId, file, 0L, Long.MaxValue): InputPartition
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardReaderFactory(deaggregate, required.fieldNames)
 }
 
-final case class ShardInputPartition(shardId: String, file: String)
+object ShardScan {
+  def listShards(path: String): Array[(String, String)] = {
+    val files = Option(new File(path).listFiles())
+      .getOrElse(throw new IllegalArgumentException(s"no shard directory at $path"))
+    files.filter(f => f.isFile && f.getName.endsWith(".jsonl")).sortBy(_.getName)
+      .map(f => (f.getName.stripSuffix(".jsonl"), f.getAbsolutePath))
+  }
+
+  /** Non-empty line count of one shard log — the file-backed analog of a
+    * shard's latest sequence number.
+    */
+  def lineCount(file: String): Long = {
+    val in = new BufferedReader(new InputStreamReader(
+      new FileInputStream(file), StandardCharsets.UTF_8))
+    try {
+      var n = 0L
+      var line = in.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) n += 1
+        line = in.readLine()
+      }
+      n
+    } finally in.close()
+  }
+}
+
+/** [startLine, endLine) of one shard's non-empty lines; the batch path
+  * reads [0, ∞).
+  */
+final case class ShardInputPartition(shardId: String, file: String,
+                                     startLine: Long, endLine: Long)
     extends InputPartition
 
 final class ShardReaderFactory(deaggregate: Boolean, fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardInputPartition]
-    new ShardPartitionReader(p.shardId, p.file, deaggregate, fields)
+    new ShardPartitionReader(p.shardId, p.file, deaggregate, fields,
+      p.startLine, p.endLine)
   }
+}
+
+/** Streaming face of the shard scan — the reference's endless poll loop
+  * (`run.go:83-131`) under Spark's offset protocol. An OFFSET is the map
+  * `shardId → non-empty-line count` (the file-backed analog of per-shard
+  * sequence numbers; a `GetRecords` pager would store its shard iterators
+  * here). Each micro-batch plans one partition per shard that advanced,
+  * reading exactly `[start, end)` — so the stream is replayable from the
+  * checkpoint, which is the exactly-once property the reference's
+  * in-memory loop cannot offer. Shards appearing mid-stream (resharding)
+  * enter at offset 0.
+  */
+final class ShardMicroBatchStream(path: String, deaggregate: Boolean,
+                                  fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val mapper = new ObjectMapper
+
+  private def offsetOf(m: Map[String, Long]): ShardOffset = {
+    val sorted = new java.util.TreeMap[String, java.lang.Long]()
+    m.foreach { case (k, v) => sorted.put(k, v) }
+    ShardOffset(mapper.writeValueAsString(sorted))
+  }
+  private def parse(o: Offset): Map[String, Long] = {
+    val node = mapper.readTree(o.json())
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  override def initialOffset(): Offset = offsetOf(Map.empty)
+  override def latestOffset(): Offset =
+    offsetOf(ShardScan.listShards(path).map { case (id, f) =>
+      id -> ShardScan.lineCount(f)
+    }.toMap)
+  override def deserializeOffset(json: String): Offset = ShardOffset(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = parse(start)
+    val files = ShardScan.listShards(path).toMap
+    parse(end).toSeq.sortBy(_._1).flatMap { case (shardId, until) =>
+      val begin = from.getOrElse(shardId, 0L)
+      files.get(shardId).filter(_ => until > begin)
+        .map(f => ShardInputPartition(shardId, f, begin, until): InputPartition)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardReaderFactory(deaggregate, fields)
+}
+
+final case class ShardOffset(jsonStr: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = jsonStr
 }
 
 /** Sequential reader over one shard's log — the executor-side stand-in for
@@ -122,20 +207,27 @@ final class ShardReaderFactory(deaggregate: Boolean, fields: Array[String])
   * expansion `counter.go:163-169` applies before counting.
   */
 final class ShardPartitionReader(shardId: String, file: String,
-                                 deaggregate: Boolean, fields: Array[String])
+                                 deaggregate: Boolean, fields: Array[String],
+                                 startLine: Long = 0L,
+                                 endLine: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper
   private val in = new BufferedReader(new InputStreamReader(
     new FileInputStream(file), StandardCharsets.UTF_8))
   private val shardUtf8 = UTF8String.fromString(shardId)
+  private var lineNo = 0L // non-empty lines consumed so far
   private var queue: List[InternalRow] = Nil
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (queue.isEmpty) {
+      if (lineNo >= endLine) return false
       val line = in.readLine()
       if (line == null) return false
-      if (line.trim.nonEmpty) queue = parse(line)
+      if (line.trim.nonEmpty) {
+        if (lineNo >= startLine) queue = parse(line)
+        lineNo += 1
+      }
     }
     current = queue.head
     queue = queue.tail

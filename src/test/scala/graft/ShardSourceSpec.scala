@@ -88,6 +88,38 @@ class ShardSourceSpec extends SparkTestBase {
     } finally dir.toFile.listFiles().foreach(_.delete())
   }
 
+  test("micro-batch stream: per-shard line offsets, incremental batches, late shards") {
+    val dir = Files.createTempDirectory("shards")
+    val ckpt = Files.createTempDirectory("shards_ckpt")
+    try {
+      writeShards(dir)
+      val q = spark.readStream.format("graft-shards").load(dir.toString)
+        .select(col("shard_id"), col("partition_key"))
+        .writeStream.format("memory").queryName("shard_stream")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("shard_stream").count() == 3, "first batch reads everything")
+        // append to an existing shard AND add a brand-new one (resharding)
+        Files.write(dir.resolve("shard-000.jsonl"),
+          java.util.List.of(rec("u9", "49599", 1700000009000L, b64("late"))),
+          java.nio.file.StandardOpenOption.APPEND)
+        Files.write(dir.resolve("shard-002.jsonl"), java.util.List.of(
+          rec("n1", "50000", 1700000010000L, b64("new shard"))))
+        q.processAllAvailable()
+        val rows = spark.table("shard_stream").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        assert(rows.length == 5, s"incremental batch must add ONLY the 2 new records: ${rows.toSeq}")
+        assert(rows.count(_ == ("shard-000", "u9")) == 1, "appended line read once")
+        assert(rows.count(_ == ("shard-002", "n1")) == 1, "late shard enters at offset 0")
+      } finally q.stop()
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
   test("a shard scan feeds the counter pipeline end-to-end") {
     import graft.config.{CounterDef, CounterType}
     val dir = Files.createTempDirectory("shards")
