@@ -662,7 +662,46 @@ object SparkEntry {
         events(s, dir).withColumn("user_id",
           Canonical.siphashCanonicalTyped(org.apache.spark.sql.types.LongType, col("user_id"))),
         "ts", cUserAcd.copy(id = "unique_users_siphash"))),
+
+    // O1 oracle-checked: events dumped as Kinesis-wire shard logs, read
+    // back through the graft-shards DSv2 connector, counted per tumbling
+    // window — hash-matches counting the same subset of the parquet
+    "c30_shard_source_parity" -> ((s, dir) => shardSourceParity(s, dir)),
   )
+
+  /** Build the `c30` fixture: a 5% events subset written as per-shard
+    * JSON-lines logs (the connector's wire format, 4 shards by user id),
+    * then read back via `graft-shards` and counted. The write is a
+    * driver-side TEST FIXTURE only — the scan, parse and count all run
+    * through the connector's executor-side readers.
+    */
+  private def shardSourceParity(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_shards_c30")
+    tmp.toFile.deleteOnExit()
+    val enc = java.util.Base64.getEncoder
+    events(s, dir).where(col("event_id") % 20 === 0)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+        coalesce(col("user_id"), lit(-1L)).as("uid"))
+      .collect()
+      .groupBy(r => Math.floorMod(r.getLong(2), 4L))
+      .foreach { case (shard, rs) =>
+        val lines = rs.sortBy(_.getLong(0)).map { r =>
+          val data = enc.encodeToString(
+            s"""{"user_id":${r.getLong(2)}}""".getBytes(StandardCharsets.UTF_8))
+          s"""{"partitionKey":"${r.getLong(2)}","sequenceNumber":"${r.getLong(0)}",""" +
+            s""""approximateArrivalTimestamp":${r.getLong(1)},"data":"$data"}"""
+        }
+        val f = tmp.resolve(f"shard-$shard%03d.jsonl")
+        f.toFile.deleteOnExit()
+        Files.write(f, java.util.Arrays.asList(lines: _*))
+      }
+    Counters.run(
+      s.read.format("graft-shards").load(tmp.toString)
+        .select(col("arrival_ts").as("ts")),
+      "ts", cRequestCount.copy(id = "shard_source_count"))
+  }
 
   /** DuckDB-equivalent SQL per query (column names/aliases must match the
     * Spark result exactly — the driver sorts columns by name then hashes).
@@ -675,6 +714,13 @@ object SparkEntry {
       "c01_window_count" ->
         s"""SELECT $win, 'request_count' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,
+      "c30_shard_source_parity" ->
+        """WITH e AS (SELECT make_timestamp(epoch_ms(ts) * 1000) AS ts
+          |           FROM events WHERE event_id % 20 = 0)
+          |SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+          | epoch_ms(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS window_end,
+          | 'shard_source_count' AS counter_id, 'count' AS counter_type,
+          | count(*) AS value FROM e GROUP BY 1, 2""".stripMargin,
       "c02_column_count" ->
         s"""SELECT $win, 'user_events' AS counter_id, 'count' AS counter_type,
            | count(user_id) AS value FROM events GROUP BY 1, 2""".stripMargin,
