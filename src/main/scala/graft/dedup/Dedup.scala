@@ -499,8 +499,17 @@ object Dedup {
     * and AQE picks broadcast vs shuffled anti-join from the actual
     * post-clustering size.
     */
-  def applyDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val drops = connectedComponents(pairs)
+  def applyDedup(docs: DataFrame, pairs: DataFrame): DataFrame =
+    survivorsFromComponents(docs, connectedComponents(pairs))
+
+  /** The shared apply step over any (node, component) clustering: docs in
+    * no cluster survive, keepers (component minima) survive, everything
+    * else drops. Also the media-dedup apply
+    * ([[graft.multimodal.Multimodal.applyMediaDedup]]) — one
+    * implementation so keeper/tie-break semantics can never diverge.
+    */
+  def survivorsFromComponents(docs: DataFrame, components: DataFrame): DataFrame = {
+    val drops = components
       .where(col("node") =!= col("component"))
       .select(col("node"))
     docs.join(drops, docs("doc_id") === drops("node"), "left_anti")

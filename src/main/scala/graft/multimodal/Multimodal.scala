@@ -169,11 +169,6 @@ object Multimodal {
     * survive, everything else drops; AQE sizes the anti-join from the
     * actual post-clustering drop-set.
     */
-  def applyMediaDedup(media: DataFrame, stride: Int = 2): DataFrame = {
-    val drops = mediaDupClusters(media, stride)
-      .where(col("node") =!= col("component"))
-      .select(col("node"))
-    media.join(drops, media("doc_id") === drops("node"), "left_anti")
-      .select(col("doc_id"))
-  }
+  def applyMediaDedup(media: DataFrame, stride: Int = 2): DataFrame =
+    graft.dedup.Dedup.survivorsFromComponents(media, mediaDupClusters(media, stride))
 }

@@ -307,17 +307,28 @@ object Ann {
     */
   def pqCodes(embeddings: DataFrame, subspaces: Int = 8,
               codebookSize: Int = 16): DataFrame = {
-    val subDim = pqSubDim(subspaces)
-    val v = embeddings.select(col("vec_id"),
+    val v = doubleVecs(embeddings)
+    pqCodesFrom(v.repartition(v.sparkSession.sparkContext.defaultParallelism),
+      pqCodebookFrom(v, subspaces, codebookSize), subspaces)
+  }
+
+  /** (vec_id, double-cast v) — the shared projection every PQ path slices. */
+  private def doubleVecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    slices(v.repartition(v.sparkSession.sparkContext.defaultParallelism),
-        subspaces, subDim, "sv")
-      .join(broadcast(pqCodebook(embeddings, subspaces, codebookSize)), Seq("m"))
+
+  /** The encode over an already-partitioned (vec_id, v) frame and a
+    * prebuilt codebook — shared by [[pqCodes]] and [[ivfPqTopK]] so the
+    * codebook is defined ONCE per job.
+    */
+  private def pqCodesFrom(v: DataFrame, codebook: DataFrame,
+                          subspaces: Int): DataFrame =
+    slices(v, subspaces, pqSubDim(subspaces), "sv")
+      .join(broadcast(codebook), Seq("m"))
       .select(col("vec_id"), col("m").cast("long").as("m"), col("code"),
         pqDist("sv", "cv").as("__d"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
-  }
 
   private val Dim = 64 // corpus embedding width (documents' contract)
 
@@ -344,14 +355,11 @@ object Ann {
     * and [[ivfPqTopK]] (ADC search): the sub-vectors of the first
     * `codebookSize` corpus rows, as (m, code, cv).
     */
-  private def pqCodebook(embeddings: DataFrame, subspaces: Int,
-                         codebookSize: Int): DataFrame = {
-    val subDim = pqSubDim(subspaces)
-    val v = embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    slices(v.where(col("vec_id") < codebookSize), subspaces, subDim, "cv")
+  private def pqCodebookFrom(v: DataFrame, subspaces: Int,
+                             codebookSize: Int): DataFrame =
+    slices(v.where(col("vec_id") < codebookSize), subspaces,
+        pqSubDim(subspaces), "cv")
       .select(col("m"), col("vec_id").as("code"), col("cv"))
-  }
 
   /** IVF-PQ search (Jégou et al., PAMI'11) — the two halves composed the
     * way a production 100 TB ANN index serves queries: the IVF coarse
@@ -379,13 +387,15 @@ object Ann {
                 subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
     val subDim = pqSubDim(subspaces)
     val corpus = normalize(embeddings, "vec_id")
+    val v = corpus.select(col("vec_id"), col("v")) // double-cast ONCE, reused below
     val centroids = corpus.where(col("vec_id") % centroidStep === 0)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val codebook = pqCodebookFrom(v, subspaces, codebookSize) // defined ONCE
 
     // ---- index build (precomputed in a real deployment) ----
     // (vec_id, cell, codes[subspaces]) — codes m-ordered via the unique
     // (m, code) struct sort, so element_at(codes, m+1) is THE m-th code
-    val codes = pqCodes(embeddings, subspaces, codebookSize)
+    val codes = pqCodesFrom(v, codebook, subspaces)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         s => s.getField("code")).as("codes"))
@@ -394,10 +404,8 @@ object Ann {
       .join(codes, Seq("vec_id"))
 
     // ---- per-query ADC lookup tables, m-major flat ----
-    val qv = embeddings.where(queryPred).select(col("vec_id").as("query_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val dtab = slices(qv.withColumnRenamed("query_id", "vec_id"), subspaces, subDim, "qs")
-      .join(broadcast(pqCodebook(embeddings, subspaces, codebookSize)), Seq("m"))
+    val dtab = slices(v.where(queryPred), subspaces, subDim, "qs")
+      .join(broadcast(codebook), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("code"),
         pqDist("qs", "cv").as("__d"))
       .groupBy(col("query_id"))

@@ -112,22 +112,46 @@ object ShardScan {
       .map(f => (f.getName.stripSuffix(".jsonl"), f.getAbsolutePath))
   }
 
-  /** Non-empty line count of one shard log — the file-backed analog of a
-    * shard's latest sequence number.
+  /** Non-empty TERMINATED line count of one shard log — the file-backed
+    * analog of a shard's latest sequence number. Counts only lines a
+    * concurrent appender has finished (see [[TerminatedLineReader]]), so
+    * an offset never covers a torn record.
     */
   def lineCount(file: String): Long = {
-    val in = new BufferedReader(new InputStreamReader(
-      new FileInputStream(file), StandardCharsets.UTF_8))
+    val in = new TerminatedLineReader(file)
     try {
       var n = 0L
-      var line = in.readLine()
-      while (line != null) {
-        if (line.trim.nonEmpty) n += 1
-        line = in.readLine()
-      }
+      while (in.readLine() != null) n += 1
       n
     } finally in.close()
   }
+}
+
+/** Line reader that yields only newline-TERMINATED non-empty lines. A
+  * trailing fragment with no `\n` is a record mid-append (shard logs are
+  * append-only; writes are not atomic) — `BufferedReader.readLine` would
+  * surface it as a complete line, making `lineCount` and the partition
+  * reader disagree with the appender. Both sides share this reader so the
+  * unfinished tail is invisible until its newline lands.
+  */
+private[v2] final class TerminatedLineReader(file: String) {
+  private val in = new BufferedReader(new InputStreamReader(
+    new FileInputStream(file), StandardCharsets.UTF_8))
+  private val sb = new java.lang.StringBuilder
+
+  /** Next non-empty terminated line, or null at (possibly torn) EOF. */
+  def readLine(): String = {
+    while (true) {
+      sb.setLength(0)
+      var c = in.read()
+      while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      if (c == -1) return null // unterminated tail (or clean EOF): not a line
+      val line = sb.toString.stripSuffix("\r")
+      if (line.trim.nonEmpty) return line
+    }
+    null // unreachable
+  }
+  def close(): Unit = in.close()
 }
 
 /** [startLine, endLine) of one shard's non-empty lines; the batch path
@@ -173,11 +197,23 @@ final class ShardMicroBatchStream(path: String, deaggregate: Boolean,
     node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
   }
 
+  // Monotone high-water marks: a shard that transiently vanishes from the
+  // directory listing (object-store partial listing, compaction rename)
+  // must NOT drop from the offset — losing the key would restart it at 0
+  // next trigger and replay its records. Merged max per shard; append-only
+  // logs never regress.
+  private var high: Map[String, Long] = Map.empty
+
   override def initialOffset(): Offset = offsetOf(Map.empty)
-  override def latestOffset(): Offset =
-    offsetOf(ShardScan.listShards(path).map { case (id, f) =>
+  override def latestOffset(): Offset = synchronized {
+    val seen = ShardScan.listShards(path).map { case (id, f) =>
       id -> ShardScan.lineCount(f)
-    }.toMap)
+    }.toMap
+    high = (high.keySet ++ seen.keySet).map { id =>
+      id -> math.max(high.getOrElse(id, 0L), seen.getOrElse(id, 0L))
+    }.toMap
+    offsetOf(high)
+  }
   override def deserializeOffset(json: String): Offset = ShardOffset(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -212,10 +248,14 @@ final class ShardPartitionReader(shardId: String, file: String,
                                  endLine: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper
-  private val in = new BufferedReader(new InputStreamReader(
-    new FileInputStream(file), StandardCharsets.UTF_8))
+  private val in = new TerminatedLineReader(file)
   private val shardUtf8 = UTF8String.fromString(shardId)
-  private var lineNo = 0L // non-empty lines consumed so far
+  // decode only what the pruned schema (or the deagg explode, which needs
+  // the payload to know the row count) will use
+  private val needPayload = deaggregate || fields.contains("data")
+  private val needSeq = fields.contains("sequence_number")
+  private val needTs = fields.contains("arrival_ts")
+  private var lineNo = 0L // non-empty terminated lines consumed so far
   private var queue: List[InternalRow] = Nil
   private var current: InternalRow = _
 
@@ -224,10 +264,8 @@ final class ShardPartitionReader(shardId: String, file: String,
       if (lineNo >= endLine) return false
       val line = in.readLine()
       if (line == null) return false
-      if (line.trim.nonEmpty) {
-        if (lineNo >= startLine) queue = parse(line)
-        lineNo += 1
-      }
+      if (lineNo >= startLine) queue = parse(line)
+      lineNo += 1
     }
     current = queue.head
     queue = queue.tail
@@ -240,13 +278,14 @@ final class ShardPartitionReader(shardId: String, file: String,
     val node = mapper.readTree(line)
     def strOrNull(field: String): String =
       if (node.hasNonNull(field)) node.get(field).asText() else null
-    val seq = strOrNull("sequenceNumber")
+    val seq = if (needSeq) strOrNull("sequenceNumber") else null
     val tsMicros: Any =
-      if (node.hasNonNull("approximateArrivalTimestamp"))
+      if (needTs && node.hasNonNull("approximateArrivalTimestamp"))
         node.get("approximateArrivalTimestamp").asLong() * 1000L
       else null
     val payload =
-      if (node.hasNonNull("data")) Base64.getDecoder.decode(node.get("data").asText())
+      if (needPayload && node.hasNonNull("data"))
+        Base64.getDecoder.decode(node.get("data").asText())
       else null
     val subs =
       if (deaggregate && payload != null)

@@ -120,6 +120,23 @@ class ShardSourceSpec extends SparkTestBase {
     }
   }
 
+  test("a torn (newline-less) trailing record is invisible until its newline lands") {
+    val dir = Files.createTempDirectory("shards")
+    try {
+      val full = rec("u1", "1", 1700000000000L, b64("a"))
+      val torn = rec("u2", "2", 1700000001000L, b64("b"))
+      // one complete line, then a mid-append fragment with NO newline
+      Files.write(dir.resolve("shard-000.jsonl"),
+        (full + "\n" + torn).getBytes(StandardCharsets.UTF_8))
+      assert(read(dir).count() == 1, "unterminated tail must not be read")
+      // the appender finishes the record: just the newline arrives
+      Files.write(dir.resolve("shard-000.jsonl"),
+        "\n".getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      assert(read(dir).count() == 2, "completed record becomes visible")
+    } finally dir.toFile.listFiles().foreach(_.delete())
+  }
+
   test("a shard scan feeds the counter pipeline end-to-end") {
     import graft.config.{CounterDef, CounterType}
     val dir = Files.createTempDirectory("shards")
