@@ -137,6 +137,48 @@ class ShardSourceSpec extends SparkTestBase {
     } finally dir.toFile.listFiles().foreach(_.delete())
   }
 
+  test("reference quick-start on this stack: shard stream → per-shard windowed counts") {
+    import graft.config.{CounterDef, CounterType}
+    import graft.operators.Counters
+    // README.md:47-53 — `kinesis-data-counter -window 1m -stream test-stream`
+    // emits {counter_id:"__instant__", counter_type, event_source_arn,
+    // shard_id, value, window_start, window_end} per (shard, minute)
+    val dir = Files.createTempDirectory("shards")
+    try {
+      val m0 = 1700000000000L - (1700000000000L % 60000L) // minute-aligned
+      Files.write(dir.resolve("shard-000.jsonl"), java.util.List.of(
+        rec("a", "1", m0 + 1000L, b64("r1")),
+        rec("b", "2", m0 + 2000L, b64("r2")),
+        rec("c", "3", m0 + 61000L, b64("r3")))) // next minute
+      Files.write(dir.resolve("shard-001.jsonl"), java.util.List.of(
+        rec("d", "4", m0 + 3000L, b64("r4"))))
+      val arn = "arn:aws:kinesis:ap-northeast-1:111122223333:stream/test-stream"
+      val c = CounterDef("__instant__", CounterType.Count, Some("*"),
+        windowDuration = "1 minute")
+      val counted = Counters.finalizeOutput(
+        spark.readStream.format("graft-shards").load(dir.toString)
+          .groupBy(window(col("arrival_ts"), "1 minute"), col("shard_id"))
+          .agg(count(lit(1)).as("value")),
+        c, Some(arn), includeShard = true)
+      val q = counted.writeStream.outputMode("complete")
+        .format("memory").queryName("quickstart").start()
+      try {
+        q.processAllAvailable()
+        val out = spark.table("quickstart").collect()
+        assert(out.head.schema.fieldNames.toSeq == Seq("event_source_arn",
+          "window_start", "window_end", "counter_id", "counter_type",
+          "shard_id", "value"), "the reference's emitted record shape")
+        val byKey = out.map(r => (r.getAs[String]("shard_id"),
+          r.getAs[Long]("window_start")) -> r.getAs[Long]("value")).toMap
+        assert(byKey == Map(
+          ("shard-000", m0) -> 2L,
+          ("shard-000", m0 + 60000L) -> 1L,
+          ("shard-001", m0) -> 1L), s"got $byKey")
+        assert(out.forall(_.getAs[String]("event_source_arn") == arn))
+      } finally q.stop()
+    } finally dir.toFile.listFiles().foreach(_.delete())
+  }
+
   test("a shard scan feeds the counter pipeline end-to-end") {
     import graft.config.{CounterDef, CounterType}
     val dir = Files.createTempDirectory("shards")
