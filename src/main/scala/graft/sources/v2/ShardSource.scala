@@ -73,27 +73,36 @@ final class ShardTable(properties: Map[String, String])
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardScanBuilder(path, options.getBoolean("deaggregate", false))
+    new ShardScanBuilder(path, ShardOptions(
+      deaggregate = options.getBoolean("deaggregate", false),
+      permissive = options.getBoolean("permissive", false)))
 }
 
-final class ShardScanBuilder(path: String, deaggregate: Boolean)
+/** Reader options. `permissive`: a line that fails JSON parsing becomes a
+  * row carrying the raw line as `data` (other fields null) instead of a
+  * task failure — feeding the engine's corrupt-record side channel (O4)
+  * the way `PERMISSIVE` `from_json` does downstream.
+  */
+final case class ShardOptions(deaggregate: Boolean, permissive: Boolean)
+
+final class ShardScanBuilder(path: String, opts: ShardOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = ShardTable.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ShardScan(path, deaggregate, required)
+  override def build(): Scan = new ShardScan(path, opts, required)
 }
 
-final class ShardScan(path: String, deaggregate: Boolean, required: StructType)
+final class ShardScan(path: String, opts: ShardOptions, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-shards path=$path deaggregate=$deaggregate " +
+    s"graft-shards path=$path deaggregate=${opts.deaggregate} " +
       s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ShardMicroBatchStream(path, deaggregate, required.fieldNames)
+    new ShardMicroBatchStream(path, opts, required.fieldNames)
 
   // one partition per shard log — the scan's parallelism IS the shard count
   override def planInputPartitions(): Array[InputPartition] =
@@ -101,7 +110,7 @@ final class ShardScan(path: String, deaggregate: Boolean, required: StructType)
       ShardInputPartition(shardId, file, 0L, Long.MaxValue): InputPartition
     }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardReaderFactory(deaggregate, required.fieldNames)
+    new ShardReaderFactory(opts, required.fieldNames)
 }
 
 object ShardScan {
@@ -161,11 +170,11 @@ final case class ShardInputPartition(shardId: String, file: String,
                                      startLine: Long, endLine: Long)
     extends InputPartition
 
-final class ShardReaderFactory(deaggregate: Boolean, fields: Array[String])
+final class ShardReaderFactory(opts: ShardOptions, fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardInputPartition]
-    new ShardPartitionReader(p.shardId, p.file, deaggregate, fields,
+    new ShardPartitionReader(p.shardId, p.file, opts, fields,
       p.startLine, p.endLine)
   }
 }
@@ -180,7 +189,7 @@ final class ShardReaderFactory(deaggregate: Boolean, fields: Array[String])
   * in-memory loop cannot offer. Shards appearing mid-stream (resharding)
   * enter at offset 0.
   */
-final class ShardMicroBatchStream(path: String, deaggregate: Boolean,
+final class ShardMicroBatchStream(path: String, opts: ShardOptions,
                                   fields: Array[String])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -228,7 +237,7 @@ final class ShardMicroBatchStream(path: String, deaggregate: Boolean,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardReaderFactory(deaggregate, fields)
+    new ShardReaderFactory(opts, fields)
 }
 
 final case class ShardOffset(jsonStr: String)
@@ -243,7 +252,7 @@ final case class ShardOffset(jsonStr: String)
   * expansion `counter.go:163-169` applies before counting.
   */
 final class ShardPartitionReader(shardId: String, file: String,
-                                 deaggregate: Boolean, fields: Array[String],
+                                 opts: ShardOptions, fields: Array[String],
                                  startLine: Long = 0L,
                                  endLine: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
@@ -252,7 +261,7 @@ final class ShardPartitionReader(shardId: String, file: String,
   private val shardUtf8 = UTF8String.fromString(shardId)
   // decode only what the pruned schema (or the deagg explode, which needs
   // the payload to know the row count) will use
-  private val needPayload = deaggregate || fields.contains("data")
+  private val needPayload = opts.deaggregate || fields.contains("data")
   private val needSeq = fields.contains("sequence_number")
   private val needTs = fields.contains("arrival_ts")
   private var lineNo = 0L // non-empty terminated lines consumed so far
@@ -275,7 +284,16 @@ final class ShardPartitionReader(shardId: String, file: String,
   override def close(): Unit = in.close()
 
   private def parse(line: String): List[InternalRow] = {
-    val node = mapper.readTree(line)
+    val node = try mapper.readTree(line) catch {
+      case e: com.fasterxml.jackson.core.JacksonException if opts.permissive =>
+        // corrupt wire line -> one row with the raw bytes as data, so the
+        // engine's corrupt-record side channel (O4) sees it downstream
+        return List(InternalRow.fromSeq(fields.toSeq.map {
+          case "shard_id" => shardUtf8
+          case "data" => line.getBytes(StandardCharsets.UTF_8)
+          case _ => null
+        }))
+    }
     def strOrNull(field: String): String =
       if (node.hasNonNull(field)) node.get(field).asText() else null
     val seq = if (needSeq) strOrNull("sequenceNumber") else null
@@ -288,7 +306,7 @@ final class ShardPartitionReader(shardId: String, file: String,
         Base64.getDecoder.decode(node.get("data").asText())
       else null
     val subs =
-      if (deaggregate && payload != null)
+      if (opts.deaggregate && payload != null)
         Deaggregate.deaggregate(payload).map { s =>
           // non-KPL payloads pass through as the SAME array — keep the
           // record's own partition key, as the reference's handler does

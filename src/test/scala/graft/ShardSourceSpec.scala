@@ -120,6 +120,24 @@ class ShardSourceSpec extends SparkTestBase {
     }
   }
 
+  test("permissive=true: a corrupt line becomes a raw-bytes row, strict mode fails the task") {
+    val dir = Files.createTempDirectory("shards")
+    try {
+      Files.write(dir.resolve("shard-000.jsonl"), java.util.List.of(
+        rec("u1", "1", 1700000000000L, b64("ok")),
+        """{"partitionKey": BROKEN"""))
+      val rows = spark.read.format("graft-shards").option("permissive", "true")
+        .load(dir.toString)
+        .select(col("partition_key"), col("data").cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(("u1", "ok"), (null, """{"partitionKey": BROKEN""")),
+        s"corrupt line must surface as raw data: $rows")
+      intercept[org.apache.spark.SparkException] {
+        read(dir).count() // strict default: the corrupt line fails the scan
+      }
+    } finally dir.toFile.listFiles().foreach(_.delete())
+  }
+
   test("a torn (newline-less) trailing record is invisible until its newline lands") {
     val dir = Files.createTempDirectory("shards")
     try {
