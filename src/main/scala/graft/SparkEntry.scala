@@ -474,6 +474,10 @@ object SparkEntry {
     // cumulative window runs over distinct gaps, never the events)
     "e08_gap_quantiles" -> ((s, dir) =>
       graft.relational.Temporal.gapQuantiles(events(s, dir))),
+    // percentile counter type (ENGINE EXTENSION): exact per-window value
+    // quantiles in cents — latency percentiles next to request counts
+    "e09_value_quantiles" -> ((s, dir) =>
+      graft.relational.Temporal.windowValueQuantiles(events(s, dir))),
     // Q17 shape: correlated scalar aggregate decorrelated — per-part avg
     // via (sum, count) join-back, integer cross-multiplied threshold
     "h14_small_qty_revenue" -> ((s, dir) =>
@@ -1144,6 +1148,17 @@ object SparkEntry {
           |  sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_ms) AS cum,
           |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM h)
           |SELECT event_type, p_ppm, gap_ms
+          |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
+          |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
+          |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
+      "e09_value_quantiles" ->
+        """WITH h AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+          |  CAST(floor(value * 100) AS BIGINT) AS value_cents, count(*)::BIGINT AS cnt
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |c AS (SELECT window_start, value_cents, cnt,
+          |  sum(cnt) OVER (PARTITION BY window_start ORDER BY value_cents) AS cum,
+          |  sum(cnt) OVER (PARTITION BY window_start) AS n FROM h)
+          |SELECT window_start, p_ppm, value_cents
           |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
           |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
           |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,

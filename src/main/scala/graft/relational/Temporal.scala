@@ -184,6 +184,32 @@ object Temporal {
       groupCol = "event_type", valueCol = "gap_ms", cntCol = "cnt", psPpm = psPpm)
   }
 
+  /** Per-window value quantiles — the percentile COUNTER TYPE the
+    * reference lacks (`count`/`approx_count_distinct` only): exact
+    * p50/p90/p99 of the record `value` per tumbling window, e.g. latency
+    * percentiles next to request counts. Values quantize to integer cents
+    * (`floor(value·100)` — the same engine-exact money convention as the
+    * relational ops), so the per-window HISTOGRAM is bounded by distinct
+    * cents, never row count, and the shared exact-quantile window
+    * ([[graft.functions.Quantiles.fromHistogram]]) runs over that
+    * histogram only. The corpus-side work is ONE map-side-combined
+    * groupBy — the same shuffle shape as the count counter itself.
+    */
+  def windowValueQuantiles(events: DataFrame, windowDuration: String = "1 hour",
+                           psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
+    val hist = events
+      .where(col("value").isNotNull)
+      .groupBy(
+        window(col("ts"), windowDuration),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("value_cents"), col("cnt"))
+    graft.functions.Quantiles.fromHistogram(
+      hist, groupCol = "window_start", valueCol = "value_cents",
+      cntCol = "cnt", psPpm = psPpm)
+  }
+
   /** Windowed heavy hitters (the leaderboard step on counter output): per
     * tumbling window, the top-`k` users by event count with their rank
     * (count desc, user asc tiebreak — deterministic).

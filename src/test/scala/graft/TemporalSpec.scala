@@ -289,6 +289,27 @@ class TemporalSpec extends SparkTestBase {
     assert(rows == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("windowValueQuantiles: lower discrete quantile per window, nulls out") {
+    val events = Seq(
+      ("2024-01-01 10:00:01", Some(1.00)),
+      ("2024-01-01 10:00:02", Some(2.00)),
+      ("2024-01-01 10:00:03", Some(3.00)),
+      ("2024-01-01 10:00:04", Some(4.00)),
+      ("2024-01-01 10:00:05", None),        // null value never enters the histogram
+      ("2024-01-01 11:00:01", Some(9.50)))  // next window: single value
+      .toDF("d", "value")
+      .withColumn("ts", col("d").cast("timestamp"))
+    val rows = graft.relational.Temporal.windowValueQuantiles(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w10 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val w11 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00").getTime
+    // n=4: rank(p50) = floor(3·.5)+1 = 2 → 200c; p90/p99 → rank 3 → 300c
+    assert(rows((w10, 500000L)) == 200L, s"$rows")
+    assert(rows((w10, 900000L)) == 300L, s"$rows")
+    assert(rows((w10, 990000L)) == 300L, s"$rows")
+    assert(rows((w11, 500000L)) == 950L)
+  }
+
   test("minCostSupplier keeps every supplier tied at the minimum, once") {
     val part = Seq((1L, "PROMO"), (2L, "PROMO")).toDF("p_partkey", "p_type")
     val supplier = Seq((7L, "S7"), (8L, "S8")).toDF("s_suppkey", "s_name")
