@@ -226,6 +226,41 @@ object StreamingCounters {
         .agg(Counters.aggExpr(stream, c).as("value")),
       c, eventSourceArn)
 
+  /** Streaming face of the percentile counter (ENGINE EXTENSION, batch
+    * parity with `Temporal.windowValueQuantiles`): the per-(window, cents)
+    * HISTOGRAM is the streaming aggregation — mergeable engine state, the
+    * same shuffle shape as a count counter — and in append mode each
+    * window's complete histogram emits exactly once, when the watermark
+    * closes it. The quantile PICK runs downstream per micro-batch
+    * ([[quantilesOfClosedWindows]] in `foreachBatch`): correct because a
+    * closed window's histogram rows all arrive in the same batch, and the
+    * pick is a tiny sort over distinct cents — state never holds raw
+    * values, only (window, cents) → count.
+    */
+  def valueQuantileHistogram(stream: DataFrame, tsCol: String,
+                             windowDuration: String = "1 hour",
+                             watermarkDelay: String = "10 seconds"): DataFrame =
+    stream
+      .where(col("value").isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(
+        window(col(tsCol), windowDuration),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("value_cents"), col("cnt"))
+
+  /** The per-batch quantile pick over [[valueQuantileHistogram]]'s closed
+    * windows — call inside `foreachBatch`. Output: (window_start, p_ppm,
+    * value_cents), identical to the batch operator's rows for every
+    * closed window.
+    */
+  def quantilesOfClosedWindows(batch: DataFrame,
+                               psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame =
+    graft.functions.Quantiles.fromHistogram(
+      batch, groupCol = "window_start", valueCol = "value_cents",
+      cntCol = "cnt", psPpm = psPpm)
+
   /** Streaming session windows (ENGINE EXTENSION, batch parity with
     * [[Counters.runSessions]]): consecutive records of one key merge into
     * a session while gaps stay under `gap`; in append mode a session row
