@@ -196,19 +196,42 @@ object Temporal {
     * groupBy — the same shuffle shape as the count counter itself.
     */
   def windowValueQuantiles(events: DataFrame, windowDuration: String = "1 hour",
-                           psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
-    val hist = events
-      .where(col("value").isNotNull)
+                           psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame =
+    graft.functions.Quantiles.fromHistogram(
+      dropNullCents(valueCentsHistogram(events, "ts", windowDuration)),
+      groupCol = "window_start", valueCol = "value_cents",
+      cntCol = "cnt", psPpm = psPpm)
+
+  /** The per-(window, cents) histogram both percentile-counter faces build
+    * — ONE definition (batch here; streaming adds a watermark upstream in
+    * `StreamingCounters.valueQuantileHistogram`) so the quantization can
+    * never drift between them.
+    *
+    * Null values are NOT row-filtered here, deliberately: Catalyst pushes
+    * any such predicate below `EventTimeWatermark`
+    * (`PushPredicateThroughNonJoin` pushes every non-event-time
+    * predicate), so in the streaming face a value-less heartbeat would
+    * stop advancing the watermark and windows would never close. Instead
+    * nulls aggregate into their own (window, NULL) histogram row —
+    * reaching the watermark node and the state store (one extra row per
+    * window) — and BOTH faces exclude that row at the quantile pick
+    * ([[dropNullCents]]).
+    */
+  private[graft] def valueCentsHistogram(events: DataFrame, tsCol: String,
+                                         windowDuration: String): DataFrame =
+    events
       .groupBy(
-        window(col("ts"), windowDuration),
+        window(col(tsCol), windowDuration),
         floor(col("value") * 100).cast("long").as("value_cents"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_millis(col("window.start")).as("window_start"),
         col("value_cents"), col("cnt"))
-    graft.functions.Quantiles.fromHistogram(
-      hist, groupCol = "window_start", valueCol = "value_cents",
-      cntCol = "cnt", psPpm = psPpm)
-  }
+
+  /** The shared null-exclusion stage of the percentile pick — identical
+    * in the batch and streaming faces.
+    */
+  private[graft] def dropNullCents(hist: DataFrame): DataFrame =
+    hist.where(col("value_cents").isNotNull)
 
   /** Windowed heavy hitters (the leaderboard step on counter output): per
     * tumbling window, the top-`k` users by event count with their rank

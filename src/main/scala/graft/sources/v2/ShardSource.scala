@@ -98,7 +98,7 @@ final class ShardScan(path: String, opts: ShardOptions, required: StructType)
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-shards path=$path deaggregate=${opts.deaggregate} " +
-      s"ReadSchema: ${required.simpleString}"
+      s"permissive=${opts.permissive} ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -283,16 +283,27 @@ final class ShardPartitionReader(shardId: String, file: String,
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
 
+  /** Corrupt wire line → one row with the raw bytes as `data`, so the
+    * engine's corrupt-record side channel (O4) sees it downstream.
+    */
+  private def rawRow(line: String): List[InternalRow] =
+    List(InternalRow.fromSeq(fields.toSeq.map {
+      case "shard_id" => shardUtf8
+      case "data" => line.getBytes(StandardCharsets.UTF_8)
+      case _ => null
+    }))
+
   private def parse(line: String): List[InternalRow] = {
     val node = try mapper.readTree(line) catch {
-      case e: com.fasterxml.jackson.core.JacksonException if opts.permissive =>
-        // corrupt wire line -> one row with the raw bytes as data, so the
-        // engine's corrupt-record side channel (O4) sees it downstream
-        return List(InternalRow.fromSeq(fields.toSeq.map {
-          case "shard_id" => shardUtf8
-          case "data" => line.getBytes(StandardCharsets.UTF_8)
-          case _ => null
-        }))
+      case _: com.fasterxml.jackson.core.JacksonException if opts.permissive =>
+        return rawRow(line)
+    }
+    // valid JSON that is not an object is just as corrupt as a parse
+    // failure — surface it, never swallow it as an all-null row
+    if (!node.isObject) {
+      if (opts.permissive) return rawRow(line)
+      throw new IllegalArgumentException(
+        s"graft-shards: record line is not a JSON object in $file: $line")
     }
     def strOrNull(field: String): String =
       if (node.hasNonNull(field)) node.get(field).asText() else null
@@ -303,7 +314,11 @@ final class ShardPartitionReader(shardId: String, file: String,
       else null
     val payload =
       if (needPayload && node.hasNonNull("data"))
-        Base64.getDecoder.decode(node.get("data").asText())
+        try Base64.getDecoder.decode(node.get("data").asText()) catch {
+          case _: IllegalArgumentException if opts.permissive => return rawRow(line)
+          case e: IllegalArgumentException => throw new IllegalArgumentException(
+            s"graft-shards: invalid base64 data in $file: $line", e)
+        }
       else null
     val subs =
       if (opts.deaggregate && payload != null)

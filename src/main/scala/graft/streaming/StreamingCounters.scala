@@ -240,25 +240,24 @@ object StreamingCounters {
   def valueQuantileHistogram(stream: DataFrame, tsCol: String,
                              windowDuration: String = "1 hour",
                              watermarkDelay: String = "10 seconds"): DataFrame =
-    stream
-      .where(col("value").isNotNull)
-      .withWatermark(tsCol, watermarkDelay)
-      .groupBy(
-        window(col(tsCol), windowDuration),
-        floor(col("value") * 100).cast("long").as("value_cents"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(unix_millis(col("window.start")).as("window_start"),
-        col("value_cents"), col("cnt"))
+    // no row-level null filter anywhere in this plan: Catalyst would push
+    // it below the watermark node and value-less heartbeats would stop
+    // advancing event time (windows never close). Nulls ride through the
+    // aggregation as one (window, NULL) row and drop at the pick.
+    graft.relational.Temporal.valueCentsHistogram(
+      stream.withWatermark(tsCol, watermarkDelay), tsCol, windowDuration)
 
   /** The per-batch quantile pick over [[valueQuantileHistogram]]'s closed
     * windows — call inside `foreachBatch`. Output: (window_start, p_ppm,
     * value_cents), identical to the batch operator's rows for every
-    * closed window.
+    * closed window (the null-cents heartbeat row drops here, the same
+    * stage the batch face drops it).
     */
   def quantilesOfClosedWindows(batch: DataFrame,
                                psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame =
     graft.functions.Quantiles.fromHistogram(
-      batch, groupCol = "window_start", valueCol = "value_cents",
+      graft.relational.Temporal.dropNullCents(batch),
+      groupCol = "window_start", valueCol = "value_cents",
       cntCol = "cnt", psPpm = psPpm)
 
   /** Streaming session windows (ENGINE EXTENSION, batch parity with

@@ -125,13 +125,19 @@ class ShardSourceSpec extends SparkTestBase {
     try {
       Files.write(dir.resolve("shard-000.jsonl"), java.util.List.of(
         rec("u1", "1", 1700000000000L, b64("ok")),
-        """{"partitionKey": BROKEN"""))
+        """{"partitionKey": BROKEN""",                       // JSON parse failure
+        """{"partitionKey":"u2","data":"@@not-base64@@"}""", // bad base64 payload
+        """[1,2,3]"""))                                      // valid JSON, not an object
       val rows = spark.read.format("graft-shards").option("permissive", "true")
         .load(dir.toString)
         .select(col("partition_key"), col("data").cast("string"))
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
-      assert(rows == Set(("u1", "ok"), (null, """{"partitionKey": BROKEN""")),
-        s"corrupt line must surface as raw data: $rows")
+      assert(rows == Set(
+        ("u1", "ok"),
+        (null, """{"partitionKey": BROKEN"""),
+        (null, """{"partitionKey":"u2","data":"@@not-base64@@"}"""),
+        (null, """[1,2,3]""")),
+        s"every corrupt shape must surface as raw data: $rows")
       intercept[org.apache.spark.SparkException] {
         read(dir).count() // strict default: the corrupt line fails the scan
       }

@@ -22,7 +22,7 @@ class StreamingCountersSpec extends SparkTestBase {
 
   test("percentile counter streams: closed windows quantile exactly once, matching batch") {
     implicit val sc = spark.sqlContext
-    val input = MemoryStream[(Timestamp, Double)]
+    val input = MemoryStream[(Timestamp, Option[Double])]
     val hist = StreamingCounters.valueQuantileHistogram(
       input.toDF().toDF("ts", "value"), "ts", windowDuration = "1 minute",
       watermarkDelay = "5 seconds")
@@ -35,16 +35,20 @@ class StreamingCountersSpec extends SparkTestBase {
       }.start()
     try {
       // window [base, base+60s): values 1.00..4.00 → p50=200c, p90/p99=300c
-      input.addData((ts(1), 1.0), (ts(2), 2.0), (ts(3), 3.0), (ts(4), 4.0))
+      input.addData((ts(1), Some(1.0)), (ts(2), Some(2.0)),
+        (ts(3), Some(3.0)), (ts(4), Some(4.0)))
       query.processAllAvailable()
       assert(got.isEmpty, "no quantiles before the watermark closes the window")
-      input.addData((ts(70), 9.5)) // advance the watermark → window closes
+      // a VALUE-LESS heartbeat must still advance the watermark and close
+      // the window (the watermark sits below the null filter)
+      input.addData((ts(70), None))
       query.processAllAvailable()
       val w = got.filter(_._1 == base).map(t => t._2 -> t._3).toMap
       assert(w == Map(500000L -> 200L, 900000L -> 300L, 990000L -> 300L), s"$got")
       // exactly the batch operator's rows for the same data
       val batchRows = graft.relational.Temporal.windowValueQuantiles(
-        Seq((ts(1), 1.0), (ts(2), 2.0), (ts(3), 3.0), (ts(4), 4.0))
+        Seq((ts(1), Some(1.0)), (ts(2), Some(2.0)), (ts(3), Some(3.0)),
+          (ts(4), Some(4.0)), (ts(70), None))
           .toDF("ts", "value"), "1 minute")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got.toSet == batchRows.filter(_._1 == base),
