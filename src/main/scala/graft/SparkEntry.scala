@@ -658,6 +658,10 @@ object SparkEntry {
     // docs via left-anti join (the multimodal mirror of d09)
     "m06_media_dedup_apply" -> ((s, dir) =>
       Multimodal.applyMediaDedup(Multimodal.asMedia(Tables.documents(s, dir)))),
+    // perceptual near-dup: aHash frames + pigeonhole Hamming join —
+    // catches near-identical frames where m04's exact digests can't
+    "m07_perceptual_pairs" -> ((s, dir) =>
+      Multimodal.perceptualDupPairs(Multimodal.asMedia(Tables.documents(s, dir)))),
 
     // ---- custom Catalyst expression in a real plan (no DuckDB siphash:
     //      rows-only check; value parity proven by SipHash vectors spec) ----
@@ -1712,6 +1716,26 @@ object SparkEntry {
         s"""WITH comp AS ($m05Sql)
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin,
+      "m07_perceptual_pairs" ->
+        """WITH fr AS (SELECT doc_id, i AS frame_idx, substr(text, (i*100+1)::INT, 100) AS f
+          |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+          |  WHERE i % 2 = 0 AND i*100 < length(text)),
+          |ok AS (SELECT doc_id, frame_idx, f FROM fr WHERE length(f) >= 60),
+          |cs AS (SELECT doc_id, frame_idx,
+          |  list_transform(generate_series(1, 60), j -> ascii(substr(f, j::INT, 1))::BIGINT) AS c
+          |  FROM ok),
+          |ah AS (SELECT doc_id, frame_idx,
+          |  list_reduce(list_transform(c, x ->
+          |    CASE WHEN x > list_sum(c) // 60 THEN 1::BIGINT ELSE 0::BIGINT END),
+          |    (a, b) -> a * 2 + b) AS ahash
+          |  FROM cs),
+          |ck AS (SELECT doc_id, frame_idx, ahash, j, (ahash >> (j*15)::INT) & 32767 AS v
+          |       FROM ah CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          |  x.frame_idx AS fa, y.frame_idx AS fb, x.ahash AS ha, y.ahash AS hb
+          |  FROM ck x JOIN ck y ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id)
+          |SELECT a, b, count(*)::BIGINT AS n_frame_matches
+          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY 1, 2""".stripMargin,
     )
   }
 }

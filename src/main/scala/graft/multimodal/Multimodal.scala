@@ -162,6 +162,76 @@ object Multimodal {
     graft.dedup.Dedup.connectedComponents(edges)
   }
 
+  case class FrameHash(doc_id: Long, frame_idx: Long, ahash: Long)
+
+  /** Per-frame perceptual AVERAGE HASH (aHash — the classic image
+    * near-dup fingerprint: downsample, threshold against the mean, read
+    * the bits): a 60-bit hash over the frame's first 60 bytes, bit j set
+    * iff byte j exceeds the frame's integer-mean byte. Unlike
+    * [[sampleFrames]]' md5 (EXACT frame identity), aHash is stable under
+    * small payload perturbations — re-encoded/brightness-shifted copies
+    * land within a few bits. 60 bits (not 64) keeps every fold step
+    * inside a non-negative BIGINT so the DuckDB oracle's strict overflow
+    * checking matches JVM arithmetic. Frames shorter than 60 bytes carry
+    * too little signal and are skipped, deterministically.
+    *
+    * Partition-local (typed flatMap, like every media op): only (doc,
+    * frame, 8-byte hash) rows ever leave the scan.
+    */
+  def frameAHashes(media: DataFrame, stride: Int = 2): Dataset[FrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val n = (r.media.length + 99) / 100
+        (0L until n.toLong by stride.toLong).flatMap { i =>
+          val from = (i * 100).toInt
+          val until = math.min(from + 100, r.media.length)
+          if (until - from >= 60) {
+            val codes = (from until from + 60).map(j => (r.media(j) & 0xff).toLong)
+            val mean = codes.sum / 60
+            val h = codes.foldLeft(0L)((acc, c) => acc * 2 + (if (c > mean) 1L else 0L))
+            Some(FrameHash(r.doc_id, i, h))
+          } else None
+        }
+      }
+  }
+
+  /** Perceptual media near-dup pairs: documents with ≥1 frame pair within
+    * Hamming(aHash) ≤ `maxHamming` — catches NEAR-duplicate frames where
+    * [[sharedFrames]]' exact digests require identity. Same pigeonhole
+    * blocking as text SimHash ([[graft.dedup.Dedup.simhashPairs]]): 60
+    * bits split into maxHamming+1 chunks, a qualifying pair must agree
+    * exactly on ≥1 chunk, so candidates come from an equi-join on
+    * (chunk, value) — full recall, no frame×frame cross join. Output:
+    * (a, b, n_frame_matches), a < b.
+    */
+  def perceptualDupPairs(media: DataFrame, stride: Int = 2,
+                         maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(60 % nChunks == 0, s"60 bits must split evenly into $nChunks chunks")
+    val chunkBits = 60 / nChunks
+    val fh = frameAHashes(media, stride).toDF()
+    val chunks = fh.select(col("doc_id"), col("frame_idx"), col("ahash"),
+      explode(array((0 until nChunks).map(j =>
+        struct(lit(j).as("j"),
+          shiftright(col("ahash"), j * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))): _*)).as("ck"))
+      .select(col("doc_id"), col("frame_idx"), col("ahash"),
+        col("ck.j").as("j"), col("ck.v").as("v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.j") === col("y.j") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.frame_idx").as("fa"), col("y.frame_idx").as("fb"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_frame_matches"))
+  }
+
   /** Media dedup APPLIED — the multimodal mirror of
     * [[graft.dedup.Dedup.applyDedup]]: the surviving doc ids after
     * collapsing each shared-frame cluster to its keeper (the component

@@ -121,6 +121,20 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(recall > 100000.0, s"ADC recall collapsed: $recall ppm")
   }
 
+  test("perceptualDupPairs: 1-bit frame perturbation pairs, far hashes survive the chunk filter") {
+    val frameA = "a" * 30 + "b" * 30            // aHash 0…0 1…1 (mean 97)
+    val frameB = "a" * 30 + "b" * 29 + "a"      // one byte off → Hamming 1
+    val docs = Seq(
+      (1L, frameA + "x" * 40),  // filler past byte 60 is aHash-invisible
+      (2L, frameB + "y" * 40),
+      (3L, "z" * 100))          // all-zero hash: shares zero CHUNKS with 1/2
+      .toDF("doc_id", "text")   //   → candidate, then killed by the Hamming check
+    val pairs = graft.multimodal.Multimodal
+      .perceptualDupPairs(graft.multimodal.Multimodal.asMedia(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L)), s"got $pairs")
+  }
+
   test("applyMediaDedup keeps the cluster keeper and untouched docs only") {
     val a100 = "a" * 100
     val docs = Seq(
