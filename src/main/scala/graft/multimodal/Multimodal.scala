@@ -206,9 +206,18 @@ object Multimodal {
     * exactly on ≥1 chunk, so candidates come from an equi-join on
     * (chunk, value) — full recall, no frame×frame cross join. Output:
     * (a, b, n_frame_matches), a < b.
+    *
+    * Scale caveat: aHash chunks have LOWER entropy than text SimHash
+    * chunks (flat frames hash to 0), so one hot (chunk, value) bucket can
+    * go quadratic at corpus scale. `maxBucketFreq` drops buckets seen in
+    * more than that many frames — the same non-discriminative-hot-key cap
+    * as n-gram Jaccard's `maxDocFreq` ([[graft.dedup.Dedup
+    * .ngramJaccardPairs]]); recall only drops for pairs agreeing SOLELY
+    * on a bucket too common to mean anything. None (default) = exact.
     */
   def perceptualDupPairs(media: DataFrame, stride: Int = 2,
-                         maxHamming: Int = 3): DataFrame = {
+                         maxHamming: Int = 3,
+                         maxBucketFreq: Option[Long] = None): DataFrame = {
     val nChunks = maxHamming + 1
     require(60 % nChunks == 0, s"60 bits must split evenly into $nChunks chunks")
     val chunkBits = 60 / nChunks
@@ -220,7 +229,15 @@ object Multimodal {
             .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))): _*)).as("ck"))
       .select(col("doc_id"), col("frame_idx"), col("ahash"),
         col("ck.j").as("j"), col("ck.v").as("v"))
-    chunks.as("x").join(chunks.as("y"),
+    val indexed = maxBucketFreq match {
+      case Some(cap) =>
+        val perBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("j"), col("v"))
+        chunks.withColumn("__bf", count(lit(1)).over(perBucket))
+          .where(col("__bf") <= cap).drop("__bf")
+      case None => chunks
+    }
+    indexed.as("x").join(indexed.as("y"),
         col("x.j") === col("y.j") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

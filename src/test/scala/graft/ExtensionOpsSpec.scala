@@ -133,6 +133,16 @@ class ExtensionOpsSpec extends SparkTestBase {
       .perceptualDupPairs(graft.multimodal.Multimodal.asMedia(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 1L)), s"got $pairs")
+    // hot-bucket cap: the 3-member zero chunks drop at cap=2, but the
+    // discriminative 2-member chunk still pairs 1↔2; cap=1 kills all
+    val cap2 = graft.multimodal.Multimodal
+      .perceptualDupPairs(graft.multimodal.Multimodal.asMedia(docs),
+        maxBucketFreq = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cap2 == Set((1L, 2L, 1L)), s"got $cap2")
+    assert(graft.multimodal.Multimodal
+      .perceptualDupPairs(graft.multimodal.Multimodal.asMedia(docs),
+        maxBucketFreq = Some(1L)).collect().isEmpty)
   }
 
   test("applyMediaDedup keeps the cluster keeper and untouched docs only") {
