@@ -145,6 +145,21 @@ class ExtensionOpsSpec extends SparkTestBase {
         maxBucketFreq = Some(1L)).collect().isEmpty)
   }
 
+  test("perceptual pairs feed the shared dedup-apply path: keeper survives") {
+    val frameA = "a" * 30 + "b" * 30
+    val frameB = "a" * 30 + "b" * 29 + "a"
+    val docs = Seq(
+      (1L, frameA + "x" * 40), (2L, frameB + "y" * 40), (3L, "q" * 9))
+      .toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.asMedia(docs)
+    val survivors = Dedup.survivorsFromComponents(media,
+      Dedup.connectedComponents(
+        graft.multimodal.Multimodal.perceptualDupPairs(media)
+          .select(col("a"), col("b"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L), s"got $survivors") // 2 collapses into 1
+  }
+
   test("applyMediaDedup keeps the cluster keeper and untouched docs only") {
     val a100 = "a" * 100
     val docs = Seq(
