@@ -178,25 +178,57 @@ object Dedup {
     * equi-join on (chunk_idx, chunk_value) has full recall with no n²
     * candidate generation. Output: (a, b, hamming), a < b.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingCandidatePairs(simhash(docs), "simhash", bits = 60, maxHamming)
+
+  /** The shared pigeonhole-blocking core for every Hamming-ball pair
+    * finder (text SimHash here; perceptual media aHash in
+    * `Multimodal.perceptualDupPairs`): `bits` split into maxHamming+1
+    * chunks, a qualifying pair must agree exactly on ≥1 chunk, so an
+    * equi-join on (chunk_idx, chunk_value) has full recall with no n²
+    * candidate generation. ONE implementation so the blocking math can
+    * never diverge between finders.
+    *
+    * `extraCols` are per-row identity columns (e.g. a frame index)
+    * carried to the output as `a_<col>`/`b_<col>`. `maxBucketFreq` drops
+    * (chunk, value) buckets seen in more than that many rows —
+    * non-discriminative hot keys (low-entropy hashes) that would
+    * otherwise go quadratic; recall only drops for pairs agreeing SOLELY
+    * on such a bucket. The Hamming filter runs BEFORE the distinct, so
+    * far-apart candidates never enter that shuffle. Output: (a, b,
+    * per-side extras, hamming ≤ maxHamming), a < b, distinct.
+    */
+  private[graft] def hammingCandidatePairs(rows: DataFrame, hashCol: String,
+                                           bits: Int, maxHamming: Int,
+                                           extraCols: Seq[String] = Nil,
+                                           maxBucketFreq: Option[Long] = None): DataFrame = {
     val nChunks = maxHamming + 1
-    require(60 % nChunks == 0, s"60 bits must split evenly into $nChunks chunks")
-    val chunkBits = 60 / nChunks
-    val sh = simhash(docs)
-    val chunks = sh.select(
-      col("doc_id"), col("simhash"),
-      explode(array((0 until nChunks).map(j =>
+    require(bits % nChunks == 0, s"$bits bits must split evenly into $nChunks chunks")
+    val chunkBits = bits / nChunks
+    val carried = col("doc_id") +: col(hashCol) +: extraCols.map(col)
+    val chunks = rows.select(
+      (carried :+ explode(array((0 until nChunks).map(j =>
         struct(lit(j).as("j"),
-          shiftright(col("simhash"), j * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))): _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.j").as("j"), col("ck.v").as("v"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.j") === col("y.j") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+          shiftright(col(hashCol), j * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))): _*)).as("ck")): _*)
+      .select((carried :+ col("ck.j").as("j") :+ col("ck.v").as("v")): _*)
+    val indexed = maxBucketFreq match {
+      case Some(cap) =>
+        val perBucket = Window.partitionBy(col("j"), col("v"))
+        chunks.withColumn("__bf", count(lit(1)).over(perBucket))
+          .where(col("__bf") <= cap).drop("__bf")
+      case None => chunks
+    }
+    val sides = (p: String) => extraCols.map(e => col(s"$p.$e").as(s"${p}_$e"))
+    indexed.as("a").join(indexed.as("b"),
+        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select((Seq(col("a.doc_id").as("a"), col("b.doc_id").as("b")) ++
+        sides("a") ++ sides("b") :+
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
+          .cast("long").as("hamming")): _*)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------------------- n-gram Jaccard --

@@ -103,19 +103,28 @@ object Multimodal {
     media.select(col("doc_id"), col("media"), col("media_type"))
       .as[MediaRecord]
       .flatMap { r =>
-        // a frame exists iff it has ≥1 byte: ceil(len/100), no empty tail
-        // frame when the length is an exact multiple (an empty slice would
-        // hash to md5("") for EVERY such doc — downstream shared-frame
-        // dedup would then link unrelated documents through it)
-        val n = (r.media.length + 99) / 100
-        (0L until n.toLong by stride.toLong).map { i =>
-          val from = (i * 100).toInt
-          val until = math.min(from + 100, r.media.length)
+        frameRanges(r.media.length, stride).map { case (i, from, until) =>
           val slice = java.util.Arrays.copyOfRange(r.media, from, until)
           val md = java.security.MessageDigest.getInstance("MD5")
           Frame(r.doc_id, i, md.digest(slice).map("%02x".format(_)).mkString)
         }
       }
+  }
+
+  /** The ONE definition of frame geometry — every frame-derived signal
+    * (md5 digests above, aHash below) slices identically, so the
+    * m04/m07 exact/perceptual complement can never drift. A frame exists
+    * iff it has ≥1 byte: ceil(len/100), no empty tail frame when the
+    * length is an exact multiple (an empty slice would hash identically
+    * for EVERY such doc — downstream dedup would link unrelated
+    * documents through it).
+    */
+  private def frameRanges(len: Int, stride: Int): Seq[(Long, Int, Int)] = {
+    val n = (len + 99) / 100
+    (0L until n.toLong by stride.toLong).map { i =>
+      val from = (i * 100).toInt
+      (i, from, math.min(from + 100, len))
+    }
   }
 
   /** "Resize" stub: crop/pad the payload to `targetBytes` — the shape of an
@@ -184,10 +193,7 @@ object Multimodal {
     media.select(col("doc_id"), col("media"), col("media_type"))
       .as[MediaRecord]
       .flatMap { r =>
-        val n = (r.media.length + 99) / 100
-        (0L until n.toLong by stride.toLong).flatMap { i =>
-          val from = (i * 100).toInt
-          val until = math.min(from + 100, r.media.length)
+        frameRanges(r.media.length, stride).flatMap { case (i, from, until) =>
           if (until - from >= 60) {
             val codes = (from until from + 60).map(j => (r.media(j) & 0xff).toLong)
             val mean = codes.sum / 60
@@ -217,37 +223,12 @@ object Multimodal {
     */
   def perceptualDupPairs(media: DataFrame, stride: Int = 2,
                          maxHamming: Int = 3,
-                         maxBucketFreq: Option[Long] = None): DataFrame = {
-    val nChunks = maxHamming + 1
-    require(60 % nChunks == 0, s"60 bits must split evenly into $nChunks chunks")
-    val chunkBits = 60 / nChunks
-    val fh = frameAHashes(media, stride).toDF()
-    val chunks = fh.select(col("doc_id"), col("frame_idx"), col("ahash"),
-      explode(array((0 until nChunks).map(j =>
-        struct(lit(j).as("j"),
-          shiftright(col("ahash"), j * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))): _*)).as("ck"))
-      .select(col("doc_id"), col("frame_idx"), col("ahash"),
-        col("ck.j").as("j"), col("ck.v").as("v"))
-    val indexed = maxBucketFreq match {
-      case Some(cap) =>
-        val perBucket = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("j"), col("v"))
-        chunks.withColumn("__bf", count(lit(1)).over(perBucket))
-          .where(col("__bf") <= cap).drop("__bf")
-      case None => chunks
-    }
-    indexed.as("x").join(indexed.as("y"),
-        col("x.j") === col("y.j") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.frame_idx").as("fa"), col("y.frame_idx").as("fb"),
-        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
-      .distinct()
-      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+                         maxBucketFreq: Option[Long] = None): DataFrame =
+    graft.dedup.Dedup.hammingCandidatePairs(
+        frameAHashes(media, stride).toDF(), "ahash", bits = 60, maxHamming,
+        extraCols = Seq("frame_idx"), maxBucketFreq = maxBucketFreq)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_frame_matches"))
-  }
 
   /** Media dedup APPLIED — the multimodal mirror of
     * [[graft.dedup.Dedup.applyDedup]]: the surviving doc ids after
