@@ -58,6 +58,50 @@ object Sinks {
     }
   }
 
+  /** File-backed stream writer — the `PutRecord` face of the
+    * `graft-shards` connector (`sources/v2/ShardSource.scala`): each put
+    * appends one Kinesis-wire JSON line to `<dir>/shard-NNN.jsonl`,
+    * routing by `md5(partitionKey)` over `nShards` like the real service
+    * (`counter.go:530` puts with partition key = counter id; Kinesis
+    * hashes it to pick the shard). What this putter writes, the connector
+    * reads back — counter output re-enters the engine as a stream, the
+    * loop the reference builds with two AWS services, file-backed here
+    * with the SDK as the same one-seam slot-in.
+    *
+    * Single-JVM semantics (local mode / tests): appends synchronize on an
+    * interned per-file lock and sequence numbers are per-shard atomics. A
+    * multi-executor deployment replaces this with a service-backed putter
+    * — concurrent appends to one log need a broker, which is the entire
+    * reason Kinesis exists.
+    */
+  class ShardLogPutter(dir: String, nShards: Int = 4) extends RecordPutter {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    def put(target: Arn, partitionKey: String, data: String): Unit = {
+      val pk = if (partitionKey == null) "" else partitionKey
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(pk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val shard = Math.floorMod(java.nio.ByteBuffer.wrap(md5).getLong, nShards.toLong)
+      val file = java.nio.file.Paths.get(dir, f"shard-$shard%03d.jsonl")
+      val seq = ShardLogPutter.nextSeq(file.toString)
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val line = s"""{"partitionKey":"$pk","sequenceNumber":"$seq",""" +
+        s""""approximateArrivalTimestamp":${System.currentTimeMillis()},""" +
+        s""""data":"$b64"}""" + "\n"
+      val lock = file.toString.intern()
+      lock.synchronized {
+        java.nio.file.Files.write(file, line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
+  }
+  object ShardLogPutter {
+    private val seqs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+    private def nextSeq(file: String): Long =
+      seqs.computeIfAbsent(file, _ => new java.util.concurrent.atomic.AtomicLong)
+        .incrementAndGet()
+  }
+
   /** Serialize an output frame to the reference's record JSON (one object
     * per row, field order as produced by the O13 projection).
     */

@@ -203,6 +203,39 @@ class ShardSourceSpec extends SparkTestBase {
     } finally dir.toFile.listFiles().foreach(_.delete())
   }
 
+  test("full loop: counter output → ShardLogPutter → connector reads it back") {
+    import graft.config.{Arn, CounterDef, CounterType}
+    import graft.operators.Counters
+    import graft.sinks.Sinks
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shards_out")
+    try {
+      val events = Seq((1L, "2024-01-01 10:00:01"), (2L, "2024-01-01 10:00:02"),
+        (3L, "2024-01-01 11:00:01"))
+        .toDF("event_id", "d").withColumn("ts", col("d").cast("timestamp"))
+      val c = CounterDef("req", CounterType.Count, Some("*"),
+        windowDuration = "1 hour",
+        outputArn = Some(Arn.unsafe("arn:aws:kinesis:us-east-1:1:stream/out")))
+      val out = Counters.run(events, "ts", c)
+      Sinks.write(out, c, new Sinks.ShardLogPutter(dir.toString, nShards = 2))
+      // what the putter wrote, the connector reads back — and the payload
+      // is the emitted record JSON, key = counter id (counter.go:530)
+      val back = spark.read.format("graft-shards").load(dir.toString)
+        .select(col("partition_key"), col("data").cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(back.length == 2, s"one record per closed window: ${back.toSeq}")
+      assert(back.forall(_._1 == "req"))
+      val values = back.map(_._2).map(s =>
+        get_json_value(s, "value")).sorted
+      assert(values.toSeq == Seq("1", "2"), s"got ${back.toSeq}")
+    } finally dir.toFile.listFiles().foreach(_.delete())
+  }
+
+  private def get_json_value(json: String, field: String): String = {
+    val m = s""""$field":(\\d+)""".r.findFirstMatchIn(json)
+    m.map(_.group(1)).getOrElse(sys.error(s"no $field in $json"))
+  }
+
   test("a shard scan feeds the counter pipeline end-to-end") {
     import graft.config.{CounterDef, CounterType}
     val dir = Files.createTempDirectory("shards")
