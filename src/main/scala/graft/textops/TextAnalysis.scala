@@ -1,8 +1,9 @@
 package graft.textops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.functions.PortableHash
 
@@ -508,22 +509,59 @@ object TextAnalysis {
     * never split a document, and every shard except the last holds ≥ the
     * budget's worth minus one document.
     *
-    * The exclusive running sum is a window over the GLOBAL doc_id order —
-    * at corpus scale Spark range-partitions the sort, and the single-
-    * partition window is the honest sequential dependency of any
-    * contiguous packing (each shard cut depends on all prior sizes).
-    * Everything before it (token counts) and after it (per-shard
-    * accounting) is map-side parallel; the window's input is one LONG per
-    * doc, not the text.
+    * The exclusive running sum over the GLOBAL doc_id order is computed
+    * as a TWO-LEVEL cumsum, never as an unpartitioned `Window` (Spark
+    * executes those as ONE task holding the whole input — a non-starter
+    * on a large corpus). Instead: range-partition by doc_id and sort
+    * within partitions (a normal parallel sort), collect one LONG
+    * subtotal per partition (32–few-thousand values — driver-trivial),
+    * scan them into exclusive prefix offsets, and let each partition
+    * stream its local running sum seeded at its offset. Output is
+    * identical to the global window; every stage is parallel; the only
+    * sequential state is the tiny per-partition offset array. The shuffle
+    * carries one (doc_id, LONG) pair per doc, not the text.
+    *
+    * Both passes share ONE range shuffle: `.rdd` is materialized once, so
+    * the sampled range bounds and the map output are fixed and reused —
+    * the second pass is a reduce-stage-only job.
     */
   def shardPacking(docs: DataFrame, budget: Long = 50000L): DataFrame = {
     require(budget > 0, s"bad shard budget: $budget")
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    withTokens(docs)
+    val spark = docs.sparkSession
+    val sized = withTokens(docs)
       .select(col("doc_id"), size(col("__toks")).cast("long").as("__n"))
-      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
-      .groupBy((col("__before") / budget).cast("long").as("shard_id"))
+    val idType = sized.schema("doc_id").dataType
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // one shuffle, pinned: range bounds are sampled when `.rdd` builds the
+    // ShuffleDependency; both jobs below reuse the same map output
+    val ranged = sized
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .rdd
+    val subtotals = ranged
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
+      }
+      .collect()
+      .sortBy(_._1)
+    // exclusive prefix offset per partition index
+    var acc = 0L
+    val offsets: Map[Int, Long] = subtotals.map { case (i, s) =>
+      val o = acc; acc += s; (i, o)
+    }.toMap
+    val packed = ranged.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets.getOrElse(i, 0L)
+      it.map { r =>
+        val n = r.getLong(1); val before = run; run += n
+        Row(r.get(0), n, before / budget)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", idType),
+      StructField("__n", LongType),
+      StructField("shard_id", LongType)))
+    spark.createDataFrame(packed, schema)
+      .groupBy("shard_id")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__n")).as("n_tokens"),

@@ -316,6 +316,13 @@ class PlanAuditSpec extends SparkTestBase {
       s"gate must read only (doc_id, text):\n$p")
   }
 
+  test("shard packing: NO unpartitioned global window anywhere in the plan") {
+    // an unpartitioned Window collapses to ONE task holding the whole
+    // corpus — shardPacking must use the two-level cumsum instead
+    val p = plan(TextAnalysis.shardPacking(docs))
+    assert(!p.contains("Window"), s"global window crept back into shardPacking:\n$p")
+  }
+
   test("Q19 disjunction: hoisted quantity hull pushes to the fact scan; part broadcasts") {
     val p = plan(graft.relational.Relational.disjunctiveRevenue(
       Tables.part(spark, sf0001), Tables.lineitem(spark, sf0001)))
