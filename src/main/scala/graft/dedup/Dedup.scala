@@ -271,12 +271,26 @@ object Dedup {
     * side — the "document embedded in another" case). Same inverted-index
     * shape as [[ngramJaccardPairs]]; a pair is kept when EITHER direction
     * reaches `tauPpm`.
+    *
+    * `maxDocFreq` caps hot shingles exactly like [[ngramJaccardPairs]]:
+    * a shingle present in more than that many docs is dropped from the
+    * index join (its posting list alone contributes O(df²) candidate
+    * rows). Denominator sizes stay UNCAPPED — the cap only prunes which
+    * pairs can be discovered, it never changes a reported ratio. None =
+    * exact (the default, oracle-checked).
     */
   def containmentPairs(docs: DataFrame, k: Int = 3,
-                       tauPpm: Long = 800000L): DataFrame = {
+                       tauPpm: Long = 800000L,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
     val sh = shingles(docs, k)
+    val indexed = maxDocFreq match {
+      case Some(cap) =>
+        val freq = Window.partitionBy(col("shingle"))
+        sh.withColumn("__df", count(lit(1)).over(freq)).where(col("__df") <= cap).drop("__df")
+      case None => sh
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("x").join(sh.as("y"),
+    val common = indexed.as("x").join(indexed.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("common"))

@@ -195,6 +195,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(shards(1L) == (1L, 3L, 3L, 3L), s"shard 1: $shards")
   }
 
+  test("containmentPairs maxDocFreq drops hot-shingle candidates, keeps true dups") {
+    // ten docs share ONE hot phrase; 11/12 are a true duplicate pair;
+    // 13 is exactly the hot phrase (fully contained in everything)
+    val hot = "x y z"
+    val base = (1L to 10L).map(i => (i, s"$hot u$i v$i w$i"))
+    val docs = (base ++ Seq(
+      (11L, "a b c d e f"), (12L, "a b c d e f"), (13L, hot)))
+      .toDF("doc_id", "text")
+    val exact = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact finds the true dup AND doc 13 contained in docs 1-10
+    assert(exact.contains((11L, 12L)))
+    assert((1L to 10L).forall(i => exact.contains((i, 13L))))
+    // cap at 5: the hot shingle (df=11) leaves the index — its O(df²)
+    // candidates vanish; the true-dup pair (private shingles, df=2) stays
+    val capped = Dedup.containmentPairs(docs, maxDocFreq = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((11L, 12L)), s"capped: $capped")
+    // the cap only prunes candidate discovery — never invents pairs
+    assert(capped.subsetOf(exact))
+  }
+
   test("snapshotDiff is EXCEPT by content, not by id") {
     val a = Seq((1L, "same text"), (2L, "only in a"), (3L, "shared dup"))
       .toDF("doc_id", "text")
