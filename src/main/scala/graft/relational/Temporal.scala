@@ -284,7 +284,10 @@ object Temporal {
     val hourly = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"))
-      .withColumn("hn", (unix_seconds(col("hour")) / 3600).cast("long"))
+      // floor division, matching the oracle's `//`: plain `/` is double
+      // division truncated toward ZERO, which diverges on pre-1970 hours
+      // and would mis-size the trailing RANGE frame
+      .withColumn("hn", floor(unix_seconds(col("hour")) / 3600).cast("long"))
     val w = Window.partitionBy("event_type").orderBy(col("hn"))
       .rangeBetween(-trailHours, -1)
     val dev = col("n_events") * col("trail_cnt") - col("trail_sum")

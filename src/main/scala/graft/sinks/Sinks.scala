@@ -78,6 +78,8 @@ object Sinks {
     require(nShards > 0, s"nShards must be positive: $nShards")
     def put(target: Arn, partitionKey: String, data: String): Unit = {
       val pk = if (partitionKey == null) "" else partitionKey
+      // shard routing hashes the RAW key (service behavior); only the
+      // wire line gets escaped
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(pk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val shard = Math.floorMod(java.nio.ByteBuffer.wrap(md5).getLong, nShards.toLong)
@@ -85,7 +87,7 @@ object Sinks {
       val seq = ShardLogPutter.nextSeq(file.toString)
       val b64 = java.util.Base64.getEncoder
         .encodeToString(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val line = s"""{"partitionKey":"$pk","sequenceNumber":"$seq",""" +
+      val line = s"""{"partitionKey":"${ShardLogPutter.jsonEscape(pk)}","sequenceNumber":"$seq",""" +
         s""""approximateArrivalTimestamp":${System.currentTimeMillis()},""" +
         s""""data":"$b64"}""" + "\n"
       val lock = file.toString.intern()
@@ -97,9 +99,38 @@ object Sinks {
   }
   object ShardLogPutter {
     private val seqs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+    // seeded from the existing log so a new JVM appending to an old shard
+    // file continues the per-shard sequence instead of restarting at 1 —
+    // Kinesis sequence numbers are unique and increasing within a shard
     private def nextSeq(file: String): Long =
-      seqs.computeIfAbsent(file, _ => new java.util.concurrent.atomic.AtomicLong)
+      seqs.computeIfAbsent(file, f => new java.util.concurrent.atomic.AtomicLong(
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+          graft.sources.v2.ShardScan.lineCount(f)
+        else 0L))
         .incrementAndGet()
+
+    /** Minimal JSON string escaping: quote, backslash, and control chars.
+      * An unescaped quote corrupts the record for strict readers; an
+      * embedded newline would split one put into two lines — one torn —
+      * desyncing the connector's line-count offsets.
+      */
+    private[sinks] def jsonEscape(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '"'  => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
   }
 
   /** Serialize an output frame to the reference's record JSON (one object

@@ -134,6 +134,55 @@ object ShardScan {
       n
     } finally in.close()
   }
+
+  // latestOffset() runs once per trigger over EVERY shard log; a full
+  // re-read makes each trigger O(total log size) — quadratic cumulative
+  // work on a long-running append-only stream. Cache (clean byte position
+  // → line count) per file and resume counting from the last terminated
+  // line. A torn tail never advances the clean position, so it is
+  // re-scanned (cheaply) until its newline lands; truncation (contract
+  // violation) falls back to a full recount.
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+
+  /** [[lineCount]] with incremental resume — equivalent result, O(bytes
+    * appended since the previous call) instead of O(file size).
+    */
+  def lineCountIncremental(file: String): Long = synchronized {
+    val len = new File(file).length()
+    val cached = counts.getOrDefault(file, (0L, 0L))
+    val (start, startLines) = if (len < cached._1) (0L, 0L) else cached
+    if (len == start) return startLines
+    val in = new FileInputStream(file)
+    try {
+      var toSkip = start
+      while (toSkip > 0) {
+        val s = in.skip(toSkip)
+        if (s <= 0) throw new java.io.IOException(s"cannot seek $file to $start")
+        toSkip -= s
+      }
+      var pos = start; var clean = start; var lines = startLines
+      var lineNonEmpty = false
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n != -1) {
+        var i = 0
+        while (i < n) {
+          val b = buf(i)
+          pos += 1
+          if (b == '\n') {
+            if (lineNonEmpty) lines += 1
+            lineNonEmpty = false
+            clean = pos
+          } else if ((b & 0xff) > 0x20) lineNonEmpty = true // trim() semantics
+          i += 1
+        }
+        n = in.read(buf)
+      }
+      counts.put(file, (clean, lines))
+      lines
+    } finally in.close()
+  }
 }
 
 /** Line reader that yields only newline-TERMINATED non-empty lines. A
@@ -216,7 +265,7 @@ final class ShardMicroBatchStream(path: String, opts: ShardOptions,
   override def initialOffset(): Offset = offsetOf(Map.empty)
   override def latestOffset(): Offset = synchronized {
     val seen = ShardScan.listShards(path).map { case (id, f) =>
-      id -> ShardScan.lineCount(f)
+      id -> ShardScan.lineCountIncremental(f)
     }.toMap
     high = (high.keySet ++ seen.keySet).map { id =>
       id -> math.max(high.getOrElse(id, 0L), seen.getOrElse(id, 0L))
@@ -232,8 +281,20 @@ final class ShardMicroBatchStream(path: String, opts: ShardOptions,
     val files = ShardScan.listShards(path).toMap
     parse(end).toSeq.sortBy(_._1).flatMap { case (shardId, until) =>
       val begin = from.getOrElse(shardId, 0L)
-      files.get(shardId).filter(_ => until > begin)
-        .map(f => ShardInputPartition(shardId, f, begin, until): InputPartition)
+      if (until <= begin) None
+      else files.get(shardId) match {
+        case Some(f) => Some(ShardInputPartition(shardId, f, begin, until): InputPartition)
+        case None =>
+          // the end offset covers [begin, until) of this shard: silently
+          // skipping it would still commit to `until` and lose those
+          // records forever — the same transient-listing scenario the
+          // monotone high-water mark defends against. Fail the micro-batch
+          // instead; the engine retries and the records survive.
+          throw new IllegalStateException(
+            s"shard $shardId: offset range [$begin, $until) is committed to " +
+              s"this micro-batch but no log file is present under $path — " +
+              "failing the batch so it retries instead of dropping records")
+      }
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -236,6 +236,83 @@ class ShardSourceSpec extends SparkTestBase {
     m.map(_.group(1)).getOrElse(sys.error(s"no $field in $json"))
   }
 
+  test("putter JSON-escapes hostile partition keys; the connector round-trips them") {
+    import graft.config.Arn
+    import graft.sinks.Sinks
+    val dir = Files.createTempDirectory("shards_esc")
+    try {
+      val putter = new Sinks.ShardLogPutter(dir.toString, nShards = 1)
+      val arn = Arn.unsafe("arn:aws:kinesis:us-east-1:1:stream/out")
+      val hostile = "k\"quote\\back\nnewline\ttab"
+      putter.put(arn, hostile, "payload-1")
+      putter.put(arn, "plain", "payload-2")
+      // one physical line per put — an embedded newline must NOT tear the log
+      val lines = Files.readAllLines(dir.resolve("shard-000.jsonl"))
+      assert(lines.size == 2, s"torn log: $lines")
+      val back = read(dir).select(col("partition_key"), col("data").cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(back == Set((hostile, "payload-1"), ("plain", "payload-2")), s"got $back")
+    } finally dir.toFile.listFiles().foreach(_.delete())
+  }
+
+  test("putter sequence numbers continue from an existing shard log") {
+    import graft.config.Arn
+    import graft.sinks.Sinks
+    val dir = Files.createTempDirectory("shards_seq")
+    try {
+      // a previous JVM left 3 records in shard-000
+      Files.write(dir.resolve("shard-000.jsonl"), java.util.List.of(
+        rec("a", "1", 1L, b64("x")), rec("a", "2", 2L, b64("y")),
+        rec("a", "3", 3L, b64("z"))))
+      new Sinks.ShardLogPutter(dir.toString, nShards = 1)
+        .put(Arn.unsafe("arn:aws:kinesis:us-east-1:1:stream/out"), "a", "w")
+      val seqs = read(dir).select(col("sequence_number"))
+        .collect().map(_.getString(0)).sorted
+      assert(seqs.toSeq == Seq("1", "2", "3", "4"),
+        s"new JVM must continue at 4, not restart at 1: ${seqs.toSeq}")
+    } finally dir.toFile.listFiles().foreach(_.delete())
+  }
+
+  test("lineCountIncremental ≡ lineCount across appends and torn tails") {
+    import graft.sources.v2.ShardScan
+    val dir = Files.createTempDirectory("shards_cnt")
+    val f = dir.resolve("shard-000.jsonl")
+    try {
+      def both(): (Long, Long) =
+        (ShardScan.lineCount(f.toString), ShardScan.lineCountIncremental(f.toString))
+      Files.write(f, "a\nb\n".getBytes(StandardCharsets.UTF_8))
+      assert(both() == ((2L, 2L)))
+      // torn tail: invisible to both
+      Files.write(f, "torn-no-newline".getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      assert(both() == ((2L, 2L)))
+      // the newline lands; blank lines don't count
+      Files.write(f, "\n\n   \nc\n".getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      assert(both() == ((4L, 4L)))
+      // steady state: repeated calls with no growth
+      assert(ShardScan.lineCountIncremental(f.toString) == 4L)
+    } finally dir.toFile.listFiles().foreach(_.delete())
+  }
+
+  test("a committed offset range whose shard file vanished fails the batch, not drops data") {
+    import graft.sources.v2.{ShardMicroBatchStream, ShardOffset, ShardOptions}
+    val dir = Files.createTempDirectory("shards_gone")
+    try {
+      val stream = new ShardMicroBatchStream(dir.toString,
+        ShardOptions(deaggregate = false, permissive = false),
+        Array("shard_id", "partition_key"))
+      val e = intercept[IllegalStateException] {
+        stream.planInputPartitions(
+          ShardOffset("""{}"""), ShardOffset("""{"shard-000":5}"""))
+      }
+      assert(e.getMessage.contains("shard-000"), e.getMessage)
+      // an end offset that does NOT advance the missing shard is fine
+      assert(stream.planInputPartitions(
+        ShardOffset("""{"shard-000":5}"""), ShardOffset("""{"shard-000":5}""")).isEmpty)
+    } finally dir.toFile.listFiles().foreach(_.delete())
+  }
+
   test("a shard scan feeds the counter pipeline end-to-end") {
     import graft.config.{CounterDef, CounterType}
     val dir = Files.createTempDirectory("shards")
