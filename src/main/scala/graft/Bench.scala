@@ -123,7 +123,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the totals line is the hard signal: ALSO write it to a file so it
+    // survives any log-tail truncation by the per-query diagnostics
+    // (round 3's driver capture lost it exactly that way)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_totals.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] totals file write failed: $e") }
+    println(json)
     spark.stop()
   }
 }
