@@ -95,6 +95,8 @@ final class ShardScanBuilder(path: String, opts: ShardOptions)
 
 final class ShardScan(path: String, opts: ShardOptions, required: StructType)
     extends Scan with Batch {
+  private val client = new FileShardClient(path, opts.permissive)
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-shards path=$path deaggregate=${opts.deaggregate} " +
@@ -102,15 +104,15 @@ final class ShardScan(path: String, opts: ShardOptions, required: StructType)
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ShardMicroBatchStream(path, opts, required.fieldNames)
+    new ShardMicroBatchStream(client, opts, required.fieldNames, path)
 
-  // one partition per shard log — the scan's parallelism IS the shard count
+  // one partition per shard — the scan's parallelism IS the shard count
   override def planInputPartitions(): Array[InputPartition] =
-    ShardScan.listShards(path).map { case (shardId, file) =>
-      ShardInputPartition(shardId, file, 0L, Long.MaxValue): InputPartition
-    }
+    client.listShards().map { shardId =>
+      ShardInputPartition(shardId, 0L, Long.MaxValue): InputPartition
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardReaderFactory(opts, required.fieldNames)
+    new ShardReaderFactory(client, opts, required.fieldNames)
 }
 
 object ShardScan {
@@ -212,18 +214,20 @@ private[v2] final class TerminatedLineReader(file: String) {
   def close(): Unit = in.close()
 }
 
-/** [startLine, endLine) of one shard's non-empty lines; the batch path
-  * reads [0, ∞).
+/** [startLine, endLine) of one shard's record positions; the batch path
+  * reads [0, ∞). Carries only the shard id — the transport rides in the
+  * reader factory.
   */
-final case class ShardInputPartition(shardId: String, file: String,
+final case class ShardInputPartition(shardId: String,
                                      startLine: Long, endLine: Long)
     extends InputPartition
 
-final class ShardReaderFactory(opts: ShardOptions, fields: Array[String])
+final class ShardReaderFactory(client: ShardReaderClient, opts: ShardOptions,
+                               fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardInputPartition]
-    new ShardPartitionReader(p.shardId, p.file, opts, fields,
+    new ShardPartitionReader(p.shardId, client, opts, fields,
       p.startLine, p.endLine)
   }
 }
@@ -238,8 +242,10 @@ final class ShardReaderFactory(opts: ShardOptions, fields: Array[String])
   * in-memory loop cannot offer. Shards appearing mid-stream (resharding)
   * enter at offset 0.
   */
-final class ShardMicroBatchStream(path: String, opts: ShardOptions,
-                                  fields: Array[String])
+final class ShardMicroBatchStream(client: ShardReaderClient,
+                                  opts: ShardOptions,
+                                  fields: Array[String],
+                                  source: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -264,8 +270,8 @@ final class ShardMicroBatchStream(path: String, opts: ShardOptions,
 
   override def initialOffset(): Offset = offsetOf(Map.empty)
   override def latestOffset(): Offset = synchronized {
-    val seen = ShardScan.listShards(path).map { case (id, f) =>
-      id -> ShardScan.lineCountIncremental(f)
+    val seen = client.listShards().map { id =>
+      id -> client.latestPosition(id)
     }.toMap
     high = (high.keySet ++ seen.keySet).map { id =>
       id -> math.max(high.getOrElse(id, 0L), seen.getOrElse(id, 0L))
@@ -278,27 +284,26 @@ final class ShardMicroBatchStream(path: String, opts: ShardOptions,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = parse(start)
-    val files = ShardScan.listShards(path).toMap
+    val present = client.listShards().toSet
     parse(end).toSeq.sortBy(_._1).flatMap { case (shardId, until) =>
       val begin = from.getOrElse(shardId, 0L)
       if (until <= begin) None
-      else files.get(shardId) match {
-        case Some(f) => Some(ShardInputPartition(shardId, f, begin, until): InputPartition)
-        case None =>
-          // the end offset covers [begin, until) of this shard: silently
-          // skipping it would still commit to `until` and lose those
-          // records forever — the same transient-listing scenario the
-          // monotone high-water mark defends against. Fail the micro-batch
-          // instead; the engine retries and the records survive.
-          throw new IllegalStateException(
-            s"shard $shardId: offset range [$begin, $until) is committed to " +
-              s"this micro-batch but no log file is present under $path — " +
-              "failing the batch so it retries instead of dropping records")
-      }
+      else if (present(shardId))
+        Some(ShardInputPartition(shardId, begin, until): InputPartition)
+      else
+        // the end offset covers [begin, until) of this shard: silently
+        // skipping it would still commit to `until` and lose those
+        // records forever — the same transient-listing scenario the
+        // monotone high-water mark defends against. Fail the micro-batch
+        // instead; the engine retries and the records survive.
+        throw new IllegalStateException(
+          s"shard $shardId: offset range [$begin, $until) is committed to " +
+            s"this micro-batch but the shard is absent from $source — " +
+            "failing the batch so it retries instead of dropping records")
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardReaderFactory(opts, fields)
+    new ShardReaderFactory(client, opts, fields)
 }
 
 final case class ShardOffset(jsonStr: String)
@@ -306,36 +311,36 @@ final case class ShardOffset(jsonStr: String)
   override def json(): String = jsonStr
 }
 
-/** Sequential reader over one shard's log — the executor-side stand-in for
-  * the reference's per-shard `GetRecords` loop. Reads one line ahead;
-  * KPL envelopes (when `deaggregate`) expand to a queue of sub-records
-  * sharing the envelope's sequence number and arrival time, exactly the
-  * expansion `counter.go:163-169` applies before counting.
+/** Sequential reader over one shard — the executor-side stand-in for the
+  * reference's per-shard `GetRecords` loop, now fully transport-agnostic:
+  * wire records arrive decoded from [[ShardReaderClient.records]]; this
+  * class owns only the connector logic — offset bounds, column pruning,
+  * KPL deaggregation (envelopes expand to a queue of sub-records sharing
+  * the envelope's sequence number and arrival time, exactly the expansion
+  * `counter.go:163-169` applies before counting), and the corrupt-record
+  * side channel.
   */
-final class ShardPartitionReader(shardId: String, file: String,
+final class ShardPartitionReader(shardId: String, client: ShardReaderClient,
                                  opts: ShardOptions, fields: Array[String],
                                  startLine: Long = 0L,
                                  endLine: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
-  private val mapper = new ObjectMapper
-  private val in = new TerminatedLineReader(file)
   private val shardUtf8 = UTF8String.fromString(shardId)
-  // decode only what the pruned schema (or the deagg explode, which needs
-  // the payload to know the row count) will use
+  // fetch payload bytes only when the pruned schema (or the deagg
+  // explode, which needs the payload to know the row count) will use them
   private val needPayload = opts.deaggregate || fields.contains("data")
-  private val needSeq = fields.contains("sequence_number")
-  private val needTs = fields.contains("arrival_ts")
-  private var lineNo = 0L // non-empty terminated lines consumed so far
+  private val in = client.records(shardId, startLine, needPayload)
+  private var pos = startLine // record positions consumed so far
   private var queue: List[InternalRow] = Nil
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (queue.isEmpty) {
-      if (lineNo >= endLine) return false
-      val line = in.readLine()
-      if (line == null) return false
-      if (lineNo >= startLine) queue = parse(line)
-      lineNo += 1
+      if (pos >= endLine) return false
+      val r = in.nextRecord()
+      if (r == null) return false
+      queue = rows(r)
+      pos += 1
     }
     current = queue.head
     queue = queue.tail
@@ -344,57 +349,35 @@ final class ShardPartitionReader(shardId: String, file: String,
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
 
-  /** Corrupt wire line → one row with the raw bytes as `data`, so the
+  /** Corrupt wire record → one row with the raw bytes as `data`, so the
     * engine's corrupt-record side channel (O4) sees it downstream.
     */
-  private def rawRow(line: String): List[InternalRow] =
+  private def rawRow(bytes: Array[Byte]): List[InternalRow] =
     List(InternalRow.fromSeq(fields.toSeq.map {
       case "shard_id" => shardUtf8
-      case "data" => line.getBytes(StandardCharsets.UTF_8)
+      case "data" => bytes
       case _ => null
     }))
 
-  private def parse(line: String): List[InternalRow] = {
-    val node = try mapper.readTree(line) catch {
-      case _: com.fasterxml.jackson.core.JacksonException if opts.permissive =>
-        return rawRow(line)
-    }
-    // valid JSON that is not an object is just as corrupt as a parse
-    // failure — surface it, never swallow it as an all-null row
-    if (!node.isObject) {
-      if (opts.permissive) return rawRow(line)
-      throw new IllegalArgumentException(
-        s"graft-shards: record line is not a JSON object in $file: $line")
-    }
-    def strOrNull(field: String): String =
-      if (node.hasNonNull(field)) node.get(field).asText() else null
-    val seq = if (needSeq) strOrNull("sequenceNumber") else null
+  private def rows(r: WireRecord): List[InternalRow] = {
+    if (r.corrupt) return rawRow(r.data)
     val tsMicros: Any =
-      if (needTs && node.hasNonNull("approximateArrivalTimestamp"))
-        node.get("approximateArrivalTimestamp").asLong() * 1000L
-      else null
-    val payload =
-      if (needPayload && node.hasNonNull("data"))
-        try Base64.getDecoder.decode(node.get("data").asText()) catch {
-          case _: IllegalArgumentException if opts.permissive => return rawRow(line)
-          case e: IllegalArgumentException => throw new IllegalArgumentException(
-            s"graft-shards: invalid base64 data in $file: $line", e)
-        }
-      else null
+      if (r.arrivalMillis == null) null else r.arrivalMillis.longValue() * 1000L
     val subs =
-      if (opts.deaggregate && payload != null)
-        Deaggregate.deaggregate(payload).map { s =>
+      if (opts.deaggregate && r.data != null)
+        Deaggregate.deaggregate(r.data).map { s =>
           // non-KPL payloads pass through as the SAME array — keep the
           // record's own partition key, as the reference's handler does
-          val pk = if (s.data eq payload) strOrNull("partitionKey") else s.partitionKey
+          val pk = if (s.data eq r.data) r.partitionKey else s.partitionKey
           (pk, s.data)
         }.toList
-      else List((strOrNull("partitionKey"), payload))
+      else List((r.partitionKey, r.data))
     subs.map { case (pk, data) =>
       InternalRow.fromSeq(fields.toSeq.map {
         case "shard_id" => shardUtf8
         case "partition_key" => if (pk == null) null else UTF8String.fromString(pk)
-        case "sequence_number" => if (seq == null) null else UTF8String.fromString(seq)
+        case "sequence_number" =>
+          if (r.sequenceNumber == null) null else UTF8String.fromString(r.sequenceNumber)
         case "arrival_ts" => tsMicros
         case "data" => data
         case other => throw new IllegalArgumentException(s"unknown column $other")

@@ -296,12 +296,13 @@ class ShardSourceSpec extends SparkTestBase {
   }
 
   test("a committed offset range whose shard file vanished fails the batch, not drops data") {
-    import graft.sources.v2.{ShardMicroBatchStream, ShardOffset, ShardOptions}
+    import graft.sources.v2.{FileShardClient, ShardMicroBatchStream, ShardOffset, ShardOptions}
     val dir = Files.createTempDirectory("shards_gone")
     try {
-      val stream = new ShardMicroBatchStream(dir.toString,
+      val stream = new ShardMicroBatchStream(
+        new FileShardClient(dir.toString, permissive = false),
         ShardOptions(deaggregate = false, permissive = false),
-        Array("shard_id", "partition_key"))
+        Array("shard_id", "partition_key"), dir.toString)
       val e = intercept[IllegalStateException] {
         stream.planInputPartitions(
           ShardOffset("""{}"""), ShardOffset("""{"shard-000":5}"""))
