@@ -664,12 +664,13 @@ object SparkEntry {
       Multimodal.perceptualDupPairs(Multimodal.asMedia(Tables.documents(s, dir)))),
 
     // ---- custom Catalyst expression in a real plan (no DuckDB siphash:
-    //      rows-only check; value parity proven by SipHash vectors spec) ----
+    //      rows-only check; value parity proven by SipHash vectors spec).
+    //      The NON-default key routes through the config → acdAgg path,
+    //      changing the sketched domain exactly as in the reference ----
     "a01_siphash_acd" -> ((s, dir) =>
-      Counters.run(
-        events(s, dir).withColumn("user_id",
-          Canonical.siphashCanonicalTyped(org.apache.spark.sql.types.LongType, col("user_id"))),
-        "ts", cUserAcd.copy(id = "unique_users_siphash"))),
+      Counters.run(events(s, dir), "ts",
+        cUserAcd.copy(id = "unique_users_siphash",
+          siphashKeyHex = "000102030405060708090a0b0c0d0e0f"))),
 
     // O1 oracle-checked: events dumped as Kinesis-wire shard logs, read
     // back through the graft-shards DSv2 connector, counted per tumbling

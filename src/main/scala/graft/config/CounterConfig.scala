@@ -30,17 +30,19 @@ object CounterType {
   * @param windowDuration  tumbling window width, Spark interval string
   * @param jqExpr        optional output-record transform (O14), object-
   *                      construction jq subset
-  * @param siphashKeyHex per-counter hash key (`config.go:33`), honored by
-  *                      the keyed SipHash-2-4 canonical-value path
-  *                      (`graft.functions.Canonical.siphashCanonicalTyped`,
-  *                      backed by the `siphash64` Catalyst expression —
-  *                      paper-vector-verified). The DEFAULT ACD aggregate
-  *                      (DataSketches HLL) uses its own internal hashing:
-  *                      only estimates are observable in the reference's
-  *                      output, so hash-identical sketch contents are a
-  *                      non-goal (SURVEY.md §4); pre-hash the target with
-  *                      `siphashCanonicalTyped(dt, col, keyHex)` when the
-  *                      keyed domain is wanted end-to-end.
+  * @param siphashKeyHex per-counter hash key (`config.go:33`), honored
+  *                      END-TO-END by the ACD paths: both the single-phase
+  *                      aggregate (`Counters.acdAgg`) and the two-phase
+  *                      partial sketch (`Counters.partialState`) sketch
+  *                      `SipHash-2-4(keyHex, canonical JSON)` — the
+  *                      reference's exact sketched domain
+  *                      (`counter.go:314-319`, `593-601`). Backed by the
+  *                      codegen'd `siphash64` Catalyst expression
+  *                      (paper-vector-verified, `SipHashSpec`); changing
+  *                      the key changes the sketched domain, as it does in
+  *                      the reference. Sketch BYTES still differ from the
+  *                      reference's HLL++ state — only estimates are
+  *                      observable in its output (SURVEY.md §4).
   */
 final case class CounterDef(
     id: String,

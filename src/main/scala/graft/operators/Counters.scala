@@ -104,7 +104,7 @@ object Counters {
         val value = v.getOrElse(
           throw new IllegalArgumentException(
             s"counter ${c.id}: approx_count_distinct requires a target"))
-        acdAgg(df, value)
+        acdAgg(df, value, c.siphashKeyHex)
     }
   }
 
@@ -118,17 +118,25 @@ object Counters {
     * map of EVERY partial task — measured 10× slower at p=16 (sf0.01:
     * 12.6 s vs 1.3 s for the identical query via DataSketches).
     *
-    * Types DataSketches can't ingest (bool/double/struct/...) are first
-    * canonical-JSON-encoded — which is precisely the reference's distinct
-    * domain: it hashes `json.Marshal(value)` (`counter.go:314-319`).
+    * The sketched domain is the reference's exactly: SipHash-2-4 with the
+    * per-counter `siphash_key_hex` over the canonical JSON encoding
+    * (`counter.go:314-319` marshals, `counter.go:593-601` hashes with the
+    * configured key, then adds to HLL). Routing the keyed hash into the
+    * sketch means changing `siphash_key_hex` genuinely changes the
+    * sketched domain here too — not just config parity. The `siphash64`
+    * expression is codegen'd and paper-vector-verified (`SipHashSpec`);
+    * requires [[graft.GraftExtensions]] in the session.
     */
-  def acdAgg(df: DataFrame, value: Column): Column = {
+  def acdAgg(df: DataFrame, value: Column,
+             keyHex: String = CounterDef.DefaultSipHashKeyHex): Column =
+    hll_sketch_estimate(hll_sketch_agg(sketchInput(df, value, keyHex), lit(16)))
+
+  /** Keyed 64-bit sketch input shared by the single-phase ([[acdAgg]]) and
+    * two-phase ([[partialState]]) ACD paths.
+    */
+  private def sketchInput(df: DataFrame, value: Column, keyHex: String): Column = {
     val dt = df.select(value.as("__v")).schema.head.dataType
-    val sketchable = dt match {
-      case IntegerType | LongType | StringType | BinaryType => value
-      case _ => Canonical.canonicalJsonTyped(dt, value)
-    }
-    hll_sketch_estimate(hll_sketch_agg(sketchable, lit(16)))
+    Canonical.siphashCanonicalTyped(dt, value, keyHex)
   }
 
   /** Exact-distinct twin of an ACD counter — used by the oracle harness
@@ -200,12 +208,8 @@ object Counters {
         grouped.agg(countAgg(df, c).as("partial_count"))
       case CounterType.ApproxCountDistinct =>
         val value = valueColumn(c).get
-        val dt = df.select(value.as("__v")).schema.head.dataType
-        val sketchable = dt match {
-          case IntegerType | LongType | StringType | BinaryType => value
-          case _ => Canonical.canonicalJsonTyped(dt, value)
-        }
-        grouped.agg(hll_sketch_agg(sketchable, lit(16)).as("partial_sketch"))
+        grouped.agg(hll_sketch_agg(sketchInput(df, value, c.siphashKeyHex), lit(16))
+          .as("partial_sketch"))
     }
   }
 

@@ -76,6 +76,28 @@ class CountersSpec extends SparkTestBase {
     assert(math.abs(est - m.toDouble) / m <= 0.05, s"estimate $est vs exact $m")
   }
 
+  test("siphash_key_hex routes into the sketched domain; any key stays within ε") {
+    val defKey = CounterDef("u", CounterType.ApproxCountDistinct, Some("user_id"),
+      windowDuration = "1 minute")
+    val keyed = defKey.copy(siphashKeyHex = "ffeeddccbbaa99887766554433221100")
+    val estDefault = valueOf(Counters.run(synth, "ts", defKey))
+    val estKeyed = valueOf(Counters.run(synth, "ts", keyed))
+    // both keys estimate the same cardinality within tolerance...
+    assert(math.abs(estDefault - m.toDouble) / m <= 0.05, s"default-key est $estDefault vs $m")
+    assert(math.abs(estKeyed - m.toDouble) / m <= 0.05, s"keyed est $estKeyed vs $m")
+    // ...but the key genuinely changed the sketched DOMAIN: at m=100 both
+    // estimates are sparse-mode exact (both 100), so compare the partial
+    // sketch BYTES — sparse sketches store the hashed coupons themselves,
+    // and two keyed hash families virtually never coincide. Identical
+    // bytes would mean the key was ignored (the round-2/3 gap).
+    def sketchBytes(c: CounterDef): Seq[Seq[Byte]] =
+      Counters.partialState(synth, "ts", "shard", c)
+        .select("partial_sketch").collect()
+        .map(_.getAs[Array[Byte]](0).toSeq).toSeq
+    assert(sketchBytes(defKey) != sketchBytes(keyed),
+      "different siphash keys must produce different sketch contents")
+  }
+
   test("expr-valued ACD: login users ≈ m/2 (target_expr.yaml fixture)") {
     val c = CounterDef("login", CounterType.ApproxCountDistinct,
       targetExpr = Some("""if(string_contains(path, "my_page"), user_id, nil)"""),
