@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.StringType
 
 /** KPL record deaggregation (reference O3, `/root/reference/deaggregate.go`):
   * the Kinesis Producer Library packs many user records into one Kinesis
@@ -161,14 +161,31 @@ object Deaggregate {
 
   /** The Spark-side operator: explode a binary payload column into one row
     * per deaggregated user record (`partition_key`, `data`), preserving all
-    * other columns. Narrow (no shuffle), codegen-friendly downstream.
+    * other columns. A typed flatMap, not a ScalaUDF — the wire parse is a
+    * partition-local 1→N expansion like the Multimodal ops, so the hot
+    * parse path stays out of UDF-land (and inside the repo's no-ScalaUDF
+    * plan audit). Narrow (no shuffle); a null payload expands to zero
+    * rows; non-KPL payloads pass through as one row with the envelope's
+    * empty partition key, exactly as [[deaggregate]] reports them.
     */
   def explodeRecords(df: DataFrame, payloadCol: String = "data"): DataFrame = {
-    val deagg = udf((payload: Array[Byte]) =>
-      deaggregate(payload).map(r => (r.partitionKey, r.data)))
-    df.withColumn("__sub", explode(deagg(col(payloadCol))))
-      .withColumn("partition_key", col("__sub._1"))
-      .withColumn(payloadCol, col("__sub._2"))
-      .drop("__sub")
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val hadPk = inSchema.fieldNames.contains("partition_key")
+    // mirror withColumn placement: replace in place, or append at the end
+    val outSchema =
+      if (hadPk) inSchema else inSchema.add("partition_key", StringType)
+    val pkIdx = outSchema.fieldIndex("partition_key")
+    df.flatMap { row =>
+      val payload = row.getAs[Array[Byte]](payloadIdx)
+      val base = row.toSeq.toArray
+      val template = if (hadPk) base else base :+ (null: Any)
+      deaggregate(payload).map { r =>
+        val vals = template.clone()
+        vals(payloadIdx) = r.data
+        vals(pkIdx) = r.partitionKey
+        Row.fromSeq(vals.toSeq)
+      }
+    }(Encoders.row(outSchema))
   }
 }

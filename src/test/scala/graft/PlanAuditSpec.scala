@@ -129,6 +129,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"semver gate fell out of codegen into a Scala UDF:\n$p")
   }
 
+  test("KPL deagg explode is a typed flatMap, not a ScalaUDF") {
+    val packed = events.limit(10).select(col("user_id"),
+      col("user_id").cast("string").cast("binary").as("data"))
+    val p = plan(graft.sources.Deaggregate.explodeRecords(packed))
+    assert(!p.contains("ScalaUDF"),
+      s"packed-record parse fell back to a Scala UDF:\n$p")
+  }
+
   test("multi-table LSH: one corpus scan, bucket equi-join, no cross join") {
     val p = plan(Dedup.lshNearDupPairsMulti(embeddings, tau = 0.35, nPlanes = 4, tables = 3))
     assert(!p.contains("CartesianProduct"),
