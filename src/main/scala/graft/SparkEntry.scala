@@ -676,6 +676,18 @@ object SparkEntry {
     // back through the graft-shards DSv2 connector, counted per tumbling
     // window — hash-matches counting the same subset of the parquet
     "c30_shard_source_parity" -> ((s, dir) => shardSourceParity(s, dir)),
+
+    // O14 jq extension notch: else-less if (emits '.' on the false path),
+    // keys (sorted, schema-static for objects), has — composed in one
+    // program: keys|length folds to a constant offset, select(has(...))
+    // keeps rows, map(if...end) scales only the over-threshold elements
+    "c31_jq_keys_has" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{pair: ([.value + ({"a": 1, "b": 2} | keys | length), .value * 2]
+          |        | map(if . > 15 then . * 100 end)),
+          | ok: ({"m": 1} | has("m"))}
+          || select(.ok) | .pair[]""".stripMargin)),
   )
 
   /** Build the `c30` fixture: a 5% events subset written as per-shard
@@ -910,6 +922,12 @@ object SparkEntry {
           |FROM s GROUP BY user_id, sid""".stripMargin,
       "c26_jq_map_iterate" ->
         """SELECT unnest([value * 10, value * 20]) AS pair
+          |FROM (SELECT count(*) AS value FROM events
+          |      GROUP BY time_bucket(INTERVAL '1 hour', ts))""".stripMargin,
+      "c31_jq_keys_has" ->
+        """SELECT unnest([
+          |  CASE WHEN value + 2 > 15 THEN (value + 2) * 100 ELSE value + 2 END,
+          |  CASE WHEN value * 2 > 15 THEN value * 2 * 100 ELSE value * 2 END]) AS pair
           |FROM (SELECT count(*) AS value FROM events
           |      GROUP BY time_bucket(INTERVAL '1 hour', ts))""".stripMargin,
       "c25_engine_config_e2e" ->

@@ -44,9 +44,13 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    jq truthiness: `a // b` is `a` unless `a` is null/false) — a
   *    `coalesce` for non-boolean operands, a truthiness `when` for
   *    booleans;
-  *  - `if C then A [elif C2 then B]* else E end` → one `when`-chain with
-  *    jq-truthy conditions (the else-less form, which emits `.`, is out:
-  *    branches are explicit and must share a Spark type);
+  *  - `if C then A [elif C2 then B]* [else E] end` → one `when`-chain
+  *    with jq-truthy conditions; the else-less form emits `.` (the
+  *    current value) on the false path, defined wherever bare `.` is —
+  *    inside `map(...)` bodies; branches must share a Spark type;
+  *  - `keys` (sorted; schema-static literal array for objects, runtime
+  *    sort for map-typed values) and `has(key|index)` (static membership
+  *    for objects, `map_contains_key` for maps, bounds test for arrays);
   *  - a path whose top-level field does not exist in the input emits
   *    jq's `null` (NOT an analyzer error), so `.maybe_missing // 0`
   *    works against any record shape, like the reference's dynamic
@@ -319,6 +323,17 @@ object JqTransform {
         val c = v(df)
         when(c.isNull, lit(true)).otherwise(!c)
       case _ => v(df).isNull
+    }),
+    // jq keys: SORTED key list. Object keys are schema-static (struct
+    // fields → a constant-folded literal array); map-typed values sort at
+    // runtime. Null input propagates (jq errors; NULL is the declarative
+    // skip-on-error analog, as with tonumber).
+    "keys" -> ((df, v) => dtOfV(df, v) match {
+      case st: StructType =>
+        when(v(df).isNotNull, array(st.fieldNames.sorted.map(lit(_)).toSeq: _*))
+      case _: MapType => sort_array(map_keys(v(df)))
+      case dt => throw new IllegalArgumentException(
+        s"jq_expr: keys requires an object, got ${dt.simpleString}")
     }))
 
   /** The element binding for `map(expr)`: inside the map body, `.` and
@@ -554,9 +569,32 @@ object JqTransform {
             transform(vv(df), x =>
               elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
           }
+        } else if (fn == "has") {
+          // has("k") on an object — key membership is schema-static for
+          // structs, runtime for maps; has(n) on an array — 0 ≤ n < length
+          expect('('); skipWs()
+          val keyLit: Option[String] =
+            if (peek == '"') Some(parseStringLit()) else None
+          val argV: Option[V] = if (keyLit.isEmpty) Some(parseValue()) else None
+          expect(')')
+          val vv = v
+          v = df => dtOfV(df, vv) match {
+            case st: StructType =>
+              val k = keyLit.getOrElse(throw new IllegalArgumentException(
+                "jq_expr: has() on an object requires a string-literal key"))
+              when(vv(df).isNotNull, lit(st.fieldNames.contains(k)))
+            case _: MapType =>
+              map_contains_key(vv(df), keyLit.map(lit(_)).getOrElse(argV.get(df)))
+            case _: ArrayType =>
+              val n = argV.getOrElse(throw new IllegalArgumentException(
+                "jq_expr: has() on an array takes a number index"))(df)
+              n >= lit(0) && n < size(vv(df)).cast("long")
+            case dt => throw new IllegalArgumentException(
+              s"jq_expr: has() requires an object or array, got ${dt.simpleString}")
+          }
         } else {
           val f = Funcs.getOrElse(fn, throw new IllegalArgumentException(
-            s"jq_expr: unsupported function '$fn' (supported: map, ${Funcs.keys.toSeq.sorted.mkString(", ")})"))
+            s"jq_expr: unsupported function '$fn' (supported: map, has, ${Funcs.keys.toSeq.sorted.mkString(", ")})"))
           val vv = v
           v = df => f(df, vv)
         }
@@ -697,10 +735,12 @@ object JqTransform {
               })
           }
         case 'i' if s.startsWith("if", i) && boundary(i + 2) =>
-          // if C then A [elif C2 then B]* else E end — one codegen'd
+          // if C then A [elif C2 then B]* [else E] end — one codegen'd
           // when-chain; conditions use jq truthiness (only null/false are
-          // falsy). jq's else-less form (emits '.') is not supported:
-          // branches must be explicit, and must share a Spark type.
+          // falsy). jq's else-less form emits '.' (the current value) on
+          // the false path — defined here wherever bare '.' is (inside
+          // map(...), where it is the element); branches must share a
+          // Spark type.
           i += 2
           val branches = Seq.newBuilder[(V, V)]
           val c0 = parseValue()
@@ -714,8 +754,15 @@ object JqTransform {
             branches += ((c, parseValue()))
             skipWs()
           }
-          expectKeyword("else")
-          val elseV = parseValue()
+          val elseV: V =
+            if (s.startsWith("else", i) && boundary(i + 4)) {
+              i += 4
+              parseValue()
+            } else
+              _ => elemBinding.value.map(pick).getOrElse(
+                throw new IllegalArgumentException(
+                  "jq_expr: else-less 'if' emits '.', which is only defined " +
+                    "inside map(...) — add an explicit else at top level"))
           skipWs(); expectKeyword("end")
           val bs = branches.result()
           df => {

@@ -294,6 +294,51 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform.compile("""{x: (if .value then 1 else 2)}"""))
   }
 
+  test("else-less if emits '.' inside map; top-level still requires else") {
+    val t = Seq((1L, Seq(5L, 20L, 7L))).toDF("id", "xs")
+    // jq: map(if . > 10 then . * 100 end) — false branch passes the
+    // element through
+    val out = JqTransform(t, """{ys: (.xs | map(if . > 10 then . * 100 end))}""").head()
+    assert(out.getSeq[Long](0) == Seq(5L, 2000L, 7L))
+    // elif chain with else-less tail
+    val out2 = JqTransform(t,
+      """{ys: (.xs | map(if . > 10 then 1 elif . > 6 then 2 end))}""").head()
+    assert(out2.getSeq[Long](0) == Seq(5L, 1L, 2L))
+    // at top level '.' is undefined — clear compile error, not a mis-plan
+    val e = intercept[IllegalArgumentException](
+      JqTransform(df, """{x: (if .value then 1 end)}""").collect())
+    assert(e.getMessage.contains("else-less"), e.getMessage)
+  }
+
+  test("keys: sorted key list for objects and maps; length/has compose") {
+    // struct keys are schema-static → constant-folded sorted literal array
+    val out = JqTransform(df,
+      """{ks: ({"b": .value, "a": 1} | keys), n: ({"z": 1, "y": 2} | keys | length)}""").head()
+    assert(out.getSeq[String](0) == Seq("a", "b"))
+    assert(out.getLong(1) == 2L)
+    // map-typed values sort at runtime
+    val m = Seq((1L, Map("beta" -> 1L, "alpha" -> 2L))).toDF("id", "mp")
+    assert(JqTransform(m, """{ks: (.mp | keys)}""").head().getSeq[String](0) ==
+      Seq("alpha", "beta"))
+    // keys on a scalar is a compile error
+    assertThrows[IllegalArgumentException](
+      JqTransform(df, """{k: (.value | keys)}""").collect())
+  }
+
+  test("has: static for objects, runtime for maps, index-bound for arrays") {
+    val out = JqTransform(df,
+      """{a: ({"m": .value} | has("m")), b: ({"m": .value} | has("nope"))}""").head()
+    assert(out.getBoolean(0) && !out.getBoolean(1))
+    val m = Seq((1L, Map("k" -> 1L))).toDF("id", "mp")
+    val r = JqTransform(m, """{a: (.mp | has("k")), b: (.mp | has("x"))}""").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    // arrays: has(n) ⇔ 0 ≤ n < length
+    val arr = Seq((1L, Seq(10L, 20L))).toDF("id", "xs")
+    val a = JqTransform(arr,
+      """{a: (.xs | has(1)), b: (.xs | has(2))}""").head()
+    assert(a.getBoolean(0) && !a.getBoolean(1))
+  }
+
   test("missing top-level field reads as jq null, not an analyzer error") {
     // the reference's records are dynamic JSON: absent key == nil
     // (counter.go:274); jq mirrors that, and so do we
