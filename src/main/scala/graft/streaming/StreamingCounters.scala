@@ -55,6 +55,37 @@ private[streaming] object CounterStateBuf {
       if (buf.sketch == null) 0L
       else math.round(HllSketch.heapify(buf.sketch).getEstimate)
   }
+
+  /** Lambda state-ceiling guardrail analog (`counter.go:234-236,349-351`:
+    * the reference warns and closes a window early when serialized state
+    * nears the 1 MB Lambda-response limit). The disk-backed state store
+    * has no cliff, so nothing terminates — but an unexpectedly large
+    * per-group buffer is the same operational smell (runaway sketch,
+    * mis-keyed state), so the same warning fires, once per group per run.
+    * Threshold: `graft.state.warn.bytes` system property (default 1 MiB —
+    * the Lambda ceiling; an HLL p=16 sketch tops out well below it, so a
+    * hit always means something is wrong). `oversizedWarnings` makes the
+    * guardrail observable to harnesses without log scraping.
+    */
+  val oversizedWarnings = new java.util.concurrent.atomic.AtomicLong
+  private val warnedGroups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  def sizeOf(buf: CounterStateBuf): Long =
+    16L + Option(buf.sketch).map(_.length.toLong).getOrElse(0L)
+
+  def warnIfOversized(cid: String, groupKey: String, buf: CounterStateBuf): CounterStateBuf = {
+    val threshold = java.lang.Long.getLong("graft.state.warn.bytes", 1L << 20)
+    val sz = sizeOf(buf)
+    if (sz > threshold && warnedGroups.add(s"$cid/$groupKey")) {
+      oversizedWarnings.incrementAndGet()
+      log.warn(s"counter $cid: state for group $groupKey is $sz bytes " +
+        s"(threshold $threshold) — the reference would terminate this " +
+        "window early at the Lambda 1 MB ceiling; the disk-backed store " +
+        "carries on, but check the counter's keying/target")
+    }
+    buf
+  }
 }
 
 private[streaming] case class StateOutput(
@@ -81,7 +112,8 @@ private[streaming] class CounterStateProcessor(cid: String, ctype: CounterType)
     // ONE store read: the RocksDB-backed get() deserializes the whole
     // buffer (multi-KB for ACD sketches) on every call
     val prev = if (state.exists()) Some(state.get()) else None
-    state.update(CounterStateBuf.accumulate(prev, rows, ctype))
+    state.update(CounterStateBuf.warnIfOversized(cid, s"${key._1}/${key._2}/${key._3}",
+      CounterStateBuf.accumulate(prev, rows, ctype)))
     // final invoke when the watermark passes window end; strictly ahead of
     // the current watermark (late-arrival guard, same as runCustomState)
     getHandle.registerTimer(
@@ -325,6 +357,12 @@ object StreamingCounters {
       .as[StateEvent]
   }
 
+  /** Cumulative count of oversized-state warnings (the Lambda 1 MB
+    * ceiling analog — see [[CounterStateBuf.warnIfOversized]]): lets a
+    * harness observe the guardrail without log scraping.
+    */
+  def oversizedStateWarnings: Long = CounterStateBuf.oversizedWarnings.get()
+
   def runCustomState(stream: DataFrame, tsCol: String, c: CounterDef,
                      valueCol: Column,
                      watermarkDelay: String = "10 seconds",
@@ -348,7 +386,8 @@ object StreamingCounters {
             state.remove()
             out.iterator
           } else {
-            state.update(CounterStateBuf.accumulate(state.getOption, rows, counterType))
+            state.update(CounterStateBuf.warnIfOversized(cid, s"$ws/$we/$shard",
+              CounterStateBuf.accumulate(state.getOption, rows, counterType)))
             // window close = watermark passing window end; keep the timeout
             // strictly ahead of the current watermark (late-arrival guard)
             state.setTimeoutTimestamp(math.max(we, state.getCurrentWatermarkMs() + 1))

@@ -270,6 +270,32 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("oversized state warns once per group (Lambda 1 MB ceiling analog)") {
+    implicit val sc = spark.sqlContext
+    val before = graft.streaming.StreamingCounters.oversizedStateWarnings
+    // threshold far below any real sketch: every ACD group trips it
+    System.setProperty("graft.state.warn.bytes", "8")
+    try {
+      val input = MemoryStream[(Timestamp, Long)]
+      val c = CounterDef("guard", CounterType.ApproxCountDistinct, Some("user_id"),
+        windowDuration = "1 minute")
+      val out = StreamingCounters.runCustomState(
+        input.toDF().toDF("ts", "user_id"), "ts", c,
+        valueCol = col("user_id").cast("string"), watermarkDelay = "5 seconds")
+      val query = out.writeStream.format("memory").queryName("guard_warn")
+        .outputMode("append").start()
+      try {
+        input.addData((0 until 50).map(i => (ts(i), i.toLong)): _*)
+        query.processAllAvailable()
+        // second batch, same group: the warn must NOT repeat per batch
+        input.addData((ts(55), 1000L))
+        query.processAllAvailable()
+        assert(graft.streaming.StreamingCounters.oversizedStateWarnings == before + 1,
+          "exactly one warning for the one oversized group")
+      } finally query.stop()
+    } finally System.clearProperty("graft.state.warn.bytes")
+  }
+
   test("streaming pipeline applies the counter's jq_expr after the window closes") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
