@@ -49,8 +49,10 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    current value) on the false path, defined wherever bare `.` is —
   *    inside `map(...)` bodies; branches must share a Spark type;
   *  - `keys` (sorted; schema-static literal array for objects, runtime
-  *    sort for map-typed values) and `has(key|index)` (static membership
-  *    for objects, `map_contains_key` for maps, bounds test for arrays);
+  *    sort for map-typed values), `has(key|index)` (static membership
+  *    for objects, `map_contains_key` for maps, bounds test for arrays),
+  *    `to_entries` (field-order `[{key, value}]`; mixed value types fall
+  *    back to string) and `from_entries` (over `{key, value}` entries);
   *  - a path whose top-level field does not exist in the input emits
   *    jq's `null` (NOT an analyzer error), so `.maybe_missing // 0`
   *    works against any record shape, like the reference's dynamic
@@ -323,6 +325,33 @@ object JqTransform {
         val c = v(df)
         when(c.isNull, lit(true)).otherwise(!c)
       case _ => v(df).isNull
+    }),
+    // jq to_entries: object → [{key, value}] in field order (jq does not
+    // sort here, unlike keys). Struct fields are schema-static; uniform
+    // field types keep their type, mixed types fall back to string (the
+    // declarative analog of jq's dynamic values — documented divergence).
+    "to_entries" -> ((df, v) => dtOfV(df, v) match {
+      case st: StructType =>
+        val c = v(df)
+        val uniform = st.fields.map(_.dataType).distinct.length == 1
+        val entries = st.fieldNames.map { n =>
+          val value = if (uniform) c.getField(n) else c.getField(n).cast("string")
+          struct(lit(n).as("key"), value.as("value"))
+        }
+        when(c.isNotNull, array(entries.toSeq: _*))
+      case _: MapType => map_entries(v(df))
+      case dt => throw new IllegalArgumentException(
+        s"jq_expr: to_entries requires an object, got ${dt.simpleString}")
+    }),
+    // jq from_entries over this compiler's entry shape ({key, value} —
+    // the k/name/v aliases are out of scope); inverts to_entries
+    "from_entries" -> ((df, v) => dtOfV(df, v) match {
+      case ArrayType(st: StructType, _)
+          if st.fieldNames.toSeq == Seq("key", "value") =>
+        map_from_entries(v(df))
+      case dt => throw new IllegalArgumentException(
+        "jq_expr: from_entries requires an array of {key, value} objects, " +
+          s"got ${dt.simpleString}")
     }),
     // jq keys: SORTED key list. Object keys are schema-static (struct
     // fields → a constant-folded literal array); map-typed values sort at

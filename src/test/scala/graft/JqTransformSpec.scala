@@ -325,6 +325,30 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform(df, """{k: (.value | keys)}""").collect())
   }
 
+  test("to_entries/from_entries: field-order entries; keys composes via map(.key)") {
+    // uniform value types keep the type
+    val out = JqTransform(df,
+      """{es: ({"b": .value, "a": .value * 2} | to_entries)}""").head()
+    val es = out.getSeq[org.apache.spark.sql.Row](0)
+    assert(es.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("b", 100L), ("a", 200L))) // jq to_entries keeps field order
+    // to_entries | map(.key) ≡ unsorted keys
+    val ks = JqTransform(df,
+      """{ks: ({"b": 1, "a": 2} | to_entries | map(.key))}""").head()
+    assert(ks.getSeq[String](0) == Seq("b", "a"))
+    // mixed value types fall back to string (documented divergence)
+    val mixed = JqTransform(df,
+      """{es: ({"n": .value, "s": "x"} | to_entries | map(.value))}""").head()
+    assert(mixed.getSeq[String](0) == Seq("100", "x"))
+    // from_entries inverts on map-typed data
+    val m = Seq((1L, Map("k1" -> 7L, "k2" -> 8L))).toDF("id", "mp")
+    val rt = JqTransform(m, """{back: (.mp | to_entries | from_entries)}""").head()
+    assert(rt.getMap[String, Long](0) == Map("k1" -> 7L, "k2" -> 8L))
+    // from_entries on a non-entry array is a clear error
+    assertThrows[IllegalArgumentException](
+      JqTransform(df, """{x: ([1, 2] | from_entries)}""").collect())
+  }
+
   test("has: static for objects, runtime for maps, index-bound for arrays") {
     val out = JqTransform(df,
       """{a: ({"m": .value} | has("m")), b: ({"m": .value} | has("nope"))}""").head()
