@@ -275,9 +275,12 @@ object Dedup {
     * `maxDocFreq` caps hot shingles exactly like [[ngramJaccardPairs]]:
     * a shingle present in more than that many docs is dropped from the
     * index join (its posting list alone contributes O(df²) candidate
-    * rows). Denominator sizes stay UNCAPPED — the cap only prunes which
-    * pairs can be discovered, it never changes a reported ratio. None =
-    * exact (the default, oracle-checked).
+    * rows). This is an APPROXIMATION with the standard cap trade-off:
+    * `common` counts only cold shared shingles while denominators stay
+    * uncapped, so pairs whose overlap is mostly hot shingles score lower
+    * than exact (and can fall below tau) — hot shingles are precisely the
+    * non-discriminative ones, which is why dropping them is the accepted
+    * recall/cost lever. None = exact (the default, oracle-checked).
     */
   def containmentPairs(docs: DataFrame, k: Int = 3,
                        tauPpm: Long = 800000L,

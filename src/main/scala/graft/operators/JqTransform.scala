@@ -344,11 +344,18 @@ object JqTransform {
         s"jq_expr: to_entries requires an object, got ${dt.simpleString}")
     }),
     // jq from_entries over this compiler's entry shape ({key, value} —
-    // the k/name/v aliases are out of scope); inverts to_entries
+    // the k/name/v aliases are out of scope); inverts to_entries. jq is
+    // LAST-WINS on duplicate keys, while Spark's map_from_entries throws
+    // under the default EXCEPTION dedup policy — so keep only each key's
+    // last occurrence first (entry lists are small; the scan is per-row)
     "from_entries" -> ((df, v) => dtOfV(df, v) match {
       case ArrayType(st: StructType, _)
           if st.fieldNames.toSeq == Seq("key", "value") =>
-        map_from_entries(v(df))
+        val arr = v(df)
+        val lastWins = filter(arr, (e, i) =>
+          !exists(slice(arr, i + lit(2), size(arr)),
+            later => later.getField("key") <=> e.getField("key")))
+        map_from_entries(lastWins)
       case dt => throw new IllegalArgumentException(
         "jq_expr: from_entries requires an array of {key, value} objects, " +
           s"got ${dt.simpleString}")

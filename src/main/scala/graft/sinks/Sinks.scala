@@ -109,28 +109,15 @@ object Sinks {
         else 0L))
         .incrementAndGet()
 
-    /** Minimal JSON string escaping: quote, backslash, and control chars.
-      * An unescaped quote corrupts the record for strict readers; an
-      * embedded newline would split one put into two lines — one torn —
-      * desyncing the connector's line-count offsets.
+    /** JSON string escaping via Jackson (the same library the connector
+      * parses these lines with — one serialization authority, no
+      * producer/consumer drift). An unescaped quote corrupts the record
+      * for strict readers; an embedded newline would split one put into
+      * two lines — one torn — desyncing the connector's offsets.
       */
-    private[sinks] def jsonEscape(s: String): String = {
-      val sb = new java.lang.StringBuilder(s.length + 8)
-      var i = 0
-      while (i < s.length) {
-        s.charAt(i) match {
-          case '"'  => sb.append("\\\"")
-          case '\\' => sb.append("\\\\")
-          case '\n' => sb.append("\\n")
-          case '\r' => sb.append("\\r")
-          case '\t' => sb.append("\\t")
-          case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-          case c => sb.append(c)
-        }
-        i += 1
-      }
-      sb.toString
-    }
+    private[sinks] def jsonEscape(s: String): String =
+      new String(com.fasterxml.jackson.core.io.JsonStringEncoder.getInstance()
+        .quoteAsString(s))
   }
 
   /** Serialize an output frame to the reference's record JSON (one object

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** KPL record deaggregation (reference O3, `/root/reference/deaggregate.go`):
   * the Kinesis Producer Library packs many user records into one Kinesis
@@ -172,9 +172,12 @@ object Deaggregate {
     val inSchema = df.schema
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     val hadPk = inSchema.fieldNames.contains("partition_key")
-    // mirror withColumn placement: replace in place, or append at the end
-    val outSchema =
-      if (hadPk) inSchema else inSchema.add("partition_key", StringType)
+    // mirror withColumn placement AND type: replace in place (always as
+    // string — the deagg key overwrites whatever was there), or append
+    val outSchema = StructType(
+      (if (hadPk) inSchema.fields
+       else inSchema.fields :+ StructField("partition_key", StringType))
+        .map(f => if (f.name == "partition_key") f.copy(dataType = StringType) else f))
     val pkIdx = outSchema.fieldIndex("partition_key")
     df.flatMap { row =>
       val payload = row.getAs[Array[Byte]](payloadIdx)

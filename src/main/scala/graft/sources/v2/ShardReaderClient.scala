@@ -29,6 +29,14 @@ trait RecordIterator extends AutoCloseable {
   def nextRecord(): WireRecord
 }
 
+/** Column-pruning hints forwarded into the transport: which wire fields
+  * the pruned read schema will actually consume, so a transport that pays
+  * per-field decode cost (JSON lookup + base64 here; nothing on an SDK)
+  * can skip the rest. Fields a hint turns off come back null.
+  */
+final case class ReadHints(needPk: Boolean, needSeq: Boolean,
+                           needTs: Boolean, needData: Boolean)
+
 /** The AWS SDK seam of the `graft-shards` connector — the three calls the
   * reference's poll loop makes against Kinesis (`run.go:70-131`:
   * `ListShards`, `GetShardIterator`, `GetRecords`), shaped so the
@@ -58,12 +66,11 @@ trait ShardReaderClient extends Serializable {
     */
   def latestPosition(shardId: String): Long
 
-  /** `GetShardIterator(AT position = from)` + `GetRecords` pager.
-    * `needData = false` is a pruning hint: the caller will not read
-    * payload bytes (a count-style query), so a transport that pays to
-    * decode them (base64 here; nothing on an SDK) may skip that work.
+  /** `GetShardIterator(AT position = from)` + `GetRecords` pager, with
+    * the pruned schema's [[ReadHints]] (a count-style query skips all
+    * per-record decode work in the file transport).
     */
-  def records(shardId: String, from: Long, needData: Boolean): RecordIterator
+  def records(shardId: String, from: Long, hints: ReadHints): RecordIterator
 }
 
 /** File-backed transport: shard `s` is the append-only JSON-lines log
@@ -84,14 +91,14 @@ final class FileShardClient(path: String, permissive: Boolean)
     ShardScan.lineCountIncremental(fileOf(shardId))
 
   override def records(shardId: String, from: Long,
-                       needData: Boolean): RecordIterator =
-    new FileRecordIterator(fileOf(shardId), from, needData)
+                       hints: ReadHints): RecordIterator =
+    new FileRecordIterator(fileOf(shardId), from, hints)
 
   private def fileOf(shardId: String): String =
     new File(path, s"$shardId.jsonl").getAbsolutePath
 
   private final class FileRecordIterator(file: String, from: Long,
-                                         needData: Boolean)
+                                         hints: ReadHints)
       extends RecordIterator {
     private val mapper = new ObjectMapper
     private val in = new TerminatedLineReader(file)
@@ -132,17 +139,19 @@ final class FileShardClient(path: String, permissive: Boolean)
       def strOrNull(field: String): String =
         if (node.hasNonNull(field)) node.get(field).asText() else null
       val ts: java.lang.Long =
-        if (node.hasNonNull("approximateArrivalTimestamp"))
+        if (hints.needTs && node.hasNonNull("approximateArrivalTimestamp"))
           java.lang.Long.valueOf(node.get("approximateArrivalTimestamp").asLong())
         else null
       val data =
-        if (needData && node.hasNonNull("data"))
+        if (hints.needData && node.hasNonNull("data"))
           try Base64.getDecoder.decode(node.get("data").asText()) catch {
             case e: IllegalArgumentException =>
               return corruptOrThrow(line, "invalid base64 data", e)
           }
         else null
-      WireRecord(strOrNull("partitionKey"), strOrNull("sequenceNumber"),
+      WireRecord(
+        if (hints.needPk) strOrNull("partitionKey") else null,
+        if (hints.needSeq) strOrNull("sequenceNumber") else null,
         ts, data)
     }
 

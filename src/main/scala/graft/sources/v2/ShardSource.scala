@@ -128,14 +128,7 @@ object ShardScan {
     * concurrent appender has finished (see [[TerminatedLineReader]]), so
     * an offset never covers a torn record.
     */
-  def lineCount(file: String): Long = {
-    val in = new TerminatedLineReader(file)
-    try {
-      var n = 0L
-      while (in.readLine() != null) n += 1
-      n
-    } finally in.close()
-  }
+  def lineCount(file: String): Long = scan(file, 0L, 0L)._2
 
   // latestOffset() runs once per trigger over EVERY shard log; a full
   // re-read makes each trigger O(total log size) — quadratic cumulative
@@ -147,14 +140,37 @@ object ShardScan {
   private val counts =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
 
-  /** [[lineCount]] with incremental resume — equivalent result, O(bytes
-    * appended since the previous call) instead of O(file size).
+  /** [[lineCount]] with incremental resume — same result (both run
+    * [[scan]]), O(bytes appended since the previous call) instead of
+    * O(file size). Locks per FILE (interned path, like `ShardLogPutter`),
+    * never globally — one slow shard log must not serialize offset
+    * computation for every other stream in the JVM.
     */
-  def lineCountIncremental(file: String): Long = synchronized {
-    val len = new File(file).length()
-    val cached = counts.getOrDefault(file, (0L, 0L))
-    val (start, startLines) = if (len < cached._1) (0L, 0L) else cached
-    if (len == start) return startLines
+  def lineCountIncremental(file: String): Long = {
+    val lock = ("graft-shardscan:" + file).intern()
+    lock.synchronized {
+      val len = new File(file).length()
+      val cached = counts.getOrDefault(file, (0L, 0L))
+      val (start, startLines) = if (len < cached._1) (0L, 0L) else cached
+      if (len == start) startLines
+      else {
+        val result = scan(file, start, startLines)
+        counts.put(file, result)
+        result._2
+      }
+    }
+  }
+
+  /** THE one definition of "non-empty terminated line count": byte-scan
+    * from `start` (a clean line boundary; `startLines` lines precede it),
+    * returning (position just past the last terminator, line count). A
+    * line counts iff it has any byte > 0x20 (`String.trim` semantics —
+    * UTF-8 continuation bytes are ≥ 0x80 so multi-byte text counts); an
+    * unterminated tail never advances the clean position. Offsets, putter
+    * sequence seeding and the partition reader all agree because the
+    * reader's [[TerminatedLineReader]] applies the same rules line-wise.
+    */
+  private def scan(file: String, start: Long, startLines: Long): (Long, Long) = {
     val in = new FileInputStream(file)
     try {
       var toSkip = start
@@ -176,13 +192,12 @@ object ShardScan {
             if (lineNonEmpty) lines += 1
             lineNonEmpty = false
             clean = pos
-          } else if ((b & 0xff) > 0x20) lineNonEmpty = true // trim() semantics
+          } else if ((b & 0xff) > 0x20) lineNonEmpty = true
           i += 1
         }
         n = in.read(buf)
       }
-      counts.put(file, (clean, lines))
-      lines
+      (clean, lines)
     } finally in.close()
   }
 }
@@ -326,10 +341,15 @@ final class ShardPartitionReader(shardId: String, client: ShardReaderClient,
                                  endLine: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
   private val shardUtf8 = UTF8String.fromString(shardId)
-  // fetch payload bytes only when the pruned schema (or the deagg
-  // explode, which needs the payload to know the row count) will use them
+  // fetch only what the pruned schema consumes — payload also when the
+  // deagg explode needs it to know the row count, partition key also
+  // because the deagg passthrough keeps the record's own key
   private val needPayload = opts.deaggregate || fields.contains("data")
-  private val in = client.records(shardId, startLine, needPayload)
+  private val in = client.records(shardId, startLine, ReadHints(
+    needPk = opts.deaggregate || fields.contains("partition_key"),
+    needSeq = fields.contains("sequence_number"),
+    needTs = fields.contains("arrival_ts"),
+    needData = needPayload))
   private var pos = startLine // record positions consumed so far
   private var queue: List[InternalRow] = Nil
   private var current: InternalRow = _

@@ -344,6 +344,12 @@ class JqTransformSpec extends SparkTestBase {
     val m = Seq((1L, Map("k1" -> 7L, "k2" -> 8L))).toDF("id", "mp")
     val rt = JqTransform(m, """{back: (.mp | to_entries | from_entries)}""").head()
     assert(rt.getMap[String, Long](0) == Map("k1" -> 7L, "k2" -> 8L))
+    // duplicate keys: jq from_entries is LAST-WINS (Spark's default map
+    // dedup policy would throw — the compiler pre-drops earlier entries)
+    val dup = JqTransform(df,
+      """{m: ([{key: "a", value: .value}, {key: "b", value: 1},
+        |      {key: "a", value: .value * 2}] | from_entries)}""".stripMargin).head()
+    assert(dup.getMap[String, Long](0) == Map("a" -> 200L, "b" -> 1L))
     // from_entries on a non-entry array is a clear error
     assertThrows[IllegalArgumentException](
       JqTransform(df, """{x: ([1, 2] | from_entries)}""").collect())

@@ -20,7 +20,7 @@ import graft.sources.v2._
 object MockShardStore {
   val streams =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[String, Vector[WireRecord]]]
-  val lastNeedData = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  val lastHints = new java.util.concurrent.ConcurrentHashMap[String, ReadHints]
 }
 
 final class MockShardClient(name: String) extends ShardReaderClient {
@@ -36,8 +36,8 @@ final class MockShardClient(name: String) extends ShardReaderClient {
   override def latestPosition(shardId: String): Long =
     Option(store.get(shardId)).map(_.size.toLong).getOrElse(0L)
   override def records(shardId: String, from: Long,
-                       needData: Boolean): RecordIterator = {
-    MockShardStore.lastNeedData.put(name, needData)
+                       hints: ReadHints): RecordIterator = {
+    MockShardStore.lastHints.put(name, hints)
     new RecordIterator {
       private val snap = Option(store.get(shardId)).getOrElse(Vector.empty)
       private var i = from.toInt
@@ -160,8 +160,9 @@ class ShardClientContractSpec extends SparkTestBase {
       Array("shard_id"),
       Array(ShardInputPartition("s0", 0L, Long.MaxValue)))
     assert(counted == Seq(Seq("s0")))
-    assert(MockShardStore.lastNeedData.get("contract-prune") == false,
-      "a shard_id-only read must tell the transport to skip payload decode")
+    assert(MockShardStore.lastHints.get("contract-prune") ==
+      ReadHints(needPk = false, needSeq = false, needTs = false, needData = false),
+      "a shard_id-only read must tell the transport to skip ALL per-record decode")
 
     // a transport-corrupt record rides the permissive side channel: raw
     // bytes as data, everything else null — connector logic, not file logic
