@@ -52,7 +52,9 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    sort for map-typed values), `has(key|index)` (static membership
   *    for objects, `map_contains_key` for maps, bounds test for arrays),
   *    `to_entries` (field-order `[{key, value}]`; mixed value types fall
-  *    back to string) and `from_entries` (over `{key, value}` entries);
+  *    back to string), `from_entries` (over `{key, value}` entries,
+  *    last-wins on duplicate keys like jq) and `group_by(f)` (groups
+  *    sorted by key, nulls first, stable within groups);
   *  - a path whose top-level field does not exist in the input emits
   *    jq's `null` (NOT an analyzer error), so `.maybe_missing // 0`
   *    works against any record shape, like the reference's dynamic
@@ -604,6 +606,25 @@ object JqTransform {
             val et = elementTypeV(df, vv, "map")
             transform(vv(df), x =>
               elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
+          }
+        } else if (fn == "group_by") {
+          // group_by(f): array → array of arrays, groups ordered by key
+          // ascending with nulls FIRST (jq's sort order; sort_array, not
+          // array_sort, matches that), original order kept within a
+          // group. Key/filter re-walk the array per distinct key — fine
+          // for the small arrays jq programs build per record; the array
+          // operand itself is a cheap path/column, per the HOF-body rule.
+          expect('(')
+          val inner = parseValue()
+          expect(')')
+          val vv = v
+          v = df => {
+            val et = elementTypeV(df, vv, "group_by")
+            val arr = vv(df)
+            def keyOf(x: Column): Column =
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df))
+            val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
+            transform(keys, k => filter(arr, x => keyOf(x) <=> k))
           }
         } else if (fn == "has") {
           // has("k") on an object — key membership is schema-static for

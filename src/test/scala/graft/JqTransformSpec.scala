@@ -355,6 +355,19 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform(df, """{x: ([1, 2] | from_entries)}""").collect())
   }
 
+  test("group_by: groups sorted by key (nulls first), original order within groups") {
+    val t = Seq((1L, Seq(3L, 1L, 2L, 1L, 3L))).toDF("id", "xs")
+    val out = JqTransform(t, """{gs: (.xs | group_by(.))}""").head()
+    assert(out.getSeq[scala.collection.Seq[Long]](0).map(_.toSeq).toSeq ==
+      Seq(Seq(1L, 1L), Seq(2L), Seq(3L, 3L)))
+    // key expression over struct elements; within-group order preserved
+    val objs = JqTransform(df,
+      """{items: [{k: .value, v: 1}, {k: .value * 2, v: 2}, {k: .value, v: 3}]}
+        || {gs: (.items | group_by(.k) | map(map(.v)))}""".stripMargin).head()
+    assert(objs.getSeq[scala.collection.Seq[Long]](0).map(_.toSeq).toSeq ==
+      Seq(Seq(1L, 3L), Seq(2L)))
+  }
+
   test("has: static for objects, runtime for maps, index-bound for arrays") {
     val out = JqTransform(df,
       """{a: ({"m": .value} | has("m")), b: ({"m": .value} | has("nope"))}""").head()
