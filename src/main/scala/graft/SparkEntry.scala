@@ -607,6 +607,20 @@ object SparkEntry {
     // chunk granularity): first occurrence survives, per-doc accounting
     "d13_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedupStats(Tables.documents(s, dir))),
+    // ingest-time exact dedup, oracle-checked: a horizon wider than the
+    // dataset makes within-watermark dedup ≡ global DISTINCT, and keying
+    // the OUTPUT by content digest (not row identity) makes the result
+    // independent of which arrival won the first-occurrence race
+    "d14_stream_dedup_parity" -> ((s, dir) => {
+      val deduped = graft.streaming.StreamingDedup.dropExactDuplicates(
+        Tables.eventsStream(s, dir), "ts", "props", watermarkDelay = "3650 days")
+      val out = deduped.select(md5(col("props").cast("binary")).as("content_md5"))
+      val sink = "d14_stream_dedup_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
 
     // ---- similarity search ----
     "s01_ann_topk" -> ((s, dir) =>
@@ -1554,6 +1568,8 @@ object SparkEntry {
            |     THEN 0 ELSE 1 END)::BIGINT AS n_dropped
            |FROM ch JOIN f2 ON ch.chunk_md5 = f2.chunk_md5
            |GROUP BY 1""".stripMargin,
+      "d14_stream_dedup_parity" ->
+        "SELECT DISTINCT md5(props) AS content_md5 FROM events WHERE props IS NOT NULL",
       "d05_embed_neardup" ->
         """SELECT x.vec_id AS a, y.vec_id AS b
           |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
