@@ -622,6 +622,25 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // ingest-time NEAR-dup suppression, oracle-checked the same way:
+    // horizon ≥ dataset ⇒ exactly one keeper per sign-LSH bucket, so the
+    // recomputed bucket ids of the survivors ≡ the distinct bucket set
+    // (which doc won each bucket is arrival-dependent; the bucket set
+    // is not)
+    "d15_stream_neardup_parity" -> ((s, dir) => {
+      val stream = Tables.embeddingsStream(s, dir)
+        .withColumn("ts", timestamp_micros(col("vec_id")))
+      val kept = graft.streaming.StreamingDedup.dropNearDuplicatesWithinWatermark(
+        stream, "ts", "embedding", nPlanes = 8, watermarkDelay = "3650 days")
+      val out = kept.select(graft.similarity.Ann.bucketExprOn(
+        transform(col("embedding"), x => x.cast("double")), 8).as("bucket"))
+      val sink = "d15_stream_neardup_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
+
     // ---- similarity search ----
     "s01_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
@@ -1570,6 +1589,17 @@ object SparkEntry {
            |GROUP BY 1""".stripMargin,
       "d14_stream_dedup_parity" ->
         "SELECT DISTINCT md5(props) AS content_md5 FROM events WHERE props IS NOT NULL",
+      "d15_stream_neardup_parity" ->
+        """WITH pl AS (SELECT p, list_transform(generate_series(0, 63), j ->
+          |    CASE WHEN ((('0x'||substr(md5('plane:'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
+          |         THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |d AS (SELECT vec_id, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
+          |      FROM v CROSS JOIN pl),
+          |b AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          |      FROM d GROUP BY vec_id)
+          |SELECT DISTINCT bucket FROM b""".stripMargin,
       "d05_embed_neardup" ->
         """SELECT x.vec_id AS a, y.vec_id AS b
           |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id

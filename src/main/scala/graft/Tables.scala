@@ -67,6 +67,14 @@ object Tables {
     load(spark, sfDir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Streaming twin of [[embeddings]] (same glob-anchored file-stream trick
+    * as [[eventsStream]]) — feeds the ingest-time near-dup parity query.
+    */
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = load(spark, sfDir, "embeddings").schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/{embeddings}.parquet")
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
