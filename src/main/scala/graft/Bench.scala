@@ -131,6 +131,18 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] totals file write failed: $e") }
     println(json)
+    // The driver's capture keeps only the LAST ~2 KB of output, and the
+    // full per-query line above is ~3.6 KB — its head (the part a JSON
+    // parser needs) falls off the front of that window (r4's parsed:null).
+    // So the FINAL line is a compact summary guaranteed to fit whole in the
+    // tail: overall total + per-query-set subtotals, with the full map in
+    // bench_totals.json.
+    val bySet = results.groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .map { case (p, qs2) => s"\"${p}_set\":${qs2.values.sum}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$bySet,"n_queries":${results.size},"sf":"$sfDir","detail":"bench_totals.json"}""")
+    System.out.flush()
     spark.stop()
   }
 }

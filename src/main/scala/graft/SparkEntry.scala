@@ -614,7 +614,11 @@ object SparkEntry {
     "d14_stream_dedup_parity" -> ((s, dir) => {
       val deduped = graft.streaming.StreamingDedup.dropExactDuplicates(
         Tables.eventsStream(s, dir), "ts", "props", watermarkDelay = "3650 days")
-      val out = deduped.select(md5(col("props").cast("binary")).as("content_md5"))
+      // null-props rows pass through dedup untouched by design; the oracle
+      // excludes them (WHERE props IS NOT NULL), so exclude them here too —
+      // parity must not depend on the fixture having no null props
+      val out = deduped.where(col("props").isNotNull)
+        .select(md5(col("props").cast("binary")).as("content_md5"))
       val sink = "d14_stream_dedup_sink"
       val q = out.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()

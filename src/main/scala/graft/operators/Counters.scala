@@ -135,6 +135,13 @@ object Counters {
     * two-phase ([[partialState]]) ACD paths.
     */
   private def sketchInput(df: DataFrame, value: Column, keyHex: String): Column = {
+    // Every ACD counter routes through the registered `siphash64` (the
+    // reference's keyed sketch domain) — fail here with an actionable
+    // message instead of Catalyst's generic UNRESOLVED_ROUTINE later.
+    if (!df.sparkSession.catalog.functionExists("siphash64"))
+      throw new IllegalStateException(
+        "approx_count_distinct requires the siphash64 function: build the " +
+          "session with .config(\"spark.sql.extensions\", \"graft.GraftExtensions\")")
     val dt = df.select(value.as("__v")).schema.head.dataType
     Canonical.siphashCanonicalTyped(dt, value, keyHex)
   }

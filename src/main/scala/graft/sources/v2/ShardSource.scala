@@ -138,7 +138,19 @@ object ShardScan {
   // re-scanned (cheaply) until its newline lands; truncation (contract
   // violation) falls back to a full recount.
   private val counts =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Object)]
+
+  /** The file's identity beyond its path: (dev, inode) on POSIX via
+    * `fileKey`, null where unsupported. A shard log deleted and recreated
+    * at the same path with equal-or-greater length would otherwise reuse
+    * the stale (position, lines) cache and yield wrong offsets — a
+    * contract violation the length-shrink check alone cannot see.
+    */
+  private def identityOf(file: String): Object =
+    try java.nio.file.Files.readAttributes(
+      java.nio.file.Paths.get(file),
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    catch { case _: java.io.IOException => null }
 
   /** [[lineCount]] with incremental resume — same result (both run
     * [[scan]]), O(bytes appended since the previous call) instead of
@@ -150,12 +162,17 @@ object ShardScan {
     val lock = ("graft-shardscan:" + file).intern()
     lock.synchronized {
       val len = new File(file).length()
-      val cached = counts.getOrDefault(file, (0L, 0L))
-      val (start, startLines) = if (len < cached._1) (0L, 0L) else cached
-      if (len == start) startLines
+      val id = identityOf(file)
+      val cached = counts.getOrDefault(file, (0L, 0L, null))
+      // full recount on shrink (truncation) OR identity change (same-path
+      // replacement) — both are append-only-contract violations to recover
+      // from, never to silently extend
+      val fresh = len >= cached._1 && cached._3 == id
+      val (start, startLines) = if (fresh) (cached._1, cached._2) else (0L, 0L)
+      if (fresh && len == start) startLines
       else {
         val result = scan(file, start, startLines)
-        counts.put(file, result)
+        counts.put(file, (result._1, result._2, id))
         result._2
       }
     }

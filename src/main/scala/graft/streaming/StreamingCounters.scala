@@ -67,22 +67,35 @@ private[streaming] object CounterStateBuf {
     * hit always means something is wrong). `oversizedWarnings` makes the
     * guardrail observable to harnesses without log scraping.
     */
+  // Per-JVM tally. In local mode (this harness) the executor IS the
+  // driver, so the accessor sees it directly; on a real cluster the
+  // cross-JVM aggregation rides the `acc` accumulator below instead —
+  // this AtomicLong then only serves executor-local log dedup context.
   val oversizedWarnings = new java.util.concurrent.atomic.AtomicLong
   private val warnedGroups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // warnedGroups exists only to dedupe LOG LINES; past this many distinct
+  // oversized groups the set stops growing (counting continues) — a
+  // runaway-keying bug would otherwise leak one string per state group.
+  private val MaxWarnedGroups = 4096
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def sizeOf(buf: CounterStateBuf): Long =
     16L + Option(buf.sketch).map(_.length.toLong).getOrElse(0L)
 
-  def warnIfOversized(cid: String, groupKey: String, buf: CounterStateBuf): CounterStateBuf = {
+  def warnIfOversized(cid: String, groupKey: String, buf: CounterStateBuf,
+                      acc: Option[org.apache.spark.util.LongAccumulator] = None): CounterStateBuf = {
     val threshold = java.lang.Long.getLong("graft.state.warn.bytes", 1L << 20)
     val sz = sizeOf(buf)
-    if (sz > threshold && warnedGroups.add(s"$cid/$groupKey")) {
-      oversizedWarnings.incrementAndGet()
-      log.warn(s"counter $cid: state for group $groupKey is $sz bytes " +
-        s"(threshold $threshold) — the reference would terminate this " +
-        "window early at the Lambda 1 MB ceiling; the disk-backed store " +
-        "carries on, but check the counter's keying/target")
+    if (sz > threshold) {
+      val firstSeen = warnedGroups.size < MaxWarnedGroups && warnedGroups.add(s"$cid/$groupKey")
+      if (firstSeen) {
+        oversizedWarnings.incrementAndGet()
+        acc.foreach(_.add(1L))
+        log.warn(s"counter $cid: state for group $groupKey is $sz bytes " +
+          s"(threshold $threshold) — the reference would terminate this " +
+          "window early at the Lambda 1 MB ceiling; the disk-backed store " +
+          "carries on, but check the counter's keying/target")
+      }
     }
     buf
   }
@@ -99,7 +112,8 @@ private[streaming] case class StateOutput(
   * (`counter.go:339-344`), emit-and-clear on expiry. Re-registered timers
   * are idempotent here: expiry emits only while state exists.
   */
-private[streaming] class CounterStateProcessor(cid: String, ctype: CounterType)
+private[streaming] class CounterStateProcessor(cid: String, ctype: CounterType,
+    warnAcc: Option[org.apache.spark.util.LongAccumulator] = None)
     extends StatefulProcessor[(Long, Long, String), StateEvent, StateOutput] {
   @transient private var state: ValueState[CounterStateBuf] = _
 
@@ -113,7 +127,7 @@ private[streaming] class CounterStateProcessor(cid: String, ctype: CounterType)
     // buffer (multi-KB for ACD sketches) on every call
     val prev = if (state.exists()) Some(state.get()) else None
     state.update(CounterStateBuf.warnIfOversized(cid, s"${key._1}/${key._2}/${key._3}",
-      CounterStateBuf.accumulate(prev, rows, ctype)))
+      CounterStateBuf.accumulate(prev, rows, ctype), warnAcc))
     // final invoke when the watermark passes window end; strictly ahead of
     // the current watermark (late-arrival guard, same as runCustomState)
     getHandle.registerTimer(
@@ -359,9 +373,26 @@ object StreamingCounters {
 
   /** Cumulative count of oversized-state warnings (the Lambda 1 MB
     * ceiling analog — see [[CounterStateBuf.warnIfOversized]]): lets a
-    * harness observe the guardrail without log scraping.
+    * harness observe the guardrail without log scraping. Driver-visible
+    * on a real cluster via the registered accumulator (the JVM-static
+    * tally alone only works in local mode); the max of the two covers
+    * both deployments.
     */
-  def oversizedStateWarnings: Long = CounterStateBuf.oversizedWarnings.get()
+  def oversizedStateWarnings: Long = math.max(
+    CounterStateBuf.oversizedWarnings.get(),
+    warnAccs.values.map(_.value.longValue).sum)
+
+  // One registered LongAccumulator per application: state processors run
+  // executor-side, so a plain JVM-static counter never reaches the driver
+  // on a real cluster — the accumulator is the channel that does. Created
+  // on the driver at plan-build time, captured by the processor closure.
+  // (Task retries can over-count, as any accumulator in a transformation
+  // can — acceptable for an operational warning tally.)
+  private val warnAccs =
+    new scala.collection.concurrent.TrieMap[String, org.apache.spark.util.LongAccumulator]
+  private def warnAccFor(spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator =
+    warnAccs.getOrElseUpdate(spark.sparkContext.applicationId,
+      spark.sparkContext.longAccumulator("graft.oversizedStateWarnings"))
 
   def runCustomState(stream: DataFrame, tsCol: String, c: CounterDef,
                      valueCol: Column,
@@ -371,6 +402,7 @@ object StreamingCounters {
     import spark.implicits._
     val counterType = c.counterType
     val cid = c.id
+    val warnAcc = Some(warnAccFor(spark))
     val out = stateEvents(stream, tsCol, c, valueCol, watermarkDelay, shardCol)
       .groupByKey(e => (e.windowStart, e.windowEnd, e.shard))
       .flatMapGroupsWithState[CounterStateBuf, StateOutput](
@@ -387,7 +419,7 @@ object StreamingCounters {
             out.iterator
           } else {
             state.update(CounterStateBuf.warnIfOversized(cid, s"$ws/$we/$shard",
-              CounterStateBuf.accumulate(state.getOption, rows, counterType)))
+              CounterStateBuf.accumulate(state.getOption, rows, counterType), warnAcc))
             // window close = watermark passing window end; keep the timeout
             // strictly ahead of the current watermark (late-arrival guard)
             state.setTimeoutTimestamp(math.max(we, state.getCurrentWatermarkMs() + 1))
@@ -419,7 +451,7 @@ object StreamingCounters {
     val out = stateEvents(stream, tsCol, c, valueCol, watermarkDelay, shardCol)
       .groupByKey(e => (e.windowStart, e.windowEnd, e.shard))
       .transformWithState(
-        new CounterStateProcessor(c.id, c.counterType),
+        new CounterStateProcessor(c.id, c.counterType, Some(warnAccFor(spark))),
         TimeMode.EventTime(), OutputMode.Append())
     val df = out.toDF()
     if (shardCol.isDefined) df else df.drop("shard_id")
