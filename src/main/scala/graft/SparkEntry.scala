@@ -725,6 +725,20 @@ object SparkEntry {
           |        | map(if . > 15 then . * 100 end)),
           | ok: ({"m": 1} | has("m"))}
           || select(.ok) | .pair[]""".stripMargin)),
+
+    // O14 jq total-order notch: sort_by under jq's order (null keys first,
+    // stable within equal keys — the two data keys flip order per window),
+    // plus the cross-type comparison constants (number < string,
+    // null < false, array element-wise, object sorted-key-list) gating a
+    // select that must keep every row
+    "c32_jq_sort_order" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{vs: ([{k: .value, v: .value}, {k: 168 - .value, v: .value + 1},
+          |       {k: null, v: 0}] | sort_by(.k) | map(.v)),
+          | ok: ((.value < "s") and (null < false) and ([1, 2] < [1, 3])
+          |      and ({"a": 9} < {"b": 0}))}
+          || select(.ok) | .vs[]""".stripMargin)),
   )
 
   /** Build the `c30` fixture: a 5% events subset written as per-shard
@@ -965,6 +979,16 @@ object SparkEntry {
         """SELECT unnest([
           |  CASE WHEN value + 2 > 15 THEN (value + 2) * 100 ELSE value + 2 END,
           |  CASE WHEN value * 2 > 15 THEN value * 2 * 100 ELSE value * 2 END]) AS pair
+          |FROM (SELECT count(*) AS value FROM events
+          |      GROUP BY time_bucket(INTERVAL '1 hour', ts))""".stripMargin,
+      // sort_by(.k) over [{k:v}, {k:168-v}, {k:null}]: the null key sorts
+      // FIRST, then the two data keys ascending with the ORIGINAL order on
+      // ties (stability) — i.e. the CASE below; the jq select's cross-type
+      // comparisons are constant-true so every row survives
+      "c32_jq_sort_order" ->
+        """SELECT unnest(CASE WHEN value <= 168 - value
+          |                   THEN [0, value, value + 1]
+          |                   ELSE [0, value + 1, value] END) AS vs
           |FROM (SELECT count(*) AS value FROM events
           |      GROUP BY time_bucket(INTERVAL '1 hour', ts))""".stripMargin,
       "c25_engine_config_e2e" ->

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, NullType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, NullType, NumericType, StringType, StructType}
 
 /** Output-record transform (reference O14, `jq_expr`):
   * `/root/reference/counter.go:439-466`, compiled at config load
@@ -30,9 +30,13 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    type-directed where jq semantics demand it (`not` uses jq
   *    truthiness; `length` counts array/map elements and string chars);
   *  - `==` / `!=` are jq's TOTAL equality (null == null is true, null !=
-  *    "x" is true) — compiled null-safe (`<=>`), unlike SQL equality;
-  *    the ordering comparisons `< <= > >=` keep SQL semantics over
-  *    same-type operands (jq's cross-type total order is out of scope);
+  *    "x" is true, 1 == "1" is FALSE — cross-type values are unequal,
+  *    objects compare by key set + values regardless of field order);
+  *    `< <= > >=` are jq's total ORDER — null < false < true < number <
+  *    string < array < object (cross-rank folds to a constant from the
+  *    static types; within a rank, Spark's ordering matches jq's for
+  *    same-type operands, and objects compare sorted-key-list first,
+  *    then values in sorted-key order);
   *  - boolean `and`/`or`, arithmetic `+ - * /`, parentheses,
   *    string/number/bool/null literals, and string INTERPOLATION
   *    (`"metric.\(.counter_id)"` → `concat`, null printing as "null");
@@ -53,8 +57,9 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    for objects, `map_contains_key` for maps, bounds test for arrays),
   *    `to_entries` (field-order `[{key, value}]`; mixed value types fall
   *    back to string), `from_entries` (over `{key, value}` entries,
-  *    last-wins on duplicate keys like jq) and `group_by(f)` (groups
-  *    sorted by key, nulls first, stable within groups);
+  *    last-wins on duplicate keys like jq), `group_by(f)` (groups
+  *    sorted by key, nulls first, stable within groups), `sort_by(f)`
+  *    (stable ascending by f(x) — ≡ flatten ∘ group_by) and `sort`;
   *  - a path whose top-level field does not exist in the input emits
   *    jq's `null` (NOT an analyzer error), so `.maybe_missing // 0`
   *    works against any record shape, like the reference's dynamic
@@ -129,6 +134,65 @@ object JqTransform {
       }
     }
   }
+
+  // ---------------------------------------------- jq total ordering -----
+
+  /** jq's cross-type rank: null < false < true < numbers < strings <
+    * arrays < objects (jq manual, "sort"). Booleans share one rank here —
+    * false < true is the within-rank SQL comparison. Non-JSON Spark types
+    * (timestamp, binary…) never arise from JSON records; they rank with
+    * numbers so same-type comparisons still work.
+    */
+  private def jqTypeRank(dt: DataType): Int = dt match {
+    case NullType => 0
+    case BooleanType => 1
+    case _: NumericType => 2
+    case StringType => 3
+    case _: ArrayType => 4
+    case _: StructType | _: MapType => 5
+    case _ => 2
+  }
+
+  /** Lexicographic `<` over two string lists (object key-list comparison —
+    * jq compares sorted key arrays before values).
+    */
+  private def seqLess(a: Seq[String], b: Seq[String]): Boolean =
+    a.zip(b).find { case (x, y) => x != y } match {
+      case Some((x, y)) => x < y
+      case None => a.length < b.length
+    }
+
+  /** jq's total-order `<` over two columns with known static types: a
+    * runtime null sorts below everything, cross-RANK comparisons fold to
+    * the constant rank order, and same-rank operands use Spark's ordering
+    * (numbers numeric, strings lexicographic, false < true, arrays
+    * element-wise-then-length — all matching jq for same-type operands).
+    * Objects compare sorted key lists first (schema-static → constant),
+    * then values in sorted-key order, exactly like jq. Never NULL, so the
+    * derived `<= > >=` (total order: `a <= b ⟺ !(b < a)`) are sound.
+    */
+  private def jqLessCols(lc: Column, rc: Column, lt: DataType, rt: DataType): Column = {
+    val (lr, rr) = (jqTypeRank(lt), jqTypeRank(rt))
+    val base: Column =
+      if (lt == NullType || rt == NullType) lit(false) // guards below decide
+      else if (lr != rr) lit(lr < rr)
+      else (lt, rt) match {
+        case (a: StructType, b: StructType) =>
+          val (ka, kb) = (a.fieldNames.sorted.toSeq, b.fieldNames.sorted.toSeq)
+          if (ka != kb) lit(seqLess(ka, kb))
+          else struct(ka.map(n => lc.getField(n).as(n)): _*) <
+            struct(kb.map(n => rc.getField(n).as(n)): _*)
+        case (_: MapType, _) | (_, _: MapType) =>
+          throw new IllegalArgumentException(
+            "jq_expr: ordering comparison over map-typed objects is unsupported " +
+              "(schema-static objects compare jq-style; maps have runtime keys)")
+        case _ => lc < rc
+      }
+    when(lc.isNull, rc.isNotNull).when(rc.isNull, lit(false)).otherwise(base)
+  }
+
+  private def jqLess(df: DataFrame, l: V, r: V): Column =
+    jqLessCols(l(df), r(df), dtOfV(df, l), dtOfV(df, r))
 
   /** The element type of an array-typed value, with a jq-flavored error
     * when it is not an array.
@@ -574,14 +638,37 @@ object JqTransform {
         case Some(op) =>
           i += op.length
           val r = parsePiped()
+          // jq equality is TOTAL: null == null → true, null != x → true —
+          // and cross-TYPE values are simply unequal (1 == "1" is false;
+          // SQL's <=> would try to coerce), except that runtime nulls
+          // compare equal whatever the static types say.
+          def eq(df: DataFrame): Column = {
+            val (lc, rc) = (l(df), r(df))
+            (dtOfV(df, l), dtOfV(df, r)) match {
+              case (ldt, rdt) if jqTypeRank(ldt) != jqTypeRank(rdt) =>
+                lc.isNull && rc.isNull
+              // objects: different key sets are unequal; same keys compare
+              // by value whatever the field ORDER (jq objects are unordered)
+              case (a: StructType, b: StructType) =>
+                val (ka, kb) = (a.fieldNames.sorted.toSeq, b.fieldNames.sorted.toSeq)
+                if (ka != kb) lc.isNull && rc.isNull
+                else if (a.fieldNames.toSeq == b.fieldNames.toSeq) lc <=> rc
+                else when(lc.isNull || rc.isNull, lc.isNull && rc.isNull)
+                  .otherwise(struct(ka.map(n => lc.getField(n).as(n)): _*) <=>
+                    struct(kb.map(n => rc.getField(n).as(n)): _*))
+              case _ => lc <=> rc
+            }
+          }
           op match {
-            // jq equality is TOTAL: null == null → true, null != x → true
-            case "==" => df => l(df) <=> r(df)
-            case "!=" => df => !(l(df) <=> r(df))
-            case "<=" => df => l(df) <= r(df)
-            case ">=" => df => l(df) >= r(df)
-            case "<" => df => l(df) < r(df)
-            case ">" => df => l(df) > r(df)
+            case "==" => df => eq(df)
+            case "!=" => df => !eq(df)
+            // ordering is jq's TOTAL order (null < false < true < number
+            // < string < array < object) — derived from one `<` kernel,
+            // which total orders make sound: a <= b ⟺ !(b < a)
+            case "<" => df => jqLess(df, l, r)
+            case ">" => df => jqLess(df, r, l)
+            case "<=" => df => !jqLess(df, r, l)
+            case ">=" => df => !jqLess(df, l, r)
           }
         case None => l
       }
@@ -625,6 +712,34 @@ object JqTransform {
               elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df))
             val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
             transform(keys, k => filter(arr, x => keyOf(x) <=> k))
+          }
+        } else if (fn == "sort_by") {
+          // sort_by(f): stable ascending sort by f(x) under jq's order.
+          // Same shape as group_by — sorted distinct keys, then each key's
+          // elements in original order — i.e. sort_by ≡ flatten(group_by):
+          // stability and null-first key order fall out of sort_array;
+          // within one Spark array the key type is static, so the
+          // cross-type half of jq's order cannot arise and the within-rank
+          // SQL ordering IS jq's.
+          expect('(')
+          val inner = parseValue()
+          expect(')')
+          val vv = v
+          v = df => {
+            val et = elementTypeV(df, vv, "sort_by")
+            val arr = vv(df)
+            def keyOf(x: Column): Column =
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df))
+            val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
+            flatten(transform(keys, k => filter(arr, x => keyOf(x) <=> k)))
+          }
+        } else if (fn == "sort") {
+          // sort = ascending element sort, nulls first (jq's order; with a
+          // static element type sort_array matches it exactly)
+          val vv = v
+          v = df => {
+            elementTypeV(df, vv, "sort") // array-input check, jq-style error
+            sort_array(vv(df))
           }
         } else if (fn == "has") {
           // has("k") on an object — key membership is schema-static for

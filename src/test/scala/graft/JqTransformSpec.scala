@@ -382,6 +382,62 @@ class JqTransformSpec extends SparkTestBase {
     assert(a.getBoolean(0) && !a.getBoolean(1))
   }
 
+  test("cross-type total order: null < false < true < number < string < array < object") {
+    // differential cases against jq's documented order (jq manual, "sort";
+    // gojq agrees) — each rank pair, both directions
+    val out = JqTransform(df,
+      """{a: (null < false), b: (false < true), c: (true < .value),
+        | d: (.value < "s"), e: ("s" < [1]), f: ([1] < {"x": 1}),
+        | g: ("s" < .value), h: (.value <= null), i: (null >= "x"),
+        | j: (null < .value)}""".stripMargin).head()
+    assert(out.getBoolean(0) && out.getBoolean(1) && out.getBoolean(2) &&
+      out.getBoolean(3) && out.getBoolean(4) && out.getBoolean(5))
+    assert(!out.getBoolean(6) && !out.getBoolean(7) && !out.getBoolean(8))
+    assert(out.getBoolean(9))
+    // runtime null sorts below a non-null value of ANY static type
+    val withNull = Seq((Some(1L), 2L), (None, 3L)).toDF("v", "id")
+    val nn = JqTransform(withNull,
+      """{lt: (.v < 0), ge: (.v >= 0), id: .id}""")
+      .collect().map(r => (r.getLong(2), r.getBoolean(0), r.getBoolean(1))).sortBy(_._1)
+    assert(nn.toSeq == Seq((2L, false, true), (3L, true, false)))
+    // same-rank: numbers numerically, strings lexicographically,
+    // arrays element-wise then length (jq: [1,2] < [1,3], [1] < [1,0])
+    val sr = JqTransform(df,
+      """{n: (2 < 10), s: ("10" < "2"), a1: ([1, 2] < [1, 3]),
+        | a2: ([1] < [1, 0])}""".stripMargin).head()
+    assert(sr.getBoolean(0) && sr.getBoolean(1) && sr.getBoolean(2) && sr.getBoolean(3))
+    // objects: sorted key LISTS compare first, then values in sorted-key
+    // order (jq: {"a":2} < {"b":1}; {"b":1,"a":1} == {"a":1,"b":1})
+    val ob = JqTransform(df,
+      """{kl: ({"a": 2} < {"b": 1}), vv: ({"a": 1, "b": 9} < {"a": 2, "b": 0}),
+        | eq: ({"b": 1, "a": 2} == {"a": 2, "b": 1})}""".stripMargin).head()
+    assert(ob.getBoolean(0) && ob.getBoolean(1) && ob.getBoolean(2))
+    // cross-type equality: values of different types are simply unequal
+    val xe = JqTransform(df,
+      """{a: (1 == "1"), b: (1 != "1"), c: (null == .no_such),
+        | d: ({"a": 1} == {"b": 1})}""".stripMargin).head()
+    assert(!xe.getBoolean(0) && xe.getBoolean(1) && xe.getBoolean(2) && !xe.getBoolean(3))
+  }
+
+  test("sort_by: stable ascending under jq order; sort: plain ascending, nulls first") {
+    val t = Seq((1L, Seq(3L, 1L, 2L, 1L))).toDF("id", "xs")
+    assert(JqTransform(t, """{s: (.xs | sort)}""").head().getSeq[Long](0)
+      == Seq(1L, 1L, 2L, 3L))
+    // sort_by a struct key: ascending by key, ORIGINAL order within ties
+    // (stability), nulls-first keys
+    val objs = JqTransform(df,
+      """{items: [{k: 2, v: 1}, {k: 1, v: 2}, {k: 2, v: 3}, {k: 1, v: 4}]}
+        || {vs: (.items | sort_by(.k) | map(.v))}""".stripMargin).head()
+    assert(objs.getSeq[Long](0) == Seq(2L, 4L, 1L, 3L))
+    val nulls = JqTransform(df,
+      """{items: [{k: 2, v: 1}, {k: null, v: 2}, {k: 1, v: 3}]}
+        || {vs: (.items | sort_by(.k) | map(.v))}""".stripMargin).head()
+    assert(nulls.getSeq[Long](0) == Seq(2L, 3L, 1L))
+    // sort on a non-array is a jq-flavored error
+    assertThrows[IllegalArgumentException](
+      JqTransform(df, """{x: (.value | sort)}""").collect())
+  }
+
   test("missing top-level field reads as jq null, not an analyzer error") {
     // the reference's records are dynamic JSON: absent key == nil
     // (counter.go:274); jq mirrors that, and so do we
