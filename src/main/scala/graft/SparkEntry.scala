@@ -645,6 +645,36 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // near-dup suppression v2, oracle-checked: multi-band transformWithState
+    // state (one ListState per (table, bucket) — the batch equi-join key)
+    // with an EXACT-cosine verify against each colliding earlier document.
+    // Horizon ≥ dataset ⇒ the verified-match set ≡ the batch multi-table
+    // pair set (d10), so the anti-joined survivors are deterministic —
+    // unlike d15, which docs win is NOT arrival-dependent here, because
+    // only genuine cosine-near-dups (vs the EARLIER doc by (ts, id)) drop
+    "d16_stream_neardup_verified" -> ((s, dir) => withStatePartitions(s, 8) {
+      withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        // +1 day: an event time EQUAL to the initial watermark (epoch 0)
+        // is filtered as late by transformWithState's strict > check —
+        // unlike dropDuplicatesWithinWatermark's — and vec_id 0 would
+        // silently never register
+        val stream = Tables.embeddingsStream(s, dir)
+          .withColumn("ts", timestamp_micros(col("vec_id") + lit(86400000000L)))
+        val flags = graft.streaming.StreamingDedup.nearDupBandFlags(
+          stream, "ts", "embedding", watermarkDelay = "3650 days")
+        val sink = "d16_stream_neardup_sink"
+        val q = flags.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val dropped = s.table(sink).where(col("matched_id").isNotNull)
+          .select(col("vec_id")).distinct()
+        Tables.embeddings(s, dir)
+          .join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"))
+      }
+    }),
+
     // ---- similarity search ----
     "s01_ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
@@ -1664,6 +1694,28 @@ object SparkEntry {
           |JOIN embeddings ex ON ex.vec_id = a
           |JOIN embeddings ey ON ey.vec_id = b
           |WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.35""".stripMargin,
+      // d16 = the batch d10 pair set's survivors: a doc drops iff it is
+      // the LATER side (b) of any multi-table verified pair — streaming
+      // arrival order is vec_id order (ts = timestamp_micros(vec_id))
+      "d16_stream_neardup_verified" ->
+        """WITH pl AS (SELECT t, p, list_transform(generate_series(0, 63), j ->
+          |    CASE WHEN ((('0x'||substr(md5('plane:'||t||':'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
+          |         THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(generate_series(0, 2)) AS t)
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)),
+          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |d AS (SELECT vec_id, t, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
+          |      FROM v CROSS JOIN pl),
+          |bk AS (SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          |       FROM d GROUP BY vec_id, t),
+          |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          |         FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+          |p2 AS (SELECT a, b FROM cand
+          |       JOIN embeddings ex ON ex.vec_id = a
+          |       JOIN embeddings ey ON ey.vec_id = b
+          |       WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.35)
+          |SELECT vec_id FROM embeddings
+          |WHERE vec_id NOT IN (SELECT b FROM p2)""".stripMargin,
       "d08_contamination" ->
         s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs
            |            FROM (SELECT doc_id, $toks AS t FROM documents)),
