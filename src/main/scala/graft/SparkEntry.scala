@@ -729,6 +729,24 @@ object SparkEntry {
     // catches near-identical frames where m04's exact digests can't
     "m07_perceptual_pairs" -> ((s, dir) =>
       Multimodal.perceptualDupPairs(Multimodal.asMedia(Tables.documents(s, dir)))),
+    // REAL image decode end-to-end: per doc a deterministic grayscale PNG
+    // (dims and pixel values are formulas of doc_id) goes through the
+    // JRE's actual PNG encoder, then ImageIoCodec's actual decoder —
+    // recovered dims and the luma aHash must match the oracle computing
+    // the same formulas in pure SQL. Encode is fixture; decode is the
+    // tested path (real pixels, not StubCodec fakes).
+    "m08_imageio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 13 + 8).toInt
+          val h = (id % 7 + 8).toInt
+          (id, Multimodal.syntheticGrayPng(w, h,
+            (x, y) => (((id * 31 + y.toLong * w + x) * 17) % 256).toInt))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("image"))
+      Multimodal.decodeImages(pngs).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("ahash"))
+    }),
 
     // ---- custom Catalyst expression in a real plan (no DuckDB siphash:
     //      rows-only check; value parity proven by SipHash vectors spec).
@@ -1881,6 +1899,21 @@ object SparkEntry {
           |  FROM ck x JOIN ck y ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id)
           |SELECT a, b, count(*)::BIGINT AS n_frame_matches
           |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY 1, 2""".stripMargin,
+      // m08: the PNG fixture's dims and pixels are pure formulas of doc_id
+      // (w = id%13+8, h = id%7+8, luma(i) = ((id*31 + i)*17) % 256
+      // row-major), so the REAL encode→decode roundtrip must reproduce
+      // this SQL exactly: mean = truncating sum/60, bit i set iff
+      // luma > mean, MSB-first (bit i weighs 2^(59-i))
+      "m08_imageio_decode" ->
+        """WITH d AS (SELECT doc_id, (doc_id % 13) + 8 AS w, (doc_id % 7) + 8 AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h, i, ((doc_id * 31 + i) * 17) % 256 AS g
+          |       FROM d CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)),
+          |mn AS (SELECT doc_id, sum(g) // 60 AS mean FROM px GROUP BY 1)
+          |SELECT px.doc_id, px.w::BIGINT AS width, px.h::BIGINT AS height,
+          |  sum(CASE WHEN g > mean THEN (1::BIGINT << (59 - i)::INT) ELSE 0 END)::BIGINT AS ahash
+          |FROM px JOIN mn ON px.doc_id = mn.doc_id
+          |GROUP BY 1, 2, 3""".stripMargin,
     )
   }
 }

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * pipelines: media as opaque `binary` columns plus typed metadata, with
   * decode / feature-extraction as *batched* partition-local transforms.
   *
-  * The Spark-side plumbing is the real deliverable — schema, partitioning,
-  * batch shape, typed Encoders — while the codec itself is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries; a real
-  * deployment swaps [[StubCodec]] for JNI/FFI bindings without touching the
+  * The Spark-side plumbing — schema, partitioning, batch shape, typed
+  * Encoders — is shared by two codecs behind one boundary: IMAGES decode
+  * for real ([[ImageIoCodec]], `javax.imageio` from the JRE — actual
+  * PNG/BMP pixels, dims, luma hashes); audio/video stay STUBBED with a
+  * deterministic fake ([[StubCodec]] — those codecs aren't in the JRE; a
+  * real deployment swaps in JNI/FFI bindings without touching the
   * pipeline).
   *
   * Scale design:
@@ -68,6 +70,104 @@ object Multimodal {
         height = b1 + 1L,
         n_frames = r.media.length / 100 + 1L)
     }
+  }
+
+  /** REAL image decode — `javax.imageio` ships in the JRE, so PNG/BMP/GIF
+    * decoding needs zero dependencies: width/height come from actual
+    * decoded pixels, n_frames = 1 (still image). Payloads ImageIO cannot
+    * decode (no registered reader / corrupt container) degrade to
+    * width = height = n_frames = 0 rather than failing the task — the
+    * permissive-corrupt-row convention every graft source follows.
+    * [[StubCodec]] remains the stand-in for audio/video, whose codecs
+    * genuinely are not in the JRE.
+    */
+  object ImageIoCodec extends Codec {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] = batch.map { r =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(r.media).map("%02x".format(_)).mkString
+      val img = decode(r.media)
+      MediaMeta(
+        doc_id = r.doc_id,
+        n_bytes = r.media.length.toLong,
+        sha256 = hex,
+        width = if (img == null) 0L else img.getWidth.toLong,
+        height = if (img == null) 0L else img.getHeight.toLong,
+        n_frames = if (img == null) 0L else 1L)
+    }
+
+    private[graft] def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+
+    /** Integer luma of one pixel: the raw sample for single-band
+      * (grayscale) images — `getRGB` would round-trip through sRGB color
+      * conversion and is NOT the identity on gray — and the classic
+      * BT.601 integer weights `(299 r + 587 g + 114 b) / 1000` otherwise.
+      */
+    private[graft] def lumaAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+      if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+      else {
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+      }
+
+    /** Perceptual AVERAGE HASH from REAL pixel luma — the image-decode
+      * twin of [[frameAHashes]]' byte-level aHash, bit-compatible with its
+      * convention: 60 bits over the first 60 pixels row-major, bit set iff
+      * the pixel's luma exceeds the integer mean, MSB-first fold. None if
+      * the payload does not decode or carries fewer than 60 pixels.
+      */
+    def aHash(bytes: Array[Byte]): Option[Long] = aHashOf(decode(bytes))
+
+    private[graft] def aHashOf(img: java.awt.image.BufferedImage): Option[Long] = {
+      if (img == null || img.getWidth.toLong * img.getHeight < 60) None
+      else {
+        val w = img.getWidth
+        val lumas = (0 until 60).map(i => lumaAt(img, i % w, i / w).toLong)
+        val mean = lumas.sum / 60
+        Some(lumas.foldLeft(0L)((acc, l) => acc * 2 + (if (l > mean) 1L else 0L)))
+      }
+    }
+  }
+
+  /** Deterministic grayscale PNG — the m08 TEST FIXTURE generator: pixel
+    * (x, y) carries gray value `f(x, y)`, encoded through the JRE's real
+    * PNG writer so [[ImageIoCodec]] decodes genuine compressed image
+    * bytes, not a fabricated container.
+    */
+  def syntheticGrayPng(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  case class ImageDecoded(doc_id: Long, width: Long, height: Long, ahash: Option[Long])
+
+  /** Batched REAL-pixel decode + perceptual hash over an image media
+    * table: the same partition-local batch shape as [[extractMeta]]
+    * (bytes never shuffle; only (id, dims, 8-byte hash) rows leave the
+    * scan), with [[ImageIoCodec]] doing actual PNG/BMP decoding.
+    */
+  def decodeImages(media: DataFrame, batchSize: Int = 64): Dataset[ImageDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val img = ImageIoCodec.decode(r.media) // decode ONCE: dims + hash
+        ImageDecoded(r.doc_id,
+          if (img == null) 0L else img.getWidth.toLong,
+          if (img == null) 0L else img.getHeight.toLong,
+          ImageIoCodec.aHashOf(img))
+      }))
   }
 
   /** Lift the documents table into a media table — text bytes stand in for

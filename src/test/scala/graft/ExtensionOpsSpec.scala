@@ -145,6 +145,55 @@ class ExtensionOpsSpec extends SparkTestBase {
         maxBucketFreq = Some(1L)).collect().isEmpty)
   }
 
+  test("ImageIoCodec decodes real PNG pixels: dims, luma aHash, corrupt fallback") {
+    import graft.multimodal.Multimodal
+    // 10×8 gradient: the JRE PNG writer → ImageIO reader roundtrip must
+    // recover every pixel exactly (grayscale has no color-space surprises)
+    val png = Multimodal.syntheticGrayPng(10, 8, (x, y) => (y * 10 + x) * 3)
+    val img = Multimodal.ImageIoCodec.decode(png)
+    assert(img.getWidth == 10 && img.getHeight == 8)
+    // hand-computed aHash: lumas 0,3,…,177 over the first 60 px, mean
+    // (Σ 3i for i<60)/60 = 3*59/2 = 88 (integer), bit set iff luma > 88
+    val lumas = (0 until 60).map(_ * 3L)
+    val mean = lumas.sum / 60
+    val expect = lumas.foldLeft(0L)((a, l) => a * 2 + (if (l > mean) 1L else 0L))
+    assert(Multimodal.ImageIoCodec.aHash(png).contains(expect))
+    // decodeBatch: real dims, 1 frame; corrupt payload degrades to zeros
+    val metas = Multimodal.ImageIoCodec.decodeBatch(Seq(
+      Multimodal.MediaRecord(1L, png, "image"),
+      Multimodal.MediaRecord(2L, "not a png".getBytes("UTF-8"), "image")))
+    assert(metas.map(m => (m.doc_id, m.width, m.height, m.n_frames)) ==
+      Seq((1L, 10L, 8L, 1L), (2L, 0L, 0L, 0L)))
+    assert(Multimodal.ImageIoCodec.aHash("junk".getBytes("UTF-8")).isEmpty)
+    // under 60 px → no hash (too little signal), dims still real
+    val tiny = Multimodal.syntheticGrayPng(7, 8, (_, _) => 1)
+    assert(Multimodal.ImageIoCodec.aHash(tiny).isEmpty)
+    assert(Multimodal.ImageIoCodec.decodeBatch(Seq(
+      Multimodal.MediaRecord(3L, tiny, "image"))).head.width == 7L)
+  }
+
+  test("decodeImages: partition-local real decode over a media frame") {
+    import graft.multimodal.Multimodal
+    val rows = Seq(5L, 6L).map { id =>
+      val w = (id % 13 + 8).toInt
+      val h = (id % 7 + 8).toInt
+      (id, Multimodal.syntheticGrayPng(w, h,
+        (x, y) => (((id * 31 + y.toLong * w + x) * 17) % 256).toInt), "image")
+    }
+    val out = Multimodal.decodeImages(rows.toDF("doc_id", "media", "media_type"))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(5L).width == 13 && out(5L).height == 13) // 5%13+8, 5%7+8
+    assert(out(6L).width == 14 && out(6L).height == 14)
+    // ahash from REAL decoded pixels matches the generator formula
+    def expect(id: Long): Long = {
+      val lumas = (0 until 60).map(i => ((id * 31 + i) * 17) % 256)
+      val mean = lumas.sum / 60
+      lumas.foldLeft(0L)((a, l) => a * 2 + (if (l > mean) 1L else 0L))
+    }
+    assert(out(5L).ahash.contains(expect(5L)))
+    assert(out(6L).ahash.contains(expect(6L)))
+  }
+
   test("perceptual pairs feed the shared dedup-apply path: keeper survives") {
     val frameA = "a" * 30 + "b" * 30
     val frameB = "a" * 30 + "b" * 29 + "a"
