@@ -704,6 +704,11 @@ object SparkEntry {
     // per-query flattened lookup tables — the production index shape
     "s08_ivfpq_search" -> ((s, dir) =>
       Ann.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // k-means with deterministic k-means|| seeding (md5-Bernoulli
+    // oversampling, integer cost/threshold math) + 2 Lloyd iterations —
+    // the whole init→weight→reduce→train pipeline is engine-exact
+    "s09_kmeans_pp" -> ((s, dir) =>
+      Ann.kmeansParallel(Tables.embeddings(s, dir))),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -1579,6 +1584,70 @@ object SparkEntry {
           |  count(*)::BIGINT AS n
           |  FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2)
           |SELECT cell, dim, (sum_ppm // n)::BIGINT AS mean_ppm, n AS n_vectors FROM s2""".stripMargin,
+      // s09: k-means|| init (seed = min vec_id; 2 md5-Bernoulli oversampling
+      // rounds at l=40 with INTEGER cost/threshold math; weight-by-assignment
+      // reduce to k=20) + 2 Lloyd iterations — mirrors Ann.kmeansParallel
+      // defaults step for step. Cosines are spelled as explicit left-to-right
+      // dot products (list_sum ∘ list_transform), the same summation order as
+      // the Spark side's vec_dot, so even the floor()ed distance integers are
+      // bit-identical across engines.
+      "s09_kmeans_pp" ->
+        """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nm FROM v0),
+          |c0 AS (SELECT vec_id AS cell, v AS cv, nm AS cn FROM n
+          |       WHERE vec_id = (SELECT min(vec_id) FROM n)),
+          |d1 AS (SELECT n.vec_id,
+          |         max(list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn)) AS cm
+          |       FROM n CROSS JOIN c0 c GROUP BY n.vec_id),
+          |e1 AS (SELECT n.vec_id, n.v, n.nm,
+          |         CAST(floor((1-d1.cm)*(1-d1.cm)*1000000) AS BIGINT) AS d2ppm
+          |       FROM n JOIN d1 ON n.vec_id = d1.vec_id),
+          |s1 AS (SELECT vec_id, v, nm FROM e1
+          |       WHERE ((('0x'||substr(md5('kmpp:1:'||vec_id),1,13))::BIGINT % 1048576)
+          |              * (SELECT sum(d2ppm) FROM e1)) < 40 * d2ppm * 1048576),
+          |c1 AS (SELECT cell, cv, cn FROM c0 UNION ALL SELECT vec_id, v, nm FROM s1),
+          |d2 AS (SELECT n.vec_id,
+          |         max(list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn)) AS cm
+          |       FROM n CROSS JOIN c1 c GROUP BY n.vec_id),
+          |e2 AS (SELECT n.vec_id, n.v, n.nm,
+          |         CAST(floor((1-d2.cm)*(1-d2.cm)*1000000) AS BIGINT) AS d2ppm
+          |       FROM n JOIN d2 ON n.vec_id = d2.vec_id),
+          |s2 AS (SELECT vec_id, v, nm FROM e2
+          |       WHERE ((('0x'||substr(md5('kmpp:2:'||vec_id),1,13))::BIGINT % 1048576)
+          |              * (SELECT sum(d2ppm) FROM e2)) < 40 * d2ppm * 1048576),
+          |c2 AS (SELECT cell, cv, cn FROM c1 UNION ALL SELECT vec_id, v, nm FROM s2),
+          |aw AS (SELECT vec_id, cell FROM (
+          |        SELECT n.vec_id, c.cell,
+          |          row_number() OVER (PARTITION BY n.vec_id
+          |            ORDER BY list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn) DESC,
+          |                     c.cell ASC) AS rn
+          |        FROM n CROSS JOIN c2 c) WHERE rn = 1),
+          |w AS (SELECT cell, count(*) AS wt FROM aw GROUP BY cell),
+          |ck AS (SELECT c2.cell, c2.cv, c2.cn FROM c2 JOIN w ON c2.cell = w.cell
+          |       ORDER BY w.wt DESC, c2.cell ASC LIMIT 20),
+          |a1 AS (SELECT vec_id, v, cell FROM (
+          |        SELECT n.vec_id, n.v, c.cell,
+          |          row_number() OVER (PARTITION BY n.vec_id
+          |            ORDER BY list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn) DESC,
+          |                     c.cell ASC) AS rn
+          |        FROM n CROSS JOIN ck c) WHERE rn = 1),
+          |t1 AS (SELECT cell, j::BIGINT AS dim,
+          |         sum(CAST(floor(v[j] * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          |         count(*)::BIGINT AS nv
+          |       FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2),
+          |r1 AS (SELECT cell, list((sum_ppm // nv)::DOUBLE ORDER BY dim) AS cv FROM t1 GROUP BY cell),
+          |k1 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn FROM r1),
+          |a2 AS (SELECT vec_id, v, cell FROM (
+          |        SELECT n.vec_id, n.v, c.cell,
+          |          row_number() OVER (PARTITION BY n.vec_id
+          |            ORDER BY list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn) DESC,
+          |                     c.cell ASC) AS rn
+          |        FROM n CROSS JOIN k1 c) WHERE rn = 1),
+          |t2 AS (SELECT cell, j::BIGINT AS dim,
+          |         sum(CAST(floor(v[j] * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          |         count(*)::BIGINT AS nv
+          |       FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2)
+          |SELECT cell, dim, (sum_ppm // nv)::BIGINT AS mean_ppm, nv AS n_vectors FROM t2""".stripMargin,
       "t05_winnow" ->
         s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
            |hs AS (SELECT doc_id, list_transform(gs, g -> ${h60("g")}) AS h FROM kg),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VecDot
+import graft.functions.{PortableHash, VecDot}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`embeddings(vec_id, embedding: array<float>, label)`).
@@ -95,17 +95,18 @@ object Ann {
     * [[bruteForceTopK]]; recall < 1 by design (that's the trade).
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
-              centroidStep: Long = 25L, nprobe: Int = 3): DataFrame = {
+              centroidStep: Long = 25L, nprobe: Int = 3,
+              centroids: Option[DataFrame] = None): DataFrame = {
     val corpus = normalize(embeddings, "vec_id")
-    val centroids = corpus.where(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
-    val assigned = assignCells(corpus, centroids)
+    val cents = centroids.getOrElse(corpus.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm")))
+    val assigned = assignCells(corpus, cents)
 
     val queries = corpus.where(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val qcos = dotCol("qv", "cv") / (col("qnorm") * col("cnorm"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("cell").asc)
-    val probes = broadcast(queries).crossJoin(broadcast(centroids))
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("qnorm"), col("cell"), qcos.as("__cos"))
       .withColumn("__rn", row_number().over(wProbe))
       .where(col("__rn") <= nprobe)
@@ -196,23 +197,71 @@ object Ann {
     */
   def kmeansCentroids(embeddings: DataFrame, centroidStep: Long = 25L,
                       iterations: Int = 2): DataFrame = {
-    require(iterations >= 1, "kmeans needs at least one iteration")
     val corpus = normalize(embeddings, "vec_id")
-    // truncating long division (Spark `div`), = DuckDB BIGINT `//`;
-    // NOT floor division — they differ on negative sums
-    val meanPpm = expr("sum_ppm div n_vectors")
-    var cents = corpus.where(col("vec_id") % centroidStep === 0)
+    val init = corpus.where(col("vec_id") % centroidStep === 0)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    lloyd(corpus, init, iterations, tolPpm = -1L)._1
+  }
+
+  // truncating long division (Spark `div`), = DuckDB BIGINT `//`;
+  // NOT floor division — they differ on negative sums
+  private val meanPpm = expr("sum_ppm div n_vectors")
+
+  /** Centroid frame (cell, cv, cnorm) from a Lloyd stats frame
+    * `(cell, dim, sum_ppm|mean_ppm, n_vectors)` — the integer-exact
+    * rebuild used between Lloyd rounds, public so a TRAINED centroid set
+    * ([[kmeansParallel]] / [[kmeansConverged]] output) can be fed straight
+    * into [[ivfTopK]] / [[ivfPqTopK]] in place of the deterministic
+    * step quantizer. Cosine is scale-invariant, so the ppm-scaled
+    * centroid vectors rank identically to the true means.
+    */
+  def centroidsFromStats(stats: DataFrame): DataFrame = {
+    val m = if (stats.columns.contains("mean_ppm")) col("mean_ppm").cast("double")
+            else meanPpm.cast("double")
+    stats
+      .select(col("cell"), col("dim"), m.as("m"))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("dim"), col("m"))).as("__dm"))
+      .select(col("cell"),
+        transform(array_sort(col("__dm")), s => s.getField("m")).as("cv"))
+      .withColumn("cnorm", sqrt(aggregate(
+        transform(col("cv"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+  }
+
+  /** The shared Lloyd loop: assign → integer-exact stat update → rebuild,
+    * starting from an explicit centroid frame.
+    *
+    * `tolPpm < 0` reproduces the original fixed-iteration behavior with no
+    * extra jobs. `tolPpm >= 0` adds a CONVERGENCE STOP: after each update,
+    * the max absolute per-(cell, dim) movement of the integer centroid
+    * means is reduced to the driver (one tiny aggregate over cells × dim
+    * rows — the standard iterative-ML control-loop shape, same as MLlib's
+    * per-step cost collect); the loop exits once movement ≤ tolPpm.
+    * Movement is computed in scaled-INTEGER space, so "converged" is
+    * engine-exact, not a float epsilon. A cell appearing/disappearing
+    * between rounds counts as movement of its full magnitude (full outer
+    * join, absent side = 0).
+    *
+    * Returns (post-final-assignment stats, iterations actually run).
+    */
+  private def lloyd(corpus: DataFrame, init: DataFrame, maxIterations: Int,
+                    tolPpm: Long): (DataFrame, Int) = {
+    require(maxIterations >= 1, "kmeans needs at least one iteration")
+    var cents = init
     var stats: DataFrame = null
-    for (i <- 1 to iterations) {
+    var prev: DataFrame = null
+    var i = 0
+    var converged = false
+    while (i < maxIterations && !converged) {
+      i += 1
       val assigned = assignCells(corpus, cents)
       // localCheckpoint: truncate the iterative lineage (cells × dim rows,
       // tiny) — without it each round's plan NESTS all prior rounds'
       // broadcasts and corpus scans, the driver-stall class the
       // connectedComponents loop already guards against. Lazy: there is no
-      // per-round probe action here, so the next round's centroid
-      // broadcast (or the final action) materializes it — one fewer job
-      // per iteration.
+      // per-round probe action on the fixed-iteration path, so the next
+      // round's centroid broadcast (or the final action) materializes it;
+      // on the convergence path the movement aggregate is that action.
       stats = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
@@ -220,16 +269,122 @@ object Ann {
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("x_ppm")).as("sum_ppm"), count(lit(1)).as("n_vectors"))
         .localCheckpoint(eager = false)
-      if (i < iterations) cents = stats
-        .select(col("cell"), col("dim"), meanPpm.cast("double").as("m"))
-        .groupBy(col("cell"))
-        .agg(collect_list(struct(col("dim"), col("m"))).as("__dm"))
-        .select(col("cell"),
-          transform(array_sort(col("__dm")), s => s.getField("m")).as("cv"))
-        .withColumn("cnorm", sqrt(aggregate(
-          transform(col("cv"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      if (tolPpm >= 0L && prev != null) {
+        val movement = stats.select(col("cell"), col("dim"), meanPpm.as("m2"))
+          .join(prev.select(col("cell"), col("dim"), meanPpm.as("m1")),
+            Seq("cell", "dim"), "full_outer")
+          .agg(coalesce(
+            max(abs(coalesce(col("m2"), lit(0L)) - coalesce(col("m1"), lit(0L)))),
+            lit(0L)))
+          .head().getLong(0)
+        if (movement <= tolPpm) converged = true
+      }
+      prev = stats
+      if (!converged && i < maxIterations) cents = centroidsFromStats(stats)
     }
-    stats.select(col("cell"), col("dim"), meanPpm.as("mean_ppm"), col("n_vectors"))
+    (stats.select(col("cell"), col("dim"), meanPpm.as("mean_ppm"),
+      col("n_vectors")), i)
+  }
+
+  /** Deterministic k-means‖ seeding (Bahmani et al., VLDB'12 — "Scalable
+    * k-means++") — the SCALABLE init for [[kmeansParallel]] /
+    * [[kmeansConverged]]: instead of k sequential k-means++ draws (k
+    * corpus scans, inherently serial), each of `rounds` passes OVERSAMPLES
+    * ~`oversample` new centers in parallel, then the ~`1 + rounds ×
+    * oversample` candidates are weighted by their assignment counts and
+    * reduced to the k heaviest. Every step is one broadcast of the (tiny)
+    * candidate set + one map-side-combined aggregate over the corpus —
+    * the corpus itself never shuffles.
+    *
+    * Engine-exact (and thus oracle-checkable) by construction, which is
+    * unusual for a sampling init:
+    *  - the seed center is the min vec_id (no RNG);
+    *  - per round, a point x is drawn iff
+    *    `u20(x, round) · φ < oversample · d²ppm(x) · 2²⁰`, where
+    *    `d²ppm(x) = floor((1 - maxcos(x, C))² · 10⁶)` (INTEGER squared
+    *    cosine distance), `φ = Σ d²ppm` (exact integer cost), and
+    *    `u20(x, r) = md5("kmpp:r:" + vec_id) mod 2²⁰` is a deterministic
+    *    20-bit uniform — the md5-Bernoulli analog of the paper's
+    *    `p(x) = ℓ·d²(x)/φ(C)` draw. All-integer comparison: no float
+    *    summation order anywhere near a branch. (Magnitudes: u20 < 2²⁰,
+    *    φ ≤ |corpus|·4·10⁶ — the product stays under 2⁶³ up to ~10¹²
+    *    rows.)
+    *  - reduction = top-k candidates by (assignment count DESC, cell ASC)
+    *    — a TakeOrdered over the candidate set, not a window.
+    *
+    * φ is reduced to the driver once per round (a scalar — the same
+    * control-loop shape as the paper's cost term and MLlib's impl); the
+    * per-round distance frame is lazily checkpointed so the φ action
+    * materializes it and the sampling filter reuses it.
+    *
+    * Input is a normed corpus frame (vec_id, v, norm); output is a
+    * centroid frame (cell, cv, cnorm), cell = source vec_id.
+    */
+  private[graft] def kmeansParallelInit(corpus: DataFrame, k: Int,
+                                        rounds: Int, oversample: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && oversample >= 1, "k, rounds, oversample must be >= 1")
+    val seedId = corpus.agg(min(col("vec_id"))).head().getLong(0)
+    var cents = corpus.where(col("vec_id") === seedId)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    for (r <- 1 to rounds) {
+      val cos = dotCol("v", "cv") / (col("norm") * col("cnorm"))
+      val d2 = corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("norm"), cos.as("__cos"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
+          max(col("__cos")).as("__cm"))
+        // (1-cm)² in ppm — floor AFTER the float product, so an already-
+        // chosen center (cm ≈ 1 up to sqrt rounding, possibly a hair past
+        // it) lands at exactly 0 and can never be re-drawn
+        .withColumn("d2_ppm", floor((lit(1.0) - col("__cm"))
+          * (lit(1.0) - col("__cm")) * lit(1000000.0)).cast("long"))
+        .localCheckpoint(eager = false)
+      val phi = d2.agg(coalesce(sum(col("d2_ppm")), lit(0L))).head().getLong(0)
+      if (phi > 0L) {
+        val u20 = pmod(conv(substring(
+          PortableHash.md5Hex(concat(lit(s"kmpp:$r:"), col("vec_id"))),
+          1, 13), 16, 10).cast("long"), lit(1048576L))
+        val sampled = d2
+          .where(u20 * lit(phi) < lit(oversample.toLong) * col("d2_ppm") * lit(1048576L))
+          .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+        cents = cents.unionByName(sampled)
+      }
+    }
+    val weights = assignCells(corpus, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("__w"))
+    // every candidate assigns at least itself, so the inner join drops none
+    cents.join(weights, Seq("cell"))
+      .orderBy(col("__w").desc, col("cell").asc)
+      .limit(k)
+      .select(col("cell"), col("cv"), col("cnorm"))
+  }
+
+  /** k-means with the k-means‖ seeding and a FIXED iteration count — the
+    * engine-exact face (same integer centroid math as
+    * [[kmeansCentroids]], deterministic init), so the whole
+    * init→weight→reduce→Lloyd pipeline hash-matches a SQL oracle.
+    * Output: (cell, dim, mean_ppm, n_vectors).
+    */
+  def kmeansParallel(embeddings: DataFrame, k: Int = 20, rounds: Int = 2,
+                     oversample: Int = 40, iterations: Int = 2): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    lloyd(corpus, kmeansParallelInit(corpus, k, rounds, oversample),
+      iterations, tolPpm = -1L)._1
+  }
+
+  /** k-means run to CONVERGENCE — k-means‖ seeding, then Lloyd rounds
+    * until the max per-(cell, dim) integer-mean movement is ≤ `tolPpm`
+    * (or `maxIterations`). Returns (stats, iterations actually run).
+    * The production training shape; [[kmeansParallel]] is its
+    * fixed-iteration twin for oracle exactness.
+    */
+  def kmeansConverged(embeddings: DataFrame, k: Int = 20, rounds: Int = 2,
+                      oversample: Int = 40, maxIterations: Int = 25,
+                      tolPpm: Long = 0L): (DataFrame, Int) = {
+    require(tolPpm >= 0L, "tolPpm must be >= 0 (use kmeansParallel for fixed iterations)")
+    val corpus = normalize(embeddings, "vec_id")
+    lloyd(corpus, kmeansParallelInit(corpus, k, rounds, oversample),
+      maxIterations, tolPpm)
   }
 
   /** Sign-LSH bucketing (random-hyperplane surrogate): bucket id = sign
@@ -384,12 +539,13 @@ object Ann {
     */
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
                 centroidStep: Long = 25L, nprobe: Int = 3,
-                subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
+                subspaces: Int = 8, codebookSize: Int = 16,
+                centroids: Option[DataFrame] = None): DataFrame = {
     val subDim = pqSubDim(subspaces)
     val corpus = normalize(embeddings, "vec_id")
     val v = corpus.select(col("vec_id"), col("v")) // double-cast ONCE, reused below
-    val centroids = corpus.where(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val cents = centroids.getOrElse(corpus.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm")))
     val codebook = pqCodebookFrom(v, subspaces, codebookSize) // defined ONCE
 
     // ---- index build (precomputed in a real deployment) ----
@@ -399,7 +555,7 @@ object Ann {
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         s => s.getField("code")).as("codes"))
-    val index = assignCells(corpus, centroids)
+    val index = assignCells(corpus, cents)
       .select(col("vec_id"), col("cell"))
       .join(codes, Seq("vec_id"))
 
@@ -417,7 +573,7 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val qcos = dotCol("qv", "cv") / (col("qnorm") * col("cnorm"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("cell").asc)
-    val probes = broadcast(queries).crossJoin(broadcast(centroids))
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
       .select(col("query_id"), col("cell"), qcos.as("__cos"))
       .withColumn("__rn", row_number().over(wProbe))
       .where(col("__rn") <= nprobe)
