@@ -40,6 +40,11 @@ object SparkEntry {
   private val cClickUsersAcd =
     CounterDef("click_users", CounterType.ApproxCountDistinct,
       targetExpr = Some("""if(event_type == "click", user_id, nil)"""), windowDuration = Hour)
+  private val cBoolFloorCount =
+    CounterDef("bool_floor_count", CounterType.Count,
+      targetExpr = Some(
+        """if(as_bool(if(value >= 50.0, "t", "f")) && floor(min(value, 150.0)) % 2 == 0, 1, nil)"""),
+      windowDuration = Hour)
   private val cRequestCount2p = cRequestCount.copy(id = "request_count_2p")
   private val cUserAcd2p = cUserAcd.copy(id = "unique_users_2p")
   private val cBigValueCount =
@@ -792,6 +797,11 @@ object SparkEntry {
           | ok: ((.value < "s") and (null < false) and ([1, 2] < [1, 3])
           |      and ({"a": 9} < {"b": 0}))}
           || select(.ok) | .vs[]""".stripMargin)),
+    // O7 dialect completion: as_bool (coercion-family face) + min/floor
+    // extensions composed in one counter predicate — count semantics
+    // (non-nil ∧ non-false) over the evaluator result
+    "c33_expr_dialect" -> ((s, dir) =>
+      Counters.run(events(s, dir), "ts", cBoolFloorCount)),
   )
 
   /** Build the `c30` fixture: a 5% events subset written as per-shard
@@ -1044,6 +1054,15 @@ object SparkEntry {
           |                   ELSE [0, value + 1, value] END) AS vs
           |FROM (SELECT count(*) AS value FROM events
           |      GROUP BY time_bucket(INTERVAL '1 hour', ts))""".stripMargin,
+      // c33: the Spark side evaluates the dialect (as_bool/min/floor); the
+      // oracle expresses the equivalent predicate directly. floor() is cast
+      // to BIGINT because DuckDB floor returns DOUBLE (Spark's returns LONG);
+      // % on BIGINT truncates identically in both engines.
+      "c33_expr_dialect" ->
+        s"""SELECT $win, 'bool_floor_count' AS counter_id, 'count' AS counter_type,
+           | count(*) FILTER (WHERE value >= 50.0
+           |   AND CAST(floor(least(value, 150.0)) AS BIGINT) % 2 = 0) AS value
+           | FROM events GROUP BY 1, 2""".stripMargin,
       "c25_engine_config_e2e" ->
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'metric.cfg_clicks' AS name,

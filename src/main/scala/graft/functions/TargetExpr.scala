@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   *
   * Dialect: literals (numbers, "strings", true/false/nil), identifiers
   * (top-level record fields), `== != < <= > >= + - * / %`, `&& || !`, and
-  * functions `if(c,t,e)`, `coalesce(...)`, `as_string(x)`, `as_number(x)`,
-  * `string_contains(s, sub)`, plus small extensions (`length`, `lower`,
-  * `upper`, `trim`, `abs`). `nil` compiles to SQL NULL.
+  * functions. Publicly attested surface (reference README §target_expr,
+  * `testdata/target_expr*.yaml` + `aggregate_count.yaml` fixtures, and the
+  * `counter.go:260-306` eval semantics): `if(c,t,e)`, `coalesce(...)`,
+  * `as_string(x)`, `as_number(x)`, `string_contains(s, sub)`. The
+  * evaluator's coercion family is completed with `as_bool(x)` (same
+  * warn+skip try_cast shape as `as_number`). Everything further is a
+  * documented EXTENSION beyond the attested surface, kept to generic
+  * scalar helpers any such dialect grows: `length`, `lower`, `upper`,
+  * `trim`, `abs`, `min(...)`, `max(...)`, `floor`, `ceil`, `round`.
+  * `nil` compiles to SQL NULL.
   */
 object TargetExpr {
 
@@ -200,12 +207,24 @@ object TargetExpr {
       // try_cast semantics: a malformed value → NULL → row skipped, the
       // reference's eval-error behavior (warn+skip, counter.go:262-266)
       case ("as_number", List(x)) => x.try_cast("double")
+      // boolean face of the as_* coercion family; accepts the SQL boolean
+      // string forms (true/false/t/f/y/n/yes/no/0/1), malformed → NULL →
+      // row skipped, same warn+skip contract as as_number
+      case ("as_bool", List(x)) => x.try_cast("boolean")
       case ("string_contains", List(s, sub)) => s.contains(sub)
       case ("length", List(x)) => length(x)
       case ("lower", List(x)) => lower(x)
       case ("upper", List(x)) => upper(x)
       case ("trim", List(x)) => trim(x)
       case ("abs", List(x)) => abs(x)
+      // variadic least/greatest — SQL NULL-skipping semantics (null only
+      // when ALL args are null), the dynamic-dialect analog of Go's
+      // nil-tolerant numeric folds
+      case ("min", _) if as.length >= 2 => least(as: _*)
+      case ("max", _) if as.length >= 2 => greatest(as: _*)
+      case ("floor", List(x)) => floor(x)
+      case ("ceil", List(x)) => ceil(x)
+      case ("round", List(x)) => round(x)
       case _ => fail(s"unknown function or arity: $name/${as.length}")
       }
     }

@@ -70,4 +70,49 @@ class TargetExprSpec extends SparkTestBase {
     // single-dot numbers still fine
     assert(TargetExpr.compile("0.25") != null)
   }
+
+  test("as_bool completes the as_* coercion family; malformed → nil (warn+skip)") {
+    val df = Seq("true", "FALSE", "t", "0", "yes", "garbage").toDF("path")
+    val vals = df.select(TargetExpr.compile("as_bool(path)").as("v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(vals.toSeq == Seq(true, false, true, false, true, null))
+    // numeric input: 0 → false, nonzero → true — same as as_number's cast shape
+    val n = Seq(0L, 3L).toDF("user_id")
+      .select(TargetExpr.compile("as_bool(user_id)").as("v")).collect().map(_.getBoolean(0))
+    assert(n.toSeq == Seq(false, true))
+  }
+
+  test("min/max are variadic least/greatest with SQL null-skipping") {
+    val df = Seq((Some(10L), 4L), (None, 7L)).toDF("user_id", "other")
+    val out = df.select(
+      TargetExpr.compile("min(user_id, other, 6)").as("a"),
+      TargetExpr.compile("max(user_id, other)").as("b")).collect()
+    assert(out(0).getLong(0) == 4L && out(0).getLong(1) == 10L)
+    // null arg skipped, not poisoning: min(null, 7, 6) = 6
+    assert(out(1).getLong(0) == 6L && out(1).getLong(1) == 7L)
+    // min/max need >= 2 args — 1-arg is an arity error at compile
+    assertThrows[IllegalArgumentException](TargetExpr.compile("min(user_id)"))
+  }
+
+  test("floor/ceil/round over doubles") {
+    val df = Seq(2.5, -2.5, 2.4).toDF("value")
+    val out = df.select(
+      TargetExpr.compile("floor(value)").as("f"),
+      TargetExpr.compile("ceil(value)").as("c"),
+      TargetExpr.compile("round(value)").as("r")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, -3L, 2L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, -2L, 3L))
+    // Spark round is HALF_UP on positive, HALF_UP toward -inf? no: HALF_UP
+    // away from zero for .5 — 2.5 → 3, -2.5 → -3
+    assert(out.map(_.getDouble(2)).toSeq == Seq(3.0, -3.0, 2.0))
+  }
+
+  test("composed: if(as_bool(...) && floor(min(...)) % 2 == 0, 1, nil) — c33 shape") {
+    val df = Seq(50.0, 51.0, 49.0, 151.0).toDF("value")
+    val c = TargetExpr.compile(
+      """if(as_bool(if(value >= 50.0, "t", "f")) && floor(min(value, 150.0)) % 2 == 0, 1, nil)""")
+    val vals = df.select(c.as("v")).collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    // 50 → even ✓; 51 → odd ✗; 49 → as_bool false ✗; 151 → min caps at 150, even ✓
+    assert(vals.toSeq == Seq(1L, null, null, 1L))
+  }
 }
