@@ -758,6 +758,25 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"), col("ahash"))
     }),
 
+    // REAL WAV decode (JRE javax.sound): deterministic 16-bit PCM fixtures
+    // (rate/channels/length/samples all pure formulas of doc_id) written
+    // through the real RIFF encoder, decoded back — header fields and the
+    // amplitude-delta fingerprint must reproduce the formula exactly
+    "m09_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (80 + id % 40).toInt
+          val samples = Array.tabulate(ns)(i =>
+            (((id * 37 + i) * 251) % 4096 - 2048).toInt)
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.decodeAudio(wavs).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("fp"))
+    }),
+
     // ---- custom Catalyst expression in a real plan (no DuckDB siphash:
     //      rows-only check; value parity proven by SipHash vectors spec).
     //      The NON-default key routes through the config → acdAgg path,
@@ -1992,6 +2011,25 @@ object SparkEntry {
       // row-major), so the REAL encode→decode roundtrip must reproduce
       // this SQL exactly: mean = truncating sum/60, bit i set iff
       // luma > mean, MSB-first (bit i weighs 2^(59-i))
+      // m09: the WAV fixture's header fields and channel-0 samples are pure
+      // formulas of doc_id (rate = 8000 + id%5*1000, ch = 1 + id%2,
+      // ns = 80 + id%40, s(i) = ((id*37 + i)*251) % 4096 - 2048 — the
+      // pre-% product is non-negative, so Spark/DuckDB truncating % agree);
+      // fingerprint bit i (MSB-first) set iff |s(i+1)| > |s(i)|
+      "m09_wav_decode" ->
+        """WITH d AS (SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS sample_rate,
+          |  1 + (doc_id % 2) AS channels, 80 + (doc_id % 40) AS n_samples
+          |  FROM documents),
+          |s AS (SELECT doc_id, i, ((doc_id * 37 + i) * 251) % 4096 - 2048 AS v
+          |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS i)),
+          |f AS (SELECT s1.doc_id,
+          |        sum(CASE WHEN abs(s2.v) > abs(s1.v)
+          |                 THEN (1::BIGINT << (59 - s1.i)::INT) ELSE 0 END)::BIGINT AS fp
+          |      FROM s s1 JOIN s s2 ON s1.doc_id = s2.doc_id AND s2.i = s1.i + 1
+          |      GROUP BY 1)
+          |SELECT d.doc_id, sample_rate::BIGINT AS sample_rate,
+          |  channels::BIGINT AS channels, n_samples::BIGINT AS n_samples, f.fp
+          |FROM d JOIN f ON d.doc_id = f.doc_id""".stripMargin,
       "m08_imageio_decode" ->
         """WITH d AS (SELECT doc_id, (doc_id % 13) + 8 AS w, (doc_id % 7) + 8 AS h
           |           FROM documents),

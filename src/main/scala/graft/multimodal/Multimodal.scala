@@ -149,6 +149,156 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL audio decode — `javax.sound.sampled` ships in the JRE, so
+    * WAV/RIFF PCM containers decode with zero dependencies: sample rate,
+    * channel count and frame count come from the actual container header,
+    * and the fingerprint from actual decoded channel-0 PCM samples.
+    * Payloads AudioSystem cannot read (no WAV header / unsupported
+    * encoding / corrupt container) degrade to all-zero metadata rather
+    * than failing the task — the permissive convention [[ImageIoCodec]]
+    * set for images. Compressed codecs (MP3/AAC/Opus) genuinely are not
+    * in the JRE and remain [[StubCodec]] territory.
+    */
+  object WavCodec {
+    /** Channel-0 PCM of a decoded container. */
+    private[graft] final case class Pcm(sampleRate: Long, channels: Int,
+                                        nFrames: Long, ch0: Array[Int])
+
+    /** Decode a RIFF/WAVE payload to channel-0 samples. Supports the PCM
+      * encodings the WAV spec carries natively: 16-bit signed (either
+      * endianness) and 8-bit (signed or unsigned, normalized to signed).
+      * None on anything unreadable.
+      */
+    private[graft] def decode(bytes: Array[Byte]): Option[Pcm] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          if ((!signed && !unsigned) || (bits != 8 && bits != 16)) None
+          else {
+            val data = in.readAllBytes()
+            val fs = fmt.getFrameSize
+            val n = data.length / fs
+            val ch0 = new Array[Int](n)
+            var f = 0
+            while (f < n) {
+              val off = f * fs
+              ch0(f) =
+                if (bits == 16) {
+                  // byte→int promotion sign-extends the high byte for free
+                  if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+                  else (data(off + 1) << 8) | (data(off) & 0xff)
+                } else if (unsigned) (data(off) & 0xff) - 128
+                else data(off).toInt
+              f += 1
+            }
+            Some(Pcm(fmt.getSampleRate.toLong, fmt.getChannels, n.toLong, ch0))
+          }
+        } finally in.close()
+      } catch {
+        // unsupported container or torn payload — permissive degrade
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+    /** Gain-invariant amplitude-delta fingerprint from REAL samples — the
+      * audio twin of [[ImageIoCodec.aHash]], borrowing the public
+      * Chromaprint idea (fingerprint = signs of successive feature
+      * deltas) in the amplitude domain: 60 bits over channel-0 samples
+      * 0..60, bit i set iff |s(i+1)| > |s(i)|, MSB-first fold. A gain
+      * change scales both sides of every comparison, so re-levelled
+      * copies keep their fingerprint; 60 bits (not 64) keeps the fold in
+      * non-negative BIGINT range for the DuckDB oracle, same convention
+      * as every other perceptual hash here. None if the payload does not
+      * decode or carries fewer than 61 samples.
+      */
+    def fingerprint(bytes: Array[Byte]): Option[Long] =
+      decode(bytes).flatMap(p => fingerprintOf(p.ch0))
+
+    private[graft] def fingerprintOf(ch0: Array[Int]): Option[Long] =
+      if (ch0.length < 61) None
+      else Some((0 until 60).foldLeft(0L) { (acc, i) =>
+        acc * 2 + (if (math.abs(ch0(i + 1)) > math.abs(ch0(i))) 1L else 0L)
+      })
+  }
+
+  /** Deterministic 16-bit PCM WAV — the m09 TEST FIXTURE generator:
+    * channel 0 carries the given samples (every channel carries the same
+    * signal), encoded through the JRE's real WAV writer so [[WavCodec]]
+    * decodes a genuine RIFF container, not a fabricated header.
+    */
+  def syntheticPcmWav(sampleRate: Int, channels: Int,
+                      samples: Array[Int]): Array[Byte] = {
+    val fs = 2 * channels
+    val pcm = new Array[Byte](samples.length * fs)
+    var i = 0
+    while (i < samples.length) {
+      var c = 0
+      while (c < channels) {
+        val off = i * fs + c * 2
+        pcm(off) = (samples(i) & 0xff).toByte
+        pcm(off + 1) = ((samples(i) >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  case class AudioDecoded(doc_id: Long, sample_rate: Long, channels: Long,
+                          n_samples: Long, fp: Option[Long])
+
+  /** Batched REAL-sample decode + fingerprint over an audio media table —
+    * the audio twin of [[decodeImages]]: same partition-local batch shape,
+    * container bytes never shuffle, only (id, rate, channels, count,
+    * 8-byte fingerprint) rows leave the scan.
+    */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64): Dataset[AudioDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        WavCodec.decode(r.media) match {
+          case Some(p) => AudioDecoded(r.doc_id, p.sampleRate, p.channels.toLong,
+            p.nFrames, WavCodec.fingerprintOf(p.ch0))
+          case None => AudioDecoded(r.doc_id, 0L, 0L, 0L, None)
+        }
+      }))
+  }
+
+  /** Audio near-dup pairs on the decoded fingerprint: documents whose
+    * amplitude-delta fingerprints are within Hamming ≤ `maxHamming` —
+    * re-levelled/re-containered copies of a recording land here even when
+    * the byte payloads differ everywhere. Same pigeonhole equi-join core
+    * as the image/text paths ([[graft.dedup.Dedup.hammingCandidatePairs]]);
+    * one fingerprint per document, so candidate volume is bounded by
+    * documents, not frames.
+    */
+  def audioDupPairs(media: DataFrame, maxHamming: Int = 3,
+                    maxBucketFreq: Option[Long] = None): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fps = media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .flatMap(r => WavCodec.fingerprint(r.media).map(fp => (r.doc_id, fp)))
+      .toDF("doc_id", "fp")
+    graft.dedup.Dedup.hammingCandidatePairs(
+      fps, "fp", bits = 60, maxHamming, maxBucketFreq = maxBucketFreq)
+  }
+
   case class ImageDecoded(doc_id: Long, width: Long, height: Long, ahash: Option[Long])
 
   /** Batched REAL-pixel decode + perceptual hash over an image media

@@ -194,6 +194,47 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out(6L).ahash.contains(expect(6L)))
   }
 
+  test("WavCodec decodes real RIFF/PCM: header fields, channel-0 samples, fingerprint") {
+    import graft.multimodal.Multimodal
+    // stereo 16-bit WAV through the JRE's real writer → reader roundtrip
+    val samples = Array.tabulate(100)(i => (i * 71) % 4096 - 2048)
+    val wav = Multimodal.syntheticPcmWav(16000, 2, samples)
+    val pcm = Multimodal.WavCodec.decode(wav).get
+    assert(pcm.sampleRate == 16000L && pcm.channels == 2 && pcm.nFrames == 100L)
+    assert(pcm.ch0.toSeq == samples.toSeq, "channel-0 PCM must roundtrip exactly")
+    // fingerprint = signs of successive |amplitude| deltas, MSB-first
+    val expect = (0 until 60).foldLeft(0L)((a, i) =>
+      a * 2 + (if (math.abs(samples(i + 1)) > math.abs(samples(i))) 1L else 0L))
+    assert(Multimodal.WavCodec.fingerprint(wav).contains(expect))
+    // gain invariance: half-volume copy keeps the fingerprint (deltas of
+    // scaled magnitudes keep their sign when the scale never creates ties
+    // — this signal's |deltas| are all ≥ 2, so /2 preserves every strict >)
+    val half = Multimodal.syntheticPcmWav(16000, 2, samples.map(_ / 2))
+    assert(Multimodal.WavCodec.fingerprint(half).contains(expect))
+    // permissive degrade: junk bytes and too-short clips
+    assert(Multimodal.WavCodec.decode("not a wav".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.WavCodec.fingerprint(
+      Multimodal.syntheticPcmWav(8000, 1, Array.fill(20)(5))).isEmpty)
+  }
+
+  test("decodeAudio + audioDupPairs: re-levelled copy pairs up, junk degrades to zeros") {
+    import graft.multimodal.Multimodal
+    val base = Array.tabulate(80)(i => ((i * 131) % 3000) - 1500)
+    val rows = Seq(
+      (1L, Multimodal.syntheticPcmWav(8000, 1, base), "audio"),
+      (2L, Multimodal.syntheticPcmWav(22050, 2, base.map(v => v / 2)), "audio"), // re-levelled re-containered copy
+      (3L, "definitely not audio".getBytes("UTF-8"), "audio"))
+    val df = rows.toDF("doc_id", "media", "media_type")
+    val dec = Multimodal.decodeAudio(df).collect().map(d => d.doc_id -> d).toMap
+    assert(dec(1L).sample_rate == 8000L && dec(1L).channels == 1L && dec(1L).n_samples == 80L)
+    assert(dec(2L).sample_rate == 22050L && dec(2L).channels == 2L)
+    assert(dec(3L).sample_rate == 0L && dec(3L).fp.isEmpty)
+    assert(dec(1L).fp == dec(2L).fp && dec(1L).fp.nonEmpty)
+    val pairs = Multimodal.audioDupPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("perceptual pairs feed the shared dedup-apply path: keeper survives") {
     val frameA = "a" * 30 + "b" * 30
     val frameB = "a" * 30 + "b" * 29 + "a"
