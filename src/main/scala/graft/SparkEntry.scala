@@ -816,6 +816,17 @@ object SparkEntry {
           | ok: ((.value < "s") and (null < false) and ([1, 2] < [1, 3])
           |      and ({"a": 9} < {"b": 0}))}
           || select(.ok) | .vs[]""".stripMargin)),
+    // O14 def+foreach notch: program-head def bindings feeding a reduce
+    // fold, then a whole-stage foreach scan with an object accumulator —
+    // cumulative steps stream out as rows (3 per window), the def-scaled
+    // fold rides alongside; all one generator, no per-row interpreter
+    "c34_jq_def_foreach" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """def double($x): $x + $x;
+          |{vals: [.value, .value * 3, 7], t: .window_start}
+          || {t: .t, s: (reduce .vals[] as $v (0; . + double($v))), vals: .vals}
+          || foreach .vals[] as $v ({t: .t, s: .s, c: 0}; {t: .t, s: .s, c: (.c + $v)})""".stripMargin)),
     // O7 dialect completion: as_bool (coercion-family face) + min/floor
     // extensions composed in one counter predicate — count semantics
     // (non-nil ∧ non-false) over the evaluator result
@@ -1073,6 +1084,13 @@ object SparkEntry {
           |                   ELSE [0, value + 1, value] END) AS vs
           |FROM (SELECT count(*) AS value FROM events
           |      GROUP BY time_bucket(INTERVAL '1 hour', ts))""".stripMargin,
+      // c34: per window (count v): s = reduce with double() = 2(v+3v+7) =
+      // 8v+14, and the foreach scan emits cumulative steps v, 4v, 4v+7 —
+      // one row each
+      "c34_jq_def_foreach" ->
+        """WITH w AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t, 8*v + 14 AS s, unnest([v, 4*v, 4*v + 7]) AS c FROM w""".stripMargin,
       // c33: the Spark side evaluates the dialect (as_bool/min/floor); the
       // oracle expresses the equivalent predicate directly. floor() is cast
       // to BIGINT because DuckDB floor returns DOUBLE (Spark's returns LONG);

@@ -44,6 +44,17 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    `.`/`.field` bound to the element inside the body (jq shadowing);
   *  - `reduce .path[] as $x (init; update)` — ONE codegen'd `aggregate`
   *    HOF; `.` is the accumulator and `$x` the element in the update;
+  *  - `foreach .path[] as $x (init; update[; extract])` — reduce's SCAN
+  *    twin (jq emits the extract — default: the accumulator — after
+  *    every element): one `aggregate` HOF whose finish lambda yields the
+  *    per-element outputs as an array; as a whole STAGE it explodes to
+  *    jq's true one-output-per-element stream, and `[foreach …]` in
+  *    value position is the collect form;
+  *  - `def name: body;` / `def name($a; $b): body;` bindings at the
+  *    program head — value-expression bodies compiled once, `$`-params
+  *    bound per call on the same dynamic channel as `reduce`'s `as $x`
+  *    (bare filter params and recursion are out of scope: a Column is a
+  *    tree, so a recursive filter cannot lower to one);
   *  - `//` ALTERNATIVE operator (right-assoc, binds looser than `or`,
   *    jq truthiness: `a // b` is `a` unless `a` is null/false) — a
   *    `coalesce` for non-boolean operands, a truthiness `when` for
@@ -66,7 +77,9 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    JSON objects.
   *
   * Out of scope (documented divergence, unused by the reference's own
-  * fixtures): slurp, foreach, def bindings.
+  * fixtures): slurp (a per-stream input-collection flag, not a program
+  * construct — the engine's windowed aggregates are where cross-record
+  * state belongs), def filter-params, and recursive defs.
   * Programs needing those belong in a real jq; every config observed in
   * the reference repo compiles here.
   *
@@ -82,13 +95,100 @@ object JqTransform {
   def apply(df: DataFrame, jqExpr: String): DataFrame = compile(jqExpr)(df)
 
   /** Compile a jq program into a DataFrame transform (one per `|` stage,
-    * composed left to right).
+    * composed left to right). `def` declarations at the program head are
+    * stripped and compiled first; their names are in scope for every
+    * later def body and for the whole stage pipeline.
     */
   def compile(src: String): DataFrame => DataFrame = {
-    val stages = splitTopLevel(src, '|').map(_.trim).filter(_.nonEmpty)
+    val (defs, rest) = stripDefs(src)
+    val stages = splitTopLevel(rest, '|').map(_.trim).filter(_.nonEmpty)
     require(stages.nonEmpty, s"jq_expr is empty: $src")
-    val compiled = stages.map(compileStage)
+    val compiled = stages.map(compileStage(_, defs))
     df => compiled.foldLeft(df)((d, stage) => stage(d))
+  }
+
+  /** A user-defined function: `$`-declared value params (bound on the
+    * [[varBindings]] channel, exactly like `reduce`'s `as $x`) and a
+    * value-expression body compiled once at program load.
+    */
+  private final case class JqDef(params: List[String], body: V)
+
+  /** Strip leading `def name($a; $b): body;` declarations (jq's function
+    * bindings, scoped from declaration to end of program — supported at
+    * the program HEAD, covering the whole pipeline). Each body is a value
+    * expression compiled with all PRIOR defs in scope, so defs compose;
+    * a def cannot see itself, making recursion a parse-time unknown-name
+    * error rather than an infinite plan (Columns are trees — a recursive
+    * filter cannot lower to one; real jq recursion belongs in a real jq).
+    * Params must be `$`-variables (jq's value-param form, `def f($x): …`);
+    * bare filter params are out of scope, documented.
+    */
+  private def stripDefs(src: String): (Map[String, JqDef], String) = {
+    var defs = Map.empty[String, JqDef]
+    var s = src
+    var go = true
+    while (go) {
+      val t = s.dropWhile(_.isWhitespace)
+      if (t.startsWith("def") && t.length > 3 &&
+          !(t.charAt(3).isLetterOrDigit || t.charAt(3) == '_')) {
+        // find the terminating ';' at bracket/paren/brace/quote depth 0
+        var depth = 0; var inStr = false; var end = -1
+        var i = 3
+        while (end < 0 && i < t.length) {
+          val c = t.charAt(i)
+          if (inStr) {
+            if (c == '\\') i += 1
+            else if (c == '"') inStr = false
+          } else c match {
+            case '"' => inStr = true
+            case '{' | '[' | '(' => depth += 1
+            case '}' | ']' | ')' => depth -= 1
+            case ';' if depth == 0 => end = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(end > 0, s"jq_expr: unterminated def (missing ';'): $t")
+        val decl = t.substring(3, end)
+        val colon = {
+          // the header's ':' — the first depth-0 colon (param lists carry
+          // no colons; string defaults are out of scope)
+          var d = 0; var k = -1; var j = 0
+          while (k < 0 && j < decl.length) {
+            decl.charAt(j) match {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case ':' if d == 0 => k = j
+              case _ =>
+            }
+            j += 1
+          }
+          require(k > 0, s"jq_expr: def needs 'name[(params)]: body': def$decl;")
+          k
+        }
+        val header = decl.substring(0, colon).trim
+        val bodySrc = decl.substring(colon + 1).trim
+        val (name, params) = header.indexOf('(') match {
+          case -1 => (header, Nil)
+          case p =>
+            require(header.endsWith(")"), s"jq_expr: malformed def params: $header")
+            val ps = header.substring(p + 1, header.length - 1).split(';').toList
+              .map(_.trim).filter(_.nonEmpty)
+            ps.foreach(x => require(x.startsWith("$") && x.length > 1,
+              s"jq_expr: def params must be $$-variables (value params), got '$x' in: $header"))
+            (header.substring(0, p).trim, ps.map(_.drop(1)))
+        }
+        require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+          s"jq_expr: bad def name '$name'")
+        val bodyP = new P(bodySrc, defs)
+        val body = bodyP.parseValue()
+        bodyP.skipWs()
+        require(!bodyP.hasMore, s"jq_expr: trailing input after def body: $bodySrc")
+        defs += (name -> JqDef(params, body))
+        s = t.substring(end + 1)
+      } else go = false
+    }
+    (defs, s)
   }
 
   /** TYPE PROBING for expressions inside map/reduce bodies: a lambda
@@ -240,14 +340,44 @@ object JqTransform {
 
   // ------------------------------------------------------------- stages --
 
-  private def compileStage(stage: String): DataFrame => DataFrame = {
+  private def compileStage(stage: String,
+                           defs: Map[String, JqDef]): DataFrame => DataFrame = {
     if (stage == ".") identity
-    else if (stage.startsWith("select")) compileSelect(stage)
+    else if (stage.startsWith("select")) compileSelect(stage, defs)
+    else if (stage.startsWith("foreach")) compileForeach(stage, defs)
     else {
       // comma-list at stage level → 0..N outputs per row (here exactly N)
       val constructs = splitTopLevel(stage, ',').map(_.trim)
-      if (constructs.length > 1) compileMultiOutput(constructs)
-      else compileSingle(stage)
+      if (constructs.length > 1) compileMultiOutput(constructs, defs)
+      else compileSingle(stage, defs)
+    }
+  }
+
+  /** `foreach .path[] as $x (init; update[; extract])` as a whole STAGE —
+    * jq's true streaming form: one output per source element, each the
+    * extract (default: the updated accumulator) after that element's
+    * update — a SCAN, where `reduce` is the fold. One codegen'd
+    * `aggregate` HOF with a finish lambda builds the per-row output array
+    * ([[P.parseForeach]]), and ONE `explode` streams it — never a per-row
+    * interpreter, same execution shape as the comma-stage generator.
+    * Object-valued extracts expand to columns like every other stage.
+    */
+  private def compileForeach(stage: String,
+                             defs: Map[String, JqDef]): DataFrame => DataFrame = {
+    val scan: V = {
+      val p = new P(stage, defs)
+      p.expectKeyword("foreach")
+      val v = p.parseForeach()
+      p.skipWs()
+      require(!p.hasMore, s"jq_expr: trailing input after foreach stage: $stage")
+      v
+    }
+    df => {
+      val exploded = df.select(explode(scan(df)).as("__v"))
+      exploded.schema.head.dataType match {
+        case _: StructType => exploded.select(col("__v.*"))
+        case _ => exploded.select(col("__v").as("value"))
+      }
     }
   }
 
@@ -255,9 +385,10 @@ object JqTransform {
     * "not false and not null"; `0` and `""` are truthy (gojq semantics,
     * exercised by the reference's iterator loop `counter.go:449-457`).
     */
-  private def compileSelect(stage: String): DataFrame => DataFrame = {
+  private def compileSelect(stage: String,
+                            defs: Map[String, JqDef]): DataFrame => DataFrame = {
     val inner: V = {
-      val p = new P(stage)
+      val p = new P(stage, defs)
       p.expectWord("select"); p.expect('(')
       val v = p.parseValue()
       p.expect(')'); p.skipWs()
@@ -280,8 +411,9 @@ object JqTransform {
     * ITERATION (jq's true 0..N form): one output per element, an
     * `explode` generator (empty/null arrays emit nothing, like jq).
     */
-  private def compileSingle(stage: String): DataFrame => DataFrame = {
-    val p = new P(stage)
+  private def compileSingle(stage: String,
+                            defs: Map[String, JqDef]): DataFrame => DataFrame = {
+    val p = new P(stage, defs)
     p.skipWs()
     if (p.peek == '{') {
       val fields = p.parseObjectFields()
@@ -314,9 +446,10 @@ object JqTransform {
     * re-plan the upstream N times). All constructs must produce the same
     * field set; Spark unifies compatible field types.
     */
-  private def compileMultiOutput(constructs: Seq[String]): DataFrame => DataFrame = {
+  private def compileMultiOutput(constructs: Seq[String],
+                                 defs: Map[String, JqDef]): DataFrame => DataFrame = {
     val parsed: Seq[Seq[(String, V)]] = constructs.map { c =>
-      val p = new P(c)
+      val p = new P(c, defs)
       p.skipWs()
       require(p.peek == '{',
         s"jq_expr: comma stages must be object constructions, got: $c")
@@ -452,7 +585,7 @@ object JqTransform {
 
   private def pick(b: Bound): Column = if (probeMode.value) b.probe else b.real
 
-  private final class P(s: String) {
+  private final class P(s: String, defs: Map[String, JqDef] = Map.empty) {
     private var i = 0
     def hasMore: Boolean = { skipWs(); i < s.length }
     def peek: Char = if (i < s.length) s.charAt(i) else ' '
@@ -800,6 +933,66 @@ object JqTransform {
       }
       l
     }
+    /** After the `foreach` keyword: `.path[] as $x (init; update[;
+      * extract])` → a V producing the ARRAY of per-element extracts (the
+      * scan — `reduce` keeps only the last accumulator; `foreach` keeps
+      * every step). ONE codegen'd `aggregate` HOF: the merge carries
+      * `{acc, out}` and appends the step's extract; the finish lambda
+      * drops the accumulator. Inside update/extract, `.` is the
+      * (updated, for extract) accumulator and `$x` the element — jq's
+      * scoping exactly. Shared by the stage form (exploded to the true
+      * one-output-per-element stream) and the `[foreach …]` collect form.
+      */
+    def parseForeach(): V = {
+      skipWs()
+      val parts = parsePathParts()
+      if (!tryConsume("[]"))
+        throw new IllegalArgumentException(
+          s"jq_expr: foreach source must be a '.path[]' iterator in: $s")
+      skipWs(); expectKeyword("as"); skipWs()
+      expect('$')
+      val name = parseIdent()
+      skipWs(); expect('(')
+      val init = parseValue()
+      expect(';')
+      val update = parseValue()
+      skipWs()
+      val extractOpt: Option[V] =
+        if (peek == ';') { next(); Some(parseValue()) } else None
+      expect(')')
+      df => {
+        val arrV: V = d => elemBinding.value match {
+          case Some(el) => parts.foldLeft(pick(el))((c, f) => c.getField(f))
+          case None => pathColumn(d, parts)
+        }
+        val et = elementTypeV(df, arrV, "foreach")
+        val accType = dtOfV(df, init)
+        val accProbe = lit(null).cast(accType)
+        val elProbe = lit(null).cast(et)
+        // default extract = '.' — the updated accumulator (jq's 2-arg form)
+        val extractV: V = extractOpt.getOrElse(_ => elemBinding.value.map(pick).get)
+        def inCtx(acc: Column, x: Column)(v: V): Column =
+          elemBinding.withValue(Some(Bound(acc, accProbe))) {
+            varBindings.withValue(varBindings.value + (name -> Bound(x, elProbe)))(v(df))
+          }
+        // the extract's static type sizes the empty output array
+        val outType = elemBinding.withValue(Some(Bound(accProbe, accProbe))) {
+          varBindings.withValue(varBindings.value + (name -> Bound(elProbe, elProbe))) {
+            dtOfV(df, extractV)
+          }
+        }
+        aggregate(
+          arrV(df),
+          struct(init(df).as("acc"), array().cast(ArrayType(outType)).as("out")),
+          (st, x) => {
+            val acc2 = inCtx(st.getField("acc"), x)(update)
+            struct(acc2.as("acc"),
+              array_append(st.getField("out"), inCtx(acc2, x)(extractV)).as("out"))
+          },
+          st => st.getField("out"))
+      }
+    }
+
     private def parseAtom(): V = {
       skipWs()
       peek match {
@@ -813,18 +1006,26 @@ object JqTransform {
           df => struct(fields.map { case (k, v) => v(df).as(k) }: _*)
         case '[' =>
           next(); skipWs()
-          val elems = Seq.newBuilder[V]
-          if (peek != ']') {
-            var more = true
-            while (more) {
-              elems += parseValue()
-              skipWs()
-              if (peek == ',') { next(); more = true } else more = false
+          // jq's collect form [foreach …] — the scan already IS the array
+          if (s.startsWith("foreach", i) && boundary(i + 7)) {
+            i += 7
+            val v = parseForeach()
+            expect(']')
+            v
+          } else {
+            val elems = Seq.newBuilder[V]
+            if (peek != ']') {
+              var more = true
+              while (more) {
+                elems += parseValue()
+                skipWs()
+                if (peek == ',') { next(); more = true } else more = false
+              }
             }
+            expect(']')
+            val es = elems.result()
+            df => array(es.map(_(df)): _*)
           }
-          expect(']')
-          val es = elems.result()
-          df => array(es.map(_(df)): _*)
         case '.' =>
           // '.path' — or bare '.' (the current value: only defined inside
           // a map(...) body, where it is the array element)
@@ -948,8 +1149,42 @@ object JqTransform {
               .otherwise(elseV(df))
           }
         case 't' if s.startsWith("true", i) && boundary(i + 4) => i += 4; _ => lit(true)
+        case 'f' if s.startsWith("foreach", i) && boundary(i + 7) =>
+          throw new IllegalArgumentException(
+            "jq_expr: foreach in value position emits a stream — use the " +
+              "collect form [foreach …] or a whole foreach stage")
         case 'f' if s.startsWith("false", i) && boundary(i + 5) => i += 5; _ => lit(false)
         case 'n' if s.startsWith("null", i) && boundary(i + 4) => i += 4; _ => lit(null)
+        case c if c.isLetter || c == '_' =>
+          // a user `def` call: zero-arg `name` or `name(a1; a2)` — args are
+          // value expressions evaluated in the CALLER's context (jq's
+          // $-param semantics), bound on the same dynamic channel as
+          // `reduce`'s `as $x` for the body's evaluation
+          val name = parseIdent()
+          val d = defs.getOrElse(name, throw new IllegalArgumentException(
+            s"jq_expr: unknown function '$name' in value position" +
+              (if (defs.isEmpty) " (no defs declared)"
+               else s" (defined: ${defs.keys.toSeq.sorted.mkString(", ")})") +
+              "; builtin value functions like tostring/length apply after '|'"))
+          skipWs()
+          val args: List[V] =
+            if (peek == '(') {
+              next()
+              val as = List.newBuilder[V]
+              as += parseValue()
+              skipWs()
+              while (peek == ';') { next(); as += parseValue(); skipWs() }
+              expect(')')
+              as.result()
+            } else Nil
+          require(args.length == d.params.length,
+            s"jq_expr: $name expects ${d.params.length} arg(s), got ${args.length}")
+          df => {
+            val bound = d.params.zip(args).map { case (p, a) =>
+              p -> Bound(a(df), lit(null).cast(dtOfV(df, a)))
+            }
+            varBindings.withValue(varBindings.value ++ bound)(d.body(df))
+          }
         case c =>
           throw new IllegalArgumentException(s"jq_expr parse error: unexpected '$c' at $i in: $s")
       }

@@ -438,6 +438,77 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform(df, """{x: (.value | sort)}""").collect())
   }
 
+  test("foreach: collect form [foreach …] is the scan of reduce") {
+    // cumulative sums, 2-arg form (extract = the updated accumulator)
+    val out = JqTransform(df,
+      """{vals: [.value, .value * 3, 7]}
+        || {cum: [foreach .vals[] as $v (0; . + $v)],
+        |   total: (reduce .vals[] as $v (0; . + $v))}""".stripMargin).head()
+    assert(out.getSeq[Long](0) == Seq(100L, 400L, 407L))
+    assert(out.getLong(1) == 407L) // last scan step == the fold
+    // 3-arg form: extract sees the UPDATED accumulator and $v
+    val ex = JqTransform(df,
+      """{vals: [2, 5, 1]}
+        || {m: [foreach .vals[] as $v (0; . + $v; . * 10 + $v)]}""".stripMargin).head()
+    assert(ex.getSeq[Long](0) == Seq(22L, 75L, 81L)) // (2*10+2, 7*10+5, 8*10+1)
+    // empty source scans to an empty array (jq: no outputs)
+    val empty = JqTransform(df,
+      """{vals: [.value]} | {k: [foreach .vals[] as $v (0; . + $v)], n: 1}""")
+    assert(empty.head().getSeq[Long](0) == Seq(100L))
+  }
+
+  test("foreach as a whole stage: one output row per element (jq's stream form)") {
+    // scalar extract → one 'value' column
+    val rows = JqTransform(df,
+      """{vals: [.value, .value * 3, 7]}
+        || foreach .vals[] as $v (0; . + $v)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(100L, 400L, 407L))
+    // object accumulator → columns expand; running state + carried fields
+    val objs = JqTransform(df,
+      """{vals: [1, 2, 3], t: .window_start}
+        || foreach .vals[] as $v ({t: .t, c: 0}; {t: .t, c: (.c + $v)})""".stripMargin)
+    assert(objs.columns.toSeq == Seq("t", "c"))
+    assert(objs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq.fill(3)(1638357540000L).zip(Seq(1L, 3L, 6L)))
+    // bare foreach in VALUE position is a parse error pointing at the forms
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: foreach .v[] as $v (0; . + $v)}"""))
+  }
+
+  test("def bindings: zero-arg, $-params, composition; recursion/filter-params rejected") {
+    // zero-arg def + call in an object value
+    val z = JqTransform(df,
+      """def base: .value + 1; {out: base}""").head()
+    assert(z.getLong(0) == 101L)
+    // $-params evaluate args in caller scope, bind like reduce's $x
+    val p = JqTransform(df,
+      """def scaled($x; $f): $x * $f + 1; {out: scaled(.value; 3)}""").head()
+    assert(p.getLong(0) == 301L)
+    // defs compose: later defs and the program see earlier defs
+    val c = JqTransform(df,
+      """def inc($x): $x + 1; def twice($x): inc($x) + inc($x);
+        |{out: twice(.value)}""".stripMargin).head()
+    assert(c.getLong(0) == 202L)
+    // defs work inside reduce/foreach bodies
+    val r = JqTransform(df,
+      """def dbl($x): $x + $x;
+        |{vals: [1, 2, 3]} | {s: (reduce .vals[] as $v (0; . + dbl($v)))}""".stripMargin).head()
+    assert(r.getLong(0) == 12L)
+    // a def cannot see itself (no recursive Columns) — parse-time error
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""def loop($x): loop($x); {o: loop(1)}"""))
+    // bare filter params are out of scope, rejected at parse
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""def f(g): g; {o: f(1)}"""))
+    // arity mismatch is a parse-time error
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""def one($x): $x; {o: one(1; 2)}"""))
+    // unknown names still error helpfully
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{o: nosuch(1)}"""))
+  }
+
   test("missing top-level field reads as jq null, not an analyzer error") {
     // the reference's records are dynamic JSON: absent key == nil
     // (counter.go:274); jq mirrors that, and so do we
