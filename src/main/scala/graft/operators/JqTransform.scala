@@ -71,6 +71,12 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    last-wins on duplicate keys like jq), `group_by(f)` (groups
   *    sorted by key, nulls first, stable within groups), `sort_by(f)`
   *    (stable ascending by f(x) — ≡ flatten ∘ group_by) and `sort`;
+  *  - array/string builtins: `add` (type-directed sum/concat/flatten,
+  *    null elements are identity), `any`/`all` (element truthiness),
+  *    `unique`, `min`/`max` (null elements skipped — SQL semantics,
+  *    documented divergence), `first`/`last` ([] → null, not an error),
+  *    `reverse`, `join(sep)`, `ltrimstr`/`rtrimstr`, `startswith`/
+  *    `endswith`, `split("lit")`;
   *  - a path whose top-level field does not exist in the input emits
   *    jq's `null` (NOT an analyzer error), so `.maybe_missing // 0`
   *    works against any record shape, like the reference's dynamic
@@ -504,6 +510,45 @@ object JqTransform {
     * inside map/reduce bodies).
     */
   private val Funcs: Map[String, (DataFrame, V) => Column] = Map(
+    // jq add: null for [], numeric sum / string concat / one-level array
+    // concat by element type; null ELEMENTS are identity (jq: null + x
+    // is x), folded with one codegen'd aggregate HOF
+    "add" -> ((df, v) => {
+      val et = elementTypeV(df, v, "add")
+      val arr = v(df)
+      val summed = et match {
+        case _: NumericType =>
+          aggregate(arr, lit(0).cast(et), (acc, x) => acc + coalesce(x, lit(0).cast(et)))
+        case StringType =>
+          aggregate(arr, lit(""), (acc, x) => concat(acc, coalesce(x, lit(""))))
+        case _: ArrayType => flatten(arr)
+        case NullType => lit(null) // all-null elements: identity sum = null
+        case dt => throw new IllegalArgumentException(
+          s"jq_expr: add over array<${dt.simpleString}> is unsupported")
+      }
+      when(size(arr) > 0, summed)
+    }),
+    // jq any/all with element truthiness; any([]) = false, all([]) = true
+    // fall out of exists/forall
+    "any" -> ((df, v) => exists(v(df), elemTruthy(df, v, "any"))),
+    "all" -> ((df, v) => forall(v(df), elemTruthy(df, v, "all"))),
+    // jq unique: sorted distinct under jq's order (static element type ⇒
+    // sort_array's null-first ascending IS jq's, as in sort)
+    "unique" -> ((df, v) => {
+      elementTypeV(df, v, "unique")
+      sort_array(array_distinct(v(df)))
+    }),
+    // jq min/max; [] → null. DIVERGENCE: null elements are skipped (SQL
+    // array_min/array_max) where jq ranks null smallest — min of a
+    // null-bearing array is its smallest non-null here, null in jq
+    "min" -> ((df, v) => { elementTypeV(df, v, "min"); array_min(v(df)) }),
+    "max" -> ((df, v) => { elementTypeV(df, v, "max"); array_max(v(df)) }),
+    // jq first/last; DIVERGENCE: [] yields null (try_element_at) where jq
+    // errors — the same skip-on-error analog as tonumber
+    "first" -> ((df, v) => { elementTypeV(df, v, "first"); try_element_at(v(df), lit(1)) }),
+    "last" -> ((df, v) => { elementTypeV(df, v, "last"); try_element_at(v(df), lit(-1)) }),
+    // jq reverse: arrays and strings share Spark's reverse
+    "reverse" -> ((df, v) => reverse(v(df))),
     "tostring" -> ((df, v) => v(df).cast("string")),
     // jq errors on non-numeric tonumber; here the row's value becomes NULL
     // (try_cast), the declarative analog of skip-on-error. Doubles: jq
@@ -570,6 +615,46 @@ object JqTransform {
       case dt => throw new IllegalArgumentException(
         s"jq_expr: keys requires an object, got ${dt.simpleString}")
     }))
+
+  /** jq truthiness of one array ELEMENT (for any/all): only null and
+    * false are falsy, typed from the array's element type.
+    */
+  private def elemTruthy(df: DataFrame, arr: V, what: String): Column => Column = {
+    val et = elementTypeV(df, arr, what)
+    (x: Column) => et match {
+      case BooleanType => coalesce(x, lit(false)) === lit(true)
+      case _ => x.isNotNull
+    }
+  }
+
+  /** One-argument value functions for value-level pipes (`.s | join(",")`).
+    * The argument is a full value expression evaluated in the caller's
+    * context.
+    */
+  private val FuncsArg: Map[String, (DataFrame, V, V) => Column] = Map(
+    // jq join(sep): stringified elements, null elements print empty,
+    // [] → "" — one aggregate fold so the separator can be any value
+    // expression (array_join takes only a literal delimiter)
+    "join" -> ((df, v, a) => {
+      elementTypeV(df, v, "join")
+      val sep = a(df)
+      coalesce(aggregate(v(df), lit(null).cast("string"), (acc, x) => {
+        val xs = coalesce(x.cast("string"), lit(""))
+        when(acc.isNull, xs).otherwise(concat(acc, sep, xs))
+      }), lit(""))
+    }),
+    // jq ltrimstr/rtrimstr: strip ONE leading/trailing occurrence iff
+    // present; non-matching (or non-string) input passes through
+    "ltrimstr" -> ((df, v, a) => {
+      val c = v(df); val p = a(df)
+      when(c.startsWith(p), c.substr(length(p) + 1, length(c))).otherwise(c)
+    }),
+    "rtrimstr" -> ((df, v, a) => {
+      val c = v(df); val p = a(df)
+      when(c.endsWith(p), c.substr(lit(1), length(c) - length(p))).otherwise(c)
+    }),
+    "startswith" -> ((df, v, a) => v(df).startsWith(a(df))),
+    "endswith" -> ((df, v, a) => v(df).endsWith(a(df))))
 
   /** The element binding for `map(expr)`: inside the map body, `.` and
     * `.field` resolve against the array ELEMENT (jq's semantics — map
@@ -897,9 +982,28 @@ object JqTransform {
             case dt => throw new IllegalArgumentException(
               s"jq_expr: has() requires an object or array, got ${dt.simpleString}")
           }
+        } else if (FuncsArg.contains(fn)) {
+          expect('(')
+          val arg = parseValue()
+          expect(')')
+          val vv = v
+          val f = FuncsArg(fn)
+          v = df => f(df, vv, arg)
+        } else if (fn == "split") {
+          // jq split(s) is a LITERAL separator; Spark's split takes a
+          // regex, so quote it — literal-arg only (parse-time), documented
+          expect('('); skipWs()
+          if (peek != '"')
+            throw new IllegalArgumentException(
+              "jq_expr: split() requires a string-literal separator")
+          val sep = parseStringLit()
+          expect(')')
+          val vv = v
+          v = df => split(vv(df), java.util.regex.Pattern.quote(sep))
         } else {
           val f = Funcs.getOrElse(fn, throw new IllegalArgumentException(
-            s"jq_expr: unsupported function '$fn' (supported: map, has, ${Funcs.keys.toSeq.sorted.mkString(", ")})"))
+            s"jq_expr: unsupported function '$fn' (supported: map, has, split, " +
+              s"${(Funcs.keys ++ FuncsArg.keys).toSeq.sorted.mkString(", ")})"))
           val vv = v
           v = df => f(df, vv)
         }

@@ -509,6 +509,52 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform.compile("""{o: nosuch(1)}"""))
   }
 
+  test("array builtins: add/any/all/unique/min/max/first/last/reverse") {
+    val out = JqTransform(df,
+      """{a: [3, 1, 2, 1], e: [.value], s: ["x", "y"], n: [1, null, 4]}
+        || {sum: (.a | add), nsum: (.n | add), cat: (.s | add),
+        |   u: (.a | unique), mn: (.a | min), mx: (.a | max),
+        |   f: (.a | first), l: (.a | last), r: (.a | reverse),
+        |   anyb: (.n | map(. > 2) | any), allb: (.a | map(. > 0) | all)}""".stripMargin)
+      .head()
+    assert(out.getLong(0) == 7L)
+    assert(out.getLong(1) == 5L) // null element is identity, not poison
+    assert(out.getString(2) == "xy")
+    assert(out.getSeq[Long](3) == Seq(1L, 2L, 3L))
+    assert(out.getLong(4) == 1L && out.getLong(5) == 3L)
+    assert(out.getLong(6) == 3L && out.getLong(7) == 1L)
+    assert(out.getSeq[Long](8) == Seq(1L, 2L, 1L, 3L))
+    assert(out.getBoolean(9)) // 4 > 2 (null comparison element is falsy)
+    assert(out.getBoolean(10))
+    // add of [] is null; first/last of [] are null (documented divergence)
+    val empty = JqTransform(df,
+      """{e: (.ghost // [])} | {s: (.e | add), f: (.e | first)}""")
+    assert(empty.head().isNullAt(0))
+    // add over unsupported element types errors jq-style
+    assertThrows[IllegalArgumentException](
+      JqTransform(df, """{x: (.value | add)}""").collect())
+  }
+
+  test("string builtins: join/ltrimstr/rtrimstr/startswith/endswith/split") {
+    val out = JqTransform(df,
+      """{parts: ["a", "b", "c"], nums: [1, null, 2], s: "pre.mid.post"}
+        || {j: (.parts | join("-")), jn: (.nums | join(",")),
+        |   lt: (.s | ltrimstr("pre.")), lt2: (.s | ltrimstr("nope")),
+        |   rt: (.s | rtrimstr(".post")), sw: (.s | startswith("pre")),
+        |   ew: (.s | endswith("mid")), sp: (.s | split("."))}""".stripMargin)
+      .head()
+    assert(out.getString(0) == "a-b-c")
+    assert(out.getString(1) == "1,,2") // nulls print empty, numbers stringify
+    assert(out.getString(2) == "mid.post")
+    assert(out.getString(3) == "pre.mid.post")
+    assert(out.getString(4) == "pre.mid")
+    assert(out.getBoolean(5) && !out.getBoolean(6))
+    assert(out.getSeq[String](7) == Seq("pre", "mid", "post")) // literal '.', not regex
+    // split requires a literal separator (regex quoting happens at parse)
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: (.s | split(.s))}"""))
+  }
+
   test("missing top-level field reads as jq null, not an analyzer error") {
     // the reference's records are dynamic JSON: absent key == nil
     // (counter.go:274); jq mirrors that, and so do we
