@@ -69,25 +69,58 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** A driver-local centroid: (cell, vector, norm). The centroid set of a
+    * coarse quantizer is tiny (k × dim doubles) — holding it on the
+    * driver and unrolling it into expressions is the iterative-ML
+    * control-loop shape (MLlib's k-means broadcasts exactly this array).
+    */
+  private type LocalCent = (Long, Array[Double], Double)
+
+  private def collectCents(centroids: DataFrame): Seq[LocalCent] =
+    centroids.select(col("cell").cast("long"), col("cv"), col("cnorm"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** Per-row max cosine against a local centroid set — a pure projection
+    * (one codegen'd vec_dot per centroid over an array LITERAL — the
+    * planning-cheap spelling the d10 history mandates).
+    */
+  private def maxCosExpr(cents: Seq[LocalCent]): Column = {
+    val cos = cents.map { case (_, cv, cn) =>
+      VecDot.dot(col("v"), lit(cv)) / (col("norm") * lit(cn))
+    }
+    if (cos.length == 1) cos.head else greatest(cos: _*)
+  }
+
   /** Assign every vector to its nearest centroid (cosine, deterministic
     * id-asc tiebreak). Returns (vec_id, v, norm, cell).
     *
-    * argmax via `max_by` over a (cos, -cell) ordering struct — a hash
-    * aggregate with map-side combine, NOT a row_number window (which would
-    * shuffle + sort every (vector, centroid) pair globally; the aggregate
-    * reduces each vector's candidates inside its partition first, so at
-    * corpus scale only one row per vector crosses the wire).
+    * The centroid frame is collected to the driver and the argmax
+    * unrolled into ONE array-of-structs `array_max` PROJECTION — the
+    * corpus never shuffles and never joins: no crossJoin row blow-up, no
+    * groupBy(vec_id) re-shuffle of the vectors (the previous spelling
+    * moved the whole corpus — vectors included — through an exchange on
+    * every k-means round, the kind of per-iteration full-corpus shuffle
+    * that dominates at 100 TB). Struct ordering is lexicographic on
+    * (cos, -cell), reproducing `max_by(cell, struct(cos, -cell))`
+    * bit-exactly — same vec_dot summation order, same NaN-largest
+    * ordering, ties to the smaller cell — which the s05/s09 oracles
+    * prove. For centroid sets beyond a few thousand cells the broadcast
+    * equi-join spelling would win back; quantizers here are ≤ hundreds.
     */
-  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cos = dotCol("v", "cv") / (col("norm") * col("cnorm"))
-    corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("norm"), col("cell"), cos.as("__cos"))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("v")).as("v"),
-        first(col("norm")).as("norm"),
-        max_by(col("cell"), struct(col("__cos"), (-col("cell")).as("t"))).as("cell"))
-      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignCellsLocal(corpus, collectCents(centroids))
+
+  private def assignCellsLocal(corpus: DataFrame, cents: Seq[LocalCent]): DataFrame = {
+    require(cents.nonEmpty, "assignCells needs at least one centroid")
+    val entries = cents.map { case (cell, cv, cn) =>
+      struct(
+        (VecDot.dot(col("v"), lit(cv)) / (col("norm") * lit(cn))).as("c"),
+        lit(-cell).as("t"),
+        lit(cell).as("cell"))
+    }
+    corpus.select(col("vec_id"), col("v"), col("norm"),
+      array_max(array(entries: _*)).getField("cell").as("cell"))
   }
 
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query and
@@ -322,41 +355,49 @@ object Ann {
     */
   private[graft] def kmeansParallelInit(corpus: DataFrame, k: Int,
                                         rounds: Int, oversample: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
     require(k >= 1 && rounds >= 1 && oversample >= 1, "k, rounds, oversample must be >= 1")
     val seedId = corpus.agg(min(col("vec_id"))).head().getLong(0)
-    var cents = corpus.where(col("vec_id") === seedId)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    // the candidate set lives on the DRIVER (≤ 1 + rounds × oversample
+    // entries of dim doubles): distances become projections against
+    // literal vectors and the corpus never shuffles — the previous
+    // crossJoin + groupBy(vec_id) spelling re-shuffled every vector once
+    // per round
+    var cents: Seq[LocalCent] = collectCents(
+      corpus.where(col("vec_id") === seedId)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm")))
     for (r <- 1 to rounds) {
-      val cos = dotCol("v", "cv") / (col("norm") * col("cnorm"))
-      val d2 = corpus.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("norm"), cos.as("__cos"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
-          max(col("__cos")).as("__cm"))
-        // (1-cm)² in ppm — floor AFTER the float product, so an already-
-        // chosen center (cm ≈ 1 up to sqrt rounding, possibly a hair past
-        // it) lands at exactly 0 and can never be re-drawn
-        .withColumn("d2_ppm", floor((lit(1.0) - col("__cm"))
-          * (lit(1.0) - col("__cm")) * lit(1000000.0)).cast("long"))
+      val cm = maxCosExpr(cents)
+      // (1-cm)² in ppm — floor AFTER the float product, so an already-
+      // chosen center (cm ≈ 1 up to sqrt rounding, possibly a hair past
+      // it) lands at exactly 0 and can never be re-drawn
+      val d2 = corpus.select(col("vec_id"), col("v"), col("norm"),
+          floor((lit(1.0) - cm) * (lit(1.0) - cm) * lit(1000000.0))
+            .cast("long").as("d2_ppm"))
         .localCheckpoint(eager = false)
       val phi = d2.agg(coalesce(sum(col("d2_ppm")), lit(0L))).head().getLong(0)
       if (phi > 0L) {
         val u20 = pmod(conv(substring(
           PortableHash.md5Hex(concat(lit(s"kmpp:$r:"), col("vec_id"))),
           1, 13), 16, 10).cast("long"), lit(1048576L))
-        val sampled = d2
+        cents = cents ++ collectCents(d2
           .where(u20 * lit(phi) < lit(oversample.toLong) * col("d2_ppm") * lit(1048576L))
-          .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
-        cents = cents.unionByName(sampled)
+          .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm")))
       }
     }
-    val weights = assignCells(corpus, cents)
+    // weight by assignment count (map-side combined: only (cell, count)
+    // rows cross the wire) and keep the k heaviest — the candidate set is
+    // driver-local, so the (weight DESC, cell ASC) reduction is a local sort
+    val weights = assignCellsLocal(corpus, cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("__w"))
-    // every candidate assigns at least itself, so the inner join drops none
-    cents.join(weights, Seq("cell"))
-      .orderBy(col("__w").desc, col("cell").asc)
-      .limit(k)
-      .select(col("cell"), col("cv"), col("cnorm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a candidate normally assigns at least itself; an exact-duplicate
+    // vector can lose its own assignment to the smaller-cell twin and
+    // carry no weight — dropped, as the previous inner join did
+    cents.filter { case (cell, _, _) => weights.contains(cell) }
+      .sortBy { case (cell, _, _) => (-weights(cell), cell) }
+      .take(k)
+      .toDF("cell", "cv", "cnorm")
   }
 
   /** k-means with the k-means‖ seeding and a FIXED iteration count — the

@@ -357,6 +357,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"shipdate window must push into the scan:\n$p")
   }
 
+  test("k-means cell assignment is a pure projection: corpus never shuffles or joins") {
+    // every Lloyd round calls assignCells — a crossJoin+groupBy spelling
+    // would move the whole corpus (vectors included) through an exchange
+    // per round; the centroid set is driver-local literals instead
+    val cents = Ann.centroidsFromStats(Ann.kmeansCentroids(embeddings))
+    val p = plan(Ann.assignCells(Ann.normalize(embeddings, "vec_id"), cents))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment must not key-shuffle the corpus:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"assignment is a projection, not an agg:\n$p")
+  }
+
   test("IVF-PQ search scores codes via a broadcast cell equi-join, vectors never join") {
     val p = plan(Ann.ivfPqTopK(Tables.embeddings(spark, sf0001),
       col("vec_id") % 50 === 0))
