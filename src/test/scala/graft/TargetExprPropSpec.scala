@@ -24,6 +24,9 @@ class TargetExprPropSpec extends SparkTestBase {
   private case class Bin(op: String, l: N, r: N) extends N
   private case class If(c: B, t: N, e: N) extends N
   private case class Coal(l: N, r: N) extends N
+  private case class Mn(l: N, r: N) extends N
+  private case class Mx(l: N, r: N) extends N
+  private case class Ab(x: N) extends N
   private sealed trait B // boolean AST
   private case class Cmp(op: String, l: N, r: N) extends B
   private case class Logic(op: String, l: B, r: B) extends B
@@ -33,13 +36,16 @@ class TargetExprPropSpec extends SparkTestBase {
   private def genN(rnd: Random, depth: Int): N =
     if (depth <= 0) if (rnd.nextBoolean()) Lit(rnd.nextInt(100).toLong)
       else Col(Seq("a", "b", "m")(rnd.nextInt(3)))
-    else rnd.nextInt(6) match {
+    else rnd.nextInt(9) match {
       case 0 => Lit(rnd.nextInt(100).toLong)
       case 1 => Col(Seq("a", "b", "m")(rnd.nextInt(3)))
       case 2 | 3 => Bin(Seq("+", "-", "*")(rnd.nextInt(3)),
         genN(rnd, depth - 1), genN(rnd, depth - 1))
       case 4 => If(genB(rnd, depth - 1), genN(rnd, depth - 1), genN(rnd, depth - 1))
       case 5 => Coal(genN(rnd, depth - 1), genN(rnd, depth - 1))
+      case 6 => Mn(genN(rnd, depth - 1), genN(rnd, depth - 1))
+      case 7 => Mx(genN(rnd, depth - 1), genN(rnd, depth - 1))
+      case 8 => Ab(genN(rnd, depth - 1))
     }
 
   private def genB(rnd: Random, depth: Int): B =
@@ -60,6 +66,9 @@ class TargetExprPropSpec extends SparkTestBase {
     case Bin(op, l, r) => s"(${renderN(l)} $op ${renderN(r)})"
     case If(c, t, e) => s"if(${renderB(c)}, ${renderN(t)}, ${renderN(e)})"
     case Coal(l, r) => s"coalesce(${renderN(l)}, ${renderN(r)})"
+    case Mn(l, r) => s"min(${renderN(l)}, ${renderN(r)})"
+    case Mx(l, r) => s"max(${renderN(l)}, ${renderN(r)})"
+    case Ab(x) => s"abs(${renderN(x)})"
   }
   private def renderB(b: B): String = b match {
     case Cmp(op, l, r) => s"(${renderN(l)} $op ${renderN(r)})"
@@ -82,6 +91,16 @@ class TargetExprPropSpec extends SparkTestBase {
       }
     case If(c, t, el) => if (evalB(c, e).contains(true)) evalN(t, e) else evalN(el, e)
     case Coal(l, r) => evalN(l, e).orElse(evalN(r, e))
+    // SQL least/greatest SKIP nulls (null only when all args are null)
+    case Mn(l, r) => (evalN(l, e), evalN(r, e)) match {
+      case (Some(x), Some(y)) => Some(x min y)
+      case (x, y) => x.orElse(y)
+    }
+    case Mx(l, r) => (evalN(l, e), evalN(r, e)) match {
+      case (Some(x), Some(y)) => Some(x max y)
+      case (x, y) => x.orElse(y)
+    }
+    case Ab(x) => evalN(x, e).map(math.abs)
   }
   private def evalB(b: B, e: Env): Option[Boolean] = b match {
     case Cmp(op, l, r) =>
