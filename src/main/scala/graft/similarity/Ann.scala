@@ -37,14 +37,24 @@ object Ann {
     * `private[graft]`: dedup's LSH near-dup reuses the same normed frame
     * instead of re-scanning the corpus.
     */
-  private[graft] def normalize(embeddings: DataFrame, idCol: String): DataFrame =
-    embeddings.select(
+  private[graft] def normalize(embeddings: DataFrame, idCol: String): DataFrame = {
+    val base = embeddings.select(
       col(idCol),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       // vec_dot(v, v) sums squares in the same left-to-right order as the
       // aggregate-HOF spelling (bit-identical) but stays in codegen
       .withColumn("norm", sqrt(VecDot.dot(col("v"), col("v"))))
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    // Repartition ONLY when the source scan underfills the cluster (the
+    // single-parquet-file test fixture plans one task): at production
+    // scale the scan is already maxPartitionBytes-split and a blind
+    // round-robin would shuffle the entire corpus — vectors included —
+    // before every ANN/dedup operator. Every consumer is order-exact
+    // (integer sums, max_by argmax, equi-join candidates), so the
+    // partitioning choice never changes results.
+    val parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    if (embeddings.rdd.getNumPartitions >= parallelism) base
+    else base.repartition(parallelism)
+  }
 
   private def dotCol(a: String, b: String): Column = VecDot.dot(col(a), col(b))
 
