@@ -34,8 +34,8 @@ object Tables {
     }
     // Same single-file/single-row-group constraint as documents: per-row
     // heavy consumers (JSON/variant parse, keyed hashing) would otherwise
-    // run in ONE task locally. One tiny shuffle; a no-op at real scale.
-    ts.repartition(spark.sparkContext.defaultParallelism)
+    // run in ONE task locally.
+    spread(ts)
   }
   /** Streaming twin of [[events]]: the same parquet read as a file-stream
     * source (schema pinned from one batch-footer read, same nanos→micros
@@ -64,8 +64,17 @@ object Tables {
     * and this is a no-op cost-wise.
     */
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    spread(load(spark, sfDir, "documents"))
+
+  /** Repartition ONLY when the scan underfills the cluster — the local
+    * single-file fixtures plan one task; a production-scale source is
+    * already maxPartitionBytes-split and must not be re-shuffled just to
+    * load it (same conditional as `Ann.normalize`).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
   /** Streaming twin of [[embeddings]] (same glob-anchored file-stream trick

@@ -514,8 +514,11 @@ object Ann {
   def pqCodes(embeddings: DataFrame, subspaces: Int = 8,
               codebookSize: Int = 16): DataFrame = {
     val v = doubleVecs(embeddings)
-    pqCodesFrom(v.repartition(v.sparkSession.sparkContext.defaultParallelism),
-      pqCodebookFrom(v, subspaces, codebookSize), subspaces)
+    // same conditional as normalize: spread the single-file fixture scan,
+    // never re-shuffle an already-wide production scan
+    val par = v.sparkSession.sparkContext.defaultParallelism
+    val spread = if (embeddings.rdd.getNumPartitions >= par) v else v.repartition(par)
+    pqCodesFrom(spread, pqCodebookFrom(v, subspaces, codebookSize), subspaces)
   }
 
   /** (vec_id, double-cast v) — the shared projection every PQ path slices. */
