@@ -832,6 +832,21 @@ object SparkEntry {
     // (non-nil ∧ non-false) over the evaluator result
     "c33_expr_dialect" -> ((s, dir) =>
       Counters.run(events(s, dir), "ts", cBoolFloorCount)),
+    // O14 slurp notch: jq -s per hour window — the window's events become
+    // ONE ordered array (stream order pinned by event_id) and the program
+    // runs once over it: length, an order-exact integer fold, an
+    // order-free max, and a first that only the pinned order makes
+    // deterministic. One shuffle (the groupBy); arrays built reducer-side.
+    "c35_jq_slurp" -> ((s, dir) =>
+      JqTransform.slurpBy(
+        events(s, dir)
+          .withColumn("window_start",
+            (unix_timestamp(date_trunc("hour", col("ts"))) * 1000).cast("long"))
+          .select("window_start", "event_id", "event_type", "value"),
+        groupCols = Seq("window_start"), orderCols = Seq("event_id"),
+        """{n: (. | length), sum_id: (map(.event_id) | add),
+          | vmax: (map(.value) | max),
+          | first_type: (map(.event_type) | first)}""".stripMargin)),
   )
 
   /** Build the `c30` fixture: a 5% events subset written as per-shard
@@ -1091,6 +1106,15 @@ object SparkEntry {
         """WITH w AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
           |           count(*) AS v FROM events GROUP BY 1)
           |SELECT t, 8*v + 14 AS s, unnest([v, 4*v, 4*v + 7]) AS c FROM w""".stripMargin,
+      // c35: slurpBy ≡ plain grouped aggregation of the array the window
+      // slurps — length = count, in-order integer fold = sum, max = max,
+      // first under event_id order = arg_min. DuckDB sum(BIGINT) is
+      // HUGEINT, cast back; n is LONG on both sides.
+      "c35_jq_slurp" ->
+        """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+          | count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+          | max(value) AS vmax, arg_min(event_type, event_id) AS first_type
+          |FROM events GROUP BY 1""".stripMargin,
       // c33: the Spark side evaluates the dialect (as_bool/min/floor); the
       // oracle expresses the equivalent predicate directly. floor() is cast
       // to BIGINT because DuckDB floor returns DOUBLE (Spark's returns LONG);

@@ -113,6 +113,71 @@ object JqTransform {
     df => compiled.foldLeft(df)((d, stage) => stage(d))
   }
 
+  /** jq's `--slurp` (`-s`) mode, per group: each group's rows become ONE
+    * array (elements = full row objects, ordered by `orderCols` — jq's
+    * array order is the input stream order, which a distributed engine
+    * must pin explicitly), and `program` runs ONCE over that array as a
+    * VALUE expression with `.` bound to it (`length`, `map(f) | add`,
+    * `sort_by`, `group_by`, `unique`, object construction, `def`s …).
+    * Not part of the reference's config surface (gojq is invoked
+    * per-record there, `counter.go:439-466`) — this is the extension
+    * analog of `jq -s`, group-wise because that is the shape that
+    * scales: ONE shuffle on the group keys, each group's array built in
+    * its reducer (the array must fit in a task — the same bound any jq
+    * program's per-value memory has).
+    *
+    * Output: the group columns plus the program result — struct results
+    * expand to columns, scalars land in a `value` column.
+    */
+  def slurpBy(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+              program: String): DataFrame = {
+    require(groupCols.nonEmpty, "jq slurpBy: group columns required (use slurp for global)")
+    slurpImpl(df, groupCols, orderCols, program)
+  }
+
+  /** jq's `--slurp` over the WHOLE input: the entire stream becomes one
+    * array and the program runs once — jq -s semantics exactly. The
+    * global form funnels through a single reducer by construction
+    * (that is what "the whole input as one array" means); use
+    * [[slurpBy]] for anything large.
+    */
+  def slurp(df: DataFrame, orderCols: Seq[String], program: String): DataFrame =
+    slurpImpl(df, Nil, orderCols, program)
+
+  private def slurpImpl(df: DataFrame, groupCols: Seq[String],
+                        orderCols: Seq[String], program: String): DataFrame = {
+    val (defs, rest) = stripDefs(program)
+    val bodyV: V = {
+      val p = new P(rest, defs)
+      val v = p.parseValue()
+      require(!p.hasMore, s"jq slurp: trailing input after program: $rest")
+      v
+    }
+    // Element = the full row as an object (field order = schema order,
+    // like the per-record path). Order keys ride OUTSIDE the payload so
+    // sorting is by them alone; sort_array is a partition-local sort of
+    // an already-grouped array — no extra shuffle beyond the groupBy.
+    val payload = struct(df.columns.map(col): _*)
+    val keyed = struct(
+      orderCols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") } :+
+        payload.as("__p"): _*)
+    val slurpCol = transform(array_sort(collect_list(keyed)), x => x.getField("__p"))
+    val agged =
+      if (groupCols.isEmpty) df.agg(slurpCol.as("__slurp"))
+      else df.groupBy(groupCols.map(col): _*).agg(slurpCol.as("__slurp"))
+    val bound = Bound(col("__slurp"), col("__slurp"))
+    val (resV, resT) = elemBinding.withValue(Some(bound)) {
+      (bodyV(agged), dtOfV(agged, bodyV))
+    }
+    resT match {
+      case st: StructType =>
+        val expanded = st.fieldNames.map(f => resV.getField(f).as(f))
+        agged.select(groupCols.map(col) ++ expanded: _*)
+      case _ =>
+        agged.select(groupCols.map(col) :+ resV.as("value"): _*)
+    }
+  }
+
   /** A user-defined function: `$`-declared value params (bound on the
     * [[varBindings]] channel, exactly like `reduce`'s `as $x`) and a
     * value-expression body compiled once at program load.

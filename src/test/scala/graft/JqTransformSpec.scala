@@ -569,4 +569,55 @@ class JqTransformSpec extends SparkTestBase {
     val nested = JqTransform(df, """{w: {s: .window_start}}""")
     assert(JqTransform(nested, """{x: .w.nope}""").head().isNullAt(0))
   }
+
+  // ---- slurp: jq -s, the input stream as ONE array ----
+
+  private lazy val stream = Seq(
+    (2L, "b", 20L), (1L, "a", 10L), (3L, "a", 5L), (4L, "c", 40L))
+    .toDF("id", "k", "v")
+
+  test("slurp: whole input becomes one ordered array, program runs once") {
+    val out = JqTransform.slurp(stream, Seq("id"),
+      """{n: (. | length), total: (map(.v) | add),
+        | firstk: (map(.k) | first), ks: (map(.k) | unique)}""".stripMargin)
+    assert(out.columns.toSeq == Seq("n", "total", "firstk", "ks"))
+    val r = out.head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 75L)
+    assert(r.getString(2) == "a") // id order, not insertion order
+    assert(r.getSeq[String](3) == Seq("a", "b", "c"))
+    assert(out.count() == 1)
+  }
+
+  test("slurp: scalar program lands in a value column; empty input = []") {
+    val one = JqTransform.slurp(stream, Seq("id"), "map(.v) | max")
+    assert(one.columns.toSeq == Seq("value"))
+    assert(one.head().getLong(0) == 40L)
+    val empty = JqTransform.slurp(stream.where("v > 1000"), Seq("id"), ". | length")
+    assert(empty.head().getLong(0) == 0L) // jq -s on empty input: []
+  }
+
+  test("slurpBy: per-group arrays, one row per group, defs in scope") {
+    val out = JqTransform.slurpBy(stream, Seq("k"), Seq("id"),
+      """def tot: map(.v) | add;
+        |{n: (. | length), t: tot, firstid: (map(.id) | first)}""".stripMargin)
+      .orderBy("k")
+    assert(out.columns.toSeq == Seq("k", "n", "t", "firstid"))
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 1L, 1L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(15L, 20L, 40L))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 2L, 4L)) // min id per group
+  }
+
+  test("slurpBy: sort_by/group_by over the slurped array") {
+    // rank keys by per-key total: group_by(.k) → per-group sums
+    val out = JqTransform.slurpBy(stream, Seq("k"), Seq("id"),
+      """{vs: (. | sort_by(.v) | map(.v)), top: (. | sort_by(.v) | map(.v) | last)}""")
+      .orderBy("k")
+    val rows = out.collect()
+    assert(rows.map(_.getSeq[Long](1)).toSeq ==
+      Seq(Seq(5L, 10L), Seq(20L), Seq(40L)))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(10L, 20L, 40L))
+  }
 }
