@@ -57,6 +57,12 @@ object SparkEntry {
     "en" -> 900000L, "de" -> 600000L, "es" -> 600000L,
     "fr" -> 600000L, "zh" -> 300000L)
 
+  /** BM25 query terms for t20: one rare term (high idf) and two common
+    * ones, so the ranking exercises both idf spread and length
+    * normalization.
+    */
+  private val Bm25Query = Seq("dup", "scan", "key")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Counters.run(events(spark, "/root/testdata/sf0.001"), "ts", cRequestCount)
@@ -558,6 +564,14 @@ object SparkEntry {
     // never splits a doc; per-shard accounting
     "t19_shard_packing" -> ((s, dir) =>
       TextAnalysis.shardPacking(Tables.documents(s, dir))),
+    // BM25 ranked retrieval: literal query, integer fixed-point scoring,
+    // one-row broadcast stats, TakeOrderedAndProject top-k
+    "t20_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), Bm25Query)),
+    // C4-style boilerplate scrub: corpus-frequent chunks removed from
+    // every doc, survivors rejoined in order; digest-only count shuffle
+    "t21_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -1987,6 +2001,49 @@ object SparkEntry {
            |SELECT (pre // 50000)::BIGINT AS shard_id, count(*)::BIGINT AS n_docs,
            | sum(n)::BIGINT AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
            |FROM c GROUP BY 1""".stripMargin,
+      // t20: same integer fixed point as the Spark side — idf_m=(N·1000)//df,
+      // norm_ppm = 250000 + (750000·dl·N)//total_tokens (1e6−b folded),
+      // contrib = idf_m·tf·(k1+1e6) // (tf·1e6 + (k1·norm)//1e6); `//` and
+      // Spark's intDiv agree exactly below 2^53
+      "t20_bm25" ->
+        s"""WITH d AS (SELECT doc_id, len($toks)::BIGINT AS dl,
+           |    len(list_filter($toks, x -> x = 'dup'))::BIGINT AS tf0,
+           |    len(list_filter($toks, x -> x = 'scan'))::BIGINT AS tf1,
+           |    len(list_filter($toks, x -> x = 'key'))::BIGINT AS tf2
+           |  FROM documents),
+           |s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tt,
+           |    sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+           |    sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+           |    sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END)::BIGINT AS df2 FROM d)
+           |SELECT doc_id,
+           |  (CASE WHEN tf0>0 THEN ((n*1000)//df0)*tf0*2200000
+           |     // (tf0*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END
+           | + CASE WHEN tf1>0 THEN ((n*1000)//df1)*tf1*2200000
+           |     // (tf1*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END
+           | + CASE WHEN tf2>0 THEN ((n*1000)//df2)*tf2*2200000
+           |     // (tf2*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END)::BIGINT AS score_m
+           |FROM d CROSS JOIN s
+           |WHERE tf0>0 OR tf1>0 OR tf2>0
+           |ORDER BY score_m DESC, doc_id LIMIT 10""".stripMargin,
+      // t21: d13's chunk CTE keyed by chunk text (md5 is injective on this
+      // corpus — d13 already rests on that); string_agg ORDER BY chunk_idx
+      // mirrors the array_sort reassembly
+      "t21_boilerplate" ->
+        s"""WITH ch AS (
+           |  SELECT doc_id, i::BIGINT AS chunk_idx,
+           |    array_to_string(t[i*8+1 : i*8+8], ' ') AS chunk
+           |  FROM (SELECT doc_id, $toks AS t FROM documents)
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+           |  WHERE i <= ceil(len(t)/8.0) - 1),
+           |boil AS (SELECT chunk FROM ch GROUP BY 1 HAVING count(*) > 2),
+           |surv AS (SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM boil)),
+           |re AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_scrubbed,
+           |       count(*)::BIGINT AS n_kept FROM surv GROUP BY 1),
+           |nc AS (SELECT doc_id, ceil(len($toks)/8.0)::BIGINT AS n_chunks FROM documents)
+           |SELECT nc.doc_id, coalesce(re.text_scrubbed, '') AS text_scrubbed,
+           |  coalesce(re.n_kept, 0)::BIGINT AS n_kept,
+           |  (nc.n_chunks - coalesce(re.n_kept, 0))::BIGINT AS n_dropped
+           |FROM nc LEFT JOIN re ON nc.doc_id = re.doc_id""".stripMargin,
       "t16_quality_gate" ->
         s"""WITH s AS (SELECT doc_id, len($toks) AS nt,
            |  len(list_distinct($toks)) AS nd,

@@ -568,6 +568,108 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, the classic probabilistic
+    * ranking function) for a LITERAL query over the corpus: top-`k` docs by
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *
+    * in exact integer fixed point so the DuckDB oracle hash-matches:
+    * `idf_m = (N·1000) // df` (the same saturating integer idf family as
+    * [[tfidfTopK]] — production would use the log form; the ranking is
+    * monotone-equivalent on this corpus), `k1`/`b` as ppm parameters, and
+    * each term's contribution `(idf_m · tf · (k1_ppm+10⁶)) // denom_ppm`.
+    * Exact while `N·1000·tf·(k1_ppm+10⁶) < 2⁵³` (N ≤ ~4·10⁶ at tf ≤ 100);
+    * beyond that, switch `score_m` to double and drop the oracle hash.
+    *
+    * Scale shape: the query terms are literals folded into codegen (a
+    * per-row `filter` count per term — no explode, no join against a terms
+    * table), the corpus-wide stats (N, total tokens, per-term df) are ONE
+    * map-side-combinable aggregate producing ONE row that is broadcast
+    * back via `crossJoin(broadcast(…))`, non-matching docs are filtered
+    * before scoring, and the top-k is `orderBy().limit(k)` — Catalyst's
+    * `TakeOrderedAndProject`, a per-partition heap + driver merge of k
+    * rows, never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               k1Ppm: Long = 1200000L, bPpm: Long = 750000L): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    require(queryTerms.distinct == queryTerms, "bm25TopK: duplicate query terms")
+    val toks = col("__toks")
+    val base = withTokens(docs).select(
+      col("doc_id") +: size(toks).cast("long").as("__dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf$i")
+        }: _*)
+    val aggCols =
+      count(lit(1)).as("__n") +: sum(col("__dl")).as("__tt") +:
+        queryTerms.indices.map(i =>
+          sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val matched =
+      base.where(queryTerms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
+    // doc-length normalization, shared by every term's denominator:
+    // 1 − b + b·dl/avgdl in ppm, with avgdl = total_tokens/N kept rational
+    val normPpm = lit(1000000L) - lit(bPpm) +
+      intDiv(lit(bPpm) * col("__dl") * col("__n"), col("__tt"))
+    val contribs = queryTerms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val idfM = intDiv(col("__n") * lit(1000L), col(s"__df$i"))
+      val denomPpm = tf * lit(1000000L) + intDiv(lit(k1Ppm) * normPpm, lit(1000000L))
+      when(tf > 0, intDiv(idfM * tf * lit(k1Ppm + 1000000L), denomPpm))
+        .otherwise(lit(0L))
+    }
+    matched.crossJoin(broadcast(stats))
+      .select(col("doc_id"), contribs.reduce(_ + _).as("score_m"))
+      .orderBy(col("score_m").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** C4-style boilerplate scrubbing (Raffel et al., 2020 §2.2's repeated-
+    * span removal, adapted to this corpus's chunk unit — the texts have no
+    * line structure, so the span is [[chunk]]'s fixed `chunkTokens`-token
+    * window): any chunk occurring MORE than `maxFreq` times corpus-wide is
+    * boilerplate and removed from every document; survivors are re-joined
+    * in original order. Docs whose every chunk was boilerplate survive
+    * with empty text (the caller's quality gate drops them — scrubbing and
+    * filtering stay separate decisions).
+    *
+    * Scale shape: the frequency count groups on `chunk_md5` ONLY (column
+    * pruning drops the chunk text before that shuffle — a digest-only,
+    * map-side-combinable count); the boilerplate set (count > maxFreq) is
+    * tiny by construction — boilerplate is by definition few distinct
+    * spans — and is broadcast into a left-anti join, so the corpus text is
+    * shuffled exactly ONCE (the doc_id reassembly groupBy; the subsequent
+    * doc_id join reuses that partitioning). Output: one row per input doc,
+    * (doc_id, text_scrubbed, n_kept, n_dropped).
+    */
+  def boilerplateScrub(docs: DataFrame, chunkTokens: Int = 8,
+                       maxFreq: Long = 2L): DataFrame = {
+    require(chunkTokens > 0 && maxFreq > 0,
+      s"bad scrub params: chunkTokens=$chunkTokens maxFreq=$maxFreq")
+    val nChunksE = ceil(size(col("__toks")) / lit(chunkTokens.toDouble)).cast("long")
+    val chunked = withTokens(docs)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunksE.cast("int") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"), md5(col("chunk").cast("binary")).as("chunk_md5"))
+    val boiler = chunked.groupBy("chunk_md5").count()
+      .where(col("count") > maxFreq).select("chunk_md5")
+    val survivors = chunked.join(broadcast(boiler), Seq("chunk_md5"), "left_anti")
+    val rebuilt = survivors.groupBy("doc_id").agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        x => x.getField("chunk"))).as("text_scrubbed"),
+      count(lit(1)).as("n_kept"))
+    withTokens(docs).select(col("doc_id"), nChunksE.as("__nc"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__nc") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }
 
 /** Per-language stopword vocabularies for the language-ID heuristic.

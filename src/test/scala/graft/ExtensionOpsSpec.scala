@@ -285,6 +285,53 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(shards(1L) == (1L, 3L, 3L, 3L), s"shard 1: $shards")
   }
 
+  test("bm25TopK: rare-term idf dominates; tf and length normalization order as expected") {
+    val d = Seq(
+      (1L, "rare common common"),
+      (2L, "rare common common filler filler filler filler filler"),
+      (3L, "common common common common"),
+      (4L, "common filler"),
+      (5L, "filler filler")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, Seq("rare", "common"), k = 10).collect()
+    val score = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!score.contains(5L), "non-matching docs never surface")
+    // idf: the rare term (df=2) outweighs any pile-up of the common one (df=4)
+    assert(score(1L) > score(3L) && score(2L) > score(3L))
+    // length normalization: identical query-term counts, shorter doc wins
+    assert(score(1L) > score(2L))
+    // result order is (score desc, doc_id asc)
+    assert(out.map(_.getLong(1)).toSeq ==
+      out.map(_.getLong(1)).toSeq.sorted(Ordering[Long].reverse))
+    assert(TextAnalysis.bm25TopK(d, Seq("common"), k = 2).count() == 2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(d, Seq("a", "a"))
+    }
+  }
+
+  test("boilerplateScrub: frequent chunks removed everywhere, order kept, empty survivor") {
+    val d = Seq(
+      (1L, "b1 b2 u1 u2"),
+      (2L, "b1 b2 u3 u4"),
+      (3L, "b1 b2"),
+      (4L, "u5 u6 u7"),
+      (5L, "u8 u9 b1 b2 u0 u1")
+    ).toDF("doc_id", "text")
+    // "b1 b2" occurs 4× > maxFreq=1 → scrubbed from every doc
+    val out = TextAnalysis.boilerplateScrub(d, chunkTokens = 2, maxFreq = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("u1 u2", 1L, 1L)))
+    assert(out(2L) == (("u3 u4", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)), "fully-boilerplate doc survives with empty text")
+    assert(out(4L) == (("u5 u6 u7", 2L, 0L)), "clean doc (incl. short tail chunk) untouched")
+    assert(out(5L) == (("u8 u9 u0 u1", 2L, 1L)), "survivors rejoin in original order")
+    assert(out.size == 5)
+    // threshold is strict: 4 occurrences survive maxFreq=4
+    val kept = TextAnalysis.boilerplateScrub(d, chunkTokens = 2, maxFreq = 4)
+    assert(kept.where(col("doc_id") === 3L).head().getString(1) == "b1 b2")
+  }
+
   test("containmentPairs maxDocFreq drops hot-shingle candidates, keeps true dups") {
     // ten docs share ONE hot phrase; 11/12 are a true duplicate pair;
     // 13 is exactly the hot phrase (fully contained in everything)

@@ -255,6 +255,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"raw chunk text must never cross a shuffle:\n$p")
   }
 
+  test("bm25: one-row stats broadcast, heap top-k, pruned scan, no cartesian") {
+    val p = plan(TextAnalysis.bm25TopK(docs, Seq("dup", "scan", "key")))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus stats must come back as a broadcast, not a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product allowed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap, not a global sort:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("boilerplate scrub: digest-only frequency shuffle, broadcast anti-join") {
+    val p = plan(TextAnalysis.boilerplateScrub(docs))
+    assert("Exchange hashpartitioning\\(chunk_md5".r.findFirstIn(p).isDefined,
+      s"boilerplate count must shuffle on the md5 digest:\n$p")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"the (tiny) boilerplate set must broadcast into the anti-join:\n$p")
+    assert(!"Exchange hashpartitioning\\(chunk#".r.findFirstIn(p).isDefined,
+      s"chunk text crosses a shuffle only for doc_id reassembly, never for counting:\n$p")
+  }
+
   test("heavy hitters ranks the per-window aggregate, not the events") {
     val p = plan(graft.relational.Temporal.windowHeavyHitters(events))
     assert("(?s)Window.*HashAggregate.*partial_count".r.findFirstIn(p).isDefined,
