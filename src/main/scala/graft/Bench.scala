@@ -19,6 +19,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned in code, not just sbt javaOptions: a jar launched outside
+      // sbt must not silently shift every window boundary to the host TZ
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // tmpfs for shuffle/spill: the host disk is shared and its latency
@@ -71,14 +74,22 @@ object Bench {
       if ((o -- unknown).isEmpty)
         System.err.println("[bench] WARNING: SPARK_GRAFT_ONLY matches no queries — empty run")
     }
+    // A failed query must NEVER masquerade as a fast timing (r5: broken
+    // queries recorded 5 ms "results" that SHRANK the total). Track errors
+    // per query name; a query with any error is excluded from `value` and
+    // reported under "errors"/"n_failed".
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-              tag: String): Double = {
+              tag: String, name: String): Double = {
       // noop sink fully materializes every column — a bare .count() would
       // let Catalyst prune the computed projections and time nothing.
       val t0 = System.nanoTime()
       watched.set(tag)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $tag: $e") }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $tag: $e")
+        errors.getOrElseUpdate(name, e.toString.take(200))
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val firstPass = SparkEntry.queries
@@ -89,12 +100,12 @@ object Bench {
       // broadcast builds, parquet footer caches); the second run is the
       // reported number. Warming only one query charged 10s+ of JVM
       // warm-up to whichever queries happened to run first.
-      val wt = timed(fn, s"$name#warm")
+      val wt = timed(fn, s"$name#warm", name)
       // TWO timed runs, report the min: shared-host noise (CPU steal, page
       // cache, GC) is one-sided additive, so min is the consistent
       // estimator of the plan's steady-state cost.
-      val dt1 = timed(fn, name)
-      val dt2 = timed(fn, s"$name#2")
+      val dt1 = timed(fn, name, name)
+      val dt2 = timed(fn, s"$name#2", name)
       val dt = math.min(dt1, dt2)
       // warm time reported for wall-clock accounting (codegen + JIT +
       // broadcast/file-listing first-time costs live there, not in dt)
@@ -112,18 +123,28 @@ object Bench {
     // see it (observed: c08 0.4 s solo, 3.7 s when a window covered all
     // three of its runs). Three extra sub-second runs are cheap insurance.
     val slowest = firstPass.toSeq.sortBy(-_._4).take(3).map(_._1).toSet
-    val results = firstPass.map { case (name, fn, wt, dt) =>
-      if ((dt > 1.0 && dt > 3 * wt) || (slowest(name) && dt > 1.0)) {
-        val dt3 = timed(fn, s"$name#retry")
+    val allTimed = firstPass.map { case (name, fn, wt, dt) =>
+      if (!errors.contains(name) &&
+          ((dt > 1.0 && dt > 3 * wt) || (slowest(name) && dt > 1.0))) {
+        val dt3 = timed(fn, s"$name#retry", name)
         val best = math.min(dt, dt3)
         System.err.println(f"[bench] $name%-24s $best%8.2fs  (retry $dt3%.2f)")
         name -> best
       } else name -> dt
     }.toMap
+    // failed queries are excluded from the timing map and the total — their
+    // "elapsed" is time-to-exception, not a measurement
+    val results = allTimed.filterNot { case (k, _) => errors.contains(k) }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     // the totals line is the hard signal: ALSO write it to a file so it
     // survives any log-tail truncation by the per-query diagnostics
     // (round 3's driver capture lost it exactly that way)
@@ -141,7 +162,7 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (p, qs2) => s"\"${p}_set\":${qs2.values.sum}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$bySet,"n_queries":${results.size},"sf":"$sfDir","detail":"bench_totals.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$bySet,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","detail":"bench_totals.json"}""")
     System.out.flush()
     spark.stop()
   }

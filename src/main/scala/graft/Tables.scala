@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.Column
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -19,19 +20,29 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos (`nanosAsLong`) and convert with
-    * exact integer division (`div` — a double roundtrip would lose
-    * precision at ~1.7e18). Truncation to micros matches how µs-native
-    * engines (e.g. the DuckDB oracle) read the same file.
+  /** Normalize the fixture's `ts` to session-TZ `TimestampType`, driven by
+    * the LOGICAL type the scan surfaced — the fixture generator has shipped
+    * both TIMESTAMP(NANOS) (read as raw longs via `nanosAsLong`, converted
+    * with exact integer `div` — a double roundtrip would lose precision at
+    * ~1.7e18) and micros TIMESTAMP_NTZ (cast to TimestampType; exact under
+    * the pinned UTC session TZ that every entrypoint sets, matching how the
+    * DuckDB oracle reads the same file). An unrecognized type throws HERE,
+    * at the one choke point, instead of emitting a frame that fails every
+    * downstream `unix_millis`/`withWatermark` with a cryptic mismatch.
     */
+  private def normalizeTs(dt: DataType, ts: Column): Column = dt match {
+    case LongType         => timestamp_micros(expr("ts div 1000")) // integral div: exact
+    case TimestampNTZType => ts.cast(TimestampType)
+    case TimestampType    => ts
+    case other => throw new IllegalStateException(
+      s"events.ts loaded as unsupported type $other — fixture format changed; " +
+        "teach Tables.normalizeTs the new logical type")
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
-    val ts = raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val ts = raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType, col("ts")))
     // Same single-file/single-row-group constraint as documents: per-row
     // heavy consumers (JSON/variant parse, keyed hashing) would otherwise
     // run in ONE task locally.
@@ -49,10 +60,7 @@ object Tables {
     // rejects a plain file path (basePath must be a directory) but accepts
     // it as a glob, which anchors basePath at the containing directory
     val raw = spark.readStream.schema(schema).parquet(s"$sfDir/{events}.parquet")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType, col("ts")))
   }
 
   /** The documents table feeds explode/higher-order-function-heavy text ops

@@ -31,13 +31,31 @@ object Verify {
     // driver sets nothing and always dumps every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Per-query audit trail, appended AS WE GO: a mid-run kill (driver
+    // budget death) still leaves the full enumeration of what passed and
+    // what threw — round 5's correctness came back `{}` with no trace.
+    val statusPath = Paths.get(s"$outDir/status.jsonl")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    def status(name: String, ok: Boolean, msg: String): Unit = {
+      val line = s"""{"query":${jstr(name)},"status":"${if (ok) "ok" else "failed"}"""" +
+        (if (msg.nonEmpty) s""","error":${jstr(msg.take(300))}}""" else "}")
+      try Files.writeString(statusPath, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name, ok = true, "")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status(name, ok = false, String.valueOf(e.getMessage))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
