@@ -861,6 +861,22 @@ object SparkEntry {
         """{n: (. | length), sum_id: (map(.event_id) | add),
           | vmax: (map(.value) | max),
           | first_type: (map(.event_type) | first)}""".stripMargin)),
+    // O14 regex + try/catch notch (counter.go:439-466 accepts any gojq
+    // program; test/match/capture are the most-used regex constructs in
+    // real configs): a regex-gated select, named-group capture projected
+    // through a path stage, match-object offset as a scalar, and a
+    // try/catch fallback over a missing field — all codegen'd regexp_*
+    // kernels, no per-row interpreter.
+    "c36_jq_regex" -> ((s, dir) =>
+      JqTransform(
+        events(s, dir).select("event_id", "event_type"),
+        """select(.event_type | test("^(?:click|view|signup)$"))
+          || {id: .event_id, et: .event_type,
+          |   cap: (.event_type | capture("^(?<head>[a-z])(?<tail>[a-z]+)$")),
+          |   m: (.event_type | match("i"))}
+          || {id: .id, et: .et, head: .cap.head,
+          |   tail_len: (.cap.tail | length), i_off: .m.offset,
+          |   fb: (try (.missing | unique) catch "none")}""".stripMargin)),
   )
 
   /** Build the `c30` fixture: a 5% events subset written as per-shard
@@ -1129,6 +1145,17 @@ object SparkEntry {
           | count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
           | max(value) AS vmax, arg_min(event_type, event_id) AS first_type
           |FROM events GROUP BY 1""".stripMargin,
+      // c36: regex semantics re-expressed relationally — capture head/tail
+      // = substr, match("i").offset = 0-based instr, the try/catch over a
+      // missing field folds to its constant fallback. Casts to BIGINT
+      // mirror the Spark side's long-typed length/offset.
+      "c36_jq_regex" ->
+        """SELECT event_id AS id, event_type AS et,
+          | substr(event_type, 1, 1) AS head,
+          | CAST(length(event_type) - 1 AS BIGINT) AS tail_len,
+          | CAST(instr(event_type, 'i') - 1 AS BIGINT) AS i_off,
+          | 'none' AS fb
+          |FROM events WHERE event_type IN ('click', 'view', 'signup')""".stripMargin,
       // c33: the Spark side evaluates the dialect (as_bool/min/floor); the
       // oracle expresses the equivalent predicate directly. floor() is cast
       // to BIGINT because DuckDB floor returns DOUBLE (Spark's returns LONG);

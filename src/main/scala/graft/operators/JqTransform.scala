@@ -80,7 +80,15 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *  - a path whose top-level field does not exist in the input emits
   *    jq's `null` (NOT an analyzer error), so `.maybe_missing // 0`
   *    works against any record shape, like the reference's dynamic
-  *    JSON objects.
+  *    JSON objects;
+  *  - regex builtins `test`/`match`/`capture` with literal patterns and
+  *    `i/x/s/m` flags, over Java regex (the \d/\w/anchors/groups subset
+  *    is oniguruma-identical); `match` builds jq's match object, with
+  *    null for jq's empty stream on no-match;
+  *  - `try E [catch H]`: errors in this compiler are plan-construction-
+  *    time, so try/catch resolves statically — E's compile/type-probe
+  *    failure folds the expression to H (error message bound to `.`),
+  *    default jq-null.
   *
   * Out of scope (documented divergence, unused by the reference's own
   * fixtures): slurp (a per-stream input-collection flag, not a program
@@ -721,6 +729,54 @@ object JqTransform {
     "startswith" -> ((df, v, a) => v(df).startsWith(a(df))),
     "endswith" -> ((df, v, a) => v(df).endsWith(a(df))))
 
+  // ------------------------------------------------- jq regex builtins --
+
+  /** Lower jq regex flags onto a Java-regex inline-flags prefix. jq's
+    * oniguruma flags `i`/`x`/`s`/`m` have exact Java equivalents; `g`
+    * (all matches) and `n` (skip empty) change the OUTPUT SHAPE of
+    * `match` and stay out of scope.
+    */
+  private def regexWithFlags(pat: String, flags: String): String = {
+    if (flags.isEmpty) pat
+    else {
+      flags.foreach(f => require("ixsm".contains(f),
+        s"jq_expr: unsupported regex flag '$f' (supported: i, x, s, m)"))
+      s"(?$flags)$pat"
+    }
+  }
+
+  /** Capture groups of a regex literal, in group-number order:
+    * (name if `(?<name>…)`, 1-based Java group index). Skips
+    * non-capturing `(?:`/lookaround/inline-flag groups, `(` inside
+    * character classes, and escaped parens — the same counting Java's
+    * engine applies, so the indices line up with `regexp_extract`.
+    */
+  private def captureGroups(pat: String): Seq[(Option[String], Int)] = {
+    val out = Seq.newBuilder[(Option[String], Int)]
+    var idx = 0; var k = 0; var inClass = false
+    while (k < pat.length) {
+      pat.charAt(k) match {
+        case '\\' => k += 1
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass =>
+          if (k + 1 < pat.length && pat.charAt(k + 1) == '?') {
+            if (k + 2 < pat.length && pat.charAt(k + 2) == '<' &&
+                k + 3 < pat.length &&
+                pat.charAt(k + 3) != '=' && pat.charAt(k + 3) != '!') {
+              idx += 1
+              val end = pat.indexOf('>', k + 3)
+              require(end > 0, s"jq_expr: unterminated named group in regex: $pat")
+              out += ((Some(pat.substring(k + 3, end)), idx))
+            }
+          } else { idx += 1; out += ((None, idx)) }
+        case _ =>
+      }
+      k += 1
+    }
+    out.result()
+  }
+
   /** The element binding for `map(expr)`: inside the map body, `.` and
     * `.field` resolve against the array ELEMENT (jq's semantics — map
     * shadows the input); in [[probeMode]] the typed-null probe stands in.
@@ -1054,6 +1110,66 @@ object JqTransform {
           val vv = v
           val f = FuncsArg(fn)
           v = df => f(df, vv, arg)
+        } else if (fn == "test" || fn == "match" || fn == "capture") {
+          // jq regex builtins over Java regex (PCRE-adjacent — the common
+          // \d/\w/anchors/groups/named-groups subset is identical; jq's
+          // engine is oniguruma, divergence documented). Pattern and flags
+          // must be string LITERALS: the plan compiles ONE pattern — a
+          // per-row pattern would defeat codegen, and jq programs use
+          // literal patterns in practice. `match` yields jq's match object
+          // {offset, length, string, captures}; no-match yields null (the
+          // skip-on-error analog of jq's empty stream, as with tonumber);
+          // `capture` yields the named-groups object, null on no match.
+          expect('('); skipWs()
+          if (peek != '"')
+            throw new IllegalArgumentException(
+              s"jq_expr: $fn() requires a string-literal regex")
+          val rawPat = parseStringLit()
+          skipWs()
+          val flags =
+            if (peek == ';') {
+              next(); skipWs()
+              if (peek != '"')
+                throw new IllegalArgumentException(
+                  s"jq_expr: $fn() flags must be a string literal")
+              parseStringLit()
+            } else ""
+          expect(')')
+          val pat = regexWithFlags(rawPat, flags)
+          val groups = captureGroups(rawPat)
+          val vv = v
+          fn match {
+            case "test" => v = df => vv(df).rlike(pat)
+            case "match" => v = df => {
+              val c = vv(df)
+              val pos = regexp_instr(c, lit(pat))
+              val str = regexp_substr(c, lit(pat))
+              // captures: every group in number order, name null for
+              // unnamed groups (jq's shape; per-group offsets are not
+              // recoverable from Spark's regex kernel — documented)
+              val caps =
+                if (groups.isEmpty)
+                  array().cast("array<struct<name:string,string:string>>")
+                else array(groups.map { case (n, gi) =>
+                  struct(n.map(lit(_)).getOrElse(lit(null).cast("string")).as("name"),
+                    regexp_extract(c, pat, gi).as("string"))
+                }: _*)
+              when(pos > lit(0), struct(
+                (pos - lit(1)).cast("long").as("offset"),
+                length(str).cast("long").as("length"),
+                str.as("string"),
+                caps.as("captures")))
+            }
+            case "capture" =>
+              val named = groups.collect { case (Some(n), gi) => (n, gi) }
+              require(named.nonEmpty,
+                "jq_expr: capture() requires at least one named group (?<name>…)")
+              v = df => {
+                val c = vv(df)
+                when(c.rlike(pat), struct(named.map { case (n, gi) =>
+                  regexp_extract(c, pat, gi).as(n) }: _*))
+              }
+          }
         } else if (fn == "split") {
           // jq split(s) is a LITERAL separator; Spark's split takes a
           // regex, so quote it — literal-arg only (parse-time), documented
@@ -1316,6 +1432,40 @@ object JqTransform {
               .foldLeft(when(truthy(bs.head._1), bs.head._2(df)))(
                 (w, b) => w.when(truthy(b._1), b._2(df)))
               .otherwise(elseV(df))
+          }
+        case 't' if s.startsWith("try", i) && boundary(i + 3) =>
+          // try E [catch H] — jq suppresses ERRORS from E and emits
+          // nothing (or H's value, with the error message bound to `.`).
+          // In this compiler errors are PLAN-construction-time (type
+          // mismatches, unsupported shapes, analyzer failures probing the
+          // actual schema), so try/catch resolves statically: compile and
+          // type-probe E against the input frame; on failure the whole
+          // expression folds to H (default: jq-null, the skip-on-error
+          // analog of the empty stream). Per-row RUNTIME errors don't
+          // exist to catch — the lowering already uses try_cast-style
+          // kernels. E extends through value pipes/arithmetic (broader
+          // than gojq's postterm binding — parenthesize to disambiguate).
+          i += 3
+          val body = parsePiped()
+          skipWs()
+          val handler: Option[V] =
+            if (s.startsWith("catch", i) && boundary(i + 5)) {
+              i += 5
+              Some(parsePiped())
+            } else None
+          df => {
+            try {
+              dtOfV(df, body) // force schema resolution, not just parse
+              body(df)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                handler match {
+                  case Some(h) =>
+                    val msg = lit(String.valueOf(e.getMessage))
+                    elemBinding.withValue(Some(Bound(msg, msg)))(h(df))
+                  case None => lit(null)
+                }
+            }
           }
         case 't' if s.startsWith("true", i) && boundary(i + 4) => i += 4; _ => lit(true)
         case 'f' if s.startsWith("foreach", i) && boundary(i + 7) =>

@@ -620,4 +620,79 @@ class JqTransformSpec extends SparkTestBase {
       Seq(Seq(5L, 10L), Seq(20L), Seq(40L)))
     assert(rows.map(_.getLong(2)).toSeq == Seq(10L, 20L, 40L))
   }
+
+  // ---- regex builtins (counter.go:439-466 accepts any gojq program;
+  //      test/match/capture are the most-used regex constructs) ----
+
+  private lazy val strs = Seq(
+    (1L, "user-42@example.com"), (2L, "nobody"), (3L, "agent-7@test.org"))
+    .toDF("id", "s")
+
+  test("test(re): literal pattern, anchors, and i flag") {
+    val out = JqTransform(strs, """select(.s | test("^user-\\d+@")) | {id: .id}""")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val ci = JqTransform(strs, """select(.s | test("NOBODY"; "i")) | {id: .id}""")
+    assert(ci.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // differential (jq): echo '"user-42@x"' | jq 'test("^user-\\d+@")' → true
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{t: (.s | test("x"; "g"))}"""))
+  }
+
+  test("match(re): jq match object {offset, length, string, captures}") {
+    val out = JqTransform(strs,
+      """{id: .id, m: (.s | match("(?<name>[a-z]+)-(\\d+)"))}""").orderBy("id")
+    val rows = out.collect()
+    // differential (jq): '"user-42@example.com"' | match("(?<name>[a-z]+)-(\\d+)")
+    //   → {offset: 0, length: 7, string: "user-42",
+    //      captures: [{name: "name", string: "user"}, {name: null, string: "42"}]}
+    val m1 = rows(0).getStruct(1)
+    assert(m1.getLong(0) == 0L && m1.getLong(1) == 7L && m1.getString(2) == "user-42")
+    val caps = m1.getSeq[org.apache.spark.sql.Row](3)
+    assert(caps.map(c => (c.getString(0), c.getString(1))) ==
+      Seq(("name", "user"), (null, "42")))
+    assert(rows(1).isNullAt(1)) // "nobody": no match → null (jq: empty)
+    assert(rows(2).getStruct(1).getString(2) == "agent-7")
+  }
+
+  test("capture(re): named groups become an object; no-match is null") {
+    val out = JqTransform(strs,
+      """{id: .id, c: (.s | capture("(?<who>[a-z]+)-(?<num>\\d+)"))}""").orderBy("id")
+    val rows = out.collect()
+    val c1 = rows(0).getStruct(1)
+    assert(c1.schema.fieldNames.toSeq == Seq("who", "num"))
+    assert(c1.getString(0) == "user" && c1.getString(1) == "42")
+    assert(rows(1).isNullAt(1))
+    // capture with zero named groups is a compile error (jq yields {})
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{c: (.s | capture("(\\d+)"))}"""))
+  }
+
+  // ---- try/catch (static resolution: this compiler's errors are
+  //      plan-construction-time) ----
+
+  test("try: body that compiles cleanly passes through") {
+    val out = JqTransform(multi, """{id: .id, v: try (.value * 2)}""")
+    assert(out.orderBy("id").collect().map(_.getLong(1)).toSeq == Seq(20L, 0L, -10L))
+  }
+
+  test("try without catch: failing body folds to jq null") {
+    // length of a number is a type error — jq: 'try (1 | length)' errors
+    // in jq 1.6 but newer jq defines length on numbers; OUR compiler
+    // rejects arrays-only builtins on scalars, so try folds it to null
+    val out = JqTransform(multi, """{id: .id, u: try (.value | unique)}""")
+    assert(out.collect().forall(_.isNullAt(1)))
+  }
+
+  test("try/catch: handler value replaces the failure; '.' is the error message") {
+    val out = JqTransform(multi, """{id: .id, u: try (.value | unique) catch -1}""")
+    assert(out.collect().map(_.getLong(1)).toSeq == Seq(-1L, -1L, -1L))
+    val msg = JqTransform(multi, """{id: .id, e: try (.value | unique) catch .}""")
+    assert(msg.head().getString(1).contains("unique"))
+  }
+
+  test("try/catch with // default composes (missing-field guard idiom)") {
+    val out = JqTransform(multi,
+      """{id: .id, n: (try (.not_there | unique) catch null) // "fallback"}""")
+    assert(out.head().getString(1) == "fallback")
+  }
 }
