@@ -489,6 +489,19 @@ object SparkEntry {
     // quantiles in cents — latency percentiles next to request counts
     "e09_value_quantiles" -> ((s, dir) =>
       graft.relational.Temporal.windowValueQuantiles(events(s, dir))),
+    // percentile counter through the SERIALIZED two-phase topology
+    // (counter.go:483-512 analog for the engine-extension counter type):
+    // per-shard cents histograms → JSON intermediate records → parse +
+    // version gate → cross-shard histogram merge → exact quantile pick.
+    // Oracle = e09's SQL: shard decomposition must be invisible.
+    "e10_twophase_quantiles" -> ((s, dir) => {
+      val sharded = events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8)))
+      Intermediate.mergeQuantileRecords(
+        Intermediate.toQuantileRecords(
+          graft.relational.Temporal.partialQuantileState(sharded, "ts", "shard"),
+          "value_quantiles_2p", "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in"),
+        "value_quantiles_2p", requiredVersion = Some(">=0.1.0"))
+    }),
     // Q17 shape: correlated scalar aggregate decorrelated — per-part avg
     // via (sum, count) join-back, integer cross-multiplied threshold
     "h14_small_qty_revenue" -> ((s, dir) =>
@@ -1410,6 +1423,18 @@ object SparkEntry {
           |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
           |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
       "e09_value_quantiles" ->
+        """WITH h AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+          |  CAST(floor(value * 100) AS BIGINT) AS value_cents, count(*)::BIGINT AS cnt
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |c AS (SELECT window_start, value_cents, cnt,
+          |  sum(cnt) OVER (PARTITION BY window_start ORDER BY value_cents) AS cum,
+          |  sum(cnt) OVER (PARTITION BY window_start) AS n FROM h)
+          |SELECT window_start, p_ppm, value_cents
+          |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
+          |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
+          |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
+      // e10: the two-phase hop must be invisible — same SQL as e09
+      "e10_twophase_quantiles" ->
         """WITH h AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
           |  CAST(floor(value * 100) AS BIGINT) AS value_cents, count(*)::BIGINT AS cnt
           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),

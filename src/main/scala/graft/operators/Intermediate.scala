@@ -61,9 +61,16 @@ object Intermediate {
     StructField("window", StructType(Seq(
       StructField("start", TimestampType),
       StructField("end", TimestampType)))),
+    // counter_state is the reference's tagged union {row_count} |
+    // {base64_hllpp} (counter.go:78-82) plus the engine-extension
+    // {histogram} member for the percentile counter type — from_json
+    // leaves absent members null, which is exactly the union's tag
     StructField("counter_state", StructType(Seq(
       StructField("row_count", LongType),
-      StructField("base64_hll", StringType))))))
+      StructField("base64_hll", StringType),
+      StructField("histogram", ArrayType(StructType(Seq(
+        StructField("c", LongType),
+        StructField("n", LongType))))))))))
 
   /** The `required_version` gate (`counter.go:366-368` → `config.go:122-138`)
     * compiled to a pure `Column` predicate — no Scala UDF, so the
@@ -171,4 +178,68 @@ object Intermediate {
     Counters.finalizeOutput(
       Counters.mergePartials(parse(records, c, requiredVersion), c),
       c, eventSourceArn)
+
+  // ---- percentile counter through the same hop (ENGINE EXTENSION) ----
+
+  /** The name the quantile counter's records carry in the `counter_type`
+    * tag — the engine-extension third member of the reference's
+    * count/approx_count_distinct pair.
+    */
+  val QuantilesTypeName = "quantiles"
+
+  /** [[toRecords]] for the percentile counter
+    * ([[graft.relational.Temporal.partialQuantileState]] partials): the
+    * per-(window, shard) cents histogram serializes as the
+    * `counter_state.histogram` union member — same envelope, partition
+    * key, and version field as count/ACD (`counter.go:483-512`).
+    */
+  def toQuantileRecords(partial: DataFrame, counterId: String,
+                        eventSourceArn: String,
+                        counterVersion: String = ConfigLoader.EngineVersion): DataFrame =
+    partial.select(
+      lit(counterId).as("partition_key"),
+      to_json(struct(
+        lit(eventSourceArn).as("event_source_arn"),
+        col("shard_id").cast("string").as("shard_id"),
+        lit(counterId).as("counter_id"),
+        lit(QuantilesTypeName).as("counter_type"),
+        lit(counterVersion).as("counter_version"),
+        struct(
+          date_format(col("window.start"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("start"),
+          date_format(col("window.end"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("end")
+        ).as("window"),
+        struct(col("partial_hist").as("histogram")).as("counter_state"))).as("value"))
+
+  /** [[parse]] for quantile records: same warn-and-skip filtering
+    * (id + type tag + version gate), state lands back as `partial_hist`.
+    * Note: `to_json` omits null struct fields, so a null-cents entry
+    * `{c: null, n: k}` round-trips as `{"n": k}` → c null — the union
+    * tag convention applied one level down.
+    */
+  def parseQuantiles(records: DataFrame, counterId: String,
+                     requiredVersion: Option[String] = None): DataFrame = {
+    val versionOk: Column = requiredVersion.map(VersionConstraint(_)) match {
+      case None => lit(true)
+      case Some(vc) => versionCheck(vc, col("r.counter_version"))
+    }
+    records
+      .select(from_json(col("value"), recordSchema).as("r"))
+      .where(col("r").isNotNull &&
+        col("r.counter_id") === counterId &&
+        col("r.counter_type") === QuantilesTypeName &&
+        versionOk)
+      .select(
+        struct(col("r.window.start").as("start"), col("r.window.end").as("end")).as("window"),
+        col("r.shard_id"),
+        col("r.counter_state.histogram").as("partial_hist"))
+  }
+
+  /** Full consumer for the quantile counter — parse + filter + merge +
+    * quantile pick, the [[mergeRecords]] twin.
+    */
+  def mergeQuantileRecords(records: DataFrame, counterId: String,
+                           requiredVersion: Option[String] = None,
+                           psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame =
+    graft.relational.Temporal.mergeQuantilePartials(
+      parseQuantiles(records, counterId, requiredVersion), psPpm)
 }

@@ -233,6 +233,49 @@ object Temporal {
   private[graft] def dropNullCents(hist: DataFrame): DataFrame =
     hist.where(col("value_cents").isNotNull)
 
+  /** Phase-1 partial state for the percentile counter through the
+    * reference's explicit two-phase topology (`counter.go:483-512` analog
+    * for the counter type the engine ADDS beyond count/ACD): per
+    * (window, shard), the cents histogram as a sorted `[{c, n}]` array —
+    * mergeable across shards by concatenate-and-resum, the histogram
+    * analog of count's partial row count and ACD's sketch bytes. Built in
+    * two aggregation steps so the corpus-sized work is the FIRST,
+    * map-side-combinable groupBy (same quantization as
+    * [[valueCentsHistogram]] — `floor(value·100)` cents); the second
+    * shuffles only histogram-sized rows. Null values ride as a `{c: null}`
+    * entry (same rationale as the single-phase face) and are excluded at
+    * the quantile pick.
+    */
+  def partialQuantileState(events: DataFrame, tsCol: String, shardCol: String,
+                           windowDuration: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDuration),
+        col(shardCol).cast("string").as("shard_id"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("window"), col("shard_id"))
+      .agg(sort_array(collect_list(
+        struct(col("value_cents").as("c"), col("cnt").as("n")))).as("partial_hist"))
+
+  /** Phase-2 cross-shard merge (`counter.go:372-403` analog): histograms
+    * concatenate and re-sum per (window, cents) — associative and
+    * commutative like count's sum and ACD's sketch union — then the shared
+    * exact-quantile pick runs over the merged histogram. Output matches
+    * [[windowValueQuantiles]] exactly: (window_start, p_ppm, value_cents).
+    */
+  def mergeQuantilePartials(partial: DataFrame,
+                            psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
+    val hist = partial
+      .select(col("window"), explode(col("partial_hist")).as("h"))
+      .groupBy(col("window"), col("h.c").as("value_cents"))
+      .agg(sum(col("h.n")).as("cnt"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("value_cents"), col("cnt"))
+    graft.functions.Quantiles.fromHistogram(dropNullCents(hist),
+      groupCol = "window_start", valueCol = "value_cents", cntCol = "cnt",
+      psPpm = psPpm)
+  }
+
   /** Windowed heavy hitters (the leaderboard step on counter output): per
     * tumbling window, the top-`k` users by event count with their rank
     * (count desc, user asc tiebreak — deterministic).

@@ -310,6 +310,37 @@ class TemporalSpec extends SparkTestBase {
     assert(rows((w11, 500000L)) == 950L)
   }
 
+  test("two-phase quantiles ≡ single-phase through the serialized record hop") {
+    import graft.operators.Intermediate
+    val events = Seq(
+      ("2024-01-01 10:00:01", Some(1.00), 1L),
+      ("2024-01-01 10:00:02", Some(2.00), 2L),
+      ("2024-01-01 10:00:03", Some(3.00), 3L),
+      ("2024-01-01 10:00:04", Some(4.00), 4L),
+      ("2024-01-01 10:00:05", None, 5L),      // null rides the state, excluded at pick
+      ("2024-01-01 11:00:01", Some(9.50), 6L))
+      .toDF("d", "value", "user_id")
+      .withColumn("ts", col("d").cast("timestamp"))
+      .withColumn("shard", pmod(col("user_id"), lit(3)))
+    val single = graft.relational.Temporal.windowValueQuantiles(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val records = Intermediate.toQuantileRecords(
+      graft.relational.Temporal.partialQuantileState(events, "ts", "shard"),
+      "vq2p", "arn:aws:kinesis:us-east-1:000000000000:stream/agg")
+    val merged = Intermediate.mergeQuantileRecords(records, "vq2p",
+      requiredVersion = Some(">=0.1.0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == single, s"two-phase $merged vs single-phase $single")
+    // the shard decomposition produced >1 partial record for the 10:00
+    // window — the merge genuinely crossed shards
+    assert(records.count() > 2)
+    // version gate: a future-only constraint drops every record
+    assert(Intermediate.mergeQuantileRecords(records, "vq2p",
+      requiredVersion = Some(">=99.0.0")).count() == 0)
+    // foreign-counter records are skipped
+    assert(Intermediate.mergeQuantileRecords(records, "other_id").count() == 0)
+  }
+
   test("minCostSupplier keeps every supplier tied at the minimum, once") {
     val part = Seq((1L, "PROMO"), (2L, "PROMO")).toDF("p_partkey", "p_type")
     val supplier = Seq((7L, "S7"), (8L, "S8")).toDF("s_suppkey", "s_name")
