@@ -889,6 +889,7 @@ object SparkEntry {
           |   m: (.event_type | match("i"))}
           || {id: .id, et: .et, head: .cap.head,
           |   tail_len: (.cap.tail | length), i_off: .m.offset,
+          |   scrubbed: (.et | gsub("[aeiou]"; "*")),
           |   fb: (try (.missing | unique) catch "none")}""".stripMargin)),
   )
 
@@ -1167,6 +1168,7 @@ object SparkEntry {
           | substr(event_type, 1, 1) AS head,
           | CAST(length(event_type) - 1 AS BIGINT) AS tail_len,
           | CAST(instr(event_type, 'i') - 1 AS BIGINT) AS i_off,
+          | regexp_replace(event_type, '[aeiou]', '*', 'g') AS scrubbed,
           | 'none' AS fb
           |FROM events WHERE event_type IN ('click', 'view', 'signup')""".stripMargin,
       // c33: the Spark side evaluates the dialect (as_bool/min/floor); the

@@ -81,14 +81,23 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    jq's `null` (NOT an analyzer error), so `.maybe_missing // 0`
   *    works against any record shape, like the reference's dynamic
   *    JSON objects;
-  *  - regex builtins `test`/`match`/`capture` with literal patterns and
-  *    `i/x/s/m` flags, over Java regex (the \d/\w/anchors/groups subset
-  *    is oniguruma-identical); `match` builds jq's match object, with
-  *    null for jq's empty stream on no-match;
+  *  - regex builtins `test`/`match`/`capture`/`sub`/`gsub` with literal
+  *    patterns and `i/x/s/m` flags, over Java regex (the \d/\w/anchors/
+  *    groups subset is oniguruma-identical); `match` builds jq's match
+  *    object, with null for jq's empty stream on no-match; sub/gsub
+  *    replacements interpolate named captures (`"\(.name)"`) — gsub is
+  *    one `regexp_replace`, sub splices around the first match;
   *  - `try E [catch H]`: errors in this compiler are plan-construction-
   *    time, so try/catch resolves statically — E's compile/type-probe
   *    failure folds the expression to H (error message bound to `.`),
-  *    default jq-null.
+  *    default jq-null;
+  *  - `E as $x` stage-level bindings: the per-row value rides a hidden
+  *    `__var_x` column into every later stage (`$x` resolves to it;
+  *    HOF/def-bound `$x` shadows, jq's inner-scope rule); destructuring
+  *    patterns stay out of scope;
+  *  - format strings `@text`/`@json`/`@base64`/`@base64d`/`@csv`/`@tsv`
+  *    as value filters — @csv/@tsv fold an array to one line with jq's
+  *    quoting/escaping rules in a single codegen'd aggregate.
   *
   * Out of scope (documented divergence, unused by the reference's own
   * fixtures): slurp (a per-stream input-collection flag, not a program
@@ -424,12 +433,48 @@ object JqTransform {
     if (stage == ".") identity
     else if (stage.startsWith("select")) compileSelect(stage, defs)
     else if (stage.startsWith("foreach")) compileForeach(stage, defs)
+    else if (BindingStage.matches(stage)) compileBinding(stage, defs)
     else {
       // comma-list at stage level → 0..N outputs per row (here exactly N)
       val constructs = splitTopLevel(stage, ',').map(_.trim)
       if (constructs.length > 1) compileMultiOutput(constructs, defs)
       else compileSingle(stage, defs)
     }
+  }
+
+  /** `E as $x` as a whole STAGE: jq's variable binding, in the pipe-spanning
+    * form real programs use (`.value as $v | select($v > 0) | {kept: $v}`).
+    * The binding is a per-row value whose scope is every LATER stage — a
+    * DataFrame-transform pipeline carries that as a hidden `__var_x`
+    * column (`withColumn`: one projection, fused into the next stage's
+    * codegen), and `$x` references resolve to it via the schema fallback
+    * in the `$` atom. jq's destructuring patterns (`as [$a, $b]`,
+    * `as {a: $x}`) and the body-scoped form (`E as $x | body` as ONE
+    * expression with the binding ending at body's end) are out of scope —
+    * at stage level the two scopings agree for every non-shadowing
+    * program. The hidden column vanishes at the next projection stage
+    * (object construction / path), which every terminal stage is.
+    */
+  private object BindingStage {
+    // top-level "… as $name" — the splitTopLevel caller already guarantees
+    // no top-level '|' inside `stage`
+    def parts(stage: String): Option[(String, String)] = {
+      val m = java.util.regex.Pattern
+        .compile("(?s)^(.*\\S)\\s+as\\s+\\$([A-Za-z_][A-Za-z0-9_]*)$")
+        .matcher(stage)
+      if (m.matches) Some((m.group(1), m.group(2))) else None
+    }
+    def matches(stage: String): Boolean = parts(stage).isDefined
+  }
+
+  private def compileBinding(stage: String,
+                             defs: Map[String, JqDef]): DataFrame => DataFrame = {
+    val (exprSrc, name) = BindingStage.parts(stage).get
+    val p = new P(exprSrc, defs)
+    val value = p.parseValue()
+    p.skipWs()
+    require(!p.hasMore, s"jq_expr: trailing input in binding stage: $stage")
+    df => df.withColumn(s"__var_$name", value(df))
   }
 
   /** `foreach .path[] as $x (init; update[; extract])` as a whole STAGE —
@@ -1021,6 +1066,60 @@ object JqTransform {
       skipWs()
       while (peek == '|' && !s.startsWith("||", i)) {
         next()
+        skipWs()
+        if (peek == '@') {
+          // jq format strings as value filters (`.s | @base64`). @text is
+          // tostring; @json encodes the VALUE as JSON text (structs/arrays/
+          // maps via to_json, scalars hand-encoded — jq's full control-char
+          // escaping is out of scope for strings, documented); @base64/
+          // @base64d round-trip UTF-8 bytes; @csv/@tsv render an ARRAY as
+          // one line (CSV quotes strings and doubles embedded quotes, TSV
+          // backslash-escapes \t/\n/\r/\\ — jq's rules), via one codegen'd
+          // aggregate fold.
+          next()
+          val fmt = parseIdent()
+          val vv = v
+          fmt match {
+            case "text" => v = df => vv(df).cast("string")
+            case "base64" => v = df => base64(vv(df).cast("binary"))
+            case "base64d" => v = df => unbase64(vv(df)).cast("string")
+            case "json" => v = df => dtOfV(df, vv) match {
+              case _: StructType | _: ArrayType | _: MapType => to_json(vv(df))
+              case StringType =>
+                val c = vv(df)
+                val escaped = regexp_replace(
+                  regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+                when(c.isNull, lit("null"))
+                  .otherwise(concat(lit("\""), escaped, lit("\"")))
+              case BooleanType | _: NumericType | NullType =>
+                coalesce(vv(df).cast("string"), lit("null"))
+              case dt => throw new IllegalArgumentException(
+                s"jq_expr: @json over ${dt.simpleString} is unsupported")
+            }
+            case "csv" | "tsv" =>
+              val sep = if (fmt == "csv") "," else "\t"
+              v = df => {
+                val et = elementTypeV(df, vv, s"@$fmt")
+                def cell(x: Column): Column = (fmt, et) match {
+                  case ("csv", StringType) =>
+                    concat(lit("\""), regexp_replace(x, "\"", "\"\""), lit("\""))
+                  case ("tsv", StringType) =>
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                      x, "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n"),
+                      "\r", "\\\\r")
+                  case _ => x.cast("string")
+                }
+                coalesce(aggregate(vv(df), lit(null).cast("string"), (acc, x) => {
+                  val xs = coalesce(cell(x), lit("")) // jq: null cell renders empty
+                  when(acc.isNull, xs).otherwise(concat(acc, lit(sep), xs))
+                }), lit(""))
+              }
+            case other => throw new IllegalArgumentException(
+              s"jq_expr: unsupported format string @$other " +
+                "(supported: @text, @json, @base64, @base64d, @csv, @tsv)")
+          }
+          skipWs()
+        } else {
         val fn = parseIdent()
         skipWs()
         if (fn == "map") {
@@ -1110,6 +1209,92 @@ object JqTransform {
           val vv = v
           val f = FuncsArg(fn)
           v = df => f(df, vv, arg)
+        } else if (fn == "sub" || fn == "gsub") {
+          // jq sub/gsub(re; repl[; flags]): replace the first/all matches.
+          // The replacement is a string literal that may interpolate NAMED
+          // captures (`"\(.name)"` — jq binds the capture object to `.`
+          // there; the single-path form is the practically-used shape).
+          // gsub lowers to ONE codegen'd regexp_replace with Java's
+          // ${name} group references; sub (no first-only kernel in Spark)
+          // splices around the first match: prefix + rebuilt replacement
+          // (regexp_extract per named ref — first-match groups, exactly
+          // sub's) + suffix.
+          expect('('); skipWs()
+          if (peek != '"')
+            throw new IllegalArgumentException(
+              s"jq_expr: $fn() requires a string-literal regex")
+          val rawPat = parseStringLit()
+          skipWs(); expect(';'); skipWs()
+          if (peek != '"')
+            throw new IllegalArgumentException(
+              s"jq_expr: $fn() replacement must be a string literal " +
+                "(named-capture interpolation \\(.name) allowed)")
+          // raw scan: keep \(.name) refs, honor \-escapes for literals
+          val segs = Seq.newBuilder[Either[String, String]] // Left=lit, Right=group name
+          val sb = new StringBuilder
+          expect('"')
+          while (peek != '"' && i < s.length) {
+            if (peek == '\\') {
+              next()
+              if (peek == '(') {
+                next(); skipWs()
+                expect('.')
+                val name = parseIdent()
+                skipWs(); expect(')')
+                if (sb.nonEmpty) { segs += Left(sb.toString); sb.clear() }
+                segs += Right(name)
+              } else sb.append(next())
+            } else sb.append(next())
+          }
+          expect('"')
+          if (sb.nonEmpty) segs += Left(sb.toString)
+          skipWs()
+          val flags =
+            if (peek == ';') {
+              next(); skipWs()
+              if (peek != '"')
+                throw new IllegalArgumentException(
+                  s"jq_expr: $fn() flags must be a string literal")
+              parseStringLit()
+            } else ""
+          expect(')')
+          val pat = regexWithFlags(rawPat, flags)
+          val groups = captureGroups(rawPat)
+          val named = groups.collect { case (Some(n), gi) => (n, gi) }.toMap
+          val repl = segs.result()
+          repl.foreach {
+            case Right(n) if !named.contains(n) =>
+              throw new IllegalArgumentException(
+                s"jq_expr: $fn() replacement references (?<$n>…) which the " +
+                  s"pattern does not define (named groups: ${named.keys.mkString(", ")})")
+            case _ => ()
+          }
+          val vv = v
+          if (fn == "gsub") {
+            // Java replacement syntax: literal \ and $ must be escaped,
+            // named refs become ${name}
+            val javaRepl = repl.map {
+              case Left(lit0) => lit0.replace("\\", "\\\\").replace("$", "\\$")
+              case Right(n) => "${" + n + "}"
+            }.mkString
+            v = df => regexp_replace(vv(df), lit(pat), lit(javaRepl))
+          } else {
+            v = df => {
+              val c = vv(df)
+              val pos = regexp_instr(c, lit(pat)) // 1-based, 0 = no match
+              val m = regexp_substr(c, lit(pat))
+              val rebuilt =
+                if (repl.isEmpty) lit("")
+                else concat(repl.map {
+                  case Left(lit0) => lit(lit0)
+                  case Right(n) => regexp_extract(c, pat, named(n))
+                }: _*)
+              when(pos > lit(0),
+                concat(c.substr(lit(1), pos - lit(1)), rebuilt,
+                  c.substr(pos + length(m), length(c))))
+                .otherwise(c)
+            }
+          }
         } else if (fn == "test" || fn == "match" || fn == "capture") {
           // jq regex builtins over Java regex (PCRE-adjacent — the common
           // \d/\w/anchors/groups/named-groups subset is identical; jq's
@@ -1189,6 +1374,7 @@ object JqTransform {
           v = df => f(df, vv)
         }
         skipWs()
+        } // non-@ branch
       }
       v
     }
@@ -1358,8 +1544,17 @@ object JqTransform {
         case '$' =>
           next()
           val name = parseIdent()
-          _ => varBindings.value.get(name).map(pick).getOrElse(throw new IllegalArgumentException(
-            s"jq_expr: unbound variable $$$name (bound: ${varBindings.value.keys.mkString(", ")})"))
+          // HOF/def/reduce bindings (dynamic channel) shadow stage-level
+          // `E as $x` bindings (hidden `__var_x` column) — jq's inner-scope
+          // precedence
+          df => varBindings.value.get(name).map(pick).getOrElse {
+            if (df.columns.contains(s"__var_$name")) col(s"__var_$name")
+            else throw new IllegalArgumentException(
+              s"jq_expr: unbound variable $$$name (bound: " +
+                s"${(varBindings.value.keys ++
+                  df.columns.collect { case c if c.startsWith("__var_") =>
+                    c.stripPrefix("__var_") }).mkString(", ")})")
+          }
         case 'r' if s.startsWith("reduce", i) && boundary(i + 6) =>
           // reduce .path[] as $x (init; update) — a single codegen'd
           // `aggregate` HOF; inside update, '.' is the ACCUMULATOR and $x

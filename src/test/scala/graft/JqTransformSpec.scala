@@ -667,6 +667,69 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform.compile("""{c: (.s | capture("(\\d+)"))}"""))
   }
 
+  test("format strings: @text/@json/@base64/@base64d/@csv/@tsv") {
+    val t = Seq((1L, "hi \"there\"", Seq("a,b", "c"), Seq(1L, 2L)))
+      .toDF("id", "s", "strs", "nums")
+    // differential (jq): '"hi \"there\""' | @json → "\"hi \\\"there\\\"\""
+    val r = JqTransform(t,
+      """{j: (.s | @json), b: (.s | @base64), rt: (.s | @base64 | @base64d),
+        | t: (.id | @text), c: (.strs | @csv), v: (.nums | @csv),
+        | tt: (.strs | @tsv)}""".stripMargin).head()
+    assert(r.getString(0) == "\"hi \\\"there\\\"\"")
+    assert(r.getString(1) ==
+      java.util.Base64.getEncoder.encodeToString("hi \"there\"".getBytes("UTF-8")))
+    assert(r.getString(2) == "hi \"there\"") // base64 round-trip
+    assert(r.getString(3) == "1")
+    assert(r.getString(4) == "\"a,b\",\"c\"") // csv quotes strings
+    assert(r.getString(5) == "1,2")           // numbers unquoted
+    assert(r.getString(6) == "a,b\tc")        // tsv: raw cells, tab sep
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: (.s | @nope)}"""))
+  }
+
+  test("E as $x: stage-level binding spans later stages; HOF bindings shadow") {
+    // differential (jq): the canonical pipe-spanning binding idiom
+    val out = JqTransform(multi,
+      """def inc($dv): $dv + 1;
+        |(.value * 2) as $dv
+        || select($dv > 0)
+        || {id: .id, doubled: $dv, shadowed: inc(100)}""".stripMargin)
+    val rows = out.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 20L)))
+    assert(rows.head.getLong(2) == 101L) // inc's $dv param shadowed the stage binding
+    // unbound variables still fail with the full in-scope listing
+    val e = intercept[IllegalArgumentException](
+      JqTransform(multi, """{v: $nope}""").collect())
+    assert(e.getMessage.contains("unbound variable $nope"))
+  }
+
+  test("gsub: all matches replaced, named-capture interpolation, flags") {
+    val t = Seq((1L, "a-1 b-22 C-3")).toDF("id", "s")
+    // differential (jq): '"a-1 b-22 C-3"' | gsub("(?<d>\\d+)"; "[\(.d)]")
+    //   → "a-[1] b-[22] C-[3]"
+    val g = JqTransform(t, """{r: (.s | gsub("(?<d>\\d+)"; "[\(.d)]"))}""")
+    assert(g.head().getString(0) == "a-[1] b-[22] C-[3]")
+    // case-insensitive flag; literal $ and \ in the replacement survive
+    val ci = JqTransform(t, """{r: (.s | gsub("[a-z]-"; "$"; "i"))}""")
+    assert(ci.head().getString(0) == "$1 $22 $3")
+    // empty replacement deletes matches
+    val del = JqTransform(t, """{r: (.s | gsub("\\d"; ""))}""")
+    assert(del.head().getString(0) == "a- b- C-")
+    // a ref the pattern doesn't define is a compile error
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{r: (.s | gsub("x"; "\(.nope)"))}"""))
+  }
+
+  test("sub: first match only; no-match passes through") {
+    val t = Seq((1L, "a-1 b-22"), (2L, "nodigits")).toDF("id", "s")
+    // differential (jq): '"a-1 b-22"' | sub("(?<d>\\d+)"; "<\(.d)>")
+    //   → "a-<1> b-22"
+    val out = JqTransform(t, """{id: .id, r: (.s | sub("(?<d>\\d+)"; "<\(.d)>"))}""")
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "a-<1> b-22")
+    assert(out(1).getString(1) == "nodigits") // jq: unchanged on no match
+  }
+
   // ---- try/catch (static resolution: this compiler's errors are
   //      plan-construction-time) ----
 
