@@ -891,6 +891,37 @@ object SparkEntry {
           |   tail_len: (.cap.tail | length), i_off: .m.offset,
           |   scrubbed: (.et | gsub("[aeiou]"; "*")),
           |   fb: (try (.missing | unique) catch "none")}""".stripMargin)),
+    // O14 builtin-surface notch (round-6 tranche): math (fabs/sqrt/round),
+    // dates (todate over epoch seconds — the natural transform on this
+    // engine's epoch-millis window output), type introspection, substring
+    // positions (index/rindex), containment, two-arg regex split, and
+    // tojson — all codegen'd kernels, no per-row interpreter.
+    "c37_jq_builtins" -> ((s, dir) =>
+      JqTransform(
+        events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_seconds(col("ts")).as("ts_sec")),
+        """{id: .event_id,
+          | day: (.ts_sec | todate),
+          | rt: (.value | fabs | sqrt | round),
+          | ty: (.event_type | type),
+          | pos: (.event_type | index("i")),
+          | rpos: (.event_type | rindex("i")),
+          | has_ick: (.event_type | contains("ick")),
+          | parts: (.event_type | split("[aeiou]"; "") | length),
+          | blen: (.event_type | utf8bytelength),
+          | js: (.event_type | tojson)}""".stripMargin)),
+    // O14 recursive-descent notch: `..` emits the row object and every
+    // sub-value depth-first as ONE array<variant> + explode (no per-row
+    // interpreter); the follow-on stage exercises the variant-aware
+    // type/tojson builtins. 6 output rows per input row.
+    "c38_jq_descend" -> ((s, dir) =>
+      JqTransform(
+        events(s, dir)
+          .select(col("event_id"),
+            struct(col("event_type").as("type"),
+              struct(col("user_id").as("uid")).as("ids")).as("payload")),
+        """.. | {ty: (. | type), js: (. | tojson)}""")),
   )
 
   /** Build the `c30` fixture: a 5% events subset written as per-shard
@@ -1171,6 +1202,46 @@ object SparkEntry {
           | regexp_replace(event_type, '[aeiou]', '*', 'g') AS scrubbed,
           | 'none' AS fb
           |FROM events WHERE event_type IN ('click', 'view', 'signup')""".stripMargin,
+      // c37: the builtin-surface twin. epoch_us // 1000000 floors to whole
+      // seconds like Spark's unix_seconds (epoch(ts)::BIGINT would ROUND —
+      // DuckDB's double→int cast rounds, off-by-one on .5+ fractions);
+      // round() is half-away-from-zero in both engines; string_split_regex
+      // keeps trailing empties exactly like Spark's split; rindex lowers
+      // to the reversed first-occurrence formula.
+      "c37_jq_builtins" ->
+        """SELECT event_id AS id,
+          | strftime(make_timestamp((epoch_us(ts) // 1000000) * 1000000),
+          |          '%Y-%m-%dT%H:%M:%SZ') AS day,
+          | round(sqrt(abs(value))) AS rt,
+          | 'string' AS ty,
+          | CASE WHEN instr(event_type, 'i') > 0
+          |      THEN CAST(instr(event_type, 'i') - 1 AS BIGINT) END AS pos,
+          | CASE WHEN instr(event_type, 'i') > 0
+          |      THEN CAST(length(event_type)
+          |                - instr(reverse(event_type), 'i') AS BIGINT) END AS rpos,
+          | contains(event_type, 'ick') AS has_ick,
+          | CAST(length(string_split_regex(event_type, '[aeiou]')) AS BIGINT) AS parts,
+          | CAST(strlen(event_type) AS BIGINT) AS blen,
+          | to_json(event_type)::VARCHAR AS js
+          |FROM events""".stripMargin,
+      // c38: the recursive-descent stream, one UNION ALL branch per
+      // document-order position. Variant objects store keys SORTED, so
+      // the Spark side's tojson renders sorted key order — the oracle's
+      // struct_packs are written pre-sorted to match.
+      "c38_jq_descend" ->
+        """SELECT 'object' AS ty,
+          |  to_json(struct_pack(event_id := event_id,
+          |    payload := struct_pack(ids := struct_pack(uid := user_id),
+          |                           type := event_type)))::VARCHAR AS js
+          |FROM events
+          |UNION ALL SELECT 'number', event_id::VARCHAR FROM events
+          |UNION ALL SELECT 'object',
+          |  to_json(struct_pack(ids := struct_pack(uid := user_id),
+          |                      type := event_type))::VARCHAR FROM events
+          |UNION ALL SELECT 'string', to_json(event_type)::VARCHAR FROM events
+          |UNION ALL SELECT 'object',
+          |  to_json(struct_pack(uid := user_id))::VARCHAR FROM events
+          |UNION ALL SELECT 'number', user_id::VARCHAR FROM events""".stripMargin,
       // c33: the Spark side evaluates the dialect (as_bool/min/floor); the
       // oracle expresses the equivalent predicate directly. floor() is cast
       // to BIGINT because DuckDB floor returns DOUBLE (Spark's returns LONG);

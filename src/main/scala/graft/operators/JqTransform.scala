@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, NullType, NumericType, StringType, StructType}
 
+import graft.functions.Canonical
+
 /** Output-record transform (reference O14, `jq_expr`):
   * `/root/reference/counter.go:439-466`, compiled at config load
   * (`config.go:112-118`).
@@ -95,9 +97,26 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, Nu
   *    `__var_x` column into every later stage (`$x` resolves to it;
   *    HOF/def-bound `$x` shadows, jq's inner-scope rule); destructuring
   *    patterns stay out of scope;
-  *  - format strings `@text`/`@json`/`@base64`/`@base64d`/`@csv`/`@tsv`
-  *    as value filters — @csv/@tsv fold an array to one line with jq's
-  *    quoting/escaping rules in a single codegen'd aggregate.
+  *  - format strings `@text`/`@json`/`@base64`/`@base64d`/`@csv`/`@tsv`/
+  *    `@uri`/`@html`/`@sh` as value filters — @csv/@tsv/@sh fold an array
+  *    to one line with jq's quoting/escaping rules in a single codegen'd
+  *    aggregate; @uri is RFC 3986 percent-encoding;
+  *  - math/type/date builtins: `ceil`/`round`/`sqrt`/`fabs`/`exp`/`log`/
+  *    `log2`/`log10`/`isnan`/`isinfinite`, `type`, `utf8bytelength`,
+  *    `tojson` (canonical JSON), `todate`/`fromdate` (+`…iso8601` aliases,
+  *    exact under the engine-pinned UTC session timezone);
+  *  - `flatten`/`flatten(d)` (schema-static depth unrolling), `min_by`/
+  *    `max_by` (stable-sort first/last — jq's tie pick), `index`/`rindex`
+  *    (0-based substring positions, jq-null on no hit), `contains`/
+  *    `inside` (strings + arrays of scalars; deep object containment out
+  *    of scope), `split(re; flags)` (two-arg regex form);
+  *  - `..` RECURSIVE DESCENT as a stage: the row object and every
+  *    sub-value depth-first in document order, lowered to one
+  *    array&lt;variant&gt; construction + one explode; later stages
+  *    navigate the variant stream (`try_variant_get` paths, `.a?`
+  *    no-op optional access, variant-aware select/==/type/tostring/
+  *    tonumber/tojson); ordering comparisons and a second `..` over the
+  *    runtime-typed stream stay out of scope, documented.
   *
   * Out of scope (documented divergence, unused by the reference's own
   * fixtures): slurp (a per-stream input-collection flag, not a program
@@ -360,6 +379,10 @@ object JqTransform {
     * derived `<= > >=` (total order: `a <= b ⟺ !(b < a)`) are sound.
     */
   private def jqLessCols(lc: Column, rc: Column, lt: DataType, rt: DataType): Column = {
+    if (lt.typeName == "variant" || rt.typeName == "variant")
+      throw new IllegalArgumentException(
+        "jq_expr: ordering comparison over '..' variant values is " +
+          "unsupported (==/!= only; extract with tonumber/tostring first)")
     val (lr, rr) = (jqTypeRank(lt), jqTypeRank(rt))
     val base: Column =
       if (lt == NullType || rt == NullType) lit(false) // guards below decide
@@ -400,6 +423,12 @@ object JqTransform {
     * absent-key semantics are already null).
     */
   private def pathColumn(df: DataFrame, parts: Seq[String]): Column = {
+    // after a `..` stage the current value is ONE variant column: paths
+    // navigate inside it (try_variant_get — missing keys/non-objects read
+    // as jq null, exactly like the static-schema route below)
+    if (variantFrame(df))
+      return try_variant_get(col("__variant"),
+        "$." + parts.mkString("."), "variant")
     // honor the session's resolution mode (Spark default: case-insensitive)
     // so `.Value` finds a `value` column exactly like col("Value") would
     val caseSensitive =
@@ -431,6 +460,7 @@ object JqTransform {
   private def compileStage(stage: String,
                            defs: Map[String, JqDef]): DataFrame => DataFrame = {
     if (stage == ".") identity
+    else if (stage == "..") compileDescend
     else if (stage.startsWith("select")) compileSelect(stage, defs)
     else if (stage.startsWith("foreach")) compileForeach(stage, defs)
     else if (BindingStage.matches(stage)) compileBinding(stage, defs)
@@ -523,9 +553,110 @@ object JqTransform {
       val v = inner(df)
       val keep = dtOfV(df, inner) match {
         case BooleanType => coalesce(v, lit(false)) === lit(true)
+        // variant: falsy iff null, variant-null, or boolean false — the
+        // type is checked first so number 0 / "" stay truthy (jq), never
+        // coerced through a boolean cast
+        case dt if dt.typeName == "variant" =>
+          when(v.isNull || is_variant_null(v), lit(false))
+            .otherwise(when(schema_of_variant(v) === "BOOLEAN",
+              coalesce(try_variant_get(v, "$", "boolean"), lit(false)))
+              .otherwise(lit(true)))
         case _ => v.isNotNull
       }
       df.where(keep)
+    }
+  }
+
+  /** `..` as a whole STAGE: jq's recursive descent — the current object
+    * and every sub-value, depth-first in document order (root, then each
+    * field's subtree in field order; array elements in order), one output
+    * row per value. Mixed-type emission over a static schema lowers to
+    * ONE array<variant> construction (self + per-field subtrees; array/
+    * map elements via transform+flatten) and ONE explode — never a
+    * per-row interpreter. Follow-on stages see the single `__variant`
+    * column: paths navigate via `try_variant_get`, and `select` /
+    * `==`/`!=` / `type` / `tostring` / `tonumber` / `tojson` are
+    * variant-aware. Deeper static typing over the stream (sort_by,
+    * arithmetic, a second `..`) is out of scope, documented — a variant
+    * value's type is runtime data, and those constructs are
+    * schema-static by design.
+    */
+  private def compileDescend: DataFrame => DataFrame = { df =>
+    val fields = df.schema.fields.filterNot(_.name.startsWith("__var_")).toSeq
+    val rowCol = struct(fields.map(f => col(f.name).as(f.name)): _*)
+    df.select(explode(subtreeVariants(StructType(fields), rowCol)).as("__variant"))
+  }
+
+  /** One value as a VARIANT, via its canonical JSON bytes (null → variant
+    * null, like jq's `..` which emits nulls as values).
+    */
+  private def toVariantJson(dt: DataType, c: Column): Column =
+    parse_json(coalesce(Canonical.canonicalJsonTyped(dt, c), lit("null")))
+
+  /** The depth-first subtree of one value as array<variant> (self first —
+    * jq's `..` document order). A runtime-null branch contributes just its
+    * own null, no descent into children (jq does not descend into null).
+    */
+  private def subtreeVariants(dt: DataType, c: Column): Column = dt match {
+    case st: StructType =>
+      val self = toVariantJson(dt, c)
+      val kids = st.fields.toSeq.map(f => subtreeVariants(f.dataType, c.getField(f.name)))
+      when(c.isNull, array(self))
+        .otherwise(concat(array(self) +: kids: _*))
+    case ArrayType(et, _) =>
+      val self = toVariantJson(dt, c)
+      when(c.isNull, array(self))
+        .otherwise(concat(array(self), flatten(transform(c, x => subtreeVariants(et, x)))))
+    case MapType(_, vt, _) =>
+      val self = toVariantJson(dt, c)
+      when(c.isNull, array(self))
+        .otherwise(concat(array(self),
+          flatten(transform(map_values(c), x => subtreeVariants(vt, x)))))
+    case _ => array(toVariantJson(dt, c))
+  }
+
+  /** Is this frame the single-column variant stream a `..` stage emits? */
+  private def variantFrame(df: DataFrame): Boolean =
+    df.schema.length == 1 && df.schema.head.name == "__variant" &&
+      df.schema.head.dataType.typeName == "variant"
+
+  /** jq type name of a variant value, from `schema_of_variant`'s DDL
+    * string (scalar names are exact; ARRAY&lt;…&gt;/OBJECT&lt;…&gt;
+    * prefixes cover containers; everything else is numeric).
+    */
+  private def variantTypeName(v: Column): Column = {
+    val sv = schema_of_variant(v)
+    when(v.isNull || is_variant_null(v), lit("null"))
+      .when(sv === "VOID", lit("null"))
+      .when(sv === "BOOLEAN", lit("boolean"))
+      .when(sv === "STRING", lit("string"))
+      .when(sv.startsWith("ARRAY"), lit("array"))
+      .when(sv.startsWith("OBJECT") || sv.startsWith("STRUCT") || sv.startsWith("MAP"),
+        lit("object"))
+      .otherwise(lit("number"))
+  }
+
+  /** jq `==` between a variant value and a statically-typed one: equal iff
+    * the RUNTIME type rank matches (so `"5" == 5` is false, like jq) and
+    * the typed comparison agrees. A null/missing variant equals exactly
+    * jq null.
+    */
+  private def variantEq(v: Column, typed: Column, dt: DataType): Column = {
+    val vNull = v.isNull || is_variant_null(v)
+    dt match {
+      case NullType => vNull
+      case BooleanType =>
+        variantTypeName(v) === "boolean" &&
+          try_variant_get(v, "$", "boolean") <=> typed
+      case _: NumericType =>
+        variantTypeName(v) === "number" &&
+          try_variant_get(v, "$", "double") <=> typed.cast("double")
+      case StringType =>
+        variantTypeName(v) === "string" &&
+          try_variant_get(v, "$", "string") <=> typed
+      case other => throw new IllegalArgumentException(
+        "jq_expr: == between a '..' variant value and a " +
+          s"${other.simpleString} is unsupported (scalars only)")
     }
   }
 
@@ -667,11 +798,22 @@ object JqTransform {
     "last" -> ((df, v) => { elementTypeV(df, v, "last"); try_element_at(v(df), lit(-1)) }),
     // jq reverse: arrays and strings share Spark's reverse
     "reverse" -> ((df, v) => reverse(v(df))),
-    "tostring" -> ((df, v) => v(df).cast("string")),
+    // jq tostring: strings unchanged, everything else JSON-encoded — for
+    // the static path a cast; for a variant the runtime type decides
+    "tostring" -> ((df, v) => dtOfV(df, v) match {
+      case dt if dt.typeName == "variant" =>
+        val c = v(df)
+        when(variantTypeName(c) === "string", try_variant_get(c, "$", "string"))
+          .otherwise(to_json(c))
+      case _ => v(df).cast("string")
+    }),
     // jq errors on non-numeric tonumber; here the row's value becomes NULL
     // (try_cast), the declarative analog of skip-on-error. Doubles: jq
     // numbers are doubles, so "3" -> 3.0.
-    "tonumber" -> ((df, v) => v(df).try_cast("double")),
+    "tonumber" -> ((df, v) => dtOfV(df, v) match {
+      case dt if dt.typeName == "variant" => try_variant_get(v(df), "$", "double")
+      case _ => v(df).try_cast("double")
+    }),
     // jq length: element count for arrays/objects, char count for strings
     "length" -> ((df, v) => dtOfV(df, v) match {
       case _: ArrayType | _: MapType => size(v(df)).cast("long")
@@ -732,6 +874,68 @@ object JqTransform {
       case _: MapType => sort_array(map_keys(v(df)))
       case dt => throw new IllegalArgumentException(
         s"jq_expr: keys requires an object, got ${dt.simpleString}")
+    }),
+    // jq math builtins — numbers are doubles; floor/ceil land on Spark's
+    // LONG (integer-valued, as jq renders them), matching `floor` above
+    "ceil" -> ((df, v) => ceil(v(df))),
+    // jq round is C round(): halves away from zero — Spark's HALF_UP ditto
+    "round" -> ((df, v) => round(v(df))),
+    "sqrt" -> ((df, v) => sqrt(v(df))),
+    "fabs" -> ((df, v) => abs(v(df))),
+    "exp" -> ((df, v) => exp(v(df))),
+    "log" -> ((df, v) => log(v(df))),
+    "log2" -> ((df, v) => log2(v(df))),
+    "log10" -> ((df, v) => log10(v(df))),
+    "isnan" -> ((df, v) => isnan(v(df))),
+    "isinfinite" -> ((df, v) => abs(v(df)) === lit(Double.PositiveInfinity)),
+    // jq type: the JSON type name — schema-static except the runtime-null
+    // case (a missing field types as NullType and reads "null", like jq)
+    "type" -> ((df, v) => dtOfV(df, v) match {
+      case dt if dt.typeName == "variant" => variantTypeName(v(df))
+      case dt =>
+        val name = dt match {
+          case NullType => "null"
+          case BooleanType => "boolean"
+          case _: NumericType => "number"
+          case StringType => "string"
+          case _: ArrayType => "array"
+          case _: StructType | _: MapType => "object"
+          case other => throw new IllegalArgumentException(
+            s"jq_expr: type over ${other.simpleString} is not a JSON type")
+        }
+        when(v(df).isNull, lit("null")).otherwise(lit(name))
+    }),
+    "utf8bytelength" -> ((df, v) => octet_length(v(df)).cast("long")),
+    // jq tojson: canonical JSON encoding of the value — unlike tostring,
+    // strings gain quotes/escapes, and null renders "null" (type-directed:
+    // a NullType operand never enters to_json, which rejects null schemas)
+    "tojson" -> ((df, v) => dtOfV(df, v) match {
+      case NullType => lit("null")
+      case dt if dt.typeName == "variant" => coalesce(to_json(v(df)), lit("null"))
+      case dt => coalesce(Canonical.canonicalJsonTyped(dt, v(df)), lit("null"))
+    }),
+    // jq todate/fromdate (epoch seconds ↔ ISO-8601 Zulu). Exact because
+    // the engine pins the UTC session timezone (Verify/Bench/tests alike).
+    "todate" -> ((df, v) =>
+      date_format(timestamp_seconds(v(df).cast("long")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+    "todateiso8601" -> ((df, v) =>
+      date_format(timestamp_seconds(v(df).cast("long")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+    "fromdate" -> ((df, v) =>
+      to_unix_timestamp(v(df), lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))),
+    "fromdateiso8601" -> ((df, v) =>
+      to_unix_timestamp(v(df), lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))),
+    // jq flatten (argless = flatten fully): nesting depth is schema-static,
+    // so the unbounded form unrolls to depth-many one-level flattens
+    "flatten" -> ((df, v) => {
+      var c = v(df)
+      var et = elementTypeV(df, v, "flatten")
+      while (et.isInstanceOf[ArrayType]) {
+        c = flatten(c)
+        et = et.asInstanceOf[ArrayType].elementType
+      }
+      c
     }))
 
   /** jq truthiness of one array ELEMENT (for any/all): only null and
@@ -772,7 +976,44 @@ object JqTransform {
       when(c.endsWith(p), c.substr(lit(1), length(c) - length(p))).otherwise(c)
     }),
     "startswith" -> ((df, v, a) => v(df).startsWith(a(df))),
-    "endswith" -> ((df, v, a) => v(df).endsWith(a(df))))
+    "endswith" -> ((df, v, a) => v(df).endsWith(a(df))),
+    // jq index/rindex: 0-based position of the first/last occurrence of a
+    // substring, jq-null when absent. rindex reuses the first-occurrence
+    // kernel over the reversed haystack/needle: a 1-based reversed hit at
+    // p puts the last occurrence's 0-based start at len(c) - p + 1 - len(n)
+    "index" -> ((df, v, a) => {
+      val p = call_function("locate", a(df), v(df))
+      when(p > lit(0), (p - lit(1)).cast("long"))
+    }),
+    "rindex" -> ((df, v, a) => {
+      val c = v(df)
+      val n = a(df)
+      val p = call_function("locate", reverse(n), reverse(c))
+      when(p > lit(0), (length(c) - p + lit(1) - length(n)).cast("long"))
+    }),
+    // jq contains/inside over the practical subset: strings (substring)
+    // and arrays (every element of the needle matches some element of the
+    // haystack — substring match for string elements, equality otherwise).
+    // Deep object containment stays out of scope, documented.
+    "contains" -> ((df, v, a) => jqContains(df, v, a)),
+    "inside" -> ((df, v, a) => jqContains(df, a, v)))
+
+  /** jq `contains` semantics for `haystack contains needle` (see the map
+    * entry above for scope).
+    */
+  private def jqContains(df: DataFrame, hay: V, needle: V): Column =
+    (dtOfV(df, hay), dtOfV(df, needle)) match {
+      case (StringType, StringType) => hay(df).contains(needle(df))
+      case (_: ArrayType, ArrayType(nt, _)) =>
+        val h = hay(df)
+        nt match {
+          case StringType => forall(needle(df), n => exists(h, x => x.contains(n)))
+          case _ => forall(needle(df), n => exists(h, x => x <=> n))
+        }
+      case (lt, rt) => throw new IllegalArgumentException(
+        s"jq_expr: contains over ${lt.simpleString}/${rt.simpleString} is " +
+          "unsupported (strings, or arrays of strings/scalars)")
+    }
 
   // ------------------------------------------------- jq regex builtins --
 
@@ -923,6 +1164,10 @@ object JqTransform {
       var go = true
       while (go) {
         path += parseIdent()
+        // jq optional-access `.a?`: error suppression — this compiler's
+        // paths never error (missing fields read as jq null), so `?` is
+        // a consumed no-op, kept for program compatibility
+        if (peek == '?') next()
         if (peek == '.') next() else go = false
       }
       path.result()
@@ -1029,6 +1274,13 @@ object JqTransform {
           def eq(df: DataFrame): Column = {
             val (lc, rc) = (l(df), r(df))
             (dtOfV(df, l), dtOfV(df, r)) match {
+              // variant operands (the `..` stream) FIRST — the rank guard
+              // below has no meaningful rank for a runtime-typed value
+              case (ldt, rdt) if ldt.typeName == "variant" && rdt.typeName == "variant" =>
+                variantTypeName(lc) <=> variantTypeName(rc) &&
+                  to_json(lc) <=> to_json(rc)
+              case (ldt, rdt) if ldt.typeName == "variant" => variantEq(lc, rc, rdt)
+              case (ldt, rdt) if rdt.typeName == "variant" => variantEq(rc, lc, ldt)
               case (ldt, rdt) if jqTypeRank(ldt) != jqTypeRank(rdt) =>
                 lc.isNull && rc.isNull
               // objects: different key sets are unequal; same keys compare
@@ -1114,9 +1366,48 @@ object JqTransform {
                   when(acc.isNull, xs).otherwise(concat(acc, lit(sep), xs))
                 }), lit(""))
               }
+            case "uri" =>
+              // jq @uri: RFC 3986 percent-encoding (unreserved A-Za-z0-9-._~
+              // kept). url_encode is the form-encoding variant; the three
+              // divergences are fixed up exactly — its '+' only ever means
+              // an input space, its literal '*' / '%7E' only ever mean
+              // input '*' / '~'
+              v = df => {
+                val enc = url_encode(vv(df).cast("string"))
+                replace(replace(replace(enc,
+                  lit("+"), lit("%20")),
+                  lit("*"), lit("%2A")),
+                  lit("%7E"), lit("~"))
+              }
+            case "html" =>
+              // jq @html: & < > ' " → entities, ampersand first
+              v = df =>
+                replace(replace(replace(replace(replace(vv(df).cast("string"),
+                  lit("&"), lit("&amp;")),
+                  lit("<"), lit("&lt;")),
+                  lit(">"), lit("&gt;")),
+                  lit("'"), lit("&#39;")),
+                  lit("\""), lit("&quot;"))
+            case "sh" =>
+              // jq @sh: single-quoted with '\'' splicing; an ARRAY renders
+              // space-joined with each element quoted
+              v = df => {
+                def q(x: Column): Column =
+                  concat(lit("'"),
+                    replace(x.cast("string"), lit("'"), lit("'\\''")),
+                    lit("'"))
+                dtOfV(df, vv) match {
+                  case _: ArrayType =>
+                    coalesce(aggregate(vv(df), lit(null).cast("string"),
+                      (acc, x) => when(acc.isNull, q(x))
+                        .otherwise(concat(acc, lit(" "), q(x)))), lit(""))
+                  case _ => q(vv(df))
+                }
+              }
             case other => throw new IllegalArgumentException(
               s"jq_expr: unsupported format string @$other " +
-                "(supported: @text, @json, @base64, @base64d, @csv, @tsv)")
+                "(supported: @text, @json, @base64, @base64d, @csv, @tsv, " +
+                "@uri, @html, @sh)")
           }
           skipWs()
         } else {
@@ -1170,6 +1461,24 @@ object JqTransform {
               elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df))
             val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
             flatten(transform(keys, k => filter(arr, x => keyOf(x) <=> k)))
+          }
+        } else if (fn == "min_by" || fn == "max_by") {
+          // min_by(f)/max_by(f): the element whose f(x) is smallest/largest
+          // under jq's order; [] → null (try_element_at). Ties: the stable
+          // sort_by kernel means first-minimal / last-maximal — jq's pick.
+          expect('(')
+          val inner = parseValue()
+          expect(')')
+          val vv = v
+          val wantMax = fn == "max_by"
+          v = df => {
+            val et = elementTypeV(df, vv, fn)
+            val arr = vv(df)
+            def keyOf(x: Column): Column =
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df))
+            val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
+            val sorted = flatten(transform(keys, k => filter(arr, x => keyOf(x) <=> k)))
+            try_element_at(sorted, lit(if (wantMax) -1 else 1))
           }
         } else if (fn == "sort") {
           // sort = ascending element sort, nulls first (jq's order; with a
@@ -1356,16 +1665,53 @@ object JqTransform {
               }
           }
         } else if (fn == "split") {
-          // jq split(s) is a LITERAL separator; Spark's split takes a
-          // regex, so quote it — literal-arg only (parse-time), documented
+          // jq split(s) is a LITERAL separator; split(re; flags) is the
+          // regex form (the two-arg shape makes the first arg a regex in
+          // jq). Spark's split takes a regex, so the one-arg form quotes it
+          // — literal-arg only (parse-time), documented.
           expect('('); skipWs()
           if (peek != '"')
             throw new IllegalArgumentException(
               "jq_expr: split() requires a string-literal separator")
           val sep = parseStringLit()
+          skipWs()
+          val reFlags: Option[String] =
+            if (peek == ';') {
+              next(); skipWs()
+              if (peek != '"')
+                throw new IllegalArgumentException(
+                  "jq_expr: split() flags must be a string literal")
+              Some(parseStringLit())
+            } else None
           expect(')')
           val vv = v
-          v = df => split(vv(df), java.util.regex.Pattern.quote(sep))
+          v = reFlags match {
+            case None => df => split(vv(df), java.util.regex.Pattern.quote(sep))
+            case Some(fl) => df => split(vv(df), regexWithFlags(sep, fl))
+          }
+        } else if (fn == "flatten" && peek == '(') {
+          // flatten(d): depth-limited flatten — the depth must be an int
+          // literal (static unrolling); the argless form lives in Funcs
+          next(); skipWs()
+          val numSb = new StringBuilder
+          while (peek.isDigit) numSb.append(next())
+          skipWs(); expect(')')
+          if (numSb.isEmpty)
+            throw new IllegalArgumentException(
+              "jq_expr: flatten() depth must be an integer literal")
+          val depth = numSb.toString.toInt
+          val vv = v
+          v = df => {
+            var c = vv(df)
+            var et = elementTypeV(df, vv, "flatten")
+            var d = depth
+            while (d > 0 && et.isInstanceOf[ArrayType]) {
+              c = flatten(c)
+              et = et.asInstanceOf[ArrayType].elementType
+              d -= 1
+            }
+            c
+          }
         } else {
           val f = Funcs.getOrElse(fn, throw new IllegalArgumentException(
             s"jq_expr: unsupported function '$fn' (supported: map, has, split, " +
@@ -1512,8 +1858,13 @@ object JqTransform {
             }
           } else {
             next()
-            _ => elemBinding.value.map(pick).getOrElse(throw new IllegalArgumentException(
-              "jq_expr: bare '.' as a value is only supported inside map(...)"))
+            df => elemBinding.value.map(pick).getOrElse {
+              // on a `..` variant stream, bare '.' is the current value
+              if (variantFrame(df)) col("__variant")
+              else throw new IllegalArgumentException(
+                "jq_expr: bare '.' as a value is only supported inside " +
+                  "map(...) or after '..'")
+            }
           }
         case '"' => parseInterpString()
         case c if c.isDigit || c == '-' =>

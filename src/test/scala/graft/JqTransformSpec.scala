@@ -758,4 +758,190 @@ class JqTransformSpec extends SparkTestBase {
       """{id: .id, n: (try (.not_there | unique) catch null) // "fallback"}""")
     assert(out.head().getString(1) == "fallback")
   }
+
+  test("math builtins: ceil/round/sqrt/fabs/exp/log family, isnan/isinfinite") {
+    val t = Seq((2.5, -2.5, 2.25, -1.0, 1000.0)).toDF("a", "b", "c", "neg", "big")
+    val r = JqTransform(t,
+      """{ce: (.c | ceil), ra: (.a | round), rb: (.b | round),
+        | sq: (.c | sqrt), ab: (.b | fabs),
+        | lg: (.c | sqrt | log2), l10: (100 | log10),
+        | rt: (.c | log | exp),
+        | nan: (.neg | sqrt | isnan), inf: (.big | exp | isinfinite),
+        | fin: (.a | isinfinite)}""".stripMargin).head()
+    assert(r.getLong(0) == 3L)          // ceil(2.25), Spark LONG like floor
+    assert(r.getDouble(1) == 3.0)       // jq round: halves away from zero
+    assert(r.getDouble(2) == -3.0)
+    assert(r.getDouble(3) == 1.5)
+    assert(r.getDouble(4) == 2.5)
+    assert(r.getDouble(5) == math.log(1.5) / math.log(2.0) ||
+      math.abs(r.getDouble(5) - 0.5849625007211562) < 1e-12)
+    assert(r.getDouble(6) == 2.0)
+    assert(math.abs(r.getDouble(7) - 2.25) < 1e-12)
+    assert(r.getBoolean(8) && r.getBoolean(9) && !r.getBoolean(10))
+  }
+
+  test("type / utf8bytelength / tojson") {
+    val t = Seq((1L, "héllo", Seq(1L, 2L), true)).toDF("n", "s", "arr", "b")
+    val r = JqTransform(t,
+      """{tn: (.n | type), ts: (.s | type), ta: (.arr | type),
+        | tb: (.b | type), tm: (.missing | type),
+        | bl: (.s | utf8bytelength),
+        | js: (.s | tojson), jn: (.n | tojson), jm: (.missing | tojson)}"""
+        .stripMargin).head()
+    assert(r.getString(0) == "number" && r.getString(1) == "string")
+    assert(r.getString(2) == "array" && r.getString(3) == "boolean")
+    assert(r.getString(4) == "null")
+    assert(r.getLong(5) == 6L) // é is 2 UTF-8 bytes
+    assert(r.getString(6) == "\"héllo\"")
+    assert(r.getString(7) == "1")
+    assert(r.getString(8) == "null")
+  }
+
+  test("todate/fromdate: epoch seconds <-> ISO-8601 Zulu (UTC-pinned)") {
+    // differential (jq): 1638357540 | todate == "2021-12-01T11:19:00Z"
+    val t = Seq((1638357540L, "2021-12-01T11:19:00Z")).toDF("sec", "iso")
+    val r = JqTransform(t,
+      """{d: (.sec | todate), s: (.iso | fromdate),
+        | rt: (.sec | todate | fromdate),
+        | d2: (.sec | todateiso8601), s2: (.iso | fromdateiso8601)}"""
+        .stripMargin).head()
+    assert(r.getString(0) == "2021-12-01T11:19:00Z")
+    assert(r.getLong(1) == 1638357540L)
+    assert(r.getLong(2) == 1638357540L)
+    assert(r.getString(3) == "2021-12-01T11:19:00Z" && r.getLong(4) == 1638357540L)
+  }
+
+  test("flatten: argless is full depth, flatten(d) is depth-limited") {
+    val t = Seq((Seq(Seq(Seq(1L), Seq(2L)), Seq(Seq(3L))), 0L)).toDF("nest", "id")
+    val full = JqTransform(t, """{f: (.nest | flatten)}""").head()
+    assert(full.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    val one = JqTransform(t, """{f: (.nest | flatten(1))}""").head()
+    assert(one.getSeq[scala.collection.Seq[Long]](0).toList.map(_.toList) ==
+      List(List(1L), List(2L), List(3L)))
+  }
+
+  test("min_by/max_by: jq order and tie picks (first-min, last-max)") {
+    val t = Seq((Seq((1L, "a"), (1L, "b"), (0L, "z"), (1L, "c")), 0L))
+      .toDF("arr", "id")
+    val r = JqTransform(t,
+      """{mn: (.arr | min_by(._1)), mx: (.arr | max_by(._1))}""").head()
+    val mn = r.getStruct(0)
+    val mx = r.getStruct(1)
+    assert(mn.getLong(0) == 0L && mn.getString(1) == "z")
+    // ties on the max key: jq takes the LAST maximal element
+    assert(mx.getLong(0) == 1L && mx.getString(1) == "c")
+    // [] -> null
+    val e = Seq((Seq.empty[Long], 0L)).toDF("arr", "id")
+    assert(JqTransform(e, """{mn: (.arr | min_by(.))}""").head().isNullAt(0))
+  }
+
+  test("index/rindex: 0-based substring positions, null on no hit") {
+    val t = Seq(("abcba", "b")).toDF("s", "n")
+    val r = JqTransform(t,
+      """{i: (.s | index("b")), ri: (.s | rindex("b")),
+        | miss: (.s | index("q")), dyn: (.s | index(.n))}""".stripMargin).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(r.isNullAt(2))
+    assert(r.getLong(3) == 1L) // arg can be a value expression
+  }
+
+  test("contains/inside: strings and arrays") {
+    val t = Seq(("foobar", Seq("foobar", "baz"), Seq(1L, 2L, 3L))).toDF("s", "ss", "ns")
+    val r = JqTransform(t,
+      """{a: (.s | contains("bar")), b: (.s | contains("qux")),
+        | c: (.ss | contains(["bar"])), d: (.ns | contains([1, 3])),
+        | e: (.ns | contains([4])), f: (.s | inside("xfoobarx"))}"""
+        .stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2)) // array-of-strings: per-element substring match
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getBoolean(5))
+  }
+
+  test("split(re; flags): two-arg regex form") {
+    val t = Seq(("a1b2c3x", "xAyAz")).toDF("s", "u")
+    val r = JqTransform(t,
+      """{p: (.s | split("[0-9]"; "")), q: (.u | split("a"; "i")),
+        | lit: (.s | split("b2"))}""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c", "x"))
+    assert(r.getSeq[String](1) == Seq("x", "y", "z")) // i flag
+    assert(r.getSeq[String](2) == Seq("a1", "c3x"))   // one-arg stays literal
+  }
+
+  test("..: recursive descent emits root + all sub-values in document order") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val t = Seq((1L, 0)).toDF("id", "z")
+      .select(col("id"),
+        struct(lit("click").as("type"),
+          struct(col("id").as("uid")).as("meta")).as("payload"))
+    val out = JqTransform(t, """.. | {ty: (. | type), js: (. | tojson)}""")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // variant objects store keys SORTED, so tojson over the `..` stream
+    // renders sorted key order (jq preserves insertion order — documented
+    // divergence of the variant encoding; values and structure identical)
+    assert(rows == Seq(
+      ("object", """{"id":1,"payload":{"meta":{"uid":1},"type":"click"}}"""),
+      ("number", "1"),
+      ("object", """{"meta":{"uid":1},"type":"click"}"""),
+      ("string", "\"click\""),
+      ("object", """{"uid":1}"""),
+      ("number", "1")))
+  }
+
+  test("..: descends arrays; null branches emit their null, no descent") {
+    import org.apache.spark.sql.functions.col
+    val t = Seq((Seq(10L, 20L), Option.empty[Long])).toDF("arr", "gone")
+      .select(col("arr"), col("gone"))
+    val out = JqTransform(t, """.. | {ty: (. | type), js: (. | tojson)}""")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(
+      ("object", """{"arr":[10,20]}"""), // to_json drops the null field
+      ("array", "[10,20]"),
+      ("number", "10"),
+      ("number", "20"),
+      ("null", "null")))
+  }
+
+  test("..: variant navigation — select + path + extraction builtins") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val t = Seq((1L, "x")).toDF("id", "s")
+      .select(col("id"),
+        struct(lit("click").as("type"), lit(5L).as("n")).as("payload"),
+        struct(lit("view").as("type"), lit(7L).as("n")).as("other"))
+    // every sub-object with .type == "click" (the root has no top-level
+    // .type: missing reads as null and the == is false, not an error)
+    val out = JqTransform(t,
+      """.. | select(.type == "click") | {t: (.type | tostring), n: (.n | tonumber)}""")
+    val rows = out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("click", 5.0)))
+    // select(. != null) over the stream; tonumber is null for non-numbers
+    val nums = JqTransform(t,
+      """.. | select((. | tonumber) != null) | {v: (. | tonumber)}""")
+    assert(nums.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 5.0, 7.0))
+  }
+
+  test("..: variant truthiness keeps 0/\"\" and drops false/null; .a? is a no-op") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val t = Seq((0L, "", false)).toDF("zero", "empty", "flag")
+      .select(struct(col("zero"), col("empty"), col("flag")).as("o"))
+    val kept = JqTransform(t, """.. | select(.) | {ty: (. | type)}""")
+    // stream: root, o, zero(0 truthy), ""(truthy), false(DROPPED)
+    assert(kept.collect().map(_.getString(0)).toSeq ==
+      Seq("object", "object", "number", "string"))
+    val opt = JqTransform(t, """{z: .o.zero?, missing: .o.nope?}""").head()
+    assert(opt.getLong(0) == 0L && opt.isNullAt(1))
+  }
+
+  test("format strings: @uri/@html/@sh") {
+    // differential (jq): "a b&c/~*" | @uri == "a%20b%26c%2F~%2A"
+    val t = Seq(("a b&c/~*", "<a href='x'> & \"q\"", "it's", Seq("a b", "c")))
+      .toDF("u", "h", "s", "arr")
+    val r = JqTransform(t,
+      """{u: (.u | @uri), h: (.h | @html), s: (.s | @sh), a: (.arr | @sh)}""")
+      .head()
+    assert(r.getString(0) == "a%20b%26c%2F~%2A")
+    assert(r.getString(1) == "&lt;a href=&#39;x&#39;&gt; &amp; &quot;q&quot;")
+    assert(r.getString(2) == "'it'\\''s'")
+    assert(r.getString(3) == "'a b' 'c'")
+  }
 }
