@@ -585,6 +585,13 @@ object SparkEntry {
     // every doc, survivors rejoined in order; digest-only count shuffle
     "t21_boilerplate" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
+    // temperature-reweighted mixture sampling (α=0.5): integer-ppm rates
+    // sized to a half-corpus budget, deterministic md5 Bernoulli draws
+    "t22_temperature_sample" -> ((s, dir) =>
+      TextAnalysis.temperatureSample(Tables.documents(s, dir))),
+    // first-round BPE pair statistics over the distinct vocabulary
+    "t23_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -741,6 +748,11 @@ object SparkEntry {
     // the whole init→weight→reduce→train pipeline is engine-exact
     "s09_kmeans_pp" -> ((s, dir) =>
       Ann.kmeansParallel(Tables.embeddings(s, dir))),
+    // SemDeDup: cluster-bounded semantic dedup — shuffle-free assignment
+    // to k deterministic seed centroids, greedy keep-first cosine prune
+    // inside each cell (equi-join on cell, never n²), anti-join survivors
+    "s10_semdedup" -> ((s, dir) =>
+      Ann.semDedupSurvivors(Tables.embeddings(s, dir))),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -1699,6 +1711,40 @@ object SparkEntry {
            | (CASE WHEN tp.n_bigrams > 0 THEN (tp.top_c * 1000000 // tp.n_bigrams)
            |       ELSE 0 END)::BIGINT AS top_bigram_ppm
            |FROM words w JOIN top tp USING (doc_id)""".stripMargin,
+      // t22: temperature mixture — integer ppm throughout; the isqrt is
+      // floor-of-IEEE-sqrt (exact both engines below 2^52); draws reuse
+      // the 60-bit md5 coordinate of t09.
+      "t22_temperature_sample" ->
+        """WITH per AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+          |tot AS (SELECT count(*)::BIGINT AS total FROM documents),
+          |w AS (SELECT lang, n_docs, (n_docs * 1000000 // tot.total)::BIGINT AS share_ppm,
+          |        CAST(floor(sqrt(((n_docs * 1000000 // tot.total) * 1000000)::DOUBLE))
+          |             AS BIGINT) AS wgt
+          |      FROM per, tot),
+          |z AS (SELECT sum(wgt)::BIGINT AS z FROM w),
+          |rates AS (SELECT w.lang, w.n_docs, w.share_ppm,
+          |    least(1000000,
+          |      ((tot.total // 2) * w.wgt // z.z) * 1000000 // w.n_docs)::BIGINT AS rate_ppm
+          |  FROM w, z, tot),
+          |kept AS (SELECT d.lang, count(*)::BIGINT AS kept
+          |  FROM documents d JOIN rates r ON d.lang = r.lang
+          |  WHERE (('0x' || substr(md5('tsample:' || d.doc_id), 1, 15))::BIGINT
+          |         % 1000000) < r.rate_ppm
+          |  GROUP BY 1)
+          |SELECT r.lang, r.n_docs, r.share_ppm, r.rate_ppm,
+          |  coalesce(k.kept, 0)::BIGINT AS kept
+          |FROM rates r LEFT JOIN kept k ON r.lang = k.lang""".stripMargin,
+      // t23: first BPE merge round — pair counts over the distinct
+      // vocabulary weighted by word frequency; (cnt DESC, pair) is a
+      // total order so the LIMIT is deterministic.
+      "t23_bpe_pairs" ->
+        """WITH words AS (SELECT w, count(*)::BIGINT AS n FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE length(w) >= 2 GROUP BY 1),
+          |pos AS (SELECT w, n, unnest(generate_series(1, length(w)-1)) AS i FROM words),
+          |pairs AS (SELECT substr(w, i::INT, 2) AS pair, sum(n)::BIGINT AS cnt
+          |  FROM pos GROUP BY 1)
+          |SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
       "t09_sample" ->
         """SELECT doc_id, lang FROM documents
           |WHERE (('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000000) <
@@ -2045,6 +2091,23 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
       "s01_ann_topk" -> s01Sql,
       "s02_ann_ivf" -> s02Sql,
+      // s10: SemDeDup — assignment mirrors assignCells (max cosine, tie →
+      // smaller cell), the greedy keep-first prune is a cluster equi-join,
+      // survivors an anti join. Only the integer (vec_id, cell) decisions
+      // cross the compare, as in s02.
+      "s10_semdedup" ->
+        """WITH seeds AS (SELECT vec_id AS cell, embedding AS ce
+          |  FROM embeddings ORDER BY vec_id LIMIT 8),
+          |asg AS (SELECT vec_id, embedding, cell FROM (
+          |  SELECT e.vec_id, e.embedding, s.cell,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_cosine_similarity(e.embedding, s.ce) DESC, s.cell) AS rn
+          |  FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+          |drops AS (SELECT DISTINCT x.vec_id FROM asg x JOIN asg y
+          |  ON x.cell = y.cell AND y.vec_id < x.vec_id
+          |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.42)
+          |SELECT a.vec_id, a.cell FROM asg a ANTI JOIN drops d ON a.vec_id = d.vec_id"""
+          .stripMargin,
       "s08_ivfpq_search" ->
         """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
           |           FROM embeddings),

@@ -647,4 +647,40 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): SEMANTIC dedup — cluster
+    * the embedding space, then within each cluster drop every vector whose
+    * cosine to a LOWER-ID clustermate reaches `tau`. The greedy keep-first
+    * rule (drop x iff ∃ y: cell(y)=cell(x), y.id < x.id, cos ≥ τ) makes
+    * the survivor set order-deterministic with no connected-components
+    * machinery — the paper's "keep one per duplicate group" at candidate
+    * level.
+    *
+    * Scale shape: candidates are CLUSTER-BOUNDED — the pair join is an
+    * equi-join on cell (cost Σ|cell|², never n²); k scales with the
+    * corpus so |cell| stays bounded (the paper runs k ≈ 10⁴–10⁵ at web
+    * scale; AQE's skew split covers hot cells). Assignment reuses
+    * [[assignCells]]'s shuffle-free literal-centroid projection; seeds
+    * are the k smallest vec_ids — deterministic, k-bounded driver
+    * collect, the same control-loop shape as the k-means loop (swap in
+    * [[kmeansParallel]] centroids for production quality).
+    * Output: surviving (vec_id, cell).
+    */
+  def semDedupSurvivors(embeddings: DataFrame, k: Int = 8,
+                        tau: Double = 0.42): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    val seeds = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val assigned = assignCells(corpus, seeds)
+    val x = assigned.as("x")
+    val y = assigned.select(col("vec_id").as("yid"), col("v").as("yv"),
+      col("norm").as("ynorm"), col("cell").as("ycell")).as("y")
+    val cos = VecDot.dot(col("x.v"), col("y.yv")) / (col("x.norm") * col("y.ynorm"))
+    val drops = x
+      .join(y, col("x.cell") === col("y.ycell") && col("y.yid") < col("x.vec_id"))
+      .where(cos >= tau)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
 }

@@ -322,6 +322,71 @@ object TextAnalysis {
     docs.where(coord < rate).select(col("doc_id"), col("lang"))
   }
 
+  /** Temperature-reweighted mixture sampling (the α=0.5 / T=2 upsampling
+    * of multilingual-pretraining recipes, e.g. mC4/XLM-R): target
+    * per-language shares ∝ share^α flatten the head, and each language
+    * gets a deterministic per-doc Bernoulli rate sized to hit a
+    * half-corpus budget at that mix. ALL math is integer fixed-point
+    * (ppm) except the isqrt, which is floor-of-IEEE-sqrt — exact and
+    * engine-portable below 2^52. The draw reuses the md5 sampling
+    * coordinate of [[stratifiedSample]], so the SAME docs come out on
+    * every engine and rerun.
+    *
+    * Scale shape: two corpus scans, both map-side-combinable tiny
+    * aggregates (per-lang counts, then per-lang kept counts below the
+    * broadcast rate table); the rate computation itself runs over
+    * |langs| rows. Output: (lang, n_docs, share_ppm, rate_ppm, kept).
+    */
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = docs.agg(count(lit(1)).as("__total"))
+    val weighted = per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", intDiv(col("n_docs") * lit(1000000L), col("__total")))
+      // ppm-scale sqrt(share): sqrt(share_ppm/1e6)·1e6 = isqrt(share_ppm·1e6)
+      .withColumn("__w",
+        floor(sqrt((col("share_ppm") * lit(1000000L)).cast("double"))).cast("long"))
+    val z = weighted.agg(sum(col("__w")).as("__z"))
+    val rates = weighted.crossJoin(broadcast(z))
+      // per-lang doc quota out of a half-corpus budget, at weights w/Z
+      .withColumn("__quota",
+        intDiv(intDiv(col("__total"), lit(2L)) * col("__w"), col("__z")))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), intDiv(col("__quota") * lit(1000000L), col("n_docs"))))
+      .select(col("lang"), col("n_docs"), col("share_ppm"), col("rate_ppm"))
+    val draw = PortableHash.md5Long60(
+      concat(lit("tsample:"), col("doc_id").cast("string"))) % lit(1000000L)
+    val kept = docs.join(broadcast(rates.select(col("lang"), col("rate_ppm"))), Seq("lang"))
+      .where(draw < col("rate_ppm"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("share_ppm"), col("rate_ppm"),
+        coalesce(col("kept"), lit(0L)).as("kept"))
+  }
+
+  /** First-round BPE pair statistics (Sennrich et al., ACL 2016 §3.2):
+    * adjacent character-pair frequencies over the corpus VOCABULARY,
+    * weighted by word frequency — the argmax is the first BPE merge and
+    * the top-k table is the merge-priority view tokenizer training
+    * starts from. Two stacked map-side-combinable aggregates: words
+    * (digest-sized strings cross the shuffle), then pairs generated over
+    * the DISTINCT vocabulary only — pair explosion is bounded by
+    * |vocab| × word length, never corpus size — and a
+    * TakeOrderedAndProject heap for the top-k (ties broken by pair text,
+    * total order).
+    */
+  def bpePairStats(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    words
+      .select(col("n"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   /** Data-mixture accounting: per-(lang, source) document/token/char
     * volumes plus each stratum's document share of the corpus (ppm) — the
     * report every training run wants next to its data card. Two map-side

@@ -470,4 +470,57 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out.length == 1 && out.head.getAs[Long]("orderkey") == 1L)
     assert(out.head.getAs[Long]("total_qty") == 300L)
   }
+
+  test("semDedup: greedy keep-first prune inside cells; survivors verified") {
+    import graft.similarity.Ann
+    // seeds (k=2) are ids 0 and 1 — one per direction, so each dup group
+    // lands in one cell and the greedy keep-first rule prunes it to its
+    // lowest id
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),    // x-direction seed/keeper
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f)),    // z-direction seed/keeper
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)), // ~1.0 cos to id 0 → dropped
+      (3L, Array(0.98f, 0.17f, 0.0f, 0.0f)),  // cos to id 0 ≈ 0.985 → dropped
+      (4L, Array(0.0f, 0.0f, 0.97f, 0.2f)))   // cos to id 1 ≈ 0.979 → dropped
+      .toDF("vec_id", "embedding")
+    val out = Ann.semDedupSurvivors(vecs, k = 2, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) == 0L && out(1L) == 1L) // each survives in its own cell
+    // determinism: same survivors on a rerun
+    val again = Ann.semDedupSurvivors(vecs, k = 2, tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.keySet)
+  }
+
+  test("temperatureSample: alpha=0.5 flattens the mix; rates and kept are sane") {
+    val out = TextAnalysis.temperatureSample(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (enDocs, enShare, enRate, enKept) = out("en")
+    val (zhDocs, zhShare, zhRate, zhKept) = out("zh")
+    // en is the head language in this corpus; temperature sampling gives
+    // the tail a HIGHER per-doc rate than the head
+    assert(enShare > zhShare && enRate < zhRate,
+      s"expected head-flattening: en=$enShare@$enRate zh=$zhShare@$zhRate")
+    out.foreach { case (lang, (n, share, rate, kept)) =>
+      assert(rate >= 0L && rate <= 1000000L, s"$lang rate $rate")
+      assert(kept <= n, s"$lang kept $kept > n $n")
+      assert(share >= 0L && share <= 1000000L)
+      // the md5 draw tracks the rate within a loose tolerance on n≥50 docs
+      if (n >= 50) assert(math.abs(kept.toDouble / n - rate / 1e6) < 0.2,
+        s"$lang kept=$kept n=$n rate=$rate")
+    }
+  }
+
+  test("bpePairStats: pair counts weighted by word frequency, tie-broken by pair") {
+    val tiny = Seq((1L, "abab abab xy"), (2L, "abab")).toDF("doc_id", "text")
+    // vocabulary: abab ×3 (pairs ab, ba, ab → ab:2/word), xy ×1
+    val rows = TextAnalysis.bpePairStats(tiny, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.head == ("ab", 6L), s"got ${rows.toSeq}") // 2 per word × 3 words
+    assert(rows.toMap == Map("ab" -> 6L, "ba" -> 3L, "xy" -> 1L))
+    // ordering: cnt desc then pair asc
+    assert(rows.map(_._1).toSeq == Seq("ab", "ba", "xy"))
+  }
 }
