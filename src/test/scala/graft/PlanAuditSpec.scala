@@ -412,4 +412,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"min_by must combine map-side before the shuffle:\n$p")
     assert(!p.contains("Window"), s"no window rank in the encode path:\n$p")
   }
+
+  test("SemDeDup: cluster-bounded pair join, no cartesian, no corpus window") {
+    val p = plan(Ann.semDedupSurvivors(embeddings))
+    // candidates must come from an equi-join on cell — an inequality-only
+    // join would plan a cartesian/BNLJ and cost n² at any scale
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked into SemDeDup:\n$p")
+    assert(!p.contains("Window"), s"no window rank in the prune path:\n$p")
+  }
+
+  test("temperature sample: rate table broadcasts; corpus aggregates map-side") {
+    val p = plan(TextAnalysis.temperatureSample(docs))
+    // the per-lang rate table joins the corpus as a broadcast — a shuffled
+    // join would move the whole corpus for a |langs|-row lookup
+    assert(p.contains("BroadcastHashJoin"), s"rate lookup must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the sample path:\n$p")
+    // both corpus passes are partial/final counts (map-side combine)
+    assert("partial_count".r.findAllIn(p).size >= 1,
+      s"corpus counts must combine map-side:\n$p")
+  }
+
+  test("BPE pairs: two stacked map-side aggregates and a heap top-k, no sort") {
+    val p = plan(TextAnalysis.bpePairStats(docs))
+    // the top-k must be TakeOrderedAndProject (a bounded heap), never a
+    // global Sort of the pair table
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be a heap:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"pair counts must combine map-side:\n$p")
+  }
 }
