@@ -502,6 +502,19 @@ object SparkEntry {
           "value_quantiles_2p", "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in"),
         "value_quantiles_2p", requiredVersion = Some(">=0.1.0"))
     }),
+    // heavy-hitter counter through the SERIALIZED two-phase topology (the
+    // second engine-extension counter type): per-shard user-count tables →
+    // JSON intermediate records → parse + version gate → cross-shard
+    // re-sum → per-window rank. Oracle = e07's SQL: the shard hop must be
+    // invisible.
+    "e11_twophase_hitters" -> ((s, dir) => {
+      val sharded = events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8)))
+      Intermediate.mergeHitterRecords(
+        Intermediate.toHitterRecords(
+          graft.relational.Temporal.partialHitterState(sharded, "ts", "shard"),
+          "heavy_hitters_2p", "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in"),
+        "heavy_hitters_2p", requiredVersion = Some(">=0.1.0"))
+    }),
     // Q17 shape: correlated scalar aggregate decorrelated — per-part avg
     // via (sum, count) join-back, integer cross-multiplied threshold
     "h14_small_qty_revenue" -> ((s, dir) =>
@@ -1531,6 +1544,15 @@ object SparkEntry {
           |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
           |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
       "e07_heavy_hitters" ->
+        """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, user_id,
+          |  count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY h
+          |  ORDER BY n_events DESC, user_id) AS rank FROM c)
+          |SELECT epoch_ms(h) AS window_start, user_id, n_events, rank::BIGINT AS rank
+          |FROM r WHERE rank <= 3""".stripMargin,
+      // e11 = e07 through the serialized shard hop; same oracle, the
+      // decomposition must be invisible
+      "e11_twophase_hitters" ->
         """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, user_id,
           |  count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
           |r AS (SELECT *, row_number() OVER (PARTITION BY h

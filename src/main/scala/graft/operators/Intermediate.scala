@@ -70,6 +70,9 @@ object Intermediate {
       StructField("base64_hll", StringType),
       StructField("histogram", ArrayType(StructType(Seq(
         StructField("c", LongType),
+        StructField("n", LongType))))),
+      StructField("counts", ArrayType(StructType(Seq(
+        StructField("u", LongType),
         StructField("n", LongType))))))))))
 
   /** The `required_version` gate (`counter.go:366-368` → `config.go:122-138`)
@@ -242,4 +245,65 @@ object Intermediate {
                            psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame =
     graft.relational.Temporal.mergeQuantilePartials(
       parseQuantiles(records, counterId, requiredVersion), psPpm)
+
+  // ---- heavy-hitter counter through the same hop (ENGINE EXTENSION) ----
+
+  /** The `counter_type` tag of the heavy-hitter counter's records — the
+    * fourth union member beside count/ACD/quantiles.
+    */
+  val HittersTypeName = "heavy_hitters"
+
+  /** [[toRecords]] for the heavy-hitter counter
+    * ([[graft.relational.Temporal.partialHitterState]] partials): the
+    * per-(window, shard) user-count table serializes as the
+    * `counter_state.counts` union member — same envelope, partition key,
+    * and version field as the other counter types (`counter.go:483-512`).
+    */
+  def toHitterRecords(partial: DataFrame, counterId: String,
+                      eventSourceArn: String,
+                      counterVersion: String = ConfigLoader.EngineVersion): DataFrame =
+    partial.select(
+      lit(counterId).as("partition_key"),
+      to_json(struct(
+        lit(eventSourceArn).as("event_source_arn"),
+        col("shard_id").cast("string").as("shard_id"),
+        lit(counterId).as("counter_id"),
+        lit(HittersTypeName).as("counter_type"),
+        lit(counterVersion).as("counter_version"),
+        struct(
+          date_format(col("window.start"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("start"),
+          date_format(col("window.end"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("end")
+        ).as("window"),
+        struct(col("partial_counts").as("counts")).as("counter_state"))).as("value"))
+
+  /** [[parse]] for heavy-hitter records: the same warn-and-skip filtering
+    * (id + type tag + version gate); state lands back as `partial_counts`.
+    */
+  def parseHitters(records: DataFrame, counterId: String,
+                   requiredVersion: Option[String] = None): DataFrame = {
+    val versionOk: Column = requiredVersion.map(VersionConstraint(_)) match {
+      case None => lit(true)
+      case Some(vc) => versionCheck(vc, col("r.counter_version"))
+    }
+    records
+      .select(from_json(col("value"), recordSchema).as("r"))
+      .where(col("r").isNotNull &&
+        col("r.counter_id") === counterId &&
+        col("r.counter_type") === HittersTypeName &&
+        versionOk)
+      .select(
+        struct(col("r.window.start").as("start"), col("r.window.end").as("end")).as("window"),
+        col("r.shard_id"),
+        col("r.counter_state.counts").as("partial_counts"))
+  }
+
+  /** Full consumer for the heavy-hitter counter — parse + filter + merge +
+    * rank, the [[mergeRecords]] twin. Output matches
+    * [[graft.relational.Temporal.windowHeavyHitters]] exactly.
+    */
+  def mergeHitterRecords(records: DataFrame, counterId: String,
+                         requiredVersion: Option[String] = None,
+                         k: Int = 3): DataFrame =
+    graft.relational.Temporal.mergeHitterPartials(
+      parseHitters(records, counterId, requiredVersion), k)
 }

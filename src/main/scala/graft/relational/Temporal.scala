@@ -276,6 +276,48 @@ object Temporal {
       psPpm = psPpm)
   }
 
+  /** Phase-1 partial state for the HEAVY-HITTER counter through the
+    * reference's two-phase topology (`counter.go:483-512` analog, the
+    * second counter type this engine adds beyond count/ACD): per
+    * (window, shard), the user-count table as a sorted `[{u, n}]` array —
+    * exact and mergeable by concatenate-and-resum, like e10's cents
+    * histogram. The corpus-sized work is the FIRST, map-side-combinable
+    * groupBy; the second shuffles only user-table-sized rows. State is
+    * bounded by active users per (window, shard) — a SpaceSaving sketch
+    * is the sub-memory alternative when even that is too big, at which
+    * point exactness is the trade.
+    */
+  def partialHitterState(events: DataFrame, tsCol: String, shardCol: String,
+                         windowDuration: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDuration),
+        col(shardCol).cast("string").as("shard_id"),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("window"), col("shard_id"))
+      .agg(sort_array(collect_list(
+        struct(col("user_id").as("u"), col("cnt").as("n")))).as("partial_counts"))
+
+  /** Phase-2 cross-shard merge for the heavy-hitter counter: per-shard
+    * user tables concatenate and re-sum per (window, user) — associative
+    * and commutative — then the rank runs over the merged per-window
+    * aggregate exactly as in [[windowHeavyHitters]], whose output shape
+    * this matches (the shard hop must be invisible).
+    */
+  def mergeHitterPartials(partial: DataFrame, k: Int = 3): DataFrame = {
+    val counts = partial
+      .select(col("window"), explode(col("partial_counts")).as("h"))
+      .groupBy(col("window"), col("h.u").as("user_id"))
+      .agg(sum(col("h.n")).as("n_events"))
+    val rankW = Window.partitionBy(col("window"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("user_id"), col("n_events"), col("rank"))
+  }
+
   /** Windowed heavy hitters (the leaderboard step on counter output): per
     * tumbling window, the top-`k` users by event count with their rank
     * (count desc, user asc tiebreak — deterministic).

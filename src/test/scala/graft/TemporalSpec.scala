@@ -341,6 +341,45 @@ class TemporalSpec extends SparkTestBase {
     assert(Intermediate.mergeQuantileRecords(records, "other_id").count() == 0)
   }
 
+  test("two-phase heavy hitters ≡ single-phase through the serialized record hop") {
+    import graft.operators.Intermediate
+    val events = Seq(
+      ("2024-01-01 10:00:01", 1L), ("2024-01-01 10:00:02", 1L),
+      ("2024-01-01 10:00:03", 1L), ("2024-01-01 10:00:04", 2L),
+      ("2024-01-01 10:00:05", 2L), ("2024-01-01 10:00:06", 3L),
+      ("2024-01-01 10:00:07", 4L), // ties 3/4 at 1 → user asc breaks
+      ("2024-01-01 11:00:01", 9L))
+      .toDF("d", "user_id")
+      .withColumn("ts", col("d").cast("timestamp"))
+      .withColumn("shard", pmod(col("user_id"), lit(3)))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))
+    val single = graft.relational.Temporal.windowHeavyHitters(events)
+      .collect().map(key).toMap
+    val records = Intermediate.toHitterRecords(
+      graft.relational.Temporal.partialHitterState(events, "ts", "shard"),
+      "hh2p", "arn:aws:kinesis:us-east-1:000000000000:stream/agg")
+    val merged = Intermediate.mergeHitterRecords(records, "hh2p",
+      requiredVersion = Some(">=0.1.0")).collect().map(key).toMap
+    assert(merged == single, s"two-phase $merged vs single-phase $single")
+    // user 1's count (3) really crossed shards? every user lands on one
+    // shard (shard = user % 3), so instead check the hop fan-out: >1
+    // partial record exists for the 10:00 window and ranks are 1..3
+    assert(records.count() > 2)
+    assert(single.values.map(_._2).toSet == Set(1L, 2L, 3L) ||
+      single.values.map(_._2).toSet.subsetOf(Set(1L, 2L, 3L)))
+    // version gate + foreign-counter filtering, as for quantiles
+    assert(Intermediate.mergeHitterRecords(records, "hh2p",
+      requiredVersion = Some(">=99.0.0")).count() == 0)
+    assert(Intermediate.mergeHitterRecords(records, "other_id").count() == 0)
+    // a quantile record is NOT a hitter record: the type tag filters it
+    val qrecords = Intermediate.toQuantileRecords(
+      graft.relational.Temporal.partialQuantileState(
+        events.withColumn("value", lit(1.0)), "ts", "shard"),
+      "hh2p", "arn:aws:kinesis:us-east-1:000000000000:stream/agg")
+    assert(Intermediate.mergeHitterRecords(qrecords, "hh2p").count() == 0)
+  }
+
   test("minCostSupplier keeps every supplier tied at the minimum, once") {
     val part = Seq((1L, "PROMO"), (2L, "PROMO")).toDF("p_partkey", "p_type")
     val supplier = Seq((7L, "S7"), (8L, "S8")).toDF("s_suppkey", "s_name")
