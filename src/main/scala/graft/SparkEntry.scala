@@ -464,6 +464,12 @@ object SparkEntry {
     "h20_lateness_matrix" -> ((s, dir) =>
       graft.relational.Relational.latenessPriorityMatrix(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Q20 shape (adapted — no partsupp in this schema): correlated nested
+    // aggregate decorrelated to stacked aggregates + join-back; exact
+    // integer 8·S > T threshold (share > 1/8 — this corpus's max share is ~0.21)
+    "h21_dominant_suppliers" -> ((s, dir) =>
+      graft.relational.Relational.dominantSuppliers(
+        Tables.supplier(s, dir), Tables.part(s, dir), Tables.lineitem(s, dir))),
     // Q8 shape: per-year national market share — two-level conditional-
     // aggregate ratio over a 6-table star, dims broadcast, ONE agg pass
     "h17_market_share" -> ((s, dir) =>
@@ -1440,6 +1446,16 @@ object SparkEntry {
           |       AND l_quantity BETWEEN 10 AND 20)
           |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
           |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+      "h21_dominant_suppliers" ->
+        """WITH sp AS (SELECT l_suppkey, l_partkey,
+          |    sum(floor(l_quantity))::BIGINT AS s_qty
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE p_type = 'PROMO' GROUP BY 1, 2),
+          |t AS (SELECT l_partkey, sum(s_qty)::BIGINT AS t_qty FROM sp GROUP BY 1),
+          |dom AS (SELECT l_suppkey, count(*)::BIGINT AS n_parts
+          |  FROM sp JOIN t USING (l_partkey) WHERE 8*s_qty > t_qty GROUP BY 1)
+          |SELECT s_suppkey, s_name, n_parts
+          |FROM supplier JOIN dom ON s_suppkey = l_suppkey""".stripMargin,
       "h20_lateness_matrix" ->
         """SELECT l_returnflag,
           | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')

@@ -569,4 +569,40 @@ object Relational {
         sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
         sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
   }
+
+  /** Q20 shape adapted to this star schema (the driver's fixtures have no
+    * partsupp, so availqty becomes the part's corpus-wide shipped total):
+    * DOMINANT suppliers — suppliers that shipped more than 1/`shareDenom`
+    * of some PROMO part's total quantity, with how many parts each
+    * dominates (this corpus spreads parts across many suppliers — the
+    * max per-part share at sf0.01 is ~0.21, so the default bar is an
+    * eighth; the classic Q20 half-bar is `shareDenom = 2`).
+    * The correlated nested aggregate (`EXISTS … HAVING 2·S > T(part)`,
+    * `/root/reference` has no joins at all — this is a pure engine
+    * extension) decorrelates to two STACKED aggregates over ONE
+    * part-filtered scan: per-(supplier, part) quantities roll up again to
+    * per-part totals, totals join back on the partkey the rollup already
+    * partitioned by (aggregate-then-join — the exchange is reused, AQE
+    * sizes the join), and the threshold is the exact integer
+    * cross-multiplication `shareDenom·S > T`. The part filter broadcasts into the
+    * fact scan; the supplier dim joins the per-supplier result, which is
+    * aggregate-sized.
+    */
+  def dominantSuppliers(supplier: DataFrame, part: DataFrame,
+                        lineitem: DataFrame,
+                        pType: String = "PROMO",
+                        shareDenom: Int = 8): DataFrame = {
+    val promo = broadcast(
+      part.where(col("p_type") === pType).select(col("p_partkey")))
+    val sp = lineitem
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("s_qty"))
+    val totals = sp.groupBy(col("l_partkey")).agg(sum(col("s_qty")).as("t_qty"))
+    val dom = sp.join(totals, "l_partkey")
+      .where(col("s_qty") * shareDenom > col("t_qty"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+    supplier.join(dom, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+  }
 }

@@ -471,6 +471,22 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("total_qty") == 300L)
   }
 
+  test("dominantSuppliers: integer share threshold, counts per supplier") {
+    val part = Seq((1L, "PROMO"), (2L, "PROMO"), (3L, "OTHER")).toDF("p_partkey", "p_type")
+    val supplier = Seq((7L, "S7"), (8L, "S8"), (9L, "S9")).toDF("s_suppkey", "s_name")
+    val li = Seq(
+      (1L, 7L, 30.0), (1L, 8L, 10.0), // part 1: S7 has 3/4 (> 1/2), S8 1/4 (not > 1/4)
+      (2L, 7L, 10.0), (2L, 8L, 10.0), // part 2: both exactly 1/2 (> 1/4 each)
+      (3L, 9L, 99.0))                 // OTHER-type part: filtered out entirely
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val out = graft.relational.Relational
+      .dominantSuppliers(supplier, part, li, shareDenom = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // S7 dominates parts 1 and 2 at the quarter bar; S8 only part 2
+    // (10*4 = 40 == t_qty for part 1 — strict > excludes the boundary)
+    assert(out == Set((7L, "S7", 2L), (8L, "S8", 1L)), s"got $out")
+  }
+
   test("semDedup: greedy keep-first prune inside cells; survivors verified") {
     import graft.similarity.Ann
     // seeds (k=2) are ids 0 and 1 — one per direction, so each dup group
