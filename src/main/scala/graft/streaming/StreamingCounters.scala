@@ -306,6 +306,41 @@ object StreamingCounters {
       groupCol = "window_start", valueCol = "value_cents",
       cntCol = "cnt", psPpm = psPpm)
 
+  /** Streaming face of the HEAVY-HITTER counter (the e07/e11 batch and
+    * two-phase faces' third sibling, same pattern as the percentile
+    * counter's [[valueQuantileHistogram]]): the per-(window, user) count
+    * IS the append-mode state — bounded by active users per window, never
+    * events — and windows emit exactly once when the watermark closes
+    * them. The rank runs per CLOSED window in `foreachBatch`
+    * ([[hittersOfClosedWindows]]): correct because a closed window's
+    * user rows all arrive in the same batch, and the rank is a tiny
+    * per-window sort over the aggregate, never the stream.
+    */
+  def hitterCounts(stream: DataFrame, tsCol: String,
+                   windowDuration: String = "1 hour",
+                   watermarkDelay: String = "10 seconds"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("user_id"), col("n_events"))
+
+  /** The per-batch rank over [[hitterCounts]]'s closed windows — call
+    * inside `foreachBatch`. Output: (window_start, user_id, n_events,
+    * rank), identical to
+    * [[graft.relational.Temporal.windowHeavyHitters]]'s rows for every
+    * closed window.
+    */
+  def hittersOfClosedWindows(batch: DataFrame, k: Int = 3): DataFrame = {
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    batch
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("window_start"), col("user_id"), col("n_events"), col("rank"))
+  }
+
   /** Streaming session windows (ENGINE EXTENSION, batch parity with
     * [[Counters.runSessions]]): consecutive records of one key merge into
     * a session while gaps stay under `gap`; in append mode a session row

@@ -56,6 +56,40 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("heavy-hitter counter streams: closed windows rank exactly once, matching batch") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val counts = StreamingCounters.hitterCounts(
+      input.toDF().toDF("ts", "user_id"), "ts", windowDuration = "1 minute",
+      watermarkDelay = "5 seconds")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val query = counts.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= StreamingCounters.hittersOfClosedWindows(batch, k = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        ()
+      }.start()
+    try {
+      // window [base, base+60s): user 1 ×3, user 2 ×2, user 3 ×1 → top-2
+      input.addData((ts(1), 1L), (ts(2), 1L), (ts(3), 1L),
+        (ts(4), 2L), (ts(5), 2L), (ts(6), 3L))
+      query.processAllAvailable()
+      assert(got.isEmpty, "no ranks before the watermark closes the window")
+      input.addData((ts(70), 9L)) // advance the watermark, close the window
+      query.processAllAvailable()
+      val w = got.filter(_._1 == base)
+      assert(w.map(r => (r._2, r._3, r._4)).toSet == Set((1L, 3L, 1L), (2L, 2L, 2L)),
+        s"$got")
+      // exactly the batch operator's rows for the closed window
+      val batchRows = graft.relational.Temporal.windowHeavyHitters(
+        Seq((ts(1), 1L), (ts(2), 1L), (ts(3), 1L), (ts(4), 2L), (ts(5), 2L),
+          (ts(6), 3L), (ts(70), 9L)).toDF("ts", "user_id"), "1 minute", k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == base).toSet
+      assert(w.toSet == batchRows, "stream ≡ batch for the closed window")
+    } finally query.stop()
+  }
+
   test("streaming tumbling count emits a window once the watermark passes it") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
