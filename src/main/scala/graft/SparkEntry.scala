@@ -816,6 +816,26 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"), col("ahash"))
     }),
 
+    // REAL multi-frame decode: per doc a deterministic animated grayscale
+    // GIF ((id%3)+2 frames; dims and pixels are formulas of (doc_id,
+    // frame, pixel)) goes through the JRE's real GIF sequence writer,
+    // then the reader's frame index + per-frame luma aHash — the
+    // video-shaped plumbing on actually-decoded rasters. Encode is
+    // fixture; the decode path is what's tested.
+    "m10_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 9 + 8).toInt
+          val h = (id % 5 + 8).toInt
+          val n = (id % 3 + 2).toInt
+          (id, Multimodal.syntheticGrayGif(w, h, n,
+            (k, x, y) => (((id * 31 + k.toLong * 101 + y.toLong * w + x) * 17) % 256).toInt))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("video"))
+      Multimodal.decodeGifFrames(gifs).toDF()
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("ahash"))
+    }),
+
     // REAL WAV decode (JRE javax.sound): deterministic 16-bit PCM fixtures
     // (rate/channels/length/samples all pure formulas of doc_id) written
     // through the real RIFF encoder, decoded back — header fields and the
@@ -2364,6 +2384,21 @@ object SparkEntry {
           |SELECT px.doc_id, px.w::BIGINT AS width, px.h::BIGINT AS height,
           |  sum(CASE WHEN g > mean THEN (1::BIGINT << (59 - i)::INT) ELSE 0 END)::BIGINT AS ahash
           |FROM px JOIN mn ON px.doc_id = mn.doc_id
+          |GROUP BY 1, 2, 3""".stripMargin,
+      // m10: the multi-frame twin of m08 — same first-60-pixels aHash
+      // formula per (doc, frame), frame count from the container
+      "m10_gif_frames" ->
+        """WITH d AS (SELECT doc_id, (doc_id % 9) + 8 AS w,
+          |                  (doc_id % 3) + 2 AS n FROM documents),
+          |fr AS (SELECT doc_id, n, unnest(generate_series(0, n::INT - 1)) AS k FROM d),
+          |px AS (SELECT doc_id, n, k, i,
+          |         ((doc_id*31 + k*101 + i) * 17) % 256 AS g
+          |       FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)),
+          |mn AS (SELECT doc_id, k, sum(g) // 60 AS mean FROM px GROUP BY 1, 2)
+          |SELECT px.doc_id, px.n::BIGINT AS n_frames, px.k::BIGINT AS frame_idx,
+          |  sum(CASE WHEN g > mean
+          |      THEN (1::BIGINT << (59 - i)::INT) ELSE 0 END)::BIGINT AS ahash
+          |FROM px JOIN mn ON px.doc_id = mn.doc_id AND px.k = mn.k
           |GROUP BY 1, 2, 3""".stripMargin,
     )
   }

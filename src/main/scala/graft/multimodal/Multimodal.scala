@@ -320,6 +320,92 @@ object Multimodal {
       }))
   }
 
+  case class GifFrame(doc_id: Long, n_frames: Long, frame_idx: Long,
+                      ahash: Option[Long])
+
+  /** REAL multi-frame decode — animated GIF is the one MULTI-frame media
+    * format the JRE decodes natively (ImageIO's gif reader), so the
+    * video-shaped plumbing (frame count from the container, per-frame
+    * perceptual hash) runs on actual decoded rasters here: frame count
+    * from the reader's image index, per-frame luma aHash via the shared
+    * [[ImageIoCodec.aHashOf]] kernel. Same partition-local batch shape as
+    * [[decodeImages]] — bytes never shuffle; one (id, count, idx, hash)
+    * row per decoded frame leaves the scan, `maxFrames`-bounded (the
+    * frame-sampling cap, like [[sampleFrames]]' stride). Non-GIF/corrupt
+    * payloads degrade to a single (n_frames=0, idx=-1, None) row —
+    * permissive, like every codec here. Note: real-world GIFs may carry
+    * DELTA frames (partial rasters); the hash is of the raw stored
+    * raster, a per-frame dedup signal, not a composited render. MP4/WebM
+    * genuinely have no JRE codec and stay [[StubCodec]] territory.
+    */
+  def decodeGifFrames(media: DataFrame, batchSize: Int = 64,
+                      maxFrames: Int = 8): Dataset[GifFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        gifFramesOf(r.doc_id, r.media, maxFrames)
+      }))
+  }
+
+  private[graft] def gifFramesOf(docId: Long, bytes: Array[Byte],
+                                 maxFrames: Int): Seq[GifFrame] = {
+    val none = Seq(GifFrame(docId, 0L, -1L, None))
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) none
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis)
+            val n = rd.getNumImages(true)
+            if (n <= 0) none
+            else (0 until math.min(n, maxFrames)).map { i =>
+              GifFrame(docId, n.toLong, i.toLong,
+                ImageIoCodec.aHashOf(rd.read(i)))
+            }
+          } finally rd.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: java.io.IOException => none }
+  }
+
+  /** Deterministic animated grayscale GIF — the m10 TEST FIXTURE
+    * generator: frame `k`'s pixel (x, y) carries gray `f(k, x, y)`,
+    * written through the JRE's real GIF sequence writer (a 256-entry
+    * gray palette represents every 8-bit gray exactly, so the round-trip
+    * is lossless).
+    */
+  def syntheticGrayGif(w: Int, h: Int, nFrames: Int,
+                       f: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var k = 0
+      while (k < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.getRaster.setSample(x, y, 0, f(k, x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        k += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** Lift the documents table into a media table — text bytes stand in for
     * an image payload (binary column + type tag); in production this is a
     * parquet/iceberg table with a real BinaryType column.

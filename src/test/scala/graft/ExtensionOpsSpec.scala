@@ -471,6 +471,29 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("total_qty") == 300L)
   }
 
+  test("GIF multi-frame: sequence round-trip is lossless; corrupt degrades") {
+    import graft.multimodal.Multimodal
+    // 3 frames, 10×8 gray; frame k pixel (x,y) = (k*50 + y*10 + x) % 256
+    val bytes = Multimodal.syntheticGrayGif(10, 8, 3, (k, x, y) => (k * 50 + y * 10 + x) % 256)
+    val frames = Multimodal.gifFramesOf(7L, bytes, maxFrames = 8)
+    assert(frames.map(f => (f.n_frames, f.frame_idx)) ==
+      Seq((3L, 0L), (3L, 1L), (3L, 2L)))
+    // per-frame aHash must equal the pure-formula hash (lossless palette)
+    def formulaHash(k: Int): Long = {
+      val lumas = (0 until 60).map(i => ((k * 50 + i) % 256).toLong)
+      val mean = lumas.sum / 60
+      lumas.foldLeft(0L)((acc, l) => acc * 2 + (if (l > mean) 1L else 0L))
+    }
+    frames.foreach(f => assert(f.ahash.contains(formulaHash(f.frame_idx.toInt)),
+      s"frame ${f.frame_idx}: ${f.ahash} vs ${formulaHash(f.frame_idx.toInt)}"))
+    // maxFrames caps emitted rows but reports the true container count
+    val capped = Multimodal.gifFramesOf(7L, bytes, maxFrames = 2)
+    assert(capped.length == 2 && capped.forall(_.n_frames == 3L))
+    // corrupt payload → one permissive row
+    val bad = Multimodal.gifFramesOf(9L, Array[Byte](1, 2, 3), maxFrames = 8)
+    assert(bad == Seq(Multimodal.GifFrame(9L, 0L, -1L, None)))
+  }
+
   test("dominantSuppliers: integer share threshold, counts per supplier") {
     val part = Seq((1L, "PROMO"), (2L, "PROMO"), (3L, "OTHER")).toDF("p_partkey", "p_type")
     val supplier = Seq((7L, "S7"), (8L, "S8"), (9L, "S9")).toDF("s_suppkey", "s_name")
