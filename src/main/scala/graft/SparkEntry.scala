@@ -470,6 +470,10 @@ object SparkEntry {
     "h21_dominant_suppliers" -> ((s, dir) =>
       graft.relational.Relational.dominantSuppliers(
         Tables.supplier(s, dir), Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // Q11 shape: groupwise share vs a broadcast global scalar, exact
+    // DECIMAL(38,0) cross-multiply, scale-free relative threshold
+    "h22_important_parts" -> ((s, dir) =>
+      graft.relational.Relational.importantParts(Tables.lineitem(s, dir))),
     // Q8 shape: per-year national market share — two-level conditional-
     // aggregate ratio over a 6-table star, dims broadcast, ONE agg pass
     "h17_market_share" -> ((s, dir) =>
@@ -1476,6 +1480,16 @@ object SparkEntry {
           |  FROM sp JOIN t USING (l_partkey) WHERE 8*s_qty > t_qty GROUP BY 1)
           |SELECT s_suppkey, s_name, n_parts
           |FROM supplier JOIN dom ON s_suppkey = l_suppkey""".stripMargin,
+      // h22: the per-part aggregate joins a 1-row (total, n) scalar;
+      // HUGEINT is DuckDB's DECIMAL(38,0) stand-in for the cross-multiply
+      "h22_important_parts" ->
+        """WITH per AS (SELECT l_partkey,
+          |    sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS part_cents
+          |  FROM lineitem GROUP BY 1),
+          |tot AS (SELECT sum(part_cents)::HUGEINT AS total,
+          |               count(*)::HUGEINT AS n FROM per)
+          |SELECT l_partkey AS partkey, part_cents FROM per, tot
+          |WHERE part_cents::HUGEINT * n * 10 > 12 * total""".stripMargin,
       "h20_lateness_matrix" ->
         """SELECT l_returnflag,
           | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')

@@ -588,6 +588,29 @@ object Relational {
     * fact scan; the supplier dim joins the per-supplier result, which is
     * aggregate-sized.
     */
+  /** Q11 shape (important stock): parts whose revenue share exceeds
+    * `num/den` × the AVERAGE part share — the groupwise-HAVING-versus-
+    * global-scalar decorrelation: ONE map-side-combinable per-part
+    * aggregate, ONE 1-row global (total, n_parts) aggregate broadcast
+    * back, and the threshold as the exact integer cross-multiplication
+    * `S·n·den > num·T` in DECIMAL(38,0) (the e06 convention — cents × n ×
+    * den passes int64 at warehouse scale). The relative threshold makes
+    * the predicate scale-free: the same fraction of parts qualifies at
+    * any corpus size.
+    */
+  def importantParts(lineitem: DataFrame,
+                     num: Int = 12, den: Int = 10): DataFrame = {
+    val per = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("part_cents"))
+    val tot = per.agg(sum(col("part_cents")).as("__total"),
+      count(lit(1)).as("__n"))
+    per.crossJoin(broadcast(tot))
+      .where(col("part_cents").cast("decimal(38,0)") *
+        col("__n").cast("decimal(38,0)") * lit(den) >
+        col("__total").cast("decimal(38,0)") * lit(num))
+      .select(col("l_partkey").as("partkey"), col("part_cents"))
+  }
+
   def dominantSuppliers(supplier: DataFrame, part: DataFrame,
                         lineitem: DataFrame,
                         pType: String = "PROMO",
