@@ -413,6 +413,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"no window rank in the encode path:\n$p")
   }
 
+  test("Q20 dominant suppliers: broadcast part filter, stacked aggs, no cartesian") {
+    val p = plan(graft.relational.Relational.dominantSuppliers(
+      Tables.supplier(spark, sf0001), Tables.part(spark, sf0001),
+      Tables.lineitem(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), s"part filter must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected stacked partial/final aggregates:\n$p")
+  }
+
+  test("Q11 important parts: 1-row scalar broadcasts; per-part agg is map-side") {
+    val p = plan(graft.relational.Relational.importantParts(
+      Tables.lineitem(spark, sf0001)))
+    // the (total, n) scalar joins back as a broadcast nested loop over ONE
+    // row — never a shuffled join of the per-part aggregate
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"global scalar must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"per-part cents must combine map-side:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no sort exchange:\n$p")
+  }
+
   test("SemDeDup: cluster-bounded pair join, no cartesian, no corpus window") {
     val p = plan(Ann.semDedupSurvivors(embeddings))
     // candidates must come from an equi-join on cell — an inequality-only
