@@ -771,6 +771,10 @@ object SparkEntry {
     // the whole init→weight→reduce→train pipeline is engine-exact
     "s09_kmeans_pp" -> ((s, dir) =>
       Ann.kmeansParallel(Tables.embeddings(s, dir))),
+    // SQ8 scalar-quantization codes: per-dim (min, max) train agg collected
+    // driver-local, encode as a shuffle-free literal-array projection
+    "s11_sq8_codes" -> ((s, dir) =>
+      Ann.sq8Codes(Tables.embeddings(s, dir))),
     // SemDeDup: cluster-bounded semantic dedup — shuffle-free assignment
     // to k deterministic seed centroids, greedy keep-first cosine prune
     // inside each cell (equi-join on cell, never n²), anti-join survivors
@@ -2163,6 +2167,17 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
       "s01_ann_topk" -> s01Sql,
       "s02_ann_ivf" -> s02Sql,
+      // s11: SQ8 — identical single-IEEE-op order on both engines; floor
+      // lands on BIGINT via the cast (Spark's floor is already LONG)
+      "s11_sq8_codes" ->
+        """WITH x AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v
+          |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+          |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1)
+          |SELECT vec_id, x.i::BIGINT AS d,
+          |  CASE WHEN mx > mn
+          |       THEN least(255, greatest(0, floor((v - mn) * 255 / (mx - mn))))::BIGINT
+          |       ELSE 0 END AS code
+          |FROM x JOIN mm ON x.i = mm.i""".stripMargin,
       // s10: SemDeDup — assignment mirrors assignCells (max cosine, tie →
       // smaller cell), the greedy keep-first prune is a cluster equi-join,
       // survivors an anti join. Only the integer (vec_id, cell) decisions

@@ -648,6 +648,42 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Scalar quantization codes (SQ8, the faiss `ScalarQuantizer` shape):
+    * per-DIMENSION linear 8-bit codes
+    * `clamp(floor((x_d − min_d)·255 / (max_d − min_d)), 0, 255)` — 4×
+    * smaller than PQ's codebook machinery wants for the same dims, and
+    * the reconstruction `min_d + (code+0.5)·(max_d−min_d)/255` is a pure
+    * per-code formula (no codebook join at all, unlike [[pqCodes]]).
+    *
+    * Scale shape: TRAIN is one map-side-combinable per-dim (min, max)
+    * aggregate — dims-many rows — collected driver-local (the k-means
+    * control-loop convention); ENCODE is a shuffle-free projection over
+    * literal min/max arrays (one codegen'd transform, the assignCells
+    * spelling), and only (vec_id, d, code) rows leave the scan. The
+    * float steps are single IEEE ops in a fixed order, so codes are
+    * engine-exact.
+    */
+  def sq8Codes(embeddings: DataFrame): DataFrame = {
+    val stats = embeddings
+      .select(posexplode(transform(col("embedding"), v => v.cast("double")))
+        .as(Seq("d", "v")))
+      .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("d")).collect()
+    val mins = stats.map(_.getDouble(1))
+    val maxs = stats.map(_.getDouble(2))
+    val codes = transform(col("embedding"), (v, i) => {
+      val mn = element_at(lit(mins), i + 1)
+      val mx = element_at(lit(maxs), i + 1)
+      when(mx > mn,
+        least(lit(255L), greatest(lit(0L),
+          floor((v.cast("double") - mn) * 255 / (mx - mn)))))
+        .otherwise(lit(0L))
+    })
+    embeddings
+      .select(col("vec_id"), posexplode(codes).as(Seq("d", "code")))
+      .select(col("vec_id"), col("d").cast("long").as("d"), col("code"))
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540): SEMANTIC dedup — cluster
     * the embedding space, then within each cluster drop every vector whose
     * cosine to a LOWER-ID clustermate reaches `tau`. The greedy keep-first

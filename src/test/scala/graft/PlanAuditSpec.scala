@@ -434,6 +434,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange rangepartitioning"), s"no sort exchange:\n$p")
   }
 
+  test("SQ8 encode is a shuffle-free projection: no join, no corpus exchange") {
+    // train collects dims-many rows; the ENCODE plan (what runs over the
+    // corpus) must be generate-over-projection with literal min/max arrays
+    val p = plan(Ann.sq8Codes(embeddings))
+    assert(!p.contains("Join"), s"encode must not join a stats table:\n$p")
+    // the only exchange allowed is the one inside the driver-collected
+    // train agg, which does not appear in the encode output plan
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode must not shuffle the corpus:\n$p")
+  }
+
   test("SemDeDup: cluster-bounded pair join, no cartesian, no corpus window") {
     val p = plan(Ann.semDedupSurvivors(embeddings))
     // candidates must come from an equi-join on cell — an inequality-only
