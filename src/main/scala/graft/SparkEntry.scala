@@ -775,6 +775,10 @@ object SparkEntry {
     // driver-local, encode as a shuffle-free literal-array projection
     "s11_sq8_codes" -> ((s, dir) =>
       Ann.sq8Codes(Tables.embeddings(s, dir))),
+    // SQ8 symmetric search: integer code-space L2² — exact scores, no
+    // float-order rank caveats; queries broadcast, corpus streams
+    "s12_sq8_search" -> ((s, dir) =>
+      Ann.sq8TopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     // SemDeDup: cluster-bounded semantic dedup — shuffle-free assignment
     // to k deterministic seed centroids, greedy keep-first cosine prune
     // inside each cell (equi-join on cell, never n²), anti-join survivors
@@ -2178,6 +2182,24 @@ object SparkEntry {
           |       THEN least(255, greatest(0, floor((v - mn) * 255 / (mx - mn))))::BIGINT
           |       ELSE 0 END AS code
           |FROM x JOIN mm ON x.i = mm.i""".stripMargin,
+      // s12: symmetric SQ8 — integer distances, total (dist, id) order
+      "s12_sq8_search" ->
+        """WITH x AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v
+          |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+          |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+          |codes AS (SELECT vec_id, x.i,
+          |  CASE WHEN mx > mn
+          |       THEN least(255, greatest(0, floor((v - mn) * 255 / (mx - mn))))::BIGINT
+          |       ELSE 0 END AS code
+          |  FROM x JOIN mm ON x.i = mm.i),
+          |dists AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    sum((q.code - c.code) * (q.code - c.code))::BIGINT AS dist
+          |  FROM codes q JOIN codes c ON q.i = c.i AND q.vec_id != c.vec_id
+          |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY dist, neighbor_id) AS rank FROM dists)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id, dist
+          |FROM r WHERE rank <= 5""".stripMargin,
       // s10: SemDeDup — assignment mirrors assignCells (max cosine, tie →
       // smaller cell), the greedy keep-first prune is a cluster equi-join,
       // survivors an anti join. Only the integer (vec_id, cell) decisions

@@ -663,15 +663,27 @@ object Ann {
     * float steps are single IEEE ops in a fixed order, so codes are
     * engine-exact.
     */
-  def sq8Codes(embeddings: DataFrame): DataFrame = {
+  def sq8Codes(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(sq8Encode(embeddings)).as(Seq("d", "code")))
+      .select(col("vec_id"), col("d").cast("long").as("d"), col("code"))
+
+  /** The SQ8 trainer: per-dim (min, max) over the corpus, driver-local. */
+  private def sq8Stats(embeddings: DataFrame): (Array[Double], Array[Double]) = {
     val stats = embeddings
       .select(posexplode(transform(col("embedding"), v => v.cast("double")))
         .as(Seq("d", "v")))
       .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .orderBy(col("d")).collect()
-    val mins = stats.map(_.getDouble(1))
-    val maxs = stats.map(_.getDouble(2))
-    val codes = transform(col("embedding"), (v, i) => {
+    (stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
+  }
+
+  /** The SQ8 encoder as a literal-array projection Column (see
+    * [[sq8Codes]] for the formula and scale shape).
+    */
+  private def sq8Encode(embeddings: DataFrame): Column = {
+    val (mins, maxs) = sq8Stats(embeddings)
+    transform(col("embedding"), (v, i) => {
       val mn = element_at(lit(mins), i + 1)
       val mx = element_at(lit(maxs), i + 1)
       when(mx > mn,
@@ -679,9 +691,36 @@ object Ann {
           floor((v.cast("double") - mn) * 255 / (mx - mn)))))
         .otherwise(lit(0L))
     })
-    embeddings
-      .select(col("vec_id"), posexplode(codes).as(Seq("d", "code")))
-      .select(col("vec_id"), col("d").cast("long").as("d"), col("code"))
+  }
+
+  /** SQ8 SYMMETRIC search (faiss's SQ symmetric-distance mode): both the
+    * queries and the corpus quantize to 8-bit codes, and candidates rank
+    * by code-space L2² `Σ_d (qc_d − cc_d)²` — an INTEGER, so scores are
+    * exact and the (dist asc, id asc) rank is engine-deterministic with
+    * no float-order caveats (the asymmetric raw-query variant trades
+    * that determinism for a little recall). Same output shape as
+    * [[bruteForceTopK]]. The per-pair work is a zip-diff + the codegen'd
+    * vec_dot kernel over 8-bit-range doubles (≤ 64·255² ≪ 2⁵³ — exact);
+    * queries broadcast, the corpus streams, one windowed top-k per
+    * query.
+    */
+  def sq8TopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val enc = embeddings.select(col("vec_id"),
+      transform(sq8Encode(embeddings), c => c.cast("double")).as("cc"))
+    val queries = enc.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("cc").as("qc"))
+    val scored = broadcast(queries)
+      .join(enc, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        zip_with(col("qc"), col("cc"), (a, b) => a - b).as("diff"))
+      .select(col("query_id"), col("neighbor_id"),
+        VecDot.dot(col("diff"), col("diff")).cast("long").as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): SEMANTIC dedup — cluster
