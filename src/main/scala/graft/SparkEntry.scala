@@ -974,6 +974,15 @@ object SparkEntry {
           | parts: (.event_type | split("[aeiou]"; "") | length),
           | blen: (.event_type | utf8bytelength),
           | js: (.event_type | tojson)}""".stripMargin)),
+    // O14 paths notch: document-order field paths per row (the descent
+    // family's location face), joined to strings by a follow-on stage
+    "c39_jq_paths" -> ((s, dir) =>
+      JqTransform(
+        events(s, dir)
+          .select(col("event_id"),
+            struct(col("event_type").as("type"),
+              struct(col("user_id").as("uid")).as("ids")).as("payload")),
+        """paths | {p: (.path | join("/"))}""")),
     // O14 recursive-descent notch: `..` emits the row object and every
     // sub-value depth-first as ONE array<variant> + explode (no per-row
     // interpreter); the follow-on stage exercises the variant-aware
@@ -1287,6 +1296,11 @@ object SparkEntry {
           | CAST(strlen(event_type) AS BIGINT) AS blen,
           | to_json(event_type)::VARCHAR AS js
           |FROM events""".stripMargin,
+      // c39: five schema paths per row, none null-prunable on this input
+      "c39_jq_paths" ->
+        """SELECT t.p FROM events CROSS JOIN (VALUES ('event_id'), ('payload'),
+          | ('payload/type'), ('payload/ids'), ('payload/ids/uid')) AS t(p)"""
+          .stripMargin,
       // c38: the recursive-descent stream, one UNION ALL branch per
       // document-order position. Variant objects store keys SORTED, so
       // the Spark side's tojson renders sorted key order — the oracle's

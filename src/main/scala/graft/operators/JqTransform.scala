@@ -116,7 +116,12 @@ import graft.functions.Canonical
   *    navigate the variant stream (`try_variant_get` paths, `.a?`
   *    no-op optional access, variant-aware select/==/type/tostring/
   *    tonumber/tojson); ordering comparisons and a second `..` over the
-  *    runtime-typed stream stay out of scope, documented.
+  *    runtime-typed stream stay out of scope, documented;
+  *  - `paths` as a stage: document-order field paths of the sub-values
+  *    that exist in the row (runtime nulls prune, like jq's data-driven
+  *    paths) — a filter over a literal candidate array + one explode;
+  *    array/map elements contribute no numeric-index descent
+  *    (documented divergence).
   *
   * Out of scope (documented divergence, unused by the reference's own
   * fixtures): slurp (a per-stream input-collection flag, not a program
@@ -461,6 +466,7 @@ object JqTransform {
                            defs: Map[String, JqDef]): DataFrame => DataFrame = {
     if (stage == ".") identity
     else if (stage == "..") compileDescend
+    else if (stage == "paths") compilePaths
     else if (stage.startsWith("select")) compileSelect(stage, defs)
     else if (stage.startsWith("foreach")) compileForeach(stage, defs)
     else if (BindingStage.matches(stage)) compileBinding(stage, defs)
@@ -585,6 +591,35 @@ object JqTransform {
     val fields = df.schema.fields.filterNot(_.name.startsWith("__var_")).toSeq
     val rowCol = struct(fields.map(f => col(f.name).as(f.name)): _*)
     df.select(explode(subtreeVariants(StructType(fields), rowCol)).as("__variant"))
+  }
+
+  /** `paths` as a whole STAGE: jq's path enumeration — one output row per
+    * sub-value that EXISTS in the row (runtime nulls prune their branch,
+    * matching jq's data-driven paths on dynamic JSON), each an
+    * array&lt;string&gt; of field names in document order. The candidate
+    * set is schema-static, so the stage lowers to a FILTER over a literal
+    * array of (path, present?) structs + ONE explode — no interpreter.
+    * Scope: struct fields only — array/map elements have runtime-only
+    * indices and contribute their own path but no descent (jq emits
+    * numeric index paths there; documented divergence).
+    */
+  private def compilePaths: DataFrame => DataFrame = { df =>
+    val fields = df.schema.fields.filterNot(_.name.startsWith("__var_")).toSeq
+    def walk(dt: DataType, c: Column, prefix: Seq[String]): Seq[Column] = {
+      val self = struct(
+        array(prefix.map(lit(_)): _*).as("p"),
+        c.isNotNull.as("ok"))
+      dt match {
+        case st: StructType =>
+          self +: st.fields.toSeq.flatMap(f =>
+            walk(f.dataType, c.getField(f.name), prefix :+ f.name))
+        case _ => Seq(self)
+      }
+    }
+    val candidates = fields.flatMap(f => walk(f.dataType, col(f.name), Seq(f.name)))
+    val kept = filter(array(candidates: _*), e => e.getField("ok"))
+    df.select(explode(kept).as("__e"))
+      .select(col("__e.p").as("path"))
   }
 
   /** One value as a VARIANT, via its canonical JSON bytes (null → variant

@@ -932,6 +932,21 @@ class JqTransformSpec extends SparkTestBase {
     assert(opt.getLong(0) == 0L && opt.isNullAt(1))
   }
 
+  test("paths: document-order field paths; runtime nulls prune their branch") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val t = Seq((1L, "x")).toDF("id", "s")
+      .select(col("id"),
+        struct(lit("click").as("type"),
+          lit(null).cast("bigint").as("gone"),
+          struct(col("id").as("uid")).as("meta")).as("payload"))
+    val out = JqTransform(t, "paths")
+    val rows = out.collect().map(_.getSeq[String](0).toList).toList
+    assert(rows == List(
+      List("id"), List("payload"),
+      List("payload", "type"),            // gone is null → pruned, like jq
+      List("payload", "meta"), List("payload", "meta", "uid")))
+  }
+
   test("format strings: @uri/@html/@sh") {
     // differential (jq): "a b&c/~*" | @uri == "a%20b%26c%2F~%2A"
     val t = Seq(("a b&c/~*", "<a href='x'> & \"q\"", "it's", Seq("a b", "c")))
