@@ -109,7 +109,8 @@ import graft.functions.Canonical
   *    `max_by` (stable-sort first/last — jq's tie pick), `index`/`rindex`
   *    (0-based substring positions, jq-null on no hit), `contains`/
   *    `inside` (strings + arrays of scalars; deep object containment out
-  *    of scope), `split(re; flags)` (two-arg regex form);
+  *    of scope), `split(re; flags)` (two-arg regex form), `getpath`
+  *    (literal path, never-error navigation — variant-aware);
   *  - `..` RECURSIVE DESCENT as a stage: the row object and every
   *    sub-value depth-first in document order, lowered to one
   *    array&lt;variant&gt; construction + one explode; later stages
@@ -1723,6 +1724,44 @@ object JqTransform {
           v = reFlags match {
             case None => df => split(vv(df), java.util.regex.Pattern.quote(sep))
             case Some(fl) => df => split(vv(df), regexWithFlags(sep, fl))
+          }
+        } else if (fn == "getpath") {
+          // getpath(["a","b"]): literal path navigation on the current
+          // value — ≡ .a.b, with jq's never-error convention (missing
+          // fields and non-objects read as null); variant values (the
+          // `..` stream) navigate via try_variant_get
+          expect('('); skipWs(); expect('['); skipWs()
+          val segs = Seq.newBuilder[String]
+          if (peek != ']') {
+            var more = true
+            while (more) {
+              skipWs()
+              if (peek != '"')
+                throw new IllegalArgumentException(
+                  "jq_expr: getpath() requires string-literal path segments")
+              segs += parseStringLit()
+              skipWs()
+              if (peek == ',') next() else more = false
+            }
+          }
+          skipWs(); expect(']'); skipWs(); expect(')')
+          val p = segs.result()
+          val vv = v
+          v = df => {
+            def walk(dt: DataType, c: Column, rest: List[String]): Column = rest match {
+              case Nil => c
+              case h :: t => dt match {
+                case st: StructType => st.fields.find(_.name == h) match {
+                  case Some(f) => walk(f.dataType, c.getField(f.name), t)
+                  case None => lit(null)
+                }
+                case mt: MapType => walk(mt.valueType, c.getItem(h), t)
+                case vdt if vdt.typeName == "variant" =>
+                  try_variant_get(c, "$." + (h :: t).mkString("."), "variant")
+                case _ => lit(null)
+              }
+            }
+            walk(dtOfV(df, vv), vv(df), p.toList)
           }
         } else if (fn == "flatten" && peek == '(') {
           // flatten(d): depth-limited flatten — the depth must be an int

@@ -932,6 +932,24 @@ class JqTransformSpec extends SparkTestBase {
     assert(opt.getLong(0) == 0L && opt.isNullAt(1))
   }
 
+  test("getpath: literal path on the current value; missing reads as null") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val t = Seq((1L, "x")).toDF("id", "s")
+      .select(col("id"),
+        struct(lit("click").as("type"),
+          struct(col("id").as("uid")).as("meta")).as("payload"))
+    val r = JqTransform(t,
+      """{u: (.payload | getpath(["meta", "uid"])),
+        | t: (.payload | getpath(["type"])),
+        | miss: (.payload | getpath(["nope", "deep"]))}""".stripMargin).head()
+    assert(r.getLong(0) == 1L && r.getString(1) == "click" && r.isNullAt(2))
+    // over the `..` variant stream: getpath navigates via try_variant_get
+    val v = JqTransform(t,
+      """.. | select((. | getpath(["meta", "uid"]) | tonumber) != null)
+        || {u: (.meta.uid | tonumber)}""".stripMargin)
+    assert(v.collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
+
   test("paths: document-order field paths; runtime nulls prune their branch") {
     import org.apache.spark.sql.functions.{col, lit, struct}
     val t = Seq((1L, "x")).toDF("id", "s")
