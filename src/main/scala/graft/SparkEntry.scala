@@ -669,6 +669,11 @@ object SparkEntry {
     // chunk granularity): first occurrence survives, per-doc accounting
     "d13_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedupStats(Tables.documents(s, dir))),
+    // verbatim shared-substring runs (the suffix-array substring-dedup
+    // signal as a distributed k-gram diagonal join): maximal ≥12-token
+    // spans shared between doc pairs, digest-only shuffles
+    "d17_substring_runs" -> ((s, dir) =>
+      Dedup.substringRuns(Tables.documents(s, dir))),
     // ingest-time exact dedup, oracle-checked: a horizon wider than the
     // dataset makes within-watermark dedup ≡ global DISTINCT, and keying
     // the OUTPUT by content digest (not row identity) makes the result
@@ -784,6 +789,11 @@ object SparkEntry {
     // inside each cell (equi-join on cell, never n²), anti-join survivors
     "s10_semdedup" -> ((s, dir) =>
       Ann.semDedupSurvivors(Tables.embeddings(s, dir))),
+    // two-stage refine (faiss IndexRefineFlat shape): IVF-PQ shortlist of
+    // 20 from 8-byte codes, exact-cosine re-rank to top-5 — candidates
+    // broadcast into the corpus scan, raw vectors never shuffle
+    "s13_ivfpq_rerank" -> ((s, dir) =>
+      Ann.ivfPqRerankTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -1711,6 +1721,53 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(p.qe, a.embedding) DESC, a.vec_id) AS rank
         |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id)
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin
+    // IVF-PQ ADC pipeline, parameterized by the final shortlist depth —
+    // s08 uses it at k=5, s13 re-ranks its 20-deep shortlist exactly
+    def s08Sql(lim: Int): String =
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+         |cb AS (SELECT m, vec_id AS code, v[m*8+1 : m*8+8] AS cv
+         |       FROM v CROSS JOIN ms WHERE vec_id < 16),
+         |sv AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM v CROSS JOIN ms),
+         |d AS (SELECT vec_id, sv.m, code,
+         |      list_sum(list_transform(generate_series(1, 8),
+         |        i -> (s[i] - cv[i]) * (s[i] - cv[i]))) AS dist
+         |      FROM sv JOIN cb ON sv.m = cb.m),
+         |pq AS (SELECT vec_id, m, code FROM (
+         |       SELECT vec_id, m, code,
+         |         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+         |       FROM d) WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM pq GROUP BY vec_id),
+         |cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+         |qd AS (SELECT query_id, s.m, code,
+         |       list_sum(list_transform(generate_series(1, 8),
+         |         i -> (qs[i] - cv[i]) * (qs[i] - cv[i]))) AS dist
+         |       FROM (SELECT query_id, m,
+         |             list_transform(qe, x -> x::DOUBLE)[m*8+1 : m*8+8] AS qs
+         |             FROM q CROSS JOIN ms) s
+         |       JOIN cb ON s.m = cb.m),
+         |dtab AS (SELECT query_id, list(dist ORDER BY m, code) AS dtab FROM qd GROUP BY query_id),
+         |probes AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
+         |  FROM q CROSS JOIN cent c) WHERE rn <= 3),
+         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |    list_sum(list_transform(generate_series(0, 7),
+         |      m -> t.dtab[m*16 + cd.codes[m+1] + 1])) ASC,
+         |    a.vec_id ASC) AS rank
+         |  FROM probes p JOIN dtab t USING (query_id)
+         |  JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id
+         |  JOIN codes cd ON cd.vec_id = a.vec_id)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= $lim""".stripMargin
     // media shared-frame clusters (m05) — hoisted: m06's dedup-apply
     // embeds it as a CTE
     val m05Sql =
@@ -2091,6 +2148,29 @@ object SparkEntry {
            |     THEN 0 ELSE 1 END)::BIGINT AS n_dropped
            |FROM ch JOIN f2 ON ch.chunk_md5 = f2.chunk_md5
            |GROUP BY 1""".stripMargin,
+      // d17: identical k=8 positional grams, occ-cap, and diagonal
+      // gaps-and-islands; md5-60 digests make the join bit-identical
+      "d17_substring_runs" ->
+        s"""WITH g AS (
+           |  SELECT doc_id, i::BIGINT AS pos,
+           |    ${h60("array_to_string(t[i : i+7], ' ')")} AS gh
+           |  FROM (SELECT doc_id, $toks AS t FROM documents),
+           |  LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+           |  WHERE len(t) >= 8),
+           |cold AS (SELECT * FROM g QUALIFY count(*) OVER (PARTITION BY gh) <= 50),
+           |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa,
+           |                x.pos - y.pos AS diag
+           |         FROM cold x JOIN cold y
+           |           ON x.gh = y.gh AND x.doc_id < y.doc_id),
+           |runs AS (SELECT a, b, count(*) + 7 AS run_tokens FROM (
+           |    SELECT a, b, diag, pa,
+           |      pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) AS grp
+           |    FROM cand)
+           |  GROUP BY a, b, diag, grp
+           |  HAVING count(*) + 7 >= 12)
+           |SELECT a AS doc_a, b AS doc_b, count(*)::BIGINT AS n_runs,
+           |       max(run_tokens)::BIGINT AS max_run_tokens
+           |FROM runs GROUP BY 1, 2""".stripMargin,
       "d14_stream_dedup_parity" ->
         "SELECT DISTINCT md5(props) AS content_md5 FROM events WHERE props IS NOT NULL",
       "d15_stream_neardup_parity" ->
@@ -2231,51 +2311,23 @@ object SparkEntry {
           |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.42)
           |SELECT a.vec_id, a.cell FROM asg a ANTI JOIN drops d ON a.vec_id = d.vec_id"""
           .stripMargin,
-      "s08_ivfpq_search" ->
-        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-          |           FROM embeddings),
-          |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-          |cb AS (SELECT m, vec_id AS code, v[m*8+1 : m*8+8] AS cv
-          |       FROM v CROSS JOIN ms WHERE vec_id < 16),
-          |sv AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM v CROSS JOIN ms),
-          |d AS (SELECT vec_id, sv.m, code,
-          |      list_sum(list_transform(generate_series(1, 8),
-          |        i -> (s[i] - cv[i]) * (s[i] - cv[i]))) AS dist
-          |      FROM sv JOIN cb ON sv.m = cb.m),
-          |pq AS (SELECT vec_id, m, code FROM (
-          |       SELECT vec_id, m, code,
-          |         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
-          |       FROM d) WHERE rn = 1),
-          |codes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM pq GROUP BY vec_id),
-          |cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
-          |assigned AS (SELECT vec_id, cell FROM (
-          |  SELECT e.vec_id, c.cell,
-          |    row_number() OVER (PARTITION BY e.vec_id
-          |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rn
-          |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-          |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
-          |qd AS (SELECT query_id, s.m, code,
-          |       list_sum(list_transform(generate_series(1, 8),
-          |         i -> (qs[i] - cv[i]) * (qs[i] - cv[i]))) AS dist
-          |       FROM (SELECT query_id, m,
-          |             list_transform(qe, x -> x::DOUBLE)[m*8+1 : m*8+8] AS qs
-          |             FROM q CROSS JOIN ms) s
-          |       JOIN cb ON s.m = cb.m),
-          |dtab AS (SELECT query_id, list(dist ORDER BY m, code) AS dtab FROM qd GROUP BY query_id),
-          |probes AS (SELECT query_id, cell FROM (
-          |  SELECT q.query_id, c.cell,
-          |    row_number() OVER (PARTITION BY q.query_id
-          |      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
-          |  FROM q CROSS JOIN cent c) WHERE rn <= 3),
-          |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-          |  row_number() OVER (PARTITION BY p.query_id ORDER BY
-          |    list_sum(list_transform(generate_series(0, 7),
-          |      m -> t.dtab[m*16 + cd.codes[m+1] + 1])) ASC,
-          |    a.vec_id ASC) AS rank
-          |  FROM probes p JOIN dtab t USING (query_id)
-          |  JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id
-          |  JOIN codes cd ON cd.vec_id = a.vec_id)
-          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin,
+      "s08_ivfpq_search" -> s08Sql(5),
+      // s13: s08's pipeline with a 20-deep shortlist, then exact-cosine
+      // re-rank of just those candidates — the refine must reproduce the
+      // Spark (cosine desc, neighbor_id) order exactly
+      "s13_ivfpq_rerank" ->
+        s"""WITH short AS (${s08Sql(20)}),
+           |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT s.query_id,
+           |    row_number() OVER (PARTITION BY s.query_id
+           |      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+           |               s.neighbor_id ASC)::BIGINT AS rank,
+           |    s.neighbor_id
+           |  FROM short s
+           |  JOIN q ON q.query_id = s.query_id
+           |  JOIN embeddings e ON e.vec_id = s.neighbor_id)
+           |WHERE rank <= 5""".stripMargin,
       "s07_recall_eval" ->
         s"""WITH exact AS ($s01Sql),
            |approx AS ($s02Sql)

@@ -72,6 +72,66 @@ object Dedup {
       .toDF("doc_id", "shingle")
   }
 
+  /** Every word-k-gram occurrence WITH its 1-based token start position —
+    * the positional index behind [[substringRuns]]. Unlike [[shingles]]
+    * there is deliberately no within-doc distinct: run detection needs
+    * every occurrence. Same typed-flatMap rationale as [[shingles]]
+    * (split once, partition-local, no HOF re-evaluation trap).
+    */
+  def positionedShingles(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < k) Iterator.empty
+        else toks.sliding(k).zipWithIndex.map { case (w, i) =>
+          (id, (i + 1).toLong, w.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "pos", "shingle")
+  }
+
+  /** Verbatim-substring duplication between document pairs, the signal of
+    * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better") re-expressed as a
+    * distributed k-gram-run join instead of a monolithic suffix array:
+    * a shared token span of length L ≥ k appears as L−k+1 CONSECUTIVE
+    * matching k-gram occurrences on one (doc_a, doc_b, pa−pb) diagonal,
+    * so maximal shared substrings fall out of gaps-and-islands over the
+    * positional gram index. Output per pair: every maximal shared run of
+    * ≥ `minTokens` tokens → (doc_a, doc_b, n_runs, max_run_tokens).
+    *
+    * Scale shape: the shuffle carries (60-bit digest, doc, pos) rows —
+    * never text; grams occurring more than `maxOcc` times corpus-wide are
+    * dropped before the join (each contributes O(occ²) candidate rows;
+    * boilerplate grams are exactly the non-discriminative ones — same
+    * approximation lever, and the same documented trade-off, as
+    * [[ngramJaccardPairs]]'s `maxDocFreq`). The islands window partitions
+    * by (pair, diagonal) — cardinality ≈ candidate rows, no global sort.
+    */
+  def substringRuns(docs: DataFrame, k: Int = 8, minTokens: Int = 12,
+                    maxOcc: Long = 50L): DataFrame = {
+    val g = positionedShingles(docs, k)
+      .select(col("doc_id"), col("pos"), PortableHash.md5Long60(col("shingle")).as("gh"))
+    val wOcc = Window.partitionBy(col("gh"))
+    val cold = g.withColumn("__occ", count(lit(1)).over(wOcc))
+      .where(col("__occ") <= maxOcc).drop("__occ")
+    val cand = cold.as("x").join(cold.as("y"),
+        col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+    // consecutive pa on one diagonal share (pa − row_number) — the island id
+    val wDiag = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    val runs = cand
+      .withColumn("__grp", col("pa") - row_number().over(wDiag))
+      .groupBy(col("a"), col("b"), col("diag"), col("__grp"))
+      .agg((count(lit(1)) + lit(k - 1)).as("run_tokens"))
+      .where(col("run_tokens") >= minTokens)
+    runs.groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_tokens")).as("max_run_tokens"))
+  }
+
   // -------------------------------------------------------- MinHash + LSH --
 
   /** MinHash hash family via Kirsch–Mitzenmacher double hashing: ONE md5

@@ -648,6 +648,48 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Two-stage refined search (the faiss `IndexRefineFlat` shape): the
+    * IVF-PQ index produces a SHORTLIST of `shortlist` candidates per
+    * query from 8-byte codes, then ONLY those candidates are re-scored
+    * against their raw vectors by exact cosine and the top `k` re-ranked.
+    * This is the production recall-repair lever: ADC distance error is
+    * bounded by quantization, so a shortlist a few× larger than k plus an
+    * exact refine recovers most of brute-force recall while still never
+    * scanning raw vectors for non-candidates.
+    *
+    * Scale shape: stage 1 is [[ivfPqTopK]] unchanged (probe-restricted
+    * equi-join over codes). The refine joins the (queries × shortlist)
+    * candidate table — small by construction — BROADCAST into the corpus
+    * scan, so raw vectors stream through a narrow filter instead of
+    * shuffling; the final per-query window ranks ≤ `shortlist` rows.
+    * Output: (query_id, rank, neighbor_id), rank 1..k by (cosine desc,
+    * neighbor_id asc) — same contract as [[bruteForceTopK]].
+    */
+  def ivfPqRerankTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+                      shortlist: Int = 20, centroidStep: Long = 25L,
+                      nprobe: Int = 3, subspaces: Int = 8,
+                      codebookSize: Int = 16): DataFrame = {
+    val cand = ivfPqTopK(embeddings, queryPred, k = shortlist,
+      centroidStep = centroidStep, nprobe = nprobe,
+      subspaces = subspaces, codebookSize = codebookSize)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = normalize(embeddings, "vec_id")
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    // corpus streams; the candidate and query tables ride broadcasts
+    val fetched = corpus
+      .join(broadcast(cand), corpus("vec_id") === cand("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+    val cos = dotCol("qv", "v") / (col("qnorm") * col("norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    fetched
+      .select(col("query_id"), col("neighbor_id"), cos.as("__cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Scalar quantization codes (SQ8, the faiss `ScalarQuantizer` shape):
     * per-DIMENSION linear 8-bit codes
     * `clamp(floor((x_d − min_d)·255 / (max_d − min_d)), 0, 255)` — 4×

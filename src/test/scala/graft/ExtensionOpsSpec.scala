@@ -562,4 +562,59 @@ class ExtensionOpsSpec extends SparkTestBase {
     // ordering: cnt desc then pair asc
     assert(rows.map(_._1).toSeq == Seq("ab", "ba", "xy"))
   }
+
+  test("substringRuns: maximal shared spans on diagonals; short overlaps drop") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("s", 15) // 15-token verbatim span
+    val tiny = Seq(
+      (1L, s"${words("a", 5)} $shared ${words("b", 4)}"),
+      (2L, s"${words("c", 9)} $shared"),
+      (3L, s"${words("d", 3)} ${words("s", 9)} ${words("e", 6)}"), // only 9 shared tokens < 12
+      (4L, words("z", 30)))
+      .toDF("doc_id", "text")
+    val rows = Dedup.substringRuns(tiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // docs 1&2 share exactly the 15-token span: one run, 15 tokens
+    assert(rows == Map((1L, 2L) -> (1L, 15L)), s"got $rows")
+  }
+
+  test("substringRuns: two disjoint runs count separately; occ-cap kills boilerplate") {
+    import graft.dedup.Dedup
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val r1 = words("p", 12); val r2 = words("q", 13)
+    val two = Seq(
+      (1L, s"$r1 ${words("x", 9)} $r2"),
+      (2L, s"$r2 ${words("y", 9)} $r1"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringRuns(two)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map((1L, 2L) -> (2L, 13L)), s"got $got")
+    // boilerplate: a gram occurring in every doc beyond the cap is dropped
+    // from the index, so an all-boilerplate corpus yields no pairs
+    val boiler = (1L to 60L).map(i => (i, words("same", 20))).toDF("doc_id", "text")
+    assert(Dedup.substringRuns(boiler, maxOcc = 50L).count() == 0L,
+      "grams above the occurrence cap must not generate candidates")
+  }
+
+  test("ivfPqRerankTopK: refine over a wide shortlist recovers brute-force order") {
+    import graft.similarity.Ann
+    val pred = col("vec_id") % 50 === 0
+    val exact = Ann.bruteForceTopK(embeddings, pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val refined = Ann.ivfPqRerankTopK(embeddings, pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = Ann.ivfPqTopK(embeddings, pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // contract: k rows per query, ranks 1..5
+    val perQ = refined.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(perQ.values.forall(_ == Set(1L, 2L, 3L, 4L, 5L)), s"ranks broken: $perQ")
+    // the exact re-rank can only improve on raw ADC order: hits vs the
+    // brute-force truth must be >= the unrefined index's hits
+    def hits(m: Map[(Long, Long), Long]) =
+      m.count { case (k, v) => exact.exists { case (k2, v2) => k2._1 == k._1 && v2 == v } }
+    assert(hits(refined) >= hits(approx),
+      s"refine lost recall: ${hits(refined)} < ${hits(approx)}")
+  }
 }

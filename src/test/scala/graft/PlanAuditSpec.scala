@@ -472,4 +472,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"pair counts must combine map-side:\n$p")
   }
+
+  test("IVF-PQ refine: candidates broadcast into the corpus; no cartesian") {
+    val p = plan(Ann.ivfPqRerankTopK(embeddings, col("vec_id") % 50 === 0))
+    // the refine stage fetches raw vectors by streaming the corpus through
+    // a broadcast candidate filter — a shuffled join here would move every
+    // raw vector for a (queries × shortlist)-row lookup
+    assert(p.contains("BroadcastHashJoin"), s"refine must broadcast candidates:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked into refine:\n$p")
+  }
+
+  test("substring runs: digest-only join, diagonal-partitioned windows only") {
+    val p = plan(Dedup.substringRuns(docs))
+    assert(!p.contains("CartesianProduct"), s"cross join leaked into runs:\n$p")
+    // every Window must be partitioned (occ-cap by gh, islands by pair/diag)
+    // — an unpartitioned window would serialize the corpus on one reducer
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"unpartitioned window in runs plan:\n$p")
+    // text must not reach the join: only doc_id/pos/gh survive the scan side
+    assert(!"SortMergeJoin.*shingle".r.findFirstIn(p).isDefined &&
+      !"BroadcastHashJoin.*text".r.findFirstIn(p).isDefined,
+      s"raw text leaked past the digest projection:\n$p")
+  }
 }
