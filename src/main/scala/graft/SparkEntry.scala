@@ -615,6 +615,10 @@ object SparkEntry {
     // first-round BPE pair statistics over the distinct vocabulary
     "t23_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(Tables.documents(s, dir))),
+    // DSIR importance scores: floor-log2-quantized hashed-bigram
+    // likelihood ratios against the en slice as the target distribution
+    "t24_dsir_score" -> ((s, dir) =>
+      TextAnalysis.dsirScore(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -1896,6 +1900,27 @@ object SparkEntry {
           |pairs AS (SELECT substr(w, i::INT, 2) AS pair, sum(n)::BIGINT AS cnt
           |  FROM pos GROUP BY 1)
           |SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
+      // t24: DSIR — add-one-smoothed floor-log2 likelihood ratios per
+      // hashed bigram bucket; bin() floor-log2 is identical cross-engine
+      "t24_dsir_score" ->
+        s"""WITH bg AS (SELECT doc_id, ist,
+           |    ${h60("'dsir:' || g")} % 1024 AS b
+           |  FROM (SELECT doc_id, lang = 'en' AS ist,
+           |    unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> t[i]||' '||t[i+1])) AS g
+           |    FROM (SELECT doc_id, lang, $toks AS t FROM documents))),
+           |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+           |tb AS (SELECT b, count(*) AS cr,
+           |       sum(CASE WHEN ist THEN 1 ELSE 0 END) AS ct FROM bg GROUP BY 1),
+           |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM tb),
+           |lam AS (SELECT b,
+           |    (length(bin((ct+1)::BIGINT))-1) - (length(bin((cr+1)::BIGINT))-1)
+           |  + (length(bin((tr+1024)::BIGINT))-1) - (length(bin((tt+1024)::BIGINT))-1)
+           |    AS lam
+           |  FROM tb, tot)
+           |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+           |       sum(n * lam)::BIGINT AS score_bits
+           |FROM db JOIN lam USING (b) GROUP BY 1""".stripMargin,
       "t09_sample" ->
         """SELECT doc_id, lang FROM documents
           |WHERE (('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000000) <

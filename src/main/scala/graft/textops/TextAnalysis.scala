@@ -258,6 +258,54 @@ object TextAnalysis {
         intDiv(col("n_novel") * lit(1000000L), col("n_bigrams")))
   }
 
+  /** Data-selection importance scores via hashed n-gram likelihood ratios
+    * (DSIR — Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): each document scores
+    * Σ_occurrences λ[bucket], where λ is the add-one-smoothed
+    * log-likelihood ratio between a TARGET distribution (here: the
+    * `targetPred` slice, standing in for a high-quality reference corpus)
+    * and the RAW corpus distribution over `buckets` hashed bigram
+    * features. Documents resembling the target score high; resampling on
+    * these scores is DSIR's selection step.
+    *
+    * Engine-exact divergence from the paper: log2 is QUANTIZED to
+    * floor-log2 of the smoothed integer counts (`length(bin(n)) − 1` —
+    * identical in Spark and DuckDB), so λ is an integer number of bits
+    * and every score reproduces bit-for-bit cross-engine. Ranking
+    * granularity is coarser than float logs by < 1 bit per feature.
+    *
+    * Scale shape: one generator pass over bigram occurrences feeding two
+    * map-side-combinable aggregates — per-(doc, bucket) counts and the
+    * `buckets`-row corpus table; λ rides a broadcast join back onto the
+    * per-doc counts, totals a 1-row broadcast. Raw text never crosses a
+    * shuffle; per-doc state is ≤ `buckets` rows.
+    * Output: (doc_id, n_bigrams, score_bits).
+    */
+  def dsirScore(docs: DataFrame, targetPred: Column = col("lang") === "en",
+                buckets: Int = 1024): DataFrame = {
+    val bg = withTokens(docs)
+      .select(col("doc_id"), targetPred.as("__is_t"),
+        explode(kgrams(col("__toks"), 2)).as("g"))
+      .select(col("doc_id"), col("__is_t"),
+        (graft.functions.PortableHash.md5Long60(concat(lit("dsir:"), col("g")))
+          % lit(buckets.toLong)).as("b"))
+    val docBuckets = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    val table = bg.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = table.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    def fl2(c: Column): Column = (length(bin(c.cast("long"))) - 1).cast("long")
+    val lam = table.crossJoin(broadcast(totals)).select(
+      col("b"),
+      (fl2(col("ct") + 1) - fl2(col("cr") + 1)
+        + fl2(col("tr") + lit(buckets.toLong))
+        - fl2(col("tt") + lit(buckets.toLong))).as("lam"))
+    docBuckets.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("lam")).as("score_bits"))
+  }
+
   /** Composite quality gate — the FILTER step the scoring operators exist
     * for (Gopher/C4-style rule chain): per doc, one flag per rule plus the
     * pass verdict, so downstream can both filter (`pass = 1`) and account

@@ -563,6 +563,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(rows.map(_._1).toSeq == Seq("ab", "ba", "xy"))
   }
 
+  test("dsirScore: target-like docs outrank off-target; scores are integer bits") {
+    // target slice (en) speaks vocabulary A; the off-target slice speaks B.
+    // A held-out en-vocabulary doc must outscore a B-vocabulary doc of the
+    // same length, because its buckets carry positive target-vs-raw ratios.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, a, "en"), (2L, a, "en"), (3L, a, "en"),
+      (4L, b, "de"), (5L, b, "de"), (6L, b, "de"),
+      (7L, a, "fr"), // en-vocabulary doc outside the target slice
+      (8L, b, "fr")) // off-vocabulary doc of identical length
+      .toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.dsirScore(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(7L)._1 == rows(8L)._1, "same bigram count by construction")
+    assert(rows(7L)._2 > rows(8L)._2,
+      s"target-vocabulary doc must outscore: ${rows(7L)} vs ${rows(8L)}")
+    // single-token docs have no bigrams and drop out (jq empty-stream rule)
+    val tiny = Seq((1L, "solo", "en")).toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.dsirScore(tiny).count() == 0)
+  }
+
   test("substringRuns: maximal shared spans on diagonals; short overlaps drop") {
     def words(prefix: String, n: Int): String =
       (1 to n).map(i => s"$prefix$i").mkString(" ")

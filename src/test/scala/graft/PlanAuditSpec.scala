@@ -473,6 +473,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"pair counts must combine map-side:\n$p")
   }
 
+  test("DSIR score: bucket table broadcasts; doc counts combine map-side") {
+    val p = plan(TextAnalysis.dsirScore(docs))
+    // λ is a buckets-row table — it must ride a broadcast back onto the
+    // per-doc counts, never shuffle the exploded bigram stream twice
+    assert(p.contains("BroadcastHashJoin"), s"lambda lookup must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"only the 1-row totals may nested-loop:\n$p")
+    assert("partial_count".r.findAllIn(p).size >= 1,
+      s"bucket counts must combine map-side:\n$p")
+  }
+
   test("IVF-PQ refine: candidates broadcast into the corpus; no cartesian") {
     val p = plan(Ann.ivfPqRerankTopK(embeddings, col("vec_id") % 50 === 0))
     // the refine stage fetches raw vectors by streaming the corpus through
