@@ -619,6 +619,10 @@ object SparkEntry {
     // likelihood ratios against the en slice as the target distribution
     "t24_dsir_score" -> ((s, dir) =>
       TextAnalysis.dsirScore(Tables.documents(s, dir))),
+    // CCNet-style bigram-LM perplexity proxy: quantized -log2 p(w2|w1)
+    // per transition, digest-only count-table joins
+    "t25_lm_perplexity" -> ((s, dir) =>
+      TextAnalysis.lmPerplexity(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -1921,6 +1925,27 @@ object SparkEntry {
            |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
            |       sum(n * lam)::BIGINT AS score_bits
            |FROM db JOIN lam USING (b) GROUP BY 1""".stripMargin,
+      // t25: bigram-LM transition costs — FL2(c1+V) − FL2(c2+1) per
+      // transition; md5-60 digests keyed "lm1:"/"lm2:" as in Spark
+      "t25_lm_perplexity" ->
+        s"""WITH tr AS (SELECT doc_id,
+           |    ${h60("'lm2:' || g")} AS g2,
+           |    ${h60("'lm1:' || string_split(g, ' ')[1]")} AS g1
+           |  FROM (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> t[i]||' '||t[i+1])) AS g
+           |    FROM (SELECT doc_id, $toks AS t FROM documents))),
+           |big AS (SELECT g2, count(*) AS c2 FROM tr GROUP BY 1),
+           |pre AS (SELECT g1, count(*) AS c1 FROM tr GROUP BY 1),
+           |voc AS (SELECT count(DISTINCT w) AS v FROM (
+           |  SELECT unnest($toks) AS w FROM documents)),
+           |bits AS (SELECT doc_id,
+           |    (length(bin((c1+v)::BIGINT))-1) - (length(bin((c2+1)::BIGINT))-1) AS bits
+           |  FROM tr JOIN big USING (g2) JOIN pre USING (g1), voc)
+           |SELECT doc_id, count(*)::BIGINT AS n_transitions,
+           |       sum(bits)::BIGINT AS total_bits,
+           |       (sum(bits) * 1000000 // count(*))::BIGINT AS mean_bits_ppm
+           |FROM bits GROUP BY 1""".stripMargin,
       "t09_sample" ->
         """SELECT doc_id, lang FROM documents
           |WHERE (('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000000) <

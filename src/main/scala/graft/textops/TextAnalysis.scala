@@ -306,6 +306,50 @@ object TextAnalysis {
         sum(col("n") * col("lam")).as("score_bits"))
   }
 
+  /** Per-document n-gram language-model perplexity proxy (the CCNet
+    * quality filter — Wenzek et al. 2020 score documents by a KenLM
+    * perplexity and keep the low tail; here the LM is a bigram model with
+    * add-one smoothing trained on the corpus itself, standing in for the
+    * reference-corpus LM a production pipeline would broadcast-load):
+    * each token transition (w1, w2) costs
+    * `bits = FL2(c1(w1) + V) − FL2(c2(w1,w2) + 1)` — the floor-log2
+    * quantization of −log2 p(w2 | w1) under
+    * p = (c2 + 1)/(c1 + V) — and a document's score is its total and
+    * mean transition cost. High mean bits = surprising text (gibberish,
+    * boilerplate soup); the keep-low-tail filter is CCNet's head/tail
+    * split. Quantization (same `length(bin(n)) − 1` device as
+    * [[dsirScore]]) keeps every score an engine-exact integer.
+    *
+    * Scale shape: transitions explode once; the bigram and prefix count
+    * tables are corpus-bounded (NOT broadcastable at scale) so scoring
+    * joins them by 60-bit digest — two digest-only equi-join shuffles,
+    * map-side-combinable counts, V a 1-row broadcast. Raw text never
+    * crosses an exchange. Output:
+    * (doc_id, n_transitions, total_bits, mean_bits_ppm).
+    */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val tr = withTokens(docs)
+      .select(col("doc_id"), explode(kgrams(col("__toks"), 2)).as("g"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.md5Long60(concat(lit("lm2:"), col("g"))).as("g2"),
+        graft.functions.PortableHash.md5Long60(
+          concat(lit("lm1:"), substring_index(col("g"), " ", 1))).as("g1"))
+    val big = tr.groupBy(col("g2")).agg(count(lit(1)).as("c2"))
+    val pre = tr.groupBy(col("g1")).agg(count(lit(1)).as("c1"))
+    val vocab = withTokens(docs)
+      .select(explode(col("__toks")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    def fl2(c: Column): Column = (length(bin(c.cast("long"))) - 1).cast("long")
+    tr.join(big, Seq("g2")).join(pre, Seq("g1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (fl2(col("c1") + col("v")) - fl2(col("c2") + 1)).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("bits")).as("total_bits"))
+      .withColumn("mean_bits_ppm",
+        intDiv(col("total_bits") * lit(1000000L), col("n_transitions")))
+  }
+
   /** Composite quality gate — the FILTER step the scoring operators exist
     * for (Gopher/C4-style rule chain): per doc, one flag per rule plus the
     * pass verdict, so downstream can both filter (`pass = 1`) and account

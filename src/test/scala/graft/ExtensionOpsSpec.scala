@@ -585,6 +585,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(TextAnalysis.dsirScore(tiny).count() == 0)
   }
 
+  test("lmPerplexity: frequent transitions cost fewer bits than rare ones") {
+    // "a b" appears in every doc (frequent transition); doc 4 is made of
+    // transitions seen nowhere else — its mean cost must be strictly higher
+    val corpus = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a b a b a b"),
+      (3L, "a b a b a b a b"),
+      (4L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.lmPerplexity(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L)._1 == 7L && rows(4L)._1 == 7L, s"7 transitions each: $rows")
+    assert(rows(4L)._3 > rows(1L)._3,
+      s"unseen transitions must cost more bits: ${rows(4L)} vs ${rows(1L)}")
+    // bits are non-negative by construction: c2 <= c1 and V >= 1
+    assert(rows.values.forall(_._2 >= 0L))
+  }
+
   test("substringRuns: maximal shared spans on diagonals; short overlaps drop") {
     def words(prefix: String, n: Int): String =
       (1 to n).map(i => s"$prefix$i").mkString(" ")

@@ -484,6 +484,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"bucket counts must combine map-side:\n$p")
   }
 
+  test("LM perplexity: digest-only count joins, no text past the explode") {
+    val p = plan(TextAnalysis.lmPerplexity(docs))
+    // the bigram/prefix tables are corpus-bounded: they join by 60-bit
+    // digest (sort-merge or shuffled-hash is fine), never by raw gram text
+    assert(!p.contains("CartesianProduct"), s"cartesian in LM scoring:\n$p")
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"count tables must combine map-side:\n$p")
+    // V is one row — it must ride a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"vocab scalar must broadcast:\n$p")
+  }
+
   test("IVF-PQ refine: candidates broadcast into the corpus; no cartesian") {
     val p = plan(Ann.ivfPqRerankTopK(embeddings, col("vec_id") % 50 === 0))
     // the refine stage fetches raw vectors by streaming the corpus through
