@@ -623,6 +623,10 @@ object SparkEntry {
     // per transition, digest-only count-table joins
     "t25_lm_perplexity" -> ((s, dir) =>
       TextAnalysis.lmPerplexity(Tables.documents(s, dir))),
+    // the Gopher rule battery (word count / mean word length / alpha
+    // fraction / distinct stopwords) as one shuffle-free projection
+    "t26_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -1946,6 +1950,27 @@ object SparkEntry {
            |       sum(bits)::BIGINT AS total_bits,
            |       (sum(bits) * 1000000 // count(*))::BIGINT AS mean_bits_ppm
            |FROM bits GROUP BY 1""".stripMargin,
+      // t26: Gopher Appendix-A rules; word chars = chars − separators on
+      // the single-space corpus, ppm floors throughout
+      "t26_gopher_rules" ->
+        s"""WITH m AS (SELECT doc_id, len(t)::BIGINT AS n,
+           |    greatest(length(text) - (len(t) - 1), 0)::BIGINT AS wc,
+           |    len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::BIGINT AS na,
+           |    len(list_filter(list_distinct(t),
+           |        w -> list_contains($enStop, w)))::BIGINT AS ns
+           |  FROM (SELECT doc_id, text, $toks AS t FROM documents)),
+           |p AS (SELECT doc_id, n,
+           |    (wc * 1000000 // greatest(n, 1)) AS mlen,
+           |    (na * 1000000 // greatest(n, 1)) AS alpha, ns FROM m)
+           |SELECT doc_id, n AS n_tokens, mlen AS mean_word_len_ppm,
+           |  alpha AS alpha_word_ppm, ns AS n_stop_distinct,
+           |  (n < 50 OR n > 100000)::BIGINT AS fail_word_count,
+           |  (mlen < 3000000 OR mlen > 10000000)::BIGINT AS fail_mean_word_len,
+           |  (alpha < 800000)::BIGINT AS fail_alpha,
+           |  (ns < 2)::BIGINT AS fail_stop_distinct,
+           |  ((n >= 50 AND n <= 100000) AND (mlen >= 3000000 AND mlen <= 10000000)
+           |    AND alpha >= 800000 AND ns >= 2)::BIGINT AS pass
+           |FROM p""".stripMargin,
       "t09_sample" ->
         """SELECT doc_id, lang FROM documents
           |WHERE (('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000000) <

@@ -396,6 +396,54 @@ object TextAnalysis {
           col("fail_repetition") + col("fail_punct") === 0).cast("long"))
   }
 
+  /** The full Gopher rule battery (Rae et al. 2021, Appendix A) as per-doc
+    * metrics + flags — the companion to [[qualityGate]]'s C4-leaning rules,
+    * covering the Gopher-specific signals that gate omits:
+    *
+    *  - `fail_word_count`    — n_tokens outside [minTokens, maxTokens]
+    *  - `fail_mean_word_len` — mean word length outside [3, 10] chars
+    *    (computed exactly as (chars − spaces)·10⁶ // tokens: the corpus is
+    *    single-space tokenized, so chars − (n−1) is total word chars)
+    *  - `fail_alpha`         — fraction of tokens containing an alphabetic
+    *    char below 80% (Gopher's "80% of words contain ≥1 alphabetic")
+    *  - `fail_stop_distinct` — fewer than 2 DISTINCT stopwords present
+    *    (Gopher requires ≥2 of its stop set, not just density)
+    *
+    * All metrics are integer ppm; the whole verdict is ONE narrow
+    * projection — no join, no shuffle, the same 100 TB shape as
+    * [[qualityGate]] (plan-audited there). Lambda bodies touch only the
+    * lambda var (the interpreted-HOF rule).
+    * Output: (doc_id, n_tokens, mean_word_len_ppm, alpha_word_ppm,
+    * n_stop_distinct, the four flags, pass).
+    */
+  def gopherRules(docs: DataFrame, minTokens: Long = 50L,
+                  maxTokens: Long = 100000L): DataFrame = {
+    val toks = col("__toks")
+    val nToks = size(toks).cast("long")
+    // single-space-joined: word chars = chars − separators
+    val wordChars = greatest(nCharsCol - (nToks - 1), lit(0L))
+    val meanLenPpm = intDiv(wordChars * lit(1000000L), greatest(nToks, lit(1L)))
+    val nAlpha = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val alphaPpm = intDiv(nAlpha * lit(1000000L), greatest(nToks, lit(1L)))
+    val nStopDistinct =
+      size(array_intersect(array_distinct(toks), typedLit(EnStopwords))).cast("long")
+    withTokens(docs)
+      .select(
+        col("doc_id"),
+        nToks.as("n_tokens"),
+        meanLenPpm.as("mean_word_len_ppm"),
+        alphaPpm.as("alpha_word_ppm"),
+        nStopDistinct.as("n_stop_distinct"),
+        (nToks < minTokens || nToks > maxTokens).cast("long").as("fail_word_count"),
+        (meanLenPpm < 3000000L || meanLenPpm > 10000000L).cast("long")
+          .as("fail_mean_word_len"),
+        (alphaPpm < 800000L).cast("long").as("fail_alpha"),
+        (nStopDistinct < 2).cast("long").as("fail_stop_distinct"))
+      .withColumn("pass",
+        (col("fail_word_count") + col("fail_mean_word_len") +
+          col("fail_alpha") + col("fail_stop_distinct") === 0).cast("long"))
+  }
+
   /** Deterministic stratified sampling — the reproducible-data-mix
     * primitive: a document is kept iff its 60-bit md5 sampling coordinate
     * (`md5("sample:" ++ doc_id) % 10⁶`) falls below its language's rate

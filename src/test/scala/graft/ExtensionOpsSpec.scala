@@ -585,6 +585,25 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(TextAnalysis.dsirScore(tiny).count() == 0)
   }
 
+  test("gopherRules: each rule trips independently; a good doc passes") {
+    val good = (("the and " * 30) + "quality prose with many common words of fine length").trim
+    val corpus = Seq(
+      (1L, good),                        // passes everything
+      (2L, "the and of to in"),          // too few tokens
+      (3L, ("a b " * 40 + "the of").trim),  // mean word length < 3
+      (4L, ("1 22 333 4444 " * 20 + "the of").trim), // alpha fraction < 80%
+      (5L, ("quality prose without stopwords " * 15).trim)) // < 2 distinct stops
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(corpus)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))).toMap
+    assert(rows(1L) == (0L, 0L, 0L, 0L, 1L), s"doc 1 must pass: ${rows(1L)}")
+    assert(rows(2L)._1 == 1L, s"doc 2 word count: ${rows(2L)}")
+    assert(rows(3L)._2 == 1L && rows(3L)._5 == 0L, s"doc 3 mean len: ${rows(3L)}")
+    assert(rows(4L)._3 == 1L, s"doc 4 alpha: ${rows(4L)}")
+    assert(rows(5L)._4 == 1L, s"doc 5 stop distinct: ${rows(5L)}")
+  }
+
   test("lmPerplexity: frequent transitions cost fewer bits than rare ones") {
     // "a b" appears in every doc (frequent transition); doc 4 is made of
     // transitions seen nowhere else — its mean cost must be strictly higher

@@ -484,6 +484,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"bucket counts must combine map-side:\n$p")
   }
 
+  test("Gopher rules verdict is one narrow scan: no shuffle, pruned read") {
+    val p = plan(TextAnalysis.gopherRules(docs))
+    // same contract as the quality gate: the fixture's round-robin spread
+    // is allowed; the verdict itself adds no keyed shuffle/join/aggregate
+    assert(!p.contains("Exchange hashpartitioning"), s"rules must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"rules are a pure projection:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to (doc_id, text):\n$p")
+  }
+
   test("LM perplexity: digest-only count joins, no text past the explode") {
     val p = plan(TextAnalysis.lmPerplexity(docs))
     // the bigram/prefix tables are corpus-bounded: they join by 60-bit
