@@ -627,6 +627,10 @@ object SparkEntry {
     // fraction / distinct stopwords) as one shuffle-free projection
     "t26_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    // OOV rate vs the corpus top-1000 vocabulary: broadcast vocab join,
+    // only (doc_id, counts) shuffle — the tokenizer-health read
+    "t27_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -686,6 +690,10 @@ object SparkEntry {
     // spans shared between doc pairs, digest-only shuffles
     "d17_substring_runs" -> ((s, dir) =>
       Dedup.substringRuns(Tables.documents(s, dir))),
+    // MinHash estimate vs exact Jaccard per candidate pair — the
+    // parameter-calibration gate; exact pass is candidate-bounded
+    "d18_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(Tables.documents(s, dir))),
     // ingest-time exact dedup, oracle-checked: a horizon wider than the
     // dataset makes within-watermark dedup ≡ global DISTINCT, and keying
     // the OUTPUT by content digest (not row identity) makes the result
@@ -1971,6 +1979,17 @@ object SparkEntry {
            |  ((n >= 50 AND n <= 100000) AND (mlen >= 3000000 AND mlen <= 10000000)
            |    AND alpha >= 800000 AND ns >= 2)::BIGINT AS pass
            |FROM p""".stripMargin,
+      // t27: vocab = top-1000 (count DESC, token ASC) — a total order, so
+      // the LIMIT is deterministic; OOV = absent from it
+      "t27_oov_rate" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |vc AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok
+           |       GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 1000))
+           |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           |  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           |  (sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+           |     // count(*))::BIGINT AS oov_ppm
+           |FROM tok LEFT JOIN vc v ON tok.token = v.token GROUP BY 1""".stripMargin,
       "t09_sample" ->
         """SELECT doc_id, lang FROM documents
           |WHERE (('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000000) <
@@ -2165,6 +2184,23 @@ object SparkEntry {
           |SELECT md5(text) AS text_md5 FROM documents WHERE doc_id % 2 = 1""".stripMargin,
       "d02_minhash_lsh" ->
         s"WITH $minhashCtes\nSELECT a, b, est_ppm FROM est WHERE est_ppm >= 500000",
+      // d18: est (tau 300000) vs exact Jaccard on the candidate pairs;
+      // zero-overlap band collisions surface as jaccard 0
+      "d18_minhash_calibration" ->
+        s"""WITH $minhashCtes,
+           |pairs AS (SELECT a, b, est_ppm FROM est WHERE est_ppm >= 300000),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           |           FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+           |           GROUP BY 1, 2)
+           |SELECT p.a, p.b, p.est_ppm,
+           |  coalesce(c * 1000000 // (na.n + nb.n - c), 0)::BIGINT AS jaccard_ppm,
+           |  abs(p.est_ppm - coalesce(c * 1000000 // (na.n + nb.n - c), 0))::BIGINT
+           |    AS err_ppm
+           |FROM pairs p
+           |LEFT JOIN common ON p.a = common.a AND p.b = common.b
+           |JOIN sizes na ON p.a = na.doc_id
+           |JOIN sizes nb ON p.b = nb.doc_id""".stripMargin,
       "d06_dup_clusters" ->
         s"""WITH RECURSIVE $minhashCtes,
            |p AS (SELECT a, b FROM est WHERE est_ppm >= 500000),

@@ -208,6 +208,39 @@ object Dedup {
       .where(col("est_ppm") >= tauPpm)
   }
 
+  /** MinHash calibration: signature-agreement ESTIMATE vs exact Jaccard
+    * for every LSH candidate pair — the accept/reject gate for (k,
+    * numHashes, bands) parameter choices, exactly as [[graft.similarity.Ann.recallAtK]]
+    * gates an ANN index. est_ppm comes from [[minhashLshPairs]] unchanged;
+    * the exact Jaccard is computed ONLY for candidate docs: the shingle
+    * index is first semi-joined down to docs appearing in some candidate
+    * pair, so the exact pass — the expensive one — is candidate-bounded
+    * instead of corpus-bounded (tighter than d04's full inverted-index
+    * join; sizes join is candidate-bounded too, hence broadcastable).
+    * A band collision with zero shared shingles surfaces as jaccard 0.
+    * Output: (a, b, est_ppm, jaccard_ppm, err_ppm).
+    */
+  def minhashCalibration(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+                         bands: Int = 16, tauPpm: Long = 300000L): DataFrame = {
+    val est = minhashLshPairs(docs, k, numHashes, bands, tauPpm)
+    val candDocs = est.select(col("a").as("doc_id"))
+      .union(est.select(col("b").as("doc_id"))).distinct()
+    val sh = shingles(docs, k).join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    est
+      .join(common, Seq("a", "b"), "left")
+      .join(broadcast(sizes.as("na")), col("a") === col("na.doc_id"))
+      .join(broadcast(sizes.as("nb")), col("b") === col("nb.doc_id"))
+      .select(col("a"), col("b"), col("est_ppm"),
+        coalesce(TextAnalysis.intDiv(col("c") * lit(1000000L),
+          col("na.n") + col("nb.n") - col("c")), lit(0L)).as("jaccard_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
+  }
+
   // -------------------------------------------------------------- SimHash --
 
   /** 60-bit SimHash per doc: token-count weighted bit votes over the 60-bit

@@ -169,6 +169,29 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus top-`k`
+    * vocabulary — the tokenizer-health metric (OOV/fertility read) run
+    * before committing to a vocab size: how much of each document a
+    * k-entry vocabulary fails to cover. Vocabulary = [[vocabulary]]'s
+    * top-k (count desc, token asc — deterministic); a token is OOV iff
+    * absent from it.
+    *
+    * Scale shape: the vocab is k rows → broadcast; per-doc coverage is
+    * one explode + a broadcast left join + one map-side-combinable
+    * groupBy(doc_id). Raw text never shuffles — only (doc_id, in/out)
+    * counts do. Output: (doc_id, n_tokens, n_oov, oov_ppm).
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val vocab = vocabulary(docs, vocabSize).select(col("token"), lit(1L).as("__in"))
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", intDiv(col("n_oov") * lit(1000000L), col("n_tokens")))
+  }
+
   /** TF-IDF top-`k` terms per document — the classic relevance/keyword
     * signal, integer-exact so the oracle hash-matches:
     * `idf_ppm = (N·10⁶) // df(token)`, `tfidf = tf(doc,token) · idf_ppm`,

@@ -585,6 +585,35 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(TextAnalysis.dsirScore(tiny).count() == 0)
   }
 
+  test("minhashCalibration: exact dups read 1.0/1.0/err 0; err is |est−true|") {
+    val span = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val corpus = Seq(
+      (1L, span), (2L, span),   // identical: est = jaccard = 1e6
+      (3L, other))              // unrelated: never a candidate
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set((1L, 2L)), s"only the dup pair: $rows")
+    assert(rows((1L, 2L)) == (1000000L, 1000000L, 0L), s"got $rows")
+    // err is definitionally |est − jaccard| on every emitted pair
+    val sf = Dedup.minhashCalibration(docs).collect()
+    assert(sf.forall(r => r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3))))
+  }
+
+  test("oovRate: tokens outside the top-k vocabulary count as OOV") {
+    // "a" ×4 and "b" ×3 are the top-2; c/d are OOV at vocabSize=2
+    val corpus = Seq(
+      (1L, "a b a b"),
+      (2L, "a a b c d"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.oovRate(corpus, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L) == (4L, 0L, 0L), s"doc 1 fully covered: $rows")
+    assert(rows(2L) == (5L, 2L, 400000L), s"doc 2 has 2 OOV of 5: $rows")
+  }
+
   test("gopherRules: each rule trips independently; a good doc passes") {
     val good = (("the and " * 30) + "quality prose with many common words of fine length").trim
     val corpus = Seq(

@@ -484,6 +484,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"bucket counts must combine map-side:\n$p")
   }
 
+  test("minhash calibration: exact pass candidate-bounded via semi-join, sizes broadcast") {
+    val p = plan(Dedup.minhashCalibration(docs))
+    assert(!p.contains("CartesianProduct"), s"cartesian in calibration:\n$p")
+    // the shingle index must shrink to candidate docs BEFORE the exact join
+    assert(p.contains("LeftSemi"), s"exact pass must be candidate-bounded:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"candidate-bounded sizes must broadcast:\n$p")
+  }
+
+  test("OOV rate: vocab rides a broadcast; per-doc counts combine map-side") {
+    val p = plan(TextAnalysis.oovRate(docs))
+    assert(p.contains("BroadcastHashJoin"), s"vocab lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream must not shuffle for the vocab:\n$p")
+    assert("partial_count".r.findAllIn(p).size >= 1,
+      s"per-doc counts must combine map-side:\n$p")
+  }
+
   test("Gopher rules verdict is one narrow scan: no shuffle, pruned read") {
     val p = plan(TextAnalysis.gopherRules(docs))
     // same contract as the quality gate: the fixture's round-robin spread
