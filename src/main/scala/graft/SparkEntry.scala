@@ -47,6 +47,14 @@ object SparkEntry {
       windowDuration = Hour)
   private val cRequestCount2p = cRequestCount.copy(id = "request_count_2p")
   private val cUserAcd2p = cUserAcd.copy(id = "unique_users_2p")
+  // engine-extension counter types as CONFIG citizens (CounterType
+  // beyond the reference's enum): p90 of the record value / top-3 users
+  private val cValueP90 =
+    CounterDef("value_p90", CounterType.ValueQuantile,
+      targetColumn = Some("value"), windowDuration = Hour, quantilePpm = 900000L)
+  private val cTopUsers =
+    CounterDef("top_users", CounterType.HeavyHitters,
+      targetColumn = Some("user_id"), windowDuration = Hour, topK = 3)
   private val cBigValueCount =
     CounterDef("big_value_count", CounterType.Count, targetExpr = Some("k > 50"), windowDuration = Hour)
 
@@ -1024,6 +1032,17 @@ object SparkEntry {
             struct(col("event_type").as("type"),
               struct(col("user_id").as("uid")).as("ids")).as("payload")),
         """.. | {ty: (. | type), js: (. | tojson)}""")),
+    // engine-extension counter TYPES through the config surface: exact
+    // per-window p90 of the record value as a value_quantile counter
+    // (single-phase; the O13 record carries the quantile in `value`)
+    "c40_quantile_counter" -> ((s, dir) =>
+      Counters.run(events(s, dir), "ts", cValueP90)),
+    // top-3 users per window as a heavy_hitters counter, run through the
+    // TWO-PHASE shard topology — the hop must be invisible vs the oracle
+    "c41_hitter_counter" -> ((s, dir) =>
+      Counters.runTwoPhase(
+        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8))),
+        "ts", "shard", cTopUsers)),
   )
 
   /** Build the `c30` fixture: a 5% events subset written as per-shard
@@ -1079,6 +1098,33 @@ object SparkEntry {
       "c01_window_count" ->
         s"""SELECT $win, 'request_count' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,
+      // c40: exact lower discrete p90 per window (histogram + cumulative
+      // pick — the value passes through untouched, so doubles are exact)
+      "c40_quantile_counter" ->
+        """WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, value AS v,
+          |           count(*) AS cnt FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |q AS (SELECT w, v, sum(cnt) OVER (PARTITION BY w ORDER BY v) AS cum,
+          |             sum(cnt) OVER (PARTITION BY w) AS tot FROM h)
+          |SELECT epoch_ms(w) AS window_start,
+          | epoch_ms(w + INTERVAL '1 hour') AS window_end,
+          | 'value_p90' AS counter_id, 'value_quantile' AS counter_type,
+          | min(v) AS value
+          |FROM q WHERE cum * 1000000 >= 900000 * tot GROUP BY 1, 2""".stripMargin,
+      // c41: top-3 members per window; ranks tie-break on the STRING
+      // member (the counter casts members to string), and the serialized
+      // two-phase hop on the Spark side must be invisible
+      "c41_hitter_counter" ->
+        """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+          |           user_id::VARCHAR AS member, count(*) AS value
+          |           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+          |r AS (SELECT w, member, value,
+          |        row_number() OVER (PARTITION BY w ORDER BY value DESC, member ASC) AS rank
+          |      FROM c)
+          |SELECT epoch_ms(w) AS window_start,
+          | epoch_ms(w + INTERVAL '1 hour') AS window_end,
+          | 'top_users' AS counter_id, 'heavy_hitters' AS counter_type,
+          | member, rank::BIGINT AS rank, value::BIGINT AS value
+          |FROM r WHERE rank <= 3""".stripMargin,
       "c30_shard_source_parity" ->
         """WITH e AS (SELECT make_timestamp(epoch_ms(ts) * 1000) AS ts
           |           FROM events WHERE event_id % 20 = 0)

@@ -174,6 +174,14 @@ object ConfigLoader {
       input <- parseArn(m, "input_stream_arn")
       output <- parseArn(m, "output_stream_arn")
       agg <- parseArn(m, "aggregate_stream_arn")
+      qppm <- str(m, "quantile_ppm") match {
+        case None => Right(500000L)
+        case Some(s) => s.toLongOption.toRight(s"quantile_ppm must be an integer: $s")
+      }
+      topk <- str(m, "top_k") match {
+        case None => Right(3)
+        case Some(s) => s.toIntOption.toRight(s"top_k must be an integer: $s")
+      }
     } yield CounterDef(
       id = str(m, "id").getOrElse(""),
       counterType = ct,
@@ -184,7 +192,10 @@ object ConfigLoader {
       aggregateStreamArn = agg,
       windowDuration = str(m, "window_duration").getOrElse("1 hour"),
       jqExpr = str(m, "jq_expr"),
-      siphashKeyHex = str(m, "siphash_key_hex").getOrElse(CounterDef.DefaultSipHashKeyHex))
+      siphashKeyHex = str(m, "siphash_key_hex").getOrElse(CounterDef.DefaultSipHashKeyHex),
+      // extension-type parameters; inert for count/ACD configs
+      quantilePpm = qppm,
+      topK = topk)
   }
 
   private def parseArn(m: Map[String, Any], k: String): Either[String, Option[Arn]] =

@@ -10,7 +10,20 @@ sealed abstract class CounterType(val name: String)
 object CounterType {
   case object Count extends CounterType("count")
   case object ApproxCountDistinct extends CounterType("approx_count_distinct")
-  val values: Seq[CounterType] = Seq(Count, ApproxCountDistinct)
+
+  /** ENGINE EXTENSIONS beyond the reference's two-member enum
+    * (`countertype.go:8-11`): the exact per-window quantile of the target
+    * value (latency percentiles beside request counts) and the per-window
+    * top-k member ranking — both configured exactly like count/ACD and
+    * run through the same single-phase / per-shard / two-phase
+    * topologies. A reference config never names these, so its semantics
+    * are untouched.
+    */
+  case object ValueQuantile extends CounterType("value_quantile")
+  case object HeavyHitters extends CounterType("heavy_hitters")
+
+  val values: Seq[CounterType] =
+    Seq(Count, ApproxCountDistinct, ValueQuantile, HeavyHitters)
   def fromName(s: String): Either[String, CounterType] =
     values.find(_.name == s).toRight(s"unknown counter type: $s")
 }
@@ -54,7 +67,9 @@ final case class CounterDef(
     aggregateStreamArn: Option[Arn] = None,
     windowDuration: String = "1 hour",
     jqExpr: Option[String] = None,
-    siphashKeyHex: String = CounterDef.DefaultSipHashKeyHex) {
+    siphashKeyHex: String = CounterDef.DefaultSipHashKeyHex,
+    quantilePpm: Long = 500000L,
+    topK: Int = 3) {
 
   /** Mirror of the reference's validation (`config.go:77-120`). */
   def validate: Either[String, CounterDef] = {
@@ -69,6 +84,18 @@ final case class CounterDef(
       Left(s"counter $id: aggregate stream ARN must be concrete")
     else if (aggregateStreamArn.exists(_.service != "kinesis"))
       Left(s"counter $id: aggregate stream must be a kinesis stream")
+    // extension-type rules, in the spirit of the '*'-for-ACD rule: both
+    // need a real value/member to operate on, and their parameters must
+    // be in range
+    else if (targetColumn.contains("*") && counterType == CounterType.ValueQuantile)
+      Left(s"counter $id: target_column '*' is not allowed for value_quantile")
+    else if (targetColumn.contains("*") && counterType == CounterType.HeavyHitters)
+      Left(s"counter $id: target_column '*' is not allowed for heavy_hitters")
+    else if (counterType == CounterType.ValueQuantile &&
+      (quantilePpm <= 0L || quantilePpm > 1000000L))
+      Left(s"counter $id: quantile_ppm must be in (0, 1000000]")
+    else if (counterType == CounterType.HeavyHitters && topK < 1)
+      Left(s"counter $id: top_k must be >= 1")
     else Right(this)
   }
 

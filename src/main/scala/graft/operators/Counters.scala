@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => SqlWindow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, LongType, StringType}
 
@@ -158,12 +159,76 @@ object Counters {
   private def windowed(df: DataFrame, tsCol: String, c: CounterDef, extraKeys: Seq[Column] = Nil) =
     df.groupBy(window(col(tsCol), c.windowDuration) +: extraKeys: _*)
 
-  /** Single-phase counter (O8/O9/O12/O13): the standard path. */
+  /** Single-phase counter (O8/O9/O12/O13): the standard path. The two
+    * engine-extension counter types dispatch to their own aggregation
+    * shapes (a single agg Column can't express a quantile pick or a
+    * per-window rank) but share the O13 finalize projection.
+    */
   def run(df: DataFrame, tsCol: String, c: CounterDef,
           eventSourceArn: Option[String] = None): DataFrame =
-    finalizeOutput(
-      windowed(df, tsCol, c).agg(aggExpr(df, c).as("value")),
-      c, eventSourceArn)
+    c.counterType match {
+      case CounterType.ValueQuantile =>
+        finalizeOutput(quantileAgg(df, tsCol, c, Nil), c, eventSourceArn)
+      case CounterType.HeavyHitters =>
+        finalizeOutput(hitterAgg(df, tsCol, c, Nil), c, eventSourceArn,
+          extraFields = Seq(col("member"), col("rank")))
+      case _ =>
+        finalizeOutput(
+          windowed(df, tsCol, c).agg(aggExpr(df, c).as("value")),
+          c, eventSourceArn)
+    }
+
+  /** `value_quantile` single-phase aggregation: exact lower discrete
+    * quantile of the target value at `c.quantilePpm` per (window[,
+    * extras]). Histogram method (the [[graft.textops.TextAnalysis.lengthQuantiles]]
+    * convention): one map-side-combinable groupBy collapses rows to
+    * (window, v, cnt) — distinct values ≪ rows — then cumulative/total
+    * sums run over the histogram, partitioned by window, and the smallest
+    * v with cum·10⁶ ≥ ppm·total wins. All comparisons integer; v itself
+    * passes through untouched, so any orderable value type works.
+    */
+  private def quantileAgg(df: DataFrame, tsCol: String, c: CounterDef,
+                          extraKeys: Seq[(Column, String)]): DataFrame = {
+    val value = valueColumn(c).getOrElse(throw new IllegalArgumentException(
+      s"counter ${c.id}: value_quantile requires a target"))
+    val keyCols = extraKeys.map { case (e, n) => e.as(n) }
+    val hist = df.where(value.isNotNull)
+      .groupBy(window(col(tsCol), c.windowDuration) +: keyCols :+ value.as("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val part = col("window") +: extraKeys.map { case (_, n) => col(n) }
+    val wCum = SqlWindow.partitionBy(part: _*).orderBy(col("__v"))
+    val wTot = SqlWindow.partitionBy(part: _*)
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__tot", sum(col("__cnt")).over(wTot))
+      .where(col("__cum") * lit(1000000L) >= lit(c.quantilePpm) * col("__tot"))
+      .groupBy(part: _*)
+      .agg(min(col("__v")).as("value"))
+  }
+
+  /** `heavy_hitters` single-phase aggregation: per-(window[, extras])
+    * top-`c.topK` target members by occurrence count. The rank window runs
+    * over the per-(window, member) aggregate — map-side-combined, bounded
+    * by active members — never over raw rows. Output adds (member, rank)
+    * beside the count in `value`.
+    */
+  private def hitterAgg(df: DataFrame, tsCol: String, c: CounterDef,
+                        extraKeys: Seq[(Column, String)]): DataFrame = {
+    val member = valueColumn(c).getOrElse(throw new IllegalArgumentException(
+      s"counter ${c.id}: heavy_hitters requires a target"))
+    val keyCols = extraKeys.map { case (e, n) => e.as(n) }
+    val counts = df.where(member.isNotNull)
+      .groupBy(window(col(tsCol), c.windowDuration) +: keyCols :+
+        member.cast("string").as("member"): _*)
+      .agg(count(lit(1)).as("value"))
+    val part = col("window") +: extraKeys.map { case (_, n) => col(n) }
+    val w = SqlWindow.partitionBy(part: _*)
+      .orderBy(col("value").desc, col("member").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= c.topK)
+  }
+
 
   /** Exact-distinct variant of [[run]] for oracle checking. */
   def runExactDistinct(df: DataFrame, tsCol: String, c: CounterDef,
@@ -180,11 +245,24 @@ object Counters {
     * shard in the grouping key.
     */
   def runPerShard(df: DataFrame, tsCol: String, shardCol: String, c: CounterDef,
-                  eventSourceArn: Option[String] = None): DataFrame =
-    finalizeOutput(
-      windowed(df, tsCol, c, Seq(col(shardCol).cast("string").as("shard_id")))
-        .agg(aggExpr(df, c).as("value")),
-      c, eventSourceArn, includeShard = true)
+                  eventSourceArn: Option[String] = None): DataFrame = {
+    val shardKey = col(shardCol).cast("string").as("shard_id")
+    c.counterType match {
+      case CounterType.ValueQuantile =>
+        finalizeOutput(quantileAgg(df, tsCol, c,
+            Seq(col(shardCol).cast("string") -> "shard_id")),
+          c, eventSourceArn, includeShard = true)
+      case CounterType.HeavyHitters =>
+        finalizeOutput(hitterAgg(df, tsCol, c,
+            Seq(col(shardCol).cast("string") -> "shard_id")),
+          c, eventSourceArn, includeShard = true,
+          extraFields = Seq(col("member"), col("rank")))
+      case _ =>
+        finalizeOutput(
+          windowed(df, tsCol, c, Seq(shardKey)).agg(aggExpr(df, c).as("value")),
+          c, eventSourceArn, includeShard = true)
+    }
+  }
 
   /** Explicit two-phase topology (O10/O11): per-shard partial aggregate,
     * then cross-shard merge — the reference's aggregate-stream architecture
@@ -201,7 +279,11 @@ object Counters {
   def runTwoPhase(df: DataFrame, tsCol: String, shardCol: String, c: CounterDef,
                   eventSourceArn: Option[String] = None): DataFrame = {
     val partial = partialState(df, tsCol, shardCol, c)
-    finalizeOutput(mergePartials(partial, c), c, eventSourceArn)
+    val extra = c.counterType match {
+      case CounterType.HeavyHitters => Seq(col("member"), col("rank"))
+      case _ => Nil
+    }
+    finalizeOutput(mergePartials(partial, c), c, eventSourceArn, extraFields = extra)
   }
 
   /** Phase 1: per-(window, shard) partial state — the IntermediateRecord
@@ -217,11 +299,36 @@ object Counters {
         val value = valueColumn(c).get
         grouped.agg(hll_sketch_agg(sketchInput(df, value, c.siphashKeyHex), lit(16))
           .as("partial_sketch"))
+      // extension types: the partial is a per-(window, shard) table —
+      // a (value, cnt) histogram / a (member, cnt) count table — both
+      // mergeable by concat + re-sum, like the reference's counter states
+      case CounterType.ValueQuantile =>
+        val value = valueColumn(c).getOrElse(throw new IllegalArgumentException(
+          s"counter ${c.id}: value_quantile requires a target"))
+        df.where(value.isNotNull)
+          .groupBy(window(col(tsCol), c.windowDuration), col(shardCol).as("shard_id"),
+            value.as("__v"))
+          .agg(count(lit(1)).as("__cnt"))
+          .groupBy(col("window"), col("shard_id"))
+          .agg(sort_array(collect_list(struct(col("__v").as("v"), col("__cnt").as("n"))))
+            .as("partial_hist"))
+      case CounterType.HeavyHitters =>
+        val member = valueColumn(c).getOrElse(throw new IllegalArgumentException(
+          s"counter ${c.id}: heavy_hitters requires a target"))
+        df.where(member.isNotNull)
+          .groupBy(window(col(tsCol), c.windowDuration), col(shardCol).as("shard_id"),
+            member.cast("string").as("member"))
+          .agg(count(lit(1)).as("__cnt"))
+          .groupBy(col("window"), col("shard_id"))
+          .agg(sort_array(collect_list(struct(col("member").as("m"), col("__cnt").as("n"))))
+            .as("partial_counts"))
     }
   }
 
   /** Phase 2: merge partials across shards (`counter.go:372-403`):
-    * count → sum of partial counts; ACD → HLL union + estimate.
+    * count → sum of partial counts; ACD → HLL union + estimate;
+    * extension types → concat + re-sum, then the same quantile pick /
+    * rank as single-phase (the shard hop must be invisible).
     */
   def mergePartials(partial: DataFrame, c: CounterDef): DataFrame =
     c.counterType match {
@@ -231,6 +338,29 @@ object Counters {
       case CounterType.ApproxCountDistinct =>
         partial.groupBy(col("window"))
           .agg(hll_sketch_estimate(hll_union_agg(col("partial_sketch"))).as("value"))
+      case CounterType.ValueQuantile =>
+        val hist = partial
+          .select(col("window"), explode(col("partial_hist")).as("h"))
+          .groupBy(col("window"), col("h.v").as("__v"))
+          .agg(sum(col("h.n")).as("__cnt"))
+        val wCum = SqlWindow.partitionBy(col("window")).orderBy(col("__v"))
+        val wTot = SqlWindow.partitionBy(col("window"))
+        hist
+          .withColumn("__cum", sum(col("__cnt")).over(wCum))
+          .withColumn("__tot", sum(col("__cnt")).over(wTot))
+          .where(col("__cum") * lit(1000000L) >= lit(c.quantilePpm) * col("__tot"))
+          .groupBy(col("window"))
+          .agg(min(col("__v")).as("value"))
+      case CounterType.HeavyHitters =>
+        val counts = partial
+          .select(col("window"), explode(col("partial_counts")).as("h"))
+          .groupBy(col("window"), col("h.m").as("member"))
+          .agg(sum(col("h.n")).as("value"))
+        val w = SqlWindow.partitionBy(col("window"))
+          .orderBy(col("value").desc, col("member").asc)
+        counts
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= c.topK)
     }
 
   /** ENGINE EXTENSION beyond the reference (tumbling-only, README.md:44):
@@ -273,13 +403,15 @@ object Counters {
     */
   def finalizeOutput(agg: DataFrame, c: CounterDef,
                      eventSourceArn: Option[String] = None,
-                     includeShard: Boolean = false): DataFrame = {
+                     includeShard: Boolean = false,
+                     extraFields: Seq[Column] = Nil): DataFrame = {
     val base = Seq(
       unix_millis(col("window.start")).as("window_start"),
       unix_millis(col("window.end")).as("window_end"),
       lit(c.id).as("counter_id"),
       lit(c.counterType.name).as("counter_type")) ++
-      (if (includeShard) Seq(col("shard_id")) else Nil) :+
+      (if (includeShard) Seq(col("shard_id")) else Nil) ++
+      extraFields :+
       col("value")
     val withArn = eventSourceArn match {
       case Some(arn) => lit(arn).as("event_source_arn") +: base
@@ -299,6 +431,12 @@ object Counters {
   def fanOut(df: DataFrame, tsCol: String, counters: Seq[CounterDef],
              eventSourceArn: Option[String] = None): DataFrame = {
     require(counters.nonEmpty, "fanOut requires at least one counter")
+    // the conditional-aggregate trick needs one agg Column per counter;
+    // quantile/rank counters have their own shapes — run them via `run`
+    require(counters.forall(c => c.counterType == CounterType.Count ||
+      c.counterType == CounterType.ApproxCountDistinct),
+      "fanOut supports count/approx_count_distinct counters only; " +
+        "run value_quantile/heavy_hitters counters individually")
     val byWindow = counters.groupBy(_.windowDuration).toSeq.sortBy(_._1)
     byWindow.map { case (w, cs) =>
       unpivotCounters(

@@ -34,6 +34,32 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.counters(1).jqExpr.isDefined)
   }
 
+  test("extension counter types parse from YAML with their parameters") {
+    val cfg = ConfigLoader.fromYaml(
+      """counters:
+        |  - id: lat_p99
+        |    counter_type: value_quantile
+        |    target_column: value
+        |    quantile_ppm: 990000
+        |  - id: top5
+        |    counter_type: heavy_hitters
+        |    target_column: user_id
+        |    top_k: 5
+        |""".stripMargin).fold(e => fail(e), identity)
+    assert(cfg.counters.head.counterType == CounterType.ValueQuantile)
+    assert(cfg.counters.head.quantilePpm == 990000L)
+    assert(cfg.counters(1).counterType == CounterType.HeavyHitters)
+    assert(cfg.counters(1).topK == 5)
+    // out-of-range / non-numeric parameters fail at load, like the
+    // reference's validation step
+    assert(ConfigLoader.fromYaml(
+      "counters:\n  - id: q\n    counter_type: value_quantile\n" +
+        "    target_column: v\n    quantile_ppm: 2000000\n").isLeft)
+    assert(ConfigLoader.fromYaml(
+      "counters:\n  - id: q\n    counter_type: value_quantile\n" +
+        "    target_column: v\n    quantile_ppm: soon\n").isLeft)
+  }
+
   test("counter_type defaults to count (Go zero value)") {
     val cfg = ConfigLoader.fromYaml(
       "counters:\n  - id: x\n    target_column: \"*\"\n").fold(e => fail(e), identity)

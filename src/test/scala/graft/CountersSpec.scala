@@ -192,4 +192,57 @@ class CountersSpec extends SparkTestBase {
     assert(CounterDef("x", CounterType.ApproxCountDistinct, Some("*")).validate.isLeft)
     assert(CounterDef("x", CounterType.Count, Some("*")).validate.isRight)
   }
+
+  test("value_quantile counter: exact lower quantile; single ≡ two-phase ≡ per-shard merge") {
+    // user_id serves as the ranked value: ids 0..99 uniform ⇒ p50 = 49
+    // (lower discrete: cum 50% first reached at the 50th distinct value)
+    val c = CounterDef("p50", CounterType.ValueQuantile, Some("user_id"),
+      windowDuration = "1 minute", quantilePpm = 500000L)
+    val single = Counters.run(synth, "ts", c)
+    assert(single.count() == 1)
+    assert(single.select("value").as[Long].collect().head == 49L)
+    assert(single.columns.toSeq ==
+      Seq("window_start", "window_end", "counter_id", "counter_type", "value"))
+    val two = Counters.runTwoPhase(synth, "ts", "shard", c)
+    assert(two.collect().toSeq == single.collect().toSeq,
+      "the shard hop must be invisible")
+    // boundary ppm: quantilePpm 10000 (1%) over 100 uniform values → 0
+    val p1 = c.copy(quantilePpm = 10000L)
+    assert(Counters.run(synth, "ts", p1).select("value").as[Long].collect().head == 0L)
+  }
+
+  test("heavy_hitters counter: string-tie-break rank, k bound; two-phase invisible") {
+    // skew: user 7 double-weighted via concat trick — build explicit frame
+    val rows = (0 until 300).map { i =>
+      val uid = if (i % 3 == 0) 7L else (i % 10).toLong
+      (new Timestamp(base + i * 100L), uid, (i % 4).toLong)
+    }
+    val df = rows.toDF("ts", "user_id", "shard")
+    val c = CounterDef("top", CounterType.HeavyHitters, Some("user_id"),
+      windowDuration = "1 minute", topK = 2)
+    val out = Counters.run(df, "ts", c).collect()
+    assert(out.length == 2)
+    val first = out.find(_.getAs[Long]("rank") == 1L).get
+    assert(first.getAs[String]("member") == "7", s"user 7 dominates: ${out.toSeq}")
+    // 100 via i%3==0, plus the i%10==7 ∧ i%3≠0 residue (20 of 30)
+    assert(first.getAs[Long]("value") == 120L)
+    val two = Counters.runTwoPhase(df, "ts", "shard", c).collect()
+    assert(two.sortBy(_.getAs[Long]("rank")).toSeq ==
+      out.sortBy(_.getAs[Long]("rank")).toSeq, "the shard hop must be invisible")
+  }
+
+  test("extension counter types: validation and fanOut guard") {
+    assert(CounterDef("q", CounterType.ValueQuantile, Some("*")).validate.isLeft)
+    assert(CounterDef("q", CounterType.ValueQuantile, Some("v"),
+      quantilePpm = 0L).validate.isLeft)
+    assert(CounterDef("q", CounterType.ValueQuantile, Some("v"),
+      quantilePpm = 1000001L).validate.isLeft)
+    assert(CounterDef("h", CounterType.HeavyHitters, Some("*")).validate.isLeft)
+    assert(CounterDef("h", CounterType.HeavyHitters, Some("u"), topK = 0).validate.isLeft)
+    assert(CounterDef("q", CounterType.ValueQuantile, Some("v")).validate.isRight)
+    val ext = CounterDef("q", CounterType.ValueQuantile, Some("user_id"))
+    intercept[IllegalArgumentException] {
+      Counters.fanOut(synth, "ts", Seq(ext))
+    }
+  }
 }
