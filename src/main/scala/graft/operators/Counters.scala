@@ -106,6 +106,13 @@ object Counters {
           throw new IllegalArgumentException(
             s"counter ${c.id}: approx_count_distinct requires a target"))
         acdAgg(df, value, c.siphashKeyHex)
+      case CounterType.ValueQuantile | CounterType.HeavyHitters =>
+        // quantile pick / per-window rank can't be one aggregate Column;
+        // their run/runPerShard/runTwoPhase paths dispatch before this
+        throw new IllegalArgumentException(
+          s"counter ${c.id}: ${c.counterType.name} has no single-Column " +
+            "aggregate — use Counters.run/runPerShard/runTwoPhase " +
+            "(sliding/session/fanOut topologies support count/ACD only)")
     }
   }
 

@@ -36,6 +36,14 @@ object Intermediate {
         struct(col("partial_count").as("row_count"))
       case CounterType.ApproxCountDistinct =>
         struct(base64(col("partial_sketch")).as("base64_hll"))
+      case CounterType.ValueQuantile | CounterType.HeavyHitters =>
+        // the generic JSON hop carries the reference's two state shapes
+        // (counter.go:78-82); the extension types ride their own typed
+        // records with the same envelope/gating (e10/e11)
+        throw new IllegalArgumentException(
+          s"counter ${c.id}: serialized intermediate records for " +
+            s"${c.counterType.name} use Intermediate.toQuantileRecords/" +
+            "toHitterRecords")
     }
     partial.select(
       lit(c.id).as("partition_key"),
@@ -159,6 +167,11 @@ object Intermediate {
         col("r.counter_type") === c.counterType.name &&
         versionOk)
     c.counterType match {
+      case CounterType.ValueQuantile | CounterType.HeavyHitters =>
+        throw new IllegalArgumentException(
+          s"counter ${c.id}: serialized intermediate records for " +
+            s"${c.counterType.name} parse via Intermediate.parseQuantiles/" +
+            "parseHitters")
       case CounterType.Count =>
         parsed.select(
           struct(col("r.window.start").as("start"), col("r.window.end").as("end")).as("window"),

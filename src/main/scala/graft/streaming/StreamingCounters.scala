@@ -38,6 +38,12 @@ private[streaming] object CounterStateBuf {
 
   def accumulate(prev: Option[CounterStateBuf], rows: Iterator[StateEvent],
                  ctype: CounterType): CounterStateBuf = ctype match {
+    case CounterType.ValueQuantile | CounterType.HeavyHitters =>
+      // streaming faces: valueQuantileHistogram / hitterCounts (the
+      // histogram/count-table IS the append-mode state)
+      throw new IllegalArgumentException(
+        s"custom-state protocol carries count/ACD states only; " +
+          s"${ctype.name} streams via its histogram face")
     case CounterType.Count =>
       CounterStateBuf(
         prev.map(_.rowCount).getOrElse(0L) + rows.count(_.value != null), null)
@@ -50,6 +56,10 @@ private[streaming] object CounterStateBuf {
   }
 
   def finalValue(buf: CounterStateBuf, ctype: CounterType): Long = ctype match {
+    case CounterType.ValueQuantile | CounterType.HeavyHitters =>
+      throw new IllegalArgumentException(
+        s"custom-state protocol carries count/ACD states only; " +
+          s"${ctype.name} streams via its histogram face")
     case CounterType.Count => buf.rowCount
     case CounterType.ApproxCountDistinct =>
       if (buf.sketch == null) 0L
@@ -516,6 +526,11 @@ object StreamingCounters {
         grouped.agg(sum(col("partial_count")).cast("long").as("value"))
       case CounterType.ApproxCountDistinct =>
         grouped.agg(hll_sketch_estimate(hll_union_agg(col("partial_sketch"))).as("value"))
+      case CounterType.ValueQuantile | CounterType.HeavyHitters =>
+        throw new IllegalArgumentException(
+          s"counter ${c.id}: the streaming intermediate consumer merges " +
+            "count/ACD states; quantile/hitter records merge via " +
+            "Intermediate.mergeQuantileRecords/mergeHitterRecords")
     }
     Counters.finalizeOutput(merged, c, eventSourceArn)
   }
