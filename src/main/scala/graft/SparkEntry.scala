@@ -1043,6 +1043,31 @@ object SparkEntry {
       Counters.runTwoPhase(
         events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8))),
         "ts", "shard", cTopUsers)),
+    // STREAMING face of the value_quantile counter: append-mode histogram
+    // state, pick per closed window — rows must hash-match the batch
+    // counter for every window the watermark closed (all but the last)
+    "c42_quantile_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {
+      val c = cValueP90.copy(id = "value_p90_stream")
+      val hist = graft.streaming.StreamingCounters.counterHistogram(
+        Tables.eventsStream(s, dir), "ts", c, watermarkDelay = "0 seconds")
+      val sink = "c42_quantile_hist_sink"
+      val q = hist.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamingCounters.counterQuantileOfClosedWindows(s.table(sink), c)
+    }),
+    // STREAMING face of the heavy_hitters counter: member-count state,
+    // rank per closed window — same closed-window parity bar
+    "c43_hitter_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {
+      val c = cTopUsers.copy(id = "top_users_stream")
+      val counts = graft.streaming.StreamingCounters.counterMemberCounts(
+        Tables.eventsStream(s, dir), "ts", c, watermarkDelay = "0 seconds")
+      val sink = "c43_hitter_counts_sink"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamingCounters.counterHittersOfClosedWindows(s.table(sink), c)
+    }),
   )
 
   /** Build the `c30` fixture: a 5% events subset written as per-shard
@@ -1125,6 +1150,35 @@ object SparkEntry {
           | 'top_users' AS counter_id, 'heavy_hitters' AS counter_type,
           | member, rank::BIGINT AS rank, value::BIGINT AS value
           |FROM r WHERE rank <= 3""".stripMargin,
+      // c42/c43: the streaming faces — batch SQL restricted to windows the
+      // watermark closed (same predicate as c23: all but max-ts's window)
+      "c42_quantile_streaming_parity" ->
+        """WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, value AS v,
+          |           count(*) AS cnt FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |q AS (SELECT w, v, sum(cnt) OVER (PARTITION BY w ORDER BY v) AS cum,
+          |             sum(cnt) OVER (PARTITION BY w) AS tot FROM h)
+          |SELECT epoch_ms(w) AS window_start,
+          | epoch_ms(w + INTERVAL '1 hour') AS window_end,
+          | 'value_p90_stream' AS counter_id, 'value_quantile' AS counter_type,
+          | min(v) AS value
+          |FROM q WHERE cum * 1000000 >= 900000 * tot GROUP BY 1, 2
+          |HAVING window_end <= (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', max(ts)))
+          |                      FROM events)""".stripMargin,
+      "c43_hitter_streaming_parity" ->
+        """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+          |           user_id::VARCHAR AS member, count(*) AS value
+          |           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+          |r AS (SELECT w, member, value,
+          |        row_number() OVER (PARTITION BY w ORDER BY value DESC, member ASC) AS rank
+          |      FROM c)
+          |SELECT epoch_ms(w) AS window_start,
+          | epoch_ms(w + INTERVAL '1 hour') AS window_end,
+          | 'top_users_stream' AS counter_id, 'heavy_hitters' AS counter_type,
+          | member, rank::BIGINT AS rank, value::BIGINT AS value
+          |FROM r WHERE rank <= 3
+          |  AND epoch_ms(w + INTERVAL '1 hour') <=
+          |      (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', max(ts))) FROM events)"""
+          .stripMargin,
       "c30_shard_source_parity" ->
         """WITH e AS (SELECT make_timestamp(epoch_ms(ts) * 1000) AS ts
           |           FROM events WHERE event_id % 20 = 0)

@@ -351,6 +351,80 @@ object StreamingCounters {
       .select(col("window_start"), col("user_id"), col("n_events"), col("rank"))
   }
 
+  /** CONFIG-surface streaming face of a `value_quantile` COUNTER (the
+    * generic twin of [[valueQuantileHistogram]], which is hardwired to
+    * `events.value` cents): the per-(window, target-value) histogram IS
+    * the append-mode state, bounded by distinct values per window; a
+    * closed window's rows all emit in one batch, where
+    * [[counterQuantileOfClosedWindows]] runs the same integer pick as
+    * `Counters.run`. No row-level null filter before the watermark
+    * (heartbeats must advance event time); nulls ride as their own group
+    * and drop at the pick.
+    */
+  def counterHistogram(stream: DataFrame, tsCol: String, c: CounterDef,
+                       watermarkDelay: String = "10 seconds"): DataFrame = {
+    val value = Counters.valueColumn(c).getOrElse(throw new IllegalArgumentException(
+      s"counter ${c.id}: value_quantile requires a target"))
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), c.windowDuration), value.as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        unix_millis(col("window.end")).as("window_end"), col("__v"), col("__cnt"))
+  }
+
+  /** The per-batch pick over [[counterHistogram]]'s closed windows — call
+    * inside `foreachBatch`. Emits the counter's O13 record, identical to
+    * `Counters.run(c)`'s row for every closed window.
+    */
+  def counterQuantileOfClosedWindows(batch: DataFrame, c: CounterDef): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val part = Seq(col("window_start"), col("window_end"))
+    val wCum = w.partitionBy(part: _*).orderBy(col("__v"))
+    val wTot = w.partitionBy(part: _*)
+    batch.where(col("__v").isNotNull)
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__tot", sum(col("__cnt")).over(wTot))
+      .where(col("__cum") * lit(1000000L) >= lit(c.quantilePpm) * col("__tot"))
+      .groupBy(part: _*)
+      .agg(min(col("__v")).as("value"))
+      .select(col("window_start"), col("window_end"),
+        lit(c.id).as("counter_id"), lit(c.counterType.name).as("counter_type"),
+        col("value"))
+  }
+
+  /** CONFIG-surface streaming face of a `heavy_hitters` COUNTER (generic
+    * twin of [[hitterCounts]]): per-(window, member) counts as the
+    * append-mode state, rank per closed window in `foreachBatch` via
+    * [[counterHittersOfClosedWindows]]. Null members ride to the rank
+    * stage and drop there (the watermark rule above).
+    */
+  def counterMemberCounts(stream: DataFrame, tsCol: String, c: CounterDef,
+                          watermarkDelay: String = "10 seconds"): DataFrame = {
+    val member = Counters.valueColumn(c).getOrElse(throw new IllegalArgumentException(
+      s"counter ${c.id}: heavy_hitters requires a target"))
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), c.windowDuration), member.cast("string").as("member"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        unix_millis(col("window.end")).as("window_end"), col("member"), col("__cnt"))
+  }
+
+  /** The per-batch rank over [[counterMemberCounts]]'s closed windows —
+    * the counter's O13 record with (member, rank), identical to
+    * `Counters.run(c)`'s rows for every closed window.
+    */
+  def counterHittersOfClosedWindows(batch: DataFrame, c: CounterDef): DataFrame = {
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"), col("window_end"))
+      .orderBy(col("__cnt").desc, col("member").asc)
+    batch.where(col("member").isNotNull)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= c.topK)
+      .select(col("window_start"), col("window_end"),
+        lit(c.id).as("counter_id"), lit(c.counterType.name).as("counter_type"),
+        col("member"), col("rank"), col("__cnt").as("value"))
+  }
+
   /** Streaming session windows (ENGINE EXTENSION, batch parity with
     * [[Counters.runSessions]]): consecutive records of one key merge into
     * a session while gaps stay under `gap`; in append mode a session row

@@ -56,6 +56,32 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("config-surface streaming faces: O13 records for closed windows, null-safe") {
+    import graft.config.{CounterDef, CounterType}
+    implicit val sc = spark.sqlContext
+    val c = CounterDef("p50c", CounterType.ValueQuantile, Some("v"),
+      windowDuration = "1 minute", quantilePpm = 500000L)
+    val input = MemoryStream[(Timestamp, Option[Double])]
+    val hist = StreamingCounters.counterHistogram(
+      input.toDF().toDF("ts", "v"), "ts", c, watermarkDelay = "5 seconds")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Double)]
+    val query = hist.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= StreamingCounters.counterQuantileOfClosedWindows(batch, c)
+          .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getDouble(4)))
+        ()
+      }.start()
+    try {
+      input.addData((ts(1), Some(1.5)), (ts(2), Some(2.5)), (ts(3), Some(3.5)))
+      query.processAllAvailable()
+      assert(got.isEmpty, "window still open")
+      // value-less heartbeat advances the watermark past the window
+      input.addData((ts(70), None))
+      query.processAllAvailable()
+      assert(got.toSeq == Seq((base, "p50c", "value_quantile", 2.5)), s"$got")
+    } finally query.stop()
+  }
+
   test("heavy-hitter counter streams: closed windows rank exactly once, matching batch") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
