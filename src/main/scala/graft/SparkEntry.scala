@@ -872,6 +872,30 @@ object SparkEntry {
     // then the reader's frame index + per-frame luma aHash — the
     // video-shaped plumbing on actually-decoded rasters. Encode is
     // fixture; the decode path is what's tested.
+    // ANIMATION-level near-dup through the REAL GIF decode path: docs in
+    // one group (doc_id div 10) share 2 of 3 frames by formula, the third
+    // is per-doc — same-group pairs land at Jaccard 0.5 (2 of 4 distinct
+    // hashes), cross-group pairs share nothing. Group size is FIXED at 10
+    // regardless of corpus scale, so output stays linear in docs.
+    "m11_gif_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = id / 10
+          // non-linear in the pixel index over a wide modulus: a LINEAR
+          // formula mod 256 yields ≤256 distinct threshold patterns, and
+          // the hash index join would go quadratic on those hot keys at
+          // corpus scale — the mix below makes hashes ~unique per (g, k)
+          def luma(seed: Long, i: Long): Int = {
+            val t = seed % 65521L + i * 31L
+            ((t * t % 65521L) % 256L).toInt
+          }
+          (id, Multimodal.syntheticGrayGif(8, 8, 3, (k, x, y) =>
+            if (k < 2) luma(g * 997 + k * 101, y.toLong * 8 + x)
+            else luma(id * 1000003L + 7, y.toLong * 8 + x)))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("video"))
+      Multimodal.animationDupPairs(Multimodal.decodeGifFrames(gifs).toDF())
+    }),
     "m10_gif_frames" -> ((s, dir) => {
       import s.implicits._
       val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
@@ -2728,6 +2752,32 @@ object SparkEntry {
           |      THEN (1::BIGINT << (59 - i)::INT) ELSE 0 END)::BIGINT AS ahash
           |FROM px JOIN mn ON px.doc_id = mn.doc_id AND px.k = mn.k
           |GROUP BY 1, 2, 3""".stripMargin,
+      // m11: the fixture's frame lumas are pure formulas (shared frames
+      // keyed by group = doc_id // 10, the third by doc_id), so the SQL
+      // recomputes every aHash and the same set-Jaccard over them
+      "m11_gif_neardup" ->
+        """WITH fr AS (SELECT doc_id, doc_id // 10 AS g, unnest([0, 1, 2]) AS k
+          |            FROM documents),
+          |px AS (SELECT doc_id, k,
+          |         CASE WHEN k < 2
+          |           THEN ((((g*997 + k*101) % 65521 + i*31) * ((g*997 + k*101) % 65521 + i*31)) % 65521) % 256
+          |           ELSE ((((doc_id*1000003 + 7) % 65521 + i*31) * ((doc_id*1000003 + 7) % 65521 + i*31)) % 65521) % 256
+          |         END AS l, i
+          |       FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)),
+          |mn AS (SELECT doc_id, k, sum(l) // 60 AS mean FROM px GROUP BY 1, 2),
+          |ah AS (SELECT px.doc_id, px.k,
+          |         sum(CASE WHEN l > mean THEN (1::BIGINT << (59 - i)::INT)
+          |             ELSE 0 END)::BIGINT AS h
+          |       FROM px JOIN mn ON px.doc_id = mn.doc_id AND px.k = mn.k
+          |       GROUP BY 1, 2),
+          |fh AS (SELECT DISTINCT doc_id, h FROM ah),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM fh GROUP BY 1),
+          |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          |           FROM fh x JOIN fh y ON x.h = y.h AND x.doc_id < y.doc_id
+          |           GROUP BY 1, 2)
+          |SELECT a, b, (c * 1000000 // (na.n + nb.n - c))::BIGINT AS jaccard_ppm
+          |FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
+          |WHERE c * 1000000 // (na.n + nb.n - c) >= 400000""".stripMargin,
     )
   }
 }

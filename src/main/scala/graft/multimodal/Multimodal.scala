@@ -575,4 +575,39 @@ object Multimodal {
     */
   def applyMediaDedup(media: DataFrame, stride: Int = 2): DataFrame =
     graft.dedup.Dedup.survivorsFromComponents(media, mediaDupClusters(media, stride))
+
+  /** ANIMATION-level near-dup pairs — video dedup over REAL decoded
+    * frames: each animation is its distinct set of per-frame perceptual
+    * aHashes ([[decodeGifFrames]]'s output), and two animations pair when
+    * the Jaccard of their hash sets reaches `tauPpm` — the re-encoded /
+    * re-muxed copy case, where byte digests differ but the frame sequence
+    * is substantially shared (a trailing watermark frame or intro card
+    * changes only a minority of hashes). Frame-LEVEL near-identity is
+    * [[perceptualDupPairs]]'s job; this aggregates exact hash overlap to
+    * a sequence-level verdict — the same division of labor as text's
+    * SimHash pairs vs n-gram Jaccard.
+    *
+    * Scale shape: the same inverted-index join as
+    * [[graft.dedup.Dedup.ngramJaccardPairs]], with 60-bit frame hashes as
+    * the index keys — candidates only from shared hashes, never
+    * animation×animation; per-doc hash sets are `maxFrames`-bounded so
+    * the size table is tiny per doc. Input: [[decodeGifFrames]] output.
+    * Output: (a, b, jaccard_ppm), a < b.
+    */
+  def animationDupPairs(frames: DataFrame, tauPpm: Long = 400000L): DataFrame = {
+    val fh = frames.where(col("ahash").isNotNull)
+      .select(col("doc_id"), col("ahash")).distinct()
+    val sizes = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = fh.as("x").join(fh.as("y"),
+        col("x.ahash") === col("y.ahash") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(sizes.as("na")), col("a") === col("na.doc_id"))
+      .join(broadcast(sizes.as("nb")), col("b") === col("nb.doc_id"))
+      .select(col("a"), col("b"),
+        graft.textops.TextAnalysis.intDiv(col("c") * lit(1000000L),
+          col("na.n") + col("nb.n") - col("c")).as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= tauPpm)
+  }
 }

@@ -585,6 +585,27 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(TextAnalysis.dsirScore(tiny).count() == 0)
   }
 
+  test("animationDupPairs: shared-frame animations pair at set Jaccard; strangers don't") {
+    import graft.multimodal.Multimodal
+    // three 2-frame animations: 1 and 2 share frame A (Jaccard 1/3 with
+    // their distinct frames), 3 shares nothing
+    def gif(seedShared: Option[Long], seedOwn: Long) =
+      Multimodal.syntheticGrayGif(8, 8, 2, (k, x, y) => {
+        val seed = if (k == 0) seedShared.getOrElse(seedOwn + 500) else seedOwn
+        val t = seed % 65521L + (y * 8 + x) * 31L
+        ((t * t % 65521L) % 256L).toInt
+      })
+    val media = Seq(
+      (1L, gif(Some(42L), 100L)), (2L, gif(Some(42L), 200L)),
+      (3L, gif(None, 300L)))
+      .toDF("doc_id", "media").withColumn("media_type", lit("video"))
+    val frames = Multimodal.decodeGifFrames(media).toDF()
+    val pairs = Multimodal.animationDupPairs(frames, tauPpm = 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"only the sharing pair: $pairs")
+    assert(pairs((1L, 2L)) == 333333L, s"1 shared of 3 distinct hashes: $pairs")
+  }
+
   test("minhashCalibration: exact dups read 1.0/1.0/err 0; err is |est−true|") {
     val span = (1 to 40).map(i => s"w$i").mkString(" ")
     val other = (1 to 40).map(i => s"v$i").mkString(" ")
