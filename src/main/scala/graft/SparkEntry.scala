@@ -482,6 +482,16 @@ object SparkEntry {
     // DECIMAL(38,0) cross-multiply, scale-free relative threshold
     "h22_important_parts" -> ((s, dir) =>
       graft.relational.Relational.importantParts(Tables.lineitem(s, dir))),
+    // skew-salted equi-join (the manual hot-key escape hatch): salting
+    // must be INVISIBLE — the aggregate equals the plain join's
+    "h23_salted_join" -> ((s, dir) =>
+      graft.relational.Relational.saltedEquiJoin(
+          Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "okey"),
+          Tables.orders(s, dir).withColumnRenamed("o_orderkey", "okey"),
+          "okey", salts = 8, saltSource = col("l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))),
     // Q8 shape: per-year national market share — two-level conditional-
     // aggregate ratio over a 6-table star, dims broadcast, ONE agg pass
     "h17_market_share" -> ((s, dir) =>
@@ -1658,6 +1668,11 @@ object SparkEntry {
           |FROM supplier JOIN dom ON s_suppkey = l_suppkey""".stripMargin,
       // h22: the per-part aggregate joins a 1-row (total, n) scalar;
       // HUGEINT is DuckDB's DECIMAL(38,0) stand-in for the cross-multiply
+      "h23_salted_join" ->
+        """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+          | sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS rev_cents
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1""".stripMargin,
       "h22_important_parts" ->
         """WITH per AS (SELECT l_partkey,
           |    sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS part_cents

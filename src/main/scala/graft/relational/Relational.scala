@@ -628,4 +628,30 @@ object Relational {
     supplier.join(dom, col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_parts"))
   }
+
+  /** Skew-salted equi-join — the MANUAL skew-mitigation primitive for the
+    * case AQE's skew-join can't fix (a single hot key whose post-split
+    * partitions still hash to one reducer because the SAME key value
+    * can't be subdivided by re-partitioning alone): the fact side gets a
+    * deterministic salt in [0, salts) derived from `saltSource` (any
+    * expression that VARIES WITHIN a hot key — a line number, a digest of
+    * the full row — so one key's rows spread over `salts` reducers), and
+    * the dimension side replicates `salts`× via one generator, so
+    * (key, salt) is a proper equi-join key and every salted partition
+    * holds 1/salts of the hot key's rows. The join RESULT is exactly the
+    * unsalted join — salting must be invisible, which is what the oracle
+    * checks. Cost: dim×salts replication — use only when dim is far
+    * smaller than the hot key's row count and too big to broadcast
+    * (a broadcastable dim needs no salting at all; AQE skew-join handles
+    * the moderate cases automatically — this is the heavy-artillery
+    * escape hatch, as in every production Spark playbook).
+    */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     salts: Int, saltSource: Column): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val saltedFact = fact.withColumn("__salt", pmod(saltSource, lit(salts)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

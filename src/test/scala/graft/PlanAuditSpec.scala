@@ -484,6 +484,44 @@ class PlanAuditSpec extends SparkTestBase {
       s"bucket counts must combine map-side:\n$p")
   }
 
+  test("quantile counter: histogram collapses rows map-side; windows partitioned") {
+    val c = CounterDef("p90", CounterType.ValueQuantile, Some("value"),
+      windowDuration = "1 hour", quantilePpm = 900000L)
+    val p = plan(graft.operators.Counters.run(events, "ts", c))
+    // the corpus collapses to a (window, value) histogram BEFORE any
+    // window function — the pick must never sort raw rows
+    assert("partial_count".r.findAllIn(p).size >= 1,
+      s"histogram must combine map-side:\n$p")
+    // both pick windows are partitioned by the time window — an
+    // unpartitioned frame would serialize the corpus on one reducer
+    assert(!p.contains("windowspecdefinition()"),
+      s"unpartitioned window in the quantile pick:\n$p")
+  }
+
+  test("hitter counter: rank runs over the member aggregate, never raw rows") {
+    val c = CounterDef("top", CounterType.HeavyHitters, Some("user_id"),
+      windowDuration = "1 hour", topK = 3)
+    val p = plan(graft.operators.Counters.run(events, "ts", c))
+    assert("partial_count".r.findAllIn(p).size >= 1,
+      s"member counts must combine map-side:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"unpartitioned rank window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in hitter counter:\n$p")
+  }
+
+  test("salted join: salt rides the join keys; dim replicates via one generator") {
+    import graft.relational.Relational
+    val li = Tables.lineitem(spark, sf0001).withColumnRenamed("l_orderkey", "okey")
+    val ord = Tables.orders(spark, sf0001).withColumnRenamed("o_orderkey", "okey")
+    val p = plan(Relational.saltedEquiJoin(li, ord, "okey", 8, col("l_linenumber")))
+    // (key, salt) must BOTH be join keys — a salt that falls out of the
+    // condition silently degrades to the unsalted hot-key join
+    assert(p.contains("__salt"), s"salt column must reach the join:\n$p")
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"dim replication must be one generator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in salted join:\n$p")
+  }
+
   test("minhash calibration: exact pass candidate-bounded via semi-join, sizes broadcast") {
     val p = plan(Dedup.minhashCalibration(docs))
     assert(!p.contains("CartesianProduct"), s"cartesian in calibration:\n$p")
