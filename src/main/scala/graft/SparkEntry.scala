@@ -505,6 +505,21 @@ object SparkEntry {
     // hourly per-type counts (the alerting step on counter output)
     "e06_count_spikes" -> ((s, dir) =>
       graft.relational.Temporal.countSpikes(events(s, dir))),
+    // STREAMING face of spike detection: hourly per-type counts close in
+    // order under the watermark, so the z² flagging half runs per batch
+    // over the accumulated closed hours and must match batch e06 rows
+    // for every closed hour
+    "e12_stream_spikes_parity" -> ((s, dir) => withStatePartitions(s, 8) {
+      val counts = Tables.eventsStream(s, dir).withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
+      val sink = "e12_spikes_sink"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.relational.Temporal.spikesFromHourly(s.table(sink))
+    }),
     // windowed heavy hitters: per-hour top-k users — rank runs over the
     // per-(window, user) aggregate, never the raw events
     "e07_heavy_hitters" -> ((s, dir) =>
@@ -1747,6 +1762,28 @@ object SparkEntry {
           |   AND ((n*c - s)::HUGEINT * (n*c - s)) > 9 * (c::HUGEINT * q - s::HUGEINT * s)
           |  THEN 1 ELSE 0 END)::BIGINT AS is_spike
           |FROM w""".stripMargin,
+      // e12: e06 restricted to hours the watermark closed (all but the
+      // max-ts hour); trailing stats only look BACKWARD, so flags on
+      // closed hours are identical over the closed subset
+      "e12_stream_spikes_parity" ->
+        """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+          |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+          |h2 AS (SELECT *, epoch_ms(hour) // 3600000 AS hn FROM hourly),
+          |w AS (SELECT event_type, hour, n,
+          |  count(*) OVER tw AS c,
+          |  coalesce(sum(n) OVER tw, 0)::BIGINT AS s,
+          |  coalesce(sum(n::HUGEINT * n) OVER tw, 0::HUGEINT) AS q
+          |  FROM h2 WINDOW tw AS (PARTITION BY event_type ORDER BY hn
+          |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+          |SELECT epoch_ms(hour) AS hour_ms, event_type, n AS n_events,
+          | c::BIGINT AS trail_cnt, s AS trail_sum,
+          | (CASE WHEN c >= 12 AND n*c - s > 0
+          |   AND ((n*c - s)::HUGEINT * (n*c - s)) > 9 * (c::HUGEINT * q - s::HUGEINT * s)
+          |  THEN 1 ELSE 0 END)::BIGINT AS is_spike
+          |FROM w
+          |WHERE epoch_ms(hour + INTERVAL '1 hour') <=
+          |      (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', max(ts))) FROM events)"""
+          .stripMargin,
       "e08_gap_quantiles" ->
         """WITH g AS (SELECT event_type,
           |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY event_type, user_id

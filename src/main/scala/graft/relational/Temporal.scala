@@ -364,21 +364,34 @@ object Temporal {
     * the corpus-sized work is all in the map-side-combinable groupBy.
     */
   def countSpikes(events: DataFrame, trailHours: Int = 24, minTrail: Int = 12,
-                  zThreshold: Int = 3): DataFrame = {
+                  zThreshold: Int = 3): DataFrame =
+    spikesFromHourly(
+      events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events")),
+      trailHours, minTrail, zThreshold)
+
+  /** The z² flagging half of [[countSpikes]], split out so the STREAMING
+    * face can reuse it verbatim over closed hourly windows (the flag for
+    * an hour depends only on the trailing `trailHours` CLOSED hours, and
+    * hours close in order — so running this per batch over the
+    * accumulated closed-hour table reproduces the batch operator row for
+    * row). Input: (event_type, hour timestamp, n_events).
+    */
+  def spikesFromHourly(hourly: DataFrame, trailHours: Int = 24,
+                       minTrail: Int = 12, zThreshold: Int = 3): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val hourly = events
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n_events"))
-      // floor division, matching the oracle's `//`: plain `/` is double
-      // division truncated toward ZERO, which diverges on pre-1970 hours
-      // and would mis-size the trailing RANGE frame
+    // floor division, matching the oracle's `//`: plain `/` is double
+    // division truncated toward ZERO, which diverges on pre-1970 hours
+    // and would mis-size the trailing RANGE frame
+    val numbered = hourly
       .withColumn("hn", floor(unix_seconds(col("hour")) / 3600).cast("long"))
     val w = Window.partitionBy("event_type").orderBy(col("hn"))
       .rangeBetween(-trailHours, -1)
     val dev = col("n_events") * col("trail_cnt") - col("trail_sum")
     val varTimesC2 = // C·Q − S², i.e. C²·σ² — ≥ 0 by Cauchy–Schwarz
       dec(col("trail_cnt")) * col("trail_sumsq") - dec(col("trail_sum")) * dec(col("trail_sum"))
-    hourly
+    numbered
       .select(
         unix_millis(col("hour")).as("hour_ms"),
         col("event_type"), col("n_events"),
