@@ -691,6 +691,11 @@ object SparkEntry {
     // (broadcast) benchmark subset
     "d08_contamination" -> ((s, dir) =>
       Dedup.contamination(Tables.documents(s, dir), col("doc_id") % 25 === 0, k = 3)),
+    // decontamination APPLIED: contaminated docs and the benchmark slice
+    // itself drop; one AQE-sized anti-join against the contaminated set
+    "d19_decontaminate_apply" -> ((s, dir) =>
+      Dedup.applyDecontamination(
+        Tables.documents(s, dir), col("doc_id") % 25 === 0, k = 3)),
     // the full dedup story applied: pairs → clusters → surviving corpus
     "d09_dedup_apply" -> ((s, dir) =>
       Dedup.applyDedup(
@@ -2537,6 +2542,16 @@ object SparkEntry {
            |shared AS (SELECT DISTINCT g.doc_id, g.gram
            |           FROM g JOIN bench b ON g.gram = b.gram AND g.doc_id != b.bench_id)
            |SELECT doc_id, count(*)::BIGINT AS n_shared_grams FROM shared GROUP BY 1""".stripMargin,
+      "d19_decontaminate_apply" ->
+        s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs
+           |            FROM (SELECT doc_id, $toks AS t FROM documents)),
+           |g AS (SELECT doc_id, unnest(gs) AS gram FROM kg),
+           |bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 25 = 0),
+           |cont AS (SELECT DISTINCT g.doc_id
+           |         FROM g JOIN bench b ON g.gram = b.gram AND g.doc_id != b.bench_id)
+           |SELECT d.doc_id FROM documents d
+           |WHERE d.doc_id % 25 != 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
       "d09_dedup_apply" ->
         s"""WITH RECURSIVE $minhashCtes,
            |p AS (SELECT a, b FROM est WHERE est_ppm >= 500000),

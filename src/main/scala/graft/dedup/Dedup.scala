@@ -728,4 +728,21 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Decontamination APPLIED — [[contamination]]'s find step composed
+    * with the removal (the d09 mirror for benchmark leakage): corpus docs
+    * sharing ≥ `minShared` distinct k-grams with the benchmark slice
+    * drop; benchmark rows themselves are not part of the training corpus
+    * and drop too. One AQE-sized left-anti join against the (small by
+    * construction) contaminated set. Output: surviving (doc_id) rows.
+    */
+  def applyDecontamination(docs: DataFrame, benchmarkPred: Column,
+                           k: Int = 8, minShared: Long = 1L): DataFrame = {
+    val contaminated = contamination(docs, benchmarkPred, k)
+      .where(col("n_shared_grams") >= minShared)
+      .select(col("doc_id"))
+    docs.where(!benchmarkPred)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
 }
