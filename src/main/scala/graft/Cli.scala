@@ -40,7 +40,10 @@ object Cli {
       id: String = "__instant__",
       counterType: String = "count",
       targetColumn: Option[String] = Some("*"),
-      targetExpr: Option[String] = None)
+      targetExpr: Option[String] = None,
+      // extension-type parameters (inert for count/ACD)
+      quantilePpm: Long = 500000L,
+      topK: Int = 3)
 
   /** Flag parsing with `GRAFT_<FLAG>` env fallback (the reference's
     * envToFlag). Returns Left(message) on bad usage.
@@ -72,6 +75,14 @@ object Cli {
           case "counter-type" => o = o.copy(counterType = v)
           case "target-column" => o = o.copy(targetColumn = Some(v))
           case "target-expr" => o = o.copy(targetExpr = Some(v), targetColumn = None)
+          case "quantile-ppm" => v.toLongOption match {
+            case Some(q) => o = o.copy(quantilePpm = q)
+            case None => return Left(s"quantile-ppm must be an integer: $v")
+          }
+          case "top-k" => v.toIntOption match {
+            case Some(k) => o = o.copy(topK = k)
+            case None => return Left(s"top-k must be an integer: $v")
+          }
           case other => return Left(s"unknown flag: -$other")
         }
         rest = t
@@ -129,7 +140,8 @@ object Cli {
         AppConfig(None, Seq(CounterDef(
           id = o.id, counterType = ct,
           targetColumn = o.targetColumn, targetExpr = o.targetExpr,
-          windowDuration = toSparkInterval(o.window)))).validate()
+          windowDuration = toSparkInterval(o.window),
+          quantilePpm = o.quantilePpm, topK = o.topK))).validate()
       }
   }
 

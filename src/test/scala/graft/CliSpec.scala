@@ -50,6 +50,25 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parseArgs(Seq("-nope", "x"), Map.empty).isLeft)
   }
 
+  test("extension counter types via flags: quantile-ppm and top-k") {
+    val o = Cli.parseArgs(Seq("-input", "/x", "-id", "p99",
+      "-counter-type", "value_quantile", "-target-column", "value",
+      "-quantile-ppm", "990000"), env = Map.empty).toOption.get
+    val c = Cli.resolveConfig(o).toOption.get.counters.head
+    assert(c.counterType == CounterType.ValueQuantile)
+    assert(c.quantilePpm == 990000L)
+    val h = Cli.parseArgs(Seq("-input", "/x", "-counter-type", "heavy_hitters",
+      "-target-column", "user_id", "-top-k", "5"), env = Map.empty).toOption.get
+    assert(Cli.resolveConfig(h).toOption.get.counters.head.topK == 5)
+    // the instant default ('*') is illegal for extension types — the
+    // validation error surfaces at resolve, like the reference's
+    assert(Cli.resolveConfig(Cli.parseArgs(
+      Seq("-input", "/x", "-counter-type", "value_quantile"),
+      env = Map.empty).toOption.get).isLeft)
+    assert(Cli.parseArgs(Seq("-input", "/x", "-quantile-ppm", "soon"),
+      env = Map.empty).isLeft)
+  }
+
   test("target-expr flag switches off the default column") {
     val o = Cli.parseArgs(Seq("-input", "/x", "-target-expr", "user_id > 5"),
       env = Map.empty).toOption.get
