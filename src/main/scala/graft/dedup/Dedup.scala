@@ -222,7 +222,12 @@ object Dedup {
     */
   def minhashCalibration(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
                          bands: Int = 16, tauPpm: Long = 300000L): DataFrame = {
+    // the candidate table feeds BOTH the semi-join and the final join —
+    // without a checkpoint the whole LSH pipeline (shingle → minhash →
+    // band join) re-executes per consumer (measured 2× wall-clock); lazy
+    // localCheckpoint materializes it once, and it is small by LSH design
     val est = minhashLshPairs(docs, k, numHashes, bands, tauPpm)
+      .localCheckpoint(eager = false)
     val candDocs = est.select(col("a").as("doc_id"))
       .union(est.select(col("b").as("doc_id"))).distinct()
     val sh = shingles(docs, k).join(candDocs, Seq("doc_id"), "left_semi")
