@@ -454,7 +454,7 @@ object Dedup {
     // labels only ever decrease, so an unchanged label SUM means fixpoint —
     // a one-row aggregate per round instead of a change-detection join
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).head.getLong(0)
+      df.agg(sum(col("component"))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -503,7 +503,7 @@ object Dedup {
       e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
     // one tiny action per round: (edge count, order-independent checksum)
     def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head
+      val r = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     // lazy: the checksum probe materializes the checkpoint in the same job

@@ -199,7 +199,7 @@ object JqTransform {
     // like the per-record path). Order keys ride OUTSIDE the payload so
     // sorting is by them alone; sort_array is a partition-local sort of
     // an already-grouped array — no extra shuffle beyond the groupBy.
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val keyed = struct(
       orderCols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") } :+
         payload.as("__p"): _*)
