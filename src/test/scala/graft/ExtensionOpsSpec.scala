@@ -688,6 +688,47 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(rows == Map((1L, 2L) -> (1L, 15L)), s"got $rows")
   }
 
+  test("substringRuns: differential vs brute-force maximal-run reference") {
+    // small random corpora with planted overlaps; the distributed
+    // diagonal-join result must equal a per-pair brute-force scan
+    val k = 3; val minTokens = 4
+    val rng = new scala.util.Random(20260814)
+    def randDoc(vocab: Int, n: Int): Array[String] =
+      Array.fill(n)(s"w${rng.nextInt(vocab)}")
+    for (trial <- 1 to 5) {
+      val docs = (1L to 6L).map { id =>
+        val base = randDoc(8, 12 + rng.nextInt(10))
+        (id, base.mkString(" "))
+      }
+      val toksBy = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      // brute force: maximal matching-gram runs per (pair, diagonal)
+      val expected = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      for (a <- docs.map(_._1); b <- docs.map(_._1) if a < b) {
+        val ta = toksBy(a); val tb = toksBy(b)
+        val ga = ta.sliding(k).map(_.mkString(" ")).toArray
+        val gb = tb.sliding(k).map(_.mkString(" ")).toArray
+        var runs = List.empty[Int] // run token lengths
+        for (diag <- -(gb.length - 1) to (ga.length - 1)) {
+          var i = math.max(0, diag); var cur = 0
+          while (i < ga.length && (i - diag) < gb.length) {
+            if (ga(i) == gb(i - diag)) cur += 1
+            else { if (cur > 0) runs ::= cur + k - 1; cur = 0 }
+            i += 1
+          }
+          if (cur > 0) runs ::= cur + k - 1
+        }
+        val qualifying = runs.filter(_ >= minTokens)
+        if (qualifying.nonEmpty)
+          expected((a, b)) = (qualifying.length.toLong, qualifying.max.toLong)
+      }
+      val got = Dedup.substringRuns(docs.toDF("doc_id", "text"),
+          k = k, minTokens = minTokens, maxOcc = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got == expected.toMap, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("substringRuns: two disjoint runs count separately; occ-cap kills boilerplate") {
     import graft.dedup.Dedup
     def words(prefix: String, n: Int): String =
