@@ -664,6 +664,10 @@ object SparkEntry {
     // only (doc_id, counts) shuffle — the tokenizer-health read
     "t27_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(Tables.documents(s, dir))),
+    // the CCNet/C4 filter chain end-to-end: langid agreement + Gopher
+    // rules + LM-perplexity band, one keep verdict per doc
+    "t28_ccnet_pipeline" -> ((s, dir) =>
+      TextAnalysis.ccnetPipeline(Tables.documents(s, dir))),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -2139,6 +2143,54 @@ object SparkEntry {
            |       sum(bits)::BIGINT AS total_bits,
            |       (sum(bits) * 1000000 // count(*))::BIGINT AS mean_bits_ppm
            |FROM bits GROUP BY 1""".stripMargin,
+      // t28: the t03 + t26 + t25 verdicts composed — one keep per doc;
+      // docs too short for bigrams drop with the LM verdict
+      "t28_ccnet_pipeline" ->
+        s"""WITH s AS (SELECT doc_id,
+           |  len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','von','mit','den','ein','nicht'], t)))::BIGINT AS s_de,
+           |  len(list_filter($toks, t -> list_contains($enStop, t)))::BIGINT AS s_en,
+           |  len(list_filter($toks, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))::BIGINT AS s_es,
+           |  len(list_filter($toks, t -> list_contains(['le','la','de','et','les','des','un','une','du','dans'], t)))::BIGINT AS s_fr,
+           |  len(list_filter($toks, t -> list_contains(['de','shi','le','zai','you','wo','ta','men','zhe','na'], t)))::BIGINT AS s_zh
+           |  FROM documents),
+           |langid AS (SELECT doc_id,
+           |  CASE WHEN g = 0 THEN 'und' WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+           |       WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang,
+           |  g FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)),
+           |lok AS (SELECT d.doc_id,
+           |  (l.pred_lang = d.lang AND l.g > 0)::BIGINT AS lang_ok
+           |  FROM documents d JOIN langid l USING (doc_id)),
+           |gm AS (SELECT doc_id, len(t)::BIGINT AS n,
+           |    greatest(length(text) - (len(t) - 1), 0)::BIGINT AS wc,
+           |    len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::BIGINT AS na,
+           |    len(list_filter(list_distinct(t),
+           |        w -> list_contains($enStop, w)))::BIGINT AS ns
+           |  FROM (SELECT doc_id, text, $toks AS t FROM documents)),
+           |rules AS (SELECT doc_id,
+           |  ((n >= 50 AND n <= 100000)
+           |    AND ((wc * 1000000 // greatest(n, 1)) BETWEEN 3000000 AND 10000000)
+           |    AND (na * 1000000 // greatest(n, 1)) >= 800000
+           |    AND ns >= 2)::BIGINT AS rules_ok FROM gm),
+           |tr AS (SELECT doc_id,
+           |    ${h60("'lm2:' || g")} AS g2,
+           |    ${h60("'lm1:' || string_split(g, ' ')[1]")} AS g1
+           |  FROM (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> t[i]||' '||t[i+1])) AS g
+           |    FROM (SELECT doc_id, $toks AS t FROM documents))),
+           |big AS (SELECT g2, count(*) AS c2 FROM tr GROUP BY 1),
+           |pre AS (SELECT g1, count(*) AS c1 FROM tr GROUP BY 1),
+           |voc AS (SELECT count(DISTINCT w) AS v FROM (
+           |  SELECT unnest($toks) AS w FROM documents)),
+           |ppl AS (SELECT doc_id,
+           |    (sum((length(bin((c1+v)::BIGINT))-1) - (length(bin((c2+1)::BIGINT))-1))
+           |      * 1000000 // count(*))::BIGINT AS mb
+           |  FROM tr JOIN big USING (g2) JOIN pre USING (g1), voc GROUP BY 1),
+           |pok AS (SELECT doc_id,
+           |  (mb BETWEEN 1000000 AND 4500000)::BIGINT AS ppl_ok FROM ppl)
+           |SELECT doc_id, lang_ok, rules_ok, ppl_ok,
+           |  (lang_ok + rules_ok + ppl_ok = 3)::BIGINT AS keep
+           |FROM lok JOIN rules USING (doc_id) JOIN pok USING (doc_id)""".stripMargin,
       // t26: Gopher Appendix-A rules; word chars = chars − separators on
       // the single-space corpus, ppm floors throughout
       "t26_gopher_rules" ->

@@ -467,6 +467,41 @@ object TextAnalysis {
           col("fail_alpha") + col("fail_stop_distinct") === 0).cast("long"))
   }
 
+  /** The CCNet/C4 filter chain END-TO-END (Wenzek et al. 2020 §4: langid →
+    * quality rules → LM-perplexity band) composed as ONE verdict per doc —
+    * the pipeline a corpus actually ships through, not three separate
+    * reads:
+    *
+    *  - `lang_ok`  — predicted language matches the doc's claimed `lang`
+    *    with a non-zero stopword score ([[languageId]]);
+    *  - `rules_ok` — the Gopher battery passes ([[gopherRules]]);
+    *  - `ppl_ok`   — mean transition cost within [minBits, maxBits] ppm
+    *    ([[lmPerplexity]]; CCNet keeps the LOW-perplexity head but drops
+    *    the degenerate ultra-repetitive floor, hence a band);
+    *  - `keep`     — all three.
+    *
+    * Scale shape: the three verdicts join on doc_id — lmPerplexity's
+    * digest joins dominate; langid/rules are shuffle-free projections
+    * whose doc_id join rides the same AQE exchange. Docs too short for
+    * bigrams (no LM verdict) drop, like the empty-stream rule.
+    */
+  def ccnetPipeline(docs: DataFrame,
+                    minBitsPpm: Long = 1000000L,
+                    maxBitsPpm: Long = 4500000L): DataFrame = {
+    val lang = languageId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("pred_lang") === col("lang") && col("lang_score") > 0)
+          .cast("long").as("lang_ok"))
+    val rules = gopherRules(docs).select(col("doc_id"), col("pass").as("rules_ok"))
+    val ppl = lmPerplexity(docs).select(col("doc_id"),
+      (col("mean_bits_ppm") >= minBitsPpm && col("mean_bits_ppm") <= maxBitsPpm)
+        .cast("long").as("ppl_ok"))
+    lang.join(rules, Seq("doc_id")).join(ppl, Seq("doc_id"))
+      .withColumn("keep",
+        (col("lang_ok") + col("rules_ok") + col("ppl_ok") === 3).cast("long"))
+  }
+
   /** Deterministic stratified sampling — the reproducible-data-mix
     * primitive: a document is kept iff its 60-bit md5 sampling coordinate
     * (`md5("sample:" ++ doc_id) % 10⁶`) falls below its language's rate
