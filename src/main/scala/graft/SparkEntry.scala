@@ -668,6 +668,11 @@ object SparkEntry {
     // rules + LM-perplexity band, one keep verdict per doc
     "t28_ccnet_pipeline" -> ((s, dir) =>
       TextAnalysis.ccnetPipeline(Tables.documents(s, dir))),
+    // the whole training-data pipeline in ONE call: exact dedup -> CCNet
+    // filter -> stratified sample -> token-budget shard packing; output
+    // is the packed set's per-shard accounting
+    "t29_training_pipeline" -> ((s, dir) =>
+      graft.pipeline.TrainingData.run(Tables.documents(s, dir), budget = 2000L)),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -2006,6 +2011,51 @@ object SparkEntry {
          |est AS (SELECT a, b,
          |  (len(list_filter(generate_series(1, 64), i -> sa.sig[i] = sb.sig[i])) * 1000000 // 64)::BIGINT AS est_ppm
          |  FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id)""".stripMargin
+    // the CCNet verdict CTEs (t03 langid + t26 rules + t25 perplexity
+    // verdicts), shared by t28 and the t29 pipeline composition
+    val ccnetCtes =
+      s"""s AS (SELECT doc_id,
+       |  len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','von','mit','den','ein','nicht'], t)))::BIGINT AS s_de,
+       |  len(list_filter($toks, t -> list_contains($enStop, t)))::BIGINT AS s_en,
+       |  len(list_filter($toks, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))::BIGINT AS s_es,
+       |  len(list_filter($toks, t -> list_contains(['le','la','de','et','les','des','un','une','du','dans'], t)))::BIGINT AS s_fr,
+       |  len(list_filter($toks, t -> list_contains(['de','shi','le','zai','you','wo','ta','men','zhe','na'], t)))::BIGINT AS s_zh
+       |  FROM documents),
+       |langid AS (SELECT doc_id,
+       |  CASE WHEN g = 0 THEN 'und' WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+       |       WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang,
+       |  g FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)),
+       |lok AS (SELECT d.doc_id,
+       |  (l.pred_lang = d.lang AND l.g > 0)::BIGINT AS lang_ok
+       |  FROM documents d JOIN langid l USING (doc_id)),
+       |gm AS (SELECT doc_id, len(t)::BIGINT AS n,
+       |    greatest(length(text) - (len(t) - 1), 0)::BIGINT AS wc,
+       |    len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::BIGINT AS na,
+       |    len(list_filter(list_distinct(t),
+       |        w -> list_contains($enStop, w)))::BIGINT AS ns
+       |  FROM (SELECT doc_id, text, $toks AS t FROM documents)),
+       |rules AS (SELECT doc_id,
+       |  ((n >= 50 AND n <= 100000)
+       |    AND ((wc * 1000000 // greatest(n, 1)) BETWEEN 3000000 AND 10000000)
+       |    AND (na * 1000000 // greatest(n, 1)) >= 800000
+       |    AND ns >= 2)::BIGINT AS rules_ok FROM gm),
+       |tr AS (SELECT doc_id,
+       |    ${h60("'lm2:' || g")} AS g2,
+       |    ${h60("'lm1:' || string_split(g, ' ')[1]")} AS g1
+       |  FROM (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(t)-1),
+       |      i -> t[i]||' '||t[i+1])) AS g
+       |    FROM (SELECT doc_id, $toks AS t FROM documents))),
+       |big AS (SELECT g2, count(*) AS c2 FROM tr GROUP BY 1),
+       |pre AS (SELECT g1, count(*) AS c1 FROM tr GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT w) AS v FROM (
+       |  SELECT unnest($toks) AS w FROM documents)),
+       |ppl AS (SELECT doc_id,
+       |    (sum((length(bin((c1+v)::BIGINT))-1) - (length(bin((c2+1)::BIGINT))-1))
+       |      * 1000000 // count(*))::BIGINT AS mb
+       |  FROM tr JOIN big USING (g2) JOIN pre USING (g1), voc GROUP BY 1),
+       |pok AS (SELECT doc_id,
+       |  (mb BETWEEN 1000000 AND 4500000)::BIGINT AS ppl_ok FROM ppl)""".stripMargin
     Map(
       "t01_token_count" ->
         s"""SELECT doc_id, len($toks)::BIGINT AS n_tokens,
@@ -2146,51 +2196,34 @@ object SparkEntry {
       // t28: the t03 + t26 + t25 verdicts composed — one keep per doc;
       // docs too short for bigrams drop with the LM verdict
       "t28_ccnet_pipeline" ->
-        s"""WITH s AS (SELECT doc_id,
-           |  len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','von','mit','den','ein','nicht'], t)))::BIGINT AS s_de,
-           |  len(list_filter($toks, t -> list_contains($enStop, t)))::BIGINT AS s_en,
-           |  len(list_filter($toks, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))::BIGINT AS s_es,
-           |  len(list_filter($toks, t -> list_contains(['le','la','de','et','les','des','un','une','du','dans'], t)))::BIGINT AS s_fr,
-           |  len(list_filter($toks, t -> list_contains(['de','shi','le','zai','you','wo','ta','men','zhe','na'], t)))::BIGINT AS s_zh
-           |  FROM documents),
-           |langid AS (SELECT doc_id,
-           |  CASE WHEN g = 0 THEN 'und' WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
-           |       WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang,
-           |  g FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)),
-           |lok AS (SELECT d.doc_id,
-           |  (l.pred_lang = d.lang AND l.g > 0)::BIGINT AS lang_ok
-           |  FROM documents d JOIN langid l USING (doc_id)),
-           |gm AS (SELECT doc_id, len(t)::BIGINT AS n,
-           |    greatest(length(text) - (len(t) - 1), 0)::BIGINT AS wc,
-           |    len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::BIGINT AS na,
-           |    len(list_filter(list_distinct(t),
-           |        w -> list_contains($enStop, w)))::BIGINT AS ns
-           |  FROM (SELECT doc_id, text, $toks AS t FROM documents)),
-           |rules AS (SELECT doc_id,
-           |  ((n >= 50 AND n <= 100000)
-           |    AND ((wc * 1000000 // greatest(n, 1)) BETWEEN 3000000 AND 10000000)
-           |    AND (na * 1000000 // greatest(n, 1)) >= 800000
-           |    AND ns >= 2)::BIGINT AS rules_ok FROM gm),
-           |tr AS (SELECT doc_id,
-           |    ${h60("'lm2:' || g")} AS g2,
-           |    ${h60("'lm1:' || string_split(g, ' ')[1]")} AS g1
-           |  FROM (SELECT doc_id,
-           |    unnest(list_transform(generate_series(1, len(t)-1),
-           |      i -> t[i]||' '||t[i+1])) AS g
-           |    FROM (SELECT doc_id, $toks AS t FROM documents))),
-           |big AS (SELECT g2, count(*) AS c2 FROM tr GROUP BY 1),
-           |pre AS (SELECT g1, count(*) AS c1 FROM tr GROUP BY 1),
-           |voc AS (SELECT count(DISTINCT w) AS v FROM (
-           |  SELECT unnest($toks) AS w FROM documents)),
-           |ppl AS (SELECT doc_id,
-           |    (sum((length(bin((c1+v)::BIGINT))-1) - (length(bin((c2+1)::BIGINT))-1))
-           |      * 1000000 // count(*))::BIGINT AS mb
-           |  FROM tr JOIN big USING (g2) JOIN pre USING (g1), voc GROUP BY 1),
-           |pok AS (SELECT doc_id,
-           |  (mb BETWEEN 1000000 AND 4500000)::BIGINT AS ppl_ok FROM ppl)
+        s"""WITH $ccnetCtes
            |SELECT doc_id, lang_ok, rules_ok, ppl_ok,
            |  (lang_ok + rules_ok + ppl_ok = 3)::BIGINT AS keep
            |FROM lok JOIN rules USING (doc_id) JOIN pok USING (doc_id)""".stripMargin,
+      // t29: the composed pipeline — keepers ∩ keep ∩ sample draw, then
+      // the t19 packing cumsum over the survivor set at budget 2000
+      "t29_training_pipeline" ->
+        s"""WITH $ccnetCtes,
+           |keep AS (SELECT l.doc_id FROM lok l
+           |         JOIN rules USING (doc_id) JOIN pok USING (doc_id)
+           |         WHERE lang_ok + rules_ok + ppl_ok = 3),
+           |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |sel AS (SELECT d.doc_id, len($toks)::BIGINT AS n
+           |        FROM documents d
+           |        JOIN keepers USING (doc_id)
+           |        JOIN keep USING (doc_id)
+           |        WHERE (('0x' || substr(md5('sample:' || d.doc_id), 1, 15))::BIGINT
+           |               % 1000000) <
+           |          CASE d.lang WHEN 'en' THEN 900000 WHEN 'de' THEN 600000
+           |               WHEN 'es' THEN 600000 WHEN 'fr' THEN 600000
+           |               WHEN 'zh' THEN 300000 ELSE 500000 END),
+           |c AS (SELECT doc_id, n,
+           |      coalesce(sum(n) OVER (ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           |      FROM sel)
+           |SELECT (pre // 2000)::BIGINT AS shard_id, count(*)::BIGINT AS n_docs,
+           | sum(n)::BIGINT AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY 1""".stripMargin,
       // t26: Gopher Appendix-A rules; word chars = chars − separators on
       // the single-space corpus, ppm floors throughout
       "t26_gopher_rules" ->

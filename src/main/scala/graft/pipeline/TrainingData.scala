@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.textops.TextAnalysis
+
+/** The training-data pipeline a corpus actually ships through, as ONE
+  * composable call — the capstone over the per-stage operators, in their
+  * canonical order (the C4/CCNet/Gopher pipelines all run this sequence):
+  *
+  *  1. EXACT DEDUP — first occurrence per content digest survives
+  *     ([[Dedup.exactGroups]] keepers; near-dup variants slot in by
+  *     swapping this stage for [[Dedup.applyDedup]]);
+  *  2. QUALITY FILTER — the end-to-end CCNet chain verdict
+  *     ([[TextAnalysis.ccnetPipeline]]: langid agreement + Gopher rules +
+  *     LM-perplexity band), computed over the FULL corpus — the LM and
+  *     vocabulary are trained on raw data, then documents are judged;
+  *  3. SAMPLING — deterministic stratified per-language rates
+  *     ([[TextAnalysis.stratifiedSample]]), hash-based so the same mix
+  *     reproduces on any engine or cluster size;
+  *  4. PACKING — contiguous ≈`budget`-token shards over the survivor set
+  *     ([[TextAnalysis.shardPacking]], two-level cumsum, no global sort).
+  *
+  * Scale shape: stages 1–3 communicate doc-id sets only (left-semi joins,
+  * AQE-sized); raw text is re-read from the source per stage and never
+  * shuffles except where the stage itself requires it (the LM digest
+  * joins, the packing range partition). Output: per-shard accounting
+  * (shard_id, n_docs, n_tokens, first_doc, last_doc) for the packed
+  * training set.
+  */
+object TrainingData {
+
+  val DefaultRatesPpm: Map[String, Long] = Map(
+    "en" -> 900000L, "de" -> 600000L, "es" -> 600000L,
+    "fr" -> 600000L, "zh" -> 300000L)
+
+  def run(docs: DataFrame,
+          ratesPpm: Map[String, Long] = DefaultRatesPpm,
+          budget: Long = 50000L): DataFrame = {
+    val keepers = Dedup.exactGroups(docs)
+      .select(col("keeper_id").as("doc_id"))
+    val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val kept = deduped.join(
+      TextAnalysis.ccnetPipeline(docs).where(col("keep") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val sampled = kept.join(
+      TextAnalysis.stratifiedSample(kept, ratesPpm).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    TextAnalysis.shardPacking(sampled, budget)
+  }
+}
