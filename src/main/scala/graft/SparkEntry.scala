@@ -861,6 +861,11 @@ object SparkEntry {
     // broadcast into the corpus scan, raw vectors never shuffle
     "s13_ivfpq_rerank" -> ((s, dir) =>
       Ann.ivfPqRerankTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // metadata-filtered exact search (vector-DB filtered search,
+    // PRE-filter): neighbors must be lang='en' docs; ids-only semi-join
+    "s14_filtered_ann" -> ((s, dir) =>
+      Ann.filteredTopK(Tables.embeddings(s, dir), Tables.documents(s, dir),
+        col("vec_id") % 50 === 0, col("lang") === "en")),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -2699,6 +2704,18 @@ object SparkEntry {
           |SELECT a.vec_id, a.cell FROM asg a ANTI JOIN drops d ON a.vec_id = d.vec_id"""
           .stripMargin,
       "s08_ivfpq_search" -> s08Sql(5),
+      // s14: s01 with the corpus side pre-filtered to lang='en' doc ids
+      "s14_filtered_ann" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+          |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) AS rank
+          |  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+          |  JOIN allowed a ON a.doc_id = e.vec_id)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored
+          |WHERE rank <= 5""".stripMargin,
       // s13: s08's pipeline with a 20-deep shortlist, then exact-cosine
       // re-rank of just those candidates — the refine must reproduce the
       // Spark (cosine desc, neighbor_id) order exactly

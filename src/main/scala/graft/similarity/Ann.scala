@@ -79,6 +79,40 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Metadata-FILTERED exact top-k (the vector-DB "filtered search"
+    * staple, PRE-filter strategy): neighbors must satisfy `metaPred` over
+    * the metadata table (joined on vec_id = doc_id), evaluated BEFORE any
+    * scoring — the predicate prunes the corpus via a left-semi join on
+    * ids, so disallowed vectors never reach the distance kernel and k is
+    * guaranteed full from allowed candidates (a POST-filter over an
+    * unfiltered top-k under-fills k at low selectivity — the classic
+    * trade-off; pre-filter is exact by construction). Queries come from
+    * the UNFILTERED corpus: a query document need not pass the filter.
+    *
+    * Scale shape: the metadata predicate runs on the narrow meta table;
+    * only ids cross the semi-join; the same semi-joined-corpus composition
+    * slots in front of the IVF/PQ index paths when the filter is known at
+    * index-build time. Output: (query_id, rank, neighbor_id), the
+    * [[bruteForceTopK]] contract.
+    */
+  def filteredTopK(embeddings: DataFrame, meta: DataFrame, queryPred: Column,
+                   metaPred: Column, k: Int = 5): DataFrame = {
+    val corpusAll = normalize(embeddings, "vec_id")
+    val allowed = meta.where(metaPred).select(col("doc_id").as("vec_id"))
+    val corpus = corpusAll.join(allowed, Seq("vec_id"), "left_semi")
+    val queries = corpusAll.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val cos = (dotCol("qv", "v") / (col("qnorm") * col("norm"))).as("cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(queries)
+      .join(corpus, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** A driver-local centroid: (cell, vector, norm). The centroid set of a
     * coarse quantizer is tiny (k × dim doubles) — holding it on the
     * driver and unrolling it into expressions is the iterative-ML

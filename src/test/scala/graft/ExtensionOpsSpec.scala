@@ -748,6 +748,24 @@ class ExtensionOpsSpec extends SparkTestBase {
       "grams above the occurrence cap must not generate candidates")
   }
 
+  test("filteredTopK: neighbors all satisfy the filter; pre-filter fills k") {
+    import graft.similarity.Ann
+    val docs = Tables.documents(spark, sf0001)
+    val allowed = docs.where(col("lang") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val out = Ann.filteredTopK(embeddings, docs,
+      col("vec_id") % 50 === 0, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every neighbor passes the metadata filter — the pre-filter guarantee
+    assert(out.forall { case (_, _, n) => allowed.contains(n) })
+    // ranks are full 1..5 per query (k fills from allowed candidates)
+    val perQ = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(perQ.values.forall(_ == Set(1L, 2L, 3L, 4L, 5L)), s"$perQ")
+    // queries need NOT pass the filter: non-en queries still search
+    assert(perQ.keySet.exists(q => !allowed.contains(q)),
+      "fixture should include non-en queries")
+  }
+
   test("ivfPqRerankTopK: refine over a wide shortlist recovers brute-force order") {
     import graft.similarity.Ann
     val pred = col("vec_id") % 50 === 0
