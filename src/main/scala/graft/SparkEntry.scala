@@ -482,6 +482,10 @@ object SparkEntry {
     // DECIMAL(38,0) cross-multiply, scale-free relative threshold
     "h22_important_parts" -> ((s, dir) =>
       graft.relational.Relational.importantParts(Tables.lineitem(s, dir))),
+    // CUBE over the pricing-summary dims: detail + both margins + grand
+    // total in one Expand pass, grouping_id disambiguation
+    "h24_revenue_cube" -> ((s, dir) =>
+      graft.relational.Relational.revenueCube(Tables.lineitem(s, dir))),
     // skew-salted equi-join (the manual hot-key escape hatch): salting
     // must be INVISIBLE — the aggregate equals the plain join's
     "h23_salted_join" -> ((s, dir) =>
@@ -1702,6 +1706,11 @@ object SparkEntry {
           |FROM supplier JOIN dom ON s_suppkey = l_suppkey""".stripMargin,
       // h22: the per-part aggregate joins a 1-row (total, n) scalar;
       // HUGEINT is DuckDB's DECIMAL(38,0) stand-in for the cross-multiply
+      "h24_revenue_cube" ->
+        """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_lines,
+          | sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS rev_cents,
+          | GROUPING_ID(l_returnflag, l_linestatus)::BIGINT AS grp
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
       "h23_salted_join" ->
         """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
           | sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS rev_cents

@@ -629,6 +629,21 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_parts"))
   }
 
+  /** CUBE over the pricing-summary dimensions — the all-subtotals
+    * companion to the rollup face ([[graft.textops.TextAnalysis.mixtureRollup]]
+    * covers ROLLUP/grouping-sets): detail, each single-dimension margin,
+    * and the grand total in ONE Expand+aggregate pass (2^dims group
+    * replicas per row, still map-side combinable), `grouping_id`
+    * disambiguating the level exactly as both engines number it
+    * (2·g(flag)+g(status)). Money stays integer cents.
+    */
+  def revenueCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        grouping_id().as("grp"))
+
   /** Skew-salted equi-join — the MANUAL skew-mitigation primitive for the
     * case AQE's skew-join can't fix (a single hot key whose post-split
     * partitions still hash to one reducer because the SAME key value
