@@ -677,6 +677,19 @@ object SparkEntry {
     // is the packed set's per-shard accounting
     "t29_training_pipeline" -> ((s, dir) =>
       graft.pipeline.TrainingData.run(Tables.documents(s, dir), budget = 2000L)),
+    // broadcast-model STREAM scoring: DSIR lambda trained batch-side,
+    // shipped into the stream as a literal — scoring is a stateless
+    // projection whose rows must hash-match the batch operator exactly
+    "t30_stream_dsir_parity" -> ((s, dir) => {
+      val lam = TextAnalysis.dsirLambda(Tables.documents(s, dir))
+      val out = graft.streaming.StreamingText.dsirScoreStream(
+        Tables.documentsStream(s, dir), lam)
+      val sink = "t30_stream_dsir_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -2168,6 +2181,26 @@ object SparkEntry {
       // t24: DSIR — add-one-smoothed floor-log2 likelihood ratios per
       // hashed bigram bucket; bin() floor-log2 is identical cross-engine
       "t24_dsir_score" ->
+        s"""WITH bg AS (SELECT doc_id, ist,
+           |    ${h60("'dsir:' || g")} % 1024 AS b
+           |  FROM (SELECT doc_id, lang = 'en' AS ist,
+           |    unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> t[i]||' '||t[i+1])) AS g
+           |    FROM (SELECT doc_id, lang, $toks AS t FROM documents))),
+           |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+           |tb AS (SELECT b, count(*) AS cr,
+           |       sum(CASE WHEN ist THEN 1 ELSE 0 END) AS ct FROM bg GROUP BY 1),
+           |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM tb),
+           |lam AS (SELECT b,
+           |    (length(bin((ct+1)::BIGINT))-1) - (length(bin((cr+1)::BIGINT))-1)
+           |  + (length(bin((tr+1024)::BIGINT))-1) - (length(bin((tt+1024)::BIGINT))-1)
+           |    AS lam
+           |  FROM tb, tot)
+           |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+           |       sum(n * lam)::BIGINT AS score_bits
+           |FROM db JOIN lam USING (b) GROUP BY 1""".stripMargin,
+      // t30: stateless stream face — FULL parity with t24's SQL
+      "t30_stream_dsir_parity" ->
         s"""WITH bg AS (SELECT doc_id, ist,
            |    ${h60("'dsir:' || g")} % 1024 AS b
            |  FROM (SELECT doc_id, lang = 'en' AS ist,

@@ -74,6 +74,16 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spread(load(spark, sfDir, "documents"))
 
+  /** Streaming twin of [[documents]] (same glob-anchored file-stream
+    * trick as [[eventsStream]]) — feeds the ingest-time scoring parity
+    * queries. No spread: stateless stream projections parallelize by
+    * micro-batch file splits.
+    */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = load(spark, sfDir, "documents").schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/{documents}.parquet")
+  }
+
   /** Repartition ONLY when the scan underfills the cluster — the local
     * single-file fixtures plan one task; a production-scale source is
     * already maxPartitionBytes-split and must not be re-shuffled just to

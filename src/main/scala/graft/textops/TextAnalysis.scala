@@ -329,6 +329,42 @@ object TextAnalysis {
         sum(col("n") * col("lam")).as("score_bits"))
   }
 
+  /** The trained DSIR model as a driver-local array: λ[bucket] for every
+    * hashed-bigram bucket (the same add-one floor-log2 likelihood ratios
+    * [[dsirScore]] joins per doc). `buckets` longs — the broadcast-model
+    * shape: train once in batch, ship the array into a stream's scoring
+    * projection ([[graft.streaming.StreamingText.dsirScoreStream]]) or
+    * any other engine. Collect is `buckets`-bounded (the k-means
+    * control-loop convention).
+    */
+  def dsirLambda(docs: DataFrame, targetPred: Column = col("lang") === "en",
+                 buckets: Int = 1024): Array[Long] = {
+    val bg = withTokens(docs)
+      .select(col("doc_id"), targetPred.as("__is_t"),
+        explode(kgrams(col("__toks"), 2)).as("g"))
+      .select(col("__is_t"),
+        (graft.functions.PortableHash.md5Long60(concat(lit("dsir:"), col("g")))
+          % lit(buckets.toLong)).as("b"))
+    val table = bg.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = table.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    def fl2(c: Column): Column = (length(bin(c.cast("long"))) - 1).cast("long")
+    val rows = table.crossJoin(broadcast(totals)).select(
+      col("b"),
+      (fl2(col("ct") + 1) - fl2(col("cr") + 1)
+        + fl2(col("tr") + lit(buckets.toLong))
+        - fl2(col("tt") + lit(buckets.toLong))).as("lam"))
+      .collect()
+    // absent buckets carry the all-smoothing ratio: FL2(1)−FL2(1)+Δtot
+    val totRow = totals.collect().head
+    val base = (63 - java.lang.Long.numberOfLeadingZeros(totRow.getLong(0) + buckets)) -
+      (63 - java.lang.Long.numberOfLeadingZeros(totRow.getLong(1) + buckets))
+    val lam = Array.fill(buckets)(base.toLong)
+    rows.foreach(r => lam(r.getLong(0).toInt) = r.getLong(1))
+    lam
+  }
+
   /** Per-document n-gram language-model perplexity proxy (the CCNet
     * quality filter — Wenzek et al. 2020 score documents by a KenLM
     * perplexity and keep the low tail; here the LM is a bigram model with

@@ -563,6 +563,34 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(rows.map(_._1).toSeq == Seq("ab", "ba", "xy"))
   }
 
+  test("dsirLambda + stream scoring: unseen docs score via the broadcast model") {
+    import graft.streaming.StreamingText
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "one two three four five six"
+    val train = Seq((1L, a, "en"), (2L, a, "en"), (3L, b, "de"), (4L, b, "de"))
+      .toDF("doc_id", "text", "lang")
+    val lam = TextAnalysis.dsirLambda(train)
+    assert(lam.length == 1024)
+    // scoring is a pure projection usable on ANY frame — here a batch
+    // stand-in for the stream, including a doc the model never saw
+    val fresh = Seq((10L, a), (11L, b), (12L, "alpha beta unseen pair"))
+      .toDF("doc_id", "text")
+    val rows = StreamingText.dsirScoreStream(fresh, lam)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(10L)._2 > rows(11L)._2,
+      s"target-vocabulary doc must outscore: $rows")
+    // unseen bigrams hit absent buckets, which carry the all-smoothing
+    // base ratio — defined, not an error
+    assert(rows.contains(12L))
+    // parity with the batch operator on the training corpus itself
+    val batch = TextAnalysis.dsirScore(train)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = StreamingText.dsirScoreStream(
+      train.select(col("doc_id"), col("text")), lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
+
   test("dsirScore: target-like docs outrank off-target; scores are integer bits") {
     // target slice (en) speaks vocabulary A; the off-target slice speaks B.
     // A held-out en-vocabulary doc must outscore a B-vocabulary doc of the
