@@ -883,6 +883,10 @@ object SparkEntry {
     "s14_filtered_ann" -> ((s, dir) =>
       Ann.filteredTopK(Tables.embeddings(s, dir), Tables.documents(s, dir),
         col("vec_id") % 50 === 0, col("lang") === "en")),
+    // exact MIPS top-k: dot-product ranking (the dual-encoder score),
+    // left-to-right summation so order reproduces cross-engine
+    "s15_mips_topk" -> ((s, dir) =>
+      Ann.mipsTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -2746,6 +2750,18 @@ object SparkEntry {
           |SELECT a.vec_id, a.cell FROM asg a ANTI JOIN drops d ON a.vec_id = d.vec_id"""
           .stripMargin,
       "s08_ivfpq_search" -> s08Sql(5),
+      // s15: list_inner_product sums left-to-right like vec_dot
+      "s15_mips_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id,
+          |           list_transform(embedding, x -> x::DOUBLE) AS qe
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY list_inner_product(qe,
+          |      list_transform(e.embedding, x -> x::DOUBLE)) DESC, e.vec_id) AS rank
+          |  FROM q JOIN embeddings e ON e.vec_id != q.query_id)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored
+          |WHERE rank <= 5""".stripMargin,
       // s14: s01 with the corpus side pre-filtered to lang='en' doc ids
       "s14_filtered_ann" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

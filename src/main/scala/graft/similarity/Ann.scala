@@ -79,6 +79,32 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Exact MIPS top-k — maximum INNER-PRODUCT search, the ranking
+    * retrieval models actually train for (dual-encoder/DPR scores are
+    * dot products; cosine's norm division changes the ranking whenever
+    * norms vary). Same broadcast-queries shape as [[bruteForceTopK]],
+    * ranking by `vec_dot` alone — left-to-right summation, so the score
+    * and its order reproduce bit-for-bit cross-engine. The sub-quadratic
+    * path composes like cosine's: MIPS reduces to cosine on the
+    * norm-augmented corpus (the Shrivastava–Li ALSH transform), so the
+    * IVF/LSH machinery above applies untouched after augmentation.
+    * Output: (query_id, rank, neighbor_id), rank by (dot desc, id asc).
+    */
+  def mipsTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dot").desc, col("neighbor_id").asc)
+    broadcast(queries)
+      .join(corpus, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotCol("qv", "v").as("__dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Metadata-FILTERED exact top-k (the vector-DB "filtered search"
     * staple, PRE-filter strategy): neighbors must satisfy `metaPred` over
     * the metadata table (joined on vec_id = doc_id), evaluated BEFORE any
