@@ -285,6 +285,28 @@ object SparkEntry {
         s"routing must select exactly cfg_clicks, got ${outs.map(_._1.id)}")
       outs.head._2
     }),
+    // the EXTENSION counter type end-to-end through the SAME config
+    // machinery as c25: YAML (value_quantile + quantile_ppm), ARN
+    // routing, Engine.pipeline dispatch, and a jq transform over the
+    // quantile's O13 output record
+    "c44_quantile_engine_e2e" -> ((s, dir) => {
+      val yaml =
+        """counters:
+          |  - id: cfg_p90
+          |    counter_type: value_quantile
+          |    quantile_ppm: 900000
+          |    input_stream_arn: arn:aws:kinesis:ap-northeast-1:111122223333:stream/events*
+          |    target_column: value
+          |    window_duration: 1 hour
+          |    jq_expr: '{"time": .window_start, "name": "metric.\(.counter_id)", "p90": .value}'
+          |""".stripMargin
+      val cfg = graft.config.ConfigLoader.fromYaml(yaml)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      val src = graft.config.Arn.parse(
+          "arn:aws:kinesis:ap-northeast-1:111122223333:stream/events-prod")
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      Engine.process(events(s, dir), "ts", cfg, src).head._2
+    }),
     // O16 through Structured Streaming, oracle-checked: N counters share
     // ONE streaming aggregation (single state store) + one generator
     // unpivot; every watermark-closed window hash-matches the batch
@@ -1239,6 +1261,15 @@ object SparkEntry {
           | 'top_users' AS counter_id, 'heavy_hitters' AS counter_type,
           | member, rank::BIGINT AS rank, value::BIGINT AS value
           |FROM r WHERE rank <= 3""".stripMargin,
+      // c44: c40's quantile through the engine + jq rename — the hop from
+      // counter record to transformed output must be exact
+      "c44_quantile_engine_e2e" ->
+        """WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, value AS v,
+          |           count(*) AS cnt FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |q AS (SELECT w, v, sum(cnt) OVER (PARTITION BY w ORDER BY v) AS cum,
+          |             sum(cnt) OVER (PARTITION BY w) AS tot FROM h)
+          |SELECT epoch_ms(w) AS time, 'metric.cfg_p90' AS name, min(v) AS p90
+          |FROM q WHERE cum * 1000000 >= 900000 * tot GROUP BY 1, 2""".stripMargin,
       // c42/c43: the streaming faces — batch SQL restricted to windows the
       // watermark closed (same predicate as c23: all but max-ts's window)
       "c42_quantile_streaming_parity" ->
