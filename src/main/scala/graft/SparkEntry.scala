@@ -909,6 +909,12 @@ object SparkEntry {
     // left-to-right summation so order reproduces cross-engine
     "s15_mips_topk" -> ((s, dir) =>
       Ann.mipsTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // recall eval for the REFINE path: the measured proof that the
+    // exact-cosine re-rank recovers brute-force recall from ADC codes
+    "s16_refine_recall" -> ((s, dir) =>
+      Ann.recallAtK(
+        Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
+        Ann.ivfPqRerankTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0))),
 
     // ---- multimodal columns ----
     "m01_media_meta" -> ((s, dir) =>
@@ -2040,6 +2046,19 @@ object SparkEntry {
          |  JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id
          |  JOIN codes cd ON cd.vec_id = a.vec_id)
          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= $lim""".stripMargin
+    val s13Sql =
+      s"""WITH short AS (${s08Sql(20)}),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT s.query_id,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+         |               s.neighbor_id ASC)::BIGINT AS rank,
+         |    s.neighbor_id
+         |  FROM short s
+         |  JOIN q ON q.query_id = s.query_id
+         |  JOIN embeddings e ON e.vec_id = s.neighbor_id)
+         |WHERE rank <= 5""".stripMargin
     // media shared-frame clusters (m05) — hoisted: m06's dedup-apply
     // embeds it as a CTE
     val m05Sql =
@@ -2808,19 +2827,15 @@ object SparkEntry {
       // s13: s08's pipeline with a 20-deep shortlist, then exact-cosine
       // re-rank of just those candidates — the refine must reproduce the
       // Spark (cosine desc, neighbor_id) order exactly
-      "s13_ivfpq_rerank" ->
-        s"""WITH short AS (${s08Sql(20)}),
-           |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0)
-           |SELECT query_id, rank, neighbor_id FROM (
-           |  SELECT s.query_id,
-           |    row_number() OVER (PARTITION BY s.query_id
-           |      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
-           |               s.neighbor_id ASC)::BIGINT AS rank,
-           |    s.neighbor_id
-           |  FROM short s
-           |  JOIN q ON q.query_id = s.query_id
-           |  JOIN embeddings e ON e.vec_id = s.neighbor_id)
-           |WHERE rank <= 5""".stripMargin,
+      "s13_ivfpq_rerank" -> s13Sql,
+      "s16_refine_recall" ->
+        s"""WITH exact AS ($s01Sql),
+           |approx AS ($s13Sql)
+           |SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits,
+           | (count(a.neighbor_id) * 1000000 // count(*))::BIGINT AS recall_ppm
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |GROUP BY 1""".stripMargin,
       "s07_recall_eval" ->
         s"""WITH exact AS ($s01Sql),
            |approx AS ($s02Sql)
