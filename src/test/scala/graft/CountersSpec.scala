@@ -231,6 +231,27 @@ class CountersSpec extends SparkTestBase {
       out.sortBy(_.getAs[Long]("rank")).toSeq, "the shard hop must be invisible")
   }
 
+  test("value_quantile property: pick equals the sorted-array definition") {
+    // random multisets and ppms: the windowed pick must equal the lower
+    // discrete quantile "smallest v with |{x <= v}|*1e6 >= ppm*n"
+    val rng = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      val n = 5 + rng.nextInt(40)
+      val vals = Array.fill(n)(rng.nextInt(12).toLong)
+      val ppm = 1L + rng.nextInt(1000000)
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (new Timestamp(base + i * 100L), v)
+      }.toSeq.toDF("ts", "v")
+      val c = CounterDef(s"q$trial", CounterType.ValueQuantile, Some("v"),
+        windowDuration = "1 minute", quantilePpm = ppm)
+      val got = Counters.run(df, "ts", c).select("value").as[Long].collect().head
+      val sorted = vals.sorted
+      val expected = sorted.find(v =>
+        sorted.count(_ <= v).toLong * 1000000L >= ppm * n).get
+      assert(got == expected, s"trial $trial: n=$n ppm=$ppm got $got want $expected")
+    }
+  }
+
   test("extension counter types: validation and fanOut guard") {
     assert(CounterDef("q", CounterType.ValueQuantile, Some("*")).validate.isLeft)
     assert(CounterDef("q", CounterType.ValueQuantile, Some("v"),
