@@ -699,6 +699,10 @@ object SparkEntry {
     // is the packed set's per-shard accounting
     "t29_training_pipeline" -> ((s, dir) =>
       graft.pipeline.TrainingData.run(Tables.documents(s, dir), budget = 2000L)),
+    // vocab coverage curve: token-occurrence ppm covered by top-k
+    // vocabularies — the vocab-size design read, one corpus aggregate
+    "t31_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
     // broadcast-model STREAM scoring: DSIR lambda trained batch-side,
     // shipped into the stream as a literal — scoring is a stateless
     // projection whose rows must hash-match the batch operator exactly
@@ -1160,6 +1164,13 @@ object SparkEntry {
       Counters.runTwoPhase(
         events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8))),
         "ts", "shard", cTopUsers)),
+    // the per-shard topology for the quantile type: shard_id in the O13
+    // record, one quantile per (window, shard) — completing the
+    // type × topology matrix with an oracle row
+    "c45_quantile_per_shard" -> ((s, dir) =>
+      Counters.runPerShard(
+        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
+        "ts", "shard", cValueP90)),
     // STREAMING face of the value_quantile counter: append-mode histogram
     // state, pick per closed window — rows must hash-match the batch
     // counter for every window the watermark closed (all but the last)
@@ -1276,6 +1287,20 @@ object SparkEntry {
           |             sum(cnt) OVER (PARTITION BY w) AS tot FROM h)
           |SELECT epoch_ms(w) AS time, 'metric.cfg_p90' AS name, min(v) AS p90
           |FROM q WHERE cum * 1000000 >= 900000 * tot GROUP BY 1, 2""".stripMargin,
+      // c45: c40 with the shard in the group keys and the O13 shard_id
+      "c45_quantile_per_shard" ->
+        """WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+          |           (user_id % 4)::VARCHAR AS shard_id, value AS v,
+          |           count(*) AS cnt FROM events
+          |           WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+          |q AS (SELECT w, shard_id, v,
+          |        sum(cnt) OVER (PARTITION BY w, shard_id ORDER BY v) AS cum,
+          |        sum(cnt) OVER (PARTITION BY w, shard_id) AS tot FROM h)
+          |SELECT epoch_ms(w) AS window_start,
+          | epoch_ms(w + INTERVAL '1 hour') AS window_end,
+          | 'value_p90' AS counter_id, 'value_quantile' AS counter_type,
+          | shard_id, min(v) AS value
+          |FROM q WHERE cum * 1000000 >= 900000 * tot GROUP BY 1, 2, 5""".stripMargin,
       // c42/c43: the streaming faces — batch SQL restricted to windows the
       // watermark closed (same predicate as c23: all but max-ts's window)
       "c42_quantile_streaming_parity" ->
@@ -2253,6 +2278,20 @@ object SparkEntry {
            |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
            |       sum(n * lam)::BIGINT AS score_bits
            |FROM db JOIN lam USING (b) GROUP BY 1""".stripMargin,
+      // t31: rank/cumsum over the distinct-token table; per-size max cum
+      "t31_vocab_coverage" ->
+        s"""WITH freq AS (SELECT token, count(*)::BIGINT AS n FROM (
+           |    SELECT unnest($toks) AS token FROM documents) GROUP BY 1),
+           |r AS (SELECT n,
+           |    row_number() OVER (ORDER BY n DESC, token ASC) AS rk,
+           |    sum(n) OVER (ORDER BY n DESC, token ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM freq),
+           |tot AS (SELECT sum(n) AS t FROM freq)
+           |SELECT k::BIGINT AS vocab_size,
+           |  ((SELECT max(cum) FROM r WHERE rk <= k) * 1000000 // t)::BIGINT
+           |    AS covered_ppm
+           |FROM (SELECT unnest([10, 100, 1000]) AS k), tot""".stripMargin,
       // t30: stateless stream face — FULL parity with t24's SQL
       "t30_stream_dsir_parity" ->
         s"""WITH bg AS (SELECT doc_id, ist,

@@ -192,6 +192,44 @@ object TextAnalysis {
       .withColumn("oov_ppm", intDiv(col("n_oov") * lit(1000000L), col("n_tokens")))
   }
 
+  /** Vocabulary coverage curve — the "how big must the vocab be" design
+    * artifact: for each candidate size k, the ppm of corpus TOKEN
+    * OCCURRENCES covered by the top-k vocabulary ([[vocabulary]]'s
+    * (count desc, token asc) order). One token-frequency aggregate, one
+    * unpartitioned rank over the (vocab-bounded) frequency table, and the
+    * curve read off its running sum — the corpus never rescans per k.
+    * Output: (vocab_size, covered_ppm), one row per requested size.
+    */
+  def vocabCoverage(docs: DataFrame,
+                    sizes: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    val freq = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    // the rank/cumsum window is unpartitioned BY DESIGN: it runs over the
+    // distinct-token table (vocab-bounded, ≪ corpus), the same accepted
+    // shape as rollingActivity's calendar-bounded window
+    // materialized once: every curve point reads this table, and without
+    // the checkpoint each union branch would rescan the corpus
+    val ranked = freq
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(eager = false)
+    val total = ranked.agg(sum(col("n")).as("__total"))
+    val curve = sizes.sorted.map { k =>
+      // max over rank ≤ k (not rank = k): a vocab smaller than k still
+      // yields its full-coverage row
+      ranked.where(col("__rank") <= k)
+        .agg(max(col("__cum")).as("__cum"))
+        .select(lit(k.toLong).as("vocab_size"), col("__cum"))
+    }.reduce(_.union(_))
+    curve.crossJoin(broadcast(total))
+      .select(col("vocab_size"),
+        intDiv(col("__cum") * lit(1000000L), col("__total")).as("covered_ppm"))
+  }
+
   /** TF-IDF top-`k` terms per document — the classic relevance/keyword
     * signal, integer-exact so the oracle hash-matches:
     * `idf_ppm = (N·10⁶) // df(token)`, `tfidf = tf(doc,token) · idf_ppm`,
