@@ -784,6 +784,10 @@ object SparkEntry {
     // parameter-calibration gate; exact pass is candidate-bounded
     "d18_minhash_calibration" -> ((s, dir) =>
       Dedup.minhashCalibration(Tables.documents(s, dir))),
+    // within-doc repeated spans (the self-diagonal of d17): longest
+    // internal repeat + repeat count per doc — the copy-paste signal
+    "d20_self_repeats" -> ((s, dir) =>
+      Dedup.selfRepeats(Tables.documents(s, dir), k = 2, minTokens = 3)),
     // ingest-time exact dedup, oracle-checked: a horizon wider than the
     // dataset makes within-watermark dedup ≡ global DISTINCT, and keying
     // the OUTPUT by content digest (not row identity) makes the result
@@ -1171,6 +1175,12 @@ object SparkEntry {
       Counters.runPerShard(
         events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
         "ts", "shard", cValueP90)),
+    // ...and the same matrix row for heavy_hitters: top-3 per (window,
+    // shard), member/rank beside the conditional shard_id
+    "c46_hitter_per_shard" -> ((s, dir) =>
+      Counters.runPerShard(
+        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
+        "ts", "shard", cTopUsers)),
     // STREAMING face of the value_quantile counter: append-mode histogram
     // state, pick per closed window — rows must hash-match the batch
     // counter for every window the watermark closed (all but the last)
@@ -1301,6 +1311,21 @@ object SparkEntry {
           | 'value_p90' AS counter_id, 'value_quantile' AS counter_type,
           | shard_id, min(v) AS value
           |FROM q WHERE cum * 1000000 >= 900000 * tot GROUP BY 1, 2, 5""".stripMargin,
+      // c46: c41's rank per (window, shard); member tie-break on string
+      "c46_hitter_per_shard" ->
+        """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+          |           (user_id % 4)::VARCHAR AS shard_id,
+          |           user_id::VARCHAR AS member, count(*) AS value
+          |           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+          |r AS (SELECT w, shard_id, member, value,
+          |        row_number() OVER (PARTITION BY w, shard_id
+          |          ORDER BY value DESC, member ASC) AS rank
+          |      FROM c)
+          |SELECT epoch_ms(w) AS window_start,
+          | epoch_ms(w + INTERVAL '1 hour') AS window_end,
+          | 'top_users' AS counter_id, 'heavy_hitters' AS counter_type,
+          | shard_id, member, rank::BIGINT AS rank, value::BIGINT AS value
+          |FROM r WHERE rank <= 3""".stripMargin,
       // c42/c43: the streaming faces — batch SQL restricted to windows the
       // watermark closed (same predicate as c23: all but max-ts's window)
       "c42_quantile_streaming_parity" ->
@@ -2777,6 +2802,27 @@ object SparkEntry {
            |SELECT d.doc_id FROM documents d
            |WHERE d.doc_id % 25 != 0
            |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+      // d20: d17's islands on the self-diagonal (same doc, pos1 < pos2)
+      "d20_self_repeats" ->
+        s"""WITH g AS (
+           |  SELECT doc_id, i::BIGINT AS pos,
+           |    ${h60("array_to_string(t[i : i+1], ' ')")} AS gh
+           |  FROM (SELECT doc_id, $toks AS t FROM documents),
+           |  LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+           |  WHERE len(t) >= 2),
+           |cold AS (SELECT * FROM g QUALIFY count(*) OVER (PARTITION BY gh) <= 50),
+           |cand AS (SELECT x.doc_id AS d, x.pos AS pa, y.pos - x.pos AS diag
+           |         FROM cold x JOIN cold y
+           |           ON x.gh = y.gh AND x.doc_id = y.doc_id AND x.pos < y.pos),
+           |runs AS (SELECT d, count(*) + 1 AS run_tokens FROM (
+           |    SELECT d, diag, pa,
+           |      pa - row_number() OVER (PARTITION BY d, diag ORDER BY pa) AS grp
+           |    FROM cand)
+           |  GROUP BY d, diag, grp
+           |  HAVING count(*) + 1 >= 3)
+           |SELECT d AS doc_id, count(*)::BIGINT AS n_repeats,
+           |       max(run_tokens)::BIGINT AS max_repeat_tokens
+           |FROM runs GROUP BY 1""".stripMargin,
       "d09_dedup_apply" ->
         s"""WITH RECURSIVE $minhashCtes,
            |p AS (SELECT a, b FROM est WHERE est_ppm >= 500000),

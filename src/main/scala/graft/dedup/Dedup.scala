@@ -132,6 +132,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_runs"), max(col("run_tokens")).as("max_run_tokens"))
   }
 
+  /** WITHIN-document repeated spans — [[substringRuns]]'s self-diagonal:
+    * a token span repeated inside one document shows up as consecutive
+    * matching k-gram occurrences on a (doc, pos₂−pos₁ ≠ 0) diagonal of
+    * the SAME document. The copy-paste/spam signal Gopher's dup-word
+    * ratios summarize is located exactly here (longest internal repeat +
+    * repeat count per doc). Same occurrence cap and islands machinery;
+    * `pos₁ < pos₂` orients each repeat pair once.
+    * Output: (doc_id, n_repeats, max_repeat_tokens).
+    */
+  def selfRepeats(docs: DataFrame, k: Int = 4, minTokens: Int = 6,
+                  maxOcc: Long = 50L): DataFrame = {
+    val g = positionedShingles(docs, k)
+      .select(col("doc_id"), col("pos"), PortableHash.md5Long60(col("shingle")).as("gh"))
+    val wOcc = Window.partitionBy(col("gh"))
+    val cold = g.withColumn("__occ", count(lit(1)).over(wOcc))
+      .where(col("__occ") <= maxOcc).drop("__occ")
+    val cand = cold.as("x").join(cold.as("y"),
+        col("x.gh") === col("y.gh") && col("x.doc_id") === col("y.doc_id") &&
+          col("x.pos") < col("y.pos"))
+      .select(col("x.doc_id").as("d"), col("x.pos").as("pa"),
+        (col("y.pos") - col("x.pos")).as("diag"))
+    val wDiag = Window.partitionBy(col("d"), col("diag")).orderBy(col("pa"))
+    val runs = cand
+      .withColumn("__grp", col("pa") - row_number().over(wDiag))
+      .groupBy(col("d"), col("diag"), col("__grp"))
+      .agg((count(lit(1)) + lit(k - 1)).as("run_tokens"))
+      .where(col("run_tokens") >= minTokens)
+    runs.groupBy(col("d").as("doc_id"))
+      .agg(count(lit(1)).as("n_repeats"), max(col("run_tokens")).as("max_repeat_tokens"))
+  }
+
   // -------------------------------------------------------- MinHash + LSH --
 
   /** MinHash hash family via Kirsch–Mitzenmacher double hashing: ONE md5
