@@ -703,6 +703,16 @@ object SparkEntry {
     // vocabularies — the vocab-size design read, one corpus aggregate
     "t31_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    // Naive-Bayes hashed-bag-of-words classifier (the fastText-style
+    // quality/domain classifier, trained AND scored in-engine): dense
+    // label×bucket weight table broadcast, integer-bits scores,
+    // max(struct) argmax — raw text never shuffles. On THIS fixture the
+    // text vocabulary is shared across langs, so the majority prior
+    // correctly dominates (the oracle checks the exact math; the
+    // discrimination path is asserted on label-dependent vocab in
+    // ExtensionOpsSpec).
+    "t32_nb_classifier" -> ((s, dir) =>
+      TextAnalysis.nbClassifier(Tables.documents(s, dir))),
     // broadcast-model STREAM scoring: DSIR lambda trained batch-side,
     // shipped into the stream as a literal — scoring is a stateless
     // projection whose rows must hash-match the batch operator exactly
@@ -788,6 +798,12 @@ object SparkEntry {
     // internal repeat + repeat count per doc — the copy-paste signal
     "d20_self_repeats" -> ((s, dir) =>
       Dedup.selfRepeats(Tables.documents(s, dir), k = 2, minTokens = 3)),
+    // corpus-overlap matrix: MinHash-estimated Jaccard between the
+    // distinct-shingle sets of corpus SOURCES — min commutes with set
+    // union, so each slice signature is ONE map-side-combinable
+    // aggregate; nothing but (slice, digest) pairs ever shuffles
+    "d21_corpus_overlap" -> ((s, dir) =>
+      Dedup.corpusOverlap(Tables.documents(s, dir))),
     // ingest-time exact dedup, oracle-checked: a horizon wider than the
     // dataset makes within-watermark dedup ≡ global DISTINCT, and keying
     // the OUTPUT by content digest (not row identity) makes the result
@@ -1146,6 +1162,26 @@ object SparkEntry {
             struct(col("event_type").as("type"),
               struct(col("user_id").as("uid")).as("ids")).as("payload")),
         """paths | {p: (.path | join("/"))}""")),
+    // O14 round-6 second-tranche notch: code-point explode/implode
+    // round-trip, JSON re-parse via fromjson (VARIANT) piped into `| .k`,
+    // the stream builtins scan/splits/range with their [collect] forms,
+    // limit over a collected stream, and pow — all codegen'd kernels
+    // (regexp_extract_all / split / sequence / surrogate-pair decode),
+    // no per-row interpreter.
+    "c47_jq_builtins2" -> ((s, dir) =>
+      JqTransform(
+        events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"), col("props")),
+        """{id: .event_id,
+          | cps_n: (.event_type | explode | length),
+          | first_cp: (.event_type | explode | first),
+          | rt: (.event_type | explode | implode),
+          | k: (.props | fromjson | .k | tonumber),
+          | letters: ([.props | scan("[a-z_]+")] | length),
+          | parts: ([.event_type | splits("i")] | length),
+          | lim: (limit(2; [.event_type | splits("i")]) | length),
+          | rng: ([range(.event_type | explode | first)] | add),
+          | pw: pow(2; 10)}""".stripMargin)),
     // O14 recursive-descent notch: `..` emits the row object and every
     // sub-value depth-first as ONE array<variant> + explode (no per-row
     // interpreter); the follow-on stage exercises the variant-aware
@@ -1607,6 +1643,25 @@ object SparkEntry {
         """SELECT t.p FROM events CROSS JOIN (VALUES ('event_id'), ('payload'),
           | ('payload/type'), ('payload/ids'), ('payload/ids/uid')) AS t(p)"""
           .stripMargin,
+      // c47: the second builtin tranche, relationally. explode|length =
+      // char count; explode|first = unicode(); explode|implode round-trips
+      // to the input; fromjson|.k ≡ json_extract_string; [scan]|length =
+      // regexp match count; splits ≡ string_split_regex (both keep
+      // trailing empties); limit = least(2, parts); [range(n)]|add =
+      // n(n-1)/2 (integer division exact — n ≥ 1 here); pow is 2^10 in
+      // doubles, exactly representable in both engines.
+      "c47_jq_builtins2" ->
+        """SELECT event_id AS id,
+          | CAST(length(event_type) AS BIGINT) AS cps_n,
+          | CAST(unicode(event_type) AS BIGINT) AS first_cp,
+          | event_type AS rt,
+          | CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+          | CAST(length(regexp_extract_all(props, '[a-z_]+')) AS BIGINT) AS letters,
+          | CAST(length(string_split_regex(event_type, 'i')) AS BIGINT) AS parts,
+          | CAST(least(2, length(string_split_regex(event_type, 'i'))) AS BIGINT) AS lim,
+          | CAST(unicode(event_type) * (unicode(event_type) - 1) // 2 AS BIGINT) AS rng,
+          | pow(2, 10) AS pw
+          |FROM events""".stripMargin,
       // c38: the recursive-descent stream, one UNION ALL branch per
       // document-order position. Variant objects store keys SORTED, so
       // the Spark side's tojson renders sorted key order — the oracle's
@@ -2303,6 +2358,38 @@ object SparkEntry {
            |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
            |       sum(n * lam)::BIGINT AS score_bits
            |FROM db JOIN lam USING (b) GROUP BY 1""".stripMargin,
+      // t32: the NB classifier, relationally. Dense label×bucket table via
+      // labels CROSS JOIN generate_series LEFT JOIN counts (unseen pairs
+      // carry the smoothing-only weight); the argmax tie-break (greater
+      // label on equal score) mirrors Spark's max(struct(score, label)).
+      "t32_nb_classifier" ->
+        s"""WITH tk AS (SELECT doc_id, lang AS label,
+           |    ${h60("'nb:' || token")} % 1024 AS b
+           |  FROM (SELECT doc_id, lang, unnest($toks) AS token FROM documents)),
+           |cls AS (SELECT lang AS label, count(*)::BIGINT AS dn FROM documents GROUP BY 1),
+           |tot AS (SELECT count(*)::BIGINT AS d FROM documents),
+           |cnt AS (SELECT label, b, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+           |ttl AS (SELECT label, count(*)::BIGINT AS t FROM tk GROUP BY 1),
+           |dense AS (SELECT ttl.label, g.b,
+           |    (length(bin((coalesce(c.c, 0) + 1)::BIGINT)) - 1)
+           |  - (length(bin((ttl.t + 1024)::BIGINT)) - 1) AS w
+           |  FROM ttl CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS b) g
+           |  LEFT JOIN cnt c ON c.label = ttl.label AND c.b = g.b),
+           |prior AS (SELECT label,
+           |    (length(bin(dn)) - 1) - (length(bin((SELECT d FROM tot))) - 1) AS p
+           |  FROM cls),
+           |sc AS (SELECT tk.doc_id, dense.label,
+           |    (max(prior.p) + sum(dense.w))::BIGINT AS score
+           |  FROM tk JOIN dense ON dense.b = tk.b
+           |  JOIN prior ON prior.label = dense.label
+           |  GROUP BY 1, 2),
+           |best AS (SELECT doc_id, label AS pred, score AS score_bits,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, label DESC) AS rn
+           |  FROM sc)
+           |SELECT b.doc_id, b.pred, b.score_bits,
+           |  (b.pred = d.lang)::BIGINT AS self_match
+           |FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1""".stripMargin,
       // t31: rank/cumsum over the distinct-token table; per-size max cum
       "t31_vocab_coverage" ->
         s"""WITH freq AS (SELECT token, count(*)::BIGINT AS n FROM (
@@ -2615,6 +2702,22 @@ object SparkEntry {
           |SELECT md5(text) AS text_md5 FROM documents WHERE doc_id % 2 = 1""".stripMargin,
       "d02_minhash_lsh" ->
         s"WITH $minhashCtes\nSELECT a, b, est_ppm FROM est WHERE est_ppm >= 500000",
+      // d21: slice-level union signatures — NON-distinct k-grams feed the
+      // same h1/h2 min family (duplicates cannot move a min), pairwise
+      // slot agreement over the slices-bounded signature table
+      "d21_corpus_overlap" ->
+        s"""WITH sh AS (SELECT source AS slice, unnest($kgrams) AS g
+           |  FROM (SELECT source, $toks AS t FROM documents)),
+           |h2 AS (SELECT slice, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+           |       (('0x' || substr(md5(g), 16, 14))::BIGINT % (1::BIGINT << 55)) AS h2 FROM sh),
+           |hs AS (SELECT slice, i, min((h1 + i * h2) % 2305843009213693951) AS h
+           |       FROM h2 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+           |       GROUP BY slice, i),
+           |sig AS (SELECT slice, list(h ORDER BY i) AS sig FROM hs GROUP BY slice)
+           |SELECT x.slice AS src_a, y.slice AS src_b,
+           |  (len(list_filter(generate_series(1, 64), i -> x.sig[i] = y.sig[i]))
+           |     * 1000000 // 64)::BIGINT AS est_ppm
+           |FROM sig x JOIN sig y ON x.slice < y.slice""".stripMargin,
       // d18: est (tau 300000) vs exact Jaccard on the candidate pairs;
       // zero-overlap band collisions surface as jaccard 0
       "d18_minhash_calibration" ->

@@ -251,6 +251,57 @@ object Dedup {
     * A band collision with zero shared shingles surfaces as jaccard 0.
     * Output: (a, b, est_ppm, jaccard_ppm, err_ppm).
     */
+  /** Pairwise content overlap between corpus SLICES (default: the
+    * `source` column): MinHash-estimated Jaccard of each slice's
+    * DISTINCT-shingle set — the "how much does snapshot/source A
+    * duplicate source B" read that sets mixing weights and dedup order
+    * when combining crawl snapshots or data sources.
+    *
+    * The key algebraic fact: min over a slice's shingle hashes IS the
+    * MinHash signature of the slice's union-of-shingle-sets (min commutes
+    * with set union, and duplicate occurrences cannot change a min — so
+    * no DISTINCT is ever materialized). The whole model is therefore ONE
+    * map-side-combinable `groupBy(slice)` aggregate producing `numHashes`
+    * longs per slice; nothing wider than (slice, h1, h2) digests ever
+    * shuffles, and the pairwise estimate runs over the slices-bounded
+    * signature table (an explicit broadcast self-join — slices², tiny).
+    * The hash family is [[minhashSignatures]]'s exactly, so estimates are
+    * calibrated by the same d18 gate.
+    *
+    * Output: (src_a, src_b, est_ppm), src_a < src_b lexicographically.
+    */
+  def corpusOverlap(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+                    sliceCol: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(sliceCol).cast("string"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (s, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < k) Iterator.empty
+        else toks.sliding(k).map(w => (s, w.mkString(" ")))
+      }
+      .toDF("slice", "shingle")
+    val hx = md5(col("shingle").cast("binary"))
+    val h1 = conv(substring(hx, 1, 15), 16, 10).cast("long")
+    val h2 = pmod(conv(substring(hx, 16, 14), 16, 10).cast("long"), lit(1L << 55))
+    val hashed = sh.select(col("slice"), h1.as("h1"), h2.as("h2"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"h$i"))
+    val sig = hashed.groupBy(col("slice"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("slice"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val matches = size(filter(
+      zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b),
+      m => m)).cast("long")
+    sig.as("x").crossJoin(broadcast(sig.as("y")))
+      .where(col("x.slice") < col("y.slice"))
+      .select(col("x.slice").as("src_a"), col("y.slice").as("src_b"),
+        graft.textops.TextAnalysis.intDiv(matches * lit(1000000L),
+          lit(numHashes.toLong)).as("est_ppm"))
+  }
+
   def minhashCalibration(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
                          bands: Int = 16, tauPpm: Long = 300000L): DataFrame = {
     // the candidate table feeds BOTH the semi-join and the final join —

@@ -122,7 +122,21 @@ import graft.functions.Canonical
   *    that exist in the row (runtime nulls prune, like jq's data-driven
   *    paths) — a filter over a literal candidate array + one explode;
   *    array/map elements contribute no numeric-index descent
-  *    (documented divergence).
+  *    (documented divergence); `leaf_paths` is the scalar-leaf
+  *    restriction (jq's `paths(scalars)`), same scope;
+  *  - round-6 second tranche: `fromjson` (string → VARIANT, navigable
+  *    by `getpath` / `| .path` and the variant-aware builtins),
+  *    `explode`/`implode` (full-Unicode code-point round-trip — ascii()
+  *    is code-point-exact and implode builds UTF-16BE surrogate pairs
+  *    for supplementary planes), `abs` (jq 1.7, type-preserving),
+  *    `pow(x; y)`, `infinite`/`nan`, `del(.path)` (literal-path field
+  *    removal, missing path = no-op), and the STREAM builtins
+  *    `range(…)` (integer ranges, literal step) / `scan(re)`
+  *    (group-less patterns) / `splits(re[; flags])` with jq's collect
+  *    form — `[range(3)]`, `[.s | scan("a+")]` — unwrapping via a
+  *    stream-tail rule (in bare value position the collected array IS
+  *    the value, a documented divergence from jq's multi-output
+  *    streaming), plus `limit(n; A)` over collected streams;
   *
   * Out of scope (documented divergence, unused by the reference's own
   * fixtures): slurp (a per-stream input-collection flag, not a program
@@ -468,6 +482,7 @@ object JqTransform {
     if (stage == ".") identity
     else if (stage == "..") compileDescend
     else if (stage == "paths") compilePaths
+    else if (stage == "leaf_paths") compileLeafPaths
     else if (stage.startsWith("select")) compileSelect(stage, defs)
     else if (stage.startsWith("foreach")) compileForeach(stage, defs)
     else if (BindingStage.matches(stage)) compileBinding(stage, defs)
@@ -604,12 +619,25 @@ object JqTransform {
     * indices and contribute their own path but no descent (jq emits
     * numeric index paths there; documented divergence).
     */
-  private def compilePaths: DataFrame => DataFrame = { df =>
+  private def compilePaths: DataFrame => DataFrame = pathsStage(leavesOnly = false)
+
+  /** `leaf_paths` as a whole STAGE: `paths` restricted to SCALAR leaves
+    * (jq: `paths(scalars)`) — same literal-candidate filter + explode;
+    * container-valued fields (arrays/maps, runtime-indexed) contribute
+    * no leaf, the same no-numeric-index-descent scope as `paths`.
+    */
+  private def compileLeafPaths: DataFrame => DataFrame = pathsStage(leavesOnly = true)
+
+  private def pathsStage(leavesOnly: Boolean): DataFrame => DataFrame = { df =>
     val fields = df.schema.fields.filterNot(_.name.startsWith("__var_")).toSeq
     def walk(dt: DataType, c: Column, prefix: Seq[String]): Seq[Column] = {
+      val isLeaf = dt match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }
       val self = struct(
         array(prefix.map(lit(_)): _*).as("p"),
-        c.isNotNull.as("ok"))
+        (c.isNotNull && lit(!leavesOnly || isLeaf)).as("ok"))
       dt match {
         case st: StructType =>
           self +: st.fields.toSeq.flatMap(f =>
@@ -917,7 +945,7 @@ object JqTransform {
     // jq round is C round(): halves away from zero — Spark's HALF_UP ditto
     "round" -> ((df, v) => round(v(df))),
     "sqrt" -> ((df, v) => sqrt(v(df))),
-    "fabs" -> ((df, v) => abs(v(df))),
+    "fabs" -> ((df, v) => abs(v(df).cast("double"))),
     "exp" -> ((df, v) => exp(v(df))),
     "log" -> ((df, v) => log(v(df))),
     "log2" -> ((df, v) => log2(v(df))),
@@ -972,7 +1000,38 @@ object JqTransform {
         et = et.asInstanceOf[ArrayType].elementType
       }
       c
-    }))
+    }),
+    // jq fromjson: parse the string as JSON → a VARIANT value (the same
+    // runtime-typed channel as the `..` stream): navigate with getpath /
+    // `| .path`, and the variant-aware type/tostring/tonumber/tojson/
+    // select builtins apply
+    "fromjson" -> ((df, v) => parse_json(v(df))),
+    // jq explode: string → array of Unicode CODE POINTS. Exact for the
+    // full range: Java-regex `.` matches per code point (surrogate pairs
+    // stay whole) and Spark's ascii() reads the full code point.
+    "explode" -> ((df, v) =>
+      transform(regexp_extract_all(v(df), lit("(?s)."), lit(0)),
+        c => ascii(c).cast("long"))),
+    // jq implode: code points → string, the exact inverse of explode.
+    // BMP code points decode as one UTF-16BE unit; supplementary planes
+    // split into a surrogate pair first (decode() ships no UTF-32
+    // charset) — all codegen'd string kernels, full-Unicode round-trip.
+    "implode" -> ((df, v) => {
+      elementTypeV(df, v, "implode")
+      array_join(transform(v(df), n => jqChar(n.cast("long"))), "")
+    }),
+    // jq 1.7 abs: type-preserving magnitude (fabs is the double form)
+    "abs" -> ((df, v) => abs(v(df))))
+
+  /** One Unicode code point as a 1-char string (see `implode`). */
+  private def jqChar(n: Column): Column = {
+    def unit(u: Column): Column = lpad(hex(u), 4, "0")
+    val hi = shiftright(n - lit(65536L), 10) + lit(0xD800L)
+    val lo = (n - lit(65536L)).bitwiseAND(lit(1023L)) + lit(0xDC00L)
+    when(n > lit(0xFFFFL),
+      decode(unhex(concat(unit(hi), unit(lo))), "UTF-16BE"))
+      .otherwise(decode(unhex(unit(n)), "UTF-16BE"))
+  }
 
   /** jq truthiness of one array ELEMENT (for any/all): only null and
     * false are falsy, typed from the array's element type.
@@ -1033,6 +1092,25 @@ object JqTransform {
     // Deep object containment stays out of scope, documented.
     "contains" -> ((df, v, a) => jqContains(df, v, a)),
     "inside" -> ((df, v, a) => jqContains(df, a, v)))
+
+  /** Literal-path navigation with jq's never-error convention (missing
+    * fields and non-objects read as null); variant values navigate via
+    * `try_variant_get`. Shared by `getpath` and the `| .path` postfix.
+    */
+  private def walkPath(dt: DataType, c: Column, rest: List[String]): Column =
+    rest match {
+      case Nil => c
+      case h :: t => dt match {
+        case st: StructType => st.fields.find(_.name == h) match {
+          case Some(f) => walkPath(f.dataType, c.getField(f.name), t)
+          case None => lit(null)
+        }
+        case mt: MapType => walkPath(mt.valueType, c.getItem(h), t)
+        case vdt if vdt.typeName == "variant" =>
+          try_variant_get(c, "$." + (h :: t).mkString("."), "variant")
+        case _ => lit(null)
+      }
+    }
 
   /** jq `contains` semantics for `haystack contains needle` (see the map
     * entry above for scope).
@@ -1115,6 +1193,13 @@ object JqTransform {
 
   private final class P(s: String, defs: Map[String, JqDef] = Map.empty) {
     private var i = 0
+    /** Did the value just parsed end in a STREAM builtin (range/scan/
+      * splits)? Streams are arrays here; the `[E]` collect form reads
+      * this to unwrap — `[range(3)]` is [0,1,2], not [[0,1,2]] — jq's
+      * stream-collection semantics for the practically-used shapes.
+      * Cleared by every combining operator and non-stream pipe.
+      */
+    private var streamTail = false
     def hasMore: Boolean = { skipWs(); i < s.length }
     def peek: Char = if (i < s.length) s.charAt(i) else ' '
     def next(): Char = { val c = peek; i += 1; c }
@@ -1246,6 +1331,7 @@ object JqTransform {
       if (s.startsWith("//", i)) {
         i += 2
         val r = parseAlt()
+        streamTail = false
         df => {
           def mismatch(lt: DataType, rt: DataType) = throw new IllegalArgumentException(
             s"jq_expr: '//' over $lt and $rt has no single output type in a " +
@@ -1274,6 +1360,7 @@ object JqTransform {
       while (s.startsWith("or", i) && boundary(i + 2)) {
         i += 2
         val r = parseAnd()
+        streamTail = false
         val ll = l
         l = df => ll(df) || r(df)
         skipWs()
@@ -1286,6 +1373,7 @@ object JqTransform {
       while (s.startsWith("and", i) && boundary(i + 3)) {
         i += 3
         val r = parseCmp()
+        streamTail = false
         val ll = l
         l = df => ll(df) && r(df)
         skipWs()
@@ -1303,6 +1391,7 @@ object JqTransform {
         case Some(op) =>
           i += op.length
           val r = parsePiped()
+          streamTail = false
           // jq equality is TOTAL: null == null → true, null != x → true —
           // and cross-TYPE values are simply unequal (1 == "1" is false;
           // SQL's <=> would try to coerce), except that runtime nulls
@@ -1355,7 +1444,17 @@ object JqTransform {
       while (peek == '|' && !s.startsWith("||", i)) {
         next()
         skipWs()
-        if (peek == '@') {
+        streamTail = false
+        if (peek == '.' && i + 1 < s.length &&
+            (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')) {
+          // `| .path` postfix: navigate the CURRENT value (jq's pipe into
+          // a path) — never-error walk, variant-aware (the natural
+          // follow-on to fromjson)
+          val parts = parsePathParts()
+          val vv = v
+          v = df => walkPath(dtOfV(df, vv), vv(df), parts.toList)
+          skipWs()
+        } else if (peek == '@') {
           // jq format strings as value filters (`.s | @base64`). @text is
           // tostring; @json encodes the VALUE as JSON text (structs/arrays/
           // maps via to_json, scalars hand-encoded — jq's full control-char
@@ -1747,22 +1846,78 @@ object JqTransform {
           skipWs(); expect(']'); skipWs(); expect(')')
           val p = segs.result()
           val vv = v
+          v = df => walkPath(dtOfV(df, vv), vv(df), p.toList)
+        } else if (fn == "del") {
+          // del(.a) / del(.a.b): remove one literal-path field — structs
+          // rebuild without the field (schema-static), maps filter the
+          // key; a missing path is a no-op, like jq. Multi-path and
+          // array-index forms stay out of scope, documented.
+          expect('('); skipWs()
+          val parts = parsePathParts()
+          skipWs(); expect(')')
+          require(parts.nonEmpty, "jq_expr: del() requires a field path")
+          val vv = v
           v = df => {
-            def walk(dt: DataType, c: Column, rest: List[String]): Column = rest match {
-              case Nil => c
-              case h :: t => dt match {
-                case st: StructType => st.fields.find(_.name == h) match {
-                  case Some(f) => walk(f.dataType, c.getField(f.name), t)
-                  case None => lit(null)
-                }
-                case mt: MapType => walk(mt.valueType, c.getItem(h), t)
-                case vdt if vdt.typeName == "variant" =>
-                  try_variant_get(c, "$." + (h :: t).mkString("."), "variant")
-                case _ => lit(null)
+            def drop(dt: DataType, c: Column, rest: List[String]): Column =
+              (dt, rest) match {
+                case (st: StructType, h :: Nil) =>
+                  if (!st.fieldNames.contains(h)) c
+                  else {
+                    val kept = st.fields.filterNot(_.name == h)
+                    require(kept.nonEmpty,
+                      s"jq_expr: del(.$h) would empty the object")
+                    when(c.isNotNull,
+                      struct(kept.toSeq.map(f => c.getField(f.name).as(f.name)): _*))
+                  }
+                case (mt: MapType, h :: Nil) =>
+                  map_filter(c, (k, _) => !(k <=> lit(h)))
+                case (st: StructType, h :: t) =>
+                  st.fields.find(_.name == h) match {
+                    case None => c
+                    case Some(inner) =>
+                      when(c.isNotNull, struct(st.fields.toSeq.map { f =>
+                        (if (f.name == h) drop(inner.dataType, c.getField(h), t)
+                         else c.getField(f.name)).as(f.name)
+                      }: _*))
+                  }
+                case (dt, _) => throw new IllegalArgumentException(
+                  s"jq_expr: del() path does not reach into ${dt.simpleString}")
               }
-            }
-            walk(dtOfV(df, vv), vv(df), p.toList)
+            drop(dtOfV(df, vv), vv(df), parts.toList)
           }
+        } else if (fn == "scan" || fn == "splits") {
+          // jq scan(re)/splits(re[; flags]): the all-matches / regex-split
+          // STREAMS. Streams are arrays in this compiler — the collect
+          // form `[.s | scan(re)]` unwraps to jq's exact shape (the
+          // stream-tail rule in the '[' atom); in bare value position the
+          // collected array is the value, documented divergence. scan is
+          // group-less-pattern only (jq emits capture arrays for grouped
+          // patterns — a different element shape).
+          expect('('); skipWs()
+          if (peek != '"')
+            throw new IllegalArgumentException(
+              s"jq_expr: $fn() requires a string-literal regex")
+          val rawPat = parseStringLit()
+          skipWs()
+          val flags =
+            if (peek == ';') {
+              next(); skipWs()
+              if (peek != '"')
+                throw new IllegalArgumentException(
+                  s"jq_expr: $fn() flags must be a string literal")
+              parseStringLit()
+            } else ""
+          expect(')')
+          val pat = regexWithFlags(rawPat, flags)
+          val vv = v
+          if (fn == "scan") {
+            require(captureGroups(rawPat).isEmpty,
+              "jq_expr: scan() supports group-less patterns only " +
+                "(grouped scan emits capture arrays — unsupported shape)")
+            v = df => regexp_extract_all(vv(df), lit(pat), lit(0))
+          } else
+            v = df => split(vv(df), pat)
+          streamTail = true
         } else if (fn == "flatten" && peek == '(') {
           // flatten(d): depth-limited flatten — the depth must be an int
           // literal (static unrolling); the argless form lives in Funcs
@@ -1805,6 +1960,7 @@ object JqTransform {
       while (peek == '+' || peek == '-') {
         val op = next(); skipWs()
         val r = parseTerm()
+        streamTail = false
         val ll = l
         l = if (op == '+') df => ll(df) + r(df) else df => ll(df) - r(df)
         skipWs()
@@ -1818,6 +1974,7 @@ object JqTransform {
       while (peek == '*' || (peek == '/' && !s.startsWith("//", i))) {
         val op = next(); skipWs()
         val r = parseAtom()
+        streamTail = false
         val ll = l
         l = if (op == '*') df => ll(df) * r(df) else df => ll(df) / r(df)
         skipWs()
@@ -1905,17 +2062,26 @@ object JqTransform {
             v
           } else {
             val elems = Seq.newBuilder[V]
+            var streamCollect = false
             if (peek != ']') {
               var more = true
+              var first = true
               while (more) {
+                streamTail = false
                 elems += parseValue()
                 skipWs()
+                // `[E]` where E ends in a STREAM builtin (range/scan/
+                // splits) COLLECTS the stream — the value already is the
+                // collected array, so unwrap instead of wrapping
+                if (first && streamTail && peek == ']') streamCollect = true
+                first = false
                 if (peek == ',') { next(); more = true } else more = false
               }
             }
             expect(']')
             val es = elems.result()
-            df => array(es.map(_(df)): _*)
+            if (streamCollect) es.head
+            else df => array(es.map(_(df)): _*)
           }
         case '.' =>
           // '.path' — or bare '.' (the current value: only defined inside
@@ -1980,6 +2146,88 @@ object JqTransform {
                   df.columns.collect { case c if c.startsWith("__var_") =>
                     c.stripPrefix("__var_") }).mkString(", ")})")
           }
+        case 'r' if s.startsWith("range", i) && !s.startsWith("range_", i) && {
+          val save = i; i += 5; skipWs()
+          val ok = peek == '('
+          if (!ok) i = save
+          ok
+        } =>
+          // range(n) / range(from; to[; step]) — jq's integer-stream
+          // generator (INTEGER ranges; jq's fractional steps are out of
+          // scope, documented). A stream is an array here: collect with
+          // [range(…)] (the stream-tail unwrap) — `sequence` is
+          // inclusive-both-ends, so the exclusive upper bound shifts by
+          // one step-sign; an exhausted range is [] like jq's empty
+          // stream. The step must be an integer literal (its SIGN picks
+          // the direction statically).
+          next() // '('
+          val a1 = parseValue()
+          skipWs()
+          val a2: Option[V] =
+            if (peek == ';') { next(); val v = parseValue(); skipWs(); Some(v) }
+            else None
+          // the step, when present, must be an integer LITERAL in the
+          // source (its sign picks the direction statically)
+          val step: Long =
+            if (peek == ';') {
+              next(); skipWs()
+              val sb = new StringBuilder
+              if (peek == '-') sb.append(next())
+              while (i < s.length && s.charAt(i).isDigit) sb.append(next())
+              skipWs()
+              require(sb.nonEmpty && sb.toString != "-" && sb.toString.toLong != 0,
+                "jq_expr: range step must be a nonzero integer literal")
+              sb.toString.toLong
+            } else 1L
+          expect(')')
+          val (fromV, toV): (V, V) = a2 match {
+            case None => ((_ => lit(0L)), a1)
+            case Some(t) => (a1, t)
+          }
+          streamTail = true
+          df => {
+            val f = fromV(df).cast("long")
+            val t = toV(df).cast("long")
+            val empty = array().cast("array<bigint>")
+            if (step > 0)
+              when(f < t, sequence(f, t - lit(1L), lit(step))).otherwise(empty)
+            else
+              when(f > t, sequence(f, t + lit(1L), lit(step))).otherwise(empty)
+          }
+        case 'p' if s.startsWith("pow", i) && {
+          val save = i; i += 3; skipWs()
+          val ok = peek == '('
+          if (!ok) i = save
+          ok
+        } =>
+          // jq pow(x; y) — input-ignoring two-arg math builtin
+          next()
+          val a = parseValue(); expect(';')
+          val b = parseValue(); expect(')')
+          df => pow(a(df), b(df))
+        case 'l' if s.startsWith("limit", i) && {
+          val save = i; i += 5; skipWs()
+          val ok = peek == '('
+          if (!ok) i = save
+          ok
+        } =>
+          // limit(n; A): the first n outputs of A's stream — A is
+          // array-valued here (a collected stream / array expression),
+          // so limit is a slice. Negative/zero n yields [] like jq 1.7.
+          next()
+          val n = parseValue(); expect(';')
+          val arr = parseValue(); expect(')')
+          streamTail = true
+          df => {
+            elementTypeV(df, arr, "limit")
+            val nn = n(df).cast("int")
+            when(nn > lit(0), slice(arr(df), lit(1), nn))
+              .otherwise(array().cast(dtOfV(df, arr)))
+          }
+        case 'i' if s.startsWith("infinite", i) && boundary(i + 8) =>
+          i += 8; _ => lit(Double.PositiveInfinity)
+        case 'n' if s.startsWith("nan", i) && boundary(i + 3) =>
+          i += 3; _ => lit(Double.NaN)
         case 'r' if s.startsWith("reduce", i) && boundary(i + 6) =>
           // reduce .path[] as $x (init; update) — a single codegen'd
           // `aggregate` HOF; inside update, '.' is the ACCUMULATOR and $x

