@@ -726,6 +726,21 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
     }),
+    // the NB classifier's streaming face: model trained batch-side
+    // (labels + priors + dense flattened weights as literal arrays),
+    // scoring a stateless stream projection — one transform hashes
+    // tokens to buckets, one aggregate folds the per-label score vector,
+    // argmax ties to the greater label exactly like the batch scorer
+    "t33_stream_nb_parity" -> ((s, dir) => {
+      val model = TextAnalysis.nbModel(Tables.documents(s, dir))
+      val out = graft.streaming.StreamingText.nbScoreStream(
+        Tables.documentsStream(s, dir), model)
+      val sink = "t33_stream_nb_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
 
     // ---- deduplication ----
     "d01_dedup_exact" -> ((s, dir) =>
@@ -2182,6 +2197,36 @@ object SparkEntry {
         |SELECT n AS node, min(m) AS component FROM reach GROUP BY n""".stripMargin
     // shared MinHash CTE chain (shingle → KM double-hash family → signature
     // → LSH bands → candidate pairs → signature-estimated similarity)
+    // t32's NB scoring SQL, hoisted: t33 (the streaming face) must
+    // hash-match the same oracle rows
+    val t32Sql =
+      s"""WITH tk AS (SELECT doc_id, lang AS label,
+           |    ${h60("'nb:' || token")} % 1024 AS b
+           |  FROM (SELECT doc_id, lang, unnest($toks) AS token FROM documents)),
+           |cls AS (SELECT lang AS label, count(*)::BIGINT AS dn FROM documents GROUP BY 1),
+           |tot AS (SELECT count(*)::BIGINT AS d FROM documents),
+           |cnt AS (SELECT label, b, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+           |ttl AS (SELECT label, count(*)::BIGINT AS t FROM tk GROUP BY 1),
+           |dense AS (SELECT ttl.label, g.b,
+           |    (length(bin((coalesce(c.c, 0) + 1)::BIGINT)) - 1)
+           |  - (length(bin((ttl.t + 1024)::BIGINT)) - 1) AS w
+           |  FROM ttl CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS b) g
+           |  LEFT JOIN cnt c ON c.label = ttl.label AND c.b = g.b),
+           |prior AS (SELECT label,
+           |    (length(bin(dn)) - 1) - (length(bin((SELECT d FROM tot))) - 1) AS p
+           |  FROM cls),
+           |sc AS (SELECT tk.doc_id, dense.label,
+           |    (max(prior.p) + sum(dense.w))::BIGINT AS score
+           |  FROM tk JOIN dense ON dense.b = tk.b
+           |  JOIN prior ON prior.label = dense.label
+           |  GROUP BY 1, 2),
+           |best AS (SELECT doc_id, label AS pred, score AS score_bits,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, label DESC) AS rn
+           |  FROM sc)
+           |SELECT b.doc_id, b.pred, b.score_bits,
+           |  (b.pred = d.lang)::BIGINT AS self_match
+           |FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1""".stripMargin
     val minhashCtes =
       s"""kg AS (SELECT doc_id, list_distinct($kgrams) AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
          |sh AS (SELECT doc_id, unnest(gs) AS g FROM kg),
@@ -2362,34 +2407,8 @@ object SparkEntry {
       // labels CROSS JOIN generate_series LEFT JOIN counts (unseen pairs
       // carry the smoothing-only weight); the argmax tie-break (greater
       // label on equal score) mirrors Spark's max(struct(score, label)).
-      "t32_nb_classifier" ->
-        s"""WITH tk AS (SELECT doc_id, lang AS label,
-           |    ${h60("'nb:' || token")} % 1024 AS b
-           |  FROM (SELECT doc_id, lang, unnest($toks) AS token FROM documents)),
-           |cls AS (SELECT lang AS label, count(*)::BIGINT AS dn FROM documents GROUP BY 1),
-           |tot AS (SELECT count(*)::BIGINT AS d FROM documents),
-           |cnt AS (SELECT label, b, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
-           |ttl AS (SELECT label, count(*)::BIGINT AS t FROM tk GROUP BY 1),
-           |dense AS (SELECT ttl.label, g.b,
-           |    (length(bin((coalesce(c.c, 0) + 1)::BIGINT)) - 1)
-           |  - (length(bin((ttl.t + 1024)::BIGINT)) - 1) AS w
-           |  FROM ttl CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS b) g
-           |  LEFT JOIN cnt c ON c.label = ttl.label AND c.b = g.b),
-           |prior AS (SELECT label,
-           |    (length(bin(dn)) - 1) - (length(bin((SELECT d FROM tot))) - 1) AS p
-           |  FROM cls),
-           |sc AS (SELECT tk.doc_id, dense.label,
-           |    (max(prior.p) + sum(dense.w))::BIGINT AS score
-           |  FROM tk JOIN dense ON dense.b = tk.b
-           |  JOIN prior ON prior.label = dense.label
-           |  GROUP BY 1, 2),
-           |best AS (SELECT doc_id, label AS pred, score AS score_bits,
-           |    row_number() OVER (PARTITION BY doc_id
-           |      ORDER BY score DESC, label DESC) AS rn
-           |  FROM sc)
-           |SELECT b.doc_id, b.pred, b.score_bits,
-           |  (b.pred = d.lang)::BIGINT AS self_match
-           |FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1""".stripMargin,
+      "t32_nb_classifier" -> t32Sql,
+      "t33_stream_nb_parity" -> t32Sql,
       // t31: rank/cumsum over the distinct-token table; per-size max cum
       "t31_vocab_coverage" ->
         s"""WITH freq AS (SELECT token, count(*)::BIGINT AS n FROM (

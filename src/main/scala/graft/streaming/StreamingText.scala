@@ -37,4 +37,49 @@ object StreamingText {
               % lit(buckets.toLong) + 1).cast("int"))).as("score_bits"))
       .where(col("n_bigrams") > 0)
   }
+
+  /** NB-classifier scoring for a document stream under a batch-trained
+    * [[TextAnalysis.NbModel]] — the classifier's streaming face. The
+    * dense flattened weight table and the priors ship as literal arrays;
+    * per doc, tokens hash to buckets in ONE `transform`, the per-label
+    * score vector folds in ONE `aggregate` (L element_at lookups per
+    * token, L = labels — all codegen'd), and the argmax picks the highest
+    * score with ties to the GREATER label (via reversed array_position —
+    * exactly the batch `max(struct(score, label))` pick over ascending
+    * labels). Stateless projection: no watermark, no state store, no
+    * shuffle. Output: (doc_id, pred, score_bits, self_match) —
+    * row-for-row [[TextAnalysis.nbClassifier]] when the model trained on
+    * the same corpus (oracle-checked parity).
+    */
+  def nbScoreStream(stream: DataFrame, model: TextAnalysis.NbModel,
+                    labelCol: String = "lang"): DataFrame = {
+    val bkts = model.buckets
+    val nL = model.labels.length
+    val wFlat = lit(model.weights)
+    val priorsLit = lit(model.priors)
+    val labelIdx = lit(model.labels.indices.map(_.toLong).toArray)
+    val labelsLit = lit(model.labels)
+    stream
+      .select(col("doc_id"), col(labelCol).as("__true"),
+        TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__true"),
+        transform(col("__toks"), t =>
+          (PortableHash.md5Long60(concat(lit("nb:"), t)) % lit(bkts.toLong))
+            .cast("int")).as("__tb"))
+      .select(col("doc_id"), col("__true"),
+        aggregate(col("__tb"), priorsLit, (acc, b) =>
+          zip_with(acc, labelIdx, (a, li) =>
+            a + element_at(wFlat,
+              (li * lit(bkts.toLong) + b + lit(1L)).cast("int")))).as("__sc"))
+      .select(col("doc_id"), col("__true"), col("__sc"),
+        array_max(col("__sc")).as("score_bits"))
+      // argmax with ties to the greater label: position of the max in the
+      // REVERSED score array gives the LAST maximal index
+      .select(col("doc_id"), col("__true"), col("score_bits"),
+        element_at(labelsLit,
+          (lit(nL.toLong) - array_position(reverse(col("__sc")), col("score_bits"))
+            + lit(1L)).cast("int")).as("pred"))
+      .select(col("doc_id"), col("pred"), col("score_bits"),
+        (col("pred") === col("__true")).cast("long").as("self_match"))
+  }
 }

@@ -514,6 +514,54 @@ object TextAnalysis {
         (col("pred") === col("__true")).cast("long").as("self_match"))
   }
 
+  /** The trained NB classifier as a driver-local model (the broadcast-
+    * model shape shared with [[dsirLambda]]): labels in ASCENDING order,
+    * prior bits per label, and the dense label×bucket weight table
+    * flattened label-major (`weights(l * buckets + b)`). Exactly
+    * [[nbClassifier]]'s training tables, collected — the collect is
+    * labels·buckets-bounded (the k-means control-loop convention). Ship
+    * into a stream via [[graft.streaming.StreamingText.nbScoreStream]]
+    * for row-for-row parity with the batch scorer.
+    */
+  final case class NbModel(labels: Array[String], priors: Array[Long],
+                           weights: Array[Long], buckets: Int)
+
+  def nbModel(docs: DataFrame, labelCol: String = "lang",
+              buckets: Int = 1024): NbModel = {
+    val b = lit(buckets.toLong)
+    val tk = withTokens(docs)
+      .select(col(labelCol).as("label"), explode(col("__toks")).as("tok"))
+      .select(col("label"),
+        (graft.functions.PortableHash.md5Long60(concat(lit("nb:"), col("tok"))) % b)
+          .as("b"))
+    def fl2(c: Column): Column = (length(bin(c.cast("long"))) - 1).cast("long")
+    val labelTotals = tk.groupBy(col("label")).agg(count(lit(1)).as("t"))
+    val labels = labelTotals.select(col("label")).collect()
+      .map(_.getString(0)).sorted
+    val idx = labels.zipWithIndex.toMap
+    val totalsByLabel = labelTotals.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def fl2l(n: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val priorRows = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("dn")).collect()
+    val dTotal = priorRows.map(_.getLong(1)).sum
+    val priors = Array.ofDim[Long](labels.length)
+    priorRows.foreach(r =>
+      priors(idx(r.getString(0))) = fl2l(r.getLong(1)) - fl2l(dTotal))
+    // dense weights: unseen (label, bucket) pairs carry the smoothing-only
+    // weight FL2(1) − FL2(T_l + B) = −FL2(T_l + B)
+    val weights = Array.tabulate(labels.length * buckets) { i =>
+      -fl2l(totalsByLabel(labels(i / buckets)) + buckets)
+    }
+    tk.groupBy(col("label"), col("b")).agg(count(lit(1)).as("c")).collect()
+      .foreach { r =>
+        val l = idx(r.getString(0))
+        weights(l * buckets + r.getLong(1).toInt) =
+          fl2l(r.getLong(2) + 1) - fl2l(totalsByLabel(labels(l)) + buckets)
+      }
+    NbModel(labels, priors, weights, buckets)
+  }
+
   /** Composite quality gate — the FILTER step the scoring operators exist
     * for (Gopher/C4-style rule chain): per doc, one flag per rule plus the
     * pass verdict, so downstream can both filter (`pass = 1`) and account

@@ -837,6 +837,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(sharedOut.forall(_ == "maj"))
   }
 
+  test("nbModel + nbScoreStream projection ≡ nbClassifier rows (differential)") {
+    import graft.textops.TextAnalysis
+    import graft.streaming.StreamingText
+    val sep = (0L until 60L).map { i =>
+      val l = if (i % 3 == 0) "aa" else if (i % 3 == 1) "bb" else "cc"
+      (i, s"$l-word-${i % 5} $l-tok $l-only $l-tok", l)
+    }.toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.nbModel(sep)
+    assert(model.labels.toSeq == Seq("aa", "bb", "cc"))
+    assert(model.weights.length == 3 * model.buckets)
+    // the scoring projection is stateless, so it applies to a batch frame
+    // unchanged — rows must match the in-engine classifier exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(StreamingText.nbScoreStream(sep, model)) ==
+      rows(TextAnalysis.nbClassifier(sep)))
+  }
+
   test("corpusOverlap: identical slices estimate 1e6; disjoint estimate 0; " +
        "half-overlap lands near 500k") {
     import graft.dedup.Dedup
