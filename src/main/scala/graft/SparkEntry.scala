@@ -726,6 +726,10 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
     }),
+    // the classifier's measured gate: confusion matrix + per-truth-row
+    // ppm shares — labels²-bounded output, AQE-sized joins
+    "t34_nb_confusion" -> ((s, dir) =>
+      TextAnalysis.nbConfusion(Tables.documents(s, dir))),
     // the NB classifier's streaming face: model trained batch-side
     // (labels + priors + dense flattened weights as literal arrays),
     // scoring a stateless stream projection — one transform hashes
@@ -2409,6 +2413,15 @@ object SparkEntry {
       // label on equal score) mirrors Spark's max(struct(score, label)).
       "t32_nb_classifier" -> t32Sql,
       "t33_stream_nb_parity" -> t32Sql,
+      // t34: the matrix over t32's rows (nested WITH in a subquery);
+      // row_ppm is truncating integer division in both engines
+      "t34_nb_confusion" ->
+        s"""WITH cells AS (SELECT d.lang AS truth, t.pred, count(*)::BIGINT AS n
+           |  FROM ($t32Sql) t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+           |rt AS (SELECT truth, sum(n) AS rtot FROM cells GROUP BY 1)
+           |SELECT c.truth, c.pred, c.n,
+           |  (c.n * 1000000 // r.rtot)::BIGINT AS row_ppm
+           |FROM cells c JOIN rt r USING (truth)""".stripMargin,
       // t31: rank/cumsum over the distinct-token table; per-size max cum
       "t31_vocab_coverage" ->
         s"""WITH freq AS (SELECT token, count(*)::BIGINT AS n FROM (

@@ -514,6 +514,28 @@ object TextAnalysis {
         (col("pred") === col("__true")).cast("long").as("self_match"))
   }
 
+  /** The classifier's measured gate (the [[graft.similarity.Ann.recallAtK]] /
+    * [[graft.dedup.Dedup.minhashCalibration]] pattern for t32): the
+    * confusion matrix of [[nbClassifier]] against the corpus's own
+    * labels — per (truth, pred) document counts plus each cell's ppm
+    * share of its truth row, the accept/reject read for (buckets,
+    * labelCol) choices before a model ships. Inputs are the classifier's
+    * per-doc rows joined back to the narrow (doc_id, label) projection —
+    * an AQE-sized join — and the matrix itself is labels²-bounded.
+    * Output: (truth, pred, n, row_ppm).
+    */
+  def nbConfusion(docs: DataFrame, labelCol: String = "lang",
+                  buckets: Int = 1024): DataFrame = {
+    val preds = nbClassifier(docs, labelCol, buckets)
+      .join(docs.select(col("doc_id"), col(labelCol).as("truth")), Seq("doc_id"))
+    val cells = preds.groupBy(col("truth"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = cells.groupBy(col("truth")).agg(sum(col("n")).as("rt"))
+    cells.join(broadcast(rowTotals), Seq("truth"))
+      .select(col("truth"), col("pred"), col("n"),
+        intDiv(col("n") * lit(1000000L), col("rt")).as("row_ppm"))
+  }
+
   /** The trained NB classifier as a driver-local model (the broadcast-
     * model shape shared with [[dsirLambda]]): labels in ASCENDING order,
     * prior bits per label, and the dense label×bucket weight table

@@ -837,6 +837,18 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(sharedOut.forall(_ == "maj"))
   }
 
+  test("nbConfusion: separable vocab yields a pure diagonal with 1e6 row shares") {
+    import graft.textops.TextAnalysis
+    val sep = (0L until 60L).map { i =>
+      val l = if (i % 3 == 0) "aa" else if (i % 3 == 1) "bb" else "cc"
+      (i, s"$l-word-${i % 5} $l-tok $l-only $l-tok", l)
+    }.toDF("doc_id", "text", "lang")
+    val cells = TextAnalysis.nbConfusion(sep)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(cells.length == 3)
+    assert(cells.forall { case (t, p, n, ppm) => t == p && n == 20L && ppm == 1000000L })
+  }
+
   test("nbModel + nbScoreStream projection ≡ nbClassifier rows (differential)") {
     import graft.textops.TextAnalysis
     import graft.streaming.StreamingText

@@ -979,6 +979,35 @@ class JqTransformSpec extends SparkTestBase {
     assert(r.getLong(2) == 104L)
   }
 
+  test("explode|implode round-trips 200 random full-Unicode strings (property)") {
+    val rnd = new scala.util.Random(42)
+    def randCp(): Int = {
+      // mix ASCII, BMP, and supplementary planes; skip the surrogate range
+      rnd.nextInt(3) match {
+        case 0 => 0x20 + rnd.nextInt(0x5F)
+        case 1 =>
+          val c = 0xA0 + rnd.nextInt(0xD800 - 0xA0)
+          if (c >= 0xD800 && c <= 0xDFFF) 0x41 else c
+        case 2 => 0x10000 + rnd.nextInt(0x10FFFF - 0x10000)
+      }
+    }
+    val strs = (0 until 200).map { i =>
+      val sb = new java.lang.StringBuilder
+      (0 until (1 + rnd.nextInt(12))).foreach(_ => sb.appendCodePoint(randCp()))
+      (i.toLong, sb.toString)
+    }
+    val t = strs.toDF("id", "s")
+    val out = JqTransform(t,
+      """{id: .id, rt: (.s | explode | implode),
+        | n: (.s | explode | length)}""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    strs.foreach { case (id, s) =>
+      val (rt, n) = out(id)
+      assert(rt == s, s"roundtrip broke for ${s.map(_.toInt)}")
+      assert(n == s.codePointCount(0, s.length).toLong)
+    }
+  }
+
   test("fromjson: string → variant, navigated by | .path and getpath") {
     val t = Seq(("""{"k": 87, "tag": "x"}""", 1L)).toDF("props", "id")
     val r = JqTransform(t,
