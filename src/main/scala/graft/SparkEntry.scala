@@ -782,6 +782,16 @@ object SparkEntry {
       Dedup.applyDedup(
         Tables.documents(s, dir),
         Dedup.minhashLshPairs(Tables.documents(s, dir)).select(col("a"), col("b")))),
+    // dedup apply with the QUALITY keeper policy: inside each duplicate
+    // cluster the highest-quality member survives (ties → smaller id),
+    // not the smallest id — what production pipelines actually keep
+    "d22_quality_dedup_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.applyDedupByQuality(
+        docs,
+        Dedup.minhashLshPairs(docs).select(col("a"), col("b")),
+        TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality_ppm")))
+    }),
     // snapshot delta by content digest (set-operation surface): docs in
     // the even-id snapshot whose content the odd-id snapshot lacks
     "d11_snapshot_diff" -> ((s, dir) => {
@@ -2971,6 +2981,34 @@ object SparkEntry {
            |drops AS (SELECT node FROM comp WHERE node != component)
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
+      // d22: same recursive-CTE clustering as d09, but the keeper is the
+      // quality argmax (row_number ties ASC on node = Spark's -node pick);
+      // the quality CTE is t02's composite formula inline
+      "d22_quality_dedup_apply" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |p AS (SELECT a, b FROM est WHERE est_ppm >= 500000),
+           |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p),
+           |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+           |reach(n, m) AS (
+           |  SELECT n, n FROM nodes
+           |  UNION
+           |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+           |comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+           |q AS (SELECT doc_id,
+           |  ((1000000 - (len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1000000 // length(text))
+           |    + (len(list_filter($toks, t -> list_contains($enStop, t))) * 1000000 // len($toks))
+           |    + (least(length(text), 500) * 1000000 // 500)) // 3)::BIGINT AS qy
+           |  FROM documents),
+           |keepers AS (SELECT node AS keeper FROM (
+           |  SELECT comp.node, row_number() OVER (PARTITION BY comp.component
+           |    ORDER BY q.qy DESC, comp.node ASC) AS rn
+           |  FROM comp JOIN q ON q.doc_id = comp.node) WHERE rn = 1),
+           |drops AS (SELECT node FROM comp
+           |  WHERE node NOT IN (SELECT keeper FROM keepers))
+           |SELECT doc_id,
+           |  CASE WHEN doc_id IN (SELECT node FROM comp) THEN 'keeper'
+           |       ELSE 'solo' END AS kept_as
+           |FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
       "s01_ann_topk" -> s01Sql,
       "s02_ann_ivf" -> s02Sql,
       // s11: SQ8 — identical single-IEEE-op order on both engines; floor

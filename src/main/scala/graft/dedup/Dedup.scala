@@ -745,6 +745,43 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** Dedup apply with a QUALITY keeper policy — what production
+    * pipelines actually do inside a duplicate cluster: keep the BEST
+    * member (highest quality score; ties → the smaller doc_id, so the
+    * pick is total and engine-deterministic), not the smallest id.
+    * `quality` is any (doc_id, score) frame — [[graft.textops.TextAnalysis.qualityScore]]'s
+    * composite, a length, an LM score. Docs in no cluster survive
+    * untouched.
+    *
+    * Scale shape: the clustering is [[connectedComponents]] over the
+    * pairs (duplicate-bounded, not corpus-bounded); quality joins the
+    * clustered NODES only (AQE-sized), the per-component argmax is one
+    * map-side-combinable `max(struct(score, -node))`, and survivors fall
+    * out of a left-anti join on the drop set. Raw text never moves.
+    *
+    * Output: surviving doc_ids with a `kept_as` tag — 'solo' (never
+    * clustered) or 'keeper' (won its cluster).
+    */
+  def applyDedupByQuality(docs: DataFrame, pairs: DataFrame,
+                          quality: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val q = quality.toDF("doc_id", "q")
+    val scored = comp.join(q, comp("node") === q("doc_id"))
+      .select(col("component"), col("node"), col("q"))
+    // keeper = max (q, -node): highest quality, ties to the SMALLER id
+    val keepers = scored.groupBy(col("component"))
+      .agg(max(struct(col("q"), (-col("node")).as("nn"))).as("w"))
+      .select((-col("w.nn")).as("keeper"))
+    val drops = comp.select(col("node"))
+      .join(keepers, col("node") === col("keeper"), "left_anti")
+    val clustered = comp.select(col("node"))
+    docs.select(col("doc_id"))
+      .join(drops, docs("doc_id") === drops("node"), "left_anti")
+      .join(clustered, docs("doc_id") === clustered("node"), "left")
+      .select(col("doc_id"),
+        when(col("node").isNull, lit("solo")).otherwise(lit("keeper")).as("kept_as"))
+  }
+
   /** Snapshot delta by content (the incremental-crawl bookkeeping step):
     * digests present in snapshot `a` but not `b` — docs to (re)process.
     * EXCEPT DISTINCT on the md5 digest: one shuffle on a uniform 128-bit

@@ -837,6 +837,21 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(sharedOut.forall(_ == "maj"))
   }
 
+  test("applyDedupByQuality: best-quality member wins its cluster, ties to smaller id") {
+    import graft.dedup.Dedup
+    val corpus = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),  // cluster {1,2,3}: best quality = 3
+      (4L, "b"), (5L, "b"),             // cluster {4,5}: tie -> keeper 4
+      (9L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val quality = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 7L), (5L, 7L), (9L, 1L))
+      .toDF("doc_id", "q")
+    val out = Dedup.applyDedupByQuality(corpus, pairs, quality)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(3L -> "keeper", 4L -> "keeper", 9L -> "solo"),
+      s"got $out")
+  }
+
   test("nbConfusion: separable vocab yields a pure diagonal with 1e6 row shares") {
     import graft.textops.TextAnalysis
     val sep = (0L until 60L).map { i =>

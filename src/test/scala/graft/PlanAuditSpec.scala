@@ -582,4 +582,30 @@ class PlanAuditSpec extends SparkTestBase {
       !"BroadcastHashJoin.*text".r.findFirstIn(p).isDefined,
       s"raw text leaked past the digest projection:\n$p")
   }
+
+  test("NB classifier: dense weight table broadcasts; raw text never joins") {
+    val p = plan(TextAnalysis.nbClassifier(docs))
+    // the label×bucket weights ride a broadcast into the token stream
+    assert(p.contains("BroadcastHashJoin"), s"weights must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    // per-(doc, label) partial sums combine map-side before the shuffle
+    assert("partial_sum".r.findAllIn(p).size >= 1,
+      s"score sums must combine map-side:\n$p")
+    // text reaches only the tokenizing scan — never a join operand
+    assert(!"SortMergeJoin.*text".r.findFirstIn(p).isDefined &&
+      !"BroadcastHashJoin.*text\\b".r.findFirstIn(p).isDefined,
+      s"raw text leaked into a join:\n$p")
+  }
+
+  test("corpus overlap: ONE map-side-combined slice aggregate; pairwise side broadcast") {
+    val p = plan(Dedup.corpusOverlap(docs))
+    // 64 per-slice mins combine map-side (the union-signature aggregate)
+    assert("partial_min".r.findAllIn(p).size >= 1,
+      s"slice signature must combine map-side:\n$p")
+    // the slices² pairwise pass must be the explicit broadcast, and the
+    // only join in the plan — nothing data-sized ever joins
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise estimate must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"data-sized join leaked:\n$p")
+  }
 }
