@@ -726,6 +726,11 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
     }),
+    // per-source distribution drift: quantized-KL token-distribution
+    // divergence vs the whole corpus — digest-only map-side aggregates,
+    // broadcast slice totals (the distribution-level twin of d21)
+    "t35_source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
     // the classifier's measured gate: confusion matrix + per-truth-row
     // ppm shares — labels²-bounded output, AQE-sized joins
     "t34_nb_confusion" -> ((s, dir) =>
@@ -2423,6 +2428,21 @@ object SparkEntry {
       // label on equal score) mirrors Spark's max(struct(score, label)).
       "t32_nb_classifier" -> t32Sql,
       "t33_stream_nb_parity" -> t32Sql,
+      // t35: digest-level token counts per slice and corpus-wide; the
+      // FL2 quantization is the shared length(bin(n))-1 device
+      "t35_source_divergence" ->
+        s"""WITH tok AS (SELECT source AS slice, ${h60("'kl:' || w")} AS d
+           |  FROM (SELECT source, unnest($toks) AS w FROM documents)),
+           |st AS (SELECT slice, d, count(*)::BIGINT AS nst FROM tok GROUP BY 1, 2),
+           |ct AS (SELECT d, count(*)::BIGINT AS nt FROM tok GROUP BY 1),
+           |stot AS (SELECT slice, sum(nst)::BIGINT AS ns FROM st GROUP BY 1),
+           |tot AS (SELECT sum(nt)::BIGINT AS n FROM ct)
+           |SELECT st.slice, sum(st.nst)::BIGINT AS n_tokens,
+           |  sum(st.nst * (((length(bin(st.nst)) - 1) - (length(bin(stot.ns)) - 1))
+           |    - ((length(bin(ct.nt)) - 1) - (length(bin(tot.n)) - 1))))::BIGINT
+           |    AS divergence_bits
+           |FROM st JOIN ct USING (d) JOIN stot USING (slice) CROSS JOIN tot
+           |GROUP BY 1""".stripMargin,
       // t34: the matrix over t32's rows (nested WITH in a subquery);
       // row_ppm is truncating integer division in both engines
       "t34_nb_confusion" ->

@@ -514,6 +514,46 @@ object TextAnalysis {
         (col("pred") === col("__true")).cast("long").as("self_match"))
   }
 
+  /** Per-source distribution DRIFT: the token-distribution divergence of
+    * each corpus slice against the whole corpus — the distribution-level
+    * companion to [[graft.dedup.Dedup.corpusOverlap]]'s set-level read
+    * (two sources can share every token yet weight them very
+    * differently; this catches that). The score is the DSIR-family
+    * quantized KL estimate: per token, `n_st · ((FL2(n_st) − FL2(N_s)) −
+    * (FL2(n_t) − FL2(N)))` — occurrences times the floor-log2 bits of
+    * the within-slice vs corpus-wide likelihood ratio — summed per
+    * slice. Integer bits, engine-exact (`length(bin(n))−1`, the device
+    * shared with [[dsirScore]]/[[lmPerplexity]]/[[nbClassifier]]);
+    * quantization can make individual terms negative, the aggregate is
+    * the drift signal.
+    *
+    * Scale shape: tokens hash to 60-bit digests map-side, the
+    * per-(slice, digest) and per-digest counts are map-side-combinable
+    * aggregates over digest-only rows, the corpus table joins back by
+    * digest (vocab-bounded, AQE-sized), and the slice totals / corpus
+    * total are slices-bounded / 1-row broadcasts. Raw text never
+    * shuffles. Output: (slice, n_tokens, divergence_bits).
+    */
+  def sourceDivergence(docs: DataFrame, sliceCol: String = "source"): DataFrame = {
+    val tok = withTokens(docs)
+      .select(col(sliceCol).cast("string").as("slice"), explode(col("__toks")).as("w"))
+      .select(col("slice"),
+        graft.functions.PortableHash.md5Long60(concat(lit("kl:"), col("w"))).as("d"))
+    val st = tok.groupBy(col("slice"), col("d")).agg(count(lit(1)).as("nst"))
+    val ct = tok.groupBy(col("d")).agg(count(lit(1)).as("nt"))
+    val sTot = st.groupBy(col("slice")).agg(sum(col("nst")).as("ns"))
+    val tot = ct.agg(sum(col("nt")).as("n"))
+    def fl2(c: Column): Column = (length(bin(c.cast("long"))) - 1).cast("long")
+    st.join(ct, Seq("d"))
+      .join(broadcast(sTot), Seq("slice"))
+      .crossJoin(broadcast(tot))
+      .select(col("slice"), col("nst"),
+        (col("nst") * ((fl2(col("nst")) - fl2(col("ns")))
+          - (fl2(col("nt")) - fl2(col("n"))))).as("bits"))
+      .groupBy(col("slice"))
+      .agg(sum(col("nst")).as("n_tokens"), sum(col("bits")).as("divergence_bits"))
+  }
+
   /** The classifier's measured gate (the [[graft.similarity.Ann.recallAtK]] /
     * [[graft.dedup.Dedup.minhashCalibration]] pattern for t32): the
     * confusion matrix of [[nbClassifier]] against the corpus's own

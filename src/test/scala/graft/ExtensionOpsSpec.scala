@@ -837,6 +837,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(sharedOut.forall(_ == "maj"))
   }
 
+  test("sourceDivergence: a unique-vocab slice diverges far above corpus-matching slices") {
+    import graft.textops.TextAnalysis
+    // A and B share one distribution (the corpus majority); Z's vocabulary
+    // appears nowhere else — its quantized KL must dominate
+    val text = (0 until 32).map(i => s"w${i % 8}").mkString(" ")
+    val ztext = (0 until 32).map(i => s"z${i % 8}").mkString(" ")
+    val rows = (0L until 8L).map(i => (i, text, "A")) ++
+      (8L until 16L).map(i => (i, text, "B")) ++
+      (16L until 18L).map(i => (i, ztext, "Z"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDivergence(df)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set("A", "B", "Z"))
+    assert(out("A") == out("B"), s"identical slices must score identically: $out")
+    assert(out("Z") > out("A") + 100,
+      s"unique-vocab slice must diverge far above matches: $out")
+  }
+
   test("applyDedupByQuality: best-quality member wins its cluster, ties to smaller id") {
     import graft.dedup.Dedup
     val corpus = Seq(
