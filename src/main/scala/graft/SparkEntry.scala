@@ -55,6 +55,9 @@ object SparkEntry {
   private val cTopUsers =
     CounterDef("top_users", CounterType.HeavyHitters,
       targetColumn = Some("user_id"), windowDuration = Hour, topK = 3)
+  private val cValueSum =
+    CounterDef("revenue_cents", CounterType.ValueSum,
+      targetColumn = Some("value"), windowDuration = Hour)
   private val cBigValueCount =
     CounterDef("big_value_count", CounterType.Count, targetExpr = Some("k > 50"), windowDuration = Hour)
 
@@ -1251,6 +1254,36 @@ object SparkEntry {
       Counters.runPerShard(
         events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
         "ts", "shard", cTopUsers)),
+    // THIRD engine-extension counter type as a config citizen: per-window
+    // SUM of the record value in integer cents (the basic aggregate the
+    // reference lacks) — same O13 record, single-phase topology
+    "c48_sum_counter" -> ((s, dir) =>
+      Counters.run(events(s, dir), "ts", cValueSum)),
+    // ...and through the SERIALIZED intermediate-record hop: partials ride
+    // the JSON envelope as the {sum_cents} union member with the same
+    // id/type/version gating — the hop must be invisible vs c48's oracle
+    "c49_sum_twophase" -> ((s, dir) => {
+      val c = cValueSum.copy(id = "revenue_cents_2p")
+      val sharded = events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8)))
+      Intermediate.mergeRecords(
+        Intermediate.toRecords(
+          Counters.partialState(sharded, "ts", "shard", c),
+          c, "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in"),
+        c, requiredVersion = Some(">=0.1.0"))
+    }),
+    // ...and its STREAMING face: the generic windowed-agg path (aggExpr
+    // composes into the watermark aggregation unchanged) — rows must
+    // hash-match the batch counter for every closed window
+    "c50_sum_streaming_parity" -> ((s, dir) => {
+      val c = cValueSum.copy(id = "revenue_cents_stream")
+      val out = graft.streaming.StreamingCounters.run(
+        Tables.eventsStream(s, dir), "ts", c, watermarkDelay = "0 seconds")
+      val sink = "c50_sum_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
     // STREAMING face of the value_quantile counter: append-mode histogram
     // state, pick per closed window — rows must hash-match the batch
     // counter for every window the watermark closed (all but the last)
@@ -1504,6 +1537,23 @@ object SparkEntry {
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'metric.request_count' AS name, count(*) AS value
           | FROM events GROUP BY 1""".stripMargin,
+      // c48/c49/c50: the value_sum type across its three topologies — all
+      // against ONE relational truth (the hops must be invisible). floor
+      // (value*100) is the same single IEEE multiply + floor on both
+      // engines; summed longs are shuffle-order-exact.
+      "c48_sum_counter" ->
+        s"""SELECT $win, 'revenue_cents' AS counter_id, 'value_sum' AS counter_type,
+           | coalesce(sum(floor(value * 100)), 0)::BIGINT AS value
+           | FROM events GROUP BY 1, 2""".stripMargin,
+      "c49_sum_twophase" ->
+        s"""SELECT $win, 'revenue_cents_2p' AS counter_id, 'value_sum' AS counter_type,
+           | coalesce(sum(floor(value * 100)), 0)::BIGINT AS value
+           | FROM events GROUP BY 1, 2""".stripMargin,
+      "c50_sum_streaming_parity" ->
+        s"""SELECT $win, 'revenue_cents_stream' AS counter_id, 'value_sum' AS counter_type,
+           | coalesce(sum(floor(value * 100)), 0)::BIGINT AS value
+           | FROM events GROUP BY 1, 2
+           | HAVING window_end < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
       "c16_streaming_parity" ->
         s"""SELECT $win, 'request_count_stream' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,

@@ -22,8 +22,18 @@ object CounterType {
   case object ValueQuantile extends CounterType("value_quantile")
   case object HeavyHitters extends CounterType("heavy_hitters")
 
+  /** Third ENGINE EXTENSION: per-window SUM of the target value in
+    * integer cents (`floor(value*100)` — the repo-wide exact-money
+    * discipline), the one basic aggregate users most often miss in the
+    * reference (revenue per window beside request counts). Its partial
+    * state is a single long — the simplest mergeable state of all — so
+    * it rides every topology count does, including the serialized
+    * intermediate-record hop.
+    */
+  case object ValueSum extends CounterType("value_sum")
+
   val values: Seq[CounterType] =
-    Seq(Count, ApproxCountDistinct, ValueQuantile, HeavyHitters)
+    Seq(Count, ApproxCountDistinct, ValueQuantile, HeavyHitters, ValueSum)
   def fromName(s: String): Either[String, CounterType] =
     values.find(_.name == s).toRight(s"unknown counter type: $s")
 }
@@ -96,6 +106,8 @@ final case class CounterDef(
       Left(s"counter $id: quantile_ppm must be in (0, 1000000]")
     else if (counterType == CounterType.HeavyHitters && topK < 1)
       Left(s"counter $id: top_k must be >= 1")
+    else if (targetColumn.contains("*") && counterType == CounterType.ValueSum)
+      Left(s"counter $id: target_column '*' is not allowed for value_sum")
     else Right(this)
   }
 

@@ -91,6 +91,20 @@ object Counters {
     */
   def acdPredicate(value: Column): Column = value.isNotNull
 
+  /** The `value_sum` aggregate (ENGINE EXTENSION): per-window sum of the
+    * target value in integer CENTS — `floor(value·100)` is one IEEE
+    * double multiply + floor on both engines, and the summed longs are
+    * shuffle-order-exact (the repo-wide exact-money discipline). Non-
+    * numeric / null values contribute nothing (`try_cast` → NULL, which
+    * `sum` skips — the skip-on-error analog shared with tonumber); an
+    * all-null group emits 0, like count.
+    */
+  private def sumAgg(df: DataFrame, c: CounterDef): Column = {
+    val value = valueColumn(c).getOrElse(throw new IllegalArgumentException(
+      s"counter ${c.id}: value_sum requires a target"))
+    coalesce(sum(floor(value.try_cast("double") * lit(100d)).cast("long")), lit(0L))
+  }
+
   /** The per-counter aggregate expression, usable standalone or fanned out
     * (several counters in ONE groupBy pass — see [[fanOut]]).
     * Conditional form: rows not qualifying contribute NULL, which both
@@ -106,6 +120,7 @@ object Counters {
           throw new IllegalArgumentException(
             s"counter ${c.id}: approx_count_distinct requires a target"))
         acdAgg(df, value, c.siphashKeyHex)
+      case CounterType.ValueSum => sumAgg(df, c)
       case CounterType.ValueQuantile | CounterType.HeavyHitters =>
         // quantile pick / per-window rank can't be one aggregate Column;
         // their run/runPerShard/runTwoPhase paths dispatch before this
@@ -306,6 +321,8 @@ object Counters {
         val value = valueColumn(c).get
         grouped.agg(hll_sketch_agg(sketchInput(df, value, c.siphashKeyHex), lit(16))
           .as("partial_sketch"))
+      case CounterType.ValueSum =>
+        grouped.agg(sumAgg(df, c).as("partial_sum"))
       // extension types: the partial is a per-(window, shard) table —
       // a (value, cnt) histogram / a (member, cnt) count table — both
       // mergeable by concat + re-sum, like the reference's counter states
@@ -345,6 +362,9 @@ object Counters {
       case CounterType.ApproxCountDistinct =>
         partial.groupBy(col("window"))
           .agg(hll_sketch_estimate(hll_union_agg(col("partial_sketch"))).as("value"))
+      case CounterType.ValueSum =>
+        partial.groupBy(col("window"))
+          .agg(sum(col("partial_sum")).cast("long").as("value"))
       case CounterType.ValueQuantile =>
         val hist = partial
           .select(col("window"), explode(col("partial_hist")).as("h"))
@@ -441,9 +461,10 @@ object Counters {
     // the conditional-aggregate trick needs one agg Column per counter;
     // quantile/rank counters have their own shapes — run them via `run`
     require(counters.forall(c => c.counterType == CounterType.Count ||
-      c.counterType == CounterType.ApproxCountDistinct),
-      "fanOut supports count/approx_count_distinct counters only; " +
-        "run value_quantile/heavy_hitters counters individually")
+      c.counterType == CounterType.ApproxCountDistinct ||
+      c.counterType == CounterType.ValueSum),
+      "fanOut supports count/approx_count_distinct/value_sum counters " +
+        "only; run value_quantile/heavy_hitters counters individually")
     val byWindow = counters.groupBy(_.windowDuration).toSeq.sortBy(_._1)
     byWindow.map { case (w, cs) =>
       unpivotCounters(

@@ -36,6 +36,8 @@ object Intermediate {
         struct(col("partial_count").as("row_count"))
       case CounterType.ApproxCountDistinct =>
         struct(base64(col("partial_sketch")).as("base64_hll"))
+      case CounterType.ValueSum =>
+        struct(col("partial_sum").as("sum_cents"))
       case CounterType.ValueQuantile | CounterType.HeavyHitters =>
         // the generic JSON hop carries the reference's two state shapes
         // (counter.go:78-82); the extension types ride their own typed
@@ -76,6 +78,7 @@ object Intermediate {
     StructField("counter_state", StructType(Seq(
       StructField("row_count", LongType),
       StructField("base64_hll", StringType),
+      StructField("sum_cents", LongType),
       StructField("histogram", ArrayType(StructType(Seq(
         StructField("c", LongType),
         StructField("n", LongType))))),
@@ -182,6 +185,11 @@ object Intermediate {
           struct(col("r.window.start").as("start"), col("r.window.end").as("end")).as("window"),
           col("r.shard_id"),
           unbase64(col("r.counter_state.base64_hll")).as("partial_sketch"))
+      case CounterType.ValueSum =>
+        parsed.select(
+          struct(col("r.window.start").as("start"), col("r.window.end").as("end")).as("window"),
+          col("r.shard_id"),
+          col("r.counter_state.sum_cents").as("partial_sum"))
     }
   }
 

@@ -38,12 +38,14 @@ private[streaming] object CounterStateBuf {
 
   def accumulate(prev: Option[CounterStateBuf], rows: Iterator[StateEvent],
                  ctype: CounterType): CounterStateBuf = ctype match {
-    case CounterType.ValueQuantile | CounterType.HeavyHitters =>
+    case CounterType.ValueQuantile | CounterType.HeavyHitters |
+         CounterType.ValueSum =>
       // streaming faces: valueQuantileHistogram / hitterCounts (the
-      // histogram/count-table IS the append-mode state)
+      // histogram/count-table IS the append-mode state); value_sum
+      // streams via the generic windowed-agg face (aggExpr)
       throw new IllegalArgumentException(
         s"custom-state protocol carries count/ACD states only; " +
-          s"${ctype.name} streams via its histogram face")
+          s"${ctype.name} streams via its generic face")
     case CounterType.Count =>
       CounterStateBuf(
         prev.map(_.rowCount).getOrElse(0L) + rows.count(_.value != null), null)
@@ -56,10 +58,11 @@ private[streaming] object CounterStateBuf {
   }
 
   def finalValue(buf: CounterStateBuf, ctype: CounterType): Long = ctype match {
-    case CounterType.ValueQuantile | CounterType.HeavyHitters =>
+    case CounterType.ValueQuantile | CounterType.HeavyHitters |
+         CounterType.ValueSum =>
       throw new IllegalArgumentException(
         s"custom-state protocol carries count/ACD states only; " +
-          s"${ctype.name} streams via its histogram face")
+          s"${ctype.name} streams via its generic face")
     case CounterType.Count => buf.rowCount
     case CounterType.ApproxCountDistinct =>
       if (buf.sketch == null) 0L
@@ -600,6 +603,8 @@ object StreamingCounters {
         grouped.agg(sum(col("partial_count")).cast("long").as("value"))
       case CounterType.ApproxCountDistinct =>
         grouped.agg(hll_sketch_estimate(hll_union_agg(col("partial_sketch"))).as("value"))
+      case CounterType.ValueSum =>
+        grouped.agg(sum(col("partial_sum")).cast("long").as("value"))
       case CounterType.ValueQuantile | CounterType.HeavyHitters =>
         throw new IllegalArgumentException(
           s"counter ${c.id}: the streaming intermediate consumer merges " +

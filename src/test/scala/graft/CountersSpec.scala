@@ -266,4 +266,33 @@ class CountersSpec extends SparkTestBase {
       Counters.fanOut(synth, "ts", Seq(ext))
     }
   }
+
+  test("value_sum counter: integer cents, two-phase invisible, fanOut-able, " +
+       "non-numeric skipped, '*' rejected") {
+    import org.apache.spark.sql.functions.{col, floor, pmod, sum => sqlSum}
+    val c = CounterDef("cents", CounterType.ValueSum, Some("user_id"),
+      windowDuration = "1 minute")
+    val expected = synth
+      .agg(sqlSum(floor(col("user_id").cast("double") * 100).cast("long")))
+      .head().getLong(0)
+    val single = Counters.run(synth, "ts", c).select("value").head().getLong(0)
+    assert(single == expected)
+    // two-phase merge must be invisible (long partials sum exactly)
+    val sharded = synth.withColumn("shard", pmod(col("user_id"), org.apache.spark.sql.functions.lit(4)))
+    val two = Counters.runTwoPhase(sharded, "ts", "shard", c.copy(id = "cents2p"))
+      .select("value").head().getLong(0)
+    assert(two == expected)
+    // rides a fanOut pass beside a count
+    val cnt = CounterDef("all", CounterType.Count, Some("*"), windowDuration = "1 minute")
+    val fanned = Counters.fanOut(synth, "ts", Seq(cnt, c))
+      .select("counter_id", "value").as[(String, Long)].collect().toMap
+    assert(fanned("cents") == expected && fanned("all") == n)
+    // non-numeric target values contribute nothing (try_cast skip-on-error)
+    val strC = CounterDef("s", CounterType.ValueSum, Some("path"),
+      windowDuration = "1 minute")
+    assert(Counters.run(synth, "ts", strC).select("value").head().getLong(0) == 0L)
+    // validation: '*' is illegal for value_sum
+    assert(CounterDef("x", CounterType.ValueSum, Some("*")).validate.isLeft)
+    assert(CounterDef("x", CounterType.ValueSum, Some("value")).validate.isRight)
+  }
 }
