@@ -261,6 +261,29 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
     }),
+    // STREAM-STATIC enrichment parity: the event stream joins a static
+    // per-type weight dimension (broadcast, stateless, re-planned per
+    // micro-batch) and the weighted counts aggregate per window — the
+    // third streaming-join class beside c28's stream-stream interval
+    // join and t30/t33's broadcast-model literals
+    "c51_stream_static_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 5L),
+        ("signup", 3L), ("error", 0L)).toDF("event_type", "weight")
+      val enriched = graft.streaming.StreamingJoins.staticEnrich(
+        Tables.eventsStream(s, dir), dim, "event_type")
+      val out = enriched.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(sum(col("weight")).as("value"))
+        .select(unix_millis(col("window.start")).as("window_start"),
+          unix_millis(col("window.end")).as("window_end"),
+          col("value"))
+      val sink = "c51_static_enrich_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
     // THE WHOLE ENGINE from config, oracle-checked: YAML in (env-template
     // loader), ARN wildcard routing selects the matching counter, its
     // pipeline runs target_expr + jq — records out must hash-match the
@@ -1554,6 +1577,17 @@ object SparkEntry {
            | coalesce(sum(floor(value * 100)), 0)::BIGINT AS value
            | FROM events GROUP BY 1, 2
            | HAVING window_end < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
+      // c51: weighted windowed counts; the dim is a VALUES list. Closed
+      // windows only (same append-mode bound as c17/c50).
+      "c51_stream_static_enrich" ->
+        """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+          | epoch_ms(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS window_end,
+          | sum(w.weight)::BIGINT AS value
+          |FROM events e JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 5),
+          |  ('signup', 3), ('error', 0)) AS w(event_type, weight)
+          |  ON e.event_type = w.event_type
+          |GROUP BY 1, 2
+          |HAVING window_end < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
       "c16_streaming_parity" ->
         s"""SELECT $win, 'request_count_stream' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,

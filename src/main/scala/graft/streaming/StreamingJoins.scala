@@ -44,6 +44,18 @@ object StreamingJoins {
         col(rightTs) <= col(leftTs))
   }
 
+  /** STREAM-STATIC join — the enrichment pattern (the third Structured
+    * Streaming join class beside stream-stream and the broadcast-model
+    * literal): a live stream joined to a bounded dimension frame. No
+    * watermark and NO join state — Spark re-plans the static side per
+    * micro-batch and the equi-join broadcasts it, so enrichment is a
+    * stateless per-batch hash probe; the dimension may be refreshed
+    * between batches (each micro-batch re-reads it). The natural shape
+    * for user/session/config lookups feeding a windowed aggregate.
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key))
+
   /** The c28 query shape: purchases correlated with every click of the
     * same user in the preceding `lookback` — both sides carved from one
     * event stream. Output: (purchase_id, click_id, purchase_ms, click_ms).
