@@ -752,6 +752,10 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
     }),
+    // CCNet head/middle/tail split: per-lang exact perplexity terciles
+    // over the t25 scores — histogram quantiles, broadcast cutoffs
+    "t36_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.ccnetBuckets(Tables.documents(s, dir))),
     // per-source distribution drift: quantized-KL token-distribution
     // divergence vs the whole corpus — digest-only map-side aggregates,
     // broadcast slice totals (the distribution-level twin of d21)
@@ -2330,6 +2334,26 @@ object SparkEntry {
            |SELECT b.doc_id, b.pred, b.score_bits,
            |  (b.pred = d.lang)::BIGINT AS self_match
            |FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1""".stripMargin
+    // t25's perplexity SQL, hoisted: t36's tercile split nests it
+    val t25Sql =
+      s"""WITH tr AS (SELECT doc_id,
+           |    ${h60("'lm2:' || g")} AS g2,
+           |    ${h60("'lm1:' || string_split(g, ' ')[1]")} AS g1
+           |  FROM (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> t[i]||' '||t[i+1])) AS g
+           |    FROM (SELECT doc_id, $toks AS t FROM documents))),
+           |big AS (SELECT g2, count(*) AS c2 FROM tr GROUP BY 1),
+           |pre AS (SELECT g1, count(*) AS c1 FROM tr GROUP BY 1),
+           |voc AS (SELECT count(DISTINCT w) AS v FROM (
+           |  SELECT unnest($toks) AS w FROM documents)),
+           |bits AS (SELECT doc_id,
+           |    (length(bin((c1+v)::BIGINT))-1) - (length(bin((c2+1)::BIGINT))-1) AS bits
+           |  FROM tr JOIN big USING (g2) JOIN pre USING (g1), voc)
+           |SELECT doc_id, count(*)::BIGINT AS n_transitions,
+           |       sum(bits)::BIGINT AS total_bits,
+           |       (sum(bits) * 1000000 // count(*))::BIGINT AS mean_bits_ppm
+           |FROM bits GROUP BY 1""".stripMargin
     val minhashCtes =
       s"""kg AS (SELECT doc_id, list_distinct($kgrams) AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
          |sh AS (SELECT doc_id, unnest(gs) AS g FROM kg),
@@ -2512,6 +2536,23 @@ object SparkEntry {
       // label on equal score) mirrors Spark's max(struct(score, label)).
       "t32_nb_classifier" -> t32Sql,
       "t33_stream_nb_parity" -> t32Sql,
+      // t36: t25 nested + per-lang lower-discrete tercile cutoffs (the
+      // t13 convention) + the head/middle/tail CASE
+      "t36_ccnet_buckets" ->
+        s"""WITH px AS (SELECT p.doc_id, d.lang, p.mean_bits_ppm
+           |  FROM ($t25Sql) p JOIN documents d USING (doc_id)),
+           |h AS (SELECT lang, mean_bits_ppm AS v, count(*) AS cnt
+           |  FROM px GROUP BY 1, 2),
+           |cd AS (SELECT lang, v,
+           |    sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+           |    sum(cnt) OVER (PARTITION BY lang) AS tot FROM h),
+           |c1 AS (SELECT lang, min(v) AS c1 FROM cd WHERE cum * 3 >= tot GROUP BY 1),
+           |c2 AS (SELECT lang, min(v) AS c2 FROM cd WHERE cum * 3 >= 2 * tot GROUP BY 1)
+           |SELECT px.doc_id, px.lang, px.mean_bits_ppm,
+           |  CASE WHEN px.mean_bits_ppm <= c1.c1 THEN 'head'
+           |       WHEN px.mean_bits_ppm <= c2.c2 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM px JOIN c1 USING (lang) JOIN c2 USING (lang)""".stripMargin,
       // t35: digest-level token counts per slice and corpus-wide; the
       // FL2 quantization is the shared length(bin(n))-1 device
       "t35_source_divergence" ->
@@ -2572,25 +2613,7 @@ object SparkEntry {
            |FROM db JOIN lam USING (b) GROUP BY 1""".stripMargin,
       // t25: bigram-LM transition costs — FL2(c1+V) − FL2(c2+1) per
       // transition; md5-60 digests keyed "lm1:"/"lm2:" as in Spark
-      "t25_lm_perplexity" ->
-        s"""WITH tr AS (SELECT doc_id,
-           |    ${h60("'lm2:' || g")} AS g2,
-           |    ${h60("'lm1:' || string_split(g, ' ')[1]")} AS g1
-           |  FROM (SELECT doc_id,
-           |    unnest(list_transform(generate_series(1, len(t)-1),
-           |      i -> t[i]||' '||t[i+1])) AS g
-           |    FROM (SELECT doc_id, $toks AS t FROM documents))),
-           |big AS (SELECT g2, count(*) AS c2 FROM tr GROUP BY 1),
-           |pre AS (SELECT g1, count(*) AS c1 FROM tr GROUP BY 1),
-           |voc AS (SELECT count(DISTINCT w) AS v FROM (
-           |  SELECT unnest($toks) AS w FROM documents)),
-           |bits AS (SELECT doc_id,
-           |    (length(bin((c1+v)::BIGINT))-1) - (length(bin((c2+1)::BIGINT))-1) AS bits
-           |  FROM tr JOIN big USING (g2) JOIN pre USING (g1), voc)
-           |SELECT doc_id, count(*)::BIGINT AS n_transitions,
-           |       sum(bits)::BIGINT AS total_bits,
-           |       (sum(bits) * 1000000 // count(*))::BIGINT AS mean_bits_ppm
-           |FROM bits GROUP BY 1""".stripMargin,
+      "t25_lm_perplexity" -> t25Sql,
       // t28: the t03 + t26 + t25 verdicts composed — one keep per doc;
       // docs too short for bigrams drop with the LM verdict
       "t28_ccnet_pipeline" ->

@@ -514,6 +514,44 @@ object TextAnalysis {
         (col("pred") === col("__true")).cast("long").as("self_match"))
   }
 
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3 —
+    * the step AFTER [[lmPerplexity]] scores): per LANGUAGE, documents
+    * partition into perplexity terciles — `head` (lowest mean bits =
+    * most fluent), `middle`, `tail` — and pretraining recipes keep
+    * head+middle. Cutoffs are the exact LOWER-discrete per-lang terciles
+    * of `mean_bits_ppm` (the [[lengthQuantiles]]/t13 convention: the
+    * smallest score whose cumulative count reaches k/3), so the split is
+    * engine-exact integer arithmetic end to end.
+    *
+    * Scale shape: scores collapse to a per-(lang, score) histogram
+    * (distinct scores ≪ docs) before any window; the cumsum windows
+    * partition by lang; the 2-row-per-lang cutoff table broadcasts back
+    * onto the scored docs. Documents with no bigram transitions (< 2
+    * tokens) have no perplexity and drop, as in [[lmPerplexity]].
+    * Output: (doc_id, lang, mean_bits_ppm, bucket).
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val px = lmPerplexity(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("mean_bits_ppm"))
+    val hist = px.groupBy(col("lang"), col("mean_bits_ppm").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("__v"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val cd = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__tot", sum(col("__cnt")).over(wTot))
+    def cutoff(k: Int) = cd.where(col("__cum") * lit(3L) >= lit(k.toLong) * col("__tot"))
+      .groupBy(col("lang")).agg(min(col("__v")).as(s"__c$k"))
+    val cuts = cutoff(1).join(cutoff(2), Seq("lang"))
+    px.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_bits_ppm"),
+        when(col("mean_bits_ppm") <= col("__c1"), lit("head"))
+          .when(col("mean_bits_ppm") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Per-source distribution DRIFT: the token-distribution divergence of
     * each corpus slice against the whole corpus — the distribution-level
     * companion to [[graft.dedup.Dedup.corpusOverlap]]'s set-level read

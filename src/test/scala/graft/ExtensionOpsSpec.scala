@@ -837,6 +837,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(sharedOut.forall(_ == "maj"))
   }
 
+  test("ccnetBuckets: ordered terciles per lang, near-even, exhaustive") {
+    import graft.textops.TextAnalysis
+    val out = TextAnalysis.ccnetBuckets(docs)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"), s"$lang: ${byBucket.keySet}")
+      // score ordering: every head score <= every middle score <= every tail
+      assert(byBucket("head").max <= byBucket("middle").min, s"$lang head/middle overlap")
+      assert(byBucket("middle").max <= byBucket("tail").min, s"$lang middle/tail overlap")
+      // near-even split (ties can shift a few docs across a cutoff)
+      val n = rows.size
+      byBucket.values.foreach(b =>
+        assert(math.abs(b.size - n / 3) <= math.max(3, n / 10), s"$lang skewed: ${byBucket.view.mapValues(_.size).toMap}"))
+    }
+  }
+
   test("sourceDivergence: a unique-vocab slice diverges far above corpus-matching slices") {
     import graft.textops.TextAnalysis
     // A and B share one distribution (the corpus majority); Z's vocabulary
