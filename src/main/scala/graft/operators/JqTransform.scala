@@ -39,7 +39,9 @@ import graft.functions.Canonical
   *    static types; within a rank, Spark's ordering matches jq's for
   *    same-type operands, and objects compare sorted-key-list first,
   *    then values in sorted-key order);
-  *  - boolean `and`/`or`, arithmetic `+ - * /`, parentheses,
+  *  - boolean `and`/`or`, arithmetic (`+` is jq's POLYMORPHIC form:
+  *    numbers add, strings and arrays concat, null is identity either
+  *    side; object merge out of scope), `- * /`, parentheses,
   *    string/number/bool/null literals, and string INTERPOLATION
   *    (`"metric.\(.counter_id)"` → `concat`, null printing as "null");
   *  - `map(expr)` over array values — ONE codegen'd `transform`, with
@@ -136,7 +138,14 @@ import graft.functions.Canonical
   *    form — `[range(3)]`, `[.s | scan("a+")]` — unwrapping via a
   *    stream-tail rule (in bare value position the collected array IS
   *    the value, a documented divergence from jq's multi-output
-  *    streaming), plus `limit(n; A)` over collected streams;
+  *    streaming), plus `limit(n; A)` over collected streams; `.path[]`
+  *    in VALUE position is the same stream-as-array (`[.tags[]]` and
+  *    `[limit(2; .tags[])]` collect like jq; follow-on pipes see the
+  *    ARRAY — use `map(f)` for per-element piping); bare `.` also
+  *    resolves on any single-column frame (the current value after a
+  *    `.path[]`/`paths` stage). The whole practically-used surface is
+  *    DIFFERENTIALLY tested against the real jq binary
+  *    (`JqDifferentialSpec`, 33 program/corpus cases vs /usr/bin/jq).
   *
   * Out of scope (documented divergence, unused by the reference's own
   * fixtures): slurp (a per-stream input-collection flag, not a program
@@ -1962,10 +1971,33 @@ object JqTransform {
         val r = parseTerm()
         streamTail = false
         val ll = l
-        l = if (op == '+') df => ll(df) + r(df) else df => ll(df) - r(df)
+        l = if (op == '+') df => jqAdd(df, ll, r) else df => ll(df) - r(df)
         skipWs()
       }
       l
+    }
+
+    /** jq's polymorphic `+`: numbers add, strings and arrays CONCAT, and
+      * null is the identity on either side (`null + x == x` — jq's rule,
+      * which plain SQL `+`/`concat` would turn into null). Object merge
+      * (`{..} + {..}`, rhs wins) stays out of scope, documented.
+      */
+    private def jqAdd(df: DataFrame, l: V, r: V): Column = {
+      val (lt, rt) = (dtOfV(df, l), dtOfV(df, r))
+      def guarded(f: (Column, Column) => Column): Column = {
+        val (lc, rc) = (l(df), r(df))
+        when(lc.isNull, rc).when(rc.isNull, lc).otherwise(f(lc, rc))
+      }
+      (lt, rt) match {
+        case (NullType, _) => r(df)
+        case (_, NullType) => l(df)
+        case (StringType, StringType) => guarded(concat(_, _))
+        case (_: ArrayType, _: ArrayType) => guarded(concat(_, _))
+        case (_: NumericType, _: NumericType) => guarded(_ + _)
+        case _ => throw new IllegalArgumentException(
+          s"jq_expr: '+' over ${lt.simpleString} and ${rt.simpleString} " +
+            "is unsupported (numbers, strings, arrays; object merge is out of scope)")
+      }
     }
     private def parseTerm(): V = {
       var l = parseAtom()
@@ -2089,21 +2121,43 @@ object JqTransform {
           if (i + 1 < s.length &&
               (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')) {
             val parts = parsePathParts()
-            df => elemBinding.value match {
-              // element paths navigate the element struct (the element's
-              // fields resolve when the enclosing HOF analyzes — a missing
-              // field is an analyzer error here, unlike top-level paths)
-              case Some(el) => parts.foldLeft(pick(el))((c, f) => c.getField(f))
-              case None => pathColumn(df, parts)
+            // `.path[]` in VALUE position: the stream of elements — an
+            // array here (the stream-as-array model), so `[.tags[]]`
+            // collects exactly like jq via the stream-tail unwrap.
+            // Follow-on pipes see the ARRAY (documented divergence from
+            // jq's per-element piping — use map(f) for that).
+            val iterated = tryConsume("[]")
+            if (iterated) streamTail = true
+            df => {
+              val c = elemBinding.value match {
+                // element paths navigate the element struct (the element's
+                // fields resolve when the enclosing HOF analyzes — a missing
+                // field is an analyzer error here, unlike top-level paths)
+                case Some(el) => parts.foldLeft(pick(el))((c0, f) => c0.getField(f))
+                case None => pathColumn(df, parts)
+              }
+              if (iterated) {
+                val arrV: V = _ => c
+                elementTypeV(df, arrV, "[] iteration") // array-input check
+              }
+              c
             }
           } else {
             next()
             df => elemBinding.value.map(pick).getOrElse {
-              // on a `..` variant stream, bare '.' is the current value
+              // on a `..` variant stream, bare '.' is the current value;
+              // on any other SINGLE-column frame (a `.path[]`/`paths`
+              // stage's scalar output) it is that column — jq's "current
+              // value" after a stream stage
               if (variantFrame(df)) col("__variant")
-              else throw new IllegalArgumentException(
-                "jq_expr: bare '.' as a value is only supported inside " +
-                  "map(...) or after '..'")
+              else {
+                val cols = df.columns.filterNot(_.startsWith("__var_"))
+                if (cols.length == 1) col(cols.head)
+                else throw new IllegalArgumentException(
+                  "jq_expr: bare '.' as a value needs a single current " +
+                    "value — inside map(...), after '..', or after a " +
+                    "single-column stage")
+              }
             }
           }
         case '"' => parseInterpString()

@@ -1,0 +1,224 @@
+package graft
+
+import scala.sys.process._
+
+import graft.operators.JqTransform
+
+/** DIFFERENTIAL tests of the jq compiler against the REAL `jq` binary
+  * (jq-1.6 in this container — the same C implementation gojq tracks, so
+  * this is as close to the reference's `counter.go:439-466` executor as
+  * the sandbox offers).
+  *
+  * Protocol: each case is (program, JSON input lines). The input loads as
+  * a DataFrame via Spark's JSON reader (schema-inferred — the dynamic-
+  * JSON shape the reference feeds gojq), runs through [[JqTransform]],
+  * and the output rows serialize back to JSON. The same lines pipe
+  * through `/usr/bin/jq -c <program>`. Both outputs are canonicalized by
+  * a second `jq -S -c .` pass (sorted keys, compact print) and compared
+  * as SORTED line multisets (a distributed engine does not define row
+  * order).
+  *
+  * Scope notes: programs end in object construction (the compiler's row
+  * convention); jq-1.6 lacks 1.7 builtins (`abs`, `ltrimstr` edge
+  * changes), so differential cases stick to the 1.6-stable surface.
+  * Number rendering: jq prints integer-valued doubles as integers, so
+  * cases keep integer arithmetic in longs on the Spark side.
+  */
+class JqDifferentialSpec extends SparkTestBase {
+
+  private val jqBin = new java.io.File("/usr/bin/jq")
+
+  private def realJq(program: String, inputLines: Seq[String]): Seq[String] = {
+    val in = new java.io.ByteArrayInputStream(
+      inputLines.mkString("\n").getBytes("UTF-8"))
+    (Seq("/usr/bin/jq", "-c", program) #< in).lineStream_!.toList
+  }
+
+  private def canon(lines: Seq[String]): Seq[String] = {
+    if (lines.isEmpty) return Nil
+    val in = new java.io.ByteArrayInputStream(lines.mkString("\n").getBytes("UTF-8"))
+    (Seq("/usr/bin/jq", "-S", "-c", ".") #< in).lineStream_!.toList
+  }
+
+  private def sparkJq(program: String, inputLines: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val df = spark.read.json(inputLines.toDS)
+    val out = JqTransform(df, program)
+    // toJSON drops null fields; jq keeps them — serialize with nulls
+    out.select(to_json(struct(out.columns.map(col).toSeq: _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  private def check(program: String, inputLines: Seq[String]): Unit = {
+    val ours = canon(sparkJq(program, inputLines)).sorted
+    val jqs = canon(realJq(program, inputLines)).sorted
+    assert(ours == jqs,
+      s"""divergence for: $program
+         |input : ${inputLines.mkString(" | ")}
+         |spark : ${ours.mkString(" ; ")}
+         |jq    : ${jqs.mkString(" ; ")}""".stripMargin)
+  }
+
+  private val rows = Seq(
+    """{"id": 1, "et": "click", "value": 10, "tags": ["a", "b"], "meta": {"k": 5, "s": "xy"}}""",
+    """{"id": 2, "et": "view", "value": 0, "tags": [], "meta": {"k": 0, "s": ""}}""",
+    """{"id": 3, "et": "signup", "value": 7, "tags": ["c"], "meta": {"k": 9, "s": "z"}}""")
+
+  override def withFixture(test: NoArgTest) = {
+    assume(jqBin.canExecute, "/usr/bin/jq not present")
+    super.withFixture(test)
+  }
+
+  test("object construction, renames, literals") {
+    check("""{i: .id, t: .et, c: 7, f: false, n: null}""", rows)
+  }
+
+  test("arithmetic and parentheses") {
+    check("""{s: (.id + .value * 2), d: (.meta.k - .id)}""", rows)
+  }
+
+  test("select truthiness: 0 and \"\" are truthy, null/false falsy") {
+    check("""select(.value > 0) | {i: .id}""", rows)
+    check("""select(.meta.s) | {i: .id}""", rows) // "" is truthy
+    check("""select(.missing) | {i: .id}""", rows) // null → drop all
+  }
+
+  test("nested paths and missing fields read as null") {
+    check("""{k: .meta.k, gone: .meta.nope, deep: .nope1}""", rows)
+  }
+
+  test("string interpolation and tostring") {
+    check("""{m: "ev.\(.et)", v: (.id | tostring)}""", rows)
+  }
+
+  test("array builtins: length, add, first/last, reverse, sort, unique") {
+    check("""{n: (.tags | length), j: (.tags | join(","))}""", rows)
+    check("""{r: (.tags | reverse), s: (.tags | sort), u: (.tags | unique)}""", rows)
+  }
+
+  test("map over arrays with element-bound '.'") {
+    check("""{up: (.tags | map(. + "!"))}""", rows)
+  }
+
+  test("comma stage: N outputs per row") {
+    check("""{a: .id}, {a: .value}""", rows)
+  }
+
+  test("array iteration stage: .tags[]") {
+    check(""".tags[] | {t: .}""", Seq("""{"tags": ["x", "y", "z"]}"""))
+  }
+
+  test("if/elif/else with jq truthiness") {
+    check("""{c: (if .value > 5 then "hi" elif .value > 0 then "mid" else "lo" end)}""", rows)
+  }
+
+  test("alternative operator //") {
+    check("""{v: (.missing // .id), w: (.meta.nope // "dflt")}""", rows)
+  }
+
+  test("keys, has, to_entries on objects") {
+    check("""{k: (.meta | keys), h: (.meta | has("k"))}""", rows)
+    // to_entries: uniform value types differential; MIXED types fall back
+    // to string values (documented static-schema divergence, not checked)
+    check("""{e: (.o | to_entries)}""", Seq("""{"o": {"a": 1, "b": 2}}"""))
+  }
+
+  test("regex: test, capture, gsub") {
+    check("""select(.et | test("^(?:click|view)$")) | {i: .id}""", rows)
+    check("""{c: (.et | capture("^(?<h>[a-z])(?<t>[a-z]+)$")), g: (.et | gsub("[aeiou]"; "*"))}""", rows)
+  }
+
+  test("split, ltrimstr, startswith, contains") {
+    check("""{p: (.et | split("i")), l: (.et | ltrimstr("cl")), sw: (.et | startswith("c")), c: (.et | contains("ick"))}""", rows)
+  }
+
+  test("reduce as a fold") {
+    check("""{s: (reduce .tags[] as $x (""; . + $x))}""", rows)
+  }
+
+  test("string explode/implode round-trip (codepoints)") {
+    check("""{cps: (.et | explode), rt: (.et | explode | implode)}""", rows)
+  }
+
+  test("range collect forms") {
+    check("""{r1: [range(3)], r2: [range(1; 4)], r3: [range(10; 0; -3)], e: [range(5; 5)]}""",
+      Seq("""{"x": 1}"""))
+  }
+
+  test("scan and splits collect forms") {
+    check("""{w: [.s | scan("[a-z]+")], p: [.s | splits(",")]}""",
+      Seq("""{"s": "ab1cd,ef,,gh"}"""))
+  }
+
+  test("limit over a collected stream") {
+    check("""{two: [limit(2; .tags[])]}""",
+      Seq("""{"tags": ["x", "y", "z"]}"""))
+  }
+
+  test("del removes a field; missing del is a no-op") {
+    check("""{d: (.meta | del(.k))}""", rows)
+  }
+
+  test("paths and leaf_paths enumerate document order") {
+    check("""paths | {p: .}""",
+      Seq("""{"a": 1, "b": {"c": 2}}"""))
+    check("""leaf_paths | {p: .}""",
+      Seq("""{"a": 1, "b": {"c": 2}}"""))
+  }
+
+  test("math: floor, sqrt, pow, fabs on integer-valued results") {
+    check("""{f: (.value | floor), p: pow(2; 10)}""", rows)
+  }
+
+  test("type names") {
+    check("""{t1: (.id | type), t2: (.et | type), t3: (.tags | type), t4: (.meta | type), t5: (.missing | type)}""", rows)
+  }
+
+  test("tojson and utf8bytelength") {
+    check("""{j: (.et | tojson), b: (.et | utf8bytelength)}""", rows)
+  }
+
+  test("group_by / sort_by on object arrays") {
+    check("""{g: (.xs | group_by(.k)), s: (.xs | sort_by(.v))}""",
+      Seq("""{"xs": [{"k": "b", "v": 3}, {"k": "a", "v": 1}, {"k": "b", "v": 2}]}"""))
+  }
+
+  test("min_by/max_by tie picks") {
+    check("""{mn: (.xs | min_by(.v)), mx: (.xs | max_by(.v))}""",
+      Seq("""{"xs": [{"k": "b", "v": 1}, {"k": "a", "v": 1}, {"k": "c", "v": 2}]}"""))
+  }
+
+  test("flatten") {
+    check("""{f: (.xs | flatten)}""", Seq("""{"xs": [[1, 2], [3]]}"""))
+  }
+
+  test("index/rindex") {
+    check("""{i: (.et | index("i")), r: (.et | rindex("i"))}""", rows)
+  }
+
+  test("format strings @base64 round-trip, @csv, @uri") {
+    check("""{b: (.et | @base64), rt: (.et | @base64 | @base64d), u: (.et | @uri)}""", rows)
+    check("""{c: (.xs | @csv), t: (.xs | @tsv)}""",
+      Seq("""{"xs": ["a,b", "c\"d"]}"""))
+  }
+
+  test("def bindings with $-params") {
+    check("""def twice($x): $x + $x; {d: twice(.id)}""", rows)
+  }
+
+  test("foreach scan collect form") {
+    check("""{sums: [foreach .xs[] as $x (0; . + $x)]}""",
+      Seq("""{"xs": [1, 2, 3, 4]}"""))
+  }
+
+  test("stage-level binding E as $x") {
+    check(""".id as $i | select(.value > $i) | {i: $i, v: .value}""", rows)
+  }
+
+  test("fromjson navigation") {
+    check("""{k: (.js | fromjson | .k | tonumber)}""",
+      Seq("""{"js": "{\"k\": 42}"}"""))
+  }
+}
