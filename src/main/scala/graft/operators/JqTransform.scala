@@ -871,13 +871,18 @@ object JqTransform {
     "last" -> ((df, v) => { elementTypeV(df, v, "last"); try_element_at(v(df), lit(-1)) }),
     // jq reverse: arrays and strings share Spark's reverse
     "reverse" -> ((df, v) => reverse(v(df))),
-    // jq tostring: strings unchanged, everything else JSON-encoded — for
-    // the static path a cast; for a variant the runtime type decides
+    // jq tostring: strings unchanged, containers JSON-encoded (jq's
+    // rule — a cast would render Spark's "[a, b]" debug form), scalars
+    // cast; for a variant the runtime type decides
     "tostring" -> ((df, v) => dtOfV(df, v) match {
       case dt if dt.typeName == "variant" =>
         val c = v(df)
         when(variantTypeName(c) === "string", try_variant_get(c, "$", "string"))
           .otherwise(to_json(c))
+      case StringType => v(df)
+      case dt @ (_: ArrayType | _: StructType | _: MapType) =>
+        coalesce(Canonical.canonicalJsonTyped(dt, v(df)), lit("null"))
+      case NullType => lit("null")
       case _ => v(df).cast("string")
     }),
     // jq errors on non-numeric tonumber; here the row's value becomes NULL
@@ -887,10 +892,16 @@ object JqTransform {
       case dt if dt.typeName == "variant" => try_variant_get(v(df), "$", "double")
       case _ => v(df).try_cast("double")
     }),
-    // jq length: element count for arrays/objects, char count for strings
+    // jq length: element count for arrays/objects, char count for
+    // strings, 0 for null (jq's rule — `null | length` is 0, and a
+    // runtime-null container/string lengths 0, not null)
     "length" -> ((df, v) => dtOfV(df, v) match {
-      case _: ArrayType | _: MapType => size(v(df)).cast("long")
-      case _ => length(v(df)).cast("long")
+      case NullType => lit(0L)
+      case _: ArrayType | _: MapType =>
+        coalesce(size(v(df)).cast("long"), lit(0L))
+      case st: StructType => // object length = field count (schema-static)
+        when(v(df).isNotNull, lit(st.size.toLong)).otherwise(lit(0L))
+      case _ => coalesce(length(v(df)).cast("long"), lit(0L))
     }),
     "floor" -> ((df, v) => floor(v(df))),
     "ascii_downcase" -> ((df, v) => lower(v(df))),
@@ -2073,6 +2084,23 @@ object JqTransform {
       }
     }
 
+    /** jq's current value `.` as a V: the HOF-bound element, the `..`
+      * variant stream's value, or the single column of a one-column
+      * frame (a `.path[]`/`paths` stage's output). Also the implicit
+      * input of bare value-position builtins (`length` ≡ `. \| length`).
+      */
+    private def bareDotV: V = df => elemBinding.value.map(pick).getOrElse {
+      if (variantFrame(df)) col("__variant")
+      else {
+        val cols = df.columns.filterNot(_.startsWith("__var_"))
+        if (cols.length == 1) col(cols.head)
+        else throw new IllegalArgumentException(
+          "jq_expr: bare '.' as a value needs a single current " +
+            "value — inside map(...), after '..', or after a " +
+            "single-column stage")
+      }
+    }
+
     private def parseAtom(): V = {
       skipWs()
       peek match {
@@ -2144,21 +2172,7 @@ object JqTransform {
             }
           } else {
             next()
-            df => elemBinding.value.map(pick).getOrElse {
-              // on a `..` variant stream, bare '.' is the current value;
-              // on any other SINGLE-column frame (a `.path[]`/`paths`
-              // stage's scalar output) it is that column — jq's "current
-              // value" after a stream stage
-              if (variantFrame(df)) col("__variant")
-              else {
-                val cols = df.columns.filterNot(_.startsWith("__var_"))
-                if (cols.length == 1) col(cols.head)
-                else throw new IllegalArgumentException(
-                  "jq_expr: bare '.' as a value needs a single current " +
-                    "value — inside map(...), after '..', or after a " +
-                    "single-column stage")
-              }
-            }
+            bareDotV
           }
         case '"' => parseInterpString()
         case c if c.isDigit || c == '-' =>
@@ -2402,6 +2416,22 @@ object JqTransform {
           // $-param semantics), bound on the same dynamic channel as
           // `reduce`'s `as $x` for the body's evaluation
           val name = parseIdent()
+          // bare value-position BUILTINS apply to `.` (jq: `length` ≡
+          // `. | length`) — user defs shadow; one-arg builtins take their
+          // parenthesized argument
+          if (!defs.contains(name) && Funcs.contains(name)) {
+            val f = Funcs(name)
+            return df => f(df, bareDotV)
+          }
+          if (!defs.contains(name) && FuncsArg.contains(name) && {
+            skipWs(); peek == '('
+          }) {
+            next()
+            val arg = parseValue()
+            expect(')')
+            val f = FuncsArg(name)
+            return df => f(df, bareDotV, arg)
+          }
           val d = defs.getOrElse(name, throw new IllegalArgumentException(
             s"jq_expr: unknown function '$name' in value position" +
               (if (defs.isEmpty) " (no defs declared)"

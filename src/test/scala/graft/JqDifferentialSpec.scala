@@ -1,7 +1,5 @@
 package graft
 
-import scala.sys.process._
-
 import graft.operators.JqTransform
 
 /** DIFFERENTIAL tests of the jq compiler against the REAL `jq` binary
@@ -28,16 +26,36 @@ class JqDifferentialSpec extends SparkTestBase {
 
   private val jqBin = new java.io.File("/usr/bin/jq")
 
-  private def realJq(program: String, inputLines: Seq[String]): Seq[String] = {
-    val in = new java.io.ByteArrayInputStream(
-      inputLines.mkString("\n").getBytes("UTF-8"))
-    (Seq("/usr/bin/jq", "-c", program) #< in).lineStream_!.toList
+  /** Run a command with stdin/stdout as EXPLICIT UTF-8 bytes —
+    * sys.process's lineStream decodes with the platform charset, which
+    * mangles jq's UTF-8 output under a C locale.
+    */
+  private def runUtf8(cmd: Seq[String], input: String): Seq[String] = {
+    val pb = new java.lang.ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new java.io.ByteArrayOutputStream
+    val writer = new Thread(() => {
+      proc.getOutputStream.write(input.getBytes("UTF-8"))
+      proc.getOutputStream.close()
+    })
+    writer.start()
+    val buf = new Array[Byte](8192)
+    val is = proc.getInputStream
+    var n = is.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+    writer.join()
+    proc.waitFor()
+    new String(out.toByteArray, "UTF-8").split("\n").toSeq
+      .filter(_.nonEmpty)
   }
+
+  private def realJq(program: String, inputLines: Seq[String]): Seq[String] =
+    runUtf8(Seq("/usr/bin/jq", "-c", program), inputLines.mkString("\n"))
 
   private def canon(lines: Seq[String]): Seq[String] = {
     if (lines.isEmpty) return Nil
-    val in = new java.io.ByteArrayInputStream(lines.mkString("\n").getBytes("UTF-8"))
-    (Seq("/usr/bin/jq", "-S", "-c", ".") #< in).lineStream_!.toList
+    runUtf8(Seq("/usr/bin/jq", "-S", "-c", "."), lines.mkString("\n"))
   }
 
   private def sparkJq(program: String, inputLines: Seq[String]): Seq[String] = {
@@ -220,5 +238,83 @@ class JqDifferentialSpec extends SparkTestBase {
   test("fromjson navigation") {
     check("""{k: (.js | fromjson | .k | tonumber)}""",
       Seq("""{"js": "{\"k\": 42}"}"""))
+  }
+
+  // -------------------------------------------------- second tranche --
+
+  test("tostring renders containers as JSON; null length is 0") {
+    check("""{s: (.tags | tostring), o: (.meta | tostring), nl: (.missing | length), ol: (.meta | length)}""", rows)
+  }
+
+  test("polymorphic + : string concat, array concat, null identity") {
+    check("""{sc: (.et + "!"), ac: (.tags + ["z"]), ni: (.missing + .id), in: (.id + .missing)}""", rows)
+  }
+
+  test("and/or with comparisons") {
+    check("""{b: (.value > 0 and .id < 3), o: (.value > 5 or .id > 2)}""", rows)
+  }
+
+  test("object equality ignores field order") {
+    check("""{e: (.meta == {"s": "xy", "k": 5})}""", rows)
+  }
+
+  test("string interpolation with expressions and null rendering") {
+    check("""{m: "v\(.id + 1)x", n: "got \(.missing)"}""", rows)
+  }
+
+  test("sub with named-capture replacement") {
+    check("""{s: (.et | sub("(?<v>[aeiou])"; "<\(.v)>"))}""", rows)
+  }
+
+  test("regex flags: case-insensitive test") {
+    check("""{t: (.et | test("CLICK"; "i"))}""", rows)
+  }
+
+  test("has on arrays is a bounds check") {
+    check("""{h0: (.tags | has(0)), h9: (.tags | has(9))}""", rows)
+  }
+
+  test("division yields doubles like jq") {
+    check("""{d: (.value / 4)}""", Seq("""{"value": 10}"""))
+  }
+
+  test("explode/implode on full Unicode vs jq") {
+    check("""{cps: (.s | explode), rt: (.s | explode | implode)}""",
+      Seq("""{"s": "héllo€🙂"}"""))
+  }
+
+  test("foreach stage form pipes into a follow-on object stage") {
+    check("""foreach .xs[] as $x (0; . + $x) | {v: .}""",
+      Seq("""{"xs": [1, 2, 3]}"""))
+  }
+
+  test("recursive descent types") {
+    check(""".. | {t: (. | type)}""",
+      Seq("""{"a": 1, "b": {"c": "x"}}"""))
+  }
+
+  test("slurp: whole input as one array (jq -s)") {
+    val program = """{n: length, s: (map(.id) | add), f: (first | .id)}"""
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val df = spark.read.json(rows.toDS)
+    val out = JqTransform.slurp(df, Seq("id"), program)
+    val ours = canon(out.select(to_json(struct(out.columns.map(col).toSeq: _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .collect().map(_.getString(0)).toSeq).sorted
+    val jqs = canon(runUtf8(Seq("/usr/bin/jq", "-c", "-s", program),
+      rows.mkString("\n"))).sorted
+    assert(ours == jqs, s"slurp divergence:\n$ours\nvs\n$jqs")
+  }
+
+  test("group_by key ordering with nulls first") {
+    check("""{g: (.xs | group_by(.k) | map(map(.v)))}""",
+      Seq("""{"xs": [{"k": "b", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 3}]}"""))
+  }
+
+  test("getpath piped, keys sorted, from_entries last-wins") {
+    check("""{g: (.meta | getpath(["k"])), ks: (.meta | keys)}""", rows)
+    check("""{m: (.es | from_entries)}""",
+      Seq("""{"es": [{"key": "a", "value": 1}, {"key": "b", "value": 2}, {"key": "a", "value": 3}]}"""))
   }
 }
