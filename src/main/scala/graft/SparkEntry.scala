@@ -957,6 +957,10 @@ object SparkEntry {
       Ann.pqCodes(Tables.embeddings(s, dir))),
     // recall@k eval: IVF result graded against the exact top-k — the
     // accept/reject gate for any approximate index
+    // IVF tuning curve: recall@5 vs brute-force truth for nprobe 1/2/4 —
+    // truth computes once (localCheckpoint), each point probe-bounded
+    "s17_ivf_tuning" -> ((s, dir) =>
+      Ann.ivfTuningCurve(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     "s07_recall_eval" -> ((s, dir) =>
       Ann.recallAtK(
         Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
@@ -2208,8 +2212,8 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) AS rank
         |  FROM q JOIN embeddings e ON e.vec_id != q.query_id)
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin
-    val s02Sql =
-      """WITH cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
+    def s02SqlN(np: Int): String =
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
         |assigned AS (SELECT vec_id, embedding, cell FROM (
         |  SELECT e.vec_id, e.embedding, c.cell,
         |    row_number() OVER (PARTITION BY e.vec_id
@@ -2220,12 +2224,13 @@ object SparkEntry {
         |  SELECT q.query_id, q.qe, c.cell,
         |    row_number() OVER (PARTITION BY q.query_id
         |      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
-        |  FROM q CROSS JOIN cent c) WHERE rn <= 3),
+        |  FROM q CROSS JOIN cent c) WHERE rn <= $np),
         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
         |  row_number() OVER (PARTITION BY p.query_id
         |    ORDER BY list_cosine_similarity(p.qe, a.embedding) DESC, a.vec_id) AS rank
         |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id)
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin
+    val s02Sql = s02SqlN(3)
     // IVF-PQ ADC pipeline, parameterized by the final shortlist depth —
     // s08 uses it at k=5, s13 re-ranks its 20-deep shortlist exactly
     def s08Sql(lim: Int): String =
@@ -3221,6 +3226,18 @@ object SparkEntry {
            |FROM exact e LEFT JOIN approx a
            |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
            |GROUP BY 1""".stripMargin,
+      // s17: one UNION ALL branch per nprobe, each the s07 recall calc
+      // over the nprobe-parameterized IVF pipeline
+      "s17_ivf_tuning" ->
+        Seq(1, 2, 4).map { np =>
+          s"""SELECT $np::BIGINT AS nprobe,
+             | count(DISTINCT e.query_id)::BIGINT AS n_queries,
+             | count(a.neighbor_id)::BIGINT AS n_hits,
+             | (count(a.neighbor_id) * 1000000 // count(*))::BIGINT AS recall_ppm
+             |FROM ($s01Sql) e LEFT JOIN (${s02SqlN(np)}) a
+             |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+            .stripMargin
+        }.mkString("\n UNION ALL \n"),
       "s07_recall_eval" ->
         s"""WITH exact AS ($s01Sql),
            |approx AS ($s02Sql)

@@ -255,6 +255,35 @@ object Ann {
         floor(col("n_hits") * lit(1000000L) / col("__n")).cast("long"))
       .drop("__n")
 
+  /** IVF tuning curve — the index-design read BEFORE an index ships (the
+    * parameter-sweep companion of [[recallAtK]], as [[graft.dedup.Dedup.minhashCalibration]]
+    * is to LSH): corpus-level recall@k against the brute-force truth for
+    * a sweep of `nprobe` values, one row per setting. Recall is
+    * NON-DECREASING in nprobe by construction (more probes can only add
+    * candidate cells), so the curve shows where extra probes stop paying.
+    *
+    * Scale shape: the expensive brute-force truth computes ONCE and
+    * local-checkpoints (the d18 lesson — N recall joins must not re-run
+    * it); each sweep point is an IVF search (probe-bounded candidates)
+    * plus an AQE-sized top-k join. Output: (nprobe, n_queries, n_hits,
+    * recall_ppm).
+    */
+  def ivfTuningCurve(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+                     probes: Seq[Int] = Seq(1, 2, 4),
+                     centroidStep: Long = 25L): DataFrame = {
+    require(probes.nonEmpty, "ivfTuningCurve needs at least one nprobe")
+    val exact = bruteForceTopK(embeddings, queryPred, k)
+      .localCheckpoint(eager = false)
+    probes.map { np =>
+      recallAtK(exact, ivfTopK(embeddings, queryPred, k, centroidStep, np))
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("n_hits").cast("long").as("n_hits"),
+          graft.textops.TextAnalysis.intDiv(col("n_hits") * lit(1000000L),
+            col("n_queries") * lit(k.toLong)).as("recall_ppm"))
+    }.reduce(_.union(_))
+  }
+
   /** Per-label centroid accumulation — the shuffle-exact building block of
     * distributed k-means / class prototypes: element-wise sums per label
     * in scaled-integer space (`floor(x·10⁶)` per component), which makes

@@ -794,6 +794,20 @@ class ExtensionOpsSpec extends SparkTestBase {
       "fixture should include non-en queries")
   }
 
+  test("ivfTuningCurve: recall non-decreasing in nprobe, saturates at full probe") {
+    import graft.similarity.Ann
+    val curve = Ann.ivfTuningCurve(embeddings, col("vec_id") % 50 === 0,
+        probes = Seq(1, 2, 4, 25))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 4L, 25L))
+    curve.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a <= b, s"recall decreased along the sweep: $curve")
+    }
+    // probing EVERY cell (step 25 => <= 20 centroids at this sf) makes
+    // IVF exhaustive: recall must be 100%
+    assert(curve.last._2 == 1000000L, s"full probe not exhaustive: $curve")
+  }
+
   test("ivfPqRerankTopK: refine over a wide shortlist recovers brute-force order") {
     import graft.similarity.Ann
     val pred = col("vec_id") % 50 === 0
