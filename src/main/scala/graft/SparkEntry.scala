@@ -752,6 +752,13 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
     }),
+    // Unicode scrub: the pre-tokenization cleanup pass (invisible code
+    // points, NBSP family, control chars, whitespace collapse) — one
+    // codegen'd regexp chain, no shuffle. The fixture corpus is already
+    // clean ([a-z0-9 ]), so changed=0 everywhere — the oracle checks the
+    // pass-through exactness; dirty-input semantics live in the spec
+    "t37_unicode_scrub" -> ((s, dir) =>
+      TextAnalysis.unicodeScrub(Tables.documents(s, dir))),
     // CCNet head/middle/tail split: per-lang exact perplexity terciles
     // over the t25 scores — histogram quantiles, broadcast cutoffs
     "t36_ccnet_buckets" -> ((s, dir) =>
@@ -2541,6 +2548,21 @@ object SparkEntry {
       // label on equal score) mirrors Spark's max(struct(score, label)).
       "t32_nb_classifier" -> t32Sql,
       "t33_stream_nb_parity" -> t32Sql,
+      // t37: the same regex chain in RE2 syntax ('g' flag — DuckDB
+      // replaces first-only by default, Spark globally)
+      "t37_unicode_scrub" ->
+        """SELECT doc_id,
+          | trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          |   '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}\x{200E}\x{200F}\x{202A}-\x{202E}]', '', 'g'),
+          |   '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+          |   '[\x{0000}-\x{001F}\x{007F}-\x{009F}]', ' ', 'g'),
+          |   ' {2,}', ' ', 'g')) AS text,
+          | (trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          |   '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}\x{200E}\x{200F}\x{202A}-\x{202E}]', '', 'g'),
+          |   '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+          |   '[\x{0000}-\x{001F}\x{007F}-\x{009F}]', ' ', 'g'),
+          |   ' {2,}', ' ', 'g')) != text)::BIGINT AS changed
+          |FROM documents""".stripMargin,
       // t36: t25 nested + per-lang lower-discrete tercile cutoffs (the
       // t13 convention) + the head/middle/tail CASE
       "t36_ccnet_buckets" ->

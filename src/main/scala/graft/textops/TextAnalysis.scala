@@ -1015,6 +1015,37 @@ object TextAnalysis {
     *
     * Returns one row per input row: the counts and the redacted text.
     */
+  /** Unicode text normalization — the cleanup pass a crawl ships through
+    * BEFORE tokenization (C4 §2.2 / CCNet preprocessing): strip control
+    * characters and the invisible formatting code points that poison
+    * tokenizers (zero-width space/joiner/non-joiner, BOM, soft hyphen,
+    * bidi marks), convert NBSP-family spaces to plain spaces, collapse
+    * whitespace runs, and trim. Everything is a codegen'd regexp chain —
+    * one narrow no-shuffle scan; full NFC/NFKC canonicalization needs
+    * `java.text.Normalizer` (a per-row UDF) and stays out of scope,
+    * documented. Output: (doc_id, text, changed) — `changed` flags rows
+    * the scrub touched, so the accounting aggregate is one sum.
+    */
+  def unicodeScrub(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    // invisible/formatting code points: zero-width space/joiner/non-joiner,
+    // word joiner, BOM, soft hyphen, bidi embedding/override/marks
+    val noInvisible = regexp_replace(t,
+      "[\\u200B\\u200C\\u200D\\u2060\\uFEFF\\u00AD\\u200E\\u200F\\u202A-\\u202E]", "")
+    // NBSP family → plain space (NBSP, narrow NBSP, ogham, en/em-family,
+    // ideographic space)
+    val plainSpaces = regexp_replace(noInvisible,
+      "[\\u00A0\\u1680\\u2000-\\u200A\\u202F\\u205F\\u3000]", " ")
+    // control chars (C0/C1 minus nothing — tabs/newlines normalize too)
+    val noControl = regexp_replace(plainSpaces, "[\\u0000-\\u001F\\u007F-\\u009F]", " ")
+    val collapsed = regexp_replace(noControl, " {2,}", " ")
+    val cleaned = trim(collapsed)
+    docs.select(
+      col("doc_id"),
+      cleaned.as("text"),
+      (cleaned =!= t).cast("long").as("changed"))
+  }
+
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     // Each count runs against the PREVIOUS redaction stage, so an email's

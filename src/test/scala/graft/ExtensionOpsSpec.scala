@@ -851,6 +851,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(sharedOut.forall(_ == "maj"))
   }
 
+  test("unicodeScrub: strips invisibles, normalizes spaces, collapses, trims") {
+    import graft.textops.TextAnalysis
+    val dirty = Seq(
+      (1L, "plain text stays"),
+      (2L, "zero\u200Bwidth\u200Cgone\uFEFF\u00AD"),
+      (3L, "nb\u00A0sp\u2009and\u3000ideographic"),
+      (4L, "ctrl\tchars\nhere\u0007bell"),
+      (5L, "  trimmed   runs  collapse  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unicodeScrub(dirty)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("plain text stays", 0L)))
+    assert(out(2L) == (("zerowidthgone", 1L)))
+    assert(out(3L) == (("nb sp and ideographic", 1L)))
+    assert(out(4L) == (("ctrl chars here bell", 1L)))
+    assert(out(5L) == (("trimmed runs collapse", 1L)))
+  }
+
   test("ccnetBuckets: ordered terciles per lang, near-even, exhaustive") {
     import graft.textops.TextAnalysis
     val out = TextAnalysis.ccnetBuckets(docs)

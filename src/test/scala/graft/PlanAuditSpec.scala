@@ -583,6 +583,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"raw text leaked past the digest projection:\n$p")
   }
 
+  test("unicode scrub is one narrow no-shuffle projection") {
+    val p = plan(TextAnalysis.unicodeScrub(docs))
+    // Tables.documents adds a round-robin repartition (single-file scan
+    // parallelization); the scrub itself must add no keyed shuffle,
+    // join, or aggregate — it is a pure projection
+    assert(!p.contains("Exchange hashpartitioning"), s"scrub must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"scrub is a pure projection:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("ccnet buckets: every window partitions by lang; cutoffs broadcast back") {
+    val p = plan(TextAnalysis.ccnetBuckets(docs))
+    assert(!p.contains("windowspecdefinition()"),
+      s"unpartitioned window in the tercile cutoffs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cutoff table must broadcast:\n$p")
+  }
+
   test("NB classifier: dense weight table broadcasts; raw text never joins") {
     val p = plan(TextAnalysis.nbClassifier(docs))
     // the label×bucket weights ride a broadcast into the token stream
