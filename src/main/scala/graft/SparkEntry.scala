@@ -1069,6 +1069,29 @@ object SparkEntry {
     // is per-doc — same-group pairs land at Jaccard 0.5 (2 of 4 distinct
     // hashes), cross-group pairs share nothing. Group size is FIXED at 10
     // regardless of corpus scale, so output stays linear in docs.
+    // TEMPORAL animation alignment: same-group GIFs share a 3-frame run
+    // at DIFFERENT offsets (even ids at frames 1-3, odd at 0-2), so the
+    // order-aware run detector must find every within-group pair with the
+    // right start positions — the case m11's set-Jaccard cannot localize
+    "m12_gif_run_align" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = id / 10
+          def luma(seed: Long, i: Long): Int = {
+            val t = seed % 65521L + i * 31L
+            ((t * t % 65521L) % 256L).toInt
+          }
+          val off = (id % 2).toInt // 0: shared at frames 1..3; 1: at 0..2
+          (id, Multimodal.syntheticGrayGif(8, 8, 5, (k, x, y) => {
+            val i = y.toLong * 8 + x
+            val j = k - (1 - off)
+            if (j >= 0 && j < 3) luma(g * 997 + j * 101, i)
+            else luma(id * 1000003L + k * 13 + 7, i)
+          }))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("video"))
+      Multimodal.animationRunPairs(Multimodal.decodeGifFrames(gifs).toDF())
+    }),
     "m11_gif_neardup" -> ((s, dir) => {
       import s.implicits._
       val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
@@ -3452,6 +3475,37 @@ object SparkEntry {
       // m11: the fixture's frame lumas are pure formulas (shared frames
       // keyed by group = doc_id // 10, the third by doc_id), so the SQL
       // recomputes every aHash and the same set-Jaccard over them
+      // m12: frame hashes from the pixel formula (m11's aHash SQL), then
+      // positional 2-grams, pair diagonals, and gaps-and-islands runs
+      "m12_gif_run_align" ->
+        """WITH fr AS (SELECT doc_id, doc_id // 10 AS g, doc_id % 2 AS off,
+          |            unnest([0, 1, 2, 3, 4]) AS k FROM documents),
+          |sd AS (SELECT doc_id, k,
+          |         CASE WHEN k - (1 - off) BETWEEN 0 AND 2
+          |           THEN g*997 + (k - (1 - off))*101
+          |           ELSE doc_id*1000003 + k*13 + 7 END AS seed
+          |       FROM fr),
+          |px AS (SELECT doc_id, k,
+          |         ((((seed % 65521 + i*31) * (seed % 65521 + i*31)) % 65521) % 256) AS l, i
+          |       FROM sd CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)),
+          |mn AS (SELECT doc_id, k, sum(l) // 60 AS mean FROM px GROUP BY 1, 2),
+          |ah AS (SELECT px.doc_id, px.k,
+          |         sum(CASE WHEN l > mean THEN (1::BIGINT << (59 - i)::INT)
+          |             ELSE 0 END)::BIGINT AS h
+          |       FROM px JOIN mn ON px.doc_id = mn.doc_id AND px.k = mn.k
+          |       GROUP BY 1, 2),
+          |gr AS (SELECT a1.doc_id, a1.k AS pos, a1.h AS g1, a2.h AS g2
+          |       FROM ah a1 JOIN ah a2 ON a1.doc_id = a2.doc_id AND a2.k = a1.k + 1),
+          |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb,
+          |                x.pos - y.pos AS diag
+          |         FROM gr x JOIN gr y ON x.g1 = y.g1 AND x.g2 = y.g2
+          |           AND x.doc_id < y.doc_id),
+          |isl AS (SELECT a, b, diag, pa, pb,
+          |          pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) AS isle
+          |        FROM cand)
+          |SELECT a, b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
+          |       (count(*) + 1)::BIGINT AS run_frames
+          |FROM isl GROUP BY a, b, diag, isle HAVING count(*) + 1 >= 3""".stripMargin,
       "m11_gif_neardup" ->
         """WITH fr AS (SELECT doc_id, doc_id // 10 AS g, unnest([0, 1, 2]) AS k
           |            FROM documents),

@@ -594,6 +594,56 @@ object Multimodal {
     * the size table is tiny per doc. Input: [[decodeGifFrames]] output.
     * Output: (a, b, jaccard_ppm), a < b.
     */
+  /** TEMPORAL alignment between animations: maximal runs of CONSECUTIVE
+    * shared frames, order-preserving — the sequence-aware companion of
+    * [[animationDupPairs]]'s set-Jaccard. A trimmed or offset re-encode
+    * shares a long frame RUN even when set overlap is modest, and a
+    * shuffled frame collection (same set, different order) shares none —
+    * the two cases set-Jaccard cannot tell apart. The
+    * [[graft.dedup.Dedup.substringRuns]] shape on frame hashes:
+    * positional frame 2-grams → gram equi-join (corpus-wide occurrence
+    * cap against hot intros/logos) → per-(pair, diagonal)
+    * gaps-and-islands → maximal runs ≥ `minRun` frames.
+    *
+    * Scale shape: only (doc, pos, two 60-bit hashes) rows reach the
+    * join; per-doc grams are `maxFrames`-bounded; every window
+    * partitions by (pair, diagonal). Input: [[decodeGifFrames]] output.
+    * Output: (a, b, a_start, b_start, run_frames), a < b, one row per
+    * maximal aligned run.
+    */
+  def animationRunPairs(frames: DataFrame, minRun: Int = 3,
+                        maxGramFreq: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fh = frames.where(col("ahash").isNotNull)
+      .select(col("doc_id"), col("frame_idx"), col("ahash"))
+    val wSeq = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val grams = fh
+      .withColumn("h2", lead(col("ahash"), 1).over(wSeq))
+      .where(col("h2").isNotNull)
+      .select(col("doc_id"), col("frame_idx").as("pos"),
+        col("ahash").as("g1"), col("h2").as("g2"))
+    // corpus-wide occurrence cap: a gram shared by every animation (a
+    // standard intro card) would square the candidate join
+    val hot = grams.groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxGramFreq)
+      .select(col("g1"), col("g2"))
+    val capped = grams.join(broadcast(hot), Seq("g1", "g2"), "left_anti")
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.g1") === col("y.g1") && col("x.g2") === col("y.g2") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"),
+        (col("x.pos") - col("y.pos")).as("diag"))
+    val wIsle = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    cand
+      .withColumn("__isle", col("pa") - row_number().over(wIsle))
+      .groupBy(col("a"), col("b"), col("diag"), col("__isle"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + 1).as("run_frames")) // n 2-grams span n+1 frames
+      .where(col("run_frames") >= minRun)
+      .select(col("a"), col("b"), col("a_start"), col("b_start"), col("run_frames"))
+  }
+
   def animationDupPairs(frames: DataFrame, tauPpm: Long = 400000L): DataFrame = {
     val fh = frames.where(col("ahash").isNotNull)
       .select(col("doc_id"), col("ahash")).distinct()

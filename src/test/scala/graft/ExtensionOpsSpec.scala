@@ -851,6 +851,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(sharedOut.forall(_ == "maj"))
   }
 
+  test("animationRunPairs: offset runs found, shuffled order shares none, cap kills hot grams") {
+    import graft.multimodal.Multimodal
+    def doc(id: Long, hashes: Seq[Long]) =
+      hashes.zipWithIndex.map { case (h, i) => (id, hashes.length.toLong, i.toLong, Some(h)) }
+    // doc 1: run [10,11,12,13] at 0; doc 2: same run at offset 2;
+    // doc 3: SAME FRAME SET as doc 1 but shuffled — no consecutive pair
+    val frames = (
+      doc(1L, Seq(10L, 11L, 12L, 13L, 90L)) ++
+      doc(2L, Seq(80L, 81L, 10L, 11L, 12L, 13L)) ++
+      doc(3L, Seq(13L, 11L, 10L, 12L))
+    ).toDF("doc_id", "n_frames", "frame_idx", "ahash")
+    val runs = Multimodal.animationRunPairs(frames, minRun = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(runs.toSeq == Seq((1L, 2L, 0L, 2L, 4L)),
+      s"expected one 4-frame aligned run, got ${runs.toSeq}")
+    // the same pair disappears when its grams exceed the occurrence cap
+    val hot = (1L to 60L).flatMap(id => doc(id, Seq(10L, 11L, 12L, 13L)))
+      .toDF("doc_id", "n_frames", "frame_idx", "ahash")
+    assert(Multimodal.animationRunPairs(hot, minRun = 3, maxGramFreq = 10L)
+      .collect().isEmpty)
+  }
+
   test("unicodeScrub: strips invisibles, normalizes spaces, collapses, trims") {
     import graft.textops.TextAnalysis
     val dirty = Seq(
