@@ -47,14 +47,21 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   /** Integer-valued scalar expression (jq renders integer doubles as
     * integers, so staying integral sidesteps number-format skew).
     */
-  private def genNum(r: scala.util.Random, depth: Int): String = {
+  /** `safe = true` excludes `*` — jq's double arithmetic renders
+    * (negative × 0) as -0, which survives into tostring/interpolation
+    * where no structural canonicalization can reach it; +/- cannot
+    * produce -0 (x − x is +0 in IEEE), so the rest of the grammar is
+    * render-stable.
+    */
+  private def genNum(r: scala.util.Random, depth: Int,
+                     safe: Boolean = false): String = {
     val leaves = Seq(".id", ".n", ".m", (r.nextInt(19) - 9).toString)
     if (depth <= 0) leaves(r.nextInt(leaves.length))
     else r.nextInt(6) match {
-      case 0 => s"(${genNum(r, depth - 1)} + ${genNum(r, depth - 1)})"
-      case 1 => s"(${genNum(r, depth - 1)} - ${genNum(r, depth - 1)})"
-      case 2 => s"(${genNum(r, depth - 1)} * ${genNum(r, depth - 1)})"
-      case 3 => s"(${genNum(r, depth - 1)} | floor)"
+      case 0 => s"(${genNum(r, depth - 1, safe)} + ${genNum(r, depth - 1, safe)})"
+      case 1 => s"(${genNum(r, depth - 1, safe)} - ${genNum(r, depth - 1, safe)})"
+      case 2 if !safe => s"(${genNum(r, depth - 1)} * ${genNum(r, depth - 1)})"
+      case 3 => s"(${genNum(r, depth - 1, safe)} | floor)"
       case 4 => s"(.xs | length)"
       case _ => leaves(r.nextInt(leaves.length))
     }
@@ -66,30 +73,37 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     else r.nextInt(6) match {
       case 0 => s"(${genStr(r, depth - 1)} + ${genStr(r, depth - 1)})"
       case 1 => s"(${genStr(r, depth - 1)} | ascii_upcase)"
-      case 2 => s"(${genNum(r, depth - 1)} | tostring)"
+      case 2 => s"(${genNum(r, depth - 1, safe = true)} | tostring)"
       case 3 => s"(${genStr(r, depth - 1)} | ltrimstr(\"a\"))"
-      case 4 => s"\"p\\(${genNum(r, depth - 1)})q\""
+      case 4 => s"\"p\\(${genNum(r, depth - 1, safe = true)})q\""
       case _ => leaves(r.nextInt(leaves.length))
     }
   }
 
   private def genBool(r: scala.util.Random, depth: Int): String =
-    r.nextInt(5) match {
+    r.nextInt(8) match {
       case 0 => s"(${genNum(r, depth)} < ${genNum(r, depth)})"
       case 1 => s"(${genNum(r, depth)} == ${genNum(r, depth)})"
       case 2 => s"(${genStr(r, depth)} == ${genStr(r, depth)})"
       case 3 => s"(${genStr(r, depth)} | startswith(\"a\"))"
+      case 4 => s"(${genNum(r, depth)} < ${genStr(r, depth)})" // cross-type: number < string
+      case 5 => s"(${genStr(r, depth)} | contains(\"a\"))"
+      case 6 => s"(${genNum(r, depth)} != ${genNum(r, depth)})"
       case _ => s"(${genNum(r, depth)} >= ${genNum(r, depth)})"
     }
 
   private def genValue(r: scala.util.Random, depth: Int): String =
-    r.nextInt(8) match {
+    r.nextInt(12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
       case 5 => s"(.xs | sort)"
       case 6 => s"(if ${genBool(r, depth - 1)} then ${genNum(r, depth - 1)} " +
         s"else ${genNum(r, depth - 1)} end)"
+      case 7 => s"(.missing // ${genNum(r, depth - 1)})"
+      case 8 => s"(.xs | sort_by(. * -1))"
+      case 9 => s"(.xs | map(. | tostring) | join(\"-\"))"
+      case 10 => s"(.xs | reverse | first)"
       case _ => s"(.xs | map(. + ${1 + r.nextInt(5)}))"
     }
 
@@ -108,13 +122,13 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       s""" "t": "w${r.nextInt(4)}", "xs": [$xs]}"""
   }
 
-  test("300 random programs match jq (seeded)") {
+  test("500 random programs match jq (seeded)") {
     assume(jqBin.canExecute, "/usr/bin/jq not present")
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, struct, to_json}
     val r = new scala.util.Random(20260814L)
     var checked = 0
-    (0 until 300).foreach { i =>
+    (0 until 500).foreach { i =>
       val program = genProgram(r)
       val inputs = Seq.fill(3)(genRow(r))
       val df = spark.read.json(inputs.toDS)
@@ -131,6 +145,6 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
            |jq    : ${jqs.mkString(" ; ")}""".stripMargin)
       checked += 1
     }
-    assert(checked == 300)
+    assert(checked == 500)
   }
 }
