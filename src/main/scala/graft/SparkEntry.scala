@@ -288,6 +288,50 @@ object SparkEntry {
     // loader), ARN wildcard routing selects the matching counter, its
     // pipeline runs target_expr + jq — records out must hash-match the
     // oracle. The non-matching counter proves routing drops it.
+    // the WHOLE STREAMING ENGINE from config, oracle-checked — the
+    // streaming twin of c25: YAML → ARN routing → KPL-parse path →
+    // watermark pipeline (target_expr + jq) → RecordPutter sinks; the
+    // emitted sink RECORDS (not a query handle) parse back and must
+    // hash-match the relational oracle for every closed window
+    "c52_stream_engine_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val yaml =
+        """counters:
+          |  - id: cfg_clicks_stream
+          |    counter_type: count
+          |    input_stream_arn: arn:aws:kinesis:ap-northeast-1:111122223333:stream/events*
+          |    output_stream_arn: arn:aws:kinesis:ap-northeast-1:111122223333:stream/out
+          |    target_expr: 'if(string_contains(event_type, "click"), 1, nil)'
+          |    jq_expr: '{"time": .window_start, "name": "metric.\(.counter_id)", "value": .value}'
+          |  - id: cfg_other
+          |    counter_type: count
+          |    input_stream_arn: arn:aws:kinesis:ap-northeast-1:111122223333:stream/other
+          |    target_column: "*"
+          |""".stripMargin
+      val cfg = graft.config.ConfigLoader.fromYaml(yaml)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      val src = graft.config.Arn.parse(
+          "arn:aws:kinesis:ap-northeast-1:111122223333:stream/events-prod")
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val raw = Tables.eventsStream(s, dir)
+        .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))).cast("binary").as("value"))
+      graft.sinks.Sinks.CollectingPutter.drain() // clear prior runs
+      val queries = graft.streaming.StreamingEngine.run(
+        raw, schema, "ts", cfg, src, new graft.sinks.Sinks.CollectingPutter,
+        watermarkDelay = "0 seconds")
+      require(queries.keySet == Set("cfg_clicks_stream"),
+        s"routing must launch exactly cfg_clicks_stream, got ${queries.keySet}")
+      try queries.values.foreach(_.processAllAvailable())
+      finally queries.values.foreach(_.stop())
+      val recs = graft.sinks.Sinks.CollectingPutter.drain().map(_._3)
+      import s.implicits._
+      s.read.json(recs.toDS)
+    }),
     "c25_engine_config_e2e" -> ((s, dir) => {
       val yaml =
         """counters:
@@ -1845,6 +1889,13 @@ object SparkEntry {
            | count(*) FILTER (WHERE value >= 50.0
            |   AND CAST(floor(least(value, 150.0)) AS BIGINT) % 2 = 0) AS value
            | FROM events GROUP BY 1, 2""".stripMargin,
+      // c52: c25's relational truth restricted to watermark-closed windows
+      "c52_stream_engine_e2e" ->
+        """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
+          | 'metric.cfg_clicks_stream' AS name,
+          | count(*) FILTER (WHERE event_type LIKE '%click%') AS value
+          |FROM events GROUP BY 1
+          |HAVING time + 3600000 < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
       "c25_engine_config_e2e" ->
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'metric.cfg_clicks' AS name,
