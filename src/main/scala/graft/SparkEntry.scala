@@ -764,6 +764,11 @@ object SparkEntry {
     // rules + LM-perplexity band, one keep verdict per doc
     "t28_ccnet_pipeline" -> ((s, dir) =>
       TextAnalysis.ccnetPipeline(Tables.documents(s, dir))),
+    // the MODERN pipeline in one call (v2): LSH near-dup dedup with the
+    // QUALITY keeper -> benchmark decontamination -> CCNet verdict ->
+    // per-(lang, source) survivor accounting
+    "t38_training_pipeline_v2" -> ((s, dir) =>
+      graft.pipeline.TrainingData.runV2(Tables.documents(s, dir))),
     // the whole training-data pipeline in ONE call: exact dedup -> CCNet
     // filter -> stratified sample -> token-budget shard packing; output
     // is the packed set's per-shard accounting
@@ -2678,6 +2683,45 @@ object SparkEntry {
            |SELECT c.truth, c.pred, c.n,
            |  (c.n * 1000000 // r.rtot)::BIGINT AS row_ppm
            |FROM cells c JOIN rt r USING (truth)""".stripMargin,
+      // t38: the v2 composition — d22's quality-keeper clustering, d19's
+      // k=3 contamination (reusing minhashCtes' kg), the ccnet verdicts,
+      // all intersected and aggregated per (lang, source)
+      "t38_training_pipeline_v2" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |p AS (SELECT a, b FROM est WHERE est_ppm >= 500000),
+           |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p),
+           |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+           |reach(n, m) AS (
+           |  SELECT n, n FROM nodes
+           |  UNION
+           |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+           |comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+           |qy AS (SELECT doc_id,
+           |  ((1000000 - (len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1000000 // length(text))
+           |    + (len(list_filter($toks, t -> list_contains($enStop, t))) * 1000000 // len($toks))
+           |    + (least(length(text), 500) * 1000000 // 500)) // 3)::BIGINT AS q
+           |  FROM documents),
+           |keepers AS (SELECT node AS keeper FROM (
+           |  SELECT comp.node, row_number() OVER (PARTITION BY comp.component
+           |    ORDER BY qy.q DESC, comp.node ASC) AS rn
+           |  FROM comp JOIN qy ON qy.doc_id = comp.node) WHERE rn = 1),
+           |drops AS (SELECT node FROM comp
+           |  WHERE node NOT IN (SELECT keeper FROM keepers)),
+           |gg AS (SELECT doc_id, unnest(gs) AS gram FROM kg),
+           |bench AS (SELECT doc_id AS bench_id, gram FROM gg WHERE doc_id % 25 = 0),
+           |cont AS (SELECT DISTINCT gg.doc_id
+           |         FROM gg JOIN bench b ON gg.gram = b.gram AND gg.doc_id != b.bench_id),
+           |$ccnetCtes,
+           |keep AS (SELECT doc_id FROM lok JOIN rules USING (doc_id) JOIN pok USING (doc_id)
+           |         WHERE lang_ok + rules_ok + ppl_ok = 3)
+           |SELECT d.lang, d.source, count(*)::BIGINT AS n_docs,
+           |       sum(len(string_split(d.text, ' ')))::BIGINT AS n_tokens
+           |FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT node FROM drops)
+           |  AND d.doc_id % 25 != 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+           |  AND d.doc_id IN (SELECT doc_id FROM keep)
+           |GROUP BY 1, 2""".stripMargin,
       // t31: rank/cumsum over the distinct-token table; per-size max cum
       "t31_vocab_coverage" ->
         s"""WITH freq AS (SELECT token, count(*)::BIGINT AS n FROM (

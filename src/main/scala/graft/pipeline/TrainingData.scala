@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -35,6 +35,41 @@ object TrainingData {
   val DefaultRatesPpm: Map[String, Long] = Map(
     "en" -> 900000L, "de" -> 600000L, "es" -> 600000L,
     "fr" -> 600000L, "zh" -> 300000L)
+
+  /** The MODERN pipeline composition (v2 of [[run]]): NEAR-duplicate
+    * dedup with the QUALITY-keeper policy (LSH pairs → clusters → best
+    * member survives) → benchmark DECONTAMINATION (contaminated docs AND
+    * the benchmark slice drop) → the CCNet filter verdict — reported as
+    * per-(lang, source) survivor accounting (docs + tokens), the mixture
+    * read a data team tracks per pipeline run. Stage membership is
+    * computed corpus-wide and composed by doc-id left-semi joins (the
+    * [[run]] idiom): for these stages sequential and intersect semantics
+    * agree — contamination and the CCNet gates are per-doc facts
+    * independent of which duplicates survive.
+    *
+    * Scale shape: each stage keeps its own operator's shape (banded LSH,
+    * digest-only contamination join, shuffle-free rule battery); the
+    * composition itself moves doc-id SETS only, every semi-join
+    * AQE-sized. Raw text shuffles nowhere new.
+    */
+  def runV2(docs: DataFrame,
+            benchmarkPred: Column = col("doc_id") % 25 === 0): DataFrame = {
+    val survivors = Dedup.applyDedupByQuality(docs,
+        Dedup.minhashLshPairs(docs).select(col("a"), col("b")),
+        TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality_ppm")))
+      .select(col("doc_id"))
+    val decon = Dedup.applyDecontamination(docs, benchmarkPred, k = 3)
+    val keep = TextAnalysis.ccnetPipeline(docs)
+      .where(col("keep") === 1).select(col("doc_id"))
+    docs
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(decon, Seq("doc_id"), "left_semi")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select(col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("__n"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+  }
 
   def run(docs: DataFrame,
           ratesPpm: Map[String, Long] = DefaultRatesPpm,
