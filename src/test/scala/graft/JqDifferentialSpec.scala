@@ -312,6 +312,32 @@ class JqDifferentialSpec extends SparkTestBase {
       Seq("""{"xs": [{"k": "b", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 3}]}"""))
   }
 
+  test("the reference's own fixture jq programs run verbatim vs real jq") {
+    // every jq_expr in /root/reference/testdata/*.yaml, extracted from
+    // the read-only checkout and run over synthetic O13 output records —
+    // a reference user's configs pass the real-jq differential unmodified
+    val dir = new java.io.File("/root/reference/testdata")
+    assume(dir.isDirectory, "reference checkout not present")
+    val programs = dir.listFiles().filter(_.getName.endsWith(".yaml")).toSeq
+      .flatMap { f =>
+        val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toList
+        lines.zipWithIndex.collect {
+          case (l, i) if l.trim == "jq_expr: |" => lines(i + 1).trim
+        }
+      }
+    assert(programs.nonEmpty, "expected jq_expr blocks in the reference fixtures")
+    val o13Rows = Seq(
+      """{"event_source_arn": "arn:aws:kinesis:ap-northeast-1:1:stream/s",
+         "window_start": 1638357540000, "window_end": 1638357600000,
+         "counter_id": "user_count", "counter_type": "count", "value": 93}"""
+        .replaceAll("\n\\s*", " "),
+      """{"event_source_arn": "arn:aws:kinesis:ap-northeast-1:1:stream/s",
+         "window_start": 1638357600000, "window_end": 1638357660000,
+         "counter_id": "user_count", "counter_type": "count", "value": 0}"""
+        .replaceAll("\n\\s*", " "))
+    programs.foreach(p => check(p, o13Rows))
+  }
+
   test("getpath piped, keys sorted, from_entries last-wins") {
     check("""{g: (.meta | getpath(["k"])), ks: (.meta | keys)}""", rows)
     check("""{m: (.es | from_entries)}""",
