@@ -1364,6 +1364,13 @@ object SparkEntry {
       Counters.runPerShard(
         events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
         "ts", "shard", cTopUsers)),
+    // ...and the per-shard topology row for value_sum, completing the
+    // type x topology matrix (one sum per (window, shard), shard_id in
+    // the O13 record)
+    "c53_sum_per_shard" -> ((s, dir) =>
+      Counters.runPerShard(
+        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
+        "ts", "shard", cValueSum)),
     // THIRD engine-extension counter type as a config citizen: per-window
     // SUM of the record value in integer cents (the basic aggregate the
     // reference lacks) — same O13 record, single-phase topology
@@ -1651,6 +1658,11 @@ object SparkEntry {
       // against ONE relational truth (the hops must be invisible). floor
       // (value*100) is the same single IEEE multiply + floor on both
       // engines; summed longs are shuffle-order-exact.
+      "c53_sum_per_shard" ->
+        s"""SELECT $win, (user_id % 4)::VARCHAR AS shard_id,
+           | 'revenue_cents' AS counter_id, 'value_sum' AS counter_type,
+           | coalesce(sum(floor(value * 100)), 0)::BIGINT AS value
+           | FROM events GROUP BY 1, 2, 3""".stripMargin,
       "c48_sum_counter" ->
         s"""SELECT $win, 'revenue_cents' AS counter_id, 'value_sum' AS counter_type,
            | coalesce(sum(floor(value * 100)), 0)::BIGINT AS value
