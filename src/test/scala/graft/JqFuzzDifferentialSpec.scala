@@ -122,13 +122,13 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       s""" "t": "w${r.nextInt(4)}", "xs": [$xs]}"""
   }
 
-  test("500 random programs match jq (seeded)") {
+  private def fuzzRun(seed: Long, cases: Int): Unit = {
     assume(jqBin.canExecute, "/usr/bin/jq not present")
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, struct, to_json}
-    val r = new scala.util.Random(20260814L)
+    val r = new scala.util.Random(seed)
     var checked = 0
-    (0 until 500).foreach { i =>
+    (0 until cases).foreach { i =>
       val program = genProgram(r)
       val inputs = Seq.fill(3)(genRow(r))
       val df = spark.read.json(inputs.toDS)
@@ -145,6 +145,14 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
            |jq    : ${jqs.mkString(" ; ")}""".stripMargin)
       checked += 1
     }
-    assert(checked == 500)
+    assert(checked == cases)
+  }
+
+  test("500 random programs match jq (seed 20260814)") {
+    fuzzRun(20260814L, 500)
+  }
+
+  test("500 random programs match jq (seed 987654321)") {
+    fuzzRun(987654321L, 500)
   }
 }
