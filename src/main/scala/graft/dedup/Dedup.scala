@@ -761,6 +761,12 @@ object Dedup {
     *
     * Output: surviving doc_ids with a `kept_as` tag — 'solo' (never
     * clustered) or 'keeper' (won its cluster).
+    *
+    * Quality coverage need not be total: a clustered doc absent from
+    * `quality` cannot win against a scored member (it ranks below every
+    * scored one), and a cluster with NO scored member falls back to the
+    * [[applyDedup]] min-node keeper — so an incomplete quality frame can
+    * demote docs but can never silently delete a whole cluster.
     */
   def applyDedupByQuality(docs: DataFrame, pairs: DataFrame,
                           quality: DataFrame): DataFrame = {
@@ -769,9 +775,17 @@ object Dedup {
     val scored = comp.join(q, comp("node") === q("doc_id"))
       .select(col("component"), col("node"), col("q"))
     // keeper = max (q, -node): highest quality, ties to the SMALLER id
-    val keepers = scored.groupBy(col("component"))
+    val keepersQ = scored.groupBy(col("component"))
       .agg(max(struct(col("q"), (-col("node")).as("nn"))).as("w"))
-      .select((-col("w.nn")).as("keeper"))
+      .select(col("component"), (-col("w.nn")).as("keeper"))
+    // clusters with no scored member: min-node fallback (components-bounded
+    // anti-join + one map-side-combinable min)
+    val keepersNoQ = comp
+      .join(keepersQ.select(col("component").as("cq")),
+        col("component") === col("cq"), "left_anti")
+      .groupBy(col("component")).agg(min(col("node")).as("keeper"))
+    val keepers = keepersQ.select(col("keeper"))
+      .unionByName(keepersNoQ.select(col("keeper")))
     val drops = comp.select(col("node"))
       .join(keepers, col("node") === col("keeper"), "left_anti")
     val clustered = comp.select(col("node"))

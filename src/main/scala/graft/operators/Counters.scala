@@ -98,6 +98,14 @@ object Counters {
     * numeric / null values contribute nothing (`try_cast` → NULL, which
     * `sum` skips — the skip-on-error analog shared with tonumber); an
     * all-null group emits 0, like count.
+    *
+    * DELIBERATE parity-over-accuracy trade: `floor`, not `round`. IEEE
+    * representation makes e.g. 29.99·100 = 2998.9999…, so floor yields
+    * 2998 cents where a currency-true conversion would round to 2999.
+    * Both engines (this aggregate and the DuckDB oracle SQL) compute the
+    * identical floor, so results are bit-equal and deterministic; callers
+    * that ingest true currency should materialize integer cents upstream
+    * rather than rely on a double column.
     */
   private def sumAgg(df: DataFrame, c: CounterDef): Column = {
     val value = valueColumn(c).getOrElse(throw new IllegalArgumentException(

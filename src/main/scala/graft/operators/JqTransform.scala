@@ -2119,10 +2119,12 @@ object JqTransform {
             i += 7
             val v = parseForeach()
             expect(']')
+            streamTail = false // the collected scan is a plain array value
             v
           } else {
             val elems = Seq.newBuilder[V]
             var streamCollect = false
+            var strayStream = false
             if (peek != ']') {
               var more = true
               var first = true
@@ -2134,11 +2136,21 @@ object JqTransform {
                 // splits) COLLECTS the stream — the value already is the
                 // collected array, so unwrap instead of wrapping
                 if (first && streamTail && peek == ']') streamCollect = true
+                else if (streamTail) strayStream = true
                 first = false
                 if (peek == ',') { next(); more = true } else more = false
               }
             }
             expect(']')
+            // a collected [...] is a plain array VALUE, not a stream — do
+            // not leak the stream flag to an enclosing collector
+            // ([[range(3)]] must nest, not double-unwrap)
+            streamTail = false
+            if (strayStream) throw new IllegalArgumentException(
+              "jq_expr: a stream builtin (range/scan/splits/limit or .path[]) " +
+                "inside a MULTI-element array literal is out of scope — jq " +
+                "flattens the stream into the collection; collect it alone " +
+                "([stream]) and combine with '+' instead")
             val es = elems.result()
             if (streamCollect) es.head
             else df => array(es.map(_(df)): _*)

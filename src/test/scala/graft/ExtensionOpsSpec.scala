@@ -942,6 +942,22 @@ class ExtensionOpsSpec extends SparkTestBase {
       s"got $out")
   }
 
+  test("applyDedupByQuality: incomplete quality frame cannot delete a cluster") {
+    import graft.dedup.Dedup
+    val corpus = Seq(
+      (1L, "a"), (2L, "a"),             // cluster {1,2}: NO member scored
+      (4L, "b"), (5L, "b"),             // cluster {4,5}: only 5 scored
+      (9L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("a", "b")
+    val quality = Seq((5L, 7L)).toDF("doc_id", "q")
+    val out = Dedup.applyDedupByQuality(corpus, pairs, quality)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // unscored cluster {1,2} falls back to the min-node keeper (1);
+    // in {4,5} the unscored 4 ranks below the scored 5
+    assert(out == Map(1L -> "keeper", 5L -> "keeper", 9L -> "solo"),
+      s"got $out")
+  }
+
   test("nbConfusion: separable vocab yields a pure diagonal with 1e6 row shares") {
     import graft.textops.TextAnalysis
     val sep = (0L until 60L).map { i =>

@@ -165,6 +165,11 @@ class JqDifferentialSpec extends SparkTestBase {
       Seq("""{"x": 1}"""))
   }
 
+  test("nested stream collection [[range(n)]] nests like jq") {
+    check("""{n: [[range(3)]], two: [[range(2)], [range(1)]]}""",
+      Seq("""{"x": 1}"""))
+  }
+
   test("scan and splits collect forms") {
     check("""{w: [.s | scan("[a-z]+")], p: [.s | splits(",")]}""",
       Seq("""{"s": "ab1cd,ef,,gh"}"""))

@@ -1037,6 +1037,24 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform.compile("""{x: [range(1; 10; .n)]}"""))
   }
 
+  test("nested [[stream]] nests; stray stream in multi-element array rejects") {
+    val t = Seq((4L, 1L)).toDF("n", "one")
+    // a collected [...] is a plain array VALUE — the stream flag must not
+    // leak to the enclosing collector ([[range(3)]] is [[0,1,2]], not [0,1,2])
+    val r = JqTransform(t,
+      """{nested: [[range(3)]], two: [[range(2)], [range(.one)]]}""").head()
+    assert(r.getSeq[Seq[Long]](0).toList == List(List(0L, 1L, 2L)))
+    assert(r.getSeq[Seq[Long]](1).toList == List(List(0L, 1L), List(0L)))
+    // jq FLATTENS a stream into a multi-element collection — out of scope,
+    // rejected loudly instead of silently nesting
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: [range(3), 5]}"""))
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: [5, range(3)]}"""))
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: [.s | splits(","), "t"]}"""))
+  }
+
   test("scan/splits: collected streams; limit slices; scan rejects groups") {
     val t = Seq(("a1 bb22 c333", "x,y,,z")).toDF("s", "csv")
     val r = JqTransform(t,
