@@ -1264,6 +1264,18 @@ object SparkEntry {
           | ok: ({"m": 1} | has("m"))}
           || select(.ok) | .pair[]""".stripMargin)),
 
+    // O14 round-7 notch: value-position `T as $x | body` bindings (jq's
+    // Term-level precedence — `-2 as $m | …` negates OUTSIDE the binding,
+    // matching jq's '-' Exp grammar) + right-biased shallow object merge
+    // `+`, over the O13 counter record
+    "c54_jq_bindings" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{time: .window_start,
+          | scaled: (.value as $v | $v * 3 + 1),
+          | neg: (-2 as $m | $m * .value),
+          | tagged: ({"src": "ctr", "k": 0} + {"k": .value})}""".stripMargin)),
+
     // O14 jq total-order notch: sort_by under jq's order (null keys first,
     // stable within equal keys — the two data keys flip order per window),
     // plus the cross-type comparison constants (number < string,
@@ -1668,6 +1680,14 @@ object SparkEntry {
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'events.request_count' AS name, count(*) AS value
           | FROM events GROUP BY 1""".stripMargin,
+      // c54: Term-level binding precedence (-2 as $m == -(2 as $m | …))
+      // and right-biased object merge; struct fields in the merge's key
+      // order (left's keys, then right's new ones)
+      "c54_jq_bindings" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t AS time, v * 3 + 1 AS scaled, -(2 * v) AS neg,
+          | struct_pack(src := 'ctr', k := v::BIGINT) AS tagged FROM c""".stripMargin,
       "c29_tws_state_parity" ->
         s"""SELECT $win, 'request_count_tws' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2

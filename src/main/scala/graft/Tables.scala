@@ -46,7 +46,7 @@ object Tables {
     // Same single-file/single-row-group constraint as documents: per-row
     // heavy consumers (JSON/variant parse, keyed hashing) would otherwise
     // run in ONE task locally.
-    spread(ts)
+    spread(ts, s"$sfDir/events.parquet")
   }
   /** Streaming twin of [[events]]: the same parquet read as a file-stream
     * source (schema pinned from one batch-footer read, same nanos→micros
@@ -72,7 +72,7 @@ object Tables {
     * and this is a no-op cost-wise.
     */
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    spread(load(spark, sfDir, "documents"))
+    spread(load(spark, sfDir, "documents"), s"$sfDir/documents.parquet")
 
   /** Streaming twin of [[documents]] (same glob-anchored file-stream
     * trick as [[eventsStream]]) — feeds the ingest-time scoring parity
@@ -88,10 +88,27 @@ object Tables {
     * single-file fixtures plan one task; a production-scale source is
     * already maxPartitionBytes-split and must not be re-shuffled just to
     * load it (same conditional as `Ann.normalize`).
+    *
+    * The underfill probe is a FILE-SIZE estimate of the scan's split
+    * count (`ceil(bytes / spark.sql.files.maxPartitionBytes)`), not
+    * `df.rdd.getNumPartitions` — the RDD conversion materialized the
+    * physical plan once per table load just to read a partition count,
+    * doubling plan work on every query over events/documents. A path this
+    * process can't stat (object store, zero length) is assumed
+    * production-shaped — already split at the source, no repartition.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  private def spread(df: DataFrame, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length()
+    val bytes = sizeOf(new java.io.File(path))
+    val estSplits = if (bytes <= 0L) Long.MaxValue // unstattable → assume split
+      else (bytes + maxBytes - 1) / maxBytes
+    if (estSplits >= par) df else df.repartition(par)
   }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 

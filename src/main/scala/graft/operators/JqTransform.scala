@@ -40,8 +40,8 @@ import graft.functions.Canonical
   *    same-type operands, and objects compare sorted-key-list first,
   *    then values in sorted-key order);
   *  - boolean `and`/`or`, arithmetic (`+` is jq's POLYMORPHIC form:
-  *    numbers add, strings and arrays concat, null is identity either
-  *    side; object merge out of scope), `- * /`, parentheses,
+  *    numbers add, strings and arrays concat, objects merge shallowly
+  *    right-biased, null is identity either side), `- * /`, parentheses,
   *    string/number/bool/null literals, and string INTERPOLATION
   *    (`"metric.\(.counter_id)"` → `concat`, null printing as "null");
   *  - `map(expr)` over array values — ONE codegen'd `transform`, with
@@ -2005,24 +2005,89 @@ object JqTransform {
         case (StringType, StringType) => guarded(concat(_, _))
         case (_: ArrayType, _: ArrayType) => guarded(concat(_, _))
         case (_: NumericType, _: NumericType) => guarded(_ + _)
+        case (ls: StructType, rs: StructType) =>
+          // jq object merge: right-biased SHALLOW merge. Result keys =
+          // left's in order (right's value winning on conflict — even an
+          // explicit null value wins, jq semantics), then right's new keys
+          // in right order. Static-schema convention: a runtime-NULL
+          // object operand merges as the empty object over the UNION
+          // schema (its fields read as null — the engine's absent-as-null
+          // rule), and null + null yields null. A key typed differently
+          // on the two sides fails loudly at plan time (Catalyst branch
+          // type mismatch), never merges silently.
+          val (lc, rc) = (l(df), r(df))
+          val fields = ls.fields.map { f =>
+            if (rs.fieldNames.contains(f.name))
+              when(rc.isNull, lc.getField(f.name))
+                .otherwise(rc.getField(f.name)).as(f.name)
+            else lc.getField(f.name).as(f.name)
+          } ++ rs.fields.filterNot(f => ls.fieldNames.contains(f.name))
+            .map(f => rc.getField(f.name).as(f.name))
+          when(lc.isNull && rc.isNull, lit(null))
+            .otherwise(struct(fields.toIndexedSeq: _*))
         case _ => throw new IllegalArgumentException(
           s"jq_expr: '+' over ${lt.simpleString} and ${rt.simpleString} " +
-            "is unsupported (numbers, strings, arrays; object merge is out of scope)")
+            "is unsupported (numbers, strings, arrays, object merge)")
       }
     }
     private def parseTerm(): V = {
-      var l = parseAtom()
+      var l = parseAtomBound()
       skipWs()
       // a single '/' is division; '//' is the alternative operator
       while (peek == '*' || (peek == '/' && !s.startsWith("//", i))) {
         val op = next(); skipWs()
-        val r = parseAtom()
+        val r = parseAtomBound()
         streamTail = false
         val ll = l
         l = if (op == '*') df => ll(df) * r(df) else df => ll(df) / r(df)
         skipWs()
       }
       l
+    }
+
+    /** Value-position binding `T as $x | body` — jq binds a TERM, not an
+      * additive expression (`jq.y`: `Term as Patterns '|' Exp`), so the
+      * check sits directly above the atom: `0 - 6 as $v | $v` is
+      * `0 - (6 as $v | $v)`, and `.a + 1 as $x | $x` binds the `1`. The
+      * body is the REST of the pipe expression (to the enclosing
+      * paren/bracket) with `$x` on the same dynamic channel as `reduce`'s
+      * `as $x`, so HOF/def-inner bindings shadow correctly. One faithful
+      * subtlety: jq has no negative literals (`-6` is `'-' Exp`), so
+      * `-6 as $v | body` binds POSITIVE 6 and negates the body's result —
+      * this parser's `-6` atom is re-split to match. Destructuring
+      * patterns (`as [$a]`, `as {a: $x}`) stay out of scope, rejected by
+      * name; the stage-level form (`.v as $x | select($x > 0) | …`) is
+      * BindingStage's hidden-column variant — this one serves nested
+      * expressions like `{y: (.a as $x | $x + $x)}`.
+      */
+    private def parseAtomBound(): V = {
+      skipWs()
+      val negLiteral = peek == '-' && i + 1 < s.length && s.charAt(i + 1).isDigit
+      val a = parseAtom()
+      skipWs()
+      if (!(s.startsWith("as", i) && boundary(i + 2))) a
+      else {
+        i += 2; skipWs()
+        if (peek != '$') throw new IllegalArgumentException(
+          "jq_expr: destructuring `as` patterns ([$a], {a: $x}) are out " +
+            s"of scope — bind a plain $$name in: $s")
+        next()
+        val name = parseIdent()
+        skipWs()
+        if (peek != '|') throw new IllegalArgumentException(
+          s"jq_expr: `as $$$name` needs a `| body` to scope over in: $s")
+        next()
+        val body = parseValue() // rest of the pipeline, binding in scope
+        streamTail = false
+        val bound: V = if (negLiteral) df => -a(df) else a
+        val bindV: V = df => {
+          val et = dtOfV(df, bound)
+          varBindings.withValue(
+            varBindings.value + (name -> Bound(bound(df), lit(null).cast(et))))(
+            body(df))
+        }
+        if (negLiteral) df => -bindV(df) else bindV
+      }
     }
     /** After the `foreach` keyword: `.path[] as $x (init; update[;
       * extract])` → a V producing the ARRAY of per-element extracts (the

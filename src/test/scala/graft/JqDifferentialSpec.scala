@@ -240,6 +240,31 @@ class JqDifferentialSpec extends SparkTestBase {
     check(""".id as $i | select(.value > $i) | {i: $i, v: .value}""", rows)
   }
 
+  test("value-position binding (E as $x | body), nested and shadow-free") {
+    check("""{y: (.id as $x | $x + $x), m: (.meta.k as $k | $k * 2 + .id)}""", rows)
+    // nested bindings: both in scope in the inner body
+    check("""{z: (.value as $v | (.id as $i | $v + $i))}""", rows)
+    // binding feeding a reduce whose own $x shadows nothing
+    check("""{s: (.id as $base | (reduce .tags[] as $t ("n"; . + $t)) )}""", rows)
+  }
+
+  test("binding precedence: jq binds a TERM, negation stays outside") {
+    // jq has no negative literals: -6 as $v | body == -(6 as $v | body)
+    check("""{a: (-6 as $v | $v + .id)}""", rows)
+    // Exp '-' Exp: the right operand is the whole binding expression
+    check("""{d: (0 - 6 as $v | $v)}""", rows)
+    // binding binds the term `1`, not `.id + 1`
+    check("""{m: (.id + 1 as $x | $x)}""", rows)
+    // parenthesized source IS a term: the whole sum binds
+    check("""{p: ((.id + 1) as $x | $x * 2)}""", rows)
+  }
+
+  test("object merge +: right bias, key order, null-value wins") {
+    check("""{m: (.meta + {"k": 99, "w": 1})}""", rows)
+    check("""{m: ({"a": 1, "b": 2} + {"b": null, "c": 3})}""", rows)
+    check("""{m: (.meta + {"s": "zz"}), i: .id}""", rows)
+  }
+
   test("fromjson navigation") {
     check("""{k: (.js | fromjson | .k | tonumber)}""",
       Seq("""{"js": "{\"k\": 42}"}"""))

@@ -92,8 +92,14 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       case _ => s"(${genNum(r, depth)} >= ${genNum(r, depth)})"
     }
 
-  private def genValue(r: scala.util.Random, depth: Int): String =
-    r.nextInt(12) match {
+  /** `ext` selects the round-7 grammar extension (value-position
+    * bindings + object merge). The base grammar draws from exactly the
+    * original 12 cases so the two FROZEN seed corpora below keep
+    * generating byte-identical programs.
+    */
+  private def genValue(r: scala.util.Random, depth: Int,
+                       ext: Boolean = false): String =
+    r.nextInt(if (ext) 15 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -104,13 +110,20 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       case 8 => s"(.xs | sort_by(. * -1))"
       case 9 => s"(.xs | map(. | tostring) | join(\"-\"))"
       case 10 => s"(.xs | reverse | first)"
-      case _ => s"(.xs | map(. + ${1 + r.nextInt(5)}))"
+      case 11 => s"(.xs | map(. + ${1 + r.nextInt(5)}))"
+      // value-position `E as $x | body` binding
+      case 12 => s"(${genNum(r, depth - 1, safe = true)} as $$v | " +
+        s"($$v + ${genNum(r, depth - 1, safe = true)}))"
+      case 13 => s"(.n as $$k | (if $$k < 0 then (0 - $$k) else $$k end))"
+      // right-biased shallow object merge
+      case _ => s"""({"a": ${genNum(r, depth - 1, safe = true)}, "b": 1} + """ +
+        s"""{"b": ${genNum(r, depth - 1, safe = true)}, "c": ${genStr(r, depth - 1)}})"""
     }
 
-  private def genProgram(r: scala.util.Random): String = {
+  private def genProgram(r: scala.util.Random, ext: Boolean = false): String = {
     val nFields = 1 + r.nextInt(3)
     val fields = (0 until nFields)
-      .map(i => s"f$i: ${genValue(r, 2)}").mkString(", ")
+      .map(i => s"f$i: ${genValue(r, 2, ext)}").mkString(", ")
     val select = if (r.nextInt(3) == 0) s"select(${genBool(r, 1)}) | " else ""
     s"$select{$fields}"
   }
@@ -122,37 +135,171 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       s""" "t": "w${r.nextInt(4)}", "xs": [$xs]}"""
   }
 
-  private def fuzzRun(seed: Long, cases: Int): Unit = {
-    assume(jqBin.canExecute, "/usr/bin/jq not present")
+  // ---- divergence evaluation + shrinking --------------------------------
+
+  /** The Spark side's behavior: canonical sorted output lines, or the
+    * exception class when the compiler/plan rejects the program.
+    */
+  private def sparkSide(program: String,
+                        inputs: Seq[String]): Either[String, Seq[String]] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, struct, to_json}
+    try {
+      val df = spark.read.json(inputs.toDS)
+      val out = JqTransform(df, program)
+      Right(canon(out.select(to_json(struct(out.columns.map(col).toSeq: _*),
+          Map("ignoreNullFields" -> "false")).as("j"))
+        .collect().map(_.getString(0)).toSeq).sorted)
+    } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+  }
+
+  /** Divergence signature: None = agreement; Some(kind) otherwise. The
+    * kind distinguishes a compile/plan error from a value mismatch so the
+    * shrinker cannot "simplify" one failure mode into a different one.
+    */
+  private def verdict(program: String, inputs: Seq[String]): Option[String] =
+    sparkSide(program, inputs) match {
+      case Left(err) => Some(s"spark-error:$err")
+      case Right(ours) =>
+        val jqs = canon(runUtf8(Seq("/usr/bin/jq", "-c", program),
+          inputs.mkString("\n"))).sorted
+        if (ours == jqs) None else Some("mismatch")
+    }
+
+  /** Split at top-level occurrences of `sep` (string/paren/bracket aware). */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val parts = Seq.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var inStr = false; var esc = false
+    s.foreach { c =>
+      if (inStr) {
+        cur += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true; cur += c
+        case '(' | '[' | '{' => depth += 1; cur += c
+        case ')' | ']' | '}' => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    parts += cur.toString
+    parts.result()
+  }
+
+  /** One round of shrink candidates, largest-first: drop a pipeline
+    * stage, drop an object-construction field, replace a parenthesized
+    * sub-expression with a trivial leaf.
+    */
+  private def shrinkCandidates(p: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val stages = splitTop(p, '|')
+    if (stages.length > 1)
+      stages.indices.foreach { i =>
+        out += stages.patch(i, Nil, 1).mkString("|")
+      }
+    // drop one field of any top-level-trailing {…} construction stage
+    val t = p.trim
+    if (t.endsWith("}")) {
+      val ob = t.lastIndexOf('{')
+      if (ob >= 0 && splitTop(t.substring(ob), ' ').nonEmpty) {
+        val inner = t.substring(ob + 1, t.length - 1)
+        val fields = splitTop(inner, ',')
+        if (fields.length > 1)
+          fields.indices.foreach { i =>
+            out += t.substring(0, ob) + "{" +
+              fields.patch(i, Nil, 1).mkString(",") + "}"
+          }
+      }
+    }
+    // replace each balanced (...) with a trivial leaf
+    var idx = p.indexOf('(')
+    while (idx >= 0) {
+      var d = 0; var j = idx; var close = -1; var inStr = false; var esc = false
+      while (j < p.length && close < 0) {
+        val c = p.charAt(j)
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) close = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (close > idx) {
+        out += p.substring(0, idx) + ".n" + p.substring(close + 1)
+        out += p.substring(0, idx) + "0" + p.substring(close + 1)
+      }
+      idx = p.indexOf('(', idx + 1)
+    }
+    out.result().filter(_.trim.nonEmpty).distinct
+  }
+
+  /** Greedy minimizer: keep applying the first candidate that preserves
+    * the SAME divergence signature until none does (bounded evaluations —
+    * each costs a Spark job + a jq process; this only runs on failure).
+    */
+  private def minimize(program: String, inputs: Seq[String],
+                       sig: String): String = {
+    var cur = program
+    var budget = 150
+    var progress = true
+    while (progress && budget > 0) {
+      progress = false
+      val it = shrinkCandidates(cur).filter(_.length < cur.length).iterator
+      while (!progress && it.hasNext && budget > 0) {
+        val cand = it.next()
+        budget -= 1
+        if (verdict(cand, inputs).contains(sig)) { cur = cand; progress = true }
+      }
+    }
+    cur
+  }
+
+  private def fuzzRun(seed: Long, cases: Int, ext: Boolean = false): Unit = {
+    assume(jqBin.canExecute, "/usr/bin/jq not present")
     val r = new scala.util.Random(seed)
     var checked = 0
     (0 until cases).foreach { i =>
-      val program = genProgram(r)
+      val program = genProgram(r, ext)
       val inputs = Seq.fill(3)(genRow(r))
-      val df = spark.read.json(inputs.toDS)
-      val out = JqTransform(df, program)
-      val ours = canon(out.select(to_json(struct(out.columns.map(col).toSeq: _*),
-          Map("ignoreNullFields" -> "false")).as("j"))
-        .collect().map(_.getString(0)).toSeq).sorted
-      val jqs = canon(runUtf8(Seq("/usr/bin/jq", "-c", program),
-        inputs.mkString("\n"))).sorted
-      assert(ours == jqs,
-        s"""fuzz divergence (case $i) for: $program
-           |input : ${inputs.mkString(" | ")}
-           |spark : ${ours.mkString(" ; ")}
-           |jq    : ${jqs.mkString(" ; ")}""".stripMargin)
+      verdict(program, inputs).foreach { sig =>
+        val minimal = minimize(program, inputs, sig)
+        val detail = (sparkSide(minimal, inputs),
+          canon(runUtf8(Seq("/usr/bin/jq", "-c", minimal),
+            inputs.mkString("\n"))).sorted)
+        fail(
+          s"""fuzz divergence (case $i, $sig)
+             |minimal repro: $minimal
+             |original     : $program
+             |input : ${inputs.mkString(" | ")}
+             |spark : ${detail._1}
+             |jq    : ${detail._2.mkString(" ; ")}""".stripMargin)
+      }
       checked += 1
     }
     assert(checked == cases)
   }
 
+  // Seed rotation: keep BOTH pinned seeds (committed repro corpus), and
+  // when extending the grammar add a NEW seed rather than changing these —
+  // a changed seed silently retires every program the old one generated.
   test("500 random programs match jq (seed 20260814)") {
     fuzzRun(20260814L, 500)
   }
 
   test("500 random programs match jq (seed 987654321)") {
     fuzzRun(987654321L, 500)
+  }
+
+  // round-7 grammar extension (bindings + object merge) runs under its
+  // own seed, preserving the two frozen corpora above
+  test("500 random programs match jq (seed 7070707, bindings/merge grammar)") {
+    fuzzRun(7070707L, 500, ext = true)
   }
 }
