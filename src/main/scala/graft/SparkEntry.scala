@@ -847,6 +847,18 @@ object SparkEntry {
     // pass-through exactness; dirty-input semantics live in the spec
     "t37_unicode_scrub" -> ((s, dir) =>
       TextAnalysis.unicodeScrub(Tables.documents(s, dir))),
+    // NFC normalization on a DECOMPOSED fixture: every doc gets a suffix
+    // with e + COMBINING ACUTE (composes to é under NFC) and the fi
+    // ligature U+FB01 (untouched by NFC — that's NFKC's compatibility
+    // fold, spec-asserted). Partition-local batched java.text.Normalizer
+    // transform — no ScalaUDF at the Column level, text never shuffles;
+    // DuckDB's nfc_normalize is the oracle
+    "t39_nfc_normalize" -> ((s, dir) =>
+      TextAnalysis.nfcNormalize(
+        Tables.documents(s, dir).select(col("doc_id"),
+          // decomposed: U+0065 U+0301 (e + combining acute) composes under
+          // NFC; U+FB01 (fi ligature) is NFKC-only and must pass through
+          concat(col("text"), lit(" caf" + "e\u0301 \uFB01n")).as("text")))),
     // CCNet head/middle/tail split: per-lang exact perplexity terciles
     // over the t25 scores — histogram quantiles, broadcast cutoffs
     "t36_ccnet_buckets" -> ((s, dir) =>
@@ -2722,6 +2734,15 @@ object SparkEntry {
       // label on equal score) mirrors Spark's max(struct(score, label)).
       "t32_nb_classifier" -> t32Sql,
       "t33_stream_nb_parity" -> t32Sql,
+      // t39: DuckDB's own NFC normalizer over the same decomposed fixture
+      // (chr(769) = combining acute, chr(64257) = fi ligature)
+      "t39_nfc_normalize" ->
+        """WITH d AS (SELECT doc_id,
+          | text || ' caf' || 'e' || chr(769) || ' ' || chr(64257) || 'n' AS text
+          | FROM documents)
+          |SELECT doc_id, nfc_normalize(text) AS text,
+          | (CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END)::BIGINT AS changed
+          |FROM d""".stripMargin,
       // t37: the same regex chain in RE2 syntax ('g' flag — DuckDB
       // replaces first-only by default, Spark globally)
       "t37_unicode_scrub" ->

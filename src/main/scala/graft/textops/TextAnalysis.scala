@@ -1022,8 +1022,9 @@ object TextAnalysis {
     * bidi marks), convert NBSP-family spaces to plain spaces, collapse
     * whitespace runs, and trim. Everything is a codegen'd regexp chain —
     * one narrow no-shuffle scan; full NFC/NFKC canonicalization needs
-    * `java.text.Normalizer` (a per-row UDF) and stays out of scope,
-    * documented. Output: (doc_id, text, changed) — `changed` flags rows
+    * `java.text.Normalizer` (a per-row JVM call) and lives in
+    * [[nfcNormalize]] as a partition-local batched typed transform.
+    * Output: (doc_id, text, changed) — `changed` flags rows
     * the scrub touched, so the accounting aggregate is one sum.
     */
   def unicodeScrub(docs: DataFrame): DataFrame = {
@@ -1044,6 +1045,37 @@ object TextAnalysis {
       col("doc_id"),
       cleaned.as("text"),
       (cleaned =!= t).cast("long").as("changed"))
+  }
+
+  final case class DocText(doc_id: Long, text: String)
+  final case class DocNormalized(doc_id: Long, text: String, changed: Long)
+
+  /** NFC/NFKC Unicode normalization — the canonicalization step
+    * [[unicodeScrub]] documents as beyond Column scope (it needs
+    * `java.text.Normalizer`, a per-row JVM call). Runs as the codec-style
+    * partition-local batched transform
+    * (the [[graft.multimodal.Multimodal.decodeImages]] shape): ONE typed
+    * `mapPartitions`, so there is no ScalaUDF node at the Column level and
+    * text never shuffles — a pure narrow scan like the scrub itself
+    * (`PlanAuditSpec` asserts the exemption explicitly). `form` picks NFC
+    * (canonical composition — the storage/dedup canonical form: e +
+    * combining acute → é) or NFKC (adds compatibility folding: ligatures,
+    * full-width forms — the pre-tokenization choice). Null text passes
+    * through with `changed` = 0.
+    */
+  def nfcNormalize(docs: DataFrame, form: String = "NFC",
+                   batchSize: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nf = java.text.Normalizer.Form.valueOf(form)
+    docs.select(col("doc_id"), col("text")).as[DocText]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { d =>
+        if (d.text == null) DocNormalized(d.doc_id, null, 0L)
+        else {
+          val n = java.text.Normalizer.normalize(d.text, nf)
+          DocNormalized(d.doc_id, n, if (n == d.text) 0L else 1L)
+        }
+      })).toDF()
   }
 
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {

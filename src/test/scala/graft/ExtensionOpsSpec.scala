@@ -891,6 +891,27 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out(5L) == (("trimmed runs collapse", 1L)))
   }
 
+  test("nfcNormalize: NFC composes, NFKC also folds compatibility forms") {
+    import graft.textops.TextAnalysis
+    val rows = Seq(
+      (1L, "cafe\u0301"),      // e + combining acute → é under both forms
+      (2L, "\uFB01ne print"),  // fi ligature: NFC keeps, NFKC folds to "fi"
+      (3L, "already clean"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nfc = TextAnalysis.nfcNormalize(rows)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(nfc(1L) == (("caf\u00e9", 1L)))
+    assert(nfc(2L) == (("\uFB01ne print", 0L)))
+    assert(nfc(3L) == (("already clean", 0L)))
+    assert(nfc(4L)._1 == null && nfc(4L)._2 == 0L)
+    val nfkc = TextAnalysis.nfcNormalize(rows, form = "NFKC")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(nfkc(1L) == (("caf\u00e9", 1L)))
+    assert(nfkc(2L) == (("fine print", 1L)))
+    assert(nfkc(3L) == (("already clean", 0L)))
+  }
+
   test("ccnetBuckets: ordered terciles per lang, near-even, exhaustive") {
     import graft.textops.TextAnalysis
     val out = TextAnalysis.ccnetBuckets(docs)

@@ -129,6 +129,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"semver gate fell out of codegen into a Scala UDF:\n$p")
   }
 
+  test("NFC normalization is a typed mapPartitions, not a ScalaUDF") {
+    // the one documented Column-level exemption: java.text.Normalizer has
+    // no codegen'd equivalent, so the transform is the codec-style
+    // partition-local typed batch — MapPartitions in the plan, no
+    // ScalaUDF, no shuffle, and the scan still prunes to (doc_id, text)
+    val p = plan(TextAnalysis.nfcNormalize(docs))
+    assert(!p.contains("ScalaUDF"),
+      s"NFC normalization fell back to a Scala UDF:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"expected the typed partition-local transform:\n$p")
+    // the load-time spread() RoundRobin is Tables' conditional underfill
+    // fix, not this operator's — assert no KEYED shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalization must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned under the typed transform:\n$p")
+  }
+
   test("KPL deagg explode is a typed flatMap, not a ScalaUDF") {
     val packed = events.limit(10).select(col("user_id"),
       col("user_id").cast("string").cast("binary").as("data"))
