@@ -179,10 +179,12 @@ final class KinesisShardClient(api: KinesisApi, streamName: String,
   * per-JVM from the default credentials/region provider chain exactly
   * like the reference.
   */
-final class SdkKinesisApi(region: Option[String] = None) extends KinesisApi {
+final class SdkKinesisApi(region: Option[String] = None,
+                          sdkPackage: String = SdkHandles.DefaultPkg)
+    extends KinesisApi {
 
   @transient private lazy val sdk: SdkHandles =
-    try SdkHandles(region)
+    try SdkHandles(region, sdkPackage)
     catch {
       case e: ClassNotFoundException =>
         throw new IllegalStateException(
@@ -282,10 +284,17 @@ private final case class SdkHandles(client: AnyRef, listShardsReq: Class[_],
   }
 }
 
-private object SdkHandles {
-  private val Pkg = "software.amazon.awssdk.services.kinesis"
+private[v2] object SdkHandles {
+  /** The real SDK v2 package. Tests inject a fake package whose classes
+    * mirror the SDK's METHOD SHAPES (static `builder()`, fluent setters,
+    * flat accessors), so every reflective path below runs without the SDK
+    * on the classpath — the wire-fixture seam `SdkKinesisApiSpec` drives.
+    */
+  val DefaultPkg = "software.amazon.awssdk.services.kinesis"
 
-  def apply(region: Option[String]): SdkHandles = {
+  def apply(region: Option[String],
+            pkg: String = DefaultPkg): SdkHandles = {
+    val Pkg = pkg
     val clientClass = Class.forName(s"$Pkg.KinesisClient")
     var builder = clientClass.getMethod("builder").invoke(null)
     region.foreach { r =>
