@@ -1072,6 +1072,22 @@ object SparkEntry {
       Ann.recallAtK(
         Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
         Ann.ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0))),
+    // hybrid retrieval: BM25 sparse top-20 + dense cosine top-20 for one
+    // query, fused by reciprocal-rank (integer points, rank-only — the
+    // two systems' score scales never touch); each system's top-k does
+    // the scalable work upstream, the fusion ranks ≤ 40 rows
+    "s18_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dense = Ann.bruteForceTopK(
+          Tables.embeddings(s, dir), col("vec_id") === 0, k = 20)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      val sparse = TextAnalysis.bm25TopK(
+          Tables.documents(s, dir), Bm25Query, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_m").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id").as("id"), col("rank"))
+      Ann.rrfFuse(Seq(dense, sparse), k = 10)
+    }),
     // IVF-PQ ADC search: probed cells scored from 8-byte PQ codes via
     // per-query flattened lookup tables — the production index shape
     "s08_ivfpq_search" -> ((s, dir) =>
@@ -1287,6 +1303,15 @@ object SparkEntry {
           | scaled: (.value as $v | $v * 3 + 1),
           | neg: (-2 as $m | $m * .value),
           | tagged: ({"src": "ctr", "k": 0} + {"k": .value})}""".stripMargin)),
+
+    // O14 assignment operators over the O13 record: `|=` (old-value
+    // scoped), `=` (row scoped, appends the new key), `+=` polymorphic —
+    // each lowered to one withColumn/withField projection
+    "c55_jq_assign" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """.value |= . * 2 | .rate = .value - 1 | .rate += .value
+          || {time: .window_start, v2: .value, rate: .rate}""".stripMargin)),
 
     // O14 jq total-order notch: sort_by under jq's order (null keys first,
     // stable within equal keys — the two data keys flip order per window),
@@ -1692,6 +1717,12 @@ object SparkEntry {
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'events.request_count' AS name, count(*) AS value
           | FROM events GROUP BY 1""".stripMargin,
+      // c55: assignment chain over the counter record — v2 = 2·count,
+      // rate = (v2 − 1) + v2
+      "c55_jq_assign" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t AS time, v * 2 AS v2, (v * 2 - 1) + v * 2 AS rate FROM c""".stripMargin,
       // c54: Term-level binding precedence (-2 as $m == -(2 as $m | …))
       // and right-biased object merge; struct fields in the merge's key
       // order (left's keys, then right's new ones)
@@ -3534,6 +3565,42 @@ object SparkEntry {
       // norm_ppm = 250000 + (750000·dl·N)//total_tokens (1e6−b folded),
       // contrib = idf_m·tf·(k1+1e6) // (tf·1e6 + (k1·norm)//1e6); `//` and
       // Spark's intDiv agree exactly below 2^53
+      // s18: RRF hybrid — the t20 BM25 CTEs at k=20 beside the s01 cosine
+      // shape for query vec 0; integer points 1e9//(60+rank) summed
+      "s18_hybrid_rrf" ->
+        s"""WITH dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |dense AS (SELECT id, rank FROM (
+           |  SELECT e.vec_id AS id,
+           |    row_number() OVER (ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) AS rank
+           |  FROM dq CROSS JOIN embeddings e WHERE e.vec_id != 0)
+           | WHERE rank <= 20),
+           |d AS (SELECT doc_id, len($toks)::BIGINT AS dl,
+           |    len(list_filter($toks, x -> x = 'dup'))::BIGINT AS tf0,
+           |    len(list_filter($toks, x -> x = 'scan'))::BIGINT AS tf1,
+           |    len(list_filter($toks, x -> x = 'key'))::BIGINT AS tf2
+           |  FROM documents),
+           |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tt,
+           |    sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+           |    sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+           |    sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END)::BIGINT AS df2 FROM d),
+           |bm AS (SELECT doc_id,
+           |  (CASE WHEN tf0>0 THEN ((n*1000)//df0)*tf0*2200000
+           |     // (tf0*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END
+           | + CASE WHEN tf1>0 THEN ((n*1000)//df1)*tf1*2200000
+           |     // (tf1*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END
+           | + CASE WHEN tf2>0 THEN ((n*1000)//df2)*tf2*2200000
+           |     // (tf2*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END)::BIGINT AS score_m
+           |FROM d CROSS JOIN st
+           |WHERE tf0>0 OR tf1>0 OR tf2>0
+           |ORDER BY score_m DESC, doc_id LIMIT 20),
+           |sparse AS (SELECT doc_id AS id,
+           |    row_number() OVER (ORDER BY score_m DESC, doc_id) AS rank FROM bm),
+           |un AS (SELECT id, 1000000000 // (60 + rank) AS pts FROM dense
+           |  UNION ALL SELECT id, 1000000000 // (60 + rank) AS pts FROM sparse),
+           |f AS (SELECT id, sum(pts)::BIGINT AS rrf FROM un GROUP BY 1)
+           |SELECT id, rank::BIGINT AS rank, rrf FROM (
+           |  SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rank FROM f)
+           |WHERE rank <= 10""".stripMargin,
       "t20_bm25" ->
         s"""WITH d AS (SELECT doc_id, len($toks)::BIGINT AS dl,
            |    len(list_filter($toks, x -> x = 'dup'))::BIGINT AS tf0,

@@ -97,8 +97,16 @@ import graft.functions.Canonical
   *    default jq-null;
   *  - `E as $x` stage-level bindings: the per-row value rides a hidden
   *    `__var_x` column into every later stage (`$x` resolves to it;
-  *    HOF/def-bound `$x` shadows, jq's inner-scope rule); destructuring
-  *    patterns stay out of scope;
+  *    HOF/def-bound `$x` shadows, jq's inner-scope rule); value-position
+  *    `T as $x | body` binds at jq's true TERM precedence (`-6 as $v`
+  *    negates OUTSIDE the binding — jq has no negative literals);
+  *    destructuring patterns stay out of scope;
+  *  - assignment stages `.path = E` / `.path |= F` / `.path += E` (and
+  *    `-=`, `*=`, `/=`, `//=`): jq's update operators — `=` row-scoped,
+  *    `|=` with `.` = the old path value, `op=` old-op-(row-scoped rhs)
+  *    with `+` polymorphic; lowered to one `withColumn`/`withField`
+  *    projection (nested parents must exist; multi-target and bracket
+  *    paths out of scope);
   *  - format strings `@text`/`@json`/`@base64`/`@base64d`/`@csv`/`@tsv`/
   *    `@uri`/`@html`/`@sh` as value filters — @csv/@tsv/@sh fold an array
   *    to one line with jq's quoting/escaping rules in a single codegen'd
@@ -356,6 +364,47 @@ object JqTransform {
   /** The type a value expression produces against this frame — evaluated
     * in probe mode so it works inside map/reduce bodies too.
     */
+  /** jq's POLYMORPHIC `+` over already-typed operands: numbers add,
+    * strings/arrays concat, null is identity either side, and objects
+    * merge SHALLOWLY right-biased. Merge key order = left's keys (right's
+    * value winning on conflict — even an explicit null value wins, jq
+    * semantics), then right's new keys in right order. Static-schema
+    * convention: a runtime-NULL object operand merges as the empty object
+    * over the UNION schema (its fields read as null — the engine's
+    * absent-as-null rule), and null + null yields null. A key typed
+    * differently on the two sides fails loudly at plan time (Catalyst
+    * branch type mismatch), never merges silently. By-name operands so
+    * the NullType arms never evaluate the other side.
+    */
+  private def polyAdd(lt: DataType, rt: DataType,
+                      l: => Column, r: => Column): Column = {
+    def guarded(f: (Column, Column) => Column): Column = {
+      val (lc, rc) = (l, r)
+      when(lc.isNull, rc).when(rc.isNull, lc).otherwise(f(lc, rc))
+    }
+    (lt, rt) match {
+      case (NullType, _) => r
+      case (_, NullType) => l
+      case (StringType, StringType) => guarded(concat(_, _))
+      case (_: ArrayType, _: ArrayType) => guarded(concat(_, _))
+      case (_: NumericType, _: NumericType) => guarded(_ + _)
+      case (ls: StructType, rs: StructType) =>
+        val (lc, rc) = (l, r)
+        val fields = ls.fields.map { f =>
+          if (rs.fieldNames.contains(f.name))
+            when(rc.isNull, lc.getField(f.name))
+              .otherwise(rc.getField(f.name)).as(f.name)
+          else lc.getField(f.name).as(f.name)
+        } ++ rs.fields.filterNot(f => ls.fieldNames.contains(f.name))
+          .map(f => rc.getField(f.name).as(f.name))
+        when(lc.isNull && rc.isNull, lit(null))
+          .otherwise(struct(fields.toIndexedSeq: _*))
+      case _ => throw new IllegalArgumentException(
+        s"jq_expr: '+' over ${lt.simpleString} and ${rt.simpleString} " +
+          "is unsupported (numbers, strings, arrays, object merge)")
+    }
+  }
+
   private def dtOfV(df: DataFrame, v: V): DataType = {
     val memo = dtMemo.value
     if (memo == null)
@@ -495,6 +544,7 @@ object JqTransform {
     else if (stage.startsWith("select")) compileSelect(stage, defs)
     else if (stage.startsWith("foreach")) compileForeach(stage, defs)
     else if (BindingStage.matches(stage)) compileBinding(stage, defs)
+    else if (AssignStage.matches(stage)) compileAssign(stage, defs)
     else {
       // comma-list at stage level → 0..N outputs per row (here exactly N)
       val constructs = splitTopLevel(stage, ',').map(_.trim)
@@ -526,6 +576,82 @@ object JqTransform {
       if (m.matches) Some((m.group(1), m.group(2))) else None
     }
     def matches(stage: String): Boolean = parts(stage).isDefined
+  }
+
+  /** Assignment stages — jq's update operators over a literal-ident path:
+    * `.path = E`, `.path |= F`, `.path += E` (and `-=`, `*=`, `/=`,
+    * `//=`). Semantics follow jq exactly:
+    *
+    *  - `=`: the RHS sees `.` = the WHOLE input row; the path is set to
+    *    its value (a new top-level key appends, like jq's key order).
+    *  - `|=`: the RHS sees `.` = the OLD value AT THE PATH (so `.n \|= . * 2`
+    *    doubles and `.meta.k \|= tostring` stringifies in place).
+    *  - `op=`: `.p += E` ≡ `.p \|= . + (E on the ORIGINAL input)` — the
+    *    arithmetic applies old-op-rhs with the rhs row-scoped, `+` being
+    *    the polymorphic form (numbers/strings/arrays/objects).
+    *  - `//=`: keep the old value when truthy (jq truthiness: only
+    *    null/false are falsy), else the row-scoped RHS.
+    *
+    * Lowering: a top-level path is one `withColumn`; a nested path is
+    * `withField` on the root column (Catalyst's UpdateFields — one
+    * projection, codegen-fused). Static-schema caveats, loud not silent:
+    * a nested path's PARENT struct must already exist (jq fabricates
+    * `{}` parents), and a runtime-null parent stays null rather than
+    * being fabricated. Multiple-target forms (`(.a, .b) = 1`) and
+    * bracket paths stay out of scope.
+    */
+  private object AssignStage {
+    private val Re = java.util.regex.Pattern.compile(
+      "(?s)^\\.([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)*)" +
+        "\\s*(\\|=|\\+=|-=|\\*=|/=|//=|=)\\s*(.*)$")
+    def parts(stage: String): Option[(Seq[String], String, String)] = {
+      val m = Re.matcher(stage)
+      if (!m.matches) None
+      else {
+        val op = m.group(2); val rhs = m.group(3)
+        // `.a == E` is a comparison, not an assignment
+        if (op == "=" && rhs.startsWith("=")) None
+        else Some((m.group(1).split('.').toSeq, op, rhs.trim))
+      }
+    }
+    def matches(stage: String): Boolean = parts(stage).isDefined
+  }
+
+  private def compileAssign(stage: String,
+                            defs: Map[String, JqDef]): DataFrame => DataFrame = {
+    val (path, op, rhsSrc) = AssignStage.parts(stage).get
+    require(rhsSrc.nonEmpty, s"jq_expr: assignment needs a right-hand side: $stage")
+    val p = new P(rhsSrc, defs)
+    val rhs = p.parseValue()
+    p.skipWs()
+    require(!p.hasMore, s"jq_expr: trailing input in assignment: $stage")
+    df => {
+      val old = pathColumn(df, path)
+      val oldDt = dtOf(df, old)
+      def rowRhs: Column = rhs(df) // '.' = the row
+      val updated: Column = op match {
+        case "=" => rowRhs
+        case "|=" => // '.' = the old path value
+          elemBinding.withValue(Some(Bound(old, lit(null).cast(oldDt))))(rhs(df))
+        case "+=" => polyAdd(oldDt, dtOfV(df, rhs), old, rowRhs)
+        case "-=" => old - rowRhs
+        case "*=" => old * rowRhs
+        case "/=" => old / rowRhs
+        case "//=" => oldDt match {
+          case BooleanType => when(old.isNull || !old, rowRhs).otherwise(old)
+          case NullType => rowRhs
+          case _ => coalesce(old, rowRhs)
+        }
+      }
+      path match {
+        case Seq(top) => df.withColumn(top, updated)
+        case Seq(top, rest @ _*) =>
+          require(df.columns.contains(top),
+            s"jq_expr: assignment parent .$top does not exist — static " +
+              s"schemas cannot fabricate intermediate objects: $stage")
+          df.withColumn(top, col(top).withField(rest.mkString("."), updated))
+      }
+    }
   }
 
   private def compileBinding(stage: String,
@@ -798,7 +924,10 @@ object JqTransform {
 
   // ------------------------------------------------- top-level splitting --
 
-  /** Split on `sep` at bracket/paren/brace/quote depth 0. */
+  /** Split on `sep` at bracket/paren/brace/quote depth 0. A `|`
+    * immediately followed by `=` is the update-assign operator `|=`, not
+    * a stage separator.
+    */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -815,7 +944,9 @@ object JqTransform {
         case '"' => inStr = true; cur.append(c)
         case '{' | '[' | '(' => depth += 1; cur.append(c)
         case '}' | ']' | ')' => depth -= 1; cur.append(c)
-        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case `sep` if depth == 0 &&
+            !(sep == '|' && i + 1 < s.length && s.charAt(i + 1) == '=') =>
+          out += cur.toString; cur.clear()
         case _ => cur.append(c)
       }
       i += 1
@@ -1993,43 +2124,8 @@ object JqTransform {
       * which plain SQL `+`/`concat` would turn into null). Object merge
       * (`{..} + {..}`, rhs wins) stays out of scope, documented.
       */
-    private def jqAdd(df: DataFrame, l: V, r: V): Column = {
-      val (lt, rt) = (dtOfV(df, l), dtOfV(df, r))
-      def guarded(f: (Column, Column) => Column): Column = {
-        val (lc, rc) = (l(df), r(df))
-        when(lc.isNull, rc).when(rc.isNull, lc).otherwise(f(lc, rc))
-      }
-      (lt, rt) match {
-        case (NullType, _) => r(df)
-        case (_, NullType) => l(df)
-        case (StringType, StringType) => guarded(concat(_, _))
-        case (_: ArrayType, _: ArrayType) => guarded(concat(_, _))
-        case (_: NumericType, _: NumericType) => guarded(_ + _)
-        case (ls: StructType, rs: StructType) =>
-          // jq object merge: right-biased SHALLOW merge. Result keys =
-          // left's in order (right's value winning on conflict — even an
-          // explicit null value wins, jq semantics), then right's new keys
-          // in right order. Static-schema convention: a runtime-NULL
-          // object operand merges as the empty object over the UNION
-          // schema (its fields read as null — the engine's absent-as-null
-          // rule), and null + null yields null. A key typed differently
-          // on the two sides fails loudly at plan time (Catalyst branch
-          // type mismatch), never merges silently.
-          val (lc, rc) = (l(df), r(df))
-          val fields = ls.fields.map { f =>
-            if (rs.fieldNames.contains(f.name))
-              when(rc.isNull, lc.getField(f.name))
-                .otherwise(rc.getField(f.name)).as(f.name)
-            else lc.getField(f.name).as(f.name)
-          } ++ rs.fields.filterNot(f => ls.fieldNames.contains(f.name))
-            .map(f => rc.getField(f.name).as(f.name))
-          when(lc.isNull && rc.isNull, lit(null))
-            .otherwise(struct(fields.toIndexedSeq: _*))
-        case _ => throw new IllegalArgumentException(
-          s"jq_expr: '+' over ${lt.simpleString} and ${rt.simpleString} " +
-            "is unsupported (numbers, strings, arrays, object merge)")
-      }
-    }
+    private def jqAdd(df: DataFrame, l: V, r: V): Column =
+      polyAdd(dtOfV(df, l), dtOfV(df, r), l(df), r(df))
     private def parseTerm(): V = {
       var l = parseAtomBound()
       skipWs()

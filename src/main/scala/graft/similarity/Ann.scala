@@ -255,6 +255,36 @@ object Ann {
         floor(col("n_hits") * lit(1000000L) / col("__n")).cast("long"))
       .drop("__n")
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each input system is a
+    * ranked (id, rank) list (rank 1-based) and an id earns
+    * `floor(10⁹ / (rrfK + rank))` integer points per system that ranked
+    * it; points sum across systems and the fused order is
+    * (points desc, id asc). This is how sparse (BM25) and dense (ANN)
+    * retrieval combine in production RAG / training-data retrieval
+    * stacks — rank-based, so the two systems' incomparable score scales
+    * never touch. Integer points keep the fusion bit-exact cross-engine
+    * (the repo-wide ppm discipline).
+    *
+    * Scale shape: inputs are already top-k lists, so the union holds at
+    * most Σ systems' k rows — the groupBy and the unpartitioned ranking
+    * window run over a few dozen rows, never a corpus. The expensive
+    * work (each system's own top-k) happened upstream with its own scale
+    * story. Output: (id, rank, rrf).
+    */
+  def rrfFuse(systems: Seq[DataFrame], k: Int = 10, rrfK: Long = 60L): DataFrame = {
+    require(systems.nonEmpty, "rrfFuse: no systems to fuse")
+    val pts = systems.map(df => df.select(col("id"),
+      graft.textops.TextAnalysis.intDiv(
+        lit(1000000000L), lit(rrfK) + col("rank")).as("pts")))
+    val fused = pts.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(sum(col("pts")).as("rrf"))
+    val w = Window.orderBy(col("rrf").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("rrf"))
+  }
+
   /** IVF tuning curve — the index-design read BEFORE an index ships (the
     * parameter-sweep companion of [[recallAtK]], as [[graft.dedup.Dedup.minhashCalibration]]
     * is to LSH): corpus-level recall@k against the brute-force truth for

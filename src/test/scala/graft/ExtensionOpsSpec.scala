@@ -891,6 +891,25 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out(5L) == (("trimmed runs collapse", 1L)))
   }
 
+  test("rrfFuse: both-systems doc outranks single-system; ties to smaller id") {
+    import graft.similarity.Ann
+    val dense = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val sparse = Seq((20L, 1L), (40L, 2L), (50L, 3L)).toDF("id", "rank")
+    val out = Ann.rrfFuse(Seq(dense, sparse), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 20 appears in both (rank 2 + rank 1) → must fuse first
+    assert(out.head._1 == 20L)
+    assert(out.head._3 == 1000000000L / 62 + 1000000000L / 61)
+    // 10 and 40: rank-1-dense vs rank-2-sparse → 10 (rank 1) next
+    assert(out(1)._1 == 10L)
+    // identical points (30 dense rank 3, 50 sparse rank 3) → smaller id first
+    val tied = out.filter(r => r._1 == 30L || r._1 == 50L)
+    assert(tied.map(_._1).toSeq == Seq(30L, 50L))
+    assert(tied.map(_._3).distinct.length == 1)
+    // ranks are dense 1..n
+    assert(out.map(_._2).toSeq == (1L to out.length.toLong))
+  }
+
   test("nfcNormalize: NFC composes, NFKC also folds compatibility forms") {
     import graft.textops.TextAnalysis
     val rows = Seq(

@@ -248,6 +248,25 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{s: (.id as $base | (reduce .tags[] as $t ("n"; . + $t)) )}""", rows)
   }
 
+  test("assignment operators: =, |=, +=, -=, *=, //= with jq scoping") {
+    // '=' RHS sees the row; new top-level key appends
+    check(""".value = .id + 1 | {i: .id, v: .value}""", rows)
+    check(""".extra = "tag" | {e: .extra, i: .id}""", rows)
+    // '|=' RHS sees the OLD path value
+    check(""".value |= . * 3 | {v: .value}""", rows)
+    check(""".et |= ascii_upcase | {e: .et}""", rows)
+    // op=: old op (row-scoped rhs); '+' polymorphic (string concat too)
+    check(""".value += .meta.k | {v: .value}""", rows)
+    check(""".value -= 2 | .value *= 5 | {v: .value}""", rows)
+    check(""".et += "!" | {e: .et}""", rows)
+    // nested path in place
+    check(""".meta.k |= . + 1 | {k: .meta.k}""", rows)
+    check(""".meta.s = "zz" | {s: .meta.s, k: .meta.k}""", rows)
+    // //=: keep truthy old (0 IS truthy in jq), fill absent
+    check(""".value //= 77 | {v: .value}""", rows)
+    check(""".missing //= .id | {m: .missing}""", rows)
+  }
+
   test("binding precedence: jq binds a TERM, negation stays outside") {
     // jq has no negative literals: -6 as $v | body == -(6 as $v | body)
     check("""{a: (-6 as $v | $v + .id)}""", rows)

@@ -125,7 +125,18 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     val fields = (0 until nFields)
       .map(i => s"f$i: ${genValue(r, 2, ext)}").mkString(", ")
     val select = if (r.nextInt(3) == 0) s"select(${genBool(r, 1)}) | " else ""
-    s"$select{$fields}"
+    // ext grammar: sometimes prefix an assignment stage mutating .n
+    // (safe += / *= / = forms; |= rhs is old-value-scoped so only
+    // literal arithmetic rides it)
+    val assign =
+      if (!ext || r.nextInt(3) != 0) ""
+      else r.nextInt(4) match {
+        case 0 => s".n = ${genNum(r, 1, safe = true)} | "
+        case 1 => s".n |= . + ${1 + r.nextInt(9)} | "
+        case 2 => s".n += ${genNum(r, 1, safe = true)} | "
+        case _ => s".n *= ${1 + r.nextInt(5)} | "
+      }
+    s"$assign$select{$fields}"
   }
 
   private def genRow(r: scala.util.Random): String = {

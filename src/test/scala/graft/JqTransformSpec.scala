@@ -1037,6 +1037,23 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform.compile("""{x: [range(1; 10; .n)]}"""))
   }
 
+  test("assignment stages: loud on ==, absent parents, trailing junk") {
+    val t = Seq((1L, 10L)).toDF("id", "n")
+    // chained assignments compose; new key appends
+    val r = JqTransform(t,
+      """.n = .id + 1 | .n |= . * 2 | .total = .n + 5
+        || {id: .id, n: .n, total: .total}""".stripMargin).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 4L, 9L)))
+    // `.a == E` is a comparison, never an assignment stage
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile(""".n == 3"""))
+    // nested parent must exist (static schema can't fabricate objects)
+    assertThrows[IllegalArgumentException](
+      JqTransform(t, """.nope.deep = 1 | {x: .id}""").head())
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile(""".n = 1 extra"""))
+  }
+
   test("nested [[stream]] nests; stray stream in multi-element array rejects") {
     val t = Seq((4L, 1L)).toDF("n", "one")
     // a collected [...] is a plain array VALUE — the stream flag must not
