@@ -1313,6 +1313,14 @@ object SparkEntry {
         """.value |= . * 2 | .rate = .value - 1 | .rate += .value
           || {time: .window_start, v2: .value, rate: .rate}""".stripMargin)),
 
+    // O14 one-level destructuring: array pattern binds element i as a
+    // hidden column per name (stage-level), feeding later stages
+    "c56_jq_destructure" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{pair: [.value, .value * 3], t: .window_start}
+          || .pair as [$a, $b] | {time: .t, lo: $a, hi: $b, sum: ($a + $b)}""".stripMargin)),
+
     // O14 jq total-order notch: sort_by under jq's order (null keys first,
     // stable within equal keys — the two data keys flip order per window),
     // plus the cross-type comparison constants (number < string,
@@ -1717,6 +1725,11 @@ object SparkEntry {
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'events.request_count' AS name, count(*) AS value
           | FROM events GROUP BY 1""".stripMargin,
+      // c56: array destructuring — lo = v, hi = 3v, sum = 4v per window
+      "c56_jq_destructure" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t AS time, v AS lo, v * 3 AS hi, v * 4 AS sum FROM c""".stripMargin,
       // c55: assignment chain over the counter record — v2 = 2·count,
       // rate = (v2 − 1) + v2
       "c55_jq_assign" ->

@@ -100,7 +100,10 @@ import graft.functions.Canonical
   *    HOF/def-bound `$x` shadows, jq's inner-scope rule); value-position
   *    `T as $x | body` binds at jq's true TERM precedence (`-6 as $v`
   *    negates OUTSIDE the binding — jq has no negative literals);
-  *    destructuring patterns stay out of scope;
+  *    one-level destructuring patterns bind too (`as [$a, $b]` —
+  *    element i, null past the end; `as {k: $x, $y}` — absent keys
+  *    null, `{$y}` shorthand); nested patterns and `?//` alternatives
+  *    stay out of scope;
   *  - assignment stages `.path = E` / `.path |= F` / `.path += E` (and
   *    `-=`, `*=`, `/=`, `//=`): jq's update operators — `=` row-scoped,
   *    `|=` with `.` = the old path value, `op=` old-op-(row-scoped rhs)
@@ -559,19 +562,21 @@ object JqTransform {
     * DataFrame-transform pipeline carries that as a hidden `__var_x`
     * column (`withColumn`: one projection, fused into the next stage's
     * codegen), and `$x` references resolve to it via the schema fallback
-    * in the `$` atom. jq's destructuring patterns (`as [$a, $b]`,
-    * `as {a: $x}`) and the body-scoped form (`E as $x | body` as ONE
-    * expression with the binding ending at body's end) are out of scope —
-    * at stage level the two scopings agree for every non-shadowing
-    * program. The hidden column vanishes at the next projection stage
+    * in the `$` atom. One-level destructuring patterns (`as [$a, $b]`,
+    * `as {a: $x, $y}`) bind one hidden column per name; the body-scoped
+    * form (`E as $x | body` as ONE expression) lives in the value parser
+    * (`parseAtomBound`) — at stage level the two scopings agree for
+    * every non-shadowing program. The hidden column vanishes at the next projection stage
     * (object construction / path), which every terminal stage is.
     */
   private object BindingStage {
-    // top-level "… as $name" — the splitTopLevel caller already guarantees
-    // no top-level '|' inside `stage`
+    // top-level "… as <pattern>" — the splitTopLevel caller already
+    // guarantees no top-level '|' inside `stage`; the pattern is a plain
+    // `$name`, a one-level `[$a, $b]`, or a one-level `{k: $x, $y}`
     def parts(stage: String): Option[(String, String)] = {
       val m = java.util.regex.Pattern
-        .compile("(?s)^(.*\\S)\\s+as\\s+\\$([A-Za-z_][A-Za-z0-9_]*)$")
+        .compile("(?s)^(.*\\S)\\s+as\\s+(\\$[A-Za-z_][A-Za-z0-9_]*" +
+          "|\\[[^\\[\\]{}]*\\]|\\{[^\\[\\]{}]*\\})$")
         .matcher(stage)
       if (m.matches) Some((m.group(1), m.group(2))) else None
     }
@@ -656,12 +661,17 @@ object JqTransform {
 
   private def compileBinding(stage: String,
                              defs: Map[String, JqDef]): DataFrame => DataFrame = {
-    val (exprSrc, name) = BindingStage.parts(stage).get
+    val (exprSrc, patSrc) = BindingStage.parts(stage).get
     val p = new P(exprSrc, defs)
     val value = p.parseValue()
     p.skipWs()
     require(!p.hasMore, s"jq_expr: trailing input in binding stage: $stage")
-    df => df.withColumn(s"__var_$name", value(df))
+    val pp = new P(patSrc, defs)
+    val binder = pp.parseAsPattern()
+    pp.skipWs()
+    require(!pp.hasMore, s"jq_expr: trailing input in binding pattern: $stage")
+    df => binder(value(df), dtOfV(df, value))
+      .foldLeft(df) { case (d, (n, c, _)) => d.withColumn(s"__var_$n", c) }
   }
 
   /** `foreach .path[] as $x (init; update[; extract])` as a whole STAGE —
@@ -2164,25 +2174,93 @@ object JqTransform {
       if (!(s.startsWith("as", i) && boundary(i + 2))) a
       else {
         i += 2; skipWs()
-        if (peek != '$') throw new IllegalArgumentException(
-          "jq_expr: destructuring `as` patterns ([$a], {a: $x}) are out " +
-            s"of scope — bind a plain $$name in: $s")
-        next()
-        val name = parseIdent()
+        val binder = parseAsPattern()
         skipWs()
         if (peek != '|') throw new IllegalArgumentException(
-          s"jq_expr: `as $$$name` needs a `| body` to scope over in: $s")
+          s"jq_expr: `as <pattern>` needs a `| body` to scope over in: $s")
         next()
         val body = parseValue() // rest of the pipeline, binding in scope
         streamTail = false
         val bound: V = if (negLiteral) df => -a(df) else a
         val bindV: V = df => {
-          val et = dtOfV(df, bound)
-          varBindings.withValue(
-            varBindings.value + (name -> Bound(bound(df), lit(null).cast(et))))(
-            body(df))
+          val dt = dtOfV(df, bound)
+          val binds = binder(bound(df), dt).map { case (n, c, bdt) =>
+            n -> Bound(c, lit(null).cast(bdt))
+          }
+          varBindings.withValue(varBindings.value ++ binds)(body(df))
         }
         if (negLiteral) df => -bindV(df) else bindV
+      }
+    }
+
+    /** An `as` binding pattern: a plain `$name`, one-level ARRAY
+      * destructuring `[$a, $b]` (element i, jq-null past the end), or
+      * one-level OBJECT destructuring `{a: $x, "b": $y, $c}` (`$c` is
+      * jq's shorthand for `c: $c`; absent keys bind null). Returns a
+      * binder from the bound (column, type) to the per-name
+      * (name, column, type) triples. Nested patterns and pattern
+      * alternatives (`?//`) stay out of scope, rejected by the parse.
+      */
+    def parseAsPattern(): (Column, DataType) => Seq[(String, Column, DataType)] = {
+      skipWs()
+      peek match {
+        case '$' =>
+          next(); val name = parseIdent()
+          (c, dt) => Seq((name, c, dt))
+        case '[' =>
+          next()
+          val names = Seq.newBuilder[String]
+          var more = true
+          while (more) {
+            skipWs(); expect('$'); names += parseIdent(); skipWs()
+            if (peek == ',') { next(); more = true } else more = false
+          }
+          expect(']')
+          val ns = names.result()
+          (c, dt) => dt match {
+            case ArrayType(et, _) =>
+              ns.zipWithIndex.map { case (n, idx) =>
+                (n, try_element_at(c, lit(idx + 1)), et)
+              }
+            case NullType => ns.map(n => (n, lit(null), NullType))
+            case other => throw new IllegalArgumentException(
+              "jq_expr: `as [$...]` needs an array value, got " +
+                s"${other.simpleString} in: $s")
+          }
+        case '{' =>
+          next()
+          val pairs = Seq.newBuilder[(String, String)]
+          var more = true
+          while (more) {
+            skipWs()
+            if (peek == '$') { // {$a} shorthand for a: $a
+              next(); val n = parseIdent(); pairs += ((n, n))
+            } else {
+              val k = parseKey()
+              skipWs(); expect(':'); skipWs(); expect('$')
+              val n = parseIdent(); pairs += ((k, n))
+            }
+            skipWs()
+            if (peek == ',') { next(); more = true } else more = false
+          }
+          expect('}')
+          val ps = pairs.result()
+          (c, dt) => dt match {
+            case st: StructType =>
+              ps.map { case (k, n) =>
+                st.fields.find(_.name == k) match {
+                  case Some(f) => (n, c.getField(k), f.dataType)
+                  case None => (n, lit(null), NullType) // absent key → null
+                }
+              }
+            case NullType => ps.map { case (_, n) => (n, lit(null), NullType) }
+            case other => throw new IllegalArgumentException(
+              "jq_expr: `as {...}` needs an object value, got " +
+                s"${other.simpleString} in: $s")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"jq_expr: expected a binding pattern ($$name, [$$a, ...] or " +
+            s"{k: $$x, ...}) after `as` in: $s")
       }
     }
     /** After the `foreach` keyword: `.path[] as $x (init; update[;

@@ -267,6 +267,16 @@ class JqDifferentialSpec extends SparkTestBase {
     check(""".missing //= .id | {m: .missing}""", rows)
   }
 
+  test("one-level destructuring: as [$a,$b] and as {k:$x, $y}") {
+    // array pattern: element i, null past the end ([] → all null)
+    check(""".tags as [$a, $b] | {a: $a, b: $b, i: .id}""", rows)
+    check("""{p: (.tags as [$x] | ($x // "none"))}""", rows)
+    // object pattern: named keys, {$k} shorthand, absent key → null
+    check(""".meta as {k: $kk, s: $ss} | {kk: $kk, ss: $ss}""", rows)
+    check(""".meta as {$k} | {v: $k, i: .id}""", rows)
+    check("""{q: (.meta as {nope: $n} | $n), i: .id}""", rows)
+  }
+
   test("binding precedence: jq binds a TERM, negation stays outside") {
     // jq has no negative literals: -6 as $v | body == -(6 as $v | body)
     check("""{a: (-6 as $v | $v + .id)}""", rows)

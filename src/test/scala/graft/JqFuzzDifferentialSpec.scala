@@ -99,7 +99,7 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     */
   private def genValue(r: scala.util.Random, depth: Int,
                        ext: Boolean = false): String =
-    r.nextInt(if (ext) 15 else 12) match {
+    r.nextInt(if (ext) 16 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -115,9 +115,10 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       case 12 => s"(${genNum(r, depth - 1, safe = true)} as $$v | " +
         s"($$v + ${genNum(r, depth - 1, safe = true)}))"
       case 13 => s"(.n as $$k | (if $$k < 0 then (0 - $$k) else $$k end))"
-      // right-biased shallow object merge
-      case _ => s"""({"a": ${genNum(r, depth - 1, safe = true)}, "b": 1} + """ +
+      case 14 => s"""({"a": ${genNum(r, depth - 1, safe = true)}, "b": 1} + """ +
         s"""{"b": ${genNum(r, depth - 1, safe = true)}, "c": ${genStr(r, depth - 1)}})"""
+      // one-level array destructuring ([] / short arrays bind null)
+      case _ => s"(.xs as [$$p, $$q] | ($$p // 0) + ($$q // 0))"
     }
 
   private def genProgram(r: scala.util.Random, ext: Boolean = false): String = {
