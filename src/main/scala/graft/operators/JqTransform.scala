@@ -408,6 +408,54 @@ object JqTransform {
     }
   }
 
+  /** jq's POLYMORPHIC `*`: numbers multiply; a string times a number (in
+    * EITHER order, like jq) repeats it — the count truncates toward zero
+    * (`"ab" * 2.7` is "abab") and a count ≤ 0 yields null, jq-exactly;
+    * two objects DEEP-merge (jq's recursive merge: keys present in both
+    * with object values on BOTH sides recurse, anything else takes the
+    * right side — an explicit right-null value wins). Static-schema
+    * convention shared with [[polyAdd]]: a runtime-NULL object operand
+    * merges as the empty object over the union schema (jq errors on a
+    * LITERAL null operand, which is NullType here and stays a loud
+    * plan-time error), and null * null yields null.
+    */
+  private def polyMul(lt: DataType, rt: DataType,
+                      l: => Column, r: => Column): Column = (lt, rt) match {
+    case (_: NumericType, _: NumericType) => l * r
+    case (StringType, _: NumericType) => strRepeat(l, r)
+    case (_: NumericType, StringType) => strRepeat(r, l)
+    case (ls: StructType, rs: StructType) => deepMergeStruct(ls, rs, l, r)
+    case _ => throw new IllegalArgumentException(
+      s"jq_expr: '*' over ${lt.simpleString} and ${rt.simpleString} " +
+        "is unsupported (numbers, string × number, object deep merge)")
+  }
+
+  private def strRepeat(str: Column, n: Column): Column = {
+    val k = n.cast("int")
+    when(str.isNull || k.isNull || k <= 0, lit(null).cast(StringType))
+      .otherwise(call_function("repeat", str, k))
+  }
+
+  private def deepMergeStruct(ls: StructType, rs: StructType,
+                              l: => Column, r: => Column): Column = {
+    val (lc, rc) = (l, r)
+    val fields = ls.fields.map { lf =>
+      rs.fields.find(_.name == lf.name) match {
+        case Some(rf) => ((lf.dataType, rf.dataType) match {
+          case (a: StructType, b: StructType) =>
+            deepMergeStruct(a, b, lc.getField(lf.name), rc.getField(lf.name))
+          case _ =>
+            when(rc.isNull, lc.getField(lf.name))
+              .otherwise(rc.getField(lf.name))
+        }).as(lf.name)
+        case None => lc.getField(lf.name).as(lf.name)
+      }
+    } ++ rs.fields.filterNot(f => ls.fieldNames.contains(f.name))
+      .map(f => rc.getField(f.name).as(f.name))
+    when(lc.isNull && rc.isNull, lit(null))
+      .otherwise(struct(fields.toIndexedSeq: _*))
+  }
+
   private def dtOfV(df: DataFrame, v: V): DataType = {
     val memo = dtMemo.value
     if (memo == null)
@@ -640,7 +688,7 @@ object JqTransform {
           elemBinding.withValue(Some(Bound(old, lit(null).cast(oldDt))))(rhs(df))
         case "+=" => polyAdd(oldDt, dtOfV(df, rhs), old, rowRhs)
         case "-=" => old - rowRhs
-        case "*=" => old * rowRhs
+        case "*=" => polyMul(oldDt, dtOfV(df, rhs), old, rowRhs)
         case "/=" => old / rowRhs
         case "//=" => oldDt match {
           case BooleanType => when(old.isNull || !old, rowRhs).otherwise(old)
@@ -2136,6 +2184,8 @@ object JqTransform {
       */
     private def jqAdd(df: DataFrame, l: V, r: V): Column =
       polyAdd(dtOfV(df, l), dtOfV(df, r), l(df), r(df))
+    private def jqMul(df: DataFrame, l: V, r: V): Column =
+      polyMul(dtOfV(df, l), dtOfV(df, r), l(df), r(df))
     private def parseTerm(): V = {
       var l = parseAtomBound()
       skipWs()
@@ -2145,7 +2195,7 @@ object JqTransform {
         val r = parseAtomBound()
         streamTail = false
         val ll = l
-        l = if (op == '*') df => ll(df) * r(df) else df => ll(df) / r(df)
+        l = if (op == '*') df => jqMul(df, ll, r) else df => ll(df) / r(df)
         skipWs()
       }
       l

@@ -288,6 +288,19 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{p: ((.id + 1) as $x | $x * 2)}""", rows)
   }
 
+  test("polymorphic *: deep object merge and string repetition") {
+    // deep merge: both-object keys recurse, right wins elsewhere
+    check("""{a: ({"x": {"p": 1, "q": 2}, "y": 1} * {"x": {"q": 9, "r": 3}, "z": 5})}""",
+      Seq("""{"u": 1}"""))
+    // explicit right-null value wins (NullType field, not runtime null)
+    check("""{f: ({"x": {"p": 1}} * {"x": null})}""", Seq("""{"u": 1}"""))
+    check("""{g: ({"x": null} * {"x": {"p": 1}})}""", Seq("""{"u": 1}"""))
+    // shallow merge on the data row's meta
+    check("""{m: (.meta * {"k": 99, "w": 1})}""", rows)
+    // string repetition, both operand orders; <= 0 → null; fractional truncates
+    check("""{b: (.et * 2), d: (3 * .et), z: (.et * 0), e: (.et * 1)}""", rows)
+  }
+
   test("object merge +: right bias, key order, null-value wins") {
     check("""{m: (.meta + {"k": 99, "w": 1})}""", rows)
     check("""{m: ({"a": 1, "b": 2} + {"b": null, "c": 3})}""", rows)
