@@ -430,6 +430,29 @@ object JqTransform {
         "is unsupported (numbers, string × number, object deep merge)")
   }
 
+  /** jq's `/`: numbers divide (always to a float, like jq — Spark's
+    * `Divide` is double); a string divided by a string SPLITS on the
+    * literal separator, keeping empty fields INCLUDING trailing ones
+    * (`"a,,b," / ","` is ["a","","b",""], and `"abc"/"abc"` is ["",""]) —
+    * the separator is `\Q…\E`-quoted so regex metacharacters split
+    * literally, and the empty separator splits into code points, all
+    * jq-exact. Anything else (including a literal-null operand, which jq
+    * errors on) fails loudly at plan time.
+    */
+  private def polyDiv(lt: DataType, rt: DataType,
+                      l: => Column, r: => Column): Column = (lt, rt) match {
+    case (_: NumericType, _: NumericType) => l / r
+    case (StringType, StringType) =>
+      val (lc, sep) = (l, r)
+      when(lc.isNull || sep.isNull, lit(null).cast(ArrayType(StringType)))
+        .when(length(sep) === 0, regexp_extract_all(lc, lit("(?s)."), lit(0)))
+        .otherwise(call_function("split", lc,
+          concat(lit("\\Q"), sep, lit("\\E"))))
+    case _ => throw new IllegalArgumentException(
+      s"jq_expr: '/' over ${lt.simpleString} and ${rt.simpleString} " +
+        "is unsupported (numbers, string split by string)")
+  }
+
   private def strRepeat(str: Column, n: Column): Column = {
     val k = n.cast("int")
     when(str.isNull || k.isNull || k <= 0, lit(null).cast(StringType))
@@ -633,7 +656,7 @@ object JqTransform {
 
   /** Assignment stages — jq's update operators over a literal-ident path:
     * `.path = E`, `.path |= F`, `.path += E` (and `-=`, `*=`, `/=`,
-    * `//=`). Semantics follow jq exactly:
+    * `%=`, `//=`). Semantics follow jq exactly:
     *
     *  - `=`: the RHS sees `.` = the WHOLE input row; the path is set to
     *    its value (a new top-level key appends, like jq's key order).
@@ -656,7 +679,7 @@ object JqTransform {
   private object AssignStage {
     private val Re = java.util.regex.Pattern.compile(
       "(?s)^\\.([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)*)" +
-        "\\s*(\\|=|\\+=|-=|\\*=|/=|//=|=)\\s*(.*)$")
+        "\\s*(\\|=|\\+=|-=|\\*=|%=|/=|//=|=)\\s*(.*)$")
     def parts(stage: String): Option[(Seq[String], String, String)] = {
       val m = Re.matcher(stage)
       if (!m.matches) None
@@ -689,7 +712,8 @@ object JqTransform {
         case "+=" => polyAdd(oldDt, dtOfV(df, rhs), old, rowRhs)
         case "-=" => old - rowRhs
         case "*=" => polyMul(oldDt, dtOfV(df, rhs), old, rowRhs)
-        case "/=" => old / rowRhs
+        case "/=" => polyDiv(oldDt, dtOfV(df, rhs), old, rowRhs)
+        case "%=" => old.cast("long") % rowRhs.cast("long")
         case "//=" => oldDt match {
           case BooleanType => when(old.isNull || !old, rowRhs).otherwise(old)
           case NullType => rowRhs
@@ -2186,16 +2210,27 @@ object JqTransform {
       polyAdd(dtOfV(df, l), dtOfV(df, r), l(df), r(df))
     private def jqMul(df: DataFrame, l: V, r: V): Column =
       polyMul(dtOfV(df, l), dtOfV(df, r), l(df), r(df))
+    private def jqDiv(df: DataFrame, l: V, r: V): Column =
+      polyDiv(dtOfV(df, l), dtOfV(df, r), l(df), r(df))
+    // jq `%`: operands truncate to integers, result has the DIVIDEND's
+    // sign (C semantics — Spark's `%` agrees)
+    private def jqMod(df: DataFrame, l: V, r: V): Column =
+      l(df).cast("long") % r(df).cast("long")
     private def parseTerm(): V = {
       var l = parseAtomBound()
       skipWs()
       // a single '/' is division; '//' is the alternative operator
-      while (peek == '*' || (peek == '/' && !s.startsWith("//", i))) {
+      while (peek == '*' || peek == '%' ||
+          (peek == '/' && !s.startsWith("//", i))) {
         val op = next(); skipWs()
         val r = parseAtomBound()
         streamTail = false
         val ll = l
-        l = if (op == '*') df => jqMul(df, ll, r) else df => ll(df) / r(df)
+        l = op match {
+          case '*' => df => jqMul(df, ll, r)
+          case '%' => df => jqMod(df, ll, r)
+          case _   => df => jqDiv(df, ll, r)
+        }
         skipWs()
       }
       l

@@ -301,6 +301,15 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{b: (.et * 2), d: (3 * .et), z: (.et * 0), e: (.et * 1)}""", rows)
   }
 
+  test("string division splits literally; % truncates like C") {
+    // literal separator (regex metachars must not fire), empties kept
+    check("""{a: ("a,b,c" / ","), b: ("a,,b," / ","), s: ("x.y.z" / ".")}""",
+      Seq("""{"u": 1}"""))
+    check("""{c: ("abc" / ""), h: ("abc" / "abc")}""", Seq("""{"u": 1}"""))
+    check("""{m: (.id % 3), n: ((0 - .id) % 3), v: (.value % 4)}""", rows)
+    check(""".value %= 7 | {v: .value}""", rows)
+  }
+
   test("object merge +: right bias, key order, null-value wins") {
     check("""{m: (.meta + {"k": 99, "w": 1})}""", rows)
     check("""{m: ({"a": 1, "b": 2} + {"b": null, "c": 3})}""", rows)

@@ -99,7 +99,7 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     */
   private def genValue(r: scala.util.Random, depth: Int,
                        ext: Boolean = false): String =
-    r.nextInt(if (ext) 18 else 12) match {
+    r.nextInt(if (ext) 19 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -122,8 +122,10 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       // string repetition (either operand order)
       case 16 => s"(${genStr(r, depth - 1)} * ${1 + r.nextInt(3)})"
       // object deep merge: both-object key recurses, right wins elsewhere
-      case _ => s"""({"x": {"p": ${genNum(r, depth - 1, safe = true)}, "q": 2}, "y": 1} * """ +
+      case 17 => s"""({"x": {"p": ${genNum(r, depth - 1, safe = true)}, "q": 2}, "y": 1} * """ +
         s"""{"x": {"q": ${genNum(r, depth - 1, safe = true)}}, "z": ${genStr(r, depth - 1)}})"""
+      // C-truncated modulo (dividend sign)
+      case _ => s"(${genNum(r, depth - 1, safe = true)} % ${2 + r.nextInt(5)})"
     }
 
   private def genProgram(r: scala.util.Random, ext: Boolean = false): String = {
