@@ -899,6 +899,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "d05_embed_neardup" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(s, dir))),
+    // cross-split n-gram leakage matrix: shared distinct 3-grams between
+    // every ordered split pair + the share of a's grams leaked — the QA
+    // read on t18's content-independent hash split (doc-disjoint but not
+    // gram-disjoint); digest-only shuffles, ≤3 rows per digest key
+    "d23_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakage(Tables.documents(s, dir))),
     // pair list → duplicate clusters (keeper = min doc_id per component)
     "d06_dup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
@@ -3239,6 +3245,26 @@ object SparkEntry {
            |SELECT a, b, (c * 1000000 // (na.n + nb.n - c))::BIGINT AS jaccard_ppm
            |FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
            |WHERE (c * 1000000 // (na.n + nb.n - c)) >= 500000""".stripMargin,
+      // d23: t18's split hash + d04's k-gram machinery → leakage matrix
+      "d23_split_leakage" ->
+        s"""WITH m AS (SELECT doc_id,
+           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+           |        FROM documents)),
+           |kg AS (SELECT doc_id, list_distinct($kgrams) AS gs
+           |       FROM (SELECT doc_id, $toks AS t FROM documents)),
+           |sg AS (SELECT DISTINCT split, g FROM
+           |       (SELECT m.split, unnest(gs) AS g FROM kg JOIN m USING (doc_id))),
+           |sizes AS (SELECT split, count(*)::BIGINT AS n FROM sg GROUP BY 1),
+           |sh AS (SELECT x.split AS split_a, y.split AS split_b,
+           |         count(*)::BIGINT AS shared_grams
+           |       FROM sg x JOIN sg y ON x.g = y.g AND x.split != y.split
+           |       GROUP BY 1, 2)
+           |SELECT split_a, split_b, shared_grams,
+           |  (shared_grams * 1000000 // n)::BIGINT AS leak_ppm
+           |FROM sh JOIN sizes ON split_a = sizes.split""".stripMargin,
       "d12_containment" ->
         s"""WITH kg AS (SELECT doc_id, list_distinct($kgrams) AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
            |sh AS (SELECT doc_id, unnest(gs) AS g FROM kg),

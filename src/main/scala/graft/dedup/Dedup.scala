@@ -796,6 +796,45 @@ object Dedup {
         when(col("node").isNull, lit("solo")).otherwise(lit("keeper")).as("kept_as"))
   }
 
+  /** Cross-split leakage matrix — the QA read AFTER
+    * [[graft.textops.TextAnalysis.trainValTestSplit]]: for every ORDERED
+    * pair of distinct splits, how many of split a's distinct k-grams
+    * also occur in split b (`shared_grams`), and what share of a's
+    * grams that is (`leak_ppm` = shared·10⁶ ÷ |a|, floor). High
+    * val/test-in-train leakage means the held-out split does not
+    * measure generalization — the content-independent hash split
+    * guarantees doc-level disjointness but NOT n-gram disjointness,
+    * which is exactly what this measures. Membership comes from the
+    * same [[graft.textops.TextAnalysis.splitAssignment]] column the
+    * accounting uses, so the two cannot disagree.
+    *
+    * Scale shape: one shingle pass (typed flatMap, within-doc distinct),
+    * digests only past the scan; the (split, digest) frame is distinct
+    * per split so each digest joins at most 3 rows — the pairwise join
+    * is digest-keyed with a ≤3-row build side per key, no hot grams, no
+    * n². Totals are a 3-row broadcast. Output ≤ 6 rows.
+    */
+  def splitLeakage(docs: DataFrame, k: Int = 3, trainPct: Int = 90,
+                   valPct: Int = 5): DataFrame = {
+    val member = docs.select(col("doc_id"),
+      graft.textops.TextAnalysis.splitAssignment(trainPct, valPct).as("split"))
+    val grams = shingles(docs, k)
+      .select(col("doc_id"), PortableHash.md5Hex(col("shingle")).as("g"))
+      .join(member, "doc_id")
+      .select(col("split"), col("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("split")).agg(count(lit(1)).as("n"))
+    val shared = grams.as("x")
+      .join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.split") =!= col("y.split"))
+      .groupBy(col("x.split").as("split_a"), col("y.split").as("split_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared.join(broadcast(sizes).withColumnRenamed("split", "split_a"), "split_a")
+      .select(col("split_a"), col("split_b"), col("shared_grams"),
+        floor(col("shared_grams") * lit(1000000L) / col("n")).cast("long")
+          .as("leak_ppm"))
+  }
+
   /** Snapshot delta by content (the incremental-crawl bookkeeping step):
     * digests present in snapshot `a` but not `b` — docs to (re)process.
     * EXCEPT DISTINCT on the md5 digest: one shuffle on a uniform 128-bit

@@ -1102,14 +1102,23 @@ object TextAnalysis {
     * end). Content-independent by design: near-duplicate texts must not
     * correlate across splits, and re-crawled docs keep their assignment.
     */
-  def trainValTestSplit(docs: DataFrame, trainPct: Int = 90,
-                        valPct: Int = 5): DataFrame = {
+  /** The deterministic split membership column — ONE definition shared by
+    * [[trainValTestSplit]] and [[graft.dedup.Dedup.splitLeakage]] so the
+    * accounting and the leakage matrix can never disagree on who is in
+    * which split.
+    */
+  private[graft] def splitAssignment(trainPct: Int, valPct: Int): Column = {
     require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
       s"bad split cut points: train=$trainPct val=$valPct")
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
-    val split = when(bucket < trainPct, "train")
+    when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val").otherwise("test")
+  }
+
+  def trainValTestSplit(docs: DataFrame, trainPct: Int = 90,
+                        valPct: Int = 5): DataFrame = {
+    val split = splitAssignment(trainPct, valPct)
     withTokens(docs)
       .groupBy(split.as("split"), col("lang"), col("source"))
       .agg(

@@ -891,6 +891,30 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out(5L) == (("trimmed runs collapse", 1L)))
   }
 
+  test("splitLeakage: shared grams symmetric; unique-phrase docs leak nothing") {
+    import graft.dedup.Dedup
+    // every doc shares one 3-gram phrase; each doc also has a unique tail
+    val docs = (0L until 90L).map(i =>
+      (i, s"common shared phrase unique$i tail$i word$i")).toDF("doc_id", "text")
+    val out = Dedup.splitLeakage(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // with 90 docs all three splits are populated w.h.p. and every pair
+    // shares at least the common phrase's grams
+    assert(out.nonEmpty)
+    out.foreach { case ((a, b), (shared, ppm)) =>
+      assert(a != b)
+      // symmetric in shared count (ppm differs: denominators differ)
+      assert(out(b -> a)._1 == shared, s"asymmetric shared for $a/$b")
+      assert(shared >= 1L)
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // a corpus of fully unique texts leaks zero grams → empty matrix
+    val unique = (0L until 90L).map(i =>
+      (i, s"a$i b$i c$i d$i e$i")).toDF("doc_id", "text")
+    assert(Dedup.splitLeakage(unique).collect().isEmpty)
+  }
+
   test("rrfFuse: both-systems doc outranks single-system; ties to smaller id") {
     import graft.similarity.Ann
     val dense = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
