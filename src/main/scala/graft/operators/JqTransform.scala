@@ -71,7 +71,10 @@ import graft.functions.Canonical
   *    sort for map-typed values), `has(key|index)` (static membership
   *    for objects, `map_contains_key` for maps, bounds test for arrays),
   *    `to_entries` (field-order `[{key, value}]`; mixed value types fall
-  *    back to string), `from_entries` (over `{key, value}` entries,
+  *    back to string), `with_entries(f)` (the to_entries→map→from_entries
+  *    composition, from the same three kernels), `setpath(["a","b"]; E)`
+  *    (getpath's writer twin — leaf update/append via `withField`,
+  *    intermediate structs must pre-exist), `from_entries` (over `{key, value}` entries,
   *    last-wins on duplicate keys like jq), `group_by(f)` (groups
   *    sorted by key, nulls first, stable within groups), `sort_by(f)`
   *    (stable ascending by f(x) — ≡ flatten ∘ group_by) and `sort`;
@@ -1791,6 +1794,22 @@ object JqTransform {
             transform(vv(df), x =>
               elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
           }
+        } else if (fn == "with_entries") {
+          // jq sugar: with_entries(f) ≡ to_entries | map(f) | from_entries
+          // — composed from the SAME three kernels so the entry shape
+          // ({key, value}), mixed-type string fallback and last-wins
+          // duplicate policy cannot diverge from the spelled-out form
+          expect('(')
+          val inner = parseValue()
+          expect(')')
+          val vv = v
+          v = df => {
+            val entriesV: V = d => Funcs("to_entries")(d, vv)
+            val et = elementTypeV(df, entriesV, "with_entries")
+            val mapped = transform(entriesV(df), x =>
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
+            Funcs("from_entries")(df, _ => mapped)
+          }
         } else if (fn == "group_by") {
           // group_by(f): array → array of arrays, groups ordered by key
           // ascending with nulls FIRST (jq's sort order; sort_array, not
@@ -2080,6 +2099,52 @@ object JqTransform {
           val p = segs.result()
           val vv = v
           v = df => walkPath(dtOfV(df, vv), vv(df), p.toList)
+        } else if (fn == "setpath") {
+          // setpath(["a","b"]; E): getpath's writer twin over a literal
+          // path — the path's leaf is set to E ('.' in E = the current
+          // value, as everywhere in a pipe), existing keys update,
+          // a new LEAF key appends (withField), and like the assignment
+          // stages an intermediate struct must already exist (static
+          // schemas cannot fabricate {} parents; loud error)
+          expect('('); skipWs(); expect('['); skipWs()
+          val segs = Seq.newBuilder[String]
+          if (peek != ']') {
+            var more = true
+            while (more) {
+              skipWs()
+              if (peek != '"')
+                throw new IllegalArgumentException(
+                  "jq_expr: setpath() requires string-literal path segments")
+              segs += parseStringLit()
+              skipWs()
+              if (peek == ',') next() else more = false
+            }
+          }
+          skipWs(); expect(']'); skipWs(); expect(';')
+          val leafV = parseValue()
+          skipWs(); expect(')')
+          val p = segs.result()
+          require(p.nonEmpty, "jq_expr: setpath() requires a non-empty path")
+          val vv = v
+          v = df => {
+            val dt = dtOfV(df, vv)
+            dt match {
+              case st: StructType =>
+                // every non-leaf segment must be an existing struct field
+                p.dropRight(1).foldLeft(st: DataType) {
+                  case (s2: StructType, seg) =>
+                    s2.fields.find(_.name == seg).map(_.dataType).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"jq_expr: setpath parent '$seg' does not exist — " +
+                          "static schemas cannot fabricate intermediate objects"))
+                  case (other, seg) => throw new IllegalArgumentException(
+                    s"jq_expr: setpath parent '$seg' is ${other.simpleString}, not an object")
+                }
+                vv(df).withField(p.mkString("."), leafV(df))
+              case other => throw new IllegalArgumentException(
+                s"jq_expr: setpath requires an object, got ${other.simpleString}")
+            }
+          }
         } else if (fn == "del") {
           // del(.a) / del(.a.b): remove one literal-path field — structs
           // rebuild without the field (schema-static), maps filter the

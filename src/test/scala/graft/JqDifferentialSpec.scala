@@ -301,6 +301,21 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{b: (.et * 2), d: (3 * .et), z: (.et * 0), e: (.et * 1)}""", rows)
   }
 
+  test("setpath: update, nested update, new leaf key") {
+    check("""{m: (.meta | setpath(["k"]; 42)), i: .id}""", rows)
+    check("""{m: ({"a": {"b": 1, "c": 2}} | setpath(["a", "b"]; 9))}""",
+      Seq("""{"u": 1}"""))
+    check("""{m: ({"a": 1} | setpath(["z"]; "new"))}""", Seq("""{"u": 1}"""))
+  }
+
+  test("with_entries: rename keys and rescale values") {
+    check("""{m: ({"a": 1, "b": 2} | with_entries({key: (.key + "x"), value: (.value * 10)}))}""",
+      Seq("""{"u": 1}"""))
+    // last-wins on key collisions introduced by the mapping
+    check("""{m: ({"a": 1, "b": 2} | with_entries({key: "same", value: .value}))}""",
+      Seq("""{"u": 1}"""))
+  }
+
   test("string division splits literally; % truncates like C") {
     // literal separator (regex metachars must not fire), empties kept
     check("""{a: ("a,b,c" / ","), b: ("a,,b," / ","), s: ("x.y.z" / ".")}""",
