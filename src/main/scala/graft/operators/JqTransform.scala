@@ -124,8 +124,10 @@ import graft.functions.Canonical
   *  - `flatten`/`flatten(d)` (schema-static depth unrolling), `min_by`/
   *    `max_by` (stable-sort first/last — jq's tie pick), `index`/`rindex`
   *    (0-based substring positions, jq-null on no hit), `contains`/
-  *    `inside` (strings + arrays of scalars; deep object containment out
-  *    of scope), `split(re; flags)` (two-arg regex form), `getpath`
+  *    `inside` (the FULL recursive form: substring for strings,
+  *    every-needle-in-some-haystack for arrays, key-subset with
+  *    recursive values for objects, equality for scalars, cross-type
+  *    false — statically unrolled, no UDF), `split(re; flags)` (two-arg regex form), `getpath`
   *    (literal path, never-error navigation — variant-aware);
   *  - `..` RECURSIVE DESCENT as a stage: the row object and every
   *    sub-value depth-first in document order, lowered to one
@@ -1348,22 +1350,43 @@ object JqTransform {
       }
     }
 
-  /** jq `contains` semantics for `haystack contains needle` (see the map
-    * entry above for scope).
+  /** jq `contains` semantics for `haystack contains needle` — the FULL
+    * recursive form (probed against jq 1.6): strings contain by
+    * substring, arrays when every needle element is contained in SOME
+    * haystack element (recursively), objects when every needle key
+    * exists with a recursively-contained value (a key absent from the
+    * haystack's schema is statically false), scalars by equality with
+    * null == null true, and CROSS-TYPE values never contain (1 vs "1" is
+    * false in jq 1.6, not an error). Runtime nulls at any level compare
+    * null-to-null true, null-to-value false. Static schemas unroll the
+    * recursion at plan time — no UDF, plain codegen'd boolean trees.
     */
   private def jqContains(df: DataFrame, hay: V, needle: V): Column =
-    (dtOfV(df, hay), dtOfV(df, needle)) match {
-      case (StringType, StringType) => hay(df).contains(needle(df))
-      case (_: ArrayType, ArrayType(nt, _)) =>
-        val h = hay(df)
-        nt match {
-          case StringType => forall(needle(df), n => exists(h, x => x.contains(n)))
-          case _ => forall(needle(df), n => exists(h, x => x <=> n))
-        }
-      case (lt, rt) => throw new IllegalArgumentException(
-        s"jq_expr: contains over ${lt.simpleString}/${rt.simpleString} is " +
-          "unsupported (strings, or arrays of strings/scalars)")
+    containsRec(dtOfV(df, hay), dtOfV(df, needle), hay(df), needle(df))
+
+  private def containsRec(ht: DataType, nt: DataType,
+                          h: Column, n: Column): Column = {
+    def nullGuarded(body: => Column): Column =
+      when(h.isNull || n.isNull, h.isNull && n.isNull).otherwise(body)
+    (ht, nt) match {
+      case (StringType, StringType) => nullGuarded(h.contains(n))
+      case (a: ArrayType, b: ArrayType) => nullGuarded(
+        forall(n, nb => exists(h, x =>
+          containsRec(a.elementType, b.elementType, x, nb))))
+      case (hs: StructType, ns: StructType) => nullGuarded(
+        ns.fields.map { nf =>
+          hs.fields.find(_.name == nf.name) match {
+            case Some(hf) => containsRec(hf.dataType, nf.dataType,
+              h.getField(nf.name), n.getField(nf.name))
+            case None => lit(false) // key absent from the haystack schema
+          }
+        }.reduceOption[Column](_ && _).getOrElse(lit(true)))
+      case (NullType, _) | (_, NullType) => h <=> n // true iff both null
+      case (_: NumericType, _: NumericType) => h <=> n
+      case (BooleanType, BooleanType) => h <=> n
+      case _ => lit(false) // cross-type values never contain (jq 1.6)
     }
+  }
 
   // ------------------------------------------------- jq regex builtins --
 

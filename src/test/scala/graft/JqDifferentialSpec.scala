@@ -301,6 +301,18 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{b: (.et * 2), d: (3 * .et), z: (.et * 0), e: (.et * 1)}""", rows)
   }
 
+  test("deep containment: objects, nested arrays, substring leaves") {
+    check("""{a: ({"x": 1, "s": "foobar", "o": {"p": 2, "q": "zz"}}
+            |     | contains({"s": "oba", "o": {"p": 2}})),
+            | b: ({"x": 1} | contains({"x": 2})),
+            | d: ({"xs": ["abc", "def"]} | contains({"xs": ["bc"]})),
+            | e: ({"x": null} | contains({"x": null}))}""".stripMargin,
+      Seq("""{"u": 1}"""))
+    // the select-filter shape deep containment exists for
+    check("""select(.meta | contains({s: "x"})) | {i: .id}""", rows)
+    check("""{ins: ({"p": 2} | inside({"p": 2, "q": 1}))}""", Seq("""{"u": 1}"""))
+  }
+
   test("setpath: update, nested update, new leaf key") {
     check("""{m: (.meta | setpath(["k"]; 42)), i: .id}""", rows)
     check("""{m: ({"a": {"b": 1, "c": 2}} | setpath(["a", "b"]; 9))}""",
