@@ -1327,6 +1327,19 @@ object SparkEntry {
         """{pair: [.value, .value * 3], t: .window_start}
           || .pair as [$a, $b] | {time: .t, lo: $a, hi: $b, sum: ($a + $b)}""".stripMargin)),
 
+    // O14 round-7 third tranche: with_entries (entry-map sugar), setpath
+    // (literal-path writer) and DEEP containment — composed over the
+    // counter record with the count riding in through a stage binding
+    "c57_jq_builtins3" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """.value as $v
+          || {time: .window_start,
+          |   dbl: (((({"lo": 0, "hi": 0} | with_entries({key: .key, value: $v}))
+          |          | .lo)) + $v),
+          |   sp: (({"a": {"b": 0}} | setpath(["a", "b"]; $v)) | .a.b),
+          |   ok: ({"k": {"n": $v}, "s": "graft"} | contains({"k": {"n": $v}, "s": "raf"}))}""".stripMargin)),
+
     // O14 jq total-order notch: sort_by under jq's order (null keys first,
     // stable within equal keys — the two data keys flip order per window),
     // plus the cross-type comparison constants (number < string,
@@ -1731,6 +1744,12 @@ object SparkEntry {
         """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS time,
           | 'events.request_count' AS name, count(*) AS value
           | FROM events GROUP BY 1""".stripMargin,
+      // c57: with_entries rebuild (dbl = 2v), setpath round-trip (sp = v),
+      // deep containment incl. substring leaf (ok = true)
+      "c57_jq_builtins3" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t AS time, v * 2 AS dbl, v AS sp, TRUE AS ok FROM c""".stripMargin,
       // c56: array destructuring — lo = v, hi = 3v, sum = 4v per window
       "c56_jq_destructure" ->
         """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
