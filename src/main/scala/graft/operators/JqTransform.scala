@@ -1704,7 +1704,22 @@ object JqTransform {
         next()
         skipWs()
         streamTail = false
-        if (peek == '.' && i + 1 < s.length &&
+        if (peek == '(' || peek == '{' || peek == '[' || peek == '"') {
+          // GENERAL pipe body: `A | (.lo + .hi)`, `A | {x: .f}`,
+          // `A | "v\(.k)"` — the body is a full value expression with
+          // `.`/`.path` bound to the PIPED value (the elemBinding
+          // channel, same as map bodies). jq's pipe-lowest precedence
+          // for an unparenthesized body (`A | .lo + .hi`) still needs
+          // the parens here — the postfix forms below own bare paths.
+          val vv = v
+          val body = parseValue()
+          v = df => {
+            val et = dtOfV(df, vv)
+            elemBinding.withValue(
+              Some(Bound(vv(df), lit(null).cast(et))))(body(df))
+          }
+          skipWs()
+        } else if (peek == '.' && i + 1 < s.length &&
             (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')) {
           // `| .path` postfix: navigate the CURRENT value (jq's pipe into
           // a path) — never-error walk, variant-aware (the natural

@@ -301,6 +301,12 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{b: (.et * 2), d: (3 * .et), z: (.et * 0), e: (.et * 1)}""", rows)
   }
 
+  test("general parenthesized pipe body: '.' = the piped value") {
+    check("""{x: (.meta | (.k + 10)), y: ((.meta | (.k * 2)) + 1)}""", rows)
+    check("""{o: (.meta | {kk: .k, tag: "m"}), s: (.id | "\(.)-id")}""", rows)
+    check("""{n: (.tags | ((. | length) + 100))}""", rows)
+  }
+
   test("deep containment: objects, nested arrays, substring leaves") {
     check("""{a: ({"x": 1, "s": "foobar", "o": {"p": 2, "q": "zz"}}
             |     | contains({"s": "oba", "o": {"p": 2}})),
