@@ -60,6 +60,12 @@ object SparkEntry {
       targetColumn = Some("value"), windowDuration = Hour)
   private val cBigValueCount =
     CounterDef("big_value_count", CounterType.Count, targetExpr = Some("k > 50"), windowDuration = Hour)
+  private val cValueMin =
+    CounterDef("value_min_cents", CounterType.ValueMin,
+      targetColumn = Some("value"), windowDuration = Hour)
+  private val cValueMax =
+    CounterDef("value_max_cents", CounterType.ValueMax,
+      targetColumn = Some("value"), windowDuration = Hour)
 
   /** Per-language sampling rates (ppm) for the stratified-sample query —
     * the kind of language-balancing mix a multilingual training run uses.
@@ -1497,6 +1503,34 @@ object SparkEntry {
     // reference lacks) — same O13 record, single-phase topology
     "c48_sum_counter" -> ((s, dir) =>
       Counters.run(events(s, dir), "ts", cValueSum)),
+    // FOURTH/FIFTH extension counter types: per-window MIN and MAX of the
+    // value in cents (the latency-floor/spike read) — BOTH through the
+    // shared fanOut pass: one scan, one shuffle, two counters
+    "c58_extremes_fanout" -> ((s, dir) =>
+      Counters.fanOut(events(s, dir), "ts", Seq(cValueMin, cValueMax))),
+    // ...and value_max through the SERIALIZED intermediate-record hop:
+    // partials ride the JSON envelope as the {extreme_cents} union member
+    // with the same id/type/version gating — hop invisible vs the oracle
+    "c59_max_twophase" -> ((s, dir) => {
+      val c = cValueMax.copy(id = "value_max_2p")
+      val sharded = events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8)))
+      Intermediate.mergeRecords(
+        Intermediate.toRecords(
+          Counters.partialState(sharded, "ts", "shard", c),
+          c, "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in"),
+        c, requiredVersion = Some(">=0.1.0"))
+    }),
+    // ...and value_min's STREAMING face via the generic windowed-agg path
+    "c60_min_streaming_parity" -> ((s, dir) => {
+      val c = cValueMin.copy(id = "value_min_stream")
+      val out = graft.streaming.StreamingCounters.run(
+        Tables.eventsStream(s, dir), "ts", c, watermarkDelay = "0 seconds")
+      val sink = "c60_min_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
     // ...and through the SERIALIZED intermediate-record hop: partials ride
     // the JSON envelope as the {sum_cents} union member with the same
     // id/type/version gating — the hop must be invisible vs c48's oracle
@@ -1831,6 +1865,23 @@ object SparkEntry {
         s"""SELECT $win, 'revenue_cents' AS counter_id, 'value_sum' AS counter_type,
            | coalesce(sum(floor(value * 100)), 0)::BIGINT AS value
            | FROM events GROUP BY 1, 2""".stripMargin,
+      // c58/c59/c60: the extreme counter types across their topologies —
+      // min/max of cents per window; no empty-group identity (NULL)
+      "c58_extremes_fanout" ->
+        s"""SELECT $win, 'value_min_cents' AS counter_id, 'value_min' AS counter_type,
+           | min(floor(value * 100))::BIGINT AS value FROM events GROUP BY 1, 2
+           |UNION ALL
+           |SELECT $win, 'value_max_cents', 'value_max',
+           | max(floor(value * 100))::BIGINT FROM events GROUP BY 1, 2""".stripMargin,
+      "c59_max_twophase" ->
+        s"""SELECT $win, 'value_max_2p' AS counter_id, 'value_max' AS counter_type,
+           | max(floor(value * 100))::BIGINT AS value
+           | FROM events GROUP BY 1, 2""".stripMargin,
+      "c60_min_streaming_parity" ->
+        s"""SELECT $win, 'value_min_stream' AS counter_id, 'value_min' AS counter_type,
+           | min(floor(value * 100))::BIGINT AS value
+           | FROM events GROUP BY 1, 2
+           | HAVING window_end < (SELECT epoch_ms(max(ts)) FROM events)""".stripMargin,
       "c49_sum_twophase" ->
         s"""SELECT $win, 'revenue_cents_2p' AS counter_id, 'value_sum' AS counter_type,
            | coalesce(sum(floor(value * 100)), 0)::BIGINT AS value

@@ -32,8 +32,20 @@ object CounterType {
     */
   case object ValueSum extends CounterType("value_sum")
 
+  /** Fourth/fifth ENGINE EXTENSION: per-window MIN / MAX of the target
+    * value in integer cents (the same `floor(value*100)` discipline as
+    * [[ValueSum]]) — the latency-floor/spike read beside the sum.
+    * Partial state is one long, mergeable by min/max, so both ride every
+    * topology value_sum does. Unlike the sum (whose empty-group identity
+    * is 0), extremes have no identity: a window with no numeric values
+    * emits NULL.
+    */
+  case object ValueMin extends CounterType("value_min")
+  case object ValueMax extends CounterType("value_max")
+
   val values: Seq[CounterType] =
-    Seq(Count, ApproxCountDistinct, ValueQuantile, HeavyHitters, ValueSum)
+    Seq(Count, ApproxCountDistinct, ValueQuantile, HeavyHitters, ValueSum,
+      ValueMin, ValueMax)
   def fromName(s: String): Either[String, CounterType] =
     values.find(_.name == s).toRight(s"unknown counter type: $s")
 }
@@ -106,8 +118,10 @@ final case class CounterDef(
       Left(s"counter $id: quantile_ppm must be in (0, 1000000]")
     else if (counterType == CounterType.HeavyHitters && topK < 1)
       Left(s"counter $id: top_k must be >= 1")
-    else if (targetColumn.contains("*") && counterType == CounterType.ValueSum)
-      Left(s"counter $id: target_column '*' is not allowed for value_sum")
+    else if (targetColumn.contains("*") &&
+      Set[CounterType](CounterType.ValueSum, CounterType.ValueMin,
+        CounterType.ValueMax).contains(counterType))
+      Left(s"counter $id: target_column '*' is not allowed for ${counterType.name}")
     else Right(this)
   }
 

@@ -110,7 +110,27 @@ object Counters {
   private def sumAgg(df: DataFrame, c: CounterDef): Column = {
     val value = valueColumn(c).getOrElse(throw new IllegalArgumentException(
       s"counter ${c.id}: value_sum requires a target"))
-    coalesce(sum(floor(value.try_cast("double") * lit(100d)).cast("long")), lit(0L))
+    coalesce(sum(centsOf(value)), lit(0L))
+  }
+
+  /** The shared exact-money conversion (see [[sumAgg]]'s doc for the
+    * deliberate floor-over-round trade): non-numeric/null → NULL, which
+    * every aggregate here skips.
+    */
+  private def centsOf(value: Column): Column =
+    floor(value.try_cast("double") * lit(100d)).cast("long")
+
+  /** The `value_min` / `value_max` aggregates (ENGINE EXTENSIONS): the
+    * per-window extreme of the target value in integer cents — the
+    * latency-floor/spike companion of [[sumAgg]], same conversion, same
+    * skip-on-non-numeric. NO empty-group identity: a window with no
+    * numeric values emits NULL (0 would be a fabricated extreme).
+    */
+  private def extremeAgg(df: DataFrame, c: CounterDef): Column = {
+    val value = valueColumn(c).getOrElse(throw new IllegalArgumentException(
+      s"counter ${c.id}: ${c.counterType.name} requires a target"))
+    if (c.counterType == CounterType.ValueMin) min(centsOf(value))
+    else max(centsOf(value))
   }
 
   /** The per-counter aggregate expression, usable standalone or fanned out
@@ -129,6 +149,7 @@ object Counters {
             s"counter ${c.id}: approx_count_distinct requires a target"))
         acdAgg(df, value, c.siphashKeyHex)
       case CounterType.ValueSum => sumAgg(df, c)
+      case CounterType.ValueMin | CounterType.ValueMax => extremeAgg(df, c)
       case CounterType.ValueQuantile | CounterType.HeavyHitters =>
         // quantile pick / per-window rank can't be one aggregate Column;
         // their run/runPerShard/runTwoPhase paths dispatch before this
@@ -331,6 +352,8 @@ object Counters {
           .as("partial_sketch"))
       case CounterType.ValueSum =>
         grouped.agg(sumAgg(df, c).as("partial_sum"))
+      case CounterType.ValueMin | CounterType.ValueMax =>
+        grouped.agg(extremeAgg(df, c).as("partial_extreme"))
       // extension types: the partial is a per-(window, shard) table —
       // a (value, cnt) histogram / a (member, cnt) count table — both
       // mergeable by concat + re-sum, like the reference's counter states
@@ -373,6 +396,12 @@ object Counters {
       case CounterType.ValueSum =>
         partial.groupBy(col("window"))
           .agg(sum(col("partial_sum")).cast("long").as("value"))
+      case CounterType.ValueMin =>
+        partial.groupBy(col("window"))
+          .agg(min(col("partial_extreme")).cast("long").as("value"))
+      case CounterType.ValueMax =>
+        partial.groupBy(col("window"))
+          .agg(max(col("partial_extreme")).cast("long").as("value"))
       case CounterType.ValueQuantile =>
         val hist = partial
           .select(col("window"), explode(col("partial_hist")).as("h"))
@@ -470,9 +499,12 @@ object Counters {
     // quantile/rank counters have their own shapes — run them via `run`
     require(counters.forall(c => c.counterType == CounterType.Count ||
       c.counterType == CounterType.ApproxCountDistinct ||
-      c.counterType == CounterType.ValueSum),
-      "fanOut supports count/approx_count_distinct/value_sum counters " +
-        "only; run value_quantile/heavy_hitters counters individually")
+      c.counterType == CounterType.ValueSum ||
+      c.counterType == CounterType.ValueMin ||
+      c.counterType == CounterType.ValueMax),
+      "fanOut supports count/approx_count_distinct/value_sum/value_min/" +
+        "value_max counters only; run value_quantile/heavy_hitters " +
+        "counters individually")
     val byWindow = counters.groupBy(_.windowDuration).toSeq.sortBy(_._1)
     byWindow.map { case (w, cs) =>
       unpivotCounters(

@@ -38,6 +38,11 @@ object Intermediate {
         struct(base64(col("partial_sketch")).as("base64_hll"))
       case CounterType.ValueSum =>
         struct(col("partial_sum").as("sum_cents"))
+      case CounterType.ValueMin | CounterType.ValueMax =>
+        // one union member for both extremes — the counter_type tag (which
+        // the consumer filters on) disambiguates, like the reference's
+        // count-vs-ACD states
+        struct(col("partial_extreme").as("extreme_cents"))
       case CounterType.ValueQuantile | CounterType.HeavyHitters =>
         // the generic JSON hop carries the reference's two state shapes
         // (counter.go:78-82); the extension types ride their own typed
@@ -79,6 +84,7 @@ object Intermediate {
       StructField("row_count", LongType),
       StructField("base64_hll", StringType),
       StructField("sum_cents", LongType),
+      StructField("extreme_cents", LongType),
       StructField("histogram", ArrayType(StructType(Seq(
         StructField("c", LongType),
         StructField("n", LongType))))),
@@ -190,6 +196,11 @@ object Intermediate {
           struct(col("r.window.start").as("start"), col("r.window.end").as("end")).as("window"),
           col("r.shard_id"),
           col("r.counter_state.sum_cents").as("partial_sum"))
+      case CounterType.ValueMin | CounterType.ValueMax =>
+        parsed.select(
+          struct(col("r.window.start").as("start"), col("r.window.end").as("end")).as("window"),
+          col("r.shard_id"),
+          col("r.counter_state.extreme_cents").as("partial_extreme"))
     }
   }
 

@@ -39,10 +39,10 @@ private[streaming] object CounterStateBuf {
   def accumulate(prev: Option[CounterStateBuf], rows: Iterator[StateEvent],
                  ctype: CounterType): CounterStateBuf = ctype match {
     case CounterType.ValueQuantile | CounterType.HeavyHitters |
-         CounterType.ValueSum =>
+         CounterType.ValueSum | CounterType.ValueMin | CounterType.ValueMax =>
       // streaming faces: valueQuantileHistogram / hitterCounts (the
-      // histogram/count-table IS the append-mode state); value_sum
-      // streams via the generic windowed-agg face (aggExpr)
+      // histogram/count-table IS the append-mode state); value_sum and
+      // the extremes stream via the generic windowed-agg face (aggExpr)
       throw new IllegalArgumentException(
         s"custom-state protocol carries count/ACD states only; " +
           s"${ctype.name} streams via its generic face")
@@ -59,7 +59,7 @@ private[streaming] object CounterStateBuf {
 
   def finalValue(buf: CounterStateBuf, ctype: CounterType): Long = ctype match {
     case CounterType.ValueQuantile | CounterType.HeavyHitters |
-         CounterType.ValueSum =>
+         CounterType.ValueSum | CounterType.ValueMin | CounterType.ValueMax =>
       throw new IllegalArgumentException(
         s"custom-state protocol carries count/ACD states only; " +
           s"${ctype.name} streams via its generic face")
@@ -605,6 +605,10 @@ object StreamingCounters {
         grouped.agg(hll_sketch_estimate(hll_union_agg(col("partial_sketch"))).as("value"))
       case CounterType.ValueSum =>
         grouped.agg(sum(col("partial_sum")).cast("long").as("value"))
+      case CounterType.ValueMin =>
+        grouped.agg(min(col("partial_extreme")).cast("long").as("value"))
+      case CounterType.ValueMax =>
+        grouped.agg(max(col("partial_extreme")).cast("long").as("value"))
       case CounterType.ValueQuantile | CounterType.HeavyHitters =>
         throw new IllegalArgumentException(
           s"counter ${c.id}: the streaming intermediate consumer merges " +

@@ -295,4 +295,39 @@ class CountersSpec extends SparkTestBase {
     assert(CounterDef("x", CounterType.ValueSum, Some("*")).validate.isLeft)
     assert(CounterDef("x", CounterType.ValueSum, Some("value")).validate.isRight)
   }
+
+  test("value_min/value_max counters: cents extremes, two-phase invisible, " +
+       "NULL on no numeric values, '*' rejected") {
+    import org.apache.spark.sql.functions.{col, floor, pmod, lit,
+      min => sqlMin, max => sqlMax}
+    val cMin = CounterDef("vmin", CounterType.ValueMin, Some("user_id"),
+      windowDuration = "1 minute")
+    val cMax = CounterDef("vmax", CounterType.ValueMax, Some("user_id"),
+      windowDuration = "1 minute")
+    val exp = synth.agg(
+      sqlMin(floor(col("user_id").cast("double") * 100).cast("long")),
+      sqlMax(floor(col("user_id").cast("double") * 100).cast("long")))
+      .head()
+    val (eMin, eMax) = (exp.getLong(0), exp.getLong(1))
+    assert(Counters.run(synth, "ts", cMin).select("value").head().getLong(0) == eMin)
+    assert(Counters.run(synth, "ts", cMax).select("value").head().getLong(0) == eMax)
+    // two-phase: per-shard extremes re-extremed must be invisible
+    val sharded = synth.withColumn("shard", pmod(col("user_id"), lit(4)))
+    assert(Counters.runTwoPhase(sharded, "ts", "shard", cMin.copy(id = "m2"))
+      .select("value").head().getLong(0) == eMin)
+    assert(Counters.runTwoPhase(sharded, "ts", "shard", cMax.copy(id = "x2"))
+      .select("value").head().getLong(0) == eMax)
+    // both ride one fanOut pass
+    val fanned = Counters.fanOut(synth, "ts", Seq(cMin, cMax))
+      .select("counter_id", "value").as[(String, Long)].collect().toMap
+    assert(fanned("vmin") == eMin && fanned("vmax") == eMax)
+    // no numeric values → NULL, not a fabricated 0 (unlike value_sum)
+    val strMin = CounterDef("s", CounterType.ValueMin, Some("path"),
+      windowDuration = "1 minute")
+    assert(Counters.run(synth, "ts", strMin).select("value").head().isNullAt(0))
+    // validation: '*' is illegal for the extremes
+    assert(CounterDef("x", CounterType.ValueMin, Some("*")).validate.isLeft)
+    assert(CounterDef("x", CounterType.ValueMax, Some("*")).validate.isLeft)
+    assert(CounterDef("x", CounterType.ValueMax, Some("value")).validate.isRight)
+  }
 }
