@@ -1080,6 +1080,11 @@ object SparkEntry {
     // truth computes once (localCheckpoint), each point probe-bounded
     "s17_ivf_tuning" -> ((s, dir) =>
       Ann.ivfTuningCurve(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // embedding-table health: per-dim count/NaN/scaled sum/min/max — the
+    // dead-dim / NaN / unnormalized-slice read before any index builds;
+    // scaled-integer stats so the oracle hash-matches exactly
+    "s19_embedding_health" -> ((s, dir) =>
+      Ann.embeddingHealth(Tables.embeddings(s, dir))),
     "s07_recall_eval" -> ((s, dir) =>
       Ann.recallAtK(
         Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
@@ -3539,6 +3544,17 @@ object SparkEntry {
            |FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
       "s01_ann_topk" -> s01Sql,
       "s02_ann_ivf" -> s02Sql,
+      // s19: identical single-IEEE-op scaling (float→double ×1e6 floor)
+      // so integer sums/extremes hash-match; NaN-guarded like the Spark side
+      "s19_embedding_health" ->
+        """WITH x AS (SELECT i::BIGINT AS d, embedding[i+1]::DOUBLE AS v
+          |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i))
+          |SELECT d, count(CASE WHEN NOT isnan(v) THEN 1 END)::BIGINT AS n,
+          | count(CASE WHEN isnan(v) THEN 1 END)::BIGINT AS n_nan,
+          | sum(CASE WHEN NOT isnan(v) THEN floor(v * 1000000) END)::BIGINT AS sum_m,
+          | min(CASE WHEN NOT isnan(v) THEN floor(v * 1000000) END)::BIGINT AS min_m,
+          | max(CASE WHEN NOT isnan(v) THEN floor(v * 1000000) END)::BIGINT AS max_m
+          |FROM x GROUP BY 1""".stripMargin,
       // s11: SQ8 — identical single-IEEE-op order on both engines; floor
       // lands on BIGINT via the cast (Spark's floor is already LONG)
       "s11_sq8_codes" ->

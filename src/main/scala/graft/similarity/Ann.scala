@@ -255,6 +255,34 @@ object Ann {
         floor(col("n_hits") * lit(1000000L) / col("__n")).cast("long"))
       .drop("__n")
 
+  /** Embedding-table health stats — the QA read BEFORE building any index
+    * over a vector column: per-dimension count, NaN count, and
+    * scaled-integer sum/min/max (`floor(x·10⁶)` as longs — the
+    * [[centroidSums]] trick, so sums are shuffle-order-exact and the
+    * DuckDB oracle hash-matches; float sums would be order-dependent).
+    * A dimension whose min == max is dead (carries no information), a
+    * NaN count > 0 poisons every distance computation downstream, and a
+    * wildly off-center mean flags an unnormalized slice — the three
+    * things that silently wreck an ANN index.
+    *
+    * Scale shape: one `posexplode` projection + one map-side-combinable
+    * groupBy on the dimension index (groups = dims, never rows); raw
+    * vectors never shuffle — only (dim, scaled) pairs.
+    */
+  def embeddingHealth(embeddings: DataFrame): DataFrame = {
+    val x = col("x").cast("double")
+    val scaled = floor(x * lit(1000000d)).cast("long")
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(
+        count(when(!isnan(x), lit(1))).as("n"),
+        count(when(isnan(x), lit(1))).as("n_nan"),
+        sum(when(!isnan(x), scaled)).cast("long").as("sum_m"),
+        min(when(!isnan(x), scaled)).cast("long").as("min_m"),
+        max(when(!isnan(x), scaled)).cast("long").as("max_m"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: each input system is a
     * ranked (id, rank) list (rank 1-based) and an id earns
