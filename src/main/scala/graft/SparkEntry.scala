@@ -1525,6 +1525,12 @@ object SparkEntry {
           c, "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in"),
         c, requiredVersion = Some(">=0.1.0"))
     }),
+    // ...and the PER-SHARD topology for value_min, completing the
+    // extreme types' topology matrix (one extreme per (window, shard))
+    "c61_min_per_shard" -> ((s, dir) =>
+      Counters.runPerShard(
+        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
+        "ts", "shard", cValueMin)),
     // ...and value_min's STREAMING face via the generic windowed-agg path
     "c60_min_streaming_parity" -> ((s, dir) => {
       val c = cValueMin.copy(id = "value_min_stream")
@@ -1878,6 +1884,11 @@ object SparkEntry {
            |UNION ALL
            |SELECT $win, 'value_max_cents', 'value_max',
            | max(floor(value * 100))::BIGINT FROM events GROUP BY 1, 2""".stripMargin,
+      "c61_min_per_shard" ->
+        s"""SELECT $win, (user_id % 4)::VARCHAR AS shard_id,
+           | 'value_min_cents' AS counter_id, 'value_min' AS counter_type,
+           | min(floor(value * 100))::BIGINT AS value
+           | FROM events GROUP BY 1, 2, 3""".stripMargin,
       "c59_max_twophase" ->
         s"""SELECT $win, 'value_max_2p' AS counter_id, 'value_max' AS counter_type,
            | max(floor(value * 100))::BIGINT AS value
