@@ -69,6 +69,23 @@ class CliSpec extends AnyFunSuite {
       env = Map.empty).isLeft)
   }
 
+  test("extreme counter types via -counter-type; '*' default rejected") {
+    val mn = Cli.parseArgs(Seq("-input", "/x", "-id", "floor",
+      "-counter-type", "value_min", "-target-column", "value"),
+      env = Map.empty).toOption.get
+    assert(Cli.resolveConfig(mn).toOption.get.counters.head.counterType ==
+      CounterType.ValueMin)
+    val mx = Cli.parseArgs(Seq("-input", "/x", "-id", "spike",
+      "-counter-type", "value_max", "-target-column", "value"),
+      env = Map.empty).toOption.get
+    assert(Cli.resolveConfig(mx).toOption.get.counters.head.counterType ==
+      CounterType.ValueMax)
+    // the instant default ('*') is illegal for the extremes too
+    assert(Cli.resolveConfig(Cli.parseArgs(
+      Seq("-input", "/x", "-counter-type", "value_max"),
+      env = Map.empty).toOption.get).isLeft)
+  }
+
   test("target-expr flag switches off the default column") {
     val o = Cli.parseArgs(Seq("-input", "/x", "-target-expr", "user_id > 5"),
       env = Map.empty).toOption.get

@@ -25,6 +25,27 @@ class ConfigLoaderSpec extends AnyFunSuite {
       |    jq_expr: '{"time": .window_start, "value": .value}'
       |""".stripMargin
 
+  test("extreme counter types are YAML citizens") {
+    val cfg = ConfigLoader.fromYaml(
+      """counters:
+        |  - id: value_floor
+        |    target_column: value
+        |    counter_type: value_min
+        |  - id: value_spike
+        |    target_column: value
+        |    counter_type: value_max
+        |""".stripMargin).fold(e => fail(e), identity)
+    assert(cfg.counters.map(_.counterType) ==
+      Seq(CounterType.ValueMin, CounterType.ValueMax))
+    // '*' rejected for extremes at validation, like value_sum
+    assert(ConfigLoader.fromYaml(
+      """counters:
+        |  - id: bad
+        |    target_column: "*"
+        |    counter_type: value_min
+        |""".stripMargin).isLeft)
+  }
+
   test("parses the reference config shape (config.go:17-38)") {
     val cfg = ConfigLoader.fromYaml(yaml).fold(e => fail(e), identity)
     assert(cfg.requiredVersion.contains(">=0.1.0"))
