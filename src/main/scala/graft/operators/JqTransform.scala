@@ -1704,13 +1704,39 @@ object JqTransform {
         next()
         skipWs()
         streamTail = false
-        if (peek == '(' || peek == '{' || peek == '[' || peek == '"') {
-          // GENERAL pipe body: `A | (.lo + .hi)`, `A | {x: .f}`,
-          // `A | "v\(.k)"` — the body is a full value expression with
-          // `.`/`.path` bound to the PIPED value (the elemBinding
-          // channel, same as map bodies). jq's pipe-lowest precedence
-          // for an unparenthesized body (`A | .lo + .hi`) still needs
-          // the parens here — the postfix forms below own bare paths.
+        // Would an unparenthesized bare path be FOLLOWED by an operator?
+        // jq's pipe has the lowest precedence, so `A | .lo + .hi` means
+        // `A | (.lo + .hi)` — lookahead past the path (and a possible
+        // `?`/`[]`) and, if an expression continues, take the
+        // general-body route below instead of the never-error postfix
+        // walk (which owns the plain `| .path` form and its
+        // variant-aware semantics).
+        def pathThenOperator: Boolean = {
+          if (!(peek == '.' && i + 1 < s.length &&
+              (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')))
+            return false
+          val save = i
+          try {
+            parsePathParts()
+            tryConsume("[]")
+            skipWs()
+            val c = peek
+            c == '+' || c == '-' || c == '*' || c == '%' ||
+              (c == '/' && !s.startsWith("//", i)) ||
+              c == '<' || c == '>' || c == '=' || c == '!' ||
+              (s.startsWith("and", i) && boundary(i + 3)) ||
+              (s.startsWith("or", i) && boundary(i + 2)) ||
+              (s.startsWith("as", i) && boundary(i + 2))
+          } catch { case _: Throwable => false } finally i = save
+        }
+        if (peek == '(' || peek == '{' || peek == '[' || peek == '"' ||
+            pathThenOperator) {
+          // GENERAL pipe body: `A | (.lo + .hi)`, `A | .lo + .hi`,
+          // `A | {x: .f}`, `A | "v\(.k)"` — the body is a full value
+          // expression with `.`/`.path` bound to the PIPED value (the
+          // elemBinding channel, same as map bodies). A plain `| .path`
+          // with nothing after still takes the postfix branch below
+          // (never-error, variant-aware walk).
           val vv = v
           val body = parseValue()
           v = df => {

@@ -307,6 +307,12 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{n: (.tags | ((. | length) + 100))}""", rows)
   }
 
+  test("unparenthesized pipe body: jq's pipe-lowest precedence") {
+    check("""{a: (.meta | .k + 10), b: (.meta | .k * 2 - 1)}""", rows)
+    check("""{c: (.meta | .k == 5), d: (.meta | .k >= 1 and .k <= 9)}""", rows)
+    check("""{e: (.meta | .k as $q | $q * 3 + .k)}""", rows)
+  }
+
   test("deep containment: objects, nested arrays, substring leaves") {
     check("""{a: ({"x": 1, "s": "foobar", "o": {"p": 2, "q": "zz"}}
             |     | contains({"s": "oba", "o": {"p": 2}})),
