@@ -915,6 +915,22 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(Dedup.splitLeakage(unique).collect().isEmpty)
   }
 
+  test("embeddingHealth: NaNs counted out of stats, dead dims read min==max") {
+    import graft.similarity.Ann
+    val rows = Seq(
+      (1L, Array(1.0f, Float.NaN, 0.5f)),
+      (2L, Array(1.0f, 2.0f, 0.25f))).toDF("vec_id", "embedding")
+    val out = Ann.embeddingHealth(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // dim 0 is DEAD: min == max, no NaNs
+    assert(out(0L) == ((2L, 0L, 2000000L, 1000000L, 1000000L)))
+    // dim 1: one NaN excluded from n/sum/extremes, counted in n_nan
+    assert(out(1L) == ((1L, 1L, 2000000L, 2000000L, 2000000L)))
+    // dim 2: live dim, exact scaled extremes
+    assert(out(2L) == ((2L, 0L, 750000L, 250000L, 500000L)))
+  }
+
   test("rrfFuse: both-systems doc outranks single-system; ties to smaller id") {
     import graft.similarity.Ann
     val dense = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
