@@ -859,6 +859,12 @@ object SparkEntry {
     // fold, spec-asserted). Partition-local batched java.text.Normalizer
     // transform — no ScalaUDF at the Column level, text never shuffles;
     // DuckDB's nfc_normalize is the oracle
+    // C4's blocklist gate: any doc containing a blocklisted token drops —
+    // the coarse content filter before the quality battery; blocklist
+    // folds into codegen as one literal array, shuffle-free projection
+    "t40_blocklist_gate" -> ((s, dir) =>
+      TextAnalysis.blocklistGate(Tables.documents(s, dir),
+        Seq("dup", "spam", "scan"))),
     "t39_nfc_normalize" -> ((s, dir) =>
       TextAnalysis.nfcNormalize(
         Tables.documents(s, dir).select(col("doc_id"),
@@ -2870,6 +2876,13 @@ object SparkEntry {
       // label on equal score) mirrors Spark's max(struct(score, label)).
       "t32_nb_classifier" -> t32Sql,
       "t33_stream_nb_parity" -> t32Sql,
+      // t40: distinct-token intersection against the same literal list
+      "t40_blocklist_gate" ->
+        s"""SELECT doc_id,
+           | len(list_intersect(list_distinct($toks), ['dup', 'spam', 'scan']))::BIGINT
+           |   AS n_blocked_terms,
+           | len(list_intersect(list_distinct($toks), ['dup', 'spam', 'scan'])) = 0 AS keep
+           |FROM documents""".stripMargin,
       // t39: DuckDB's own NFC normalizer over the same decomposed fixture
       // (chr(769) = combining acute, chr(64257) = fi ligature)
       "t39_nfc_normalize" ->

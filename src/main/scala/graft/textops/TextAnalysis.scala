@@ -1047,6 +1047,27 @@ object TextAnalysis {
       (cleaned =!= t).cast("long").as("changed"))
   }
 
+  /** C4's blocklist gate (Raffel et al. 2020 §2.2: "removed any page
+    * that contained any word on the … blocklist") — the coarse
+    * safety/content filter every big crawl corpus ships through before
+    * the quality battery. Output: (doc_id, n_blocked_terms — DISTINCT
+    * blocklisted tokens present, keep). Scale shape: the blocklist folds
+    * into codegen as ONE literal array (`array_intersect` against it is
+    * a per-row scan of the doc's own tokens), so this is a shuffle-free
+    * narrow projection like [[qualityGate]] — at 100 TB, one pass.
+    * For blocklists beyond literal-array size (≫10⁴ terms) the same
+    * verdict comes from a broadcast semi-join on exploded tokens; this
+    * form is the common small-list case.
+    */
+  def blocklistGate(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistGate: empty blocklist")
+    require(blocklist.distinct == blocklist, "blocklistGate: duplicate terms")
+    val hits = size(array_intersect(array_distinct(tokens(col("text"))),
+      lit(blocklist.toArray))).cast("long")
+    docs.select(col("doc_id"), hits.as("n_blocked_terms"),
+      (hits === 0L).as("keep"))
+  }
+
   final case class DocText(doc_id: Long, text: String)
   final case class DocNormalized(doc_id: Long, text: String, changed: Long)
 
