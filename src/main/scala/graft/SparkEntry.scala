@@ -1197,6 +1197,23 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"), col("ahash"))
     }),
 
+    // REAL image resize: the m08 formula PNGs through the explicit
+    // nearest-neighbor raster mapping (src(x·sw/dw, y·sh/dh)) to 8×6 gray
+    // PNGs — the luma-sum checksum is RE-DECODED from the resized bytes,
+    // and the oracle recomputes the identical integer mapping in SQL
+    "m13_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 13 + 8).toInt
+          val h = (id % 7 + 8).toInt
+          (id, Multimodal.syntheticGrayPng(w, h,
+            (x, y) => (((id * 31 + y.toLong * w + x) * 17) % 256).toInt))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("image"))
+      Multimodal.resizeImages(pngs, dw = 8, dh = 6).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("luma_sum"))
+    }),
+
     // REAL multi-frame decode: per doc a deterministic animated grayscale
     // GIF ((id%3)+2 frames; dims and pixels are formulas of (doc_id,
     // frame, pixel)) goes through the JRE's real GIF sequence writer,
@@ -3874,6 +3891,19 @@ object SparkEntry {
           |SELECT d.doc_id, sample_rate::BIGINT AS sample_rate,
           |  channels::BIGINT AS channels, n_samples::BIGINT AS n_samples, f.fp
           |FROM d JOIN f ON d.doc_id = f.doc_id""".stripMargin,
+      // m13: the same pixel formula through the identical integer
+      // nearest-neighbor mapping — dst(x,y) = f((x*w)//8, (y*h)//6)
+      "m13_resize_real" ->
+        """WITH d AS (SELECT doc_id, (doc_id % 13) + 8 AS w, (doc_id % 7) + 8 AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h, xx.i AS x, yy.j AS y
+          |       FROM d
+          |       CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) xx
+          |       CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) yy)
+          |SELECT doc_id, 8::BIGINT AS width, 6::BIGINT AS height,
+          |  sum(((doc_id * 31 + ((y * h) // 6) * w + ((x * w) // 8)) * 17) % 256)::BIGINT
+          |    AS luma_sum
+          |FROM px GROUP BY 1""".stripMargin,
       "m08_imageio_decode" ->
         """WITH d AS (SELECT doc_id, (doc_id % 13) + 8 AS w, (doc_id % 7) + 8 AS h
           |           FROM documents),

@@ -119,6 +119,39 @@ object Multimodal {
       */
     def aHash(bytes: Array[Byte]): Option[Long] = aHashOf(decode(bytes))
 
+    /** REAL raster resize — nearest-neighbor with EXPLICIT integer
+      * mapping `src(x·sw/dw, y·sh/dh)` (floor division), not Java2D's
+      * AffineTransformOp (whose inverse-transform rounding is
+      * implementation lore): every output pixel is a deterministic
+      * integer formula of the input raster, so a SQL oracle can
+      * recompute the resized image exactly. Output is GRAY (luma) PNG —
+      * the perceptual pipeline's working space (aHash is luma-based);
+      * color sources luma-convert with the same BT.601 weights as
+      * [[lumaAt]]. Null in / undecodable in → null out.
+      */
+    private[graft] def resizeNearest(bytes: Array[Byte],
+                                     dw: Int, dh: Int): Array[Byte] = {
+      val img = decode(bytes)
+      if (img == null || dw <= 0 || dh <= 0) null
+      else {
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(
+          dw, dh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < dh) {
+          var x = 0
+          while (x < dw) {
+            out.getRaster.setSample(x, y, 0, lumaAt(img, x * sw / dw, y * sh / dh))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+
     private[graft] def aHashOf(img: java.awt.image.BufferedImage): Option[Long] = {
       if (img == null || img.getWidth.toLong * img.getHeight < 60) None
       else {
@@ -300,6 +333,44 @@ object Multimodal {
   }
 
   case class ImageDecoded(doc_id: Long, width: Long, height: Long, ahash: Option[Long])
+
+  case class ImageResized(doc_id: Long, media: Array[Byte],
+                          width: Long, height: Long, luma_sum: Long)
+
+  /** REAL image resize over a media table — the feature-extraction-sized
+    * thumbnail step, on actually-decoded rasters ([[ImageIoCodec.resizeNearest]]:
+    * explicit nearest-neighbor integer mapping, gray PNG out). The same
+    * partition-local batch shape as [[decodeImages]] — bytes never
+    * shuffle; the output row carries the resized PNG plus dims and the
+    * pixel-sum checksum RE-DECODED from those bytes (so the checksum
+    * proves a real image round-tripped, not that the mapping ran in
+    * memory). Undecodable payloads degrade to (null, 0, 0, -1),
+    * permissive like every codec here.
+    */
+  def resizeImages(media: DataFrame, dw: Int, dh: Int,
+                   batchSize: Int = 64): Dataset[ImageResized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val rz = ImageIoCodec.resizeNearest(r.media, dw, dh)
+        if (rz == null) ImageResized(r.doc_id, null, 0L, 0L, -1L)
+        else {
+          val img = ImageIoCodec.decode(rz)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += ImageIoCodec.lumaAt(img, x, y); x += 1
+            }
+            y += 1
+          }
+          ImageResized(r.doc_id, rz, img.getWidth.toLong, img.getHeight.toLong, sum)
+        }
+      }))
+  }
 
   /** Batched REAL-pixel decode + perceptual hash over an image media
     * table: the same partition-local batch shape as [[extractMeta]]

@@ -915,6 +915,25 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(Dedup.splitLeakage(unique).collect().isEmpty)
   }
 
+  test("resizeImages: exact nearest-neighbor mapping, upscale, corrupt degrade") {
+    import graft.multimodal.Multimodal
+    val src = Multimodal.syntheticGrayPng(4, 2, (x, y) => (y * 4 + x) * 10)
+    val rows = Seq((1L, src), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "media").withColumn("media_type", lit("image"))
+    // downscale 4x2 → 2x1: dst(x,0) = src(x*4/2, 0) = src(2x, 0)
+    val down = Multimodal.resizeImages(rows, dw = 2, dh = 1)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(down(1L).width == 2 && down(1L).height == 1)
+    assert(down(1L).luma_sum == 0L + 20L) // src(0,0)=0, src(2,0)=20
+    assert(down(2L).media == null && down(2L).luma_sum == -1L)
+    // upscale 4x2 → 8x2: dst(x,y) = src(x*4/8, y) = src(x/2, y)
+    val up = Multimodal.resizeImages(rows.where(col("doc_id") === 1L), 8, 2)
+      .collect().head
+    assert(up.width == 8 && up.height == 2)
+    // each src pixel contributes twice per row
+    assert(up.luma_sum == 2L * (0 + 10 + 20 + 30 + 40 + 50 + 60 + 70))
+  }
+
   test("embeddingHealth: NaNs counted out of stats, dead dims read min==max") {
     import graft.similarity.Ann
     val rows = Seq(
