@@ -535,7 +535,9 @@ object Multimodal {
   }
 
   /** "Resize" stub: crop/pad the payload to `targetBytes` — the shape of an
-    * image-resize (binary in, binary out, 1→1, partition-local).
+    * image-resize (binary in, binary out, 1→1, partition-local) for media
+    * types WITHOUT a JRE codec. For decodable images the REAL raster path
+    * is [[resizeImages]] (actual nearest-neighbor pixels, oracle-exact).
     */
   def resize(media: DataFrame, targetBytes: Int = 256): DataFrame =
     media.withColumn("media",
