@@ -1831,12 +1831,14 @@ object SparkEntry {
           |SELECT t AS time, v * 2 AS v2, (v * 2 - 1) + v * 2 AS rate FROM c""".stripMargin,
       // c54: Term-level binding precedence (-2 as $m == -(2 as $m | …))
       // and right-biased object merge; struct fields in the merge's key
-      // order (left's keys, then right's new ones)
+      // order (left's keys, then right's new ones). Verify JSON-stringifies
+      // the Spark-side struct, so the oracle wraps the same struct in
+      // to_json — DuckDB's compact rendering is byte-identical to Spark's.
       "c54_jq_bindings" ->
         """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
           |           count(*) AS v FROM events GROUP BY 1)
           |SELECT t AS time, v * 3 + 1 AS scaled, -(2 * v) AS neg,
-          | struct_pack(src := 'ctr', k := v::BIGINT) AS tagged FROM c""".stripMargin,
+          | to_json(struct_pack(src := 'ctr', k := v::BIGINT)) AS tagged FROM c""".stripMargin,
       "c29_tws_state_parity" ->
         s"""SELECT $win, 'request_count_tws' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2

@@ -1,9 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Canonicalize non-scalar result cells: the driver's pandas compare
+    * sorts rows via Categorical/factorize, which dies on dict/list cells
+    * (round 7's only red row, c54). Structs/arrays/maps are JSON-stringified
+    * here — compact, key-order-preserving, matching DuckDB's to_json() byte
+    * for byte — so any oracle for a struct-valued query must wrap the same
+    * column in to_json(...) on the DuckDB side. ignoreNullFields=false keeps
+    * Spark emitting "k":null where DuckDB does. */
+  private[graft] def canonicalize(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, to_json}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          to_json(col(f.name), Map("ignoreNullFields" -> "false").asJava).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,7 +72,7 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        canonicalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         status(name, ok = true, "")
       } catch { case e: Throwable =>
