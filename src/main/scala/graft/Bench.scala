@@ -1,8 +1,66 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** PIDs of this process and its ancestors (the sbt JVM that forked us,
+    * its shell, …) — the only java processes allowed to coexist with a
+    * bench run. */
+  private def ancestorPids(): Set[Long] = {
+    var pids = Set.empty[Long]
+    var p = ProcessHandle.current()
+    var more = true
+    while (more) {
+      pids += p.pid()
+      val par = p.parent()
+      if (par.isPresent) p = par.get() else more = false
+    }
+    pids
+  }
+
+  /** Other live java/sbt JVMs in this container (excluding our own process
+    * tree). A concurrent sbt test run or second bench sharing the 32 cores
+    * inflates every reading ~uniformly — exactly the 1.4× contamination
+    * signature that polluted the round-7 artifact. */
+  private def concurrentJvms(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val mine = ancestorPids()
+    ProcessHandle.allProcesses().iterator().asScala
+      .filterNot(h => mine.contains(h.pid()))
+      .flatMap { h =>
+        val cmd = h.info().command().orElse("")
+        if (cmd.endsWith("/java") || cmd == "java")
+          Some(s"pid=${h.pid()} $cmd")
+        else None
+      }.toSeq
+  }
+
+  /** Host CPU busy fraction over an interval, from /proc/stat (host-wide,
+    * not cgroup-scoped): evidences noisy-neighbor windows that no
+    * in-container guard can prevent. Returns (busyJiffies, totalJiffies). */
+  private def hostCpuJiffies(): Option[(Long, Long)] =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal [guest guest_nice]
+      val total = f.take(8).sum
+      val idle = f(3) + f(4)
+      Some((total - idle, total))
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Concurrent-JVM guard: refuse to record numbers while another JVM is
+    // live in the container (round 7's artifact showed a uniform ~1.4×
+    // inflation that cost a manual adjudication). Override with
+    // SPARK_GRAFT_ALLOW_CONCURRENT=1 for deliberate side-by-side runs.
+    val others = concurrentJvms()
+    if (others.nonEmpty && !sys.env.get("SPARK_GRAFT_ALLOW_CONCURRENT").contains("1")) {
+      System.err.println("[bench] FATAL: concurrent JVM(s) detected — timings would be " +
+        "contaminated. Stop them or set SPARK_GRAFT_ALLOW_CONCURRENT=1.")
+      others.foreach(o => System.err.println(s"[bench]   $o"))
+      println(s"""{"metric":"total","value":null,"unit":"sec","error":"concurrent_jvm","n_concurrent":${others.size}}""")
+      sys.exit(3)
+    }
+    val cpu0 = hostCpuJiffies()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Streaming TEMP checkpoints land in java.io.tmpdir (not
     // spark.local.dir); point it at the same tmpfs so per-micro-batch
@@ -144,7 +202,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    // Host CPU busy fraction across the whole run (from /proc/stat, which
+    // is host-wide): our own local[32] load counts toward it, but a value
+    // far above what 32 saturated cores explain flags a noisy-neighbor
+    // window — the contamination adjudication round 7 had to do by hand.
+    val hostBusy = (for { (b0, t0) <- cpu0; (b1, t1) <- hostCpuJiffies() }
+      yield if (t1 > t0) f"${(b1 - b0).toDouble / (t1 - t0)}%.3f" else "null")
+      .getOrElse("null")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"host_busy_frac":$hostBusy,"sf":"$sfDir"}"""
     // the totals line is the hard signal: ALSO write it to a file so it
     // survives any log-tail truncation by the per-query diagnostics
     // (round 3's driver capture lost it exactly that way)
@@ -162,7 +227,7 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (p, qs2) => s"\"${p}_set\":${qs2.values.sum}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$bySet,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","detail":"bench_totals.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$bySet,"n_queries":${results.size},"n_failed":${errors.size},"host_busy_frac":$hostBusy,"sf":"$sfDir","detail":"bench_totals.json"}""")
     System.out.flush()
     spark.stop()
   }
