@@ -33,11 +33,19 @@ object BenchScale {
     "h23_salted_join", "m06_media_dedup_apply", "d02_minhash_lsh",
     "d03_simhash_pairs", "d04_ngram_jaccard", "d12_containment",
     "t34_nb_confusion", "t25_lm_perplexity", "t32_nb_classifier",
-    "e08_gap_quantiles", "m12_gif_run_align")
+    "e08_gap_quantiles", "m11_gif_neardup", "m12_gif_run_align")
 
-  /** The scale-claim gate: every dedup and ANN query in the sweep. */
+  /** The scale-claim gate: every dedup and ANN query in the sweep, plus
+    * the multimodal animation pair queries (m11/m12) — candidate-bounded
+    * by construction (fixed group size 10), so frame-corpus growth must
+    * stay linear; gating them means a fixture or grouping change can't
+    * silently reintroduce a quadratic pair blow-up (round-7's m12
+    * "regression" adjudicated to fixture-encode cost, not plan shape —
+    * this keeps that claim checked).
+    */
   def assertSet: Seq[String] =
-    Queries.filter(q => q.startsWith("d") || q.startsWith("s"))
+    Queries.filter(q => q.startsWith("d") || q.startsWith("s")) ++
+      Seq("m11_gif_neardup", "m12_gif_run_align")
 
   /** The table whose row count is the query's input size (rows/sec
     * denominator): d/t/m-queries scan documents, s-queries embeddings,
@@ -76,15 +84,21 @@ object BenchScale {
     }.toMap
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // A failed run returns NaN, not its time-to-exception: a near-zero
+    // "elapsed" would otherwise feed min-of-two and the growth exponent,
+    // polluting the per-query stats even though the n_failed gate already
+    // fails the run. NaN propagates to `null` cells in SCALING.json.
     def timed(name: String, sf: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, s"$base/$sf").write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, s"$base/$sf").write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[scale] $name@$sf: $e")
         errors.getOrElseUpdate(s"$name@$sf", e.toString.take(200))
+        Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // same steady-state discipline as Bench: untimed warm run, then the
@@ -99,7 +113,9 @@ object BenchScale {
     }.toMap
 
     val lo = Scales(Scales.size - 2); val hi = Scales.last
-    def fmt(d: Double): String = f"$d%.4f"
+    // NaN (failed run) renders as JSON null — `f"%.4f"` would print the
+    // literal NaN, which json.load rejects
+    def fmt(d: Double): String = if (d.isNaN) "null" else f"$d%.4f"
     val perQuery = Queries.map { q =>
       val t = times(q)
       val tbl = drivingTable(q)
@@ -109,7 +125,8 @@ object BenchScale {
       val sub = exponent < 2.0
       val secJson = Scales.map(sf => s""""$sf":${fmt(t(sf))}""").mkString("{", ",", "}")
       val rpsJson = Scales.map(sf =>
-        s""""$sf":${math.round(rows(sf)(tbl) / math.max(t(sf), 1e-9))}""")
+        s""""$sf":${if (t(sf).isNaN) "null"
+          else math.round(rows(sf)(tbl) / math.max(t(sf), 1e-9)).toString}""")
         .mkString("{", ",", "}")
       (q, s""""$q":{"table":"$tbl","sec":$secJson,"rows_per_sec":$rpsJson,""" +
         s""""growth_exponent":${fmt(exponent)},"gated":$gated,"subquadratic":$sub}""",

@@ -355,9 +355,12 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
         val rz = ImageIoCodec.resizeNearest(r.media, dw, dh)
-        if (rz == null) ImageResized(r.doc_id, null, 0L, 0L, -1L)
+        // the re-decode gets the same null guard as the resize input: if
+        // ImageIO cannot read back our own PNG bytes the row degrades to
+        // the documented (null, 0, 0, -1) instead of an NPE killing the task
+        val img = if (rz == null) null else ImageIoCodec.decode(rz)
+        if (img == null) ImageResized(r.doc_id, null, 0L, 0L, -1L)
         else {
-          val img = ImageIoCodec.decode(rz)
           var sum = 0L
           var y = 0
           while (y < img.getHeight) {

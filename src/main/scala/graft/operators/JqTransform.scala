@@ -191,7 +191,17 @@ object JqTransform {
     val stages = splitTopLevel(rest, '|').map(_.trim).filter(_.nonEmpty)
     require(stages.nonEmpty, s"jq_expr is empty: $src")
     val compiled = stages.map(compileStage(_, defs))
-    df => compiled.foldLeft(df)((d, stage) => stage(d))
+    df => {
+      val out = compiled.foldLeft(df)((d, stage) => stage(d))
+      // A stage-level `E as $x` binding rides hidden __var_x columns into
+      // later stages; projection stages (object construction / path) drop
+      // them naturally, but assignment/binding stages use withColumn and
+      // keep the full frame — a terminal one would leak the hidden columns
+      // into the output schema. Final cleanup here, so `.v as $x |
+      // .value = $x` ends at the user-visible schema.
+      val hidden = out.columns.filter(_.startsWith("__var_"))
+      if (hidden.isEmpty) out else out.drop(hidden.toIndexedSeq: _*)
+    }
   }
 
   /** jq's `--slurp` (`-s`) mode, per group: each group's rows become ONE
@@ -698,10 +708,26 @@ object JqTransform {
     def matches(stage: String): Boolean = parts(stage).isDefined
   }
 
+  /** Is this raw operand source a literal zero (possibly parenthesized /
+    * signed)? The `%`/`/` (and `%=`/`/=`) compile-time divisor guard —
+    * jq raises on a zero divisor, and the statically-visible case should
+    * fail loudly instead of shipping the documented null convention.
+    */
+  private def isZeroLiteral(src: String): Boolean = {
+    var t = src.trim
+    while (t.length > 1 && t.head == '(' && t.last == ')')
+      t = t.substring(1, t.length - 1).trim
+    if (t.startsWith("-") || t.startsWith("+")) t = t.substring(1).trim
+    t.matches("0+(\\.0*)?")
+  }
+
   private def compileAssign(stage: String,
                             defs: Map[String, JqDef]): DataFrame => DataFrame = {
     val (path, op, rhsSrc) = AssignStage.parts(stage).get
     require(rhsSrc.nonEmpty, s"jq_expr: assignment needs a right-hand side: $stage")
+    require(!((op == "%=" || op == "/=") && isZeroLiteral(rhsSrc)),
+      s"jq_expr: '$op $rhsSrc' divides by literal zero — jq raises " +
+        "'cannot be divided because the divisor is zero'")
     val p = new P(rhsSrc, defs)
     val rhs = p.parseValue()
     p.skipWs()
@@ -728,10 +754,15 @@ object JqTransform {
       path match {
         case Seq(top) => df.withColumn(top, updated)
         case Seq(top, rest @ _*) =>
-          require(df.columns.contains(top),
-            s"jq_expr: assignment parent .$top does not exist — static " +
-              s"schemas cannot fabricate intermediate objects: $stage")
-          df.withColumn(top, col(top).withField(rest.mkString("."), updated))
+          // resolve the root case-insensitively, matching pathColumn's
+          // resolution — `.Meta.k |= f` must find a `meta` column exactly
+          // as `.Meta.k` does in read position
+          val resolved = df.columns.find(_.equalsIgnoreCase(top)).getOrElse(
+            throw new IllegalArgumentException(
+              s"jq_expr: assignment parent .$top does not exist — static " +
+                s"schemas cannot fabricate intermediate objects: $stage"))
+          df.withColumn(resolved,
+            col(resolved).withField(rest.mkString("."), updated))
       }
     }
   }
@@ -2342,7 +2373,13 @@ object JqTransform {
     private def jqDiv(df: DataFrame, l: V, r: V): Column =
       polyDiv(dtOfV(df, l), dtOfV(df, r), l(df), r(df))
     // jq `%`: operands truncate to integers, result has the DIVIDEND's
-    // sign (C semantics — Spark's `%` agrees)
+    // sign (C semantics — Spark's `%` agrees). DIVERGENCE (documented, as
+    // with the other static-schema caveats): a runtime zero divisor (or a
+    // null operand) yields jq-null here, where jq 1.6 raises "... cannot
+    // be divided because the divisor is zero" — a data-dependent error has
+    // no output row to carry it in a declarative plan. A LITERAL zero
+    // divisor is rejected loudly at compile (parseTerm), so the statically
+    // visible case never ships the silent convention.
     private def jqMod(df: DataFrame, l: V, r: V): Column =
       l(df).cast("long") % r(df).cast("long")
     private def parseTerm(): V = {
@@ -2352,13 +2389,23 @@ object JqTransform {
       while (peek == '*' || peek == '%' ||
           (peek == '/' && !s.startsWith("//", i))) {
         val op = next(); skipWs()
+        val rStart = i
         val r = parseAtomBound()
+        val rSrc = s.substring(rStart, i)
         streamTail = false
         val ll = l
         l = op match {
           case '*' => df => jqMul(df, ll, r)
-          case '%' => df => jqMod(df, ll, r)
-          case _   => df => jqDiv(df, ll, r)
+          case '%' =>
+            require(!isZeroLiteral(rSrc),
+              s"jq_expr: '% $rSrc' divides by literal zero — jq raises " +
+                "'cannot be divided because the divisor is zero'")
+            df => jqMod(df, ll, r)
+          case _   =>
+            require(!isZeroLiteral(rSrc),
+              s"jq_expr: '/ $rSrc' divides by literal zero — jq raises " +
+                "'cannot be divided because the divisor is zero'")
+            df => jqDiv(df, ll, r)
         }
         skipWs()
       }

@@ -1144,4 +1144,43 @@ class JqTransformSpec extends SparkTestBase {
     assert(r.getString(2) == "'it'\\''s'")
     assert(r.getString(3) == "'a b' 'c'")
   }
+
+  // ---- round 8: divisor guards, hidden-binding cleanup, case folding ----
+
+  test("literal zero divisor rejected at compile ('%', '/', '%=', '/=')") {
+    // jq raises 'cannot be divided because the divisor is zero'; the
+    // statically-visible case must fail loudly, not ship NULL
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: (.value % 0)}"""))
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{x: (.value / (0))}"""))
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile(""".value %= 0"""))
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile(""".value /= 0.0"""))
+    // nonzero divisors still compile and run
+    val r = JqTransform(df, """{x: (.value % 7), y: (.value / 4)}""").head()
+    assert(r.getLong(0) == 100L % 7L)
+  }
+
+  test("terminal assignment stage does not leak hidden __var_ columns") {
+    val out = JqTransform(df, """.value as $x | .value = $x + 1""")
+    assert(out.columns.forall(!_.startsWith("__var_")),
+      s"hidden binding leaked: ${out.columns.mkString(",")}")
+    assert(out.columns.toSeq == Seq("window_start", "window_end", "value"))
+    assert(out.head().getAs[Long]("value") == 101L)
+    // binding still visible to a LATER assignment before cleanup
+    val out2 = JqTransform(df, """.value as $x | .value = $x | .value += $x""")
+    assert(out2.columns.toSeq == Seq("window_start", "window_end", "value"))
+    assert(out2.head().getAs[Long]("value") == 200L)
+  }
+
+  test("nested assignment root resolves case-insensitively like reads") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val t = Seq((1L, 2L)).toDF("id", "k")
+      .select(col("id"), struct(col("k")).as("meta"))
+    // read position tolerates .Meta.k; write position must too
+    val out = JqTransform(t, """.Meta.k |= . * 10 | {id: .id, k: .meta.k}""")
+    assert(out.head().getLong(1) == 20L)
+  }
 }
