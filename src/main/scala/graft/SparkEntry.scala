@@ -1347,6 +1347,18 @@ object SparkEntry {
     // O14 assignment operators over the O13 record: `|=` (old-value
     // scoped), `=` (row scoped, appends the new key), `+=` polymorphic —
     // each lowered to one withColumn/withField projection
+    // O14 round-8 notch: jq's TRUE multi-output stream semantics at
+    // record level — a stream-valued field in a stage construction emits
+    // one object per element (ONE explode generator: (value mod 3)+1 rows
+    // per window), and the follow-on select/interpolation stages see the
+    // exploded records exactly as jq's 0..N output iterator would
+    // (counter.go:449-457)
+    "c63_jq_stream_explode" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{t: .window_start, v: .value, i: range(.value % 3 + 1)}
+          || select(.i >= 1) | {t: .t, key: "w\(.i)", vi: (.v + .i)}""".stripMargin)),
+
     "c55_jq_assign" -> ((s, dir) =>
       JqTransform(
         Counters.run(events(s, dir), "ts", cRequestCount),
@@ -1825,6 +1837,14 @@ object SparkEntry {
           |SELECT t AS time, v AS lo, v * 3 AS hi, v * 4 AS sum FROM c""".stripMargin,
       // c55: assignment chain over the counter record — v2 = 2·count,
       // rate = (v2 − 1) + v2
+      // c63: stream-field explode — (v mod 3) rows per window survive the
+      // select (i in 1..v mod 3); key interpolates the index
+      "c63_jq_stream_explode" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1),
+          |     e AS (SELECT t, v, unnest(generate_series(0, v % 3)) AS i FROM c)
+          |SELECT t, 'w' || i::VARCHAR AS key, v + i AS vi FROM e WHERE i >= 1"""
+          .stripMargin,
       "c55_jq_assign" ->
         """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
           |           count(*) AS v FROM events GROUP BY 1)

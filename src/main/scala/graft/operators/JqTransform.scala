@@ -152,14 +152,25 @@ import graft.functions.Canonical
   *    `range(…)` (integer ranges, literal step) / `scan(re)`
   *    (group-less patterns) / `splits(re[; flags])` with jq's collect
   *    form — `[range(3)]`, `[.s | scan("a+")]` — unwrapping via a
-  *    stream-tail rule (in bare value position the collected array IS
-  *    the value, a documented divergence from jq's multi-output
-  *    streaming), plus `limit(n; A)` over collected streams; `.path[]`
-  *    in VALUE position is the same stream-as-array (`[.tags[]]` and
-  *    `[limit(2; .tags[])]` collect like jq; follow-on pipes see the
-  *    ARRAY — use `map(f)` for per-element piping); bare `.` also
-  *    resolves on any single-column frame (the current value after a
-  *    `.path[]`/`paths` stage). The whole practically-used surface is
+  *    stream-tail rule, plus `limit(n; A)` over collected streams;
+  *    `.path[]` in VALUE position is the same stream-as-array
+  *    (`[.tags[]]` and `[limit(2; .tags[])]` collect like jq; follow-on
+  *    pipes see the ARRAY — use `map(f)` for per-element piping); bare
+  *    `.` also resolves on any single-column frame (the current value
+  *    after a `.path[]`/`paths` stage). ROUND 8: jq's true 0..N
+  *    multi-output semantics for streams at RECORD level — a bare
+  *    stream STAGE (`range(3)`, `scan(re)` after a path stage, `.s |
+  *    splits(re)` split across stages) explodes to one output row per
+  *    stream element (empty stream → no rows), and a stage-level object
+  *    construction with ONE stream-valued field (`{id: .id, t:
+  *    .tags[]}`) emits one object per element through the same single
+  *    generator — matching jq exactly for those shapes (iterating a
+  *    runtime null emits nothing where jq errors; two stream fields in
+  *    one construction — jq's cartesian product — stay rejected
+  *    loudly). Any other bare VALUE expression is also a valid stage
+  *    now (scalar output lands in a `value` column, structs expand);
+  *    streams nested INSIDE a value expression still collect to arrays
+  *    (documented divergence). The whole practically-used surface is
   *    DIFFERENTIALLY tested against the real jq binary
   *    (`JqDifferentialSpec`, 33 program/corpus cases vs /usr/bin/jq).
   *
@@ -983,16 +994,40 @@ object JqTransform {
     * ITERATION (jq's true 0..N form): one output per element, an
     * `explode` generator (empty/null arrays emit nothing, like jq).
     */
+  /** Is this stage exactly a `.path[.sub…][[]]` navigation (with optional
+    * trailing `?`s) — the never-error postfix walk with its own naming
+    * rule — as opposed to a path-headed VALUE expression (`.a + 1`),
+    * which the bare-value branch owns?
+    */
+  private def pathOnlyStage(stage: String): Boolean = {
+    val pp = new P(stage)
+    try {
+      pp.parsePathParts()
+      pp.tryConsume("[]")
+      !pp.hasMore
+    } catch { case _: IllegalArgumentException => false }
+  }
+
   private def compileSingle(stage: String,
                             defs: Map[String, JqDef]): DataFrame => DataFrame = {
     val p = new P(stage, defs)
     p.skipWs()
     if (p.peek == '{') {
-      val fields = p.parseObjectFields()
+      val fields = p.parseObjectFields(recordStreams = true)
       p.skipWs()
       require(!p.hasMore, s"jq_expr: trailing input after object: $stage")
-      df => df.select(fields.map { case (k, v) => v(df).as(k) }: _*)
-    } else if (p.peek == '.') {
+      val streams = p.streamFields.toSet
+      require(streams.size <= 1,
+        s"jq_expr: ${streams.size} stream-valued fields in one object " +
+          "construction — jq's cartesian stream product is out of scope; " +
+          s"collect all but one with [stream]: $stage")
+      // jq semantics: a stream-valued field makes the construction emit
+      // one object per stream element (0 outputs for an empty stream) —
+      // ONE explode generator beside the plain projections
+      df => df.select(fields.map { case (k, v) =>
+        if (streams(k)) explode(v(df)).as(k) else v(df).as(k)
+      }: _*)
+    } else if (p.peek == '.' && pathOnlyStage(stage)) {
       val path = p.parsePathParts()
       val iterate = p.tryConsume("[]")
       p.skipWs()
@@ -1008,9 +1043,38 @@ object JqTransform {
           case _ => projected.select(col("__v").as(path.last))
         }
       }
-    } else
-      throw new IllegalArgumentException(
-        s"jq_expr: unsupported stage (expected select(...), {...} or .path): $stage")
+    } else {
+      // BARE VALUE stage: any other full value expression is a stage whose
+      // output is the value itself (jq's `A | B` with B a value filter).
+      // A stream-valued stage (range/scan/splits/limit/…) explodes to
+      // jq's true 0..N records — the same generator as `.path[]`; a
+      // scalar-valued one projects a single `value` column (struct
+      // results expand, like every other stage). Pipe-only builtins
+      // (scan, splits, del, …) parse via the `. | stage` rewrite — the
+      // stage's implicit input is the current value.
+      def parsed(src: String): (V, Boolean) = {
+        val pp = new P(src, defs)
+        val v = pp.parseValue()
+        pp.skipWs()
+        require(!pp.hasMore, s"jq_expr: trailing input after stage: $stage")
+        (v, pp.endedInStream)
+      }
+      val (v, isStream) =
+        try parsed(stage)
+        catch { case e1: IllegalArgumentException =>
+          try parsed(". | " + stage)
+          catch { case _: IllegalArgumentException => throw e1 }
+        }
+      df => {
+        val projected =
+          if (isStream) df.select(explode(v(df)).as("__v"))
+          else df.select(v(df).as("__v"))
+        projected.schema.head.dataType match {
+          case _: StructType => projected.select(col("__v.*"))
+          case _ => projected.select(col("__v").as("value"))
+        }
+      }
+    }
   }
 
   /** `{..}, {..}, ...` — N output records per input row, as ONE generator:
@@ -1490,6 +1554,9 @@ object JqTransform {
       * Cleared by every combining operator and non-stream pipe.
       */
     private var streamTail = false
+    /** Did the whole parse end stream-valued? (The stage compiler's
+      * explode trigger.) */
+    def endedInStream: Boolean = streamTail
     def hasMore: Boolean = { skipWs(); i < s.length }
     def peek: Char = if (i < s.length) s.charAt(i) else ' '
     def next(): Char = { val c = peek; i += 1; c }
@@ -1584,8 +1651,15 @@ object JqTransform {
       path.result()
     }
 
+    /** Field names (of a `recordStreams` object parse) whose value ended
+      * in a stream builtin — the stage compiler explodes that field into
+      * jq's 0..N outputs. Only the OUTERMOST (stage-level) construction
+      * records; nested object literals keep the collected-array model.
+      */
+    val streamFields = scala.collection.mutable.LinkedHashSet[String]()
+
     /** `{k: v, shorthand, ...}` — cursor must be at `{`. */
-    def parseObjectFields(): Seq[(String, V)] = {
+    def parseObjectFields(recordStreams: Boolean = false): Seq[(String, V)] = {
       expect('{')
       val out = Seq.newBuilder[(String, V)]
       skipWs()
@@ -1594,7 +1668,13 @@ object JqTransform {
         while (more) {
           val key = parseKey()
           skipWs()
-          if (peek == ':') { next(); out += (key -> parseValue()) }
+          if (peek == ':') {
+            next()
+            streamTail = false
+            val v = parseValue()
+            if (recordStreams && streamTail) streamFields += key
+            out += (key -> v)
+          }
           else out += (key -> ((_: DataFrame) => col(key))) // {user_id} shorthand
           skipWs()
           if (peek == ',') { next(); skipWs(); more = true }
@@ -1602,6 +1682,9 @@ object JqTransform {
         }
       }
       expect('}')
+      // an object literal is a VALUE, not a stream — a stream-tailed last
+      // field must not leak the flag to an enclosing collector
+      streamTail = false
       out.result()
     }
 

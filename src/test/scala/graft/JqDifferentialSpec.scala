@@ -463,4 +463,30 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{m: (.es | from_entries)}""",
       Seq("""{"es": [{"key": "a", "value": 1}, {"key": "b", "value": 2}, {"key": "a", "value": 3}]}"""))
   }
+
+  // ---- round 8: true multi-output stream semantics at record level ----
+
+  test("stream field in a stage construction: one object per element") {
+    // jq: {id: 1, t: "a"}, {id: 1, t: "b"}, ...; empty tags emit nothing
+    check("""{id: .id, t: .tags[]}""", rows)
+    check("""{id: .id, n: range(3)}""", Seq("""{"id": 7}"""))
+    check("""{id: .id, w: (.meta.s | splits("y"))}""", rows)
+  }
+
+  test("bare stream stage explodes: range / scan / splits across stages") {
+    check("""range(3) | {n: .}""", Seq("""{"x": 1}"""))
+    check(""".et | scan("[aeiou]+") | {v: .}""", rows)
+    check(""".meta.s | splits("y") | {part: .}""", rows)
+    check(""".tags[] | {t: .}""", rows) // empty array row drops, like jq
+  }
+
+  test("bare value stage: .a + 1 and value filters as stages") {
+    check(""".value + 1 | {v: .}""", rows)
+    check(""".et | length | {n: .}""", rows)
+  }
+
+  test("limit as a stage streams first n") {
+    check("""limit(2; .tags[]) | {t: .}""",
+      Seq("""{"tags": ["x", "y", "z"]}"""))
+  }
 }

@@ -1044,9 +1044,11 @@ class JqTransformSpec extends SparkTestBase {
       """.n = .id + 1 | .n |= . * 2 | .total = .n + 5
         || {id: .id, n: .n, total: .total}""".stripMargin).head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 4L, 9L)))
-    // `.a == E` is a comparison, never an assignment stage
-    assertThrows[IllegalArgumentException](
-      JqTransform.compile(""".n == 3"""))
+    // `.a == E` is a comparison, never an assignment stage — since round
+    // 8 it is a valid bare-VALUE stage (jq: one boolean output per row)
+    val cmp = JqTransform(t, """.n == 3""")
+    assert(cmp.columns.toSeq == Seq("value"))
+    assert(cmp.head().getBoolean(0) == false)
     // nested parent must exist (static schema can't fabricate objects)
     assertThrows[IllegalArgumentException](
       JqTransform(t, """.nope.deep = 1 | {x: .id}""").head())
@@ -1078,13 +1080,18 @@ class JqTransformSpec extends SparkTestBase {
       """{words: [.s | scan("[a-z]+")],
         | nums: ([.s | scan("[0-9]+")] | length),
         | parts: [.csv | splits(",")],
-        | two: limit(2; [.s | scan("[a-z]+")]),
-        | none: limit(0; [.s | scan("[a-z]+")])}""".stripMargin).head()
+        | two: [limit(2; [.s | scan("[a-z]+")])],
+        | none: [limit(0; [.s | scan("[a-z]+")])]}""".stripMargin).head()
     assert(r.getSeq[String](0).toList == List("a", "bb", "c"))
     assert(r.getLong(1) == 3L)
     assert(r.getSeq[String](2).toList == List("x", "y", "", "z"))
     assert(r.getSeq[String](3).toList == List("a", "bb"))
     assert(r.getSeq[String](4).isEmpty)
+    // limit is a STREAM in field position now (jq's 0..N records):
+    // one object per retained element
+    val twoRows = JqTransform(t, """{w: limit(2; [.s | scan("[a-z]+")])}""")
+      .collect().map(_.getString(0)).toList
+    assert(twoRows == List("a", "bb"))
     assertThrows[IllegalArgumentException](
       JqTransform.compile("""{x: [.s | scan("([a-z])+")]}"""))
     // a non-stream single element still wraps: [.s] is a 1-element array
@@ -1173,6 +1180,20 @@ class JqTransformSpec extends SparkTestBase {
     val out2 = JqTransform(df, """.value as $x | .value = $x | .value += $x""")
     assert(out2.columns.toSeq == Seq("window_start", "window_end", "value"))
     assert(out2.head().getAs[Long]("value") == 200L)
+  }
+
+  test("stream flag does not leak out of an object literal to a collector") {
+    // [{b: range(3)}] must be an ARRAY OF ONE OBJECT (whose b collected),
+    // not a stream-unwrap of the struct — the last field's stream flag
+    // ends at the closing '}'
+    val out = JqTransform(df, """{a: [{b: [range(3)]}]}""")
+    val arr = out.head().getSeq[org.apache.spark.sql.Row](0)
+    assert(arr.length == 1 && arr.head.getSeq[Long](0) == Seq(0L, 1L, 2L))
+  }
+
+  test("two stream fields in one construction rejected loudly") {
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{a: range(2), b: range(3)}"""))
   }
 
   test("nested assignment root resolves case-insensitively like reads") {
