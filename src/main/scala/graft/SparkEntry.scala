@@ -1347,6 +1347,18 @@ object SparkEntry {
     // O14 assignment operators over the O13 record: `|=` (old-value
     // scoped), `=` (row scoped, appends the new key), `+=` polymorphic —
     // each lowered to one withColumn/withField projection
+    // O14 round-8 notch: DATA-DEPENDENT try/catch — the body compiles but
+    // fails per-row (zero divisor when value ≡ 0 mod 3; tonumber on a
+    // non-numeric counter_id), and error rows route to the catch handler
+    // through the runtime error channel (a per-row conditional, no
+    // interpreter); gojq raises these at runtime (counter.go:449-457)
+    "c62_jq_runtime_try" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{t: .window_start,
+          | r: (try (100 / (.value % 3)) catch -1),
+          | n: (try (.counter_id | tonumber) catch 0)}""".stripMargin)),
+
     // O14 round-8 notch: jq's TRUE multi-output stream semantics at
     // record level — a stream-valued field in a stage construction emits
     // one object per element (ONE explode generator: (value mod 3)+1 rows
@@ -1837,6 +1849,14 @@ object SparkEntry {
           |SELECT t AS time, v AS lo, v * 3 AS hi, v * 4 AS sum FROM c""".stripMargin,
       // c55: assignment chain over the counter record — v2 = 2·count,
       // rate = (v2 − 1) + v2
+      // c62: runtime try/catch — windows whose count ≡ 0 mod 3 divide by
+      // zero and take the handler (-1); tonumber on the counter_id string
+      // always takes its handler (0)
+      "c62_jq_runtime_try" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t, CASE WHEN v % 3 = 0 THEN -1.0 ELSE 100.0 / (v % 3) END AS r,
+          |       0.0 AS n FROM c""".stripMargin,
       // c63: stream-field explode — (v mod 3) rows per window survive the
       // select (i in 1..v mod 3); key interpolates the index
       "c63_jq_stream_explode" ->

@@ -467,7 +467,11 @@ object JqTransform {
     */
   private def polyDiv(lt: DataType, rt: DataType,
                       l: => Column, r: => Column): Column = (lt, rt) match {
-    case (_: NumericType, _: NumericType) => l / r
+    case (_: NumericType, _: NumericType) =>
+      // zero guard as in jqMod: jq-null (or the enclosing try's handler)
+      // instead of ANSI DIVIDE_BY_ZERO
+      val (lc, rc) = (l, r)
+      when(rc === lit(0), lit(null)).otherwise(lc / rc)
     case (StringType, StringType) =>
       val (lc, sep) = (l, r)
       when(lc.isNull || sep.isNull, lit(null).cast(ArrayType(StringType)))
@@ -755,7 +759,9 @@ object JqTransform {
         case "-=" => old - rowRhs
         case "*=" => polyMul(oldDt, dtOfV(df, rhs), old, rowRhs)
         case "/=" => polyDiv(oldDt, dtOfV(df, rhs), old, rowRhs)
-        case "%=" => old.cast("long") % rowRhs.cast("long")
+        case "%=" => // zero guard: jq-null, never ANSI DIVIDE_BY_ZERO
+          val rr = rowRhs.cast("long")
+          when(rr === lit(0L), lit(null)).otherwise(old.cast("long") % rr)
         case "//=" => oldDt match {
           case BooleanType => when(old.isNull || !old, rowRhs).otherwise(old)
           case NullType => rowRhs
@@ -1338,7 +1344,10 @@ object JqTransform {
     // runtime-typed channel as the `..` stream): navigate with getpath /
     // `| .path`, and the variant-aware type/tostring/tonumber/tojson/
     // select builtins apply
-    "fromjson" -> ((df, v) => parse_json(v(df))),
+    // try_parse_json, not parse_json: unparseable input is jq-null under
+    // the documented convention (ANSI parse_json would kill the task) and
+    // routes to the handler under `try` via the runtime error channel
+    "fromjson" -> ((df, v) => try_parse_json(v(df))),
     // jq explode: string → array of Unicode CODE POINTS. Exact for the
     // full range: Java-regex `.` matches per code point (surrogate pairs
     // stay whole) and Spark's ascii() reads the full code point.
@@ -1557,6 +1566,46 @@ object JqTransform {
     /** Did the whole parse end stream-valued? (The stage compiler's
       * explode trigger.) */
     def endedInStream: Boolean = streamTail
+
+    /** RUNTIME error channel (round 8): (condition, jq-style message)
+      * pairs registered by data-dependently failable kernels during parse
+      * — `tonumber`/`fromjson` on garbage strings, `/` and `%` with a
+      * runtime zero divisor — and consumed by the nearest enclosing `try`
+      * (delta capture, so nested `try`s own exactly their bodies'
+      * conditions). A condition with no enclosing `try` keeps the
+      * documented silent-null convention; with one, the row takes jq's
+      * error path: `try E` emits the null analog of jq's empty output,
+      * `try E catch H` evaluates H with `.` bound to the message.
+      * Division messages reproduce jq 1.6 verbatim; the parse messages
+      * use a stable paraphrase (jq's carry jv-parser positions).
+      */
+    private var runtimeErrs: List[(V, V)] = Nil
+    private def registerErr(cond: V, msg: V): Unit = runtimeErrs ::= ((cond, msg))
+    private def registerKernelErr(fn: String, in: V): Unit = fn match {
+      case "tonumber" => registerErr(
+        df => dtOfV(df, in) match {
+          case StringType => in(df).isNotNull && in(df).try_cast("double").isNull
+          case _ => lit(false)
+        },
+        df => concat(lit("cannot parse '"), in(df), lit("' as a number")))
+      case "fromjson" => registerErr(
+        df => dtOfV(df, in) match {
+          case StringType => in(df).isNotNull && try_parse_json(in(df)).isNull
+          case _ => lit(false)
+        },
+        df => concat(lit("cannot parse '"), in(df), lit("' as JSON")))
+      case _ => ()
+    }
+    private def registerDivErr(l: V, r: V, remainder: Boolean): Unit = registerErr(
+      df => (dtOfV(df, l), dtOfV(df, r)) match {
+        case (_: NumericType, _: NumericType) => r(df) === lit(0)
+        case _ => lit(false)
+      },
+      df => concat(lit("number ("), l(df).cast("string"), lit(") and number ("),
+        r(df).cast("string"),
+        lit(if (remainder) ") cannot be divided (remainder) because the divisor is zero"
+            else ") cannot be divided because the divisor is zero")))
+
     def hasMore: Boolean = { skipWs(); i < s.length }
     def peek: Char = if (i < s.length) s.charAt(i) else ' '
     def next(): Char = { val c = peek; i += 1; c }
@@ -2422,6 +2471,7 @@ object JqTransform {
             s"jq_expr: unsupported function '$fn' (supported: map, has, split, " +
               s"${(Funcs.keys ++ FuncsArg.keys).toSeq.sorted.mkString(", ")})"))
           val vv = v
+          registerKernelErr(fn, vv)
           v = df => f(df, vv)
         }
         skipWs()
@@ -2463,8 +2513,13 @@ object JqTransform {
     // no output row to carry it in a declarative plan. A LITERAL zero
     // divisor is rejected loudly at compile (parseTerm), so the statically
     // visible case never ships the silent convention.
-    private def jqMod(df: DataFrame, l: V, r: V): Column =
-      l(df).cast("long") % r(df).cast("long")
+    private def jqMod(df: DataFrame, l: V, r: V): Column = {
+      val rr = r(df).cast("long")
+      // explicit zero guard: ANSI mode would otherwise raise Spark's
+      // DIVIDE_BY_ZERO mid-task — the documented convention is jq-null,
+      // and an enclosing `try` routes the row to its handler instead
+      when(rr === lit(0L), lit(null)).otherwise(l(df).cast("long") % rr)
+    }
     private def parseTerm(): V = {
       var l = parseAtomBound()
       skipWs()
@@ -2483,11 +2538,13 @@ object JqTransform {
             require(!isZeroLiteral(rSrc),
               s"jq_expr: '% $rSrc' divides by literal zero — jq raises " +
                 "'cannot be divided because the divisor is zero'")
+            registerDivErr(ll, r, remainder = true)
             df => jqMod(df, ll, r)
           case _   =>
             require(!isZeroLiteral(rSrc),
               s"jq_expr: '/ $rSrc' divides by literal zero — jq raises " +
                 "'cannot be divided because the divisor is zero'")
+            registerDivErr(ll, r, remainder = false)
             df => jqDiv(df, ll, r)
         }
         skipWs()
@@ -2967,17 +3024,27 @@ object JqTransform {
         case 't' if s.startsWith("try", i) && boundary(i + 3) =>
           // try E [catch H] — jq suppresses ERRORS from E and emits
           // nothing (or H's value, with the error message bound to `.`).
-          // In this compiler errors are PLAN-construction-time (type
+          // Two error classes here: (a) PLAN-construction-time (type
           // mismatches, unsupported shapes, analyzer failures probing the
-          // actual schema), so try/catch resolves statically: compile and
-          // type-probe E against the input frame; on failure the whole
+          // actual schema) resolve statically — on failure the whole
           // expression folds to H (default: jq-null, the skip-on-error
-          // analog of the empty stream). Per-row RUNTIME errors don't
-          // exist to catch — the lowering already uses try_cast-style
-          // kernels. E extends through value pipes/arithmetic (broader
+          // analog of the empty stream); (b) DATA-DEPENDENT runtime
+          // failures of the failable kernels (tonumber/fromjson on
+          // garbage strings, runtime zero divisors) ride the
+          // runtimeErrs channel — the body lowers to a per-row
+          // conditional routing error rows to H/null (handler and body
+          // must share a Spark type; cast one side if they differ).
+          // E extends through value pipes/arithmetic (broader
           // than gojq's postterm binding — parenthesize to disambiguate).
           i += 3
+          // DELTA CAPTURE of the runtime error channel: conditions
+          // registered while parsing the body belong to THIS try (nested
+          // tries already consumed theirs); conditions the catch handler
+          // registers propagate outward, like jq's error-in-catch
+          val beforeLen = runtimeErrs.length
           val body = parsePiped()
+          val bodyErrs = runtimeErrs.take(runtimeErrs.length - beforeLen).reverse
+          runtimeErrs = runtimeErrs.drop(runtimeErrs.length - beforeLen)
           skipWs()
           val handler: Option[V] =
             if (s.startsWith("catch", i) && boundary(i + 5)) {
@@ -2987,7 +3054,38 @@ object JqTransform {
           df => {
             try {
               dtOfV(df, body) // force schema resolution, not just parse
-              body(df)
+              if (bodyErrs.isEmpty) body(df)
+              else {
+                // RUNTIME branch (round 8): the body compiles, but one of
+                // its kernels can fail data-dependently — lower to a
+                // conditional: error rows take the handler (with `.` bound
+                // to the message, first-failing-kernel order) or jq-null
+                val anyErr = coalesce(
+                  bodyErrs.map(_._1(df)).reduce(_ || _), lit(false))
+                handler match {
+                  case Some(h) =>
+                    val msg = bodyErrs.tail
+                      .foldLeft(when(bodyErrs.head._1(df), bodyErrs.head._2(df))) {
+                        case (w, (c, m)) => w.when(c(df), m(df))
+                      }.otherwise(lit(null))
+                    val hV: V = d => elemBinding.withValue(
+                      Some(Bound(msg, lit(null).cast(StringType))))(h(d))
+                    // jq's outputs are heterogeneous per row; a static
+                    // column is not. A string handler beside a numeric
+                    // body (`catch .` around arithmetic) unifies to
+                    // STRING explicitly — ANSI's implicit coercion would
+                    // pick the numeric type and die casting the message.
+                    val (bt, ht) = (dtOfV(df, body), dtOfV(df, hV))
+                    val stringify = bt != ht &&
+                      (bt == StringType || ht == StringType) &&
+                      bt != NullType && ht != NullType
+                    if (stringify)
+                      when(anyErr, hV(df).cast("string"))
+                        .otherwise(body(df).cast("string"))
+                    else when(anyErr, hV(df)).otherwise(body(df))
+                  case None => when(anyErr, lit(null)).otherwise(body(df))
+                }
+              }
             } catch {
               case scala.util.control.NonFatal(e) =>
                 handler match {
@@ -3016,7 +3114,9 @@ object JqTransform {
           // parenthesized argument
           if (!defs.contains(name) && Funcs.contains(name)) {
             val f = Funcs(name)
-            return df => f(df, bareDotV)
+            val in = bareDotV
+            registerKernelErr(name, in)
+            return df => f(df, in)
           }
           if (!defs.contains(name) && FuncsArg.contains(name) && {
             skipWs(); peek == '('

@@ -489,4 +489,35 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""limit(2; .tags[]) | {t: .}""",
       Seq("""{"tags": ["x", "y", "z"]}"""))
   }
+
+  // ---- round 8: DATA-DEPENDENT try/catch (jq errors at runtime) ----
+
+  test("runtime try/catch: zero-divisor message matches jq verbatim") {
+    check("""{m: (try (.a % .b) catch .)}""", Seq("""{"a": 5, "b": 0}"""))
+    check("""{m: (try (.a / .b) catch .)}""", Seq("""{"a": 9, "b": 0}"""))
+  }
+
+  test("runtime try/catch: mixed rows, numeric handler") {
+    check("""{m: (try (.a / .b) catch -1)}""",
+      Seq("""{"a": 9, "b": 0}""", """{"a": 8, "b": 2}"""))
+    check("""{m: (try (.a % .b) catch -1)}""",
+      Seq("""{"a": 5, "b": 0}""", """{"a": 7, "b": 3}"""))
+  }
+
+  test("runtime try/catch: tonumber on garbage routes to the handler") {
+    check("""{n: (try (.s | tonumber) catch -1)}""",
+      Seq("""{"s": "abc"}""", """{"s": "42"}""", """{"s": ""}""",
+        """{"s": " 7"}"""))
+  }
+
+  test("runtime try/catch: fromjson garbage routes to the handler") {
+    check("""{v: (try (.j | fromjson | .k | tostring) catch "bad")}""",
+      Seq("""{"j": "{\"k\": 1}"}""", """{"j": "{nope"}"""))
+  }
+
+  test("runtime try/catch: nested try owns only its body's errors") {
+    // inner try handles tonumber; outer sees no error for these rows
+    check("""{n: (try (try (.s | tonumber) catch -1) catch -2)}""",
+      Seq("""{"s": "abc"}""", """{"s": "5"}"""))
+  }
 }
