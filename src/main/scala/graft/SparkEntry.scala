@@ -1347,6 +1347,15 @@ object SparkEntry {
     // O14 assignment operators over the O13 record: `|=` (old-value
     // scoped), `=` (row scoped, appends the new key), `+=` polymorphic —
     // each lowered to one withColumn/withField projection
+    // O14 round-8 notch: RECURSIVE def through the bounded static unroll
+    // (12 levels single-call) — factorial of a data-dependent argument
+    // over the counter record; rows never reach the raise_error cap
+    "c64_jq_recursive_def" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """def fact($n): if $n <= 1 then 1 else $n * fact($n - 1) end;
+          |{t: .window_start, f: fact(.value % 6 + 1)}""".stripMargin)),
+
     // O14 round-8 notch: DATA-DEPENDENT try/catch — the body compiles but
     // fails per-row (zero divisor when value ≡ 0 mod 3; tonumber on a
     // non-numeric counter_id), and error rows route to the catch handler
@@ -1849,6 +1858,13 @@ object SparkEntry {
           |SELECT t AS time, v AS lo, v * 3 AS hi, v * 4 AS sum FROM c""".stripMargin,
       // c55: assignment chain over the counter record — v2 = 2·count,
       // rate = (v2 − 1) + v2
+      // c64: recursive def — factorial of (count mod 6)+1; DuckDB's
+      // factorial() is the oracle, double-typed like the unrolled
+      // when-chain's unified branch type
+      "c64_jq_recursive_def" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t, factorial((v % 6 + 1)::INT)::DOUBLE AS f FROM c""".stripMargin,
       // c62: runtime try/catch — windows whose count ≡ 0 mod 3 divide by
       // zero and take the handler (-1); tonumber on the counter_id string
       // always takes its handler (0)

@@ -177,9 +177,12 @@ import graft.functions.Canonical
   * Out of scope (documented divergence, unused by the reference's own
   * fixtures): slurp (a per-stream input-collection flag, not a program
   * construct — the engine's windowed aggregates are where cross-record
-  * state belongs), def filter-params, and recursive defs.
-  * Programs needing those belong in a real jq; every config observed in
-  * the reference repo compiles here.
+  * state belongs) and def filter-params. Recursive defs are supported
+  * since round 8 via bounded static unroll (re-parse per call site with
+  * a depth counter; past the cap the call is a loud runtime
+  * `raise_error` — see [[JqDef]]).
+  * Programs needing the rest belong in a real jq; every config observed
+  * in the reference repo compiles here.
   *
   * Internally a parsed value is a `DataFrame => Column` — type-dependent
   * constructs (truthiness, `not`, `length`, struct expansion) resolve
@@ -283,18 +286,34 @@ object JqTransform {
   /** A user-defined function: `$`-declared value params (bound on the
     * [[varBindings]] channel, exactly like `reduce`'s `as $x`) and a
     * value-expression body compiled once at program load.
+    *
+    * RECURSIVE defs (round 8): a body referencing its own name keeps its
+    * SOURCE and re-parses at every call site with a per-name depth
+    * counter — a bounded static unroll (static schemas cannot host an
+    * unbounded fixpoint; Columns are trees). `unrollCap` levels deep the
+    * recursive call lowers to `raise_error(...)` cast to double, so a
+    * row whose data actually recurses past the cap fails LOUDLY at
+    * runtime instead of silently truncating (numeric-typed cap — the
+    * practical recursion shapes are arithmetic; a string-typed recursion
+    * that reaches the cap fails at compile with a type error). The cap
+    * adapts to the call fan-out: 12 levels for single self-call bodies
+    * (factorial/countdown shapes), 5 for multi-call bodies (fib shapes)
+    * — evaluation costs ~2^depth column constructions (probe + real
+    * passes), so the caps are where plan-build time stays sub-second.
     */
-  private final case class JqDef(params: List[String], body: V)
+  private final case class JqDef(params: List[String], body: V,
+                                 src: String = "", recursive: Boolean = false,
+                                 unrollCap: Int = 0)
 
   /** Strip leading `def name($a; $b): body;` declarations (jq's function
     * bindings, scoped from declaration to end of program — supported at
     * the program HEAD, covering the whole pipeline). Each body is a value
-    * expression compiled with all PRIOR defs in scope, so defs compose;
-    * a def cannot see itself, making recursion a parse-time unknown-name
-    * error rather than an infinite plan (Columns are trees — a recursive
-    * filter cannot lower to one; real jq recursion belongs in a real jq).
-    * Params must be `$`-variables (jq's value-param form, `def f($x): …`);
-    * bare filter params are out of scope, documented.
+    * expression compiled with all PRIOR defs in scope, so defs compose
+    * (jq's declare-before-use rule — mutual recursion is impossible in
+    * jq's grammar too). A SELF-referencing body is supported since round
+    * 8 via bounded static unroll (see [[JqDef]]); params must be
+    * `$`-variables (jq's value-param form, `def f($x): …`); bare filter
+    * params are out of scope, documented.
     */
   private def stripDefs(src: String): (Map[String, JqDef], String) = {
     var defs = Map.empty[String, JqDef]
@@ -353,11 +372,32 @@ object JqTransform {
         }
         require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
           s"jq_expr: bad def name '$name'")
-        val bodyP = new P(bodySrc, defs)
-        val body = bodyP.parseValue()
-        bodyP.skipWs()
-        require(!bodyP.hasMore, s"jq_expr: trailing input after def body: $bodySrc")
-        defs += (name -> JqDef(params, body))
+        // does the body call itself? (word-boundary scan; a hit inside a
+        // string literal is a harmless false positive — the call-site
+        // re-parse is semantics-preserving for non-recursive bodies)
+        val selfCalls = ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+          "(?![A-Za-z0-9_])").r.findAllMatchIn(bodySrc).size
+        if (selfCalls == 0) {
+          val bodyP = new P(bodySrc, defs)
+          val body = bodyP.parseValue()
+          bodyP.skipWs()
+          require(!bodyP.hasMore, s"jq_expr: trailing input after def body: $bodySrc")
+          defs += (name -> JqDef(params, body, bodySrc))
+        } else {
+          // recursive: validate by parsing ONE expansion level with self
+          // in scope; call sites re-parse with their own depth counters.
+          // Caps are small because the probe/real evaluation passes cost
+          // ~2^depth column constructions (each level's type probe and
+          // real build both evaluate the child): 2^12 ≈ 4k tree nodes is
+          // cheap, 2^24 is minutes — measured, not theoretical
+          val cap = if (selfCalls == 1) 12 else 5
+          val selfDef = JqDef(params, null, bodySrc, recursive = true, unrollCap = cap)
+          val bodyP = new P(bodySrc, defs + (name -> selfDef), Map(name -> cap))
+          val body = bodyP.parseValue()
+          bodyP.skipWs()
+          require(!bodyP.hasMore, s"jq_expr: trailing input after def body: $bodySrc")
+          defs += (name -> selfDef.copy(body = body))
+        }
         s = t.substring(end + 1)
       } else go = false
     }
@@ -407,9 +447,15 @@ object JqTransform {
     */
   private def polyAdd(lt: DataType, rt: DataType,
                       l: => Column, r: => Column): Column = {
+    // null-identity with TWO embeddings per operand, not three: concat/+
+    // are null iff an operand is null, so `coalesce(f(l,r), l, r)` is
+    // exactly `when(l null, r).when(r null, l).otherwise(f)` — and the
+    // operand fan-out decides whether a recursive-def unroll's tree is
+    // 4^depth or 6^depth (measured: the 3-embedding form OOM'd codegen
+    // on a depth-5 double recursion)
     def guarded(f: (Column, Column) => Column): Column = {
       val (lc, rc) = (l, r)
-      when(lc.isNull, rc).when(rc.isNull, lc).otherwise(f(lc, rc))
+      coalesce(f(lc, rc), lc, rc)
     }
     (lt, rt) match {
       case (NullType, _) => r
@@ -1554,7 +1600,8 @@ object JqTransform {
 
   private def pick(b: Bound): Column = if (probeMode.value) b.probe else b.real
 
-  private final class P(s: String, defs: Map[String, JqDef] = Map.empty) {
+  private final class P(s: String, defs: Map[String, JqDef] = Map.empty,
+                        depth: Map[String, Int] = Map.empty) {
     private var i = 0
     /** Did the value just parsed end in a STREAM builtin (range/scan/
       * splits)? Streams are arrays here; the `[E]` collect form reads
@@ -3145,11 +3192,32 @@ object JqTransform {
             } else Nil
           require(args.length == d.params.length,
             s"jq_expr: $name expects ${d.params.length} arg(s), got ${args.length}")
+          // recursive defs re-parse their source per CALL SITE with a
+          // bumped depth counter (bounded static unroll); past the cap
+          // the call is a loud runtime raise_error — rows that never
+          // recurse that deep never evaluate it (lazy when-branches)
+          val bodyV: V =
+            if (!d.recursive) d.body
+            else {
+              val dep = depth.getOrElse(name, 0)
+              if (dep >= d.unrollCap)
+                _ => raise_error(lit(
+                  s"jq_expr: recursive def '$name' exceeded the static " +
+                    s"unroll depth ${d.unrollCap} on this row's data")).cast("double")
+              else {
+                val bp = new P(d.src, defs, depth + (name -> (dep + 1)))
+                val b = bp.parseValue()
+                bp.skipWs()
+                require(!bp.hasMore,
+                  s"jq_expr: trailing input after def body: ${d.src}")
+                b
+              }
+            }
           df => {
             val bound = d.params.zip(args).map { case (p, a) =>
               p -> Bound(a(df), lit(null).cast(dtOfV(df, a)))
             }
-            varBindings.withValue(varBindings.value ++ bound)(d.body(df))
+            varBindings.withValue(varBindings.value ++ bound)(bodyV(df))
           }
         case c =>
           throw new IllegalArgumentException(s"jq_expr parse error: unexpected '$c' at $i in: $s")

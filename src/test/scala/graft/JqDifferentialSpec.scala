@@ -520,4 +520,28 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{n: (try (try (.s | tonumber) catch -1) catch -2)}""",
       Seq("""{"s": "abc"}""", """{"s": "5"}"""))
   }
+
+  // ---- round 8: recursive defs (bounded static unroll) ----
+
+  test("recursive def: factorial matches jq") {
+    check("""def fact($n): if $n <= 1 then 1 else $n * fact($n - 1) end;
+             {f: fact(.v), f0: fact(0)}""",
+      Seq("""{"v": 1}""", """{"v": 5}""", """{"v": 10}"""))
+  }
+
+  test("recursive def: double recursion (fib) matches jq") {
+    check("""def fib($n): if $n < 2 then $n else fib($n - 1) + fib($n - 2) end;
+             {f: fib(.v)}""",
+      Seq("""{"v": 0}""", """{"v": 1}""", """{"v": 5}"""))
+  }
+
+  test("recursive def: accumulator param at shallow depth") {
+    // argument-compounding recursion: each level embeds the prior level's
+    // arg TREES (the polymorphic-+ null guards triple operand fan-out),
+    // so deep accumulator loops explode the static plan — keep shallow;
+    // linear folds belong in `reduce`, which is a real HOF here
+    check("""def go($n; $acc): if $n <= 0 then $acc else go($n - 1; $acc + $n) end;
+             {s: go(.v; 0)}""",
+      Seq("""{"v": 4}""", """{"v": 6}"""))
+  }
 }

@@ -495,9 +495,11 @@ class JqTransformSpec extends SparkTestBase {
       """def dbl($x): $x + $x;
         |{vals: [1, 2, 3]} | {s: (reduce .vals[] as $v (0; . + dbl($v)))}""".stripMargin).head()
     assert(r.getLong(0) == 12L)
-    // a def cannot see itself (no recursive Columns) — parse-time error
-    assertThrows[IllegalArgumentException](
-      JqTransform.compile("""def loop($x): loop($x); {o: loop(1)}"""))
+    // a non-terminating self-call compiles (bounded unroll, round 8) but
+    // every row hits the loud unroll-cap raise_error at runtime
+    val loop = JqTransform(df, """def loop($x): loop($x); {o: loop(1)}""")
+    val le = intercept[Exception](loop.head())
+    assert(String.valueOf(le.getMessage).contains("unroll depth"))
     // bare filter params are out of scope, rejected at parse
     assertThrows[IllegalArgumentException](
       JqTransform.compile("""def f(g): g; {o: f(1)}"""))
@@ -1194,6 +1196,23 @@ class JqTransformSpec extends SparkTestBase {
   test("two stream fields in one construction rejected loudly") {
     assertThrows[IllegalArgumentException](
       JqTransform.compile("""{a: range(2), b: range(3)}"""))
+  }
+
+  test("recursive def: loud runtime error past the unroll cap") {
+    import org.apache.spark.sql.functions.col
+    val t = Seq(Tuple1(30L)).toDF("v") // depth 30 > single-call cap 12
+    val q = JqTransform(t,
+      """def fact($n): if $n <= 1 then 1 else $n * fact($n - 1) end;
+        |{f: fact(.v)}""".stripMargin)
+    val e = intercept[Exception](q.select(col("f")).head())
+    assert(e.getMessage != null &&
+      e.getMessage.contains("exceeded the static unroll depth"),
+      s"expected loud unroll-cap error, got: ${e.getMessage}")
+    // under the cap the same program runs: 10! = 3628800
+    val ok = JqTransform(Seq(Tuple1(10L)).toDF("v"),
+      """def fact($n): if $n <= 1 then 1 else $n * fact($n - 1) end;
+        |{f: fact(.v)}""".stripMargin).head()
+    assert(ok.getDouble(0) == 3628800.0)
   }
 
   test("nested assignment root resolves case-insensitively like reads") {
