@@ -1347,6 +1347,17 @@ object SparkEntry {
     // O14 assignment operators over the O13 record: `|=` (old-value
     // scoped), `=` (row scoped, appends the new key), `+=` polymorphic —
     // each lowered to one withColumn/withField projection
+    // O14 round-8 notch: NESTED destructuring + `?//` alternatives — the
+    // stage binds through a two-level array pattern (first
+    // type-compatible alternative wins; the object alternative is
+    // rejected by the array-typed value at plan time)
+    "c65_jq_destructure_alt" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{t: .window_start, m: [[.value], [.value * 2, .value * 3]]}
+          || .m as [[$a], [$b, $c]] ?// {z: $z}
+          || {t: .t, a: $a, b: $b, c: $c, span: ($c - $a)}""".stripMargin)),
+
     // O14 round-8 notch: RECURSIVE def through the bounded static unroll
     // (12 levels single-call) — factorial of a data-dependent argument
     // over the counter record; rows never reach the raise_error cap
@@ -1858,6 +1869,13 @@ object SparkEntry {
           |SELECT t AS time, v AS lo, v * 3 AS hi, v * 4 AS sum FROM c""".stripMargin,
       // c55: assignment chain over the counter record — v2 = 2·count,
       // rate = (v2 − 1) + v2
+      // c65: nested destructuring — a=v, b=2v, c=3v through the two-level
+      // array pattern; span = c - a = 2v
+      "c65_jq_destructure_alt" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t, v AS a, v * 2 AS b, v * 3 AS c, v * 2 AS span FROM c"""
+          .stripMargin,
       // c64: recursive def — factorial of (count mod 6)+1; DuckDB's
       // factorial() is the oracle, double-typed like the unrolled
       // when-chain's unified branch type

@@ -103,10 +103,13 @@ import graft.functions.Canonical
   *    HOF/def-bound `$x` shadows, jq's inner-scope rule); value-position
   *    `T as $x | body` binds at jq's true TERM precedence (`-6 as $v`
   *    negates OUTSIDE the binding — jq has no negative literals);
-  *    one-level destructuring patterns bind too (`as [$a, $b]` —
-  *    element i, null past the end; `as {k: $x, $y}` — absent keys
-  *    null, `{$y}` shorthand); nested patterns and `?//` alternatives
-  *    stay out of scope;
+  *    destructuring patterns bind too (`as [$a, $b]` — element i, null
+  *    past the end; `as {k: $x, $y}` — absent keys null, `{$y}`
+  *    shorthand), NESTED to any depth since round 8 (`as [$a, [$b]]`,
+  *    `as {k: [$x]}`), with `?//` alternative chains choosing the first
+  *    TYPE-compatible pattern at plan time (all alternatives' names in
+  *    scope, unchosen ones null — jq's rule; jq retries per row, a
+  *    documented static-schema divergence for mixed-type streams);
   *  - assignment stages `.path = E` / `.path |= F` / `.path += E` (and
   *    `-=`, `*=`, `/=`, `//=`): jq's update operators — `=` row-scoped,
   *    `|=` with `.` = the old path value, `op=` old-op-(row-scoped rhs)
@@ -717,14 +720,24 @@ object JqTransform {
     * (object construction / path), which every terminal stage is.
     */
   private object BindingStage {
-    // top-level "… as <pattern>" — the splitTopLevel caller already
-    // guarantees no top-level '|' inside `stage`; the pattern is a plain
-    // `$name`, a one-level `[$a, $b]`, or a one-level `{k: $x, $y}`
+    // top-level "… as <pattern>[ ?// <pattern>]*" — the splitTopLevel
+    // caller already guarantees no top-level '|' inside `stage`; a
+    // pattern is `$name` or `[...]`/`{...}` destructuring nested up to
+    // two bracket levels in the REGEX (the parser itself recurses to any
+    // depth — deeper nesting just needs the expression spelled with a
+    // body-scoped `as`, which has no regexed stage boundary)
+    private val Re = {
+      val atom = "\\$[A-Za-z_][A-Za-z0-9_]*"
+      val flat = "[^\\[\\]{}]"
+      val d1 = s"(?:\\[(?:$flat)*\\]|\\{(?:$flat)*\\})"
+      val d2elem = s"(?:$flat|$d1)"
+      val d2 = s"(?:\\[(?:$d2elem)*\\]|\\{(?:$d2elem)*\\})"
+      val pat = s"(?:$atom|$d2)"
+      java.util.regex.Pattern.compile(
+        s"(?s)^(.*\\S)\\s+as\\s+($pat(?:\\s*\\?//\\s*$pat)*)$$")
+    }
     def parts(stage: String): Option[(String, String)] = {
-      val m = java.util.regex.Pattern
-        .compile("(?s)^(.*\\S)\\s+as\\s+(\\$[A-Za-z_][A-Za-z0-9_]*" +
-          "|\\[[^\\[\\]{}]*\\]|\\{[^\\[\\]{}]*\\})$")
-        .matcher(stage)
+      val m = Re.matcher(stage)
       if (m.matches) Some((m.group(1), m.group(2))) else None
     }
     def matches(stage: String): Boolean = parts(stage).isDefined
@@ -767,6 +780,35 @@ object JqTransform {
       }
     }
     def matches(stage: String): Boolean = parts(stage).isDefined
+  }
+
+  /** A parsed `as` binding pattern: the statically-known names it binds
+    * plus the binder from the bound (column, type) to per-name triples.
+    * The name list exists for `?//`: EVERY alternative's names are in
+    * scope in the body, with the unchosen alternatives' names bound null
+    * (jq's rule).
+    */
+  private final case class AsPattern(
+      names: Seq[String],
+      bind: (Column, DataType) => Seq[(String, Column, DataType)])
+
+  /** Apply a `?//` alternative chain: the first pattern that is
+    * TYPE-compatible with the bound value wins (jq retries per row on
+    * runtime errors; static column types make the choice a plan-time
+    * constant — the honest declarative analog), and names bound only by
+    * other alternatives ride along as jq-null.
+    */
+  private def bindAlternatives(pats: Seq[AsPattern], c: Column,
+                               dt: DataType): Seq[(String, Column, DataType)] = {
+    val chosen = pats.view
+      .map(p => try Some(p.bind(c, dt))
+                catch { case _: IllegalArgumentException => None })
+      .collectFirst { case Some(b) => b }
+      .getOrElse(throw new IllegalArgumentException(
+        s"jq_expr: no `?//` alternative pattern matches ${dt.simpleString}"))
+    val byName = chosen.map(t => t._1 -> t).toMap
+    pats.flatMap(_.names).distinct.map(n =>
+      byName.getOrElse(n, (n, lit(null), NullType)))
   }
 
   /** Is this raw operand source a literal zero (possibly parenthesized /
@@ -838,10 +880,10 @@ object JqTransform {
     p.skipWs()
     require(!p.hasMore, s"jq_expr: trailing input in binding stage: $stage")
     val pp = new P(patSrc, defs)
-    val binder = pp.parseAsPattern()
+    val binders = pp.parseAsPatternAlts()
     pp.skipWs()
     require(!pp.hasMore, s"jq_expr: trailing input in binding pattern: $stage")
-    df => binder(value(df), dtOfV(df, value))
+    df => bindAlternatives(binders, value(df), dtOfV(df, value))
       .foldLeft(df) { case (d, (n, c, _)) => d.withColumn(s"__var_$n", c) }
   }
 
@@ -2622,7 +2664,7 @@ object JqTransform {
       if (!(s.startsWith("as", i) && boundary(i + 2))) a
       else {
         i += 2; skipWs()
-        val binder = parseAsPattern()
+        val binders = parseAsPatternAlts()
         skipWs()
         if (peek != '|') throw new IllegalArgumentException(
           s"jq_expr: `as <pattern>` needs a `| body` to scope over in: $s")
@@ -2632,84 +2674,105 @@ object JqTransform {
         val bound: V = if (negLiteral) df => -a(df) else a
         val bindV: V = df => {
           val dt = dtOfV(df, bound)
-          val binds = binder(bound(df), dt).map { case (n, c, bdt) =>
-            n -> Bound(c, lit(null).cast(bdt))
-          }
+          val binds = bindAlternatives(binders, bound(df), dt)
+            .map { case (n, c, bdt) => n -> Bound(c, lit(null).cast(bdt)) }
           varBindings.withValue(varBindings.value ++ binds)(body(df))
         }
         if (negLiteral) df => -bindV(df) else bindV
       }
     }
 
-    /** An `as` binding pattern: a plain `$name`, one-level ARRAY
-      * destructuring `[$a, $b]` (element i, jq-null past the end), or
-      * one-level OBJECT destructuring `{a: $x, "b": $y, $c}` (`$c` is
-      * jq's shorthand for `c: $c`; absent keys bind null). Returns a
-      * binder from the bound (column, type) to the per-name
-      * (name, column, type) triples. Nested patterns and pattern
-      * alternatives (`?//`) stay out of scope, rejected by the parse.
+    /** An `as` binding pattern: a plain `$name`, ARRAY destructuring
+      * `[$a, $b]` (element i, jq-null past the end), or OBJECT
+      * destructuring `{a: $x, "b": $y, $c}` (`$c` is jq's shorthand for
+      * `c: $c`; absent keys bind null) — NESTED to any depth since round
+      * 8 (`[$a, [$b]]`, `{k: [$x, {j: $y}]}`: each sub-position recurses
+      * with the element/field column and its static type; a null/absent
+      * outer level binds every inner name null, jq's rule). Returns the
+      * statically-bound name list plus a binder from the bound
+      * (column, type) to the per-name (name, column, type) triples.
       */
-    def parseAsPattern(): (Column, DataType) => Seq[(String, Column, DataType)] = {
+    def parseAsPattern(): AsPattern = {
       skipWs()
       peek match {
         case '$' =>
           next(); val name = parseIdent()
-          (c, dt) => Seq((name, c, dt))
+          AsPattern(Seq(name), (c, dt) => Seq((name, c, dt)))
         case '[' =>
           next()
-          val names = Seq.newBuilder[String]
+          val subs = Seq.newBuilder[AsPattern]
           var more = true
           while (more) {
-            skipWs(); expect('$'); names += parseIdent(); skipWs()
+            subs += parseAsPattern()
+            skipWs()
             if (peek == ',') { next(); more = true } else more = false
           }
           expect(']')
-          val ns = names.result()
-          (c, dt) => dt match {
+          val ps = subs.result()
+          AsPattern(ps.flatMap(_.names), (c, dt) => dt match {
             case ArrayType(et, _) =>
-              ns.zipWithIndex.map { case (n, idx) =>
-                (n, try_element_at(c, lit(idx + 1)), et)
+              ps.zipWithIndex.flatMap { case (p, idx) =>
+                p.bind(try_element_at(c, lit(idx + 1)), et)
               }
-            case NullType => ns.map(n => (n, lit(null), NullType))
+            case NullType => ps.flatMap(_.bind(lit(null), NullType))
             case other => throw new IllegalArgumentException(
-              "jq_expr: `as [$...]` needs an array value, got " +
+              "jq_expr: `as [...]` needs an array value, got " +
                 s"${other.simpleString} in: $s")
-          }
+          })
         case '{' =>
           next()
-          val pairs = Seq.newBuilder[(String, String)]
+          val pairs = Seq.newBuilder[(String, AsPattern)]
           var more = true
           while (more) {
             skipWs()
             if (peek == '$') { // {$a} shorthand for a: $a
-              next(); val n = parseIdent(); pairs += ((n, n))
+              next(); val n = parseIdent()
+              pairs += ((n, AsPattern(Seq(n), (c, dt) => Seq((n, c, dt)))))
             } else {
               val k = parseKey()
-              skipWs(); expect(':'); skipWs(); expect('$')
-              val n = parseIdent(); pairs += ((k, n))
+              skipWs(); expect(':')
+              pairs += ((k, parseAsPattern()))
             }
             skipWs()
             if (peek == ',') { next(); more = true } else more = false
           }
           expect('}')
           val ps = pairs.result()
-          (c, dt) => dt match {
+          AsPattern(ps.flatMap(_._2.names), (c, dt) => dt match {
             case st: StructType =>
-              ps.map { case (k, n) =>
+              ps.flatMap { case (k, p) =>
                 st.fields.find(_.name == k) match {
-                  case Some(f) => (n, c.getField(k), f.dataType)
-                  case None => (n, lit(null), NullType) // absent key → null
+                  case Some(f) => p.bind(c.getField(k), f.dataType)
+                  case None => p.bind(lit(null), NullType) // absent key → null
                 }
               }
-            case NullType => ps.map { case (_, n) => (n, lit(null), NullType) }
+            case NullType => ps.flatMap(_._2.bind(lit(null), NullType))
             case other => throw new IllegalArgumentException(
               "jq_expr: `as {...}` needs an object value, got " +
                 s"${other.simpleString} in: $s")
-          }
+          })
         case _ => throw new IllegalArgumentException(
           s"jq_expr: expected a binding pattern ($$name, [$$a, ...] or " +
             s"{k: $$x, ...}) after `as` in: $s")
       }
+    }
+
+    /** A `?//`-chained pattern alternative list: `[$a] ?// {a: $a}`.
+      * jq tries each pattern against the value per row; with static
+      * column types the first TYPE-compatible alternative is chosen at
+      * plan time for every row (documented static-schema semantics) —
+      * see [[bindAlternatives]].
+      */
+    def parseAsPatternAlts(): Seq[AsPattern] = {
+      val alts = Seq.newBuilder[AsPattern]
+      alts += parseAsPattern()
+      skipWs()
+      while (s.startsWith("?//", i)) {
+        i += 3
+        alts += parseAsPattern()
+        skipWs()
+      }
+      alts.result()
     }
     /** After the `foreach` keyword: `.path[] as $x (init; update[;
       * extract])` → a V producing the ARRAY of per-element extracts (the

@@ -535,6 +535,30 @@ class JqDifferentialSpec extends SparkTestBase {
       Seq("""{"v": 0}""", """{"v": 1}""", """{"v": 5}"""))
   }
 
+  // ---- round 8: nested destructuring + ?// pattern alternatives ----
+
+  test("nested array/object destructuring patterns") {
+    // (elements uniformly array-typed: Spark's JSON inference would read
+    // jq's heterogeneous [1, [2, 3]] as array<string>)
+    check(""".v as [[$a], [$b, $c]] | {a: $a, b: $b, c: $c}""",
+      Seq("""{"v": [[1], [2, 3]]}""", """{"v": [[7], []]}"""))
+    check(""".v as {k: [$x, $y], $m} | {x: $x, y: $y, m: $m}""",
+      Seq("""{"v": {"k": [9, 8], "m": "q"}}""", """{"v": {"m": "w"}}"""))
+  }
+
+  test("?// alternatives: first type-compatible pattern wins, rest null") {
+    // array-typed column → first pattern; object keys from the unchosen
+    // alternative ride along as null (jq's rule)
+    check(""".v as [$a, $b] ?// {a: $a, b: $b} | {a: $a, b: $b}""",
+      Seq("""{"v": [1, 2]}""", """{"v": [5]}"""))
+    // object-typed column → second pattern
+    check(""".v as [$a, $b] ?// {a: $a, b: $b} | {a: $a, b: $b}""",
+      Seq("""{"v": {"a": 5, "b": 7}}"""))
+    // names bound ONLY by the unchosen alternative are null in the body
+    check(""".v as [$a] ?// {z: $z} | {a: $a, z: $z}""",
+      Seq("""{"v": [1]}"""))
+  }
+
   test("recursive def: accumulator param at shallow depth") {
     // argument-compounding recursion: each level embeds the prior level's
     // arg TREES (the polymorphic-+ null guards triple operand fan-out),
