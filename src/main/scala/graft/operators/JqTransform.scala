@@ -3180,19 +3180,32 @@ object JqTransform {
                       }.otherwise(lit(null))
                     val hV: V = d => elemBinding.withValue(
                       Some(Bound(msg, lit(null).cast(StringType))))(h(d))
-                    // jq's outputs are heterogeneous per row; a static
-                    // column is not. A string handler beside a numeric
-                    // body (`catch .` around arithmetic) unifies to
-                    // STRING explicitly — ANSI's implicit coercion would
-                    // pick the numeric type and die casting the message.
-                    val (bt, ht) = (dtOfV(df, body), dtOfV(df, hV))
-                    val stringify = bt != ht &&
-                      (bt == StringType || ht == StringType) &&
-                      bt != NullType && ht != NullType
-                    if (stringify)
-                      when(anyErr, hV(df).cast("string"))
-                        .otherwise(body(df).cast("string"))
-                    else when(anyErr, hV(df)).otherwise(body(df))
+                    try {
+                      // jq's outputs are heterogeneous per row; a static
+                      // column is not. A string handler beside a numeric
+                      // body (`catch .` around arithmetic) unifies to
+                      // STRING explicitly — ANSI's implicit coercion would
+                      // pick the numeric type and die casting the message.
+                      val (bt, ht) = (dtOfV(df, body), dtOfV(df, hV))
+                      val stringify = bt != ht &&
+                        (bt == StringType || ht == StringType) &&
+                        bt != NullType && ht != NullType
+                      if (stringify)
+                        when(anyErr, hV(df).cast("string"))
+                          .otherwise(body(df).cast("string"))
+                      else when(anyErr, hV(df)).otherwise(body(df))
+                    } catch { case scala.util.control.NonFatal(e) =>
+                      // the HANDLER itself fails to compile against the
+                      // message (e.g. `catch .id` indexes a string) — jq
+                      // only evaluates the handler on error rows, so
+                      // non-error rows must pass through untouched and
+                      // only error rows raise, loudly
+                      when(anyErr, raise_error(lit(
+                        "jq_expr: catch handler failed: " +
+                          String.valueOf(e.getMessage).take(200)))
+                        .cast(dtOfV(df, body)))
+                        .otherwise(body(df))
+                    }
                   case None => when(anyErr, lit(null)).otherwise(body(df))
                 }
               }

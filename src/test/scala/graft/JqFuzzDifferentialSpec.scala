@@ -98,8 +98,8 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     * generating byte-identical programs.
     */
   private def genValue(r: scala.util.Random, depth: Int,
-                       ext: Boolean = false): String =
-    r.nextInt(if (ext) 19 else 12) match {
+                       ext: Boolean = false, ext2: Boolean = false): String =
+    r.nextInt(if (ext2) 23 else if (ext) 19 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -125,26 +125,54 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       case 17 => s"""({"x": {"p": ${genNum(r, depth - 1, safe = true)}, "q": 2}, "y": 1} * """ +
         s"""{"x": {"q": ${genNum(r, depth - 1, safe = true)}}, "z": ${genStr(r, depth - 1)}})"""
       // C-truncated modulo (dividend sign)
-      case _ => s"(${genNum(r, depth - 1, safe = true)} % ${2 + r.nextInt(5)})"
+      case 18 => s"(${genNum(r, depth - 1, safe = true)} % ${2 + r.nextInt(5)})"
+      // ---- round-8 extension (ext2): runtime try/catch, ?// ----
+      // handlers are LITERALS: a path handler reads the error MESSAGE
+      // (jq binds `.` to it), which jq evaluates only on error rows —
+      // a per-row behavior a static column cannot split, so the
+      // compiler raises loudly there (covered by unit tests, not fuzz)
+      // tonumber on arbitrary strings: garbage routes to the handler
+      case 19 => s"(try (${genStr(r, depth - 1)} | tonumber) " +
+        s"catch ${r.nextInt(19) - 9})"
+      // runtime zero divisor (.m - k hits 0 for m == k) through try
+      case 20 => s"(try ((${genNum(r, depth - 1, safe = true)} + 1) / " +
+        s"(.m - ${1 + r.nextInt(5)})) catch -1)"
+      case 21 => s"(try (${genNum(r, depth - 1, safe = true)} % " +
+        s"(.m - ${1 + r.nextInt(5)})) catch ${r.nextInt(19) - 9})"
+      // ?// alternatives: array value picks the first; $z rides as null
+      case _ => s"(.xs as [$$p, $$q] ?// {z: $$z} | " +
+        s"($$p // 0) + ($$q // 0) + ($$z // 0))"
     }
 
-  private def genProgram(r: scala.util.Random, ext: Boolean = false): String = {
+  private def genProgram(r: scala.util.Random, ext: Boolean = false,
+                         ext2: Boolean = false): String = {
     val nFields = 1 + r.nextInt(3)
-    val fields = (0 until nFields)
-      .map(i => s"f$i: ${genValue(r, 2, ext)}").mkString(", ")
+    var fields = (0 until nFields)
+      .map(i => s"f$i: ${genValue(r, 2, ext, ext2)}").mkString(", ")
+    // ext2: a recursive def called with data-bounded depth (≤ 3), and
+    // sometimes a stream-valued field — jq's 0..N outputs per record
+    // (range(.m % 3) is sometimes EMPTY: the whole record drops, both
+    // engines)
+    val defPrefix =
+      if (ext2 && r.nextInt(4) == 0) {
+        fields += s", fr: fact((.m % 3) + 1)"
+        "def fact($n): if $n <= 1 then 1 else $n * fact($n - 1) end; "
+      } else ""
+    if (ext2 && r.nextInt(4) == 0)
+      fields += s", g: range(.m % 3)"
     val select = if (r.nextInt(3) == 0) s"select(${genBool(r, 1)}) | " else ""
     // ext grammar: sometimes prefix an assignment stage mutating .n
     // (safe += / *= / = forms; |= rhs is old-value-scoped so only
     // literal arithmetic rides it)
     val assign =
-      if (!ext || r.nextInt(3) != 0) ""
+      if (!(ext || ext2) || r.nextInt(3) != 0) ""
       else r.nextInt(4) match {
         case 0 => s".n = ${genNum(r, 1, safe = true)} | "
         case 1 => s".n |= . + ${1 + r.nextInt(9)} | "
         case 2 => s".n += ${genNum(r, 1, safe = true)} | "
         case _ => s".n *= ${1 + r.nextInt(5)} | "
       }
-    s"$assign$select{$fields}"
+    s"$defPrefix$assign$select{$fields}"
   }
 
   private def genRow(r: scala.util.Random): String = {
@@ -280,12 +308,13 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     cur
   }
 
-  private def fuzzRun(seed: Long, cases: Int, ext: Boolean = false): Unit = {
+  private def fuzzRun(seed: Long, cases: Int, ext: Boolean = false,
+                      ext2: Boolean = false): Unit = {
     assume(jqBin.canExecute, "/usr/bin/jq not present")
     val r = new scala.util.Random(seed)
     var checked = 0
     (0 until cases).foreach { i =>
-      val program = genProgram(r, ext)
+      val program = genProgram(r, ext, ext2)
       val inputs = Seq.fill(3)(genRow(r))
       verdict(program, inputs).foreach { sig =>
         val minimal = minimize(program, inputs, sig)
@@ -320,5 +349,12 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   // own seed, preserving the two frozen corpora above
   test("500 random programs match jq (seed 7070707, bindings/merge grammar)") {
     fuzzRun(7070707L, 500, ext = true)
+  }
+
+  // round-8 grammar extension (runtime try/catch, recursive defs, stream
+  // fields, ?// alternatives) under its own seed — the three corpora
+  // above stay frozen
+  test("500 random programs match jq (seed 80808080, try/recursion/stream grammar)") {
+    fuzzRun(80808080L, 500, ext2 = true)
   }
 }

@@ -1198,6 +1198,21 @@ class JqTransformSpec extends SparkTestBase {
       JqTransform.compile("""{a: range(2), b: range(3)}"""))
   }
 
+  test("broken catch handler: non-error rows pass, error rows raise loudly") {
+    import org.apache.spark.sql.functions.col
+    // `catch .id` indexes the string error message — jq evaluates the
+    // handler only on error rows, so a frame with NO error rows must run
+    val clean = Seq((10L, 5L, 1L), (9L, 2L, 2L)).toDF("a", "b", "id")
+    val ok = JqTransform(clean, """{r: (try (.a % .b) catch .id)}""")
+      .orderBy(col("r")).collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    // an actual error row raises the loud handler-failed error
+    val bad = Seq((20L, 0L, 2L)).toDF("a", "b", "id")
+    val e = intercept[Exception](
+      JqTransform(bad, """{r: (try (.a % .b) catch .id)}""").collect())
+    assert(String.valueOf(e.getMessage).contains("catch handler failed"))
+  }
+
   test("recursive def: loud runtime error past the unroll cap") {
     import org.apache.spark.sql.functions.col
     val t = Seq(Tuple1(30L)).toDF("v") // depth 30 > single-call cap 12
