@@ -56,9 +56,11 @@ import graft.functions.Canonical
   *    value position is the collect form;
   *  - `def name: body;` / `def name($a; $b): body;` bindings at the
   *    program head — value-expression bodies compiled once, `$`-params
-  *    bound per call on the same dynamic channel as `reduce`'s `as $x`
-  *    (bare filter params and recursion are out of scope: a Column is a
-  *    tree, so a recursive filter cannot lower to one);
+  *    bound per call on the same dynamic channel as `reduce`'s `as $x`;
+  *    since round 8, bare FILTER params (`def f(g): g + g;`) expand by
+  *    source-level macro substitution (jq's caller-context re-evaluation
+  *    semantics), and RECURSION unrolls statically with a loud
+  *    runtime-error cap;
   *  - `//` ALTERNATIVE operator (right-assoc, binds looser than `or`,
   *    jq truthiness: `a // b` is `a` unless `a` is null/false) — a
   *    `coalesce` for non-boolean operands, a truthiness `when` for
@@ -180,10 +182,13 @@ import graft.functions.Canonical
   * Out of scope (documented divergence, unused by the reference's own
   * fixtures): slurp (a per-stream input-collection flag, not a program
   * construct — the engine's windowed aggregates are where cross-record
-  * state belongs) and def filter-params. Recursive defs are supported
-  * since round 8 via bounded static unroll (re-parse per call site with
-  * a depth counter; past the cap the call is a loud runtime
-  * `raise_error` — see [[JqDef]]).
+  * state belongs). Recursive defs are supported since round 8 via
+  * bounded static unroll (re-parse per call site with a depth counter;
+  * past the cap the call is a loud runtime `raise_error` — see
+  * [[JqDef]]), and def FILTER params via source-level macro
+  * substitution (jq evaluates a filter arg in the caller's context at
+  * every reference — exactly what substitution yields; see
+  * [[substituteFilterParams]]).
   * Programs needing the rest belong in a real jq; every config observed
   * in the reference repo compiles here.
   *
@@ -306,7 +311,71 @@ object JqTransform {
     */
   private final case class JqDef(params: List[String], body: V,
                                  src: String = "", recursive: Boolean = false,
-                                 unrollCap: Int = 0)
+                                 unrollCap: Int = 0,
+                                 filterIdx: Set[Int] = Set.empty)
+
+  /** Substitute FILTER params by source (jq's filter args are evaluated
+    * in the caller's context at every reference — exactly macro
+    * substitution). Token-aware: skips string literals (but substitutes
+    * inside `\(...)` interpolation holes), object-KEY positions
+    * (`{g: g}` keeps the key literal, substitutes the value — jq's
+    * rule), field access `.g`, and variables `$g`.
+    */
+  private def substituteFilterParams(src: String,
+                                     subs: Map[String, String]): String = {
+    if (subs.isEmpty) return src
+    val sb = new StringBuilder
+    var i = 0
+    // literal depth: strings nest through `\(...)` holes — even entries
+    // are code contexts, odd are string-literal contexts
+    var strNest = List.empty[Int] // paren depth inside each open hole
+    var inStr = false
+    def prevNonWs: Char = {
+      var j = sb.length - 1
+      while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+      if (j >= 0) sb.charAt(j) else ' '
+    }
+    def nextNonWs(from: Int): Char = {
+      var j = from
+      while (j < src.length && src.charAt(j).isWhitespace) j += 1
+      if (j < src.length) src.charAt(j) else ' '
+    }
+    while (i < src.length) {
+      val c = src.charAt(i)
+      if (inStr) { // string-literal context
+        sb += c
+        if (c == '\\' && i + 1 < src.length) {
+          if (src.charAt(i + 1) == '(') { // interpolation hole → code
+            strNest ::= 1; inStr = false
+          }
+          sb += src.charAt(i + 1); i += 1
+        } else if (c == '"') {
+          inStr = false // string closed; back to enclosing code context
+        }
+        i += 1
+      } else if (c == '"') { inStr = true; sb += c; i += 1 }
+      else if (strNest.nonEmpty && (c == '(' || c == ')')) {
+        val d = strNest.head + (if (c == '(') 1 else -1)
+        if (d == 0) { strNest = strNest.tail; inStr = true } // hole closed
+        else strNest = d :: strNest.tail
+        sb += c; i += 1
+      } else if ((c.isLetter || c == '_') && {
+        val p = if (sb.nonEmpty) sb.charAt(sb.length - 1) else ' '
+        !(p.isLetterOrDigit || p == '_' || p == '.' || p == '$')
+      }) {
+        val st = i
+        while (i < src.length && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_')) i += 1
+        val tok = src.substring(st, i)
+        val keyPos = (prevNonWs == '{' || prevNonWs == ',') &&
+          nextNonWs(i) == ':'
+        subs.get(tok) match {
+          case Some(rep) if !keyPos => sb ++= rep
+          case _ => sb ++= tok
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   /** Strip leading `def name($a; $b): body;` declarations (jq's function
     * bindings, scoped from declaration to end of program — supported at
@@ -363,15 +432,23 @@ object JqTransform {
         }
         val header = decl.substring(0, colon).trim
         val bodySrc = decl.substring(colon + 1).trim
-        val (name, params) = header.indexOf('(') match {
-          case -1 => (header, Nil)
+        val (name, params, filterIdx) = header.indexOf('(') match {
+          case -1 => (header, List.empty[String], Set.empty[Int])
           case p =>
             require(header.endsWith(")"), s"jq_expr: malformed def params: $header")
             val ps = header.substring(p + 1, header.length - 1).split(';').toList
               .map(_.trim).filter(_.nonEmpty)
-            ps.foreach(x => require(x.startsWith("$") && x.length > 1,
-              s"jq_expr: def params must be $$-variables (value params), got '$x' in: $header"))
-            (header.substring(0, p).trim, ps.map(_.drop(1)))
+            ps.foreach(x => require(
+              (x.startsWith("$") && x.length > 1 &&
+                x.drop(1).forall(ch => ch.isLetterOrDigit || ch == '_')) ||
+                x.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"jq_expr: def params must be $$-variables or filter names, " +
+                s"got '$x' in: $header"))
+            val fIdx = ps.zipWithIndex.collect {
+              case (x, idx) if !x.startsWith("$") => idx
+            }.toSet
+            (header.substring(0, p).trim,
+              ps.map(x => if (x.startsWith("$")) x.drop(1) else x), fIdx)
         }
         require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
           s"jq_expr: bad def name '$name'")
@@ -380,12 +457,20 @@ object JqTransform {
         // re-parse is semantics-preserving for non-recursive bodies)
         val selfCalls = ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
           "(?![A-Za-z0-9_])").r.findAllMatchIn(bodySrc).size
-        if (selfCalls == 0) {
+        if (selfCalls == 0 && filterIdx.isEmpty) {
           val bodyP = new P(bodySrc, defs)
           val body = bodyP.parseValue()
           bodyP.skipWs()
           require(!bodyP.hasMore, s"jq_expr: trailing input after def body: $bodySrc")
           defs += (name -> JqDef(params, body, bodySrc))
+        } else if (filterIdx.nonEmpty) {
+          // FILTER params: the body is a macro template — call sites
+          // substitute each filter arg's SOURCE and parse there (errors
+          // still surface at JqTransform.compile, which parses every
+          // call site); recursion detection composes (unrollCap below)
+          val cap = if (selfCalls <= 1) 12 else 5
+          defs += (name -> JqDef(params, null, bodySrc,
+            recursive = selfCalls > 0, unrollCap = cap, filterIdx = filterIdx))
         } else {
           // recursive: validate by parsing ONE expansion level with self
           // in scope; call sites re-parse with their own depth counters.
@@ -3256,41 +3341,57 @@ object JqTransform {
                else s" (defined: ${defs.keys.toSeq.sorted.mkString(", ")})") +
               "; builtin value functions like tostring/length apply after '|'"))
           skipWs()
-          val args: List[V] =
+          // args carry their SOURCE spans too: filter params substitute
+          // by source (macro), value params bind the parsed V
+          val args: List[(V, String)] =
             if (peek == '(') {
               next()
-              val as = List.newBuilder[V]
-              as += parseValue()
+              val as = List.newBuilder[(V, String)]
+              def one(): Unit = {
+                skipWs(); val st = i
+                val v = parseValue()
+                as += ((v, s.substring(st, i)))
+              }
+              one()
               skipWs()
-              while (peek == ';') { next(); as += parseValue(); skipWs() }
+              while (peek == ';') { next(); one(); skipWs() }
               expect(')')
               as.result()
             } else Nil
           require(args.length == d.params.length,
             s"jq_expr: $name expects ${d.params.length} arg(s), got ${args.length}")
+          val subs = d.filterIdx.map(ix =>
+            d.params(ix) -> ("(" + args(ix)._2.trim + ")")).toMap
+          val valueParams = d.params.zipWithIndex.collect {
+            case (p, ix) if !d.filterIdx(ix) => p -> args(ix)._1
+          }
           // recursive defs re-parse their source per CALL SITE with a
           // bumped depth counter (bounded static unroll); past the cap
           // the call is a loud runtime raise_error — rows that never
-          // recurse that deep never evaluate it (lazy when-branches)
+          // recurse that deep never evaluate it (lazy when-branches).
+          // Filter-param defs also re-parse per call site, over the
+          // substituted template.
           val bodyV: V =
-            if (!d.recursive) d.body
+            if (!d.recursive && d.filterIdx.isEmpty) d.body
             else {
               val dep = depth.getOrElse(name, 0)
-              if (dep >= d.unrollCap)
+              if (d.recursive && dep >= d.unrollCap)
                 _ => raise_error(lit(
                   s"jq_expr: recursive def '$name' exceeded the static " +
                     s"unroll depth ${d.unrollCap} on this row's data")).cast("double")
               else {
-                val bp = new P(d.src, defs, depth + (name -> (dep + 1)))
+                val effSrc = substituteFilterParams(d.src, subs)
+                val bp = new P(effSrc, defs,
+                  if (d.recursive) depth + (name -> (dep + 1)) else depth)
                 val b = bp.parseValue()
                 bp.skipWs()
                 require(!bp.hasMore,
-                  s"jq_expr: trailing input after def body: ${d.src}")
+                  s"jq_expr: trailing input after def body: $effSrc")
                 b
               }
             }
           df => {
-            val bound = d.params.zip(args).map { case (p, a) =>
+            val bound = valueParams.map { case (p, a) =>
               p -> Bound(a(df), lit(null).cast(dtOfV(df, a)))
             }
             varBindings.withValue(varBindings.value ++ bound)(bodyV(df))

@@ -535,6 +535,18 @@ class JqDifferentialSpec extends SparkTestBase {
       Seq("""{"v": 0}""", """{"v": 1}""", """{"v": 5}"""))
   }
 
+  // ---- round 8: def FILTER params (caller-context macro semantics) ----
+
+  test("def filter params: re-evaluated per reference, caller context") {
+    check("""def twice(f): f + f; {x: twice(.id), y: twice(.value + 1)}""", rows)
+    check("""def over(f): .tags | map(f); {m: over(. + "!")}""", rows)
+    check("""def mix($a; f): $a + f; {z: mix(10; .value)}""", rows)
+    // object KEY stays literal; the value position substitutes (jq rule)
+    check("""def f(g): {g: g}; {o: f(.id + 1)}""", rows)
+    // filter param inside string interpolation holes substitutes
+    check("""def tag(f): "v=\(f)!"; {s: tag(.id * 2)}""", rows)
+  }
+
   // ---- round 8: nested destructuring + ?// pattern alternatives ----
 
   test("nested array/object destructuring patterns") {

@@ -500,9 +500,10 @@ class JqTransformSpec extends SparkTestBase {
     val loop = JqTransform(df, """def loop($x): loop($x); {o: loop(1)}""")
     val le = intercept[Exception](loop.head())
     assert(String.valueOf(le.getMessage).contains("unroll depth"))
-    // bare filter params are out of scope, rejected at parse
-    assertThrows[IllegalArgumentException](
-      JqTransform.compile("""def f(g): g; {o: f(1)}"""))
+    // bare filter params expand by macro substitution (round 8)
+    val fp = JqTransform(df,
+      """def sq(g): g * g; {o: sq(.value + 1)}""").head()
+    assert(fp.getLong(0) == 101L * 101L)
     // arity mismatch is a parse-time error
     assertThrows[IllegalArgumentException](
       JqTransform.compile("""def one($x): $x; {o: one(1; 2)}"""))
