@@ -1367,6 +1367,18 @@ object SparkEntry {
         """def fact($n): if $n <= 1 then 1 else $n * fact($n - 1) end;
           |{t: .window_start, f: fact(.value % 6 + 1)}""".stripMargin)),
 
+    // O14 round-8 notch: def FILTER params (macro substitution — jq
+    // re-evaluates a filter arg in the caller's context at every
+    // reference, so `twice(f)` evaluates `.value` twice) composed with a
+    // mixed $-value/filter signature in one program
+    "c66_jq_def_filter_params" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """def twice(f): f + f;
+          |def scale($k; g): g * $k;
+          |{t: .window_start, d: twice(.value), s: scale(3; .value + 1)}"""
+          .stripMargin)),
+
     // O14 round-8 notch: DATA-DEPENDENT try/catch — the body compiles but
     // fails per-row (zero divisor when value ≡ 0 mod 3; tonumber on a
     // non-numeric counter_id), and error rows route to the catch handler
@@ -1883,6 +1895,13 @@ object SparkEntry {
         """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
           |           count(*) AS v FROM events GROUP BY 1)
           |SELECT t, factorial((v % 6 + 1)::INT)::DOUBLE AS f FROM c""".stripMargin,
+      // c66: def filter params — twice(.value) re-evaluates the filter
+      // arg per reference (2v); scale(3; .value+1) mixes a $-value and a
+      // filter param (3(v+1))
+      "c66_jq_def_filter_params" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t, v + v AS d, (v + 1) * 3 AS s FROM c""".stripMargin,
       // c62: runtime try/catch — windows whose count ≡ 0 mod 3 divide by
       // zero and take the handler (-1); tonumber on the counter_id string
       // always takes its handler (0)
