@@ -1379,6 +1379,44 @@ object SparkEntry {
           |{t: .window_start, d: twice(.value), s: scale(3; .value + 1)}"""
           .stripMargin)),
 
+    // O14 round-8 notch: walk(f) — bottom-up schema recursion with the
+    // type-dispatch idiom; static branch pruning compiles exactly the
+    // applicable branch per node (strings lowercase, numbers double,
+    // containers pass through), nested arrays included
+    "c67_jq_walk" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{t: .window_start,
+          | o: ({id: "W\(.window_start)", n: .value,
+          |      inner: {s: "AbC", arr: [.value, 3]}}
+          |     | walk(if type == "string" then ascii_downcase
+          |            elif type == "number" then . * 2 else . end))}"""
+          .stripMargin)),
+
+    // O14 round-8 notch: until(cond; update) — the jq-source PRELUDE def
+    // riding the filter-param + bounded-recursive-unroll machinery;
+    // smallest power of 2 ≥ (value mod 50 + 2), ≤ 6 doublings per row
+    "c68_jq_until" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """(.value % 50 + 2) as $v
+          || {t: .window_start, p2: (1 | until(. >= $v; . * 2))}"""
+          .stripMargin)),
+
+    // O14 round-8 notch: the datetime triangle (gmtime → strftime with a
+    // C-format translated to a Spark pattern at parse time; nth over the
+    // broken-down array) + unique_by's keyed dedup + non-overlapping
+    // string indices — all codegen'd expressions, no UDF
+    "c69_jq_datetime" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """{t: .window_start,
+          | iso: ((.window_start / 1000) | gmtime | strftime("%Y-%m-%dT%H:%M:%SZ")),
+          | wd: (((.window_start / 1000) | gmtime) | nth(6)),
+          | u: ([.value, .value + 1, .value] | unique_by(. % 2)),
+          | ix: ("abcabcab" | indices("ab"))}"""
+          .stripMargin)),
+
     // O14 round-8 notch: DATA-DEPENDENT try/catch — the body compiles but
     // fails per-row (zero divisor when value ≡ 0 mod 3; tonumber on a
     // non-numeric counter_id), and error rows route to the catch handler
@@ -1902,6 +1940,35 @@ object SparkEntry {
         """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
           |           count(*) AS v FROM events GROUP BY 1)
           |SELECT t, v + v AS d, (v + 1) * 3 AS s FROM c""".stripMargin,
+      // c67: walk — strings lowercase ('W'→'w', 'AbC'→'abc'), numbers
+      // double, containers keep shape; struct → canonical JSON (Verify
+      // canonicalizes, DuckDB to_json matches byte for byte)
+      "c67_jq_walk" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t, to_json(struct_pack(
+          |  id := 'w' || t::VARCHAR, n := 2 * v,
+          |  inner := struct_pack(s := 'abc', arr := [2 * v, 6]))) AS o FROM c"""
+          .stripMargin,
+      // c69: gmtime/strftime (DuckDB's strftime takes the same C formats),
+      // dayofweek is Sunday-0 in both, unique_by's first-per-sorted-key
+      // rule recomputed as a CASE, indices' non-overlapping scan constant
+      "c69_jq_datetime" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t,
+          |  strftime(to_timestamp(t // 1000), '%Y-%m-%dT%H:%M:%SZ') AS iso,
+          |  dayofweek(to_timestamp(t // 1000))::BIGINT AS wd,
+          |  to_json(CASE WHEN v % 2 = 0 THEN [v, v + 1] ELSE [v + 1, v] END)::VARCHAR AS u,
+          |  to_json([0, 3, 6]::BIGINT[])::VARCHAR AS ix
+          |FROM c""".stripMargin,
+      // c68: until — smallest power of 2 ≥ (v mod 50 + 2); the unroll
+      // cap's raise_error arm coerces the chain to DOUBLE, like c64
+      "c68_jq_until" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS v FROM events GROUP BY 1)
+          |SELECT t, power(2, ceil(log2(v % 50 + 2)))::DOUBLE AS p2 FROM c"""
+          .stripMargin,
       // c62: runtime try/catch — windows whose count ≡ 0 mod 3 divide by
       // zero and take the handler (-1); tonumber on the counter_id string
       // always takes its handler (0)

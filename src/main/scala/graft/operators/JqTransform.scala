@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType, NullType, NumericType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DateType, MapType, NullType, NumericType, StringType, StructField, StructType, TimestampType}
 
 import graft.functions.Canonical
 
@@ -191,6 +191,23 @@ import graft.functions.Canonical
   * [[substituteFilterParams]]).
   * Programs needing the rest belong in a real jq; every config observed
   * in the reference repo compiles here.
+  *
+  * ROUND 8, second tranche: STATIC BRANCH PRUNING — an `if`/`elif`
+  * condition that Catalyst folds to a constant (the `type == "…"`
+  * dispatch idiom over schema-static values; decided on an empty
+  * same-schema shell frame so no data is touched) picks its branch at
+  * plan time, dropping branches that could never type-unify; inside HOF
+  * lambdas the decision falls back to a non-null non-foldable stand-in
+  * binding ([[analysisDummy]] — null checks fold via nullability, value
+  * predicates never fold, so only type-level facts can prune). That
+  * unlocks `walk(f)` (bottom-up schema recursion, f compiled per node
+  * type — [[walkApply]]) and `map_values(f)` ([[mapValuesApply]]), plus
+  * a jq-source PRELUDE ([[PreludeDefs]]: `until` as jq defines it, over
+  * the filter-param + recursive-unroll machinery) and def calls in pipe
+  * position (`A | f` with `.` bound to the piped value). Convention:
+  * within walk/map_values a runtime-null node dispatches by its SCHEMA
+  * type (jq reports "null") — observably identical for the usual
+  * type-dispatch bodies whose null branch is `.`.
   *
   * Internally a parsed value is a `DataFrame => Column` — type-dependent
   * constructs (truthiness, `not`, `length`, struct expansion) resolve
@@ -387,9 +404,27 @@ object JqTransform {
     * `$`-variables (jq's value-param form, `def f($x): …`); bare filter
     * params are out of scope, documented.
     */
+  /** jq-source PRELUDE: builtins that are themselves jq definitions over
+    * the compiler's own def machinery (filter params by macro
+    * substitution + bounded recursive unroll) — exactly how jq ships
+    * them in builtin.jq. Injected by [[stripDefs]] only when referenced
+    * and not shadowed by a user `def` of the same name (jq's builtin
+    * shadowing rule). `until`'s iteration count is bounded by the
+    * recursive unroll cap (a loud runtime error past it, see [[JqDef]]).
+    */
+  private val PreludeDefs: Seq[(String, String)] = Seq(
+    "until" ->
+      "def until(cond; update): if cond then . else (update | until(cond; update)) end; ")
+
   private def stripDefs(src: String): (Map[String, JqDef], String) = {
     var defs = Map.empty[String, JqDef]
-    var s = src
+    var s = PreludeDefs.foldRight(src) { case ((n, d), acc) =>
+      val referenced =
+        ("(?<![A-Za-z0-9_.$])" + n + "\\s*\\(").r.findFirstIn(acc).isDefined
+      val userDefined =
+        ("def\\s+" + n + "\\s*\\(").r.findFirstIn(acc).isDefined
+      if (referenced && !userDefined) d + acc else acc
+    }
     var go = true
     while (go) {
       val t = s.dropWhile(_.isWhitespace)
@@ -502,7 +537,7 @@ object JqTransform {
     * Spark invokes HOF builder lambdas exactly once at plan-construction
     * time, so dynamically-scoped bindings are sound and nest.
     */
-  private case class Bound(real: Column, probe: Column)
+  private case class Bound(real: Column, probe: Column, dt: DataType = null)
 
   private val probeMode = new scala.util.DynamicVariable[Boolean](false)
 
@@ -844,24 +879,75 @@ object JqTransform {
     *
     * Lowering: a top-level path is one `withColumn`; a nested path is
     * `withField` on the root column (Catalyst's UpdateFields — one
-    * projection, codegen-fused). Static-schema caveats, loud not silent:
-    * a nested path's PARENT struct must already exist (jq fabricates
-    * `{}` parents), and a runtime-null parent stays null rather than
-    * being fabricated. Multiple-target forms (`(.a, .b) = 1`) and
-    * bracket paths stay out of scope.
+    * projection, codegen-fused). ROUND 8: bracket segments — `.a[] |= f`
+    * maps every element through one codegen'd `transform` (object values
+    * via `transform_values`), `.a[i] op= E` updates in place with jq's
+    * null-padding on an out-of-range non-negative leaf index and jq's
+    * loud error on an out-of-bounds negative one — and the multi-target
+    * form `(.a, .b) op= E` folds the targets sequentially (later targets
+    * see earlier writes, jq's path-list semantics). Static-schema
+    * caveats, loud not silent: a nested path's PARENT struct must
+    * already exist (jq fabricates `{}` parents), and a runtime-null
+    * parent stays null rather than being fabricated.
     */
+  /** One segment of an assignment target path: a field, a literal array
+    * index (negative = from the end, jq-style), or `[]` (every element /
+    * every object value). */
+  private sealed trait PathSeg
+  private final case class FieldSeg(name: String) extends PathSeg
+  private final case class IdxSeg(i: Int) extends PathSeg
+  private case object AllSeg extends PathSeg
+
   private object AssignStage {
-    private val Re = java.util.regex.Pattern.compile(
-      "(?s)^\\.([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)*)" +
-        "\\s*(\\|=|\\+=|-=|\\*=|%=|/=|//=|=)\\s*(.*)$")
-    def parts(stage: String): Option[(Seq[String], String, String)] = {
-      val m = Re.matcher(stage)
-      if (!m.matches) None
-      else {
-        val op = m.group(2); val rhs = m.group(3)
+    private val PathRe =
+      "\\.[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*|\\[(?:-?[0-9]+)?\\])*"
+    private val Ops = "(\\|=|\\+=|-=|\\*=|%=|/=|//=|=)"
+    private val Single = java.util.regex.Pattern.compile(
+      s"(?s)^($PathRe)\\s*$Ops\\s*(.*)$$")
+    // jq's multi-target form: `(.a, .b) = E` — each target updated in
+    // sequence over the SAME record (later targets see earlier updates,
+    // jq's sequential path-update semantics)
+    private val Multi = java.util.regex.Pattern.compile(
+      s"(?s)^\\(\\s*($PathRe(?:\\s*,\\s*$PathRe)*)\\s*\\)\\s*$Ops\\s*(.*)$$")
+
+    /** Tokenize `.a.b[0].c[]` into segments. */
+    def segs(path: String): Seq[PathSeg] = {
+      val out = Seq.newBuilder[PathSeg]
+      var i = 0
+      while (i < path.length) {
+        path.charAt(i) match {
+          case '.' =>
+            var j = i + 1
+            while (j < path.length &&
+                (path.charAt(j).isLetterOrDigit || path.charAt(j) == '_')) j += 1
+            out += FieldSeg(path.substring(i + 1, j)); i = j
+          case '[' =>
+            val j = path.indexOf(']', i)
+            val inner = path.substring(i + 1, j).trim
+            out += (if (inner.isEmpty) AllSeg else IdxSeg(inner.toInt))
+            i = j + 1
+          case _ => i += 1 // unreachable under the regexes
+        }
+      }
+      out.result()
+    }
+
+    def parts(stage: String): Option[(Seq[Seq[PathSeg]], String, String)] = {
+      val m1 = Single.matcher(stage)
+      if (m1.matches) {
+        val op = m1.group(2); val rhs = m1.group(3)
         // `.a == E` is a comparison, not an assignment
         if (op == "=" && rhs.startsWith("=")) None
-        else Some((m.group(1).split('.').toSeq, op, rhs.trim))
+        else Some((Seq(segs(m1.group(1))), op, rhs.trim))
+      } else {
+        val m2 = Multi.matcher(stage)
+        if (!m2.matches) None
+        else {
+          val op = m2.group(2); val rhs = m2.group(3)
+          if (op == "=" && rhs.startsWith("=")) None
+          else Some((m2.group(1).split(',').toSeq.map(p => segs(p.trim)),
+            op, rhs.trim))
+        }
       }
     }
     def matches(stage: String): Boolean = parts(stage).isDefined
@@ -911,7 +997,7 @@ object JqTransform {
 
   private def compileAssign(stage: String,
                             defs: Map[String, JqDef]): DataFrame => DataFrame = {
-    val (path, op, rhsSrc) = AssignStage.parts(stage).get
+    val (targets, op, rhsSrc) = AssignStage.parts(stage).get
     require(rhsSrc.nonEmpty, s"jq_expr: assignment needs a right-hand side: $stage")
     require(!((op == "%=" || op == "/=") && isZeroLiteral(rhsSrc)),
       s"jq_expr: '$op $rhsSrc' divides by literal zero — jq raises " +
@@ -920,14 +1006,17 @@ object JqTransform {
     val rhs = p.parseValue()
     p.skipWs()
     require(!p.hasMore, s"jq_expr: trailing input in assignment: $stage")
-    df => {
-      val old = pathColumn(df, path)
-      val oldDt = dtOf(df, old)
+    // multi-target `(.a, .b) op= E`: sequential path updates over the
+    // same record — each target's update sees the previous targets'
+    // writes, exactly jq's fold over the path list
+    df0 => targets.foldLeft(df0) { (df, path) =>
       def rowRhs: Column = rhs(df) // '.' = the row
-      val updated: Column = op match {
+      // the update applied AT the target site — `old` is the value there
+      // (per-element inside `[]`/index traversals)
+      def updFn(old: Column, oldDt: DataType): Column = op match {
         case "=" => rowRhs
         case "|=" => // '.' = the old path value
-          elemBinding.withValue(Some(Bound(old, lit(null).cast(oldDt))))(rhs(df))
+          elemBinding.withValue(Some(Bound(old, lit(null).cast(oldDt), oldDt)))(rhs(df))
         case "+=" => polyAdd(oldDt, dtOfV(df, rhs), old, rowRhs)
         case "-=" => old - rowRhs
         case "*=" => polyMul(oldDt, dtOfV(df, rhs), old, rowRhs)
@@ -941,18 +1030,94 @@ object JqTransform {
           case _ => coalesce(old, rowRhs)
         }
       }
-      path match {
-        case Seq(top) => df.withColumn(top, updated)
-        case Seq(top, rest @ _*) =>
-          // resolve the root case-insensitively, matching pathColumn's
-          // resolution — `.Meta.k |= f` must find a `meta` column exactly
-          // as `.Meta.k` does in read position
-          val resolved = df.columns.find(_.equalsIgnoreCase(top)).getOrElse(
-            throw new IllegalArgumentException(
+      // Rebuild the value at `cur` with the path's remainder applied.
+      // Bracket traversals (round 8): `[]` maps every array element (or
+      // object value) through ONE codegen'd transform/transform_values;
+      // a literal index updates in place, with jq's null-padding on an
+      // out-of-range non-negative LEAF index (`[] | .[2] = 1` →
+      // [null,null,1]) and jq's loud out-of-bounds error for negative
+      // indexes; reaching THROUGH an out-of-range index would need jq's
+      // fabricated containers — a loud per-row error instead (static
+      // schemas cannot fabricate). A runtime-null container stays null
+      // (documented convention, as with nested parents).
+      def rebuild(cur: Column, dt: DataType, rest: List[PathSeg]): Column =
+        rest match {
+          case Nil => updFn(cur, dt)
+          case FieldSeg(n) :: t => dt match {
+            case st: StructType =>
+              // case-insensitive, matching pathColumn's read resolution
+              st.fields.find(_.name.equalsIgnoreCase(n)) match {
+                case Some(fd) =>
+                  cur.withField(fd.name,
+                    rebuild(cur.getField(fd.name), fd.dataType, t))
+                case None if t.isEmpty => // leaf key appends, like jq
+                  cur.withField(n, updFn(lit(null), NullType))
+                case None => throw new IllegalArgumentException(
+                  s"jq_expr: assignment parent .$n does not exist — static " +
+                    s"schemas cannot fabricate intermediate objects: $stage")
+              }
+            case other => throw new IllegalArgumentException(
+              s"jq_expr: assignment path .$n reaches into " +
+                s"${other.simpleString}, not an object: $stage")
+          }
+          case AllSeg :: t => dt match {
+            case at: ArrayType =>
+              transform(cur, x => rebuild(x, at.elementType, t))
+            case mt: MapType =>
+              transform_values(cur, (_, x) => rebuild(x, mt.valueType, t))
+            case st: StructType =>
+              // jq's `.obj[] |= f`: every field value updated from its
+              // ORIGINAL value (not left-to-right); withField on a
+              // runtime-null struct stays null, the documented convention
+              st.fields.foldLeft(cur)((c, fd) =>
+                c.withField(fd.name, rebuild(cur.getField(fd.name), fd.dataType, t)))
+            case other => throw new IllegalArgumentException(
+              s"jq_expr: '[]' in an assignment path over " +
+                s"${other.simpleString} (array or object required): $stage")
+          }
+          case IdxSeg(n) :: t => dt match {
+            case at: ArrayType =>
+              val et = at.elementType
+              if (n >= 0) {
+                val inPlace = transform(cur, (x, idx) =>
+                  when(idx === lit(n), rebuild(x, et, t)).otherwise(x))
+                if (t.isEmpty) {
+                  val padded = concat(cur,
+                    array_repeat(lit(null).cast(et), lit(n) - size(cur)),
+                    array(rebuild(lit(null).cast(et), et, Nil)))
+                  when(size(cur) > lit(n), inPlace).otherwise(padded)
+                } else
+                  when(size(cur) > lit(n), inPlace).otherwise(raise_error(lit(
+                    s"jq_expr: index $n out of range for a nested " +
+                      s"assignment — static schemas cannot fabricate " +
+                      s"containers: $stage")))
+              } else {
+                val norm = size(cur).cast("long") + lit(n.toLong)
+                val inPlace = transform(cur, (x, idx) =>
+                  when(idx.cast("long") === norm, rebuild(x, et, t)).otherwise(x))
+                when(norm >= lit(0L), inPlace).otherwise(raise_error(lit(
+                  // jq 1.6's message for `.[−k] = v` past the front
+                  "Out of bounds negative array index")))
+              }
+            case other => throw new IllegalArgumentException(
+              s"jq_expr: '[$n]' in an assignment path over " +
+                s"${other.simpleString} (array required): $stage")
+          }
+        }
+      path.toList match {
+        case FieldSeg(top) :: rest =>
+          df.columns.find(_.equalsIgnoreCase(top)) match {
+            case Some(resolved) =>
+              val dt = df.schema(df.schema.fieldIndex(resolved)).dataType
+              df.withColumn(resolved, rebuild(col(resolved), dt, rest))
+            case None if rest.isEmpty => // new top-level key appends
+              df.withColumn(top, updFn(lit(null), NullType))
+            case None => throw new IllegalArgumentException(
               s"jq_expr: assignment parent .$top does not exist — static " +
-                s"schemas cannot fabricate intermediate objects: $stage"))
-          df.withColumn(resolved,
-            col(resolved).withField(rest.mkString("."), updated))
+                s"schemas cannot fabricate intermediate objects: $stage")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"jq_expr: assignment target must start with a field: $stage")
       }
     }
   }
@@ -1363,6 +1528,47 @@ object JqTransform {
     "last" -> ((df, v) => { elementTypeV(df, v, "last"); try_element_at(v(df), lit(-1)) }),
     // jq reverse: arrays and strings share Spark's reverse
     "reverse" -> ((df, v) => reverse(v(df))),
+    // jq transpose: array-of-arrays, rows padded with null to the longest
+    // (jq's rule); [] and all-empty-rows give [] — one nested codegen'd
+    // transform over a generated index sequence, no explode
+    "transpose" -> ((df, v) => {
+      val et = elementTypeV(df, v, "transpose")
+      if (!et.isInstanceOf[ArrayType]) throw new IllegalArgumentException(
+        s"jq_expr: transpose expects an array of arrays, got " +
+          s"array<${et.simpleString}>")
+      val m = v(df)
+      val maxLen = coalesce(array_max(transform(m, r => size(r))), lit(0))
+      when(m.isNull, lit(null).cast(ArrayType(et))).otherwise(
+        when(maxLen <= lit(0), array().cast(ArrayType(et))).otherwise(
+          transform(sequence(lit(1), maxLen), i =>
+            transform(m, r => try_element_at(r, i)))))
+    }),
+    // jq debug: passes the value through (the stderr side channel has no
+    // distributed analog — documented as identity)
+    "debug" -> ((df, v) => v(df)),
+    // jq gmtime: seconds → broken-down UTC time [year, month(0-based),
+    // mday, hour, minute, second, weekday(0=Sunday), yearday(0-based)].
+    // Long elements (jq prints them as integers); fractional input
+    // seconds truncate — documented, the todate family owns sub-second
+    "gmtime" -> ((df, v) => {
+      val ts = timestamp_seconds(v(df).cast("long"))
+      array(
+        year(ts).cast("long"), (month(ts) - lit(1)).cast("long"),
+        dayofmonth(ts).cast("long"), hour(ts).cast("long"),
+        minute(ts).cast("long"), second(ts).cast("long"),
+        (dayofweek(ts) - lit(1)).cast("long"),
+        (dayofyear(ts) - lit(1)).cast("long"))
+    }),
+    // jq mktime: broken-down UTC time array (gmtime's layout; wday/yday
+    // ignored) → epoch seconds. jq 1.6 errors on a 6-element array —
+    // accepting it is a documented convenience, never a wrong answer
+    "mktime" -> ((df, v) => {
+      elementTypeV(df, v, "mktime")
+      val a = v(df)
+      def el(i: Int): Column = element_at(a, i).cast("int")
+      make_timestamp(el(1), el(2) + lit(1), el(3), el(4), el(5),
+        el(6).cast("decimal(16,6)"), lit("UTC")).cast("long")
+    }),
     // jq tostring: strings unchanged, containers JSON-encoded (jq's
     // rule — a cast would render Spark's "[a, b]" debug form), scalars
     // cast; for a variant the runtime type decides
@@ -1564,6 +1770,71 @@ object JqTransform {
     * context.
     */
   private val FuncsArg: Map[String, (DataFrame, V, V) => Column] = Map(
+    // jq walk(f)/map_values(f): schema-recursive / one-level application
+    // of f with `.` bound per node — see [[walkApply]]/[[mapValuesApply]]
+    "walk" -> ((df, v, a) => walkApply(df, v(df), dtOfV(df, v), a)._1),
+    "map_values" -> ((df, v, a) => mapValuesApply(df, v(df), dtOfV(df, v), a)),
+    // jq indices(i): all 0-based occurrence starts — substring starts
+    // over a string (NON-overlapping, probed against jq 1.6: "aaaa" |
+    // indices("aa") is [0,2], the scan strides past each match), equal-
+    // element positions over an array, subsequence starts for an array
+    // needle (those ARE overlapping in jq: [1,1,1,1] | indices([1,1]) is
+    // [0,1,2]); one codegen'd filter/fold over a generated index
+    // sequence. Empty needles give [] (jq 1.6 spins forever on "" —
+    // strictly-better divergence, documented).
+    "indices" -> ((df, v, a) => {
+      val longArr = ArrayType(org.apache.spark.sql.types.LongType)
+      dtOfV(df, v) match {
+        case StringType =>
+          val s = v(df); val n = a(df).cast("string")
+          val fits = (length(s) - length(n)).cast("long")
+          // non-overlapping needs scan state: one aggregate fold carrying
+          // (next admissible start, hits so far)
+          val folded = aggregate(
+            sequence(lit(0L), fits),
+            struct(lit(0L).as("nxt"), array().cast(longArr).as("idxs")),
+            (acc, i) => {
+              val hit = i >= acc.getField("nxt") &&
+                substr(s, i.cast("int") + lit(1), length(n)) === n
+              when(hit, struct((i + length(n).cast("long")).as("nxt"),
+                concat(acc.getField("idxs"), array(i)).as("idxs")))
+                .otherwise(acc)
+            },
+            acc => acc.getField("idxs"))
+          when(s.isNull || n.isNull, lit(null).cast(longArr)).otherwise(
+            when(length(n) === lit(0) || fits < lit(0L), array().cast(longArr))
+              .otherwise(folded))
+        case _: ArrayType =>
+          val arr = v(df)
+          dtOfV(df, a) match {
+            case _: ArrayType =>
+              val nd = a(df)
+              val fits = (size(arr) - size(nd)).cast("long")
+              when(arr.isNull || nd.isNull, lit(null).cast(longArr)).otherwise(
+                when(size(nd) === lit(0) || fits < lit(0L), array().cast(longArr))
+                  .otherwise(filter(sequence(lit(0L), fits),
+                    i => slice(arr, i.cast("int") + lit(1), size(nd)) <=> nd)))
+            case _ =>
+              val x = a(df)
+              when(arr.isNull, lit(null).cast(longArr)).otherwise(
+                when(size(arr) === lit(0), array().cast(longArr)).otherwise(
+                  filter(sequence(lit(0L), size(arr).cast("long") - lit(1L)),
+                    i => get(arr, i.cast("int")) <=> x)))
+          }
+        case dt => throw new IllegalArgumentException(
+          s"jq_expr: indices over ${dt.simpleString} is unsupported " +
+            "(string or array required)")
+      }
+    }),
+    // jq nth(n): the array's nth element, 0-based; out-of-range → null,
+    // negative → jq's loud error
+    "nth" -> ((df, v, a) => {
+      val et = elementTypeV(df, v, "nth")
+      val n = a(df).cast("long")
+      when(n < lit(0L),
+        raise_error(lit("jq_expr: nth doesn't support negative indices")).cast(et))
+        .otherwise(get(v(df), n.cast("int")))
+    }),
     // jq join(sep): stringified elements, null elements print empty,
     // [] → "" — one aggregate fold so the separator can be any value
     // expression (array_join takes only a literal delimiter)
@@ -1625,6 +1896,89 @@ object JqTransform {
           try_variant_get(c, "$." + (h :: t).mkString("."), "variant")
         case _ => lit(null)
       }
+    }
+
+  /** Apply `f` with `.` bound to (c: dt), under a FRESH type-probe memo:
+    * [[walkApply]]/[[mapValuesApply]] evaluate the same parse node under
+    * many binding contexts, and the identity-keyed [[dtMemo]] (sound for
+    * the usual one-context-per-node programs) must not leak a type
+    * probed at one node into another. Returns the value and its result
+    * type (the probe twin makes the type computable even inside HOF
+    * lambdas, where the real column cannot be analyzed).
+    */
+  private def applyBound(df: DataFrame, c: Column, dt: DataType,
+                         f: V): (Column, DataType) =
+    dtMemo.withValue(new java.util.IdentityHashMap[AnyRef, DataType]) {
+      dummyFirstMode.withValue(true) {
+        val probe = lit(null).cast(dt)
+        val out = elemBinding.withValue(Some(Bound(c, probe, dt)))(f(df))
+        val outDt = probeMode.withValue(true)(
+          dtOf(df, elemBinding.withValue(Some(Bound(probe, probe, dt)))(f(df))))
+        (out, outDt)
+      }
+    }
+
+  /** jq `walk(f)`: bottom-up — children rebuilt first, then f applied
+    * with `.` bound to the rebuilt node (jq's builtin.jq definition; the
+    * reference accepts any gojq program, `counter.go:439-466`). The
+    * STATIC TYPE TREE is the recursion structure: structs rebuild per
+    * field, arrays map via one codegen'd `transform` per nesting level,
+    * maps via `transform_values` — and f compiles PER NODE TYPE, so with
+    * static branch pruning the classic `walk(if type == "string" then
+    * ascii_downcase else . end)` picks exactly the applicable branch at
+    * every node. A runtime-null container stays null (jq hands f the
+    * null, whose type-dispatch branch is "null" → typically `.` —
+    * identical observable result for type-dispatched f; a documented
+    * hair otherwise).
+    */
+  private def walkApply(df: DataFrame, node: Column, dt: DataType,
+                        f: V): (Column, DataType) = {
+    val (rebuilt, rdt): (Column, DataType) = dt match {
+      case st: StructType =>
+        val walked = st.fields.toSeq.map(fd =>
+          (fd.name, walkApply(df, node.getField(fd.name), fd.dataType, f)))
+        val rs = StructType(walked.map { case (n, (_, t)) => StructField(n, t) })
+        (when(node.isNull, lit(null).cast(rs)).otherwise(
+          struct(walked.map { case (n, (c, _)) => c.as(n) }: _*)), rs)
+      case at: ArrayType =>
+        val (_, crt) =
+          walkApply(df, lit(null).cast(at.elementType), at.elementType, f)
+        (transform(node, x => walkApply(df, x, at.elementType, f)._1),
+          ArrayType(crt))
+      case mt: MapType =>
+        val (_, crt) =
+          walkApply(df, lit(null).cast(mt.valueType), mt.valueType, f)
+        (transform_values(node, (_, x) => walkApply(df, x, mt.valueType, f)._1),
+          MapType(mt.keyType, crt))
+      case other => (node, other)
+    }
+    applyBound(df, rebuilt, rdt, f)
+  }
+
+  /** jq `map_values(f)` (≡ `.[] |= f`): f over each field/element value,
+    * container shape kept. Structs apply per field (f compiles per field
+    * TYPE, with the same static branch pruning as walk), arrays are one
+    * codegen'd `transform`, maps one `transform_values`. jq's
+    * empty-output-deletes-key refinement needs streams-in-value-position
+    * — out of scope with the other stream-nesting shapes, documented.
+    */
+  private def mapValuesApply(df: DataFrame, node: Column, dt: DataType,
+                             f: V): Column =
+    dt match {
+      case st: StructType =>
+        val applied = st.fields.toSeq.map { fd =>
+          val (c, t) = applyBound(df, node.getField(fd.name), fd.dataType, f)
+          (fd.name, c, t)
+        }
+        val rs = StructType(applied.map { case (n, _, t) => StructField(n, t) })
+        when(node.isNull, lit(null).cast(rs))
+          .otherwise(struct(applied.map { case (n, c, _) => c.as(n) }: _*))
+      case at: ArrayType =>
+        transform(node, x => applyBound(df, x, at.elementType, f)._1)
+      case mt: MapType =>
+        transform_values(node, (_, x) => applyBound(df, x, mt.valueType, f)._1)
+      case other => throw new IllegalArgumentException(
+        s"jq_expr: map_values expects an object or array, got ${other.simpleString}")
     }
 
   /** jq `contains` semantics for `haystack contains needle` — the FULL
@@ -1725,7 +2079,121 @@ object JqTransform {
   private val varBindings =
     new scala.util.DynamicVariable[Map[String, Bound]](Map.empty)
 
+  /** C strftime format → Spark datetime pattern, at parse time. The
+    * supported directives cover jq's documented examples; anything else
+    * is a loud error (never a silently-wrong render). Literal runs are
+    * single-quoted so pattern letters in the input text cannot activate.
+    */
+  private def cFormatToSpark(fmt: String): String = {
+    val sb = new StringBuilder
+    val litBuf = new StringBuilder
+    def flushLit(): Unit = if (litBuf.nonEmpty) {
+      sb.append('\'').append(litBuf.toString.replace("'", "''")).append('\'')
+      litBuf.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        if (i + 1 >= fmt.length) throw new IllegalArgumentException(
+          "jq_expr: strftime format ends with a bare '%'")
+        val d = fmt.charAt(i + 1)
+        if (d == '%') litBuf.append('%')
+        else {
+          val rep = d match {
+            case 'Y' => "yyyy"; case 'y' => "yy"
+            case 'm' => "MM"; case 'd' => "dd"
+            case 'H' => "HH"; case 'M' => "mm"; case 'S' => "ss"
+            case 'I' => "hh"; case 'p' => "a"
+            case 'a' => "EEE"; case 'A' => "EEEE"
+            case 'b' | 'h' => "MMM"; case 'B' => "MMMM"
+            case 'j' => "DDD"
+            case 'T' => "HH:mm:ss"; case 'F' => "yyyy-MM-dd"
+            case 'D' => "MM/dd/yy"; case 'R' => "HH:mm"
+            case other => throw new IllegalArgumentException(
+              s"jq_expr: strftime directive %$other is unsupported " +
+                "(supported: %Y %y %m %d %H %M %S %I %p %a %A %b %B %j " +
+                "%T %F %D %R %%)")
+          }
+          flushLit(); sb.append(rep)
+        }
+        i += 2
+      } else { litBuf.append(c); i += 1 }
+    }
+    flushLit()
+    sb.toString
+  }
+
   private def pick(b: Bound): Column = if (probeMode.value) b.probe else b.real
+
+  /** STATIC BRANCH ANALYSIS mode (round 8): under [[elemDummyMode]] the
+    * `.` binding resolves to a non-null, NON-FOLDABLE stand-in of the
+    * element's type ([[analysisDummy]]) instead of the real column. The
+    * if-chain compiler uses it to decide type-dispatch conditions inside
+    * HOF lambda bodies, where the real column (a lambda variable) cannot
+    * be analyzed against any frame: null checks fold through the dummy's
+    * non-NULLABILITY (so `type` collapses to the static name and
+    * `type == "string"` folds to a constant), while every value-level
+    * predicate keeps the dummy's opaque `monotonically_increasing_id()`
+    * core and stays unfoldable — so only type-level facts can prune.
+    * `$`-variable bindings ([[varBindings]]) are NEVER dummied: a value
+    * parameter's data-dependence must keep its branches dynamic.
+    */
+  private val elemDummyMode = new scala.util.DynamicVariable[Boolean](false)
+
+  /** Set by [[applyBound]] (walk/map_values): the if-compiler tries the
+    * dummy-binding analysis FIRST there, so type-dispatch prunes even
+    * when the node is an analyzable-but-nullable real column (outside
+    * walk, the as-is path keeps jq's runtime-null "type == null"
+    * semantics; inside walk the per-node dispatch-by-SCHEMA-type rule is
+    * the documented convention — one rule for all nodes beats one that
+    * flips on nullability).
+    */
+  private val dummyFirstMode = new scala.util.DynamicVariable[Boolean](false)
+
+  /** [[pick]] for the `.` element binding: honors [[elemDummyMode]].
+    * Probe mode wins (type analysis needs the typed null regardless);
+    * dummy mode requires the binding to carry its type — bindings
+    * without one throw, which the if-compiler's analysis catches as
+    * "cannot decide statically".
+    */
+  private def pickElem(b: Bound): Column =
+    if (elemDummyMode.value) {
+      // dummy wins over probe: static branch analysis must reach the
+      // same decision in the type-probe pass as in the real pass (a
+      // typed-null probe would fold `type` to "null" there and pick a
+      // different branch — a probe/real type mismatch)
+      if (b.dt == null) throw new IllegalArgumentException(
+        "jq_expr internal: element binding carries no type for static " +
+          "branch analysis")
+      analysisDummy(b.dt)
+    } else if (probeMode.value) b.probe
+    else b.real
+
+  /** A non-null, non-foldable, analyzable stand-in of type `dt`, built
+    * on `monotonically_increasing_id()` (non-foldable AND non-nullable —
+    * verified against Catalyst: IsNull folds to false, value predicates
+    * including size()/length()/getField() chains stay unfoldable).
+    */
+  private def analysisDummy(dt: DataType): Column = {
+    val mid = monotonically_increasing_id()
+    dt match {
+      case NullType => lit(null)
+      case BooleanType => mid > lit(-1L)
+      case StringType => mid.cast("string")
+      case n: NumericType => mid.cast(n)
+      case TimestampType => timestamp_micros(mid)
+      case DateType => timestamp_micros(mid).cast(DateType)
+      case BinaryType => mid.cast("string").cast("binary")
+      case at: ArrayType => array(analysisDummy(at.elementType))
+      case mt: MapType =>
+        map(analysisDummy(mt.keyType), analysisDummy(mt.valueType))
+      case st: StructType =>
+        struct(st.fields.toSeq.map(f => analysisDummy(f.dataType).as(f.name)): _*)
+      case other => throw new IllegalArgumentException(
+        s"jq_expr internal: no analysis dummy for ${other.simpleString}")
+    }
+  }
 
   private final class P(s: String, defs: Map[String, JqDef] = Map.empty,
                         depth: Map[String, Int] = Map.empty) {
@@ -2066,8 +2534,23 @@ object JqTransform {
               (s.startsWith("as", i) && boundary(i + 2))
           } catch { case _: Throwable => false } finally i = save
         }
+        // a def name after `|` is a CALL with `.` = the piped value (jq:
+        // `A | f` evaluates f against A's output) — route it through the
+        // general body, whose elemBinding is exactly that; the atom
+        // parser resolves the call (defs shadow builtins there, jq's
+        // rule). This is what lets a recursive prelude def like `until`
+        // pipe into itself.
+        def identIsDef: Boolean = {
+          if (!(peek.isLetter || peek == '_')) false
+          else {
+            val save = i
+            val name = parseIdent()
+            i = save
+            defs.contains(name)
+          }
+        }
         if (peek == '(' || peek == '{' || peek == '[' || peek == '"' ||
-            pathThenOperator) {
+            pathThenOperator || identIsDef) {
           // GENERAL pipe body: `A | (.lo + .hi)`, `A | .lo + .hi`,
           // `A | {x: .f}`, `A | "v\(.k)"` — the body is a full value
           // expression with `.`/`.path` bound to the PIPED value (the
@@ -2079,7 +2562,7 @@ object JqTransform {
           v = df => {
             val et = dtOfV(df, vv)
             elemBinding.withValue(
-              Some(Bound(vv(df), lit(null).cast(et))))(body(df))
+              Some(Bound(vv(df), lit(null).cast(et), et)))(body(df))
           }
           skipWs()
         } else if (peek == '.' && i + 1 < s.length &&
@@ -2193,7 +2676,7 @@ object JqTransform {
           v = df => {
             val et = elementTypeV(df, vv, "map")
             transform(vv(df), x =>
-              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et), et)))(inner(df)))
           }
         } else if (fn == "with_entries") {
           // jq sugar: with_entries(f) ≡ to_entries | map(f) | from_entries
@@ -2208,7 +2691,7 @@ object JqTransform {
             val entriesV: V = d => Funcs("to_entries")(d, vv)
             val et = elementTypeV(df, entriesV, "with_entries")
             val mapped = transform(entriesV(df), x =>
-              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et), et)))(inner(df)))
             Funcs("from_entries")(df, _ => mapped)
           }
         } else if (fn == "group_by") {
@@ -2226,7 +2709,7 @@ object JqTransform {
             val et = elementTypeV(df, vv, "group_by")
             val arr = vv(df)
             def keyOf(x: Column): Column =
-              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df))
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et), et)))(inner(df))
             val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
             transform(keys, k => filter(arr, x => keyOf(x) <=> k))
           }
@@ -2246,7 +2729,7 @@ object JqTransform {
             val et = elementTypeV(df, vv, "sort_by")
             val arr = vv(df)
             def keyOf(x: Column): Column =
-              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df))
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et), et)))(inner(df))
             val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
             flatten(transform(keys, k => filter(arr, x => keyOf(x) <=> k)))
           }
@@ -2263,10 +2746,52 @@ object JqTransform {
             val et = elementTypeV(df, vv, fn)
             val arr = vv(df)
             def keyOf(x: Column): Column =
-              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df))
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et), et)))(inner(df))
             val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
             val sorted = flatten(transform(keys, k => filter(arr, x => keyOf(x) <=> k)))
             try_element_at(sorted, lit(if (wantMax) -1 else 1))
+          }
+        } else if (fn == "unique_by") {
+          // unique_by(f): jq defines it as [group_by(f)[] | .[0]] — one
+          // element per distinct key, the FIRST in original order, output
+          // sorted by key. Same sorted-distinct-keys kernel as group_by.
+          expect('(')
+          val inner = parseValue()
+          expect(')')
+          val vv = v
+          v = df => {
+            val et = elementTypeV(df, vv, "unique_by")
+            val arr = vv(df)
+            def keyOf(x: Column): Column =
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et), et)))(inner(df))
+            val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
+            transform(keys, k => element_at(filter(arr, x => keyOf(x) <=> k), 1))
+          }
+        } else if ((fn == "any" || fn == "all") && peek == '(') {
+          // any(f)/all(f): condition over each element with '.' bound —
+          // one codegen'd exists/forall; truthiness by the condition's
+          // static type (boolean → true-only; else non-null), as the
+          // 0-arity forms. (The 2-arity generator forms are out of scope
+          // with the other stream generators, documented.)
+          expect('(')
+          val inner = parseValue()
+          expect(')')
+          val vv = v
+          val wantAll = fn == "all"
+          v = df => {
+            val et = elementTypeV(df, vv, fn)
+            val probe = lit(null).cast(et)
+            val cdt = probeMode.withValue(true)(dtOf(df,
+              elemBinding.withValue(Some(Bound(probe, probe, et)))(inner(df))))
+            def condOf(x: Column): Column = {
+              val c = elemBinding.withValue(Some(Bound(x, probe, et)))(inner(df))
+              cdt match {
+                case BooleanType => coalesce(c, lit(false)) === lit(true)
+                case _ => c.isNotNull
+              }
+            }
+            if (wantAll) forall(vv(df), x => condOf(x))
+            else exists(vv(df), x => condOf(x))
           }
         } else if (fn == "sort") {
           // sort = ascending element sort, nulls first (jq's order; with a
@@ -2298,6 +2823,27 @@ object JqTransform {
               n >= lit(0) && n < size(vv(df)).cast("long")
             case dt => throw new IllegalArgumentException(
               s"jq_expr: has() requires an object or array, got ${dt.simpleString}")
+          }
+        } else if (fn == "strftime") {
+          // strftime(fmt): format a broken-down-time array (gmtime's
+          // layout — jq's only accepted input) with a C format string,
+          // translated to a Spark datetime pattern at parse time (loud
+          // on unsupported % directives). A NUMERIC input is accepted as
+          // epoch seconds (jq errors there — documented convenience).
+          expect('('); skipWs()
+          val fmtLit = parseStringLit()
+          skipWs(); expect(')')
+          val pattern = cFormatToSpark(fmtLit)
+          val vv = v
+          v = df => {
+            val ts = dtOfV(df, vv) match {
+              case _: NumericType => timestamp_seconds(vv(df).cast("long"))
+              case _: ArrayType => timestamp_seconds(Funcs("mktime")(df, vv))
+              case dt => throw new IllegalArgumentException(
+                s"jq_expr: strftime requires a gmtime array (or epoch " +
+                  s"seconds), got ${dt.simpleString}")
+            }
+            date_format(ts, pattern)
           }
         } else if (FuncsArg.contains(fn)) {
           expect('(')
@@ -2760,7 +3306,7 @@ object JqTransform {
         val bindV: V = df => {
           val dt = dtOfV(df, bound)
           val binds = bindAlternatives(binders, bound(df), dt)
-            .map { case (n, c, bdt) => n -> Bound(c, lit(null).cast(bdt)) }
+            .map { case (n, c, bdt) => n -> Bound(c, lit(null).cast(bdt), bdt) }
           varBindings.withValue(varBindings.value ++ binds)(body(df))
         }
         if (negLiteral) df => -bindV(df) else bindV
@@ -2888,7 +3434,7 @@ object JqTransform {
       expect(')')
       df => {
         val arrV: V = d => elemBinding.value match {
-          case Some(el) => parts.foldLeft(pick(el))((c, f) => c.getField(f))
+          case Some(el) => parts.foldLeft(pickElem(el))((c, f) => c.getField(f))
           case None => pathColumn(d, parts)
         }
         val et = elementTypeV(df, arrV, "foreach")
@@ -2896,9 +3442,9 @@ object JqTransform {
         val accProbe = lit(null).cast(accType)
         val elProbe = lit(null).cast(et)
         // default extract = '.' — the updated accumulator (jq's 2-arg form)
-        val extractV: V = extractOpt.getOrElse(_ => elemBinding.value.map(pick).get)
+        val extractV: V = extractOpt.getOrElse(_ => elemBinding.value.map(pickElem).get)
         def inCtx(acc: Column, x: Column)(v: V): Column =
-          elemBinding.withValue(Some(Bound(acc, accProbe))) {
+          elemBinding.withValue(Some(Bound(acc, accProbe, accType))) {
             varBindings.withValue(varBindings.value + (name -> Bound(x, elProbe)))(v(df))
           }
         // the extract's static type sizes the empty output array
@@ -2924,7 +3470,7 @@ object JqTransform {
       * frame (a `.path[]`/`paths` stage's output). Also the implicit
       * input of bare value-position builtins (`length` ≡ `. \| length`).
       */
-    private def bareDotV: V = df => elemBinding.value.map(pick).getOrElse {
+    private def bareDotV: V = df => elemBinding.value.map(pickElem).getOrElse {
       if (variantFrame(df)) col("__variant")
       else {
         val cols = df.columns.filterNot(_.startsWith("__var_"))
@@ -3008,7 +3554,7 @@ object JqTransform {
                 // element paths navigate the element struct (the element's
                 // fields resolve when the enclosing HOF analyzes — a missing
                 // field is an analyzer error here, unlike top-level paths)
-                case Some(el) => parts.foldLeft(pick(el))((c0, f) => c0.getField(f))
+                case Some(el) => parts.foldLeft(pickElem(el))((c0, f) => c0.getField(f))
                 case None => pathColumn(df, parts)
               }
               if (iterated) {
@@ -3043,9 +3589,9 @@ object JqTransform {
           df => {
             val cur = elemBinding.value.getOrElse(throw new IllegalArgumentException(
               "jq_expr: value-position map(...) needs '.' bound by an enclosing map"))
-            val et = elementTypeV(df, _ => pick(cur), "map")
-            transform(pick(cur), x =>
-              elemBinding.withValue(Some(Bound(x, lit(null).cast(et))))(inner(df)))
+            val et = elementTypeV(df, _ => pickElem(cur), "map")
+            transform(pickElem(cur), x =>
+              elemBinding.withValue(Some(Bound(x, lit(null).cast(et), et)))(inner(df)))
           }
         case '$' =>
           next()
@@ -3164,13 +3710,13 @@ object JqTransform {
           expect(')')
           df => {
             val arrV: V = d => elemBinding.value match {
-              case Some(el) => parts.foldLeft(pick(el))((c, f) => c.getField(f))
+              case Some(el) => parts.foldLeft(pickElem(el))((c, f) => c.getField(f))
               case None => pathColumn(d, parts)
             }
             val et = elementTypeV(df, arrV, "reduce")
             val accType = dtOfV(df, init)
             aggregate(arrV(df), init(df), (acc, x) =>
-              elemBinding.withValue(Some(Bound(acc, lit(null).cast(accType)))) {
+              elemBinding.withValue(Some(Bound(acc, lit(null).cast(accType), accType))) {
                 varBindings.withValue(
                   varBindings.value + (name -> Bound(x, lit(null).cast(et))))(update(df))
               })
@@ -3183,16 +3729,31 @@ object JqTransform {
           // map(...), where it is the element); branches must share a
           // Spark type.
           i += 2
-          val branches = Seq.newBuilder[(V, V)]
+          // per-branch static-analysis gate, decided at PARSE time from
+          // the condition's source: the type-dispatch idiom always names
+          // `type` (or is a bare literal condition) — everything else
+          // (e.g. a recursive def's `$n <= 1`, applied 2^depth times
+          // across an unroll) skips the Catalyst-analysis-costing static
+          // decision entirely
+          def analyzable(src: String): Boolean = {
+            val t = src.trim
+            t == "true" || t == "false" || t == "null" ||
+              "(?<![A-Za-z0-9_.$])type(?![A-Za-z0-9_])".r.findFirstIn(t).isDefined
+          }
+          val branches = Seq.newBuilder[(V, V, Boolean)]
+          val s0 = i
           val c0 = parseValue()
+          val c0Gate = analyzable(s.substring(s0, i))
           skipWs(); expectKeyword("then")
-          branches += ((c0, parseValue()))
+          branches += ((c0, parseValue(), c0Gate))
           skipWs()
           while (s.startsWith("elif", i) && boundary(i + 4)) {
             i += 4
+            val sN = i
             val c = parseValue()
+            val cGate = analyzable(s.substring(sN, i))
             skipWs(); expectKeyword("then")
-            branches += ((c, parseValue()))
+            branches += ((c, parseValue(), cGate))
             skipWs()
           }
           val elseV: V =
@@ -3200,21 +3761,86 @@ object JqTransform {
               i += 4
               parseValue()
             } else
-              _ => elemBinding.value.map(pick).getOrElse(
+              _ => elemBinding.value.map(pickElem).getOrElse(
                 throw new IllegalArgumentException(
                   "jq_expr: else-less 'if' emits '.', which is only defined " +
                     "inside map(...) — add an explicit else at top level"))
           skipWs(); expectKeyword("end")
           val bs = branches.result()
+          // STATIC BRANCH PRUNING (round 8): a condition that Catalyst
+          // folds to a constant (e.g. `type == "object"` over a
+          // schema-static value) decides its branch at plan time — a
+          // statically-false branch is dropped WITHOUT compiling its
+          // value, and a statically-true one terminates the chain. That
+          // is what makes jq's type-dispatch idiom (`walk(if type ==
+          // "string" then … else . end)`) compile under static schemas:
+          // the non-matching branches never have to type-unify with the
+          // matching one. Inside HOF lambdas (where the real column
+          // cannot be analyzed) the decision retries under
+          // [[elemDummyMode]] — sound for type-level facts only, and a
+          // documented hair: a runtime-null element dispatches by its
+          // SCHEMA type there, where jq would report "null".
           df => {
             def truthy(cond: V): Column = dtOfV(df, cond) match {
               case BooleanType => coalesce(cond(df), lit(false)) === lit(true)
               case _ => cond(df).isNotNull
             }
-            bs.tail
-              .foldLeft(when(truthy(bs.head._1), bs.head._2(df)))(
+            lazy val shell = df.sparkSession.createDataFrame(
+              df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              df.schema)
+            def optFold(c: Column): Option[Boolean] = {
+              import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+              import org.apache.spark.sql.catalyst.plans.logical.Project
+              shell.select(c.as("__c")).queryExecution.optimizedPlan match {
+                case p: Project => p.projectList.head match {
+                  case a: Alias => a.child match {
+                    case Literal(v, _) =>
+                      Some(v != null && v != false)
+                    case _ => None
+                  }
+                  case _ => None
+                }
+                case _ => None
+              }
+            }
+            def dummyFold(cond: V): Option[Boolean] =
+              try elemDummyMode.withValue(true)(optFold(cond(df)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            def staticTruth(cond: V): Option[Boolean] = {
+              // inside walk/map_values the dummy analysis goes FIRST
+              // (per-node dispatch-by-schema-type, see [[dummyFirstMode]])
+              if (dummyFirstMode.value) {
+                val d = dummyFold(cond)
+                if (d.isDefined) return d
+              }
+              // as-is (sound, keeps jq's null semantics when the
+              // scrutinee is a real column); on an ANALYSIS failure only
+              // (lambda-variable context), retry under the dummy binding
+              val asIs = try Right(optFold(cond(df)))
+                         catch { case scala.util.control.NonFatal(_) => Left(()) }
+              asIs match {
+                case Right(r) => r
+                case Left(_) => dummyFold(cond)
+              }
+            }
+            val kept = Seq.newBuilder[(V, V)]
+            var terminal: Option[V] = None
+            val it = bs.iterator
+            while (terminal.isEmpty && it.hasNext) {
+              val b = it.next()
+              (if (b._3) staticTruth(b._1) else None) match {
+                case Some(false) => // statically dead branch — drop
+                case Some(true) => terminal = Some(b._2)
+                case None => kept += ((b._1, b._2))
+              }
+            }
+            val rem = kept.result()
+            val tailV = terminal.getOrElse(elseV)
+            if (rem.isEmpty) tailV(df)
+            else rem.tail
+              .foldLeft(when(truthy(rem.head._1), rem.head._2(df)))(
                 (w, b) => w.when(truthy(b._1), b._2(df)))
-              .otherwise(elseV(df))
+              .otherwise(tailV(df))
           }
         case 't' if s.startsWith("try", i) && boundary(i + 3) =>
           // try E [catch H] — jq suppresses ERRORS from E and emits
@@ -3264,7 +3890,7 @@ object JqTransform {
                         case (w, (c, m)) => w.when(c(df), m(df))
                       }.otherwise(lit(null))
                     val hV: V = d => elemBinding.withValue(
-                      Some(Bound(msg, lit(null).cast(StringType))))(h(d))
+                      Some(Bound(msg, lit(null).cast(StringType), StringType)))(h(d))
                     try {
                       // jq's outputs are heterogeneous per row; a static
                       // column is not. A string handler beside a numeric
@@ -3299,7 +3925,7 @@ object JqTransform {
                 handler match {
                   case Some(h) =>
                     val msg = lit(String.valueOf(e.getMessage))
-                    elemBinding.withValue(Some(Bound(msg, msg)))(h(df))
+                    elemBinding.withValue(Some(Bound(msg, msg, StringType)))(h(df))
                   case None => lit(null)
                 }
             }

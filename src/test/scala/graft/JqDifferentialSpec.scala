@@ -571,6 +571,123 @@ class JqDifferentialSpec extends SparkTestBase {
       Seq("""{"v": [1]}"""))
   }
 
+  // ---- round 8, second tranche: walk / map_values / until / pipe-to-def ----
+
+  test("walk: type-dispatch over nested objects and arrays") {
+    // the classic builtin.jq idiom — strings lowercased at every depth
+    check("""{o: ({a: .id, s: .et, inner: {t: .tags, m: .meta}}
+            |     | walk(if type == "string" then ascii_downcase else . end))}"""
+      .stripMargin,
+      Seq("""{"id": 1, "et": "CLICK", "tags": ["A", "Bb"], "meta": {"k": 5, "s": "Xy"}}""",
+        """{"id": 2, "et": "View", "tags": [], "meta": {"k": 0, "s": ""}}"""))
+    // numbers scaled bottom-up, containers untouched
+    check("""{o: ({v: .value, w: [.value, 3]} | walk(if type == "number" then . * 2 else . end))}""",
+      rows)
+    // f over the CONTAINER too (bottom-up: leaves first, then the object)
+    check("""{o: ({a: 1, b: 2} | walk(if type == "object" then {n: (. | length)} else . end))}""",
+      Seq("""{"id": 1}"""))
+  }
+
+  test("map_values: objects, arrays, and type-dispatched bodies") {
+    check("""{o: (.meta | map_values(. == 5))}""",
+      Seq("""{"meta": {"k": 5, "j": 7}}""", """{"meta": {"k": 2, "j": 5}}"""))
+    check("""{o: (.tags | map_values(. + "!"))}""", rows)
+    // heterogeneous field types dispatch per field
+    check("""{o: (.meta | map_values(if type == "string" then ascii_downcase else . end))}""",
+      rows)
+  }
+
+  test("until: iterate update while cond is false (prelude def)") {
+    // smallest power of 2 >= v (integer-valued doubles print as ints in
+    // both engines after the unroll cap's double coercion)
+    check(""".value as $v | {id: .id, p2: (1 | until(. >= $v; . * 2))}""",
+      Seq("""{"id": 1, "value": 10}""", """{"id": 2, "value": 1}""",
+        """{"id": 3, "value": 63}"""))
+    // a user def named until SHADOWS the prelude (jq's rule)
+    check("""def until(a; b): 42; {x: (1 | until(. > 0; .))}""",
+      Seq("""{"id": 1}"""))
+  }
+
+  test("pipe into a def call binds '.' to the piped value") {
+    check("""def halve: . / 2; {h: (.value + 4 | halve)}""",
+      Seq("""{"value": 10}""", """{"value": 4}"""))
+    check("""def add1(f): f + 1; {z: (.value | add1(. * 3))}""",
+      Seq("""{"value": 5}"""))
+  }
+
+  test("bracket assignment paths: [] maps, [i] updates in place, [n] pads") {
+    // `.tags[] |= f` — every element through one codegen'd transform
+    check(""".tags[] |= ascii_downcase | {t: .tags}""",
+      Seq("""{"tags": ["A", "Bb", "cC"]}""", """{"tags": []}"""))
+    // object values via the struct rebuild (jq's `.obj[] |= f`)
+    check(""".meta[] |= (. * 10) | {m: .meta}""",
+      Seq("""{"meta": {"k": 5, "j": 7}}"""))
+    // literal index: in-place update, arithmetic ops see the old value
+    check(""".v[0] = 99 | .v[1] += 10 | {v: .v}""",
+      Seq("""{"v": [1, 2, 3]}"""))
+    // out-of-range non-negative leaf index null-pads, jq-style
+    check(""".v[3] = 9 | {v: .v}""", Seq("""{"v": [1]}""", """{"v": [7, 8, 6, 5]}"""))
+    // negative index counts from the end
+    check(""".v[-1] |= . * 2 | {v: .v}""", Seq("""{"v": [1, 5]}"""))
+    // bracket mid-path: field under every element
+    check(""".es[].k |= . + 1 | {es: .es}""",
+      Seq("""{"es": [{"k": 1}, {"k": 5}]}"""))
+  }
+
+  test("multi-target assignment: sequential path updates") {
+    check("""(.a, .b) = 0 | {a: .a, b: .b, c: .c}""",
+      Seq("""{"a": 1, "b": 2, "c": 3}"""))
+    check("""(.a, .b) |= . * 10 | {a: .a, b: .b}""",
+      Seq("""{"a": 1, "b": 2}"""))
+    // targets at mixed depths, including a bracket path
+    check("""(.m.k, .v[0]) += 100 | {m: .m, v: .v}""",
+      Seq("""{"m": {"k": 1}, "v": [5, 6]}"""))
+  }
+
+  test("unique_by / any(f) / all(f): keyed dedup and quantified conditions") {
+    check("""{u: (.es | unique_by(.k))}""",
+      Seq("""{"es": [{"k": 2, "n": "b"}, {"k": 1, "n": "a"}, {"k": 2, "n": "c"}]}"""))
+    check("""{u: (.v | unique_by(. % 3))}""",
+      Seq("""{"v": [7, 1, 4, 2, 9]}""", """{"v": []}"""))
+    check("""{a: (.v | any(. > 3)), b: (.v | all(. > 0))}""",
+      Seq("""{"v": [1, 2, 5]}""", """{"v": [1, 2]}""", """{"v": []}"""))
+    check("""{a: (.es | any(.k == 2)), b: (.es | all(.n == "a"))}""",
+      Seq("""{"es": [{"k": 2, "n": "a"}, {"k": 1, "n": "a"}]}"""))
+  }
+
+  test("indices: non-overlapping substring, element, and subsequence starts") {
+    // strings stride past each match ("aaaa"|indices("aa") → [0,2]) …
+    check("""{i: (.s | indices("aba"))}""",
+      Seq("""{"s": "ababa"}""", """{"s": "xyz"}"""))
+    check("""{i: (.s | indices("aa"))}""", Seq("""{"s": "aaaa"}"""))
+    check("""{i: (.v | indices(1))}""", Seq("""{"v": [1, 2, 3, 1]}"""))
+    // … while array subsequence hits overlap ([1,1,1,1]|indices([1,1]))
+    check("""{i: (.v | indices([1, 2]))}""", Seq("""{"v": [1, 2, 1, 2]}"""))
+    check("""{i: (.v | indices([1, 1]))}""", Seq("""{"v": [1, 1, 1, 1]}"""))
+  }
+
+  test("transpose pads with null; nth indexes 0-based with null OOB") {
+    check("""{t: (.m | transpose)}""",
+      Seq("""{"m": [[1, 2], [3], [4, 5, 6]]}""", """{"m": []}"""))
+    check("""{a: (.v | nth(1)), b: (.v | nth(5))}""",
+      Seq("""{"v": [10, 20, 30]}"""))
+  }
+
+  test("gmtime / mktime / strftime round the broken-down-time triangle") {
+    check("""{g: (.t | gmtime)}""",
+      Seq("""{"t": 1425599898}""", """{"t": 0}"""))
+    // jq's mktime needs the FULL gmtime layout (6 elements error there;
+    // the compiler's 6-element acceptance is a documented convenience)
+    check("""{m: ([2015, 2, 5, 23, 58, 18, 4, 63] | mktime)}""",
+      Seq("""{"id": 1}"""))
+    check("""{s: (.t | gmtime | strftime("%Y-%m-%dT%H:%M:%SZ")),
+            | d: (.t | gmtime | strftime("%a %b %d, %j of %Y"))}"""
+      .stripMargin,
+      Seq("""{"t": 1425599898}""", """{"t": 86399}"""))
+    // debug is a pass-through on stdout (stderr side channel dropped)
+    check("""{d: ((.t | debug) + 1)}""", Seq("""{"t": 41}"""))
+  }
+
   test("recursive def: accumulator param at shallow depth") {
     // argument-compounding recursion: each level embeds the prior level's
     // arg TREES (the polymorphic-+ null guards triple operand fan-out),

@@ -1231,6 +1231,61 @@ class JqTransformSpec extends SparkTestBase {
     assert(ok.getDouble(0) == 3628800.0)
   }
 
+  test("static branch pruning: type-dispatch compiles heterogeneous branches") {
+    import org.apache.spark.sql.functions.col
+    // inside walk every node type picks its own branch — the then-branch
+    // (string op) and else-branch (number) could never type-unify in one
+    // when-chain; pruning drops the inapplicable one per node
+    val t = Seq((1L, "Ab"), (2L, "Cd")).toDF("n", "s")
+    val out = JqTransform(t,
+      """{o: ({a: .n, s: .s} | walk(if type == "string" then ascii_downcase
+        |                           elif type == "number" then . + 100
+        |                           else . end))}""".stripMargin)
+      .orderBy(col("o.a")).collect()
+    assert(out.map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getString(1)))
+      .toSeq == Seq((101L, "ab"), (102L, "cd")))
+  }
+
+  test("static branch pruning: value-dependent conditions stay dynamic") {
+    import org.apache.spark.sql.functions.col
+    // `.n > 3` must NOT be decided at plan time (both rows present in
+    // the output proves per-row dispatch survived)
+    val t = Seq(Tuple1(5L), Tuple1(1L)).toDF("n")
+    val out = JqTransform(t, """{r: (if .n > 3 then "big" else "small" end)}""")
+      .orderBy(col("r")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("big", "small"))
+    // ... and inside map bodies too, where the element is a lambda var
+    // (the dummy analysis must not fold the value predicate either)
+    val t2 = Seq(Tuple1(Seq(1L, 5L, 9L))).toDF("a")
+    val m = JqTransform(t2, """{r: (.a | map(if . > 4 then 1 else 0 end))}""")
+      .head().getSeq[Long](0)
+    assert(m == Seq(0L, 1L, 1L))
+  }
+
+  test("walk: runtime-null containers stay null; null leaves pass through f") {
+    val t = spark.sql(
+      """SELECT named_struct('a', 1L, 's', 'Qq') AS m
+        |UNION ALL SELECT CAST(null AS struct<a:bigint,s:string>)""".stripMargin)
+    val rows = JqTransform(t,
+      """{o: (.m | walk(if type == "string" then ascii_downcase else . end))}""")
+      .collect()
+    val vals = rows.map(r => Option(r.getStruct(0)).map(_.getString(1)))
+    assert(vals.toSet == Set(Some("qq"), None))
+  }
+
+  test("map_values rejects scalars loudly; until caps like any recursion") {
+    val t = Seq(Tuple1(1L)).toDF("n")
+    val e = intercept[Exception](
+      JqTransform(t, """{o: (.n | map_values(. + 1))}""").collect())
+    assert(e.getMessage.contains("map_values expects an object or array"))
+    // until is the prelude's recursive def: past the unroll cap the row
+    // errs loudly instead of silently truncating the iteration
+    val big = Seq(Tuple1(100000L)).toDF("v") // needs 17 doublings > cap 12
+    val e2 = intercept[Exception](
+      JqTransform(big, """.v as $v | {p: (1 | until(. >= $v; . * 2))}""").collect())
+    assert(String.valueOf(e2.getMessage).contains("exceeded the static unroll depth"))
+  }
+
   test("nested assignment root resolves case-insensitively like reads") {
     import org.apache.spark.sql.functions.{col, lit, struct}
     val t = Seq((1L, 2L)).toDF("id", "k")
