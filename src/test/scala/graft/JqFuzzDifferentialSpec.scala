@@ -98,8 +98,9 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     * generating byte-identical programs.
     */
   private def genValue(r: scala.util.Random, depth: Int,
-                       ext: Boolean = false, ext2: Boolean = false): String =
-    r.nextInt(if (ext2) 23 else if (ext) 19 else 12) match {
+                       ext: Boolean = false, ext2: Boolean = false,
+                       ext3: Boolean = false): String =
+    r.nextInt(if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -140,15 +141,42 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       case 21 => s"(try (${genNum(r, depth - 1, safe = true)} % " +
         s"(.m - ${1 + r.nextInt(5)})) catch ${r.nextInt(19) - 9})"
       // ?// alternatives: array value picks the first; $z rides as null
-      case _ => s"(.xs as [$$p, $$q] ?// {z: $$z} | " +
+      case 22 => s"(.xs as [$$p, $$q] ?// {z: $$z} | " +
         s"($$p // 0) + ($$q // 0) + ($$z // 0))"
+      // ---- round-8 extension (ext3): walk/map_values, unique_by,
+      // any/all(f), indices, transpose, nth, datetime triangle ----
+      case 23 => s"""({"a": .n, "b": [.m, .n], "s": .s} | """ +
+        s"walk(if type == \"string\" then ascii_upcase " +
+        s"elif type == \"number\" then . + ${1 + r.nextInt(5)} else . end))"
+      case 24 => r.nextInt(2) match {
+        case 0 => s"(.xs | map_values(. * ${1 + r.nextInt(4)}))"
+        case _ => s"""({"a": .n, "b": .m} | map_values(. - ${r.nextInt(5)}))"""
+      }
+      case 25 => s"(.xs | unique_by(. % ${2 + r.nextInt(3)}))"
+      case 26 => r.nextInt(2) match {
+        case 0 => s"(.xs | any(. > ${r.nextInt(10) - 3}))"
+        case _ => s"(.xs | all(. != ${r.nextInt(10) - 3}))"
+      }
+      case 27 => r.nextInt(2) match {
+        case 0 =>
+          val needle = Seq("a", "b", "ab", "aa")(r.nextInt(4))
+          s"""(.s | indices("$needle"))"""
+        case _ => s"(.xs | indices(${r.nextInt(10) - 3}))"
+      }
+      case 28 => s"([[.n, .m], [.m], [1, 2, 3]] | transpose)"
+      case 29 => s"(.xs | nth(${r.nextInt(5)}))"
+      case 30 =>
+        val fmt = Seq("%Y-%m-%dT%H:%M:%SZ", "%a %b %d %j", "%H:%M (%p)", "%F %T")(
+          r.nextInt(4))
+        s"""(((.n + 10) * 86399 + ${r.nextInt(100000)}) | gmtime | strftime("$fmt"))"""
+      case _ => s"((.m * 123456 + ${r.nextInt(100000)}) | gmtime | mktime)"
     }
 
   private def genProgram(r: scala.util.Random, ext: Boolean = false,
-                         ext2: Boolean = false): String = {
+                         ext2: Boolean = false, ext3: Boolean = false): String = {
     val nFields = 1 + r.nextInt(3)
     var fields = (0 until nFields)
-      .map(i => s"f$i: ${genValue(r, 2, ext, ext2)}").mkString(", ")
+      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3)}").mkString(", ")
     // ext2: a recursive def called with data-bounded depth (≤ 3), and
     // sometimes a stream-valued field — jq's 0..N outputs per record
     // (range(.m % 3) is sometimes EMPTY: the whole record drops, both
@@ -165,7 +193,18 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     // (safe += / *= / = forms; |= rhs is old-value-scoped so only
     // literal arithmetic rides it)
     val assign =
-      if (!(ext || ext2) || r.nextInt(3) != 0) ""
+      if (!(ext || ext2 || ext3) || r.nextInt(3) != 0) ""
+      else if (ext3) r.nextInt(5) match {
+        // ext3: bracket and multi-target assignment stages. Index
+        // assignments stay at [0] (rows always have ≥1 xs element) so
+        // jq's null-padding cannot plant nulls that later arithmetic
+        // fields would error on in jq but null-propagate here.
+        case 0 => s".xs[] |= . + ${1 + r.nextInt(9)} | "
+        case 1 => s".xs[0] = ${genNum(r, 1, safe = true)} | "
+        case 2 => s".xs[0] *= ${1 + r.nextInt(5)} | "
+        case 3 => s"(.n, .m) = ${1 + r.nextInt(9)} | "
+        case _ => s"(.n, .m) |= . + ${1 + r.nextInt(5)} | "
+      }
       else r.nextInt(4) match {
         case 0 => s".n = ${genNum(r, 1, safe = true)} | "
         case 1 => s".n |= . + ${1 + r.nextInt(9)} | "
@@ -309,12 +348,12 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   }
 
   private def fuzzRun(seed: Long, cases: Int, ext: Boolean = false,
-                      ext2: Boolean = false): Unit = {
+                      ext2: Boolean = false, ext3: Boolean = false): Unit = {
     assume(jqBin.canExecute, "/usr/bin/jq not present")
     val r = new scala.util.Random(seed)
     var checked = 0
     (0 until cases).foreach { i =>
-      val program = genProgram(r, ext, ext2)
+      val program = genProgram(r, ext, ext2, ext3)
       val inputs = Seq.fill(3)(genRow(r))
       verdict(program, inputs).foreach { sig =>
         val minimal = minimize(program, inputs, sig)
@@ -356,5 +395,13 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   // above stay frozen
   test("500 random programs match jq (seed 80808080, try/recursion/stream grammar)") {
     fuzzRun(80808080L, 500, ext2 = true)
+  }
+
+  // round-8 second-tranche grammar (walk/map_values, unique_by, any/all
+  // filters, indices, transpose, nth, gmtime/mktime/strftime, bracket and
+  // multi-target assignment stages) under its own seed — the four corpora
+  // above stay frozen
+  test("500 random programs match jq (seed 9090909, walk/datetime/bracket grammar)") {
+    fuzzRun(9090909L, 500, ext3 = true)
   }
 }
