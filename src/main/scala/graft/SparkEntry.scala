@@ -1589,6 +1589,15 @@ object SparkEntry {
             struct(col("event_type").as("type"),
               struct(col("user_id").as("uid")).as("ids")).as("payload")),
         """.. | {ty: (. | type), js: (. | tojson)}""")),
+    // O14 round-8 notch: a SECOND `..` over the variant stream — the
+    // depth-bounded variant_explode unroll; a node at depth d appears
+    // d+1 times (once per ancestor-or-self), jq's subtree-of-subtree
+    // multiset, which the oracle recomputes with multiplicity tables
+    "c70_jq_double_descend" -> ((s, dir) =>
+      JqTransform(
+        events(s, dir)
+          .select(col("event_id"), struct(col("user_id").as("uid")).as("m")),
+        """.. | .. | {ty: (. | type), js: (. | tojson)}""")),
     // engine-extension counter TYPES through the config surface: exact
     // per-window p90 of the record value as a value_quantile counter
     // (single-phase; the O13 record carries the quantile in `value`)
@@ -2313,6 +2322,19 @@ object SparkEntry {
           |UNION ALL SELECT 'object',
           |  to_json(struct_pack(uid := user_id))::VARCHAR FROM events
           |UNION ALL SELECT 'number', user_id::VARCHAR FROM events""".stripMargin,
+      // c70: `.. | ..` — each node once per ancestor-or-self: root ×1,
+      // event_id ×2, m ×2, uid ×3 (VALUES tables supply the multiplicity)
+      "c70_jq_double_descend" ->
+        """SELECT 'object' AS ty,
+          |  to_json(struct_pack(event_id := event_id,
+          |    m := struct_pack(uid := user_id)))::VARCHAR AS js FROM events
+          |UNION ALL SELECT 'number', event_id::VARCHAR
+          |  FROM events, (VALUES (1), (2)) _(k)
+          |UNION ALL SELECT 'object',
+          |  to_json(struct_pack(uid := user_id))::VARCHAR
+          |  FROM events, (VALUES (1), (2)) _(k)
+          |UNION ALL SELECT 'number', user_id::VARCHAR
+          |  FROM events, (VALUES (1), (2), (3)) _(k)""".stripMargin,
       // c33: the Spark side evaluates the dialect (as_bool/min/floor); the
       // oracle expresses the equivalent predicate directly. floor() is cast
       // to BIGINT because DuckDB floor returns DOUBLE (Spark's returns LONG);

@@ -1206,15 +1206,67 @@ object JqTransform {
     * per-row interpreter. Follow-on stages see the single `__variant`
     * column: paths navigate via `try_variant_get`, and `select` /
     * `==`/`!=` / `type` / `tostring` / `tonumber` / `tojson` are
-    * variant-aware. Deeper static typing over the stream (sort_by,
-    * arithmetic, a second `..`) is out of scope, documented — a variant
-    * value's type is runtime data, and those constructs are
-    * schema-static by design.
+    * variant-aware, and a SECOND `..` descends again (depth-bounded
+    * variant_explode unroll — [[compileDescendOverVariants]]). Deeper
+    * static typing over the stream (sort_by, arithmetic) stays out of
+    * scope, documented — a variant value's type is runtime data, and
+    * those constructs are schema-static by design.
     */
   private def compileDescend: DataFrame => DataFrame = { df =>
-    val fields = df.schema.fields.filterNot(_.name.startsWith("__var_")).toSeq
-    val rowCol = struct(fields.map(f => col(f.name).as(f.name)): _*)
-    df.select(explode(subtreeVariants(StructType(fields), rowCol)).as("__variant"))
+    if (variantFrame(df)) compileDescendOverVariants(df)
+    else {
+      val fields = df.schema.fields.filterNot(_.name.startsWith("__var_")).toSeq
+      val rowCol = struct(fields.map(f => col(f.name).as(f.name)): _*)
+      val depth = staticDepth(StructType(fields))
+      df.select(explode(subtreeVariants(StructType(fields), rowCol))
+        .as("__variant", variantDepthMeta(depth)))
+    }
+  }
+
+  /** Container-nesting depth of a static type: how many explode levels a
+    * value of this type can have below itself. Scalars are 0.
+    */
+  private def staticDepth(dt: DataType): Int = dt match {
+    case st: StructType =>
+      1 + (if (st.fields.isEmpty) 0 else st.fields.map(f => staticDepth(f.dataType)).max)
+    case at: ArrayType => 1 + staticDepth(at.elementType)
+    case mt: MapType => 1 + staticDepth(mt.valueType)
+    case _ => 0
+  }
+
+  private def variantDepthMeta(depth: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.variantDepth", depth.toLong).build()
+
+  /** A SECOND `..` — recursive descent over the variant stream a prior
+    * `..` emitted. A variant's structure is runtime data, but its DEPTH
+    * is not: every value in the stream is a subtree of a static-schema
+    * row, so the original schema's nesting depth (threaded through the
+    * `__variant` column's metadata) bounds the recursion, and the stage
+    * unrolls exactly that many `variant_explode` lateral generators —
+    * level k holding the depth-k children (objects by field, arrays by
+    * element; scalars and nulls contribute none, jq's no-descent-into-
+    * null rule), unioned with the values themselves. jq's `.. | ..`
+    * multiset multiplicities fall out of per-input-row descent. Without
+    * the metadata (a variant frame not built by `..`) a documented cap
+    * of 12 levels applies — extra levels beyond the real depth generate
+    * zero rows, never wrong ones.
+    */
+  private def compileDescendOverVariants(df: DataFrame): DataFrame = {
+    val meta = df.schema.head.metadata
+    val depth =
+      if (meta.contains("graft.variantDepth")) meta.getLong("graft.variantDepth").toInt
+      else 12
+    var level = df.select(col("__variant"))
+    var out = level
+    for (_ <- 1 to depth) {
+      level = level
+        .lateralJoin(df.sparkSession.tvf.variant_explode(col("__variant").outer()))
+        .select(col("value").as("__variant"))
+      out = out.unionAll(level)
+    }
+    // children of a depth-D tree have depth ≤ D: the same bound carries
+    out.select(col("__variant").as("__variant", variantDepthMeta(depth)))
   }
 
   /** `paths` as a whole STAGE: jq's path enumeration — one output row per

@@ -413,6 +413,22 @@ class JqDifferentialSpec extends SparkTestBase {
       Seq("""{"a": 1, "b": {"c": "x"}}"""))
   }
 
+  test("double recursive descent: subtree-of-subtree multiset") {
+    // a node at depth d appears d+1 times in `.. | ..` (once per
+    // ancestor-or-self) — the multiplicities must match jq exactly.
+    // Input keys pre-sorted so the variant's sorted-key tojson rendering
+    // cannot diverge from jq's insertion order.
+    check(""".. | .. | {t: (. | type)}""",
+      Seq("""{"a": 1, "b": {"c": "x", "d": [2, 3]}}"""))
+    // (array kept homogeneous: Spark's JSON inference strings-out a
+    // mixed [1,[2,3]] before the descent ever runs)
+    check(""".. | .. | {j: (. | tojson)}""",
+      Seq("""{"a": [[1], [2, 3]], "b": "y"}"""))
+    // and a third descent still composes (depth bound carries through)
+    check(""".. | .. | .. | {t: (. | type)}""",
+      Seq("""{"a": {"b": 5}}"""))
+  }
+
   test("slurp: whole input as one array (jq -s)") {
     val program = """{n: length, s: (map(.id) | add), f: (first | .id)}"""
     import spark.implicits._

@@ -891,6 +891,19 @@ class JqTransformSpec extends SparkTestBase {
       ("number", "1")))
   }
 
+  test(".. | ..: depth-bounded re-descent over the variant stream") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    // {id: 1, payload: {meta: {uid: 1}}}: 5 nodes, root at depth 0, uid
+    // at depth 3 — `.. | ..` emits each node (depth+1) times (once per
+    // ancestor-or-self): root 1 + id 2 + payload 2 + meta 3 + uid 4 = 12
+    // rows; scalars and nulls gain no children on the second pass
+    val t = Seq(Tuple1(1L)).toDF("id")
+      .select(col("id"), struct(struct(col("id").as("uid")).as("meta")).as("payload"))
+    val out = JqTransform(t, """.. | .. | {ty: (. | type)}""")
+    val tys = out.collect().map(_.getString(0)).toSeq.sorted
+    assert(tys == Seq.fill(6)("number") ++ Seq.fill(6)("object"))
+  }
+
   test("..: descends arrays; null branches emit their null, no descent") {
     import org.apache.spark.sql.functions.col
     val t = Seq((Seq(10L, 20L), Option.empty[Long])).toDF("arr", "gone")
