@@ -9,7 +9,7 @@ import graft.functions.Canonical
 import graft.multimodal.Multimodal
 import graft.operators.{Counters, Intermediate, JqTransform}
 import graft.similarity.Ann
-import graft.textops.TextAnalysis
+import graft.textops.{TextAnalysis, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -865,6 +865,34 @@ object SparkEntry {
     "t40_blocklist_gate" -> ((s, dir) =>
       TextAnalysis.blocklistGate(Tables.documents(s, dir),
         Seq("dup", "spam", "scan"))),
+    // URL canonicalization + registrable-domain rollup (UrlOps): the
+    // web-corpus stage before any text analysis. URLs are CONSTRUCTED
+    // per doc (the corpus carries none) to exercise every normalization:
+    // case, www, default vs explicit port, duplicate slashes, trailing
+    // slash, utm/tracking params, unsorted query, fragment; the oracle
+    // derives the canonical form analytically. try_parse_url kernels,
+    // one map-side-combined groupBy — no UDF, text never read
+    "t41_url_profile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tld = element_at(
+        array(lit("com"), lit("org"), lit("co.uk")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val raw = concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        upper(col("source")), lit(".Example."), tld,
+        when(col("doc_id") % 5 === 0, lit(":443"))
+          .otherwise(when(col("doc_id") % 5 === 1, lit(":8443")).otherwise(lit(""))),
+        lit("//docs//"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&z=9&a="), (col("doc_id") % 7).cast("string"),
+        lit("&m=2#sec"))
+      val host = UrlOps.hostOf(raw)
+      d.groupBy(
+          UrlOps.registrableDomain(host).as("domain"), host.as("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(UrlOps.canonicalizeUrl(raw)).as("url_min"))
+    }),
     "t39_nfc_normalize" -> ((s, dir) =>
       TextAnalysis.nfcNormalize(
         Tables.documents(s, dir).select(col("doc_id"),
@@ -3084,6 +3112,27 @@ object SparkEntry {
            |   AS n_blocked_terms,
            | len(list_intersect(list_distinct($toks), ['dup', 'spam', 'scan'])) = 0 AS keep
            |FROM documents""".stripMargin,
+      // t41: the canonical URL derived analytically from the same
+      // construction — host lowercased/www-stripped, :443 dropped and
+      // :8443 kept, slashes collapsed, trailing slash gone, utm dropped,
+      // query sorted (a < m < z), fragment discarded
+      "t41_url_profile" ->
+        """WITH d AS (
+          |  SELECT lower(source) || '.example.' ||
+          |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+          |         ELSE 'co.uk' END AS host,
+          |    'example.' ||
+          |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+          |         ELSE 'co.uk' END AS domain,
+          |    'https://' || lower(source) || '.example.' ||
+          |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+          |         ELSE 'co.uk' END ||
+          |    CASE WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END ||
+          |    '/docs/' || doc_id ||
+          |    '?a=' || (doc_id % 7) || '&m=2&z=9' AS url
+          |  FROM documents)
+          |SELECT domain, host, count(*)::BIGINT AS n_docs, min(url) AS url_min
+          |FROM d GROUP BY 1, 2""".stripMargin,
       // t39: DuckDB's own NFC normalizer over the same decomposed fixture
       // (chr(769) = combining acute, chr(64257) = fi ligature)
       "t39_nfc_normalize" ->

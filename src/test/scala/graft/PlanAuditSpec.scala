@@ -634,6 +634,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"raw text leaked into a join:\n$p")
   }
 
+  test("URL profile: parse_url kernels, no ScalaUDF, map-side-combined rollup") {
+    val p = plan(SparkEntry.queries("t41_url_profile")(spark, sf0001))
+    assert(!p.contains("ScalaUDF"), s"URL ops must stay codegen'd:\n$p")
+    assert("partial_count".r.findAllIn(p).size >= 1,
+      s"domain rollup must combine map-side:\n$p")
+    // only the construction inputs are read — text never scans
+    assert(!p.contains("text"), s"text must not be read:\n$p")
+  }
+
   test("corpus overlap: ONE map-side-combined slice aggregate; pairwise side broadcast") {
     val p = plan(Dedup.corpusOverlap(docs))
     // 64 per-slice mins combine map-side (the union-signature aggregate)
