@@ -872,6 +872,13 @@ object SparkEntry {
     // slash, utm/tracking params, unsorted query, fragment; the oracle
     // derives the canonical form analytically. try_parse_url kernels,
     // one map-side-combined groupBy — no UDF, text never read
+    // BPE merge TRAINING (not just t23's first-round pair stats): 4
+    // learn iterations, each a vocab-bounded pair count + 1-row argmax
+    // collect + one literal-replace merge apply — the oracle replays the
+    // same 4 rounds as chained CTEs over the identical double-space
+    // token-string representation
+    "t42_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), merges = 4)),
     "t41_url_profile" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val tld = element_at(
@@ -3112,6 +3119,38 @@ object SparkEntry {
            |   AS n_blocked_terms,
            | len(list_intersect(list_distinct($toks), ['dup', 'spam', 'scan'])) = 0 AS keep
            |FROM documents""".stripMargin,
+      // t42: the same 4 BPE learn rounds as chained CTEs — identical
+      // double-space token-string representation, identical replace-based
+      // merge apply (SQL replace's non-overlapping left-to-right scan is
+      // BPE's greedy rule), identical (count DESC, "l r" ASC) tie-break
+      "t42_bpe_train" -> {
+        def pairsOf(v: String, p: String): String =
+          s"""$p AS (SELECT t[i] AS l, t[i+1] AS r, sum(n)::BIGINT AS cnt FROM (
+             |  SELECT string_split(trim(s), '  ') AS t, n,
+             |    unnest(generate_series(1, len(string_split(trim(s), '  ')) - 1)) AS i
+             |  FROM $v) GROUP BY 1, 2)""".stripMargin
+        def bestOf(p: String, b: String): String =
+          s"$b AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l || ' ' || r ASC LIMIT 1)"
+        def applyOf(v0: String, b: String, v1: String): String =
+          s"""$v1 AS (SELECT replace(s, ' ' || $b.l || '  ' || $b.r || ' ',
+             |  ' ' || $b.l || $b.r || ' ') AS s, n FROM $v0, $b)""".stripMargin
+        val rounds = (1 to 4).map { k =>
+          val prev = if (k == 1) "v0" else s"v${k - 1}"
+          Seq(pairsOf(prev, s"p$k"), bestOf(s"p$k", s"b$k")) ++
+            (if (k < 4) Seq(applyOf(prev, s"b$k", s"v$k")) else Nil)
+        }.flatten.mkString(",\n")
+        s"""WITH words AS (SELECT w, count(*)::BIGINT AS n FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE length(w) >= 2 GROUP BY 1),
+           |v0 AS (SELECT ' ' || array_to_string(list_transform(
+           |    generate_series(1, length(w)), i -> substr(w, i::INT, 1)), '  ')
+           |    || ' ' AS s, n FROM words),
+           |$rounds
+           |SELECT 1::BIGINT AS rank, l AS "left", r AS "right", cnt FROM b1
+           |UNION ALL SELECT 2, l, r, cnt FROM b2
+           |UNION ALL SELECT 3, l, r, cnt FROM b3
+           |UNION ALL SELECT 4, l, r, cnt FROM b4""".stripMargin
+      },
       // t41: the canonical URL derived analytically from the same
       // construction — host lowercased/www-stripped, :443 dropped and
       // :8443 kept, slashes collapsed, trailing slash gone, utm dropped,

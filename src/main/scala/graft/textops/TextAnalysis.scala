@@ -874,6 +874,66 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Full BPE merge TRAINING (Sennrich et al., ACL 2016 §3.2's learn
+    * loop, not just [[bpePairStats]]'s first round): k iterations of
+    * (count adjacent pairs over the vocabulary, weighted by word
+    * frequency) → (argmax pair, ties by pair text) → (merge that pair in
+    * every word). Returns the learned merge table (rank, left, right,
+    * pair count) — the tokenizer artifact.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count aggregate;
+    * only digest-sized words cross that shuffle); every iteration after
+    * that runs over the DISTINCT vocabulary, ends in a model-bounded
+    * 1-row driver collect (the k-means centroid pattern), and
+    * `localCheckpoint` truncates the growing replace lineage.
+    *
+    * The merge-apply trick: words are kept as DOUBLE-space-joined token
+    * strings with single-space outer pads (" l  o  w "), so applying a
+    * merge is ONE codegen'd literal `replace(" a  b " → " ab ")` — a
+    * match consumes one of the two separator spaces on each side,
+    * leaving the neighbors' boundaries intact, and SQL replace's
+    * non-overlapping left-to-right scan IS BPE's greedy rule ("aaa" +
+    * merge(a,a) → [aa, a]).
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), array_join(transform(
+          sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), "  "), lit(" ")).as("s"),
+        col("n"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val toks = split(trim(col("s")), "  ")
+      val best = words
+        .select(col("n"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, concat(col("l"), lit(" "), col("r")).asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((rank.toLong, l, r, cnt))
+        words = words.select(
+          replace(col("s"), lit(" " + l + "  " + r + " "), lit(" " + l + r + " "))
+            .as("s"), col("n"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    learned.result().toDF("rank", "left", "right", "cnt")
+  }
+
   /** Data-mixture accounting: per-(lang, source) document/token/char
     * volumes plus each stratum's document share of the corpus (ppm) — the
     * report every training run wants next to its data card. Two map-side

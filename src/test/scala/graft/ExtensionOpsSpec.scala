@@ -969,6 +969,30 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out.map(_._2).toSeq == (1L to out.length.toLong))
   }
 
+  test("bpeTrain: greedy left-to-right merges, frequency-weighted, text tie-break") {
+    import graft.textops.TextAnalysis
+    import spark.implicits._
+    // corpus: "aaab" x3, "ab" x2 → round 1 pairs: (a,a) 2*3=6,
+    // (a,b) 3+2=5 → merge (a,a). GREEDY: "aaab" → [aa, a, b] (the second
+    // 'a' is consumed by the first merge and cannot re-pair). Round 2:
+    // (aa,a) 3, (a,b) 3+2=5 → merge (a,b). Round 3 over {[aa,ab], [ab]}:
+    // (aa,ab) 3 → merge. Round 4: no pairs left → table stops at 3.
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "length(text) AS n_chars")
+    val out = TextAnalysis.bpeTrain(docs, merges = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 6L), (2L, "a", "b", 5L), (3L, "aa", "ab", 3L)))
+    // tie-break: equal counts pick the lexicographically smaller "l r"
+    val tie = Seq((1L, "ab cd")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "length(text) AS n_chars")
+    val first = TextAnalysis.bpeTrain(tie, merges = 1).collect()(0)
+    assert((first.getString(1), first.getString(2)) == ("a", "b"))
+  }
+
   test("nfcNormalize: NFC composes, NFKC also folds compatibility forms") {
     import graft.textops.TextAnalysis
     val rows = Seq(
