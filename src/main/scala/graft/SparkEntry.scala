@@ -1624,6 +1624,16 @@ object SparkEntry {
             struct(col("event_type").as("type"),
               struct(col("user_id").as("uid")).as("ids")).as("payload")),
         """.. | {ty: (. | type), js: (. | tojson)}""")),
+    // O14 round-8 notch: while(cond; update) — jq's emit-and-iterate
+    // stream, natively unrolled with cumulative keep-flags (the cap
+    // raises loudly); the collected form rides the stream-tail unwrap
+    "c71_jq_while" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount),
+        """(.value % 9 + 1) as $v
+          || {t: .window_start, w: [$v | while(. < 30; . * 3)]}"""
+          .stripMargin)),
+
     // O14 round-8 notch: a SECOND `..` over the variant stream — the
     // depth-bounded variant_explode unroll; a node at depth d appears
     // d+1 times (once per ancestor-or-self), jq's subtree-of-subtree
@@ -2357,6 +2367,13 @@ object SparkEntry {
           |UNION ALL SELECT 'object',
           |  to_json(struct_pack(uid := user_id))::VARCHAR FROM events
           |UNION ALL SELECT 'number', user_id::VARCHAR FROM events""".stripMargin,
+      // c71: while's doubling chain recomputed as a DuckDB list
+      // comprehension over the (bounded) candidate terms
+      "c71_jq_while" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) % 9 + 1 AS v FROM events GROUP BY 1)
+          |SELECT t, to_json([x FOR x IN [v, 3*v, 9*v, 27*v] IF x < 30])::VARCHAR AS w
+          |FROM c""".stripMargin,
       // c70: `.. | ..` — each node once per ancestor-or-self: root ×1,
       // event_id ×2, m ×2, uid ×3 (VALUES tables supply the multiplicity)
       "c70_jq_double_descend" ->

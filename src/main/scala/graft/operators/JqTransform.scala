@@ -2601,8 +2601,17 @@ object JqTransform {
             defs.contains(name)
           }
         }
+        // `A | while(cond; upd)` — while's input is the piped value, so
+        // it rides the same general-body elemBinding (its bareDotV reads
+        // that binding); the stream flag it sets survives this branch
+        def identIsWhile: Boolean =
+          s.startsWith("while", i) && !defs.contains("while") && {
+            val save = i; i += 5; skipWs()
+            val ok = peek == '('
+            i = save; ok
+          }
         if (peek == '(' || peek == '{' || peek == '[' || peek == '"' ||
-            pathThenOperator || identIsDef) {
+            pathThenOperator || identIsDef || identIsWhile) {
           // GENERAL pipe body: `A | (.lo + .hi)`, `A | .lo + .hi`,
           // `A | {x: .f}`, `A | "v\(.k)"` — the body is a full value
           // expression with `.`/`.path` bound to the PIPED value (the
@@ -3718,6 +3727,59 @@ object JqTransform {
           val a = parseValue(); expect(';')
           val b = parseValue(); expect(')')
           df => pow(a(df), b(df))
+        case 'w' if s.startsWith("while", i) && !defs.contains("while") && {
+          val save = i; i += 5; skipWs()
+          val ok = peek == '('
+          if (!ok) i = save
+          ok
+        } =>
+          // while(cond; update): jq's stream — emit '.' and iterate
+          // update while cond holds, stopping at the first false. A
+          // stream is an array here (collect with [while(…)], explode as
+          // a record-level field). Static unroll to the recursion cap:
+          // term i+1 = update(term i) with '.' bound per term, keep-flags
+          // are the cumulative conjunction of conds, and a row whose
+          // cond still holds past the cap raises loudly — never a silent
+          // truncation. update must be type-stable, as with recursive
+          // defs. A user `def while` shadows this (jq's rule, the guard
+          // above).
+          next() // '('
+          val cond = parseValue()
+          skipWs(); expect(';')
+          val upd = parseValue()
+          skipWs(); expect(')')
+          streamTail = true
+          df => {
+            val inV: V = bareDotV
+            val dt = dtOfV(df, inV)
+            val probe = lit(null).cast(dt)
+            def bind(x: Column, f: V): Column =
+              elemBinding.withValue(Some(Bound(x, probe, dt)))(f(df))
+            val cdt = probeMode.withValue(true)(dtOf(df,
+              elemBinding.withValue(Some(Bound(probe, probe, dt)))(cond(df))))
+            def truthy(c: Column): Column = cdt match {
+              case BooleanType => coalesce(c, lit(false)) === lit(true)
+              case _ => c.isNotNull
+            }
+            val capN = 12
+            var t: Column = inV(df)
+            var alive: Column = truthy(bind(t, cond))
+            val parts = Seq.newBuilder[Column]
+            var k = 0
+            while (k < capN) {
+              parts += struct(alive.as("k"), t.as("v"))
+              t = bind(t, upd)
+              alive = alive && truthy(bind(t, cond))
+              k += 1
+            }
+            val collected = transform(
+              filter(array(parts.result(): _*), e => e.getField("k")),
+              e => e.getField("v"))
+            when(alive, raise_error(lit(
+              s"jq_expr: while(cond; update) exceeded the static unroll " +
+                s"depth $capN on this row's data")).cast(ArrayType(dt)))
+              .otherwise(collected)
+          }
         case 'l' if s.startsWith("limit", i) && {
           val save = i; i += 5; skipWs()
           val ok = peek == '('

@@ -613,6 +613,19 @@ class JqDifferentialSpec extends SparkTestBase {
       rows)
   }
 
+  test("while: emit-and-iterate stream, collected and exploded") {
+    // the canonical doubling chain, collected
+    check(""".value as $v | {w: [$v | while(. < 100; . * 2)]}""",
+      Seq("""{"value": 3}""", """{"value": 64}""", """{"value": 200}"""))
+    // record-level: a stream field explodes to 0..N records (an
+    // initially-false cond is jq's empty stream — the record drops)
+    check("""{id: .id, g: (.n | while(. < 4; . + 1))}""",
+      Seq("""{"id": 1, "n": 1}""", """{"id": 2, "n": 9}"""))
+    // a user def named while shadows the builtin (jq's rule)
+    check("""def while(a; b): 7; {x: (1 | while(. < 0; .))}""",
+      Seq("""{"id": 1}"""))
+  }
+
   test("until: iterate update while cond is false (prelude def)") {
     // smallest power of 2 >= v (integer-valued doubles print as ints in
     // both engines after the unroll cap's double coercion)

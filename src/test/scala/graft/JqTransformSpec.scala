@@ -1299,6 +1299,16 @@ class JqTransformSpec extends SparkTestBase {
     assert(String.valueOf(e2.getMessage).contains("exceeded the static unroll depth"))
   }
 
+  test("while: loud raise past the unroll cap; empty stream when cond starts false") {
+    val big = Seq(Tuple1(1L)).toDF("v")
+    val e = intercept[Exception](
+      JqTransform(big, """{w: [.v | while(. < 100000; . * 2)]}""").collect())
+    assert(String.valueOf(e.getMessage).contains("exceeded the static unroll depth"))
+    val empty = JqTransform(big, """{w: [.v | while(. < 0; . * 2)]}""")
+      .head().getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("nested assignment root resolves case-insensitively like reads") {
     import org.apache.spark.sql.functions.{col, lit, struct}
     val t = Seq((1L, 2L)).toDF("id", "k")
