@@ -717,6 +717,62 @@ object Ann {
         pqSubDim(subspaces), "cv")
       .select(col("m"), col("vec_id").as("code"), col("cv"))
 
+  /** PQ codebook TRAINING (Jégou et al., PAMI'11 §III's per-subspace
+    * k-means fit — the step [[pqCodes]]'s deterministic codebook stands
+    * in for): Lloyd iterations where ALL subspaces ride ONE
+    * (m, cell)-keyed shuffle per round — never a driver loop over
+    * subspaces — and the centroid update uses the integer-ppm stats
+    * channel (the [[kmeansCentroids]] determinism pattern: floor-scaled
+    * long sums, truncating division), so the trained codebook is
+    * engine-exact and oracle-checkable. Assignment is sub-vector L2²
+    * against the broadcast codebook (codebookSize × subspaces rows —
+    * model-sized), folded left-to-right like the oracle's list_sum; ties
+    * break to the smallest cell. Init = [[pqCodes]]'s deterministic
+    * first-rows codebook, so the fit is reproducible.
+    *
+    * Returns the final per-subspace codebook as integer stats
+    * (m, cell, dim, mean_ppm, n_vectors) — [[centroidsFromStats]]-style
+    * rows a PQ encode can consume directly.
+    */
+  def pqTrain(embeddings: DataFrame, subspaces: Int = 8,
+              codebookSize: Int = 16, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "pqTrain needs at least one iteration")
+    val v = doubleVecs(embeddings)
+    val subDim = pqSubDim(subspaces)
+    val subs = slices(v, subspaces, subDim, "sv")
+    var cents: DataFrame = pqCodebookFrom(v, subspaces, codebookSize)
+      .select(col("m"), col("code").as("cell"), col("cv"))
+    var stats: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      it += 1
+      val assigned = subs
+        .join(broadcast(cents), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cell"), col("sv"),
+          pqDist("sv", "cv").as("__d"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(struct(col("cell"), col("sv")),
+          struct(col("__d"), col("cell"))).as("w"))
+      stats = assigned
+        .select(col("m"), col("w.cell").as("cell"),
+          posexplode(col("w.sv")).as(Seq("pos", "x")))
+        .select(col("m"), col("cell"), (col("pos") + 1).cast("long").as("dim"),
+          floor(col("x") * 1000000d).cast("long").as("x_ppm"))
+        .groupBy(col("m"), col("cell"), col("dim"))
+        .agg(sum(col("x_ppm")).as("sum_ppm"), count(lit(1)).as("n_vectors"))
+        .localCheckpoint(eager = false)
+      cents = stats
+        .select(col("m"), col("cell"), col("dim"),
+          (meanPpm.cast("double") / lit(1000000d)).as("mm"))
+        .groupBy(col("m"), col("cell"))
+        .agg(collect_list(struct(col("dim"), col("mm"))).as("__dm"))
+        .select(col("m"), col("cell"),
+          transform(array_sort(col("__dm")), s => s.getField("mm")).as("cv"))
+    }
+    stats.select(col("m").cast("long").as("m"), col("cell"), col("dim"),
+      meanPpm.as("mean_ppm"), col("n_vectors"))
+  }
+
   /** IVF-PQ search (Jégou et al., PAMI'11) — the two halves composed the
     * way a production 100 TB ANN index serves queries: the IVF coarse
     * quantizer restricts each query to `nprobe` cells, and candidates in

@@ -77,6 +77,41 @@ class KmeansSpec extends SparkTestBase {
     assert(total == corpus, s"assigned $total of $corpus vectors")
   }
 
+  test("pqTrain: trained codebook cuts quantization error vs the first-rows init") {
+    import org.apache.spark.sql.functions._
+    // total L2² quantization error of a codebook over the corpus: assign
+    // each (vector, subspace) to its nearest entry, sum the distances
+    def errorOf(cb: org.apache.spark.sql.DataFrame): Double = {
+      val v = clustered.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val sub = v.select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("m"), col("v"))
+        .select(col("vec_id"), col("m"),
+          slice(col("v"), col("m") * 8 + 1, lit(8)).as("sv"))
+      sub.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), aggregate(
+          zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d"))
+        .groupBy(col("vec_id"), col("m")).agg(min(col("d")).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+    }
+    val init = clustered.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("cell"), explode(sequence(lit(0), lit(7))).as("m"), col("v"))
+      .select(col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as("cv"))
+    val trained = Ann.pqTrain(clustered, iterations = 2)
+      .select(col("m").cast("int").as("m"), col("cell"), col("dim"),
+        (col("mean_ppm").cast("double") / 1e6).as("mm"))
+      .groupBy(col("m"), col("cell"))
+      .agg(collect_list(struct(col("dim"), col("mm"))).as("dm"))
+      .select(col("m"), transform(array_sort(col("dm")),
+        s => s.getField("mm")).as("cv"))
+    val (e0, e1) = (errorOf(init), errorOf(trained))
+    assert(e1 < e0, s"training must not increase quantization error: $e1 vs $e0")
+    assert(e1 < e0 * 0.8, s"expected a substantial drop on clustered data: $e1 vs $e0")
+  }
+
   test("ivfTopK and ivfPqTopK accept trained kmeans|| centroids") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val cents = Ann.centroidsFromStats(Ann.kmeansParallel(emb))
