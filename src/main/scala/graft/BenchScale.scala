@@ -33,7 +33,11 @@ object BenchScale {
     "h23_salted_join", "m06_media_dedup_apply", "d02_minhash_lsh",
     "d03_simhash_pairs", "d04_ngram_jaccard", "d12_containment",
     "t34_nb_confusion", "t25_lm_perplexity", "t32_nb_classifier",
-    "e08_gap_quantiles", "m11_gif_neardup", "m12_gif_run_align")
+    "e08_gap_quantiles", "m11_gif_neardup", "m12_gif_run_align",
+    // round-8 iterative trainers: corpus touched once, then vocab/
+    // model-bounded control loops — gated so a lineage or shuffle
+    // regression in the loop can't hide behind small fixtures
+    "t42_bpe_train", "s20_pq_train")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded
@@ -45,7 +49,10 @@ object BenchScale {
     */
   def assertSet: Seq[String] =
     Queries.filter(q => q.startsWith("d") || q.startsWith("s")) ++
-      Seq("m11_gif_neardup", "m12_gif_run_align")
+      Seq("m11_gif_neardup", "m12_gif_run_align",
+        // the BPE trainer is t-prefixed but iterative — gate it with the
+        // other control-loop trainers (s20 enters via the s-filter)
+        "t42_bpe_train")
 
   /** The table whose row count is the query's input size (rows/sec
     * denominator): d/t/m-queries scan documents, s-queries embeddings,

@@ -2828,6 +2828,30 @@ object JqTransform {
             val keys = sort_array(array_distinct(transform(arr, x => keyOf(x))))
             transform(keys, k => element_at(filter(arr, x => keyOf(x) <=> k), 1))
           }
+        } else if ((fn == "first" || fn == "last") && peek == '(') {
+          // first(f)/last(f): f's first/last OUTPUT. A STREAM-valued f
+          // (its collected array, per the value-position convention)
+          // yields its first/last element; a single-output f is jq's
+          // one-element stream — the value itself. The parser's stream
+          // flag decides which, and first/last consume it (single value
+          // out). An empty stream yields the null analog of jq's empty
+          // output, the documented convention.
+          expect('(')
+          val inner = parseValue()
+          val innerStream = streamTail
+          streamTail = false
+          skipWs(); expect(')')
+          val wantLast = fn == "last"
+          val vv = v
+          v = df => {
+            // '.' inside f = the piped value (jq: `A | first(f)` runs f
+            // against A's output), the general-pipe-body binding
+            val et = dtOfV(df, vv)
+            val out = elemBinding.withValue(
+              Some(Bound(vv(df), lit(null).cast(et), et)))(inner(df))
+            if (innerStream) try_element_at(out, lit(if (wantLast) -1 else 1))
+            else out
+          }
         } else if ((fn == "any" || fn == "all") && peek == '(') {
           // any(f)/all(f): condition over each element with '.' bound —
           // one codegen'd exists/forall; truthiness by the condition's

@@ -626,6 +626,16 @@ class JqDifferentialSpec extends SparkTestBase {
       Seq("""{"id": 1}"""))
   }
 
+  test("first(f)/last(f): stream args pick an end, single-output args pass") {
+    check("""{a: (.n | first(while(. < 40; . * 3))),
+            | b: (.n | last(while(. < 40; . * 3)))}""".stripMargin,
+      Seq("""{"n": 5}""", """{"n": 2}"""))
+    // a single-output f is the one-element stream — the value itself
+    check("""{a: (.xs | first(map(. * 2)))}""",
+      Seq("""{"xs": [1, 2]}"""))
+    check("""{z: (.n | last(range(1; .)))}""", Seq("""{"n": 4}"""))
+  }
+
   test("until: iterate update while cond is false (prelude def)") {
     // smallest power of 2 >= v (integer-valued doubles print as ints in
     // both engines after the unroll cap's double coercion)
