@@ -99,8 +99,8 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     */
   private def genValue(r: scala.util.Random, depth: Int,
                        ext: Boolean = false, ext2: Boolean = false,
-                       ext3: Boolean = false): String =
-    r.nextInt(if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
+                       ext3: Boolean = false, ext4: Boolean = false): String =
+    r.nextInt(if (ext4) 35 else if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -169,14 +169,27 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
         val fmt = Seq("%Y-%m-%dT%H:%M:%SZ", "%a %b %d %j", "%H:%M (%p)", "%F %T")(
           r.nextInt(4))
         s"""(((.n + 10) * 86399 + ${r.nextInt(100000)}) | gmtime | strftime("$fmt"))"""
-      case _ => s"((.m * 123456 + ${r.nextInt(100000)}) | gmtime | mktime)"
+      case 31 => s"((.m * 123456 + ${r.nextInt(100000)}) | gmtime | mktime)"
+      // ---- round-8 extension (ext4): while / first / last ----
+      // while's input stays small and positive so the doubling/tripling
+      // chains terminate well inside the unroll cap
+      case 32 =>
+        val mul = 2 + r.nextInt(2); val bound = 20 + r.nextInt(60)
+        s"[(.m + 2) | while(. < $bound; . * $mul)]"
+      case 33 =>
+        val mul = 2 + r.nextInt(2); val bound = 20 + r.nextInt(60)
+        if (r.nextBoolean())
+          s"((.m + 2) | first(while(. < $bound; . * $mul)))"
+        else s"((.m + 2) | last(while(. < $bound; . * $mul)))"
+      case _ => s"(.xs | first(map(. * ${1 + r.nextInt(4)})))"
     }
 
   private def genProgram(r: scala.util.Random, ext: Boolean = false,
-                         ext2: Boolean = false, ext3: Boolean = false): String = {
+                         ext2: Boolean = false, ext3: Boolean = false,
+                         ext4: Boolean = false): String = {
     val nFields = 1 + r.nextInt(3)
     var fields = (0 until nFields)
-      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3)}").mkString(", ")
+      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3, ext4)}").mkString(", ")
     // ext2: a recursive def called with data-bounded depth (≤ 3), and
     // sometimes a stream-valued field — jq's 0..N outputs per record
     // (range(.m % 3) is sometimes EMPTY: the whole record drops, both
@@ -193,8 +206,8 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     // (safe += / *= / = forms; |= rhs is old-value-scoped so only
     // literal arithmetic rides it)
     val assign =
-      if (!(ext || ext2 || ext3) || r.nextInt(3) != 0) ""
-      else if (ext3) r.nextInt(5) match {
+      if (!(ext || ext2 || ext3 || ext4) || r.nextInt(3) != 0) ""
+      else if (ext3 || ext4) r.nextInt(5) match {
         // ext3: bracket and multi-target assignment stages. Index
         // assignments stay at [0] (rows always have ≥1 xs element) so
         // jq's null-padding cannot plant nulls that later arithmetic
@@ -348,12 +361,13 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   }
 
   private def fuzzRun(seed: Long, cases: Int, ext: Boolean = false,
-                      ext2: Boolean = false, ext3: Boolean = false): Unit = {
+                      ext2: Boolean = false, ext3: Boolean = false,
+                      ext4: Boolean = false): Unit = {
     assume(jqBin.canExecute, "/usr/bin/jq not present")
     val r = new scala.util.Random(seed)
     var checked = 0
     (0 until cases).foreach { i =>
-      val program = genProgram(r, ext, ext2, ext3)
+      val program = genProgram(r, ext, ext2, ext3, ext4)
       val inputs = Seq.fill(3)(genRow(r))
       verdict(program, inputs).foreach { sig =>
         val minimal = minimize(program, inputs, sig)
@@ -403,5 +417,11 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   // above stay frozen
   test("500 random programs match jq (seed 9090909, walk/datetime/bracket grammar)") {
     fuzzRun(9090909L, 500, ext3 = true)
+  }
+
+  // round-8 third-tranche grammar (while streams, first/last over streams)
+  // under its own seed — the five corpora above stay frozen
+  test("500 random programs match jq (seed 10101010, while/first/last grammar)") {
+    fuzzRun(10101010L, 500, ext4 = true)
   }
 }
