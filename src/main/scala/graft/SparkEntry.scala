@@ -1120,6 +1120,10 @@ object SparkEntry {
     // the oracle replays both rounds as chained CTEs
     "s20_pq_train" -> ((s, dir) =>
       Ann.pqTrain(Tables.embeddings(s, dir))),
+    // train → encode closed: assignment counts + floor-ppm integer
+    // quantization error per (subspace, cell) under the TRAINED codebook
+    "s21_pq_train_encode" -> ((s, dir) =>
+      Ann.pqTrainEncode(Tables.embeddings(s, dir))),
     // recall@k eval: IVF result graded against the exact top-k — the
     // accept/reject gate for any approximate index
     // IVF tuning curve: recall@5 vs brute-force truth for nprobe 1/2/4 —
@@ -3500,6 +3504,51 @@ object SparkEntry {
           |       FROM a2 CROSS JOIN ds WHERE rn = 1 GROUP BY 1, 2, 3)
           |SELECT m::BIGINT AS m, cell, dim::BIGINT AS dim,
           |  (sum_ppm // n)::BIGINT AS mean_ppm, n AS n_vectors FROM s2""".stripMargin,
+      // s21: the s20 chain extended one step — rebuild the trained
+      // codebook from s2, assign once more, floor-ppm integer error sum
+      "s21_pq_train_encode" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          |           FROM embeddings),
+          |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+          |ds AS (SELECT unnest(generate_series(1, 8)) AS dim),
+          |sv AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM v CROSS JOIN ms),
+          |cb0 AS (SELECT m, vec_id AS cell, s AS cv FROM sv WHERE vec_id < 16),
+          |a1 AS (SELECT sv.vec_id, sv.m, cb0.cell, sv.s,
+          |       row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))), cell) AS rn
+          |       FROM sv JOIN cb0 ON sv.m = cb0.m),
+          |s1 AS (SELECT m, cell, dim,
+          |         sum(floor(s[dim] * 1000000)::BIGINT) AS sum_ppm,
+          |         count(*)::BIGINT AS n
+          |       FROM a1 CROSS JOIN ds WHERE rn = 1 GROUP BY 1, 2, 3),
+          |cb1 AS (SELECT m, cell,
+          |         list_transform(list_sort(list(struct_pack(d := dim,
+          |           mm := (sum_ppm // n)::DOUBLE / 1000000))), e -> e.mm) AS cv
+          |       FROM s1 GROUP BY 1, 2),
+          |a2 AS (SELECT sv.vec_id, sv.m, cb1.cell, sv.s,
+          |       row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))), cell) AS rn
+          |       FROM sv JOIN cb1 ON sv.m = cb1.m),
+          |s2 AS (SELECT m, cell, dim,
+          |         sum(floor(s[dim] * 1000000)::BIGINT) AS sum_ppm,
+          |         count(*)::BIGINT AS n
+          |       FROM a2 CROSS JOIN ds WHERE rn = 1 GROUP BY 1, 2, 3),
+          |cb2 AS (SELECT m, cell,
+          |         list_transform(list_sort(list(struct_pack(d := dim,
+          |           mm := (sum_ppm // n)::DOUBLE / 1000000))), e -> e.mm) AS cv
+          |       FROM s2 GROUP BY 1, 2),
+          |a3 AS (SELECT sv.vec_id, sv.m, cb2.cell,
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))) AS d,
+          |       row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))), cell) AS rn
+          |       FROM sv JOIN cb2 ON sv.m = cb2.m)
+          |SELECT m::BIGINT AS m, cell, count(*)::BIGINT AS n_vectors,
+          |  sum(floor(d * 1000000)::BIGINT)::BIGINT AS err_ppm
+          |FROM a3 WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
       "t11_chunks" ->
         s"""SELECT doc_id, i::BIGINT AS chunk_idx,
            | least(32, len(t) - i*32)::BIGINT AS n_chunk_tokens,

@@ -773,6 +773,37 @@ object Ann {
       meanPpm.as("mean_ppm"), col("n_vectors"))
   }
 
+  /** Encode with a TRAINED codebook ([[pqTrain]]'s output) and report the
+    * compression quality: per-(subspace, cell) assignment counts plus the
+    * total quantization error in floor-ppm INTEGERS (error per
+    * (vector, subspace) floored to a long before the sum, so the rollup
+    * is shuffle-order-exact and oracle-checkable — the same determinism
+    * trick as the centroid stats). This is the train → encode loop
+    * closed: the distortion report an index build reads before deciding
+    * codebook size.
+    */
+  def pqTrainEncode(embeddings: DataFrame, subspaces: Int = 8,
+                    codebookSize: Int = 16, iterations: Int = 2): DataFrame = {
+    val trained = pqTrain(embeddings, subspaces, codebookSize, iterations)
+      .select(col("m").cast("int").as("m"), col("cell"), col("dim"),
+        (col("mean_ppm").cast("double") / lit(1000000d)).as("mm"))
+      .groupBy(col("m"), col("cell"))
+      .agg(collect_list(struct(col("dim"), col("mm"))).as("__dm"))
+      .select(col("m"), col("cell"),
+        transform(array_sort(col("__dm")), s => s.getField("mm")).as("cv"))
+    val v = doubleVecs(embeddings)
+    slices(v, subspaces, pqSubDim(subspaces), "sv")
+      .join(broadcast(trained), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cell"), pqDist("sv", "cv").as("__d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("cell"), col("__d")),
+        struct(col("__d"), col("cell"))).as("w"))
+      .select(col("m").cast("long").as("m"), col("w.cell").as("cell"),
+        floor(col("w.__d") * lit(1000000d)).cast("long").as("err_ppm"))
+      .groupBy(col("m"), col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("err_ppm")).as("err_ppm"))
+  }
+
   /** IVF-PQ search (Jégou et al., PAMI'11) — the two halves composed the
     * way a production 100 TB ANN index serves queries: the IVF coarse
     * quantizer restricts each query to `nprobe` cells, and candidates in
