@@ -879,6 +879,11 @@ object SparkEntry {
     // token-string representation
     "t42_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(Tables.documents(s, dir), merges = 4)),
+    // the learned merges APPLIED: per-doc word / base-token / BPE-token
+    // counts under the 4 trained merges — one corpus scan, the merge
+    // table folded in as literal replaces
+    "t43_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir), merges = 4)),
     "t41_url_profile" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val tld = element_at(
@@ -3176,6 +3181,56 @@ object SparkEntry {
            |UNION ALL SELECT 2, l, r, cnt FROM b2
            |UNION ALL SELECT 3, l, r, cnt FROM b3
            |UNION ALL SELECT 4, l, r, cnt FROM b4""".stripMargin
+      },
+      // t43: the t42 learn rounds re-derived, then the 4 merges applied
+      // to every document word — per-doc word/char/BPE token counts;
+      // LEFT JOIN keeps wordless docs at zero, like the Spark aggregates
+      "t43_bpe_encode" -> {
+        def pairsOf(v: String, p: String): String =
+          s"""$p AS (SELECT t[i] AS l, t[i+1] AS r, sum(n)::BIGINT AS cnt FROM (
+             |  SELECT string_split(trim(s), '  ') AS t, n,
+             |    unnest(generate_series(1, len(string_split(trim(s), '  ')) - 1)) AS i
+             |  FROM $v) GROUP BY 1, 2)""".stripMargin
+        def bestOf(p: String, b: String): String =
+          s"$b AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l || ' ' || r ASC LIMIT 1)"
+        def applyOf(v0: String, b: String, v1: String): String =
+          s"""$v1 AS (SELECT replace(s, ' ' || $b.l || '  ' || $b.r || ' ',
+             |  ' ' || $b.l || $b.r || ' ') AS s, n FROM $v0, $b)""".stripMargin
+        val rounds = (1 to 4).map { k =>
+          val prev = if (k == 1) "v0" else s"v${k - 1}"
+          Seq(pairsOf(prev, s"p$k"), bestOf(s"p$k", s"b$k")) ++
+            (if (k < 4) Seq(applyOf(prev, s"b$k", s"v$k")) else Nil)
+        }.flatten.mkString(",\n")
+        s"""WITH words AS (SELECT w, count(*)::BIGINT AS n FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE length(w) >= 2 GROUP BY 1),
+           |v0 AS (SELECT ' ' || array_to_string(list_transform(
+           |    generate_series(1, length(w)), i -> substr(w, i::INT, 1)), '  ')
+           |    || ' ' AS s, n FROM words),
+           |$rounds,
+           |dw AS (SELECT doc_id, w FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE w != ''),
+           |enc AS (SELECT doc_id, length(w) AS chars,
+           |  len(string_split(trim(
+           |    replace(replace(replace(replace(
+           |      ' ' || array_to_string(list_transform(
+           |        generate_series(1, length(w)), i -> substr(w, i::INT, 1)), '  ')
+           |        || ' ',
+           |      ' ' || b1.l || '  ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+           |      ' ' || b2.l || '  ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+           |      ' ' || b3.l || '  ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+           |      ' ' || b4.l || '  ' || b4.r || ' ', ' ' || b4.l || b4.r || ' ')),
+           |    '  ')) AS toks
+           |  FROM dw, b1, b2, b3, b4),
+           |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+           |    sum(chars)::BIGINT AS n_char_tokens,
+           |    sum(toks)::BIGINT AS n_bpe_tokens
+           |  FROM enc GROUP BY 1)
+           |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+           |  coalesce(a.n_char_tokens, 0) AS n_char_tokens,
+           |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
+           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
       },
       // t41: the canonical URL derived analytically from the same
       // construction — host lowercased/www-stripped, :443 dropped and

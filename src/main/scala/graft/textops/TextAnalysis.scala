@@ -934,6 +934,40 @@ object TextAnalysis {
     learned.result().toDF("rank", "left", "right", "cnt")
   }
 
+  /** BPE ENCODE over the corpus with a learned merge table — the
+    * [[bpeTrain]] → tokenize loop closed: each document's words pass
+    * through the k merges and the per-doc report carries word count,
+    * base (character) token count, and post-merge BPE token count — the
+    * compression read a tokenizer build checks before committing to a
+    * merge budget.
+    *
+    * The merge table collects to the driver (k rows — model-bounded,
+    * like centroids) and folds into the plan as k chained literal
+    * replaces over the same double-space token-string representation as
+    * training, so the encode is ONE corpus scan, shuffle-free per doc,
+    * no UDF.
+    */
+  def bpeEncode(docs: DataFrame, merges: Int = 4): DataFrame = {
+    val table = bpeTrain(docs, merges).orderBy(col("rank"))
+      .select(col("left"), col("right")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = filter(split(col("text"), " "), w => w =!= lit(""))
+    def encoded(w: Column): Column = {
+      val spaced = concat(lit(" "),
+        regexp_replace(w, "(.)(?=.)", "$1  "), lit(" "))
+      table.foldLeft(spaced) { case (s, (l, r)) =>
+        replace(s, lit(" " + l + "  " + r + " "), lit(" " + l + r + " "))
+      }
+    }
+    docs.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+        .as("n_char_tokens"),
+      aggregate(words, lit(0L), (acc, w) =>
+        acc + size(split(trim(encoded(w)), "  ")).cast("long"))
+        .as("n_bpe_tokens"))
+  }
+
   /** Data-mixture accounting: per-(lang, source) document/token/char
     * volumes plus each stratum's document share of the corpus (ppm) — the
     * report every training run wants next to its data card. Two map-side

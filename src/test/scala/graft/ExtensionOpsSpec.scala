@@ -993,6 +993,29 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert((first.getString(1), first.getString(2)) == ("a", "b"))
   }
 
+  test("bpeEncode: learned merges compress exactly the words they cover") {
+    import graft.textops.TextAnalysis
+    import spark.implicits._
+    // "aaab"x3 + "ab"x2 + "zz" learn (a,a), (a,b), (aa,ab), then (z,z)
+    // (the only pair left in round 4). Encoding doc 1: "aaab" → greedy
+    // [aa,a,b] → (a,b) → [aa,ab] → (aa,ab) → [aaab]: 1 token; "ab" →
+    // [ab]: 1. Doc 2's "zz" collapses under the round-4 merge. With
+    // merges=3 that merge is never learned and "zz" keeps 2 char tokens.
+    val docs = Seq((1L, "aaab aaab aaab ab ab"), (2L, "zz"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "length(text) AS n_chars")
+    def run(k: Int) = TextAnalysis.bpeEncode(docs, merges = k)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run(4) == Seq(
+      (1L, 5L, 16L, 5L), // 5 words, 16 chars, every word collapses to 1 token
+      (2L, 1L, 2L, 1L))) // (z,z) was the 4th learned merge
+    assert(run(3) == Seq(
+      (1L, 5L, 16L, 5L),
+      (2L, 1L, 2L, 2L))) // 3 merges never learn (z,z) — chars survive
+  }
+
   test("nfcNormalize: NFC composes, NFKC also folds compatibility forms") {
     import graft.textops.TextAnalysis
     val rows = Seq(
