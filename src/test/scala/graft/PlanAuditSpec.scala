@@ -643,6 +643,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("text"), s"text must not be read:\n$p")
   }
 
+  test("BPE encode: the merge table folds to literals — one shuffle-free scan") {
+    // training runs first (driver control loop, its own bounded jobs);
+    // the ENCODE plan under audit is the returned frame: literal
+    // replaces inside codegen'd HOF aggregates over one documents scan
+    val p = plan(TextAnalysis.bpeEncode(docs, merges = 2))
+    assert(!p.contains("ScalaUDF"), s"encode must stay codegen'd:\n$p")
+    // Tables.spread's conditional RoundRobin fixture-spread is fine; a
+    // KEYED exchange would mean the per-doc encode started shuffling
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-doc encode must not shuffle on a key:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"encode scan must prune to (doc_id, text):\n$p")
+  }
+
   test("corpus overlap: ONE map-side-combined slice aggregate; pairwise side broadcast") {
     val p = plan(Dedup.corpusOverlap(docs))
     // 64 per-slice mins combine map-side (the union-signature aggregate)
