@@ -957,6 +957,10 @@ object SparkEntry {
     // gram-disjoint); digest-only shuffles, ≤3 rows per digest key
     "d23_split_leakage" -> ((s, dir) =>
       Dedup.splitLeakage(Tables.documents(s, dir))),
+    // exact substring dedup's APPLY step (Lee et al. 2022): tokens under
+    // any corpus-wide ≥3× word-5-gram are masked; docs re-emit scrubbed
+    "d24_span_scrub" -> ((s, dir) =>
+      Dedup.spanScrub(Tables.documents(s, dir))),
     // pair list → duplicate clusters (keeper = min doc_id per component)
     "d06_dup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
@@ -3793,6 +3797,27 @@ object SparkEntry {
            |SELECT a, b, (c * 1000000 // (na.n + nb.n - c))::BIGINT AS jaccard_ppm
            |FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
            |WHERE (c * 1000000 // (na.n + nb.n - c)) >= 500000""".stripMargin,
+      // d24: the same 5-gram freq pass + per-token covered-by-hot-start
+      // mask, rebuilt with list_filter's (x, i) indexed lambda; docs
+      // without hot grams keep everything (LEFT JOIN, empty starts)
+      "d24_span_scrub" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |grams AS (SELECT doc_id, i AS pos, array_to_string(t[i : i+4], ' ') AS g
+          |  FROM (SELECT doc_id, t,
+          |          unnest(generate_series(1, len(t) - 4)) AS i FROM toks)),
+          |hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 3),
+          |hs AS (SELECT doc_id, list_sort(list(pos)) AS starts
+          |       FROM grams JOIN hot USING (g) GROUP BY doc_id),
+          |j AS (SELECT toks.doc_id, t, coalesce(starts, []) AS starts
+          |      FROM toks LEFT JOIN hs ON toks.doc_id = hs.doc_id),
+          |k AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+          |        list_filter(t, (x, i) -> len(list_filter(starts,
+          |          p -> p <= i AND i < p + 5)) = 0) AS kept
+          |      FROM j)
+          |SELECT doc_id, n_tokens,
+          |  (n_tokens - len(kept))::BIGINT AS n_masked,
+          |  -- DuckDB's empty-list join is NULL; Spark's array_join is ''
+          |  coalesce(array_to_string(kept, ' '), '') AS scrubbed FROM k""".stripMargin,
       // d23: t18's split hash + d04's k-gram machinery → leakage matrix
       "d23_split_leakage" ->
         s"""WITH m AS (SELECT doc_id,

@@ -92,6 +92,48 @@ object Dedup {
       .toDF("doc_id", "pos", "shingle")
   }
 
+  /** Corpus-wide duplicated-SPAN scrub — the APPLY step of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": remove any span that appears
+    * verbatim elsewhere in the corpus, not just whole-document dups):
+    * every token covered by a word-k-gram occurring ≥ `minCount` times
+    * across the corpus is masked out, and each doc re-emits with its
+    * kept tokens plus the mask accounting.
+    *
+    * Scale shape: the gram frequency pass is the [[positionedShingles]]
+    * explode + ONE map-side-combined groupBy (digest-sized grams cross
+    * the shuffle, never text); hot START positions come back to each doc
+    * as one sorted integer array via a left-semi join + per-doc collect
+    * (bounded by doc length); the scrub itself is a per-doc codegen'd
+    * filter — token i is kept iff no hot gram starts in (i-k, i] — so
+    * text never shuffles. Per-token cost is O(hot starts in the doc),
+    * the span-sparse common case.
+    */
+  def spanScrub(docs: DataFrame, k: Int = 5, minCount: Long = 3L): DataFrame = {
+    val grams = positionedShingles(docs, k)
+    val hot = grams.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount)
+      .select(col("shingle"))
+    val hotStarts = grams.join(hot, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    docs.join(hotStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("__starts"),
+          array().cast("array<bigint>")).as("__s"))
+      .select(col("doc_id"), split(col("text"), " ", -1).as("__t"), col("__s"))
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        filter(col("__t"), (t, i) => !exists(col("__s"),
+          p => p <= i.cast("long") + lit(1L) &&
+            i.cast("long") + lit(1L) < p + lit(k.toLong)))
+          .as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept")).cast("long")).as("n_masked"),
+        array_join(col("__kept"), " ").as("scrubbed"))
+  }
+
   /** Verbatim-substring duplication between document pairs, the signal of
     * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better") re-expressed as a

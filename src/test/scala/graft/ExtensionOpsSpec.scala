@@ -700,6 +700,26 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(rows.values.forall(_._2 >= 0L))
   }
 
+  test("spanScrub: tokens under a corpus-hot 5-gram mask out; the rest survive") {
+    // "h1..h5" appears in 3 docs → hot at minCount=3; doc 4 has no hot
+    // gram and passes through verbatim. In doc 1 the hot gram covers
+    // tokens 3..7 (start position 3), so exactly 5 tokens mask.
+    val hot = (1 to 5).map(i => s"h$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $hot b1 b2"),
+      (2L, s"$hot c1"),
+      (3L, s"d1 $hot"),
+      (4L, "z1 z2 z3 z4 z5 z6"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 9L, 5L, "a1 a2 b1 b2"),
+      (2L, 6L, 5L, "c1"),
+      (3L, 6L, 5L, "d1"),
+      (4L, 6L, 0L, "z1 z2 z3 z4 z5 z6")))
+  }
+
   test("substringRuns: maximal shared spans on diagonals; short overlaps drop") {
     def words(prefix: String, n: Int): String =
       (1 to n).map(i => s"$prefix$i").mkString(" ")
