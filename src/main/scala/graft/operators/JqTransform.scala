@@ -1580,6 +1580,23 @@ object JqTransform {
     "last" -> ((df, v) => { elementTypeV(df, v, "last"); try_element_at(v(df), lit(-1)) }),
     // jq reverse: arrays and strings share Spark's reverse
     "reverse" -> ((df, v) => reverse(v(df))),
+    // jq 1.7 trim family (whitespace trim on strings; jq errors on
+    // non-strings — here the usual loud plan-time type check)
+    "trim" -> ((df, v) => dtOfV(df, v) match {
+      case StringType | NullType => trim(v(df))
+      case dt => throw new IllegalArgumentException(
+        s"jq_expr: trim expects a string, got ${dt.simpleString}")
+    }),
+    "ltrim" -> ((df, v) => dtOfV(df, v) match {
+      case StringType | NullType => ltrim(v(df))
+      case dt => throw new IllegalArgumentException(
+        s"jq_expr: ltrim expects a string, got ${dt.simpleString}")
+    }),
+    "rtrim" -> ((df, v) => dtOfV(df, v) match {
+      case StringType | NullType => rtrim(v(df))
+      case dt => throw new IllegalArgumentException(
+        s"jq_expr: rtrim expects a string, got ${dt.simpleString}")
+    }),
     // jq transpose: array-of-arrays, rows padded with null to the longest
     // (jq's rule); [] and all-empty-rows give [] — one nested codegen'd
     // transform over a generated index sequence, no explode

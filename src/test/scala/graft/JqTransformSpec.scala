@@ -1309,6 +1309,17 @@ class JqTransformSpec extends SparkTestBase {
     assert(empty.isEmpty)
   }
 
+  test("trim/ltrim/rtrim: jq 1.7 string trims, loud on non-strings") {
+    val t = Seq(Tuple1("  padded  ")).toDF("s")
+    val r = JqTransform(t,
+      """{a: (.s | trim), b: (.s | ltrim), c: (.s | rtrim)}""").head()
+    assert((r.getString(0), r.getString(1), r.getString(2)) ==
+      ("padded", "padded  ", "  padded"))
+    val e = intercept[Exception](
+      JqTransform(Seq(Tuple1(1L)).toDF("n"), """{a: (.n | trim)}"""))
+    assert(e.getMessage.contains("trim expects a string"))
+  }
+
   test("nested assignment root resolves case-insensitively like reads") {
     import org.apache.spark.sql.functions.{col, lit, struct}
     val t = Seq((1L, 2L)).toDF("id", "k")
