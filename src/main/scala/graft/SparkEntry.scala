@@ -1611,6 +1611,16 @@ object SparkEntry {
             struct(col("event_type").as("type"),
               struct(col("user_id").as("uid")).as("ids")).as("payload")),
         """paths | {p: (.path | join("/"))}""")),
+    // O14 round-8 notch: FILTERED path enumeration — paths(f) with the
+    // predicate compiled per candidate ('.' bound to the candidate's
+    // value, type-dispatch folding on each candidate's static type)
+    "c72_jq_paths_filtered" -> ((s, dir) =>
+      JqTransform(
+        events(s, dir)
+          .select(col("event_id"),
+            struct(col("event_type").as("type"),
+              struct(col("user_id").as("uid")).as("ids")).as("payload")),
+        """paths(type == "number") | {p: (.path | join("/"))}""")),
     // O14 round-6 second-tranche notch: code-point explode/implode
     // round-trip, JSON re-parse via fromjson (VARIANT) piped into `| .k`,
     // the stream builtins scan/splits/range with their [collect] forms,
@@ -2348,6 +2358,10 @@ object SparkEntry {
         """SELECT t.p FROM events CROSS JOIN (VALUES ('event_id'), ('payload'),
           | ('payload/type'), ('payload/ids'), ('payload/ids/uid')) AS t(p)"""
           .stripMargin,
+      // c72: only the number-typed candidates survive the filter
+      "c72_jq_paths_filtered" ->
+        """SELECT t.p FROM events CROSS JOIN
+          | (VALUES ('event_id'), ('payload/ids/uid')) AS t(p)""".stripMargin,
       // c47: the second builtin tranche, relationally. explode|length =
       // char count; explode|first = unicode(); explode|implode round-trips
       // to the input; fromjson|.k ≡ json_extract_string; [scan]|length =

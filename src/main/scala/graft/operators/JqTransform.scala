@@ -813,6 +813,8 @@ object JqTransform {
     if (stage == ".") identity
     else if (stage == "..") compileDescend
     else if (stage == "paths") compilePaths
+    else if (stage.startsWith("paths(") && stage.endsWith(")"))
+      compileFilteredPaths(stage.substring("paths(".length, stage.length - 1), defs)
     else if (stage == "leaf_paths") compileLeafPaths
     else if (stage.startsWith("select")) compileSelect(stage, defs)
     else if (stage.startsWith("foreach")) compileForeach(stage, defs)
@@ -1279,25 +1281,78 @@ object JqTransform {
     * indices and contribute their own path but no descent (jq emits
     * numeric index paths there; documented divergence).
     */
-  private def compilePaths: DataFrame => DataFrame = pathsStage(leavesOnly = false)
+  private def compilePaths: DataFrame => DataFrame =
+    pathsStage((_, _, _) => lit(true))
 
   /** `leaf_paths` as a whole STAGE: `paths` restricted to SCALAR leaves
     * (jq: `paths(scalars)`) — same literal-candidate filter + explode;
     * container-valued fields (arrays/maps, runtime-indexed) contribute
     * no leaf, the same no-numeric-index-descent scope as `paths`.
     */
-  private def compileLeafPaths: DataFrame => DataFrame = pathsStage(leavesOnly = true)
+  private def compileLeafPaths: DataFrame => DataFrame =
+    pathsStage((_, dt, _) => lit(typeFilterHolds("scalars", dt)))
 
-  private def pathsStage(leavesOnly: Boolean): DataFrame => DataFrame = { df =>
+  /** jq's type-filter builtin names (`paths(numbers)` etc) decided from
+    * the candidate's STATIC type. `nulls` never matches here: the paths
+    * stages prune runtime-null branches (documented), and a
+    * statically-NullType field is such a branch.
+    */
+  private def typeFilterHolds(name: String, dt: DataType): Boolean = name match {
+    case "scalars" => !(dt.isInstanceOf[StructType] ||
+      dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType])
+    case "numbers" => dt.isInstanceOf[NumericType]
+    case "strings" => dt == StringType
+    case "booleans" => dt == BooleanType
+    case "objects" => dt.isInstanceOf[StructType] || dt.isInstanceOf[MapType]
+    case "arrays" => dt.isInstanceOf[ArrayType]
+    case "iterables" => dt.isInstanceOf[StructType] ||
+      dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType]
+    case "nulls" => dt == NullType
+    case other => throw new IllegalArgumentException(
+      s"jq_expr: unknown type filter '$other'")
+  }
+
+  private val TypeFilterNames = Set("scalars", "numbers", "strings",
+    "booleans", "objects", "arrays", "iterables", "nulls")
+
+  /** `paths(f)` as a whole STAGE: jq's FILTERED path enumeration — the
+    * [[compilePaths]] candidate walk with f applied per candidate, `.`
+    * bound to the candidate's value. Type-filter names decide statically
+    * from each candidate's schema type ([[typeFilterHolds]]); a general
+    * predicate compiles per candidate (each candidate's type is static,
+    * so `type`-dispatch folds per node like walk) with jq truthiness by
+    * the predicate's static result type.
+    */
+  private def compileFilteredPaths(inner: String,
+                                   defs: Map[String, JqDef]): DataFrame => DataFrame = {
+    val name = inner.trim
+    if (TypeFilterNames.contains(name))
+      pathsStage((_, dt, _) => lit(typeFilterHolds(name, dt)))
+    else {
+      // parse ONCE; evaluate per candidate under its own binding (the
+      // applyBound shape: fresh type-probe memo, dummy-first so
+      // type-dispatch folds per candidate's static type)
+      val p = new P(inner, defs)
+      val pred = p.parseValue()
+      p.skipWs()
+      require(!p.hasMore, s"jq_expr: trailing input in paths($inner)")
+      pathsStage { (df, dt, c) =>
+        val (v, vdt) = applyBound(df, c, dt, pred)
+        vdt match {
+          case BooleanType => coalesce(v, lit(false)) === lit(true)
+          case _ => v.isNotNull
+        }
+      }
+    }
+  }
+
+  private def pathsStage(
+      pred: (DataFrame, DataType, Column) => Column): DataFrame => DataFrame = { df =>
     val fields = df.schema.fields.filterNot(_.name.startsWith("__var_")).toSeq
     def walk(dt: DataType, c: Column, prefix: Seq[String]): Seq[Column] = {
-      val isLeaf = dt match {
-        case _: StructType | _: ArrayType | _: MapType => false
-        case _ => true
-      }
       val self = struct(
         array(prefix.map(lit(_)): _*).as("p"),
-        (c.isNotNull && lit(!leavesOnly || isLeaf)).as("ok"))
+        (c.isNotNull && pred(df, dt, c)).as("ok"))
       dt match {
         case st: StructType =>
           self +: st.fields.toSeq.flatMap(f =>

@@ -981,6 +981,25 @@ class JqTransformSpec extends SparkTestBase {
       List("payload", "meta"), List("payload", "meta", "uid")))
   }
 
+  test("paths(f): type-filter names and compiled value predicates") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val t = Seq((5L, "x")).toDF("id", "s")
+      .select(col("id"), col("s"),
+        struct(lit(2L).as("n"), lit("y").as("t")).as("m"))
+    def run(f: String): List[List[String]] =
+      JqTransform(t, s"paths($f)")
+        .collect().map(_.getSeq[String](0).toList).toList
+    assert(run("numbers") == List(List("id"), List("m", "n")))
+    assert(run("strings") == List(List("s"), List("m", "t")))
+    assert(run("objects") == List(List("m")))
+    assert(run("scalars") ==
+      List(List("id"), List("s"), List("m", "n"), List("m", "t")))
+    // general predicate: '.' is the candidate's value; type-dispatch and
+    // value tests compose (id=5 passes, m.n=2 fails)
+    assert(run("""type == "number" and . > 3""") == List(List("id")))
+    assert(run("""type == "string"""") == List(List("s"), List("m", "t")))
+  }
+
   test("explode/implode: full-Unicode code-point round-trip") {
     // differential (jq 1.7): "héllo€🙂" | explode ==
     // [104,233,108,108,111,8364,128578]; implode inverts, including the
