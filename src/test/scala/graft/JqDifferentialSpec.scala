@@ -727,6 +727,24 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{d: ((.t | debug) + 1)}""", Seq("""{"t": 41}"""))
   }
 
+  test("round-8 composition edges: year boundary, string keys, chained brackets, walk-on-field") {
+    // gmtime/strftime across the year boundary (yday wraps, weekday runs on)
+    check("""{d: (.t | gmtime | strftime("%Y %j %a"))}""",
+      Seq("""{"t": 31535999}""", """{"t": 31536000}"""))
+    // unique_by over string keys (jq's string sort = bytewise here)
+    check("""{u: (.es | unique_by(.k))}""",
+      Seq("""{"es": [{"k": "b"}, {"k": "a"}, {"k": "b"}]}"""))
+    // bracket assignment stages CHAIN: later stages see earlier writes
+    check(""".v[] |= . * 10 | .v[0] += 1 | {v: .v}""",
+      Seq("""{"v": [3, 1, 2]}"""))
+    // walk applied to a FIELD value (not a construction) with a mixed
+    // string/number/array body
+    check("""{w: (.o | walk(if type == "number" then . + 1
+            |              elif type == "string" then ascii_downcase
+            |              else . end))}""".stripMargin,
+      Seq("""{"o": {"a": "X", "b": [1, 2]}}"""))
+  }
+
   test("recursive def: accumulator param at shallow depth") {
     // argument-compounding recursion: each level embeds the prior level's
     // arg TREES (the polymorphic-+ null guards triple operand fan-out),
