@@ -24,6 +24,13 @@ object SparkEntry {
 
   private val Hour = "1 hour"
 
+  // t44's literal retrieval workload — corpus-vocabulary terms so every
+  // query has real hits; the oracle embeds the same VALUES table
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark query fast",
+    2L -> "table scan filter",
+    3L -> "vector merge batch window")
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
@@ -673,6 +680,11 @@ object SparkEntry {
     // quantiles in cents — latency percentiles next to request counts
     "e09_value_quantiles" -> ((s, dir) =>
       graft.relational.Temporal.windowValueQuantiles(events(s, dir))),
+    // percentile counter by MERGEABLE SKETCH + measured ε-gate (the a01
+    // HLL pattern for quantiles): exact values hash-compared, the O(1/ε)
+    // sketch's rank drift breaks the within_eps column instead
+    "e13_quantile_sketch_gate" -> ((s, dir) =>
+      graft.relational.Temporal.quantileSketchGate(events(s, dir))),
     // percentile counter through the SERIALIZED two-phase topology
     // (counter.go:483-512 analog for the engine-extension counter type):
     // per-shard cents histograms → JSON intermediate records → parse +
@@ -884,6 +896,16 @@ object SparkEntry {
     // table folded in as literal replaces
     "t43_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(Tables.documents(s, dir), merges = 4)),
+    // BM25 retrieval over a literal 3-query workload: integer-exact
+    // scoring (rational idf surrogate + DECIMAL-exact saturation term),
+    // query terms folded into the scan as ONE isin filter
+    "t44_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Batch(Tables.documents(s, dir), Bm25Queries)),
+    // exact-k stratified carve: min(k, |stratum|) docs per (lang,
+    // source) by the shared md5 sampling coordinate — the eval-set
+    // shape Bernoulli rates can't hit exactly
+    "t45_budget_sample" -> ((s, dir) =>
+      TextAnalysis.budgetSample(Tables.documents(s, dir))),
     "t41_url_profile" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val tld = element_at(
@@ -961,6 +983,25 @@ object SparkEntry {
     // any corpus-wide ≥3× word-5-gram are masked; docs re-emit scrubbed
     "d24_span_scrub" -> ((s, dir) =>
       Dedup.spanScrub(Tables.documents(s, dir))),
+    // URL-level dedup: four raw variants per resource (www+dup-slash+utm,
+    // explicit default port, trailing slash, fragment) all canonicalize
+    // to ONE url; keep = min doc_id. The oracle derives the canonical
+    // form analytically from the same doc_id formula (t41 convention)
+    "d25_url_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val res = expr("doc_id div 4")
+      val variant = col("doc_id") % 4
+      val raw = concat(
+        when(variant === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        lit("site"), res % 5, lit(".example.com"),
+        when(variant === 1, lit(":443")).otherwise(lit("")),
+        when(variant === 0, lit("//page//")).otherwise(lit("/page/")),
+        res,
+        when(variant === 2, lit("/")).otherwise(lit("")),
+        when(variant === 0, lit("?utm_source=feed&fbclid=x")).otherwise(lit("")),
+        when(variant === 3, lit("#frag")).otherwise(lit("")))
+      Dedup.urlDedup(d, raw)
+    }),
     // pair list → duplicate clusters (keeper = min doc_id per component)
     "d06_dup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
@@ -2742,6 +2783,20 @@ object SparkEntry {
           |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
           |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
           |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
+      // e13: exact quantiles + n (e09's SQL) + literal-true verdicts —
+      // the sketch gate is measured Spark-side (a01 pattern)
+      "e13_quantile_sketch_gate" ->
+        """WITH h AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+          |  CAST(floor(value * 100) AS BIGINT) AS value_cents, count(*)::BIGINT AS cnt
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |c AS (SELECT window_start, value_cents, cnt,
+          |  sum(cnt) OVER (PARTITION BY window_start ORDER BY value_cents) AS cum,
+          |  sum(cnt) OVER (PARTITION BY window_start) AS n FROM h)
+          |SELECT window_start, p_ppm, value_cents, n::BIGINT AS n,
+          |  1::BIGINT AS within_eps
+          |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
+          |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
+          |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
       // e10: the two-phase hop must be invisible — same SQL as e09
       "e10_twophase_quantiles" ->
         """WITH h AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
@@ -3250,6 +3305,48 @@ object SparkEntry {
            |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
            |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
       },
+      // t44: the identical integer BM25 — HUGEINT products, `//` floor
+      // division (all terms positive → = Spark's truncating `div`),
+      // the same literal VALUES query table
+      "t44_bm25" ->
+        """WITH q(query_id, term) AS (VALUES
+          |    (1, 'spark'), (1, 'query'), (1, 'fast'),
+          |    (2, 'table'), (2, 'scan'), (2, 'filter'),
+          |    (3, 'vector'), (3, 'merge'), (3, 'batch'), (3, 'window')),
+          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |corpus AS (SELECT count(*)::HUGEINT AS n_docs,
+          |             sum(len(t))::HUGEINT AS n_toks FROM toks),
+          |hits AS (SELECT doc_id, len(t)::HUGEINT AS dl, unnest(t) AS term
+          |         FROM toks),
+          |tf AS (SELECT doc_id, dl, term, count(*)::HUGEINT AS tf FROM hits
+          |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+          |dfq AS (SELECT term, count(*)::HUGEINT AS df_t FROM tf GROUP BY 1),
+          |sc AS (SELECT q.query_id, tf.doc_id,
+          |    (((n_docs - df_t) * 1000000 // n_docs) *
+          |     ((2200::HUGEINT * tf * n_toks * 1000000) //
+          |      (1000::HUGEINT * tf * n_toks + 300::HUGEINT * n_toks +
+          |       900::HUGEINT * dl * n_docs)) // 1000000) AS contrib
+          |  FROM tf JOIN dfq USING (term) CROSS JOIN corpus JOIN q USING (term)),
+          |agg AS (SELECT query_id, doc_id, sum(contrib)::BIGINT AS score_ppm
+          |        FROM sc GROUP BY 1, 2)
+          |SELECT * FROM (
+          |  SELECT query_id::BIGINT AS query_id, doc_id, score_ppm,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score_ppm DESC, doc_id ASC)::BIGINT AS rank
+          |  FROM agg) WHERE rank <= 10""".stripMargin,
+      // t45: the same md5 sampling coordinate (t18/t22's SQL twin),
+      // rank within (lang, source) by (coord, doc_id)
+      "t45_budget_sample" ->
+        """SELECT lang, source, doc_id, pick_rank, n_stratum FROM (
+          |  SELECT lang, source, doc_id,
+          |    row_number() OVER (PARTITION BY lang, source
+          |      ORDER BY c, doc_id)::BIGINT AS pick_rank,
+          |    count(*) OVER (PARTITION BY lang, source)::BIGINT AS n_stratum
+          |  FROM (SELECT lang, source, doc_id,
+          |          ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT
+          |            % 1000000 AS c
+          |        FROM documents))
+          |WHERE pick_rank <= 8""".stripMargin,
       // t41: the canonical URL derived analytically from the same
       // construction — host lowercased/www-stripped, :443 dropped and
       // :8443 kept, slashes collapsed, trailing slash gone, utm dropped,
@@ -3814,6 +3911,13 @@ object SparkEntry {
       // d24: the same 5-gram freq pass + per-token covered-by-hot-start
       // mask, rebuilt with list_filter's (x, i) indexed lambda; docs
       // without hot grams keep everything (LEFT JOIN, empty starts)
+      // d25: the canonical URL derived analytically from the same
+      // doc_id formula the Spark side feeds through canonicalizeUrl
+      "d25_url_dedup" ->
+        """SELECT 'https://site' || ((doc_id // 4) % 5)::VARCHAR ||
+          |    '.example.com/page/' || (doc_id // 4)::VARCHAR AS url,
+          |  count(*)::BIGINT AS n_dups, min(doc_id) AS keep_doc_id
+          |FROM documents GROUP BY 1""".stripMargin,
       "d24_span_scrub" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           |grams AS (SELECT doc_id, i AS pos, array_to_string(t[i : i+4], ' ') AS g

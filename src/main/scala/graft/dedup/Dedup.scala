@@ -101,8 +101,10 @@ object Dedup {
     * kept tokens plus the mask accounting.
     *
     * Scale shape: the gram frequency pass is the [[positionedShingles]]
-    * explode + ONE map-side-combined groupBy (digest-sized grams cross
-    * the shuffle, never text); hot START positions come back to each doc
+    * explode + ONE map-side-combined groupBy over 60-bit md5 gram
+    * digests (digest-sized grams cross the shuffle, never text — same
+    * hashing convention, and the same negligible-collision trade, as
+    * [[substringRuns]]); hot START positions come back to each doc
     * as one sorted integer array via a left-semi join + per-doc collect
     * (bounded by doc length); the scrub itself is a per-doc codegen'd
     * filter — token i is kept iff no hot gram starts in (i-k, i] — so
@@ -111,11 +113,13 @@ object Dedup {
     */
   def spanScrub(docs: DataFrame, k: Int = 5, minCount: Long = 3L): DataFrame = {
     val grams = positionedShingles(docs, k)
-    val hot = grams.groupBy(col("shingle"))
+      .select(col("doc_id"), col("pos"),
+        PortableHash.md5Long60(col("shingle")).as("gh"))
+    val hot = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minCount)
-      .select(col("shingle"))
-    val hotStarts = grams.join(hot, Seq("shingle"), "left_semi")
+      .select(col("gh"))
+    val hotStarts = grams.join(hot, Seq("gh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     docs.join(hotStarts, Seq("doc_id"), "left")
@@ -964,4 +968,24 @@ object Dedup {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
   }
+
+  /** URL-level dedup — the FIRST dedup stage of a web-corpus build
+    * (CommonCrawl-style: the same page is fetched under www/no-www,
+    * default-port, trailing-slash, tracking-param, and fragment variants;
+    * canonicalize then keep one). [[graft.textops.UrlOps.canonicalizeUrl]]
+    * is the codegen'd canonicalizer; the keep rule is min doc_id per
+    * canonical URL (deterministic first-crawled winner).
+    *
+    * Scale shape: canonicalization is a pure projection on the scan; the
+    * single shuffle groups by the canonical URL string with map-side
+    * `count`/`min` combines (canonical URLs are short and uniform — no
+    * digest needed since the URL itself is the output). Unparseable URLs
+    * (null canonical) are dropped, the permissive web-data convention.
+    * Output: (url, n_dups, keep_doc_id).
+    */
+  def urlDedup(docs: DataFrame, url: Column): DataFrame =
+    docs.select(col("doc_id"), graft.textops.UrlOps.canonicalizeUrl(url).as("url"))
+      .where(col("url").isNotNull)
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc_id"))
 }

@@ -1009,20 +1009,34 @@ object JqTransform {
     p.skipWs()
     require(!p.hasMore, s"jq_expr: trailing input in assignment: $stage")
     // multi-target `(.a, .b) op= E`: sequential path updates over the
-    // same record — each target's update sees the previous targets'
-    // writes, exactly jq's fold over the path list
-    df0 => targets.foldLeft(df0) { (df, path) =>
-      def rowRhs: Column = rhs(df) // '.' = the row
+    // same record. jq's gen_update (compile.c) DUPs the input and binds
+    // the RHS ONCE into $tmp against the ORIGINAL '.' for `=` and every
+    // arithmetic op= — only `|=` (_modify's update filter) re-evaluates
+    // at each path. So `(.a,.b) = .a + 10` on {a:1,b:2} is a=11,b=11:
+    // materialize the RHS as a temp column on the pre-update frame and
+    // fold the path writes over that.
+    df0 => {
+      val bindOnce = op != "|="
+      val tmp = Iterator.from(0).map(i => s"__graft_rhs_$i")
+        .find(n => !df0.columns.exists(_.equalsIgnoreCase(n))).get
+      val (start, boundRhs, boundDt) =
+        if (bindOnce) {
+          val withTmp = df0.withColumn(tmp, rhs(df0))
+          (withTmp, col(tmp), withTmp.schema(tmp).dataType)
+        } else (df0, lit(null), NullType)
+      val folded = targets.foldLeft(start) { (df, path) =>
+      def rowRhs: Column = if (bindOnce) boundRhs else rhs(df) // '.' = the ORIGINAL row
+      def rhsDt: DataType = if (bindOnce) boundDt else dtOfV(df, rhs)
       // the update applied AT the target site — `old` is the value there
       // (per-element inside `[]`/index traversals)
       def updFn(old: Column, oldDt: DataType): Column = op match {
         case "=" => rowRhs
         case "|=" => // '.' = the old path value
           elemBinding.withValue(Some(Bound(old, lit(null).cast(oldDt), oldDt)))(rhs(df))
-        case "+=" => polyAdd(oldDt, dtOfV(df, rhs), old, rowRhs)
+        case "+=" => polyAdd(oldDt, rhsDt, old, rowRhs)
         case "-=" => old - rowRhs
-        case "*=" => polyMul(oldDt, dtOfV(df, rhs), old, rowRhs)
-        case "/=" => polyDiv(oldDt, dtOfV(df, rhs), old, rowRhs)
+        case "*=" => polyMul(oldDt, rhsDt, old, rowRhs)
+        case "/=" => polyDiv(oldDt, rhsDt, old, rowRhs)
         case "%=" => // zero guard: jq-null, never ANSI DIVIDE_BY_ZERO
           val rr = rowRhs.cast("long")
           when(rr === lit(0L), lit(null)).otherwise(old.cast("long") % rr)
@@ -1121,6 +1135,8 @@ object JqTransform {
         case _ => throw new IllegalArgumentException(
           s"jq_expr: assignment target must start with a field: $stage")
       }
+      }
+      if (bindOnce) folded.drop(tmp) else folded
     }
   }
 
@@ -1468,16 +1484,21 @@ object JqTransform {
       p.skipWs()
       require(!p.hasMore, s"jq_expr: trailing input after object: $stage")
       val streams = p.streamFields.toSet
-      require(streams.size <= 1,
-        s"jq_expr: ${streams.size} stream-valued fields in one object " +
-          "construction — jq's cartesian stream product is out of scope; " +
-          s"collect all but one with [stream]: $stage")
       // jq semantics: a stream-valued field makes the construction emit
-      // one object per stream element (0 outputs for an empty stream) —
-      // ONE explode generator beside the plain projections
-      df => df.select(fields.map { case (k, v) =>
-        if (streams(k)) explode(v(df)).as(k) else v(df).as(k)
-      }: _*)
+      // one object per stream element (0 outputs for an empty stream),
+      // and SEVERAL stream fields emit their cartesian product. One
+      // explode generator per stream field, chained — every compare
+      // downstream (driver oracle, differential) is order-insensitive,
+      // so jq's iteration order needn't be reproduced
+      df => {
+        var cur = df.select(fields.map { case (k, v) =>
+          v(df).as(s"__f_$k") }: _*)
+        fields.collect { case (k, _) if streams(k) => k }.foreach { k =>
+          cur = cur.select(cur.columns.map(c =>
+            if (c == s"__f_$k") explode(col(c)).as(c) else col(c)): _*)
+        }
+        cur.select(fields.map { case (k, _) => col(s"__f_$k").as(k) }: _*)
+      }
     } else if (p.peek == '.' && pathOnlyStage(stage)) {
       val path = p.parsePathParts()
       val iterate = p.tryConsume("[]")
@@ -1950,14 +1971,17 @@ object JqTransform {
             "(string or array required)")
       }
     }),
-    // jq nth(n): the array's nth element, 0-based; out-of-range → null,
-    // negative → jq's loud error
+    // jq nth($n) is `.[$n]` (builtin.jq): 0-based, negative counts from
+    // the end, out-of-range EITHER direction → null. (The loud
+    // "doesn't support negative indices" error belongs to the 2-arity
+    // stream form nth(n; expr), which is not this kernel.)
     "nth" -> ((df, v, a) => {
       val et = elementTypeV(df, v, "nth")
+      val arr = v(df)
       val n = a(df).cast("long")
-      when(n < lit(0L),
-        raise_error(lit("jq_expr: nth doesn't support negative indices")).cast(et))
-        .otherwise(get(v(df), n.cast("int")))
+      val idx = when(n < lit(0L), n + size(arr).cast("long")).otherwise(n)
+      when(idx < lit(0L), lit(null).cast(et))
+        .otherwise(get(arr, idx.cast("int")))
     }),
     // jq join(sep): stringified elements, null elements print empty,
     // [] → "" — one aggregate fold so the separator can be any value
@@ -2902,12 +2926,13 @@ object JqTransform {
           }
         } else if ((fn == "first" || fn == "last") && peek == '(') {
           // first(f)/last(f): f's first/last OUTPUT. A STREAM-valued f
-          // (its collected array, per the value-position convention)
-          // yields its first/last element; a single-output f is jq's
-          // one-element stream — the value itself. The parser's stream
-          // flag decides which, and first/last consume it (single value
-          // out). An empty stream yields the null analog of jq's empty
-          // output, the documented convention.
+          // yields a ≤1-element STREAM (the sliced array, stream flag
+          // kept): one output picks that end, an EMPTY stream stays
+          // empty — so a record-level use drops the record and a
+          // [collect] yields [], both jq-exact (an empty-stream null
+          // stand-in was round 8's convention; a round-9 fuzz seed
+          // caught the divergence). A single-output f is jq's
+          // one-element stream — the value itself, no flag.
           expect('(')
           val inner = parseValue()
           val innerStream = streamTail
@@ -2921,9 +2946,17 @@ object JqTransform {
             val et = dtOfV(df, vv)
             val out = elemBinding.withValue(
               Some(Bound(vv(df), lit(null).cast(et), et)))(inner(df))
-            if (innerStream) try_element_at(out, lit(if (wantLast) -1 else 1))
-            else out
+            if (!innerStream) out
+            else if (wantLast)
+              // jq: `def last(f): reduce f as $x (null; $x)` — an EMPTY
+              // stream folds to the init, null, so last(empty) emits ONE
+              // null (record kept), unlike first(empty) which is empty.
+              // get() on the empty array makes the correctly-typed null.
+              when(size(out) > lit(0), slice(out, size(out), lit(1)))
+                .otherwise(array(get(out, lit(0))))
+            else slice(out, lit(1), lit(1))
           }
+          streamTail = innerStream
         } else if ((fn == "any" || fn == "all") && peek == '(') {
           // any(f)/all(f): condition over each element with '.' bound —
           // one codegen'd exists/forall; truthiness by the condition's

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Quantiles, QuantileSketch}
+
 /** Temporal / event-sequence analytics over the `events` table — the
   * operator family a training-data pipeline needs for event attribution,
   * cohort accounting, and ordered-sequence features (and that the
@@ -232,6 +234,77 @@ object Temporal {
     */
   private[graft] def dropNullCents(hist: DataFrame): DataFrame =
     hist.where(col("value_cents").isNotNull)
+
+  /** Per-window quantiles by MERGEABLE SKETCH with a measured ε-gate —
+    * the unbounded-domain percentile counter ([[windowValueQuantiles]]'s
+    * cents histogram is exact but sized by distinct values; the
+    * [[graft.functions.QuantileSketch]] summary is O(1/ε) regardless of
+    * domain — the same trade, and the same GATED oracle pattern, as the
+    * reference's HLL distinct counter / a01). Output per (window, p):
+    * the EXACT lower-discrete quantile (DuckDB-reproducible), the
+    * non-null count, and `within_eps` — the measured verdict that the
+    * sketch estimate's covering rank range intersects
+    * [target − ⌊gate·n⌋, target + ⌊gate·n⌋]. A sketch drifting past the
+    * gate flips the verdict and breaks the hash — a gate, not an
+    * abstention; the estimate itself is deliberately not hash-compared
+    * (partition-order-dependent, like HLL).
+    *
+    * Scale shape: the sketch rides a typed aggregation
+    * (ObjectHashAggregate) with PARTIAL merge — only O(1/ε) summaries
+    * cross the (window) shuffle; the exact side reuses the cents
+    * histogram machinery; the rank audit joins the (windows × ps)-sized
+    * estimate table back to the histogram. Quantile definition shared
+    * with [[graft.functions.Quantiles.fromHistogram]]:
+    * rank = ((n−1)·p_ppm) div 10⁶ + 1.
+    */
+  def quantileSketchGate(events: DataFrame, windowDuration: String = "1 hour",
+                         psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L),
+                         gateEpsPpm: Long = 50000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hist = dropNullCents(valueCentsHistogram(events, "ts", windowDuration))
+    val exact = Quantiles.fromHistogram(hist, "window_start", "value_cents",
+      "cnt", psPpm)
+    val cents = events
+      .select(
+        unix_millis(window(col("ts"), windowDuration).getField("start")).as("ws"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .where(col("c").isNotNull)
+      .as[(Long, Long)]
+    val summaries = cents.groupByKey(_._1).mapValues(_._2)
+      .agg(new QuantileSketch.Agg().toColumn.name("s"))
+      .toDF("window_start", "s")
+      .select(col("window_start"), col("s.knots").as("__k"),
+        col("s.ranks").as("__r"), col("s.n").as("n"))
+    val est = summaries
+      .select(col("window_start"), col("__k"), col("__r"), col("n"),
+        explode(array(psPpm.map(lit): _*)).as("p_ppm"))
+      .withColumn("__target", expr("((n - 1) * p_ppm) div 1000000") + lit(1L))
+      .withColumn("__est", coalesce(
+        try_element_at(filter(arrays_zip(col("__k"), col("__r")),
+          s => s.getField("__r") >= col("__target")), lit(1)).getField("__k"),
+        try_element_at(col("__k"), size(col("__k")))))
+      .select(col("window_start"), col("p_ppm"), col("n"),
+        col("__target"), col("__est"))
+    // measured audit: the estimate is an inserted value, so it has a
+    // histogram row; its covering rank range is (cum − cnt, cum]
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(
+        Window.partitionBy(col("window_start")).orderBy(col("value_cents"))))
+      .select(col("window_start").as("__ws2"), col("value_cents").as("__v2"),
+        col("cnt").as("__cnt2"), col("__cum"))
+    val slack = expr("(n * " + gateEpsPpm + "L) div 1000000")
+    val gated = est
+      .join(cum, est("window_start") === col("__ws2") &&
+        col("__v2") === col("__est"))
+      .select(col("window_start"), col("p_ppm"), col("n"),
+        ((col("__cum") >= col("__target") - slack) &&
+          (col("__cum") - col("__cnt2") <= col("__target") - 1 + slack))
+          .cast("long").as("within_eps"))
+    exact.join(gated, Seq("window_start", "p_ppm"))
+      .select(col("window_start"), col("p_ppm"), col("value_cents"),
+        col("n"), col("within_eps"))
+  }
 
   /** Phase-1 partial state for the percentile counter through the
     * reference's explicit two-phase topology (`counter.go:483-512` analog

@@ -393,8 +393,13 @@ object Ann {
     lloyd(corpus, init, iterations, tolPpm = -1L)._1
   }
 
-  // truncating long division (Spark `div`), = DuckDB BIGINT `//`;
-  // NOT floor division — they differ on negative sums
+  // truncating long division (Spark `div`), = DuckDB `//` — VERIFIED
+  // empirically on negative operands: DuckDB `SELECT -7 // 2` is -3
+  // (truncation toward zero, BIGINT and HUGEINT alike), the same as
+  // Spark's `div`; s20's fixture has negative (m, cell, dim) sums and
+  // hash-matches on exactly this pairing. (A floor-division rewrite here
+  // was tried in round 9 on the premise that `//` floors — it broke the
+  // s20 oracle match on the first negative sum. `//` does NOT floor.)
   private val meanPpm = expr("sum_ppm div n_vectors")
 
   /** Centroid frame (cell, cv, cnorm) from a Lloyd stats frame

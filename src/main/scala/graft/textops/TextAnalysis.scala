@@ -953,8 +953,10 @@ object TextAnalysis {
       .map(r => (r.getString(0), r.getString(1)))
     val words = filter(split(col("text"), " "), w => w =!= lit(""))
     def encoded(w: Column): Column = {
+      // (?s): Java '.' skips line terminators by default — a word
+      // containing \n must space identically to bpeTrain's substr loop
       val spaced = concat(lit(" "),
-        regexp_replace(w, "(.)(?=.)", "$1  "), lit(" "))
+        regexp_replace(w, "(?s)(.)(?=.)", "$1  "), lit(" "))
       table.foldLeft(spaced) { case (s, (l, r)) =>
         replace(s, lit(" " + l + "  " + r + " "), lit(" " + l + r + " "))
       }
@@ -1408,6 +1410,118 @@ object TextAnalysis {
         coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__nc") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** BATCH BM25 — [[bm25TopK]]'s whole-WORKLOAD twin: top-k docs for
+    * EVERY query of a literal query set in one corpus pass (the
+    * contamination probe shape: "which training docs score high against
+    * each of the eval queries?"). t20's per-term literal-column plan is
+    * right for one query; a workload of hundreds would widen the
+    * projection by |terms| columns, so here the terms ride ONE broadcast
+    * (query_id, term) table and the hits flow through a (doc, term)
+    * aggregate instead. Okapi BM25 with k1=1.2, b=0.75, made
+    * integer-exact so two engines agree bit-for-bit:
+    *
+    *  - idf_ppm(t) = ⌊10⁶·(N − df_t) / N⌋: a log-free RATIONAL rarity
+    *    surrogate for BM25's idf (the log form needs transcendental
+    *    doubles two engines won't agree on bit-for-bit, and a floor-log2
+    *    quantization collapses to 0 whenever df is within 2× of N —
+    *    every common term). Monotone in df like the original, exact in
+    *    integers;
+    *  - tf_norm_ppm = ⌊10⁶ · 2200·tf·L / (1000·tf·L + 300·L + 900·dl·N)⌋:
+    *    BM25's saturation term with k1/b folded to integer milli-weights
+    *    and avgdl = L/N kept as the exact rational (numerator and
+    *    denominator both scaled by 1000·L·N — DECIMAL(38,0) on the Spark
+    *    side, HUGEINT in an oracle; one integral division at the end);
+    *  - score_ppm(q,d) = Σ_t∈q ⌊idf_ppm(t) · tf_norm_ppm(t,d) / 10⁶⌋.
+    *
+    * Scale shape: the query-term set folds into the plan as ONE literal
+    * `isin` filter inside the token explode — non-query tokens never
+    * leave the scan, so the (doc, term) shuffle carries only hits
+    * (|terms| ≤ a few dozen for any query workload). Doc length rides
+    * the explode (no self-join); df_t and the corpus totals are
+    * term-count/1-row aggregates that come back via broadcast; the final
+    * top-k window partitions by query_id (|queries| partitions, k rows
+    * each). Raw text never crosses a shuffle.
+    */
+  def bm25Batch(docs: DataFrame, queries: Seq[(Long, String)],
+                k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
+    require(qTerms.nonEmpty, "bm25Batch: empty query set")
+    val termSet = qTerms.map(_._2).distinct
+    val qt = broadcast(qTerms.toDF("query_id", "term"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val toks = withTokens(docs).select(col("doc_id"), col("__toks"))
+    // corpus totals (N docs, L tokens): one map-side-combinable agg, 1 row
+    val corpus = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("__toks")).cast("long")).as("n_toks"))
+    // (doc, query-term) hits: dl rides the explode, terms pre-filtered
+    // by the literal set — scan-side, codegen'd
+    val hits = toks.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("dl"),
+        explode(filter(col("__toks"),
+          t => t.isin(termSet.map(x => x: Any): _*))).as("term"))
+    val tf = hits.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_t"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .join(qt, Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        expr("(n_docs - df_t) * 1000000L div n_docs").as("__idf_ppm"),
+        (dec(lit(2200L)) * dec(col("tf")) * dec(col("n_toks")) *
+          dec(lit(1000000L))).as("__num"),
+        (dec(lit(1000L)) * dec(col("tf")) * dec(col("n_toks")) +
+          dec(lit(300L)) * dec(col("n_toks")) +
+          dec(lit(900L)) * dec(col("dl")) * dec(col("n_docs"))).as("__den"))
+      // `div` is the EXACT integral quotient (decimal-safe) — a decimal
+      // `/` + cast would round half-up at scale 6 and diverge from an
+      // oracle's floor `//` near integer boundaries
+      .select(col("query_id"), col("doc_id"),
+        expr("__idf_ppm * (__num div __den) div 1000000L").as("__contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__contrib")).as("score_ppm"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_ppm").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_ppm"), col("rank"))
+  }
+
+  /** Deterministic EXACT-k stratified carve — the eval-set/holdout
+    * sampling shape [[stratifiedSample]]'s Bernoulli rates cannot give:
+    * exactly min(k, |stratum|) docs per (lang, source) stratum, chosen
+    * by the SAME md5 sampling coordinate (so the carve composes with the
+    * rate-sampled splits: a doc's coordinate is one corpus-wide fact),
+    * ties broken by doc_id. Output: one row per picked doc —
+    * (lang, source, doc_id, pick_rank, n_stratum).
+    *
+    * Scale shape: membership is decided by ONE row_number window per
+    * stratum — a per-stratum sort, the honest cost of exact-k (Bernoulli
+    * rates avoid the sort but cannot hit k exactly). Strata counts ride
+    * the same window (no second scan). At corpus scale the sort input
+    * can be pre-shrunk with a coordinate threshold filter (keep
+    * coordinate < c·k/n̂ before ranking) — the standard two-pass trick,
+    * left to callers because it needs a stratum-size estimate.
+    */
+  def budgetSample(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coord = PortableHash.md5Long60(
+      concat(lit("sample:"), col("doc_id").cast("string"))) % lit(1000000L)
+    val w = Window.partitionBy(col("lang"), col("source"))
+    docs.select(col("lang"), col("source"), col("doc_id"), coord.as("__c"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        row_number().over(w.orderBy(col("__c"), col("doc_id")))
+          .cast("long").as("pick_rank"),
+        count(lit(1)).over(w).as("n_stratum"))
+      .where(col("pick_rank") <= k)
   }
 }
 

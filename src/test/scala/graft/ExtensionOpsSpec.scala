@@ -309,6 +309,74 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bm25Batch: per-query top-k, batch ≡ single-query scoring order") {
+    val d = Seq(
+      (1L, "rare common common"),
+      (2L, "rare common common filler filler filler filler filler"),
+      (3L, "common common common common"),
+      (4L, "common filler"),
+      (5L, "filler filler")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Batch(d,
+      Seq(1L -> "rare common", 2L -> "filler"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // query 1: docs without rare/common never surface
+    assert(!out.contains((1L, 5L)))
+    // rare-term weight dominates (idf surrogate is monotone in df), and
+    // length normalization breaks the doc-1 vs doc-2 tie
+    val q1 = out.collect { case ((1L, doc), (score, _)) => doc -> score }.toMap
+    assert(q1(1L) > q1(3L) && q1(2L) > q1(3L) && q1(1L) > q1(2L))
+    // query 2 is scored independently: filler docs rank, doc 3 absent
+    assert(out.contains((2L, 5L)) && !out.contains((2L, 3L)))
+    // ranks are 1..n dense per query
+    val ranks1 = out.collect { case ((1L, _), (_, r)) => r }.toSeq.sorted
+    assert(ranks1 == (1L to ranks1.length))
+    // duplicate terms within one query text collapse (score once)
+    val dup = TextAnalysis.bm25Batch(d, Seq(9L -> "rare rare"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val single = TextAnalysis.bm25Batch(d, Seq(9L -> "rare"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(dup == single)
+  }
+
+  test("budgetSample: exact min(k, n) per stratum, deterministic, composable coordinate") {
+    val out = TextAnalysis.budgetSample(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val perStratum = out.groupBy(t => (t._1, t._2))
+    perStratum.foreach { case (s, rows) =>
+      val n = rows.head._5
+      assert(rows.length == math.min(3L, n), s"stratum $s: ${rows.length} of $n")
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length), s"ranks dense in $s")
+    }
+    // deterministic rerun
+    val again = TextAnalysis.budgetSample(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.sortBy(_.toString).sameElements(again.sortBy(_.toString)))
+    // k larger than every stratum → the whole corpus comes back
+    assert(TextAnalysis.budgetSample(docs, k = 100000).count() == docs.count())
+    // nested budgets: the k=3 picks are exactly the first 3 of the k=5
+    // picks (one corpus-wide coordinate, not a fresh draw per k)
+    val five = TextAnalysis.budgetSample(docs, k = 5).collect()
+      .filter(_.getLong(3) <= 3)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.sortBy(_.toString).sameElements(five.sortBy(_.toString)))
+  }
+
+  test("urlDedup: variants collapse to one canonical URL, min-doc keeper") {
+    val d = Seq(
+      (10L, "https://www.a.com/x/?utm_source=z"),
+      (11L, "HTTPS://A.com:443/x"),
+      (12L, "https://a.com//x"),
+      (20L, "http://b.org/y#frag"),
+      (30L, "not a url"))
+      .toDF("doc_id", "url")
+    val out = Dedup.urlDedup(d, col("url")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "https://a.com/x" -> (3L, 10L),
+      "http://b.org/y" -> (1L, 20L)), s"got $out")
+  }
+
   test("boilerplateScrub: frequent chunks removed everywhere, order kept, empty survivor") {
     val d = Seq(
       (1L, "b1 b2 u1 u2"),

@@ -636,6 +636,27 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{z: (.n | last(range(1; .)))}""", Seq("""{"n": 4}"""))
   }
 
+  test("first/last over an EMPTY stream emit nothing — the record drops") {
+    // n=9 starts past the bound: while yields no outputs, first(empty)
+    // is empty, and jq emits NO object for that input
+    check("""{a: (.n | first(while(. < 5; . + 2))), b: .n}""",
+      Seq("""{"n": 1}""", """{"n": 9}"""))
+    // …but last(empty) is jq's `reduce f as $x (null; $x)` — the init
+    // NULL comes out and the record is KEPT
+    check("""{a: (.n | last(while(. < 5; . + 2)))}""",
+      Seq("""{"n": 0}""", """{"n": 7}"""))
+    // collected, the empty stream is [] — not [null]
+    check("""{a: [(.n | first(while(. < 5; . + 2)))]}""",
+      Seq("""{"n": 2}""", """{"n": 8}"""))
+  }
+
+  test("several stream-valued fields emit their cartesian product") {
+    check("""{a: range(2), b: range(3)}""", Seq("""{"id": 1}"""))
+    // an empty stream in the product drops the record entirely
+    check("""{a: range(2), b: (.n | first(while(. < 3; . + 1)))}""",
+      Seq("""{"n": 0}""", """{"n": 5}"""))
+  }
+
   test("until: iterate update while cond is false (prelude def)") {
     // smallest power of 2 >= v (integer-valued doubles print as ints in
     // both engines after the unroll cap's double coercion)
@@ -683,6 +704,27 @@ class JqDifferentialSpec extends SparkTestBase {
       Seq("""{"m": {"k": 1}, "v": [5, 6]}"""))
   }
 
+  test("multi-target assignment binds the RHS once against the ORIGINAL input") {
+    // jq's gen_update stores the RHS in $tmp before _modify: on
+    // {a:1,b:2}, `(.a,.b) = .a + 10` is a=11 AND b=11 — a per-target
+    // re-evaluation against the partial update would give b=21
+    check("""(.a, .b) = .a + 10 | {a: .a, b: .b}""",
+      Seq("""{"a": 1, "b": 2}"""))
+    // same for the arithmetic op= sugar: $tmp = .a = 1, so b = 2 + 1
+    check("""(.a, .b) += .a | {a: .a, b: .b}""",
+      Seq("""{"a": 1, "b": 2}"""))
+    check("""(.a, .b) *= .b | {a: .a, b: .b}""",
+      Seq("""{"a": 3, "b": 4}"""))
+    check("""(.x, .y) -= .x + .y | {x: .x, y: .y}""",
+      Seq("""{"x": 10, "y": 7}"""))
+    // ONLY `|=` re-evaluates per path (against the path's old value)
+    check("""(.a, .b) |= . + 1 | {a: .a, b: .b}""",
+      Seq("""{"a": 1, "b": 2}"""))
+    // single-target self-reference: old value feeds the bound RHS
+    check(""".a = .a * 2 | .a += .a | {a: .a}""",
+      Seq("""{"a": 5}"""))
+  }
+
   test("unique_by / any(f) / all(f): keyed dedup and quantified conditions") {
     check("""{u: (.es | unique_by(.k))}""",
       Seq("""{"es": [{"k": 2, "n": "b"}, {"k": 1, "n": "a"}, {"k": 2, "n": "c"}]}"""))
@@ -709,6 +751,9 @@ class JqDifferentialSpec extends SparkTestBase {
     check("""{t: (.m | transpose)}""",
       Seq("""{"m": [[1, 2], [3], [4, 5, 6]]}""", """{"m": []}"""))
     check("""{a: (.v | nth(1)), b: (.v | nth(5))}""",
+      Seq("""{"v": [10, 20, 30]}"""))
+    // nth($n) is .[$n]: negative counts from the end, past-the-front → null
+    check("""{a: (.v | nth(-1)), b: (.v | nth(-3)), c: (.v | nth(-5))}""",
       Seq("""{"v": [10, 20, 30]}"""))
   }
 

@@ -99,8 +99,9 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     */
   private def genValue(r: scala.util.Random, depth: Int,
                        ext: Boolean = false, ext2: Boolean = false,
-                       ext3: Boolean = false, ext4: Boolean = false): String =
-    r.nextInt(if (ext4) 35 else if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
+                       ext3: Boolean = false, ext4: Boolean = false,
+                       ext5: Boolean = false): String =
+    r.nextInt(if (ext5) 37 else if (ext4) 35 else if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -181,15 +182,30 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
         if (r.nextBoolean())
           s"((.m + 2) | first(while(. < $bound; . * $mul)))"
         else s"((.m + 2) | last(while(. < $bound; . * $mul)))"
-      case _ => s"(.xs | first(map(. * ${1 + r.nextInt(4)})))"
+      case 34 => s"(.xs | first(map(. * ${1 + r.nextInt(4)})))"
+      // ---- round-9 extension (ext5): nth over the FULL index range —
+      // negative counts from the end (.[$n]), out-of-range → null ----
+      case 35 => s"(.xs | nth(${r.nextInt(12) - 6}))"
+      // first/last over a SOMETIMES-EMPTY while stream (seed ≥ bound →
+      // empty → first drops the record, last folds to null, jq-exact).
+      // The update is ADDITIVE so jq terminates for negative seeds (a
+      // `* k` update on a negative seed never reaches the bound and real
+      // jq loops forever), and the seed is clamped with C-style `%` so
+      // an ext5 assignment driving .n to ±90 stays within the while
+      // kernel's static unroll cap (12) — the cap raise is loud by
+      // design, not a divergence to fuzz for.
+      case _ =>
+        val bound = 3 + r.nextInt(10); val step = 2 + r.nextInt(4)
+        val pick = if (r.nextBoolean()) "first" else "last"
+        s"(.n % 7 | $pick(while(. < $bound; . + $step)))"
     }
 
   private def genProgram(r: scala.util.Random, ext: Boolean = false,
                          ext2: Boolean = false, ext3: Boolean = false,
-                         ext4: Boolean = false): String = {
+                         ext4: Boolean = false, ext5: Boolean = false): String = {
     val nFields = 1 + r.nextInt(3)
     var fields = (0 until nFields)
-      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3, ext4)}").mkString(", ")
+      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3, ext4, ext5)}").mkString(", ")
     // ext2: a recursive def called with data-bounded depth (≤ 3), and
     // sometimes a stream-valued field — jq's 0..N outputs per record
     // (range(.m % 3) is sometimes EMPTY: the whole record drops, both
@@ -206,7 +222,20 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     // (safe += / *= / = forms; |= rhs is old-value-scoped so only
     // literal arithmetic rides it)
     val assign =
-      if (!(ext || ext2 || ext3 || ext4) || r.nextInt(3) != 0) ""
+      if (!(ext || ext2 || ext3 || ext4 || ext5) || r.nextInt(3) != 0) ""
+      // ext5: SELF-REFERENTIAL multi-target RHS — jq's gen_update binds
+      // the RHS once against the ORIGINAL input ($tmp), so later targets
+      // must NOT see earlier writes for = and the arithmetic op= forms.
+      // Targets are .n/.id, never .m: the while cases seed from .m, and
+      // driving it negative would make jq's `* k` update loop forever.
+      else if (ext5) r.nextInt(6) match {
+        case 0 => s"(.n, .id) = .n + ${r.nextInt(9)} | "
+        case 1 => s"(.n, .id) += .id | "
+        case 2 => s"(.n, .id) -= .n | "
+        case 3 => s"(.n, .id) *= .id | "
+        case 4 => s"(.id, .n) = .n * .id | "
+        case _ => s"(.n, .id) |= . + ${1 + r.nextInt(5)} | "
+      }
       else if (ext3 || ext4) r.nextInt(5) match {
         // ext3: bracket and multi-target assignment stages. Index
         // assignments stay at [0] (rows always have ≥1 xs element) so
@@ -362,12 +391,12 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
 
   private def fuzzRun(seed: Long, cases: Int, ext: Boolean = false,
                       ext2: Boolean = false, ext3: Boolean = false,
-                      ext4: Boolean = false): Unit = {
+                      ext4: Boolean = false, ext5: Boolean = false): Unit = {
     assume(jqBin.canExecute, "/usr/bin/jq not present")
     val r = new scala.util.Random(seed)
     var checked = 0
     (0 until cases).foreach { i =>
-      val program = genProgram(r, ext, ext2, ext3, ext4)
+      val program = genProgram(r, ext, ext2, ext3, ext4, ext5)
       val inputs = Seq.fill(3)(genRow(r))
       verdict(program, inputs).foreach { sig =>
         val minimal = minimize(program, inputs, sig)
@@ -423,5 +452,12 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   // under its own seed — the five corpora above stay frozen
   test("500 random programs match jq (seed 10101010, while/first/last grammar)") {
     fuzzRun(10101010L, 500, ext4 = true)
+  }
+
+  // round-9 grammar extension (negative/OOB nth, self-referential
+  // bind-once assignment RHS) under its own seed — the six corpora above
+  // stay frozen
+  test("500 random programs match jq (seed 11111111, bind-once/negative-nth grammar)") {
+    fuzzRun(11111111L, 500, ext5 = true)
   }
 }

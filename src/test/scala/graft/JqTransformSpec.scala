@@ -1226,9 +1226,14 @@ class JqTransformSpec extends SparkTestBase {
     assert(arr.length == 1 && arr.head.getSeq[Long](0) == Seq(0L, 1L, 2L))
   }
 
-  test("two stream fields in one construction rejected loudly") {
-    assertThrows[IllegalArgumentException](
-      JqTransform.compile("""{a: range(2), b: range(3)}"""))
+  test("two stream fields in one construction emit their cartesian product") {
+    // jq: {a: range(2), b: range(3)} yields 2×3 objects per input —
+    // chained explodes, one generator per stream field (round 9; this
+    // was a loud one-stream-field restriction before)
+    val out = JqTransform(df, """{a: range(2), b: range(3)}""")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.count() == 6L * df.count())
+    assert(rows == (for (a <- 0L to 1L; b <- 0L to 2L) yield (a, b)).toSet)
   }
 
   test("broken catch handler: non-error rows pass, error rows raise loudly") {

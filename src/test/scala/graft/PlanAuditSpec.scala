@@ -284,6 +284,43 @@ class PlanAuditSpec extends SparkTestBase {
       s"scan must prune to (doc_id, text):\n$p")
   }
 
+  test("bm25 batch: broadcast term/df/corpus tables, windowed top-k by query") {
+    val p = plan(TextAnalysis.bm25Batch(docs,
+      Seq(1L -> "dup scan", 2L -> "key value")))
+    // term table, df table, and 1-row corpus stats all ride broadcasts —
+    // the only keyed shuffles are the (doc, term) tf aggregate and the
+    // per-query window
+    assert(p.contains("BroadcastHashJoin"), s"term joins must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus stats must come back as a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product allowed:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$p")
+    // tf combines map-side before the (doc, term) shuffle
+    assert("partial_count".r.findAllIn(p).size >= 1,
+      s"tf must combine map-side:\n$p")
+  }
+
+  test("budget sample: one stratum-partitioned window, text never read") {
+    val p = plan(TextAnalysis.budgetSample(docs))
+    assert(!p.contains("windowspecdefinition()"),
+      s"rank window must partition by stratum:\n$p")
+    assert(!p.contains("Join"), s"membership needs no join:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+      s"scan must prune text away:\n$p")
+  }
+
+  test("url dedup: one map-side-combined groupBy on the canonical url") {
+    val p = plan(SparkEntry.queries("d25_url_dedup")(spark, sf0001))
+    assert(!p.contains("ScalaUDF"), s"canonicalizer must stay codegen'd:\n$p")
+    assert("partial_count".r.findAllIn(p).size >= 1 &&
+      "partial_min".r.findAllIn(p).size >= 1,
+      s"count/min winners must combine map-side:\n$p")
+    assert("Exchange hashpartitioning\\(url".r.findFirstIn(p).isDefined,
+      s"the single shuffle keys on the canonical url:\n$p")
+    assert(!p.contains("Join"), s"url dedup needs no join:\n$p")
+  }
+
   test("boilerplate scrub: digest-only frequency shuffle, broadcast anti-join") {
     val p = plan(TextAnalysis.boilerplateScrub(docs))
     assert("Exchange hashpartitioning\\(chunk_md5".r.findFirstIn(p).isDefined,
@@ -599,6 +636,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!"SortMergeJoin.*shingle".r.findFirstIn(p).isDefined &&
       !"BroadcastHashJoin.*text".r.findFirstIn(p).isDefined,
       s"raw text leaked past the digest projection:\n$p")
+  }
+
+  test("span scrub: gram shuffles carry digests, never shingle text") {
+    val p = plan(Dedup.spanScrub(docs))
+    assert(!p.contains("CartesianProduct"), s"cross join leaked into scrub:\n$p")
+    // the hot-gram frequency groupBy and the left-semi join must key on
+    // the 60-bit md5 digest — a raw k-word shingle key would put text on
+    // both shuffles (the d24 scale-shape claim)
+    assert(!p.contains("hashpartitioning(shingle"),
+      s"raw shingles crossed a shuffle:\n$p")
+    assert(!"(SortMergeJoin|BroadcastHashJoin).*shingle".r.findFirstIn(p).isDefined,
+      s"raw shingles reached a join:\n$p")
+    // gram frequencies combine map-side before the digest shuffle
+    assert("partial_count".r.findAllIn(p).size >= 1,
+      s"gram counts must combine map-side:\n$p")
   }
 
   test("unicode scrub is one narrow no-shuffle projection") {
