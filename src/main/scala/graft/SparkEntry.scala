@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.config.{CounterDef, CounterType}
 import graft.dedup.Dedup
 import graft.functions.Canonical
+import graft.graph.GraphOps
 import graft.multimodal.Multimodal
 import graft.operators.{Counters, Intermediate, JqTransform}
 import graft.similarity.Ann
@@ -1392,6 +1393,50 @@ object SparkEntry {
       Multimodal.decodeAudio(wavs).toDF()
         .select(col("doc_id"), col("sample_rate"), col("channels"),
           col("n_samples"), col("fp"))
+    }),
+
+    // Windowed RMS-energy + silence detection over REAL decoded WAV — the
+    // VAD/speech-prep read. The fixture embeds true silence: every third
+    // 16-sample stretch is zeroed (i div 16 mod 3 == 0), the rest is the
+    // m09 sample formula, so 32-sample analysis windows mix silent and
+    // loud regions and the last window is partial (ns = 80 + id%40). The
+    // oracle recomputes exact integer Σs² per window and the strict
+    // mean-square gate from the same formula.
+    "m14_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (80 + id % 40).toInt
+          val samples = Array.tabulate(ns)(i =>
+            if ((i / 16) % 3 == 0) 0
+            else (((id * 37 + i) * 251) % 4096 - 2048).toInt)
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.audioEnergy(wavs, windowSamples = 32,
+          silenceMeanSq = 1000000L).toDF()
+        .select(col("doc_id"), col("win_idx"), col("n_samples"),
+          col("energy"), col("silent"))
+    }),
+
+    // ---- host-graph centrality (web-corpus link structure) ----
+
+    // Integer-exact PageRank over a synthetic host link graph: each doc
+    // contributes two out-links between formula hosts (id%97 →
+    // (7id+3)%97 and (13id+11)%97 — hosts ≪ docs, the real web-graph
+    // shape; in production the edges come from UrlOps.hostOf over page/
+    // out-link URL pairs). Three damped rounds at d = 0.85 ppm-exact; the
+    // oracle replays the identical truncating-division formula as chained
+    // CTEs, so every rank is bit-exact — no float convergence lore.
+    "g01_host_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      def host(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"))
+      val e1 = docs.select(host(col("doc_id") % 97).as("src"),
+        host((col("doc_id") * 7 + 3) % 97).as("dst"))
+      val e2 = docs.select(host(col("doc_id") % 97).as("src"),
+        host((col("doc_id") * 13 + 11) % 97).as("dst"))
+      GraphOps.pageRank(e1.unionAll(e2).distinct(), iterations = 3)
     }),
 
     // ---- custom Catalyst expression in a real plan (DuckDB has no
@@ -4466,6 +4511,58 @@ object SparkEntry {
           |SELECT d.doc_id, sample_rate::BIGINT AS sample_rate,
           |  channels::BIGINT AS channels, n_samples::BIGINT AS n_samples, f.fp
           |FROM d JOIN f ON d.doc_id = f.doc_id""".stripMargin,
+      // m14: the m09 sample formula with every third 16-sample stretch
+      // zeroed; exact integer Σs² per 32-sample window (last window
+      // partial) and the strict mean-square silence gate — the REAL
+      // decode must reproduce this SQL bit-for-bit
+      "m14_audio_energy" ->
+        """WITH d AS (SELECT doc_id, 80 + (doc_id % 40) AS ns FROM documents),
+          |s AS (SELECT doc_id, i,
+          |        CASE WHEN (i // 16) % 3 = 0 THEN 0
+          |             ELSE ((doc_id * 37 + i) * 251) % 4096 - 2048 END AS v
+          |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 119)) AS i)
+          |      WHERE i < ns)
+          |SELECT doc_id, (i // 32)::BIGINT AS win_idx, count(*)::BIGINT AS n_samples,
+          |  sum(v * v)::BIGINT AS energy,
+          |  (sum(v * v) < 1000000 * count(*)) AS silent
+          |FROM s GROUP BY 1, 2""".stripMargin,
+      // g01: the identical truncating-division PageRank formula replayed
+      // as chained CTEs — r0 = 10^12 // N, base = (r0*150000)//10^6, each
+      // edge contributes (rank*850000)//(10^6*outdeg), three rounds
+      "g01_host_pagerank" ->
+        """WITH edges AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT 'h' || (doc_id % 97) AS src,
+          |           'h' || ((doc_id * 7 + 3) % 97) AS dst FROM documents
+          |    UNION ALL
+          |    SELECT 'h' || (doc_id % 97),
+          |           'h' || ((doc_id * 13 + 11) % 97) FROM documents) u),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) v),
+          |cst AS (SELECT (1000000000000 // count(*))::BIGINT AS r0,
+          |               ((1000000000000 // count(*)) * 150000 // 1000000)::BIGINT AS b
+          |        FROM nodes),
+          |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+          |r0 AS (SELECT host, (SELECT r0 FROM cst) AS pr FROM nodes),
+          |c1 AS (SELECT e.dst AS host,
+          |         sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+          |       FROM edges e JOIN r0 r ON e.src = r.host JOIN od ON e.src = od.src
+          |       GROUP BY 1),
+          |r1 AS (SELECT nodes.host, ((SELECT b FROM cst) + coalesce(c1.s, 0))::BIGINT AS pr
+          |       FROM nodes LEFT JOIN c1 ON nodes.host = c1.host),
+          |c2 AS (SELECT e.dst AS host,
+          |         sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+          |       FROM edges e JOIN r1 r ON e.src = r.host JOIN od ON e.src = od.src
+          |       GROUP BY 1),
+          |r2 AS (SELECT nodes.host, ((SELECT b FROM cst) + coalesce(c2.s, 0))::BIGINT AS pr
+          |       FROM nodes LEFT JOIN c2 ON nodes.host = c2.host),
+          |c3 AS (SELECT e.dst AS host,
+          |         sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+          |       FROM edges e JOIN r2 r ON e.src = r.host JOIN od ON e.src = od.src
+          |       GROUP BY 1),
+          |r3 AS (SELECT nodes.host, ((SELECT b FROM cst) + coalesce(c3.s, 0))::BIGINT AS pr
+          |       FROM nodes LEFT JOIN c3 ON nodes.host = c3.host)
+          |SELECT host, pr AS pagerank FROM r3""".stripMargin,
       // m13: the same pixel formula through the identical integer
       // nearest-neighbor mapping — dst(x,y) = f((x*w)//8, (y*h)//6)
       "m13_resize_real" ->

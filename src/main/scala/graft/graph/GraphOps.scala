@@ -1,0 +1,86 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Host-graph analytics over web-corpus link structure — the centrality
+  * signals (CommonCrawl-style harmonic/PageRank host ranks) that feed
+  * crawl prioritization and per-domain quality priors in training-data
+  * pipelines. The reference engine has no graph operators; this module is
+  * a documented extension in the [[graft.dedup.Dedup.connectedComponents]]
+  * family (iterative, driver-bounded control loop, `localCheckpoint`
+  * lineage truncation).
+  */
+object GraphOps {
+
+  /** Integer-exact PageRank over a directed host graph.
+    *
+    * Input `edges` is a (src, dst) frame — one row per directed link
+    * (pre-`distinct` it for the classic unweighted formulation; duplicate
+    * rows act as parallel links). In a web-corpus build the edge list
+    * comes from `UrlOps.hostOf` over (page URL, out-link URL) pairs, so
+    * hosts ≪ pages — the node frame is corpus-bounded the way centroids
+    * are model-bounded.
+    *
+    * Engine-exact arithmetic (the repo-wide oracle discipline — every
+    * step is an integer formula DuckDB replays bit-for-bit, no float
+    * convergence lore):
+    *   - N = |distinct hosts in src ∪ dst|; initial rank r₀ = scale // N
+    *   - per-node teleport base = (r₀ · (10⁶ − dampingPpm)) // 10⁶
+    *   - each iteration, an edge (u, v) contributes
+    *     (rank(u) · dampingPpm) // (10⁶ · outdeg(u)) to v, and
+    *     rank'(v) = base + Σ contributions — truncating `div` on both
+    *     engines, one division per edge so rounding order is fixed.
+    *   - dangling hosts (no out-links) leak their damped mass, and each
+    *     truncating division leaks < 1 unit — the usual simplifications;
+    *     total mass is provably non-increasing, never renormalized.
+    *
+    * Scale shape: outdeg is ONE map-side-combinable groupBy; the
+    * edges⋈outdeg frame computes once and persists. Per iteration the
+    * hosts-bounded rank frame joins INTO the edge scan — broadcast by
+    * default (right while ranks fit an executor; for ~10⁸-host web graphs
+    * pass `broadcastRanks = false` and cache the edge frame partitioned
+    * by src so the per-round shuffle join moves only the rank side) — and
+    * the contribution sum is map-side combinable, so the per-iteration
+    * dst shuffle carries at most partitions × hosts combined rows, never
+    * raw edges. Ranks `localCheckpoint` each round (nodes-bounded), the
+    * k-means/CC lineage-truncation pattern; N is the only driver scalar.
+    *
+    * Returns (host, pagerank) after `iterations` rounds.
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               dampingPpm: Long = 850000L,
+               scale: Long = 1000000000000L,
+               broadcastRanks: Boolean = true): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      "dampingPpm must be a ppm fraction in [0, 1000000]")
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count() // hosts-bounded driver scalar, like k-means' k
+    require(n > 0, "pageRank needs a non-empty edge frame")
+    val r0 = scale / n
+    val base = r0 * (1000000L - dampingPpm) / 1000000L
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eplus = edges.join(outdeg, "src").persist()
+    var ranks = nodes.withColumn("pagerank", lit(r0))
+    var round = 0
+    while (round < iterations) {
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
+      val contribs = eplus
+        .join(r, eplus("src") === r("host"))
+        .select(eplus("dst").as("host"),
+          expr(s"(pagerank * ${dampingPpm}L) div (1000000L * outdeg)").as("c"))
+        .groupBy("host").agg(sum("c").as("c"))
+      ranks = nodes.join(contribs, Seq("host"), "left")
+        .select(col("host"),
+          (lit(base) + coalesce(col("c"), lit(0L))).as("pagerank"))
+        .localCheckpoint()
+      round += 1
+    }
+    eplus.unpersist()
+    ranks
+  }
+}

@@ -332,6 +332,50 @@ object Multimodal {
       fps, "fp", bits = 60, maxHamming, maxBucketFreq = maxBucketFreq)
   }
 
+  case class AudioWindowEnergy(doc_id: Long, win_idx: Long, n_samples: Long,
+                               energy: Long, silent: Boolean)
+
+  /** Windowed RMS-energy profile + silence detection over REAL decoded
+    * audio — the voice-activity-detection / speech-data-prep read that
+    * precedes any ASR-corpus segmentation: channel-0 PCM splits into
+    * fixed `windowSamples` windows (the last window keeps its true
+    * partial length) and each window reports its exact integer energy
+    * Σ s² plus a silence verdict `energy < silenceMeanSq · n` — i.e. the
+    * window's mean square is below the threshold, the integer-exact form
+    * of an RMS gate (strict `<`, so a boundary window is NOT silent,
+    * provable on both engines with zero float ops).
+    *
+    * Scale shape: the same partition-local batched decode as
+    * [[decodeAudio]] — container bytes never shuffle; only
+    * (id, window, n, energy-long, flag) rows leave the scan, windows-per-
+    * doc bounded by duration/windowSamples. Energy of a 16-bit sample is
+    * ≤ 2³⁰, so a Long holds > 2³³ samples per window — hours of audio —
+    * before overflow could matter. Undecodable payloads emit no rows
+    * (permissive, the codec convention).
+    */
+  def audioEnergy(media: DataFrame, windowSamples: Int = 32,
+                  silenceMeanSq: Long = 1000000L,
+                  batchSize: Int = 64): Dataset[AudioWindowEnergy] = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+        WavCodec.decode(r.media) match {
+          case Some(p) =>
+            p.ch0.grouped(windowSamples).zipWithIndex.map { case (w, k) =>
+              var e = 0L
+              var i = 0
+              while (i < w.length) { e += w(i).toLong * w(i); i += 1 }
+              AudioWindowEnergy(r.doc_id, k.toLong, w.length.toLong, e,
+                e < silenceMeanSq * w.length)
+            }
+          case None => Iterator.empty
+        }
+      }))
+  }
+
   case class ImageDecoded(doc_id: Long, width: Long, height: Long, ahash: Option[Long])
 
   case class ImageResized(doc_id: Long, media: Array[Byte],

@@ -235,6 +235,58 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("audioEnergy: window split, exact Σs², strict silence gate, partial tail, permissive degrade") {
+    import graft.multimodal.Multimodal
+    // 80 samples: 32 zeros (silent), 32 loud, 16-sample partial tail
+    val samples = Array.tabulate(80)(i =>
+      if (i < 32) 0 else if (i < 64) 1500 else 40)
+    val rows = Seq(
+      (1L, Multimodal.syntheticPcmWav(8000, 1, samples), "audio"),
+      (2L, "junk".getBytes("UTF-8"), "audio"))
+    val df = rows.toDF("doc_id", "media", "media_type")
+    val out = Multimodal.audioEnergy(df, windowSamples = 32, silenceMeanSq = 1000000L)
+      .collect().map(w => (w.doc_id, w.win_idx) -> w).toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L)), "junk doc emits no rows")
+    assert(out((1L, 0L)).energy == 0L && out((1L, 0L)).silent, "zero window is silent")
+    // 32 × 1500² = 72,000,000 ≥ 32 × 10⁶ → not silent
+    assert(out((1L, 1L)).energy == 32L * 1500L * 1500L && !out((1L, 1L)).silent)
+    // partial tail keeps its true length; 16 × 40² = 25,600 < 16 × 10⁶ → silent
+    val tail = out((1L, 2L))
+    assert(tail.n_samples == 16L && tail.energy == 16L * 40L * 40L && tail.silent)
+    // boundary is NOT silent (strict <): a window at exactly thr·n
+    val boundary = Array.fill(32)(1000) // 32 × 10⁶ energy = thr × 32 exactly
+    val bdf = Seq((9L, Multimodal.syntheticPcmWav(8000, 1, boundary), "audio"))
+      .toDF("doc_id", "media", "media_type")
+    val b = Multimodal.audioEnergy(bdf, 32, 1000000L).collect().head
+    assert(b.energy == 32000000L && !b.silent, "boundary mean-square is not silent")
+  }
+
+  test("pageRank: hand-computed star ranks, truncating-integer exactness, mass never grows") {
+    import graft.graph.GraphOps
+    // a→b, c→b, b→a: N=3, r0 = 10^12//3, every node outdeg 1
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "a")).toDF("src", "dst")
+    val r0 = 1000000000000L / 3      // 333333333333
+    val base = r0 * 150000L / 1000000L
+    val d = (v: Long) => v * 850000L / 1000000L // outdeg-1 contribution
+    val one = GraphOps.pageRank(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one("b") == base + 2 * d(r0), s"b gets a+c contributions: $one")
+    assert(one("a") == base + d(r0), s"a gets b's contribution: $one")
+    assert(one("c") == base, s"c has no in-links: $one")
+    assert(one("b") > one("a") && one("a") > one("c"))
+    // second round from the first-round ranks, same formula
+    val two = GraphOps.pageRank(edges, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two("b") == base + d(one("a")) + d(one("c")))
+    assert(two("a") == base + d(one("b")))
+    // truncation + damping only leak mass, never create it
+    assert(two.values.sum <= 3 * r0)
+    // non-broadcast path is the same formula
+    val nb = GraphOps.pageRank(edges, iterations = 2, broadcastRanks = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nb == two, "shuffle-join path must match the broadcast path")
+  }
+
   test("perceptual pairs feed the shared dedup-apply path: keeper survives") {
     val frameA = "a" * 30 + "b" * 30
     val frameB = "a" * 30 + "b" * 29 + "a"

@@ -709,6 +709,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"encode scan must prune to (doc_id, text):\n$p")
   }
 
+  import spark.implicits._
+
+  test("pageRank iteration: ranks broadcast into the edge scan; contributions combine map-side") {
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "a"), ("b", "c")).toDF("src", "dst")
+    // audit the LAST iteration's plan as built (pre-checkpoint): the
+    // hosts-bounded rank frame must broadcast into the edge join and the
+    // per-dst contribution sum must have a partial (map-side) phase so
+    // the dst shuffle carries combined rows, never raw edges
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host"))).distinct()
+    val ranks = nodes.withColumn("pagerank", lit(250000000000L))
+    val eplus = edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val contribs = eplus
+      .join(org.apache.spark.sql.functions.broadcast(ranks),
+        eplus("src") === ranks("host"))
+      .select(eplus("dst").as("host"),
+        expr("(pagerank * 850000L) div (1000000L * outdeg)").as("c"))
+      .groupBy("host").agg(sum("c").as("c"))
+    val p = plan(contribs)
+    assert(p.contains("BroadcastHashJoin"), s"ranks must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"contributions must combine map-side:\n$p")
+    assert(!p.contains("ScalaUDF"), s"pure Column arithmetic only:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("corpus overlap: ONE map-side-combined slice aggregate; pairwise side broadcast") {
     val p = plan(Dedup.corpusOverlap(docs))
     // 64 per-slice mins combine map-side (the union-signature aggregate)
