@@ -686,6 +686,12 @@ object SparkEntry {
     // sketch's rank drift breaks the within_eps column instead
     "e13_quantile_sketch_gate" -> ((s, dir) =>
       graft.relational.Temporal.quantileSketchGate(events(s, dir))),
+    // heavy-hitter counter by MERGEABLE Misra–Gries SKETCH + measured
+    // bound gate (the a01/e13 pattern for frequencies): exact top-k
+    // counts hash-compared, the O(capacity) summary's estimate drift
+    // breaks the within_bound column instead
+    "e14_hitter_sketch_gate" -> ((s, dir) =>
+      graft.relational.Temporal.hitterSketchGate(events(s, dir))),
     // percentile counter through the SERIALIZED two-phase topology
     // (counter.go:483-512 analog for the engine-extension counter type):
     // per-shard cents histograms → JSON intermediate records → parse +
@@ -2842,6 +2848,18 @@ object SparkEntry {
           |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
           |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
           |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
+      // e14: e07's exact top-3 SQL + the window total + literal-true
+      // verdicts — the Misra–Gries bound is measured Spark-side (a01/e13
+      // pattern)
+      "e14_hitter_sketch_gate" ->
+        """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, user_id,
+          |  count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+          |t AS (SELECT h, sum(n_events)::BIGINT AS n FROM c GROUP BY 1),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY h
+          |  ORDER BY n_events DESC, user_id) AS rank FROM c)
+          |SELECT epoch_ms(r.h) AS window_start, user_id, n_events,
+          |  rank::BIGINT AS rank, t.n, 1::BIGINT AS within_bound
+          |FROM r JOIN t ON r.h = t.h WHERE rank <= 3""".stripMargin,
       // e10: the two-phase hop must be invisible — same SQL as e09
       "e10_twophase_quantiles" ->
         """WITH h AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Quantiles, QuantileSketch}
+import graft.functions.{FreqSketch, Quantiles, QuantileSketch}
 
 /** Temporal / event-sequence analytics over the `events` table — the
   * operator family a training-data pipeline needs for event attribution,
@@ -304,6 +304,64 @@ object Temporal {
     exact.join(gated, Seq("window_start", "p_ppm"))
       .select(col("window_start"), col("p_ppm"), col("value_cents"),
         col("n"), col("within_eps"))
+  }
+
+  /** Per-window heavy hitters by MERGEABLE SKETCH with a measured bound
+    * gate — the unbounded-domain hitter counter ([[windowHeavyHitters]]'s
+    * exact count table is sized by distinct keys per window; the
+    * [[graft.functions.FreqSketch]] Misra–Gries summary is O(capacity)
+    * regardless of key domain — the same trade, and the same GATED oracle
+    * pattern, as the HLL distinct counter (a01) and the quantile sketch
+    * (e13)). Output per (window, top-k user): the EXACT count and rank
+    * (DuckDB-reproducible — [[windowHeavyHitters]]'s shape), the window
+    * total `n`, and `within_bound` — the measured verdict that the
+    * sketch's estimate for that user obeys Misra–Gries' theorem
+    * `exact − n div (capacity+1) ≤ est ≤ exact` (integer-exact on both
+    * engines: est is an integer, so the real bound `exact − n/(k+1)`
+    * floors). A sketch violating its own theorem flips the verdict and
+    * breaks the hash — a gate, not an abstention; the summary contents
+    * are deliberately not hash-compared (merge-order-dependent, like HLL).
+    *
+    * Scale shape: the sketch rides a typed aggregation
+    * (ObjectHashAggregate) with PARTIAL merge — only ≤ capacity-entry
+    * summaries cross the (window) shuffle; the exact side is the e07
+    * machinery (rank over the per-(window, user) aggregate); the audit
+    * joins the (windows × k)-sized rank table to the windows-sized
+    * summary table.
+    */
+  def hitterSketchGate(events: DataFrame, windowDuration: String = "1 hour",
+                       k: Int = 3, capacity: Int = 16): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val exact = windowHeavyHitters(events, windowDuration, k)
+    val totals = events
+      .groupBy(unix_millis(window(col("ts"), windowDuration)
+        .getField("start")).as("__ws"))
+      .agg(count(lit(1)).as("n"))
+    val summaries = events
+      .select(unix_millis(window(col("ts"), windowDuration)
+        .getField("start")).as("ws"),
+        col("user_id").cast("string").as("key"))
+      .as[(Long, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new FreqSketch.Agg(capacity).toColumn.name("s"))
+      .toDF("__ws2", "s")
+      .select(col("__ws2"), col("s.keys").as("__keys"),
+        col("s.counts").as("__counts"))
+    // array_position yields 0 for a key the sketch decremented away —
+    // a legitimate miss (est 0), and an index element_at must never see
+    val pos = array_position(col("__keys"), col("user_id").cast("string"))
+    val est = coalesce(
+      when(pos > 0, try_element_at(col("__counts"), pos.cast("int"))),
+      lit(0L))
+    exact
+      .join(totals, exact("window_start") === col("__ws"))
+      .join(summaries, exact("window_start") === col("__ws2"))
+      .select(col("window_start"), col("user_id"), col("n_events"),
+        col("rank"), col("n"),
+        (est <= col("n_events") &&
+          est >= col("n_events") - expr(s"n div ${capacity + 1}L"))
+          .cast("long").as("within_bound"))
   }
 
   /** Phase-1 partial state for the percentile counter through the
