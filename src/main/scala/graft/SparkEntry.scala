@@ -1009,6 +1009,19 @@ object SparkEntry {
         when(variant === 3, lit("#frag")).otherwise(lit("")))
       Dedup.urlDedup(d, raw)
     }),
+    // Bloom seen-set membership (the incremental-crawl d11 at fixed
+    // memory): even docs' URLs build the filter, odd docs' URLs probe it
+    // (mod 301 keeps both parities on every residue, so the overlap is
+    // real). Exact member/probe counts hash-compare; the Bloom's
+    // zero-false-negative theorem and measured FP budget are the gate
+    "d26_bloom_seen" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val url = concat(lit("https://ex.com/p"),
+        (col("doc_id") % 301).cast("string")).as("key")
+      Dedup.bloomMembership(
+        d.where(col("doc_id") % 2 === 0).select(url),
+        d.where(col("doc_id") % 2 === 1).select(url))
+    }),
     // pair list → duplicate clusters (keeper = min doc_id per component)
     "d06_dup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
@@ -3981,6 +3994,19 @@ object SparkEntry {
           |    '.example.com/page/' || (doc_id // 4)::VARCHAR AS url,
           |  count(*)::BIGINT AS n_dups, min(doc_id) AS keep_doc_id
           |FROM documents GROUP BY 1""".stripMargin,
+      // d26: exact filter/probe/member counts + the Bloom theorems as
+      // literals — zero false negatives (OR-merge theorem, hash-compared)
+      // and the measured FP budget verdict (a01/e13/e14 gate pattern)
+      "d26_bloom_seen" ->
+        """WITH f AS (SELECT DISTINCT 'https://ex.com/p' || (doc_id % 301) AS url
+          |           FROM documents WHERE doc_id % 2 = 0),
+          |p AS (SELECT DISTINCT 'https://ex.com/p' || (doc_id % 301) AS url
+          |      FROM documents WHERE doc_id % 2 = 1)
+          |SELECT (SELECT count(*) FROM f)::BIGINT AS n_filter,
+          |  (SELECT count(*) FROM p)::BIGINT AS n_probes,
+          |  (SELECT count(*) FROM p JOIN f USING (url))::BIGINT AS n_members,
+          |  0::BIGINT AS false_negatives,
+          |  1::BIGINT AS fp_within_bound""".stripMargin,
       "d24_span_scrub" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           |grams AS (SELECT doc_id, i AS pos, array_to_string(t[i : i+4], ' ') AS g

@@ -890,6 +890,61 @@ object Dedup {
     a.select(PortableHash.md5Hex(col("text")).as("text_md5"))
       .except(b.select(PortableHash.md5Hex(col("text")).as("text_md5")))
 
+  /** Bloom-filter membership against a seen-set — the incremental-crawl
+    * read [[snapshotDiff]] answers exactly, at the memory cost of the
+    * whole seen-set; the [[graft.functions.BloomSketch]] filter answers
+    * it in a FIXED `mBits` bit array (the same trade, and the same GATED
+    * oracle pattern, as HLL/e13/e14). `filterKeys` builds the filter,
+    * `probes` tests against it; output is ONE accounting row:
+    *
+    *   - `n_filter` / `n_probes`: distinct key counts of either side
+    *   - `n_members`: exact |probes ∩ filter| (DuckDB-reproducible)
+    *   - `false_negatives`: probes in the filter set that the Bloom
+    *     missed — a THEOREM says zero (OR-merge never clears a bit), so
+    *     this is hash-compared against literal 0, not gated
+    *   - `fp_within_bound`: the measured false-positive count vs the
+    *     `fpBudgetPpm` budget of n_probes (+3 absolute slack for tiny
+    *     probe sets) — a saturated filter or drifting hash breaks it
+    *
+    * Scale shape: the filter side is ONE typed aggregation whose partial
+    * buffers OR together map-side (only mBits/64-word arrays cross the
+    * exchange); the 1-row filter broadcasts into the probe scan, where
+    * the membership test is pure codegen'd md5 arithmetic
+    * ([[BloomSketch.testColumn]]); the exact-membership check is the only
+    * key join (AQE-sized). Nothing corpus-sized is ever collected.
+    */
+  def bloomMembership(filterKeys: DataFrame, probes: DataFrame,
+                      mBits: Int = 16384, kHashes: Int = 4,
+                      fpBudgetPpm: Long = 50000L): DataFrame = {
+    val spark = filterKeys.sparkSession
+    import spark.implicits._
+    val fk = filterKeys.select(col("key").cast("string").as("key")).distinct()
+    val pk = probes.select(col("key").cast("string").as("key")).distinct()
+    // the typed whole-frame select unpacks Buf into (words, n) columns
+    val bloom = fk.as[String]
+      .select(new graft.functions.BloomSketch.Agg(mBits, kHashes).toColumn.name("s"))
+      .select(col("words").as("__words"), col("n").as("n_filter"))
+    val flagged = pk
+      .join(fk.withColumn("__in", lit(1L)), Seq("key"), "left")
+      .crossJoin(broadcast(bloom))
+      .select(col("key"), coalesce(col("__in"), lit(0L)).as("__m"),
+        graft.functions.BloomSketch.testColumn(
+          col("__words"), col("key"), mBits, kHashes).cast("long").as("__hit"),
+        col("n_filter"))
+    flagged
+      .groupBy(col("n_filter"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("__m")).as("n_members"),
+        sum(when(col("__m") === 1L && col("__hit") === 0L, 1L)
+          .otherwise(0L)).as("false_negatives"),
+        sum(when(col("__m") === 0L && col("__hit") === 1L, 1L)
+          .otherwise(0L)).as("__fp"))
+      .select(col("n_filter"), col("n_probes"), col("n_members"),
+        col("false_negatives"),
+        (col("__fp") <= expr(s"(n_probes * ${fpBudgetPpm}L) div 1000000") + 3L)
+          .cast("long").as("fp_within_bound"))
+  }
+
   // ------------------------------------------------------ chunk-level dedup --
 
   /** Sub-document exact dedup at chunk granularity — the "line-level"
