@@ -1414,6 +1414,25 @@ object SparkEntry {
           col("n_samples"), col("fp"))
     }),
 
+    // REAL audio resample to 4 kHz over the m09 WAV fixtures: rates
+    // 8000..12000 downsample by the explicit nearest-neighbor index
+    // formula, re-encode through the real RIFF writer, re-decode — the
+    // header rate/count and the position-weighted sample checksum must
+    // reproduce the oracle's replay of the same integer mapping
+    "m15_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (80 + id % 40).toInt
+          val samples = Array.tabulate(ns)(i =>
+            (((id * 37 + i) * 251) % 4096 - 2048).toInt)
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.resampleAudio(wavs, dstRate = 4000).toDF()
+        .select(col("doc_id"), col("dst_rate"), col("n_samples"), col("checksum"))
+    }),
+
     // Windowed RMS-energy + silence detection over REAL decoded WAV — the
     // VAD/speech-prep read. The fixture embeds true silence: every third
     // 16-sample stretch is zeroed (i div 16 mod 3 == 0), the rest is the
@@ -4555,6 +4574,19 @@ object SparkEntry {
           |SELECT d.doc_id, sample_rate::BIGINT AS sample_rate,
           |  channels::BIGINT AS channels, n_samples::BIGINT AS n_samples, f.fp
           |FROM d JOIN f ON d.doc_id = f.doc_id""".stripMargin,
+      // m15: the m09 sample formula through the identical integer
+      // resample mapping — out(i) = s((i*rate)//4000), nOut = ns*4000//rate
+      "m15_audio_resample" ->
+        """WITH d AS (SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS rate,
+          |                  80 + (doc_id % 40) AS ns FROM documents),
+          |o AS (SELECT doc_id, rate, (ns * 4000) // rate AS n_out FROM d),
+          |s AS (SELECT doc_id, n_out, i,
+          |        ((doc_id * 37 + ((i * rate) // 4000)) * 251) % 4096 - 2048 AS v
+          |      FROM o CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+          |      WHERE i < n_out)
+          |SELECT doc_id, 4000::BIGINT AS dst_rate, n_out::BIGINT AS n_samples,
+          |  sum((i + 1) * v)::BIGINT AS checksum
+          |FROM s GROUP BY 1, 2, 3""".stripMargin,
       // m14: the m09 sample formula with every third 16-sample stretch
       // zeroed; exact integer Σs² per 32-sample window (last window
       // partial) and the strict mean-square silence gate — the REAL

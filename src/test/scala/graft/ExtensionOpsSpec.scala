@@ -261,6 +261,27 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(b.energy == 32000000L && !b.silent, "boundary mean-square is not silent")
   }
 
+  test("resampleAudio: exact down/upsample index mapping, real container round-trip, degrade") {
+    import graft.multimodal.Multimodal
+    val samples = Array.tabulate(40)(i => (i * 50) - 1000)
+    val rows = Seq(
+      (1L, Multimodal.syntheticPcmWav(8000, 2, samples), "audio"),
+      (2L, "noise".getBytes("UTF-8"), "audio"))
+    val df = rows.toDF("doc_id", "media", "media_type")
+    // 8000 → 4000: every 2nd sample, nOut = 20
+    val down = Multimodal.resampleAudio(df, dstRate = 4000)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(down.keySet == Set(1L), "junk emits no rows")
+    assert(down(1L).dst_rate == 4000L && down(1L).n_samples == 20L)
+    val expectDown = (0 until 20).map(i => (i + 1L) * samples(i * 2)).sum
+    assert(down(1L).checksum == expectDown)
+    // 8000 → 16000: each sample duplicated, nOut = 80
+    val up = Multimodal.resampleAudio(df, dstRate = 16000).collect().head
+    assert(up.dst_rate == 16000L && up.n_samples == 80L)
+    val expectUp = (0 until 80).map(i => (i + 1L) * samples(i / 2)).sum
+    assert(up.checksum == expectUp)
+  }
+
   test("pageRank: hand-computed star ranks, truncating-integer exactness, mass never grows") {
     import graft.graph.GraphOps
     // a→b, c→b, b→a: N=3, r0 = 10^12//3, every node outdeg 1
