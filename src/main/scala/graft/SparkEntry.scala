@@ -1477,6 +1477,22 @@ object SparkEntry {
       GraphOps.pageRank(e1.unionAll(e2).distinct(), iterations = 3)
     }),
 
+    // Integer-exact HITS over the same host graph: two rounds of
+    // hub→authority→hub mass passing, each half-round normalized to
+    // Σ = 10^12 by ONE DECIMAL(38,0) integral division per node — the
+    // hub/directory-page signal PageRank's single score cannot separate.
+    // The oracle replays both rounds as chained HUGEINT CTEs.
+    "g02_host_hits" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      def host(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"))
+      val e1 = docs.select(host(col("doc_id") % 97).as("src"),
+        host((col("doc_id") * 7 + 3) % 97).as("dst"))
+      val e2 = docs.select(host(col("doc_id") % 97).as("src"),
+        host((col("doc_id") * 13 + 11) % 97).as("dst"))
+      GraphOps.hits(e1.unionAll(e2).distinct(), iterations = 2)
+    }),
+
     // ---- custom Catalyst expression in a real plan (DuckDB has no
     //      siphash, so the sketched values can't be reproduced — the
     //      ESTIMATE is ε-gated per window instead; value parity proven by
@@ -4639,6 +4655,46 @@ object SparkEntry {
           |r3 AS (SELECT nodes.host, ((SELECT b FROM cst) + coalesce(c3.s, 0))::BIGINT AS pr
           |       FROM nodes LEFT JOIN c3 ON nodes.host = c3.host)
           |SELECT host, pr AS pagerank FROM r3""".stripMargin,
+      // g02: two HITS rounds replayed as chained HUGEINT CTEs — raw sums
+      // along each edge direction, each half-round normalized to Σ=10^12
+      // by one truncating // per node
+      "g02_host_hits" ->
+        """WITH edges AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT 'h' || (doc_id % 97) AS src,
+          |           'h' || ((doc_id * 7 + 3) % 97) AS dst FROM documents
+          |    UNION ALL
+          |    SELECT 'h' || (doc_id % 97),
+          |           'h' || ((doc_id * 13 + 11) % 97) FROM documents) u),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) v),
+          |h0 AS (SELECT host, 1000000000000::HUGEINT AS s FROM nodes),
+          |a1r AS (SELECT nodes.host, coalesce(t.s, 0)::HUGEINT AS raw FROM nodes
+          |  LEFT JOIN (SELECT e.dst AS host, sum(h0.s) AS s
+          |             FROM edges e JOIN h0 ON e.src = h0.host GROUP BY 1) t
+          |  ON nodes.host = t.host),
+          |a1 AS (SELECT host, (raw * 1000000000000) // (SELECT sum(raw) FROM a1r) AS s
+          |       FROM a1r),
+          |h1r AS (SELECT nodes.host, coalesce(t.s, 0)::HUGEINT AS raw FROM nodes
+          |  LEFT JOIN (SELECT e.src AS host, sum(a1.s) AS s
+          |             FROM edges e JOIN a1 ON e.dst = a1.host GROUP BY 1) t
+          |  ON nodes.host = t.host),
+          |h1 AS (SELECT host, (raw * 1000000000000) // (SELECT sum(raw) FROM h1r) AS s
+          |       FROM h1r),
+          |a2r AS (SELECT nodes.host, coalesce(t.s, 0)::HUGEINT AS raw FROM nodes
+          |  LEFT JOIN (SELECT e.dst AS host, sum(h1.s) AS s
+          |             FROM edges e JOIN h1 ON e.src = h1.host GROUP BY 1) t
+          |  ON nodes.host = t.host),
+          |a2 AS (SELECT host, (raw * 1000000000000) // (SELECT sum(raw) FROM a2r) AS s
+          |       FROM a2r),
+          |h2r AS (SELECT nodes.host, coalesce(t.s, 0)::HUGEINT AS raw FROM nodes
+          |  LEFT JOIN (SELECT e.src AS host, sum(a2.s) AS s
+          |             FROM edges e JOIN a2 ON e.dst = a2.host GROUP BY 1) t
+          |  ON nodes.host = t.host),
+          |h2 AS (SELECT host, (raw * 1000000000000) // (SELECT sum(raw) FROM h2r) AS s
+          |       FROM h2r)
+          |SELECT a2.host, a2.s::BIGINT AS authority, h2.s::BIGINT AS hub
+          |FROM a2 JOIN h2 ON a2.host = h2.host""".stripMargin,
       // m13: the same pixel formula through the identical integer
       // nearest-neighbor mapping — dst(x,y) = f((x*w)//8, (y*h)//6)
       "m13_resize_real" ->

@@ -83,4 +83,71 @@ object GraphOps {
     eplus.unpersist()
     ranks
   }
+
+  /** Integer-exact HITS (Kleinberg '99) over a directed host graph — the
+    * hub/authority split PageRank's single score cannot express: a good
+    * HUB links to good authorities (link directories, index pages), a
+    * good AUTHORITY is linked from good hubs (canonical sources). The
+    * directory-page signal matters for crawl frontier design where
+    * PageRank alone over-rewards link farms that only cite each other.
+    *
+    * Engine-exact arithmetic (the g01 discipline): scores start at
+    * `scale`; each round
+    *   a'(v) = Σ_{(u,v)} h(u), then normalize a(v) = (a'(v)·scale) div Σa'
+    *   h'(v) = Σ_{(v,w)} a(w), then normalize h(v) = (h'(v)·scale) div Σh'
+    * with the products in DECIMAL(38,0) (Σ over edges can pass 2⁶³) and
+    * ONE truncating integral division per node — the repo's exact
+    * cross-multiplication pattern (h22/e06), replayed by the oracle as
+    * chained CTEs, bit-for-bit.
+    *
+    * Scale shape: per half-round, the hosts-bounded score frame
+    * broadcasts into the persisted edge scan and the per-node sum is
+    * map-side combinable (exactly the [[pageRank]] iteration shape, run
+    * once against each edge direction); the normalizer Σ is a 1-ROW
+    * broadcast join (the group-vs-global scalar pattern), never a
+    * driver collect; scores `localCheckpoint` per round.
+    *
+    * Returns (host, authority, hub) after `iterations` rounds.
+    */
+  def hits(edges: DataFrame, iterations: Int,
+           scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).persist()
+
+    // one half-round: raw(v) = Σ over edges of the opposite side's score,
+    // normalized to Σ = scale by one DECIMAL(38,0) integral division
+    def halfRound(scores: DataFrame, scoreCol: String,
+                  edgeKey: String, sumKey: String, outCol: String): DataFrame = {
+      val joined = e.join(broadcast(scores), e(edgeKey) === scores("host"))
+        .select(e(sumKey).as("host"),
+          col(scoreCol).cast("decimal(38,0)").as("__s"))
+        .groupBy("host").agg(sum("__s").as("__raw"))
+      val raw = nodes.join(joined, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("__raw"), lit(0L).cast("decimal(38,0)")).as("__raw"))
+      val total = raw.agg(sum(col("__raw")).as("__total"))
+      raw.crossJoin(broadcast(total))
+        .select(col("host"),
+          expr(s"(CAST(__raw AS DECIMAL(38,0)) * ${scale}L) " +
+            "div CAST(__total AS DECIMAL(38,0))").cast("long").as(outCol))
+    }
+
+    var auth = nodes.withColumn("authority", lit(scale))
+    var hub = nodes.withColumn("hub", lit(scale))
+    var round = 0
+    while (round < iterations) {
+      // authorities collect hub mass along edges (u → v sums h(u) at v),
+      // then hubs collect the FRESH authority mass (v → w sums a(w) at v)
+      auth = halfRound(hub, "hub", "src", "dst", "authority").localCheckpoint()
+      hub = halfRound(auth, "authority", "dst", "src", "hub").localCheckpoint()
+      round += 1
+    }
+    e.unpersist()
+    auth.join(hub, Seq("host"))
+      .select(col("host"), col("authority"), col("hub"))
+  }
 }

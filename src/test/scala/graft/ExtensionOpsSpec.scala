@@ -308,6 +308,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(nb == two, "shuffle-join path must match the broadcast path")
   }
 
+  test("hits: hand-computed hub/authority round, exact integer normalization") {
+    import graft.graph.GraphOps
+    // h1→a, h2→a, h1→b: a is the 2-hub authority, h1 the 2-link hub
+    val edges = Seq(("h1", "a"), ("h2", "a"), ("h1", "b")).toDF("src", "dst")
+    val m = GraphOps.hits(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a_raw = (2S, S, 0, 0), Σ = 3S → a = (⌊2S/3⌋, ⌊S/3⌋, 0, 0)
+    assert(m("a") == (666666666666L, 0L), s"got $m")
+    assert(m("b") == (333333333333L, 0L))
+    // h_raw(h1) = a(a)+a(b) = 999999999999, h_raw(h2) = 666666666666,
+    // Σ = 1666666666665 → exactly (600000000000, 400000000000)
+    assert(m("h1") == (0L, 600000000000L))
+    assert(m("h2") == (0L, 400000000000L))
+    // each normalized side sums to ≤ scale (truncation only leaks)
+    assert(m.values.map(_._1).sum <= 1000000000000L)
+    assert(m.values.map(_._2).sum <= 1000000000000L)
+  }
+
   test("perceptual pairs feed the shared dedup-apply path: keeper survives") {
     val frameA = "a" * 30 + "b" * 30
     val frameB = "a" * 30 + "b" * 29 + "a"
