@@ -37,7 +37,11 @@ object BenchScale {
     // round-8 iterative trainers: corpus touched once, then vocab/
     // model-bounded control loops — gated so a lineage or shuffle
     // regression in the loop can't hide behind small fixtures
-    "t42_bpe_train", "s20_pq_train")
+    "t42_bpe_train", "s20_pq_train",
+    // round-9 iterative graph control loops: the corpus-sized work is
+    // the edge derivation + distinct; iterations run over hosts-bounded
+    // frames, so growth must stay ~linear in documents
+    "g01_host_pagerank", "g02_host_hits")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded
@@ -52,14 +56,16 @@ object BenchScale {
       Seq("m11_gif_neardup", "m12_gif_run_align",
         // the BPE trainer is t-prefixed but iterative — gate it with the
         // other control-loop trainers (s20 enters via the s-filter)
-        "t42_bpe_train")
+        "t42_bpe_train",
+        // the graph control loops: iterative like the trainers
+        "g01_host_pagerank", "g02_host_hits")
 
   /** The table whose row count is the query's input size (rows/sec
     * denominator): d/t/m-queries scan documents, s-queries embeddings,
     * e/c-queries events, h-queries lineitem.
     */
   def drivingTable(q: String): String = q.head match {
-    case 'd' | 't' | 'm' => "documents"
+    case 'd' | 't' | 'm' | 'g' => "documents"
     case 's'             => "embeddings"
     case 'h'             => "lineitem"
     case _               => "events"

@@ -1493,6 +1493,23 @@ object SparkEntry {
       GraphOps.hits(e1.unionAll(e2).distinct(), iterations = 2)
     }),
 
+    // Host-graph weakly-connected components — site clusters, through the
+    // REAL UrlOps.hostOf extraction (lowercase + www-strip on raw page/
+    // out-link URLs) and the shared CC machinery on portable md5 host
+    // ids. The link formula cycles inside groups of 7 residues, so the
+    // corpus collapses to 14 islands the oracle's recursive CTE replays.
+    "g03_host_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val r = col("doc_id") % 97
+      val r2 = expr("((doc_id % 97) div 7) * 7 + (((doc_id % 97) % 7) + 1) % 7")
+      val edges = docs.select(
+        graft.textops.UrlOps.hostOf(concat(lit("https://WWW.h"),
+          r.cast("string"), lit(".example.com/page/"), col("doc_id"))).as("src"),
+        graft.textops.UrlOps.hostOf(concat(lit("http://h"),
+          r2.cast("string"), lit(".example.com/link?x=1"))).as("dst"))
+      GraphOps.weakComponents(edges)
+    }),
+
     // ---- custom Catalyst expression in a real plan (DuckDB has no
     //      siphash, so the sketched values can't be reproduced — the
     //      ESTIMATE is ε-gated per window instead; value parity proven by
@@ -4695,6 +4712,27 @@ object SparkEntry {
           |       FROM h2r)
           |SELECT a2.host, a2.s::BIGINT AS authority, h2.s::BIGINT AS hub
           |FROM a2 JOIN h2 ON a2.host = h2.host""".stripMargin,
+      // g03: the same host/link formulas (www/scheme decorations resolve
+      // to the bare lowercase host), md5-hashed ids, recursive-CTE CC
+      "g03_host_components" ->
+        """WITH RECURSIVE rr AS (SELECT DISTINCT doc_id % 97 AS r FROM documents),
+          |ed AS (SELECT 'h' || r || '.example.com' AS sh,
+          |         'h' || ((r // 7) * 7 + ((r % 7) + 1) % 7) || '.example.com' AS dh
+          |       FROM rr),
+          |names AS (SELECT DISTINCT h FROM
+          |  (SELECT sh AS h FROM ed UNION SELECT dh FROM ed)),
+          |ids AS (SELECT h, ('0x' || substr(md5(h), 1, 15))::BIGINT AS id FROM names),
+          |p AS (SELECT DISTINCT x.id AS a, y.id AS b
+          |      FROM ed JOIN ids x ON ed.sh = x.h JOIN ids y ON ed.dh = y.h),
+          |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p),
+          |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+          |reach(n, m) AS (
+          |  SELECT n, n FROM nodes
+          |  UNION
+          |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+          |comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
+          |SELECT ids.h AS host, comp.component
+          |FROM ids JOIN comp ON ids.id = comp.n""".stripMargin,
       // m13: the same pixel formula through the identical integer
       // nearest-neighbor mapping — dst(x,y) = f((x*w)//8, (y*h)//6)
       "m13_resize_real" ->

@@ -580,9 +580,11 @@ object Dedup {
       .agg(least(min(col("v")), first(col("u"))).as("component"))
       .localCheckpoint(eager = false)
     // labels only ever decrease, so an unchanged label SUM means fixpoint —
-    // a one-row aggregate per round instead of a change-detection join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).head().getLong(0)
+    // a one-row aggregate per round instead of a change-detection join.
+    // DECIMAL(38,0): 60-bit hash labels (g03's md5 host ids) overflow a
+    // Long sum past ~2^3 nodes; doc-id labels never did, which hid this
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -598,7 +600,7 @@ object Dedup {
             .as("component"))
         .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
       i += 1

@@ -150,4 +150,28 @@ object GraphOps {
     auth.join(hub, Seq("host"))
       .select(col("host"), col("authority"), col("hub"))
   }
+
+  /** Weakly-connected components of a (src, dst) host graph — site
+    * clusters / link-farm islands, the graph face of the dedup module's
+    * duplicate clustering. String hosts hash to the portable 60-bit md5
+    * id ([[graft.functions.PortableHash]], DuckDB-reproducible) and the
+    * component search IS [[graft.dedup.Dedup.connectedComponents]] —
+    * min-label propagation with the large/small-star fallback and
+    * per-round `localCheckpoint`s — so the graph module adds no second
+    * CC implementation. Output (host, component) with `component` the
+    * component-minimum hashed id.
+    */
+  def weakComponents(edges: DataFrame, propagationRounds: Int = 8): DataFrame = {
+    import graft.functions.PortableHash
+    val names = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+    val ids = names.select(col("host"), PortableHash.md5Long60(col("host")).as("id"))
+    val pairs = edges.select(
+      PortableHash.md5Long60(col("src")).as("a"),
+      PortableHash.md5Long60(col("dst")).as("b")).distinct()
+    val comp = graft.dedup.Dedup.connectedComponents(pairs, propagationRounds)
+    ids.join(comp, ids("id") === comp("node"))
+      .select(col("host"), col("component"))
+  }
 }

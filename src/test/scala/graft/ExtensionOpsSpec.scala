@@ -326,6 +326,27 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(m.values.map(_._2).sum <= 1000000000000L)
   }
 
+  test("weakComponents: islands resolve through hashed host ids; direction ignored") {
+    import graft.graph.GraphOps
+    import graft.functions.PortableHash
+    val edges = Seq(
+      ("a.com", "b.com"), ("b.com", "c.com"), // island 1 (chain)
+      ("x.org", "y.org"),                     // island 2
+      ("z.net", "z2.net"), ("z2.net", "z.net")) // island 3 (both directions)
+      .toDF("src", "dst")
+    val rows = GraphOps.weakComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 7, s"every host gets a row: $rows")
+    val c1 = Seq("a.com", "b.com", "c.com").map(rows).distinct
+    val c2 = Seq("x.org", "y.org").map(rows).distinct
+    val c3 = Seq("z.net", "z2.net").map(rows).distinct
+    assert(c1.size == 1 && c2.size == 1 && c3.size == 1, "islands are single components")
+    assert(Set(c1.head, c2.head, c3.head).size == 3, "islands stay separate")
+    // the component label is the min hashed id of its members
+    assert(c1.head == Seq("a.com", "b.com", "c.com")
+      .map(PortableHash.jvmMd5Long60).min)
+  }
+
   test("perceptual pairs feed the shared dedup-apply path: keeper survives") {
     val frameA = "a" * 30 + "b" * 30
     val frameB = "a" * 30 + "b" * 29 + "a"
