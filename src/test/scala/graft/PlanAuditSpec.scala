@@ -734,6 +734,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("hitter sketch gate: summaries ride ObjectHashAggregate; no corpus window") {
+    val p = plan(graft.relational.Temporal.hitterSketchGate(events))
+    // the Misra-Gries typed Aggregator must aggregate (partial merge),
+    // not collect rows — ObjectHashAggregate is the typed-agg engine
+    assert(p.contains("ObjectHashAggregate"), s"sketch must ride a typed agg:\n$p")
+    // the only row_number window is the exact top-k side, partitioned by
+    // window — never an unpartitioned global sort
+    assert(!p.contains("rangepartitioning"), s"no global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("bloom membership: filter broadcasts as ONE row; probe test stays codegen'd") {
+    val f = docs.select(concat(lit("u"), col("doc_id")).as("key"))
+    val p = plan(Dedup.bloomMembership(f, f))
+    assert(p.contains("ObjectHashAggregate"), s"filter build must be a typed agg:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row filter must broadcast into the probe scan:\n$p")
+    assert(!p.contains("ScalaUDF"), s"probe test must stay codegen'd md5 arithmetic:\n$p")
+  }
+
   test("corpus overlap: ONE map-side-combined slice aggregate; pairwise side broadcast") {
     val p = plan(Dedup.corpusOverlap(docs))
     // 64 per-slice mins combine map-side (the union-signature aggregate)
