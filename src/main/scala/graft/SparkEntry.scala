@@ -1171,6 +1171,10 @@ object SparkEntry {
       Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     "s02_ann_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // corpus-wide k-NN graph: multi-table sign-LSH candidates, exact
+    // cosine rank per source doc — the graph-based-dedup input structure
+    "s22_knn_graph" -> ((s, dir) =>
+      Ann.knnGraph(Tables.embeddings(s, dir))),
     // sign-LSH (random-hyperplane) bucketing — candidate generator at scale
     "s03_lsh_buckets" -> ((s, dir) =>
       Ann.signLshBuckets(Tables.embeddings(s, dir))),
@@ -4180,6 +4184,29 @@ object SparkEntry {
           |JOIN embeddings ex ON ex.vec_id = x.vec_id
           |JOIN embeddings ey ON ey.vec_id = y.vec_id
           |WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.35""".stripMargin,
+      // s22: d10's two-table LSH bucket SQL feeding a per-source cosine
+      // rank window — ties to the smaller neighbor id (s01 convention)
+      "s22_knn_graph" ->
+        """WITH pl AS (SELECT t, p, list_transform(generate_series(0, 63), j ->
+          |    CASE WHEN ((('0x'||substr(md5('plane:'||t||':'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
+          |         THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(generate_series(0, 1)) AS t)
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)),
+          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |d AS (SELECT vec_id, t, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
+          |      FROM v CROSS JOIN pl),
+          |bk AS (SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          |       FROM d GROUP BY vec_id, t),
+          |cand AS (SELECT DISTINCT x.vec_id, y.vec_id AS neighbor_id
+          |         FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+          |                            AND x.vec_id != y.vec_id),
+          |r AS (SELECT c.vec_id, c.neighbor_id,
+          |        row_number() OVER (PARTITION BY c.vec_id
+          |          ORDER BY list_cosine_similarity(ex.embedding, ey.embedding) DESC,
+          |                   c.neighbor_id) AS rank
+          |      FROM cand c JOIN embeddings ex ON ex.vec_id = c.vec_id
+          |                  JOIN embeddings ey ON ey.vec_id = c.neighbor_id)
+          |SELECT vec_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
       "d10_lsh_multitable" ->
         """WITH pl AS (SELECT t, p, list_transform(generate_series(0, 63), j ->
           |    CASE WHEN ((('0x'||substr(md5('plane:'||t||':'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1

@@ -105,6 +105,54 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Corpus-wide k-NN GRAPH — every document's top-k neighbors in one
+    * pass, the input structure of graph-based semantic dedup, diversity
+    * sampling, and cluster-balance QA ([[bruteForceTopK]] answers a
+    * QUERY SET against the corpus; this answers corpus × corpus, which
+    * brute force cannot at scale). Candidates come from multi-table
+    * sign-LSH (the [[graft.dedup.Dedup.lshNearDupPairsMulti]]
+    * OR-construction — `tables` independent hyperplane families over one
+    * scan), so each document ranks only its bucket-mates: Σ|bucket|²
+    * work, never n². Ranking is exact cosine over the candidates
+    * (codegen'd `vec_dot`, left-to-right fold — cross-engine
+    * deterministic, the s01 convention), rank ties to the smaller
+    * neighbor id. Documents whose buckets are singletons in every table
+    * get no rows — the honest LSH recall trade, measured by the same
+    * d18/s07 calibration gates.
+    *
+    * Scale shape: one corpus scan emits all tables' buckets through one
+    * generator; the candidate join is an equi-join on (table, bucket);
+    * duplicates from multi-table collisions collapse by `distinct` on
+    * bit-identical scores; the top-k window partitions by source doc
+    * (bucket-bounded rows per partition key, no global sort).
+    * Output: (vec_id, rank, neighbor_id), the [[bruteForceTopK]] shape
+    * keyed by corpus doc.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 3,
+               nPlanes: Int = 4, tables: Int = 2): DataFrame = {
+    val normed = normalize(embeddings, "vec_id")
+    val tb = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("t"), bucketExpr(nPlanes, table = t).as("bucket"))): _*))
+    val bucketed = normed
+      .select(col("vec_id"), col("v"), col("norm"), tb.as("tb"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cos = (VecDot.dot(col("x.v"), col("y.v")) /
+      (col("x.norm") * col("y.norm"))).as("cos")
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        col("y.vec_id").as("neighbor_id"), cos)
+      .distinct()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Metadata-FILTERED exact top-k (the vector-DB "filtered search"
     * staple, PRE-filter strategy): neighbors must satisfy `metaPred` over
     * the metadata table (joined on vec_id = doc_id), evaluated BEFORE any

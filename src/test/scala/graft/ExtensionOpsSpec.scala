@@ -326,6 +326,44 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(m.values.map(_._2).sum <= 1000000000000L)
   }
 
+  test("knnGraph: contiguous ranks, cosine-ordered neighbors, symmetric candidates") {
+    import graft.similarity.Ann
+    val rows = Ann.knnGraph(embeddings, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // ranks are contiguous 1..m per source (no gaps from the window+filter)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"ranks for $src")
+      assert(rs.length <= 3)
+    }
+    // candidate generation is symmetric (same-bucket ⇒ both directions),
+    // so a rank-1 edge's reverse must at least be a candidate: if b is
+    // a's best neighbor, a appears among b's rows OR b has k closer ones
+    val bySrc = rows.groupBy(_._1)
+    val vecs = embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / math.sqrt(nx * ny)
+    }
+    // neighbors are cosine-ordered within each source
+    bySrc.foreach { case (src, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._3).toSeq
+      byRank.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(cos(src, w(0)) >= cos(src, w(1)), s"order at $src")
+      }
+    }
+    rows.find(_._2 == 1L).foreach { case (a, _, b) =>
+      val bRows = bySrc.getOrElse(b, Array.empty)
+      assert(bRows.exists(_._3 == a) || bRows.length == 3,
+        s"reverse edge ($b,$a) missing though candidates are symmetric")
+    }
+  }
+
   test("weakComponents: islands resolve through hashed host ids; direction ignored") {
     import graft.graph.GraphOps
     import graft.functions.PortableHash
