@@ -833,6 +833,33 @@ object SparkEntry {
     // per-(lang, source) survivor accounting
     "t38_training_pipeline_v2" -> ((s, dir) =>
       graft.pipeline.TrainingData.runV2(Tables.documents(s, dir))),
+    // v3, the WEB-CORPUS composition: URL dedup (d25's raw-variant
+    // formula) → exact content dedup → Gopher gate, reported per host
+    // with the host-graph PageRank prior joined on — the round-9 ops
+    // (UrlOps, GraphOps) composing with the dedup/quality stages
+    "t46_training_pipeline_v3" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val res = expr("doc_id div 4")
+      val variant = col("doc_id") % 4
+      val raw = concat(
+        when(variant === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        lit("site"), res % 5, lit(".example.com"),
+        when(variant === 1, lit(":443")).otherwise(lit("")),
+        when(variant === 0, lit("//page//")).otherwise(lit("/page/")),
+        res,
+        when(variant === 2, lit("/")).otherwise(lit("")),
+        when(variant === 0, lit("?utm_source=feed&fbclid=x")).otherwise(lit("")),
+        when(variant === 3, lit("#frag")).otherwise(lit("")))
+      def site(c: org.apache.spark.sql.Column) =
+        concat(lit("site"), c.cast("string"), lit(".example.com"))
+      val ks = d.select((res % 5).as("k")).distinct()
+      val he = ks.select(site(col("k")).as("src"),
+          site((col("k") * 2 + 1) % 5).as("dst"))
+        .unionAll(ks.select(site(col("k")).as("src"),
+          site((col("k") * col("k") + 1) % 5).as("dst")))
+        .distinct()
+      graft.pipeline.TrainingData.runV3(d, raw, he)
+    }),
     // the whole training-data pipeline in ONE call: exact dedup -> CCNet
     // filter -> stratified sample -> token-budget shard packing; output
     // is the packed set's per-shard accounting
@@ -3693,6 +3720,61 @@ object SparkEntry {
            |  ((n >= 50 AND n <= 100000) AND (mlen >= 3000000 AND mlen <= 10000000)
            |    AND alpha >= 800000 AND ns >= 2)::BIGINT AS pass
            |FROM p""".stripMargin,
+      // t46: the v3 web-corpus composition — url-group keepers (d25's
+      // canonical groups ARE the res groups), md5-text keepers, the t26
+      // pass predicate, per-host rollup, and the 5-host PageRank CTEs
+      "t46_training_pipeline_v3" ->
+        s"""WITH d AS (SELECT doc_id, text, (doc_id // 4) AS res FROM documents),
+           |hd AS (SELECT doc_id, 'site' || (res % 5) || '.example.com' AS host, res FROM d),
+           |uk AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY res),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |gp AS (SELECT doc_id FROM (
+           |  SELECT doc_id, n, (wc * 1000000 // greatest(n, 1)) AS mlen,
+           |         (na * 1000000 // greatest(n, 1)) AS alpha, ns
+           |  FROM (SELECT doc_id, len(t)::BIGINT AS n,
+           |          greatest(length(text) - (len(t) - 1), 0)::BIGINT AS wc,
+           |          len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::BIGINT AS na,
+           |          len(list_filter(list_distinct(t),
+           |              w -> list_contains($enStop, w)))::BIGINT AS ns
+           |        FROM (SELECT doc_id, text, $toks AS t FROM documents)))
+           |  WHERE n >= 50 AND n <= 100000 AND mlen >= 3000000 AND mlen <= 10000000
+           |    AND alpha >= 800000 AND ns >= 2),
+           |cnt AS (SELECT host, count(*)::BIGINT AS n_docs FROM hd GROUP BY 1),
+           |ukc AS (SELECT host, count(*)::BIGINT AS n_url_keep
+           |        FROM hd JOIN uk USING (doc_id) GROUP BY 1),
+           |fc AS (SELECT host, count(*)::BIGINT AS n_final
+           |       FROM hd JOIN uk USING (doc_id) JOIN ek USING (doc_id)
+           |            JOIN gp USING (doc_id) GROUP BY 1),
+           |ks AS (SELECT DISTINCT (res % 5) AS k FROM d),
+           |edges AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT 'site' || k || '.example.com' AS src,
+           |         'site' || ((k * 2 + 1) % 5) || '.example.com' AS dst FROM ks
+           |  UNION ALL
+           |  SELECT 'site' || k || '.example.com',
+           |         'site' || ((k * k + 1) % 5) || '.example.com' FROM ks)),
+           |nodes AS (SELECT DISTINCT host FROM
+           |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+           |cst AS (SELECT (1000000000000 // count(*))::BIGINT AS r0,
+           |          ((1000000000000 // count(*)) * 150000 // 1000000)::BIGINT AS b
+           |        FROM nodes),
+           |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+           |pr0 AS (SELECT host, (SELECT r0 FROM cst) AS pr FROM nodes),
+           |pc1 AS (SELECT e.dst AS host, sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+           |        FROM edges e JOIN pr0 r ON e.src = r.host JOIN od ON e.src = od.src
+           |        GROUP BY 1),
+           |pr1 AS (SELECT nodes.host, ((SELECT b FROM cst) + coalesce(pc1.s, 0))::BIGINT AS pr
+           |        FROM nodes LEFT JOIN pc1 ON nodes.host = pc1.host),
+           |pc2 AS (SELECT e.dst AS host, sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+           |        FROM edges e JOIN pr1 r ON e.src = r.host JOIN od ON e.src = od.src
+           |        GROUP BY 1),
+           |pr2 AS (SELECT nodes.host, ((SELECT b FROM cst) + coalesce(pc2.s, 0))::BIGINT AS pr
+           |        FROM nodes LEFT JOIN pc2 ON nodes.host = pc2.host)
+           |SELECT cnt.host, cnt.n_docs,
+           |  coalesce(ukc.n_url_keep, 0)::BIGINT AS n_url_keep,
+           |  coalesce(fc.n_final, 0)::BIGINT AS n_final,
+           |  coalesce(pr2.pr, 0)::BIGINT AS pagerank
+           |FROM cnt LEFT JOIN ukc USING (host) LEFT JOIN fc USING (host)
+           |LEFT JOIN pr2 ON cnt.host = pr2.host""".stripMargin,
       // t27: vocab = top-1000 (count DESC, token ASC) — a total order, so
       // the LIMIT is deterministic; OOV = absent from it
       "t27_oov_rate" ->

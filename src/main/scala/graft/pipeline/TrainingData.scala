@@ -71,6 +71,58 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
   }
 
+  /** The WEB-CORPUS pipeline composition (v3): the crawl-side stages that
+    * precede [[runV2]]'s content work, reported per HOST with a
+    * link-graph prior — the per-domain read a crawl team consults when
+    * deciding what to fetch more of:
+    *
+    *  1. URL-LEVEL DEDUP — fetch variants collapse through
+    *     [[graft.textops.UrlOps.canonicalizeUrl]], keeper = min doc_id
+    *     per canonical URL ([[Dedup.urlDedup]] — the FIRST dedup stage of
+    *     a web build, before any text is read);
+    *  2. EXACT CONTENT DEDUP — first occurrence per text digest
+    *     ([[Dedup.exactGroups]]);
+    *  3. QUALITY GATE — the Gopher rule battery verdict
+    *     ([[TextAnalysis.gopherRules]] `pass`);
+    *  4. DOMAIN PRIOR — per-host survivor accounting joined with the
+    *     host's [[graft.graph.GraphOps.pageRank]] score over the given
+    *     link graph, so volume and centrality read off one row.
+    *
+    * Stage membership composes by doc-id left-semi joins (the [[run]]
+    * idiom — these gates are per-doc facts, so sequential ≡ intersect);
+    * the host rollup is one map-side-combinable groupBy over hosts ≪
+    * docs, and the pagerank join is hosts-bounded. Output per host:
+    * (host, n_docs, n_url_keep, n_final, pagerank).
+    */
+  def runV3(docs: DataFrame, url: Column, hostEdges: DataFrame,
+            prIterations: Int = 2): DataFrame = {
+    val host = graft.textops.UrlOps.hostOf(url)
+    val urlKeep = Dedup.urlDedup(docs, url)
+      .select(col("keep_doc_id").as("doc_id"))
+    val exactKeep = Dedup.exactGroups(docs)
+      .select(col("keeper_id").as("doc_id"))
+    val qualityPass = TextAnalysis.gopherRules(docs)
+      .where(col("pass") === 1).select(col("doc_id"))
+    val perDoc = docs.select(col("doc_id"), host.as("host"))
+    val urlKept = perDoc.join(urlKeep, Seq("doc_id"), "left_semi")
+    val finalKept = urlKept
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(qualityPass, Seq("doc_id"), "left_semi")
+    val counts = perDoc.groupBy("host").agg(count(lit(1)).as("n_docs"))
+      .join(urlKept.groupBy("host").agg(count(lit(1)).as("n_url_keep")),
+        Seq("host"), "left")
+      .join(finalKept.groupBy("host").agg(count(lit(1)).as("n_final")),
+        Seq("host"), "left")
+    val pr = graft.graph.GraphOps.pageRank(hostEdges, prIterations)
+    counts
+      .join(pr, counts("host") === pr("host"), "left")
+      .select(counts("host"),
+        col("n_docs"),
+        coalesce(col("n_url_keep"), lit(0L)).as("n_url_keep"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("pagerank"), lit(0L)).as("pagerank"))
+  }
+
   def run(docs: DataFrame,
           ratesPpm: Map[String, Long] = DefaultRatesPpm,
           budget: Long = 50000L): DataFrame = {
