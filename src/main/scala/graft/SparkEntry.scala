@@ -1524,6 +1524,22 @@ object SparkEntry {
       GraphOps.hits(e1.unionAll(e2).distinct(), iterations = 2)
     }),
 
+    // HyperBall neighborhood function over the same host graph: radius-2
+    // out-balls as ITERATED HLL sketches (one hll_union_agg per round —
+    // the web-scale reachability read), gated by the exact ball size the
+    // oracle replays as chained frontier CTEs (the a01 pattern: exact
+    // hash-compared, sketch drift breaks within_eps)
+    "g04_neighborhood_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      def host(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"))
+      val e1 = docs.select(host(col("doc_id") % 97).as("src"),
+        host((col("doc_id") * 7 + 3) % 97).as("dst"))
+      val e2 = docs.select(host(col("doc_id") % 97).as("src"),
+        host((col("doc_id") * 13 + 11) % 97).as("dst"))
+      GraphOps.neighborhoodGate(e1.unionAll(e2).distinct(), radius = 2)
+    }),
+
     // Host-graph weakly-connected components — site clusters, through the
     // REAL UrlOps.hostOf extraction (lowercase + www-strip on raw page/
     // out-link URLs) and the shared CC machinery on portable md5 host
@@ -4821,6 +4837,29 @@ object SparkEntry {
           |       FROM h2r)
           |SELECT a2.host, a2.s::BIGINT AS authority, h2.s::BIGINT AS hub
           |FROM a2 JOIN h2 ON a2.host = h2.host""".stripMargin,
+      // g04: exact radius-2 out-balls as chained frontier CTEs + the
+      // literal-true sketch verdicts (a01 gate pattern)
+      "g04_neighborhood_gate" ->
+        """WITH edges AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT 'h' || (doc_id % 97) AS src,
+          |           'h' || ((doc_id * 7 + 3) % 97) AS dst FROM documents
+          |    UNION ALL
+          |    SELECT 'h' || (doc_id % 97),
+          |           'h' || ((doc_id * 13 + 11) % 97) FROM documents) u),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) v),
+          |r0 AS (SELECT host, host AS r FROM nodes),
+          |r1 AS (SELECT DISTINCT host, r FROM (
+          |  SELECT host, r FROM r0
+          |  UNION ALL
+          |  SELECT r0.host, e.dst FROM r0 JOIN edges e ON r0.r = e.src) a),
+          |r2 AS (SELECT DISTINCT host, r FROM (
+          |  SELECT host, r FROM r1
+          |  UNION ALL
+          |  SELECT r1.host, e.dst FROM r1 JOIN edges e ON r1.r = e.src) b)
+          |SELECT host, count(*)::BIGINT AS ball_size, 1::BIGINT AS within_eps
+          |FROM r2 GROUP BY 1""".stripMargin,
       // g03: the same host/link formulas (www/scheme decorations resolve
       // to the bare lowercase host), md5-hashed ids, recursive-CTE CC
       "g03_host_components" ->

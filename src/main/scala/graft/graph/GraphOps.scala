@@ -151,6 +151,68 @@ object GraphOps {
       .select(col("host"), col("authority"), col("hub"))
   }
 
+  /** Neighborhood function by ITERATED HLL SKETCHES — the HyperBall /
+    * HyperANF idea (Boldi–Vigna WWW'11, itself ANF with mergeable
+    * sketches): ball(v, r+1) = {v} ∪ ⋃_{(v,w)∈E} ball(w, r), with each
+    * ball represented as a mergeable HLL sketch, so one round is ONE
+    * edge join + ONE `hll_union_agg` groupBy — per-node state O(2^lgK)
+    * regardless of ball size. The out-neighborhood-size distribution is
+    * the reachability/centrality read (spam farms have tiny balls,
+    * genuine hubs huge ones) that exact ball materialization cannot
+    * compute at web scale: the exact side is Θ(Σ|ball|) rows, the
+    * sketch side Θ(nodes · sketch).
+    *
+    * The GATE (the a01/e13/e14 pattern for graphs): output carries the
+    * EXACT ball size — computed here by r rounds of frontier joins, the
+    * oracle twin DuckDB replays as chained CTEs; fixture-affordable,
+    * production-impossible, which is the point — plus `within_eps`, the
+    * measured verdict that the sketch estimate is within `epsPpm` of
+    * exact. DataSketches HLL is exact in its low-cardinality coupon
+    * range, so fixture-scale verdicts are provably true; a drifting
+    * union breaks the column. Estimates are never hash-compared
+    * (merge-order-dependent, like every sketch here).
+    *
+    * Scale shape: per round, sketches ride one (host)-keyed
+    * `hll_union_agg` with map-side partial merge; edges join the
+    * hosts-bounded sketch frame; per-round `localCheckpoint`. The exact
+    * side exists only for the gate.
+    */
+  def neighborhoodGate(edges: DataFrame, radius: Int = 2,
+                       epsPpm: Long = 50000L): DataFrame = {
+    require(radius >= 0, "radius must be non-negative")
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).persist()
+    // sketch side: ball(·, 0) = own id
+    var sk = nodes.groupBy("host").agg(hll_sketch_agg(col("host")).as("sk"))
+      .localCheckpoint()
+    // exact side: (host, reachable) pair frame, expanded in lockstep
+    var reach = nodes.select(col("host"), col("host").as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < radius) {
+      val nbrSk = e.join(sk, e("dst") === sk("host"))
+        .select(e("src").as("host"), col("sk"))
+      sk = sk.unionAll(nbrSk)
+        .groupBy("host").agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint()
+      reach = reach.unionAll(
+          reach.join(e, reach("r") === e("src"))
+            .select(reach("host"), e("dst").as("r")))
+        .distinct()
+        .localCheckpoint()
+      i += 1
+    }
+    e.unpersist()
+    val exact = reach.groupBy("host").agg(count(lit(1)).as("ball_size"))
+    exact.join(sk, Seq("host"))
+      .select(col("host"), col("ball_size"),
+        (abs(hll_sketch_estimate(col("sk")) - col("ball_size")) * lit(1000000L) <=
+          col("ball_size") * lit(epsPpm)).cast("long").as("within_eps"))
+  }
+
   /** Weakly-connected components of a (src, dst) host graph — site
     * clusters / link-farm islands, the graph face of the dedup module's
     * duplicate clustering. String hosts hash to the portable 60-bit md5

@@ -364,6 +364,20 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("neighborhoodGate: exact radius-r out-balls; sketch verdict holds") {
+    import graft.graph.GraphOps
+    // chain a→b→c→d: radius-2 balls are {a,b,c}, {b,c,d}, {c,d}, {d}
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val m = GraphOps.neighborhoodGate(edges, radius = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map("a" -> (3L, 1L), "b" -> (3L, 1L), "c" -> (2L, 1L), "d" -> (1L, 1L)),
+      s"got $m")
+    // radius 0 is the singleton ball
+    val z = GraphOps.neighborhoodGate(edges, radius = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(z.values.forall(_ == 1L))
+  }
+
   test("weakComponents: islands resolve through hashed host ids; direction ignored") {
     import graft.graph.GraphOps
     import graft.functions.PortableHash
