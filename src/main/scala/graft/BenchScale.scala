@@ -41,7 +41,10 @@ object BenchScale {
     // round-9 iterative graph control loops: the corpus-sized work is
     // the edge derivation + distinct; iterations run over hosts-bounded
     // frames, so growth must stay ~linear in documents
-    "g01_host_pagerank", "g02_host_hits")
+    "g01_host_pagerank", "g02_host_hits", "g04_neighborhood_gate",
+    // round-9 LSH k-NN graph (bucket-bounded pair work) and the v3
+    // pipeline composition (semi-join stages over one corpus)
+    "s22_knn_graph", "t46_training_pipeline_v3")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded
@@ -58,7 +61,9 @@ object BenchScale {
         // other control-loop trainers (s20 enters via the s-filter)
         "t42_bpe_train",
         // the graph control loops: iterative like the trainers
-        "g01_host_pagerank", "g02_host_hits")
+        "g01_host_pagerank", "g02_host_hits", "g04_neighborhood_gate",
+        // the v3 pipeline composition (t-prefixed, stage-composed)
+        "t46_training_pipeline_v3")
 
   /** The table whose row count is the query's input size (rows/sec
     * denominator): d/t/m-queries scan documents, s-queries embeddings,

@@ -1144,6 +1144,34 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // ingest-time URL-level dedup (the live crawl frontier's first
+    // stage): d25's raw fetch variants arrive as a stream, canonicalize,
+    // first arrival per canonical URL survives — the surviving URL SET
+    // is arrival-independent and ≡ batch DISTINCT canonical urls
+    "d27_stream_url_dedup" -> ((s, dir) => {
+      val stream = Tables.documentsStream(s, dir)
+        .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
+      val res = expr("doc_id div 4")
+      val variant = col("doc_id") % 4
+      val raw = concat(
+        when(variant === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        lit("site"), res % 5, lit(".example.com"),
+        when(variant === 1, lit(":443")).otherwise(lit("")),
+        when(variant === 0, lit("//page//")).otherwise(lit("/page/")),
+        res,
+        when(variant === 2, lit("/")).otherwise(lit("")),
+        when(variant === 0, lit("?utm_source=feed&fbclid=x")).otherwise(lit("")),
+        when(variant === 3, lit("#frag")).otherwise(lit("")))
+      val out = graft.streaming.StreamingDedup.dropSeenUrls(
+          stream, "ts", raw, watermarkDelay = "3650 days")
+        .select(col("__url").as("url"))
+      val sink = "d27_stream_url_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
+
     // ingest-time NEAR-dup suppression, oracle-checked the same way:
     // horizon ≥ dataset ⇒ exactly one keeper per sign-LSH bucket, so the
     // recomputed bucket ids of the survivors ≡ the distinct bucket set
@@ -4151,6 +4179,13 @@ object SparkEntry {
       // d26: exact filter/probe/member counts + the Bloom theorems as
       // literals — zero false negatives (OR-merge theorem, hash-compared)
       // and the measured FP budget verdict (a01/e13/e14 gate pattern)
+      // d27: the surviving canonical URL set ≡ batch DISTINCT (d25's
+      // canonical formula) — which doc won each URL is arrival-dependent,
+      // the URL set is not
+      "d27_stream_url_dedup" ->
+        """SELECT DISTINCT 'https://site' || ((doc_id // 4) % 5)::VARCHAR ||
+          |  '.example.com/page/' || (doc_id // 4)::VARCHAR AS url
+          |FROM documents""".stripMargin,
       "d26_bloom_seen" ->
         """WITH f AS (SELECT DISTINCT 'https://ex.com/p' || (doc_id % 301) AS url
           |           FROM documents WHERE doc_id % 2 = 0),

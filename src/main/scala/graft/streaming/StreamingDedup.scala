@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues}
@@ -39,6 +39,24 @@ object StreamingDedup {
       .drop("__content_md5")
     deduped.unionByName(watermarked.where(col(contentCol).isNull))
   }
+
+  /** Ingest-time URL-level dedup — the streaming face of
+    * [[graft.dedup.Dedup.urlDedup]], the FIRST dedup stage of a live
+    * crawl frontier: fetch variants collapse through
+    * [[graft.textops.UrlOps.canonicalizeUrl]] (a pure codegen'd
+    * projection, no model state) and the first arrival per canonical URL
+    * within the watermark horizon survives. State is one row per
+    * canonical URL, watermark-evicted like [[dropExactDuplicates]];
+    * unparseable URLs drop permissively (the d25 batch convention).
+    * Which DOCUMENT wins a URL is arrival-order-dependent; the surviving
+    * canonical URL SET is not — the d15 parity shape.
+    */
+  def dropSeenUrls(stream: DataFrame, tsCol: String, url: Column,
+                   watermarkDelay: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .withColumn("__url", graft.textops.UrlOps.canonicalizeUrl(url))
+      .where(col("__url").isNotNull)
+      .dropDuplicatesWithinWatermark("__url")
 
   /** Ingest-time NEAR-dup suppression over an embedding column: keep the
     * first document per sign-LSH bucket within the watermark horizon.

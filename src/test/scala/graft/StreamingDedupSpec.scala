@@ -88,6 +88,39 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("dropSeenUrls: variants collapse cross-batch; garbage drops; first arrival wins") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDedup.dropSeenUrls(
+      input.toDF().toDF("ts", "doc_id", "raw"), "ts", col("raw"),
+      watermarkDelay = "3650 days")
+    val query = out.writeStream.format("memory").queryName("url_dedup_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: two variants of one resource + garbage
+      input.addData(
+        (ts(0), 1L, "HTTPS://WWW.site0.example.com//page//7?utm_source=x"),
+        (ts(1), 2L, "https://site0.example.com/page/7/"),
+        (ts(2), 3L, "not a url at all"))
+      query.processAllAvailable()
+      // batch 2: a third variant of the same resource + one new resource
+      input.addData(
+        (ts(3), 4L, "https://site0.example.com:443/page/7"),
+        (ts(4), 5L, "https://site1.example.com/page/8"))
+      query.processAllAvailable()
+      val rows = spark.table("url_dedup_sink")
+        .select(col("doc_id"), col("__url")).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // one survivor per canonical URL, FIRST arrival kept even across
+      // the batch boundary; garbage emitted nowhere
+      assert(rows.map(_._2).sorted.toSeq == Seq(
+        "https://site0.example.com/page/7", "https://site1.example.com/page/8"),
+        s"got ${rows.toSeq}")
+      assert(rows.toMap.values.toSet.size == 2 &&
+        rows.map(_._1).toSet == Set(1L, 5L), s"first arrivals win: ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("an entry stops suppressing once the watermark passes its event time") {
     implicit val sc = spark.sqlContext
     withRocksDb {
