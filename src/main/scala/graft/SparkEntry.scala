@@ -1230,6 +1230,10 @@ object SparkEntry {
     // cosine rank per source doc — the graph-based-dedup input structure
     "s22_knn_graph" -> ((s, dir) =>
       Ann.knnGraph(Tables.embeddings(s, dir))),
+    // MRR@5 of the IVF index vs the exact top-1 — recall's graded twin:
+    // integer reciprocal-rank points, 0 on a miss
+    "s23_mrr_eval" -> ((s, dir) =>
+      Ann.mrrEval(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     // sign-LSH (random-hyperplane) bucketing — candidate generator at scale
     "s03_lsh_buckets" -> ((s, dir) =>
       Ann.signLshBuckets(Tables.embeddings(s, dir))),
@@ -1490,6 +1494,29 @@ object SparkEntry {
         }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
       Multimodal.resampleAudio(wavs, dstRate = 4000).toDF()
         .select(col("doc_id"), col("dst_rate"), col("n_samples"), col("checksum"))
+    }),
+
+    // Windowed ZERO-CROSSING RATE over REAL decoded WAV — the
+    // voiced/unvoiced read beside m14's energy gate. Every third
+    // 16-sample stretch is a CONSTANT +500 (zero crossings), the rest is
+    // the alternating-sign m09 formula (high ZCR), so the voiced verdict
+    // genuinely splits; the oracle replays adjacent-sign changes and the
+    // strict ppm gate from the formula
+    "m16_audio_zcr" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (80 + id % 40).toInt
+          val samples = Array.tabulate(ns)(i =>
+            if ((i / 16) % 3 == 0) 500
+            else ((((id * 37 + i) * 251) % 4096 - 2048) * (1 - 2 * (i % 2))).toInt)
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.audioZeroCrossings(wavs, windowSamples = 32,
+          voicedMaxZcrPpm = 600000L).toDF()
+        .select(col("doc_id"), col("win_idx"), col("n_samples"),
+          col("crossings"), col("voiced"))
     }),
 
     // Windowed RMS-energy + silence detection over REAL decoded WAV — the
@@ -3109,6 +3136,37 @@ object SparkEntry {
         |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id)
         |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored WHERE rank <= 5""".stripMargin
     val s02Sql = s02SqlN(3)
+    // s23: the s01 truth (rank 1 only) left-joined to the s02 IVF list —
+    // integer reciprocal-rank points, 0 on a miss
+    val s23Sql =
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+        |bs AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) AS rank
+        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+        |t AS (SELECT query_id, neighbor_id AS relevant_id FROM bs WHERE rank = 1),
+        |cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id % 25 = 0),
+        |assigned AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT query_id, qe, cell FROM (
+        |  SELECT q.query_id, q.qe, c.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
+        |  FROM q CROSS JOIN cent c) WHERE rn <= 3),
+        |ivf AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.qe, a.embedding) DESC, a.vec_id) AS rank
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.query_id) z
+        |  WHERE rank <= 5)
+        |SELECT t.query_id, t.relevant_id,
+        |  coalesce(ivf.rank, 0)::BIGINT AS found_rank,
+        |  coalesce(1000000000 // ivf.rank, 0)::BIGINT AS points
+        |FROM t LEFT JOIN ivf ON ivf.query_id = t.query_id
+        |  AND ivf.neighbor_id = t.relevant_id""".stripMargin
     // IVF-PQ ADC pipeline, parameterized by the final shortlist depth —
     // s08 uses it at k=5, s13 re-ranks its 20-deep shortlist exactly
     def s08Sql(lim: Int): String =
@@ -4460,6 +4518,7 @@ object SparkEntry {
            |       ELSE 'solo' END AS kept_as
            |FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
       "s01_ann_topk" -> s01Sql,
+      "s23_mrr_eval" -> s23Sql,
       "s02_ann_ivf" -> s02Sql,
       // s19: identical single-IEEE-op scaling (float→double ×1e6 floor)
       // so integer sums/extremes hash-match; NaN-guarded like the Spark side
@@ -4780,6 +4839,24 @@ object SparkEntry {
           |SELECT doc_id, 4000::BIGINT AS dst_rate, n_out::BIGINT AS n_samples,
           |  sum((i + 1) * v)::BIGINT AS checksum
           |FROM s GROUP BY 1, 2, 3""".stripMargin,
+      // m16: adjacent-sign changes (sign class = v < 0) per 32-sample
+      // window over the constant/formula-mixed fixture + strict ppm gate
+      "m16_audio_zcr" ->
+        """WITH d AS (SELECT doc_id, 80 + (doc_id % 40) AS ns FROM documents),
+          |s AS (SELECT doc_id, i,
+          |        CASE WHEN (i // 16) % 3 = 0 THEN 500
+          |             ELSE (((doc_id * 37 + i) * 251) % 4096 - 2048)
+          |                  * (1 - 2 * (i % 2)) END AS v
+          |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 119)) AS i)
+          |      WHERE i < ns),
+          |x AS (SELECT a.doc_id, (a.i // 32) AS w,
+          |        CASE WHEN a.i % 32 > 0 AND ((b.v < 0) != (a.v < 0))
+          |             THEN 1 ELSE 0 END AS c
+          |      FROM s a LEFT JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i - 1)
+          |SELECT doc_id, w::BIGINT AS win_idx, count(*)::BIGINT AS n_samples,
+          |  sum(c)::BIGINT AS crossings,
+          |  (sum(c) * 1000000 < 600000 * count(*)) AS voiced
+          |FROM x GROUP BY 1, 2""".stripMargin,
       // m14: the m09 sample formula with every third 16-sample stretch
       // zeroed; exact integer Σs² per 32-sample window (last window
       // partial) and the strict mean-square silence gate — the REAL

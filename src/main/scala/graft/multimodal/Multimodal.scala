@@ -376,6 +376,46 @@ object Multimodal {
       }))
   }
 
+  case class AudioZcr(doc_id: Long, win_idx: Long, n_samples: Long,
+                      crossings: Long, voiced: Boolean)
+
+  /** Windowed ZERO-CROSSING RATE over REAL decoded audio — the classic
+    * voiced/unvoiced discriminator beside [[audioEnergy]]'s silence gate
+    * (voiced speech is low-ZCR high-energy, fricatives/noise high-ZCR):
+    * per fixed window, the exact count of sign changes between adjacent
+    * samples (sign class = `s < 0`, so zero rides with the positives —
+    * a fixed convention both engines state identically; window-internal
+    * adjacency only, so windows are independent) and a `voiced` verdict
+    * `crossings · 10⁶ < voicedMaxZcrPpm · n` — strict, integer-exact.
+    * Same partition-local batched decode as [[audioEnergy]]; undecodable
+    * payloads emit no rows.
+    */
+  def audioZeroCrossings(media: DataFrame, windowSamples: Int = 32,
+                         voicedMaxZcrPpm: Long = 300000L,
+                         batchSize: Int = 64): Dataset[AudioZcr] = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+        WavCodec.decode(r.media) match {
+          case Some(p) =>
+            p.ch0.grouped(windowSamples).zipWithIndex.map { case (w, k) =>
+              var c = 0L
+              var i = 1
+              while (i < w.length) {
+                if ((w(i - 1) < 0) != (w(i) < 0)) c += 1
+                i += 1
+              }
+              AudioZcr(r.doc_id, k.toLong, w.length.toLong, c,
+                c * 1000000L < voicedMaxZcrPpm * w.length)
+            }
+          case None => Iterator.empty
+        }
+      }))
+  }
+
   case class AudioResampled(doc_id: Long, dst_rate: Long, n_samples: Long,
                             checksum: Long)
 

@@ -105,6 +105,37 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** MRR@k evaluation of an approximate index against the exact top-1 —
+    * the GRADED companion of [[recallAtK]]'s hit counting (recall says
+    * whether the true neighbor made the list; MRR says WHERE — an index
+    * that buries it at rank k scores 1/k, not 1): per query, the exact
+    * brute-force top-1 is the relevant document, and the approximate
+    * (IVF) list contributes `10⁹ div rank` reciprocal-rank points if it
+    * surfaces that document, 0 if not. Integer-exact — reciprocal ranks
+    * as truncated fixed-point, no float means — so per-query rows
+    * hash-compare; the corpus MRR is Σ points / (10⁹ · queries), read
+    * off the output by the caller.
+    *
+    * Scale shape: truth is the [[bruteForceTopK]] k=1 pass (broadcast
+    * queries, one corpus scan); the approximate side is [[ivfTopK]]'s
+    * probe-restricted search; both are top-k-sized tables, so the
+    * scoring join is AQE-sized. Output: (query_id, relevant_id,
+    * found_rank — 0 if the index missed, points).
+    */
+  def mrrEval(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryPred, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("relevant_id"))
+    val approx = ivfTopK(embeddings, queryPred, k)
+      .select(col("query_id").as("__qid"), col("rank"),
+        col("neighbor_id").as("__nid"))
+    truth
+      .join(approx, truth("query_id") === col("__qid") &&
+        col("relevant_id") === col("__nid"), "left")
+      .select(col("query_id"), col("relevant_id"),
+        coalesce(col("rank"), lit(0L)).as("found_rank"),
+        coalesce(expr("1000000000L div rank"), lit(0L)).as("points"))
+  }
+
   /** Corpus-wide k-NN GRAPH — every document's top-k neighbors in one
     * pass, the input structure of graph-based semantic dedup, diversity
     * sampling, and cluster-balance QA ([[bruteForceTopK]] answers a

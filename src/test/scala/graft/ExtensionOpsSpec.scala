@@ -261,6 +261,33 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(b.energy == 32000000L && !b.silent, "boundary mean-square is not silent")
   }
 
+  test("audioZeroCrossings: exact window-internal sign changes, voiced gate splits") {
+    import graft.multimodal.Multimodal
+    // 32 alternating samples (31 crossings), then 32 constant (0), then
+    // a 16-sample tail mixing one change at its 8th sample
+    val samples = Array.tabulate(80)(i =>
+      if (i < 32) { if (i % 2 == 0) 100 else -100 }
+      else if (i < 64) 7
+      else if (i < 72) 50 else -50)
+    val df = Seq((1L, Multimodal.syntheticPcmWav(8000, 1, samples), "audio"))
+      .toDF("doc_id", "media", "media_type")
+    val out = Multimodal.audioZeroCrossings(df, 32, voicedMaxZcrPpm = 600000L)
+      .collect().map(w => w.win_idx -> w).toMap
+    assert(out(0L).crossings == 31L && !out(0L).voiced, s"got ${out(0L)}")
+    // window boundary adjacency does NOT count (sample 31 → 32 ignored)
+    assert(out(1L).crossings == 0L && out(1L).voiced)
+    assert(out(2L).n_samples == 16L && out(2L).crossings == 1L && out(2L).voiced)
+    // sign class: zero rides with positives — a 0→positive step is no crossing
+    val z = Seq((2L, Multimodal.syntheticPcmWav(8000, 1,
+        Array(0, 5, 0, -5, 0, 5, 0, -5) ++ Array.fill(24)(1)), "audio"))
+      .toDF("doc_id", "media", "media_type")
+    val zr = Multimodal.audioZeroCrossings(z, 32).collect().head
+    // crossings only where the v<0 class flips: 5→-5? via 0: 0,5 (no),
+    // 5,0 (no), 0,-5 (yes), -5,0 (yes), 0,5 (no), 5,0 (no), 0,-5 (yes),
+    // -5,1 (yes) = 4
+    assert(zr.crossings == 4L, s"got $zr")
+  }
+
   test("resampleAudio: exact down/upsample index mapping, real container round-trip, degrade") {
     import graft.multimodal.Multimodal
     val samples = Array.tabulate(40)(i => (i * 50) - 1000)
@@ -324,6 +351,30 @@ class ExtensionOpsSpec extends SparkTestBase {
     // each normalized side sums to ≤ scale (truncation only leaks)
     assert(m.values.map(_._1).sum <= 1000000000000L)
     assert(m.values.map(_._2).sum <= 1000000000000L)
+  }
+
+  test("mrrEval: one row per query, exact reciprocal points, miss scores zero") {
+    import graft.similarity.Ann
+    val rows = Ann.mrrEval(embeddings, col("vec_id") % 50 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val queries = embeddings.where(col("vec_id") % 50 === 0).count()
+    assert(rows.length == queries, "exactly one truth row per query")
+    rows.foreach { case (q, rel, fr, pts) =>
+      assert(rel != q, "the relevant doc is never the query itself")
+      if (fr == 0L) assert(pts == 0L, s"miss must score 0: $q")
+      else {
+        assert(fr >= 1L && fr <= 5L)
+        assert(pts == 1000000000L / fr, s"points must be the exact reciprocal: $q")
+      }
+    }
+    // a degenerate 1-probe index can only do worse or equal
+    val coarse = Ann.ivfTopK(embeddings, col("vec_id") % 50 === 0, nprobe = 1)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val truthTop = rows.map(r => (r._1, r._2)).toMap
+    val coarseHits = coarse.collect()
+      .filter(r => truthTop.get(r.getLong(0)).contains(r.getLong(2))).length
+    val fullHits = rows.count(_._3 > 0L)
+    assert(coarseHits <= fullHits, "more probes can only add hits")
   }
 
   test("knnGraph: contiguous ranks, cosine-ordered neighbors, symmetric candidates") {
