@@ -677,6 +677,10 @@ object SparkEntry {
     // cumulative window runs over distinct gaps, never the events)
     "e08_gap_quantiles" -> ((s, dir) =>
       graft.relational.Temporal.gapQuantiles(events(s, dir))),
+    // hour-over-hour count deltas — the raw derivative read beside e06's
+    // spike flags; delta vs the previous OBSERVED hour, first hour NULL
+    "e15_count_deltas" -> ((s, dir) =>
+      graft.relational.Temporal.countDeltas(events(s, dir))),
     // percentile counter type (ENGINE EXTENSION): exact per-window value
     // quantiles in cents — latency percentiles next to request counts
     "e09_value_quantiles" -> ((s, dir) =>
@@ -2938,6 +2942,17 @@ object SparkEntry {
           | count(*)::BIGINT AS n_events,
           | epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
           |FROM s GROUP BY user_id, session_seq""".stripMargin,
+      // e15: lag over the per-(type, hour) aggregate — prev/delta NULL on
+      // each type's first observed hour, gap_hours exposes calendar holes
+      "e15_count_deltas" ->
+        """WITH hourly AS (SELECT event_type,
+          |  epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS hour_ms,
+          |  count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2)
+          |SELECT event_type, hour_ms, n_events,
+          |  lag(n_events) OVER tw AS prev_n,
+          |  (n_events - lag(n_events) OVER tw)::BIGINT AS delta,
+          |  ((hour_ms - lag(hour_ms) OVER tw) // 3600000)::BIGINT AS gap_hours
+          |FROM hourly WINDOW tw AS (PARTITION BY event_type ORDER BY hour_ms)""".stripMargin,
       "e06_count_spikes" ->
         """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
           |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),

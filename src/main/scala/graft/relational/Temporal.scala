@@ -475,6 +475,33 @@ object Temporal {
         col("user_id"), col("n_events"), col("rank"))
   }
 
+  /** Hour-over-hour count deltas — the raw DERIVATIVE read beside
+    * [[countSpikes]]' thresholded flags: per (event_type, hour), the
+    * count, the previous OBSERVED hour's count, the signed delta, and
+    * `gap_hours` exposing calendar gaps (delta is vs the previous
+    * observed hour, not a fabricated zero for absent hours — the
+    * value_min/value_max NULL discipline: the first observed hour per
+    * type carries NULL prev/delta). All integer-exact.
+    *
+    * Scale shape: the lag window runs over the per-(type, hour)
+    * map-side-combinable AGGREGATE — hours × types rows, never events —
+    * partitioned by type, so no global sort.
+    */
+  def countDeltas(events: DataFrame, windowDuration: String = "1 hour"): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        unix_millis(window(col("ts"), windowDuration).getField("start")).as("hour_ms"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+    hourly
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn("prev_ms", lag(col("hour_ms"), 1).over(w))
+      .select(col("event_type"), col("hour_ms"), col("n_events"),
+        col("prev_n"),
+        (col("n_events") - col("prev_n")).as("delta"),
+        expr("(hour_ms - prev_ms) div 3600000").as("gap_hours"))
+  }
+
   /** Count spike detection — the alerting step a production counter
     * pipeline bolts onto its windowed counts: per (event_type, hour), flag
     * hours whose count is > `zThreshold` standard deviations above the
