@@ -933,14 +933,18 @@ object Dedup {
         graft.functions.BloomSketch.testColumn(
           col("__words"), col("key"), mBits, kHashes).cast("long").as("__hit"),
         col("n_filter"))
+    // GLOBAL aggregate (no groupBy): the accounting row must exist even for
+    // an empty probe set (n_probes=0, zero members/FN/FP), so n_filter is
+    // re-attached from the always-1-row broadcast filter frame instead of
+    // being a grouping key that vanishes with its input rows.
     flagged
-      .groupBy(col("n_filter"))
       .agg(count(lit(1)).as("n_probes"),
-        sum(col("__m")).as("n_members"),
-        sum(when(col("__m") === 1L && col("__hit") === 0L, 1L)
-          .otherwise(0L)).as("false_negatives"),
-        sum(when(col("__m") === 0L && col("__hit") === 1L, 1L)
-          .otherwise(0L)).as("__fp"))
+        coalesce(sum(col("__m")), lit(0L)).as("n_members"),
+        coalesce(sum(when(col("__m") === 1L && col("__hit") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("false_negatives"),
+        coalesce(sum(when(col("__m") === 0L && col("__hit") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("__fp"))
+      .crossJoin(broadcast(bloom.select(col("n_filter"))))
       .select(col("n_filter"), col("n_probes"), col("n_members"),
         col("false_negatives"),
         (col("__fp") <= expr(s"(n_probes * ${fpBudgetPpm}L) div 1000000") + 3L)

@@ -37,10 +37,16 @@ object FreqSketch {
     * canonical form, counts aligned), total insert count, and the
     * unfolded insert buffer.
     */
+  /** `pn` is the fill count of `pending` — the array is allocated once at
+    * the flush capacity and filled in place (O(1) store per reduce instead
+    * of an O(pending) `:+` copy); only the first `pn` slots are live, and
+    * a buffer serialized mid-fill carries nulls past `pn`, which flush
+    * ignores.
+    */
   final case class Buf(keys: Array[String], counts: Array[Long],
-                       n: Long, pending: Array[String])
+                       n: Long, pending: Array[String], pn: Int)
 
-  private def emptyBuf = Buf(Array.empty, Array.empty, 0L, Array.empty)
+  private def emptyBuf = Buf(Array.empty, Array.empty, 0L, Array.empty, 0)
 
   /** Sum-union two counter tables, then reduce to ≤ k entries by the
     * Agarwal-et-al merge rule: subtract the (k+1)-th largest count from
@@ -68,15 +74,16 @@ object FreqSketch {
     (kept.map(_._1), kept.map(_._2))
   }
 
-  /** Fold the pending buffer in as an exact count table. */
+  /** Fold the live prefix of the pending buffer in as an exact count table. */
   private def flush(b: Buf, k: Int): Buf = {
-    if (b.pending.isEmpty) return b
+    if (b.pn == 0) return b
     val m = scala.collection.mutable.HashMap.empty[String, Long]
-    b.pending.foreach(x => m.update(x, m.getOrElse(x, 0L) + 1L))
+    var i = 0
+    while (i < b.pn) { m.update(b.pending(i), m.getOrElse(b.pending(i), 0L) + 1L); i += 1 }
     val pk = m.keysIterator.toArray
     val pc = pk.map(m)
     val (ck, cc) = combine(b.keys, b.counts, pk, pc, k)
-    Buf(ck, cc, b.n + b.pending.length, Array.empty)
+    Buf(ck, cc, b.n + b.pn, Array.empty, 0)
   }
 
   /** The typed Aggregator face: group-wise sketching with
@@ -89,13 +96,20 @@ object FreqSketch {
     require(capacity > 0, "capacity must be positive")
     override def zero: Buf = emptyBuf
     override def reduce(b: Buf, x: String): Buf = {
-      val nb = Buf(b.keys, b.counts, b.n, b.pending :+ x)
-      if (nb.pending.length >= pendingCap) flush(nb, capacity) else nb
+      // In-place append into a once-allocated capacity-sized array: each
+      // group's buffer is exclusively owned between serialization points,
+      // so the mutation is safe, and the per-row cost drops from an
+      // O(pending) `:+` copy to one array store.
+      val arr = if (b.pending.length >= pendingCap) b.pending
+                else java.util.Arrays.copyOf(b.pending, pendingCap)
+      arr(b.pn) = x
+      val nb = Buf(b.keys, b.counts, b.n, arr, b.pn + 1)
+      if (nb.pn >= pendingCap) flush(nb, capacity) else nb
     }
     override def merge(a: Buf, b: Buf): Buf = {
       val fa = flush(a, capacity); val fb = flush(b, capacity)
       val (ck, cc) = combine(fa.keys, fa.counts, fb.keys, fb.counts, capacity)
-      Buf(ck, cc, fa.n + fb.n, Array.empty)
+      Buf(ck, cc, fa.n + fb.n, Array.empty, 0)
     }
     override def finish(b: Buf): Buf = flush(b, capacity)
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

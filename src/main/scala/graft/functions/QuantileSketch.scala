@@ -35,11 +35,16 @@ object QuantileSketch {
 
   /** Serialized summary: parallel arrays (knots sorted ascending,
     * ranks non-decreasing), total count, and the unsorted insert buffer.
+    * `pn` is the fill count of `pending` — the array is allocated once at
+    * the flush capacity and filled in place, so per-row reduce is an O(1)
+    * store instead of a whole-buffer `:+` copy; only the first `pn`
+    * elements are live (a buffer serialized mid-fill carries zeros past
+    * `pn`, which flush ignores).
     */
   final case class Buf(knots: Array[Long], ranks: Array[Long],
-                       n: Long, pending: Array[Long])
+                       n: Long, pending: Array[Long], pn: Int)
 
-  private def emptyBuf = Buf(Array.empty, Array.empty, 0L, Array.empty)
+  private def emptyBuf = Buf(Array.empty, Array.empty, 0L, Array.empty, 0)
 
   /** Rank estimate of `v` under a summary: the rank of the largest knot
     * ≤ v (0 when v precedes every knot). Error ≤ the compression step.
@@ -86,13 +91,14 @@ object QuantileSketch {
     val n = a.n + b.n
     val step = math.max(1L, epsPpm * n / 2000000L)
     val (ck, cr) = compress(knots, ranks, step)
-    Buf(ck, cr, n, Array.empty)
+    Buf(ck, cr, n, Array.empty, 0)
   }
 
-  /** Fold the pending buffer in as an exact mini-CDF. */
+  /** Fold the live prefix of the pending buffer in as an exact mini-CDF. */
   private def flush(b: Buf, epsPpm: Long): Buf = {
-    if (b.pending.isEmpty) return b
-    val sorted = b.pending.sorted
+    if (b.pn == 0) return b
+    val sorted = java.util.Arrays.copyOf(b.pending, b.pn)
+    java.util.Arrays.sort(sorted)
     // exact CDF of the batch: rank of each distinct value = count ≤ it
     val kb = Array.newBuilder[Long]; val rb = Array.newBuilder[Long]
     var i = 0
@@ -102,8 +108,8 @@ object QuantileSketch {
       kb += sorted(i); rb += (j + 1).toLong
       i = j + 1
     }
-    mergeCdfs(Buf(b.knots, b.ranks, b.n, Array.empty),
-      Buf(kb.result(), rb.result(), sorted.length.toLong, Array.empty), epsPpm)
+    mergeCdfs(Buf(b.knots, b.ranks, b.n, Array.empty, 0),
+      Buf(kb.result(), rb.result(), sorted.length.toLong, Array.empty, 0), epsPpm)
   }
 
   /** Query: the value at the first knot whose rank reaches `target`
@@ -122,8 +128,15 @@ object QuantileSketch {
       extends Aggregator[Long, Buf, Buf] {
     override def zero: Buf = emptyBuf
     override def reduce(b: Buf, x: Long): Buf = {
-      val nb = Buf(b.knots, b.ranks, b.n, b.pending :+ x)
-      if (nb.pending.length >= pendingCap) flush(nb, epsPpm) else nb
+      // In-place append into a once-allocated capacity-sized array: each
+      // group's buffer is exclusively owned between serialization points,
+      // so the mutation is safe, and the per-row cost drops from an
+      // O(pending) `:+` copy to one array store.
+      val arr = if (b.pending.length >= pendingCap) b.pending
+                else java.util.Arrays.copyOf(b.pending, pendingCap)
+      arr(b.pn) = x
+      val nb = Buf(b.knots, b.ranks, b.n, arr, b.pn + 1)
+      if (nb.pn >= pendingCap) flush(nb, epsPpm) else nb
     }
     override def merge(a: Buf, b: Buf): Buf =
       mergeCdfs(flush(a, epsPpm), flush(b, epsPpm), epsPpm)

@@ -1490,14 +1490,20 @@ object JqTransform {
       // explode generator per stream field, chained — every compare
       // downstream (driver oracle, differential) is order-insensitive,
       // so jq's iteration order needn't be reproduced
+      // Temp columns are named by FIELD INDEX, not by key: jq keys are
+      // case-sensitive, so {a: ..., A: ...} must produce both fields, and
+      // key-derived temp names collide under Spark's default
+      // case-insensitive column resolution (ambiguous-reference error).
       df => {
-        var cur = df.select(fields.map { case (k, v) =>
-          v(df).as(s"__f_$k") }: _*)
-        fields.collect { case (k, _) if streams(k) => k }.foreach { k =>
-          cur = cur.select(cur.columns.map(c =>
-            if (c == s"__f_$k") explode(col(c)).as(c) else col(c)): _*)
-        }
-        cur.select(fields.map { case (k, _) => col(s"__f_$k").as(k) }: _*)
+        var cur = df.select(fields.zipWithIndex.map { case ((_, v), i) =>
+          v(df).as(s"__f_$i") }: _*)
+        fields.zipWithIndex.collect { case ((k, _), i) if streams(k) => i }
+          .foreach { i =>
+            cur = cur.select(cur.columns.map(c =>
+              if (c == s"__f_$i") explode(col(c)).as(c) else col(c)): _*)
+          }
+        cur.select(fields.zipWithIndex.map { case ((k, _), i) =>
+          col(s"__f_$i").as(k) }: _*)
       }
     } else if (p.peek == '.' && pathOnlyStage(stage)) {
       val path = p.parsePathParts()
