@@ -1,0 +1,447 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{CounterDef, CounterType}
+import graft.dedup.Dedup
+import graft.functions.Canonical
+import graft.graph.GraphOps
+import graft.multimodal.Multimodal
+import graft.operators.{Counters, Intermediate, JqTransform}
+import graft.similarity.Ann
+import graft.textops.{TextAnalysis, UrlOps}
+
+import graft.EntryHelpers._
+
+/** Multimodal decode/dedup queries (m01-m16) + their DuckDB oracles.
+  *
+  * Split mechanically from SparkEntry (round 10); entries are verbatim.
+  * Shared fixtures/counter defs/oracle CTE fragments live in
+  * [[EntryHelpers]]; [[SparkEntry]] concatenates the per-set maps.
+  */
+private[graft] object MultimodalSet {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- multimodal columns ----
+    "m01_media_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(Multimodal.asMedia(Tables.documents(s, dir))).toDF()),
+    "m02_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, dir))).toDF()),
+    // resize plumbing: binary in → binary out, 1→1, partition-local
+    "m03_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.asMedia(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_bytes"), md5(col("media")).as("media_md5"))),
+    // media near-dup signal: frames shared across documents
+    "m04_shared_frames" -> ((s, dir) =>
+      Multimodal.sharedFrames(Multimodal.asMedia(Tables.documents(s, dir)))),
+    // media near-dup clusters: shared-frame star edges → the same
+    // connected-components path as text near-dups
+    "m05_media_clusters" -> ((s, dir) =>
+      Multimodal.mediaDupClusters(Multimodal.asMedia(Tables.documents(s, dir)))),
+    // media dedup APPLIED: clusters → keeper per component → surviving
+    // docs via left-anti join (the multimodal mirror of d09)
+    "m06_media_dedup_apply" -> ((s, dir) =>
+      Multimodal.applyMediaDedup(Multimodal.asMedia(Tables.documents(s, dir)))),
+    // perceptual near-dup: aHash frames + pigeonhole Hamming join —
+    // catches near-identical frames where m04's exact digests can't
+    "m07_perceptual_pairs" -> ((s, dir) =>
+      Multimodal.perceptualDupPairs(Multimodal.asMedia(Tables.documents(s, dir)))),
+    // REAL image decode end-to-end: per doc a deterministic grayscale PNG
+    // (dims and pixel values are formulas of doc_id) goes through the
+    // JRE's actual PNG encoder, then ImageIoCodec's actual decoder —
+    // recovered dims and the luma aHash must match the oracle computing
+    // the same formulas in pure SQL. Encode is fixture; decode is the
+    // tested path (real pixels, not StubCodec fakes).
+    "m08_imageio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 13 + 8).toInt
+          val h = (id % 7 + 8).toInt
+          (id, Multimodal.syntheticGrayPng(w, h,
+            (x, y) => (((id * 31 + y.toLong * w + x) * 17) % 256).toInt))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("image"))
+      Multimodal.decodeImages(pngs).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("ahash"))
+    }),
+    // REAL image resize: the m08 formula PNGs through the explicit
+    // nearest-neighbor raster mapping (src(x·sw/dw, y·sh/dh)) to 8×6 gray
+    // PNGs — the luma-sum checksum is RE-DECODED from the resized bytes,
+    // and the oracle recomputes the identical integer mapping in SQL
+    "m13_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 13 + 8).toInt
+          val h = (id % 7 + 8).toInt
+          (id, Multimodal.syntheticGrayPng(w, h,
+            (x, y) => (((id * 31 + y.toLong * w + x) * 17) % 256).toInt))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("image"))
+      Multimodal.resizeImages(pngs, dw = 8, dh = 6).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("luma_sum"))
+    }),
+    // REAL multi-frame decode: per doc a deterministic animated grayscale
+    // GIF ((id%3)+2 frames; dims and pixels are formulas of (doc_id,
+    // frame, pixel)) goes through the JRE's real GIF sequence writer,
+    // then the reader's frame index + per-frame luma aHash — the
+    // video-shaped plumbing on actually-decoded rasters. Encode is
+    // fixture; the decode path is what's tested.
+    // ANIMATION-level near-dup through the REAL GIF decode path: docs in
+    // one group (doc_id div 10) share 2 of 3 frames by formula, the third
+    // is per-doc — same-group pairs land at Jaccard 0.5 (2 of 4 distinct
+    // hashes), cross-group pairs share nothing. Group size is FIXED at 10
+    // regardless of corpus scale, so output stays linear in docs.
+    // TEMPORAL animation alignment: same-group GIFs share a 3-frame run
+    // at DIFFERENT offsets (even ids at frames 1-3, odd at 0-2), so the
+    // order-aware run detector must find every within-group pair with the
+    // right start positions — the case m11's set-Jaccard cannot localize
+    "m12_gif_run_align" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = id / 10
+          def luma(seed: Long, i: Long): Int = {
+            val t = seed % 65521L + i * 31L
+            ((t * t % 65521L) % 256L).toInt
+          }
+          val off = (id % 2).toInt // 0: shared at frames 1..3; 1: at 0..2
+          (id, Multimodal.syntheticGrayGif(8, 8, 5, (k, x, y) => {
+            val i = y.toLong * 8 + x
+            val j = k - (1 - off)
+            if (j >= 0 && j < 3) luma(g * 997 + j * 101, i)
+            else luma(id * 1000003L + k * 13 + 7, i)
+          }))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("video"))
+      Multimodal.animationRunPairs(Multimodal.decodeGifFrames(gifs).toDF())
+    }),
+    "m11_gif_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = id / 10
+          // non-linear in the pixel index over a wide modulus: a LINEAR
+          // formula mod 256 yields ≤256 distinct threshold patterns, and
+          // the hash index join would go quadratic on those hot keys at
+          // corpus scale — the mix below makes hashes ~unique per (g, k)
+          def luma(seed: Long, i: Long): Int = {
+            val t = seed % 65521L + i * 31L
+            ((t * t % 65521L) % 256L).toInt
+          }
+          (id, Multimodal.syntheticGrayGif(8, 8, 3, (k, x, y) =>
+            if (k < 2) luma(g * 997 + k * 101, y.toLong * 8 + x)
+            else luma(id * 1000003L + 7, y.toLong * 8 + x)))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("video"))
+      Multimodal.animationDupPairs(Multimodal.decodeGifFrames(gifs).toDF())
+    }),
+    "m10_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 9 + 8).toInt
+          val h = (id % 5 + 8).toInt
+          val n = (id % 3 + 2).toInt
+          (id, Multimodal.syntheticGrayGif(w, h, n,
+            (k, x, y) => (((id * 31 + k.toLong * 101 + y.toLong * w + x) * 17) % 256).toInt))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("video"))
+      Multimodal.decodeGifFrames(gifs).toDF()
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("ahash"))
+    }),
+    // REAL WAV decode (JRE javax.sound): deterministic 16-bit PCM fixtures
+    // (rate/channels/length/samples all pure formulas of doc_id) written
+    // through the real RIFF encoder, decoded back — header fields and the
+    // amplitude-delta fingerprint must reproduce the formula exactly
+    "m09_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (80 + id % 40).toInt
+          val samples = Array.tabulate(ns)(i =>
+            (((id * 37 + i) * 251) % 4096 - 2048).toInt)
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.decodeAudio(wavs).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("fp"))
+    }),
+    // REAL audio resample to 4 kHz over the m09 WAV fixtures: rates
+    // 8000..12000 downsample by the explicit nearest-neighbor index
+    // formula, re-encode through the real RIFF writer, re-decode — the
+    // header rate/count and the position-weighted sample checksum must
+    // reproduce the oracle's replay of the same integer mapping
+    "m15_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (80 + id % 40).toInt
+          val samples = Array.tabulate(ns)(i =>
+            (((id * 37 + i) * 251) % 4096 - 2048).toInt)
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.resampleAudio(wavs, dstRate = 4000).toDF()
+        .select(col("doc_id"), col("dst_rate"), col("n_samples"), col("checksum"))
+    }),
+    // Windowed ZERO-CROSSING RATE over REAL decoded WAV — the
+    // voiced/unvoiced read beside m14's energy gate. Every third
+    // 16-sample stretch is a CONSTANT +500 (zero crossings), the rest is
+    // the alternating-sign m09 formula (high ZCR), so the voiced verdict
+    // genuinely splits; the oracle replays adjacent-sign changes and the
+    // strict ppm gate from the formula
+    "m16_audio_zcr" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (80 + id % 40).toInt
+          val samples = Array.tabulate(ns)(i =>
+            if ((i / 16) % 3 == 0) 500
+            else ((((id * 37 + i) * 251) % 4096 - 2048) * (1 - 2 * (i % 2))).toInt)
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.audioZeroCrossings(wavs, windowSamples = 32,
+          voicedMaxZcrPpm = 600000L).toDF()
+        .select(col("doc_id"), col("win_idx"), col("n_samples"),
+          col("crossings"), col("voiced"))
+    }),
+    // Windowed RMS-energy + silence detection over REAL decoded WAV — the
+    // VAD/speech-prep read. The fixture embeds true silence: every third
+    // 16-sample stretch is zeroed (i div 16 mod 3 == 0), the rest is the
+    // m09 sample formula, so 32-sample analysis windows mix silent and
+    // loud regions and the last window is partial (ns = 80 + id%40). The
+    // oracle recomputes exact integer Σs² per window and the strict
+    // mean-square gate from the same formula.
+    "m14_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (80 + id % 40).toInt
+          val samples = Array.tabulate(ns)(i =>
+            if ((i / 16) % 3 == 0) 0
+            else (((id * 37 + i) * 251) % 4096 - 2048).toInt)
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.audioEnergy(wavs, windowSamples = 32,
+          silenceMeanSq = 1000000L).toDF()
+        .select(col("doc_id"), col("win_idx"), col("n_samples"),
+          col("energy"), col("silent"))
+    }),
+
+    // ---- host-graph centrality (web-corpus link structure) ----,
+  )
+
+  def oracle: Map[String, String] = Map(
+      "m01_media_meta" ->
+        """SELECT doc_id, length(text)::BIGINT AS n_bytes, sha256(text) AS sha256,
+          | ((ascii(substr(text, 1, 1)) % 64) + 1)::BIGINT AS width,
+          | ((ascii(substr(text, 2, 1)) % 64) + 1)::BIGINT AS height,
+          | (length(text) // 100 + 1)::BIGINT AS n_frames
+          |FROM documents""".stripMargin,
+      "m03_resize" ->
+        """SELECT doc_id, least(length(text), 256)::BIGINT AS n_bytes,
+          | md5(substr(text, 1, 256)) AS media_md5 FROM documents""".stripMargin,
+      "m02_frame_sample" ->
+        """SELECT doc_id, i::BIGINT AS frame_idx, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
+          |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+          |WHERE i % 2 = 0 AND i*100 < length(text)""".stripMargin,
+      "m04_shared_frames" ->
+        """WITH fr AS (SELECT doc_id, md5(substr(text, (i*100+1)::INT, 100)) AS frame_md5
+          |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+          |  WHERE i % 2 = 0 AND i*100 < length(text))
+          |SELECT frame_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
+          | min(doc_id) AS keeper_doc
+          |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+      "m05_media_clusters" -> m05Sql,
+      "m06_media_dedup_apply" ->
+        s"""WITH comp AS ($m05Sql)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin,
+      "m07_perceptual_pairs" ->
+        """WITH fr AS (SELECT doc_id, i AS frame_idx, substr(text, (i*100+1)::INT, 100) AS f
+          |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+          |  WHERE i % 2 = 0 AND i*100 < length(text)),
+          |ok AS (SELECT doc_id, frame_idx, f FROM fr WHERE length(f) >= 60),
+          |cs AS (SELECT doc_id, frame_idx,
+          |  list_transform(generate_series(1, 60), j -> ascii(substr(f, j::INT, 1))::BIGINT) AS c
+          |  FROM ok),
+          |ah AS (SELECT doc_id, frame_idx,
+          |  list_reduce(list_transform(c, x ->
+          |    CASE WHEN x > list_sum(c) // 60 THEN 1::BIGINT ELSE 0::BIGINT END),
+          |    (a, b) -> a * 2 + b) AS ahash
+          |  FROM cs),
+          |ck AS (SELECT doc_id, frame_idx, ahash, j, (ahash >> (j*15)::INT) & 32767 AS v
+          |       FROM ah CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          |  x.frame_idx AS fa, y.frame_idx AS fb, x.ahash AS ha, y.ahash AS hb
+          |  FROM ck x JOIN ck y ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id)
+          |SELECT a, b, count(*)::BIGINT AS n_frame_matches
+          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY 1, 2""".stripMargin,
+      // m08: the PNG fixture's dims and pixels are pure formulas of doc_id
+      // (w = id%13+8, h = id%7+8, luma(i) = ((id*31 + i)*17) % 256
+      // row-major), so the REAL encode→decode roundtrip must reproduce
+      // this SQL exactly: mean = truncating sum/60, bit i set iff
+      // luma > mean, MSB-first (bit i weighs 2^(59-i))
+      // m09: the WAV fixture's header fields and channel-0 samples are pure
+      // formulas of doc_id (rate = 8000 + id%5*1000, ch = 1 + id%2,
+      // ns = 80 + id%40, s(i) = ((id*37 + i)*251) % 4096 - 2048 — the
+      // pre-% product is non-negative, so Spark/DuckDB truncating % agree);
+      // fingerprint bit i (MSB-first) set iff |s(i+1)| > |s(i)|
+      "m09_wav_decode" ->
+        """WITH d AS (SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS sample_rate,
+          |  1 + (doc_id % 2) AS channels, 80 + (doc_id % 40) AS n_samples
+          |  FROM documents),
+          |s AS (SELECT doc_id, i, ((doc_id * 37 + i) * 251) % 4096 - 2048 AS v
+          |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS i)),
+          |f AS (SELECT s1.doc_id,
+          |        sum(CASE WHEN abs(s2.v) > abs(s1.v)
+          |                 THEN (1::BIGINT << (59 - s1.i)::INT) ELSE 0 END)::BIGINT AS fp
+          |      FROM s s1 JOIN s s2 ON s1.doc_id = s2.doc_id AND s2.i = s1.i + 1
+          |      GROUP BY 1)
+          |SELECT d.doc_id, sample_rate::BIGINT AS sample_rate,
+          |  channels::BIGINT AS channels, n_samples::BIGINT AS n_samples, f.fp
+          |FROM d JOIN f ON d.doc_id = f.doc_id""".stripMargin,
+      // m15: the m09 sample formula through the identical integer
+      // resample mapping — out(i) = s((i*rate)//4000), nOut = ns*4000//rate
+      "m15_audio_resample" ->
+        """WITH d AS (SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS rate,
+          |                  80 + (doc_id % 40) AS ns FROM documents),
+          |o AS (SELECT doc_id, rate, (ns * 4000) // rate AS n_out FROM d),
+          |s AS (SELECT doc_id, n_out, i,
+          |        ((doc_id * 37 + ((i * rate) // 4000)) * 251) % 4096 - 2048 AS v
+          |      FROM o CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+          |      WHERE i < n_out)
+          |SELECT doc_id, 4000::BIGINT AS dst_rate, n_out::BIGINT AS n_samples,
+          |  sum((i + 1) * v)::BIGINT AS checksum
+          |FROM s GROUP BY 1, 2, 3""".stripMargin,
+      // m16: adjacent-sign changes (sign class = v < 0) per 32-sample
+      // window over the constant/formula-mixed fixture + strict ppm gate
+      "m16_audio_zcr" ->
+        """WITH d AS (SELECT doc_id, 80 + (doc_id % 40) AS ns FROM documents),
+          |s AS (SELECT doc_id, i,
+          |        CASE WHEN (i // 16) % 3 = 0 THEN 500
+          |             ELSE (((doc_id * 37 + i) * 251) % 4096 - 2048)
+          |                  * (1 - 2 * (i % 2)) END AS v
+          |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 119)) AS i)
+          |      WHERE i < ns),
+          |x AS (SELECT a.doc_id, (a.i // 32) AS w,
+          |        CASE WHEN a.i % 32 > 0 AND ((b.v < 0) != (a.v < 0))
+          |             THEN 1 ELSE 0 END AS c
+          |      FROM s a LEFT JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i - 1)
+          |SELECT doc_id, w::BIGINT AS win_idx, count(*)::BIGINT AS n_samples,
+          |  sum(c)::BIGINT AS crossings,
+          |  (sum(c) * 1000000 < 600000 * count(*)) AS voiced
+          |FROM x GROUP BY 1, 2""".stripMargin,
+      // m14: the m09 sample formula with every third 16-sample stretch
+      // zeroed; exact integer Σs² per 32-sample window (last window
+      // partial) and the strict mean-square silence gate — the REAL
+      // decode must reproduce this SQL bit-for-bit
+      "m14_audio_energy" ->
+        """WITH d AS (SELECT doc_id, 80 + (doc_id % 40) AS ns FROM documents),
+          |s AS (SELECT doc_id, i,
+          |        CASE WHEN (i // 16) % 3 = 0 THEN 0
+          |             ELSE ((doc_id * 37 + i) * 251) % 4096 - 2048 END AS v
+          |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 119)) AS i)
+          |      WHERE i < ns)
+          |SELECT doc_id, (i // 32)::BIGINT AS win_idx, count(*)::BIGINT AS n_samples,
+          |  sum(v * v)::BIGINT AS energy,
+          |  (sum(v * v) < 1000000 * count(*)) AS silent
+          |FROM s GROUP BY 1, 2""".stripMargin,
+      // m13: the same pixel formula through the identical integer
+      // nearest-neighbor mapping — dst(x,y) = f((x*w)//8, (y*h)//6)
+      "m13_resize_real" ->
+        """WITH d AS (SELECT doc_id, (doc_id % 13) + 8 AS w, (doc_id % 7) + 8 AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h, xx.i AS x, yy.j AS y
+          |       FROM d
+          |       CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) xx
+          |       CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) yy)
+          |SELECT doc_id, 8::BIGINT AS width, 6::BIGINT AS height,
+          |  sum(((doc_id * 31 + ((y * h) // 6) * w + ((x * w) // 8)) * 17) % 256)::BIGINT
+          |    AS luma_sum
+          |FROM px GROUP BY 1""".stripMargin,
+      "m08_imageio_decode" ->
+        """WITH d AS (SELECT doc_id, (doc_id % 13) + 8 AS w, (doc_id % 7) + 8 AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h, i, ((doc_id * 31 + i) * 17) % 256 AS g
+          |       FROM d CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)),
+          |mn AS (SELECT doc_id, sum(g) // 60 AS mean FROM px GROUP BY 1)
+          |SELECT px.doc_id, px.w::BIGINT AS width, px.h::BIGINT AS height,
+          |  sum(CASE WHEN g > mean THEN (1::BIGINT << (59 - i)::INT) ELSE 0 END)::BIGINT AS ahash
+          |FROM px JOIN mn ON px.doc_id = mn.doc_id
+          |GROUP BY 1, 2, 3""".stripMargin,
+      // m10: the multi-frame twin of m08 — same first-60-pixels aHash
+      // formula per (doc, frame), frame count from the container
+      "m10_gif_frames" ->
+        """WITH d AS (SELECT doc_id, (doc_id % 9) + 8 AS w,
+          |                  (doc_id % 3) + 2 AS n FROM documents),
+          |fr AS (SELECT doc_id, n, unnest(generate_series(0, n::INT - 1)) AS k FROM d),
+          |px AS (SELECT doc_id, n, k, i,
+          |         ((doc_id*31 + k*101 + i) * 17) % 256 AS g
+          |       FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)),
+          |mn AS (SELECT doc_id, k, sum(g) // 60 AS mean FROM px GROUP BY 1, 2)
+          |SELECT px.doc_id, px.n::BIGINT AS n_frames, px.k::BIGINT AS frame_idx,
+          |  sum(CASE WHEN g > mean
+          |      THEN (1::BIGINT << (59 - i)::INT) ELSE 0 END)::BIGINT AS ahash
+          |FROM px JOIN mn ON px.doc_id = mn.doc_id AND px.k = mn.k
+          |GROUP BY 1, 2, 3""".stripMargin,
+      // m11: the fixture's frame lumas are pure formulas (shared frames
+      // keyed by group = doc_id // 10, the third by doc_id), so the SQL
+      // recomputes every aHash and the same set-Jaccard over them
+      // m12: frame hashes from the pixel formula (m11's aHash SQL), then
+      // positional 2-grams, pair diagonals, and gaps-and-islands runs
+      "m12_gif_run_align" ->
+        """WITH fr AS (SELECT doc_id, doc_id // 10 AS g, doc_id % 2 AS off,
+          |            unnest([0, 1, 2, 3, 4]) AS k FROM documents),
+          |sd AS (SELECT doc_id, k,
+          |         CASE WHEN k - (1 - off) BETWEEN 0 AND 2
+          |           THEN g*997 + (k - (1 - off))*101
+          |           ELSE doc_id*1000003 + k*13 + 7 END AS seed
+          |       FROM fr),
+          |px AS (SELECT doc_id, k,
+          |         ((((seed % 65521 + i*31) * (seed % 65521 + i*31)) % 65521) % 256) AS l, i
+          |       FROM sd CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)),
+          |mn AS (SELECT doc_id, k, sum(l) // 60 AS mean FROM px GROUP BY 1, 2),
+          |ah AS (SELECT px.doc_id, px.k,
+          |         sum(CASE WHEN l > mean THEN (1::BIGINT << (59 - i)::INT)
+          |             ELSE 0 END)::BIGINT AS h
+          |       FROM px JOIN mn ON px.doc_id = mn.doc_id AND px.k = mn.k
+          |       GROUP BY 1, 2),
+          |gr AS (SELECT a1.doc_id, a1.k AS pos, a1.h AS g1, a2.h AS g2
+          |       FROM ah a1 JOIN ah a2 ON a1.doc_id = a2.doc_id AND a2.k = a1.k + 1),
+          |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb,
+          |                x.pos - y.pos AS diag
+          |         FROM gr x JOIN gr y ON x.g1 = y.g1 AND x.g2 = y.g2
+          |           AND x.doc_id < y.doc_id),
+          |isl AS (SELECT a, b, diag, pa, pb,
+          |          pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) AS isle
+          |        FROM cand)
+          |SELECT a, b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
+          |       (count(*) + 1)::BIGINT AS run_frames
+          |FROM isl GROUP BY a, b, diag, isle HAVING count(*) + 1 >= 3""".stripMargin,
+      "m11_gif_neardup" ->
+        """WITH fr AS (SELECT doc_id, doc_id // 10 AS g, unnest([0, 1, 2]) AS k
+          |            FROM documents),
+          |px AS (SELECT doc_id, k,
+          |         CASE WHEN k < 2
+          |           THEN ((((g*997 + k*101) % 65521 + i*31) * ((g*997 + k*101) % 65521 + i*31)) % 65521) % 256
+          |           ELSE ((((doc_id*1000003 + 7) % 65521 + i*31) * ((doc_id*1000003 + 7) % 65521 + i*31)) % 65521) % 256
+          |         END AS l, i
+          |       FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)),
+          |mn AS (SELECT doc_id, k, sum(l) // 60 AS mean FROM px GROUP BY 1, 2),
+          |ah AS (SELECT px.doc_id, px.k,
+          |         sum(CASE WHEN l > mean THEN (1::BIGINT << (59 - i)::INT)
+          |             ELSE 0 END)::BIGINT AS h
+          |       FROM px JOIN mn ON px.doc_id = mn.doc_id AND px.k = mn.k
+          |       GROUP BY 1, 2),
+          |fh AS (SELECT DISTINCT doc_id, h FROM ah),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM fh GROUP BY 1),
+          |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          |           FROM fh x JOIN fh y ON x.h = y.h AND x.doc_id < y.doc_id
+          |           GROUP BY 1, 2)
+          |SELECT a, b, (c * 1000000 // (na.n + nb.n - c))::BIGINT AS jaccard_ppm
+          |FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
+          |WHERE c * 1000000 // (na.n + nb.n - c) >= 400000""".stripMargin,
+  )
+}

@@ -1,0 +1,516 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{CounterDef, CounterType}
+import graft.dedup.Dedup
+import graft.functions.Canonical
+import graft.graph.GraphOps
+import graft.multimodal.Multimodal
+import graft.operators.{Counters, Intermediate, JqTransform}
+import graft.similarity.Ann
+import graft.textops.{TextAnalysis, UrlOps}
+
+import graft.EntryHelpers._
+
+/** ANN / embedding similarity queries (s01-s23) + their DuckDB oracles.
+  *
+  * Split mechanically from SparkEntry (round 10); entries are verbatim.
+  * Shared fixtures/counter defs/oracle CTE fragments live in
+  * [[EntryHelpers]]; [[SparkEntry]] concatenates the per-set maps.
+  */
+private[graft] object SimilaritySet {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- similarity search ----
+    "s01_ann_topk" -> ((s, dir) =>
+      Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    "s02_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // corpus-wide k-NN graph: multi-table sign-LSH candidates, exact
+    // cosine rank per source doc — the graph-based-dedup input structure
+    "s22_knn_graph" -> ((s, dir) =>
+      Ann.knnGraph(Tables.embeddings(s, dir))),
+    // MRR@5 of the IVF index vs the exact top-1 — recall's graded twin:
+    // integer reciprocal-rank points, 0 on a miss
+    "s23_mrr_eval" -> ((s, dir) =>
+      Ann.mrrEval(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // sign-LSH (random-hyperplane) bucketing — candidate generator at scale
+    "s03_lsh_buckets" -> ((s, dir) =>
+      Ann.signLshBuckets(Tables.embeddings(s, dir))),
+    // shuffle-exact per-label centroid accumulation (k-means building block)
+    "s04_centroid_sums" -> ((s, dir) =>
+      Ann.centroidSums(Tables.embeddings(s, dir))),
+    // distributed k-means (2 Lloyd iterations), engine-exact via
+    // scaled-integer centroid updates — the ITERATIVE path oracle-checked
+    "s05_kmeans" -> ((s, dir) =>
+      Ann.kmeansCentroids(Tables.embeddings(s, dir))),
+    // product-quantization codes: 8×8-dim subspaces, nearest codebook
+    // entry per subspace via broadcast join + map-side min_by
+    "s06_pq_codes" -> ((s, dir) =>
+      Ann.pqCodes(Tables.embeddings(s, dir))),
+    // PQ codebook TRAINING: 2 per-subspace Lloyd rounds, all subspaces
+    // in ONE keyed shuffle per round, integer-ppm centroid updates —
+    // the oracle replays both rounds as chained CTEs
+    "s20_pq_train" -> ((s, dir) =>
+      Ann.pqTrain(Tables.embeddings(s, dir))),
+    // train → encode closed: assignment counts + floor-ppm integer
+    // quantization error per (subspace, cell) under the TRAINED codebook
+    "s21_pq_train_encode" -> ((s, dir) =>
+      Ann.pqTrainEncode(Tables.embeddings(s, dir))),
+    // recall@k eval: IVF result graded against the exact top-k — the
+    // accept/reject gate for any approximate index
+    // IVF tuning curve: recall@5 vs brute-force truth for nprobe 1/2/4 —
+    // truth computes once (localCheckpoint), each point probe-bounded
+    "s17_ivf_tuning" -> ((s, dir) =>
+      Ann.ivfTuningCurve(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // embedding-table health: per-dim count/NaN/scaled sum/min/max — the
+    // dead-dim / NaN / unnormalized-slice read before any index builds;
+    // scaled-integer stats so the oracle hash-matches exactly
+    "s19_embedding_health" -> ((s, dir) =>
+      Ann.embeddingHealth(Tables.embeddings(s, dir))),
+    "s07_recall_eval" -> ((s, dir) =>
+      Ann.recallAtK(
+        Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
+        Ann.ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0))),
+    // hybrid retrieval: BM25 sparse top-20 + dense cosine top-20 for one
+    // query, fused by reciprocal-rank (integer points, rank-only — the
+    // two systems' score scales never touch); each system's top-k does
+    // the scalable work upstream, the fusion ranks ≤ 40 rows
+    "s18_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dense = Ann.bruteForceTopK(
+          Tables.embeddings(s, dir), col("vec_id") === 0, k = 20)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      val sparse = TextAnalysis.bm25TopK(
+          Tables.documents(s, dir), Bm25Query, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_m").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id").as("id"), col("rank"))
+      Ann.rrfFuse(Seq(dense, sparse), k = 10)
+    }),
+    // IVF-PQ ADC search: probed cells scored from 8-byte PQ codes via
+    // per-query flattened lookup tables — the production index shape
+    "s08_ivfpq_search" -> ((s, dir) =>
+      Ann.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // k-means with deterministic k-means|| seeding (md5-Bernoulli
+    // oversampling, integer cost/threshold math) + 2 Lloyd iterations —
+    // the whole init→weight→reduce→train pipeline is engine-exact
+    "s09_kmeans_pp" -> ((s, dir) =>
+      Ann.kmeansParallel(Tables.embeddings(s, dir))),
+    // SQ8 scalar-quantization codes: per-dim (min, max) train agg collected
+    // driver-local, encode as a shuffle-free literal-array projection
+    "s11_sq8_codes" -> ((s, dir) =>
+      Ann.sq8Codes(Tables.embeddings(s, dir))),
+    // SQ8 symmetric search: integer code-space L2² — exact scores, no
+    // float-order rank caveats; queries broadcast, corpus streams
+    "s12_sq8_search" -> ((s, dir) =>
+      Ann.sq8TopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // SemDeDup: cluster-bounded semantic dedup — shuffle-free assignment
+    // to k deterministic seed centroids, greedy keep-first cosine prune
+    // inside each cell (equi-join on cell, never n²), anti-join survivors
+    "s10_semdedup" -> ((s, dir) =>
+      Ann.semDedupSurvivors(Tables.embeddings(s, dir))),
+    // two-stage refine (faiss IndexRefineFlat shape): IVF-PQ shortlist of
+    // 20 from 8-byte codes, exact-cosine re-rank to top-5 — candidates
+    // broadcast into the corpus scan, raw vectors never shuffle
+    "s13_ivfpq_rerank" -> ((s, dir) =>
+      Ann.ivfPqRerankTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // metadata-filtered exact search (vector-DB filtered search,
+    // PRE-filter): neighbors must be lang='en' docs; ids-only semi-join
+    "s14_filtered_ann" -> ((s, dir) =>
+      Ann.filteredTopK(Tables.embeddings(s, dir), Tables.documents(s, dir),
+        col("vec_id") % 50 === 0, col("lang") === "en")),
+    // exact MIPS top-k: dot-product ranking (the dual-encoder score),
+    // left-to-right summation so order reproduces cross-engine
+    "s15_mips_topk" -> ((s, dir) =>
+      Ann.mipsTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // recall eval for the REFINE path: the measured proof that the
+    // exact-cosine re-rank recovers brute-force recall from ADC codes
+    "s16_refine_recall" -> ((s, dir) =>
+      Ann.recallAtK(
+        Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
+        Ann.ivfPqRerankTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0))),
+  )
+
+  def oracle: Map[String, String] = Map(
+      "s06_pq_codes" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          |           FROM embeddings),
+          |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+          |cb AS (SELECT m, vec_id AS code, v[m*8+1 : m*8+8] AS cv
+          |       FROM v CROSS JOIN ms WHERE vec_id < 16),
+          |sv AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM v CROSS JOIN ms),
+          |d AS (SELECT vec_id, sv.m, code,
+          |      list_sum(list_transform(generate_series(1, 8),
+          |        i -> (s[i] - cv[i]) * (s[i] - cv[i]))) AS dist
+          |      FROM sv JOIN cb ON sv.m = cb.m),
+          |r AS (SELECT vec_id, m, code,
+          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+          |      FROM d)
+          |SELECT vec_id, m::BIGINT AS m, code FROM r WHERE rn = 1""".stripMargin,
+      // s20: the same 2 Lloyd rounds replayed — deterministic first-16
+      // init, L2 argmin with (dist, cell) ties, floor-ppm long sums,
+      // truncating // division for the means feeding round 2
+      "s20_pq_train" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          |           FROM embeddings),
+          |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+          |ds AS (SELECT unnest(generate_series(1, 8)) AS dim),
+          |sv AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM v CROSS JOIN ms),
+          |cb0 AS (SELECT m, vec_id AS cell, s AS cv FROM sv WHERE vec_id < 16),
+          |a1 AS (SELECT sv.vec_id, sv.m, cb0.cell, sv.s,
+          |       row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))), cell) AS rn
+          |       FROM sv JOIN cb0 ON sv.m = cb0.m),
+          |s1 AS (SELECT m, cell, dim,
+          |         sum(floor(s[dim] * 1000000)::BIGINT) AS sum_ppm,
+          |         count(*)::BIGINT AS n
+          |       FROM a1 CROSS JOIN ds WHERE rn = 1 GROUP BY 1, 2, 3),
+          |cb1 AS (SELECT m, cell,
+          |         list_transform(list_sort(list(struct_pack(d := dim,
+          |           mm := (sum_ppm // n)::DOUBLE / 1000000))), e -> e.mm) AS cv
+          |       FROM s1 GROUP BY 1, 2),
+          |a2 AS (SELECT sv.vec_id, sv.m, cb1.cell, sv.s,
+          |       row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))), cell) AS rn
+          |       FROM sv JOIN cb1 ON sv.m = cb1.m),
+          |s2 AS (SELECT m, cell, dim,
+          |         sum(floor(s[dim] * 1000000)::BIGINT) AS sum_ppm,
+          |         count(*)::BIGINT AS n
+          |       FROM a2 CROSS JOIN ds WHERE rn = 1 GROUP BY 1, 2, 3)
+          |SELECT m::BIGINT AS m, cell, dim::BIGINT AS dim,
+          |  (sum_ppm // n)::BIGINT AS mean_ppm, n AS n_vectors FROM s2""".stripMargin,
+      // s21: the s20 chain extended one step — rebuild the trained
+      // codebook from s2, assign once more, floor-ppm integer error sum
+      "s21_pq_train_encode" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          |           FROM embeddings),
+          |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+          |ds AS (SELECT unnest(generate_series(1, 8)) AS dim),
+          |sv AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM v CROSS JOIN ms),
+          |cb0 AS (SELECT m, vec_id AS cell, s AS cv FROM sv WHERE vec_id < 16),
+          |a1 AS (SELECT sv.vec_id, sv.m, cb0.cell, sv.s,
+          |       row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))), cell) AS rn
+          |       FROM sv JOIN cb0 ON sv.m = cb0.m),
+          |s1 AS (SELECT m, cell, dim,
+          |         sum(floor(s[dim] * 1000000)::BIGINT) AS sum_ppm,
+          |         count(*)::BIGINT AS n
+          |       FROM a1 CROSS JOIN ds WHERE rn = 1 GROUP BY 1, 2, 3),
+          |cb1 AS (SELECT m, cell,
+          |         list_transform(list_sort(list(struct_pack(d := dim,
+          |           mm := (sum_ppm // n)::DOUBLE / 1000000))), e -> e.mm) AS cv
+          |       FROM s1 GROUP BY 1, 2),
+          |a2 AS (SELECT sv.vec_id, sv.m, cb1.cell, sv.s,
+          |       row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))), cell) AS rn
+          |       FROM sv JOIN cb1 ON sv.m = cb1.m),
+          |s2 AS (SELECT m, cell, dim,
+          |         sum(floor(s[dim] * 1000000)::BIGINT) AS sum_ppm,
+          |         count(*)::BIGINT AS n
+          |       FROM a2 CROSS JOIN ds WHERE rn = 1 GROUP BY 1, 2, 3),
+          |cb2 AS (SELECT m, cell,
+          |         list_transform(list_sort(list(struct_pack(d := dim,
+          |           mm := (sum_ppm // n)::DOUBLE / 1000000))), e -> e.mm) AS cv
+          |       FROM s2 GROUP BY 1, 2),
+          |a3 AS (SELECT sv.vec_id, sv.m, cb2.cell,
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))) AS d,
+          |       row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+          |         list_sum(list_transform(generate_series(1, 8),
+          |           i -> (s[i] - cv[i]) * (s[i] - cv[i]))), cell) AS rn
+          |       FROM sv JOIN cb2 ON sv.m = cb2.m)
+          |SELECT m::BIGINT AS m, cell, count(*)::BIGINT AS n_vectors,
+          |  sum(floor(d * 1000000)::BIGINT)::BIGINT AS err_ppm
+          |FROM a3 WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+      "s04_centroid_sums" ->
+        """SELECT label, j::BIGINT AS dim,
+          | sum(CAST(floor(embedding[j]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          | count(*)::BIGINT AS n_vectors
+          |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
+          |GROUP BY 1, 2""".stripMargin,
+      "s05_kmeans" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, v AS cv FROM v WHERE vec_id % 25 = 0),
+          |a1 AS (SELECT vec_id, v, cell FROM (
+          |  SELECT v.vec_id, v.v, c.cell,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_cosine_similarity(v.v, c.cv) DESC, c.cell) AS rn
+          |  FROM v CROSS JOIN c0 c) WHERE rn = 1),
+          |s1 AS (SELECT cell, j::BIGINT AS dim,
+          |  sum(CAST(floor(v[j] * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          |  count(*)::BIGINT AS n
+          |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2),
+          |c1 AS (SELECT cell, list((sum_ppm // n)::DOUBLE ORDER BY dim) AS cv FROM s1 GROUP BY cell),
+          |a2 AS (SELECT vec_id, v, cell FROM (
+          |  SELECT v.vec_id, v.v, c.cell,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_cosine_similarity(v.v, c.cv) DESC, c.cell) AS rn
+          |  FROM v CROSS JOIN c1 c) WHERE rn = 1),
+          |s2 AS (SELECT cell, j::BIGINT AS dim,
+          |  sum(CAST(floor(v[j] * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          |  count(*)::BIGINT AS n
+          |  FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2)
+          |SELECT cell, dim, (sum_ppm // n)::BIGINT AS mean_ppm, n AS n_vectors FROM s2""".stripMargin,
+      // s09: k-means|| init (seed = min vec_id; 2 md5-Bernoulli oversampling
+      // rounds at l=40 with INTEGER cost/threshold math; weight-by-assignment
+      // reduce to k=20) + 2 Lloyd iterations — mirrors Ann.kmeansParallel
+      // defaults step for step. Cosines are spelled as explicit left-to-right
+      // dot products (list_sum ∘ list_transform), the same summation order as
+      // the Spark side's vec_dot, so even the floor()ed distance integers are
+      // bit-identical across engines.
+      "s09_kmeans_pp" ->
+        """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nm FROM v0),
+          |c0 AS (SELECT vec_id AS cell, v AS cv, nm AS cn FROM n
+          |       WHERE vec_id = (SELECT min(vec_id) FROM n)),
+          |d1 AS (SELECT n.vec_id,
+          |         max(list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn)) AS cm
+          |       FROM n CROSS JOIN c0 c GROUP BY n.vec_id),
+          |e1 AS (SELECT n.vec_id, n.v, n.nm,
+          |         CAST(floor((1-d1.cm)*(1-d1.cm)*1000000) AS BIGINT) AS d2ppm
+          |       FROM n JOIN d1 ON n.vec_id = d1.vec_id),
+          |s1 AS (SELECT vec_id, v, nm FROM e1
+          |       WHERE ((('0x'||substr(md5('kmpp:1:'||vec_id),1,13))::BIGINT % 1048576)
+          |              * (SELECT sum(d2ppm) FROM e1)) < 40 * d2ppm * 1048576),
+          |c1 AS (SELECT cell, cv, cn FROM c0 UNION ALL SELECT vec_id, v, nm FROM s1),
+          |d2 AS (SELECT n.vec_id,
+          |         max(list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn)) AS cm
+          |       FROM n CROSS JOIN c1 c GROUP BY n.vec_id),
+          |e2 AS (SELECT n.vec_id, n.v, n.nm,
+          |         CAST(floor((1-d2.cm)*(1-d2.cm)*1000000) AS BIGINT) AS d2ppm
+          |       FROM n JOIN d2 ON n.vec_id = d2.vec_id),
+          |s2 AS (SELECT vec_id, v, nm FROM e2
+          |       WHERE ((('0x'||substr(md5('kmpp:2:'||vec_id),1,13))::BIGINT % 1048576)
+          |              * (SELECT sum(d2ppm) FROM e2)) < 40 * d2ppm * 1048576),
+          |c2 AS (SELECT cell, cv, cn FROM c1 UNION ALL SELECT vec_id, v, nm FROM s2),
+          |aw AS (SELECT vec_id, cell FROM (
+          |        SELECT n.vec_id, c.cell,
+          |          row_number() OVER (PARTITION BY n.vec_id
+          |            ORDER BY list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn) DESC,
+          |                     c.cell ASC) AS rn
+          |        FROM n CROSS JOIN c2 c) WHERE rn = 1),
+          |w AS (SELECT cell, count(*) AS wt FROM aw GROUP BY cell),
+          |ck AS (SELECT c2.cell, c2.cv, c2.cn FROM c2 JOIN w ON c2.cell = w.cell
+          |       ORDER BY w.wt DESC, c2.cell ASC LIMIT 20),
+          |a1 AS (SELECT vec_id, v, cell FROM (
+          |        SELECT n.vec_id, n.v, c.cell,
+          |          row_number() OVER (PARTITION BY n.vec_id
+          |            ORDER BY list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn) DESC,
+          |                     c.cell ASC) AS rn
+          |        FROM n CROSS JOIN ck c) WHERE rn = 1),
+          |t1 AS (SELECT cell, j::BIGINT AS dim,
+          |         sum(CAST(floor(v[j] * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          |         count(*)::BIGINT AS nv
+          |       FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2),
+          |r1 AS (SELECT cell, list((sum_ppm // nv)::DOUBLE ORDER BY dim) AS cv FROM t1 GROUP BY cell),
+          |k1 AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn FROM r1),
+          |a2 AS (SELECT vec_id, v, cell FROM (
+          |        SELECT n.vec_id, n.v, c.cell,
+          |          row_number() OVER (PARTITION BY n.vec_id
+          |            ORDER BY list_sum(list_transform(n.v, (x,j) -> x * c.cv[j])) / (n.nm * c.cn) DESC,
+          |                     c.cell ASC) AS rn
+          |        FROM n CROSS JOIN k1 c) WHERE rn = 1),
+          |t2 AS (SELECT cell, j::BIGINT AS dim,
+          |         sum(CAST(floor(v[j] * 1000000) AS BIGINT))::BIGINT AS sum_ppm,
+          |         count(*)::BIGINT AS nv
+          |       FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2)
+          |SELECT cell, dim, (sum_ppm // nv)::BIGINT AS mean_ppm, nv AS n_vectors FROM t2""".stripMargin,
+      "s03_lsh_buckets" ->
+        """WITH pl AS (SELECT p, list_transform(generate_series(0, 63), j ->
+          |    CASE WHEN ((('0x'||substr(md5('plane:'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
+          |         THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |d AS (SELECT vec_id, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
+          |      FROM v CROSS JOIN pl)
+          |SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          |FROM d GROUP BY vec_id""".stripMargin,
+      // s22: d10's two-table LSH bucket SQL feeding a per-source cosine
+      // rank window — ties to the smaller neighbor id (s01 convention)
+      "s22_knn_graph" ->
+        """WITH pl AS (SELECT t, p, list_transform(generate_series(0, 63), j ->
+          |    CASE WHEN ((('0x'||substr(md5('plane:'||t||':'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
+          |         THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(generate_series(0, 1)) AS t)
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)),
+          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |d AS (SELECT vec_id, t, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
+          |      FROM v CROSS JOIN pl),
+          |bk AS (SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          |       FROM d GROUP BY vec_id, t),
+          |cand AS (SELECT DISTINCT x.vec_id, y.vec_id AS neighbor_id
+          |         FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+          |                            AND x.vec_id != y.vec_id),
+          |r AS (SELECT c.vec_id, c.neighbor_id,
+          |        row_number() OVER (PARTITION BY c.vec_id
+          |          ORDER BY list_cosine_similarity(ex.embedding, ey.embedding) DESC,
+          |                   c.neighbor_id) AS rank
+          |      FROM cand c JOIN embeddings ex ON ex.vec_id = c.vec_id
+          |                  JOIN embeddings ey ON ey.vec_id = c.neighbor_id)
+          |SELECT vec_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+      "s01_ann_topk" -> s01Sql,
+      "s23_mrr_eval" -> s23Sql,
+      "s02_ann_ivf" -> s02Sql,
+      // s19: identical single-IEEE-op scaling (float→double ×1e6 floor)
+      // so integer sums/extremes hash-match; NaN-guarded like the Spark side
+      "s19_embedding_health" ->
+        """WITH x AS (SELECT i::BIGINT AS d, embedding[i+1]::DOUBLE AS v
+          |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i))
+          |SELECT d, count(CASE WHEN NOT isnan(v) THEN 1 END)::BIGINT AS n,
+          | count(CASE WHEN isnan(v) THEN 1 END)::BIGINT AS n_nan,
+          | sum(CASE WHEN NOT isnan(v) THEN floor(v * 1000000) END)::BIGINT AS sum_m,
+          | min(CASE WHEN NOT isnan(v) THEN floor(v * 1000000) END)::BIGINT AS min_m,
+          | max(CASE WHEN NOT isnan(v) THEN floor(v * 1000000) END)::BIGINT AS max_m
+          |FROM x GROUP BY 1""".stripMargin,
+      // s11: SQ8 — identical single-IEEE-op order on both engines; floor
+      // lands on BIGINT via the cast (Spark's floor is already LONG)
+      "s11_sq8_codes" ->
+        """WITH x AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v
+          |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+          |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1)
+          |SELECT vec_id, x.i::BIGINT AS d,
+          |  CASE WHEN mx > mn
+          |       THEN least(255, greatest(0, floor((v - mn) * 255 / (mx - mn))))::BIGINT
+          |       ELSE 0 END AS code
+          |FROM x JOIN mm ON x.i = mm.i""".stripMargin,
+      // s12: symmetric SQ8 — integer distances, total (dist, id) order
+      "s12_sq8_search" ->
+        """WITH x AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v
+          |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+          |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+          |codes AS (SELECT vec_id, x.i,
+          |  CASE WHEN mx > mn
+          |       THEN least(255, greatest(0, floor((v - mn) * 255 / (mx - mn))))::BIGINT
+          |       ELSE 0 END AS code
+          |  FROM x JOIN mm ON x.i = mm.i),
+          |dists AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    sum((q.code - c.code) * (q.code - c.code))::BIGINT AS dist
+          |  FROM codes q JOIN codes c ON q.i = c.i AND q.vec_id != c.vec_id
+          |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY dist, neighbor_id) AS rank FROM dists)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id, dist
+          |FROM r WHERE rank <= 5""".stripMargin,
+      // s10: SemDeDup — assignment mirrors assignCells (max cosine, tie →
+      // smaller cell), the greedy keep-first prune is a cluster equi-join,
+      // survivors an anti join. Only the integer (vec_id, cell) decisions
+      // cross the compare, as in s02.
+      "s10_semdedup" ->
+        """WITH seeds AS (SELECT vec_id AS cell, embedding AS ce
+          |  FROM embeddings ORDER BY vec_id LIMIT 8),
+          |asg AS (SELECT vec_id, embedding, cell FROM (
+          |  SELECT e.vec_id, e.embedding, s.cell,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_cosine_similarity(e.embedding, s.ce) DESC, s.cell) AS rn
+          |  FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+          |drops AS (SELECT DISTINCT x.vec_id FROM asg x JOIN asg y
+          |  ON x.cell = y.cell AND y.vec_id < x.vec_id
+          |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.42)
+          |SELECT a.vec_id, a.cell FROM asg a ANTI JOIN drops d ON a.vec_id = d.vec_id"""
+          .stripMargin,
+      "s08_ivfpq_search" -> s08Sql(5),
+      // s15: list_inner_product sums left-to-right like vec_dot
+      "s15_mips_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id,
+          |           list_transform(embedding, x -> x::DOUBLE) AS qe
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY list_inner_product(qe,
+          |      list_transform(e.embedding, x -> x::DOUBLE)) DESC, e.vec_id) AS rank
+          |  FROM q JOIN embeddings e ON e.vec_id != q.query_id)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored
+          |WHERE rank <= 5""".stripMargin,
+      // s14: s01 with the corpus side pre-filtered to lang='en' doc ids
+      "s14_filtered_ann" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+          |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) AS rank
+          |  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+          |  JOIN allowed a ON a.doc_id = e.vec_id)
+          |SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM scored
+          |WHERE rank <= 5""".stripMargin,
+      // s13: s08's pipeline with a 20-deep shortlist, then exact-cosine
+      // re-rank of just those candidates — the refine must reproduce the
+      // Spark (cosine desc, neighbor_id) order exactly
+      "s13_ivfpq_rerank" -> s13Sql,
+      "s16_refine_recall" ->
+        s"""WITH exact AS ($s01Sql),
+           |approx AS ($s13Sql)
+           |SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits,
+           | (count(a.neighbor_id) * 1000000 // count(*))::BIGINT AS recall_ppm
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |GROUP BY 1""".stripMargin,
+      // s17: one UNION ALL branch per nprobe, each the s07 recall calc
+      // over the nprobe-parameterized IVF pipeline
+      "s17_ivf_tuning" ->
+        Seq(1, 2, 4).map { np =>
+          s"""SELECT $np::BIGINT AS nprobe,
+             | count(DISTINCT e.query_id)::BIGINT AS n_queries,
+             | count(a.neighbor_id)::BIGINT AS n_hits,
+             | (count(a.neighbor_id) * 1000000 // count(*))::BIGINT AS recall_ppm
+             |FROM ($s01Sql) e LEFT JOIN (${s02SqlN(np)}) a
+             |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+            .stripMargin
+        }.mkString("\n UNION ALL \n"),
+      "s07_recall_eval" ->
+        s"""WITH exact AS ($s01Sql),
+           |approx AS ($s02Sql)
+           |SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits,
+           | (count(a.neighbor_id) * 1000000 // count(*))::BIGINT AS recall_ppm
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |GROUP BY 1""".stripMargin,
+      // t20: same integer fixed point as the Spark side — idf_m=(N·1000)//df,
+      // norm_ppm = 250000 + (750000·dl·N)//total_tokens (1e6−b folded),
+      // contrib = idf_m·tf·(k1+1e6) // (tf·1e6 + (k1·norm)//1e6); `//` and
+      // Spark's intDiv agree exactly below 2^53
+      // s18: RRF hybrid — the t20 BM25 CTEs at k=20 beside the s01 cosine
+      // shape for query vec 0; integer points 1e9//(60+rank) summed
+      "s18_hybrid_rrf" ->
+        s"""WITH dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |dense AS (SELECT id, rank FROM (
+           |  SELECT e.vec_id AS id,
+           |    row_number() OVER (ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) AS rank
+           |  FROM dq CROSS JOIN embeddings e WHERE e.vec_id != 0)
+           | WHERE rank <= 20),
+           |d AS (SELECT doc_id, len($toks)::BIGINT AS dl,
+           |    len(list_filter($toks, x -> x = 'dup'))::BIGINT AS tf0,
+           |    len(list_filter($toks, x -> x = 'scan'))::BIGINT AS tf1,
+           |    len(list_filter($toks, x -> x = 'key'))::BIGINT AS tf2
+           |  FROM documents),
+           |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tt,
+           |    sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+           |    sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+           |    sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END)::BIGINT AS df2 FROM d),
+           |bm AS (SELECT doc_id,
+           |  (CASE WHEN tf0>0 THEN ((n*1000)//df0)*tf0*2200000
+           |     // (tf0*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END
+           | + CASE WHEN tf1>0 THEN ((n*1000)//df1)*tf1*2200000
+           |     // (tf1*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END
+           | + CASE WHEN tf2>0 THEN ((n*1000)//df2)*tf2*2200000
+           |     // (tf2*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END)::BIGINT AS score_m
+           |FROM d CROSS JOIN st
+           |WHERE tf0>0 OR tf1>0 OR tf2>0
+           |ORDER BY score_m DESC, doc_id LIMIT 20),
+           |sparse AS (SELECT doc_id AS id,
+           |    row_number() OVER (ORDER BY score_m DESC, doc_id) AS rank FROM bm),
+           |un AS (SELECT id, 1000000000 // (60 + rank) AS pts FROM dense
+           |  UNION ALL SELECT id, 1000000000 // (60 + rank) AS pts FROM sparse),
+           |f AS (SELECT id, sum(pts)::BIGINT AS rrf FROM un GROUP BY 1)
+           |SELECT id, rank::BIGINT AS rank, rrf FROM (
+           |  SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rank FROM f)
+           |WHERE rank <= 10""".stripMargin,
+  )
+}

@@ -1,0 +1,972 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{CounterDef, CounterType}
+import graft.dedup.Dedup
+import graft.functions.Canonical
+import graft.graph.GraphOps
+import graft.multimodal.Multimodal
+import graft.operators.{Counters, Intermediate, JqTransform}
+import graft.similarity.Ann
+import graft.textops.{TextAnalysis, UrlOps}
+
+import graft.EntryHelpers._
+
+/** Text-analysis queries (t01-t46) + their DuckDB oracles.
+  *
+  * Split mechanically from SparkEntry (round 10); entries are verbatim.
+  * Shared fixtures/counter defs/oracle CTE fragments live in
+  * [[EntryHelpers]]; [[SparkEntry]] concatenates the per-set maps.
+  */
+private[graft] object TextSet {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis (training-data pipeline ops) ----
+    "t01_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "t02_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "t03_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir))),
+    "t04_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    // winnowing fingerprint sets (Schleimer et al., SIGMOD'03)
+    "t05_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(Tables.documents(s, dir))),
+    // vocabulary building: global token top-k (tokenizer-training precursor)
+    "t06_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    // TF-IDF top-k terms per doc (integer-exact idf, per-doc window top-k)
+    "t07_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
+    // Gopher-style repetition/quality signals (dup words, top-bigram mass)
+    "t08_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
+    // deterministic hash-based stratified sampling (reproducible data mix)
+    "t09_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir), SampleRates)),
+    // data-mixture accounting per (lang, source) stratum
+    "t10_mixture" -> ((s, dir) =>
+      TextAnalysis.mixtureReport(Tables.documents(s, dir))),
+    // fixed-size token chunking (sequence packing / context-window prep)
+    "t11_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir))),
+    // rollup subtotals in one Expand+aggregate pass (grouping-sets surface)
+    "t12_mixture_rollup" -> ((s, dir) =>
+      TextAnalysis.mixtureRollup(Tables.documents(s, dir))),
+    // exact per-lang length quantiles via histogram + cumulative window
+    "t13_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(Tables.documents(s, dir))),
+    // token-frequency spectrum (Zipf / corpus-health): two stacked aggs
+    "t14_token_spectrum" -> ((s, dir) =>
+      TextAnalysis.tokenSpectrum(Tables.documents(s, dir))),
+    // PII scrubbing: count + redact emails / IPv4s / long digit runs in
+    // one codegen'd scan. The corpus is synthetic word-soup with no PII,
+    // so the carrier text is constructed from customer fields — the
+    // construction is part of the query and fully deterministic.
+    "t15_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(
+        Tables.customer(s, dir).select(col("c_custkey").as("custkey"),
+          concat(
+            col("c_name"), lit(" <customer"), col("c_custkey"),
+            lit("@shop.example.com> ip 10."), pmod(col("c_custkey"), lit(250)),
+            lit(".0."), col("c_nationkey"), lit(" acct "),
+            col("c_custkey") * 1009 + 1000000).as("contact")),
+        "custkey", "contact")),
+    // composite quality gate: per-rule fail flags + pass verdict in ONE
+    // narrow scan — the filter step the scoring ops feed
+    "t16_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityGate(Tables.documents(s, dir))),
+    // bigram novelty: ppm of a doc's distinct bigrams appearing in no
+    // other doc — corpus-wide boilerplate/memorization signal
+    "t17_bigram_novelty" -> ((s, dir) =>
+      TextAnalysis.bigramNovelty(Tables.documents(s, dir))),
+    // deterministic stratified train/val/test split: membership is a pure
+    // hash of doc_id (no shuffle decides it), accounting per stratum
+    "t18_train_split" -> ((s, dir) =>
+      TextAnalysis.trainValTestSplit(Tables.documents(s, dir))),
+    // token-budget shard packing: contiguous ≈50k-token shards, boundary
+    // never splits a doc; per-shard accounting
+    "t19_shard_packing" -> ((s, dir) =>
+      TextAnalysis.shardPacking(Tables.documents(s, dir))),
+    // BM25 ranked retrieval: literal query, integer fixed-point scoring,
+    // one-row broadcast stats, TakeOrderedAndProject top-k
+    "t20_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), Bm25Query)),
+    // C4-style boilerplate scrub: corpus-frequent chunks removed from
+    // every doc, survivors rejoined in order; digest-only count shuffle
+    "t21_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
+    // temperature-reweighted mixture sampling (α=0.5): integer-ppm rates
+    // sized to a half-corpus budget, deterministic md5 Bernoulli draws
+    "t22_temperature_sample" -> ((s, dir) =>
+      TextAnalysis.temperatureSample(Tables.documents(s, dir))),
+    // first-round BPE pair statistics over the distinct vocabulary
+    "t23_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(Tables.documents(s, dir))),
+    // DSIR importance scores: floor-log2-quantized hashed-bigram
+    // likelihood ratios against the en slice as the target distribution
+    "t24_dsir_score" -> ((s, dir) =>
+      TextAnalysis.dsirScore(Tables.documents(s, dir))),
+    // CCNet-style bigram-LM perplexity proxy: quantized -log2 p(w2|w1)
+    // per transition, digest-only count-table joins
+    "t25_lm_perplexity" -> ((s, dir) =>
+      TextAnalysis.lmPerplexity(Tables.documents(s, dir))),
+    // the Gopher rule battery (word count / mean word length / alpha
+    // fraction / distinct stopwords) as one shuffle-free projection
+    "t26_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    // OOV rate vs the corpus top-1000 vocabulary: broadcast vocab join,
+    // only (doc_id, counts) shuffle — the tokenizer-health read
+    "t27_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(Tables.documents(s, dir))),
+    // the CCNet/C4 filter chain end-to-end: langid agreement + Gopher
+    // rules + LM-perplexity band, one keep verdict per doc
+    "t28_ccnet_pipeline" -> ((s, dir) =>
+      TextAnalysis.ccnetPipeline(Tables.documents(s, dir))),
+    // the MODERN pipeline in one call (v2): LSH near-dup dedup with the
+    // QUALITY keeper -> benchmark decontamination -> CCNet verdict ->
+    // per-(lang, source) survivor accounting
+    "t38_training_pipeline_v2" -> ((s, dir) =>
+      graft.pipeline.TrainingData.runV2(Tables.documents(s, dir))),
+    // v3, the WEB-CORPUS composition: URL dedup (d25's raw-variant
+    // formula) → exact content dedup → Gopher gate, reported per host
+    // with the host-graph PageRank prior joined on — the round-9 ops
+    // (UrlOps, GraphOps) composing with the dedup/quality stages
+    "t46_training_pipeline_v3" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val res = expr("doc_id div 4")
+      def site(c: org.apache.spark.sql.Column) =
+        concat(lit("site"), c.cast("string"), lit(".example.com"))
+      val ks = d.select((res % 5).as("k")).distinct()
+      val he = ks.select(site(col("k")).as("src"),
+          site((col("k") * 2 + 1) % 5).as("dst"))
+        .unionAll(ks.select(site(col("k")).as("src"),
+          site((col("k") * col("k") + 1) % 5).as("dst")))
+        .distinct()
+      graft.pipeline.TrainingData.runV3(d, rawUrlFixture, he)
+    }),
+    // the whole training-data pipeline in ONE call: exact dedup -> CCNet
+    // filter -> stratified sample -> token-budget shard packing; output
+    // is the packed set's per-shard accounting
+    "t29_training_pipeline" -> ((s, dir) =>
+      graft.pipeline.TrainingData.run(Tables.documents(s, dir), budget = 2000L)),
+    // vocab coverage curve: token-occurrence ppm covered by top-k
+    // vocabularies — the vocab-size design read, one corpus aggregate
+    "t31_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    // Naive-Bayes hashed-bag-of-words classifier (the fastText-style
+    // quality/domain classifier, trained AND scored in-engine): dense
+    // label×bucket weight table broadcast, integer-bits scores,
+    // max(struct) argmax — raw text never shuffles. On THIS fixture the
+    // text vocabulary is shared across langs, so the majority prior
+    // correctly dominates (the oracle checks the exact math; the
+    // discrimination path is asserted on label-dependent vocab in
+    // ExtensionOpsSpec).
+    "t32_nb_classifier" -> ((s, dir) =>
+      TextAnalysis.nbClassifier(Tables.documents(s, dir))),
+    // broadcast-model STREAM scoring: DSIR lambda trained batch-side,
+    // shipped into the stream as a literal — scoring is a stateless
+    // projection whose rows must hash-match the batch operator exactly
+    "t30_stream_dsir_parity" -> ((s, dir) => {
+      val lam = TextAnalysis.dsirLambda(Tables.documents(s, dir))
+      val out = graft.streaming.StreamingText.dsirScoreStream(
+        Tables.documentsStream(s, dir), lam)
+      val sink = "t30_stream_dsir_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
+    // Unicode scrub: the pre-tokenization cleanup pass (invisible code
+    // points, NBSP family, control chars, whitespace collapse) — one
+    // codegen'd regexp chain, no shuffle. The fixture corpus is already
+    // clean ([a-z0-9 ]), so changed=0 everywhere — the oracle checks the
+    // pass-through exactness; dirty-input semantics live in the spec
+    "t37_unicode_scrub" -> ((s, dir) =>
+      TextAnalysis.unicodeScrub(Tables.documents(s, dir))),
+    // NFC normalization on a DECOMPOSED fixture: every doc gets a suffix
+    // with e + COMBINING ACUTE (composes to é under NFC) and the fi
+    // ligature U+FB01 (untouched by NFC — that's NFKC's compatibility
+    // fold, spec-asserted). Partition-local batched java.text.Normalizer
+    // transform — no ScalaUDF at the Column level, text never shuffles;
+    // DuckDB's nfc_normalize is the oracle
+    // C4's blocklist gate: any doc containing a blocklisted token drops —
+    // the coarse content filter before the quality battery; blocklist
+    // folds into codegen as one literal array, shuffle-free projection
+    "t40_blocklist_gate" -> ((s, dir) =>
+      TextAnalysis.blocklistGate(Tables.documents(s, dir),
+        Seq("dup", "spam", "scan"))),
+    // URL canonicalization + registrable-domain rollup (UrlOps): the
+    // web-corpus stage before any text analysis. URLs are CONSTRUCTED
+    // per doc (the corpus carries none) to exercise every normalization:
+    // case, www, default vs explicit port, duplicate slashes, trailing
+    // slash, utm/tracking params, unsorted query, fragment; the oracle
+    // derives the canonical form analytically. try_parse_url kernels,
+    // one map-side-combined groupBy — no UDF, text never read
+    // BPE merge TRAINING (not just t23's first-round pair stats): 4
+    // learn iterations, each a vocab-bounded pair count + 1-row argmax
+    // collect + one literal-replace merge apply — the oracle replays the
+    // same 4 rounds as chained CTEs over the identical double-space
+    // token-string representation
+    "t42_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), merges = 4)),
+    // the learned merges APPLIED: per-doc word / base-token / BPE-token
+    // counts under the 4 trained merges — one corpus scan, the merge
+    // table folded in as literal replaces
+    "t43_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir), merges = 4)),
+    // BM25 retrieval over a literal 3-query workload: integer-exact
+    // scoring (rational idf surrogate + DECIMAL-exact saturation term),
+    // query terms folded into the scan as ONE isin filter
+    "t44_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Batch(Tables.documents(s, dir), Bm25Queries)),
+    // exact-k stratified carve: min(k, |stratum|) docs per (lang,
+    // source) by the shared md5 sampling coordinate — the eval-set
+    // shape Bernoulli rates can't hit exactly
+    "t45_budget_sample" -> ((s, dir) =>
+      TextAnalysis.budgetSample(Tables.documents(s, dir))),
+    "t41_url_profile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tld = element_at(
+        array(lit("com"), lit("org"), lit("co.uk")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val raw = concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        upper(col("source")), lit(".Example."), tld,
+        when(col("doc_id") % 5 === 0, lit(":443"))
+          .otherwise(when(col("doc_id") % 5 === 1, lit(":8443")).otherwise(lit(""))),
+        lit("//docs//"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&z=9&a="), (col("doc_id") % 7).cast("string"),
+        lit("&m=2#sec"))
+      val host = UrlOps.hostOf(raw)
+      d.groupBy(
+          UrlOps.registrableDomain(host).as("domain"), host.as("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(UrlOps.canonicalizeUrl(raw)).as("url_min"))
+    }),
+    "t39_nfc_normalize" -> ((s, dir) =>
+      TextAnalysis.nfcNormalize(
+        Tables.documents(s, dir).select(col("doc_id"),
+          // decomposed: U+0065 U+0301 (e + combining acute) composes under
+          // NFC; U+FB01 (fi ligature) is NFKC-only and must pass through
+          concat(col("text"), lit(" caf" + "e\u0301 \uFB01n")).as("text")))),
+    // CCNet head/middle/tail split: per-lang exact perplexity terciles
+    // over the t25 scores — histogram quantiles, broadcast cutoffs
+    "t36_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.ccnetBuckets(Tables.documents(s, dir))),
+    // per-source distribution drift: quantized-KL token-distribution
+    // divergence vs the whole corpus — digest-only map-side aggregates,
+    // broadcast slice totals (the distribution-level twin of d21)
+    "t35_source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
+    // the classifier's measured gate: confusion matrix + per-truth-row
+    // ppm shares — labels²-bounded output, AQE-sized joins
+    "t34_nb_confusion" -> ((s, dir) =>
+      TextAnalysis.nbConfusion(Tables.documents(s, dir))),
+    // the NB classifier's streaming face: model trained batch-side
+    // (labels + priors + dense flattened weights as literal arrays),
+    // scoring a stateless stream projection — one transform hashes
+    // tokens to buckets, one aggregate folds the per-label score vector,
+    // argmax ties to the greater label exactly like the batch scorer
+    "t33_stream_nb_parity" -> ((s, dir) => {
+      val model = TextAnalysis.nbModel(Tables.documents(s, dir))
+      val out = graft.streaming.StreamingText.nbScoreStream(
+        Tables.documentsStream(s, dir), model)
+      val sink = "t33_stream_nb_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+      "t01_token_count" ->
+        s"""SELECT doc_id, len($toks)::BIGINT AS n_tokens,
+           | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens
+           | FROM documents""".stripMargin,
+      "t02_quality_score" ->
+        s"""SELECT doc_id, length(text)::BIGINT AS n_chars_m,
+           | (len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1000000 // length(text))::BIGINT AS punct_ppm,
+           | (len(list_filter($toks, t -> list_contains($enStop, t))) * 1000000 // len($toks))::BIGINT AS stopword_ppm,
+           | (least(length(text), 500) * 1000000 // 500)::BIGINT AS len_ppm,
+           | ((1000000 - punct_ppm + stopword_ppm + len_ppm) // 3)::BIGINT AS quality_ppm
+           | FROM documents""".stripMargin,
+      "t03_lang_id" ->
+        s"""WITH s AS (SELECT doc_id,
+           |  len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','von','mit','den','ein','nicht'], t)))::BIGINT AS s_de,
+           |  len(list_filter($toks, t -> list_contains($enStop, t)))::BIGINT AS s_en,
+           |  len(list_filter($toks, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))::BIGINT AS s_es,
+           |  len(list_filter($toks, t -> list_contains(['le','la','de','et','les','des','un','une','du','dans'], t)))::BIGINT AS s_fr,
+           |  len(list_filter($toks, t -> list_contains(['de','shi','le','zai','you','wo','ta','men','zhe','na'], t)))::BIGINT AS s_zh
+           |  FROM documents)
+           |SELECT doc_id,
+           | CASE WHEN g = 0 THEN 'und' WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+           |      WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang,
+           | g AS lang_score
+           |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)""".stripMargin,
+      "t04_fingerprint" ->
+        s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents))
+           |SELECT doc_id, list_min(list_transform(gs, g -> ${h60("g")})) AS fingerprint,
+           | len(list_distinct(gs))::BIGINT AS n_kgrams FROM kg""".stripMargin,
+      "t06_vocab" ->
+        s"""WITH g AS (SELECT token, count(*)::BIGINT AS n
+           |  FROM (SELECT unnest($toks) AS token FROM documents) GROUP BY token)
+           |SELECT token, n, row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rank
+           |FROM g ORDER BY n DESC, token LIMIT 1000""".stripMargin,
+      "t07_tfidf" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+           |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+           |scored AS (SELECT doc_id, token, (tf * ((n.n * 1000000) // df))::BIGINT AS tfidf
+           |           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+           |ranked AS (SELECT doc_id, token, tfidf,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token)::BIGINT AS rank
+           |  FROM scored)
+           |SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
+      "t08_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+           |words AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+           |          len(list_distinct(t))::BIGINT AS n_distinct FROM t),
+           |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+           |         THEN list_transform(generate_series(1, len(t)-1), i -> t[i]||' '||t[i+1])
+           |         ELSE [NULL] END) AS bigram FROM t),
+           |bgc AS (SELECT doc_id, bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+           |top AS (SELECT doc_id, max(CASE WHEN bigram IS NOT NULL THEN c END)::BIGINT AS top_c,
+           |        sum(CASE WHEN bigram IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n_bigrams
+           |        FROM bgc GROUP BY 1)
+           |SELECT w.doc_id,
+           | ((w.n_tokens - w.n_distinct) * 1000000 // w.n_tokens)::BIGINT AS dup_word_ppm,
+           | (CASE WHEN tp.n_bigrams > 0 THEN (tp.top_c * 1000000 // tp.n_bigrams)
+           |       ELSE 0 END)::BIGINT AS top_bigram_ppm
+           |FROM words w JOIN top tp USING (doc_id)""".stripMargin,
+      // t22: temperature mixture — integer ppm throughout; the isqrt is
+      // floor-of-IEEE-sqrt (exact both engines below 2^52); draws reuse
+      // the 60-bit md5 coordinate of t09.
+      "t22_temperature_sample" ->
+        """WITH per AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+          |tot AS (SELECT count(*)::BIGINT AS total FROM documents),
+          |w AS (SELECT lang, n_docs, (n_docs * 1000000 // tot.total)::BIGINT AS share_ppm,
+          |        CAST(floor(sqrt(((n_docs * 1000000 // tot.total) * 1000000)::DOUBLE))
+          |             AS BIGINT) AS wgt
+          |      FROM per, tot),
+          |z AS (SELECT sum(wgt)::BIGINT AS z FROM w),
+          |rates AS (SELECT w.lang, w.n_docs, w.share_ppm,
+          |    least(1000000,
+          |      ((tot.total // 2) * w.wgt // z.z) * 1000000 // w.n_docs)::BIGINT AS rate_ppm
+          |  FROM w, z, tot),
+          |kept AS (SELECT d.lang, count(*)::BIGINT AS kept
+          |  FROM documents d JOIN rates r ON d.lang = r.lang
+          |  WHERE (('0x' || substr(md5('tsample:' || d.doc_id), 1, 15))::BIGINT
+          |         % 1000000) < r.rate_ppm
+          |  GROUP BY 1)
+          |SELECT r.lang, r.n_docs, r.share_ppm, r.rate_ppm,
+          |  coalesce(k.kept, 0)::BIGINT AS kept
+          |FROM rates r LEFT JOIN kept k ON r.lang = k.lang""".stripMargin,
+      // t23: first BPE merge round — pair counts over the distinct
+      // vocabulary weighted by word frequency; (cnt DESC, pair) is a
+      // total order so the LIMIT is deterministic.
+      "t23_bpe_pairs" ->
+        """WITH words AS (SELECT w, count(*)::BIGINT AS n FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE length(w) >= 2 GROUP BY 1),
+          |pos AS (SELECT w, n, unnest(generate_series(1, length(w)-1)) AS i FROM words),
+          |pairs AS (SELECT substr(w, i::INT, 2) AS pair, sum(n)::BIGINT AS cnt
+          |  FROM pos GROUP BY 1)
+          |SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
+      // t24: DSIR — add-one-smoothed floor-log2 likelihood ratios per
+      // hashed bigram bucket; bin() floor-log2 is identical cross-engine
+      "t24_dsir_score" ->
+        s"""WITH bg AS (SELECT doc_id, ist,
+           |    ${h60("'dsir:' || g")} % 1024 AS b
+           |  FROM (SELECT doc_id, lang = 'en' AS ist,
+           |    unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> t[i]||' '||t[i+1])) AS g
+           |    FROM (SELECT doc_id, lang, $toks AS t FROM documents))),
+           |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+           |tb AS (SELECT b, count(*) AS cr,
+           |       sum(CASE WHEN ist THEN 1 ELSE 0 END) AS ct FROM bg GROUP BY 1),
+           |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM tb),
+           |lam AS (SELECT b,
+           |    (length(bin((ct+1)::BIGINT))-1) - (length(bin((cr+1)::BIGINT))-1)
+           |  + (length(bin((tr+1024)::BIGINT))-1) - (length(bin((tt+1024)::BIGINT))-1)
+           |    AS lam
+           |  FROM tb, tot)
+           |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+           |       sum(n * lam)::BIGINT AS score_bits
+           |FROM db JOIN lam USING (b) GROUP BY 1""".stripMargin,
+      // t32: the NB classifier, relationally. Dense label×bucket table via
+      // labels CROSS JOIN generate_series LEFT JOIN counts (unseen pairs
+      // carry the smoothing-only weight); the argmax tie-break (greater
+      // label on equal score) mirrors Spark's max(struct(score, label)).
+      "t32_nb_classifier" -> t32Sql,
+      "t33_stream_nb_parity" -> t32Sql,
+      // t40: distinct-token intersection against the same literal list
+      "t40_blocklist_gate" ->
+        s"""SELECT doc_id,
+           | len(list_intersect(list_distinct($toks), ['dup', 'spam', 'scan']))::BIGINT
+           |   AS n_blocked_terms,
+           | len(list_intersect(list_distinct($toks), ['dup', 'spam', 'scan'])) = 0 AS keep
+           |FROM documents""".stripMargin,
+      // t42: the same 4 BPE learn rounds as chained CTEs — identical
+      // double-space token-string representation, identical replace-based
+      // merge apply (SQL replace's non-overlapping left-to-right scan is
+      // BPE's greedy rule), identical (count DESC, "l r" ASC) tie-break
+      "t42_bpe_train" -> {
+        def pairsOf(v: String, p: String): String =
+          s"""$p AS (SELECT t[i] AS l, t[i+1] AS r, sum(n)::BIGINT AS cnt FROM (
+             |  SELECT string_split(trim(s), '  ') AS t, n,
+             |    unnest(generate_series(1, len(string_split(trim(s), '  ')) - 1)) AS i
+             |  FROM $v) GROUP BY 1, 2)""".stripMargin
+        def bestOf(p: String, b: String): String =
+          s"$b AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l || ' ' || r ASC LIMIT 1)"
+        def applyOf(v0: String, b: String, v1: String): String =
+          s"""$v1 AS (SELECT replace(s, ' ' || $b.l || '  ' || $b.r || ' ',
+             |  ' ' || $b.l || $b.r || ' ') AS s, n FROM $v0, $b)""".stripMargin
+        val rounds = (1 to 4).map { k =>
+          val prev = if (k == 1) "v0" else s"v${k - 1}"
+          Seq(pairsOf(prev, s"p$k"), bestOf(s"p$k", s"b$k")) ++
+            (if (k < 4) Seq(applyOf(prev, s"b$k", s"v$k")) else Nil)
+        }.flatten.mkString(",\n")
+        s"""WITH words AS (SELECT w, count(*)::BIGINT AS n FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE length(w) >= 2 GROUP BY 1),
+           |v0 AS (SELECT ' ' || array_to_string(list_transform(
+           |    generate_series(1, length(w)), i -> substr(w, i::INT, 1)), '  ')
+           |    || ' ' AS s, n FROM words),
+           |$rounds
+           |SELECT 1::BIGINT AS rank, l AS "left", r AS "right", cnt FROM b1
+           |UNION ALL SELECT 2, l, r, cnt FROM b2
+           |UNION ALL SELECT 3, l, r, cnt FROM b3
+           |UNION ALL SELECT 4, l, r, cnt FROM b4""".stripMargin
+      },
+      // t43: the t42 learn rounds re-derived, then the 4 merges applied
+      // to every document word — per-doc word/char/BPE token counts;
+      // LEFT JOIN keeps wordless docs at zero, like the Spark aggregates
+      "t43_bpe_encode" -> {
+        def pairsOf(v: String, p: String): String =
+          s"""$p AS (SELECT t[i] AS l, t[i+1] AS r, sum(n)::BIGINT AS cnt FROM (
+             |  SELECT string_split(trim(s), '  ') AS t, n,
+             |    unnest(generate_series(1, len(string_split(trim(s), '  ')) - 1)) AS i
+             |  FROM $v) GROUP BY 1, 2)""".stripMargin
+        def bestOf(p: String, b: String): String =
+          s"$b AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l || ' ' || r ASC LIMIT 1)"
+        def applyOf(v0: String, b: String, v1: String): String =
+          s"""$v1 AS (SELECT replace(s, ' ' || $b.l || '  ' || $b.r || ' ',
+             |  ' ' || $b.l || $b.r || ' ') AS s, n FROM $v0, $b)""".stripMargin
+        val rounds = (1 to 4).map { k =>
+          val prev = if (k == 1) "v0" else s"v${k - 1}"
+          Seq(pairsOf(prev, s"p$k"), bestOf(s"p$k", s"b$k")) ++
+            (if (k < 4) Seq(applyOf(prev, s"b$k", s"v$k")) else Nil)
+        }.flatten.mkString(",\n")
+        s"""WITH words AS (SELECT w, count(*)::BIGINT AS n FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE length(w) >= 2 GROUP BY 1),
+           |v0 AS (SELECT ' ' || array_to_string(list_transform(
+           |    generate_series(1, length(w)), i -> substr(w, i::INT, 1)), '  ')
+           |    || ' ' AS s, n FROM words),
+           |$rounds,
+           |dw AS (SELECT doc_id, w FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE w != ''),
+           |enc AS (SELECT doc_id, length(w) AS chars,
+           |  len(string_split(trim(
+           |    replace(replace(replace(replace(
+           |      ' ' || array_to_string(list_transform(
+           |        generate_series(1, length(w)), i -> substr(w, i::INT, 1)), '  ')
+           |        || ' ',
+           |      ' ' || b1.l || '  ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+           |      ' ' || b2.l || '  ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+           |      ' ' || b3.l || '  ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+           |      ' ' || b4.l || '  ' || b4.r || ' ', ' ' || b4.l || b4.r || ' ')),
+           |    '  ')) AS toks
+           |  FROM dw, b1, b2, b3, b4),
+           |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+           |    sum(chars)::BIGINT AS n_char_tokens,
+           |    sum(toks)::BIGINT AS n_bpe_tokens
+           |  FROM enc GROUP BY 1)
+           |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+           |  coalesce(a.n_char_tokens, 0) AS n_char_tokens,
+           |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens
+           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+      },
+      // t44: the identical integer BM25 — HUGEINT products, `//` floor
+      // division (all terms positive → = Spark's truncating `div`),
+      // the same literal VALUES query table
+      "t44_bm25" ->
+        """WITH q(query_id, term) AS (VALUES
+          |    (1, 'spark'), (1, 'query'), (1, 'fast'),
+          |    (2, 'table'), (2, 'scan'), (2, 'filter'),
+          |    (3, 'vector'), (3, 'merge'), (3, 'batch'), (3, 'window')),
+          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |corpus AS (SELECT count(*)::HUGEINT AS n_docs,
+          |             sum(len(t))::HUGEINT AS n_toks FROM toks),
+          |hits AS (SELECT doc_id, len(t)::HUGEINT AS dl, unnest(t) AS term
+          |         FROM toks),
+          |tf AS (SELECT doc_id, dl, term, count(*)::HUGEINT AS tf FROM hits
+          |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+          |dfq AS (SELECT term, count(*)::HUGEINT AS df_t FROM tf GROUP BY 1),
+          |sc AS (SELECT q.query_id, tf.doc_id,
+          |    (((n_docs - df_t) * 1000000 // n_docs) *
+          |     ((2200::HUGEINT * tf * n_toks * 1000000) //
+          |      (1000::HUGEINT * tf * n_toks + 300::HUGEINT * n_toks +
+          |       900::HUGEINT * dl * n_docs)) // 1000000) AS contrib
+          |  FROM tf JOIN dfq USING (term) CROSS JOIN corpus JOIN q USING (term)),
+          |agg AS (SELECT query_id, doc_id, sum(contrib)::BIGINT AS score_ppm
+          |        FROM sc GROUP BY 1, 2)
+          |SELECT * FROM (
+          |  SELECT query_id::BIGINT AS query_id, doc_id, score_ppm,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score_ppm DESC, doc_id ASC)::BIGINT AS rank
+          |  FROM agg) WHERE rank <= 10""".stripMargin,
+      // t45: the same md5 sampling coordinate (t18/t22's SQL twin),
+      // rank within (lang, source) by (coord, doc_id)
+      "t45_budget_sample" ->
+        """SELECT lang, source, doc_id, pick_rank, n_stratum FROM (
+          |  SELECT lang, source, doc_id,
+          |    row_number() OVER (PARTITION BY lang, source
+          |      ORDER BY c, doc_id)::BIGINT AS pick_rank,
+          |    count(*) OVER (PARTITION BY lang, source)::BIGINT AS n_stratum
+          |  FROM (SELECT lang, source, doc_id,
+          |          ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT
+          |            % 1000000 AS c
+          |        FROM documents))
+          |WHERE pick_rank <= 8""".stripMargin,
+      // t41: the canonical URL derived analytically from the same
+      // construction — host lowercased/www-stripped, :443 dropped and
+      // :8443 kept, slashes collapsed, trailing slash gone, utm dropped,
+      // query sorted (a < m < z), fragment discarded
+      "t41_url_profile" ->
+        """WITH d AS (
+          |  SELECT lower(source) || '.example.' ||
+          |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+          |         ELSE 'co.uk' END AS host,
+          |    'example.' ||
+          |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+          |         ELSE 'co.uk' END AS domain,
+          |    'https://' || lower(source) || '.example.' ||
+          |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+          |         ELSE 'co.uk' END ||
+          |    CASE WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END ||
+          |    '/docs/' || doc_id ||
+          |    '?a=' || (doc_id % 7) || '&m=2&z=9' AS url
+          |  FROM documents)
+          |SELECT domain, host, count(*)::BIGINT AS n_docs, min(url) AS url_min
+          |FROM d GROUP BY 1, 2""".stripMargin,
+      // t39: DuckDB's own NFC normalizer over the same decomposed fixture
+      // (chr(769) = combining acute, chr(64257) = fi ligature)
+      "t39_nfc_normalize" ->
+        """WITH d AS (SELECT doc_id,
+          | text || ' caf' || 'e' || chr(769) || ' ' || chr(64257) || 'n' AS text
+          | FROM documents)
+          |SELECT doc_id, nfc_normalize(text) AS text,
+          | (CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END)::BIGINT AS changed
+          |FROM d""".stripMargin,
+      // t37: the same regex chain in RE2 syntax ('g' flag — DuckDB
+      // replaces first-only by default, Spark globally)
+      "t37_unicode_scrub" ->
+        """SELECT doc_id,
+          | trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          |   '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}\x{200E}\x{200F}\x{202A}-\x{202E}]', '', 'g'),
+          |   '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+          |   '[\x{0000}-\x{001F}\x{007F}-\x{009F}]', ' ', 'g'),
+          |   ' {2,}', ' ', 'g')) AS text,
+          | (trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          |   '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}\x{200E}\x{200F}\x{202A}-\x{202E}]', '', 'g'),
+          |   '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+          |   '[\x{0000}-\x{001F}\x{007F}-\x{009F}]', ' ', 'g'),
+          |   ' {2,}', ' ', 'g')) != text)::BIGINT AS changed
+          |FROM documents""".stripMargin,
+      // t36: t25 nested + per-lang lower-discrete tercile cutoffs (the
+      // t13 convention) + the head/middle/tail CASE
+      "t36_ccnet_buckets" ->
+        s"""WITH px AS (SELECT p.doc_id, d.lang, p.mean_bits_ppm
+           |  FROM ($t25Sql) p JOIN documents d USING (doc_id)),
+           |h AS (SELECT lang, mean_bits_ppm AS v, count(*) AS cnt
+           |  FROM px GROUP BY 1, 2),
+           |cd AS (SELECT lang, v,
+           |    sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+           |    sum(cnt) OVER (PARTITION BY lang) AS tot FROM h),
+           |c1 AS (SELECT lang, min(v) AS c1 FROM cd WHERE cum * 3 >= tot GROUP BY 1),
+           |c2 AS (SELECT lang, min(v) AS c2 FROM cd WHERE cum * 3 >= 2 * tot GROUP BY 1)
+           |SELECT px.doc_id, px.lang, px.mean_bits_ppm,
+           |  CASE WHEN px.mean_bits_ppm <= c1.c1 THEN 'head'
+           |       WHEN px.mean_bits_ppm <= c2.c2 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM px JOIN c1 USING (lang) JOIN c2 USING (lang)""".stripMargin,
+      // t35: digest-level token counts per slice and corpus-wide; the
+      // FL2 quantization is the shared length(bin(n))-1 device
+      "t35_source_divergence" ->
+        s"""WITH tok AS (SELECT source AS slice, ${h60("'kl:' || w")} AS d
+           |  FROM (SELECT source, unnest($toks) AS w FROM documents)),
+           |st AS (SELECT slice, d, count(*)::BIGINT AS nst FROM tok GROUP BY 1, 2),
+           |ct AS (SELECT d, count(*)::BIGINT AS nt FROM tok GROUP BY 1),
+           |stot AS (SELECT slice, sum(nst)::BIGINT AS ns FROM st GROUP BY 1),
+           |tot AS (SELECT sum(nt)::BIGINT AS n FROM ct)
+           |SELECT st.slice, sum(st.nst)::BIGINT AS n_tokens,
+           |  sum(st.nst * (((length(bin(st.nst)) - 1) - (length(bin(stot.ns)) - 1))
+           |    - ((length(bin(ct.nt)) - 1) - (length(bin(tot.n)) - 1))))::BIGINT
+           |    AS divergence_bits
+           |FROM st JOIN ct USING (d) JOIN stot USING (slice) CROSS JOIN tot
+           |GROUP BY 1""".stripMargin,
+      // t34: the matrix over t32's rows (nested WITH in a subquery);
+      // row_ppm is truncating integer division in both engines
+      "t34_nb_confusion" ->
+        s"""WITH cells AS (SELECT d.lang AS truth, t.pred, count(*)::BIGINT AS n
+           |  FROM ($t32Sql) t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+           |rt AS (SELECT truth, sum(n) AS rtot FROM cells GROUP BY 1)
+           |SELECT c.truth, c.pred, c.n,
+           |  (c.n * 1000000 // r.rtot)::BIGINT AS row_ppm
+           |FROM cells c JOIN rt r USING (truth)""".stripMargin,
+      // t38: the v2 composition — d22's quality-keeper clustering, d19's
+      // k=3 contamination (reusing minhashCtes' kg), the ccnet verdicts,
+      // all intersected and aggregated per (lang, source)
+      "t38_training_pipeline_v2" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |p AS (SELECT a, b FROM est WHERE est_ppm >= 500000),
+           |nodes AS (SELECT a AS n FROM p UNION SELECT b FROM p),
+           |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+           |reach(n, m) AS (
+           |  SELECT n, n FROM nodes
+           |  UNION
+           |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+           |comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+           |qy AS (SELECT doc_id,
+           |  ((1000000 - (len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1000000 // length(text))
+           |    + (len(list_filter($toks, t -> list_contains($enStop, t))) * 1000000 // len($toks))
+           |    + (least(length(text), 500) * 1000000 // 500)) // 3)::BIGINT AS q
+           |  FROM documents),
+           |keepers AS (SELECT node AS keeper FROM (
+           |  SELECT comp.node, row_number() OVER (PARTITION BY comp.component
+           |    ORDER BY qy.q DESC, comp.node ASC) AS rn
+           |  FROM comp JOIN qy ON qy.doc_id = comp.node) WHERE rn = 1),
+           |drops AS (SELECT node FROM comp
+           |  WHERE node NOT IN (SELECT keeper FROM keepers)),
+           |gg AS (SELECT doc_id, unnest(gs) AS gram FROM kg),
+           |bench AS (SELECT doc_id AS bench_id, gram FROM gg WHERE doc_id % 25 = 0),
+           |cont AS (SELECT DISTINCT gg.doc_id
+           |         FROM gg JOIN bench b ON gg.gram = b.gram AND gg.doc_id != b.bench_id),
+           |$ccnetCtes,
+           |keep AS (SELECT doc_id FROM lok JOIN rules USING (doc_id) JOIN pok USING (doc_id)
+           |         WHERE lang_ok + rules_ok + ppl_ok = 3)
+           |SELECT d.lang, d.source, count(*)::BIGINT AS n_docs,
+           |       sum(len(string_split(d.text, ' ')))::BIGINT AS n_tokens
+           |FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT node FROM drops)
+           |  AND d.doc_id % 25 != 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+           |  AND d.doc_id IN (SELECT doc_id FROM keep)
+           |GROUP BY 1, 2""".stripMargin,
+      // t31: rank/cumsum over the distinct-token table; per-size max cum
+      "t31_vocab_coverage" ->
+        s"""WITH freq AS (SELECT token, count(*)::BIGINT AS n FROM (
+           |    SELECT unnest($toks) AS token FROM documents) GROUP BY 1),
+           |r AS (SELECT n,
+           |    row_number() OVER (ORDER BY n DESC, token ASC) AS rk,
+           |    sum(n) OVER (ORDER BY n DESC, token ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM freq),
+           |tot AS (SELECT sum(n) AS t FROM freq)
+           |SELECT k::BIGINT AS vocab_size,
+           |  ((SELECT max(cum) FROM r WHERE rk <= k) * 1000000 // t)::BIGINT
+           |    AS covered_ppm
+           |FROM (SELECT unnest([10, 100, 1000]) AS k), tot""".stripMargin,
+      // t30: stateless stream face — FULL parity with t24's SQL
+      "t30_stream_dsir_parity" ->
+        s"""WITH bg AS (SELECT doc_id, ist,
+           |    ${h60("'dsir:' || g")} % 1024 AS b
+           |  FROM (SELECT doc_id, lang = 'en' AS ist,
+           |    unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> t[i]||' '||t[i+1])) AS g
+           |    FROM (SELECT doc_id, lang, $toks AS t FROM documents))),
+           |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+           |tb AS (SELECT b, count(*) AS cr,
+           |       sum(CASE WHEN ist THEN 1 ELSE 0 END) AS ct FROM bg GROUP BY 1),
+           |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM tb),
+           |lam AS (SELECT b,
+           |    (length(bin((ct+1)::BIGINT))-1) - (length(bin((cr+1)::BIGINT))-1)
+           |  + (length(bin((tr+1024)::BIGINT))-1) - (length(bin((tt+1024)::BIGINT))-1)
+           |    AS lam
+           |  FROM tb, tot)
+           |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+           |       sum(n * lam)::BIGINT AS score_bits
+           |FROM db JOIN lam USING (b) GROUP BY 1""".stripMargin,
+      // t25: bigram-LM transition costs — FL2(c1+V) − FL2(c2+1) per
+      // transition; md5-60 digests keyed "lm1:"/"lm2:" as in Spark
+      "t25_lm_perplexity" -> t25Sql,
+      // t28: the t03 + t26 + t25 verdicts composed — one keep per doc;
+      // docs too short for bigrams drop with the LM verdict
+      "t28_ccnet_pipeline" ->
+        s"""WITH $ccnetCtes
+           |SELECT doc_id, lang_ok, rules_ok, ppl_ok,
+           |  (lang_ok + rules_ok + ppl_ok = 3)::BIGINT AS keep
+           |FROM lok JOIN rules USING (doc_id) JOIN pok USING (doc_id)""".stripMargin,
+      // t29: the composed pipeline — keepers ∩ keep ∩ sample draw, then
+      // the t19 packing cumsum over the survivor set at budget 2000
+      "t29_training_pipeline" ->
+        s"""WITH $ccnetCtes,
+           |keep AS (SELECT l.doc_id FROM lok l
+           |         JOIN rules USING (doc_id) JOIN pok USING (doc_id)
+           |         WHERE lang_ok + rules_ok + ppl_ok = 3),
+           |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |sel AS (SELECT d.doc_id, len($toks)::BIGINT AS n
+           |        FROM documents d
+           |        JOIN keepers USING (doc_id)
+           |        JOIN keep USING (doc_id)
+           |        WHERE (('0x' || substr(md5('sample:' || d.doc_id), 1, 15))::BIGINT
+           |               % 1000000) <
+           |          CASE d.lang WHEN 'en' THEN 900000 WHEN 'de' THEN 600000
+           |               WHEN 'es' THEN 600000 WHEN 'fr' THEN 600000
+           |               WHEN 'zh' THEN 300000 ELSE 500000 END),
+           |c AS (SELECT doc_id, n,
+           |      coalesce(sum(n) OVER (ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           |      FROM sel)
+           |SELECT (pre // 2000)::BIGINT AS shard_id, count(*)::BIGINT AS n_docs,
+           | sum(n)::BIGINT AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY 1""".stripMargin,
+      // t26: Gopher Appendix-A rules; word chars = chars − separators on
+      // the single-space corpus, ppm floors throughout
+      "t26_gopher_rules" ->
+        s"""WITH m AS (SELECT doc_id, len(t)::BIGINT AS n,
+           |    greatest(length(text) - (len(t) - 1), 0)::BIGINT AS wc,
+           |    len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::BIGINT AS na,
+           |    len(list_filter(list_distinct(t),
+           |        w -> list_contains($enStop, w)))::BIGINT AS ns
+           |  FROM (SELECT doc_id, text, $toks AS t FROM documents)),
+           |p AS (SELECT doc_id, n,
+           |    (wc * 1000000 // greatest(n, 1)) AS mlen,
+           |    (na * 1000000 // greatest(n, 1)) AS alpha, ns FROM m)
+           |SELECT doc_id, n AS n_tokens, mlen AS mean_word_len_ppm,
+           |  alpha AS alpha_word_ppm, ns AS n_stop_distinct,
+           |  (n < 50 OR n > 100000)::BIGINT AS fail_word_count,
+           |  (mlen < 3000000 OR mlen > 10000000)::BIGINT AS fail_mean_word_len,
+           |  (alpha < 800000)::BIGINT AS fail_alpha,
+           |  (ns < 2)::BIGINT AS fail_stop_distinct,
+           |  ((n >= 50 AND n <= 100000) AND (mlen >= 3000000 AND mlen <= 10000000)
+           |    AND alpha >= 800000 AND ns >= 2)::BIGINT AS pass
+           |FROM p""".stripMargin,
+      // t46: the v3 web-corpus composition — url-group keepers (d25's
+      // canonical groups ARE the res groups), md5-text keepers, the t26
+      // pass predicate, per-host rollup, and the 5-host PageRank CTEs
+      "t46_training_pipeline_v3" ->
+        s"""WITH d AS (SELECT doc_id, text, (doc_id // 4) AS res FROM documents),
+           |hd AS (SELECT doc_id, 'site' || (res % 5) || '.example.com' AS host, res FROM d),
+           |uk AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY res),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |gp AS (SELECT doc_id FROM (
+           |  SELECT doc_id, n, (wc * 1000000 // greatest(n, 1)) AS mlen,
+           |         (na * 1000000 // greatest(n, 1)) AS alpha, ns
+           |  FROM (SELECT doc_id, len(t)::BIGINT AS n,
+           |          greatest(length(text) - (len(t) - 1), 0)::BIGINT AS wc,
+           |          len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::BIGINT AS na,
+           |          len(list_filter(list_distinct(t),
+           |              w -> list_contains($enStop, w)))::BIGINT AS ns
+           |        FROM (SELECT doc_id, text, $toks AS t FROM documents)))
+           |  WHERE n >= 50 AND n <= 100000 AND mlen >= 3000000 AND mlen <= 10000000
+           |    AND alpha >= 800000 AND ns >= 2),
+           |cnt AS (SELECT host, count(*)::BIGINT AS n_docs FROM hd GROUP BY 1),
+           |ukc AS (SELECT host, count(*)::BIGINT AS n_url_keep
+           |        FROM hd JOIN uk USING (doc_id) GROUP BY 1),
+           |fc AS (SELECT host, count(*)::BIGINT AS n_final
+           |       FROM hd JOIN uk USING (doc_id) JOIN ek USING (doc_id)
+           |            JOIN gp USING (doc_id) GROUP BY 1),
+           |ks AS (SELECT DISTINCT (res % 5) AS k FROM d),
+           |edges AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT 'site' || k || '.example.com' AS src,
+           |         'site' || ((k * 2 + 1) % 5) || '.example.com' AS dst FROM ks
+           |  UNION ALL
+           |  SELECT 'site' || k || '.example.com',
+           |         'site' || ((k * k + 1) % 5) || '.example.com' FROM ks)),
+           |nodes AS (SELECT DISTINCT host FROM
+           |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+           |cst AS (SELECT (1000000000000 // count(*))::BIGINT AS r0,
+           |          ((1000000000000 // count(*)) * 150000 // 1000000)::BIGINT AS b
+           |        FROM nodes),
+           |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+           |pr0 AS (SELECT host, (SELECT r0 FROM cst) AS pr FROM nodes),
+           |pc1 AS (SELECT e.dst AS host, sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+           |        FROM edges e JOIN pr0 r ON e.src = r.host JOIN od ON e.src = od.src
+           |        GROUP BY 1),
+           |pr1 AS (SELECT nodes.host, ((SELECT b FROM cst) + coalesce(pc1.s, 0))::BIGINT AS pr
+           |        FROM nodes LEFT JOIN pc1 ON nodes.host = pc1.host),
+           |pc2 AS (SELECT e.dst AS host, sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+           |        FROM edges e JOIN pr1 r ON e.src = r.host JOIN od ON e.src = od.src
+           |        GROUP BY 1),
+           |pr2 AS (SELECT nodes.host, ((SELECT b FROM cst) + coalesce(pc2.s, 0))::BIGINT AS pr
+           |        FROM nodes LEFT JOIN pc2 ON nodes.host = pc2.host)
+           |SELECT cnt.host, cnt.n_docs,
+           |  coalesce(ukc.n_url_keep, 0)::BIGINT AS n_url_keep,
+           |  coalesce(fc.n_final, 0)::BIGINT AS n_final,
+           |  coalesce(pr2.pr, 0)::BIGINT AS pagerank
+           |FROM cnt LEFT JOIN ukc USING (host) LEFT JOIN fc USING (host)
+           |LEFT JOIN pr2 ON cnt.host = pr2.host""".stripMargin,
+      // t27: vocab = top-1000 (count DESC, token ASC) — a total order, so
+      // the LIMIT is deterministic; OOV = absent from it
+      "t27_oov_rate" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |vc AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok
+           |       GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 1000))
+           |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           |  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           |  (sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+           |     // count(*))::BIGINT AS oov_ppm
+           |FROM tok LEFT JOIN vc v ON tok.token = v.token GROUP BY 1""".stripMargin,
+      "t09_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE (('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000000) <
+          |  CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 600000 WHEN 'es' THEN 600000
+          |            WHEN 'fr' THEN 600000 WHEN 'zh' THEN 300000 ELSE 500000 END""".stripMargin,
+      "t10_mixture" ->
+        s"""WITH per AS (SELECT lang, source, count(*)::BIGINT AS n_docs,
+           |  sum(len($toks))::BIGINT AS n_tokens, sum(length(text))::BIGINT AS n_chars
+           |  FROM documents GROUP BY 1, 2),
+           |tot AS (SELECT count(*)::BIGINT AS total FROM documents)
+           |SELECT lang, source, n_docs, n_tokens, n_chars,
+           | (n_docs * 1000000 // tot.total)::BIGINT AS doc_share_ppm
+           |FROM per, tot""".stripMargin,
+      "t12_mixture_rollup" ->
+        s"""SELECT lang, source, count(*)::BIGINT AS n_docs,
+           | sum(len($toks))::BIGINT AS n_tokens,
+           | sum(length(text))::BIGINT AS n_chars,
+           | GROUPING(lang, source)::BIGINT AS grouping_level
+           |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+      "t13_length_quantiles" ->
+        """WITH h AS (SELECT lang, length(text)::BIGINT AS len, count(*)::BIGINT AS cnt
+          |           FROM documents GROUP BY 1, 2),
+          |c AS (SELECT lang, len, cnt,
+          |        sum(cnt) OVER (PARTITION BY lang ORDER BY len) AS cum,
+          |        sum(cnt) OVER (PARTITION BY lang) AS n FROM h)
+          |SELECT lang, p_ppm, len
+          |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
+          |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
+          |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
+      "t14_token_spectrum" ->
+        s"""SELECT n AS n_occurrences, count(*)::BIGINT AS n_tokens
+           |FROM (SELECT count(*)::BIGINT AS n
+           |      FROM (SELECT unnest($toks) AS tok FROM documents)
+           |      GROUP BY tok)
+           |GROUP BY 1""".stripMargin,
+      "t15_pii_scrub" ->
+        """WITH t AS (SELECT c_custkey AS custkey,
+          |  c_name || ' <customer' || c_custkey::VARCHAR ||
+          |  '@shop.example.com> ip 10.' || (c_custkey % 250)::VARCHAR ||
+          |  '.0.' || c_nationkey::VARCHAR || ' acct ' ||
+          |  (c_custkey * 1009 + 1000000)::VARCHAR AS text FROM customer),
+          |s1 AS (SELECT custkey, text,
+          |  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+          |    '<EMAIL>', 'g') AS no_email FROM t),
+          |s2 AS (SELECT *, regexp_replace(no_email,
+          |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS no_ip
+          |  FROM s1)
+          |SELECT custkey,
+          | len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+          | len(regexp_extract_all(no_email, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips,
+          | len(regexp_extract_all(no_ip, '[0-9]{6,}'))::BIGINT AS n_longnums,
+          | regexp_replace(no_ip, '[0-9]{6,}', '<NUM>', 'g') AS redacted
+          |FROM s2""".stripMargin,
+      "t11_chunks" ->
+        s"""SELECT doc_id, i::BIGINT AS chunk_idx,
+           | least(32, len(t) - i*32)::BIGINT AS n_chunk_tokens,
+           | md5(array_to_string(t[i*32+1 : i*32+32], ' ')) AS chunk_md5
+           |FROM (SELECT doc_id, $toks AS t FROM documents)
+           |CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+           |WHERE i <= ceil(len(t)/32.0) - 1""".stripMargin,
+      "t05_winnow" ->
+        s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents)),
+           |hs AS (SELECT doc_id, list_transform(gs, g -> ${h60("g")}) AS h FROM kg),
+           |wins AS (SELECT doc_id,
+           |  CASE WHEN len(h) >= 4 THEN list_transform(generate_series(1, len(h)-3), i -> list_min(h[i:i+3]))
+           |       WHEN len(h) > 0 THEN [list_min(h)] ELSE [] END AS ws FROM hs)
+           |SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint FROM wins""".stripMargin,
+      "t17_bigram_novelty" ->
+        s"""WITH bg AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+           |    i -> t[i]||' '||t[i+1])) AS g
+           |  FROM (SELECT doc_id, $toks AS t FROM documents))),
+           |dfq AS (SELECT gh, count(*) AS df FROM bg GROUP BY 1)
+           |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           | sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           | (sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+           |   AS novelty_ppm
+           |FROM bg JOIN dfq USING (gh) GROUP BY 1""".stripMargin,
+      "t18_train_split" ->
+        s"""SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |      ELSE 'test' END AS split,
+           | lang, source, count(*)::BIGINT AS n_docs,
+           | sum(len($toks))::BIGINT AS n_tokens
+           |FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b,
+           |      lang, source, text FROM documents)
+           |GROUP BY 1, 2, 3""".stripMargin,
+      "t19_shard_packing" ->
+        s"""WITH n AS (SELECT doc_id, len($toks)::BIGINT AS n FROM documents),
+           |c AS (SELECT doc_id, n,
+           |      coalesce(sum(n) OVER (ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           |      FROM n)
+           |SELECT (pre // 50000)::BIGINT AS shard_id, count(*)::BIGINT AS n_docs,
+           | sum(n)::BIGINT AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY 1""".stripMargin,
+      "t20_bm25" ->
+        s"""WITH d AS (SELECT doc_id, len($toks)::BIGINT AS dl,
+           |    len(list_filter($toks, x -> x = 'dup'))::BIGINT AS tf0,
+           |    len(list_filter($toks, x -> x = 'scan'))::BIGINT AS tf1,
+           |    len(list_filter($toks, x -> x = 'key'))::BIGINT AS tf2
+           |  FROM documents),
+           |s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tt,
+           |    sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+           |    sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+           |    sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END)::BIGINT AS df2 FROM d)
+           |SELECT doc_id,
+           |  (CASE WHEN tf0>0 THEN ((n*1000)//df0)*tf0*2200000
+           |     // (tf0*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END
+           | + CASE WHEN tf1>0 THEN ((n*1000)//df1)*tf1*2200000
+           |     // (tf1*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END
+           | + CASE WHEN tf2>0 THEN ((n*1000)//df2)*tf2*2200000
+           |     // (tf2*1000000 + (1200000*(250000 + (750000*dl*n)//tt))//1000000) ELSE 0 END)::BIGINT AS score_m
+           |FROM d CROSS JOIN s
+           |WHERE tf0>0 OR tf1>0 OR tf2>0
+           |ORDER BY score_m DESC, doc_id LIMIT 10""".stripMargin,
+      // t21: d13's chunk CTE keyed by chunk text (md5 is injective on this
+      // corpus — d13 already rests on that); string_agg ORDER BY chunk_idx
+      // mirrors the array_sort reassembly
+      "t21_boilerplate" ->
+        s"""WITH ch AS (
+           |  SELECT doc_id, i::BIGINT AS chunk_idx,
+           |    array_to_string(t[i*8+1 : i*8+8], ' ') AS chunk
+           |  FROM (SELECT doc_id, $toks AS t FROM documents)
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+           |  WHERE i <= ceil(len(t)/8.0) - 1),
+           |boil AS (SELECT chunk FROM ch GROUP BY 1 HAVING count(*) > 2),
+           |surv AS (SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM boil)),
+           |re AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_scrubbed,
+           |       count(*)::BIGINT AS n_kept FROM surv GROUP BY 1),
+           |nc AS (SELECT doc_id, ceil(len($toks)/8.0)::BIGINT AS n_chunks FROM documents)
+           |SELECT nc.doc_id, coalesce(re.text_scrubbed, '') AS text_scrubbed,
+           |  coalesce(re.n_kept, 0)::BIGINT AS n_kept,
+           |  (nc.n_chunks - coalesce(re.n_kept, 0))::BIGINT AS n_dropped
+           |FROM nc LEFT JOIN re ON nc.doc_id = re.doc_id""".stripMargin,
+      "t16_quality_gate" ->
+        s"""WITH s AS (SELECT doc_id, len($toks) AS nt,
+           |  len(list_distinct($toks)) AS nd,
+           |  len(list_filter($toks, t -> list_contains($enStop, t))) AS ns,
+           |  greatest(length(text), 1) AS nc,
+           |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS np
+           |  FROM documents)
+           |SELECT doc_id, nt::BIGINT AS n_tokens,
+           | (CASE WHEN nt < 30 THEN 1 ELSE 0 END)::BIGINT AS fail_short,
+           | (CASE WHEN ns*1000000//nt < 30000 THEN 1 ELSE 0 END)::BIGINT AS fail_stopword,
+           | (CASE WHEN (nt-nd)*1000000//nt > 600000 THEN 1 ELSE 0 END)::BIGINT AS fail_repetition,
+           | (CASE WHEN np*1000000//nc > 100000 THEN 1 ELSE 0 END)::BIGINT AS fail_punct,
+           | (CASE WHEN nt >= 30 AND ns*1000000//nt >= 30000
+           |        AND (nt-nd)*1000000//nt <= 600000
+           |        AND np*1000000//nc <= 100000 THEN 1 ELSE 0 END)::BIGINT AS pass
+           |FROM s""".stripMargin,
+  )
+}
