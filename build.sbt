@@ -9,6 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Optional REAL AWS SDK jars for RealSdkShapesSpec (which self-skips when
+// absent — they are absent in this zero-egress container): drop
+// software.amazon.awssdk kinesis+core jars into lib/aws-sdk/ or point
+// GRAFT_AWS_SDK_JARS at a directory. No resolution happens — unmanaged.
+Test / unmanagedJars ++= {
+  val dir = file(sys.env.getOrElse("GRAFT_AWS_SDK_JARS", "lib/aws-sdk"))
+  if (dir.isDirectory) (dir ** "*.jar").classpath else Seq.empty
+}
 Test / fork := true
 run / fork := true
 // Forked run output passes through UNPREFIXED: sbt's default LoggedOutput

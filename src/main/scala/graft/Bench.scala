@@ -60,6 +60,11 @@ object Bench {
       println(s"""{"metric":"total","value":null,"unit":"sec","error":"concurrent_jvm","n_concurrent":${others.size}}""")
       sys.exit(3)
     }
+    // `guarded` rides the output JSON: true iff the concurrent-JVM guard
+    // held for this run (no other JVM at start, no override) — the field
+    // the round artifact needs so the committed number and the adjudicated
+    // number are the same number.
+    val guarded = others.isEmpty
     val cpu0 = hostCpuJiffies()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Streaming TEMP checkpoints land in java.io.tmpdir (not
@@ -209,7 +214,16 @@ object Bench {
     val hostBusy = (for { (b0, t0) <- cpu0; (b1, t1) <- hostCpuJiffies() }
       yield if (t1 > t0) f"${(b1 - b0).toDouble / (t1 - t0)}%.3f" else "null")
       .getOrElse("null")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"host_busy_frac":$hostBusy,"sf":"$sfDir"}"""
+    // Busy-fraction threshold (host-wide /proc/stat): local[32] on this
+    // host's core count explains ~0.25; readings at/above it mean a
+    // noisy-neighbor window overlapped the run — flag it loudly so the
+    // reading is adjudicated instead of trusted.
+    try if (hostBusy != "null" && hostBusy.toDouble >= 0.25)
+      System.err.println(s"[bench] WARNING: host_busy_frac=$hostBusy ≥ 0.25 — " +
+        "a noisy-neighbor window likely overlapped this run; prefer a " +
+        "quieter re-run for the round artifact")
+    catch { case _: NumberFormatException => () }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"host_busy_frac":$hostBusy,"guarded":$guarded,"sf":"$sfDir"}"""
     // the totals line is the hard signal: ALSO write it to a file so it
     // survives any log-tail truncation by the per-query diagnostics
     // (round 3's driver capture lost it exactly that way)
@@ -227,7 +241,7 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (p, qs2) => s"\"${p}_set\":${qs2.values.sum}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$bySet,"n_queries":${results.size},"n_failed":${errors.size},"host_busy_frac":$hostBusy,"sf":"$sfDir","detail":"bench_totals.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$bySet,"n_queries":${results.size},"n_failed":${errors.size},"host_busy_frac":$hostBusy,"guarded":$guarded,"sf":"$sfDir","detail":"bench_totals.json"}""")
     System.out.flush()
     spark.stop()
   }

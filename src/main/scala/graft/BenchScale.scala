@@ -44,7 +44,12 @@ object BenchScale {
     "g01_host_pagerank", "g02_host_hits", "g04_neighborhood_gate",
     // round-9 LSH k-NN graph (bucket-bounded pair work) and the v3
     // pipeline composition (semi-join stages over one corpus)
-    "s22_knn_graph", "t46_training_pipeline_v3")
+    "s22_knn_graph", "t46_training_pipeline_v3",
+    // round-10 widening: the remaining join/eval queries that recorded
+    // exponents without being in the sweep — retrieval eval (truth join),
+    // hour-over-hour lag (hours×types window), batch BM25 (terms×docs
+    // join with DECIMAL idf)
+    "s23_mrr_eval", "e15_count_deltas", "t44_bm25")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded
@@ -55,15 +60,11 @@ object BenchScale {
     * this keeps that claim checked).
     */
   def assertSet: Seq[String] =
-    Queries.filter(q => q.startsWith("d") || q.startsWith("s")) ++
-      Seq("m11_gif_neardup", "m12_gif_run_align",
-        // the BPE trainer is t-prefixed but iterative — gate it with the
-        // other control-loop trainers (s20 enters via the s-filter)
-        "t42_bpe_train",
-        // the graph control loops: iterative like the trainers
-        "g01_host_pagerank", "g02_host_hits", "g04_neighborhood_gate",
-        // the v3 pipeline composition (t-prefixed, stage-composed)
-        "t46_training_pipeline_v3")
+    // Round-10 widening (VERDICT r9 item 5): every swept query with a
+    // join or an iterative loop is gated — which is the whole sweep; the
+    // exemption that keeps noise out of the gate is the sub-1s rule in
+    // the per-query `gated` computation, not membership here.
+    Queries
 
   /** The table whose row count is the query's input size (rows/sec
     * denominator): d/t/m-queries scan documents, s-queries embeddings,

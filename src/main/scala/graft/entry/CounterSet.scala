@@ -697,6 +697,34 @@ private[graft] object CounterSet {
     // engine-extension counter TYPES through the config surface: exact
     // per-window p90 of the record value as a value_quantile counter
     // (single-phase; the O13 record carries the quantile in `value`)
+    // O14 round-10 tranche: @base64/@csv format strings, the label/break
+    // early-termination subset (truncation at the first violating stream
+    // element), and a COLUMN-VALUED test() pattern (the dynamic-regex
+    // lowering) — all in one program over the counter output
+    "c73_jq_formats_label" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount)
+          .withColumn("re", concat(lit("^[0-9]{"),
+            (col("value") % 3 + 1).cast("string"), lit("}$"))),
+        """(.value % 9 + 1) as $v
+          || {t: .window_start,
+          |   b64: (.counter_id | @base64),
+          |   csv: ([.value, $v] | @csv),
+          |   cut: [label $out | range(10) | if . * $v > 12 then break $out else . end],
+          |   dyn: ((.value | tostring) | test(.re))}""".stripMargin)),
+    // O14 round-10: the multi-target assignment ASYMMETRY in one oracle
+    // row — `(.a,.b) = E` binds E ONCE against the original input (jq's
+    // gen_update $tmp), while `(.c,.d) |= f` re-evaluates f per path from
+    // each target's own old value
+    "c74_jq_multiassign" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount)
+          .select(col("window_start").as("t"), col("value").as("a"),
+            (col("value") % 7).as("b"), (col("value") % 5).as("c"),
+            (col("value") % 3).as("d")),
+        """(.a, .b) = .a + .b
+          || (.c, .d) |= . * 2 + 1
+          || {t: .t, a: .a, b: .b, c: .c, d: .d}""".stripMargin)),
     "c40_quantile_counter" -> ((s, dir) =>
       Counters.run(events(s, dir), "ts", cValueP90)),
     // top-3 users per window as a heavy_hitters counter, run through the
@@ -820,6 +848,29 @@ private[graft] object CounterSet {
       "c01_window_count" ->
         s"""SELECT $win, 'request_count' AS counter_id, 'count' AS counter_type,
            | count(*) AS value FROM events GROUP BY 1, 2""".stripMargin,
+      // c73: @base64 via encode+base64, @csv as string concat, the
+      // label/break truncation recomputed as a filter (the stop predicate
+      // e*v > 12 is monotone in e, so truncate-at-first ≡ keep-while),
+      // dynamic test() as regexp_matches with the same computed pattern
+      "c73_jq_formats_label" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS value FROM events GROUP BY 1),
+          |d AS (SELECT t, value, value % 9 + 1 AS v FROM c)
+          |SELECT t,
+          |  base64(encode('request_count')) AS b64,
+          |  value::VARCHAR || ',' || v::VARCHAR AS csv,
+          |  to_json([x FOR x IN [0,1,2,3,4,5,6,7,8,9] IF x * v <= 12])::VARCHAR AS cut,
+          |  regexp_matches(value::VARCHAR,
+          |    '^[0-9]{' || (value % 3 + 1)::VARCHAR || '}$') AS dyn
+          |FROM d""".stripMargin,
+      // c74: bind-once (= both targets get a+b of the ORIGINAL) vs
+      // per-path |= (each target from its own old value)
+      "c74_jq_multiassign" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS value FROM events GROUP BY 1)
+          |SELECT t, value + (value % 7) AS a, value + (value % 7) AS b,
+          |  (value % 5) * 2 + 1 AS c, (value % 3) * 2 + 1 AS d
+          |FROM c""".stripMargin,
       // c40: exact lower discrete p90 per window (histogram + cumulative
       // pick — the value passes through untouched, so doubles are exact)
       "c40_quantile_counter" ->

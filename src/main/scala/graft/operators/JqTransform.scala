@@ -416,6 +416,40 @@ object JqTransform {
     "until" ->
       "def until(cond; update): if cond then . else (update | until(cond; update)) end; ")
 
+  /** Plan-time environment snapshot backing jq's `env` / `$ENV`
+    * (`counter.go:439-466` accepts any gojq program; gojq's env reads the
+    * process environment at evaluation time). Captured once per JVM on
+    * first use, on the DRIVER — the deterministic choice on a cluster,
+    * where executor environments may differ, and jq's own model (the env
+    * is fixed for the life of the process). Rendered as a string→string
+    * map; key order is irrelevant to jq object semantics.
+    */
+  private lazy val envSnapshot: Map[String, String] = sys.env.toMap
+
+  /** Builtins REJECTED loudly with the row-model rationale (the
+    * documented-rejection tranche): each record is exactly ONE jq input
+    * document — the reference drives gojq one Kinesis record at a time
+    * (`counter.go:439-466`) — so multi-document cursors and process
+    * control have no analog here, and a silent approximation would be
+    * worse than a loud wall.
+    */
+  private val RejectedBuiltins: Map[String, String] = {
+    val input = "jq_expr: input/inputs is out of the row-model scope: " +
+      "each record is exactly ONE jq input document (the reference runs " +
+      "gojq once per Kinesis record), so there is no next-document cursor " +
+      "to read; restructure as a column over all records instead"
+    val stream = "jq_expr: tostream/fromstream is out of the row-model " +
+      "scope: the stream form decomposes one document into [path, leaf] " +
+      "event pairs whose shapes differ per row — a static-schema column " +
+      "cannot hold them; use paths/leaf_paths/getpath for path-level reads"
+    val halt = "jq_expr: halt/halt_error terminates a CLI process; a " +
+      "distributed query has no process to halt — filter rows with " +
+      "select() or fail loudly with a guarded expression instead"
+    Map("input" -> input, "inputs" -> input,
+      "tostream" -> stream, "fromstream" -> stream,
+      "halt" -> halt, "halt_error" -> halt)
+  }
+
   private def stripDefs(src: String): (Map[String, JqDef], String) = {
     var defs = Map.empty[String, JqDef]
     var s = PreludeDefs.foldRight(src) { case ((n, d), acc) =>
@@ -3058,11 +3092,14 @@ object JqTransform {
           // splices around the first match: prefix + rebuilt replacement
           // (regexp_extract per named ref — first-match groups, exactly
           // sub's) + suffix.
+          // Round 10: the pattern may also be COLUMN-VALUED (computed
+          // regex); the replacement must then be capture-free (named
+          // ${…} refs cannot be validated against an unknown pattern).
           expect('('); skipWs()
-          if (peek != '"')
-            throw new IllegalArgumentException(
-              s"jq_expr: $fn() requires a string-literal regex")
-          val rawPat = parseStringLit()
+          val patLit: Option[String] =
+            if (peek == '"') Some(parseStringLit()) else None
+          val patDyn: Option[V] =
+            if (patLit.isEmpty) Some(parseValue()) else None
           skipWs(); expect(';'); skipWs()
           if (peek != '"')
             throw new IllegalArgumentException(
@@ -3097,57 +3134,120 @@ object JqTransform {
               parseStringLit()
             } else ""
           expect(')')
-          val pat = regexWithFlags(rawPat, flags)
-          val groups = captureGroups(rawPat)
-          val named = groups.collect { case (Some(n), gi) => (n, gi) }.toMap
           val repl = segs.result()
-          repl.foreach {
-            case Right(n) if !named.contains(n) =>
-              throw new IllegalArgumentException(
-                s"jq_expr: $fn() replacement references (?<$n>…) which the " +
-                  s"pattern does not define (named groups: ${named.keys.mkString(", ")})")
-            case _ => ()
-          }
           val vv = v
-          if (fn == "gsub") {
-            // Java replacement syntax: literal \ and $ must be escaped,
-            // named refs become ${name}
-            val javaRepl = repl.map {
-              case Left(lit0) => lit0.replace("\\", "\\\\").replace("$", "\\$")
-              case Right(n) => "${" + n + "}"
-            }.mkString
-            v = df => regexp_replace(vv(df), lit(pat), lit(javaRepl))
-          } else {
-            v = df => {
-              val c = vv(df)
-              val pos = regexp_instr(c, lit(pat)) // 1-based, 0 = no match
-              val m = regexp_substr(c, lit(pat))
-              val rebuilt =
-                if (repl.isEmpty) lit("")
-                else concat(repl.map {
-                  case Left(lit0) => lit(lit0)
-                  case Right(n) => regexp_extract(c, pat, named(n))
-                }: _*)
-              when(pos > lit(0),
-                concat(c.substr(lit(1), pos - lit(1)), rebuilt,
-                  c.substr(pos + length(m), length(c))))
-                .otherwise(c)
-            }
+          (patLit, patDyn) match {
+            case (Some(rawPat), _) =>
+              val pat = regexWithFlags(rawPat, flags)
+              val groups = captureGroups(rawPat)
+              val named = groups.collect { case (Some(n), gi) => (n, gi) }.toMap
+              repl.foreach {
+                case Right(n) if !named.contains(n) =>
+                  throw new IllegalArgumentException(
+                    s"jq_expr: $fn() replacement references (?<$n>…) which the " +
+                      s"pattern does not define (named groups: ${named.keys.mkString(", ")})")
+                case _ => ()
+              }
+              if (fn == "gsub") {
+                // Java replacement syntax: literal \ and $ must be escaped,
+                // named refs become ${name}
+                val javaRepl = repl.map {
+                  case Left(lit0) => lit0.replace("\\", "\\\\").replace("$", "\\$")
+                  case Right(n) => "${" + n + "}"
+                }.mkString
+                v = df => regexp_replace(vv(df), lit(pat), lit(javaRepl))
+              } else {
+                v = df => {
+                  val c = vv(df)
+                  val pos = regexp_instr(c, lit(pat)) // 1-based, 0 = no match
+                  val m = regexp_substr(c, lit(pat))
+                  val rebuilt =
+                    if (repl.isEmpty) lit("")
+                    else concat(repl.map {
+                      case Left(lit0) => lit(lit0)
+                      case Right(n) => regexp_extract(c, pat, named(n))
+                    }: _*)
+                  when(pos > lit(0),
+                    concat(c.substr(lit(1), pos - lit(1)), rebuilt,
+                      c.substr(pos + length(m), length(c))))
+                    .otherwise(c)
+                }
+              }
+            case (None, Some(patV)) =>
+              repl.foreach {
+                case Right(n) => throw new IllegalArgumentException(
+                  s"jq_expr: $fn() with a computed pattern cannot validate " +
+                    s"the named-capture reference \\(.$n) — use a literal " +
+                    "pattern or a capture-free replacement")
+                case _ => ()
+              }
+              flags.foreach(f => require("ixsm".contains(f),
+                s"jq_expr: unsupported regex flag '$f' (supported: i, x, s, m)"))
+              val litRepl = repl.collect { case Left(l) => l }.mkString
+              def patCol(df: DataFrame): Column = {
+                val p0 = patV(df).cast("string")
+                if (flags.isEmpty) p0 else concat(lit(s"(?$flags)"), p0)
+              }
+              if (fn == "gsub") {
+                val javaRepl = litRepl.replace("\\", "\\\\").replace("$", "\\$")
+                v = df => regexp_replace(vv(df), patCol(df), lit(javaRepl))
+              } else {
+                v = df => {
+                  val c = vv(df)
+                  val p = patCol(df)
+                  val pos = regexp_instr(c, p)
+                  val m = regexp_substr(c, p)
+                  when(pos > lit(0),
+                    concat(c.substr(lit(1), pos - lit(1)), lit(litRepl),
+                      c.substr(pos + length(m), length(c))))
+                    .otherwise(c)
+                }
+              }
+            case _ => throw new IllegalStateException("unreachable")
           }
         } else if (fn == "test" || fn == "match" || fn == "capture") {
           // jq regex builtins over Java regex (PCRE-adjacent — the common
           // \d/\w/anchors/groups/named-groups subset is identical; jq's
-          // engine is oniguruma, divergence documented). Pattern and flags
-          // must be string LITERALS: the plan compiles ONE pattern — a
-          // per-row pattern would defeat codegen, and jq programs use
-          // literal patterns in practice. `match` yields jq's match object
-          // {offset, length, string, captures}; no-match yields null (the
-          // skip-on-error analog of jq's empty stream, as with tonumber);
-          // `capture` yields the named-groups object, null on no match.
+          // engine is oniguruma, divergence documented). `match` yields
+          // jq's match object {offset, length, string, captures}; no-match
+          // yields null (the skip-on-error analog of jq's empty stream, as
+          // with tonumber); `capture` yields the named-groups object, null
+          // on no match.
+          //
+          // Round 10: `test` also accepts a COLUMN-VALUED pattern (jq
+          // allows computed regexes) — Spark's RLike/RegExp kernels
+          // recompile per distinct pattern with a last-pattern cache, so a
+          // low-cardinality pattern column stays cheap. match/capture stay
+          // literal-only: their output COLUMNS (capture group names/count)
+          // are part of the static schema, which a dynamic pattern cannot
+          // determine — that rejection is loud below.
           expect('('); skipWs()
-          if (peek != '"')
-            throw new IllegalArgumentException(
-              s"jq_expr: $fn() requires a string-literal regex")
+          if (peek != '"') {
+            if (fn != "test")
+              throw new IllegalArgumentException(
+                s"jq_expr: $fn() requires a string-literal regex — its " +
+                  "capture-group output shape is static schema; for a " +
+                  "computed pattern use test() or scan()")
+            val patV = parseValue()
+            skipWs()
+            val flags =
+              if (peek == ';') {
+                next(); skipWs()
+                if (peek != '"')
+                  throw new IllegalArgumentException(
+                    "jq_expr: test() flags must be a string literal")
+                parseStringLit()
+              } else ""
+            expect(')')
+            flags.foreach(f => require("ixsm".contains(f),
+              s"jq_expr: unsupported regex flag '$f' (supported: i, x, s, m)"))
+            val vv = v
+            v = df => {
+              val p0 = patV(df).cast("string")
+              val p = if (flags.isEmpty) p0 else concat(lit(s"(?$flags)"), p0)
+              regexp_like(vv(df), p)
+            }
+          } else {
           val rawPat = parseStringLit()
           skipWs()
           val flags =
@@ -3194,6 +3294,7 @@ object JqTransform {
                   regexp_extract(c, pat, gi).as(n) }: _*))
               }
           }
+          } // literal-pattern branch
         } else if (fn == "split") {
           // jq split(s) is a LITERAL separator; split(re; flags) is the
           // regex form (the two-arg shape makes the first arg a regex in
@@ -3224,16 +3325,20 @@ object JqTransform {
           // value — ≡ .a.b, with jq's never-error convention (missing
           // fields and non-objects read as null); variant values (the
           // `..` stream) navigate via try_variant_get
+          // Round 10: segments may also be COMPUTED (`getpath(["a", .k])`)
+          // — the path ARRAY itself stays a bracket literal (static
+          // length/shape), but each element may be any string expression.
+          // A computed segment walks maps by key lookup and structs by a
+          // CASE over the statically-known field names (which therefore
+          // must share one type at that level — loud otherwise).
           expect('('); skipWs(); expect('['); skipWs()
-          val segs = Seq.newBuilder[String]
+          val segs = Seq.newBuilder[Either[String, V]]
           if (peek != ']') {
             var more = true
             while (more) {
               skipWs()
-              if (peek != '"')
-                throw new IllegalArgumentException(
-                  "jq_expr: getpath() requires string-literal path segments")
-              segs += parseStringLit()
+              if (peek == '"') segs += Left(parseStringLit())
+              else segs += Right(parseValue())
               skipWs()
               if (peek == ',') next() else more = false
             }
@@ -3241,7 +3346,44 @@ object JqTransform {
           skipWs(); expect(']'); skipWs(); expect(')')
           val p = segs.result()
           val vv = v
-          v = df => walkPath(dtOfV(df, vv), vv(df), p.toList)
+          if (p.forall(_.isLeft))
+            v = df => walkPath(dtOfV(df, vv), vv(df),
+              p.collect { case Left(s0) => s0 }.toList)
+          else v = df => {
+            def walkDyn(dt: DataType, c: Column,
+                        rest: List[Either[String, V]]): Column = rest match {
+              case Nil => c
+              case Left(name) :: t => dt match {
+                case st: StructType => st.fields.find(_.name == name) match {
+                  case Some(f) => walkDyn(f.dataType, c.getField(f.name), t)
+                  case None => lit(null)
+                }
+                case mt: MapType =>
+                  walkDyn(mt.valueType, try_element_at(c, lit(name)), t)
+                case _ => lit(null)
+              }
+              case Right(kv) :: t =>
+                val k = kv(df).cast("string")
+                dt match {
+                  case mt: MapType =>
+                    walkDyn(mt.valueType, try_element_at(c, k), t)
+                  case st: StructType =>
+                    val fts = st.fields.map(_.dataType).distinct
+                    if (fts.length != 1) throw new IllegalArgumentException(
+                      "jq_expr: getpath() with a computed segment over a " +
+                        s"struct needs uniformly-typed fields (got " +
+                        s"${fts.map(_.simpleString).mkString(", ")}); " +
+                        "make the segment a string literal")
+                    val picked = st.fields.foldLeft(lit(null).cast(fts.head)) {
+                      (acc, f) => when(k === lit(f.name), c.getField(f.name))
+                        .otherwise(acc)
+                    }
+                    walkDyn(fts.head, picked, t)
+                  case _ => lit(null)
+                }
+            }
+            walkDyn(dtOfV(df, vv), vv(df), p.toList)
+          }
         } else if (fn == "setpath") {
           // setpath(["a","b"]; E): getpath's writer twin over a literal
           // path — the path's leaf is set to E ('.' in E = the current
@@ -3334,11 +3476,15 @@ object JqTransform {
           // collected array is the value, documented divergence. scan is
           // group-less-pattern only (jq emits capture arrays for grouped
           // patterns — a different element shape).
+          // Round 10: the pattern may also be COLUMN-VALUED; a computed
+          // scan pattern carries the same group-less contract as the
+          // literal form (grouped scan emits capture arrays — a different
+          // element shape), just unverifiable at plan time — documented.
           expect('('); skipWs()
-          if (peek != '"')
-            throw new IllegalArgumentException(
-              s"jq_expr: $fn() requires a string-literal regex")
-          val rawPat = parseStringLit()
+          val patLit: Option[String] =
+            if (peek == '"') Some(parseStringLit()) else None
+          val patDyn: Option[V] =
+            if (patLit.isEmpty) Some(parseValue()) else None
           skipWs()
           val flags =
             if (peek == ';') {
@@ -3349,15 +3495,30 @@ object JqTransform {
               parseStringLit()
             } else ""
           expect(')')
-          val pat = regexWithFlags(rawPat, flags)
           val vv = v
-          if (fn == "scan") {
-            require(captureGroups(rawPat).isEmpty,
-              "jq_expr: scan() supports group-less patterns only " +
-                "(grouped scan emits capture arrays — unsupported shape)")
-            v = df => regexp_extract_all(vv(df), lit(pat), lit(0))
-          } else
-            v = df => split(vv(df), pat)
+          (patLit, patDyn) match {
+            case (Some(rawPat), _) =>
+              val pat = regexWithFlags(rawPat, flags)
+              if (fn == "scan") {
+                require(captureGroups(rawPat).isEmpty,
+                  "jq_expr: scan() supports group-less patterns only " +
+                    "(grouped scan emits capture arrays — unsupported shape)")
+                v = df => regexp_extract_all(vv(df), lit(pat), lit(0))
+              } else
+                v = df => split(vv(df), pat)
+            case (None, Some(patV)) =>
+              flags.foreach(f => require("ixsm".contains(f),
+                s"jq_expr: unsupported regex flag '$f' (supported: i, x, s, m)"))
+              def patCol(df: DataFrame): Column = {
+                val p0 = patV(df).cast("string")
+                if (flags.isEmpty) p0 else concat(lit(s"(?$flags)"), p0)
+              }
+              if (fn == "scan")
+                v = df => regexp_extract_all(vv(df), patCol(df), lit(0))
+              else
+                v = df => call_function("split", vv(df), patCol(df))
+            case _ => throw new IllegalStateException("unreachable")
+          }
           streamTail = true
         } else if (fn == "flatten" && peek == '(') {
           // flatten(d): depth-limited flatten — the depth must be an int
@@ -3382,6 +3543,11 @@ object JqTransform {
             }
             c
           }
+        } else if (fn == "env") {
+          // `A | env`: input-ignoring — the plan-time environment object
+          v = _ => typedLit(envSnapshot)
+        } else if (RejectedBuiltins.contains(fn)) {
+          throw new IllegalArgumentException(RejectedBuiltins(fn))
         } else {
           val f = Funcs.getOrElse(fn, throw new IllegalArgumentException(
             s"jq_expr: unsupported function '$fn' (supported: map, has, split, " +
@@ -3678,6 +3844,157 @@ object JqTransform {
       }
     }
 
+    /** End of the enclosing group from `from`: index of the first
+      * top-level `)`/`]`/`}` or `;`, honoring string literals and bracket
+      * nesting; end-of-source if none. (Interpolation parens inside
+      * string literals ride the in-string scan — a quote INSIDE an
+      * interpolation misleads it, which surfaces as a loud parse error of
+      * the extracted body, never a silent mis-split.)
+      */
+    private def scanGroupEnd(from: Int): Int = {
+      var j = from; var d0 = 0; var inStr = false
+      while (j < s.length) {
+        val ch = s.charAt(j)
+        if (inStr) {
+          if (ch == '\\') j += 1
+          else if (ch == '"') inStr = false
+        } else ch match {
+          case '"' => inStr = true
+          case '(' | '[' | '{' => d0 += 1
+          case ')' | ']' | '}' => if (d0 == 0) return j else d0 -= 1
+          case ';' if d0 == 0 => return j
+          case _ =>
+        }
+        j += 1
+      }
+      s.length
+    }
+
+    /** Index of the last top-level `|` of `src` (not `||`, not `|=`),
+      * honoring strings and nesting; -1 if none. */
+    private def lastTopLevelPipe(src: String): Int = {
+      var j = 0; var d0 = 0; var inStr = false; var last = -1
+      while (j < src.length) {
+        val ch = src.charAt(j)
+        if (inStr) {
+          if (ch == '\\') j += 1 else if (ch == '"') inStr = false
+        } else ch match {
+          case '"' => inStr = true
+          case '(' | '[' | '{' => d0 += 1
+          case ')' | ']' | '}' => d0 -= 1
+          case '|' if d0 == 0 =>
+            val prev = if (j > 0) src.charAt(j - 1) else ' '
+            val nxt = if (j + 1 < src.length) src.charAt(j + 1) else ' '
+            if (prev != '|' && nxt != '|' && nxt != '=') last = j
+          case _ =>
+        }
+        j += 1
+      }
+      last
+    }
+
+    /** `label $out | BODY` — jq's early-termination scope, supported for
+      * the practically-used STREAM shapes (anything else is a loud error
+      * naming the subset):
+      *  - no `break` in BODY: the label is a no-op scope; BODY as-is;
+      *  - `label $out | S | ., break $out`: S's first output then stop —
+      *    jq's own builtin.jq definition of `first(f)` — compiled as the
+      *    ≤1-element stream slice (empty stream stays empty);
+      *  - `label $out | S | if C then break $out else . end`: truncate S
+      *    BEFORE the first element whose C is jq-truthy (the breaking
+      *    element emits nothing);
+      *  - `label $out | S | if C then . else break $out end`: the
+      *    takeWhile dual — truncate at the first element whose C is falsy.
+      * The body extends to the end of the enclosing group (label binds
+      * right as far as a pipe does). Nested or mismatched label names are
+      * loud errors.
+      */
+    private def parseLabel(): V = {
+      i += 5; skipWs(); expect('$')
+      val lbl = parseIdent(); skipWs(); expect('|')
+      skipWs()
+      val start = i
+      val end = scanGroupEnd(start)
+      val body = s.substring(start, end).trim
+      i = end
+      val breakRx = """break\s*\$([A-Za-z_][A-Za-z0-9_]*)""".r
+      val breaks = breakRx.findAllMatchIn(body).map(_.group(1)).toList
+      breaks.find(_ != lbl).foreach { other =>
+        throw new IllegalArgumentException(
+          s"jq_expr: break $$$other inside label $$$lbl — nested or " +
+            "mismatched labels are out of scope (one label, its own break)")
+      }
+      def sub(src: String): (V, Boolean) = {
+        val pp = new P(src, defs, depth)
+        val v0 = pp.parseValue()
+        pp.skipWs()
+        require(!pp.hasMore, s"jq_expr: trailing input in label body: $src")
+        (v0, pp.endedInStream)
+      }
+      if (breaks.isEmpty) {
+        val (v0, isStream) = sub(body)
+        streamTail = isStream
+        return v0
+      }
+      val cut = lastTopLevelPipe(body)
+      if (cut < 0) throw new IllegalArgumentException(
+        s"jq_expr: label $$$lbl body must be `S | <break tail>` " +
+          s"(got: $body); supported tails: `., break $$$lbl`, " +
+          s"`if C then break $$$lbl else . end`, " +
+          s"`if C then . else break $$$lbl end`")
+      val prefix = body.substring(0, cut).trim
+      val tail = body.substring(cut + 1).trim
+      val q = java.util.regex.Pattern.quote(lbl)
+      val firstRx = ("""^\.\s*,\s*break\s*\$""" + q + "$").r
+      val untilRx = ("""^if\s+(.+?)\s+then\s+break\s*\$""" + q +
+        """\s+else\s+\.\s+end$""").r
+      val whileRx = ("""^if\s+(.+?)\s+then\s+\.\s+else\s+break\s*\$""" + q +
+        """\s+end$""").r
+      val (arrV, isStream) = sub(prefix)
+      def truncated(condText: String, stopOnTruthy: Boolean): V = {
+        val (condV, _) = sub(condText)
+        df => {
+          val arr0 = if (isStream) arrV(df) else array(arrV(df))
+          val et = elementTypeV(df, _ => arr0, s"label $$$lbl")
+          val probe = lit(null).cast(et)
+          def condOf(x: Column): Column =
+            elemBinding.withValue(Some(Bound(x, probe, et)))(condV(df))
+          val cdt = probeMode.withValue(true)(dtOf(df,
+            elemBinding.withValue(Some(Bound(probe, probe, et)))(condV(df))))
+          def truthy(c: Column): Column = cdt match {
+            case BooleanType => coalesce(c, lit(false)) === lit(true)
+            case NullType => lit(false)
+            case _ => c.isNotNull
+          }
+          val stopFlags = transform(arr0, x =>
+            if (stopOnTruthy) truthy(condOf(x)) else !truthy(condOf(x)))
+          // 1-based index of the breaking element; 0 = no break fired.
+          // The per-element HOF re-evaluation of `len` is fine here:
+          // these are per-record jq streams (range/while-capped), never
+          // corpus-sized arrays — same trade as group_by's key re-walk.
+          val idx = array_position(stopFlags, lit(true))
+          val len = when(idx === 0L, size(arr0).cast("long"))
+            .otherwise(idx - 1L)
+          filter(arr0, (_, i0) => i0.cast("long") < len)
+        }
+      }
+      streamTail = true
+      tail match {
+        case firstRx() =>
+          df => {
+            val arr0 = if (isStream) arrV(df) else array(arrV(df))
+            slice(arr0, 1, 1)
+          }
+        case untilRx(cond) => truncated(cond, stopOnTruthy = true)
+        case whileRx(cond) => truncated(cond, stopOnTruthy = false)
+        case _ => throw new IllegalArgumentException(
+          s"jq_expr: unsupported break tail `$tail` under label $$$lbl; " +
+            s"supported: `., break $$$lbl`, " +
+            s"`if C then break $$$lbl else . end`, " +
+            s"`if C then . else break $$$lbl end`")
+      }
+    }
+
     private def parseAtom(): V = {
       skipWs()
       peek match {
@@ -3793,16 +4110,25 @@ object JqTransform {
           next()
           val name = parseIdent()
           // HOF/def/reduce bindings (dynamic channel) shadow stage-level
-          // `E as $x` bindings (hidden `__var_x` column) — jq's inner-scope
-          // precedence
-          df => varBindings.value.get(name).map(pick).getOrElse {
+          // `E as $x` bindings (hidden `__var_x` column); `$ENV` falls back
+          // to the plan-time environment snapshot (jq's predefined binding,
+          // shadowable like any other) — jq's inner-scope precedence
+          val base: V = df => varBindings.value.get(name).map(pick).getOrElse {
             if (df.columns.contains(s"__var_$name")) col(s"__var_$name")
+            else if (name == "ENV") typedLit(envSnapshot)
             else throw new IllegalArgumentException(
               s"jq_expr: unbound variable $$$name (bound: " +
                 s"${(varBindings.value.keys ++
                   df.columns.collect { case c if c.startsWith("__var_") =>
                     c.stripPrefix("__var_") }).mkString(", ")})")
           }
+          // `$x.path` postfix field access (jq allows it directly on a
+          // variable; previously required `$x | .path`)
+          if (peek == '.' && i + 1 < s.length &&
+              (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')) {
+            val parts = parsePathParts()
+            df => walkPath(dtOfV(df, base), base(df), parts.toList)
+          } else base
         case 'r' if s.startsWith("range", i) && !s.startsWith("range_", i) && {
           val save = i; i += 5; skipWs()
           val ok = peek == '('
@@ -3915,6 +4241,15 @@ object JqTransform {
                 s"depth $capN on this row's data")).cast(ArrayType(dt)))
               .otherwise(collected)
           }
+        case 'l' if s.startsWith("label", i) && boundary(i + 5) =>
+          parseLabel()
+        case 'b' if s.startsWith("break", i) && boundary(i + 5) =>
+          throw new IllegalArgumentException(
+            "jq_expr: `break $out` is supported only as the label body's " +
+              "tail stage — `label $x | S | ., break $x` (first output) or " +
+              "`label $x | S | if C then break $x else . end` (and the " +
+              "then/else swap; stream truncation); a break anywhere else " +
+              "has no columnar analog")
         case 'l' if s.startsWith("limit", i) && {
           val save = i; i += 5; skipWs()
           val ok = peek == '('
@@ -4192,6 +4527,19 @@ object JqTransform {
           // $-param semantics), bound on the same dynamic channel as
           // `reduce`'s `as $x` for the body's evaluation
           val name = parseIdent()
+          if (!defs.contains(name) && name == "env") {
+            // jq `env`: the plan-time environment snapshot as an object;
+            // `env.VAR` postfix navigates it (map access, null if absent)
+            if (peek == '.' && i + 1 < s.length &&
+                (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')) {
+              val parts = parsePathParts()
+              return _ => walkPath(MapType(StringType, StringType),
+                typedLit(envSnapshot), parts.toList)
+            }
+            return _ => typedLit(envSnapshot)
+          }
+          if (!defs.contains(name) && RejectedBuiltins.contains(name))
+            throw new IllegalArgumentException(RejectedBuiltins(name))
           // bare value-position BUILTINS apply to `.` (jq: `length` ≡
           // `. | length`) — user defs shadow; one-arg builtins take their
           // parenthesized argument

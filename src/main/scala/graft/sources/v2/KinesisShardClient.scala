@@ -253,7 +253,7 @@ final class SdkKinesisApi(region: Option[String] = None,
   * [[SdkKinesisApi]]. Separate object so a missing SDK surfaces as ONE
   * `ClassNotFoundException` at a known point.
   */
-private final case class SdkHandles(client: AnyRef, listShardsReq: Class[_],
+private[graft] final case class SdkHandles(client: AnyRef, listShardsReq: Class[_],
                                     getShardIteratorReq: Class[_],
                                     getRecordsReq: Class[_]) {
   def invoke(target: AnyRef, method: String, args: AnyRef*): AnyRef = {
@@ -284,7 +284,7 @@ private final case class SdkHandles(client: AnyRef, listShardsReq: Class[_],
   }
 }
 
-private[v2] object SdkHandles {
+private[graft] object SdkHandles {
   /** The real SDK v2 package. Tests inject a fake package whose classes
     * mirror the SDK's METHOD SHAPES (static `builder()`, fluent setters,
     * flat accessors), so every reflective path below runs without the SDK

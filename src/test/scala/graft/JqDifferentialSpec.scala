@@ -790,6 +790,47 @@ class JqDifferentialSpec extends SparkTestBase {
       Seq("""{"o": {"a": "X", "b": [1, 2]}}"""))
   }
 
+  test("round-10 tranche: env/$ENV, label/break subset, $x.path postfix") {
+    // env / $ENV: plan-time snapshot ≡ the subprocess's inherited env
+    // (same JVM); both engines read the same PATH
+    check("""{p: (env | has("PATH")), e: ($ENV.PATH == env.PATH)}""",
+      Seq("""{"id": 1}"""))
+    check("""{h: env.PATH}""", Seq("""{"id": 1}"""))
+    // label/break — first-output idiom (jq's own first(f) definition)
+    check("""{f: [label $out | .xs[] | ., break $out]}""",
+      Seq("""{"xs": [7, 8, 9]}""", """{"xs": []}"""))
+    check("""{f: [label $out | range(10) | ., break $out]}""",
+      Seq("""{"id": 1}"""))
+    // truncate BEFORE the first breaking element (it emits nothing)
+    check("""{t: [label $out | .xs[] | if . > 2 then break $out else . end]}""",
+      Seq("""{"xs": [1, 2, 5, 1]}""", """{"xs": [4]}""", """{"xs": [1, 2]}"""))
+    // takeWhile dual: stop at the first falsy condition
+    check("""{w: [label $out | .xs[] | if . < 3 then . else break $out end]}""",
+      Seq("""{"xs": [1, 2, 5, 1]}""", """{"xs": [9]}"""))
+    // label with no break is a no-op scope
+    check("""{n: [label $out | .xs[]]}""", Seq("""{"xs": [3, 1]}"""))
+    // $x.path postfix directly on a bound variable
+    check(""".o as $o | {a: $o.a, b: $o.b.c}""",
+      Seq("""{"o": {"a": 1, "b": {"c": 2}}}"""))
+  }
+
+  test("round-10 tranche: dynamic regex patterns and computed getpath") {
+    val rows = Seq(
+      """{"s": "abcabc", "re": "^a", "k": "x", "o": {"x": 1, "y": 2}}""",
+      """{"s": "zzz",    "re": "b.", "k": "y", "o": {"x": 3, "y": 4}}""")
+    // pattern from a FIELD, bound the jq way (inside test's arg `.` is
+    // test's string input, so the field rides a variable)
+    check(""".re as $r | {h: (.s | test($r))}""", rows)
+    check(""".re as $r | {g: (.s | gsub($r; "X"))}""", rows)
+    check(""".re as $r | {u: (.s | sub($r; "-"))}""", rows)
+    check(""".re as $r | {c: [.s | scan($r)]}""", rows)
+    check(""".re as $r | {p: [.s | splits($r)]}""", rows)
+    // computed getpath segment over a uniformly-typed struct level
+    // (the segment rides a variable so both engines resolve it against
+    // the ROW, not getpath's piped input)
+    check(""".k as $k | {v: (.o | getpath([$k]))}""", rows)
+  }
+
   test("recursive def: accumulator param at shallow depth") {
     // argument-compounding recursion: each level embeds the prior level's
     // arg TREES (the polymorphic-+ null guards triple operand fan-out),

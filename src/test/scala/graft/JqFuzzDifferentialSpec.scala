@@ -100,8 +100,8 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   private def genValue(r: scala.util.Random, depth: Int,
                        ext: Boolean = false, ext2: Boolean = false,
                        ext3: Boolean = false, ext4: Boolean = false,
-                       ext5: Boolean = false): String =
-    r.nextInt(if (ext5) 37 else if (ext4) 35 else if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
+                       ext5: Boolean = false, ext6: Boolean = false): String =
+    r.nextInt(if (ext6) 41 else if (ext5) 37 else if (ext4) 35 else if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -194,18 +194,40 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       // an ext5 assignment driving .n to ±90 stays within the while
       // kernel's static unroll cap (12) — the cap raise is loud by
       // design, not a divergence to fuzz for.
-      case _ =>
+      case 36 =>
         val bound = 3 + r.nextInt(10); val step = 2 + r.nextInt(4)
         val pick = if (r.nextBoolean()) "first" else "last"
         s"(.n % 7 | $pick(while(. < $bound; . + $step)))"
+      // ---- round-10 extension (ext6): label/break subset, env, $x.path --
+      // first-output idiom over a stream (jq's builtin.jq first(f) shape)
+      case 37 => s"[label $$out | .xs[] | ., break $$out]"
+      // truncation: break BEFORE the first (non-)matching element
+      case 38 =>
+        val t = r.nextInt(10) - 2
+        if (r.nextBoolean())
+          s"[label $$out | .xs[] | if . > $t then break $$out else . end]"
+        else
+          s"[label $$out | .xs[] | if . < $t then . else break $$out end]"
+      // env: a plan-time snapshot both engines read identically (the jq
+      // subprocess inherits this JVM's environment); absent vars → null
+      case 39 => r.nextInt(3) match {
+        case 0 => "(env | has(\"PATH\"))"
+        case 1 => "env.GRAFT_FUZZ_NO_SUCH_VAR"
+        case _ => "($ENV.PATH | length > 0)"
+      }
+      // $x.path postfix directly on a bound variable (bind a constructed
+      // object: top-level bare-dot binding is outside the row model)
+      case _ =>
+        s"({a: .n, b: .m} as $$r | $$r.a + $$r.b * ${1 + r.nextInt(3)})"
     }
 
   private def genProgram(r: scala.util.Random, ext: Boolean = false,
                          ext2: Boolean = false, ext3: Boolean = false,
-                         ext4: Boolean = false, ext5: Boolean = false): String = {
+                         ext4: Boolean = false, ext5: Boolean = false,
+                         ext6: Boolean = false): String = {
     val nFields = 1 + r.nextInt(3)
     var fields = (0 until nFields)
-      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3, ext4, ext5)}").mkString(", ")
+      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3, ext4, ext5, ext6)}").mkString(", ")
     // ext2: a recursive def called with data-bounded depth (≤ 3), and
     // sometimes a stream-valued field — jq's 0..N outputs per record
     // (range(.m % 3) is sometimes EMPTY: the whole record drops, both
@@ -222,12 +244,23 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     // (safe += / *= / = forms; |= rhs is old-value-scoped so only
     // literal arithmetic rides it)
     val assign =
-      if (!(ext || ext2 || ext3 || ext4 || ext5) || r.nextInt(3) != 0) ""
+      if (!(ext || ext2 || ext3 || ext4 || ext5 || ext6) || r.nextInt(3) != 0) ""
       // ext5: SELF-REFERENTIAL multi-target RHS — jq's gen_update binds
       // the RHS once against the ORIGINAL input ($tmp), so later targets
       // must NOT see earlier writes for = and the arithmetic op= forms.
       // Targets are .n/.id, never .m: the while cases seed from .m, and
       // driving it negative would make jq's `* k` update loop forever.
+      // ext6: ADDITIVE-only assignment draws — a `*`-form can set a field
+      // to IEEE -0 (negative × zero; jq is all-doubles), and a later
+      // string interpolation renders "-0" INSIDE a string where the canon
+      // walk's -0 fold cannot reach (the f1 "p-0q" divergence this seed's
+      // first run caught). ext5's frozen corpus keeps its draws untouched.
+      else if (ext6) r.nextInt(4) match {
+        case 0 => s"(.n, .id) = .n + ${r.nextInt(9)} | "
+        case 1 => s"(.n, .id) += .id | "
+        case 2 => s"(.id, .n) |= . + ${1 + r.nextInt(5)} | "
+        case _ => s"(.n, .id) -= .n | "
+      }
       else if (ext5) r.nextInt(6) match {
         case 0 => s"(.n, .id) = .n + ${r.nextInt(9)} | "
         case 1 => s"(.n, .id) += .id | "
@@ -391,12 +424,13 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
 
   private def fuzzRun(seed: Long, cases: Int, ext: Boolean = false,
                       ext2: Boolean = false, ext3: Boolean = false,
-                      ext4: Boolean = false, ext5: Boolean = false): Unit = {
+                      ext4: Boolean = false, ext5: Boolean = false,
+                      ext6: Boolean = false): Unit = {
     assume(jqBin.canExecute, "/usr/bin/jq not present")
     val r = new scala.util.Random(seed)
     var checked = 0
     (0 until cases).foreach { i =>
-      val program = genProgram(r, ext, ext2, ext3, ext4, ext5)
+      val program = genProgram(r, ext, ext2, ext3, ext4, ext5, ext6)
       val inputs = Seq.fill(3)(genRow(r))
       verdict(program, inputs).foreach { sig =>
         val minimal = minimize(program, inputs, sig)
@@ -459,5 +493,12 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   // stay frozen
   test("500 random programs match jq (seed 11111111, bind-once/negative-nth grammar)") {
     fuzzRun(11111111L, 500, ext5 = true)
+  }
+
+  // round-10 grammar extension (label/break early-termination subset,
+  // env/$ENV plan-time snapshot, $x.path postfix) under its own seed —
+  // the seven corpora above stay frozen
+  test("500 random programs match jq (seed 12121212, label/env/var-path grammar)") {
+    fuzzRun(12121212L, 500, ext6 = true)
   }
 }

@@ -1344,6 +1344,53 @@ class JqTransformSpec extends SparkTestBase {
     assert(e.getMessage.contains("trim expects a string"))
   }
 
+  test("rejected builtins fail loudly with the row-model rationale") {
+    val t = Seq(Tuple1(1L)).toDF("n")
+    for (p <- Seq("{a: input}", "{a: (. | inputs)}", "{a: (.n | tostream)}",
+                  "{a: fromstream}", "{a: halt}", "{a: (.n | halt_error)}")) {
+      val e = intercept[IllegalArgumentException](JqTransform(t, p))
+      assert(e.getMessage.contains("out of the row-model scope") ||
+        e.getMessage.contains("no process to halt"), s"for $p: ${e.getMessage}")
+    }
+  }
+
+  test("break outside a supported label tail is a loud error") {
+    val t = Seq(Tuple1(1L)).toDF("n")
+    val e = intercept[IllegalArgumentException](
+      JqTransform(t, """{a: (break $out)}"""))
+    assert(e.getMessage.contains("label body's tail stage"))
+    val e2 = intercept[IllegalArgumentException](
+      JqTransform(t, """{a: [label $x | .n, break $y]}"""))
+    assert(e2.getMessage.contains("nested or mismatched"))
+    val e3 = intercept[IllegalArgumentException](
+      JqTransform(t, """{a: [label $x | if .n > 0 then break $x else empty end]}"""))
+    assert(String.valueOf(e3.getMessage).nonEmpty) // unsupported tail/body is loud
+  }
+
+  test("env is a plan-time snapshot; absent vars read null") {
+    val t = Seq(Tuple1(1L)).toDF("n")
+    val r = JqTransform(t,
+      """{p: env.PATH, q: env.GRAFT_TEST_NO_SUCH_VAR, h: (env | has("PATH"))}""")
+      .head()
+    assert(r.getString(0) == sys.env("PATH"))
+    assert(r.isNullAt(1))
+    assert(r.getBoolean(2))
+  }
+
+  test("variant objects render sorted-key JSON — the encoding's invariant, pinned") {
+    // Round-10 verdict on the last cosmetic jq divergence: the variant
+    // BINARY FORMAT requires object fields sorted by key name (the
+    // dictionary's binary-search invariant), so insertion order is
+    // unrecoverable after parse_json / `..` — a field-order-preserving
+    // render would mean abandoning the variant encoding, not fixing a
+    // renderer. Pinned so a format change that starts preserving order
+    // surfaces here as a conscious decision.
+    val t = Seq(Tuple1("""{"z": 1, "a": 2}""")).toDF("j")
+    val out = JqTransform(t, """{v: (.j | fromjson | tojson)}""")
+      .head().getString(0)
+    assert(out == """{"a":2,"z":1}""")
+  }
+
   test("nested assignment root resolves case-insensitively like reads") {
     import org.apache.spark.sql.functions.{col, lit, struct}
     val t = Seq((1L, 2L)).toDF("id", "k")
