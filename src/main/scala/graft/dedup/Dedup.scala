@@ -1049,4 +1049,71 @@ object Dedup {
       .where(col("url").isNotNull)
       .groupBy(col("url"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** EXACT repeated-substring dedup accounting at token granularity — the
+    * suffix-array-style "exact substring deduplication" of Lee et al.
+    * '22 (Deduplicating Training Data Makes Language Models Better),
+    * re-expressed relationally: any token L-gram occurring MORE THAN ONCE
+    * in the corpus (across documents OR repeated within one) marks its
+    * L-token cover for removal; per document, overlapping-or-adjacent
+    * covers merge into maximal spans (the suffix array finds the same
+    * repeated substrings — the relational form trades its generality for
+    * a fixed minimum match length L, the parameter Lee et al. set to 50
+    * tokens anyway). Output per document WITH at least one repeated span:
+    * (doc_id, n_tokens, n_spans, tokens_removed, removed_ppm) — the
+    * removal accounting a corpus build reports; span-free docs emit no
+    * row by construction.
+    *
+    * Scale shape: the corpus-wide shuffle groups by the md5-60 gram
+    * DIGEST, never gram text (d24's rule; 60-bit collisions are
+    * ~n²/2⁶¹ — negligible at 100 TB gram counts and only ever UNDER-
+    * merge... over-merge, conservatively flagging a unique gram as
+    * repeated); the repeated-gram table comes back via one AQE-sized
+    * semi-join on the digest; span merging is a window PARTITIONED BY
+    * doc_id (per-document bounded, never corpus-ordered) using the
+    * classic gaps-and-islands running-max-of-end form. Token slicing
+    * happens in the same stage as the position explode — no raw text
+    * crosses any exchange.
+    */
+  def repeatedSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= L)
+    val pos = d
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_tokens") - lit(L - 1))).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        PortableHash.md5Long60(
+          array_join(slice(col("t"), col("pos"), lit(L)), " ")).as("g"))
+    val repeated = pos.groupBy(col("g"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1)
+      .select(col("g"))
+    val flagged = pos.join(repeated, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+    // gaps-and-islands: a flagged pos covers [pos, pos+L-1]; a new island
+    // starts when pos exceeds (running max of prior ends) + 1 — merging
+    // overlapping AND adjacent covers, Lee et al.'s span semantics
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(L - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = flagged
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("__island"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        (max(col("pos")) + lit(L - 1) - min(col("pos")) + 1)
+          .cast("long").as("__len"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__len")).as("tokens_removed"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("tokens_removed"),
+        expr("tokens_removed * 1000000 div n_tokens").as("removed_ppm"))
+  }
 }

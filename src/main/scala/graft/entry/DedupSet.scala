@@ -55,6 +55,12 @@ private[graft] object DedupSet {
     // (mod 301 keeps both parities on every residue, so the overlap is
     // real). Exact member/probe counts hash-compare; the Bloom's
     // zero-false-negative theorem and measured FP budget are the gate
+    // EXACT repeated-substring dedup accounting (Lee et al. '22's
+    // suffix-array dedup re-expressed relationally): token 8-grams
+    // repeated anywhere in the corpus mark their covers; per-doc
+    // overlapping/adjacent covers merge to maximal spans
+    "d28_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables.documents(s, dir))),
     "d26_bloom_seen" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val url = concat(lit("https://ex.com/p"),
@@ -223,6 +229,35 @@ private[graft] object DedupSet {
   )
 
   def oracle: Map[String, String] = Map(
+      // d28: the same md5-60 gram digest groups both engines; islands via
+      // the running-max-of-end window, integer-exact throughout
+      "d28_repeated_spans" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |dd AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 8),
+          |p0 AS (SELECT doc_id, n, t,
+          |         unnest(generate_series(1, n - 7)) AS pos FROM dd),
+          |p AS (SELECT doc_id, n, pos,
+          |        (('0x' || substr(md5(array_to_string(t[pos:pos+7], ' ')), 1, 15))::BIGINT) AS g
+          |      FROM p0),
+          |rep AS (SELECT g FROM p GROUP BY g HAVING count(*) > 1),
+          |f AS (SELECT doc_id, n, pos FROM p JOIN rep USING (g)),
+          |i1 AS (SELECT doc_id, n, pos,
+          |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |       FROM f),
+          |i2 AS (SELECT doc_id, n, pos,
+          |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+          |             THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          |       FROM i1),
+          |sp AS (SELECT doc_id, any_value(n) AS n, island,
+          |         max(pos) + 7 - min(pos) + 1 AS len
+          |       FROM i2 GROUP BY doc_id, island)
+          |SELECT doc_id, any_value(n)::BIGINT AS n_tokens,
+          |  count(*)::BIGINT AS n_spans,
+          |  sum(len)::BIGINT AS tokens_removed,
+          |  (sum(len) * 1000000 // any_value(n))::BIGINT AS removed_ppm
+          |FROM sp GROUP BY doc_id""".stripMargin,
       "d01_dedup_exact" ->
         """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
           | FROM documents GROUP BY 1""".stripMargin,

@@ -203,6 +203,32 @@ private[graft] object EntryHelpers {
       when(variant === 3, lit("#frag")).otherwise(lit("")))
   }
 
+  /** The 97-host link-graph fixture shared by g01/g02/g04/g05 (one
+    * definition so the four queries and their oracle CTEs cannot
+    * desynchronize): each document links its residue host `h(id%97)` to
+    * `h((7·id+3)%97)` and `h((13·id+11)%97)` — hosts ≪ docs, the real
+    * web-graph shape; in production these edges come from
+    * `UrlOps.hostOf` over page/out-link URL pairs.
+    */
+  private[graft] def hostEdgesFixture(docs: DataFrame): DataFrame = {
+    def host(c: Column) = concat(lit("h"), c.cast("string"))
+    val d = docs.select(col("doc_id"))
+    d.select(host(col("doc_id") % 97).as("src"),
+        host((col("doc_id") * 7 + 3) % 97).as("dst"))
+      .unionAll(d.select(host(col("doc_id") % 97).as("src"),
+        host((col("doc_id") * 13 + 11) % 97).as("dst")))
+      .distinct()
+  }
+
+  /** [[hostEdgesFixture]]'s DuckDB twin, as a `edges AS (...)` CTE body. */
+  private[graft] val hostEdgesCte: String =
+    """SELECT DISTINCT src, dst FROM (
+      |    SELECT 'h' || (doc_id % 97) AS src,
+      |           'h' || ((doc_id * 7 + 3) % 97) AS dst FROM documents
+      |    UNION ALL
+      |    SELECT 'h' || (doc_id % 97),
+      |           'h' || ((doc_id * 13 + 11) % 97) FROM documents) u""".stripMargin
+
   // ---- DuckDB oracle SQL fragments shared across sets ----
 
     val win =

@@ -238,46 +238,34 @@ private[graft] object RelationalSet {
     // out-link URL pairs). Three damped rounds at d = 0.85 ppm-exact; the
     // oracle replays the identical truncating-division formula as chained
     // CTEs, so every rank is bit-exact — no float convergence lore.
-    "g01_host_pagerank" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      def host(c: org.apache.spark.sql.Column) =
-        concat(lit("h"), c.cast("string"))
-      val e1 = docs.select(host(col("doc_id") % 97).as("src"),
-        host((col("doc_id") * 7 + 3) % 97).as("dst"))
-      val e2 = docs.select(host(col("doc_id") % 97).as("src"),
-        host((col("doc_id") * 13 + 11) % 97).as("dst"))
-      GraphOps.pageRank(e1.unionAll(e2).distinct(), iterations = 3)
-    }),
+    "g01_host_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(hostEdgesFixture(Tables.documents(s, dir)),
+        iterations = 3)),
     // Integer-exact HITS over the same host graph: two rounds of
     // hub→authority→hub mass passing, each half-round normalized to
     // Σ = 10^12 by ONE DECIMAL(38,0) integral division per node — the
     // hub/directory-page signal PageRank's single score cannot separate.
     // The oracle replays both rounds as chained HUGEINT CTEs.
-    "g02_host_hits" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      def host(c: org.apache.spark.sql.Column) =
-        concat(lit("h"), c.cast("string"))
-      val e1 = docs.select(host(col("doc_id") % 97).as("src"),
-        host((col("doc_id") * 7 + 3) % 97).as("dst"))
-      val e2 = docs.select(host(col("doc_id") % 97).as("src"),
-        host((col("doc_id") * 13 + 11) % 97).as("dst"))
-      GraphOps.hits(e1.unionAll(e2).distinct(), iterations = 2)
-    }),
+    "g02_host_hits" -> ((s, dir) =>
+      GraphOps.hits(hostEdgesFixture(Tables.documents(s, dir)),
+        iterations = 2)),
     // HyperBall neighborhood function over the same host graph: radius-2
     // out-balls as ITERATED HLL sketches (one hll_union_agg per round —
     // the web-scale reachability read), gated by the exact ball size the
     // oracle replays as chained frontier CTEs (the a01 pattern: exact
     // hash-compared, sketch drift breaks within_eps)
-    "g04_neighborhood_gate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      def host(c: org.apache.spark.sql.Column) =
-        concat(lit("h"), c.cast("string"))
-      val e1 = docs.select(host(col("doc_id") % 97).as("src"),
-        host((col("doc_id") * 7 + 3) % 97).as("dst"))
-      val e2 = docs.select(host(col("doc_id") % 97).as("src"),
-        host((col("doc_id") * 13 + 11) % 97).as("dst"))
-      GraphOps.neighborhoodGate(e1.unionAll(e2).distinct(), radius = 2)
-    }),
+    "g04_neighborhood_gate" -> ((s, dir) =>
+      GraphOps.neighborhoodGate(hostEdgesFixture(Tables.documents(s, dir)),
+        radius = 2)),
+    // Degree-oriented triangle counting over the same host graph — the
+    // clustering/link-farm density read beside PageRank's centrality:
+    // edges orient low→high under the (degree, host) total order
+    // (compact-forward / node-iterator++), bounding total wedge work by
+    // O(m^1.5) regardless of hub degree — THE skew fix at web scale,
+    // where a celebrity host's unoriented wedge list is quadratic in its
+    // degree. Output: (host, n_triangles) per corner membership.
+    "g05_triangle_counts" -> ((s, dir) =>
+      GraphOps.triangleCounts(hostEdgesFixture(Tables.documents(s, dir)))),
     // Host-graph weakly-connected components — site clusters, through the
     // REAL UrlOps.hostOf extraction (lowercase + www-strip on raw page/
     // out-link URLs) and the shared CC machinery on portable md5 host
@@ -735,13 +723,8 @@ private[graft] object RelationalSet {
       // as chained CTEs — r0 = 10^12 // N, base = (r0*150000)//10^6, each
       // edge contributes (rank*850000)//(10^6*outdeg), three rounds
       "g01_host_pagerank" ->
-        """WITH edges AS (
-          |  SELECT DISTINCT src, dst FROM (
-          |    SELECT 'h' || (doc_id % 97) AS src,
-          |           'h' || ((doc_id * 7 + 3) % 97) AS dst FROM documents
-          |    UNION ALL
-          |    SELECT 'h' || (doc_id % 97),
-          |           'h' || ((doc_id * 13 + 11) % 97) FROM documents) u),
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
           |nodes AS (SELECT DISTINCT host FROM (
           |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) v),
           |cst AS (SELECT (1000000000000 // count(*))::BIGINT AS r0,
@@ -772,13 +755,8 @@ private[graft] object RelationalSet {
       // along each edge direction, each half-round normalized to Σ=10^12
       // by one truncating // per node
       "g02_host_hits" ->
-        """WITH edges AS (
-          |  SELECT DISTINCT src, dst FROM (
-          |    SELECT 'h' || (doc_id % 97) AS src,
-          |           'h' || ((doc_id * 7 + 3) % 97) AS dst FROM documents
-          |    UNION ALL
-          |    SELECT 'h' || (doc_id % 97),
-          |           'h' || ((doc_id * 13 + 11) % 97) FROM documents) u),
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
           |nodes AS (SELECT DISTINCT host FROM (
           |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) v),
           |h0 AS (SELECT host, 1000000000000::HUGEINT AS s FROM nodes),
@@ -811,13 +789,8 @@ private[graft] object RelationalSet {
       // g04: exact radius-2 out-balls as chained frontier CTEs + the
       // literal-true sketch verdicts (a01 gate pattern)
       "g04_neighborhood_gate" ->
-        """WITH edges AS (
-          |  SELECT DISTINCT src, dst FROM (
-          |    SELECT 'h' || (doc_id % 97) AS src,
-          |           'h' || ((doc_id * 7 + 3) % 97) AS dst FROM documents
-          |    UNION ALL
-          |    SELECT 'h' || (doc_id % 97),
-          |           'h' || ((doc_id * 13 + 11) % 97) FROM documents) u),
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
           |nodes AS (SELECT DISTINCT host FROM (
           |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) v),
           |r0 AS (SELECT host, host AS r FROM nodes),
@@ -831,6 +804,32 @@ private[graft] object RelationalSet {
           |  SELECT r1.host, e.dst FROM r1 JOIN edges e ON r1.r = e.src) b)
           |SELECT host, count(*)::BIGINT AS ball_size, 1::BIGINT AS within_eps
           |FROM r2 GROUP BY 1""".stripMargin,
+      // g05: the same compact-forward construction — orient low→high by
+      // (degree, host), ordered wedge pairs, close on the oriented edge,
+      // then count corner memberships; integer-exact throughout
+      "g05_triangle_counts" ->
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |        FROM edges WHERE src != dst),
+          |deg AS (SELECT host, count(*) AS d FROM (
+          |    SELECT a AS host FROM und UNION ALL SELECT b FROM und) x GROUP BY 1),
+          |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+          |               THEN a ELSE b END AS u,
+          |             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+          |               THEN b ELSE a END AS v,
+          |             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+          |               THEN db.d ELSE da.d END AS dv
+          |      FROM und JOIN deg da ON da.host = a JOIN deg db ON db.host = b),
+          |w AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+          |      FROM o e1 JOIN o e2 ON e1.u = e2.u
+          |      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+          |tri AS (SELECT w.u, w.v1, w.v2
+          |        FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2),
+          |corners AS (SELECT u AS host FROM tri
+          |  UNION ALL SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
+          |SELECT host, count(*)::BIGINT AS n_triangles
+          |FROM corners GROUP BY 1""".stripMargin,
       // g03: the same host/link formulas (www/scheme decorations resolve
       // to the bare lowercase host), md5-hashed ids, recursive-CTE CC
       "g03_host_components" ->

@@ -36,6 +36,11 @@ private[graft] object SimilaritySet {
     // integer reciprocal-rank points, 0 on a miss
     "s23_mrr_eval" -> ((s, dir) =>
       Ann.mrrEval(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // Matryoshka prefix-dim recall: rank by cosine over the first m dims,
+    // count survival of the full-dim exact top-k — the truncate-for-cheap-
+    // retrieval trade of MRL embeddings
+    "s24_matryoshka_recall" -> ((s, dir) =>
+      Ann.matryoshkaRecall(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     // sign-LSH (random-hyperplane) bucketing — candidate generator at scale
     "s03_lsh_buckets" -> ((s, dir) =>
       Ann.signLshBuckets(Tables.embeddings(s, dir))),
@@ -357,6 +362,39 @@ private[graft] object SimilaritySet {
           |SELECT vec_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
       "s01_ann_topk" -> s01Sql,
       "s23_mrr_eval" -> s23Sql,
+      // s24: per-prefix brute-force rank over sliced lists; hits counted
+      // against the full-dim truth with the same (cos desc, id) tiebreak
+      "s24_matryoshka_recall" -> {
+        val truthCte =
+          """q AS (SELECT vec_id AS query_id, embedding AS qe
+            |      FROM embeddings WHERE vec_id % 50 = 0),
+            |t0 AS (SELECT query_id, e.vec_id AS nid,
+            |        row_number() OVER (PARTITION BY query_id
+            |          ORDER BY list_cosine_similarity(qe, e.embedding) DESC,
+            |                   e.vec_id) AS r
+            |      FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+            |truth AS (SELECT query_id, nid FROM t0 WHERE r <= 5)""".stripMargin
+        def prefixCte(m: Int): String =
+          s"""a$m AS (SELECT query_id, e.vec_id AS nid,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY list_cosine_similarity(qe[1:$m], e.embedding[1:$m]) DESC,
+             |                   e.vec_id) AS r
+             |      FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+             |ap$m AS (SELECT query_id, nid FROM a$m WHERE r <= 5),
+             |s$m AS (SELECT $m AS prefix_dim, count(*) AS n_truth,
+             |         sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+             |       FROM truth tr LEFT JOIN ap$m ap
+             |         ON tr.query_id = ap.query_id AND tr.nid = ap.nid)""".stripMargin
+        s"""WITH $truthCte,
+           |${prefixCte(8)},
+           |${prefixCte(16)},
+           |${prefixCte(32)}
+           |SELECT prefix_dim::BIGINT AS prefix_dim, n_truth::BIGINT AS n_truth,
+           |  n_hits::BIGINT AS n_hits,
+           |  (n_hits * 1000000 // n_truth)::BIGINT AS recall_ppm
+           |FROM (SELECT * FROM s8 UNION ALL SELECT * FROM s16
+           |      UNION ALL SELECT * FROM s32)""".stripMargin
+      },
       "s02_ann_ivf" -> s02Sql,
       // s19: identical single-IEEE-op scaling (float→double ×1e6 floor)
       // so integer sums/extremes hash-match; NaN-guarded like the Spark side

@@ -223,6 +223,54 @@ object GraphOps {
     * CC implementation. Output (host, component) with `component` the
     * component-minimum hashed id.
     */
+  /** Per-host triangle counts over an undirected host graph — the local
+    * clustering / link-farm-density read beside PageRank's centrality
+    * (a host whose neighbors all interlink is a directory ring or a spam
+    * farm; one whose neighbors don't is a genuine hub).
+    *
+    * Algorithm: compact-forward (node-iterator++). Canonical undirected
+    * edges orient LOW→HIGH under the (degree, host) total order; wedges
+    * enumerate ordered out-neighbor pairs of each low vertex and close by
+    * an equi-join back onto the oriented edges. Orienting by degree is
+    * the web-scale skew fix: every vertex's oriented out-degree is
+    * O(√m), so total wedge work is O(m^1.5) regardless of hub degree —
+    * an unoriented hub with degree d would enumerate d² wedges.
+    *
+    * Scale shape: the degree table is hosts-bounded (broadcast); both
+    * joins are vertex-keyed equi-joins AQE sizes; output is one
+    * (host, n_triangles) row per triangle-corner host — hosts-bounded.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(broadcast(deg.select(col("host").as("a"), col("d").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("host").as("b"), col("d").as("db"))), Seq("b"))
+    val aLow = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aLow, col("a")).otherwise(col("b")).as("u"),
+      when(aLow, col("b")).otherwise(col("a")).as("v"),
+      when(aLow, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val e2 = oriented.select(col("u").as("u2"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = e1.join(e2, col("u") === col("u2") &&
+        (col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("v1") < col("v2"))))
+      .select(col("u"), col("v1"), col("v2"))
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    val tri = wedges.join(closing,
+      col("v1") === col("x") && col("v2") === col("y"))
+    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def weakComponents(edges: DataFrame, propagationRounds: Int = 8): DataFrame = {
     import graft.functions.PortableHash
     val names = edges.select(col("src").as("host"))

@@ -136,6 +136,43 @@ object Ann {
         coalesce(expr("1000000000L div rank"), lit(0L)).as("points"))
   }
 
+  /** Matryoshka (MRL, Kusupati et al. '22) prefix-dimension retrieval
+    * eval — the dimension-vs-recall trade a production vector store tunes
+    * when it truncates MRL-trained embeddings for cheap first-stage
+    * retrieval: for each prefix length m, rank by cosine over the FIRST m
+    * dimensions only and count how much of the full-dimension exact top-k
+    * survives. Output one row per prefix: (prefix_dim, n_truth, n_hits,
+    * recall_ppm) — integer counts and truncated-ppm recall, hash-exact.
+    *
+    * Scale shape: each prefix pass is a [[bruteForceTopK]] over a
+    * narrower projection (broadcast queries × one corpus scan — the
+    * documented exact-oracle twin; the production path would LSH/IVF the
+    * truncated vectors with the existing machinery); the truth table is
+    * k×queries-bounded and `localCheckpoint`ed once so the per-prefix
+    * scoring joins reuse it instead of recomputing the full-dim pass.
+    */
+  def matryoshkaRecall(embeddings: DataFrame, queryPred: Column,
+                       k: Int = 5,
+                       prefixes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    prefixes.map { m =>
+      val trunc = embeddings.select(col("vec_id"),
+        slice(col("embedding"), 1, m).as("embedding"))
+      val approx = bruteForceTopK(trunc, queryPred, k)
+        .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
+      truth
+        .join(approx, col("query_id") === col("__q") &&
+          col("neighbor_id") === col("__n"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("__q").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(m.toLong).as("prefix_dim"), col("n_truth"),
+          col("n_hits"),
+          expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Corpus-wide k-NN GRAPH — every document's top-k neighbors in one
     * pass, the input structure of graph-based semantic dedup, diversity
     * sampling, and cluster-balance QA ([[bruteForceTopK]] answers a

@@ -1462,4 +1462,49 @@ class ExtensionOpsSpec extends SparkTestBase {
     // separates partial overlap from the 0 and 1e6 poles.
     assert(ad > 100000L && ad < 600000L, s"half-overlap estimate off: $ad")
   }
+
+  test("repeatedSpans: cross-doc repeats merge to maximal spans; clean docs emit no row") {
+    // doc 1 and doc 2 share the 10-token prefix → L=4 grams at positions
+    // 1..7 all repeat → ONE merged span [1, 10] in each; doc 3 is unique
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, shared + " tail1 a b c"),
+      (2L, shared + " other x y z"),
+      (3L, "entirely different words with no repeats at all ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, L = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(!out.contains(3L), "repeat-free doc must emit no row")
+    assert(out(1L) == ((14L, 1L, 10L, 714285L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((14L, 1L, 10L, 714285L)), s"doc2: ${out(2L)}")
+    // WITHIN-doc repetition also flags: the same 4-gram twice in one doc
+    val intra = Seq((7L, "p q r s GAP1 GAP2 p q r s END1 END2")).toDF("doc_id", "text")
+    val o2 = Dedup.repeatedSpans(intra, L = 4).collect()
+    assert(o2.length == 1 && o2.head.getLong(2) == 2L &&
+      o2.head.getLong(3) == 8L, s"intra-doc spans: ${o2.toSeq}")
+  }
+
+  test("matryoshkaRecall: full-dim prefix is recall 1.0; counts are sane") {
+    val out = graft.similarity.Ann.matryoshkaRecall(
+        embeddings, col("vec_id") % 50 === 0, k = 5, prefixes = Seq(8, 64))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // m = 64 is the whole vector — identical ranking, perfect recall
+    assert(out(64L)._3 == 1000000L, s"full-dim recall must be 1.0: ${out(64L)}")
+    // an 8-dim prefix loses information on this corpus but finds SOME
+    val (t8, h8, r8) = out(8L)
+    assert(h8 <= t8 && r8 < 1000000L && h8 > 0, s"prefix-8: ${out(8L)}")
+  }
+
+  test("triangleCounts: K4 corners count 3 each; loops/duplicates/direction collapse") {
+    // K4 on {a,b,c,d} (4 triangles, each vertex in 3) + pendant e-a
+    // (no triangle), with a self-loop, duplicate and reversed edges mixed in
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("b", "a"), ("c", "c"), ("a", "b"), ("e", "a")
+    ).toDF("src", "dst")
+    val out = graft.graph.GraphOps.triangleCounts(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $out")
+  }
 }
