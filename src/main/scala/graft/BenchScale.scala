@@ -49,7 +49,13 @@ object BenchScale {
     // exponents without being in the sweep — retrieval eval (truth join),
     // hour-over-hour lag (hours×types window), batch BM25 (terms×docs
     // join with DECIMAL idf)
-    "s23_mrr_eval", "e15_count_deltas", "t44_bm25")
+    "s23_mrr_eval", "e15_count_deltas", "t44_bm25",
+    // round-10 operators: repeated-span dedup (digest shuffle + islands
+    // window) and degree-oriented triangles (wedge joins). s24 stays OUT:
+    // it is the documented O(n²) brute-force oracle twin (s01/d05's
+    // exemption class) — its scale path is LSH/IVF over truncated
+    // vectors, which the gated s02/s22 queries already cover.
+    "d28_repeated_spans", "g05_triangle_counts")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

@@ -241,11 +241,15 @@ object GraphOps {
     * (host, n_triangles) row per triangle-corner host — hosts-bounded.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // materialize the canonical edge set once: deg/orientation/wedges/
+    // closing all reuse it, and without the checkpoint each join side
+    // would re-derive it from the corpus-sized source scan
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(explode(array(col("a"), col("b"))).as("host"))
       .groupBy(col("host")).agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -253,10 +257,12 @@ object GraphOps {
       .join(broadcast(deg.select(col("host").as("b"), col("d").as("db"))), Seq("b"))
     val aLow = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // oriented is read three times (both wedge sides + the closing join)
     val oriented = withDeg.select(
       when(aLow, col("a")).otherwise(col("b")).as("u"),
       when(aLow, col("b")).otherwise(col("a")).as("v"),
       when(aLow, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
     val e2 = oriented.select(col("u").as("u2"), col("v").as("v2"), col("dv").as("d2"))
     val wedges = e1.join(e2, col("u") === col("u2") &&
