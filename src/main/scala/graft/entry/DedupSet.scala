@@ -61,6 +61,23 @@ private[graft] object DedupSet {
     // overlapping/adjacent covers merge to maximal spans
     "d28_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(Tables.documents(s, dir))),
+    // streaming face of d28's repeated-gram detection: each gram digest
+    // emits exactly once, on its SECOND sighting — the emitted SET is
+    // arrival-independent and ≡ the batch repeated-gram table
+    "d29_stream_repeated_grams" -> ((s, dir) => withStatePartitions(s, 8) {
+      withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val stream = Tables.documentsStream(s, dir)
+          .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
+        val out = graft.streaming.StreamingDedup.repeatedGramDigests(
+          stream, "ts", L = 8, watermarkDelay = "3650 days")
+        val sink = "d29_gram_sink"
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+      }
+    }),
     "d26_bloom_seen" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val url = concat(lit("https://ex.com/p"),
@@ -258,6 +275,17 @@ private[graft] object DedupSet {
           |  sum(len)::BIGINT AS tokens_removed,
           |  (sum(len) * 1000000 // any_value(n))::BIGINT AS removed_ppm
           |FROM sp GROUP BY doc_id""".stripMargin,
+      // d29: the batch repeated-gram table — the streaming emitted set is
+      // arrival-independent, so it must equal this exactly
+      "d29_stream_repeated_grams" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |dd AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 8),
+          |p0 AS (SELECT doc_id, n, t,
+          |         unnest(generate_series(1, n - 7)) AS pos FROM dd),
+          |p AS (SELECT
+          |        (('0x' || substr(md5(array_to_string(t[pos:pos+7], ' ')), 1, 15))::BIGINT) AS g
+          |      FROM p0)
+          |SELECT g AS gram_h60 FROM p GROUP BY g HAVING count(*) > 1""".stripMargin,
       "d01_dedup_exact" ->
         """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_docs
           | FROM documents GROUP BY 1""".stripMargin,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stream-native deduplication — the streaming analog of
   * [[graft.dedup.Dedup.exactGroups]], for ingest-time dedup of a document
@@ -259,6 +259,71 @@ object StreamingDedup {
       .transformWithState(new NearDupBandProcessor(tau),
         "ts", OutputMode.Append())
       .toDF()
+  }
+
+  // -------------------------------------------- streaming repeated grams --
+
+  private[streaming] case class GramRow(g: Long, ts: java.sql.Timestamp)
+
+  /** Emits each gram digest exactly ONCE — at the moment its SECOND
+    * occurrence arrives. State per gram is one capped counter (caps at 2,
+    * so re-occurrences after emission touch state but never re-emit).
+    */
+  private[streaming] class RepeatedGramProcessor
+      extends StatefulProcessor[Long, GramRow, Long] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long](
+        "gramOccurrences", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[GramRow],
+                                 timerValues: TimerValues): Iterator[Long] = {
+      val prior = if (seen.exists()) seen.get() else 0L
+      val n = rows.size
+      val total = math.min(2L, prior + n)
+      seen.update(total)
+      if (prior < 2L && total >= 2L) Iterator.single(key) else Iterator.empty
+    }
+  }
+
+  /** Streaming face of [[graft.dedup.Dedup.repeatedSpans]]' repeated-gram
+    * detection — the live-ingest read of Lee et al.'s exact substring
+    * dedup: as documents arrive, every token L-gram digest that has now
+    * been seen MORE THAN ONCE (across documents or within one) is emitted,
+    * exactly once, on its second sighting. The emitted digest SET is
+    * arrival-order-INDEPENDENT (a gram repeats or it doesn't) and equals
+    * the batch d28 repeated-gram table over the same corpus — the d15/d27
+    * parity shape; per-document span accounting stays batch (d28), since
+    * which document "owns" a repeat IS arrival-dependent.
+    *
+    * Scale shape: tokenize/slice/digest are pure codegen projections
+    * before the one shuffle (keyed by the 8-byte digest); state is one
+    * capped counter per DISTINCT gram — production bounds it with a state
+    * TTL at the dedup horizon (the corpus-lifetime fixture run uses
+    * TTL-free state, same convention as d16's 3650-day watermark).
+    * Requires the RocksDB state store provider (`transformWithState`).
+    */
+  def repeatedGramDigests(stream: DataFrame, tsCol: String, L: Int = 8,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val d = stream.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        split(col("text"), " ").as("t"))
+      .select(col("ts"), col("t"), size(col("t")).cast("long").as("n"))
+      .where(col("n") >= L)
+    d.select(col("ts"),
+        explode(sequence(lit(1L), col("n") - lit(L - 1))).as("pos"), col("t"))
+      .select(
+        graft.functions.PortableHash.md5Long60(
+          array_join(slice(col("t"), col("pos"), lit(L)), " ")).as("g"),
+        col("ts"))
+      .as[GramRow]
+      .groupByKey(_.g)
+      .transformWithState(new RepeatedGramProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("gram_h60")
   }
 
   /** Verified ingest-time near-dup SUPPRESSION: the kept (vec_id, ts) set

@@ -198,4 +198,37 @@ class StreamingDedupSpec extends SparkTestBase {
       } finally query.stop()
     }
   }
+
+  test("repeatedGramDigests: emits each repeated gram ONCE, on its second sighting") {
+    implicit val sc = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Timestamp, String)]
+      val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+      val out = StreamingDedup.repeatedGramDigests(
+        input.toDF().toDF("ts", "text"), "ts", L = 8,
+        watermarkDelay = "5 seconds")
+      val query = out.writeStream.format("memory").queryName("grams_sink")
+        .outputMode("append").start()
+      try {
+        // batch 1: two docs sharing ONE 8-gram (each doc is exactly 8
+        // tokens, one gram per doc) — the repeat is WITHIN one micro-batch
+        input.addData((ts(0), shared), (ts(1), shared))
+        query.processAllAvailable()
+        assert(spark.table("grams_sink").count() == 1L,
+          "one digest on the second sighting, within-batch")
+        // batch 2: a THIRD occurrence must not re-emit; a fresh unique
+        // doc emits nothing
+        input.addData((ts(2), shared),
+          (ts(3), (101 to 108).map(i => s"u$i").mkString(" ")))
+        query.processAllAvailable()
+        assert(spark.table("grams_sink").count() == 1L,
+          "third sighting must not re-emit")
+        // batch 3: the unique doc's gram repeats ACROSS batches → emits
+        input.addData((ts(4), (101 to 108).map(i => s"u$i").mkString(" ")))
+        query.processAllAvailable()
+        val got = spark.table("grams_sink").count()
+        assert(got == 2L, s"cross-batch repeat must emit exactly once: $got")
+      } finally query.stop()
+    }
+  }
 }
