@@ -41,6 +41,11 @@ private[graft] object SimilaritySet {
     // retrieval trade of MRL embeddings
     "s24_matryoshka_recall" -> ((s, dir) =>
       Ann.matryoshkaRecall(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // binary (sign-bit) quantization: 64 dims → ONE long, Hamming
+    // candidates via bit_count(xor), plus the 4k-shortlist exact-cosine
+    // rerank — recall of the full-precision top-k for both tiers
+    "s25_binary_quant_recall" -> ((s, dir) =>
+      Ann.binaryQuantRecall(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     // sign-LSH (random-hyperplane) bucketing — candidate generator at scale
     "s03_lsh_buckets" -> ((s, dir) =>
       Ann.signLshBuckets(Tables.embeddings(s, dir))),
@@ -362,6 +367,50 @@ private[graft] object SimilaritySet {
           |SELECT vec_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
       "s01_ann_topk" -> s01Sql,
       "s23_mrr_eval" -> s23Sql,
+      // s25: sign bits packed the same way (embedding[j+1] > 0 — float
+      // and double agree on sign), Hamming = bit_count(xor), shortlist
+      // 4k by (ham, id), rerank by the s01 cosine pairing on the raw
+      // float lists; recall counted against the same truth as s24
+      "s25_binary_quant_recall" ->
+        """WITH bits AS (SELECT vec_id, embedding,
+          |    list_sum(list_transform(generate_series(0, 63),
+          |      j -> CASE WHEN embedding[j+1] > 0 THEN
+          |             (CASE WHEN j = 63 THEN -9223372036854775807 - 1
+          |                   ELSE (1::BIGINT << j) END)
+          |           ELSE 0 END))::BIGINT AS bits
+          |  FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, embedding AS qe, bits AS qbits
+          |      FROM bits WHERE vec_id % 50 = 0),
+          |t0 AS (SELECT query_id, e.vec_id AS nid,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY list_cosine_similarity(qe, e.embedding) DESC,
+          |                   e.vec_id) AS r
+          |      FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+          |truth AS (SELECT query_id, nid FROM t0 WHERE r <= 5),
+          |h AS (SELECT query_id, b.vec_id AS nid, qe, b.embedding AS ne,
+          |        bit_count(xor(qbits, b.bits)) AS ham
+          |      FROM q JOIN bits b ON b.vec_id != q.query_id),
+          |hr AS (SELECT query_id, nid, qe, ne,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY ham, nid) AS hrank FROM h),
+          |short AS (SELECT * FROM hr WHERE hrank <= 20),
+          |bq AS (SELECT query_id, nid FROM short WHERE hrank <= 5),
+          |rr0 AS (SELECT query_id, nid,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY list_cosine_similarity(qe, ne) DESC, nid) AS crank
+          |      FROM short),
+          |rr AS (SELECT query_id, nid FROM rr0 WHERE crank <= 5),
+          |sb AS (SELECT 'bq' AS method, count(*) AS n_truth,
+          |        sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+          |      FROM truth tr LEFT JOIN bq a
+          |        ON tr.query_id = a.query_id AND tr.nid = a.nid),
+          |sr AS (SELECT 'bq_rerank' AS method, count(*) AS n_truth,
+          |        sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+          |      FROM truth tr LEFT JOIN rr a
+          |        ON tr.query_id = a.query_id AND tr.nid = a.nid)
+          |SELECT method, n_truth::BIGINT AS n_truth, n_hits::BIGINT AS n_hits,
+          |  (n_hits * 1000000 // n_truth)::BIGINT AS recall_ppm
+          |FROM (SELECT * FROM sb UNION ALL SELECT * FROM sr)""".stripMargin,
       // s24: per-prefix brute-force rank over sliced lists; hits counted
       // against the full-dim truth with the same (cos desc, id) tiebreak
       "s24_matryoshka_recall" -> {

@@ -173,6 +173,70 @@ object Ann {
     }.reduce(_ unionAll _)
   }
 
+  /** BINARY (1-bit) quantization retrieval eval — the most aggressive
+    * standard compression tier beside SQ8 (s13) and PQ (s20/s21): each
+    * dimension keeps only its SIGN, so a 64-dim float vector becomes ONE
+    * long (256 bytes → 8, a 32× memory cut), and candidate search ranks
+    * by Hamming distance — `bit_count(a XOR b)`, pure codegen'd integer
+    * arithmetic, the reason binary quantization is the hot first stage in
+    * production vector stores. Two rows per run, the standard trade:
+    *  - `bq`: top-k directly by (hamming asc, id) — cheapest, lossiest;
+    *  - `bq_rerank`: a 4k Hamming SHORTLIST re-ranked by exact cosine on
+    *    the full vectors — the shortlist-then-rerank topology, recall
+    *    recovered at 4k full-precision reads per query.
+    * Both measured as recall of the full-precision exact top-k
+    * ((method, n_truth, n_hits, recall_ppm) — integer counts, hash-exact).
+    *
+    * Scale shape: sign packing is a 64-term codegen'd projection at the
+    * scan; queries broadcast (the exact-oracle brute twin, like s24 —
+    * the production path buckets the 8-byte codes); the rerank reads full
+    * vectors only for the 4k-bounded shortlist via an AQE-sized join.
+    */
+  def binaryQuantRecall(embeddings: DataFrame, queryPred: Column,
+                        k: Int = 5): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    val signBits: Column = (0 until 64).map(j =>
+      when(try_element_at(col("v"), lit(j + 1)) > 0.0, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    val coded = corpus.select(col("vec_id"), col("v"), col("norm"),
+      signBits.as("bits")).localCheckpoint()
+    val queries = coded.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("bits").as("qbits"))
+    val truth = bruteForceTopK(embeddings, queryPred, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val hammed = broadcast(queries)
+      .join(coded, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("qbits").bitwiseXOR(col("bits"))).as("ham"),
+        col("qv"), col("qnorm"), col("v"), col("norm"))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    val shortlist = hammed
+      .withColumn("hrank", row_number().over(wHam).cast("long"))
+      .where(col("hrank") <= 4 * k)
+      .localCheckpoint()
+    val bqTop = shortlist.where(col("hrank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy((VecDot.dot(col("qv"), col("v")) /
+        (col("qnorm") * col("norm"))).desc, col("neighbor_id").asc)
+    val rerankTop = shortlist
+      .withColumn("crank", row_number().over(wCos).cast("long"))
+      .where(col("crank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    def scored(approx: DataFrame, method: String): DataFrame =
+      truth.join(
+          approx.select(col("query_id").as("__q"), col("neighbor_id").as("__n")),
+          col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
+          "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("__q").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+    scored(bqTop, "bq").unionAll(scored(rerankTop, "bq_rerank"))
+  }
+
   /** Corpus-wide k-NN GRAPH — every document's top-k neighbors in one
     * pass, the input structure of graph-based semantic dedup, diversity
     * sampling, and cluster-balance QA ([[bruteForceTopK]] answers a

@@ -1496,6 +1496,19 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(h8 <= t8 && r8 < 1000000L && h8 > 0, s"prefix-8: ${out(8L)}")
   }
 
+  test("binaryQuantRecall: rerank dominates raw Hamming; both bounded by 1.0") {
+    val out = graft.similarity.Ann.binaryQuantRecall(
+        embeddings, col("vec_id") % 50 === 0, k = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (bt, bh, bppm) = out("bq")
+    val (rt, rh, rppm) = out("bq_rerank")
+    assert(bt == rt, "same truth set for both tiers")
+    // the 4k shortlist re-ranked by exact cosine can only contain the raw
+    // Hamming top-k's hits or better picks — recall must not DROP
+    assert(rppm >= bppm, s"rerank $rppm must be >= raw bq $bppm")
+    assert(bh > 0 && rppm <= 1000000L, s"sane bounds: $out")
+  }
+
   test("triangleCounts: K4 corners count 3 each; loops/duplicates/direction collapse") {
     // K4 on {a,b,c,d} (4 triangles, each vertex in 3) + pendant e-a
     // (no triangle), with a self-loop, duplicate and reversed edges mixed in
