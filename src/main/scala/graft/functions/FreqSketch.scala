@@ -36,8 +36,7 @@ object FreqSketch {
   /** Serialized summary: parallel arrays (keys sorted ascending for a
     * canonical form, counts aligned), total insert count, and the
     * unfolded insert buffer.
-    */
-  /** `pn` is the fill count of `pending` — the array is allocated once at
+    * `pn` is the fill count of `pending` — the array is allocated once at
     * the flush capacity and filled in place (O(1) store per reduce instead
     * of an O(pending) `:+` copy); only the first `pn` slots are live, and
     * a buffer serialized mid-fill carries nulls past `pn`, which flush
