@@ -198,8 +198,13 @@ object Ann {
     val signBits: Column = (0 until 64).map(j =>
       when(try_element_at(col("v"), lit(j + 1)) > 0.0, lit(1L << j))
         .otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    // NOT checkpointed: coded is CORPUS-sized (vectors included), and the
+    // module's rule is that only model/top-k-bounded frames materialize —
+    // the two consumers (queries, the scoring scan) just read the source
+    // scan twice, which AQE/parquet make cheap; truth and the 4k-bounded
+    // shortlist below are the bounded frames that DO checkpoint
     val coded = corpus.select(col("vec_id"), col("v"), col("norm"),
-      signBits.as("bits")).localCheckpoint()
+      signBits.as("bits"))
     val queries = coded.where(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("bits").as("qbits"))
