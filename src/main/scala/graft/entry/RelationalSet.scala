@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Relational (h01-h24), temporal/event (e01-e15) and graph (g01-g04) queries + their DuckDB oracles.
+/** Relational (h01-h24), temporal/event (e01-e15) and graph (g01-g06) queries + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -282,6 +282,16 @@ private[graft] object RelationalSet {
           r2.cast("string"), lit(".example.com/link?x=1"))).as("dst"))
       GraphOps.weakComponents(edges)
     }),
+    // Synchronous label-propagation communities over the same host graph
+    // — the read between g03's weak components (too coarse: the fixture
+    // is one big component per residue family) and g05's per-host
+    // triangle density (too local): 4 deterministic rounds, each node
+    // adopting its neighbors' most frequent previous-round label, ties
+    // to the smallest. Fixed rounds + a total tie order make the result
+    // a pure function of the graph both engines replay bit-for-bit.
+    "g06_label_communities" -> ((s, dir) =>
+      GraphOps.labelPropagation(hostEdgesFixture(Tables.documents(s, dir)),
+        rounds = 4)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -830,6 +840,34 @@ private[graft] object RelationalSet {
           |  UNION ALL SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
           |SELECT host, count(*)::BIGINT AS n_triangles
           |FROM corners GROUP BY 1""".stripMargin,
+      // g06: four synchronous LPA rounds replayed as chained CTEs — per
+      // round, neighbor-label vote counts and a (count desc, label asc)
+      // row_number argmax; isolated nodes keep their label via the
+      // LEFT JOIN + coalesce (mirroring the Spark side exactly)
+      "g06_label_communities" -> {
+        def lpaRound(prev: String, out: String): String =
+          s"""v$out AS (SELECT s.u AS host, l.community AS lab, count(*) AS c
+            |  FROM sym s JOIN l$prev l ON s.v = l.host GROUP BY 1, 2),
+            |w$out AS (SELECT host, lab FROM (
+            |  SELECT host, lab, row_number() OVER (
+            |    PARTITION BY host ORDER BY c DESC, lab ASC) AS rn FROM v$out)
+            |  WHERE rn = 1),
+            |l$out AS (SELECT l.host, coalesce(w.lab, l.community) AS community
+            |  FROM l$prev l LEFT JOIN w$out w ON l.host = w.host)""".stripMargin
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) n),
+          |sym AS (SELECT DISTINCT u, v FROM (
+          |    SELECT src AS u, dst AS v FROM edges
+          |    UNION ALL SELECT dst, src FROM edges) s WHERE u != v),
+          |l0 AS (SELECT host, host AS community FROM nodes),
+          |${lpaRound("0", "1")},
+          |${lpaRound("1", "2")},
+          |${lpaRound("2", "3")},
+          |${lpaRound("3", "4")}
+          |SELECT host, community FROM l4""".stripMargin
+      },
       // g03: the same host/link formulas (www/scheme decorations resolve
       // to the bare lowercase host), md5-hashed ids, recursive-CTE CC
       "g03_host_components" ->

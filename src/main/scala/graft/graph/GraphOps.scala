@@ -277,6 +277,66 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks") over an undirected host graph — the
+    * community read between [[weakComponents]]' too-coarse islands and
+    * [[triangleCounts]]' too-local density: mirror farms, shared-template
+    * site families and topical clusters separate INSIDE one weak
+    * component, which is the granularity a crawl-dedup policy actually
+    * acts on.
+    *
+    * Engine-exact semantics (the g01 discipline — a defined snapshot,
+    * not convergence lore): labels start as the host's own name; each
+    * SYNCHRONOUS round every node adopts the most frequent label among
+    * its neighbors' previous-round labels, ties to the smallest label,
+    * isolated nodes keeping their label. Classic async LPA is
+    * order-dependent and can oscillate on bipartite shapes; fixing the
+    * round count and the (count desc, label asc) total order makes the
+    * result a pure function of the graph that DuckDB replays as chained
+    * CTEs, bit-for-bit.
+    *
+    * Scale shape: the symmetric edge frame materializes ONCE
+    * (`localCheckpoint` — every round rescans it); per round the
+    * hosts-bounded label frame joins INTO that edge scan — broadcast by
+    * default, `broadcastLabels = false` for ~10⁸-host graphs (the
+    * [[pageRank]] flag) — the vote count is map-side combinable, and the
+    * per-node argmax is `min(struct(-count, label))`, ALSO map-side
+    * combinable, so each round is two host-keyed combined shuffles and
+    * no window; labels `localCheckpoint` per round. Returns
+    * (host, community).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       broadcastLabels: Boolean = true): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.withColumn("community", col("host"))
+    var round = 0
+    while (round < rounds) {
+      val l = if (broadcastLabels) broadcast(labels) else labels
+      val votes = sym.join(l, sym("v") === l("host"))
+        .select(sym("u").as("host"), col("community").as("lab"))
+        .groupBy(col("host"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("host"))
+        .agg(min(struct((-col("c")).as("negc"), col("lab").as("lab"))).as("w"))
+        .select(col("host"), col("w.lab").as("newlab"))
+      labels = labels.join(votes, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("newlab"), col("community")).as("community"))
+        .localCheckpoint()
+      round += 1
+    }
+    labels
+  }
+
   def weakComponents(edges: DataFrame, propagationRounds: Int = 8): DataFrame = {
     import graft.functions.PortableHash
     val names = edges.select(col("src").as("host"))

@@ -353,6 +353,33 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(m.values.map(_._2).sum <= 1000000000000L)
   }
 
+  test("labelPropagation: two bridged K4s separate, ties to min label, isolated keeps own") {
+    import graft.graph.GraphOps
+    // two 4-cliques joined by one bridge a1-b1, plus a self-loop-only node
+    def k4(p: String) = for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (s"$p$i", s"$p$j")
+    val edges = (k4("a") ++ k4("b") ++ Seq(("a1", "b1"), ("z", "z")))
+      .toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // hand-replay: round 1 floods "a1"/"b1" through each clique (and "a2"
+    // onto a1, "a1" onto b1 via min ties); round 2 restores a1→"a1" (its
+    // three clique neighbors all voted "a1") and b1→"b1" (3 votes beat the
+    // bridge's 1) — stable from round 3 on
+    for (i <- 1 to 4) assert(out(s"a$i") == "a1", s"a-side: $out")
+    for (i <- 1 to 4) assert(out(s"b$i") == "b1", s"b-side: $out")
+    assert(out("z") == "z", "self-loop-only node keeps its own label")
+    // rounds = 0 is the identity labeling
+    val id = GraphOps.labelPropagation(edges, rounds = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(id.forall { case (h, c) => h == c })
+    // shuffle-join path must match the broadcast path
+    val nb = GraphOps.labelPropagation(edges, rounds = 4, broadcastLabels = false)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(nb == out)
+  }
+
   test("mrrEval: one row per query, exact reciprocal points, miss scores zero") {
     import graft.similarity.Ann
     val rows = Ann.mrrEval(embeddings, col("vec_id") % 50 === 0)
