@@ -203,6 +203,37 @@ private[graft] object EntryHelpers {
       when(variant === 3, lit("#frag")).otherwise(lit("")))
   }
 
+  /** Line-structured text fixture for the segment-repetition battery
+    * (t47): the fixture corpus has no newlines, so each doc synthesizes a
+    * multi-line multi-paragraph body analytically (the [[rawUrlFixture]]
+    * convention) — paragraph 1 is (text, prefix) on two lines, every
+    * third doc repeats the whole paragraph (duplicate-paragraph signal),
+    * every second doc appends a third paragraph that re-uses an existing
+    * LINE (duplicate-line signal; the %7 variant repeats `text`, the
+    * rest repeat the prefix). Prefix length 7·(1 + doc_id%5) < min doc
+    * length, so prefix ≠ text always.
+    */
+  private[graft] def linedTextFixture: Column = {
+    val pfx = expr("substr(text, 1, 7 * (1 + doc_id % 5))")
+    val p1 = concat_ws("\n", col("text"), pfx)
+    concat_ws("\n\n",
+      p1,
+      when(col("doc_id") % 3 === 0, p1),
+      when(col("doc_id") % 2 === 0,
+        when(col("doc_id") % 7 === 0, col("text")).otherwise(pfx)))
+  }
+
+  /** [[linedTextFixture]]'s DuckDB twin (chr(10) newlines; concat_ws
+    * skips NULL CASE arms on both engines). */
+  private[graft] val linedTextFixtureSql: String =
+    """concat_ws(chr(10) || chr(10),
+      |    concat_ws(chr(10), text, substr(text, 1, 7 * (1 + doc_id % 5))),
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN concat_ws(chr(10), text, substr(text, 1, 7 * (1 + doc_id % 5))) END,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN (CASE WHEN doc_id % 7 = 0 THEN text
+      |            ELSE substr(text, 1, 7 * (1 + doc_id % 5)) END) END)""".stripMargin
+
   /** The 97-host link-graph fixture shared by g01/g02/g04/g05 (one
     * definition so the four queries and their oracle CTEs cannot
     * desynchronize): each document links its residue host `h(id%97)` to

@@ -148,6 +148,15 @@ private[graft] object TextSet {
         .distinct()
       graft.pipeline.TrainingData.runV3(d, rawUrlFixture, he)
     }),
+    // Gopher's SEGMENT-level repetition battery (Rae et al. 2021 Table
+    // A1): duplicate line/paragraph fractions + their char-mass duals,
+    // integer ppm, over the synthesized multi-line fixture body (the
+    // corpus has no newlines — linedTextFixture injects dup paragraphs
+    // on %3 docs and dup lines on %2 docs analytically). Zero shuffles:
+    // every metric is a per-row array fold.
+    "t47_segment_repetition" -> ((s, dir) =>
+      TextAnalysis.segmentRepetition(
+        Tables.documents(s, dir), linedTextFixture)),
     // the whole training-data pipeline in ONE call: exact dedup -> CCNet
     // filter -> stratified sample -> token-budget shard packing; output
     // is the packed set's per-shard accounting
@@ -286,6 +295,36 @@ private[graft] object TextSet {
   )
 
   def oracle: Map[String, String] = Map(
+      // t47: the identical per-row array folds over the same synthesized
+      // body — empty segments filtered, duplicate occurrences beyond the
+      // first, char mass via list_sum over segment lengths
+      "t47_segment_repetition" ->
+        s"""WITH base AS (SELECT doc_id,
+           |  $linedTextFixtureSql AS t FROM documents),
+           |seg AS (SELECT doc_id,
+           |  list_filter(string_split(t, chr(10)), x -> len(x) > 0) AS ls,
+           |  list_filter(string_split(t, chr(10) || chr(10)), x -> len(x) > 0) AS ps
+           |  FROM base)
+           |SELECT doc_id,
+           |  len(ls)::BIGINT AS n_lines,
+           |  (CASE WHEN len(ls) > 0
+           |    THEN (len(ls) - len(list_distinct(ls))) * 1000000 // len(ls)
+           |    ELSE 0 END)::BIGINT AS dup_line_ppm,
+           |  (CASE WHEN coalesce(list_sum(list_transform(ls, x -> len(x))), 0) > 0
+           |    THEN (list_sum(list_transform(ls, x -> len(x)))
+           |          - list_sum(list_transform(list_distinct(ls), x -> len(x))))
+           |         * 1000000 // list_sum(list_transform(ls, x -> len(x)))
+           |    ELSE 0 END)::BIGINT AS dup_line_char_ppm,
+           |  len(ps)::BIGINT AS n_paras,
+           |  (CASE WHEN len(ps) > 0
+           |    THEN (len(ps) - len(list_distinct(ps))) * 1000000 // len(ps)
+           |    ELSE 0 END)::BIGINT AS dup_para_ppm,
+           |  (CASE WHEN coalesce(list_sum(list_transform(ps, x -> len(x))), 0) > 0
+           |    THEN (list_sum(list_transform(ps, x -> len(x)))
+           |          - list_sum(list_transform(list_distinct(ps), x -> len(x))))
+           |         * 1000000 // list_sum(list_transform(ps, x -> len(x)))
+           |    ELSE 0 END)::BIGINT AS dup_para_char_ppm
+           |FROM seg""".stripMargin,
       "t01_token_count" ->
         s"""SELECT doc_id, len($toks)::BIGINT AS n_tokens,
            | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens

@@ -292,6 +292,47 @@ object TextAnalysis {
         .otherwise(lit(0L)).as("top_bigram_ppm"))
   }
 
+  /** Line/paragraph repetition battery — the SEGMENT-level half of
+    * Gopher's repetition class (Rae et al. 2021, Table A1: "duplicate
+    * line fraction", "duplicate paragraph fraction" and their
+    * character-mass duals), which [[repetitionSignals]]' token-level
+    * dup-word/top-bigram ppm cannot see: scraped boilerplate repeats
+    * whole NAV LINES and whole paragraphs with distinct tokens inside
+    * them. Lines split on `\n`, paragraphs on `\n\n`, empty segments
+    * dropped; a segment occurrence beyond the first is a duplicate.
+    * Integer ppm (the repo discipline):
+    *
+    *  - `dup_line_ppm`      = (n_lines − n_distinct_lines)·10⁶ // n_lines
+    *  - `dup_line_char_ppm` = duplicate-occurrence chars·10⁶ // line chars
+    *    (chars beyond each line's first occurrence = Σlen(lines) −
+    *    Σlen(distinct lines) — the fraction of the document's mass that
+    *    is literal segment repetition, Gopher's actual filter signal)
+    *  - the paragraph duals.
+    *
+    * Scale shape: ONE narrow scan, zero shuffles — every metric is a
+    * per-row array fold (split / array_distinct / aggregate over the
+    * doc's own segments), the quality-gate class. The HOF bodies touch
+    * only lambda vars (`length(x)`), the documented cheap-body rule.
+    */
+  def segmentRepetition(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    def segs(sep: String): Column =
+      filter(split(text, sep), x => length(x) > 0)
+    def mets(sc: Column, pfx: String): Seq[Column] = {
+      val n = size(sc).cast("long")
+      val nd = size(array_distinct(sc)).cast("long")
+      val tc = aggregate(sc, lit(0L), (a, x) => a + length(x))
+      val dc = tc - aggregate(array_distinct(sc), lit(0L), (a, x) => a + length(x))
+      Seq(
+        n.as(s"n_${pfx}s"),
+        when(n > 0, intDiv((n - nd) * lit(1000000L), n))
+          .otherwise(lit(0L)).as(s"dup_${pfx}_ppm"),
+        when(tc > 0, intDiv(dc * lit(1000000L), tc))
+          .otherwise(lit(0L)).as(s"dup_${pfx}_char_ppm"))
+    }
+    docs.select(
+      col("doc_id") +: (mets(segs("\n"), "line") ++ mets(segs("\n\n"), "para")): _*)
+  }
+
   /** Bigram novelty — a per-doc memorization/boilerplate signal the dedup
     * family doesn't give directly: of a document's DISTINCT bigrams, the
     * ppm that appear in no other document. Low novelty = the doc is

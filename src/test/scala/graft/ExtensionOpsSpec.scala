@@ -28,6 +28,25 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(multi3.forall { case (a, b) => a < b })
   }
 
+  test("segmentRepetition: dup line/para fractions and char mass, empties dropped") {
+    val docs = Seq(
+      // lines [aaa, bb, aaa, bb, bb]: 3 dup occurrences of 5 (600000 ppm),
+      // dup chars 7 of 12 (583333); paras [aaa\nbb\naaa, bb\nbb] distinct
+      (1L, "aaa\nbb\naaa\n\nbb\nbb"),
+      // both granularities see [p, p, q]: 1 dup of 3, 1 dup char of 3
+      (2L, "p\n\np\n\nq"),
+      // empty text → zero segments → all-zero metrics, no div-by-zero
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.segmentRepetition(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows(1L) == (5L, 600000L, 583333L, 2L, 0L, 0L), s"doc 1: $rows")
+    assert(rows(2L) == (3L, 333333L, 333333L, 3L, 333333L, 333333L), s"doc 2: $rows")
+    assert(rows(3L) == (0L, 0L, 0L, 0L, 0L, 0L), s"doc 3: $rows")
+  }
+
   test("bigramNovelty: novel = in no other doc; distinct within doc; <2 tokens drop") {
     val docs = Seq(
       (1L, "a b c a b"), // distinct bigrams: {a b, b c, c a} — "a b" shared with doc 2
