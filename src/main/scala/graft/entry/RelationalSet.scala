@@ -154,6 +154,12 @@ private[graft] object RelationalSet {
     // gaps-and-islands sessionization: per-(user, session) analytic rows
     "e05_user_sessions" -> ((s, dir) =>
       graft.relational.Temporal.userSessions(events(s, dir))),
+    // robust MAD anomaly flags: the resistant twin of e06's z² spikes —
+    // trailing lower-median/MAD baseline (breakdown point 1/2, so a prior
+    // spike inside the window cannot mask this hour's flag), |C−med| >
+    // 5·MAD, integer-exact, flags drops as well as spikes
+    "e16_mad_anomalies" -> ((s, dir) =>
+      graft.relational.Temporal.madAnomalies(events(s, dir))),
     // count spike detection: integer-exact trailing z² flags over the
     // hourly per-type counts (the alerting step on counter output)
     "e06_count_spikes" -> ((s, dir) =>
@@ -572,6 +578,30 @@ private[graft] object RelationalSet {
           |  (n_events - lag(n_events) OVER tw)::BIGINT AS delta,
           |  ((hour_ms - lag(hour_ms) OVER tw) // 3600000)::BIGINT AS gap_hours
           |FROM hourly WINDOW tw AS (PARTITION BY event_type ORDER BY hour_ms)""".stripMargin,
+      // e16: the identical trailing-array lower medians — list() over the
+      // same RANGE frame, sorted[(n-1)//2], MAD from the |v-med| transform
+      "e16_mad_anomalies" ->
+        """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+          |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+          |h2 AS (SELECT *, epoch_ms(hour) // 3600000 AS hn FROM hourly),
+          |w AS (SELECT event_type, hour, n,
+          |  list(n) OVER (PARTITION BY event_type ORDER BY hn
+          |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS tr
+          |  FROM h2),
+          |m AS (SELECT *, coalesce(len(tr), 0) AS c,
+          |  CASE WHEN coalesce(len(tr), 0) > 0
+          |    THEN list_sort(tr)[((len(tr) - 1) // 2)::INT + 1] END AS med
+          |  FROM w),
+          |m2 AS (SELECT *,
+          |  CASE WHEN c > 0
+          |    THEN list_sort(list_transform(tr, v -> abs(v - med)))[((c - 1) // 2)::INT + 1]
+          |    END AS mad
+          |  FROM m)
+          |SELECT epoch_ms(hour) AS hour_ms, event_type, n AS n_events,
+          | c::BIGINT AS trail_cnt, med::BIGINT AS med, mad::BIGINT AS mad,
+          | (CASE WHEN c >= 12 AND abs(n - med) > 5 * mad
+          |  THEN 1 ELSE 0 END)::BIGINT AS is_anomaly
+          |FROM m2""".stripMargin,
       "e06_count_spikes" ->
         """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
           |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),

@@ -564,6 +564,68 @@ object Temporal {
       .drop("trail_sumsq")
   }
 
+  /** Robust count anomalies via trailing MEDIAN/MAD — the resistant twin
+    * of [[countSpikes]]' mean/σ z² flag: a level shift or a prior spike
+    * INSIDE the trailing window contaminates mean and variance (masking —
+    * the spike raises its own baseline), while the median and the median
+    * absolute deviation tolerate up to half the window being garbage
+    * (breakdown point ½, Hampel's classic identifier). MAD also flags
+    * DROPS — an outage hour deviates below the median just as far — which
+    * the one-sided z² test deliberately ignores.
+    *
+    * Integer-exact (the e06 discipline, no float quantiles): the trailing
+    * `trailHours` closed-hour counts collect into a ≤ trailHours-element
+    * array per row, and both statistics are LOWER medians — sorted[(n−1)/2]
+    * — so `med`/`mad` are exact longs both engines replay;
+    * `is_anomaly = trail_cnt ≥ minTrail AND |C − med| > k·MAD`, with a
+    * constant baseline (MAD 0) flagging any deviation, the e06 convention.
+    *
+    * Scale shape: identical to [[spikesFromHourly]] — the window runs over
+    * the per-hour aggregate (calendar-bounded, ≤ 8,760 rows/type/year
+    * regardless of event volume; the corpus-sized work is the map-side-
+    * combinable groupBy), and the collected trailing array is ≤ trailHours
+    * elements, so the per-row sort/fold cost is a constant.
+    */
+  def madAnomalies(events: DataFrame, trailHours: Int = 24, minTrail: Int = 12,
+                   kThreshold: Int = 5): DataFrame =
+    madFromHourly(
+      events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events")),
+      trailHours, minTrail, kThreshold)
+
+  /** The median/MAD flagging half of [[madAnomalies]], split out like
+    * [[spikesFromHourly]] so a streaming face can run it over closed
+    * hourly windows. Input: (event_type, hour timestamp, n_events).
+    */
+  def madFromHourly(hourly: DataFrame, trailHours: Int = 24,
+                    minTrail: Int = 12, kThreshold: Int = 5): DataFrame = {
+    // lower median of a non-empty integer array: sorted[(n−1)/2], 0-based
+    def lowerMedian(arr: Column): Column =
+      element_at(array_sort(arr),
+        (floor((size(arr) - lit(1)) / lit(2)) + lit(1)).cast("int"))
+    val numbered = hourly
+      .withColumn("hn", floor(unix_seconds(col("hour")) / 3600).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy(col("hn"))
+      .rangeBetween(-trailHours, -1)
+    numbered
+      .select(
+        unix_millis(col("hour")).as("hour_ms"),
+        col("event_type"), col("n_events"),
+        collect_list(col("n_events")).over(w).as("tr"))
+      .withColumn("trail_cnt", size(col("tr")).cast("long"))
+      .withColumn("med",
+        when(col("trail_cnt") > 0, lowerMedian(col("tr"))))
+      .withColumn("mad",
+        when(col("trail_cnt") > 0,
+          lowerMedian(transform(col("tr"), v => abs(v - col("med"))))))
+      .select(col("hour_ms"), col("event_type"), col("n_events"),
+        col("trail_cnt"), col("med"), col("mad"),
+        when(col("trail_cnt") >= minTrail &&
+            abs(col("n_events") - col("med")) > lit(kThreshold.toLong) * col("mad"),
+          lit(1L)).otherwise(lit(0L)).as("is_anomaly"))
+  }
+
   /** Rolling 7-day activity: per calendar day, that day's event volume and
     * distinct users, plus RANGE-framed trailing-week sums (`RANGE BETWEEN
     * 6 PRECEDING` over the epoch-day number — a range frame, not a row

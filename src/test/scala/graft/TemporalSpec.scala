@@ -192,6 +192,37 @@ class TemporalSpec extends SparkTestBase {
     assert(early == 0L)
   }
 
+  test("madAnomalies: resistant to a contaminated baseline, flags drops, exact boundary") {
+    val h = 3600000L
+    def mk(t: String, hr: Int, n: Int) =
+      Seq.tabulate(n)(i => (t, ts(hr * h + i)))
+    // a: 23 calm hours of 2 + one 100-event spike in the history; hour 24
+    // has 6. The mean/σ baseline is MASKED (mean ≈ 6.08 > 6 → e06 silent);
+    // the median ignores the spike: med=2, MAD=0 → any deviation flags.
+    val a = (0 until 24).flatMap(hr => mk("a", hr, if (hr == 12) 100 else 2)) ++
+      mk("a", 24, 6)
+    // b: steady 10s then a DROP to 1 — the outage read the one-sided z²
+    // test deliberately ignores; |1-10| > 0 flags.
+    val b = (0 until 24).flatMap(hr => mk("b", hr, 10)) ++ mk("b", 24, 1)
+    // c/d: history 1..24 → lower med=12, MAD=6, threshold 5·6=30:
+    // |42-12|=30 is NOT > 30 (no flag); 43 flags — the exact boundary.
+    val c = (0 until 24).flatMap(hr => mk("c", hr, hr + 1)) ++ mk("c", 24, 42)
+    val d = (0 until 24).flatMap(hr => mk("d", hr, hr + 1)) ++ mk("d", 24, 43)
+    val events = (a ++ b ++ c ++ d).toDF("event_type", "ts")
+    val rows = Temporal.madAnomalies(events)
+      .where(col("hour_ms") === 24 * h)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows("a") == (6L, 24L, 2L, 0L, 1L), s"masked spike must flag: $rows")
+    assert(rows("b") == (1L, 24L, 10L, 0L, 1L), s"drop must flag: $rows")
+    assert(rows("c") == (42L, 24L, 12L, 6L, 0L), s"30 not > 30: $rows")
+    assert(rows("d") == (43L, 24L, 12L, 6L, 1L), s"31 > 30 flags: $rows")
+    // under minTrail history never flags
+    val early = Temporal.madAnomalies(events)
+      .where(col("hour_ms") < 12 * h).agg(sum(col("is_anomaly"))).head().getLong(0)
+    assert(early == 0L)
+  }
+
   test("windowHeavyHitters ranks within each window, count desc then user asc") {
     val h = 3600000L
     val events = (Seq.fill(3)((1L, ts(10))) ++ Seq.fill(3)((2L, ts(20))) ++
