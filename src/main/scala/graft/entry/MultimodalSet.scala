@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Multimodal decode/dedup queries (m01-m16) + their DuckDB oracles.
+/** Multimodal decode/dedup queries (m01-m17) + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -205,6 +205,30 @@ private[graft] object MultimodalSet {
         .select(col("doc_id"), col("win_idx"), col("n_samples"),
           col("crossings"), col("voiced"))
     }),
+    // Dominant-lag autocorrelation pitch over REAL decoded WAV — exact
+    // integer lag products R(L) for L in [2,24], (R desc, lag asc)
+    // argmax, and the 2R > R0 clarity gate. Three quarters of the docs
+    // are sawtooths of period 10+id%7 (the argmax finds the period,
+    // high clarity); id%4==0 docs carry the m14 LCG ramp, which is
+    // near-periodic at lag 16 (251*16 = 80 mod 4096) — structured
+    // interference, not noise, and the oracle replays whatever the
+    // formula says.
+    "m17_audio_pitch" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (80 + id % 40).toInt
+          val p = (10 + id % 7).toInt
+          val samples = Array.tabulate(ns)(i =>
+            if (id % 4 == 0) (((id * 37 + i) * 251) % 4096 - 2048).toInt
+            else (i % p) * 300 - 900)
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.audioPitch(wavs).toDF()
+        .select(col("doc_id"), col("n_samples"), col("energy"),
+          col("best_lag"), col("best_r"), col("periodic"))
+    }),
     // Windowed RMS-energy + silence detection over REAL decoded WAV — the
     // VAD/speech-prep read. The fixture embeds true silence: every third
     // 16-sample stretch is zeroed (i div 16 mod 3 == 0), the rest is the
@@ -315,6 +339,34 @@ private[graft] object MultimodalSet {
           |SELECT doc_id, 4000::BIGINT AS dst_rate, n_out::BIGINT AS n_samples,
           |  sum((i + 1) * v)::BIGINT AS checksum
           |FROM s GROUP BY 1, 2, 3""".stripMargin,
+      // m17: the same sawtooth/LCG sample formulas; R(L) as a lag self-
+      // join summed per (doc, lag), argmax by (r desc, lag asc), and the
+      // integer 2R > energy clarity gate — the real decode must
+      // reproduce every column bit-for-bit
+      "m17_audio_pitch" ->
+        """WITH d AS (SELECT doc_id, 80 + (doc_id % 40) AS ns,
+          |             10 + (doc_id % 7) AS p FROM documents),
+          |s AS (SELECT doc_id, i,
+          |        CASE WHEN doc_id % 4 = 0
+          |             THEN ((doc_id * 37 + i) * 251) % 4096 - 2048
+          |             ELSE (i % p) * 300 - 900 END AS v
+          |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 119)) AS i)
+          |      WHERE i < ns),
+          |e AS (SELECT doc_id, count(*)::BIGINT AS n, sum(v * v)::BIGINT AS energy
+          |      FROM s GROUP BY 1),
+          |r AS (SELECT a.doc_id, l.lag, sum(a.v * b.v)::BIGINT AS r
+          |      FROM s a
+          |      CROSS JOIN (SELECT unnest(generate_series(2, 24)) AS lag) l
+          |      JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + l.lag
+          |      GROUP BY 1, 2),
+          |best AS (SELECT doc_id, lag, r FROM (
+          |    SELECT doc_id, lag, r, row_number() OVER (
+          |      PARTITION BY doc_id ORDER BY r DESC, lag ASC) AS rn FROM r)
+          |  WHERE rn = 1)
+          |SELECT e.doc_id, e.n AS n_samples, e.energy,
+          |  best.lag::BIGINT AS best_lag, best.r AS best_r,
+          |  (2 * best.r > e.energy) AS periodic
+          |FROM e JOIN best ON e.doc_id = best.doc_id""".stripMargin,
       // m16: adjacent-sign changes (sign class = v < 0) per 32-sample
       // window over the constant/formula-mixed fixture + strict ppm gate
       "m16_audio_zcr" ->

@@ -328,6 +328,30 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(up.checksum == expectUp)
   }
 
+  test("audioPitch: sawtooth finds its period, all-zero ties to minLag, short clips drop") {
+    import graft.multimodal.Multimodal
+    def wav(id: Long, samples: Array[Int]) =
+      Seq((id, Multimodal.syntheticPcmWav(8000, 1, samples)))
+        .toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+    // period-4 sawtooth [-15,-5,5,15] × 8: R(4) = 28·avg(s²)·… — exactly
+    // 7 periods of Σs² = 7·500 = 3500; energy 8·500 = 4000; 2·3500 > 4000
+    val saw = wav(1L, Array.tabulate(32)(i => (i % 4) * 10 - 15))
+    val r1 = Multimodal.audioPitch(saw, minLag = 2, maxLag = 8).collect().head
+    assert((r1.n_samples, r1.energy, r1.best_lag, r1.best_r, r1.periodic) ==
+      (32L, 4000L, 4L, 3500L, true), s"sawtooth: $r1")
+    // alternating ±1000 × 8: R(1) < 0, R(2) = 14·10⁶ wins, clarity 28M > 16M
+    val alt = wav(2L, Array.tabulate(16)(i => if (i % 2 == 0) 1000 else -1000))
+    val r2 = Multimodal.audioPitch(alt, minLag = 1, maxLag = 3).collect().head
+    assert((r2.best_lag, r2.best_r, r2.periodic) == (2L, 14000000L, true), s"alt: $r2")
+    // all-zero: every R ties at 0 → smallest candidate lag, NOT periodic
+    val zero = wav(3L, Array.fill(20)(0))
+    val r3 = Multimodal.audioPitch(zero, minLag = 2, maxLag = 5).collect().head
+    assert((r3.best_lag, r3.best_r, r3.periodic) == (2L, 0L, false), s"zero: $r3")
+    // n <= minLag emits nothing (no overlapping pair at any candidate lag)
+    assert(Multimodal.audioPitch(wav(4L, Array(7, -7)), minLag = 2, maxLag = 5)
+      .collect().isEmpty)
+  }
+
   test("pageRank: hand-computed star ranks, truncating-integer exactness, mass never grows") {
     import graft.graph.GraphOps
     // a→b, c→b, b→a: N=3, r0 = 10^12//3, every node outdeg 1
