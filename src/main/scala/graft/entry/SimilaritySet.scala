@@ -46,6 +46,14 @@ private[graft] object SimilaritySet {
     // rerank — recall of the full-precision top-k for both tiers
     "s25_binary_quant_recall" -> ((s, dir) =>
       Ann.binaryQuantRecall(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // JL random-projection distortion curve: ±1 Rademacher rows (the
+    // md5-bit plane discipline, rp: namespace), pair DIFFERENCES
+    // projected once by linearity, scaled squared-distance ratio
+    // floored to ppm — one row per projected dim m in {8,16,32}, the
+    // dimension-vs-distortion read before swapping full embeddings for
+    // projected ones in clustering/dedup pre-passes
+    "s26_random_projection" -> ((s, dir) =>
+      Ann.randomProjectionGate(Tables.embeddings(s, dir))),
     // sign-LSH (random-hyperplane) bucketing — candidate generator at scale
     "s03_lsh_buckets" -> ((s, dir) =>
       Ann.signLshBuckets(Tables.embeddings(s, dir))),
@@ -332,6 +340,39 @@ private[graft] object SimilaritySet {
           |         count(*)::BIGINT AS nv
           |       FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2)
           |SELECT cell, dim, (sum_ppm // nv)::BIGINT AS mean_ppm, nv AS n_vectors FROM t2""".stripMargin,
+      // s26: the same rp:-namespace md5 sign rows, pair diffs projected
+      // per plane with ORDERED list folds (list(pd ORDER BY j) — sum()
+      // over a group is unordered and double addition is not associative),
+      // one UNION ALL branch per m with the ratio floored to ppm
+      "s26_random_projection" -> {
+        def branch(m: Int): String =
+          s"""SELECT ${m}::BIGINT AS proj_dim, count(*)::BIGINT AS n_pairs,
+            |  sum(CASE WHEN abs(rppm - 1000000) <= 400000 THEN 1 ELSE 0 END)::BIGINT AS n_within,
+            |  (sum(CASE WHEN abs(rppm - 1000000) <= 400000 THEN 1 ELSE 0 END)
+            |     * 1000000 // count(*))::BIGINT AS within_ppm,
+            |  (sum(abs(rppm - 1000000)) // count(*))::BIGINT AS mean_dev_ppm
+            |FROM (SELECT CAST(floor(list_sum(list_transform(list_slice(pds, 1, $m), x -> x * x))
+            |        * 1000000.0 / ($m * d2o)) AS BIGINT) AS rppm FROM pda)""".stripMargin
+        s"""WITH sg AS (SELECT j, list_transform(generate_series(0, 63), i ->
+          |    CASE WHEN ((('0x'||substr(md5('rp:'||j||':'||(i//60)),1,15))::BIGINT >> (i%60)) & 1) = 1
+          |         THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(generate_series(0, 31)) AS j)),
+          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |p AS (SELECT a.vec_id AS id_a,
+          |        list_transform(generate_series(1, 64), i -> a.v[i] - b.v[i]) AS df
+          |      FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+          |      WHERE a.vec_id % 10 = 0),
+          |d AS (SELECT id_a, df, list_sum(list_transform(df, x -> x * x)) AS d2o FROM p),
+          |pj AS (SELECT d.id_a, d.d2o, s.j,
+          |         list_sum(list_transform(d.df, (x, i) -> x * s.sv[i])) AS pd
+          |       FROM d CROSS JOIN sg s WHERE d.d2o > 0),
+          |pda AS (SELECT id_a, d2o, list(pd ORDER BY j) AS pds FROM pj GROUP BY 1, 2)
+          |${branch(8)}
+          |UNION ALL
+          |${branch(16)}
+          |UNION ALL
+          |${branch(32)}""".stripMargin
+      },
       "s03_lsh_buckets" ->
         """WITH pl AS (SELECT p, list_transform(generate_series(0, 63), j ->
           |    CASE WHEN ((('0x'||substr(md5('plane:'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1

@@ -242,6 +242,78 @@ object Ann {
     scored(bqTop, "bq").unionAll(scored(rerankTop, "bq_rerank"))
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality-reduction
+    * DISTORTION gate — the measurement a pipeline runs before swapping
+    * full embeddings for cheap projected ones in clustering/dedup
+    * pre-passes: project with a deterministic ±1 Rademacher matrix
+    * (Achlioptas '03 — database-friendly JL: signs, no Gaussians; rows
+    * are the md5-bit plane discipline of [[bucketExprOn]] under an `rp:`
+    * namespace, inlined as array literals through the codegen'd
+    * `vec_dot` kernel) and measure, over a deterministic pair sample,
+    * how well scaled projected squared distances track the originals:
+    * `ratio = ‖R(a−b)‖² / (m·‖a−b‖²)`, whose expectation is 1 with
+    * variance ≈ 2/m. One row per projected dimension m — the
+    * dimension-vs-distortion curve, [[matryoshkaRecall]]'s untrained
+    * twin: (proj_dim, n_pairs, n_within, within_ppm, mean_dev_ppm),
+    * all integer ppm so the row is hash-exact (the double ratio floors
+    * to ppm; sums/sums-of-squares fold left-to-right on both engines).
+    *
+    * The pair DIFFERENCE projects once (linearity of R — one `vec_dot`
+    * per plane per pair, not two), and zero-distance pairs drop — they
+    * carry no distortion information, the no-bigram-doc convention.
+    *
+    * Scale shape: the sample frame (pairs of consecutive ids at a fixed
+    * rate here; a production run samples a fixed COUNT) checkpoints
+    * once, sample-bounded, and each m-branch is a pure projection over
+    * it — the s17/s24 sweep pattern; the corpus is scanned exactly
+    * twice (each pair side), never joined to itself.
+    */
+  def randomProjectionGate(embeddings: DataFrame,
+                           prefixes: Seq[Int] = Seq(8, 16, 32),
+                           epsPpm: Long = 400000L): DataFrame = {
+    val maxDim = prefixes.max
+    require(prefixes.nonEmpty && prefixes.forall(m => m > 0 && m <= 64),
+      "projected dims must be in 1..64")
+    def rpSign(j: Int, i: Int): Double = {
+      val key = s"rp:$j:${i / 60}"
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bits = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      if (((bits >> (i % 60)) & 1L) == 1L) 1.0 else -1.0
+    }
+    val dim = 64 // corpus embedding width (documents' contract)
+    val v = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = v.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = v.select((col("vec_id") - 1).as("id_a"), col("v").as("vb"))
+    val diff = zip_with(col("va"), col("vb"), (x, y) => x - y)
+    val pds = array((0 until maxDim).map { j =>
+      val plane = lit((0 until dim).map(i => rpSign(j, i)).toArray)
+      VecDot.dot(col("df"), plane)
+    }: _*)
+    val pairs = a.join(b, "id_a")
+      .select(col("id_a"), diff.as("df"))
+      .select(col("id_a"),
+        VecDot.dot(col("df"), col("df")).as("d2o"),
+        pds.as("pds"))
+      .where(col("d2o") > 0)
+      .localCheckpoint() // sample-bounded, reused by every m-branch
+    prefixes.map { m =>
+      val d2p = aggregate(slice(col("pds"), 1, m), lit(0.0), (acc, x) => acc + x * x)
+      pairs
+        .select(floor(d2p * lit(1000000.0) / (lit(m.toDouble) * col("d2o")))
+          .cast("long").as("rppm"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(abs(col("rppm") - 1000000L) <= epsPpm, 1L).otherwise(0L))
+            .as("n_within"),
+          sum(abs(col("rppm") - 1000000L)).as("__sumdev"))
+        .select(lit(m.toLong).as("proj_dim"), col("n_pairs"), col("n_within"),
+          expr("n_within * 1000000 div n_pairs").as("within_ppm"),
+          expr("__sumdev div n_pairs").as("mean_dev_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Corpus-wide k-NN GRAPH — every document's top-k neighbors in one
     * pass, the input structure of graph-based semantic dedup, diversity
     * sampling, and cluster-balance QA ([[bruteForceTopK]] answers a

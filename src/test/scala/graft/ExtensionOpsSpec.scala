@@ -328,6 +328,34 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(up.checksum == expectUp)
   }
 
+  test("randomProjectionGate: single-coordinate diff is exactly ratio 1, zero pairs drop") {
+    import graft.similarity.Ann
+    def vec(at: Int, v: Float) =
+      Array.tabulate(64)(i => if (i == at) v else 0.0f)
+    val emb = Seq(
+      // pair (0,1): diff = 3·e₀ → every pd² = 9 → d2p(m) = 9m → ratio
+      // EXACTLY 1 for every m (±1 signs square away) — the whole pipeline
+      // (signs, slice, floor, ppm) must reproduce 1000000/dev 0
+      (0L, vec(0, 5.0f)), (1L, vec(0, 2.0f)),
+      // pair (10,11): identical vectors → d2o = 0 → dropped
+      (10L, vec(3, 7.0f)), (11L, vec(3, 7.0f)),
+      // id 5 is not in the %10 sample; id 21 has no pair anchor
+      (5L, vec(1, 1.0f)), (21L, vec(2, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Ann.randomProjectionGate(emb)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L))
+    for (m <- Seq(8L, 16L, 32L))
+      assert(rows(m) == (1L, 1L, 1000000L, 0L), s"m=$m: $rows")
+    // the real fixture: 50 sampled pairs, every branch sees all of them
+    val fx = Ann.randomProjectionGate(embeddings)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(fx.map(_._2).distinct.sizeIs == 1, s"same pairs per branch: ${fx.toSeq}")
+    assert(fx.forall { case (_, n, w, d) => n == 50L && w >= 0L && w <= 1000000L && d >= 0L },
+      s"sane ppm bounds: ${fx.toSeq}")
+  }
+
   test("audioPitch: sawtooth finds its period, all-zero ties to minLag, short clips drop") {
     import graft.multimodal.Multimodal
     def wav(id: Long, samples: Array[Int]) =
