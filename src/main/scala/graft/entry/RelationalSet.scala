@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Relational (h01-h24), temporal/event (e01-e15) and graph (g01-g06) queries + their DuckDB oracles.
+/** Relational (h01-h24), temporal/event (e01-e17) and graph (g01-g06) queries + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -178,6 +178,21 @@ private[graft] object RelationalSet {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       graft.relational.Temporal.spikesFromHourly(s.table(sink))
+    }),
+    // STREAMING face of the MAD anomaly read: the same closed-hour
+    // accumulation as e12 feeding the split-out madFromHourly half —
+    // trailing medians only look BACKWARD, so flags on closed hours
+    // match batch e16 over the closed subset
+    "e17_stream_mad_parity" -> ((s, dir) => withStatePartitions(s, 8) {
+      val counts = Tables.eventsStream(s, dir).withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
+      val sink = "e17_mad_sink"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.relational.Temporal.madFromHourly(s.table(sink))
     }),
     // windowed heavy hitters: per-hour top-k users — rank runs over the
     // per-(window, user) aggregate, never the raw events
@@ -637,6 +652,33 @@ private[graft] object RelationalSet {
           |   AND ((n*c - s)::HUGEINT * (n*c - s)) > 9 * (c::HUGEINT * q - s::HUGEINT * s)
           |  THEN 1 ELSE 0 END)::BIGINT AS is_spike
           |FROM w
+          |WHERE epoch_ms(hour + INTERVAL '1 hour') <=
+          |      (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', max(ts))) FROM events)"""
+          .stripMargin,
+      // e17: e16's lower-median CTEs restricted to watermark-closed hours
+      // (all but the max-ts hour); trailing arrays only look backward
+      "e17_stream_mad_parity" ->
+        """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+          |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+          |h2 AS (SELECT *, epoch_ms(hour) // 3600000 AS hn FROM hourly),
+          |w AS (SELECT event_type, hour, n,
+          |  list(n) OVER (PARTITION BY event_type ORDER BY hn
+          |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS tr
+          |  FROM h2),
+          |m AS (SELECT *, coalesce(len(tr), 0) AS c,
+          |  CASE WHEN coalesce(len(tr), 0) > 0
+          |    THEN list_sort(tr)[((len(tr) - 1) // 2)::INT + 1] END AS med
+          |  FROM w),
+          |m2 AS (SELECT *,
+          |  CASE WHEN c > 0
+          |    THEN list_sort(list_transform(tr, v -> abs(v - med)))[((c - 1) // 2)::INT + 1]
+          |    END AS mad
+          |  FROM m)
+          |SELECT epoch_ms(hour) AS hour_ms, event_type, n AS n_events,
+          | c::BIGINT AS trail_cnt, med::BIGINT AS med, mad::BIGINT AS mad,
+          | (CASE WHEN c >= 12 AND abs(n - med) > 5 * mad
+          |  THEN 1 ELSE 0 END)::BIGINT AS is_anomaly
+          |FROM m2
           |WHERE epoch_ms(hour + INTERVAL '1 hour') <=
           |      (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', max(ts))) FROM events)"""
           .stripMargin,
