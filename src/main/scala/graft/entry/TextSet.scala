@@ -166,6 +166,12 @@ private[graft] object TextSet {
     // vocabularies — the vocab-size design read, one corpus aggregate
     "t31_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    // Heaps-law vocab GROWTH: distinct vocabulary after the first
+    // 50/100/200/500 docs in doc_id order — arrival-order saturation
+    // read beside t31's final-distribution coverage; one digest-keyed
+    // min(doc_id) aggregate decides every checkpoint, no prefix rescans
+    "t48_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
     // Naive-Bayes hashed-bag-of-words classifier (the fastText-style
     // quality/domain classifier, trained AND scored in-engine): dense
     // label×bucket weight table broadcast, integer-bits scores,
@@ -325,6 +331,21 @@ private[graft] object TextSet {
            |         * 1000000 // list_sum(list_transform(ps, x -> len(x)))
            |    ELSE 0 END)::BIGINT AS dup_para_char_ppm
            |FROM seg""".stripMargin,
+      // t48: first-doc per token digest decides vocab at every
+      // checkpoint; occurrence mass from per-doc token counts
+      "t48_vocab_growth" ->
+        s"""WITH fd AS (SELECT ${h60("tok")} AS th, min(doc_id) AS fd FROM (
+           |    SELECT doc_id, unnest($toks) AS tok FROM documents) t GROUP BY 1),
+           |cks AS (SELECT unnest([49, 99, 199, 499]::BIGINT[]) AS checkpoint),
+           |v AS (SELECT checkpoint,
+           |        sum(CASE WHEN fd <= checkpoint THEN 1 ELSE 0 END)::BIGINT AS vocab_size
+           |      FROM fd CROSS JOIN cks GROUP BY 1),
+           |o AS (SELECT checkpoint,
+           |        sum(CASE WHEN doc_id <= checkpoint THEN len($toks) ELSE 0 END)::BIGINT AS n_occurrences
+           |      FROM documents CROSS JOIN cks GROUP BY 1)
+           |SELECT v.checkpoint, o.n_occurrences, v.vocab_size,
+           |  (v.vocab_size * 1000000 // o.n_occurrences)::BIGINT AS ttr_ppm
+           |FROM v JOIN o USING (checkpoint)""".stripMargin,
       "t01_token_count" ->
         s"""SELECT doc_id, len($toks)::BIGINT AS n_tokens,
            | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens

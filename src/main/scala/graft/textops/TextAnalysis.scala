@@ -259,6 +259,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))
   }
 
+  /** Heaps-law vocabulary GROWTH curve — distinct-vocabulary size after
+    * the first docs under the doc_id total order, at a sweep of
+    * checkpoints: the read that sizes a tokenizer vocabulary and
+    * predicts how much new-token mass the NEXT crawl snapshot will add
+    * (Heaps '78: V ≈ K·N^β, β ≈ 0.5 for natural text — a corpus whose
+    * curve has flattened is saturated; one still growing linearly is
+    * polluted or multilingual). [[vocabCoverage]] reads the FINAL
+    * frequency distribution; this reads the arrival ORDER.
+    *
+    * Exact, with no corpus-wide window and no per-prefix rescans: a
+    * token's contribution to every checkpoint is decided by its FIRST
+    * document — one digest-keyed `min(doc_id)` aggregate (tokens hash to
+    * `md5Long60` so only digests cross the shuffle, the repo discipline)
+    * — and occurrence mass by each doc's own id, a second
+    * map-side-combinable aggregate over per-doc token counts. Both
+    * explode the (tiny) checkpoint array BEFORE their groupBy, so each
+    * is ONE combined shuffle to `checkpoints` rows. Output per
+    * checkpoint: (checkpoint, n_occurrences, vocab_size, ttr_ppm — the
+    * type/token ratio, vocab·10⁶ // occurrences).
+    */
+  def vocabGrowth(docs: DataFrame,
+                  checkpoints: Seq[Long] = Seq(49L, 99L, 199L, 499L)): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    val ckArr = array(checkpoints.sorted.map(lit): _*)
+    val firstDoc = withTokens(docs)
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+      .select(col("doc_id"), PortableHash.md5Long60(col("tok")).as("th"))
+      .groupBy(col("th")).agg(min(col("doc_id")).as("fd"))
+    val vocab = firstDoc
+      .select(explode(ckArr).as("checkpoint"), col("fd"))
+      .groupBy(col("checkpoint"))
+      .agg(sum(when(col("fd") <= col("checkpoint"), 1L).otherwise(0L))
+        .as("vocab_size"))
+    val occ = withTokens(docs)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n"))
+      .select(explode(ckArr).as("checkpoint"), col("doc_id"), col("n"))
+      .groupBy(col("checkpoint"))
+      .agg(sum(when(col("doc_id") <= col("checkpoint"), col("n")).otherwise(0L))
+        .as("n_occurrences"))
+    vocab.join(occ, "checkpoint")
+      .select(col("checkpoint"), col("n_occurrences"), col("vocab_size"),
+        intDiv(col("vocab_size") * lit(1000000L), col("n_occurrences"))
+          .as("ttr_ppm"))
+  }
+
   /** Repetition signals (the Gopher/MassiveText-style quality rules for
     * detecting degenerate repetitive text), integer ppm:
     *

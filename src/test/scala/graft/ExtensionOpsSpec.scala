@@ -28,6 +28,16 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(multi3.forall { case (a, b) => a < b })
   }
 
+  test("vocabGrowth: first-doc attribution, exact counts per checkpoint") {
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d d"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabGrowth(docs, checkpoints = Seq(0L, 1L, 2L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(0L) == (2L, 2L, 1000000L), s"after doc 0: $rows")
+    assert(rows(1L) == (4L, 3L, 750000L), s"after doc 1: b is not new: $rows")
+    assert(rows(2L) == (7L, 4L, 571428L), s"after doc 2: dup d counts once: $rows")
+  }
+
   test("segmentRepetition: dup line/para fractions and char mass, empties dropped") {
     val docs = Seq(
       // lines [aaa, bb, aaa, bb, bb]: 3 dup occurrences of 5 (600000 ppm),
