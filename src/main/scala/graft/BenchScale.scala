@@ -55,7 +55,15 @@ object BenchScale {
     // it is the documented O(n²) brute-force oracle twin (s01/d05's
     // exemption class) — its scale path is LSH/IVF over truncated
     // vectors, which the gated s02/s22 queries already cover.
-    "d28_repeated_spans", "g05_triangle_counts")
+    "d28_repeated_spans", "g05_triangle_counts",
+    // round-10 session-2 operators with a join or a loop: LPA's per-round
+    // label join, the MAD trailing window over the hourly aggregate, the
+    // JL pair-sample join + per-m branches, and the vocab-growth digest
+    // shuffle. t47/m17 stay out: pure per-row projections (segment folds,
+    // partition-local decode) with neither join nor loop; e17 is
+    // streaming (excluded by design, harness-startup-bound).
+    "g06_label_communities", "e16_mad_anomalies", "s26_random_projection",
+    "t48_vocab_growth")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded
