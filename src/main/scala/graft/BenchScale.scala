@@ -63,7 +63,10 @@ object BenchScale {
     // partition-local decode) with neither join nor loop; e17 is
     // streaming (excluded by design, harness-startup-bound).
     "g06_label_communities", "e16_mad_anomalies", "s26_random_projection",
-    "t48_vocab_growth")
+    "t48_vocab_growth",
+    // exact bounded-radius BFS (frontier joins + pair frame) — the one
+    // new query whose exact side is deliberately Θ(Σ|ball|)
+    "g07_harmonic_centrality")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

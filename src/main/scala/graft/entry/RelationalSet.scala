@@ -303,6 +303,15 @@ private[graft] object RelationalSet {
           r2.cast("string"), lit(".example.com/link?x=1"))).as("dst"))
       GraphOps.weakComponents(edges)
     }),
+    // Exact bounded-radius harmonic centrality over the same host graph
+    // — the read CommonCrawl publishes for its host ranks: each node
+    // first reached within 3 hops along IN-links contributes
+    // 10^6 div d, an integer sum both engines replay. The exact
+    // Θ(Σ|ball|) pair frame is the fixture-affordable truth; g04's
+    // HyperBall iteration is the sketch path at web scale.
+    "g07_harmonic_centrality" -> ((s, dir) =>
+      GraphOps.harmonicCentrality(hostEdgesFixture(Tables.documents(s, dir)),
+        radius = 3)),
     // Synchronous label-propagation communities over the same host graph
     // — the read between g03's weak components (too coarse: the fixture
     // is one big component per residue family) and g05's per-host
@@ -912,6 +921,29 @@ private[graft] object RelationalSet {
           |  UNION ALL SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
           |SELECT host, count(*)::BIGINT AS n_triangles
           |FROM corners GROUP BY 1""".stripMargin,
+      // g07: three first-reach BFS rounds over the reversed edges as
+      // chained min(d)-merge CTEs, then sum(10^6 // d) per host
+      "g07_harmonic_centrality" -> {
+        def bfsRound(prev: String, out: String, d: Int): String =
+          s"""r$out AS (SELECT host, r, min(d) AS d FROM (
+            |    SELECT host, r, d FROM r$prev
+            |    UNION ALL
+            |    SELECT r$prev.host, rev.t, $d FROM r$prev
+            |    JOIN rev ON r$prev.r = rev.s WHERE r$prev.d = ${d - 1}) u
+            |  GROUP BY 1, 2)""".stripMargin
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |rev AS (SELECT DISTINCT dst AS s, src AS t FROM edges WHERE src != dst),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) n),
+          |r0 AS (SELECT host, host AS r, 0 AS d FROM nodes),
+          |${bfsRound("0", "1", 1)},
+          |${bfsRound("1", "2", 2)},
+          |${bfsRound("2", "3", 3)}
+          |SELECT host, count(*)::BIGINT AS n_reached,
+          |  sum(1000000 // d)::BIGINT AS harmonic_ppm
+          |FROM r3 WHERE d > 0 GROUP BY 1""".stripMargin
+      },
       // g06: four synchronous LPA rounds replayed as chained CTEs — per
       // round, neighbor-label vote counts and a (count desc, label asc)
       // row_number argmax; isolated nodes keep their label via the

@@ -277,6 +277,60 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Bounded-radius HARMONIC centrality — the host-ranking read the
+    * CommonCrawl project actually publishes for its host graph
+    * (Boldi–Vigna "Axioms for Centrality", 2014: harmonic handles
+    * disconnected graphs where closeness degenerates):
+    * `H(v) = Σ_{u reaches v within R} 1/d(u, v)`, here as exact integer
+    * ppm — each node first reached at distance d contributes
+    * `10⁶ div d`, so the score is a sum of at most R distinct integers
+    * both engines replay bit-for-bit, no float harmonic lore.
+    * `incoming = true` (default) measures distances ALONG in-links
+    * (who can reach me — authority), by walking the reversed edges.
+    *
+    * This is the EXACT side, Θ(Σ|ball(R)|) pair rows — the
+    * fixture-affordable truth; at web scale the sketch path is
+    * [[neighborhoodGate]]'s HyperBall iteration, whose per-round
+    * `hll_union_agg` replaces the pair frame with O(nodes·sketch) state
+    * (Boldi–Vigna WWW'11 run harmonic exactly this way, with per-round
+    * ball-size deltas standing in for the first-reach counts).
+    *
+    * Shape: per round only the LAST frontier (d = round−1) joins the
+    * edge scan, and first-reach wins by a (host, node)-keyed `min(d)`
+    * merge — map-side combinable; per-round `localCheckpoint` (the CC
+    * discipline). Output (host, n_reached, harmonic_ppm).
+    */
+  def harmonicCentrality(edges: DataFrame, radius: Int = 3,
+                         incoming: Boolean = true): DataFrame = {
+    require(radius >= 1, "radius must be at least 1")
+    val e = (if (incoming) edges.select(col("dst").as("src"), col("src").as("dst"))
+             else edges.select(col("src"), col("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    var reach = nodes.select(col("host"), col("host").as("r"), lit(0).as("d"))
+      .localCheckpoint()
+    var round = 1
+    while (round <= radius) {
+      val next = reach.where(col("d") === round - 1)
+        .join(e, reach("r") === e("src"))
+        .select(reach("host"), e("dst").as("r"), lit(round).as("d"))
+      reach = reach.unionAll(next)
+        .groupBy(col("host"), col("r")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+      round += 1
+    }
+    e.unpersist()
+    reach.where(col("d") > 0)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div d")).as("harmonic_ppm"))
+  }
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007,
     * "Near linear time algorithm to detect community structures in
     * large-scale networks") over an undirected host graph — the

@@ -434,6 +434,29 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(m.values.map(_._2).sum <= 1000000000000L)
   }
 
+  test("harmonicCentrality: path-graph exact sums, first-reach min, direction flag") {
+    import graft.graph.GraphOps
+    // path a→b→c→d: along in-links, H(d) = 1/1 + 1/2 + 1/3 in ppm
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val in = GraphOps.harmonicCentrality(path, radius = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(in("b") == (1L, 1000000L), s"got $in")
+    assert(in("c") == (2L, 1500000L), s"got $in")
+    assert(in("d") == (3L, 1833333L), s"got $in")
+    assert(!in.contains("a"), "nothing reaches a along in-links")
+    // outgoing direction is the mirror read
+    val out = GraphOps.harmonicCentrality(path, radius = 3, incoming = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("a") == 1833333L && !out.contains("d"), s"got $out")
+    // diamond + shortcut: a reaches d at distance 1 directly — the
+    // min(d) merge must not let the longer a→b→d path double or override
+    val dia = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"))
+      .toDF("src", "dst")
+    val hd = GraphOps.harmonicCentrality(dia, radius = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hd("d") == (3L, 3000000L), s"all three at first-reach 1: $hd")
+  }
+
   test("labelPropagation: two bridged K4s separate, ties to min label, isolated keeps own") {
     import graft.graph.GraphOps
     // two 4-cliques joined by one bridge a1-b1, plus a self-loop-only node
