@@ -66,7 +66,9 @@ object BenchScale {
     "t48_vocab_growth",
     // exact bounded-radius BFS (frontier joins + pair frame) — the one
     // new query whose exact side is deliberately Θ(Σ|ball|)
-    "g07_harmonic_centrality")
+    "g07_harmonic_centrality",
+    // two-level-cumsum range shuffle (the shardPacking machinery)
+    "t49_pps_sample")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

@@ -243,6 +243,12 @@ private[graft] object TextSet {
     // shape Bernoulli rates can't hit exactly
     "t45_budget_sample" -> ((s, dir) =>
       TextAnalysis.budgetSample(Tables.documents(s, dir))),
+    // systematic PPS sample: selection proportional to TOKEN mass via
+    // step-crossings of the exact doc_id-ordered cumsum (two-level, no
+    // global window) — the token-space-faithful draw uniform doc
+    // sampling cannot give; heavier-than-step docs are certainties
+    "t49_pps_sample" -> ((s, dir) =>
+      TextAnalysis.ppsSample(Tables.documents(s, dir))),
     "t41_url_profile" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val tld = element_at(
@@ -331,6 +337,19 @@ private[graft] object TextSet {
            |         * 1000000 // list_sum(list_transform(ps, x -> len(x)))
            |    ELSE 0 END)::BIGINT AS dup_para_char_ppm
            |FROM seg""".stripMargin,
+      // t49: the identical step-crossing formula over a window cumsum
+      // (fixture-sized; the engine side uses the two-level cumsum)
+      "t49_pps_sample" ->
+        s"""WITH s AS (SELECT doc_id, len($toks)::BIGINT AS n FROM documents),
+           |c AS (SELECT doc_id, n,
+           |  coalesce(sum(n) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+           |  FROM s),
+           |st AS (SELECT greatest(sum(n) // 100, 1) AS step FROM s)
+           |SELECT doc_id, n AS n_tokens,
+           |  ((bf + n) // step - bf // step)::BIGINT AS n_picks
+           |FROM c CROSS JOIN st
+           |WHERE (bf + n) // step > bf // step""".stripMargin,
       // t48: first-doc per token digest decides vocab at every
       // checkpoint; occurrence mass from per-doc token counts
       "t48_vocab_growth" ->

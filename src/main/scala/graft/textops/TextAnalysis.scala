@@ -1352,15 +1352,18 @@ object TextAnalysis {
     * the sampled range bounds and the map output are fixed and reused —
     * the second pass is a reduce-stage-only job.
     */
-  def shardPacking(docs: DataFrame, budget: Long = 50000L): DataFrame = {
-    require(budget > 0, s"bad shard budget: $budget")
-    val spark = docs.sparkSession
-    val sized = withTokens(docs)
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("__n"))
-    val idType = sized.schema("doc_id").dataType
+  /** The two-level exclusive-cumsum scaffolding shared by
+    * [[shardPacking]] and [[ppsSample]]: range-partition the
+    * (doc_id, long) frame by doc_id, sort within partitions, collect ONE
+    * long subtotal per partition (driver-trivial), and scan those into
+    * exclusive prefix offsets. Returns (pinned RDD, per-partition
+    * offsets, grand total). Both of the RDD jobs reuse one shuffle —
+    * `.rdd` materializes the ShuffleDependency once.
+    */
+  private def docIdCumsum(sized: DataFrame)
+      : (org.apache.spark.rdd.RDD[Row], Map[Int, Long], Long) = {
+    val spark = sized.sparkSession
     val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    // one shuffle, pinned: range bounds are sampled when `.rdd` builds the
-    // ShuffleDependency; both jobs below reuse the same map output
     val ranged = sized
       .repartitionByRange(p, col("doc_id"))
       .sortWithinPartitions("doc_id")
@@ -1376,6 +1379,16 @@ object TextAnalysis {
     val offsets: Map[Int, Long] = subtotals.map { case (i, s) =>
       val o = acc; acc += s; (i, o)
     }.toMap
+    (ranged, offsets, acc)
+  }
+
+  def shardPacking(docs: DataFrame, budget: Long = 50000L): DataFrame = {
+    require(budget > 0, s"bad shard budget: $budget")
+    val spark = docs.sparkSession
+    val sized = withTokens(docs)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("__n"))
+    val idType = sized.schema("doc_id").dataType
+    val (ranged, offsets, _) = docIdCumsum(sized)
     val packed = ranged.mapPartitionsWithIndex { (i, it) =>
       var run = offsets.getOrElse(i, 0L)
       it.map { r =>
@@ -1394,6 +1407,48 @@ object TextAnalysis {
         sum(col("__n")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Systematic PPS (probability-proportional-to-size) sampling — Madow
+    * '49, the weighted companion to [[budgetSample]]'s uniform carve: a
+    * training-data draw where a document's chance of selection is
+    * proportional to its TOKEN mass, so the sampled set's token
+    * distribution matches the corpus (uniform doc sampling over-weights
+    * short docs in token space). Deterministic and exact: with weights
+    * w_i in doc_id order, grand total W and `step = max(1, W div k)`, a
+    * doc is picked once for every multiple of `step` its cumulative
+    * interval [cum_excl, cum_excl + w) crosses —
+    * `n_picks = (cum_excl+w) div step − cum_excl div step`; docs heavier
+    * than the step are guaranteed in (with multiplicity — the PPS
+    * certainty stratum), zero-weight docs never. Offset 0 is the
+    * documented determinism choice; a production draw adds a fixed
+    * offset in [0, step).
+    *
+    * Scale shape: the cumulative sums ride [[docIdCumsum]]'s two-level
+    * cumsum — never an unpartitioned window; the shuffle carries one
+    * (doc_id, long) pair per doc. Output: (doc_id, n_tokens, n_picks)
+    * for picked docs only.
+    */
+  def ppsSample(docs: DataFrame, k: Long = 100L): DataFrame = {
+    require(k > 0, s"bad sample size: $k")
+    val spark = docs.sparkSession
+    val sized = withTokens(docs)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("__n"))
+    val idType = sized.schema("doc_id").dataType
+    val (ranged, offsets, total) = docIdCumsum(sized)
+    val step = math.max(1L, total / k)
+    val picked = ranged.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets.getOrElse(i, 0L)
+      it.flatMap { r =>
+        val n = r.getLong(1); val before = run; run += n
+        val picks = (before + n) / step - before / step
+        if (picks > 0) Iterator(Row(r.get(0), n, picks)) else Iterator.empty
+      }
+    }
+    spark.createDataFrame(picked, StructType(Seq(
+      StructField("doc_id", idType),
+      StructField("n_tokens", LongType),
+      StructField("n_picks", LongType))))
   }
 
   /** BM25 ranked retrieval (Robertson–Spärck Jones, the classic probabilistic

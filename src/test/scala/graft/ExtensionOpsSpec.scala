@@ -28,6 +28,22 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(multi3.forall { case (a, b) => a < b })
   }
 
+  test("ppsSample: step crossings, certainty stratum multiplicity, exact total") {
+    // weights 4,1,6,1 → W=12, k=4 → step=3; intervals [0,4) [4,5) [5,11)
+    // [11,12) cross multiples {3}, {}, {6,9}, {12}
+    val docs = Seq(
+      (0L, "w w w w"), (1L, "x"), (2L, "y y y y y y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.ppsSample(docs, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == Map(0L -> (4L, 1L), 2L -> (6L, 2L), 3L -> (1L, 1L)), s"got $rows")
+    assert(rows.values.map(_._2).sum == 4L, "total picks = floor(W/step) = k here")
+    // k ≥ W degenerates to step 1: every doc in with multiplicity = weight
+    val all = TextAnalysis.ppsSample(docs, k = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all == Map(0L -> 4L, 1L -> 1L, 2L -> 6L, 3L -> 1L), s"got $all")
+  }
+
   test("vocabGrowth: first-doc attribution, exact counts per checkpoint") {
     val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d d"))
       .toDF("doc_id", "text")
