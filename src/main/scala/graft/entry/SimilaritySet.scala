@@ -54,6 +54,12 @@ private[graft] object SimilaritySet {
     // projected ones in clustering/dedup pre-passes
     "s26_random_projection" -> ((s, dir) =>
       Ann.randomProjectionGate(Tables.embeddings(s, dir))),
+    // IVF cell-balance health: one summary row over the non-empty
+    // cell-size distribution (min/lower-median/max + max-over-mean
+    // imbalance ppm) — the probe-latency skew read before an inverted
+    // index ships, s19's shape-QA sibling on the INDEX side
+    "s27_ivf_cell_balance" -> ((s, dir) =>
+      Ann.ivfCellBalance(Tables.embeddings(s, dir))),
     // sign-LSH (random-hyperplane) bucketing — candidate generator at scale
     "s03_lsh_buckets" -> ((s, dir) =>
       Ann.signLshBuckets(Tables.embeddings(s, dir))),
@@ -340,6 +346,24 @@ private[graft] object SimilaritySet {
           |         count(*)::BIGINT AS nv
           |       FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1, 2)
           |SELECT cell, dim, (sum_ppm // nv)::BIGINT AS mean_ppm, nv AS n_vectors FROM t2""".stripMargin,
+      // s27: s02's assignment CTE feeding one summary aggregate — lower
+      // median via list_sort over the cells-bounded size list, imbalance
+      // as one integer cross-multiplication
+      "s27_ivf_cell_balance" ->
+        """WITH cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
+          |              WHERE vec_id % 25 = 0),
+          |assigned AS (SELECT vec_id, cell FROM (
+          |  SELECT e.vec_id, c.cell,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rn
+          |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          |sizes AS (SELECT cell, count(*)::BIGINT AS n FROM assigned GROUP BY 1)
+          |SELECT count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n_vectors,
+          |  min(n)::BIGINT AS min_cell,
+          |  (list_sort(list(n)))[((count(*) - 1) // 2)::INT + 1]::BIGINT AS med_cell,
+          |  max(n)::BIGINT AS max_cell,
+          |  (max(n) * count(*) * 1000000 // sum(n))::BIGINT AS imbalance_ppm
+          |FROM sizes""".stripMargin,
       // s26: the same rp:-namespace md5 sign rows, pair diffs projected
       // per plane with ORDERED list folds (list(pd ORDER BY j) — sum()
       // over a group is unordered and double addition is not associative),

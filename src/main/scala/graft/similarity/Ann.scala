@@ -485,6 +485,46 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF CELL-BALANCE health read — the index-shape QA between
+    * [[embeddingHealth]]'s per-dimension stats and [[ivfTuningCurve]]'s
+    * recall sweep: an inverted-file index with skewed cells has
+    * unpredictable probe latency (a query probing the mega-cell reads a
+    * large corpus fraction — the reason faiss docs tell you to retrain
+    * a quantizer whose imbalance factor drifts). One summary row over
+    * the non-empty cell-size distribution: (n_cells, n_vectors,
+    * min_cell, med_cell, max_cell, imbalance_ppm) with `med` the lower
+    * median and `imbalance = max·n_cells·10⁶ div n_vectors` — max over
+    * mean as one integer cross-multiplication, exact.
+    *
+    * Scale shape: the same [[assignCells]] shuffle-free literal-centroid
+    * assignment as the IVF search path, ONE map-side-combinable cell
+    * count, and the final fold runs over the cells-bounded size list
+    * (`collect_list` bounded by the quantizer size, the k-means model
+    * rule). No centroid here is empty by construction (each is a corpus
+    * vector and assigns itself at cosine 1); a retrained quantizer with
+    * genuinely empty cells shows up as n_cells below the quantizer size.
+    */
+  def ivfCellBalance(embeddings: DataFrame, centroidStep: Long = 25L): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    val cents = corpus.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val sizes = assignCells(corpus, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    sizes
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_vectors"),
+        min(col("n")).as("min_cell"),
+        max(col("n")).as("max_cell"),
+        collect_list(col("n")).as("__ns"))
+      .select(col("n_cells"), col("n_vectors"), col("min_cell"),
+        element_at(array_sort(col("__ns")),
+          (floor((size(col("__ns")) - lit(1)) / lit(2)) + lit(1)).cast("int"))
+          .as("med_cell"),
+        col("max_cell"),
+        expr("max_cell * n_cells * 1000000 div n_vectors").as("imbalance_ppm"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * EVAL step every ANN deployment runs before trusting an index: per
     * query, how many of the exact top-k the approximate search recovered

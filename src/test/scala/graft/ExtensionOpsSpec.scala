@@ -28,6 +28,23 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(multi3.forall { case (a, b) => a < b })
   }
 
+  test("ivfCellBalance: exact skew summary over a two-cell hand fixture") {
+    import graft.similarity.Ann
+    def axis(at: Int) = Array.tabulate(64)(i => if (i == at) 1.0f else 0.0f)
+    // step 8 → centroids 0 (e₀) and 8 (e₁); ids 0..7 are e₀, 8..9 e₁
+    val emb = (0 until 10).map(i => (i.toLong, if (i < 8) axis(0) else axis(1)))
+      .toDF("vec_id", "embedding")
+    val r = Ann.ivfCellBalance(emb, centroidStep = 8L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)) == (2L, 10L, 2L, 2L, 8L, 1600000L),
+      s"got $r")
+    // perfectly balanced: 5 per cell → imbalance exactly 10⁶
+    val bal = (0 until 10).map(i => (i.toLong, if (i < 5) axis(0) else axis(1)))
+      .toDF("vec_id", "embedding")
+    val b = Ann.ivfCellBalance(bal, centroidStep = 5L).collect().head
+    assert(b.getLong(5) == 1000000L, s"got $b")
+  }
+
   test("ppsSample: step crossings, certainty stratum multiplicity, exact total") {
     // weights 4,1,6,1 → W=12, k=4 → step=3; intervals [0,4) [4,5) [5,11)
     // [11,12) cross multiples {3}, {}, {6,9}, {12}
