@@ -262,6 +262,42 @@ class PlanAuditSpec extends SparkTestBase {
       s"window must sit above the hourly aggregate:\n$p")
   }
 
+  test("MAD anomalies window over the per-hour aggregate; trailing arrays per row") {
+    val p = plan(graft.relational.Temporal.madAnomalies(events))
+    // e06's contract for the robust twin: the collect_list window runs
+    // over calendar-bounded hourly rows, never raw events
+    assert("(?s)Window.*HashAggregate.*partial_count".r.findFirstIn(p).isDefined,
+      s"window must sit above the hourly aggregate:\n$p")
+    assert(!p.contains("ScalaUDF"), s"median/MAD must stay expression-level:\n$p")
+  }
+
+  test("segment repetition is one narrow no-shuffle projection") {
+    val p = plan(TextAnalysis.segmentRepetition(docs))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"segment metrics must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"per-row array folds only:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to (doc_id, text):\n$p")
+  }
+
+  test("vocab growth: digest-only token shuffle; checkpoint fan-out combines map-side") {
+    val p = plan(TextAnalysis.vocabGrowth(docs))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("partial_min".r.findFirstIn(p).isDefined &&
+      "partial_sum".r.findFirstIn(p).isDefined,
+      s"first-doc min and checkpoint sums must combine map-side:\n$p")
+    assert(!"Exchange hashpartitioning\\(tok".r.findFirstIn(p).isDefined,
+      s"raw tokens must never cross a shuffle (md5 digests only):\n$p")
+  }
+
+  test("IVF cell balance: literal-centroid assignment, one combined count, no join") {
+    val p = plan(Ann.ivfCellBalance(embeddings))
+    assert(!p.contains("Join"), s"assignment must be shuffle-free literals:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      s"cell counts must combine map-side:\n$p")
+  }
+
   test("chunk dedup shuffles digests, never text; first-occurrence min is map-side") {
     val p = plan(Dedup.chunkDedupStats(docs))
     assert("Exchange hashpartitioning\\(chunk_md5".r.findFirstIn(p).isDefined,
