@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Multimodal decode/dedup queries (m01-m17) + their DuckDB oracles.
+/** Multimodal decode/dedup queries (m01-m18) + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -205,6 +205,25 @@ private[graft] object MultimodalSet {
         .select(col("doc_id"), col("win_idx"), col("n_samples"),
           col("crossings"), col("voiced"))
     }),
+    // Luma histogram + solid-image detector over REAL decoded PNGs —
+    // the blank-screenshot/placeholder gate: 16 exact luma bins,
+    // dominant bin by (count desc, bin asc), occupied-bin count, and
+    // the one-cross-multiplication flat verdict. Every third doc is a
+    // solid constant (flat trips); the rest use the m13 pixel formula.
+    "m18_image_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 13 + 8).toInt
+          val h = (id % 7 + 8).toInt
+          (id, Multimodal.syntheticGrayPng(w, h,
+            (x, y) => if (id % 3 == 0) (id % 256).toInt
+                      else (((id * 31 + y.toLong * w + x) * 17) % 256).toInt))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("image"))
+      Multimodal.imageHistogram(pngs).toDF()
+        .select(col("doc_id"), col("n_pixels"), col("top_bin"),
+          col("top_count"), col("n_bins_used"), col("flat"))
+    }),
     // Dominant-lag autocorrelation pitch over REAL decoded WAV — exact
     // integer lag products R(L) for L in [2,24], (R desc, lag asc)
     // argmax, and the 2R > R0 clarity gate. Three quarters of the docs
@@ -339,6 +358,31 @@ private[graft] object MultimodalSet {
           |SELECT doc_id, 4000::BIGINT AS dst_rate, n_out::BIGINT AS n_samples,
           |  sum((i + 1) * v)::BIGINT AS checksum
           |FROM s GROUP BY 1, 2, 3""".stripMargin,
+      // m18: the same solid/formula pixel split binned v // 16, argmax
+      // by (count desc, bin asc), occupied bins, integer flat gate —
+      // the real PNG decode must reproduce every column
+      "m18_image_histogram" ->
+        """WITH d AS (SELECT doc_id, (doc_id % 13) + 8 AS w, (doc_id % 7) + 8 AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h,
+          |        CASE WHEN doc_id % 3 = 0 THEN doc_id % 256
+          |             ELSE ((doc_id * 31 + yy.j * w + xx.i) * 17) % 256 END AS v
+          |       FROM d
+          |       CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS i) xx
+          |       CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS j) yy
+          |       WHERE xx.i < w AND yy.j < h),
+          |bins AS (SELECT doc_id, v // 16 AS bin, count(*)::BIGINT AS c
+          |         FROM px GROUP BY 1, 2),
+          |agg AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS used
+          |        FROM bins GROUP BY 1),
+          |top AS (SELECT doc_id, bin, c FROM (
+          |    SELECT doc_id, bin, c, row_number() OVER (
+          |      PARTITION BY doc_id ORDER BY c DESC, bin ASC) AS rn FROM bins)
+          |  WHERE rn = 1)
+          |SELECT a.doc_id, a.n AS n_pixels, t.bin::BIGINT AS top_bin,
+          |  t.c AS top_count, a.used AS n_bins_used,
+          |  (t.c * 1000000 > 500000 * a.n) AS flat
+          |FROM agg a JOIN top t ON a.doc_id = t.doc_id""".stripMargin,
       // m17: the same sawtooth/LCG sample formulas; R(L) as a lag self-
       // join summed per (doc, lag), argmax by (r desc, lag asc), and the
       // integer 2R > energy clarity gate — the real decode must

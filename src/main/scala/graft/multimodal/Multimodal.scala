@@ -573,6 +573,60 @@ object Multimodal {
       }))
   }
 
+  case class ImageHistogram(doc_id: Long, n_pixels: Long, top_bin: Long,
+                            top_count: Long, n_bins_used: Long, flat: Boolean)
+
+  /** Luma HISTOGRAM + solid-image detector over REAL decoded rasters —
+    * the cheap image-quality gate of a multimodal corpus build (the
+    * image twin of the text quality battery): screenshots of blank
+    * pages, tracking pixels and solid-color placeholders concentrate
+    * their pixel mass in one brightness band, where genuine photos
+    * spread. Per image: 16 luma bins (`luma >> 4` — exact integer
+    * binning), the dominant bin under the (count desc, bin asc) total
+    * order, the number of occupied bins, and the verdict
+    * `flat = top_count·10⁶ > flatMaxPpm·n_pixels` — one integer
+    * cross-multiplication, no float entropy lore.
+    *
+    * Same partition-local batched decode as [[decodeImages]]; bytes
+    * never shuffle, one 6-field row per image leaves the scan;
+    * undecodable payloads emit no rows (the permissive-codec
+    * convention).
+    */
+  def imageHistogram(media: DataFrame, flatMaxPpm: Long = 500000L,
+                     batchSize: Int = 64): Dataset[ImageHistogram] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+        val img = ImageIoCodec.decode(r.media)
+        if (img == null) Iterator.empty
+        else {
+          val counts = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              counts(ImageIoCodec.lumaAt(img, x, y) >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight
+          var topBin = 0
+          var used = 0L
+          var b = 0
+          while (b < 16) {
+            if (counts(b) > counts(topBin)) topBin = b // strict > keeps the smaller tie
+            if (counts(b) > 0) used += 1
+            b += 1
+          }
+          Iterator.single(ImageHistogram(r.doc_id, n, topBin.toLong,
+            counts(topBin), used, counts(topBin) * 1000000L > flatMaxPpm * n))
+        }
+      }))
+  }
+
   case class GifFrame(doc_id: Long, n_frames: Long, frame_idx: Long,
                       ahash: Option[Long])
 

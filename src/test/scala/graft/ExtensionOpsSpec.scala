@@ -399,6 +399,23 @@ class ExtensionOpsSpec extends SparkTestBase {
       s"sane ppm bounds: ${fx.toSeq}")
   }
 
+  test("imageHistogram: solid flags flat, gradient ties to smallest bin, corrupt drops") {
+    import graft.multimodal.Multimodal
+    def png(id: Long, w: Int, h: Int, f: (Int, Int) => Int) =
+      (id, Multimodal.syntheticGrayPng(w, h, f))
+    val media = Seq(
+      png(1L, 3, 3, (_, _) => 200),      // solid: bin 12 holds all 9
+      png(2L, 4, 4, (x, _) => x * 16),   // bins 0..3 each 4 — tie → bin 0
+      (3L, Array[Byte](1, 2, 3)))        // corrupt → no row
+      .toDF("doc_id", "media").withColumn("media_type", lit("image"))
+    val rows = Multimodal.imageHistogram(media)
+      .collect().map(r => r.doc_id ->
+        (r.n_pixels, r.top_bin, r.top_count, r.n_bins_used, r.flat)).toMap
+    assert(rows(1L) == (9L, 12L, 9L, 1L, true), s"solid: $rows")
+    assert(rows(2L) == (16L, 0L, 4L, 4L, false), s"gradient: $rows")
+    assert(!rows.contains(3L), "undecodable payloads emit no rows")
+  }
+
   test("audioPitch: sawtooth finds its period, all-zero ties to minLag, short clips drop") {
     import graft.multimodal.Multimodal
     def wav(id: Long, samples: Array[Int]) =
