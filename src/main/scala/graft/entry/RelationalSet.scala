@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Relational (h01-h24), temporal/event (e01-e17) and graph (g01-g06) queries + their DuckDB oracles.
+/** Relational (h01-h24), temporal/event (e01-e17) and graph (g01-g08) queries + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -303,6 +303,12 @@ private[graft] object RelationalSet {
           r2.cast("string"), lit(".example.com/link?x=1"))).as("dst"))
       GraphOps.weakComponents(edges)
     }),
+    // Degree assortativity of the same host graph — Newman 2002's
+    // topology read (web graphs are disassortative; a crawl turning
+    // assortative has swallowed an interlinked farm) from four exact
+    // integer moments + ONE truncating DECIMAL division to ppm
+    "g08_degree_assortativity" -> ((s, dir) =>
+      GraphOps.degreeAssortativity(hostEdgesFixture(Tables.documents(s, dir)))),
     // Exact bounded-radius harmonic centrality over the same host graph
     // — the read CommonCrawl publishes for its host ranks: each node
     // first reached within 3 hops along IN-links contributes
@@ -921,6 +927,27 @@ private[graft] object RelationalSet {
           |  UNION ALL SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
           |SELECT host, count(*)::BIGINT AS n_triangles
           |FROM corners GROUP BY 1""".stripMargin,
+      // g08: the same canonical edges + broadcast degrees; Newman's
+      // fraction-cleared formula in HUGEINT, // truncating toward zero
+      // like Spark's div (the s20-verified pairing)
+      "g08_degree_assortativity" ->
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |        FROM edges WHERE src != dst),
+          |deg AS (SELECT host, count(*)::BIGINT AS d FROM (
+          |    SELECT a AS host FROM und UNION ALL SELECT b FROM und) x GROUP BY 1),
+          |e AS (SELECT da.d AS j, db.d AS k
+          |      FROM und JOIN deg da ON da.host = a JOIN deg db ON db.host = b),
+          |s AS (SELECT count(*)::HUGEINT AS m, sum(j::HUGEINT * k) AS sjk,
+          |        sum(j::HUGEINT + k) AS s1,
+          |        sum(j::HUGEINT * j + k::HUGEINT * k) AS s2 FROM e)
+          |SELECT m::BIGINT AS m_edges, sjk::BIGINT AS sum_jk,
+          |  s1::BIGINT AS sum_j_plus_k, s2::BIGINT AS sum_j2_plus_k2,
+          |  (CASE WHEN 2 * m * s2 - s1 * s1 != 0
+          |    THEN ((4 * m * sjk - s1 * s1) * 1000000) // (2 * m * s2 - s1 * s1)
+          |    END)::BIGINT AS assortativity_ppm
+          |FROM s""".stripMargin,
       // g07: three first-reach BFS rounds over the reversed edges as
       // chained min(d)-merge CTEs, then sum(10^6 // d) per host
       "g07_harmonic_centrality" -> {

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Host-graph analytics over web-corpus link structure — the centrality
@@ -389,6 +389,60 @@ object GraphOps {
       round += 1
     }
     labels
+  }
+
+  /** Degree ASSORTATIVITY (Newman, PRL 2002) of the undirected host
+    * graph — the one-number topology read that separates social-like
+    * graphs (assortative, hubs link hubs) from web-like ones
+    * (disassortative, hubs link leaves; a crawl whose host graph turns
+    * assortative has usually swallowed a link farm that interlinks its
+    * own hubs). Pearson correlation of endpoint degrees over edges,
+    * computed EXACTLY from four integer moments: with M edges and
+    * endpoint degrees (j, k),
+    * `r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)` — Newman's
+    * formula cleared of fractions, so the output row is integer-exact:
+    * the four moments as longs plus `assortativity_ppm` by ONE
+    * truncating DECIMAL(38,0) division (toward zero on both engines —
+    * the s20-verified pairing; r is negative on real web graphs, and a
+    * star is exactly −10⁶). A regular graph has zero variance →
+    * denominator 0 → NULL ppm, the no-fabricated-identity discipline.
+    *
+    * Scale shape: the [[triangleCounts]] canonical-edge construction —
+    * one distinct + checkpoint; the hosts-bounded degree table
+    * broadcasts onto the edge scan twice; the moment sums are ONE
+    * map-side-combinable global aggregate. Output is a single row.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // read by the degree count AND the moment scan
+    val deg = und.select(explode(array(col("a"), col("b"))).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("d"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    und
+      .join(broadcast(deg.select(col("host").as("a"), col("d").as("j"))), Seq("a"))
+      .join(broadcast(deg.select(col("host").as("b"), col("d").as("k"))), Seq("b"))
+      .agg(
+        count(lit(1)).as("m_edges"),
+        sum(col("j") * col("k")).as("sum_jk"),
+        sum(col("j") + col("k")).as("sum_j_plus_k"),
+        sum(dec(col("j")) * col("j") + dec(col("k")) * col("k"))
+          .as("sum_j2_plus_k2"))
+      .select(col("m_edges"), col("sum_jk"), col("sum_j_plus_k"),
+        col("sum_j2_plus_k2").cast("long").as("sum_j2_plus_k2"),
+        when(
+          dec(lit(2L)) * col("m_edges") * col("sum_j2_plus_k2") -
+            dec(col("sum_j_plus_k")) * col("sum_j_plus_k") =!= dec(lit(0L)),
+          expr("""((CAST(4 AS DECIMAL(38,0)) * m_edges * sum_jk
+                 |  - CAST(sum_j_plus_k AS DECIMAL(38,0)) * sum_j_plus_k) * 1000000)
+                 |div
+                 |(CAST(2 AS DECIMAL(38,0)) * m_edges * sum_j2_plus_k2
+                 |  - CAST(sum_j_plus_k AS DECIMAL(38,0)) * sum_j_plus_k)"""
+            .stripMargin).cast("long"))
+          .as("assortativity_ppm"))
   }
 
   def weakComponents(edges: DataFrame, propagationRounds: Int = 8): DataFrame = {

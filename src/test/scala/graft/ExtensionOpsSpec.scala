@@ -484,6 +484,24 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(m.values.map(_._2).sum <= 1000000000000L)
   }
 
+  test("degreeAssortativity: star is exactly -1, path hand-moments, regular graph NULL") {
+    import graft.graph.GraphOps
+    def one(edges: Seq[(String, String)]) =
+      GraphOps.degreeAssortativity(edges.toDF("src", "dst")).collect().head
+    // star K1,3: every edge joins degree 3 to degree 1 → r = −1 exactly
+    val star = one(Seq(("h", "a"), ("h", "b"), ("h", "c")))
+    assert((star.getLong(0), star.getLong(1), star.getLong(2), star.getLong(3),
+      star.getLong(4)) == (3L, 9L, 12L, 30L, -1000000L), s"star: $star")
+    // path a-b-c-d: moments M=3, Σjk=8, Σ(j+k)=10, Σ(j²+k²)=18 →
+    // r = −4/8 → −500000 ppm (truncation toward zero on a negative)
+    val path = one(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert((path.getLong(0), path.getLong(1), path.getLong(2), path.getLong(3),
+      path.getLong(4)) == (3L, 8L, 10L, 18L, -500000L), s"path: $path")
+    // 1-regular graph (two disjoint edges): zero degree variance → NULL
+    val reg = one(Seq(("a", "b"), ("c", "d")))
+    assert(reg.isNullAt(4), s"regular graph must yield NULL ppm: $reg")
+  }
+
   test("harmonicCentrality: path-graph exact sums, first-reach min, direction flag") {
     import graft.graph.GraphOps
     // path a→b→c→d: along in-links, H(d) = 1/1 + 1/2 + 1/3 in ppm
