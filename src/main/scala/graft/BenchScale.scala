@@ -68,7 +68,9 @@ object BenchScale {
     // new query whose exact side is deliberately Θ(Σ|ball|)
     "g07_harmonic_centrality",
     // two-level-cumsum range shuffle (the shardPacking machinery)
-    "t49_pps_sample")
+    "t49_pps_sample",
+    // CDC chunking: digest winner shuffle + the paired-body fixture join
+    "d30_cdc_chunks")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

@@ -984,6 +984,74 @@ object Dedup {
       .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
   }
 
+  /** CONTENT-DEFINED chunking dedup stats — the shift-invariant chunking
+    * primitive of the LBFS/rsync lineage (Muthitacharoen et al. SOSP'01)
+    * that [[chunkDedupStats]]' fixed-size grid cannot give: one token
+    * inserted at the head of a document shifts EVERY fixed chunk, but
+    * content-defined boundaries re-synchronize immediately, so edited
+    * near-copies still share most chunks — the incremental-crawl dedup
+    * read for pages that change a header between snapshots.
+    *
+    * Boundaries are a pure function of content: at token position p
+    * (p ≥ window−1), the rolling value
+    * `h = fold(th, h·31 + th(q))` over the last `window` token hashes
+    * (`jvmMd5Long60 % 2²⁰` — headroom-bounded so the base-31 fold stays
+    * exact in a long) closes a chunk iff `h % divisor == 0`; expected
+    * chunk length ≈ divisor tokens. First occurrence in (doc_id,
+    * chunk_idx) order keeps a chunk digest (the d13 winner rule, within-
+    * doc repeats included). Output: (doc_id, n_chunks, n_kept,
+    * n_dropped).
+    *
+    * Typed flatMap (the [[shingles]]/winnow rationale — each doc
+    * tokenizes and hashes exactly once, no optimizer-inlined HOF trap);
+    * only (id, idx, digest) rows leave the scan, text never shuffles;
+    * the winner aggregate is the d13 map-side `min(struct)`.
+    */
+  def cdcChunkStats(docs: DataFrame, divisor: Long = 8L,
+                    window: Int = 3): DataFrame = {
+    require(divisor > 0, "divisor must be positive")
+    require(window >= 1, "window must be at least 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val th = toks.map(t => PortableHash.jvmMd5Long60(t) % 1048576L)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+        var start = 0
+        var idx = 0L
+        var p = 0
+        while (p < toks.length) {
+          var boundary = false
+          if (p >= window - 1) {
+            var h = 0L
+            var q = p - window + 1
+            while (q <= p) { h = h * 31L + th(q); q += 1 }
+            boundary = h % divisor == 0L
+          }
+          if (boundary || p == toks.length - 1) {
+            out += ((id, idx,
+              PortableHash.jvmMd5Hex(toks.slice(start, p + 1).mkString(" "))))
+            idx += 1
+            start = p + 1
+          }
+          p += 1
+        }
+        out
+      }.toDF("doc_id", "chunk_idx", "chunk_md5")
+    val firsts = chunks
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__first"))
+    chunks.join(firsts, "chunk_md5")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__first.doc_id") === col("doc_id") &&
+          col("__first.chunk_idx") === col("chunk_idx"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+  }
+
   // ------------------------------------------------ benchmark contamination --
 
   /** Benchmark contamination detection (the train/test-overlap audit every

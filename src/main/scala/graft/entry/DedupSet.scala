@@ -143,6 +143,23 @@ private[graft] object DedupSet {
     // chunk granularity): first occurrence survives, per-doc accounting
     "d13_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedupStats(Tables.documents(s, dir))),
+    // CONTENT-DEFINED chunking dedup (LBFS/rsync lineage): boundaries
+    // where the 3-token rolling hash % 8 == 0, so an inserted header
+    // re-synchronizes instead of shifting every chunk like d13's fixed
+    // grid. Fixture: resource pairs (2r, 2r+1) share a body, the odd
+    // one prefixed with a header token — CDC dedups the shared tail
+    "d30_cdc_chunks" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.where(col("doc_id") % 2 === 0)
+        .select(expr("doc_id div 2").as("r"), col("text").as("__t"))
+      val fx = d.select(col("doc_id"), expr("doc_id div 2").as("r"))
+        .join(base, "r")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 1,
+            concat(lit("hdr"), col("doc_id") % 7, lit(" "), col("__t")))
+            .otherwise(col("__t")).as("text"))
+      Dedup.cdcChunkStats(fx)
+    }),
     // verbatim shared-substring runs (the suffix-array substring-dedup
     // signal as a distributed k-gram diagonal join): maximal ≥12-token
     // spans shared between doc pairs, digest-only shuffles
@@ -436,6 +453,46 @@ private[graft] object DedupSet {
            |       (c * 1000000 // nb.n)::BIGINT AS cont_b_ppm
            |FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
            |WHERE (c * 1000000 // na.n) >= 800000 OR (c * 1000000 // nb.n) >= 800000""".stripMargin,
+      // d30: the same fixture join; boundaries via lagged token hashes
+      // (md5 % 2^20, base-31 fold, % 8), chunk ids by a prefix-boundary
+      // cumsum, chunk digests via ordered string_agg, d13's winner rule
+      "d30_cdc_chunks" ->
+        s"""WITH base AS (SELECT doc_id // 2 AS r, text FROM documents
+           |              WHERE doc_id % 2 = 0),
+           |fx AS (SELECT d.doc_id,
+           |         CASE WHEN d.doc_id % 2 = 1
+           |           THEN 'hdr' || (d.doc_id % 7) || ' ' || b.text
+           |           ELSE b.text END AS text
+           |       FROM documents d JOIN base b ON d.doc_id // 2 = b.r),
+           |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           |         unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+           |       FROM fx),
+           |th AS (SELECT doc_id, pos, tok,
+           |         (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1048576) AS h
+           |       FROM tk),
+           |rb AS (SELECT doc_id, pos, tok,
+           |         CASE WHEN pos >= 2
+           |           THEN ((lag(h, 2) OVER w * 31 + lag(h, 1) OVER w) * 31 + h) % 8 = 0
+           |           ELSE FALSE END AS b
+           |       FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |cid AS (SELECT doc_id, pos, tok,
+           |          coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+           |            PARTITION BY doc_id ORDER BY pos
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+           |        FROM rb),
+           |ch AS (SELECT doc_id, ci AS chunk_idx,
+           |         md5(string_agg(tok, ' ' ORDER BY pos)) AS cm
+           |       FROM cid GROUP BY 1, 2),
+           |f AS (SELECT cm, doc_id AS fd, chunk_idx AS fi FROM (
+           |    SELECT cm, doc_id, chunk_idx, row_number() OVER (
+           |      PARTITION BY cm ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+           |  WHERE rn = 1)
+           |SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
+           |  sum(CASE WHEN f.fd = ch.doc_id AND f.fi = ch.chunk_idx
+           |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           |  (count(*) - sum(CASE WHEN f.fd = ch.doc_id AND f.fi = ch.chunk_idx
+           |      THEN 1 ELSE 0 END))::BIGINT AS n_dropped
+           |FROM ch JOIN f ON ch.cm = f.cm GROUP BY 1""".stripMargin,
       "d13_chunk_dedup" ->
         s"""WITH ch AS (
            |  SELECT doc_id, i::BIGINT AS chunk_idx,

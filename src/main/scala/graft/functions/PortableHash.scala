@@ -32,6 +32,14 @@ object PortableHash {
   def duckMd5Long60(sqlExpr: String): String =
     s"(('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT)"
 
+  /** JVM-side twin of [[md5Hex]], bit-identical, for typed (Dataset)
+    * operators that emit full digests off-plan.
+    */
+  def jvmMd5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** JVM-side twin of [[md5Long60]], bit-identical, for typed (Dataset)
     * operators that compute hashes off-plan.
     */

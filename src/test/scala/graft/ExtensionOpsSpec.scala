@@ -103,6 +103,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(!rows.contains(3L))
   }
 
+  test("cdcChunkStats: boundaries re-synchronize after an inserted header; fixed grid cannot") {
+    val body = (0 until 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, "hdr " + body)).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 is first in (doc_id, idx) order: keeps everything
+    assert(cdc(1L)._2 == cdc(1L)._1 && cdc(1L)._3 == 0L, s"doc 1 keeps all: $cdc")
+    // doc 2: after the first content boundary the chunk stream re-syncs
+    // with doc 1's, so most of its chunks are drops — THE CDC property
+    assert(cdc(2L)._3 > 0L, s"shifted copy must share chunks: $cdc")
+    assert(cdc(2L)._3 >= cdc(2L)._1 - 2L,
+      s"everything after the first re-sync boundary is shared: $cdc")
+    // the fixed grid shares nothing under a 1-token shift (d13's blind spot)
+    val fixed = Dedup.chunkDedupStats(docs, chunkTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fixed(2L) == 0L, s"fixed chunks all shift — no drops: $fixed")
+    // boundary determinism: same content → identical accounting on re-run
+    val again = Dedup.cdcChunkStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == cdc)
+  }
+
   test("chunkDedupStats keeps first occurrence only — across docs AND within one") {
     val docs = Seq(
       (1L, "a b c d a b"), // chunks (k=2): [a b][c d][a b] — last is a within-doc dup
