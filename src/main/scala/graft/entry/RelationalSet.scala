@@ -154,6 +154,11 @@ private[graft] object RelationalSet {
     // gaps-and-islands sessionization: per-(user, session) analytic rows
     "e05_user_sessions" -> ((s, dir) =>
       graft.relational.Temporal.userSessions(events(s, dir))),
+    // hour-of-day seasonality profile: per type, each UTC hour's count,
+    // integer-ppm share, and the (count desc, hour asc) peak flag — the
+    // traffic CYCLE the e06/e16 baselines breathe with
+    "e18_hourly_profile" -> ((s, dir) =>
+      graft.relational.Temporal.hourOfDayProfile(events(s, dir))),
     // robust MAD anomaly flags: the resistant twin of e06's z² spikes —
     // trailing lower-median/MAD baseline (breakdown point 1/2, so a prior
     // spike inside the window cannot mask this hour's flag), |C−med| >
@@ -608,6 +613,17 @@ private[graft] object RelationalSet {
           |  (n_events - lag(n_events) OVER tw)::BIGINT AS delta,
           |  ((hour_ms - lag(hour_ms) OVER tw) // 3600000)::BIGINT AS gap_hours
           |FROM hourly WINDOW tw AS (PARTITION BY event_type ORDER BY hour_ms)""".stripMargin,
+      // e18: hour() under the pinned UTC session TZ; share and peak over
+      // the types×24-bounded profile
+      "e18_hourly_profile" ->
+        """WITH h AS (SELECT event_type, hour(ts)::BIGINT AS hour_of_day,
+          |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2)
+          |SELECT event_type, hour_of_day, n AS n_events,
+          |  (n * 1000000 // sum(n) OVER (PARTITION BY event_type))::BIGINT AS share_ppm,
+          |  (CASE WHEN row_number() OVER (PARTITION BY event_type
+          |     ORDER BY n DESC, hour_of_day ASC) = 1
+          |   THEN 1 ELSE 0 END)::BIGINT AS is_peak
+          |FROM h""".stripMargin,
       // e16: the identical trailing-array lower medians — list() over the
       // same RANGE frame, sorted[(n-1)//2], MAD from the |v-med| transform
       "e16_mad_anomalies" ->

@@ -626,6 +626,35 @@ object Temporal {
           lit(1L)).otherwise(lit(0L)).as("is_anomaly"))
   }
 
+  /** Hour-of-day SEASONALITY profile — the traffic-shape read behind
+    * capacity planning and anomaly-threshold tuning (e06/e16 flag
+    * deviations from a trailing baseline; this is the CYCLE the baseline
+    * breathes with — an "anomaly" at the daily peak hour is usually just
+    * the peak): per event type, each UTC hour-of-day's event count, its
+    * integer-ppm share of the type's volume, and an `is_peak` flag under
+    * the (count desc, hour asc) total order.
+    *
+    * Scale shape: ONE map-side-combinable groupBy over the events; the
+    * share and peak windows run over the types×24-bounded profile, the
+    * e07 window-over-aggregate discipline. All columns exact integers.
+    */
+  def hourOfDayProfile(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("__tot", sum(col("n_events")).over(w))
+      .withColumn("__peak",
+        max(struct(col("n_events"), (-col("hour_of_day")).as("nh"))).over(w))
+      .select(col("event_type"), col("hour_of_day"), col("n_events"),
+        expr("n_events * 1000000 div __tot").as("share_ppm"),
+        when(col("__peak.n_events") === col("n_events") &&
+            -col("__peak.nh") === col("hour_of_day"), 1L).otherwise(0L)
+          .as("is_peak"))
+  }
+
   /** Rolling 7-day activity: per calendar day, that day's event volume and
     * distinct users, plus RANGE-framed trailing-week sums (`RANGE BETWEEN
     * 6 PRECEDING` over the epoch-day number — a range frame, not a row

@@ -192,6 +192,25 @@ class TemporalSpec extends SparkTestBase {
     assert(early == 0L)
   }
 
+  test("hourOfDayProfile: exact shares, single peak per type, min-hour tie") {
+    val h = 3600000L
+    // type a: hours 1 and 3 of day 0 plus hour 1 of day 1 → hod 1 has 2,
+    // hod 3 has 1; type b: a 2-2 tie between hods 0 and 5 → peak at 0
+    val events = Seq(
+      ("a", ts(1 * h)), ("a", ts(3 * h)), ("a", ts(25 * h)),
+      ("b", ts(0)), ("b", ts(24 * h)), ("b", ts(5 * h)), ("b", ts(29 * h)))
+      .toDF("event_type", "ts")
+    val rows = graft.relational.Temporal.hourOfDayProfile(events)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(("a", 1L)) == (2L, 666666L, 1L), s"got $rows")
+    assert(rows(("a", 3L)) == (1L, 333333L, 0L), s"got $rows")
+    assert(rows(("b", 0L)) == (2L, 500000L, 1L), s"tie goes to hour 0: $rows")
+    assert(rows(("b", 5L)) == (2L, 500000L, 0L), s"got $rows")
+    // exactly one peak per type
+    assert(rows.toSeq.groupBy(_._1._1).forall(_._2.map(_._2._3).sum == 1L))
+  }
+
   test("madAnomalies: resistant to a contaminated baseline, flags drops, exact boundary") {
     val h = 3600000L
     def mk(t: String, hr: Int, n: Int) =
