@@ -70,7 +70,9 @@ object BenchScale {
     // two-level-cumsum range shuffle (the shardPacking machinery)
     "t49_pps_sample",
     // CDC chunking: digest winner shuffle + the paired-body fixture join
-    "d30_cdc_chunks")
+    "d30_cdc_chunks",
+    // weighted-PageRank control loop over the token co-occurrence graph
+    "t50_textrank")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

@@ -166,6 +166,12 @@ private[graft] object TextSet {
     // vocabularies — the vocab-size design read, one corpus aggregate
     "t31_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    // TextRank keywords: PageRank over the symmetric adjacent-token
+    // co-occurrence graph (g01's integer-exact machinery reused on a
+    // vocab-bounded graph), top-20 by (rank desc, token asc) — the
+    // keeps-good-company centrality read beside t06's raw counts
+    "t50_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(Tables.documents(s, dir))),
     // Heaps-law vocab GROWTH: distinct vocabulary after the first
     // 50/100/200/500 docs in doc_id order — arrival-order saturation
     // read beside t31's final-distribution coverage; one digest-keyed
@@ -337,6 +343,37 @@ private[graft] object TextSet {
            |         * 1000000 // list_sum(list_transform(ps, x -> len(x)))
            |    ELSE 0 END)::BIGINT AS dup_para_char_ppm
            |FROM seg""".stripMargin,
+      // t50: the WEIGHTED truncating-division PageRank CTEs over the
+      // symmetric adjacent-token multigraph (multiplicities folded into
+      // weights), then the limit-then-rank top-20
+      "t50_textrank" -> {
+        def prRound(prev: String, out: String): String =
+          s"""c$out AS (SELECT e.dst AS host,
+            |    sum((r.pr::HUGEINT * 850000 * e.weight) // (1000000::HUGEINT * od.ow)) AS s
+            |  FROM edges e JOIN r$prev r ON e.src = r.host
+            |  JOIN od ON e.src = od.src GROUP BY 1),
+            |r$out AS (SELECT nodes.host,
+            |    ((SELECT b FROM cst) + coalesce(c$out.s, 0))::BIGINT AS pr
+            |  FROM nodes LEFT JOIN c$out ON nodes.host = c$out.host)""".stripMargin
+        s"""WITH w AS (SELECT string_split(text, ' ') AS t FROM documents),
+          |adj AS (SELECT t[i] AS u, t[i + 1] AS v FROM
+          |  (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM w) x),
+          |edges AS (SELECT src, dst, count(*)::BIGINT AS weight FROM (
+          |    SELECT u AS src, v AS dst FROM adj
+          |    UNION ALL SELECT v, u FROM adj) e WHERE src != dst GROUP BY 1, 2),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) n),
+          |cst AS (SELECT (1000000000000 // count(*))::BIGINT AS r0,
+          |               ((1000000000000 // count(*)) * 150000 // 1000000)::BIGINT AS b
+          |        FROM nodes),
+          |od AS (SELECT src, sum(weight)::HUGEINT AS ow FROM edges GROUP BY 1),
+          |r0 AS (SELECT host, (SELECT r0 FROM cst) AS pr FROM nodes),
+          |${prRound("0", "1")},
+          |${prRound("1", "2")}
+          |SELECT host AS token, pr AS pagerank, rank FROM (
+          |  SELECT host, pr, row_number() OVER (ORDER BY pr DESC, host ASC) AS rank
+          |  FROM r2) WHERE rank <= 20""".stripMargin
+      },
       // t49: the identical step-crossing formula over a window cumsum
       // (fixture-sized; the engine side uses the two-level cumsum)
       "t49_pps_sample" ->

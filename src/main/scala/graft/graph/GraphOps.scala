@@ -84,6 +84,57 @@ object GraphOps {
     ranks
   }
 
+  /** WEIGHTED integer-exact PageRank — [[pageRank]] over a
+    * (src, dst, weight) edge frame, the form a real host rank uses
+    * (parallel links COUNT: a site linking another 10,000 times passes
+    * more mass than one passing a single link — and pre-aggregating
+    * multiplicities into a weight column keeps the per-round scan
+    * hosts²-bounded instead of corpus-sized). Same damped
+    * truncating-division discipline as g01 with the weight folded into
+    * the one division per edge:
+    * `contribution(u→v) = (rank(u)·dampingPpm·w_uv) div (10⁶·outW(u))`,
+    * the products in DECIMAL(38,0) (rank·damping·weight passes 2⁶³ at
+    * realistic weights). Unweighted parity: all-1 weights reproduce
+    * [[pageRank]] bit-for-bit (same per-edge rounding).
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int,
+                       dampingPpm: Long = 850000L,
+                       scale: Long = 1000000000000L,
+                       broadcastRanks: Boolean = true): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      "dampingPpm must be a ppm fraction in [0, 1000000]")
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted needs a non-empty edge frame")
+    val r0 = scale / n
+    val base = r0 * (1000000L - dampingPpm) / 1000000L
+    val outw = edges.groupBy("src").agg(sum(col("weight")).as("outw"))
+    val eplus = edges.join(outw, "src").persist()
+    var ranks = nodes.withColumn("pagerank", lit(r0))
+    var round = 0
+    while (round < iterations) {
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
+      val contribs = eplus
+        .join(r, eplus("src") === r("host"))
+        .select(eplus("dst").as("host"),
+          expr(s"""CAST((CAST(pagerank AS DECIMAL(38,0)) * ${dampingPpm}L * weight)
+                  |div (CAST(1000000 AS DECIMAL(38,0)) * outw) AS BIGINT)"""
+            .stripMargin).as("c"))
+        .groupBy("host").agg(sum("c").as("c"))
+      ranks = nodes.join(contribs, Seq("host"), "left")
+        .select(col("host"),
+          (lit(base) + coalesce(col("c"), lit(0L))).as("pagerank"))
+        .localCheckpoint()
+      round += 1
+    }
+    eplus.unpersist()
+    ranks
+  }
+
   /** Integer-exact HITS (Kleinberg '99) over a directed host graph — the
     * hub/authority split PageRank's single score cannot express: a good
     * HUB links to good authorities (link directories, index pages), a

@@ -169,6 +169,49 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04) — corpus
+    * keywords as PageRank over the token CO-OCCURRENCE graph, literally
+    * reusing [[graft.graph.GraphOps.pageRankWeighted]]'s integer-exact
+    * iteration: adjacent-token pairs form symmetric WEIGHTED edges
+    * (TextRank's undirected window-2 graph with co-occurrence counts as
+    * weights — Mihalcea's §4.1 weighted formulation; unweighted scores
+    * plateau on dense small-vocab graphs), the vocab-bounded graph runs
+    * the g01 damped truncating-division rounds, and the top-`k` tokens
+    * by (rank desc, token asc) come back with their scores. The
+    * frequency-independent centrality read beside [[vocabulary]]'s raw
+    * counts and [[tfidfTopK]]'s per-doc weights: a token scores high for
+    * KEEPING GOOD COMPANY, not for being frequent.
+    *
+    * Scale shape: one generator emits adjacent pairs and ONE map-side-
+    * combinable groupBy folds multiplicities into weights, so the edge
+    * frame entering the iteration is vocab²-bounded (in practice
+    * vocab-linear), never corpus-sized; everything after is the g01
+    * iteration (vocab-bounded rank frames broadcast into the persisted
+    * edge scan). The final rank window runs over the already-top-k rows
+    * ([[vocabulary]]'s limit-then-rank pattern).
+    */
+  def textRank(docs: DataFrame, iterations: Int = 2, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = withTokens(docs).select(col("__toks").as("w"))
+    val adj = w
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val edges = adj
+      .unionAll(adj.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("weight"))
+      .select(col("u").as("src"), col("v").as("dst"), col("weight"))
+    val top = graft.graph.GraphOps.pageRankWeighted(edges, iterations)
+      .orderBy(col("pagerank").desc, col("host").asc)
+      .limit(k)
+    top.select(col("host").as("token"), col("pagerank"),
+      row_number().over(Window.orderBy(col("pagerank").desc, col("host").asc))
+        .cast("long").as("rank"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus top-`k`
     * vocabulary — the tokenizer-health metric (OOV/fertility read) run
     * before committing to a vocab size: how much of each document a

@@ -61,6 +61,45 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(all == Map(0L -> 4L, 1L -> 1L, 2L -> 6L, 3L -> 1L), s"got $all")
   }
 
+  test("pageRankWeighted: all-1 weights reproduce pageRank; weight skews mass") {
+    import graft.graph.GraphOps
+    val uw = Seq(("a", "b"), ("c", "b"), ("b", "a")).toDF("src", "dst")
+    val w1 = uw.withColumn("weight", lit(1L))
+    val plain = GraphOps.pageRank(uw, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weighted = GraphOps.pageRankWeighted(w1, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(weighted == plain, "all-1 weights must be bit-identical to pageRank")
+    // a splits 4:1 between b and c — b must end above c
+    val skew = Seq(("a", "b", 4L), ("a", "c", 1L)).toDF("src", "dst", "weight")
+    val s = GraphOps.pageRankWeighted(skew, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r0 = 1000000000000L / 3
+    val base = r0 * 150000L / 1000000L
+    assert(s("b") == base + r0 * 850000L * 4 / (1000000L * 5),
+      s"hand-computed weighted contribution: $s")
+    assert(s("b") > s("c"), s"weight must skew mass: $s")
+  }
+
+  test("textRank: hub token outranks its leaves; counts alone do not decide") {
+    // star-shaped co-occurrence: "hub" neighbors every leaf once; leaves
+    // only ever meet hub — hub must win on centrality. "noise noise" adds
+    // a high-FREQUENCY token with poor company: it must not outrank hub.
+    val docs = Seq(
+      (1L, "hub l1 hub l2 hub l3 hub l4"),
+      (2L, "noise noise noise noise noise zz"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.textRank(docs, iterations = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head._1 == "hub", s"hub is rank 1: ${rows.toSeq}")
+    val byTok = rows.map(r => r._1 -> r._3).toMap
+    assert(byTok("hub") < byTok("noise"),
+      s"frequency without company must not win: ${rows.toSeq}")
+    // ranks are contiguous from 1 and ordered by score desc
+    assert(rows.map(_._3).toSeq == (1L to rows.length).toSeq)
+    assert(rows.sliding(2).forall(p => p.head._2 >= p.last._2))
+  }
+
   test("vocabGrowth: first-doc attribution, exact counts per checkpoint") {
     val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d d"))
       .toDF("doc_id", "text")
