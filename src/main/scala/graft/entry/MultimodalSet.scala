@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Multimodal decode/dedup queries (m01-m18) + their DuckDB oracles.
+/** Multimodal decode/dedup queries (m01-m19) + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -205,6 +205,38 @@ private[graft] object MultimodalSet {
         .select(col("doc_id"), col("win_idx"), col("n_samples"),
           col("crossings"), col("voiced"))
     }),
+    // STREAMING content-addressed media dedup: decoded-raster digests
+    // (md5 of the canonical "w:h:pixels" string — container-independent,
+    // the dedup byte-level hashing misses when the same image ships as
+    // PNG and BMP) deduped by dropDuplicatesWithinWatermark. Fixture:
+    // groups of 4 docs where the first two render ONE shared image and
+    // the rest are unique (distinct (slope, intercept) ramps — provably
+    // collision-free under 3328 keys), so each group survives as exactly
+    // 3 digests; the surviving (resource, digest) SET is
+    // arrival-independent, the d15/d27 parity shape.
+    "m19_stream_media_dedup" -> ((s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val stream = Tables.documentsStream(s, dir)
+        .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
+        .select(col("doc_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+      val hashed = stream.mapPartitions(_.flatMap { case (id, ts) =>
+        val key = if (id % 4 < 2) -(id / 4) - 1 else id
+        val slope = (((key % 13) + 13) % 13 + 3).toInt
+        val icept = ((((key * 11) % 256) + 256) % 256).toInt
+        val png = Multimodal.syntheticGrayPng(8, 8,
+          (x, y) => (slope * (y * 8 + x) + icept) % 256)
+        Multimodal.rasterDigestOf(png).map { case (_, _, m) => (id, ts, m) }
+      }).toDF("doc_id", "ts", "raster_md5")
+      val sink = "m19_media_sink"
+      val q = hashed.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark("raster_md5")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(expr("doc_id div 4").as("resource"), col("raster_md5"))
+    }),
     // Luma histogram + solid-image detector over REAL decoded PNGs —
     // the blank-screenshot/placeholder gate: 16 exact luma bins,
     // dominant bin by (count desc, bin asc), occupied-bin count, and
@@ -358,6 +390,22 @@ private[graft] object MultimodalSet {
           |SELECT doc_id, 4000::BIGINT AS dst_rate, n_out::BIGINT AS n_samples,
           |  sum((i + 1) * v)::BIGINT AS checksum
           |FROM s GROUP BY 1, 2, 3""".stripMargin,
+      // m19: the digest is a formula of the pixels, so the survivor set
+      // is computed analytically — per doc the (slope, intercept) ramp,
+      // the canonical "8:8:p0,p1,…" string, md5, DISTINCT per resource
+      "m19_stream_media_dedup" ->
+        """WITH d AS (SELECT doc_id, doc_id // 4 AS resource,
+          |    CASE WHEN doc_id % 4 < 2 THEN -(doc_id // 4) - 1
+          |         ELSE doc_id END AS key FROM documents),
+          |par AS (SELECT doc_id, resource,
+          |    (((key % 13) + 13) % 13 + 3) AS slope,
+          |    (((key * 11) % 256) + 256) % 256 AS icept FROM d),
+          |px AS (SELECT doc_id, resource, pos, (slope * pos + icept) % 256 AS v
+          |       FROM par CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos)),
+          |dg AS (SELECT doc_id, resource,
+          |    md5('8:8:' || string_agg(v::VARCHAR, ',' ORDER BY pos)) AS raster_md5
+          |  FROM px GROUP BY 1, 2)
+          |SELECT DISTINCT resource, raster_md5 FROM dg""".stripMargin,
       // m18: the same solid/formula pixel split binned v // 16, argmax
       // by (count desc, bin asc), occupied bins, integer flat gate —
       // the real PNG decode must reproduce every column

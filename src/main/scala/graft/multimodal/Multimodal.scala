@@ -573,6 +573,58 @@ object Multimodal {
       }))
   }
 
+  case class RasterDigest(doc_id: Long, width: Long, height: Long,
+                          raster_md5: String)
+
+  /** Decoded-raster content digest kernel: md5 over the canonical string
+    * `"w:h:p0,p1,…"` of the luma raster — CONTENT-addressed, so the same
+    * image re-encoded through a different container (PNG vs BMP, other
+    * compression level) digests identically where byte-level dedup (d01
+    * on media bytes) sees two distinct blobs. The canonical string is a
+    * formula of the pixels, so an oracle can recompute the digest
+    * analytically from a fixture's pixel formula. None for undecodable
+    * payloads.
+    */
+  private[graft] def rasterDigestOf(bytes: Array[Byte]): Option[(Long, Long, String)] = {
+    val img = ImageIoCodec.decode(bytes)
+    if (img == null) None
+    else {
+      val sb = new StringBuilder
+      sb.append(img.getWidth).append(':').append(img.getHeight).append(':')
+      var y = 0
+      var first = true
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          if (!first) sb.append(',')
+          sb.append(ImageIoCodec.lumaAt(img, x, y))
+          first = false
+          x += 1
+        }
+        y += 1
+      }
+      Some((img.getWidth.toLong, img.getHeight.toLong,
+        graft.functions.PortableHash.jvmMd5Hex(sb.toString)))
+    }
+  }
+
+  /** Batch face of [[rasterDigestOf]] — (doc_id, width, height,
+    * raster_md5) per decodable image, the content-addressed key for
+    * exact media dedup across container formats. Partition-local batched
+    * decode; bytes never shuffle.
+    */
+  def rasterDigest(media: DataFrame, batchSize: Int = 64): Dataset[RasterDigest] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+        rasterDigestOf(r.media).map { case (w, h, m) =>
+          RasterDigest(r.doc_id, w, h, m)
+        }
+      }))
+  }
+
   case class ImageHistogram(doc_id: Long, n_pixels: Long, top_bin: Long,
                             top_count: Long, n_bins_used: Long, flat: Boolean)
 

@@ -460,6 +460,32 @@ class ExtensionOpsSpec extends SparkTestBase {
       s"sane ppm bounds: ${fx.toSeq}")
   }
 
+  test("rasterDigest: container-independent — PNG and BMP of one raster digest equal") {
+    import graft.multimodal.Multimodal
+    val f = (x: Int, y: Int) => (x * 16 + y * 3) % 256
+    val png = Multimodal.syntheticGrayPng(8, 8, f)
+    // re-encode the SAME raster as BMP: different container bytes
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = bos.toByteArray
+    assert(!java.util.Arrays.equals(png, bmp), "containers must differ at byte level")
+    val media = Seq((1L, png), (2L, bmp), (3L, Array[Byte](9, 9)))
+      .toDF("doc_id", "media").withColumn("media_type", lit("image"))
+    val rows = Multimodal.rasterDigest(media)
+      .collect().map(r => r.doc_id -> (r.width, r.height, r.raster_md5)).toMap
+    assert(rows(1L) == rows(2L), s"same pixels must digest equal: $rows")
+    assert(rows(1L)._1 == 8L && rows(1L)._2 == 8L)
+    assert(!rows.contains(3L), "undecodable payloads emit no rows")
+    // a one-pixel change must move the digest
+    val png2 = Multimodal.syntheticGrayPng(8, 8,
+      (x, y) => if (x == 0 && y == 0) (f(0, 0) + 1) % 256 else f(x, y))
+    val other = Multimodal.rasterDigest(
+      Seq((4L, png2)).toDF("doc_id", "media").withColumn("media_type", lit("image")))
+      .collect().head.raster_md5
+    assert(other != rows(1L)._3)
+  }
+
   test("imageHistogram: solid flags flat, gradient ties to smallest bin, corrupt drops") {
     import graft.multimodal.Multimodal
     def png(id: Long, w: Int, h: Int, f: (Int, Int) => Int) =
