@@ -72,7 +72,9 @@ object BenchScale {
     // CDC chunking: digest winner shuffle + the paired-body fixture join
     "d30_cdc_chunks",
     // weighted-PageRank control loop over the token co-occurrence graph
-    "t50_textrank")
+    "t50_textrank",
+    // k-core synchronous peel (per-round broadcast joins + fixpoint probe)
+    "g09_kcore")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Dedup queries (d01-d27) + their DuckDB oracles.
+/** Dedup queries (d01-d30) + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -50,11 +50,6 @@ private[graft] object DedupSet {
     // form analytically from the same doc_id formula (t41 convention)
     "d25_url_dedup" -> ((s, dir) =>
       Dedup.urlDedup(Tables.documents(s, dir), rawUrlFixture)),
-    // Bloom seen-set membership (the incremental-crawl d11 at fixed
-    // memory): even docs' URLs build the filter, odd docs' URLs probe it
-    // (mod 301 keeps both parities on every residue, so the overlap is
-    // real). Exact member/probe counts hash-compare; the Bloom's
-    // zero-false-negative theorem and measured FP budget are the gate
     // EXACT repeated-substring dedup accounting (Lee et al. '22's
     // suffix-array dedup re-expressed relationally): token 8-grams
     // repeated anywhere in the corpus mark their covers; per-doc
@@ -78,6 +73,11 @@ private[graft] object DedupSet {
         s.table(sink)
       }
     }),
+    // Bloom seen-set membership (the incremental-crawl d11 at fixed
+    // memory): even docs' URLs build the filter, odd docs' URLs probe it
+    // (mod 301 keeps both parities on every residue, so the overlap is
+    // real). Exact member/probe counts hash-compare; the Bloom's
+    // zero-false-negative theorem and measured FP budget are the gate
     "d26_bloom_seen" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val url = concat(lit("https://ex.com/p"),

@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Relational (h01-h24), temporal/event (e01-e17) and graph (g01-g08) queries + their DuckDB oracles.
+/** Relational (h01-h24), temporal/event (e01-e18) and graph (g01-g09) queries + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -308,6 +308,14 @@ private[graft] object RelationalSet {
           r2.cast("string"), lit(".example.com/link?x=1"))).as("dst"))
       GraphOps.weakComponents(edges)
     }),
+    // k-core membership of the same host graph (Seidman '83) — the
+    // link-farm locator: synchronous peeling of nodes with < k
+    // surviving neighbors until fixpoint; every node reports
+    // (in_core, core_degree). The driver's early exit fires only on a
+    // PROVEN fixpoint (monotone peel), so fixed-round oracle replay
+    // matches regardless of where convergence lands.
+    "g09_kcore" -> ((s, dir) =>
+      GraphOps.kCore(hostEdgesFixture(Tables.documents(s, dir)), k = 3)),
     // Degree assortativity of the same host graph — Newman 2002's
     // topology read (web graphs are disassortative; a crawl turning
     // assortative has swallowed an interlinked farm) from four exact
@@ -943,6 +951,49 @@ private[graft] object RelationalSet {
           |  UNION ALL SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
           |SELECT host, count(*)::BIGINT AS n_triangles
           |FROM corners GROUP BY 1""".stripMargin,
+      // g09: six synchronous peel rounds as chained CTEs (fixpoint on
+      // this fixture lands earlier; extra rounds are no-ops), then the
+      // final survivor-subgraph degrees
+      "g09_kcore" -> {
+        // every aN is MATERIALIZED: each round references its predecessor
+        // four times (two join sides × two union branches), and DuckDB
+        // inlines non-materialized CTEs per reference — 4^6 copies of the
+        // base scan otherwise (this hung the first run; same reason the
+        // top-level edge CTEs are materialized)
+        def peel(prev: String, out: String): String =
+          s"""d$out AS (SELECT host, count(*) AS d FROM (
+            |    SELECT u.a AS host FROM und u
+            |      JOIN a$prev x ON u.a = x.host JOIN a$prev y ON u.b = y.host
+            |    UNION ALL
+            |    SELECT u.b FROM und u
+            |      JOIN a$prev x ON u.a = x.host JOIN a$prev y ON u.b = y.host) z
+            |  GROUP BY 1),
+            |a$out AS MATERIALIZED (SELECT host FROM d$out WHERE d >= 3)""".stripMargin
+        s"""WITH edges AS MATERIALIZED (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |        FROM edges WHERE src != dst),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) n),
+          |a0 AS (SELECT host FROM nodes),
+          |${peel("0", "1")},
+          |${peel("1", "2")},
+          |${peel("2", "3")},
+          |${peel("3", "4")},
+          |${peel("4", "5")},
+          |${peel("5", "6")},
+          |fd AS (SELECT host, count(*) AS d FROM (
+          |    SELECT u.a AS host FROM und u
+          |      JOIN a6 x ON u.a = x.host JOIN a6 y ON u.b = y.host
+          |    UNION ALL
+          |    SELECT u.b FROM und u
+          |      JOIN a6 x ON u.a = x.host JOIN a6 y ON u.b = y.host) z
+          |  GROUP BY 1)
+          |SELECT n.host,
+          |  (CASE WHEN fd.d IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS in_core,
+          |  coalesce(fd.d, 0)::BIGINT AS core_degree
+          |FROM nodes n LEFT JOIN fd ON n.host = fd.host""".stripMargin
+      },
       // g08: the same canonical edges + broadcast degrees; Newman's
       // fraction-cleared formula in HUGEINT, // truncating toward zero
       // like Spark's div (the s20-verified pairing)

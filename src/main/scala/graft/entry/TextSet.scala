@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Text-analysis queries (t01-t46) + their DuckDB oracles.
+/** Text-analysis queries (t01-t51) + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -30,6 +30,11 @@ private[graft] object TextSet {
       TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "t03_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir))),
+    // language-ID confusion vs the corpus lang labels: the measured gate
+    // (t34 pattern) for the rule-based identifier — which languages
+    // bleed into which, integer-ppm row shares
+    "t51_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
     "t04_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
     // winnowing fingerprint sets (Schleimer et al., SIGMOD'03)
@@ -312,6 +317,22 @@ private[graft] object TextSet {
     }),
   )
 
+  // t03's full SQL, hoisted so t51's confusion matrix nests the IDENTICAL
+  // prediction (one definition — they cannot desynchronize)
+  private val t03Sql: String =
+    s"""WITH s AS (SELECT doc_id,
+       |  len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','von','mit','den','ein','nicht'], t)))::BIGINT AS s_de,
+       |  len(list_filter($toks, t -> list_contains($enStop, t)))::BIGINT AS s_en,
+       |  len(list_filter($toks, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))::BIGINT AS s_es,
+       |  len(list_filter($toks, t -> list_contains(['le','la','de','et','les','des','un','une','du','dans'], t)))::BIGINT AS s_fr,
+       |  len(list_filter($toks, t -> list_contains(['de','shi','le','zai','you','wo','ta','men','zhe','na'], t)))::BIGINT AS s_zh
+       |  FROM documents)
+       |SELECT doc_id,
+       | CASE WHEN g = 0 THEN 'und' WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+       |      WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang,
+       | g AS lang_score
+       |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)""".stripMargin
+
   def oracle: Map[String, String] = Map(
       // t47: the identical per-row array folds over the same synthesized
       // body — empty segments filtered, duplicate occurrences beyond the
@@ -413,19 +434,17 @@ private[graft] object TextSet {
            | (least(length(text), 500) * 1000000 // 500)::BIGINT AS len_ppm,
            | ((1000000 - punct_ppm + stopword_ppm + len_ppm) // 3)::BIGINT AS quality_ppm
            | FROM documents""".stripMargin,
-      "t03_lang_id" ->
-        s"""WITH s AS (SELECT doc_id,
-           |  len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','von','mit','den','ein','nicht'], t)))::BIGINT AS s_de,
-           |  len(list_filter($toks, t -> list_contains($enStop, t)))::BIGINT AS s_en,
-           |  len(list_filter($toks, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))::BIGINT AS s_es,
-           |  len(list_filter($toks, t -> list_contains(['le','la','de','et','les','des','un','une','du','dans'], t)))::BIGINT AS s_fr,
-           |  len(list_filter($toks, t -> list_contains(['de','shi','le','zai','you','wo','ta','men','zhe','na'], t)))::BIGINT AS s_zh
-           |  FROM documents)
-           |SELECT doc_id,
-           | CASE WHEN g = 0 THEN 'und' WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
-           |      WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang,
-           | g AS lang_score
-           |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)""".stripMargin,
+      "t03_lang_id" -> t03Sql,
+      // t51: t03's prediction CTE joined to the truth labels — cells +
+      // integer-ppm row shares over the langs²-bounded matrix
+      "t51_langid_confusion" ->
+        s"""WITH p AS (
+           |  ${t03Sql.replace("\n", "\n  ")})
+           |SELECT d.lang AS truth_lang, p.pred_lang,
+           |  count(*)::BIGINT AS n_docs,
+           |  (count(*) * 1000000 // sum(count(*)) OVER (PARTITION BY d.lang))::BIGINT AS row_ppm
+           |FROM documents d JOIN p ON d.doc_id = p.doc_id
+           |GROUP BY 1, 2""".stripMargin,
       "t04_fingerprint" ->
         s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents))
            |SELECT doc_id, list_min(list_transform(gs, g -> ${h60("g")})) AS fingerprint,

@@ -442,6 +442,66 @@ object GraphOps {
     labels
   }
 
+  /** k-CORE membership of the undirected host graph (Seidman '83) — the
+    * densest-substructure read between g05's per-host triangle counts
+    * and g06's communities: the k-core is the maximal subgraph where
+    * every member keeps ≥ k neighbors INSIDE the subgraph, the classic
+    * link-farm/spam-ring locator (a farm's members sustain each other's
+    * degree; genuine long-tail hosts peel away). Computed by synchronous
+    * peeling: each round drops every node whose degree among survivors
+    * is < k; the fixpoint is reached in ≤ maxRounds rounds or the
+    * round-maxRounds state is reported (deterministic either way — the
+    * driver's early exit fires only on a PROVEN fixpoint: peeling is
+    * monotone ⊆, so equal survivor counts mean equal sets, the CC
+    * convergence-probe discipline). Output for every node:
+    * (host, in_core, core_degree) with core_degree the node's degree in
+    * the surviving subgraph (0 when peeled).
+    *
+    * Scale shape: the canonical edge set checkpoints once
+    * ([[triangleCounts]]' construction); per round the hosts-bounded
+    * survivor set broadcasts into the edge scan twice and the degree
+    * count is map-side combinable; survivors `localCheckpoint` per
+    * round; the only driver values are the nodes-bounded counts.
+    */
+  def kCore(edges: DataFrame, k: Int = 5, maxRounds: Int = 6): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(maxRounds >= 1, "maxRounds must be at least 1")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    def survivorDegrees(alive: DataFrame): DataFrame =
+      und
+        .join(broadcast(alive.select(col("host").as("a"))), Seq("a"))
+        .join(broadcast(alive.select(col("host").as("b"))), Seq("b"))
+        .select(explode(array(col("a"), col("b"))).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("d"))
+    var alive = nodes
+    var aliveCount = alive.count()
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val next = survivorDegrees(alive)
+        .where(col("d") >= k).select(col("host"))
+        .localCheckpoint()
+      val nextCount = next.count()
+      done = nextCount == aliveCount // monotone ⊆: equal count = fixpoint
+      alive = next
+      aliveCount = nextCount
+      round += 1
+    }
+    nodes.join(survivorDegrees(alive), Seq("host"), "left")
+      .select(col("host"),
+        when(col("d").isNotNull, 1L).otherwise(0L).as("in_core"),
+        coalesce(col("d"), lit(0L)).as("core_degree"))
+  }
+
   /** Degree ASSORTATIVITY (Newman, PRL 2002) of the undirected host
     * graph — the one-number topology read that separates social-like
     * graphs (assortative, hubs link hubs) from web-like ones

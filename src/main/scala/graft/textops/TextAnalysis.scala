@@ -129,6 +129,33 @@ object TextAnalysis {
       g.as("lang_score"))
   }
 
+  /** Language-ID CONFUSION matrix — [[languageId]] graded against the
+    * corpus's `lang` labels, the t34 measured-gate pattern applied to
+    * the rule-based identifier: per (truth, predicted) cell the doc
+    * count and its integer-ppm share of the truth row. The read that
+    * decides whether the cheap stopword identifier is good enough to
+    * gate a corpus slice or a trained classifier (t32) must take over —
+    * and WHERE it fails (which languages bleed into which).
+    *
+    * Scale shape: the prediction is a shuffle-free projection over one
+    * scan; the doc_id equi-join carries only (id, label) pairs (text
+    * never crosses it), the cell aggregate is map-side combinable, and
+    * the row-share window runs over the langs²-bounded matrix.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pred = languageId(docs).select(col("doc_id"), col("pred_lang"))
+    val cells = docs.select(col("doc_id"), col("lang").as("truth_lang"))
+      .join(pred, "doc_id")
+      .groupBy(col("truth_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("truth_lang"))
+    cells
+      .withColumn("__tot", sum(col("n_docs")).over(w))
+      .select(col("truth_lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 1000000 div __tot").as("row_ppm"))
+  }
+
   /** Word k-grams of a token array (empty when fewer than k tokens). */
   def kgrams(toks: Column, k: Int): Column =
     when(size(toks) >= k,

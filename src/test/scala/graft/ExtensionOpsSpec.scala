@@ -571,6 +571,43 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(m.values.map(_._2).sum <= 1000000000000L)
   }
 
+  test("kCore: K4 survives k=3 with pendant chain peeled; path cascades to empty") {
+    import graft.graph.GraphOps
+    val k4 = for { i <- Seq("a", "b", "c", "d"); j <- Seq("a", "b", "c", "d")
+                   if i < j } yield (i, j)
+    val g = (k4 ++ Seq(("d", "e"), ("e", "f"))).toDF("src", "dst")
+    val rows = GraphOps.kCore(g, k = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (h <- Seq("a", "b", "c", "d"))
+      assert(rows(h) == (1L, 3L), s"K4 members keep 3 core neighbors: $rows")
+    assert(rows("e") == (0L, 0L) && rows("f") == (0L, 0L), s"pendants peel: $rows")
+    // cascading peel: a path has no 2-core — survivors cascade to empty
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val p = GraphOps.kCore(path, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p.values.forall(_ == 0L), s"a path has no 2-core: $p")
+    // a cycle IS its own 2-core — nothing peels
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val c = GraphOps.kCore(cyc, k = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c.values.forall(_ == (1L, 2L)), s"cycle: $c")
+  }
+
+  test("langIdConfusion: exact cells and row shares, und routing") {
+    val docs = Seq(
+      (1L, "the of and", "en"), // stopword hit → pred en
+      (2L, "qqq zzz", "en"),    // no stopwords → pred und
+      (3L, "der die das", "de"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.langIdConfusion(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows(("en", "en")) == (1L, 500000L), s"got $rows")
+    assert(rows(("en", "und")) == (1L, 500000L), s"got $rows")
+    assert(rows(("de", "de")) == (1L, 1000000L), s"got $rows")
+    assert(rows.size == 3)
+  }
+
   test("degreeAssortativity: star is exactly -1, path hand-moments, regular graph NULL") {
     import graft.graph.GraphOps
     def one(edges: Seq[(String, String)]) =
