@@ -142,10 +142,16 @@ object Bench {
     // per query name; a query with any error is excluded from `value` and
     // reported under "errors"/"n_failed".
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Every timed run is BRACKETED by /proc/stat reads: the per-run host
+    // busy fraction rides beside the reading, so a noise-inflated number
+    // carries its own evidence (round 7 and round 10 both needed a manual
+    // solo-rerun adjudication to prove 9–15× artifact inflation was host
+    // noise — per-query busy makes that visible in the artifact itself).
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-              tag: String, name: String): Double = {
+              tag: String, name: String): (Double, Double) = {
       // noop sink fully materializes every column — a bare .count() would
       // let Catalyst prune the computed projections and time nothing.
+      val c0 = hostCpuJiffies()
       val t0 = System.nanoTime()
       watched.set(tag)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -153,7 +159,29 @@ object Bench {
         System.err.println(s"[bench] $tag: $e")
         errors.getOrElseUpdate(name, e.toString.take(200))
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      val busy = (for { (b0, j0) <- c0; (b1, j1) <- hostCpuJiffies()
+                        if j1 > j0 }
+        yield (b1 - b0).toDouble / (j1 - j0)).getOrElse(Double.NaN)
+      (dt, busy)
+    }
+    // Per-query reference readings from the committed bench_reference.json
+    // (a guarded, adjudicated-quiet snapshot): the yardstick the targeted
+    // re-measure pass below compares against. Missing file or query → no
+    // reference, only the warm-anomaly/slowest-tail rules apply.
+    val reference: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_reference.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+        val qn = if (root.has("queries")) root.get("queries") else root
+        qn.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_reference.json unreadable: $e")
+      Map.empty
     }
     val firstPass = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -163,41 +191,62 @@ object Bench {
       // broadcast builds, parquet footer caches); the second run is the
       // reported number. Warming only one query charged 10s+ of JVM
       // warm-up to whichever queries happened to run first.
-      val wt = timed(fn, s"$name#warm", name)
+      val (wt, _) = timed(fn, s"$name#warm", name)
       // TWO timed runs, report the min: shared-host noise (CPU steal, page
       // cache, GC) is one-sided additive, so min is the consistent
       // estimator of the plan's steady-state cost.
-      val dt1 = timed(fn, name, name)
-      val dt2 = timed(fn, s"$name#2", name)
-      val dt = math.min(dt1, dt2)
+      val (dt1, b1) = timed(fn, name, name)
+      val (dt2, b2) = timed(fn, s"$name#2", name)
+      val (dt, db) = if (dt1 <= dt2) (dt1, b1) else (dt2, b2)
       // warm time reported for wall-clock accounting (codegen + JIT +
       // broadcast/file-listing first-time costs live there, not in dt)
       System.err.println(
-        f"[bench] $name%-24s $dt%8.2fs  (runs $dt1%.2f/$dt2%.2f, warm $wt%8.2fs)")
-      (name, fn, wt, dt)
+        f"[bench] $name%-24s $dt%8.2fs  (runs $dt1%.2f/$dt2%.2f, warm $wt%8.2fs, busy $db%.2f)")
+      (name, fn, wt, dt, db)
     }
-    // Outlier retry: a measured time several times the query's OWN warm run
-    // can only be a host-noise window that spanned both timed runs (warm
-    // includes codegen on top of the same work) — re-measure once, later,
-    // after the window has passed. Observed: a ~25 s noisy-neighbor window
-    // turned two adjacent sub-second queries into 12 s readings.
-    // ... and the 3 slowest results get one unconditional re-measure: when
-    // the noise window also inflated the warm run, the 3×warm test can't
-    // see it (observed: c08 0.4 s solo, 3.7 s when a window covered all
-    // three of its runs). Three extra sub-second runs are cheap insurance.
+    // Targeted re-measure passes — all run AFTER the full first pass, so a
+    // transient noise window has had the whole remaining sweep to pass:
+    // 1. Warm-anomaly: a reading several times the query's OWN warm run
+    //    (warm includes codegen on top of the same work) can only be noise.
+    // 2. Slowest-tail: the 3 slowest results get one unconditional retry —
+    //    when a window covered all three of a query's runs the 3×warm test
+    //    is blind (observed: c08 0.4 s solo, 3.7 s contaminated).
+    // 3. Reference-based (round-11, VERDICT r10 item 1): any reading above
+    //    2.5× its committed bench_reference.json value gets up to 2 more
+    //    attempts — the rule that would have caught round 10's 9–15×
+    //    artifact inflations without a manual adjudication. Bounded by a
+    //    global budget so a genuinely-regressed build terminates.
+    var retryBudget = 40
     val slowest = firstPass.toSeq.sortBy(-_._4).take(3).map(_._1).toSet
-    val allTimed = firstPass.map { case (name, fn, wt, dt) =>
+    val allTimed = firstPass.map { case (name, fn, wt, dt0, busy0) =>
+      var best = dt0
+      var bestBusy = busy0
+      def retry(tag: String): Unit =
+        if (retryBudget > 0 && !errors.contains(name)) {
+          retryBudget -= 1
+          val (d, b) = timed(fn, tag, name)
+          if (d < best) { best = d; bestBusy = b }
+          System.err.println(f"[bench] $name%-24s $best%8.2fs  ($tag $d%.2f, busy $b%.2f)")
+        }
       if (!errors.contains(name) &&
-          ((dt > 1.0 && dt > 3 * wt) || (slowest(name) && dt > 1.0))) {
-        val dt3 = timed(fn, s"$name#retry", name)
-        val best = math.min(dt, dt3)
-        System.err.println(f"[bench] $name%-24s $best%8.2fs  (retry $dt3%.2f)")
-        name -> best
-      } else name -> dt
+          ((best > 1.0 && best > 3 * wt) || (slowest(name) && best > 1.0)))
+        retry(s"$name#retry")
+      val ref = reference.get(name)
+      var refTries = 0
+      while (refTries < 2 && !errors.contains(name) && retryBudget > 0 &&
+             ref.exists(r => best > 2.5 * math.max(r, 0.2))) {
+        refTries += 1
+        retry(s"$name#ref$refTries")
+      }
+      if (ref.exists(r => best > 2.5 * math.max(r, 0.2)))
+        System.err.println(f"[bench] WARNING: $name%-24s $best%8.2fs stays >2.5x " +
+          f"reference ${ref.get}%.2fs after retries — real regression or sustained noise")
+      name -> (best, bestBusy)
     }.toMap
     // failed queries are excluded from the timing map and the total — their
     // "elapsed" is time-to-exception, not a measurement
-    val results = allTimed.filterNot { case (k, _) => errors.contains(k) }
+    val withBusy = allTimed.filterNot { case (k, _) => errors.contains(k) }
+    val results = withBusy.map { case (k, (sec, _)) => k -> sec }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -206,6 +255,11 @@ object Bench {
       .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query busy of the run that produced the recorded min — the
+    // artifact-side evidence channel for noise adjudication
+    val busyJson = withBusy.map { case (k, (_, b)) =>
+      s"\"" + k + "\":" + (if (b.isNaN) "null" else f"$b%.3f")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Host CPU busy fraction across the whole run (from /proc/stat, which
     // is host-wide): our own local[32] load counts toward it, but a value
@@ -223,7 +277,7 @@ object Bench {
         "a noisy-neighbor window likely overlapped this run; prefer a " +
         "quieter re-run for the round artifact")
     catch { case _: NumberFormatException => () }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"host_busy_frac":$hostBusy,"guarded":$guarded,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"busy":$busyJson,"n_failed":${errors.size},"errors":$errJson,"host_busy_frac":$hostBusy,"guarded":$guarded,"ref_retry_budget_left":$retryBudget,"sf":"$sfDir"}"""
     // the totals line is the hard signal: ALSO write it to a file so it
     // survives any log-tail truncation by the per-query diagnostics
     // (round 3's driver capture lost it exactly that way)

@@ -59,11 +59,24 @@ object BenchScale {
     // round-10 session-2 operators with a join or a loop: LPA's per-round
     // label join, the MAD trailing window over the hourly aggregate, the
     // JL pair-sample join + per-m branches, and the vocab-growth digest
-    // shuffle. t47/m17 stay out: pure per-row projections (segment folds,
-    // partition-local decode) with neither join nor loop; e17 is
-    // streaming (excluded by design, harness-startup-bound).
+    // shuffle. t47 stays out: a pure per-row segment fold with neither
+    // join nor loop; e17 is streaming (excluded by design,
+    // harness-startup-bound).
     "g06_label_communities", "e16_mad_anomalies", "s26_random_projection",
     "t48_vocab_growth",
+    // round-11 widening (VERDICT r10 item 8): the m-set decode queries —
+    // decode-heavy partition-local work is where a batch-size or codec
+    // regression hides (none has a join, but a decoder that re-reads or
+    // buffers whole partitions shows up as a super-linear curve here
+    // before it ooms a real cluster): imageio PNG decode, PNG pixel
+    // formula audit, WAV resample, autocorrelation pitch, luma histogram
+    "m08_imageio_decode", "m13_image_decode", "m15_audio_resample",
+    "m17_audio_pitch", "m18_image_histogram",
+    // round-11: the two bounded-broadcast-join queries the round-10 gate
+    // comment left undocumented (ADVICE r10) — gated now rather than
+    // exempted: assortativity's two degree joins over the edge frame and
+    // the langid-confusion doc_id equi-join must stay linear in documents
+    "g08_degree_assortativity", "t51_langid_confusion",
     // exact bounded-radius BFS (frontier joins + pair frame) — the one
     // new query whose exact side is deliberately Θ(Σ|ball|)
     "g07_harmonic_centrality",

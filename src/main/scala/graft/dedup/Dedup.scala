@@ -1011,6 +1011,12 @@ object Dedup {
                     window: Int = 3): DataFrame = {
     require(divisor > 0, "divisor must be positive")
     require(window >= 1, "window must be at least 1")
+    // exactness invariant, enforced: token hashes are < 2^20 and the fold
+    // multiplies by 31 (< 2^5) per step, so the rolling value is
+    // < 2^(20 + 5·(window−1)) — window ≤ 8 keeps it < 2^55, inside signed
+    // long; window ≥ 9 would silently overflow and move boundaries
+    require(window <= 8, "window must be at most 8: the base-31 fold over " +
+      "2^20-bounded token hashes overflows signed long beyond that")
     val spark = docs.sparkSession
     import spark.implicits._
     val chunks = docs.select(col("doc_id"), col("text")).as[(Long, String)]

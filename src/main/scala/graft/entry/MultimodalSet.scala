@@ -216,6 +216,18 @@ private[graft] object MultimodalSet {
     // arrival-independent, the d15/d27 parity shape.
     "m19_stream_media_dedup" -> ((s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
+      // collision-freedom guard, enforced not assumed: two resources share
+      // a (slope, intercept) pair iff their keys are congruent mod
+      // 13·256 = 3328 (11 is invertible mod 256, so intercept pins key mod
+      // 256; CRT combines with slope's mod 13). Keys span
+      // [−(N/4)−1, N) — N + N/4 + 1 < 3328 means no two distinct keys
+      // collide. Beyond ~2600 docs Spark's global dedup would keep one row
+      // where the oracle's per-resource DISTINCT keeps two — fail loudly
+      // instead of silently breaking parity at a larger fixture.
+      val nDocs = Tables.documents(s, dir).count()
+      require(nDocs + nDocs / 4 + 1 < 3328,
+        s"m19 fixture key space exhausted at $nDocs docs (needs < ~2600): " +
+          "two resources would share a raster digest")
       val stream = Tables.documentsStream(s, dir)
         .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
         .select(col("doc_id"), col("ts"))

@@ -459,11 +459,16 @@ object GraphOps {
     *
     * Scale shape: the canonical edge set checkpoints once
     * ([[triangleCounts]]' construction); per round the hosts-bounded
-    * survivor set broadcasts into the edge scan twice and the degree
-    * count is map-side combinable; survivors `localCheckpoint` per
-    * round; the only driver values are the nodes-bounded counts.
+    * survivor set joins into the edge scan twice — broadcast by default,
+    * but unlike [[labelPropagation]]'s label frame the round-1 survivor
+    * set is the FULL host set, so for ~10⁸-host graphs set
+    * `broadcastSurvivors = false` to flip both joins to plain host-keyed
+    * equi-joins (the [[pageRank]]/[[labelPropagation]] hatch); the
+    * degree count is map-side combinable; survivors `localCheckpoint`
+    * per round; the only driver values are the nodes-bounded counts.
     */
-  def kCore(edges: DataFrame, k: Int = 5, maxRounds: Int = 6): DataFrame = {
+  def kCore(edges: DataFrame, k: Int = 5, maxRounds: Int = 6,
+            broadcastSurvivors: Boolean = true): DataFrame = {
     require(k >= 1, "k must be at least 1")
     require(maxRounds >= 1, "maxRounds must be at least 1")
     val und = edges.select(
@@ -476,12 +481,17 @@ object GraphOps {
       .unionAll(edges.select(col("dst").as("host")))
       .distinct()
       .localCheckpoint()
-    def survivorDegrees(alive: DataFrame): DataFrame =
+    def survivorDegrees(alive: DataFrame): DataFrame = {
+      def side(c: String): DataFrame = {
+        val s = alive.select(col("host").as(c))
+        if (broadcastSurvivors) broadcast(s) else s
+      }
       und
-        .join(broadcast(alive.select(col("host").as("a"))), Seq("a"))
-        .join(broadcast(alive.select(col("host").as("b"))), Seq("b"))
+        .join(side("a"), Seq("a"))
+        .join(side("b"), Seq("b"))
         .select(explode(array(col("a"), col("b"))).as("host"))
         .groupBy(col("host")).agg(count(lit(1)).as("d"))
+    }
     var alive = nodes
     var aliveCount = alive.count()
     var round = 0

@@ -592,6 +592,10 @@ class ExtensionOpsSpec extends SparkTestBase {
     val c = GraphOps.kCore(cyc, k = 2)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(c.values.forall(_ == (1L, 2L)), s"cycle: $c")
+    // shuffle-join hatch (~10⁸-host graphs) must match the broadcast path
+    val nb = GraphOps.kCore(g, k = 3, broadcastSurvivors = false)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nb == rows, s"broadcast≡shuffle parity: $nb vs $rows")
   }
 
   test("langIdConfusion: exact cells and row shares, und routing") {

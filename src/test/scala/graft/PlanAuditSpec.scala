@@ -770,6 +770,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("kCore: survivors broadcast into the edge scan by default; degrees combine map-side") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")).toDF("src", "dst")
+    // audit the RETURNED frame (final survivorDegrees join + left join back
+    // onto nodes): the default path must broadcast the hosts-bounded
+    // survivor set into the checkpointed edge scan, and the per-host degree
+    // count must have a partial (map-side) phase so the host shuffle
+    // carries combined rows, never exploded endpoints
+    val p = plan(graft.graph.GraphOps.kCore(edges, k = 2, maxRounds = 1))
+    assert(p.contains("BroadcastHashJoin"), s"survivors must broadcast:\n$p")
+    assert(p.contains("partial_count"), s"degrees must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("ScalaUDF"), s"pure Column arithmetic only:\n$p")
+  }
+
   test("hitter sketch gate: summaries ride ObjectHashAggregate; no corpus window") {
     val p = plan(graft.relational.Temporal.hitterSketchGate(events))
     // the Misra-Gries typed Aggregator must aggregate (partial merge),
