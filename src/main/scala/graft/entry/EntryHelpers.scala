@@ -410,10 +410,14 @@ private[graft] object EntryHelpers {
     // → LSH bands → candidate pairs → signature-estimated similarity)
     // t32's NB scoring SQL, hoisted: t33 (the streaming face) must
     // hash-match the same oracle rows
-    val t32Sql =
-      s"""WITH tk AS (SELECT doc_id, lang AS label,
-           |    ${h60("'nb:' || token")} % 1024 AS b
-           |  FROM (SELECT doc_id, lang, unnest($toks) AS token FROM documents)),
+    // The NB train-and-score CTE chain over a feature CTE
+    // `(doc_id, label, b)` — shared by the word model (t32/t33/t34) and
+    // the char-3-gram language identifier (t52); mirrors
+    // TextAnalysis.nbScored exactly (add-one smoothing, floor-log2
+    // quantization, argmax ties to the GREATER label via rn over
+    // score DESC, label DESC).
+    val nbChainSql = (tkSql: String) =>
+      s"""tk AS ($tkSql),
            |cls AS (SELECT lang AS label, count(*)::BIGINT AS dn FROM documents GROUP BY 1),
            |tot AS (SELECT count(*)::BIGINT AS d FROM documents),
            |cnt AS (SELECT label, b, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
@@ -434,7 +438,22 @@ private[graft] object EntryHelpers {
            |best AS (SELECT doc_id, label AS pred, score AS score_bits,
            |    row_number() OVER (PARTITION BY doc_id
            |      ORDER BY score DESC, label DESC) AS rn
-           |  FROM sc)
+           |  FROM sc)""".stripMargin
+    // word-token features: the t32/t33/t34 model
+    val nbWordTkSql =
+      s"""SELECT doc_id, lang AS label,
+         |    ${h60("'nb:' || token")} % 1024 AS b
+         |  FROM (SELECT doc_id, lang, unnest($toks) AS token FROM documents)""".stripMargin
+    // char-3-gram features: the t52 language identifier (cg: domain prefix)
+    val nbCharTkSql =
+      s"""SELECT doc_id, lang AS label,
+         |    ${h60("'cg:' || g")} % 1024 AS b
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(list_transform(generate_series(1, length(text) - 2),
+         |            i -> substr(text, i, 3))) AS g
+         |        FROM documents WHERE length(text) >= 3)""".stripMargin
+    val t32Sql =
+      s"""WITH ${nbChainSql(nbWordTkSql)}
            |SELECT b.doc_id, b.pred, b.score_bits,
            |  (b.pred = d.lang)::BIGINT AS self_match
            |FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1""".stripMargin

@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** Text-analysis queries (t01-t51) + their DuckDB oracles.
+/** Text-analysis queries (t01-t52) + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -193,6 +193,13 @@ private[graft] object TextSet {
     // ExtensionOpsSpec).
     "t32_nb_classifier" -> ((s, dir) =>
       TextAnalysis.nbClassifier(Tables.documents(s, dir))),
+    // char-3-gram NB language identifier's measured gate (the t34
+    // matrix shape): the trained-model answer to where t51 shows the
+    // stopword voter bleeding — fastText-style char-gram features
+    // (Wenzek et al. 2020) through the same closed-form NB chain, so
+    // training AND scoring stay in-engine and oracle-exact
+    "t52_charngram_confusion" -> ((s, dir) =>
+      TextAnalysis.charNgramConfusion(Tables.documents(s, dir))),
     // broadcast-model STREAM scoring: DSIR lambda trained batch-side,
     // shipped into the stream as a literal — scoring is a stateless
     // projection whose rows must hash-match the batch operator exactly
@@ -445,6 +452,18 @@ private[graft] object TextSet {
            |  (count(*) * 1000000 // sum(count(*)) OVER (PARTITION BY d.lang))::BIGINT AS row_ppm
            |FROM documents d JOIN p ON d.doc_id = p.doc_id
            |GROUP BY 1, 2""".stripMargin,
+      // t52: the char-3-gram NB identifier's matrix — the t34 pattern
+      // over the shared NB chain with char-gram features; the t51 → t52
+      // comparison is the stopword-voter vs trained-model gate
+      "t52_charngram_confusion" ->
+        s"""WITH ${nbChainSql(nbCharTkSql)},
+           |cells AS (SELECT d.lang AS truth, b.pred, count(*)::BIGINT AS n
+           |  FROM best b JOIN documents d USING (doc_id)
+           |  WHERE b.rn = 1 GROUP BY 1, 2),
+           |rt AS (SELECT truth, sum(n) AS rtot FROM cells GROUP BY 1)
+           |SELECT c.truth, c.pred, c.n,
+           |  (c.n * 1000000 // r.rtot)::BIGINT AS row_ppm
+           |FROM cells c JOIN rt r USING (truth)""".stripMargin,
       "t04_fingerprint" ->
         s"""WITH kg AS (SELECT doc_id, $kgrams AS gs FROM (SELECT doc_id, $toks AS t FROM documents))
            |SELECT doc_id, list_min(list_transform(gs, g -> ${h60("g")})) AS fingerprint,

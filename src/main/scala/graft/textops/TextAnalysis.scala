@@ -633,14 +633,61 @@ object TextAnalysis {
     * (doc_id, label, bits) triples.
     */
   def nbClassifier(docs: DataFrame, labelCol: String = "lang",
-                   buckets: Int = 1024): DataFrame = {
-    val spark = docs.sparkSession
-    val b = lit(buckets.toLong)
-    val tk = withTokens(docs)
+                   buckets: Int = 1024): DataFrame =
+    nbScored(docs, nbWordBuckets(docs, labelCol, buckets), labelCol, buckets)
+      .select(col("doc_id"), col("pred"), col("score_bits"),
+        (col("pred") === col("truth")).cast("long").as("self_match"))
+
+  /** [[nbClassifier]]'s word-token bucketing: one split per row, tokens
+    * hashed to `buckets` map-side. (doc_id, label, b) — text never
+    * survives this projection.
+    */
+  private def nbWordBuckets(docs: DataFrame, labelCol: String,
+                            buckets: Int): DataFrame =
+    withTokens(docs)
       .select(col("doc_id"), col(labelCol).as("label"), explode(col("__toks")).as("tok"))
       .select(col("doc_id"), col("label"),
-        (graft.functions.PortableHash.md5Long60(concat(lit("nb:"), col("tok"))) % b)
-          .as("b"))
+        (graft.functions.PortableHash.md5Long60(concat(lit("nb:"), col("tok")))
+          % lit(buckets.toLong)).as("b"))
+
+  /** Character n-grams of `text` as a Column (empty below n chars) —
+    * the sub-word feature CCNet-class language identifiers use (fastText
+    * langid trains on char n-grams precisely because function words are
+    * NOT required: morphology shows up in every token). Each element is
+    * `substr(text, i, n)`; the lambda body touches only the attribute
+    * and the lambda var (the HOF discipline from [[graft.dedup.Dedup.shingles]]).
+    */
+  def charGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Char-n-gram bucketing for [[charNgramLangId]]: grams hash under the
+    * `cg:` domain prefix so the char model and the word model can never
+    * collide in a shared bucket space.
+    */
+  private def nbCharBuckets(docs: DataFrame, labelCol: String,
+                            buckets: Int, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col(labelCol).as("label"),
+        explode(charGrams(col("text"), n)).as("g"))
+      .select(col("doc_id"), col("label"),
+        (graft.functions.PortableHash.md5Long60(concat(lit("cg:"), col("g")))
+          % lit(buckets.toLong)).as("b"))
+
+  /** The NB train-and-score core over a pre-bucketed feature stream
+    * `tk = (doc_id, label, b)` — shared by the word-token classifier
+    * ([[nbClassifier]]) and the char-n-gram language identifier
+    * ([[charNgramLangId]]); the math and scale shape documented on
+    * [[nbClassifier]]. Returns (doc_id, pred, score_bits, truth) — truth
+    * rides OUT of the one docs join the scorer already pays, so the
+    * confusion matrices never need a second one.
+    */
+  private def nbScored(docs: DataFrame, tk: DataFrame, labelCol: String,
+                       buckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val b = lit(buckets.toLong)
     def fl2(c: Column): Column = (length(bin(c.cast("long"))) - 1).cast("long")
     // training tables: all label×bucket-bounded, never data-sized
     val counts = tk.groupBy(col("label"), col("b")).agg(count(lit(1)).as("c"))
@@ -665,10 +712,53 @@ object TextAnalysis {
       .select(col("doc_id"),
         col("__best.label").as("pred"),
         col("__best.score").as("score_bits"))
-      .join(docs.select(col("doc_id"), col(labelCol).as("__true")), Seq("doc_id"))
-      .select(col("doc_id"), col("pred"), col("score_bits"),
-        (col("pred") === col("__true")).cast("long").as("self_match"))
+      .join(docs.select(col("doc_id"), col(labelCol).as("truth")), Seq("doc_id"))
   }
+
+  /** Char-n-gram Naive-Bayes LANGUAGE IDENTIFIER — the trained model
+    * [[languageId]]'s stopword voter graduates to when [[langIdConfusion]]
+    * shows it bleeding (the t51 gate exists precisely to trigger this
+    * upgrade): CCNet identifies language with fastText over char n-grams
+    * (Wenzek et al. 2020; Joulin et al. 2017), because sub-word
+    * morphology identifies a language even in text with no function
+    * words at all — the slice where a stopword list can only answer
+    * `und`. Same closed-form NB family as [[nbClassifier]], trained on
+    * the corpus's own `labelCol`, over hashed char-`n`-gram buckets.
+    * Output: (doc_id, pred, score_bits, self_match), the t32 shape.
+    *
+    * Scale shape: identical to [[nbClassifier]] — the gram explode is
+    * the only corpus-sized pass, grams hash map-side, the dense weight
+    * table broadcasts, ONE data-sized shuffle of (doc_id, label, bits).
+    */
+  def charNgramLangId(docs: DataFrame, labelCol: String = "lang",
+                      buckets: Int = 1024, n: Int = 3): DataFrame =
+    nbScored(docs, nbCharBuckets(docs, labelCol, buckets, n), labelCol, buckets)
+      .select(col("doc_id"), col("pred"), col("score_bits"),
+        (col("pred") === col("truth")).cast("long").as("self_match"))
+
+  /** Confusion cells over an `(doc_id, pred, truth)`-shaped frame: per
+    * (truth, pred) doc counts + each cell's ppm share of its truth row
+    * (labels²-bounded output; the t34/t51 matrix shape).
+    */
+  private def confusionCells(preds: DataFrame): DataFrame = {
+    val cells = preds.groupBy(col("truth"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = cells.groupBy(col("truth")).agg(sum(col("n")).as("rt"))
+    cells.join(broadcast(rowTotals), Seq("truth"))
+      .select(col("truth"), col("pred"), col("n"),
+        intDiv(col("n") * lit(1000000L), col("rt")).as("row_ppm"))
+  }
+
+  /** The char-n-gram identifier's measured gate (the t34 pattern for
+    * [[charNgramLangId]]): its confusion matrix against the corpus's own
+    * labels — the row the t51 → t52 comparison reads to decide whether
+    * the trained model has earned the langid slot from the stopword
+    * voter. No second docs join: truth rides out of the scorer.
+    */
+  def charNgramConfusion(docs: DataFrame, labelCol: String = "lang",
+                         buckets: Int = 1024, n: Int = 3): DataFrame =
+    confusionCells(
+      nbScored(docs, nbCharBuckets(docs, labelCol, buckets, n), labelCol, buckets))
 
   /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3 —
     * the step AFTER [[lmPerplexity]] scores): per LANGUAGE, documents
@@ -753,22 +843,15 @@ object TextAnalysis {
     * confusion matrix of [[nbClassifier]] against the corpus's own
     * labels — per (truth, pred) document counts plus each cell's ppm
     * share of its truth row, the accept/reject read for (buckets,
-    * labelCol) choices before a model ships. Inputs are the classifier's
-    * per-doc rows joined back to the narrow (doc_id, label) projection —
-    * an AQE-sized join — and the matrix itself is labels²-bounded.
+    * labelCol) choices before a model ships. Truth rides out of the one
+    * docs join the scorer already pays ([[nbScored]]) — no second join —
+    * and the matrix itself is labels²-bounded.
     * Output: (truth, pred, n, row_ppm).
     */
   def nbConfusion(docs: DataFrame, labelCol: String = "lang",
-                  buckets: Int = 1024): DataFrame = {
-    val preds = nbClassifier(docs, labelCol, buckets)
-      .join(docs.select(col("doc_id"), col(labelCol).as("truth")), Seq("doc_id"))
-    val cells = preds.groupBy(col("truth"), col("pred"))
-      .agg(count(lit(1)).as("n"))
-    val rowTotals = cells.groupBy(col("truth")).agg(sum(col("n")).as("rt"))
-    cells.join(broadcast(rowTotals), Seq("truth"))
-      .select(col("truth"), col("pred"), col("n"),
-        intDiv(col("n") * lit(1000000L), col("rt")).as("row_ppm"))
-  }
+                  buckets: Int = 1024): DataFrame =
+    confusionCells(
+      nbScored(docs, nbWordBuckets(docs, labelCol, buckets), labelCol, buckets))
 
   /** The trained NB classifier as a driver-local model (the broadcast-
     * model shape shared with [[dsirLambda]]): labels in ASCENDING order,

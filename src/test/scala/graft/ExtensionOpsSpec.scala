@@ -598,6 +598,30 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(nb == rows, s"broadcast≡shuffle parity: $nb vs $rows")
   }
 
+  test("charNgramLangId: trained char-gram model beats the stopword voter on stopword-free text") {
+    import graft.textops.TextAnalysis
+    // two "languages" with disjoint character morphology and ZERO tokens
+    // from any stopword list — the slice where t03's voter can only
+    // answer `und`, and exactly why CCNet-class pipelines identify
+    // language with char-n-gram models instead
+    val docs = (0 until 40).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      def word(j: Int) =
+        if (lang == "aa") s"zork${(i + j) % 7}ax" else s"quim${(i + j) % 7}ub"
+      (i.toLong, (0 until 12).map(word).mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    val voter = TextAnalysis.languageId(docs)
+    assert(voter.where(col("pred_lang") =!= "und").count() == 0,
+      "stopword-free text: the voter must answer und everywhere")
+    val trained = TextAnalysis.charNgramLangId(docs)
+    val acc = trained.agg(sum(col("self_match"))).first().getLong(0)
+    assert(acc == 40L, s"char-gram model must classify every doc: $acc/40")
+    // and the confusion matrix reads as the clean diagonal
+    val cells = TextAnalysis.charNgramConfusion(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells == Map(("aa", "aa") -> 20L, ("bb", "bb") -> 20L), s"$cells")
+  }
+
   test("langIdConfusion: exact cells and row shares, und routing") {
     val docs = Seq(
       (1L, "the of and", "en"), // stopword hit → pred en
