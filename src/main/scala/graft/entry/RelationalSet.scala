@@ -220,6 +220,25 @@ private[graft] object RelationalSet {
     // sketch's rank drift breaks the within_eps column instead
     "e13_quantile_sketch_gate" -> ((s, dir) =>
       graft.relational.Temporal.quantileSketchGate(events(s, dir))),
+    // STREAMING face of the sketch percentile counter: the e13 GK-family
+    // summary held as transformWithState state, emitted when the
+    // watermark closes the window, then gated by the SAME exact-side
+    // machinery — e13's rows restricted to closed windows, with the
+    // ε-verdict measuring the STREAMED sketch (cross-micro-batch merge
+    // order and all)
+    "e19_stream_quantile_sketch" -> ((s, dir) => withStatePartitions(s, 8) {
+      withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val summaries = graft.streaming.StreamingCounters.quantileSketchStream(
+          Tables.eventsStream(s, dir), "ts")
+        val sink = "e19_qs_sink"
+        val q = summaries.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        graft.relational.Temporal.quantileGateFromSummaries(
+          events(s, dir), s.table(sink))
+      }
+    }),
     // heavy-hitter counter by MERGEABLE Misra–Gries SKETCH + measured
     // bound gate (the a01/e13 pattern for frequencies): exact top-k
     // counts hash-compared, the O(capacity) summary's estimate drift
@@ -760,6 +779,23 @@ private[graft] object RelationalSet {
           |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
           |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
           |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum""".stripMargin,
+      // e19: e13's SQL restricted to watermark-closed windows (strict <:
+      // the fixture's max ts is never hour-aligned, the c29 convention);
+      // the streamed sketch's drift is measured Spark-side into within_eps
+      "e19_stream_quantile_sketch" ->
+        """WITH h AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+          |  CAST(floor(value * 100) AS BIGINT) AS value_cents, count(*)::BIGINT AS cnt
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |c AS (SELECT window_start, value_cents, cnt,
+          |  sum(cnt) OVER (PARTITION BY window_start ORDER BY value_cents) AS cum,
+          |  sum(cnt) OVER (PARTITION BY window_start) AS n FROM h)
+          |SELECT window_start, p_ppm, value_cents, n::BIGINT AS n,
+          |  1::BIGINT AS within_eps
+          |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS p_ppm)
+          |WHERE (((n-1) * p_ppm) // 1000000 + 1)::BIGINT > cum - cnt
+          |  AND (((n-1) * p_ppm) // 1000000 + 1)::BIGINT <= cum
+          |  AND window_start + 3600000 < (SELECT epoch_ms(max(ts)) FROM events)"""
+          .stripMargin,
       // e14: e07's exact top-3 SQL + the window total + literal-true
       // verdicts — the Misra–Gries bound is measured Spark-side (a01/e13
       // pattern)

@@ -259,24 +259,53 @@ object Temporal {
     */
   def quantileSketchGate(events: DataFrame, windowDuration: String = "1 hour",
                          psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L),
-                         gateEpsPpm: Long = 50000L): DataFrame = {
+                         gateEpsPpm: Long = 50000L): DataFrame =
+    quantileGateFromSummaries(events,
+      quantileSummaries(events, "ts", windowDuration), windowDuration,
+      psPpm, gateEpsPpm)
+
+  /** The batch sketch pass of [[quantileSketchGate]]: per-window
+    * [[graft.functions.QuantileSketch]] summaries over value cents —
+    * (window_start, knots, ranks, n). The streaming face
+    * ([[graft.streaming.StreamingCounters.quantileSketchStream]]) emits
+    * the same shape from `transformWithState` state on window close, so
+    * both feed [[quantileGateFromSummaries]] unchanged.
+    */
+  def quantileSummaries(events: DataFrame, tsCol: String = "ts",
+                        windowDuration: String = "1 hour",
+                        epsPpm: Long = 5000L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val hist = dropNullCents(valueCentsHistogram(events, "ts", windowDuration))
-    val exact = Quantiles.fromHistogram(hist, "window_start", "value_cents",
-      "cnt", psPpm)
     val cents = events
       .select(
-        unix_millis(window(col("ts"), windowDuration).getField("start")).as("ws"),
+        unix_millis(window(col(tsCol), windowDuration).getField("start")).as("ws"),
         floor(col("value") * 100).cast("long").as("c"))
       .where(col("c").isNotNull)
       .as[(Long, Long)]
-    val summaries = cents.groupByKey(_._1).mapValues(_._2)
-      .agg(new QuantileSketch.Agg().toColumn.name("s"))
+    cents.groupByKey(_._1).mapValues(_._2)
+      .agg(new QuantileSketch.Agg(epsPpm).toColumn.name("s"))
       .toDF("window_start", "s")
-      .select(col("window_start"), col("s.knots").as("__k"),
-        col("s.ranks").as("__r"), col("s.n").as("n"))
+      .select(col("window_start"), col("s.knots").as("knots"),
+        col("s.ranks").as("ranks"), col("s.n").as("n"))
+  }
+
+  /** The gate half of [[quantileSketchGate]], over ANY summary source
+    * with the (window_start, knots, ranks, n) shape — the batch typed
+    * aggregation or the streaming state emission. Windows present in
+    * `summaries` drive the output (inner joins): the streaming face
+    * passes only watermark-closed windows and gets the e13 rows
+    * restricted to exactly those.
+    */
+  def quantileGateFromSummaries(events: DataFrame, summaries: DataFrame,
+                                windowDuration: String = "1 hour",
+                                psPpm: Seq[Long] = Seq(500000L, 900000L, 990000L),
+                                gateEpsPpm: Long = 50000L): DataFrame = {
+    val hist = dropNullCents(valueCentsHistogram(events, "ts", windowDuration))
+    val exact = Quantiles.fromHistogram(hist, "window_start", "value_cents",
+      "cnt", psPpm)
     val est = summaries
+      .select(col("window_start"), col("knots").as("__k"),
+        col("ranks").as("__r"), col("n").as("n"))
       .select(col("window_start"), col("__k"), col("__r"), col("n"),
         explode(array(psPpm.map(lit): _*)).as("p_ppm"))
       .withColumn("__target", expr("((n - 1) * p_ppm) div 1000000") + lit(1L))

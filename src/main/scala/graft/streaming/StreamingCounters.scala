@@ -161,6 +161,69 @@ private[streaming] class CounterStateProcessor(cid: String, ctype: CounterType,
   }
 }
 
+/** One value-cents row of the streaming quantile sketch: window bounds in
+  * epoch millis plus the cents value — None for value-less heartbeats,
+  * which MUST ride to the processor (not be filtered out before the
+  * watermark node) so they keep advancing event time; the processor
+  * skips them at the fold.
+  */
+private[streaming] case class QsEvent(ts: java.sql.Timestamp, ws: Long, we: Long,
+                                       cents: Option[Long])
+
+/** Closed-window sketch emission — [[graft.relational.Temporal.quantileSummaries]]'
+  * exact output shape, so [[graft.relational.Temporal.quantileGateFromSummaries]]
+  * consumes either face unchanged.
+  */
+private[streaming] case class QsSummary(window_start: Long, knots: Array[Long],
+                                        ranks: Array[Long], n: Long)
+
+/** The GK-family quantile sketch as `transformWithState` state — the
+  * streaming face of the unbounded-domain percentile counter (e13's
+  * batch sketch): per-window [[QuantileSketch.Buf]] in a named
+  * `ValueState`, folded in-place per micro-batch via the SAME
+  * `Agg.reduce` the batch typed aggregation runs (one code path, two
+  * topologies — the c16/c29 discipline), an event-time timer at window
+  * end as the final invoke, emit-and-clear on expiry
+  * ([[CounterStateProcessor]]'s protocol). Windows holding only
+  * heartbeats (n = 0) close silently — the exact side has no rows for
+  * them either.
+  */
+private[streaming] class QuantileSketchProcessor(epsPpm: Long)
+    extends StatefulProcessor[(Long, Long), QsEvent, QsSummary] {
+  import graft.functions.QuantileSketch
+  @transient private var state: ValueState[QuantileSketch.Buf] = _
+  @transient private lazy val agg = new QuantileSketch.Agg(epsPpm)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[QuantileSketch.Buf](
+      "quantileSketch", Encoders.product[QuantileSketch.Buf], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, Long), rows: Iterator[QsEvent],
+                               timerValues: TimerValues): Iterator[QsSummary] = {
+    // ONE store read per call (the CounterStateProcessor discipline)
+    var buf = if (state.exists()) state.get() else agg.zero
+    rows.foreach(_.cents.foreach(c => buf = agg.reduce(buf, c)))
+    state.update(buf)
+    // final invoke when the watermark passes window end; strictly ahead
+    // of the current watermark (late-arrival guard)
+    getHandle.registerTimer(
+      math.max(key._2, timerValues.getCurrentWatermarkInMs() + 1))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (Long, Long), timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[QsSummary] = {
+    // duplicate timers (re-registered each batch) no-op: state is gone
+    if (!state.exists()) Iterator.empty
+    else {
+      val buf = agg.finish(state.get())
+      state.clear()
+      if (buf.n == 0L) Iterator.empty
+      else Iterator.single(QsSummary(key._1, buf.knots, buf.ranks, buf.n))
+    }
+  }
+}
+
 /** Structured Streaming execution of the counter pipeline — the engine's
   * equivalent of the reference's Lambda tumbling-window invocation loop
   * (O1/O2/O12: `counter.go:150-204`, `run.go:17-53`).
@@ -577,6 +640,46 @@ object StreamingCounters {
         TimeMode.EventTime(), OutputMode.Append())
     val df = out.toDF()
     if (shardCol.isDefined) df else df.drop("shard_id")
+  }
+
+  /** Streaming face of the unbounded-domain PERCENTILE counter — the
+    * e13 mergeable [[graft.functions.QuantileSketch]] held as
+    * `transformWithState` state ([[QuantileSketchProcessor]]), closing
+    * the sketch-counter family: count/sum/min/max/quantile/hitter all
+    * now run in both topologies. Emits one
+    * (window_start, knots, ranks, n) summary per window when the
+    * watermark passes its end — feed the result (collected from the
+    * sink) to [[graft.relational.Temporal.quantileGateFromSummaries]]
+    * for the exact quantiles + measured ε-verdicts restricted to the
+    * closed windows.
+    *
+    * Scale shape: the projection to (window bounds, cents) is stateless
+    * and codegen'd; the one shuffle keys by window; state per window is
+    * ONE O(1/ε) buffer regardless of the value domain (the histogram
+    * face's state is per DISTINCT cents value — exactly what this
+    * replaces for ns-latency domains). Value-less heartbeats ride to
+    * the processor as `cents = None` (a pre-watermark filter would stop
+    * them advancing event time and windows would never close — the
+    * valueQuantileHistogram discipline) and fold as no-ops. Requires the
+    * RocksDB state store provider (`transformWithState`).
+    */
+  def quantileSketchStream(stream: DataFrame, tsCol: String,
+                           windowDuration: String = "1 hour",
+                           watermarkDelay: String = "0 seconds",
+                           epsPpm: Long = 5000L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark(tsCol, watermarkDelay)
+      .select(
+        col(tsCol).as("ts"),
+        unix_millis(window(col(tsCol), windowDuration).getField("start")).as("ws"),
+        unix_millis(window(col(tsCol), windowDuration).getField("end")).as("we"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[QsEvent]
+      .groupByKey(e => (e.ws, e.we))
+      .transformWithState(new QuantileSketchProcessor(epsPpm),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
   }
 
   /** Streaming consumer of the aggregate stream (EP3,

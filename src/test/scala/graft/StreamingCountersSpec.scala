@@ -562,6 +562,49 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally spark.conf.unset(key)
   }
 
+  test("transformWithState quantile sketch carries across batches, emits once on close") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Option[Double])]
+      val out = StreamingCounters.quantileSketchStream(
+        input.toDF().toDF("ts", "value"), "ts", windowDuration = "1 minute",
+        watermarkDelay = "5 seconds")
+      val query = out.writeStream.format("memory").queryName("tws_qs")
+        .outputMode("append").start()
+      try {
+        // window [base, base+60s): 1.00..20.00 split across two batches,
+        // with a value-less heartbeat riding in batch one (must fold as a
+        // no-op, not poison the sketch or stall the watermark)
+        input.addData((1 to 10).map(i => (ts(i), Some(i.toDouble))) :+
+          ((ts(11), None: Option[Double])): _*)
+        query.processAllAvailable()
+        assert(spark.table("tws_qs").where(col("window_start") === base).count() == 0,
+          "no emission before the watermark closes the window")
+        input.addData((11 to 20).map(i => (ts(i), Some(i.toDouble))): _*)
+        query.processAllAvailable()
+        input.addData((ts(70), Some(99.0))) // close the window
+        query.processAllAvailable()
+        val rows = spark.table("tws_qs")
+          .where(col("window_start") === base)
+          .select("n", "knots", "ranks").collect().toSeq
+        assert(rows.size == 1, s"window must emit exactly once: $rows")
+        val r = rows.head
+        assert(r.getLong(0) == 20L, s"n must carry both batches: $r")
+        // 20 inserts never trip the 256-entry flush: the summary is an
+        // exact CDF, so every quantile query is exact
+        val knots = r.getSeq[Long](1).toArray
+        val ranks = r.getSeq[Long](2).toArray
+        assert(graft.functions.QuantileSketch.query(knots, ranks, 10L) == 1000L,
+          "p50 target rank 10 → 10.00 → 1000 cents")
+        assert(graft.functions.QuantileSketch.query(knots, ranks, 20L) == 2000L,
+          "max rank → 20.00 → 2000 cents")
+      } finally query.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("transformWithState ACD carries the HLL sketch across batches") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
