@@ -264,7 +264,13 @@ object Dedup {
                       bands: Int = 16, tauPpm: Long = 500000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
-    val sig = minhashSignatures(docs, k, numHashes)
+    // The signature table feeds THREE consumers (the band explode and both
+    // sides of the candidate verify join, which shuffle by different keys
+    // so no exchange reuse fires) — without a checkpoint the shingle
+    // flatMap + 64-way min aggregation re-runs per consumer, tripling the
+    // dominant cost. Lazy localCheckpoint: docs-bounded (numHashes longs
+    // per doc), materializes once (the connectedComponents discipline).
+    val sig = minhashSignatures(docs, k, numHashes).localCheckpoint(eager = false)
     val banded = sig.select(
       col("doc_id"),
       explode(bandKeys(col("sig"), bands, rpb)).as("bk"))
@@ -567,8 +573,14 @@ object Dedup {
     // the marked RDD in the SAME job, so each round costs ONE driver
     // round-trip instead of two (eager checkpoint job + probe job) — on a
     // real cluster the per-job scheduling latency is pure overhead
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    // pairs feeds BOTH arms of the symmetric union — without its own
+    // checkpoint the caller's pair generation (band self-join for LSH
+    // callers) runs twice into the edges materialization. Same size class
+    // as the edges checkpoint one line down, so nothing new is stored
+    // beyond one extra pairs-bounded copy.
+    val p = pairs.localCheckpoint(eager = false)
+    val edges = p.select(col("a").as("u"), col("b").as("v"))
+      .union(p.select(col("b").as("u"), col("a").as("v")))
       .distinct()
       .localCheckpoint(eager = false)
     // seed label(v) = min(Γ(v) ∪ v): the first propagation round for FREE

@@ -581,12 +581,20 @@ object TextAnalysis {
     * (doc_id, n_transitions, total_bits, mean_bits_ppm).
     */
   def lmPerplexity(docs: DataFrame): DataFrame = {
+    // The transition frame feeds THREE consumers (bigram counts, prefix
+    // counts, the per-doc scoring join) — without a checkpoint each one
+    // re-runs the tokenize + explode + double-md5 corpus scan, tripling
+    // the query's dominant cost (Spark reuses exchanges, not projections).
+    // Lazy localCheckpoint: ~24 bytes/transition materializes once on the
+    // first job and the two other subtrees read the cached blocks (the
+    // connectedComponents discipline).
     val tr = withTokens(docs)
       .select(col("doc_id"), explode(kgrams(col("__toks"), 2)).as("g"))
       .select(col("doc_id"),
         graft.functions.PortableHash.md5Long60(concat(lit("lm2:"), col("g"))).as("g2"),
         graft.functions.PortableHash.md5Long60(
           concat(lit("lm1:"), substring_index(col("g"), " ", 1))).as("g1"))
+      .localCheckpoint(eager = false)
     val big = tr.groupBy(col("g2")).agg(count(lit(1)).as("c2"))
     val pre = tr.groupBy(col("g1")).agg(count(lit(1)).as("c1"))
     val vocab = withTokens(docs)
