@@ -725,6 +725,27 @@ private[graft] object CounterSet {
         """(.a, .b) = .a + .b
           || (.c, .d) |= . * 2 + 1
           || {t: .t, a: .a, b: .b, c: .c, d: .d}""".stripMargin)),
+    // O14 round-11: COMPUTED paths and steps in one oracle row — setpath
+    // with a variable segment over a struct (field-picked at runtime), a
+    // nested computed segment, setpath/del with computed keys over a MAP
+    // (insert-or-update / filter, jq-exact), and range with a computed
+    // step (direction branches at runtime on its sign). Keys/leaves ride
+    // variables — the c73 scoping discipline both engines agree on.
+    "c75_jq_computed_paths" -> ((s, dir) =>
+      JqTransform(
+        Counters.run(events(s, dir), "ts", cRequestCount)
+          .select(col("window_start").as("t"), col("value"),
+            map(lit("a"), col("value"), lit("b"), lit(1L)).as("m")),
+        """(if .value % 2 == 0 then "a" else "b" end) as $k
+          || (if .value % 3 == 0 then "p" else "q" end) as $k2
+          || (.value % 7) as $lv
+          || {t: .t,
+          |   upd: ({"a": .value, "b": 1} | setpath([$k]; $lv) | .a * 1000 + .b),
+          |   nest: ({"x": {"p": .value, "q": 2}} | setpath(["x", $k2]; $lv)
+          |          | .x.p * 100 + .x.q),
+          |   rng: ([range(0; .value % 5 + 2; (.value % 3) + 1)] | add),
+          |   mset: (.m | setpath([$k]; $lv) | getpath(["a"])),
+          |   mdel: (.m | del(.[$k]) | getpath(["a"]))}""".stripMargin)),
     "c40_quantile_counter" -> ((s, dir) =>
       Counters.run(events(s, dir), "ts", cValueP90)),
     // top-3 users per window as a heavy_hitters counter, run through the
@@ -871,6 +892,23 @@ private[graft] object CounterSet {
           |SELECT t, value + (value % 7) AS a, value + (value % 7) AS b,
           |  (value % 5) * 2 + 1 AS c, (value % 3) * 2 + 1 AS d
           |FROM c""".stripMargin,
+      // c75: the computed-path/step row replayed analytically — CASE arms
+      // for the runtime-picked fields/keys, DuckDB's exclusive-stop
+      // range() list for the computed-step stream
+      "c75_jq_computed_paths" ->
+        """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS t,
+          |           count(*) AS value FROM events GROUP BY 1),
+          |d AS (SELECT t, value, value % 7 AS lv,
+          |        (value % 2 = 0) AS ka, (value % 3 = 0) AS kp FROM c)
+          |SELECT t,
+          |  ((CASE WHEN ka THEN lv ELSE value END) * 1000
+          |    + (CASE WHEN ka THEN 1 ELSE lv END))::BIGINT AS upd,
+          |  ((CASE WHEN kp THEN lv ELSE value END) * 100
+          |    + (CASE WHEN kp THEN 2 ELSE lv END))::BIGINT AS nest,
+          |  list_sum(range(0, value % 5 + 2, value % 3 + 1))::BIGINT AS rng,
+          |  (CASE WHEN ka THEN lv ELSE value END)::BIGINT AS mset,
+          |  (CASE WHEN ka THEN NULL ELSE value END)::BIGINT AS mdel
+          |FROM d""".stripMargin,
       // c40: exact lower discrete p90 per window (histogram + cumulative
       // pick — the value passes through untouched, so doubles are exact)
       "c40_quantile_counter" ->

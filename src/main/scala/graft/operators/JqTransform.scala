@@ -3385,22 +3385,31 @@ object JqTransform {
             walkDyn(dtOfV(df, vv), vv(df), p.toList)
           }
         } else if (fn == "setpath") {
-          // setpath(["a","b"]; E): getpath's writer twin over a literal
-          // path — the path's leaf is set to E ('.' in E = the current
-          // value, as everywhere in a pipe), existing keys update,
-          // a new LEAF key appends (withField), and like the assignment
-          // stages an intermediate struct must already exist (static
-          // schemas cannot fabricate {} parents; loud error)
+          // setpath(["a","b"]; E): getpath's writer twin — the path's
+          // leaf is set to E ('.' in E = the current value, as everywhere
+          // in a pipe), existing keys update, a new LEAF key appends
+          // (withField), and like the assignment stages an intermediate
+          // struct must already exist (static schemas cannot fabricate {}
+          // parents; loud error).
+          // Round 11: segments may also be COMPUTED (`setpath([.k]; E)`)
+          // — the c73 getpath device applied to the writer: the path
+          // array stays a bracket literal, each element may be any string
+          // expression. A computed segment over a MAP is jq-exact
+          // (map_concat updates or inserts); over a STRUCT it rewrites
+          // whichever of the statically-known fields the key names at
+          // runtime (fields must be uniformly typed, the getpath rule) —
+          // a key naming NO field leaves the object unchanged where jq
+          // would append it, impossible under a static schema, so that
+          // divergence is documented here and excluded from the fuzz
+          // grammar (seed 13 draws only existing keys).
           expect('('); skipWs(); expect('['); skipWs()
-          val segs = Seq.newBuilder[String]
+          val segs = Seq.newBuilder[Either[String, V]]
           if (peek != ']') {
             var more = true
             while (more) {
               skipWs()
-              if (peek != '"')
-                throw new IllegalArgumentException(
-                  "jq_expr: setpath() requires string-literal path segments")
-              segs += parseStringLit()
+              if (peek == '"') segs += Left(parseStringLit())
+              else segs += Right(parseValue())
               skipWs()
               if (peek == ',') next() else more = false
             }
@@ -3411,31 +3420,89 @@ object JqTransform {
           val p = segs.result()
           require(p.nonEmpty, "jq_expr: setpath() requires a non-empty path")
           val vv = v
+          // ONE walker for literal and computed segments alike: literal
+          // struct paths chain withField (existing keys update, a new
+          // LEAF key appends, absent parents are loud), maps update or
+          // insert via map_concat (jq-exact), computed struct segments
+          // pick among the statically-known fields at runtime.
           v = df => {
-            val dt = dtOfV(df, vv)
-            dt match {
-              case st: StructType =>
-                // every non-leaf segment must be an existing struct field
-                p.dropRight(1).foldLeft(st: DataType) {
-                  case (s2: StructType, seg) =>
-                    s2.fields.find(_.name == seg).map(_.dataType).getOrElse(
-                      throw new IllegalArgumentException(
-                        s"jq_expr: setpath parent '$seg' does not exist — " +
-                          "static schemas cannot fabricate intermediate objects"))
-                  case (other, seg) => throw new IllegalArgumentException(
-                    s"jq_expr: setpath parent '$seg' is ${other.simpleString}, not an object")
+            val leaf = leafV(df)
+            def set(dt: DataType, c: Column,
+                    rest: List[Either[String, V]]): Column = rest match {
+              case Nil => leaf
+              case Left(name) :: t => dt match {
+                case st: StructType => st.fields.find(_.name == name) match {
+                  case Some(f) =>
+                    c.withField(name, set(f.dataType, c.getField(name), t))
+                  case None if t.isEmpty => c.withField(name, leaf)
+                  case None => throw new IllegalArgumentException(
+                    s"jq_expr: setpath parent '$name' does not exist — " +
+                      "static schemas cannot fabricate intermediate objects")
                 }
-                vv(df).withField(p.mkString("."), leafV(df))
-              case other => throw new IllegalArgumentException(
-                s"jq_expr: setpath requires an object, got ${other.simpleString}")
+                case mt: MapType =>
+                  // filter-then-concat: map_concat REJECTS duplicate keys
+                  // under the default dedup policy, so updates drop the
+                  // old entry first (insert-or-update, jq-exact)
+                  map_concat(
+                    map_filter(c, (mk, _) => !(mk <=> lit(name))),
+                    map(lit(name),
+                      set(mt.valueType, try_element_at(c, lit(name)), t)))
+                case other => throw new IllegalArgumentException(
+                  s"jq_expr: setpath segment '$name' reaches into " +
+                    s"${other.simpleString}, not an object")
+              }
+              case Right(kv) :: t =>
+                val k = kv(df).cast("string")
+                dt match {
+                  case mt: MapType =>
+                    map_concat(
+                      map_filter(c, (mk, _) => !(mk <=> k)),
+                      map(k, set(mt.valueType, try_element_at(c, k), t)))
+                  case st: StructType =>
+                    val fts = st.fields.map(_.dataType).distinct
+                    if (fts.length != 1) throw new IllegalArgumentException(
+                      "jq_expr: setpath() with a computed segment over a " +
+                        s"struct needs uniformly-typed fields (got " +
+                        s"${fts.map(_.simpleString).mkString(", ")}); " +
+                        "make the segment a string literal")
+                    when(c.isNotNull, struct(st.fields.toSeq.map { f =>
+                      when(k === lit(f.name),
+                        set(f.dataType, c.getField(f.name), t))
+                        .otherwise(c.getField(f.name)).as(f.name)
+                    }: _*))
+                  case other => throw new IllegalArgumentException(
+                    "jq_expr: setpath() computed segment reaches into " +
+                      s"${other.simpleString}, not an object")
+                }
             }
+            set(dtOfV(df, vv), vv(df), p.toList)
           }
         } else if (fn == "del") {
           // del(.a) / del(.a.b): remove one literal-path field — structs
           // rebuild without the field (schema-static), maps filter the
           // key; a missing path is a no-op, like jq. Multi-path and
           // array-index forms stay out of scope, documented.
+          // Round 11: del(.[E]) with a COMPUTED key — jq-exact over a MAP
+          // (filter the key out; absent key is a no-op); loud over a
+          // STRUCT, whose field set is schema-static and cannot shrink on
+          // a per-row answer.
           expect('('); skipWs()
+          if (peek == '.' && i + 1 < s.length && s.charAt(i + 1) == '[') {
+            next(); next(); skipWs()
+            val kv = parseValue()
+            skipWs(); expect(']'); skipWs(); expect(')')
+            val vv = v
+            v = df => {
+              val k = kv(df).cast("string")
+              dtOfV(df, vv) match {
+                case _: MapType => map_filter(vv(df), (mk, _) => !(mk <=> k))
+                case other => throw new IllegalArgumentException(
+                  "jq_expr: del() with a computed key needs a map-typed " +
+                    s"object (got ${other.simpleString}) — a struct's field " +
+                    "set is schema-static and cannot shrink per row")
+              }
+            }
+          } else {
           val parts = parsePathParts()
           skipWs(); expect(')')
           require(parts.nonEmpty, "jq_expr: del() requires a field path")
@@ -3467,6 +3534,7 @@ object JqTransform {
                   s"jq_expr: del() path does not reach into ${dt.simpleString}")
               }
             drop(dtOfV(df, vv), vv(df), parts.toList)
+          }
           }
         } else if (fn == "scan" || fn == "splits") {
           // jq scan(re)/splits(re[; flags]): the all-matches / regex-split
@@ -4149,19 +4217,32 @@ object JqTransform {
           val a2: Option[V] =
             if (peek == ';') { next(); val v = parseValue(); skipWs(); Some(v) }
             else None
-          // the step, when present, must be an integer LITERAL in the
-          // source (its sign picks the direction statically)
-          val step: Long =
-            if (peek == ';') {
+          // the step, when present: an integer literal keeps the round-9
+          // plan-time nonzero check; round 11 also accepts any COMPUTED
+          // integer expression — direction then branches at RUNTIME on
+          // the step's sign (both `when` arms guard their `sequence`, so
+          // the mismatched-direction arm never evaluates). A runtime step
+          // of 0 yields the EMPTY stream — documented divergence: jq's
+          // answer is an infinite stream, which no finite engine can
+          // represent, and empty is the one defensible projection.
+          val stepLit: Option[Long] =
+            if (peek != ';') Some(1L)
+            else {
+              val save = i
               next(); skipWs()
               val sb = new StringBuilder
               if (peek == '-') sb.append(next())
               while (i < s.length && s.charAt(i).isDigit) sb.append(next())
               skipWs()
-              require(sb.nonEmpty && sb.toString != "-" && sb.toString.toLong != 0,
-                "jq_expr: range step must be a nonzero integer literal")
-              sb.toString.toLong
-            } else 1L
+              if (sb.nonEmpty && sb.toString != "-" && peek == ')') {
+                require(sb.toString.toLong != 0,
+                  "jq_expr: range step must be a nonzero integer literal")
+                Some(sb.toString.toLong)
+              } else { i = save; None }
+            }
+          val stepDyn: Option[V] =
+            if (stepLit.isDefined) None
+            else { next(); val v2 = parseValue(); skipWs(); Some(v2) }
           expect(')')
           val (fromV, toV): (V, V) = a2 match {
             case None => ((_ => lit(0L)), a1)
@@ -4172,10 +4253,17 @@ object JqTransform {
             val f = fromV(df).cast("long")
             val t = toV(df).cast("long")
             val empty = array().cast("array<bigint>")
-            if (step > 0)
-              when(f < t, sequence(f, t - lit(1L), lit(step))).otherwise(empty)
-            else
-              when(f > t, sequence(f, t + lit(1L), lit(step))).otherwise(empty)
+            stepLit match {
+              case Some(step) if step > 0 =>
+                when(f < t, sequence(f, t - lit(1L), lit(step))).otherwise(empty)
+              case Some(step) =>
+                when(f > t, sequence(f, t + lit(1L), lit(step))).otherwise(empty)
+              case None =>
+                val st = stepDyn.get(df).cast("long")
+                when(st > lit(0L) && f < t, sequence(f, t - lit(1L), st))
+                  .when(st < lit(0L) && f > t, sequence(f, t + lit(1L), st))
+                  .otherwise(empty)
+            }
           }
         case 'p' if s.startsWith("pow", i) && {
           val save = i; i += 3; skipWs()

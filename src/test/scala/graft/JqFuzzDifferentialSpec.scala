@@ -100,8 +100,9 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   private def genValue(r: scala.util.Random, depth: Int,
                        ext: Boolean = false, ext2: Boolean = false,
                        ext3: Boolean = false, ext4: Boolean = false,
-                       ext5: Boolean = false, ext6: Boolean = false): String =
-    r.nextInt(if (ext6) 41 else if (ext5) 37 else if (ext4) 35 else if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
+                       ext5: Boolean = false, ext6: Boolean = false,
+                       ext7: Boolean = false): String =
+    r.nextInt(if (ext7) 45 else if (ext6) 41 else if (ext5) 37 else if (ext4) 35 else if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -217,17 +218,50 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       }
       // $x.path postfix directly on a bound variable (bind a constructed
       // object: top-level bare-dot binding is outside the row model)
-      case _ =>
+      case 40 =>
         s"({a: .n, b: .m} as $$r | $$r.a + $$r.b * ${1 + r.nextInt(3)})"
+      // ---- round-11 extension (ext7): computed setpath segments and
+      // computed range steps. Computed setpath keys always name an
+      // EXISTING field of the constructed object: a non-matching key is
+      // the one documented divergence (jq appends, a static schema
+      // cannot), so the grammar never draws it ----
+      // the key rides a VARIABLE (the c73 getpath discipline): a bare
+      // `.`-path inside a segment resolves against the ROW here but
+      // against the piped value in jq, so the variable form is the one
+      // scoping both engines agree on
+      case 41 =>
+        // the LEAF rides a variable too: jq scopes `.` inside setpath's
+        // value argument to the piped object, this compiler to the row —
+        // variables are the scoping both engines agree on
+        val t = r.nextInt(7) - 3
+        "((if .n > " + t + " then \"a\" else \"b\" end) as $k | " +
+          "(" + genNum(r, depth - 1, safe = true) + ") as $lv | " +
+          "({\"a\": .n, \"b\": .m} | setpath([$k]; $lv) | .a + .b * 2))"
+      case 42 =>
+        val t = r.nextInt(7) - 3
+        "((if .n < " + t + " then \"p\" else \"q\" end) as $k | " +
+          "({\"x\": {\"p\": .n, \"q\": .m}, \"y\": 1} | " +
+          "setpath([\"x\", $k]; " +
+          (1 + r.nextInt(9)) + ") | .x.p - .x.q + .y))"
+      // computed UP step (1..3, never 0): both engines draw the same
+      // arithmetic, so the stream contents must agree exactly
+      case 43 =>
+        val hi = 4 + r.nextInt(8)
+        s"([range(0; $hi; (.m % 3) + 1)] | add)"
+      // computed DOWN step with runtime sign, sometimes direction-
+      // mismatched (empty stream on both engines)
+      case _ =>
+        val from = r.nextInt(7) - 2
+        s"([range($from; 0; 0 - ((.m % 2) + 1))] | length)"
     }
 
   private def genProgram(r: scala.util.Random, ext: Boolean = false,
                          ext2: Boolean = false, ext3: Boolean = false,
                          ext4: Boolean = false, ext5: Boolean = false,
-                         ext6: Boolean = false): String = {
+                         ext6: Boolean = false, ext7: Boolean = false): String = {
     val nFields = 1 + r.nextInt(3)
     var fields = (0 until nFields)
-      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3, ext4, ext5, ext6)}").mkString(", ")
+      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3, ext4, ext5, ext6, ext7)}").mkString(", ")
     // ext2: a recursive def called with data-bounded depth (≤ 3), and
     // sometimes a stream-valued field — jq's 0..N outputs per record
     // (range(.m % 3) is sometimes EMPTY: the whole record drops, both
@@ -244,7 +278,7 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     // (safe += / *= / = forms; |= rhs is old-value-scoped so only
     // literal arithmetic rides it)
     val assign =
-      if (!(ext || ext2 || ext3 || ext4 || ext5 || ext6) || r.nextInt(3) != 0) ""
+      if (!(ext || ext2 || ext3 || ext4 || ext5 || ext6 || ext7) || r.nextInt(3) != 0) ""
       // ext5: SELF-REFERENTIAL multi-target RHS — jq's gen_update binds
       // the RHS once against the ORIGINAL input ($tmp), so later targets
       // must NOT see earlier writes for = and the arithmetic op= forms.
@@ -255,7 +289,7 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       // string interpolation renders "-0" INSIDE a string where the canon
       // walk's -0 fold cannot reach (the f1 "p-0q" divergence this seed's
       // first run caught). ext5's frozen corpus keeps its draws untouched.
-      else if (ext6) r.nextInt(4) match {
+      else if (ext6 || ext7) r.nextInt(4) match {
         case 0 => s"(.n, .id) = .n + ${r.nextInt(9)} | "
         case 1 => s"(.n, .id) += .id | "
         case 2 => s"(.id, .n) |= . + ${1 + r.nextInt(5)} | "
@@ -425,12 +459,12 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   private def fuzzRun(seed: Long, cases: Int, ext: Boolean = false,
                       ext2: Boolean = false, ext3: Boolean = false,
                       ext4: Boolean = false, ext5: Boolean = false,
-                      ext6: Boolean = false): Unit = {
+                      ext6: Boolean = false, ext7: Boolean = false): Unit = {
     assume(jqBin.canExecute, "/usr/bin/jq not present")
     val r = new scala.util.Random(seed)
     var checked = 0
     (0 until cases).foreach { i =>
-      val program = genProgram(r, ext, ext2, ext3, ext4, ext5, ext6)
+      val program = genProgram(r, ext, ext2, ext3, ext4, ext5, ext6, ext7)
       val inputs = Seq.fill(3)(genRow(r))
       verdict(program, inputs).foreach { sig =>
         val minimal = minimize(program, inputs, sig)
@@ -500,5 +534,12 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   // the seven corpora above stay frozen
   test("500 random programs match jq (seed 12121212, label/env/var-path grammar)") {
     fuzzRun(12121212L, 500, ext6 = true)
+  }
+
+  // round-11 grammar extension (computed setpath segments, computed range
+  // steps incl. runtime-signed) under its own seed — the eight corpora
+  // above stay frozen
+  test("500 random programs match jq (seed 13131313, computed-path/range-step grammar)") {
+    fuzzRun(13131313L, 500, ext7 = true)
   }
 }

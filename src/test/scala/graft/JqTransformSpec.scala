@@ -1068,8 +1068,20 @@ class JqTransformSpec extends SparkTestBase {
     assert(r.getSeq[Long](3).isEmpty)
     assert(r.getSeq[Long](4).isEmpty)
     assert(r.getLong(5) == 6L) // 0+1+2+3
+    // round 11: COMPUTED step — direction branches at runtime on its sign
+    val c = JqTransform(t,
+      """{up: [range(1; 10; .n)], down: [range(10; 0; 0 - .n)],
+        | mis: [range(3; 5; 0 - .one)],
+        | z: [range(1; 5; .n - 4)]}""".stripMargin).head()
+    assert(c.getSeq[Long](0).toList == List(1L, 5L, 9L))
+    assert(c.getSeq[Long](1).toList == List(10L, 6L, 2L))
+    assert(c.getSeq[Long](2).isEmpty, "sign/direction mismatch is empty")
+    // runtime step 0: EMPTY stream — the documented projection of jq's
+    // unrepresentable infinite stream
+    assert(c.getSeq[Long](3).isEmpty)
+    // a LITERAL zero step still rejects at plan time
     assertThrows[IllegalArgumentException](
-      JqTransform.compile("""{x: [range(1; 10; .n)]}"""))
+      JqTransform.compile("""{x: [range(1; 10; 0)]}"""))
   }
 
   test("assignment stages: loud on ==, absent parents, trailing junk") {
@@ -1159,6 +1171,39 @@ class JqTransformSpec extends SparkTestBase {
     assert(d2.schema.fieldNames.toSeq == Seq("type", "k", "meta"))
     assert(d2.getStruct(2).schema.fieldNames.toSeq == Seq("uid"))
     assert(r.getSeq[String](2).toList == List("k", "meta", "type"))
+  }
+
+  test("setpath/del with computed segments: maps jq-exact, structs field-picked") {
+    import org.apache.spark.sql.functions.{col, lit, map, struct}
+    val t = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .select(col("id"), col("k"),
+        struct(lit(10L).as("a"), lit(20L).as("b")).as("p"),
+        map(lit("a"), lit(10L), lit("b"), lit(20L)).as("m"))
+    val r = JqTransform(t,
+      """{sp: (.p | setpath([.k]; 99) | .a + .b),
+        | mp: (.m | setpath([.k]; 99) | getpath(["a"])),
+        | ins: (.m | setpath(["zz"]; 7) | getpath(["zz"])),
+        | dl: (.m | del(.[.k]) | length)}""".stripMargin)
+      .orderBy(col("sp")).collect()
+    // row k="a": struct a←99 → 119; map a←99; del drops "a" → length 1
+    assert(r(0).getLong(0) == 109L || r(1).getLong(0) == 109L)
+    val byA = r.find(_.getLong(0) == 119L).get   // k="a": 99 + 20
+    val byB = r.find(_.getLong(0) == 109L).get   // k="b": 10 + 99
+    assert(byA.getLong(1) == 99L && byB.getLong(1) == 10L)
+    assert(byA.getLong(2) == 7L, "computed-map setpath INSERTS new keys")
+    assert(byA.getLong(3) == 1L && byB.getLong(3) == 1L)
+    // computed del over a STRUCT is loud (schema-static field set) —
+    // the data type only resolves at execution, so expect the analysis
+    // failure wrapping the compile-time rationale
+    val ex = intercept[Exception](
+      JqTransform(t, """{x: (.p | del(.[.k]))}""").head())
+    assert(ex.getMessage.contains("schema-static"), ex.getMessage)
+    // computed setpath over a MIXED-type struct is loud (the getpath rule)
+    val t2 = t.select(col("k"),
+      struct(lit(1L).as("a"), lit("s").as("b")).as("p"))
+    val ex2 = intercept[Exception](
+      JqTransform(t2, """{x: (.p | setpath([.k]; 9))}""").head())
+    assert(ex2.getMessage.contains("uniformly-typed"), ex2.getMessage)
   }
 
   test("leaf_paths: scalar leaves only, runtime nulls prune") {
