@@ -350,6 +350,14 @@ private[graft] object RelationalSet {
     "g07_harmonic_centrality" -> ((s, dir) =>
       GraphOps.harmonicCentrality(hostEdgesFixture(Tables.documents(s, dir)),
         radius = 3)),
+    // HyperBall harmonic centrality (Boldi–Vigna) — g07's web-scale
+    // path, gated: per-round HLL ball-size DELTAS give the estimate
+    // (nodes × sketch state, no pair frame), the exact g07 values ride
+    // the row hash-compared, and within_eps measures the sketch against
+    // them (the a01/g04 pattern)
+    "g10_harmonic_gate" -> ((s, dir) =>
+      GraphOps.harmonicGate(hostEdgesFixture(Tables.documents(s, dir)),
+        radius = 3)),
     // Synchronous label-propagation communities over the same host graph
     // — the read between g03's weak components (too coarse: the fixture
     // is one big component per residue family) and g05's per-host
@@ -1072,6 +1080,30 @@ private[graft] object RelationalSet {
           |${bfsRound("2", "3", 3)}
           |SELECT host, count(*)::BIGINT AS n_reached,
           |  sum(1000000 // d)::BIGINT AS harmonic_ppm
+          |FROM r3 WHERE d > 0 GROUP BY 1""".stripMargin
+      },
+      // g10: g07's exact replay + the literal-true verdict — the sketch
+      // side (HyperBall deltas) is measured Spark-side into within_eps
+      "g10_harmonic_gate" -> {
+        def bfsRound(prev: String, out: String, d: Int): String =
+          s"""r$out AS (SELECT host, r, min(d) AS d FROM (
+            |    SELECT host, r, d FROM r$prev
+            |    UNION ALL
+            |    SELECT r$prev.host, rev.t, $d FROM r$prev
+            |    JOIN rev ON r$prev.r = rev.s WHERE r$prev.d = ${d - 1}) u
+            |  GROUP BY 1, 2)""".stripMargin
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |rev AS (SELECT DISTINCT dst AS s, src AS t FROM edges WHERE src != dst),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) n),
+          |r0 AS (SELECT host, host AS r, 0 AS d FROM nodes),
+          |${bfsRound("0", "1", 1)},
+          |${bfsRound("1", "2", 2)},
+          |${bfsRound("2", "3", 3)}
+          |SELECT host, count(*)::BIGINT AS n_reached,
+          |  sum(1000000 // d)::BIGINT AS harmonic_ppm,
+          |  1::BIGINT AS within_eps
           |FROM r3 WHERE d > 0 GROUP BY 1""".stripMargin
       },
       // g06: four synchronous LPA rounds replayed as chained CTEs — per

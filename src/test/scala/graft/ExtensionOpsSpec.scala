@@ -677,6 +677,25 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(hd("d") == (3L, 3000000L), s"all three at first-reach 1: $hd")
   }
 
+  test("harmonicGate: exact columns match g07, sketch verdict holds on small graphs") {
+    import graft.graph.GraphOps
+    val dia = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"))
+      .toDF("src", "dst")
+    val exact = GraphOps.harmonicCentrality(dia, radius = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gated = GraphOps.harmonicGate(dia, radius = 3)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gated.keySet == exact.keySet)
+    gated.foreach { case (h, (n, ppm, ok)) =>
+      assert((n, ppm) == exact(h), s"exact columns must ride unchanged: $h")
+      // HLL is exact at these cardinalities, so only the div-order
+      // rounding separates the delta formula from the per-node sum —
+      // far inside the 5% gate
+      assert(ok == 1L, s"sketch verdict must hold at fixture scale: $h")
+    }
+  }
+
   test("labelPropagation: two bridged K4s separate, ties to min label, isolated keeps own") {
     import graft.graph.GraphOps
     // two 4-cliques joined by one bridge a1-b1, plus a self-loop-only node
