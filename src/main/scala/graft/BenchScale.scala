@@ -87,7 +87,14 @@ object BenchScale {
     // weighted-PageRank control loop over the token co-occurrence graph
     "t50_textrank",
     // k-core synchronous peel (per-round broadcast joins + fixpoint probe)
-    "g09_kcore")
+    "g09_kcore",
+    // round-11 iterative/join additions: HyperBall-delta harmonic (per
+    // round one hll_union_agg over the host-keyed sketch frame + the
+    // exact-side BFS) and the char-gram NB confusion (gram explode +
+    // broadcast weight table + doc_id equi-join). e19 stays out
+    // (streaming, harness-startup-bound); c75 is a shuffle-free jq
+    // projection like the rest of the c-set
+    "g10_harmonic_gate", "t52_charngram_confusion")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded
