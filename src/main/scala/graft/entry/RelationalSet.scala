@@ -245,6 +245,23 @@ private[graft] object RelationalSet {
     // breaks the within_bound column instead
     "e14_hitter_sketch_gate" -> ((s, dir) =>
       graft.relational.Temporal.hitterSketchGate(events(s, dir))),
+    // STREAMING face of the sketch hitter counter: e14's Misra–Gries
+    // summary as transformWithState state, emitted on window close, then
+    // gated by the same exact-side machinery — with e19 this closes the
+    // counter-type × topology matrix (every type now streams)
+    "e20_stream_hitter_sketch" -> ((s, dir) => withStatePartitions(s, 8) {
+      withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val summaries = graft.streaming.StreamingCounters.hitterSketchStream(
+          Tables.eventsStream(s, dir), "ts")
+        val sink = "e20_hh_sink"
+        val q = summaries.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        graft.relational.Temporal.hitterGateFromSummaries(
+          events(s, dir), s.table(sink))
+      }
+    }),
     // percentile counter through the SERIALIZED two-phase topology
     // (counter.go:483-512 analog for the engine-extension counter type):
     // per-shard cents histograms → JSON intermediate records → parse +
@@ -816,6 +833,20 @@ private[graft] object RelationalSet {
           |SELECT epoch_ms(r.h) AS window_start, user_id, n_events,
           |  rank::BIGINT AS rank, t.n, 1::BIGINT AS within_bound
           |FROM r JOIN t ON r.h = t.h WHERE rank <= 3""".stripMargin,
+      // e20: e14's exact SQL restricted to watermark-closed windows
+      // (strict <, the c29 convention); the streamed sketch's bound
+      // violation would flip within_bound Spark-side
+      "e20_stream_hitter_sketch" ->
+        """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, user_id,
+          |  count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+          |t AS (SELECT h, sum(n_events)::BIGINT AS n FROM c GROUP BY 1),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY h
+          |  ORDER BY n_events DESC, user_id) AS rank FROM c)
+          |SELECT epoch_ms(r.h) AS window_start, user_id, n_events,
+          |  rank::BIGINT AS rank, t.n, 1::BIGINT AS within_bound
+          |FROM r JOIN t ON r.h = t.h WHERE rank <= 3
+          |  AND epoch_ms(r.h) + 3600000 < (SELECT epoch_ms(max(ts)) FROM events)"""
+          .stripMargin,
       // e10: the two-phase hop must be invisible — same SQL as e09
       "e10_twophase_quantiles" ->
         """WITH h AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start,

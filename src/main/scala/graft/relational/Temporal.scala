@@ -359,24 +359,52 @@ object Temporal {
     * summary table.
     */
   def hitterSketchGate(events: DataFrame, windowDuration: String = "1 hour",
-                       k: Int = 3, capacity: Int = 16): DataFrame = {
+                       k: Int = 3, capacity: Int = 16): DataFrame =
+    hitterGateFromSummaries(events,
+      hitterSummaries(events, "ts", windowDuration, capacity),
+      windowDuration, k, capacity)
+
+  /** The batch sketch pass of [[hitterSketchGate]]: per-window Misra–Gries
+    * summaries over user keys — (window_start, keys, counts). The
+    * streaming face
+    * ([[graft.streaming.StreamingCounters.hitterSketchStream]]) emits the
+    * same shape from `transformWithState` state on window close, so both
+    * feed [[hitterGateFromSummaries]] unchanged.
+    */
+  def hitterSummaries(events: DataFrame, tsCol: String = "ts",
+                      windowDuration: String = "1 hour",
+                      capacity: Int = 16): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val exact = windowHeavyHitters(events, windowDuration, k)
-    val totals = events
-      .groupBy(unix_millis(window(col("ts"), windowDuration)
-        .getField("start")).as("__ws"))
-      .agg(count(lit(1)).as("n"))
-    val summaries = events
-      .select(unix_millis(window(col("ts"), windowDuration)
+    events
+      .select(unix_millis(window(col(tsCol), windowDuration)
         .getField("start")).as("ws"),
         col("user_id").cast("string").as("key"))
       .as[(Long, String)]
       .groupByKey(_._1).mapValues(_._2)
       .agg(new FreqSketch.Agg(capacity).toColumn.name("s"))
-      .toDF("__ws2", "s")
-      .select(col("__ws2"), col("s.keys").as("__keys"),
-        col("s.counts").as("__counts"))
+      .toDF("window_start", "s")
+      .select(col("window_start"), col("s.keys").as("keys"),
+        col("s.counts").as("counts"))
+  }
+
+  /** The gate half of [[hitterSketchGate]], over ANY summary source with
+    * the (window_start, keys, counts) shape — batch typed aggregation or
+    * the streaming state emission. Windows present in `summaries` drive
+    * the output (inner joins): the streaming face passes only
+    * watermark-closed windows and gets the e14 rows restricted to
+    * exactly those.
+    */
+  def hitterGateFromSummaries(events: DataFrame, summaries: DataFrame,
+                              windowDuration: String = "1 hour",
+                              k: Int = 3, capacity: Int = 16): DataFrame = {
+    val exact = windowHeavyHitters(events, windowDuration, k)
+    val totals = events
+      .groupBy(unix_millis(window(col("ts"), windowDuration)
+        .getField("start")).as("__ws"))
+      .agg(count(lit(1)).as("n"))
+    val s = summaries.select(col("window_start").as("__ws2"),
+      col("keys").as("__keys"), col("counts").as("__counts"))
     // array_position yields 0 for a key the sketch decremented away —
     // a legitimate miss (est 0), and an index element_at must never see
     val pos = array_position(col("__keys"), col("user_id").cast("string"))
@@ -385,7 +413,7 @@ object Temporal {
       lit(0L))
     exact
       .join(totals, exact("window_start") === col("__ws"))
-      .join(summaries, exact("window_start") === col("__ws2"))
+      .join(s, exact("window_start") === col("__ws2"))
       .select(col("window_start"), col("user_id"), col("n_events"),
         col("rank"), col("n"),
         (est <= col("n_events") &&

@@ -224,6 +224,59 @@ private[streaming] class QuantileSketchProcessor(epsPpm: Long)
   }
 }
 
+/** One keyed row of the streaming heavy-hitter sketch: window bounds in
+  * epoch millis plus the user key (non-null by the events contract; a
+  * null key would fold into the sketch exactly as the batch face folds
+  * it — no filter sits before the watermark either way).
+  */
+private[streaming] case class HhEvent(ts: java.sql.Timestamp, ws: Long, we: Long,
+                                      key: String)
+
+/** Closed-window sketch emission — [[graft.relational.Temporal.hitterSummaries]]'
+  * exact output shape, so [[graft.relational.Temporal.hitterGateFromSummaries]]
+  * consumes either face unchanged.
+  */
+private[streaming] case class HhSummary(window_start: Long, keys: Array[String],
+                                        counts: Array[Long])
+
+/** The Misra–Gries heavy-hitter sketch as `transformWithState` state —
+  * the streaming face of the e14 sketch hitter counter, the
+  * [[QuantileSketchProcessor]] protocol with [[FreqSketch.Buf]] state:
+  * folded per micro-batch by the SAME `Agg.reduce` the batch typed
+  * aggregation runs, event-time timer at window end, emit-and-clear on
+  * expiry.
+  */
+private[streaming] class HitterSketchProcessor(capacity: Int)
+    extends StatefulProcessor[(Long, Long), HhEvent, HhSummary] {
+  import graft.functions.FreqSketch
+  @transient private var state: ValueState[FreqSketch.Buf] = _
+  @transient private lazy val agg = new FreqSketch.Agg(capacity)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[FreqSketch.Buf](
+      "hitterSketch", Encoders.product[FreqSketch.Buf], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, Long), rows: Iterator[HhEvent],
+                               timerValues: TimerValues): Iterator[HhSummary] = {
+    var buf = if (state.exists()) state.get() else agg.zero
+    rows.foreach(r => buf = agg.reduce(buf, r.key))
+    state.update(buf)
+    getHandle.registerTimer(
+      math.max(key._2, timerValues.getCurrentWatermarkInMs() + 1))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (Long, Long), timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[HhSummary] = {
+    if (!state.exists()) Iterator.empty
+    else {
+      val buf = agg.finish(state.get())
+      state.clear()
+      Iterator.single(HhSummary(key._1, buf.keys, buf.counts))
+    }
+  }
+}
+
 /** Structured Streaming execution of the counter pipeline — the engine's
   * equivalent of the reference's Lambda tumbling-window invocation loop
   * (O1/O2/O12: `counter.go:150-204`, `run.go:17-53`).
@@ -678,6 +731,40 @@ object StreamingCounters {
       .as[QsEvent]
       .groupByKey(e => (e.ws, e.we))
       .transformWithState(new QuantileSketchProcessor(epsPpm),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Streaming face of the sketch HEAVY-HITTER counter — e14's mergeable
+    * Misra–Gries summary held as `transformWithState` state
+    * ([[HitterSketchProcessor]]); with [[quantileSketchStream]] this
+    * closes the family: every counter type now runs in both topologies.
+    * Emits one (window_start, keys, counts) summary per window when the
+    * watermark passes its end — feed the result (collected from the
+    * sink) to [[graft.relational.Temporal.hitterGateFromSummaries]] for
+    * the exact top-k + measured Misra–Gries-bound verdicts restricted to
+    * the closed windows.
+    *
+    * Scale shape: stateless codegen projection to (window bounds, key);
+    * ONE window-keyed shuffle; state per window is one O(capacity)
+    * summary regardless of the key domain (the exact face's state is per
+    * DISTINCT key). Requires the RocksDB state store provider.
+    */
+  def hitterSketchStream(stream: DataFrame, tsCol: String,
+                         windowDuration: String = "1 hour",
+                         watermarkDelay: String = "0 seconds",
+                         capacity: Int = 16): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark(tsCol, watermarkDelay)
+      .select(
+        col(tsCol).as("ts"),
+        unix_millis(window(col(tsCol), windowDuration).getField("start")).as("ws"),
+        unix_millis(window(col(tsCol), windowDuration).getField("end")).as("we"),
+        col("user_id").cast("string").as("key"))
+      .as[HhEvent]
+      .groupByKey(e => (e.ws, e.we))
+      .transformWithState(new HitterSketchProcessor(capacity),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }

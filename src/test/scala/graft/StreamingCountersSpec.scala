@@ -605,6 +605,42 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally spark.conf.unset(key)
   }
 
+  test("transformWithState hitter sketch carries across batches, emits once on close") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long)]
+      val out = StreamingCounters.hitterSketchStream(
+        input.toDF().toDF("ts", "user_id"), "ts", windowDuration = "1 minute",
+        watermarkDelay = "5 seconds", capacity = 16)
+      val query = out.writeStream.format("memory").queryName("tws_hh")
+        .outputMode("append").start()
+      try {
+        // window [base, base+60s): user 7 dominates across TWO batches
+        // (8 + 4 hits), users 1..4 get one hit each — under capacity, so
+        // the Misra-Gries counts are exact and must carry between batches
+        input.addData((0 until 8).map(i => (ts(i), 7L)): _*)
+        query.processAllAvailable()
+        assert(spark.table("tws_hh").where(col("window_start") === base).count() == 0,
+          "no emission before the watermark closes the window")
+        input.addData(((8 until 12).map(i => (ts(i), 7L)) ++
+          (12 until 16).map(i => (ts(i), (i - 11).toLong))): _*)
+        query.processAllAvailable()
+        input.addData((ts(70), 99L)) // close the window
+        query.processAllAvailable()
+        val rows = spark.table("tws_hh")
+          .where(col("window_start") === base)
+          .select("keys", "counts").collect().toSeq
+        assert(rows.size == 1, s"window must emit exactly once: $rows")
+        val m = rows.head.getSeq[String](0).zip(rows.head.getSeq[Long](1)).toMap
+        assert(m("7") == 12L, s"dominant key must carry both batches exactly: $m")
+        for (u <- 1 to 4) assert(m(u.toString) == 1L, s"singleton $u: $m")
+      } finally query.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("transformWithState ACD carries the HLL sketch across batches") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
