@@ -94,7 +94,9 @@ object BenchScale {
     // broadcast weight table + doc_id equi-join). e19 stays out
     // (streaming, harness-startup-bound); c75 is a shuffle-free jq
     // projection like the rest of the c-set
-    "g10_harmonic_gate", "t52_charngram_confusion")
+    "g10_harmonic_gate", "t52_charngram_confusion",
+    // graph-ANN beam search: the s22 graph build + per-round beam joins
+    "s28_beam_search")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

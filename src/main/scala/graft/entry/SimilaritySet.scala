@@ -14,7 +14,7 @@ import graft.textops.{TextAnalysis, UrlOps}
 
 import graft.EntryHelpers._
 
-/** ANN / embedding similarity queries (s01-s23) + their DuckDB oracles.
+/** ANN / embedding similarity queries (s01-s28) + their DuckDB oracles.
   *
   * Split mechanically from SparkEntry (round 10); entries are verbatim.
   * Shared fixtures/counter defs/oracle CTE fragments live in
@@ -32,6 +32,12 @@ private[graft] object SimilaritySet {
     // cosine rank per source doc — the graph-based-dedup input structure
     "s22_knn_graph" -> ((s, dir) =>
       Ann.knnGraph(Tables.embeddings(s, dir))),
+    // graph-based ANN: HNSW/NSW-style beam search over the s22 proximity
+    // graph made symmetric — fixed entry (min vec_id), three synchronous
+    // expand/re-rank/cut rounds, final top-5 — completing the index
+    // family matrix (flat / IVF / PQ / sign-LSH / graph)
+    "s28_beam_search" -> ((s, dir) =>
+      Ann.beamSearchTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     // MRR@5 of the IVF index vs the exact top-1 — recall's graded twin:
     // integer reciprocal-rank points, 0 on a miss
     "s23_mrr_eval" -> ((s, dir) =>
@@ -157,6 +163,46 @@ private[graft] object SimilaritySet {
         Ann.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
         Ann.ivfPqRerankTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0))),
   )
+
+  // s22's full knn-graph SQL, hoisted: s28's beam search navigates the
+  // SAME deterministic graph, so its oracle embeds this chain verbatim
+  private val s22Sql: String =
+    """WITH pl AS (SELECT t, p, list_transform(generate_series(0, 63), j ->
+      |    CASE WHEN ((('0x'||substr(md5('plane:'||t||':'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
+      |         THEN 1.0 ELSE -1.0 END) AS sv
+      |  FROM (SELECT unnest(generate_series(0, 1)) AS t)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |d AS (SELECT vec_id, t, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
+      |      FROM v CROSS JOIN pl),
+      |bk AS (SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+      |       FROM d GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT x.vec_id, y.vec_id AS neighbor_id
+      |         FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+      |                            AND x.vec_id != y.vec_id),
+      |r AS (SELECT c.vec_id, c.neighbor_id,
+      |        row_number() OVER (PARTITION BY c.vec_id
+      |          ORDER BY list_cosine_similarity(ex.embedding, ey.embedding) DESC,
+      |                   c.neighbor_id) AS rank
+      |      FROM cand c JOIN embeddings ex ON ex.vec_id = c.vec_id
+      |                  JOIN embeddings ey ON ey.vec_id = c.neighbor_id)
+      |SELECT vec_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin
+
+  // One beam-search round: expand the beam along the symmetric edges,
+  // re-score visited ∪ neighbors by exact cosine, keep the top `beam`.
+  private def beamRound(prev: String, out: String, beam: Int): String =
+    s"""x$out AS (SELECT DISTINCT query_id, node FROM (
+      |    SELECT v$prev.query_id, e.w AS node FROM v$prev
+      |    JOIN e ON v$prev.node = e.u
+      |    UNION ALL SELECT query_id, node FROM v$prev) u),
+      |s$out AS (SELECT x$out.query_id, x$out.node,
+      |    list_cosine_similarity(q.qe, emb.embedding) AS cos
+      |  FROM x$out JOIN q USING (query_id)
+      |  JOIN embeddings emb ON emb.vec_id = x$out.node),
+      |v$out AS MATERIALIZED (SELECT query_id, node, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, node) AS rn FROM s$out) z WHERE rn <= $beam)"""
+      .stripMargin
 
   def oracle: Map[String, String] = Map(
       "s06_pq_codes" ->
@@ -409,27 +455,32 @@ private[graft] object SimilaritySet {
           |FROM d GROUP BY vec_id""".stripMargin,
       // s22: d10's two-table LSH bucket SQL feeding a per-source cosine
       // rank window — ties to the smaller neighbor id (s01 convention)
-      "s22_knn_graph" ->
-        """WITH pl AS (SELECT t, p, list_transform(generate_series(0, 63), j ->
-          |    CASE WHEN ((('0x'||substr(md5('plane:'||t||':'||p||':'||(j//60)),1,15))::BIGINT >> (j%60)) & 1) = 1
-          |         THEN 1.0 ELSE -1.0 END) AS sv
-          |  FROM (SELECT unnest(generate_series(0, 1)) AS t)
-          |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)),
-          |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-          |d AS (SELECT vec_id, t, p, list_sum(list_transform(v, (x, j) -> x * sv[j])) AS dot
-          |      FROM v CROSS JOIN pl),
-          |bk AS (SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
-          |       FROM d GROUP BY vec_id, t),
-          |cand AS (SELECT DISTINCT x.vec_id, y.vec_id AS neighbor_id
-          |         FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
-          |                            AND x.vec_id != y.vec_id),
-          |r AS (SELECT c.vec_id, c.neighbor_id,
-          |        row_number() OVER (PARTITION BY c.vec_id
-          |          ORDER BY list_cosine_similarity(ex.embedding, ey.embedding) DESC,
-          |                   c.neighbor_id) AS rank
-          |      FROM cand c JOIN embeddings ex ON ex.vec_id = c.vec_id
-          |                  JOIN embeddings ey ON ey.vec_id = c.neighbor_id)
-          |SELECT vec_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+      "s22_knn_graph" -> s22Sql,
+      // s28: the same graph made symmetric, then three beam-search rounds
+      // replayed as chained CTEs — entry = min vec_id, per round expand
+      // along edges + re-rank by cosine + keep top-8; final top-5 with
+      // self excluded BEFORE the rank window (the Spark order)
+      "s28_beam_search" ->
+        s"""WITH knn AS MATERIALIZED (
+          |  ${s22Sql.replace("\n", "\n  ")}),
+          |e AS MATERIALIZED (SELECT DISTINCT u, w FROM (
+          |    SELECT vec_id AS u, neighbor_id AS w FROM knn
+          |    UNION ALL SELECT neighbor_id, vec_id FROM knn) s),
+          |q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+          |    FROM embeddings WHERE vec_id % 50 = 0),
+          |ent AS (SELECT min(vec_id) AS node FROM embeddings),
+          |v0 AS MATERIALIZED (SELECT q.query_id, ent.node,
+          |    list_cosine_similarity(q.qe, emb.embedding) AS cos
+          |  FROM q CROSS JOIN ent JOIN embeddings emb ON emb.vec_id = ent.node),
+          |${beamRound("0", "1", 8)},
+          |${beamRound("1", "2", 8)},
+          |${beamRound("2", "3", 8)}
+          |SELECT query_id,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos DESC, node)::BIGINT AS rank,
+          |  node AS neighbor_id
+          |FROM v3 WHERE node != query_id
+          |QUALIFY rank <= 5""".stripMargin,
       "s01_ann_topk" -> s01Sql,
       "s23_mrr_eval" -> s23Sql,
       // s25: sign bits packed the same way (embedding[j+1] > 0 — float

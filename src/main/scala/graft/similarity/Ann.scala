@@ -362,6 +362,79 @@ object Ann {
       .select(col("vec_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** GRAPH-based ANN search — greedy BEAM SEARCH over the [[knnGraph]]
+    * proximity graph, the HNSW/NSW search primitive at its base layer
+    * (Malkov–Yashunin TPAMI'18: navigate a small-world graph from an
+    * entry point, keeping the `beam` best candidates — their `ef`
+    * parameter — each hop; completes the index-family matrix:
+    * flat / IVF / PQ / sign-LSH / graph). Engine-exact semantics, the
+    * g01 fixed-snapshot discipline: the graph is [[knnGraph]]'s
+    * deterministic LSH-candidate top-k made SYMMETRIC (NSW's undirected
+    * navigation), the entry point is the corpus minimum vec_id (real
+    * HNSW descends upper layers to pick one; a fixed entry makes the
+    * whole search a pure function both engines replay), and `rounds`
+    * synchronous expansions each re-rank visited ∪ neighbors(visited) by
+    * exact cosine (the s01 convention — ties to the smaller id), keeping
+    * the top-`beam`. Output: the final beam's top-k, self excluded —
+    * (query_id, rank, neighbor_id), the [[bruteForceTopK]] contract. The
+    * honest recall trade (an unreachable cluster stays unreached) is
+    * measured the s07 way: compare against [[bruteForceTopK]] with
+    * [[recallAtK]].
+    *
+    * Scale shape: the graph is corpus-bounded (k·n directed edges); per
+    * round the queries-bounded beam frame (queries × beam) joins the
+    * edge table by node — an AQE-sized equi-join, broadcastable — and
+    * candidates join the corpus by vec_id to score; the re-rank window
+    * partitions by query over ≤ beam·(graphK·tables+1) rows. No corpus
+    * scan ever depends on query count; per-round `localCheckpoint` (the
+    * CC discipline).
+    */
+  def beamSearchTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+                     beam: Int = 8, rounds: Int = 3, graphK: Int = 3,
+                     nPlanes: Int = 4, tables: Int = 2): DataFrame = {
+    require(beam >= k, "beam must be at least k")
+    require(rounds >= 1, "rounds must be at least 1")
+    val corpus = normalize(embeddings, "vec_id").localCheckpoint(eager = false)
+    val g = knnGraph(embeddings, graphK, nPlanes, tables)
+      .select(col("vec_id").as("u"), col("neighbor_id").as("w"))
+    val sym = g.unionAll(g.select(col("w").as("u"), col("u").as("w")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      .localCheckpoint(eager = false)
+    // 1-row entry frame, not a collect: the plan stays lazy
+    val entry = embeddings.agg(min(col("vec_id")).as("node"))
+    val cos = (dotCol("qv", "v") / (col("qnorm") * col("norm"))).as("cos")
+    def score(cand: DataFrame): DataFrame = cand
+      .join(corpus, cand("node") === corpus("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("node"), cos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node").asc)
+    var beamF = score(queries.select(col("query_id"))
+        .crossJoin(broadcast(entry)))
+      .localCheckpoint(eager = false)
+    var r = 0
+    while (r < rounds) {
+      val cand = beamF.join(sym, beamF("node") === sym("u"))
+        .select(col("query_id"), sym("w").as("node"))
+        .unionAll(beamF.select(col("query_id"), col("node")))
+        .distinct()
+      beamF = score(cand)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= beam)
+        .select(col("query_id"), col("node"), col("cos"))
+        .localCheckpoint(eager = false)
+      r += 1
+    }
+    beamF.where(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"))
+  }
+
   /** Metadata-FILTERED exact top-k (the vector-DB "filtered search"
     * staple, PRE-filter strategy): neighbors must satisfy `metaPred` over
     * the metadata table (joined on vec_id = doc_id), evaluated BEFORE any

@@ -677,6 +677,33 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(hd("d") == (3L, 3000000L), s"all three at first-reach 1: $hd")
   }
 
+  test("beamSearchTopK: expands from the entry over the knn graph, ranks tie by id") {
+    import graft.similarity.Ann
+    // twenty IDENTICAL vectors: one LSH bucket, every cosine bit-equal,
+    // so every ordering decision falls to the id tie-break and the whole
+    // search is hand-replayable — knnGraph links every node to the 3
+    // smallest other ids, the symmetric edges make node 0 adjacent to
+    // everyone, round 1 reaches the whole corpus, beam keeps ids 0..7
+    val emb = (0L until 20L).map(i => (i, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.beamSearchTopK(emb, col("vec_id") < 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._2).map(_._3).toList
+      }
+    assert(out(0L) == List(1L, 2L, 3L, 4L, 5L), s"q0: $out")
+    assert(out(1L) == List(0L, 2L, 3L, 4L, 5L), s"q1: $out")
+    assert(out(2L) == List(0L, 1L, 3L, 4L, 5L), s"q2: $out")
+    // and on the real fixture: exactly k rows per query, ranks 1..k,
+    // self never its own neighbor
+    val fx = Ann.beamSearchTopK(embeddings, col("vec_id") % 50 === 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    fx.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toList == List(1L, 2L, 3L, 4L, 5L), s"q$q ranks")
+      assert(rows.forall(_._3 != q), s"q$q self-neighbor")
+    }
+  }
+
   test("harmonicGate: exact columns match g07, sketch verdict holds on small graphs") {
     import graft.graph.GraphOps
     val dia = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"))
