@@ -68,10 +68,11 @@ object BenchScale {
     // decode-heavy partition-local work is where a batch-size or codec
     // regression hides (none has a join, but a decoder that re-reads or
     // buffers whole partitions shows up as a super-linear curve here
-    // before it ooms a real cluster): imageio PNG decode, PNG pixel
-    // formula audit, WAV resample, autocorrelation pitch, luma histogram
-    "m08_imageio_decode", "m13_image_decode", "m15_audio_resample",
-    "m17_audio_pitch", "m18_image_histogram",
+    // before it ooms a real cluster): imageio PNG decode, real NN
+    // resize round-trip, WAV decode, WAV resample, autocorrelation
+    // pitch, luma histogram
+    "m08_imageio_decode", "m13_resize_real", "m09_wav_decode",
+    "m15_audio_resample", "m17_audio_pitch", "m18_image_histogram",
     // round-11: the two bounded-broadcast-join queries the round-10 gate
     // comment left undocumented (ADVICE r10) — gated now rather than
     // exempted: assortativity's two degree joins over the edge frame and
