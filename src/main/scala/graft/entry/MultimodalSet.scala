@@ -216,17 +216,19 @@ private[graft] object MultimodalSet {
     // arrival-independent, the d15/d27 parity shape.
     "m19_stream_media_dedup" -> ((s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
-      // collision-freedom guard, enforced not assumed: two resources share
-      // a (slope, intercept) pair iff their keys are congruent mod
-      // 13·256 = 3328 (11 is invertible mod 256, so intercept pins key mod
-      // 256; CRT combines with slope's mod 13). Keys span
-      // [−(N/4)−1, N) — N + N/4 + 1 < 3328 means no two distinct keys
-      // collide. Beyond ~2600 docs Spark's global dedup would keep one row
-      // where the oracle's per-resource DISTINCT keeps two — fail loudly
-      // instead of silently breaking parity at a larger fixture.
+      // collision-freedom guard, ENFORCED not assumed (round 11 widened
+      // the key space per ADVICE r10): two resources share a raster iff
+      // their keys agree on (w, h, slope, intercept) — key mod 7 (width),
+      // mod 11 (height), mod 13 (slope) and mod 256 (intercept; 11 is
+      // invertible mod 256), i.e. keys congruent mod
+      // 7·11·13·256 = 256 256 by CRT. Keys span [−(N/4)−1, N), so
+      // N + N/4 + 1 < 256 256 (N ≲ 200k docs — any realistic fixture)
+      // means no two distinct keys collide; past that the run fails
+      // LOUDLY instead of silently breaking parity with the oracle's
+      // per-resource DISTINCT.
       val nDocs = Tables.documents(s, dir).count()
-      require(nDocs + nDocs / 4 + 1 < 3328,
-        s"m19 fixture key space exhausted at $nDocs docs (needs < ~2600): " +
+      require(nDocs + nDocs / 4 + 1 < 256256,
+        s"m19 fixture key space exhausted at $nDocs docs (needs < ~200k): " +
           "two resources would share a raster digest")
       val stream = Tables.documentsStream(s, dir)
         .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
@@ -234,10 +236,12 @@ private[graft] object MultimodalSet {
         .as[(Long, java.sql.Timestamp)]
       val hashed = stream.mapPartitions(_.flatMap { case (id, ts) =>
         val key = if (id % 4 < 2) -(id / 4) - 1 else id
+        val w = ((((key % 7) + 7) % 7) + 8).toInt
+        val h = ((((key % 11) + 11) % 11) + 8).toInt
         val slope = (((key % 13) + 13) % 13 + 3).toInt
         val icept = ((((key * 11) % 256) + 256) % 256).toInt
-        val png = Multimodal.syntheticGrayPng(8, 8,
-          (x, y) => (slope * (y * 8 + x) + icept) % 256)
+        val png = Multimodal.syntheticGrayPng(w, h,
+          (x, y) => (slope * (y * w + x) + icept) % 256)
         Multimodal.rasterDigestOf(png).map { case (_, _, m) => (id, ts, m) }
       }).toDF("doc_id", "ts", "raster_md5")
       val sink = "m19_media_sink"
@@ -410,13 +414,17 @@ private[graft] object MultimodalSet {
           |    CASE WHEN doc_id % 4 < 2 THEN -(doc_id // 4) - 1
           |         ELSE doc_id END AS key FROM documents),
           |par AS (SELECT doc_id, resource,
+          |    (((key % 7) + 7) % 7) + 8 AS w,
+          |    (((key % 11) + 11) % 11) + 8 AS h,
           |    (((key % 13) + 13) % 13 + 3) AS slope,
           |    (((key * 11) % 256) + 256) % 256 AS icept FROM d),
-          |px AS (SELECT doc_id, resource, pos, (slope * pos + icept) % 256 AS v
-          |       FROM par CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos)),
+          |px AS (SELECT doc_id, resource, w, h, pos,
+          |       (slope * pos + icept) % 256 AS v
+          |       FROM par CROSS JOIN (SELECT unnest(generate_series(0, 321)) AS pos)
+          |       WHERE pos < w * h),
           |dg AS (SELECT doc_id, resource,
-          |    md5('8:8:' || string_agg(v::VARCHAR, ',' ORDER BY pos)) AS raster_md5
-          |  FROM px GROUP BY 1, 2)
+          |    md5(w || ':' || h || ':' || string_agg(v::VARCHAR, ',' ORDER BY pos)) AS raster_md5
+          |  FROM px GROUP BY doc_id, resource, w, h)
           |SELECT DISTINCT resource, raster_md5 FROM dg""".stripMargin,
       // m18: the same solid/formula pixel split binned v // 16, argmax
       // by (count desc, bin asc), occupied bins, integer flat gate —
