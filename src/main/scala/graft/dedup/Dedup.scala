@@ -380,6 +380,49 @@ object Dedup {
       .withColumn("err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
   }
 
+  /** LSH candidates → EXACT character-level Levenshtein verify — the
+    * templated-page near-dup read that shingle Jaccard blurs: two docs
+    * differing by a handful of character edits (a date, a counter, a
+    * typo fix) are CHARACTER-near even when the edits break enough word
+    * 3-grams to drag estimated Jaccard toward the band threshold. Mirrors
+    * the two-stage fuzzy-dedup shape of production pipelines (candidate
+    * generation by MinHash bands, verification by edit distance).
+    *
+    * Candidates come from [[minhashLshPairs]] at a WIDE net (est_ppm ≥
+    * candTauPpm, the d18 calibration threshold); each candidate pair then
+    * pays one exact `levenshtein` — O(|a|·|b|) per pair but candidate-
+    * bounded by LSH design, never corpus-quadratic. Kept when the
+    * length-relative similarity `((max_len − lev) · 10⁶) div max_len`
+    * reaches simTauPpm — integer-exact on both engines (truncating div,
+    * both operands non-negative). Spark ≥ 3.5 also ships the early-exit
+    * `levenshtein(l, r, threshold)` band form for ABSOLUTE edit budgets;
+    * the relative filter here needs the exact distance, and the verify
+    * cost is already candidate-bounded.
+    *
+    * Scale shape: the texts join INTO the LSH-small candidate frame
+    * (AQE sizes it broadcast); only candidate pairs' texts co-locate,
+    * the corpus never self-joins on text.
+    *
+    * Output: (a, b, est_ppm, lev_edits, max_len, sim_ppm), a < b,
+    * sim_ppm ≥ simTauPpm.
+    */
+  def editVerifiedPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, candTauPpm: Long = 300000L,
+                        simTauPpm: Long = 800000L): DataFrame = {
+    val cand = minhashLshPairs(docs, k, numHashes, bands, candTauPpm)
+    val tx = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(tx.as("xa"), col("a") === col("xa.doc_id"))
+      .join(tx.as("xb"), col("b") === col("xb.doc_id"))
+      .select(col("a"), col("b"), col("est_ppm"),
+        levenshtein(col("xa.text"), col("xb.text")).cast("long").as("lev_edits"),
+        greatest(greatest(length(col("xa.text")), length(col("xb.text"))), lit(1))
+          .cast("long").as("max_len"))
+      .withColumn("sim_ppm", TextAnalysis.intDiv(
+        (col("max_len") - col("lev_edits")) * lit(1000000L), col("max_len")))
+      .where(col("sim_ppm") >= simTauPpm)
+  }
+
   // -------------------------------------------------------------- SimHash --
 
   /** 60-bit SimHash per doc: token-count weighted bit votes over the 60-bit

@@ -30,6 +30,12 @@ private[graft] object DedupSet {
       Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "d03_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir))),
+    // two-stage fuzzy dedup: MinHash-band candidates at the WIDE d18 net
+    // (est ≥ 0.30) → exact per-pair Levenshtein verify, keep ≥ 80%
+    // character similarity — the verify cost is candidate-bounded by LSH,
+    // never corpus-quadratic
+    "d31_edit_verified_pairs" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(Tables.documents(s, dir))),
     "d04_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "d05_embed_neardup" -> ((s, dir) =>
@@ -345,6 +351,22 @@ private[graft] object DedupSet {
            |LEFT JOIN common ON p.a = common.a AND p.b = common.b
            |JOIN sizes na ON p.a = na.doc_id
            |JOIN sizes nb ON p.b = nb.doc_id""".stripMargin,
+      // d31: same wide candidate net as d18, then DuckDB's own
+      // levenshtein as the exact verify — unit-cost edit distance on
+      // both engines, relative-similarity filter is one truncating div
+      "d31_edit_verified_pairs" ->
+        s"""WITH $minhashCtes,
+           |c2 AS (SELECT a, b, est_ppm FROM est WHERE est_ppm >= 300000),
+           |lv AS (SELECT c2.a, c2.b, c2.est_ppm,
+           |         levenshtein(xa.text, xb.text)::BIGINT AS lev_edits,
+           |         greatest(greatest(length(xa.text), length(xb.text)), 1)::BIGINT
+           |           AS max_len
+           |       FROM c2 JOIN documents xa ON c2.a = xa.doc_id
+           |                JOIN documents xb ON c2.b = xb.doc_id)
+           |SELECT a, b, est_ppm, lev_edits, max_len,
+           |  ((max_len - lev_edits) * 1000000 // max_len)::BIGINT AS sim_ppm
+           |FROM lv
+           |WHERE (max_len - lev_edits) * 1000000 // max_len >= 800000""".stripMargin,
       "d06_dup_clusters" ->
         s"""WITH RECURSIVE $minhashCtes,
            |p AS (SELECT a, b FROM est WHERE est_ppm >= 500000),

@@ -385,6 +385,14 @@ private[graft] object RelationalSet {
     "g06_label_communities" -> ((s, dir) =>
       GraphOps.labelPropagation(hostEdgesFixture(Tables.documents(s, dir)),
         rounds = 4)),
+    // Link prediction over the same host graph (Liben-Nowell &
+    // Kleinberg): non-adjacent pairs with ≥ 2 common neighbors, scored
+    // by the three classic integer-exact signals — common count,
+    // neighborhood Jaccard ppm, preferential attachment. The wedge join
+    // is hosts-bounded (the g05 cost shape); hub graphs get the
+    // maxWedgeDegree cap
+    "g11_link_prediction" -> ((s, dir) =>
+      GraphOps.linkPrediction(hostEdgesFixture(Tables.documents(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(

@@ -1314,6 +1314,42 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(pairs((1L, 2L)) == 333333L, s"1 shared of 3 distinct hashes: $pairs")
   }
 
+  test("editVerifiedPairs: exact edit verify keeps char-near pairs, drops gram-near-only") {
+    // (1, 2): one inserted character — gram-near AND char-near, must
+    // survive with lev_edits exactly 1 and the exact relative sim_ppm.
+    // (10, 11): doc 11 = doc 10 + one 150-char token — gram sets are
+    // nearly nested (J ≈ 0.97, a certain LSH candidate; a merely-similar
+    // pair would be fragile here, the h1+i·h2 slots are correlated in i)
+    // but char similarity is exactly 151/301 insertions ≈ 50% < 80%, so
+    // the verify stage must drop it.
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val edited = base.replace(" word7 ", " word7x ")
+    val prefix = (1 to 40).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, edited),
+      (10L, prefix), (11L, s"$prefix ${"z" * 150}"),
+      (20L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = Dedup.editVerifiedPairs(docs, numHashes = 64, bands = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(kept.contains((1L, 2L)), "the one-edit pair must survive the verify")
+    val (lev, maxLen, simPpm) = kept((1L, 2L))
+    assert(lev == 1L, s"one inserted char is exactly 1 edit, got $lev")
+    assert(maxLen == edited.length.toLong)
+    assert(simPpm == (maxLen - 1L) * 1000000L / maxLen)
+    assert(!kept.contains((10L, 11L)), "gram-near-only pair must be dropped at 80%")
+    // at simTauPpm=0 the same pair IS a candidate and carries its exact
+    // distance — proving it was the verify, not candidate recall, that
+    // dropped it above
+    val all = Dedup.editVerifiedPairs(docs, numHashes = 64, bands = 64,
+        simTauPpm = 0L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    assert(all.contains((10L, 11L)), "prefix-sharing pair must be an LSH candidate")
+    assert(all((10L, 11L)) == (301L - 151L) * 1000000L / 301L,
+      "151 pure insertions over max_len 301: the exact relative similarity")
+  }
+
   test("minhashCalibration: exact dups read 1.0/1.0/err 0; err is |est−true|") {
     val span = (1 to 40).map(i => s"w$i").mkString(" ")
     val other = (1 to 40).map(i => s"v$i").mkString(" ")
