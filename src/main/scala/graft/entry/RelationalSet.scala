@@ -1098,6 +1098,28 @@ private[graft] object RelationalSet {
           |    THEN ((4 * m * sjk - s1 * s1) * 1000000) // (2 * m * s2 - s1 * s1)
           |    END)::BIGINT AS assortativity_ppm
           |FROM s""".stripMargin,
+      // g11: wedge join through the shared neighbor, non-edges only,
+      // the three classic integer signals (common / Jaccard ppm /
+      // preferential attachment)
+      "g11_link_prediction" ->
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |        FROM edges WHERE src != dst),
+          |adj AS (SELECT a AS host, b AS nbr FROM und
+          |        UNION ALL SELECT b, a FROM und),
+          |deg AS (SELECT host, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+          |wed AS (SELECT x.host AS a, y.host AS b, count(*)::BIGINT AS common_cnt
+          |        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.host < y.host
+          |        GROUP BY 1, 2 HAVING count(*) >= 2),
+          |non AS (SELECT w.* FROM wed w ANTI JOIN und u
+          |        ON w.a = u.a AND w.b = u.b)
+          |SELECT n.a, n.b, n.common_cnt, da.d AS deg_a, db.d AS deg_b,
+          |  (da.d + db.d - n.common_cnt) AS union_cnt,
+          |  (n.common_cnt * 1000000 // (da.d + db.d - n.common_cnt))::BIGINT
+          |    AS jaccard_ppm,
+          |  (da.d * db.d) AS pref_attach
+          |FROM non n JOIN deg da ON n.a = da.host JOIN deg db ON n.b = db.host""".stripMargin,
       // g07: three first-reach BFS rounds over the reversed edges as
       // chained min(d)-merge CTEs, then sum(10^6 // d) per host
       "g07_harmonic_centrality" -> {

@@ -1350,6 +1350,33 @@ class ExtensionOpsSpec extends SparkTestBase {
       "151 pure insertions over max_len 301: the exact relative similarity")
   }
 
+  test("linkPrediction: non-edges only, exact integer signals, hub cap trades recall") {
+    import graft.graph.GraphOps
+    // square a-b-c-d-a + diagonal edge a-c + pendant e-a (with one
+    // duplicate and one reversed row: canonicalization must collapse
+    // them). Non-adjacent pairs: (b,d) shares {a,c}; (b,e)/(c,e)/(d,e)
+    // share {a}. (a,c) also shares {b,d} but IS an edge — must not emit.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"), ("e", "a"), ("b", "a"), ("a", "b")).toDF("src", "dst")
+    val top = GraphOps.linkPrediction(edges).collect()
+    assert(top.length == 1, s"only (b,d) has >= 2 common neighbors, got ${top.length}")
+    val r = top.head
+    assert((r.getString(0), r.getString(1)) == ("b", "d"))
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 2L) // common, degs
+    assert(r.getLong(5) == 2L && r.getLong(6) == 1000000L && r.getLong(7) == 4L)
+    val loose = GraphOps.linkPrediction(edges, minCommon = 1L)
+      .collect().map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getLong(6)))).toMap
+    assert(loose.keySet == Set(("b", "d"), ("b", "e"), ("c", "e"), ("d", "e")))
+    assert(loose(("b", "e")) == (1L, 500000L)) // union {a,c,... } sized 2
+    assert(loose(("c", "e")) == (1L, 333333L)) // deg c = 3, truncating div
+    assert(!loose.contains(("a", "c")), "adjacent pairs never emit")
+    // hub cap 2 removes a (deg 4) and c (deg 3) as wedge intermediates;
+    // every surviving wedge lands on the (a,c) edge — output is empty,
+    // the documented recall trade
+    assert(GraphOps.linkPrediction(edges, minCommon = 1L,
+      maxWedgeDegree = Some(2L)).isEmpty)
+  }
+
   test("minhashCalibration: exact dups read 1.0/1.0/err 0; err is |est−true|") {
     val span = (1 to 40).map(i => s"w$i").mkString(" ")
     val other = (1 to 40).map(i => s"v$i").mkString(" ")
