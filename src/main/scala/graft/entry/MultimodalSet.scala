@@ -96,6 +96,35 @@ private[graft] object MultimodalSet {
     // at DIFFERENT offsets (even ids at frames 1-3, odd at 0-2), so the
     // order-aware run detector must find every within-group pair with the
     // right start positions — the case m11's set-Jaccard cannot localize
+    // Perceptual image near-dup END-TO-END over real decode: per doc a
+    // 10×6 two-level (0/255) PNG — its 60 pixels ARE the aHash bits, so
+    // the oracle can fold the same hash in SQL. Docs share a group
+    // pattern (doc_id div 8); 3 of 4 docs flip ONE bit at id%60, so
+    // same-group pairs land at Hamming ≤ 2 and pigeonhole recall is
+    // provably exact (maxHamming+1 = 3 chunks). The oracle verifies by
+    // brute-force all-pairs on the recomputed hashes — equivalent by the
+    // pigeonhole exactness argument, affordable at oracle scale.
+    "m20_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = id / 8
+          val flip = if (id % 4 != 0) (id % 60).toInt else -1
+          (id, Multimodal.syntheticGrayPng(10, 6, (x, y) => {
+            val i = y * 10 + x
+            // squared mix (the m12 luma construction): the parity of a
+            // LINEAR sequence mod an odd prime is near-alternating for
+            // every group (massive cross-group collisions, learned here),
+            // and a narrow modulus would alias groups outright — t² mod
+            // prime gives properly mixed bits, distinct per group for all
+            // g < 65521 (8·65521 docs, far past any fixture SF)
+            val t = (g * 997L + i.toLong * 101L) % 65521L
+            val bit = ((t * t % 65521L) % 2L).toInt
+            (if (i == flip) 1 - bit else bit) * 255
+          }))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("image"))
+      Multimodal.imageDupPairs(pngs, maxHamming = 2)
+    }),
     "m12_gif_run_align" -> ((s, dir) => {
       import s.implicits._
       val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
@@ -514,6 +543,27 @@ private[graft] object MultimodalSet {
           |FROM s GROUP BY 1, 2""".stripMargin,
       // m13: the same pixel formula through the identical integer
       // nearest-neighbor mapping — dst(x,y) = f((x*w)//8, (y*h)//6)
+      // m20: replay the pixel formula, fold the 60-bit aHash exactly as
+      // ImageCodec.aHashOf (luma > integer mean, MSB-first), then
+      // brute-force all-pairs Hamming ≤ 2 — ≡ the pigeonhole join by its
+      // exact-recall guarantee
+      "m20_image_neardup" ->
+        """WITH px0 AS (SELECT doc_id, i,
+          |    ((doc_id // 8) * 997 + i * 101) % 65521 AS t
+          |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)),
+          |px AS (SELECT doc_id, i,
+          |    (CASE WHEN doc_id % 4 != 0 AND i = doc_id % 60
+          |       THEN 1 - (t * t % 65521) % 2
+          |       ELSE (t * t % 65521) % 2 END) * 255 AS luma
+          |  FROM px0),
+          |mn AS (SELECT doc_id, sum(luma) // 60 AS mean FROM px GROUP BY 1),
+          |hb AS (SELECT px.doc_id,
+          |    sum(CASE WHEN luma > mean THEN 1::BIGINT << (59 - i) ELSE 0 END)::BIGINT AS h
+          |  FROM px JOIN mn USING (doc_id) GROUP BY 1)
+          |SELECT x.doc_id AS a, y.doc_id AS b,
+          |  bit_count(xor(x.h, y.h))::BIGINT AS hamming
+          |FROM hb x JOIN hb y ON x.doc_id < y.doc_id
+          |WHERE bit_count(xor(x.h, y.h)) <= 2""".stripMargin,
       "m13_resize_real" ->
         """WITH d AS (SELECT doc_id, (doc_id % 13) + 8 AS w, (doc_id % 7) + 8 AS h
           |           FROM documents),

@@ -332,6 +332,33 @@ object Multimodal {
       fps, "fp", bits = 60, maxHamming, maxBucketFreq = maxBucketFreq)
   }
 
+  /** Image near-dup pairs on the REAL-decode perceptual hash: documents
+    * whose [[ImageIoCodec.aHash]] (luma average-hash over actually-decoded
+    * rasters) lands within Hamming ≤ `maxHamming` — re-encoded,
+    * re-compressed or lightly-retouched copies of an image pair here even
+    * when the container bytes share nothing ([[sharedFrames]]' exact
+    * digests can't see them, and [[perceptualDupPairs]] works on
+    * StubCodec frame bytes, not decoded pixels). Same pigeonhole
+    * equi-join core as the audio/text paths
+    * ([[graft.dedup.Dedup.hammingCandidatePairs]]): maxHamming+1 hash
+    * chunks, a pair within the budget must agree on ≥ 1 chunk, so
+    * recall is exact — no missed pairs, candidates bounded by bucket
+    * collisions. One hash per document; bytes never shuffle (the decode
+    * is partition-local); undecodable or sub-60-pixel payloads emit
+    * nothing. Output: (a, b, hamming), a < b, hamming ≤ maxHamming.
+    */
+  def imageDupPairs(media: DataFrame, maxHamming: Int = 2,
+                    maxBucketFreq: Option[Long] = None): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .flatMap(r => ImageIoCodec.aHash(r.media).map(h => (r.doc_id, h)))
+      .toDF("doc_id", "ahash")
+    graft.dedup.Dedup.hammingCandidatePairs(
+      hashes, "ahash", bits = 60, maxHamming, maxBucketFreq = maxBucketFreq)
+  }
+
   case class AudioWindowEnergy(doc_id: Long, win_idx: Long, n_samples: Long,
                                energy: Long, silent: Boolean)
 

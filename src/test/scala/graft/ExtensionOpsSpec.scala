@@ -1350,6 +1350,33 @@ class ExtensionOpsSpec extends SparkTestBase {
       "151 pure insertions over max_len 301: the exact relative similarity")
   }
 
+  test("imageDupPairs: real-decode aHash pairs within Hamming, corrupt emits nothing") {
+    import graft.multimodal.Multimodal
+    // 10×6 two-level rasters: pixels ARE the hash bits. Doc 1 = base,
+    // doc 2 = base with one bit flipped (Hamming 1), doc 3 = base with
+    // three bits flipped (Hamming 3 > maxHamming 2 — candidate via the
+    // shared chunks but dropped by the exact verify), doc 4 = corrupt.
+    def png(flips: Set[Int]): Array[Byte] =
+      Multimodal.syntheticGrayPng(10, 6, (x, y) => {
+        val i = y * 10 + x
+        val bit = if (i % 3 == 0) 1 else 0
+        (if (flips.contains(i)) 1 - bit else bit) * 255
+      })
+    val media = Seq(
+      (1L, png(Set.empty)), (2L, png(Set(7))), (3L, png(Set(10, 20, 31))),
+      (4L, Array[Byte](1, 2, 3))
+    ).toDF("doc_id", "media").withColumn("media_type", lit("image"))
+    val pairs = Multimodal.imageDupPairs(media, maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs == Map((1L, 2L) -> 1L),
+      s"only the 1-flip pair is within Hamming 2, got $pairs")
+    // at budget 3 the triple-flip doc pairs with base at exactly 3, and
+    // with doc 2 at 4 (disjoint flips add) — still excluded
+    val wide = Multimodal.imageDupPairs(media, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(wide((1L, 3L)) == 3L && !wide.contains((2L, 3L)))
+  }
+
   test("linkPrediction: non-edges only, exact integer signals, hub cap trades recall") {
     import graft.graph.GraphOps
     // square a-b-c-d-a + diagonal edge a-c + pendant e-a (with one
