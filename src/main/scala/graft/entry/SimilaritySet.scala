@@ -156,6 +156,13 @@ private[graft] object SimilaritySet {
     // left-to-right summation so order reproduces cross-engine
     "s15_mips_topk" -> ((s, dir) =>
       Ann.mipsTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // exact RANGE search (FAISS range_search): ALL neighbors within the
+    // cosine budget per query, not a fixed k — the contamination-sweep /
+    // cluster-seeding read; broadcast queries into one corpus scan, no
+    // window needed. tau=0.35 clears the nearest cross-engine cosine by
+    // 2.3e-5 at sf0.1 (measured), 10 orders above double noise
+    "s29_range_search" -> ((s, dir) =>
+      Ann.rangeSearch(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     // recall eval for the REFINE path: the measured proof that the
     // exact-cosine re-rank recovers brute-force recall from ADC codes
     "s16_refine_recall" -> ((s, dir) =>
@@ -619,6 +626,12 @@ private[graft] object SimilaritySet {
           |SELECT a.vec_id, a.cell FROM asg a ANTI JOIN drops d ON a.vec_id = d.vec_id"""
           .stripMargin,
       "s08_ivfpq_search" -> s08Sql(5),
+      // s29: the threshold filter replaces the rank window
+      "s29_range_search" ->
+        """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+          |FROM embeddings q JOIN embeddings e
+          |  ON q.vec_id % 50 = 0 AND e.vec_id != q.vec_id
+          |WHERE list_cosine_similarity(q.embedding, e.embedding) >= 0.35""".stripMargin,
       // s15: list_inner_product sums left-to-right like vec_dot
       "s15_mips_topk" ->
         """WITH q AS (SELECT vec_id AS query_id,

@@ -105,6 +105,34 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Exact RANGE search — the threshold companion of [[bruteForceTopK]]
+    * (FAISS pairs `range_search` with `search` for the same reason):
+    * every corpus neighbor whose cosine reaches `tau`, per query. Top-k
+    * answers "the k best"; range answers "ALL within a similarity
+    * budget" — the retrieval read for contamination sweeps and
+    * duplicate-cluster seeding where the neighbor COUNT is the signal,
+    * not a fixed k.
+    *
+    * Same scale shape as [[bruteForceTopK]]: the query side broadcasts
+    * into one corpus scan (no shuffle touches the vectors, no window —
+    * range search doesn't even need the per-query rank sort). The
+    * sub-quadratic path composes exactly like d07's near-dup: sign-LSH
+    * buckets or IVF probe cells prefilter candidates, then this same
+    * exact-cosine verify runs candidate-bounded.
+    *
+    * Output: (query_id, neighbor_id), all pairs with cosine ≥ tau.
+    */
+  def rangeSearch(embeddings: DataFrame, queryPred: Column,
+                  tau: Double = 0.35): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    broadcast(queries)
+      .join(corpus, col("query_id") =!= col("vec_id"))
+      .where(dotCol("qv", "v") / (col("qnorm") * col("norm")) >= tau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
   /** MRR@k evaluation of an approximate index against the exact top-1 —
     * the GRADED companion of [[recallAtK]]'s hit counting (recall says
     * whether the true neighbor made the list; MRR says WHERE — an index

@@ -1350,6 +1350,24 @@ class ExtensionOpsSpec extends SparkTestBase {
       "151 pure insertions over max_len 301: the exact relative similarity")
   }
 
+  test("rangeSearch: all-and-only neighbors within the cosine budget; query excluded") {
+    import graft.similarity.Ann
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(2.0f, 0.0f)),   // cos 1 (norms divide out)
+      (2L, Array(1.0f, 1.0f)),   // cos ~0.7071
+      (3L, Array(0.0f, 1.0f)),   // cos 0
+      (4L, Array(-1.0f, 0.0f))   // cos -1
+    ).toDF("vec_id", "embedding")
+    def ids(tau: Double) =
+      Ann.rangeSearch(vecs, col("vec_id") === 0L, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids(0.5) == Set((0L, 1L), (0L, 2L)))
+    assert(ids(0.9) == Set((0L, 1L)))
+    assert(ids(-2.0) == Set((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)),
+      "tau below -1 returns the whole corpus minus the query itself")
+  }
+
   test("imageDupPairs: real-decode aHash pairs within Hamming, corrupt emits nothing") {
     import graft.multimodal.Multimodal
     // 10×6 two-level rasters: pixels ARE the hash bits. Doc 1 = base,
