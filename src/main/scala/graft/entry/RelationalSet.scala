@@ -385,6 +385,17 @@ private[graft] object RelationalSet {
     "g06_label_communities" -> ((s, dir) =>
       GraphOps.labelPropagation(hostEdgesFixture(Tables.documents(s, dir)),
         rounds = 4)),
+    // TrustRank over the same host graph: teleport mass restricted to
+    // the 8 seed hosts h0,h13,...,h91 — the seeded-quality-prior
+    // complement of g01's popularity rank; identical per-edge rounding
+    "g12_trustrank" -> ((s, dir) => {
+      val edges = hostEdgesFixture(Tables.documents(s, dir))
+      val hosts = edges.select(col("src").as("host"))
+        .unionAll(edges.select(col("dst").as("host"))).distinct()
+      GraphOps.trustRank(edges,
+        hosts.where(substring(col("host"), 2, 10).cast("int") % 13 === 0),
+        iterations = 3)
+    }),
     // Link prediction over the same host graph (Liben-Nowell &
     // Kleinberg): non-adjacent pairs with ≥ 2 common neighbors, scored
     // by the three classic integer-exact signals — common count,
@@ -1098,6 +1109,39 @@ private[graft] object RelationalSet {
           |    THEN ((4 * m * sjk - s1 * s1) * 1000000) // (2 * m * s2 - s1 * s1)
           |    END)::BIGINT AS assortativity_ppm
           |FROM s""".stripMargin,
+      // g12: the g01 chain with the teleport term gated by the seed flag
+      "g12_trustrank" ->
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) v),
+          |f AS (SELECT host,
+          |        CASE WHEN substr(host, 2)::INT % 13 = 0 THEN 1 ELSE 0 END AS sd
+          |      FROM nodes),
+          |cst AS (SELECT (1000000000000 // sum(sd))::BIGINT AS r0,
+          |          ((1000000000000 // sum(sd)) * 150000 // 1000000)::BIGINT AS b
+          |        FROM f),
+          |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+          |r0 AS (SELECT host, sd * (SELECT r0 FROM cst) AS pr FROM f),
+          |c1 AS (SELECT e.dst AS host,
+          |         sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+          |       FROM edges e JOIN r0 r ON e.src = r.host JOIN od ON e.src = od.src
+          |       GROUP BY 1),
+          |r1 AS (SELECT f.host, (f.sd * (SELECT b FROM cst) + coalesce(c1.s, 0))::BIGINT AS pr
+          |       FROM f LEFT JOIN c1 ON f.host = c1.host),
+          |c2 AS (SELECT e.dst AS host,
+          |         sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+          |       FROM edges e JOIN r1 r ON e.src = r.host JOIN od ON e.src = od.src
+          |       GROUP BY 1),
+          |r2 AS (SELECT f.host, (f.sd * (SELECT b FROM cst) + coalesce(c2.s, 0))::BIGINT AS pr
+          |       FROM f LEFT JOIN c2 ON f.host = c2.host),
+          |c3 AS (SELECT e.dst AS host,
+          |         sum((r.pr * 850000) // (1000000 * od.outdeg)) AS s
+          |       FROM edges e JOIN r2 r ON e.src = r.host JOIN od ON e.src = od.src
+          |       GROUP BY 1),
+          |r3 AS (SELECT f.host, (f.sd * (SELECT b FROM cst) + coalesce(c3.s, 0))::BIGINT AS pr
+          |       FROM f LEFT JOIN c3 ON f.host = c3.host)
+          |SELECT host, pr AS trustrank FROM r3""".stripMargin,
       // g11: wedge join through the shared neighbor, non-edges only,
       // the three classic integer signals (common / Jaccard ppm /
       // preferential attachment)

@@ -85,6 +85,67 @@ object GraphOps {
     ranks
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04) — PageRank
+    * with the teleport mass restricted to a TRUSTED SEED set: trust
+    * flows out of hand-vetted hosts along links and decays with
+    * distance, so low-trust hosts that ordinary PageRank still rewards
+    * (link farms interlinking their own mass) read near zero. The crawl
+    * QA read for training pipelines: a per-domain quality prior seeded
+    * by known-good domains, the complement of g01's popularity rank.
+    *
+    * Same engine-exact arithmetic as [[pageRank]] with the seed-indicator
+    * folded in: d = |seeds ∩ hosts|, seed rows start at `scale div d`
+    * and receive the per-node teleport base each round; non-seeds start
+    * at 0 and receive none. One truncating division per edge, identical
+    * rounding order — an all-hosts seed set reproduces [[pageRank]]
+    * bit-for-bit. Personalized PageRank is this same operator with any
+    * other interest set as seeds.
+    *
+    * Scale shape: [[pageRank]]'s exactly — the seed flag rides the
+    * hosts-bounded node frame; the per-round rank frame broadcasts into
+    * the edge scan (flip `broadcastRanks` for ~10⁸-host graphs).
+    * Returns (host, trustrank) after `iterations` rounds.
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                dampingPpm: Long = 850000L,
+                scale: Long = 1000000000000L,
+                broadcastRanks: Boolean = true): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      "dampingPpm must be a ppm fraction in [0, 1000000]")
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+    val flags = nodes
+      .join(seeds.select(col("host")).distinct().withColumn("__s", lit(1L)),
+        Seq("host"), "left")
+      .select(col("host"), coalesce(col("__s"), lit(0L)).as("__seed"))
+      .localCheckpoint()
+    val d = flags.where(col("__seed") === 1L).count() // hosts-bounded scalar
+    require(d > 0, "trustRank needs at least one seed present in the graph")
+    val r0 = scale / d
+    val base = r0 * (1000000L - dampingPpm) / 1000000L
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eplus = edges.join(outdeg, "src").persist()
+    var ranks = flags.select(col("host"), (col("__seed") * lit(r0)).as("trustrank"))
+    var round = 0
+    while (round < iterations) {
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
+      val contribs = eplus
+        .join(r, eplus("src") === r("host"))
+        .select(eplus("dst").as("host"),
+          expr(s"(trustrank * ${dampingPpm}L) div (1000000L * outdeg)").as("c"))
+        .groupBy("host").agg(sum("c").as("c"))
+      ranks = flags.join(contribs, Seq("host"), "left")
+        .select(col("host"),
+          (col("__seed") * lit(base) + coalesce(col("c"), lit(0L))).as("trustrank"))
+        .localCheckpoint()
+      round += 1
+    }
+    eplus.unpersist()
+    ranks
+  }
+
   /** WEIGHTED integer-exact PageRank — [[pageRank]] over a
     * (src, dst, weight) edge frame, the form a real host rank uses
     * (parallel links COUNT: a site linking another 10,000 times passes

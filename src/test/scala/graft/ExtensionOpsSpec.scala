@@ -1350,6 +1350,29 @@ class ExtensionOpsSpec extends SparkTestBase {
       "151 pure insertions over max_len 301: the exact relative similarity")
   }
 
+  test("trustRank: trust flows forward from seeds only; all-seeds ≡ pageRank") {
+    import graft.graph.GraphOps
+    // chain s → a → b plus c → s: c links INTO the seed but gets no
+    // trust back (teleport is seed-only, links are directed)
+    val edges = Seq(("s", "a"), ("a", "b"), ("c", "s")).toDF("src", "dst")
+    val seeds = Seq("s").toDF("host")
+    val tr = GraphOps.trustRank(edges, seeds, iterations = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // d=1 ⇒ r0=10^12, base=1.5e11; round 2: a = (1.5e11·.85),
+    // b = (8.5e11·.85), s keeps its teleport base, c never earns a unit
+    assert(tr == Map("s" -> 150000000000L, "a" -> 127500000000L,
+      "b" -> 722500000000L, "c" -> 0L), s"got $tr")
+    // seeding EVERY host reproduces pageRank bit-for-bit (same per-edge
+    // truncating division, same teleport mass)
+    val allHosts = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host"))).distinct()
+    val full = GraphOps.trustRank(edges, allHosts, iterations = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val pr = GraphOps.pageRank(edges, iterations = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(full == pr)
+  }
+
   test("rangeSearch: all-and-only neighbors within the cosine budget; query excluded") {
     import graft.similarity.Ann
     val vecs = Seq(
