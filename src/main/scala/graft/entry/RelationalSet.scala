@@ -165,6 +165,13 @@ private[graft] object RelationalSet {
     // 5·MAD, integer-exact, flags drops as well as spikes
     "e16_mad_anomalies" -> ((s, dir) =>
       graft.relational.Temporal.madAnomalies(events(s, dir))),
+    // CUSUM drift detection: the SUSTAINED-shift third of the anomaly
+    // family (e06 flags one loud hour, e16 survives dirty baselines,
+    // CUSUM accumulates small excesses until they cross the decision
+    // interval) — expressed via the prefix-minimum identity as two stock
+    // window aggregates, no recursion
+    "e21_cusum_drift" -> ((s, dir) =>
+      graft.relational.Temporal.cusumDrift(events(s, dir))),
     // count spike detection: integer-exact trailing z² flags over the
     // hourly per-type counts (the alerting step on counter output)
     "e06_count_spikes" -> ((s, dir) =>
@@ -719,6 +726,25 @@ private[graft] object RelationalSet {
           | (CASE WHEN c >= 12 AND abs(n - med) > 5 * mad
           |  THEN 1 ELSE 0 END)::BIGINT AS is_anomaly
           |FROM m2""".stripMargin,
+      // e21: the same prefix-minimum identity — cumulative sum of
+      // (n − med − 1) minus its own running minimum clipped at 0
+      "e21_cusum_drift" ->
+        """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+          |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+          |med AS (SELECT event_type,
+          |    (list_sort(list(n)))[((count(*) - 1) // 2)::INT + 1]::BIGINT AS med
+          |  FROM hourly GROUP BY 1),
+          |p AS (SELECT h.event_type, hour, n, med,
+          |    sum(n - med - 1) OVER (PARTITION BY h.event_type ORDER BY hour) AS pf
+          |  FROM hourly h JOIN med USING (event_type)),
+          |s AS (SELECT event_type, hour, n, med,
+          |    pf - least(0, min(pf) OVER (PARTITION BY event_type ORDER BY hour)) AS cusum
+          |  FROM p)
+          |SELECT event_type, epoch_ms(hour) AS hour_ms, n AS n_events, med,
+          |  cusum::BIGINT AS cusum,
+          |  (CASE WHEN cusum > 4 * greatest(med, 1) THEN 1 ELSE 0 END)::BIGINT
+          |    AS is_alarm
+          |FROM s""".stripMargin,
       "e06_count_spikes" ->
         """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
           |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),

@@ -683,6 +683,69 @@ object Temporal {
           lit(1L)).otherwise(lit(0L)).as("is_anomaly"))
   }
 
+  /** CUSUM drift detection (Page 1954) over hourly event counts — the
+    * SUSTAINED-shift reader that completes the anomaly family: e06's z²
+    * flags one loud hour, e16's MAD survives contaminated baselines, but
+    * a rate that creeps up 10% and STAYS there never trips a per-hour
+    * deviation test — the cumulative sum accumulates the small excesses
+    * until they cross the decision interval (the classic quickest-
+    * detection property). The training-pipeline read: a crawler or
+    * producer whose volume has drifted (config change, new source, bot
+    * onset) pages here first.
+    *
+    * Integer-exact via the prefix-minimum identity: the textbook
+    * recursion `S_t = max(0, S_{t−1} + (n_t − k))` is NOT a window
+    * function, but with `P_t = Σ_{i≤t}(n_i − k)` it equals
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` — two stock window aggregates
+    * over the SAME (type, hour-asc) window, one shuffle, whole-stage
+    * codegen, no recursion (and the oracle replays the identity
+    * verbatim). Reference level `k = lower-median(type's hourly counts)
+    * + allowance` (the e16 lower-median, exact), alarm when
+    * `S_t > hFactor · max(med, 1)` — all-long comparisons, no boundary
+    * ulps. Hours absent from the aggregate (zero events) contribute
+    * nothing: this is observation-indexed CUSUM, the right form when
+    * absence itself is tracked by e15's deltas.
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combinable
+    * groupBy to hourly counts; medians and windows run over the
+    * calendar-bounded hourly frame (the e06/e16 discipline), and the
+    * per-type median table broadcasts back onto it.
+    *
+    * Output: (event_type, hour_ms, n_events, med, cusum, is_alarm).
+    */
+  def cusumDrift(events: DataFrame, allowance: Long = 1L,
+                 hFactor: Long = 4L): DataFrame =
+    cusumFromHourly(
+      events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events")),
+      allowance, hFactor)
+
+  /** The flagging half of [[cusumDrift]] over a prepared
+    * (event_type, hour, n_events) frame — the [[spikesFromHourly]]
+    * split, reusable by a streaming face over closed hourly windows.
+    */
+  def cusumFromHourly(hourly: DataFrame, allowance: Long = 1L,
+                      hFactor: Long = 4L): DataFrame = {
+    def lowerMedian(arr: Column): Column =
+      element_at(array_sort(arr),
+        (floor((size(arr) - lit(1)) / lit(2)) + lit(1)).cast("int"))
+    val med = hourly.groupBy(col("event_type"))
+      .agg(lowerMedian(collect_list(col("n_events"))).as("med"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("__pf",
+        sum(col("n_events") - col("med") - lit(allowance)).over(w))
+      .withColumn("cusum",
+        col("__pf") - least(lit(0L), min(col("__pf")).over(w)))
+      .select(col("event_type"), unix_millis(col("hour")).as("hour_ms"),
+        col("n_events"), col("med"), col("cusum"),
+        (col("cusum") > lit(hFactor) * greatest(col("med"), lit(1L)))
+          .cast("long").as("is_alarm"))
+  }
+
   /** Hour-of-day SEASONALITY profile — the traffic-shape read behind
     * capacity planning and anomaly-threshold tuning (e06/e16 flag
     * deviations from a trailing baseline; this is the CYCLE the baseline

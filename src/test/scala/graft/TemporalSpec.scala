@@ -18,6 +18,30 @@ class TemporalSpec extends SparkTestBase {
 
   private def ts(ms: Long) = new Timestamp(ms)
 
+  test("cusumFromHourly: prefix-minimum identity reproduces the textbook recursion") {
+    // counts 5,5,9,9,9,5,5,1,1 → lower median 5, k = med+1 = 6;
+    // recursion S_t = max(0, S_{t-1} + n_t - 6) = 0,0,3,6,9,8,7,2,0
+    val counts = Seq(5L, 5L, 9L, 9L, 9L, 5L, 5L, 1L, 1L)
+    val hourly = counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq(("a", ts(i * 3600000L), n), ("b", ts(i * 3600000L), 20L - n))
+    }.toDF("event_type", "hour", "n_events")
+    val out = Temporal.cusumFromHourly(hourly, allowance = 1L, hFactor = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), (r.getLong(4), r.getLong(5))))
+    val a = out.filter(_._1 == "a").sortBy(_._2).map(_._3)
+    def recursion(ns: Seq[Long], k: Long): Seq[Long] =
+      ns.scanLeft(0L)((s, n) => math.max(0L, s + n - k)).tail
+    val expA = recursion(counts, 6L)
+    assert(a.map(_._1).toSeq == expA, s"cusum mismatch: ${a.toSeq} vs $expA")
+    // hFactor=1, med=5 → alarm iff S > 5: hours 3..6 (S = 6,9,8,7)
+    assert(a.map(_._2).toSeq == expA.map(s => if (s > 5L) 1L else 0L))
+    // type b is the mirrored series (counts 15,15,11,...): its own median
+    // and its own accumulation — partitions never leak into each other
+    val bCounts = counts.map(20L - _) // sorted: 11,11,11,15,15,15,19,19,19 → med 15
+    val b = out.filter(_._1 == "b").sortBy(_._2).map(_._3._1)
+    assert(b.toSeq == recursion(bCounts, 16L))
+  }
+
   test("asofJoin matches the most recent right row, inclusively at equal ts") {
     val left = Seq((1L, ts(1000), 100L), (1L, ts(2000), 101L), (2L, ts(500), 102L))
       .toDF("user_id", "ts", "purchase_id")
