@@ -125,6 +125,24 @@ private[graft] object MultimodalSet {
         }).toDF("doc_id", "media").withColumn("media_type", lit("image"))
       Multimodal.imageDupPairs(pngs, maxHamming = 2)
     }),
+    // Scene-change detection through the REAL GIF decode path: 6 frames
+    // in 2 scenes of 3 (pixels are formulas of (doc_id, scene, pixel) +
+    // a 1-luma per-frame jitter so within-shot distance is small but
+    // nonzero); the exact consecutive-frame L1 luma distance crosses the
+    // 1000 threshold exactly at the k=3 boundary, and the oracle replays
+    // every |int−int| analytically
+    "m21_scene_changes" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticGrayGif(8, 8, 6, (k, x, y) => {
+            val i = y * 8 + x
+            val t = (id * 7919L + (k / 3).toLong * 104729L + i.toLong * 31L) % 65521L
+            ((t * t % 65521L) % 255L).toInt + (if (i == k) 1 else 0)
+          }))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("video"))
+      Multimodal.sceneChanges(gifs, threshold = 1000L).toDF()
+    }),
     "m12_gif_run_align" -> ((s, dir) => {
       import s.implicits._
       val gifs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
@@ -543,6 +561,25 @@ private[graft] object MultimodalSet {
           |FROM s GROUP BY 1, 2""".stripMargin,
       // m13: the same pixel formula through the identical integer
       // nearest-neighbor mapping — dst(x,y) = f((x*w)//8, (y*h)//6)
+      // m21: replay the (doc, scene, pixel) luma formulas, pair frame k
+      // with k−1 on the shared pixel index, sum |Δluma| exactly
+      "m21_scene_changes" ->
+        """WITH fr AS (SELECT doc_id, k, i,
+          |    ((doc_id * 7919 + (k // 3) * 104729 + i * 31) % 65521) AS t
+          |  FROM documents
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+          |lum AS (SELECT doc_id, k, i,
+          |    (t * t % 65521) % 255 + (CASE WHEN i = k THEN 1 ELSE 0 END) AS luma
+          |  FROM fr),
+          |d AS (SELECT a.doc_id, a.k AS frame_idx,
+          |    sum(abs(a.luma - b.luma))::BIGINT AS l1_dist
+          |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.i = b.i
+          |    AND b.k = a.k - 1
+          |  GROUP BY 1, 2)
+          |SELECT doc_id, frame_idx::BIGINT AS frame_idx, l1_dist,
+          |  (CASE WHEN l1_dist > 1000 THEN 1 ELSE 0 END)::BIGINT AS is_cut
+          |FROM d""".stripMargin,
       // m20: replay the pixel formula, fold the 60-bit aHash exactly as
       // ImageCodec.aHashOf (luma > integer mean, MSB-first), then
       // brute-force all-pairs Hamming ≤ 2 — ≡ the pigeonhole join by its

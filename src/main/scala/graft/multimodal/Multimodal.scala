@@ -760,6 +760,81 @@ object Multimodal {
     } catch { case _: java.io.IOException => none }
   }
 
+  /** One consecutive-frame comparison: the later frame's index, the exact
+    * L1 luma distance to its predecessor, and the cut verdict. */
+  case class SceneCut(doc_id: Long, frame_idx: Long, l1_dist: Long, is_cut: Long)
+
+  /** SHOT/SCENE-BOUNDARY detection over real multi-frame decode — the
+    * video-curation primitive (frame-sample at one-per-shot instead of
+    * one-per-N, segment-level dedup, highlight extraction all start from
+    * the cut list): consecutive decoded frames compare by EXACT L1 luma
+    * distance `Σ_pixels |luma_k − luma_{k−1}|` (over the overlapping
+    * min-dims region if dimensions change mid-stream), and a cut is
+    * declared when the distance exceeds `threshold` — within a shot,
+    * motion moves few pixels a little; across a cut, most pixels jump.
+    * Integer-exact end-to-end: the distance is a sum of |int − int|, so
+    * the oracle replays it analytically from the fixture's pixel
+    * formulas, and the threshold comparison is long-vs-long.
+    *
+    * Scale shape: the [[decodeGifFrames]] discipline — partition-local
+    * batched decode, container bytes never shuffle, ONE sequential pass
+    * per animation holding two frames at a time; only (id, idx, dist,
+    * flag) rows leave the scan, frames-per-doc bounded by `maxFrames`.
+    * Undecodable or single-frame payloads emit nothing (no pair, no row —
+    * the permissive codec convention).
+    */
+  def sceneChanges(media: DataFrame, threshold: Long = 1000L,
+                   batchSize: Int = 64, maxFrames: Int = 8): Dataset[SceneCut] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("media_type"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        sceneCutsOf(r.doc_id, r.media, threshold, maxFrames)
+      }))
+  }
+
+  private[graft] def sceneCutsOf(docId: Long, bytes: Array[Byte],
+                                 threshold: Long, maxFrames: Int): Seq[SceneCut] = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Nil
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis)
+            val n = rd.getNumImages(true)
+            if (n <= 1) Nil
+            else {
+              var prev = rd.read(0)
+              (1 until math.min(n, maxFrames)).map { i =>
+                val cur = rd.read(i)
+                val w = math.min(prev.getWidth, cur.getWidth)
+                val h = math.min(prev.getHeight, cur.getHeight)
+                var d = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    d += math.abs(
+                      ImageIoCodec.lumaAt(prev, x, y) - ImageIoCodec.lumaAt(cur, x, y))
+                    x += 1
+                  }
+                  y += 1
+                }
+                prev = cur
+                SceneCut(docId, i.toLong, d, if (d > threshold) 1L else 0L)
+              }
+            }
+          } finally rd.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: java.io.IOException => Nil }
+  }
+
   /** Deterministic animated grayscale GIF — the m10 TEST FIXTURE
     * generator: frame `k`'s pixel (x, y) carries gray `f(k, x, y)`,
     * written through the JRE's real GIF sequence writer (a 256-entry

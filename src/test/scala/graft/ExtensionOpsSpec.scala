@@ -1350,6 +1350,30 @@ class ExtensionOpsSpec extends SparkTestBase {
       "151 pure insertions over max_len 301: the exact relative similarity")
   }
 
+  test("sceneChanges: exact L1 cuts at the shot boundary; degenerate payloads emit nothing") {
+    import graft.multimodal.Multimodal
+    // 4 frames, 2 shots of 2: shots are flat gray 10 vs 200; each frame
+    // adds +1 at pixel k — consecutive same-shot distance is exactly 2
+    // (pixels k−1 and k each differ by 1), the boundary jumps by
+    // 190·64 ± the jitter pixels
+    val gif = Multimodal.syntheticGrayGif(8, 8, 4, (k, x, y) => {
+      val i = y * 8 + x
+      (if (k < 2) 10 else 200) + (if (i == k) 1 else 0)
+    })
+    val single = Multimodal.syntheticGrayGif(8, 8, 1, (_, _, _) => 50)
+    val media = Seq(
+      (1L, gif), (2L, single), (3L, Array[Byte](9, 9, 9))
+    ).toDF("doc_id", "media").withColumn("media_type", lit("video"))
+    val cuts = Multimodal.sceneChanges(media, threshold = 1000L)
+      .collect().map(c => (c.doc_id, c.frame_idx) -> (c.l1_dist, c.is_cut)).toMap
+    assert(cuts.keySet == Set((1L, 1L), (1L, 2L), (1L, 3L)),
+      "single-frame and corrupt payloads must emit no pair rows")
+    assert(cuts((1L, 1L)) == (2L, 0L) && cuts((1L, 3L)) == (2L, 0L))
+    // boundary: 62 pixels jump 190, pixel 1 jumps |11-200|=189, pixel 2
+    // jumps |10-201|=191 → total 64·190 exactly
+    assert(cuts((1L, 2L)) == (64L * 190L, 1L))
+  }
+
   test("trustRank: trust flows forward from seeds only; all-seeds ≡ pageRank") {
     import graft.graph.GraphOps
     // chain s → a → b plus c → s: c links INTO the seed but gets no
