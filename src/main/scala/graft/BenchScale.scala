@@ -97,7 +97,21 @@ object BenchScale {
     // projection like the rest of the c-set
     "g10_harmonic_gate", "t52_charngram_confusion",
     // graph-ANN beam search: the s22 graph build + per-round beam joins
-    "s28_beam_search")
+    "s28_beam_search",
+    // round-11 session-2 additions with a join or a loop: edit-verified
+    // near-dup (LSH pipeline + candidate text join + per-pair O(len²)
+    // levenshtein — candidate-bounded, must stay ~linear in docs), link
+    // prediction (wedge join, Σdeg² hosts-bounded), TrustRank (the g01
+    // loop with seeded teleport), aHash near-dup (pigeonhole bucket
+    // join; group size fixed at 8 so pairs are docs-linear), scene cuts
+    // (decode-heavy like the m08 family), range search (broadcast
+    // queries × corpus scan — queries grow with corpus/50, so the pair
+    // frame is n²/50: gate documents it stays sub-quadratic in wall
+    // time at these SFs), and CUSUM (windows over the hours×types
+    // aggregate). e21's corpus-sized work is one map-side groupBy.
+    "d31_edit_verified_pairs", "g11_link_prediction", "g12_trustrank",
+    "m20_image_neardup", "m21_scene_changes", "s29_range_search",
+    "e21_cusum_drift")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded
