@@ -206,6 +206,26 @@ private[graft] object RelationalSet {
       try q.processAllAvailable() finally q.stop()
       graft.relational.Temporal.madFromHourly(s.table(sink))
     }),
+    // STREAMING face of CUSUM drift: the e12/e17 closed-hour
+    // accumulation feeding the split-out cusumFromHourly half — the
+    // prefix sums look backward only and the reference median is a pure
+    // function of the accumulated closed-hour table, so flags match
+    // batch e21 computed over the closed subset (the final unclosed
+    // hour per type never emits, the c23 eviction convention)
+    "e22_stream_cusum_parity" -> ((s, dir) => withStatePartitions(s, 8) {
+      val counts = Tables.eventsStream(s, dir).withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
+      val sink = "e22_cusum_sink"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // the CUSUM half self-joins its input (median ⋈ hourly); a
+      // MemoryPlan view breaks Spark's self-join attribute dedup, so
+      // materialize the tiny closed-hour table first
+      graft.relational.Temporal.cusumFromHourly(s.table(sink).localCheckpoint())
+    }),
     // windowed heavy hitters: per-hour top-k users — rank runs over the
     // per-(window, user) aggregate, never the raw events
     "e07_heavy_hitters" -> ((s, dir) =>
@@ -726,6 +746,30 @@ private[graft] object RelationalSet {
           | (CASE WHEN c >= 12 AND abs(n - med) > 5 * mad
           |  THEN 1 ELSE 0 END)::BIGINT AS is_anomaly
           |FROM m2""".stripMargin,
+      // e22: e21 restricted to watermark-CLOSED hours (the e12/e17
+      // convention) — and restricted BEFORE the median/prefix stages,
+      // because the streamed face computes its reference level from the
+      // closed-hour table it actually accumulated
+      "e22_stream_cusum_parity" ->
+        """WITH hourly0 AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+          |  count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+          |hourly AS (SELECT * FROM hourly0
+          |  WHERE epoch_ms(hour + INTERVAL '1 hour') <=
+          |        (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', max(ts))) FROM events)),
+          |med AS (SELECT event_type,
+          |    (list_sort(list(n)))[((count(*) - 1) // 2)::INT + 1]::BIGINT AS med
+          |  FROM hourly GROUP BY 1),
+          |p AS (SELECT h.event_type, hour, n, med,
+          |    sum(n - med - 1) OVER (PARTITION BY h.event_type ORDER BY hour) AS pf
+          |  FROM hourly h JOIN med USING (event_type)),
+          |s AS (SELECT event_type, hour, n, med,
+          |    pf - least(0, min(pf) OVER (PARTITION BY event_type ORDER BY hour)) AS cusum
+          |  FROM p)
+          |SELECT event_type, epoch_ms(hour) AS hour_ms, n AS n_events, med,
+          |  cusum::BIGINT AS cusum,
+          |  (CASE WHEN cusum > 4 * greatest(med, 1) THEN 1 ELSE 0 END)::BIGINT
+          |    AS is_alarm
+          |FROM s""".stripMargin,
       // e21: the same prefix-minimum identity — cumulative sum of
       // (n − med − 1) minus its own running minimum clipped at 0
       "e21_cusum_drift" ->
