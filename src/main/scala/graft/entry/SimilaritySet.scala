@@ -163,6 +163,13 @@ private[graft] object SimilaritySet {
     // 2.3e-5 at sf0.1 (measured), 10 orders above double noise
     "s29_range_search" -> ((s, dir) =>
       Ann.rangeSearch(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // range-search recall gate: the IVF probe-bounded scale path of s29
+    // measured against the exact truth (the s07/s16 gating discipline —
+    // an index family isn't done until its approximation is measured)
+    "s30_range_recall" -> ((s, dir) =>
+      Ann.recallAtK(
+        Ann.rangeSearch(Tables.embeddings(s, dir), col("vec_id") % 50 === 0),
+        Ann.ivfRangeSearch(Tables.embeddings(s, dir), col("vec_id") % 50 === 0))),
     // recall eval for the REFINE path: the measured proof that the
     // exact-cosine re-rank recovers brute-force recall from ADC codes
     "s16_refine_recall" -> ((s, dir) =>
@@ -626,6 +633,35 @@ private[graft] object SimilaritySet {
           |SELECT a.vec_id, a.cell FROM asg a ANTI JOIN drops d ON a.vec_id = d.vec_id"""
           .stripMargin,
       "s08_ivfpq_search" -> s08Sql(5),
+      // s30: exact range truth LEFT JOIN the probe-bounded approximation
+      // (same s02 quantizer/probes), counted into per-query recall
+      "s30_range_recall" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |ex AS (SELECT q.query_id, e.vec_id AS neighbor_id
+          |       FROM q JOIN embeddings e ON e.vec_id != q.query_id
+          |       WHERE list_cosine_similarity(qe, e.embedding) >= 0.35),
+          |cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
+          |         WHERE vec_id % 25 = 0),
+          |assigned AS (SELECT vec_id, embedding, cell FROM (
+          |  SELECT e.vec_id, e.embedding, c.cell,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rn
+          |  FROM embeddings e CROSS JOIN cent c) z WHERE rn = 1),
+          |probes AS (SELECT query_id, qe, cell FROM (
+          |  SELECT q.query_id, q.qe, c.cell,
+          |    row_number() OVER (PARTITION BY q.query_id
+          |      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
+          |  FROM q CROSS JOIN cent c) z WHERE rn <= 3),
+          |ap AS (SELECT p.query_id, a.vec_id AS neighbor_id
+          |       FROM probes p JOIN assigned a
+          |         ON p.cell = a.cell AND a.vec_id != p.query_id
+          |       WHERE list_cosine_similarity(p.qe, a.embedding) >= 0.35)
+          |SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits,
+          |  floor(count(a.neighbor_id) * 1000000 / count(*))::BIGINT AS recall_ppm
+          |FROM ex e LEFT JOIN ap a
+          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          |GROUP BY 1""".stripMargin,
       // s29: the threshold filter replaces the rank window
       "s29_range_search" ->
         """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id

@@ -133,6 +133,39 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
   }
 
+  /** IVF range search — [[rangeSearch]]'s probe-bounded SCALE path: the
+    * same exact-cosine ≥ tau verify, but only over vectors in the
+    * query's `nprobe` nearest coarse cells (s02's quantizer), so the
+    * per-query work is cell-bounded instead of corpus-bounded. Recall
+    * < 1 by design (a true neighbor living outside the probed cells is
+    * missed — the IVF trade); the emitted set is PROVABLY a subset of
+    * [[rangeSearch]]'s (identical verify on fewer candidates), which is
+    * what lets [[recallAtK]] gate it. Output: (query_id, neighbor_id).
+    */
+  def ivfRangeSearch(embeddings: DataFrame, queryPred: Column,
+                     tau: Double = 0.35, centroidStep: Long = 25L,
+                     nprobe: Int = 3): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id")
+    val cents = corpus.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val assigned = assignCells(corpus, cents)
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val qcos = dotCol("qv", "cv") / (col("qnorm") * col("cnorm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("cell").asc)
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qnorm"), col("cell"), qcos.as("__cos"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nprobe)
+      .drop("__cos", "__rn")
+    broadcast(probes)
+      .join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .where(dotCol("qv", "v") / (col("qnorm") * col("norm")) >= tau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
   /** MRR@k evaluation of an approximate index against the exact top-1 —
     * the GRADED companion of [[recallAtK]]'s hit counting (recall says
     * whether the true neighbor made the list; MRR says WHERE — an index

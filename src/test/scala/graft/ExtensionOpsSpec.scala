@@ -1415,6 +1415,35 @@ class ExtensionOpsSpec extends SparkTestBase {
       "tau below -1 returns the whole corpus minus the query itself")
   }
 
+  test("ivfRangeSearch: probe-bounded subset of exact range; unprobed cell costs recall") {
+    import graft.similarity.Ann
+    // centroids at %25: c0=[1,0] (also the %50 query), c25=[0,1].
+    // id 1 lives in cell 0 (found at any nprobe); id 2 leans toward c25
+    // (cell 25) while still within τ=0.5 of the query — the true
+    // neighbor nprobe=1 must miss and nprobe=2 must recover
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (25L, Array(0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.7f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val q = col("vec_id") % 50 === 0
+    def recall(np: Int): (Long, Long) = {
+      val r = Ann.recallAtK(
+        Ann.rangeSearch(vecs, q, tau = 0.5),
+        Ann.ivfRangeSearch(vecs, q, tau = 0.5, nprobe = np)).collect()
+      assert(r.length == 1 && r.head.getLong(0) == 0L)
+      (r.head.getLong(1), r.head.getLong(2))
+    }
+    assert(recall(1) == (1L, 500000L), "cell-25 neighbor missed at nprobe=1")
+    assert(recall(2) == (2L, 1000000L), "second probe recovers full recall")
+    // subset property on the real corpus: identical verify over fewer
+    // candidates can only remove pairs
+    val exact = Ann.rangeSearch(embeddings, col("vec_id") % 50 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.ivfRangeSearch(embeddings, col("vec_id") % 50 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact))
+  }
+
   test("imageDupPairs: real-decode aHash pairs within Hamming, corrupt emits nothing") {
     import graft.multimodal.Multimodal
     // 10×6 two-level rasters: pixels ARE the hash bits. Doc 1 = base,
