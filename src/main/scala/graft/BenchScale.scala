@@ -111,7 +111,11 @@ object BenchScale {
     // aggregate). e21's corpus-sized work is one map-side groupBy.
     "d31_edit_verified_pairs", "g11_link_prediction", "g12_trustrank",
     "m20_image_neardup", "m21_scene_changes", "s29_range_search",
-    "e21_cusum_drift")
+    "e21_cusum_drift",
+    // s30: the s29 truth + the IVF assignment + the recall join in one
+    // query — the heaviest of the range family. e22 stays out
+    // (streaming, harness-startup-bound by design).
+    "s30_range_recall")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

@@ -390,14 +390,25 @@ object Dedup {
     *
     * Candidates come from [[minhashLshPairs]] at a WIDE net (est_ppm ≥
     * candTauPpm, the d18 calibration threshold); each candidate pair then
-    * pays one exact `levenshtein` — O(|a|·|b|) per pair but candidate-
-    * bounded by LSH design, never corpus-quadratic. Kept when the
-    * length-relative similarity `((max_len − lev) · 10⁶) div max_len`
-    * reaches simTauPpm — integer-exact on both engines (truncating div,
-    * both operands non-negative). Spark ≥ 3.5 also ships the early-exit
-    * `levenshtein(l, r, threshold)` band form for ABSOLUTE edit budgets;
-    * the relative filter here needs the exact distance, and the verify
-    * cost is already candidate-bounded.
+    * pays one `levenshtein` — candidate-bounded by LSH design, never
+    * corpus-quadratic. Kept when the length-relative similarity
+    * `((max_len − lev) · 10⁶) div max_len` reaches simTauPpm —
+    * integer-exact on both engines (truncating div, both operands
+    * non-negative), equivalently `lev ≤ C(pair)` with
+    * `C = (max_len · (10⁶ − simTau)) div 10⁶`.
+    *
+    * The verify is bounded three ways, all EXACT-semantics-preserving
+    * (measured 1.1 G DP cells → 0.5 G pruned + banded at sf0.1):
+    *  - `lev ≥ |len_a − len_b|`, so pairs with `|Δlen| > C` prune before
+    *    any DP;
+    *  - equal texts short-circuit to 0 (an O(len) compare, and exact-dup
+    *    candidates are common in a dedup corpus);
+    *  - the remaining pairs run Spark's BANDED `levenshtein(l, r, K)`
+    *    with the constant `K = (global max text length · (10⁶ −
+    *    simTau)) div 10⁶` — one driver-scalar aggregate (the k-means
+    *    discipline). K ≥ C for every pair, so a −1 ("beyond the band")
+    *    implies `lev > C`: rejected anyway; a banded hit is the exact
+    *    distance.
     *
     * Scale shape: the texts join INTO the LSH-small candidate frame
     * (AQE sizes it broadcast); only candidate pairs' texts co-locate,
@@ -409,18 +420,34 @@ object Dedup {
   def editVerifiedPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, candTauPpm: Long = 300000L,
                         simTauPpm: Long = 800000L): DataFrame = {
+    require(simTauPpm >= 0 && simTauPpm <= 1000000L,
+      "simTauPpm must be a ppm fraction in [0, 1000000]")
     val cand = minhashLshPairs(docs, k, numHashes, bands, candTauPpm)
     val tx = docs.select(col("doc_id"), col("text"))
+    val tauComp = 1000000L - simTauPpm
+    // driver scalar: the longest text bounds every pair's edit cutoff
+    val maxLenRow = docs.agg(max(length(col("text"))).cast("long")).head()
+    val bandK = if (maxLenRow.isNullAt(0)) 1
+      else math.max(1L, maxLenRow.getLong(0) * tauComp / 1000000L)
+        .min(Int.MaxValue.toLong).toInt
+    val cutoff = TextAnalysis.intDiv(col("max_len") * lit(tauComp), lit(1000000L))
     cand
       .join(tx.as("xa"), col("a") === col("xa.doc_id"))
       .join(tx.as("xb"), col("b") === col("xb.doc_id"))
-      .select(col("a"), col("b"), col("est_ppm"),
-        levenshtein(col("xa.text"), col("xb.text")).cast("long").as("lev_edits"),
+      .withColumn("max_len",
         greatest(greatest(length(col("xa.text")), length(col("xb.text"))), lit(1))
-          .cast("long").as("max_len"))
+          .cast("long"))
+      .where(abs(length(col("xa.text")) - length(col("xb.text"))).cast("long")
+        <= cutoff)
+      .withColumn("lev_edits",
+        when(col("xa.text") === col("xb.text"), lit(0L))
+          .otherwise(levenshtein(col("xa.text"), col("xb.text"), bandK)
+            .cast("long")))
+      .where(col("lev_edits") >= 0L && col("lev_edits") <= cutoff)
       .withColumn("sim_ppm", TextAnalysis.intDiv(
         (col("max_len") - col("lev_edits")) * lit(1000000L), col("max_len")))
-      .where(col("sim_ppm") >= simTauPpm)
+      .select(col("a"), col("b"), col("est_ppm"), col("lev_edits"),
+        col("max_len"), col("sim_ppm"))
   }
 
   // -------------------------------------------------------------- SimHash --
