@@ -221,10 +221,10 @@ private[graft] object RelationalSet {
       val q = counts.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      // the CUSUM half self-joins its input (median ⋈ hourly); a
-      // MemoryPlan view breaks Spark's self-join attribute dedup, so
-      // materialize the tiny closed-hour table first
-      graft.relational.Temporal.cusumFromHourly(s.table(sink).localCheckpoint())
+      // the CUSUM half self-joins its input (median ⋈ hourly) and a bare
+      // MemoryPlan view breaks Spark's self-join attribute dedup;
+      // cusumFromHourly's internal checkpoint handles it
+      graft.relational.Temporal.cusumFromHourly(s.table(sink))
     }),
     // windowed heavy hitters: per-hour top-k users — rank runs over the
     // per-(window, user) aggregate, never the raw events

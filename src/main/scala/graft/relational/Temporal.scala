@@ -725,11 +725,16 @@ object Temporal {
     * (event_type, hour, n_events) frame — the [[spikesFromHourly]]
     * split, reusable by a streaming face over closed hourly windows.
     */
-  def cusumFromHourly(hourly: DataFrame, allowance: Long = 1L,
+  def cusumFromHourly(hourly0: DataFrame, allowance: Long = 1L,
                       hFactor: Long = 4L): DataFrame = {
     def lowerMedian(arr: Column): Column =
       element_at(array_sort(arr),
         (floor((size(arr) - lit(1)) / lit(2)) + lit(1)).cast("int"))
+    // the hourly aggregate feeds TWO consumers (the median and the window
+    // side of the join) — without a checkpoint the corpus-sized groupBy
+    // runs twice; the frame is calendar-bounded (hours × types), so lazy
+    // localCheckpoint materializes it once (the minhash/CC discipline)
+    val hourly = hourly0.localCheckpoint(eager = false)
     val med = hourly.groupBy(col("event_type"))
       .agg(lowerMedian(collect_list(col("n_events"))).as("med"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))

@@ -804,6 +804,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("ScalaUDF"), s"probe test must stay codegen'd md5 arithmetic:\n$p")
   }
 
+  test("editVerifiedPairs: no cartesian, no UDF; the length prune precedes the DP") {
+    val p = plan(Dedup.editVerifiedPairs(docs))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the LSH verify:\n$p")
+    assert(!p.contains("ScalaUDF"), s"levenshtein must be the codegen'd built-in:\n$p")
+    // the banded form carries the driver-scalar K as a literal third arg
+    assert(p.toLowerCase.contains("levenshtein"), s"where did the verify go:\n$p")
+  }
+
+  test("linkPrediction: degree table broadcasts; wedge counts combine map-side") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
+    val p = plan(graft.graph.GraphOps.linkPrediction(edges, minCommon = 1L))
+    assert(p.contains("BroadcastHashJoin"), s"degrees must broadcast:\n$p")
+    assert(p.contains("partial_count"), s"wedge counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("rangeSearch: queries broadcast into ONE corpus scan; no rank window at all") {
+    val p = plan(Ann.rangeSearch(embeddings, col("vec_id") % 50 === 0))
+    assert(p.contains("Broadcast"), s"queries must broadcast:\n$p")
+    assert(!p.contains("Window"), s"range search needs no per-query sort:\n$p")
+    assert(!p.contains("ScalaUDF"), s"vec_dot must stay codegen'd:\n$p")
+  }
+
+  test("cusumDrift: ONE keyed shuffle feeds both window passes; median broadcasts back") {
+    val p = plan(graft.relational.Temporal.cusumDrift(events))
+    // prefix-sum and running-min share (event_type, hour asc): Spark must
+    // plan them over a single hash exchange above the CHECKPOINTED hourly
+    // aggregate (which materializes once for its two consumers), plus the
+    // median's own types-bounded collect — ≤ 2 keyed exchanges total
+    val keyedExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyedExchanges <= 2,
+      s"window stages must reuse one partitioning, saw $keyedExchanges:\n$p")
+    assert("Window".r.findAllIn(p).size == 2, s"exactly two window passes:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the per-type median must broadcast:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("corpus overlap: ONE map-side-combined slice aggregate; pairwise side broadcast") {
     val p = plan(Dedup.corpusOverlap(docs))
     // 64 per-slice mins combine map-side (the union-signature aggregate)
