@@ -114,7 +114,9 @@ object BenchScale {
     "e21_cusum_drift",
     // s30: the s29 truth + the IVF assignment + the recall join in one
     // query — the heaviest of the range family. e22 stays out
-    // (streaming, harness-startup-bound by design).
+    // (streaming, harness-startup-bound by design); h25 stays out
+    // (a shuffle-free projection + one map-side groupBy, the t47
+    // exemption class — no join, no loop).
     "s30_range_recall")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus

@@ -135,6 +135,13 @@ private[graft] object RelationalSet {
     // total in one Expand pass, grouping_id disambiguation
     "h24_revenue_cube" -> ((s, dir) =>
       graft.relational.Relational.revenueCube(Tables.lineitem(s, dir))),
+    // Z-order layout stats + the file-skipping decision: Morton
+    // interleave of (user_id, coarse cents) as a pure codegen
+    // projection, per-bucket min/max envelopes (≙ per-file column
+    // stats), and the exact skip verdict for a literal probe box — the
+    // OPTIMIZE ZORDER read for multi-dim pruning at lake scale
+    "h25_zorder_pruning" -> ((s, dir) =>
+      graft.relational.Relational.zOrderPruning(events(s, dir))),
     // skew-salted equi-join (the manual hot-key escape hatch): salting
     // must be INVISIBLE — the aggregate equals the plain join's
     "h23_salted_join" -> ((s, dir) =>
@@ -637,6 +644,24 @@ private[graft] object RelationalSet {
           | sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS rev_cents,
           | GROUPING_ID(l_returnflag, l_linestatus)::BIGINT AS grp
           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+      // h25: the identical interleave as a generate_series bit fold
+      "h25_zorder_pruning" ->
+        """WITH src AS (SELECT (user_id & 1023) AS x,
+          |    ((floor(value * 100)::BIGINT >> 6) & 1023) AS y
+          |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+          |zz AS (SELECT x, y,
+          |    sum((((x >> i) & 1) << (2*i)) | (((y >> i) & 1) << (2*i+1)))::BIGINT AS z
+          |  FROM (SELECT row_number() OVER () AS rid, x, y FROM src) r
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS i)
+          |  GROUP BY rid, x, y),
+          |b AS (SELECT z >> 8 AS bucket, count(*)::BIGINT AS n_rows,
+          |    min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+          |    min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+          |  FROM zz GROUP BY 1)
+          |SELECT bucket, n_rows, min_x, max_x, min_y, max_y,
+          |  (CASE WHEN min_x > 47 OR max_x < 40 OR min_y > 163 OR max_y < 100
+          |   THEN 1 ELSE 0 END)::BIGINT AS skip_probe
+          |FROM b""".stripMargin,
       "h23_salted_join" ->
         """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
           | sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS rev_cents

@@ -661,6 +661,56 @@ object Relational {
     * the moderate cases automatically — this is the heavy-artillery
     * escape hatch, as in every production Spark playbook).
     */
+  /** Z-ORDER (Morton-curve) clustering stats + the file-skipping read —
+    * the data-LAYOUT primitive behind multi-dimensional pruning at
+    * lake scale (Delta/Iceberg `OPTIMIZE ZORDER`): interleaving the bits
+    * of two dimension keys makes rows close in (x, y) land in the same
+    * z-range, so per-bucket min/max envelopes — exactly the per-FILE
+    * column stats a table format keeps — stay TIGHT on BOTH dimensions
+    * at once, where sorting by x alone leaves y's envelopes full-width.
+    * Per bucket (z >> bucketShift): row count, the (min, max) envelope of
+    * each dimension, and `skip_probe` — whether the literal probe box
+    * [boxXMin..boxXMax]×[boxYMin..boxYMax] can skip the bucket entirely,
+    * the exact pruning decision a reader makes from file stats.
+    *
+    * Dimensions: x = user_id masked to `bits`; y = the repo's exact
+    * integer cents (`floor(value·100)`) coarsened by 2⁶ and masked.
+    * Rows with a NULL dimension carry no layout position and are
+    * excluded (production sends them to a dedicated null file). The
+    * z-value is a PURE PROJECTION — `bits` unrolled shift/AND/OR terms,
+    * whole-stage codegen, no join, no UDF — and the stats are ONE
+    * map-side-combinable groupBy on the bucket key. All columns are
+    * exact integers; the oracle replays the interleave bit-for-bit.
+    *
+    * Output: (bucket, n_rows, min_x, max_x, min_y, max_y, skip_probe).
+    */
+  def zOrderPruning(events: DataFrame, bits: Int = 10, bucketShift: Int = 8,
+                    boxXMin: Long = 40L, boxXMax: Long = 47L,
+                    boxYMin: Long = 100L, boxYMax: Long = 163L): DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    require(bucketShift >= 0 && bucketShift < 2 * bits,
+      "bucketShift must be inside the z-value width")
+    val mask = (1L << bits) - 1L
+    val x = col("user_id").bitwiseAND(lit(mask))
+    val y = shiftright(floor(col("value") * 100).cast("long"), 6)
+      .bitwiseAND(lit(mask))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(col("__x"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(col("__y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    events
+      .where(col("user_id").isNotNull && col("value").isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+      .withColumn("bucket", shiftright(z, bucketShift))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+      .withColumn("skip_probe",
+        (col("min_x") > boxXMax || col("max_x") < boxXMin ||
+          col("min_y") > boxYMax || col("max_y") < boxYMin).cast("long"))
+  }
+
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
                      salts: Int, saltSource: Column): DataFrame = {
     require(salts >= 1, "salts must be >= 1")

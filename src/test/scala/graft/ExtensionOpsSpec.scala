@@ -1415,6 +1415,31 @@ class ExtensionOpsSpec extends SparkTestBase {
       "tau below -1 returns the whole corpus minus the query itself")
   }
 
+  test("zOrderPruning: hand-computed Morton codes, envelopes, and skip verdicts") {
+    import graft.relational.Relational
+    // cents>>6 gives y: value 0.64 → cents 64 → y 1; value 0.01 → y 0.
+    // Morton: (x=3,y=1)→0b0111=7, (x=2,y=1)→0b0110=6, (x=3,y=0)→0b0101=5.
+    // Null dimension rows carry no layout position and must vanish.
+    val events = Seq(
+      (3L, Some(0.64)), (2L, Some(0.64)), (3L, Some(0.01)),
+      (7L, None) // null value → excluded
+    ).map { case (u, v) => (u, v.map(Double.box).orNull) }
+      .toDF("user_id", "value")
+    val raw = Relational.zOrderPruning(events, bucketShift = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(raw.keySet == Set(7L, 6L, 5L), s"Morton codes off: ${raw.keySet}")
+    assert(raw(7L) == (1L, 3L, 1L)) // n_rows, min_x, min_y
+    // default probe box x∈[40,47]: every bucket here has max_x ≤ 3 → skip
+    assert(Relational.zOrderPruning(events, bucketShift = 0)
+      .collect().forall(_.getAs[Long]("skip_probe") == 1L))
+    // z-locality: at bucketShift=2 all three rows share ONE bucket whose
+    // envelope is tight on BOTH dims — the property x-sorting alone loses
+    val coarse = Relational.zOrderPruning(events, bucketShift = 2).collect()
+    assert(coarse.length == 1 && coarse.head.getLong(0) == 1L)
+    assert((coarse.head.getLong(2), coarse.head.getLong(3),
+      coarse.head.getLong(4), coarse.head.getLong(5)) == (2L, 3L, 0L, 1L))
+  }
+
   test("ivfRangeSearch: probe-bounded subset of exact range; unprobed cell costs recall") {
     import graft.similarity.Ann
     // centroids at %25: c0=[1,0] (also the %50 query), c25=[0,1].

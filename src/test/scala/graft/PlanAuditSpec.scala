@@ -841,6 +841,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("zOrderPruning: pure-projection interleave, map-side-combined bucket stats") {
+    val p = plan(graft.relational.Relational.zOrderPruning(events))
+    assert(!p.contains("ScalaUDF"), s"the Morton interleave must be codegen'd shifts:\n$p")
+    assert(p.contains("partial_count"), s"bucket stats must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"a layout projection must not join anything:\n$p")
+  }
+
   test("corpus overlap: ONE map-side-combined slice aggregate; pairwise side broadcast") {
     val p = plan(Dedup.corpusOverlap(docs))
     // 64 per-slice mins combine map-side (the union-signature aggregate)
