@@ -1033,6 +1033,47 @@ object Dedup {
           .cast("long").as("fp_within_bound"))
   }
 
+  /** [[bloomMembership]]'s accounting over SHARDED filters — the probe
+    * side of [[graft.streaming.StreamingDedup.bloomSeenStream]]: each
+    * probe key tests against ITS shard's filter only (the same
+    * `pmod(md5_60, nShards)` routing that built the state), the exact
+    * member flags come from the same distinct left join, and the output
+    * row is d26's exactly — (n_filter, n_probes, n_members,
+    * false_negatives, fp_within_bound) — so the zero-FN theorem now
+    * certifies the streamed state path. The shard-filter frame is
+    * shards-bounded and broadcasts onto the probe scan.
+    */
+  def bloomMembershipFromShards(shardFilters: DataFrame, filterKeys: DataFrame,
+                                probes: DataFrame, nShards: Int = 8,
+                                mBits: Int = 16384, kHashes: Int = 4,
+                                fpBudgetPpm: Long = 50000L): DataFrame = {
+    val fk = filterKeys.select(col("key").cast("string").as("key")).distinct()
+    val pk = probes.select(col("key").cast("string").as("key")).distinct()
+    val filters = shardFilters.select(col("shard"),
+      col("s.words").as("__words"))
+    val flagged = pk
+      .withColumn("shard", pmod(graft.functions.PortableHash.md5Long60(col("key")),
+        lit(nShards.toLong)))
+      .join(fk.withColumn("__in", lit(1L)), Seq("key"), "left")
+      .join(broadcast(filters), Seq("shard"), "left")
+      .select(col("key"), coalesce(col("__in"), lit(0L)).as("__m"),
+        coalesce(graft.functions.BloomSketch.testColumn(
+          col("__words"), col("key"), mBits, kHashes).cast("long"), lit(0L))
+          .as("__hit"))
+    flagged
+      .agg(count(lit(1)).as("n_probes"),
+        coalesce(sum(col("__m")), lit(0L)).as("n_members"),
+        coalesce(sum(when(col("__m") === 1L && col("__hit") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("false_negatives"),
+        coalesce(sum(when(col("__m") === 0L && col("__hit") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("__fp"))
+      .crossJoin(broadcast(fk.agg(count(lit(1)).as("n_filter"))))
+      .select(col("n_filter"), col("n_probes"), col("n_members"),
+        col("false_negatives"),
+        (col("__fp") <= expr(s"(n_probes * ${fpBudgetPpm}L) div 1000000") + 3L)
+          .cast("long").as("fp_within_bound"))
+  }
+
   // ------------------------------------------------------ chunk-level dedup --
 
   /** Sub-document exact dedup at chunk granularity — the "line-level"

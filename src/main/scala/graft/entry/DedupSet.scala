@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.{CounterDef, CounterType}
@@ -91,6 +91,32 @@ private[graft] object DedupSet {
       Dedup.bloomMembership(
         d.where(col("doc_id") % 2 === 0).select(url),
         d.where(col("doc_id") % 2 === 1).select(url))
+    }),
+    // STREAMING face of the Bloom seen-set: the d26 filter built from
+    // the documents STREAM as sharded typed-aggregation state (update
+    // mode; bit-OR is commutative AND idempotent, so the final per-shard
+    // filter is arrival/batch-boundary independent), probed batch-side
+    // with the same exact accounting — the zero-FN theorem certifies the
+    // streamed state path lost no bits
+    "d32_stream_bloom_seen" -> ((s, dir) => withStatePartitions(s, 8) {
+      val d = Tables.documents(s, dir)
+      def url(c: Column) =
+        concat(lit("https://ex.com/p"), (c % 301).cast("string"))
+      val keys = Tables.documentsStream(s, dir)
+        .where(col("doc_id") % 2 === 0)
+        .select(url(col("doc_id")).as("key"))
+      val out = graft.streaming.StreamingDedup.bloomSeenStream(keys)
+      val sink = "d32_bloom_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      // n is non-decreasing across a shard's update emissions: max_by(n)
+      // picks each shard's final filter
+      val finals = s.table(sink).groupBy(col("shard"))
+        .agg(max_by(col("s"), col("s.n")).as("s"))
+      Dedup.bloomMembershipFromShards(finals,
+        d.where(col("doc_id") % 2 === 0).select(url(col("doc_id")).as("key")),
+        d.where(col("doc_id") % 2 === 1).select(url(col("doc_id")).as("key")))
     }),
     // pair list → duplicate clusters (keeper = min doc_id per component)
     "d06_dup_clusters" -> ((s, dir) =>
@@ -418,6 +444,18 @@ private[graft] object DedupSet {
           |  '.example.com/page/' || (doc_id // 4)::VARCHAR AS url
           |FROM documents""".stripMargin,
       "d26_bloom_seen" ->
+        """WITH f AS (SELECT DISTINCT 'https://ex.com/p' || (doc_id % 301) AS url
+          |           FROM documents WHERE doc_id % 2 = 0),
+          |p AS (SELECT DISTINCT 'https://ex.com/p' || (doc_id % 301) AS url
+          |      FROM documents WHERE doc_id % 2 = 1)
+          |SELECT (SELECT count(*) FROM f)::BIGINT AS n_filter,
+          |  (SELECT count(*) FROM p)::BIGINT AS n_probes,
+          |  (SELECT count(*) FROM p JOIN f USING (url))::BIGINT AS n_members,
+          |  0::BIGINT AS false_negatives,
+          |  1::BIGINT AS fp_within_bound""".stripMargin,
+      // d32: d26's exact accounting verbatim — the filter's PROVENANCE
+      // (streamed sharded state vs one batch aggregate) must be invisible
+      "d32_stream_bloom_seen" ->
         """WITH f AS (SELECT DISTINCT 'https://ex.com/p' || (doc_id % 301) AS url
           |           FROM documents WHERE doc_id % 2 = 0),
           |p AS (SELECT DISTINCT 'https://ex.com/p' || (doc_id % 301) AS url

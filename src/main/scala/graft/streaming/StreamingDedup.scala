@@ -334,6 +334,36 @@ object StreamingDedup {
     * output; latency = the watermark delay — the price of a cross-table
     * verdict, which no single band owns).
     */
+  /** Streaming face of the Bloom SEEN-SET (d26's filter built from a
+    * STREAM): keys shard by `pmod(md5_60(key), nShards)` — the way
+    * production scales grow-only filter state — and each shard's
+    * [[graft.functions.BloomSketch.Agg]] runs as a streaming typed
+    * aggregation (update mode), so the filter bits accumulate across
+    * micro-batches as state. Bit-OR is commutative AND idempotent, so
+    * the final per-shard filter is a pure function of the key multiset —
+    * arrival-order- and batch-boundary-independent (the d15/d27 parity
+    * discipline); `n` counts inserts, also order-free. Probe the final
+    * emission per shard (max_by n — n is non-decreasing across a
+    * shard's updates) with
+    * [[graft.dedup.Dedup.bloomMembershipFromShards]]: the zero-FN
+    * theorem then certifies the STREAMED state path lost no bits.
+    *
+    * Output stream (update mode): (shard, s struct(words, n)).
+    */
+  def bloomSeenStream(keys: DataFrame, nShards: Int = 8,
+                      mBits: Int = 16384, kHashes: Int = 4): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.select(col("key").cast("string").as("key"),
+        pmod(graft.functions.PortableHash.md5Long60(col("key")),
+          lit(nShards.toLong)).as("shard"))
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .mapValues(_._1)
+      .agg(new graft.functions.BloomSketch.Agg(mBits, kHashes).toColumn.name("s"))
+      .toDF("shard", "s")
+  }
+
   def dropNearDuplicatesVerified(stream: DataFrame, tsCol: String, embedCol: String,
                                  idCol: String = "vec_id", tau: Double = 0.35,
                                  nPlanes: Int = 4, tables: Int = 3,

@@ -121,6 +121,53 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("bloomSeenStream: cross-batch OR-accumulation equals the batch filter bit-for-bit") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = StreamingDedup.bloomSeenStream(
+      input.toDF().toDF("key"), nShards = 4)
+    val query = out.writeStream.format("memory").queryName("bloom_sink")
+      .outputMode("update").start()
+    val keys1 = (0 until 30).map(i => s"https://a.example/$i")
+    val keys2 = (30 until 50).map(i => s"https://a.example/$i") ++
+      keys1.take(5) // cross-batch duplicates: bits idempotent
+    try {
+      input.addData(keys1: _*)
+      query.processAllAvailable()
+      input.addData(keys2: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val finals = spark.table("bloom_sink").groupBy(col("shard"))
+      .agg(max_by(col("s"), col("s.n")).as("s"))
+      .select(col("shard"), col("s.words").as("w"), col("s.n").as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toVector, r.getLong(2))).toMap
+    // batch twin: the same sharded aggregation over all keys at once
+    val batch = (keys1 ++ keys2).toDF("key")
+      .select(col("key"), org.apache.spark.sql.functions.pmod(
+        graft.functions.PortableHash.md5Long60(col("key")), lit(4L)).as("shard"))
+      .as[(String, Long)].groupByKey(_._2).mapValues(_._1)
+      .agg(new graft.functions.BloomSketch.Agg(16384, 4).toColumn.name("s"))
+      .toDF("shard", "s")
+      .select(col("shard"), col("s.words").as("w"), col("s.n").as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toVector, r.getLong(2))).toMap
+    assert(finals.keySet == batch.keySet)
+    for ((shard, (w, n)) <- batch) {
+      assert(finals(shard)._1 == w, s"shard $shard filter bits diverge")
+      assert(finals(shard)._2 == n, s"shard $shard insert count diverges")
+    }
+    // and the zero-FN theorem holds through the streamed path: every
+    // inserted key tests true against its shard's final filter
+    val sf = spark.table("bloom_sink").groupBy(col("shard"))
+      .agg(max_by(col("s"), col("s.n")).as("s"))
+    val acct = Dedup.bloomMembershipFromShards(sf,
+      (keys1 ++ keys2).toDF("key"), (keys1 ++ keys2).toDF("key"), nShards = 4)
+      .collect().head
+    assert(acct.getAs[Long]("false_negatives") == 0L)
+    assert(acct.getAs[Long]("n_members") == 50L)
+  }
+
   test("an entry stops suppressing once the watermark passes its event time") {
     implicit val sc = spark.sqlContext
     withRocksDb {
