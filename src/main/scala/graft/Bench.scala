@@ -211,9 +211,12 @@ object Bench {
     // 2. Slowest-tail: the 3 slowest results get one unconditional retry —
     //    when a window covered all three of a query's runs the 3×warm test
     //    is blind (observed: c08 0.4 s solo, 3.7 s contaminated).
-    // 3. Reference-based (round-11, VERDICT r10 item 1): any reading above
-    //    2.5× its committed bench_reference.json value gets up to 2 more
-    //    attempts — the rule that would have caught round 10's 9–15×
+    // 3. Reference-based (round-11, VERDICT r10 item 1; threshold widened
+    //    to 2.0× in round 12 per VERDICT r11 item 2 — round 11 shipped
+    //    five unretried 2–2.3× readings, each costing a judge
+    //    adjudication): any reading above 2× its committed
+    //    bench_reference.json value gets up to 2 more attempts regardless
+    //    of busy — the rule that would have caught round 10's 9–15×
     //    artifact inflations without a manual adjudication. Bounded by a
     //    global budget so a genuinely-regressed build terminates.
     var retryBudget = 40
@@ -234,12 +237,12 @@ object Bench {
       val ref = reference.get(name)
       var refTries = 0
       while (refTries < 2 && !errors.contains(name) && retryBudget > 0 &&
-             ref.exists(r => best > 2.5 * math.max(r, 0.2))) {
+             ref.exists(r => best > 2.0 * math.max(r, 0.2))) {
         refTries += 1
         retry(s"$name#ref$refTries")
       }
-      if (ref.exists(r => best > 2.5 * math.max(r, 0.2)))
-        System.err.println(f"[bench] WARNING: $name%-24s $best%8.2fs stays >2.5x " +
+      if (ref.exists(r => best > 2.0 * math.max(r, 0.2)))
+        System.err.println(f"[bench] WARNING: $name%-24s $best%8.2fs stays >2x " +
           f"reference ${ref.get}%.2fs after retries — real regression or sustained noise")
       name -> (best, bestBusy)
     }.toMap

@@ -661,6 +661,15 @@ object Relational {
     * the moderate cases automatically — this is the heavy-artillery
     * escape hatch, as in every production Spark playbook).
     */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     salts: Int, saltSource: Column): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val saltedFact = fact.withColumn("__salt", pmod(saltSource, lit(salts)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Z-ORDER (Morton-curve) clustering stats + the file-skipping read —
     * the data-LAYOUT primitive behind multi-dimensional pruning at
     * lake scale (Delta/Iceberg `OPTIMIZE ZORDER`): interleaving the bits
@@ -709,14 +718,5 @@ object Relational {
       .withColumn("skip_probe",
         (col("min_x") > boxXMax || col("max_x") < boxXMin ||
           col("min_y") > boxYMax || col("max_y") < boxYMin).cast("long"))
-  }
-
-  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
-                     salts: Int, saltSource: Column): DataFrame = {
-    require(salts >= 1, "salts must be >= 1")
-    val saltedFact = fact.withColumn("__salt", pmod(saltSource, lit(salts)))
-    val saltedDim = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
-    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 }
