@@ -38,6 +38,11 @@ private[graft] object SimilaritySet {
     // family matrix (flat / IVF / PQ / sign-LSH / graph)
     "s28_beam_search" -> ((s, dir) =>
       Ann.beamSearchTopK(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // beam-width recall curve: the graph index graded against brute truth
+    // at ef = 5/8/16 — the s17 tuning-curve discipline for the last index
+    // family without its own measured-recall row; graph + truth build once
+    "s31_beam_recall" -> ((s, dir) =>
+      Ann.beamTuningCurve(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     // MRR@5 of the IVF index vs the exact top-1 — recall's graded twin:
     // integer reciprocal-rank points, 0 on a miss
     "s23_mrr_eval" -> ((s, dir) =>
@@ -495,6 +500,50 @@ private[graft] object SimilaritySet {
           |  node AS neighbor_id
           |FROM v3 WHERE node != query_id
           |QUALIFY rank <= 5""".stripMargin,
+      // s31: the s28 chain replayed once per beam width over the SAME
+      // shared knn/e/q/ent/v0 CTEs, each chain's final top-5 graded
+      // against the s01 truth with s17's integer recall fixed point
+      "s31_beam_recall" -> {
+        val chains = Seq(5, 8, 16).map { b =>
+          Seq(beamRound("0", s"b${b}r1", b),
+            beamRound(s"b${b}r1", s"b${b}r2", b),
+            beamRound(s"b${b}r2", s"b${b}r3", b),
+            s"""ab$b AS (SELECT query_id, node AS neighbor_id FROM (
+               |  SELECT query_id, node, row_number() OVER (
+               |      PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+               |  FROM vb${b}r3 WHERE node != query_id) z WHERE rank <= 5)"""
+              .stripMargin).mkString(",\n")
+        }.mkString(",\n")
+        val rows = Seq(5, 8, 16).map { b =>
+          s"""SELECT $b::BIGINT AS beam,
+             | count(DISTINCT t.query_id)::BIGINT AS n_queries,
+             | count(a.neighbor_id)::BIGINT AS n_hits,
+             | (count(a.neighbor_id) * 1000000 // count(*))::BIGINT AS recall_ppm
+             |FROM truth t LEFT JOIN ab$b a
+             |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id"""
+            .stripMargin
+        }.mkString("\n UNION ALL \n")
+        s"""WITH knn AS MATERIALIZED (
+          |  ${s22Sql.replace("\n", "\n  ")}),
+          |e AS MATERIALIZED (SELECT DISTINCT u, w FROM (
+          |    SELECT vec_id AS u, neighbor_id AS w FROM knn
+          |    UNION ALL SELECT neighbor_id, vec_id FROM knn) s),
+          |q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+          |    FROM embeddings WHERE vec_id % 50 = 0),
+          |ent AS (SELECT min(vec_id) AS node FROM embeddings),
+          |v0 AS MATERIALIZED (SELECT q.query_id, ent.node,
+          |    list_cosine_similarity(q.qe, emb.embedding) AS cos
+          |  FROM q CROSS JOIN ent JOIN embeddings emb ON emb.vec_id = ent.node),
+          |truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+          |    SELECT q.query_id, em.vec_id AS neighbor_id,
+          |      row_number() OVER (PARTITION BY q.query_id
+          |        ORDER BY list_cosine_similarity(q.qe, em.embedding) DESC,
+          |                 em.vec_id) AS rank
+          |    FROM q JOIN embeddings em ON em.vec_id != q.query_id) z
+          |  WHERE rank <= 5),
+          |$chains
+          |$rows""".stripMargin
+      },
       "s01_ann_topk" -> s01Sql,
       "s23_mrr_eval" -> s23Sql,
       // s25: sign bits packed the same way (embedding[j+1] > 0 — float

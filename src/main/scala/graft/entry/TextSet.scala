@@ -251,6 +251,12 @@ private[graft] object TextSet {
     // table folded in as literal replaces
     "t43_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(Tables.documents(s, dir), merges = 4)),
+    // unigram-LM (SentencePiece) tokenizer: char + top-32 substring seed,
+    // ONE EM round (integer-bits Viterbi E-step over the distinct
+    // vocabulary, ppm-renormalized M-step), unused multi-char tokens
+    // carry the pruned verdict — the other tokenizer family beside BPE
+    "t53_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLmTrain(Tables.documents(s, dir))),
     // BM25 retrieval over a literal 3-query workload: integer-exact
     // scoring (rational idf surrogate + DECIMAL-exact saturation term),
     // query terms folded into the scan as ONE isin filter
@@ -568,6 +574,68 @@ private[graft] object TextSet {
            |   AS n_blocked_terms,
            | len(list_intersect(list_distinct($toks), ['dup', 'spam', 'scan'])) = 0 AS keep
            |FROM documents""".stripMargin,
+      // t53: the full unigram-LM round replayed — same seed (chars +
+      // top-32 substrings, cnt DESC / s ASC ties), same FL2 integer-bits
+      // costs, the Viterbi DP as chained per-position CTEs choosing
+      // (bits, ntoks, longer-k) exactly like the Scala E-step, the
+      // backpointer walk as chained CTEs, and the same ppm M-step
+      "t53_unigram_lm" -> {
+        val maxLen = 16
+        val maxTok = 4
+        def bi(i: Int): String = {
+          val branches = (1 to math.min(maxTok, i)).map { k =>
+            s"""SELECT p.w, b.bits + p.bits AS bits, b.ntk + 1 AS ntk, p.k AS kk
+               |      FROM pc p JOIN b${i - k} b ON b.w = p.w
+               |      WHERE p.i = $i AND p.k = $k""".stripMargin
+          }.mkString("\n      UNION ALL ")
+          s"""b$i AS MATERIALIZED (SELECT w, bits, ntk, kk FROM (
+             |  SELECT w, bits, ntk, kk, row_number() OVER (PARTITION BY w
+             |      ORDER BY bits, ntk, kk DESC) AS rn
+             |  FROM ($branches) u) z WHERE rn = 1)""".stripMargin
+        }
+        def wj(j: Int): String =
+          s"""w$j AS MATERIALIZED (SELECT z.w, z.n, substr(z.w, (z.pos - bp.kk + 1)::INT,
+             |    bp.kk::INT) AS tok, z.pos - bp.kk AS pos
+             |  FROM w${j - 1} z JOIN bp ON bp.w = z.w AND bp.i = z.pos
+             |  WHERE z.pos > 0)""".stripMargin
+        val dp = (1 to maxLen).map(bi).mkString(",\n")
+        val bp = (1 to maxLen).map(i =>
+          s"SELECT w, $i AS i, kk FROM b$i").mkString("\n  UNION ALL ")
+        val walk = (1 to maxLen).map(wj).mkString(",\n")
+        val toks = (1 to maxLen).map(j =>
+          s"SELECT tok, n FROM w$j").mkString("\n  UNION ALL ")
+        s"""WITH wd AS MATERIALIZED (SELECT w, count(*)::BIGINT AS n FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+           |  WHERE w != '' AND length(w) <= $maxLen GROUP BY w),
+           |pos AS (SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM wd),
+           |pk AS MATERIALIZED (SELECT w, n, i, unnest(generate_series(1, $maxTok)) AS k FROM pos),
+           |cand AS MATERIALIZED (SELECT substr(w, i::INT, k::INT) AS s, sum(n)::BIGINT AS cnt
+           |  FROM pk WHERE i + k - 1 <= length(w) GROUP BY 1),
+           |multi AS (SELECT s, cnt FROM cand WHERE length(s) >= 2
+           |  ORDER BY cnt DESC, s LIMIT 32),
+           |vocab AS MATERIALIZED (SELECT s, cnt FROM cand WHERE length(s) = 1
+           |  UNION ALL SELECT s, cnt FROM multi),
+           |tot AS (SELECT sum(cnt)::BIGINT AS t FROM vocab),
+           |cost AS MATERIALIZED (SELECT s, (length(bin(t)) - 1) - (length(bin(cnt)) - 1) AS bits
+           |  FROM vocab, tot),
+           |pc AS MATERIALIZED (SELECT p.w, p.i, p.k, c.bits FROM pk p JOIN cost c
+           |  ON p.i - p.k + 1 >= 1
+           |  AND c.s = substr(p.w, (p.i - p.k + 1)::INT, p.k::INT)),
+           |b0 AS MATERIALIZED (SELECT w, 0::BIGINT AS bits, 0::BIGINT AS ntk, 0::BIGINT AS kk
+           |  FROM wd),
+           |$dp,
+           |bp AS MATERIALIZED ($bp),
+           |w0 AS MATERIALIZED (SELECT w, n, length(w) AS pos FROM wd),
+           |$walk,
+           |toks AS MATERIALIZED ($toks),
+           |em AS MATERIALIZED (SELECT tok AS s, sum(n)::BIGINT AS c FROM toks GROUP BY 1),
+           |t1 AS (SELECT sum(c)::BIGINT AS t FROM em)
+           |SELECT v.s AS tok, (length(v.s) = 1)::BIGINT AS is_char,
+           |  v.cnt AS seed_cnt, coalesce(e.c, 0)::BIGINT AS em_cnt,
+           |  (coalesce(e.c, 0) * 1000000 // t1.t)::BIGINT AS p_ppm,
+           |  (coalesce(e.c, 0) = 0 AND length(v.s) > 1)::BIGINT AS pruned
+           |FROM vocab v LEFT JOIN em e ON e.s = v.s, t1""".stripMargin
+      },
       // t42: the same 4 BPE learn rounds as chained CTEs — identical
       // double-space token-string representation, identical replace-based
       // merge apply (SQL replace's non-overlapping left-to-right scan is

@@ -467,6 +467,18 @@ object Ann {
       .localCheckpoint(eager = false)
     // 1-row entry frame, not a collect: the plan stays lazy
     val entry = embeddings.agg(min(col("vec_id")).as("node"))
+    beamSearchFrom(corpus, sym, queries, entry, k, beam, rounds)
+  }
+
+  /** The beam-search loop over a PREBUILT (corpus, symmetric-graph,
+    * queries, entry) quadruple — shared by [[beamSearchTopK]] (which
+    * builds the graph) and [[beamTuningCurve]] (which builds it ONCE and
+    * sweeps `beam`; rebuilding the LSH knn graph per sweep point would
+    * multiply the expensive stage by the sweep size for zero information).
+    */
+  private def beamSearchFrom(corpus: DataFrame, sym: DataFrame,
+                             queries: DataFrame, entry: DataFrame,
+                             k: Int, beam: Int, rounds: Int): DataFrame = {
     val cos = (dotCol("qv", "v") / (col("qnorm") * col("norm"))).as("cos")
     def score(cand: DataFrame): DataFrame = cand
       .join(corpus, cand("node") === corpus("vec_id"))
@@ -494,6 +506,62 @@ object Ann {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"))
+  }
+
+  /** Beam-width recall curve for the graph-ANN search — [[beamSearchTopK]]
+    * graded against the exact truth at several `beam` (HNSW's `ef`)
+    * settings, the s17 tuning-curve discipline applied to the LAST index
+    * family that lacked its own measured-recall row: an index family
+    * isn't done until its approximation is measured against its own
+    * truth. One row per beam width: (beam, n_queries, n_hits,
+    * recall_ppm) with the s17 integer fixed point
+    * `recall_ppm = (Σ hits · 10⁶) div (n_queries · k)`.
+    *
+    * The expensive inputs build ONCE and are checkpoint-reused by every
+    * sweep point: the brute-force truth (one corpus scan), the LSH knn
+    * graph + symmetric edge table, the normalized corpus and query
+    * frames. Each sweep point then costs only the `rounds` beam
+    * expansions — queries×beam joins against the corpus-bounded edge
+    * table, never a corpus rescan.
+    *
+    * Monotonicity caveat (spec-pinned on a fixture, NOT asserted here):
+    * recall is non-decreasing in `rounds` by construction — the round-r
+    * beam is always a candidate of round r+1, and anything displacing a
+    * true-top-k member from the approximate top-k precedes it in the
+    * SAME (cos desc, id asc) total order the truth uses, so the displacer
+    * is itself a hit. In `beam` the same holds on typical fixtures
+    * (a wider beam keeps a superset each round) but is not a theorem:
+    * a wider beam can in principle route the search into a different
+    * region between rounds. That is exactly why the curve is MEASURED.
+    */
+  def beamTuningCurve(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+                      beams: Seq[Int] = Seq(5, 8, 16), rounds: Int = 3,
+                      graphK: Int = 3, nPlanes: Int = 4,
+                      tables: Int = 2): DataFrame = {
+    require(beams.nonEmpty, "beamTuningCurve needs at least one beam width")
+    require(beams.forall(_ >= k), "every beam must be at least k")
+    require(rounds >= 1, "rounds must be at least 1")
+    val corpus = normalize(embeddings, "vec_id").localCheckpoint(eager = false)
+    val g = knnGraph(embeddings, graphK, nPlanes, tables)
+      .select(col("vec_id").as("u"), col("neighbor_id").as("w"))
+    val sym = g.unionAll(g.select(col("w").as("u"), col("u").as("w")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      .localCheckpoint(eager = false)
+    val entry = embeddings.agg(min(col("vec_id")).as("node"))
+    val exact = bruteForceTopK(embeddings, queryPred, k)
+      .localCheckpoint(eager = false)
+    beams.map { b =>
+      recallAtK(exact, beamSearchFrom(corpus, sym, queries, entry, k, b, rounds))
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("n_hits"))
+        .select(lit(b.toLong).as("beam"), col("n_queries"),
+          col("n_hits").cast("long").as("n_hits"),
+          graft.textops.TextAnalysis.intDiv(col("n_hits") * lit(1000000L),
+            col("n_queries") * lit(k.toLong)).as("recall_ppm"))
+    }.reduce(_.union(_))
   }
 
   /** Metadata-FILTERED exact top-k (the vector-DB "filtered search"

@@ -1217,6 +1217,163 @@ object TextAnalysis {
         .as("n_bpe_tokens"))
   }
 
+  /** Unigram-LM (SentencePiece) tokenizer statistics — Kudo ACL'18, the
+    * OTHER tokenizer family production models actually ship beside BPE
+    * ([[bpeTrain]]): seed a substring vocabulary, then EM — E-step
+    * Viterbi-segment every word under the current token likelihoods,
+    * M-step re-estimate token counts from the segmentations. Engine-exact
+    * by construction so the iterative loop is oracle-checkable:
+    *
+    *  - seed = ALL single characters (coverage guarantee: every word
+    *    stays segmentable) + the `topK` most frequent substrings of
+    *    length 2..`maxTokLen`, frequency = occurrence positions weighted
+    *    by word count, ties by substring text;
+    *  - token cost in integer BITS via the repo's floor-log2 quantizer
+    *    (`FL2(total) − FL2(count)`, the [[lmPerplexity]]/[[nbClassifier]]
+    *    device) — no float logs, both engines agree bit-for-bit;
+    *  - E-step Viterbi per DISTINCT word minimizes (total bits, token
+    *    count, then longer-last-token) — a total, engine-deterministic
+    *    order the DuckDB oracle replays as chained per-position DP CTEs;
+    *  - M-step: `em_cnt(s) = Σ_words n(word) · occurrences(s in
+    *    viterbi(word))`, re-normalized on the integer-ppm channel; rounds
+    *    beyond the first rebuild costs from `em_cnt + 1` (add-one keeps
+    *    every seed reachable, the [[nbClassifier]] smoothing).
+    *
+    * Pruning (the Kudo vocabulary-shrink step, surfaced as a verdict
+    * column): a multi-character token NO Viterbi path uses carries
+    * `pruned = 1` — dropping it cannot change any segmentation. Single
+    * characters are never pruned (coverage).
+    *
+    * Scale shape: the corpus is touched ONCE (the word histogram; only
+    * digest-sized words cross that shuffle — the [[bpeTrain]] discipline);
+    * candidate generation, the E-step and the M-step all run over the
+    * DISTINCT vocabulary, and the model (≤ chars + topK rows) collects to
+    * the driver like [[bpeEncode]]'s merge table / the k-means centroids.
+    * The per-word Viterbi DP is genuinely imperative (O(len·maxTokLen)
+    * with backpointers) and runs as a typed flatMap over the words
+    * Dataset — the documented [[graft.dedup.Dedup.shingles]]/winnow
+    * exemption class: per-row bounded work, model broadcast via closure,
+    * no corpus-sized state.
+    *
+    * Output: one row per vocabulary entry —
+    * (tok, is_char, seed_cnt, em_cnt, p_ppm, pruned).
+    */
+  def unigramLmTrain(docs: DataFrame, topK: Int = 32, maxWordLen: Int = 16,
+                     maxTokLen: Int = 4, rounds: Int = 1): DataFrame = {
+    require(topK >= 1, "topK must be at least 1")
+    require(maxWordLen >= 1 && maxWordLen <= 32, "maxWordLen in [1, 32]")
+    require(maxTokLen >= 2 && maxTokLen <= 8, "maxTokLen in [2, 8]")
+    require(rounds >= 1 && rounds <= 8, "rounds in [1, 8]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // corpus touched once: the word histogram (words longer than
+    // maxWordLen carry no DP position and are excluded, spec'd)
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    // candidate substrings: every (start, len ≤ maxTokLen) occurrence,
+    // weighted by word count — one generator over the distinct vocabulary
+    val cand = words.select(col("n"),
+        explode(flatten(transform(sequence(lit(1), length(col("w"))), i =>
+          filter(transform(sequence(lit(1), lit(maxTokLen)), k =>
+            when(i + k - lit(1) <= length(col("w")), col("w").substr(i, k))),
+            x => x.isNotNull)))).as("s"))
+      .groupBy(col("s")).agg(sum(col("n")).as("cnt"))
+      .localCheckpoint(eager = false)
+    val charsDf = cand.where(length(col("s")) === 1)
+    val multiDf = cand.where(length(col("s")) >= 2)
+      .orderBy(col("cnt").desc, col("s").asc).limit(topK)
+    val vocabDf = charsDf.unionAll(multiDf).localCheckpoint(eager = false)
+    // model-bounded driver collect (≤ |alphabet| + topK rows)
+    val seed: Map[String, Long] = vocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def fl2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    def costsOf(counts: Map[String, Long]): Map[String, Long] = {
+      val t = counts.values.sum
+      counts.map { case (s, c) => s -> (fl2(t) - fl2(c)) }
+    }
+    var cost = costsOf(seed)
+    var emDf: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val costB = cost
+      val mt = maxTokLen
+      emDf = words.as[(String, Long)]
+        .flatMap { case (w, n) =>
+          TextAnalysis.viterbiSegment(w, costB, mt).map(tok => (tok, n))
+        }
+        .toDF("s", "n")
+        .groupBy(col("s")).agg(sum(col("n")).as("c"))
+        .localCheckpoint(eager = false)
+      r += 1
+      if (r < rounds) {
+        // vocab-bounded collect; +1 smoothing keeps every seed reachable
+        val em = emDf.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+        cost = costsOf(seed.map { case (s, _) => s -> (em.getOrElse(s, 0L) + 1L) })
+      }
+    }
+    val t1 = emDf.agg(sum(col("c")).as("__t"))
+    vocabDf.join(emDf, Seq("s"), "left")
+      .crossJoin(broadcast(t1))
+      .select(col("s").as("tok"),
+        (length(col("s")) === 1).cast("long").as("is_char"),
+        col("cnt").as("seed_cnt"),
+        coalesce(col("c"), lit(0L)).as("em_cnt"),
+        intDiv(coalesce(col("c"), lit(0L)) * lit(1000000L), col("__t"))
+          .as("p_ppm"),
+        (coalesce(col("c"), lit(0L)) === 0 && length(col("s")) > 1)
+          .cast("long").as("pruned"))
+  }
+
+  /** [[unigramLmTrain]]'s E-step: Viterbi-segment one word under integer
+    * token costs, minimizing (total bits, token count, longer-last-token)
+    * — the total order the DuckDB oracle replays position by position.
+    * Every single character is assumed present in `cost` (the seed's
+    * coverage guarantee); an uncovered character would leave the word
+    * unsegmentable and throws rather than silently dropping it.
+    */
+  private[graft] def viterbiSegment(w: String, cost: Map[String, Long],
+                                    maxTokLen: Int): Seq[String] = {
+    val L = w.length
+    val INF = Long.MaxValue / 4
+    val bits = Array.fill(L + 1)(INF)
+    val ntk = Array.fill(L + 1)(INF)
+    val bk = Array.fill(L + 1)(0)
+    bits(0) = 0L; ntk(0) = 0L
+    var i = 1
+    while (i <= L) {
+      var k = 1
+      val kMax = math.min(maxTokLen, i)
+      while (k <= kMax) {
+        if (bits(i - k) < INF) {
+          cost.get(w.substring(i - k, i)) match {
+            case Some(c) =>
+              val cb = bits(i - k) + c
+              val cn = ntk(i - k) + 1
+              // strictly better, or tie on (bits, ntoks) won by larger k
+              if (cb < bits(i) || (cb == bits(i) &&
+                  (cn < ntk(i) || (cn == ntk(i) && k > bk(i))))) {
+                bits(i) = cb; ntk(i) = cn; bk(i) = k
+              }
+            case None => ()
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    require(bits(L) < INF, s"word '$w' unsegmentable — seed lost coverage")
+    var pos = L
+    var out = List.empty[String]
+    while (pos > 0) {
+      val k = bk(pos)
+      out = w.substring(pos - k, pos) :: out
+      pos -= k
+    }
+    out
+  }
+
   /** Data-mixture accounting: per-(lang, source) document/token/char
     * volumes plus each stratum's document share of the corpus (ppm) — the
     * report every training run wants next to its data card. Two map-side

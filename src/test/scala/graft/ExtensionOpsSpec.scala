@@ -704,6 +704,35 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("beamTuningCurve: hand-exact on identical vectors, monotone in beam and rounds") {
+    import graft.similarity.Ann
+    // the s28 identical-vector corpus: all cosines bit-equal, every
+    // decision falls to the id tie-break. beam 5 keeps ids 0..4, so
+    // self-exclusion costs each query exactly one of its 5 truth hits
+    // (recall 12/15); beam 8 keeps 0..7 and recall saturates at 10⁶.
+    val emb = (0L until 20L).map(i => (i, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.beamTuningCurve(emb, col("vec_id") < 3, k = 5,
+        beams = Seq(5, 8, 16), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    assert(out == List((5L, 3L, 12L, 800000L), (8L, 3L, 15L, 1000000L),
+      (16L, 3L, 15L, 1000000L)), s"got $out")
+    // real fixture: the measured curve is monotone non-decreasing in beam
+    // (typical-fixture property the curve documents — not a theorem, see
+    // the scaladoc; a failure here means the fixture found the detour)
+    val fx = Ann.beamTuningCurve(embeddings, col("vec_id") % 50 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(fx.map(_._2).toList == fx.map(_._2).sorted.toList, s"beam curve: $fx")
+    // recall IS non-decreasing in rounds at fixed beam (provable: the
+    // round-r beam is a candidate of round r+1, and any displacer of a
+    // truth member precedes it in the same total order, so is a hit too)
+    val byRounds = (1 to 3).map(r =>
+      Ann.beamTuningCurve(embeddings, col("vec_id") % 50 === 0,
+        beams = Seq(8), rounds = r).collect()(0).getLong(3))
+    assert(byRounds == byRounds.sorted, s"rounds curve: $byRounds")
+  }
+
   test("harmonicGate: exact columns match g07, sketch verdict holds on small graphs") {
     import graft.graph.GraphOps
     val dia = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"))
@@ -1923,6 +1952,63 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(run(3) == Seq(
       (1L, 5L, 16L, 5L),
       (2L, 1L, 2L, 2L))) // 3 merges never learn (z,z) — chars survive
+  }
+
+  test("unigramLmTrain: hand-exact EM round, pruning is exactly Viterbi-unused") {
+    import graft.textops.TextAnalysis
+    import spark.implicits._
+    // "abab"×2 + "cd"×1. Seed counts: a 4, b 4, c 1, d 1, ab 4, aba 2,
+    // abab 2, ba 2, bab 2, cd 1 → T=23, FL2(T)=4, bits = 4−FL2(cnt).
+    // Viterbi: "abab" → the whole-word token (3 bits, 1 tok) beats
+    // ab+ab (4 bits); "cd" → cd (4 bits, 1 tok) beats c+d (8 bits).
+    // So em = {abab: 2, cd: 1}, T1=3; every other multi-char seed is
+    // Viterbi-unused → pruned; chars are NEVER pruned even at em 0.
+    val docs2 = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "length(text) AS n_chars")
+    val out = TextAnalysis.unigramLmTrain(docs2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet == Set("a", "b", "c", "d", "ab", "aba", "abab", "ba", "bab", "cd"))
+    assert(out("abab") == ((0L, 2L, 2L, 666666L, 0L)), s"got $out")
+    assert(out("cd") == ((0L, 1L, 1L, 333333L, 0L)), s"got $out")
+    assert(out("ab") == ((0L, 4L, 0L, 0L, 1L)), s"got $out")
+    assert(out("a") == ((1L, 4L, 0L, 0L, 0L)), s"chars never pruned: $out")
+    // conservation: Viterbi covers every character of every word exactly
+    // once, so Σ em_cnt·len(tok) = Σ n(word)·len(word) — on the real
+    // fixture too, and at rounds=2 (EM re-estimation cannot lose mass)
+    val words = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .where("w != '' AND length(w) <= 16")
+      .selectExpr("sum(length(w))").collect()(0).getLong(0)
+    Seq(1, 2).foreach { r =>
+      val em = TextAnalysis.unigramLmTrain(docs, rounds = r)
+        .selectExpr("sum(em_cnt * length(tok))", "sum(CASE WHEN pruned = 1 THEN 1 ELSE 0 END)",
+          "sum(CASE WHEN pruned = 1 AND (em_cnt > 0 OR length(tok) = 1) THEN 1 ELSE 0 END)",
+          "sum(CASE WHEN pruned = 0 AND em_cnt = 0 AND length(tok) > 1 THEN 1 ELSE 0 END)")
+        .collect()(0)
+      assert(em.getLong(0) == words, s"rounds=$r conservation")
+      assert(em.getLong(2) == 0L && em.getLong(3) == 0L,
+        s"rounds=$r pruned ⟺ unused multi-char")
+    }
+  }
+
+  test("viterbiSegment: bits-then-ntoks-then-longer-k order, coverage required") {
+    import graft.textops.TextAnalysis
+    // tie on (bits, ntoks): ab+c and a+bc both (3 bits, 2 toks) — the
+    // larger LAST token wins at the final position → a+bc
+    val c1 = Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "ab" -> 2L, "bc" -> 2L)
+    assert(TextAnalysis.viterbiSegment("abc", c1, 4) == List("a", "bc"))
+    // fewer tokens wins the bits tie
+    assert(TextAnalysis.viterbiSegment("aa", Map("a" -> 1L, "aa" -> 2L), 4)
+      == List("aa"))
+    // cheaper bits beats fewer tokens
+    assert(TextAnalysis.viterbiSegment("aa", Map("a" -> 1L, "aa" -> 9L), 4)
+      == List("a", "a"))
+    // a character outside the model = lost coverage — loud, not silent
+    intercept[IllegalArgumentException] {
+      TextAnalysis.viterbiSegment("az", Map("a" -> 1L), 4)
+    }
   }
 
   test("nfcNormalize: NFC composes, NFKC also folds compatibility forms") {
