@@ -17,9 +17,15 @@ import org.apache.spark.sql.SparkSession
   * under 1 s are exempt from the gate (a 0.3 s → 0.6 s move is overhead
   * noise, not a scaling law) but still recorded.
   *
-  * Streaming parity queries are excluded by design: their wall time is
-  * micro-batch harness startup, not data work, and would read as a
-  * spurious flat curve.
+  * Streaming PARITY queries (cXX twins of batch results) stay excluded:
+  * their wall time is micro-batch harness startup, not data work, and a
+  * flat curve there says nothing. The streaming SKETCH/state faces
+  * (e19/e20/d32) are IN as of round 12 (VERDICT r11 item 5): for them
+  * the flat curve IS the claim — state per window is O(1/ε)/O(capacity)/
+  * O(mBits) regardless of key volume, so wall time must stay harness-
+  * bound as data grows 100×; un-evicted or per-key state would bend the
+  * curve toward the data and trip the same e < 2 gate long before it
+  * ooms a real cluster.
   */
 object BenchScale {
   /** The scale sweep, ascending. */
@@ -118,10 +124,20 @@ object BenchScale {
     "e21_cusum_drift",
     // s30: the s29 truth + the IVF assignment + the recall join in one
     // query — the heaviest of the range family. e22 stays out
-    // (streaming, harness-startup-bound by design); h25 stays out
+    // (streaming PARITY, harness-startup-bound by design); h25 stays out
     // (a shuffle-free projection + one map-side groupBy, the t47
     // exemption class — no join, no loop).
-    "s30_range_recall")
+    "s30_range_recall",
+    // round-12 (VERDICT r11 item 5): the streaming STATE faces — bounded-
+    // summary state (GK quantile, Misra–Gries, sharded Bloom) must keep
+    // wall time harness-bound as data grows; per-key or un-evicted state
+    // would bend these curves toward the data volume
+    "e19_stream_quantile_sketch", "e20_stream_hitter_sketch",
+    "d32_stream_bloom_seen",
+    // round-12 operators: the beam recall sweep (graph build + 3 searches
+    // + truth joins) and the unigram-LM EM round (word histogram + DP
+    // over the distinct vocabulary — must stay ~linear in documents)
+    "s31_beam_recall", "t53_unigram_lm")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

@@ -425,6 +425,24 @@ private[graft] object CounterSet {
     // Term-level precedence — `-2 as $m | …` negates OUTSIDE the binding,
     // matching jq's '-' Exp grammar) + right-biased shallow object merge
     // `+`, over the O13 counter record
+    // O14 round-12 notch: match() with COMPUTED (per-row) patterns — the
+    // schema-expressible offset/length/string subset (captures stay
+    // literal-only, rejected loudly): unanchored char-class run, a
+    // case-insensitive end-anchored probe via literal flags, and a
+    // never-matching anchored pattern exercising the null path
+    "c76_jq_dynamic_match" -> ((s, dir) =>
+      JqTransform(
+        events(s, dir).select(col("event_id"), col("event_type"),
+          concat(substring(col("event_type"), 2, 1), lit("+")).as("p1"),
+          concat(upper(substring(col("event_type"), -1, 1)), lit("$")).as("p2"),
+          concat(lit("^"), substring(col("event_type"), -1, 1)).as("p3")),
+        """.p1 as $a | .p2 as $b | .p3 as $c
+          || {id: .event_id,
+          |   m1: (.event_type | match($a)),
+          |   m2: (.event_type | match($b; "i")),
+          |   m3: (.event_type | match($c))}
+          || {id: .id, o1: .m1.offset, l1: .m1.length, s1: .m1.string,
+          |   o2: .m2.offset, s2: .m2.string, o3: .m3.offset}""".stripMargin)),
     "c54_jq_bindings" -> ((s, dir) =>
       JqTransform(
         Counters.run(events(s, dir), "ts", cRequestCount),
@@ -1313,6 +1331,22 @@ private[graft] object CounterSet {
           | count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
           | max(value) AS vmax, arg_min(event_type, event_id) AS first_type
           |FROM events GROUP BY 1""".stripMargin,
+      // c76: the three computed patterns re-expressed relationally — the
+      // 2nd-char run's first match starts at the char's first occurrence
+      // (an earlier occurrence of the matched text would itself match),
+      // the (?i) end-anchored probe is analytically (len−1, last char),
+      // and the ^-anchored last-char pattern never matches this fixture
+      // (no event type starts with its last character) → nulls
+      "c76_jq_dynamic_match" ->
+        """SELECT event_id AS id,
+          | CAST(instr(event_type, substr(event_type, 2, 1)) - 1 AS BIGINT) AS o1,
+          | CAST(length(regexp_extract(event_type,
+          |   substr(event_type, 2, 1) || '+')) AS BIGINT) AS l1,
+          | regexp_extract(event_type, substr(event_type, 2, 1) || '+') AS s1,
+          | CAST(length(event_type) - 1 AS BIGINT) AS o2,
+          | substr(event_type, -1, 1) AS s2,
+          | CAST(NULL AS BIGINT) AS o3
+          |FROM events""".stripMargin,
       // c36: regex semantics re-expressed relationally — capture head/tail
       // = substr, match("i").offset = 0-based instr, the try/catch over a
       // missing field folds to its constant fallback. Casts to BIGINT

@@ -830,7 +830,7 @@ object JqTransform {
         case st: StructType => find(st, p) match {
           case Some(actual) =>
             loop(st(actual).dataType, Some(acc.fold(col(actual))(_.getField(actual))), tail)
-          case None => lit(null)
+          case None => missingField(st, p)
         }
         case mt: MapType if acc.nonEmpty =>
           loop(mt.valueType, Some(acc.get.getItem(p)), tail)
@@ -2067,6 +2067,22 @@ object JqTransform {
     "contains" -> ((df, v, a) => jqContains(df, v, a)),
     "inside" -> ((df, v, a) => jqContains(df, a, v)))
 
+  /** jq's never-error read of a MISSING struct field is null — except
+    * `.captures` on a computed-pattern match() object (exactly the
+    * fields offset/length/string): a dynamic pattern's capture groups
+    * cannot be static schema, and a silent null there would diverge from
+    * jq instead of failing loudly (the match()-dynamic contract).
+    */
+  private def missingField(st: StructType, p: String): Column = {
+    if (p == "captures" &&
+        st.fieldNames.sameElements(Array("offset", "length", "string")))
+      throw new IllegalArgumentException(
+        "jq_expr: .captures of a computed-pattern match() is not " +
+          "supported — a dynamic pattern's capture groups are not static " +
+          "schema; use a string-literal pattern when captures are needed")
+    lit(null)
+  }
+
   /** Literal-path navigation with jq's never-error convention (missing
     * fields and non-objects read as null); variant values navigate via
     * `try_variant_get`. Shared by `getpath` and the `| .path` postfix.
@@ -2077,7 +2093,7 @@ object JqTransform {
       case h :: t => dt match {
         case st: StructType => st.fields.find(_.name == h) match {
           case Some(f) => walkPath(f.dataType, c.getField(f.name), t)
-          case None => lit(null)
+          case None => missingField(st, h)
         }
         case mt: MapType => walkPath(mt.valueType, c.getItem(h), t)
         case vdt if vdt.typeName == "variant" =>
@@ -3223,11 +3239,12 @@ object JqTransform {
           // determine — that rejection is loud below.
           expect('('); skipWs()
           if (peek != '"') {
-            if (fn != "test")
+            if (fn == "capture")
               throw new IllegalArgumentException(
-                s"jq_expr: $fn() requires a string-literal regex — its " +
-                  "capture-group output shape is static schema; for a " +
-                  "computed pattern use test() or scan()")
+                "jq_expr: capture() requires a string-literal regex — its " +
+                  "named-group output columns are static schema; for a " +
+                  "computed pattern use test(), match() (offset/length/" +
+                  "string) or scan()")
             val patV = parseValue()
             skipWs()
             val flags =
@@ -3235,17 +3252,41 @@ object JqTransform {
                 next(); skipWs()
                 if (peek != '"')
                   throw new IllegalArgumentException(
-                    "jq_expr: test() flags must be a string literal")
+                    s"jq_expr: $fn() flags must be a string literal")
                 parseStringLit()
               } else ""
             expect(')')
             flags.foreach(f => require("ixsm".contains(f),
               s"jq_expr: unsupported regex flag '$f' (supported: i, x, s, m)"))
             val vv = v
-            v = df => {
+            def patWithFlags(df: DataFrame): Column = {
               val p0 = patV(df).cast("string")
-              val p = if (flags.isEmpty) p0 else concat(lit(s"(?$flags)"), p0)
-              regexp_like(vv(df), p)
+              if (flags.isEmpty) p0 else concat(lit(s"(?$flags)"), p0)
+            }
+            if (fn == "test")
+              v = df => regexp_like(vv(df), patWithFlags(df))
+            else {
+              // Round 12: match() with a COMPUTED pattern — the
+              // schema-expressible subset. offset/length/string are
+              // pattern-independent scalars, so the static-schema
+              // objection only ever applied to the captures column: the
+              // dynamic match object carries the three scalars and NO
+              // captures field, and a downstream `.captures` access is
+              // rejected loudly (see missingField) instead of reading as
+              // jq null. Same regexp_instr/regexp_substr kernels as the
+              // literal form — RegExp kernels recompile per distinct
+              // pattern with a last-pattern cache, so a low-cardinality
+              // pattern column stays cheap.
+              v = df => {
+                val c = vv(df)
+                val p = patWithFlags(df)
+                val pos = regexp_instr(c, p)
+                val str = regexp_substr(c, p)
+                when(pos > lit(0), struct(
+                  (pos - lit(1)).cast("long").as("offset"),
+                  length(str).cast("long").as("length"),
+                  str.as("string")))
+              }
             }
           } else {
           val rawPat = parseStringLit()
@@ -3356,7 +3397,7 @@ object JqTransform {
               case Left(name) :: t => dt match {
                 case st: StructType => st.fields.find(_.name == name) match {
                   case Some(f) => walkDyn(f.dataType, c.getField(f.name), t)
-                  case None => lit(null)
+                  case None => missingField(st, name)
                 }
                 case mt: MapType =>
                   walkDyn(mt.valueType, try_element_at(c, lit(name)), t)

@@ -695,7 +695,26 @@ object Relational {
     */
   def zOrderPruning(events: DataFrame, bits: Int = 10, bucketShift: Int = 8,
                     boxXMin: Long = 40L, boxXMax: Long = 47L,
-                    boxYMin: Long = 100L, boxYMax: Long = 163L): DataFrame = {
+                    boxYMin: Long = 100L, boxYMax: Long = 163L): DataFrame =
+    zOrderAssign(events, bits, bucketShift)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+      .withColumn("skip_probe",
+        (col("min_x") > boxXMax || col("max_x") < boxXMin ||
+          col("min_y") > boxYMax || col("max_y") < boxYMin).cast("long"))
+
+  /** [[zOrderPruning]]'s per-row layout projection — (__x, __y, bucket)
+    * for every NULL-free row, the frame a writer would actually lay out
+    * on disk (one file per bucket ⇒ per-file column stats ARE the
+    * per-bucket envelopes). Factored out so the spec can close the loop
+    * from the ANALYTIC skip verdicts to REAL parquet footer statistics:
+    * write this frame one-file-per-bucket, read the footers' (min, max)
+    * back, and the stats-implied skip set must equal the verdict column.
+    */
+  def zOrderAssign(events: DataFrame, bits: Int = 10,
+                   bucketShift: Int = 8): DataFrame = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     require(bucketShift >= 0 && bucketShift < 2 * bits,
       "bucketShift must be inside the z-value width")
@@ -711,12 +730,5 @@ object Relational {
       .where(col("user_id").isNotNull && col("value").isNotNull)
       .select(x.as("__x"), y.as("__y"))
       .withColumn("bucket", shiftright(z, bucketShift))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
-        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
-      .withColumn("skip_probe",
-        (col("min_x") > boxXMax || col("max_x") < boxXMin ||
-          col("min_y") > boxYMax || col("max_y") < boxYMin).cast("long"))
   }
 }

@@ -101,8 +101,9 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
                        ext: Boolean = false, ext2: Boolean = false,
                        ext3: Boolean = false, ext4: Boolean = false,
                        ext5: Boolean = false, ext6: Boolean = false,
-                       ext7: Boolean = false): String =
-    r.nextInt(if (ext7) 45 else if (ext6) 41 else if (ext5) 37 else if (ext4) 35 else if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
+                       ext7: Boolean = false,
+                       ext8: Boolean = false): String =
+    r.nextInt(if (ext8) 49 else if (ext7) 45 else if (ext6) 41 else if (ext5) 37 else if (ext4) 35 else if (ext3) 32 else if (ext2) 23 else if (ext) 19 else 12) match {
       case 0 | 1 => genNum(r, depth)
       case 2 | 3 => genStr(r, depth)
       case 4 => genBool(r, depth)
@@ -250,18 +251,42 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
         s"([range(0; $hi; (.m % 3) + 1)] | add)"
       // computed DOWN step with runtime sign, sometimes direction-
       // mismatched (empty stream on both engines)
-      case _ =>
+      case 44 =>
         val from = r.nextInt(7) - 2
         s"([range($from; 0; 0 - ((.m % 2) + 1))] | length)"
+      // ---- round-12 extension (ext8): match() with COMPUTED patterns,
+      // offset/length/string subset. Patterns derive from the row's own
+      // characters (a-d — regex-inert) and are built to ALWAYS match
+      // nonempty: a no-match is jq's empty stream vs this engine's null
+      // (the documented tonumber-style divergence), so the grammar never
+      // draws one. captures stays literal-only (loud; unit-tested) ----
+      // last-char run: offset varies with where the run sits
+      case 45 =>
+        "(([(.s | explode | reverse | first)] | implode) as $p | " +
+          "(.s | match($p + \"+\") | .offset))"
+      case 46 =>
+        "(([(.s | explode | reverse | first)] | implode) as $p | " +
+          "(.s | match($p + \"+\") | .length))"
+      // case-insensitive flag over an upcased computed pattern
+      case 47 =>
+        "((([(.s | explode | first)] | implode) | ascii_upcase) as $p | " +
+          "(.s | match($p; \"i\") | .string))"
+      // self-match: pattern = the subject (always offset 0, length =
+      // len). The pattern rides a VARIABLE (the ext7 setpath
+      // discipline): jq scopes a bare path inside match()'s argument to
+      // the PIPED string, this compiler to the row
+      case _ =>
+        s"(.s as $$q | (($$q | match($$q) | .length) + ${r.nextInt(3)}))"
     }
 
   private def genProgram(r: scala.util.Random, ext: Boolean = false,
                          ext2: Boolean = false, ext3: Boolean = false,
                          ext4: Boolean = false, ext5: Boolean = false,
-                         ext6: Boolean = false, ext7: Boolean = false): String = {
+                         ext6: Boolean = false, ext7: Boolean = false,
+                         ext8: Boolean = false): String = {
     val nFields = 1 + r.nextInt(3)
     var fields = (0 until nFields)
-      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3, ext4, ext5, ext6, ext7)}").mkString(", ")
+      .map(i => s"f$i: ${genValue(r, 2, ext, ext2, ext3, ext4, ext5, ext6, ext7, ext8)}").mkString(", ")
     // ext2: a recursive def called with data-bounded depth (≤ 3), and
     // sometimes a stream-valued field — jq's 0..N outputs per record
     // (range(.m % 3) is sometimes EMPTY: the whole record drops, both
@@ -278,7 +303,7 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
     // (safe += / *= / = forms; |= rhs is old-value-scoped so only
     // literal arithmetic rides it)
     val assign =
-      if (!(ext || ext2 || ext3 || ext4 || ext5 || ext6 || ext7) || r.nextInt(3) != 0) ""
+      if (!(ext || ext2 || ext3 || ext4 || ext5 || ext6 || ext7 || ext8) || r.nextInt(3) != 0) ""
       // ext5: SELF-REFERENTIAL multi-target RHS — jq's gen_update binds
       // the RHS once against the ORIGINAL input ($tmp), so later targets
       // must NOT see earlier writes for = and the arithmetic op= forms.
@@ -289,7 +314,7 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
       // string interpolation renders "-0" INSIDE a string where the canon
       // walk's -0 fold cannot reach (the f1 "p-0q" divergence this seed's
       // first run caught). ext5's frozen corpus keeps its draws untouched.
-      else if (ext6 || ext7) r.nextInt(4) match {
+      else if (ext6 || ext7 || ext8) r.nextInt(4) match {
         case 0 => s"(.n, .id) = .n + ${r.nextInt(9)} | "
         case 1 => s"(.n, .id) += .id | "
         case 2 => s"(.id, .n) |= . + ${1 + r.nextInt(5)} | "
@@ -459,12 +484,13 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   private def fuzzRun(seed: Long, cases: Int, ext: Boolean = false,
                       ext2: Boolean = false, ext3: Boolean = false,
                       ext4: Boolean = false, ext5: Boolean = false,
-                      ext6: Boolean = false, ext7: Boolean = false): Unit = {
+                      ext6: Boolean = false, ext7: Boolean = false,
+                      ext8: Boolean = false): Unit = {
     assume(jqBin.canExecute, "/usr/bin/jq not present")
     val r = new scala.util.Random(seed)
     var checked = 0
     (0 until cases).foreach { i =>
-      val program = genProgram(r, ext, ext2, ext3, ext4, ext5, ext6, ext7)
+      val program = genProgram(r, ext, ext2, ext3, ext4, ext5, ext6, ext7, ext8)
       val inputs = Seq.fill(3)(genRow(r))
       verdict(program, inputs).foreach { sig =>
         val minimal = minimize(program, inputs, sig)
@@ -541,5 +567,12 @@ class JqFuzzDifferentialSpec extends SparkTestBase {
   // above stay frozen
   test("500 random programs match jq (seed 13131313, computed-path/range-step grammar)") {
     fuzzRun(13131313L, 500, ext7 = true)
+  }
+
+  // round-12 grammar extension (computed match() patterns —
+  // offset/length/string subset) under its own seed — the nine corpora
+  // above stay frozen
+  test("500 random programs match jq (seed 14141414, dynamic-match grammar)") {
+    fuzzRun(14141414L, 500, ext8 = true)
   }
 }

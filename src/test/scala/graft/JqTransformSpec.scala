@@ -657,6 +657,36 @@ class JqTransformSpec extends SparkTestBase {
     assert(rows(2).getStruct(1).getString(2) == "agent-7")
   }
 
+  test("match(E): computed pattern — offset/length/string subset, captures loud") {
+    // per-row pattern from the data itself; flags ride as literals
+    val df = Seq((1L, "user-42@example.com", "\\d+"), (2L, "nobody", "o+"),
+        (3L, "agent-7@test.org", "Z"))
+      .toDF("id", "s", "p")
+    val out = JqTransform(df,
+      """.p as $r
+        || {id: .id, m: (.s | match($r))}
+        || {id: .id, o: .m.offset, l: .m.length, st: .m.string}""".stripMargin)
+      .orderBy("id").collect()
+    // jq: "user-42@example.com" | match("\\d+") → {offset: 5, length: 2, "42"}
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getString(3)) == ((5L, 2L, "42")))
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getString(3)) == ((1L, 1L, "o")))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(3)) // no match → null
+    // literal flags compose with the computed pattern
+    val fl = JqTransform(df,
+      """.p as $r | select(.id == 3) | {st: (.s | match("AGENT"; "i") | .string),
+        | dyn: (.s | match($r; "i") | .offset)}""".stripMargin).collect()(0)
+    assert(fl.getString(0) == "agent" && fl.isNullAt(1))
+    // .captures of a dynamic match is NOT silent-null — loud rejection
+    val e = intercept[IllegalArgumentException] {
+      JqTransform(df, """.p as $r | {c: (.s | match($r) | .captures)}""")
+        .collect()
+    }
+    assert(e.getMessage.contains("captures"))
+    // capture() itself stays literal-only
+    assertThrows[IllegalArgumentException](
+      JqTransform.compile("""{c: (.s | capture(.p))}"""))
+  }
+
   test("capture(re): named groups become an object; no-match is null") {
     val out = JqTransform(strs,
       """{id: .id, c: (.s | capture("(?<who>[a-z]+)-(?<num>\\d+)"))}""").orderBy("id")
