@@ -135,9 +135,14 @@ object BenchScale {
     "e19_stream_quantile_sketch", "e20_stream_hitter_sketch",
     "d32_stream_bloom_seen",
     // round-12 operators: the beam recall sweep (graph build + 3 searches
-    // + truth joins) and the unigram-LM EM round (word histogram + DP
-    // over the distinct vocabulary — must stay ~linear in documents)
-    "s31_beam_recall", "t53_unigram_lm")
+    // + truth joins), the unigram-LM EM round (word histogram + DP
+    // over the distinct vocabulary — must stay ~linear in documents),
+    // hard-negative mining (broadcast-anchor corpus scan + two
+    // aggregates), and the effective-diameter curve (per-round frontier
+    // joins + hll_union_agg — the exact pair frame is the deliberate
+    // Θ(Σ|ball|) side, the g07 exemption class, still recorded)
+    "s31_beam_recall", "t53_unigram_lm", "s32_hard_negatives",
+    "g13_effective_diameter")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

@@ -353,6 +353,13 @@ private[graft] object RelationalSet {
     "g04_neighborhood_gate" -> ((s, dir) =>
       GraphOps.neighborhoodGate(hostEdgesFixture(Tables.documents(s, dir)),
         radius = 2)),
+    // effective-diameter curve (ANF/HyperBall): NF(r) per radius 0..3
+    // with cumulative share of NF(3) — the first at_q radius IS the
+    // 90%-effective diameter; exact pair-frame truth + per-radius
+    // HyperBall estimate under the measured within_eps gate
+    "g13_effective_diameter" -> ((s, dir) =>
+      GraphOps.effectiveDiameter(hostEdgesFixture(Tables.documents(s, dir)),
+        radius = 3)),
     // Degree-oriented triangle counting over the same host graph — the
     // clustering/link-farm density read beside PageRank's centrality:
     // edges orient low→high under the (degree, host) total order
@@ -1114,6 +1121,37 @@ private[graft] object RelationalSet {
           |  SELECT r1.host, e.dst FROM r1 JOIN edges e ON r1.r = e.src) b)
           |SELECT host, count(*)::BIGINT AS ball_size, 1::BIGINT AS within_eps
           |FROM r2 GROUP BY 1""".stripMargin,
+      // g13: the g04 frontier chain extended one round, each radius's
+      // exact NF counted and shared against NF(3); HLL is exact at this
+      // cardinality so the sketch verdict is the literal-true g04 device
+      "g13_effective_diameter" ->
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) v),
+          |r0 AS (SELECT host, host AS r FROM nodes),
+          |r1 AS MATERIALIZED (SELECT DISTINCT host, r FROM (
+          |  SELECT host, r FROM r0
+          |  UNION ALL
+          |  SELECT r0.host, e.dst FROM r0 JOIN edges e ON r0.r = e.src) a),
+          |r2 AS MATERIALIZED (SELECT DISTINCT host, r FROM (
+          |  SELECT host, r FROM r1
+          |  UNION ALL
+          |  SELECT r1.host, e.dst FROM r1 JOIN edges e ON r1.r = e.src) b),
+          |r3 AS MATERIALIZED (SELECT DISTINCT host, r FROM (
+          |  SELECT host, r FROM r2
+          |  UNION ALL
+          |  SELECT r2.host, e.dst FROM r2 JOIN edges e ON r2.r = e.src) c),
+          |nf AS (SELECT 0 AS radius, (SELECT count(*) FROM r0) AS nf_exact
+          |  UNION ALL SELECT 1, (SELECT count(*) FROM r1)
+          |  UNION ALL SELECT 2, (SELECT count(*) FROM r2)
+          |  UNION ALL SELECT 3, (SELECT count(*) FROM r3)),
+          |tot AS (SELECT nf_exact AS t FROM nf WHERE radius = 3)
+          |SELECT radius::BIGINT AS radius, nf_exact::BIGINT AS nf_exact,
+          |  (nf_exact * 1000000 // t)::BIGINT AS share_ppm,
+          |  (nf_exact * 1000000 // t >= 900000)::BIGINT AS at_q,
+          |  1::BIGINT AS within_eps
+          |FROM nf, tot""".stripMargin,
       // g05: the same compact-forward construction — orient low→high by
       // (degree, host), ordered wedge pairs, close on the oriented edge,
       // then count corner memberships; integer-exact throughout

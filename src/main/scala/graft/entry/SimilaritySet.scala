@@ -43,6 +43,12 @@ private[graft] object SimilaritySet {
     // family without its own measured-recall row; graph + truth build once
     "s31_beam_recall" -> ((s, dir) =>
       Ann.beamTuningCurve(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
+    // hard-negative mining (FaceNet triplet selection): per anchor the
+    // top-5 most-similar WRONG-label vectors, flagged semi_hard when
+    // below the nearest same-label positive — the contrastive-training
+    // data op; one broadcast-anchor corpus scan, checkpointed once
+    "s32_hard_negatives" -> ((s, dir) =>
+      Ann.hardNegatives(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)),
     // MRR@5 of the IVF index vs the exact top-1 — recall's graded twin:
     // integer reciprocal-rank points, 0 on a miss
     "s23_mrr_eval" -> ((s, dir) =>
@@ -544,6 +550,25 @@ private[graft] object SimilaritySet {
           |$chains
           |$rows""".stripMargin
       },
+      // s32: same cosine pairing as s01 with the labels riding along —
+      // positives max per anchor, negatives ranked, the strict-inequality
+      // flag on the same doubles both engines compute bit-identically
+      "s32_hard_negatives" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+          |      FROM embeddings WHERE vec_id % 50 = 0),
+          |sc AS (SELECT q.query_id, q.ql, e.label, e.vec_id AS nid,
+          |        list_cosine_similarity(q.qe, e.embedding) AS cos
+          |      FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+          |pos AS (SELECT query_id, max(cos) AS pc FROM sc
+          |      WHERE label = ql GROUP BY 1),
+          |neg AS (SELECT query_id, nid, cos,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY cos DESC, nid) AS rank
+          |      FROM sc WHERE label != ql)
+          |SELECT n.query_id, n.rank::BIGINT AS rank, n.nid AS neighbor_id,
+          |  (n.cos < p.pc)::BIGINT AS semi_hard
+          |FROM neg n LEFT JOIN pos p USING (query_id) WHERE n.rank <= 5"""
+          .stripMargin,
       "s01_ann_topk" -> s01Sql,
       "s23_mrr_eval" -> s23Sql,
       // s25: sign bits packed the same way (embedding[j+1] > 0 — float

@@ -326,6 +326,70 @@ object GraphOps {
           col("ball_size") * lit(epsPpm)).cast("long").as("within_eps"))
   }
 
+  /** Effective-diameter curve — ANF (Palmer/Gibbons/Faloutsos KDD'02) /
+    * HyperBall (Boldi–Vigna WWW'11), the one-number "how many hops reach
+    * q of all reachable pairs" topology metric published for web crawls:
+    * the neighborhood function `NF(r) = Σ_v |ball(v, r)|` per radius
+    * 0..R, each radius's cumulative share of NF(R) in ppm, and the
+    * `at_q` flag whose FIRST set radius IS the q-effective diameter.
+    * Shares are against NF(R) — the measured horizon, the ANF convention
+    * when iteration stops at R rather than closure.
+    *
+    * Both sides of the [[neighborhoodGate]] lockstep ride along: the
+    * EXACT NF from the pair frame (fixture-affordable truth — Θ(Σ|ball|)
+    * rows, production-impossible, which is the point) and the HyperBall
+    * estimate (per round ONE `hll_union_agg` over nodes-bounded sketch
+    * state — the web-scale path) measured per radius by the a01/g04/g10
+    * `within_eps` verdict. Output:
+    * (radius, nf_exact, share_ppm, at_q, within_eps).
+    */
+  def effectiveDiameter(edges: DataFrame, radius: Int = 3,
+                        qPpm: Long = 900000L,
+                        epsPpm: Long = 50000L): DataFrame = {
+    require(radius >= 0, "radius must be non-negative")
+    require(qPpm >= 1 && qPpm <= 1000000L, "qPpm must be a ppm fraction")
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).persist()
+    var sk = nodes.groupBy("host").agg(hll_sketch_agg(col("host")).as("sk"))
+      .localCheckpoint()
+    var reach = nodes.select(col("host"), col("host").as("r"))
+      .localCheckpoint()
+    def curveRow(r: Int, skDf: DataFrame, reachDf: DataFrame): DataFrame =
+      reachDf.agg(count(lit(1)).as("nf_exact"))
+        .crossJoin(skDf.agg(
+          sum(hll_sketch_estimate(col("sk"))).as("__nf_est")))
+        .select(lit(r.toLong).as("radius"), col("nf_exact"), col("__nf_est"))
+    var rows = Seq(curveRow(0, sk, reach))
+    var i = 0
+    while (i < radius) {
+      val nbrSk = e.join(sk, e("dst") === sk("host"))
+        .select(e("src").as("host"), col("sk"))
+      sk = sk.unionAll(nbrSk)
+        .groupBy("host").agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint()
+      reach = reach.unionAll(
+          reach.join(e, reach("r") === e("src"))
+            .select(reach("host"), e("dst").as("r")))
+        .distinct()
+        .localCheckpoint()
+      i += 1
+      rows = rows :+ curveRow(i, sk, reach)
+    }
+    e.unpersist()
+    val curve = rows.reduce(_.unionAll(_))
+    val total = curve.where(col("radius") === radius)
+      .select(col("nf_exact").as("__total"))
+    curve.crossJoin(broadcast(total))
+      .select(col("radius"), col("nf_exact"),
+        expr("nf_exact * 1000000 div __total").as("share_ppm"),
+        (expr("nf_exact * 1000000 div __total") >= qPpm).cast("long").as("at_q"),
+        (abs(col("__nf_est") - col("nf_exact")) * lit(1000000L) <=
+          col("nf_exact") * lit(epsPpm)).cast("long").as("within_eps"))
+  }
+
   /** Weakly-connected components of a (src, dst) host graph — site
     * clusters / link-farm islands, the graph face of the dedup module's
     * duplicate clustering. String hosts hash to the portable 60-bit md5

@@ -37,10 +37,11 @@ object Ann {
     * `private[graft]`: dedup's LSH near-dup reuses the same normed frame
     * instead of re-scanning the corpus.
     */
-  private[graft] def normalize(embeddings: DataFrame, idCol: String): DataFrame = {
+  private[graft] def normalize(embeddings: DataFrame, idCol: String,
+                               extra: Seq[String] = Nil): DataFrame = {
     val base = embeddings.select(
-      col(idCol),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      col(idCol) +: extra.map(col) :+
+        transform(col("embedding"), x => x.cast("double")).as("v"): _*)
       // vec_dot(v, v) sums squares in the same left-to-right order as the
       // aggregate-HOF spelling (bit-identical) but stays in codegen
       .withColumn("norm", sqrt(VecDot.dot(col("v"), col("v"))))
@@ -596,6 +597,50 @@ object Ann {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** HARD-NEGATIVE mining for contrastive / embedding-model training —
+    * Schroff et al. CVPR'15 (FaceNet triplet selection), the data op
+    * behind every dual-encoder / DPR / sentence-embedding training run:
+    * per anchor (query), the top-k most-similar WRONG-label vectors are
+    * its hard negatives, and each is flagged `semi_hard` when it ranks
+    * BELOW the anchor's nearest same-label positive (cos(neg) <
+    * cos(pos₁)) — FaceNet's band: violating-but-not-hardest, because the
+    * very hardest negatives amplify label noise. The anchor's label
+    * comes from the corpus row itself; an anchor whose label has no
+    * other member has no positive and its flag is null (no fabricated
+    * verdict).
+    *
+    * Scale shape: ONE corpus scan with broadcast anchors (the s01
+    * documented brute/oracle-twin shape — the production path LSH/IVFs
+    * the candidates and runs the SAME label-mismatch verify, the s14
+    * composition); the scored frame checkpoints once and feeds both the
+    * positives max and the negatives rank (the lmPerplexity
+    * multi-consumer discipline). Output: (query_id, rank, neighbor_id,
+    * semi_hard) — rank 1..k over negatives by (cos desc, id asc).
+    */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column,
+                    k: Int = 5): DataFrame = {
+    val corpus = normalize(embeddings, "vec_id", Seq("label"))
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val cos = (dotCol("qv", "v") / (col("qnorm") * col("norm"))).as("cos")
+    val scored = broadcast(queries)
+      .join(corpus, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qlabel"), col("label"),
+        col("vec_id").as("neighbor_id"), cos)
+      .localCheckpoint(eager = false)
+    val pos = scored.where(col("label") === col("qlabel"))
+      .groupBy(col("query_id")).agg(max(col("cos")).as("__pos_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.where(col("label") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("cos") < col("__pos_cos")).cast("long").as("semi_hard"))
   }
 
   /** A driver-local centroid: (cell, vector, norm). The centroid set of a

@@ -733,6 +733,59 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(byRounds == byRounds.sorted, s"rounds curve: $byRounds")
   }
 
+  test("hardNegatives: wrong-label only, FaceNet semi-hard band, null without a positive") {
+    import graft.similarity.Ann
+    // anchor 0 (label 0, (1,0)): positive 1 at cos 1/√2 ≈ .707.
+    // negatives ranked: 2 (cos 1.0 — harder than the positive, NOT
+    // semi-hard), 10 (cos EXACTLY the positive's 1/√2 — the strict-
+    // inequality boundary: equal is not semi-hard), 3 (cos 1/√5 ≈ .447,
+    // semi), 4 (cos 0, semi). anchor 10 (label 9) has no same-label
+    // member → semi_hard null everywhere.
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 1f), 0),
+      (2L, Array(2f, 0f), 1), (3L, Array(1f, 2f), 1),
+      (4L, Array(0f, 3f), 2), (10L, Array(1f, 1f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.hardNegatives(emb, col("vec_id").isin(0L, 10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val a0 = out.filter(_._1 == 0L).sortBy(_._2).map(t => (t._3, t._4)).toList
+    assert(a0 == List((2L, 0L), (10L, 0L), (3L, 1L), (4L, 1L)), s"anchor 0: $a0")
+    val a10 = out.filter(_._1 == 10L)
+    assert(a10.length == 5 && a10.forall(_._4 == -1L),
+      s"no positive → null flags: ${a10.toList}")
+    assert(!a10.exists(_._3 == 10L))
+    // real fixture: negatives never share the anchor's label, ranks 1..k
+    val labels = embeddings.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fx = Ann.hardNegatives(embeddings, col("vec_id") % 50 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    fx.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toList == (1L to 5L).toList, s"q$q ranks")
+      assert(rows.forall(r => labels(r._3) != labels(q)), s"q$q label leak")
+    }
+  }
+
+  test("effectiveDiameter: hand NF curve on a path, first at_q radius is the diameter") {
+    import graft.graph.GraphOps
+    // path a→b→c→d: NF(0)=4, NF(1)=7, NF(2)=9, NF(3)=10 → shares
+    // 400000/700000/900000/1000000 of NF(3). q=900000 first holds at
+    // radius 2 — EXACTLY at the threshold (≥, not >): the effective
+    // diameter is 2. HLL exact at this cardinality → verdicts all 1.
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val out = GraphOps.effectiveDiameter(path, radius = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((4L, 400000L, 0L, 1L)), s"got $out")
+    assert(out(1L) == ((7L, 700000L, 0L, 1L)), s"got $out")
+    assert(out(2L) == ((9L, 900000L, 1L, 1L)), s"got $out")
+    assert(out(3L) == ((10L, 1000000L, 1L, 1L)), s"got $out")
+    // radius 0 degenerate: every ball is its own node, share 10⁶, at_q
+    val r0 = GraphOps.effectiveDiameter(path, radius = 0).collect()
+    assert(r0.length == 1 && r0.head.getLong(2) == 1000000L
+      && r0.head.getLong(3) == 1L)
+  }
+
   test("harmonicGate: exact columns match g07, sketch verdict holds on small graphs") {
     import graft.graph.GraphOps
     val dia = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"))
