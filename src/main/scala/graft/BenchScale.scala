@@ -98,9 +98,11 @@ object BenchScale {
     // round-11 iterative/join additions: HyperBall-delta harmonic (per
     // round one hll_union_agg over the host-keyed sketch frame + the
     // exact-side BFS) and the char-gram NB confusion (gram explode +
-    // broadcast weight table + doc_id equi-join). e19 stays out
-    // (streaming, harness-startup-bound); c75 is a shuffle-free jq
-    // projection like the rest of the c-set
+    // broadcast weight table + doc_id equi-join). e19 — excluded here in
+    // round 11 as harness-startup-bound — joined the sweep in round 12
+    // with the other streaming STATE faces (below), where the flat curve
+    // IS the checked claim; c75 is a shuffle-free jq projection like the
+    // rest of the c-set
     "g10_harmonic_gate", "t52_charngram_confusion",
     // graph-ANN beam search: the s22 graph build + per-round beam joins
     "s28_beam_search",

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DateType, MapType, NullType, NumericType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DateType, LongType, MapType, NullType, NumericType, StringType, StructField, StructType, TimestampType}
 
 import graft.functions.Canonical
 
@@ -2074,12 +2074,22 @@ object JqTransform {
     * jq instead of failing loudly (the match()-dynamic contract).
     */
   private def missingField(st: StructType, p: String): Column = {
-    if (p == "captures" &&
-        st.fieldNames.sameElements(Array("offset", "length", "string")))
+    // fingerprint = the dynamic match object's exact field names AND
+    // types, narrowing the (already pathological) false-positive of a
+    // user struct that happens to share the shape; the message names
+    // the workaround for that case
+    val isDynMatch = p == "captures" &&
+      st.fieldNames.sameElements(Array("offset", "length", "string")) &&
+      st("offset").dataType == LongType && st("length").dataType == LongType &&
+      st("string").dataType == StringType
+    if (isDynMatch)
       throw new IllegalArgumentException(
         "jq_expr: .captures of a computed-pattern match() is not " +
           "supported — a dynamic pattern's capture groups are not static " +
-          "schema; use a string-literal pattern when captures are needed")
+          "schema; use a string-literal pattern when captures are needed. " +
+          "(If this struct is your own data that merely shares the match-" +
+          "object shape {offset: long, length: long, string: string}, " +
+          "rename one of its fields or read the fields it actually has.)")
     lit(null)
   }
 
@@ -3281,7 +3291,9 @@ object JqTransform {
                 val c = vv(df)
                 val p = patWithFlags(df)
                 val pos = regexp_instr(c, p)
-                val str = regexp_substr(c, p)
+                // pos > 0 disambiguates regexp_substr's null (it nulls
+                // both no-match and the empty match) → jq's {off, 0, ""}
+                val str = coalesce(regexp_substr(c, p), lit(""))
                 when(pos > lit(0), struct(
                   (pos - lit(1)).cast("long").as("offset"),
                   length(str).cast("long").as("length"),
@@ -3308,7 +3320,10 @@ object JqTransform {
             case "match" => v = df => {
               val c = vv(df)
               val pos = regexp_instr(c, lit(pat))
-              val str = regexp_substr(c, lit(pat))
+              // regexp_substr nulls BOTH no-match and the EMPTY match
+              // (it is nullif(extract, "")); pos > 0 disambiguates, so
+              // an empty match reads back as jq's {0-based offset, 0, ""}
+              val str = coalesce(regexp_substr(c, lit(pat)), lit(""))
               // captures: every group in number order, name null for
               // unnamed groups (jq's shape; per-group offsets are not
               // recoverable from Spark's regex kernel — documented)

@@ -556,12 +556,9 @@ object Ann {
     val exact = bruteForceTopK(embeddings, queryPred, k)
       .localCheckpoint(eager = false)
     beams.map { b =>
-      recallAtK(exact, beamSearchFrom(corpus, sym, queries, entry, k, b, rounds))
-        .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("n_hits"))
-        .select(lit(b.toLong).as("beam"), col("n_queries"),
-          col("n_hits").cast("long").as("n_hits"),
-          graft.textops.TextAnalysis.intDiv(col("n_hits") * lit(1000000L),
-            col("n_queries") * lit(k.toLong)).as("recall_ppm"))
+      recallCurveRow(exact,
+        beamSearchFrom(corpus, sym, queries, entry, k, b, rounds),
+        "beam", b.toLong, k)
     }.reduce(_.union(_))
   }
 
@@ -877,14 +874,26 @@ object Ann {
     val exact = bruteForceTopK(embeddings, queryPred, k)
       .localCheckpoint(eager = false)
     probes.map { np =>
-      recallAtK(exact, ivfTopK(embeddings, queryPred, k, centroidStep, np))
-        .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("n_hits"))
-        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
-          col("n_hits").cast("long").as("n_hits"),
-          graft.textops.TextAnalysis.intDiv(col("n_hits") * lit(1000000L),
-            col("n_queries") * lit(k.toLong)).as("recall_ppm"))
+      recallCurveRow(exact, ivfTopK(embeddings, queryPred, k, centroidStep, np),
+        "nprobe", np.toLong, k)
     }.reduce(_.union(_))
   }
+
+  /** One tuning-curve row: aggregate recall of `approx` against `exact`
+    * under the s17 integer fixed point — the ONE place the
+    * `(Σ hits · 10⁶) div (n_queries · k)` convention lives, shared by
+    * every published curve ([[ivfTuningCurve]], [[beamTuningCurve]]).
+    */
+  private def recallCurveRow(exact: DataFrame, approx: DataFrame,
+                             paramName: String, paramValue: Long,
+                             k: Int): DataFrame =
+    recallAtK(exact, approx)
+      .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("n_hits"))
+      .select(lit(paramValue).as(paramName), col("n_queries"),
+        col("n_hits").cast("long").as("n_hits"),
+        graft.textops.TextAnalysis.intDiv(col("n_hits") * lit(1000000L),
+          col("n_queries") * lit(k.toLong)).as("recall_ppm"))
+
 
   /** Per-label centroid accumulation — the shuffle-exact building block of
     * distributed k-means / class prototypes: element-wise sums per label

@@ -676,6 +676,18 @@ class JqTransformSpec extends SparkTestBase {
       """.p as $r | select(.id == 3) | {st: (.s | match("AGENT"; "i") | .string),
         | dyn: (.s | match($r; "i") | .offset)}""".stripMargin).collect()(0)
     assert(fl.getString(0) == "agent" && fl.isNullAt(1))
+    // EMPTY match: jq gives {offset, 0, ""} — regexp_substr nulls the
+    // empty match, so the kernel must coalesce, both literal and dynamic
+    val em = JqTransform(
+      Seq((1L, "abc", "x*")).toDF("id", "s", "p"),
+      """.p as $r
+        || {o: (.s | match($r) | .offset), l: (.s | match($r) | .length),
+        |   st: (.s | match($r) | .string),
+        |   ll: (.s | match("x*") | .length), ls: (.s | match("x*") | .string)}"""
+        .stripMargin).collect()(0)
+    assert((em.getLong(0), em.getLong(1), em.getString(2)) == ((0L, 0L, "")),
+      s"dynamic empty match: $em")
+    assert((em.getLong(3), em.getString(4)) == ((0L, "")), s"literal empty match: $em")
     // .captures of a dynamic match is NOT silent-null — loud rejection
     val e = intercept[IllegalArgumentException] {
       JqTransform(df, """.p as $r | {c: (.s | match($r) | .captures)}""")
