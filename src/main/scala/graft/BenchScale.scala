@@ -136,6 +136,10 @@ object BenchScale {
     // would bend these curves toward the data volume
     "e19_stream_quantile_sketch", "e20_stream_hitter_sketch",
     "d32_stream_bloom_seen",
+    // e23: the analytic session face — session-window state is bounded by
+    // LIVE (unclosed) sessions, and closed rows leave the store on emit;
+    // per-user history retained in state would bend this curve
+    "e23_stream_sessions",
     // round-12 operators: the beam recall sweep (graph build + 3 searches
     // + truth joins), the unigram-LM EM round (word histogram + DP
     // over the distinct vocabulary — must stay ~linear in documents),

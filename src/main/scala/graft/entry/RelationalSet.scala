@@ -233,6 +233,23 @@ private[graft] object RelationalSet {
       // cusumFromHourly's internal checkpoint handles it
       graft.relational.Temporal.cusumFromHourly(s.table(sink))
     }),
+    // STREAMING face of the ANALYTIC sessionization surface: e05's
+    // per-session rows held as mergeable session-window state, emitted
+    // when the watermark passes each session's reach (last event + gap);
+    // session_seq comes from the finishing pass over the accumulated
+    // closed table (a closed prefix of each user's batch numbering).
+    // session_window's merge is INCLUSIVE at the gap reach — e05's
+    // gap ≤ g convention exactly (spec-proved on an exact-gap tie), so
+    // the oracle is e05's gaps-and-islands verbatim, closed-restricted
+    "e23_stream_sessions" -> ((s, dir) => withStatePartitions(s, 8) {
+      val sessions = graft.streaming.StreamingCounters.analyticSessionStream(
+        Tables.eventsStream(s, dir), "ts", "user_id")
+      val sink = "e23_sess_sink"
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.relational.Temporal.sessionsFromClosed(s.table(sink))
+    }),
     // windowed heavy hitters: per-hour top-k users — rank runs over the
     // per-(window, user) aggregate, never the raw events
     "e07_heavy_hitters" -> ((s, dir) =>
@@ -802,6 +819,29 @@ private[graft] object RelationalSet {
           |  (CASE WHEN cusum > 4 * greatest(med, 1) THEN 1 ELSE 0 END)::BIGINT
           |    AS is_alarm
           |FROM s""".stripMargin,
+      // e23: e05's gaps-and-islands verbatim (session_window's merge is
+      // inclusive at the gap reach, ≡ e05's gap ≤ g — spec-proved),
+      // restricted to watermark-CLOSED sessions (end + gap <= max ts,
+      // the c23 eviction convention); session_seq renumbers over the
+      // closed subset, which is a prefix of each user's batch numbering
+      "e23_stream_sessions" ->
+        """WITH o AS (SELECT user_id, ts,
+          |  CASE WHEN lag(ts) OVER w IS NULL
+          |        OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+          |       THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+          |      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq FROM o),
+          |g AS (SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+          |      count(*)::BIGINT AS n_events FROM s GROUP BY user_id, seq),
+          |c AS (SELECT * FROM g WHERE end_ts + INTERVAL '30 minutes' <=
+          |      (SELECT max(ts) FROM events))
+          |SELECT user_id,
+          | row_number() OVER (PARTITION BY user_id ORDER BY start_ts)::BIGINT
+          |   AS session_seq,
+          | epoch_ms(start_ts) AS start_ms, epoch_ms(end_ts) AS end_ms,
+          | n_events, epoch_ms(end_ts) - epoch_ms(start_ts) AS duration_ms
+          |FROM c""".stripMargin,
       // e21: the same prefix-minimum identity — cumulative sum of
       // (n − med − 1) minus its own running minimum clipped at 0
       "e21_cusum_drift" ->

@@ -162,6 +162,35 @@ object Temporal {
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
   }
 
+  /** Finishing pass of the STREAMING analytic-session face (e23): takes the
+    * accumulated closed-session table emitted by
+    * [[graft.streaming.StreamingCounters.analyticSessionStream]] and adds
+    * [[userSessions]]' `session_seq` — a per-user `row_number` over session
+    * start. Closed sessions of one user never interleave with unclosed
+    * earlier ones (a session closes when the watermark passes `end + gap`,
+    * and an earlier session's reach precedes a later one's), so the closed
+    * subset is always a PREFIX of the user's batch numbering and the seq
+    * values match batch e05's for every emitted row.
+    *
+    * Boundary convention, pinned by spec: Spark's `session_window` merge
+    * is INCLUSIVE at the gap reach — an event landing exactly at
+    * `last + gap` joins the session — which is [[userSessions]]' `gap ≤ g`
+    * convention exactly, so the two surfaces agree on every event stream
+    * including exact-gap ties (the e23 oracle is e05's gaps-and-islands
+    * verbatim, restricted to closed sessions).
+    *
+    * Scale: the window runs per user over SESSION rows (user-bounded,
+    * already aggregated) — never raw events; one shuffle on `user_id`.
+    */
+  def sessionsFromClosed(closed: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("start_ms").asc)
+    closed
+      .withColumn("session_seq", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("start_ms"),
+        col("end_ms"), col("n_events"),
+        (col("end_ms") - col("start_ms")).as("duration_ms"))
+  }
+
   /** Exact inter-event-gap quantiles per event type — the latency/cadence
     * distribution behind rate alerting and session-gap calibration
     * (what should [[userSessions]]' gap be? read p90 off this). Gaps

@@ -565,6 +565,34 @@ object StreamingCounters {
         lit(c.id).as("counter_id"),
         col("value"))
 
+  /** STREAMING face of the ANALYTIC sessionization surface
+    * ([[graft.relational.Temporal.userSessions]], e05): per-(key, session)
+    * rows — start/end millis, event count — emitted exactly once, when the
+    * watermark passes the session's reach (`last event + gap`, the c23
+    * eviction convention; the final unclosed session per key never emits).
+    * Spark's session-window state merges adjacent partial sessions across
+    * micro-batches in the state store, so a session spanning any number of
+    * batch boundaries emits ONE row, bit-identical to the batch
+    * gaps-and-islands row (spec-pinned). `session_seq` is a property of the
+    * accumulated CLOSED table, not of any single session — the
+    * [[graft.relational.Temporal.sessionsFromClosed]] finishing pass adds
+    * it (the e19/e20/e22 split: streamed state, batch-side read).
+    *
+    * Scale: one shuffle of the raw events on `keyCol` into the session
+    * store; state is bounded by live (unclosed) sessions per key, not
+    * history — closed rows leave the store on emit.
+    */
+  def analyticSessionStream(stream: DataFrame, tsCol: String, keyCol: String,
+                            gap: String = "30 minutes",
+                            watermarkDelay: String = "0 seconds"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(
+        unix_millis(min(col(tsCol))).as("start_ms"),
+        unix_millis(max(col(tsCol))).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("start_ms"), col("end_ms"), col("n_events"))
+
   /** The reference's EXPLICIT window-state protocol, on Spark's custom
     * state API: the Lambda contract hands the handler carried-forward
     * per-(window, shard) state and re-injects what it returns

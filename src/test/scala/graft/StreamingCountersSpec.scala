@@ -696,4 +696,49 @@ class StreamingCountersSpec extends SparkTestBase {
       assert(rows == Set((100L, 10L), (100L, 11L)), s"got $rows")
     } finally query.stop()
   }
+
+  test("analytic session face: cross-batch merge, strict gap boundary, closed-only emission") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = StreamingCounters.analyticSessionStream(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id", gap = "1 minute")
+    val query = sessions.writeStream.format("memory").queryName("e23_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 starts a session (0s, 10s); user 2 a singleton
+      input.addData((ts(0), 1L), (ts(10), 1L), (ts(0), 2L))
+      query.processAllAvailable()
+      assert(spark.table("e23_sessions").isEmpty,
+        "nothing closes before the watermark passes a session's reach")
+      // batch 2: 20s MERGES into user 1's batch-1 partial session in the
+      // state store; 80s sits EXACTLY at the 20s+gap reach and ALSO merges
+      // (session_window's boundary is inclusive, ≡ the batch surface's
+      // gap ≤ g — proved here, pinned at sessionsFromClosed); 141s is
+      // strictly beyond 80s+gap and starts session 2
+      input.addData((ts(20), 1L), (ts(80), 1L), (ts(141), 1L))
+      query.processAllAvailable()
+      // batch 3: heartbeat advances the watermark past every real session;
+      // its own session stays unclosed and must never emit
+      input.addData((ts(600), 3L))
+      query.processAllAvailable()
+      val out = graft.relational.Temporal
+        .sessionsFromClosed(spark.table("e23_sessions"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(out == Set(
+        (1L, 1L, base, base + 80000L, 4L, 80000L), // one row despite the batch split
+        (1L, 2L, base + 141000L, base + 141000L, 1L, 0L), // gap > g = new session
+        (2L, 1L, base, base, 1L, 0L)), s"got $out")
+      // ≡ the batch gaps-and-islands surface over the same closed events,
+      // exact-gap tie included (same inclusive convention on both sides)
+      val batch = graft.relational.Temporal.userSessions(
+        Seq((ts(0), 1L), (ts(10), 1L), (ts(20), 1L), (ts(80), 1L),
+          (ts(141), 1L), (ts(0), 2L))
+          .toDF("ts", "user_id").select(col("user_id"), col("ts")),
+        gap = "1 minute")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(out == batch, s"stream ≡ batch: $batch")
+    } finally query.stop()
+  }
 }
