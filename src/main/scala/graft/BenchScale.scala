@@ -148,7 +148,11 @@ object BenchScale {
     // joins + hll_union_agg — the exact pair frame is the deliberate
     // Θ(Σ|ball|) side, the g07 exemption class, still recorded)
     "s31_beam_recall", "t53_unigram_lm", "s32_hard_negatives",
-    "g13_effective_diameter")
+    "g13_effective_diameter",
+    // g14: Brandes-shape stress centrality — sources×m frontier/DAG
+    // frames over the saturated 97-host graph; growth must track the
+    // docs-linear edge-derivation scan, not balloon with corpus size
+    "g14_stress_centrality")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

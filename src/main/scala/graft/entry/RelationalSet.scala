@@ -377,6 +377,13 @@ private[graft] object RelationalSet {
     "g13_effective_diameter" -> ((s, dir) =>
       GraphOps.effectiveDiameter(hostEdgesFixture(Tables.documents(s, dir)),
         radius = 3)),
+    // radius-bounded stress centrality in the Brandes shape — integer
+    // shortest-path counting (no betweenness fractions), forward σ-BFS +
+    // backward continuation counts over the shortest-path DAG, plus the
+    // Brandes–Pich deterministic-pivot estimate on the md5 channel
+    "g14_stress_centrality" -> ((s, dir) =>
+      GraphOps.stressCentrality(hostEdgesFixture(Tables.documents(s, dir)),
+        radius = 3, sampleMod = 4L)),
     // Degree-oriented triangle counting over the same host graph — the
     // clustering/link-farm density read beside PageRank's centrality:
     // edges orient low→high under the (degree, host) total order
@@ -1192,6 +1199,61 @@ private[graft] object RelationalSet {
           |  (nf_exact * 1000000 // t >= 900000)::BIGINT AS at_q,
           |  1::BIGINT AS within_eps
           |FROM nf, tot""".stripMargin,
+      // g14: the identical Brandes decomposition as chained CTEs — three
+      // forward σ-merge rounds (min-d first reach, predecessor-sum σ),
+      // the DAG successor frame, three backward φ rounds, then the
+      // σ·φ contraction; pivots drawn by the shared portable-md5 slice
+      "g14_stress_centrality" -> {
+        def fwd(prev: String, out: String, d: Int): String =
+          s"""f$out AS MATERIALIZED (SELECT s, v, min(d) AS d,
+            |  coalesce(max(sig) FILTER (WHERE d < $d),
+            |           sum(sig) FILTER (WHERE d = $d)) AS sig
+            |  FROM (SELECT s, v, d, sig FROM f$prev
+            |        UNION ALL
+            |        SELECT f$prev.s, e.dst, $d, f$prev.sig
+            |        FROM f$prev JOIN e ON f$prev.v = e.src
+            |        WHERE f$prev.d = ${d - 1}) u
+            |  GROUP BY 1, 2)""".stripMargin
+        s"""WITH edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |e AS (SELECT DISTINCT src, dst FROM edges WHERE src != dst),
+          |nodes AS (SELECT DISTINCT host FROM (
+          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) n),
+          |f0 AS (SELECT host AS s, host AS v, 0 AS d, 1::BIGINT AS sig FROM nodes),
+          |${fwd("0", "1", 1)},
+          |${fwd("1", "2", 2)},
+          |${fwd("2", "3", 3)},
+          |succ AS MATERIALIZED (SELECT a.s, a.v, a.d AS dv, b.v AS w
+          |  FROM f3 a JOIN e ON a.v = e.src
+          |  JOIN f3 b ON b.s = a.s AND b.v = e.dst AND b.d = a.d + 1),
+          |p2 AS (SELECT s, v, sum(1)::BIGINT AS phi FROM succ
+          |  WHERE dv = 2 GROUP BY 1, 2),
+          |p1 AS (SELECT succ.s, succ.v,
+          |    sum(1 + coalesce(p2.phi, 0))::BIGINT AS phi
+          |  FROM succ LEFT JOIN p2 ON p2.s = succ.s AND p2.v = succ.w
+          |  WHERE succ.dv = 1 GROUP BY 1, 2),
+          |p0 AS (SELECT succ.s, succ.v,
+          |    sum(1 + coalesce(p1.phi, 0))::BIGINT AS phi
+          |  FROM succ LEFT JOIN p1 ON p1.s = succ.s AND p1.v = succ.w
+          |  WHERE succ.dv = 0 GROUP BY 1, 2),
+          |phi AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+          |  UNION ALL SELECT * FROM p2),
+          |contrib AS (SELECT f3.s, f3.v, f3.sig * phi.phi AS c
+          |  FROM f3 JOIN phi ON phi.s = f3.s AND phi.v = f3.v
+          |  WHERE f3.d >= 1),
+          |cnts AS (SELECT count(*)::BIGINT AS n_all,
+          |    sum(CASE WHEN ${h60("host")} % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
+          |      AS n_samp FROM nodes),
+          |ex AS (SELECT v, sum(c)::BIGINT AS stress FROM contrib GROUP BY 1),
+          |sa AS (SELECT v, sum(c)::BIGINT AS ssum FROM contrib
+          |  WHERE ${h60("s")} % 4 = 0 GROUP BY 1)
+          |SELECT nodes.host, coalesce(ex.stress, 0)::BIGINT AS stress,
+          |  coalesce((sa.ssum * cnts.n_all) // cnts.n_samp, 0)::BIGINT
+          |    AS stress_est
+          |FROM nodes CROSS JOIN cnts
+          |LEFT JOIN ex ON ex.v = nodes.host
+          |LEFT JOIN sa ON sa.v = nodes.host""".stripMargin
+      },
       // g05: the same compact-forward construction — orient low→high by
       // (degree, host), ordered wedge pairs, close on the oriented edge,
       // then count corner memberships; integer-exact throughout

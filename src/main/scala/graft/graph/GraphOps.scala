@@ -822,6 +822,144 @@ object GraphOps {
       .withColumn("pref_attach", col("deg_a") * col("deg_b"))
   }
 
+  /** Radius-bounded STRESS centrality (Shimbel 1953; the integer sibling
+    * of betweenness) over the directed host graph, computed in the
+    * Brandes shape (Brandes 2001, "A faster algorithm for betweenness
+    * centrality", §6 variants) — the "how much shortest-path traffic
+    * would a crawler route through this host" read that complements
+    * [[harmonicCentrality]]'s "how close is it" and [[pageRank]]'s "how
+    * endorsed is it".
+    *
+    * Engine-exact semantics (a defined snapshot, not convergence lore):
+    * over ordered host pairs (s, t) with BFS distance 1 ≤ d(s,t) ≤
+    * `radius` on the deduplicated self-loop-free directed edge frame,
+    * stress(v) = Σ σ_st(v) — the number of shortest s→t paths with v as
+    * an INTERIOR node. Everything is path COUNTING, so unlike
+    * betweenness there is no σ_sv/σ_st division and every value is an
+    * exact BIGINT both engines replay bit-for-bit. The Brandes
+    * decomposition used on both sides: a forward frontier chain
+    * computing (s, v, d, σ) with σ merged as sum-over-predecessors at
+    * first reach, then a backward pass over the shortest-path DAG
+    * computing the integer continuation count
+    * φ_s(v) = Σ_{w ∈ succ_s(v)} (1 + φ_s(w)) — the number of shortest
+    * suffix paths from v to ANY t within the radius — and finally
+    * stress(v) = Σ_{s ≠ v} σ(s,v) · φ_s(v). No (ball × ball) pair join
+    * ever materializes: the DAG successor frame is edges ⋈ reach
+    * (Θ(sources·m) rows, the Brandes bound), and each round is one
+    * (s,v)-keyed map-side-combinable shuffle.
+    *
+    * Alongside the exact column rides `stress_est`, the SAMPLED-SOURCES
+    * estimate (Brandes–Pich 2007, "Centrality estimation in large
+    * networks": pivot sources, here the deterministic portable slice
+    * `md5Long60(s) % sampleMod == 0` so DuckDB draws the identical
+    * pivots) scaled by n_hosts div n_pivots on the integer channel.
+    * At fixture scale the estimate is hash-compared like any column; at
+    * web scale the pivot set is what you can afford — exact all-sources
+    * stress is Θ(n·m) and the estimate's Θ(|S|·m) with a fixed pivot
+    * budget is the published answer, the same truth/estimate division
+    * of labor as [[harmonicGate]].
+    *
+    * Scale shape: the forward chain is `radius` rounds of ONE
+    * (s,v)-keyed combined shuffle each (frontier ⋈ edge scan, min-d/σ
+    * merged map-side), `localCheckpoint` per round — the k-means/CC
+    * lineage-truncation pattern; the DAG successor frame materializes
+    * once; the backward pass then stays LAZY (each single-depth slice
+    * reads only checkpoint leaves, so the plan is small and the whole
+    * φ chain + σ·φ contraction runs as one job). Deliberately NO
+    * broadcast hints: the iterated frames are (sources × ball)-bounded
+    * — too big to broadcast on a 10⁸-host graph — and the measured
+    * local cost of per-round broadcast collects was 2–3× the shuffle
+    * join (8.5–10.2 s vs 3.2 s at sf0.1), so the local plan and the
+    * 1000-executor plan keep the SAME shape. A fully lazy variant
+    * (persist-only, no checkpoints) was also rejected by measurement:
+    * the self-referential lineage makes Catalyst analysis exponential
+    * (60 s at sf0.1). State is always (sources × reached-nodes)-bounded
+    * rows of scalars — raw edges are scanned, never carried.
+    *
+    * Returns one row per host: (host, stress, stress_est), zeros for
+    * hosts no shortest path crosses.
+    */
+  def stressCentrality(edges: DataFrame, radius: Int = 3,
+                       sampleMod: Long = 4L): DataFrame = {
+    require(radius >= 1, "radius must be at least 1")
+    require(sampleMod >= 1L, "sampleMod must be at least 1")
+    import graft.functions.PortableHash
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val nodes = edges.select(col("src").as("host"))
+      .unionAll(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    // ---- forward: (s, v, d, sig) — distance + shortest-path count ----
+    var reach = nodes.select(col("host").as("s"), col("host").as("v"),
+      lit(0).as("d"), lit(1L).as("sig"))
+    var round = 1
+    while (round <= radius) {
+      val cand = reach.where(col("d") === round - 1).as("f")
+        .join(e.as("e"), col("f.v") === col("e.src"))
+        .select(col("f.s").as("s"), col("e.dst").as("v"),
+          lit(round).as("d"), col("f.sig").as("sig"))
+      // one combined shuffle: min-d keeps the first reach; σ is the old
+      // row's count if already reached, else the sum of this round's
+      // predecessor contributions (new rows all carry d == round)
+      reach = reach.unionAll(cand)
+        .groupBy(col("s"), col("v"))
+        .agg(min(col("d")).as("d"),
+          max(when(col("d") < round, col("sig"))).as("__old"),
+          sum(when(col("d") === round, col("sig"))).as("__new"))
+        .select(col("s"), col("v"), col("d"),
+          coalesce(col("__old"), col("__new")).as("sig"))
+        .localCheckpoint() // reused: next round, DAG sides, contraction
+      round += 1
+    }
+    // ---- shortest-path DAG: v → w successor iff d(s,w) = d(s,v) + 1 ----
+    val succ = e.as("e").join(reach.as("a"), col("a.v") === col("e.src"))
+      .join(reach.as("b"),
+        col("b.s") === col("a.s") && col("b.v") === col("e.dst") &&
+          col("b.d") === col("a.d") + 1)
+      .select(col("a.s").as("s"), col("a.v").as("v"),
+        col("a.d").as("dv"), col("b.v").as("w"))
+      .localCheckpoint() // sliced once per backward round
+    e.unpersist()
+    // ---- backward: φ(v) = Σ_{w∈succ(v)} (1 + φ(w)), deepest layer up ----
+    var phiLevel = reach.where(col("d") === radius)
+      .select(col("s"), col("v"), lit(0L).as("phi"))
+    var phiAll = phiLevel
+    var k = radius - 1
+    while (k >= 0) {
+      phiLevel = succ.where(col("dv") === k)
+        .join(phiLevel.select(col("s"), col("v").as("w"), col("phi")),
+          Seq("s", "w"), "left")
+        .groupBy(col("s"), col("v"))
+        .agg(sum(lit(1L) + coalesce(col("phi"), lit(0L))).as("phi"))
+      phiAll = phiAll.unionAll(phiLevel)
+      k -= 1
+    }
+    // ---- stress(v) = Σ_s σ(s,v)·φ_s(v) over interior v (d ≥ 1) ----
+    val contrib = reach.where(col("d") >= 1)
+      .join(phiAll, Seq("s", "v"))
+      .select(col("s"), col("v"), (col("sig") * col("phi")).as("c"))
+      .localCheckpoint() // feeds the exact AND the sampled contraction
+    val sampledSrc = pmod(PortableHash.md5Long60(col("s")), lit(sampleMod)) === 0
+    val exact = contrib.groupBy(col("v").as("__ve"))
+      .agg(sum(col("c")).as("stress"))
+    val sampled = contrib.where(sampledSrc)
+      .groupBy(col("v").as("__vs")).agg(sum(col("c")).as("__ssum"))
+    val cnts = nodes.agg(count(lit(1)).as("__n_all"),
+      sum((pmod(PortableHash.md5Long60(col("host")), lit(sampleMod)) === 0)
+        .cast("long")).as("__n_samp"))
+    nodes.crossJoin(broadcast(cnts))
+      .join(exact, col("host") === col("__ve"), "left")
+      .join(sampled, col("host") === col("__vs"), "left")
+      .select(col("host"),
+        coalesce(col("stress"), lit(0L)).as("stress"),
+        coalesce(graft.textops.TextAnalysis.intDiv(
+          col("__ssum") * col("__n_all"), col("__n_samp")), lit(0L))
+          .as("stress_est"))
+  }
+
   def weakComponents(edges: DataFrame, propagationRounds: Int = 8): DataFrame = {
     import graft.functions.PortableHash
     val names = edges.select(col("src").as("host"))

@@ -2324,4 +2324,75 @@ class ExtensionOpsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $out")
   }
+
+  test("stressCentrality: hand-computed path/diamond counts, shortcut discards longer paths") {
+    import graft.graph.GraphOps
+    // path a→b→c→d: interior members of the 6 within-radius pairs
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val p = GraphOps.stressCentrality(path, radius = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p == Map("a" -> 0L, "b" -> 2L, "c" -> 2L, "d" -> 0L), s"got $p")
+    // diamond: σ(a,d) = 2, one path through each of b and c
+    val dia = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    val d = GraphOps.stressCentrality(dia, radius = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d("b") == 1L && d("c") == 1L && d("a") == 0L && d("d") == 0L,
+      s"got $d")
+    // a→d shortcut makes d(a,d) = 1 — the 2-hop paths through b/c are no
+    // longer SHORTEST and must vanish from the first-reach σ-merge
+    val short = dia.unionAll(Seq(("a", "d")).toDF("src", "dst"))
+    val sOut = GraphOps.stressCentrality(short, radius = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sOut("b") == 0L && sOut("c") == 0L, s"got $sOut")
+  }
+
+  test("stressCentrality: brute-force cross-check on the 97-host fixture; sampleMod=1 est equals exact") {
+    import graft.graph.GraphOps
+    val edgeDf = EntryHelpers.hostEdgesFixture(docs)
+    val edges = edgeDf.collect().map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => a != b }.distinct
+    val hosts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val adj: Map[String, Seq[String]] =
+      edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSeq }
+    val radius = 3
+    // independent BFS σ/d per source, then φ by depth descending
+    val stressBrute = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for (s <- hosts) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sig = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Seq(s)
+      for (dd <- 1 to radius) {
+        val cand = scala.collection.mutable.Map[String, Long]()
+          .withDefaultValue(0L)
+        for (v <- frontier; w <- adj.getOrElse(v, Seq.empty)
+             if !dist.contains(w))
+          cand(w) = cand(w) + sig(v)
+        val fresh = cand.keys.filterNot(dist.contains).toSeq
+        for (w <- fresh) { dist(w) = dd; sig(w) = cand(w) }
+        frontier = fresh
+      }
+      val phi = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      for (dd <- (radius - 1) to 0 by -1;
+           v <- dist.collect { case (n, d0) if d0 == dd => n };
+           w <- adj.getOrElse(v, Seq.empty)
+           if dist.get(w).contains(dd + 1))
+        phi(v) = phi(v) + 1L + phi(w)
+      for (v <- dist.keys if v != s) stressBrute(v) = stressBrute(v) + sig(v) * phi(v)
+    }
+    val got = GraphOps.stressCentrality(edgeDf, radius = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet == hosts.toSet, "one row per host")
+    for (h <- hosts)
+      assert(got(h)._1 == stressBrute(h),
+        s"stress($h): got ${got(h)._1}, brute ${stressBrute(h)}")
+    // sampling every source with scale N div N = 1 reproduces the exact
+    val all = GraphOps.stressCentrality(edgeDf, radius = 3, sampleMod = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    assert(all.forall { case (_, (ex, est)) => ex == est },
+      "sampleMod=1 estimate must equal the exact column")
+  }
 }
