@@ -152,7 +152,12 @@ object BenchScale {
     // g14: Brandes-shape stress centrality — sources×m frontier/DAG
     // frames over the saturated 97-host graph; growth must track the
     // docs-linear edge-derivation scan, not balloon with corpus size
-    "g14_stress_centrality")
+    "g14_stress_centrality",
+    // e24/e25: count–min sketch counters — output and state are
+    // (windows × depth × width)-bounded regardless of key cardinality
+    // (the sketch's point); growth must track the events scan only, in
+    // BOTH topologies (e25 is the fifth streaming state face)
+    "e24_cms_hitter_gate", "e25_stream_cms_counters")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

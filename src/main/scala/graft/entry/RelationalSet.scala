@@ -296,6 +296,30 @@ private[graft] object RelationalSet {
     // breaks the within_bound column instead
     "e14_hitter_sketch_gate" -> ((s, dir) =>
       graft.relational.Temporal.hitterSketchGate(events(s, dir))),
+    // count–min sketch counters + point-query gate — the LAST member of
+    // the mergeable-summaries matrix (HLL/GK/MG/Bloom/CMS). Fully
+    // deterministic on the portable-md5 channel: DuckDB rebuilds the
+    // counter table cell-for-cell, so the estimates AND both bound
+    // verdicts (never-undercount theorem, ε-slack) are hash-compared,
+    // not declared
+    "e24_cms_hitter_gate" -> ((s, dir) =>
+      graft.relational.Temporal.cmsHitterGate(events(s, dir))),
+    // STREAMING face of the CMS counter: the cells as a plain
+    // watermarked windowed agg (no custom state — CMS cells ARE what
+    // Spark's streaming agg maintains), emitted on window close, gated
+    // by the same batch-side machinery on exactly the closed windows
+    "e25_stream_cms_counters" -> ((s, dir) => withStatePartitions(s, 8) {
+      // native windowed agg → default state store, the e12/e17/e22
+      // convention (RocksDB is the transformWithState faces' choice)
+      val counters = graft.streaming.StreamingCounters.cmsCounterStream(
+        Tables.eventsStream(s, dir), "ts")
+      val sink = "e25_cms_sink"
+      val q = counters.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.relational.Temporal.cmsGateFromCounters(
+        events(s, dir), s.table(sink))
+    }),
     // STREAMING face of the sketch hitter counter: e14's Misra–Gries
     // summary as transformWithState state, emitted on window close, then
     // gated by the same exact-side machinery — with e19 this closes the
@@ -470,6 +494,39 @@ private[graft] object RelationalSet {
     "g11_link_prediction" -> ((s, dir) =>
       GraphOps.linkPrediction(hostEdgesFixture(Tables.documents(s, dir)))),
   )
+
+  /** e24/e25 shared oracle: e14's exact top-3 hitters + a cell-for-cell
+    * rebuild of the deterministic CMS counter table (depth 3, width 64,
+    * the "cms<j>:<key>" md5 channel), point-query min, and the two bound
+    * verdicts — all computed, nothing declared. `closedOnly` restricts to
+    * watermark-closed windows (strict <, the c29/e20 convention). */
+  private def cmsGateSql(closedOnly: Boolean): String = {
+    val closed = if (closedOnly)
+      "\n  AND epoch_ms(r.h) + 3600000 < (SELECT epoch_ms(max(ts)) FROM events)"
+    else ""
+    s"""WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, user_id,
+      |  count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2),
+      |t AS (SELECT h, sum(n_events)::BIGINT AS n FROM c GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY h
+      |  ORDER BY n_events DESC, user_id) AS rank FROM c),
+      |js AS (SELECT unnest([0, 1, 2]) AS j),
+      |cms AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, j,
+      |    ${h60("'cms' || j || ':' || user_id")} % 64 AS bucket,
+      |    count(*)::BIGINT AS cnt
+      |  FROM events CROSS JOIN js GROUP BY 1, 2, 3),
+      |est AS (SELECT r.h, r.user_id, min(cms.cnt) AS cms_est
+      |  FROM r CROSS JOIN js
+      |  JOIN cms ON cms.h = r.h AND cms.j = js.j
+      |    AND cms.bucket = ${h60("'cms' || js.j || ':' || r.user_id")} % 64
+      |  WHERE r.rank <= 3 GROUP BY 1, 2)
+      |SELECT epoch_ms(r.h) AS window_start, r.user_id, r.n_events,
+      |  rank::BIGINT AS rank, t.n, e.cms_est,
+      |  (e.cms_est >= r.n_events
+      |   AND e.cms_est <= r.n_events + (4 * t.n) // 64)::BIGINT AS within_bound
+      |FROM r JOIN t ON r.h = t.h
+      |JOIN est e ON e.h = r.h AND e.user_id = r.user_id
+      |WHERE r.rank <= 3$closed""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
       "h01_pricing_summary" ->
@@ -1001,6 +1058,14 @@ private[graft] object RelationalSet {
           |SELECT epoch_ms(r.h) AS window_start, user_id, n_events,
           |  rank::BIGINT AS rank, t.n, 1::BIGINT AS within_bound
           |FROM r JOIN t ON r.h = t.h WHERE rank <= 3""".stripMargin,
+      // e24/e25: e14's exact top-3 SQL + a cell-for-cell DuckDB rebuild
+      // of the deterministic CMS counter table — estimate and BOTH bound
+      // verdicts computed by the oracle, never declared (the only sketch
+      // family where that is possible: md5 hashes, no register
+      // nondeterminism). e25 = e24 restricted to watermark-closed
+      // windows (strict <, the c29/e20 convention).
+      "e24_cms_hitter_gate" -> cmsGateSql(closedOnly = false),
+      "e25_stream_cms_counters" -> cmsGateSql(closedOnly = true),
       // e20: e14's exact SQL restricted to watermark-closed windows
       // (strict <, the c29 convention); the streamed sketch's bound
       // violation would flip within_bound Spark-side

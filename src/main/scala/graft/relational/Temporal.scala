@@ -561,6 +561,119 @@ object Temporal {
         col("user_id"), col("n_events"), col("rank"))
   }
 
+  /** Count–min sketch counters (Cormode & Muthukrishnan 2005, "An
+    * improved data stream summary: the count-min sketch and its
+    * applications") per window — the sub-memory frequency summary
+    * [[windowHeavyHitters]]' scaladoc names as the alternative when even
+    * per-window key cardinality is too big to shuffle, and the LAST
+    * member of the repo's mergeable-summaries matrix (HLL, GK, Misra–
+    * Gries, Bloom) to land. Each event increments `depth` counters
+    * `(j, md5Long60("cms" + j + ":" + key) % width)`; a point query
+    * reads the MIN over its `depth` cells and can only OVER-count
+    * (every cell holds the key's own events plus collisions — the
+    * one-sided theorem the gate checks for free).
+    *
+    * Unlike the HLL faces, the whole sketch is DETERMINISTIC integer
+    * arithmetic on the portable md5 channel — DuckDB rebuilds the exact
+    * counter table cell-for-cell, so estimates AND verdicts are
+    * hash-compared, not just declared. And the sketch is LINEAR
+    * (cell-wise sums), which is what makes it the canonical cross-shard
+    * two-phase counter: merging per-shard sketches is elementwise `sum`,
+    * bit-identical to the single-phase build.
+    *
+    * Scale shape: one ×`depth` explode (a projection) into ONE
+    * map-side-combinable groupBy; the shuffle carries at most
+    * partitions × (windows × depth × width) combined cells — never raw
+    * events — and the output frame is (windows × depth × width)-bounded
+    * regardless of key cardinality, which is the entire point of the
+    * sketch. Returns (window_start, j, bucket, cnt).
+    */
+  def cmsCounters(events: DataFrame, tsCol: String = "ts",
+                  windowDuration: String = "1 hour",
+                  depth: Int = 3, width: Int = 64): DataFrame = {
+    require(depth >= 1, "depth must be at least 1")
+    require(width >= 2, "width must be at least 2")
+    events.select(
+        unix_millis(window(col(tsCol), windowDuration).getField("start"))
+          .as("window_start"),
+        col("user_id").cast("string").as("__key"))
+      .select(col("window_start"),
+        explode(array((0 until depth).map(j => lit(j)): _*)).as("j"),
+        col("__key"))
+      .select(col("window_start"), col("j"),
+        pmod(graft.functions.PortableHash.md5Long60(
+          concat(lit("cms"), col("j").cast("string"), lit(":"), col("__key"))),
+          lit(width.toLong)).as("bucket"))
+      .groupBy(col("window_start"), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[cmsCounters]] + the point-query gate in one call — the e14/e19
+    * batch face: exact hourly top-k hitters hash-compared alongside the
+    * sketch's estimate and its bound verdict. */
+  def cmsHitterGate(events: DataFrame, windowDuration: String = "1 hour",
+                    k: Int = 3, depth: Int = 3, width: Int = 64,
+                    boundFactor: Long = 4L): DataFrame =
+    cmsGateFromCounters(events,
+      cmsCounters(events, "ts", windowDuration, depth, width),
+      windowDuration, k, depth, width, boundFactor)
+
+  /** The gate half of [[cmsHitterGate]], over ANY counter source with
+    * the (window_start, j, bucket, cnt) shape — the batch build or the
+    * streaming per-window emission
+    * ([[graft.streaming.StreamingCounters.cmsCounterStream]]): windows
+    * present in `counters` drive the output (inner joins), so the
+    * streaming face passes only watermark-closed windows and gets the
+    * batch rows restricted to exactly those.
+    *
+    * Per exact top-k hitter: `cms_est` = min over `depth` of the
+    * hitter's cells, and `within_bound` =
+    * `cms_est ≥ n_events` (the never-undercount THEOREM — a violation
+    * means the sketch is broken, not unlucky) AND
+    * `cms_est ≤ n_events + (boundFactor·n) div width` (the measured
+    * ε-slack, the a01/e13/e14 gate discipline; CMS guarantees it per
+    * query with probability 1 − (1/boundFactor)^depth, and because the
+    * hashes are deterministic the verdict is the SAME integer on both
+    * engines — the oracle computes it, never declares it).
+    *
+    * Scale shape: probes are k·depth rows per window joining a
+    * (windows × depth × width)-bounded counter frame — both sides
+    * window-keyed aggregates, never events.
+    */
+  def cmsGateFromCounters(events: DataFrame, counters: DataFrame,
+                          windowDuration: String = "1 hour",
+                          k: Int = 3, depth: Int = 3, width: Int = 64,
+                          boundFactor: Long = 4L): DataFrame = {
+    val exact = windowHeavyHitters(events, windowDuration, k)
+    val totals = events
+      .groupBy(unix_millis(window(col("ts"), windowDuration)
+        .getField("start")).as("__ws"))
+      .agg(count(lit(1)).as("n"))
+    val probes = exact.select(col("window_start"), col("user_id"))
+      .withColumn("j", explode(array((0 until depth).map(j => lit(j)): _*)))
+      .withColumn("bucket", pmod(graft.functions.PortableHash.md5Long60(
+        concat(lit("cms"), col("j").cast("string"), lit(":"),
+          col("user_id").cast("string"))), lit(width.toLong)))
+    val c = counters.select(col("window_start").as("__ws2"),
+      col("j").as("__j"), col("bucket").as("__b"), col("cnt"))
+    val ests = probes
+      .join(c, probes("window_start") === col("__ws2") &&
+        probes("j") === col("__j") && probes("bucket") === col("__b"))
+      .groupBy(probes("window_start").as("__wse"),
+        col("user_id").as("__ue"))
+      .agg(min(col("cnt")).as("cms_est"))
+    exact
+      .join(totals, exact("window_start") === col("__ws"))
+      .join(ests, exact("window_start") === col("__wse") &&
+        exact("user_id") === col("__ue"))
+      .select(col("window_start"), col("user_id"), col("n_events"),
+        col("rank"), col("n"), col("cms_est"),
+        (col("cms_est") >= col("n_events") &&
+          col("cms_est") <= col("n_events") +
+            expr(s"(${boundFactor}L * n) div ${width.toLong}L"))
+          .cast("long").as("within_bound"))
+  }
+
   /** Hour-over-hour count deltas — the raw DERIVATIVE read beside
     * [[countSpikes]]' thresholded flags: per (event_type, hour), the
     * count, the previous OBSERVED hour's count, the signed delta, and

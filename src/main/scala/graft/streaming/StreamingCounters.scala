@@ -778,6 +778,42 @@ object StreamingCounters {
     * summary regardless of the key domain (the exact face's state is per
     * DISTINCT key). Requires the RocksDB state store provider.
     */
+  /** STREAMING face of the count–min sketch counter
+    * ([[graft.relational.Temporal.cmsCounters]]): the per-window counter
+    * cells as a plain watermarked windowed aggregation — deliberately NO
+    * custom state processor, because CMS cells are exactly what Spark's
+    * native streaming agg already maintains incrementally (count per
+    * (window, j, bucket) group, map-side combined per micro-batch).
+    * Cells emit on window close (append mode, the c23 eviction
+    * convention) and feed
+    * [[graft.relational.Temporal.cmsGateFromCounters]] unchanged — the
+    * e19/e20 division of labor (streamed summary state, batch-side gate
+    * read). State is (live windows × depth × width) cells regardless of
+    * key cardinality or event volume — the sketch's whole point, and the
+    * boundedness the SCALING gate checks.
+    */
+  def cmsCounterStream(stream: DataFrame, tsCol: String,
+                       windowDuration: String = "1 hour",
+                       watermarkDelay: String = "0 seconds",
+                       depth: Int = 3, width: Int = 64): DataFrame = {
+    require(depth >= 1, "depth must be at least 1")
+    require(width >= 2, "width must be at least 2")
+    stream.withWatermark(tsCol, watermarkDelay)
+      .select(window(col(tsCol), windowDuration).as("w"),
+        col("user_id").cast("string").as("__key"))
+      .select(col("w"),
+        explode(array((0 until depth).map(j => lit(j)): _*)).as("j"),
+        col("__key"))
+      .select(col("w"), col("j"),
+        pmod(graft.functions.PortableHash.md5Long60(
+          concat(lit("cms"), col("j").cast("string"), lit(":"), col("__key"))),
+          lit(width.toLong)).as("bucket"))
+      .groupBy(col("w"), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("w").getField("start")).as("window_start"),
+        col("j"), col("bucket"), col("cnt"))
+  }
+
   def hitterSketchStream(stream: DataFrame, tsCol: String,
                          windowDuration: String = "1 hour",
                          watermarkDelay: String = "0 seconds",

@@ -641,6 +641,42 @@ class StreamingCountersSpec extends SparkTestBase {
     } finally spark.conf.unset(key)
   }
 
+  test("streaming CMS cells accumulate across batches and match the batch build on close") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamingCounters.cmsCounterStream(
+      input.toDF().toDF("ts", "user_id"), "ts", windowDuration = "1 minute",
+      watermarkDelay = "5 seconds", depth = 3, width = 8)
+    val query = out.writeStream.format("memory").queryName("cms_cells")
+      .outputMode("append").start()
+    try {
+      // one window, events split across TWO batches — the native streaming
+      // agg must accumulate the cells incrementally
+      val batch1 = (0 until 6).map(i => (ts(i), 7L))
+      val batch2 = (6 until 9).map(i => (ts(i), 7L)) ++
+        (9 until 12).map(i => (ts(i), (i % 3 + 1).toLong))
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      assert(spark.table("cms_cells").count() == 0,
+        "no emission before the watermark closes the window")
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      input.addData((ts(70), 99L)) // close the window
+      query.processAllAvailable()
+      val streamed = spark.table("cms_cells")
+        .where(col("window_start") === base)
+        .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val batch = graft.relational.Temporal.cmsCounters(
+        (batch1 ++ batch2).toDF("ts", "user_id"), "ts", "1 minute",
+        depth = 3, width = 8)
+        .where(col("window_start") === base)
+        .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(streamed == batch,
+        s"streamed cells must equal the batch build: $streamed vs $batch")
+      assert(streamed.values.sum == 12L * 3, "3 rows × 12 events mass")
+    } finally query.stop()
+  }
+
   test("transformWithState ACD carries the HLL sketch across batches") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"

@@ -282,6 +282,42 @@ class TemporalSpec extends SparkTestBase {
     assert(rows((h, 1L)) == (9L, 2L) && rows.size == 4)
   }
 
+  test("cmsCounters: linear (sharded sum ≡ whole build), never undercounts under forced collisions") {
+    val events = ((0 until 8).map(i => (1L, ts(i * 1000L))) ++
+      (0 until 5).map(i => (2L, ts(i * 1000L + 500))) ++
+      (0 until 3).map(i => (3L, ts(i * 1000L + 700))) ++
+      Seq((4L, ts(900L))))
+      .toDF("user_id", "ts")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+    // width 2: 4 users over 2 buckets per row — collisions guaranteed
+    val whole = Temporal.cmsCounters(events, depth = 2, width = 2)
+    val cells = whole.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // every cell total per row j equals the event count (CMS conserves mass)
+    val n = events.count()
+    for (j <- 0 until 2)
+      assert(cells.collect { case ((_, jj, _), c) if jj == j => c }.sum == n,
+        s"row $j must conserve total mass: $cells")
+    // linearity: per-shard builds merged by cell-wise sum ≡ whole build
+    val sa = Temporal.cmsCounters(events.where(col("user_id") <= 2), depth = 2, width = 2)
+    val sb = Temporal.cmsCounters(events.where(col("user_id") > 2), depth = 2, width = 2)
+    val merged = sa.unionAll(sb)
+      .groupBy("window_start", "j", "bucket").agg(sum("cnt").as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(merged == cells, "CMS must be linear: shard merge ≡ single build")
+    // the gate: estimates can only over-count, and the dominant key's
+    // estimate absorbs its collision partners' counts exactly
+    val gate = Temporal.cmsGateFromCounters(events, whole,
+      k = 4, depth = 2, width = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSeq
+    assert(gate.nonEmpty)
+    for ((u, exact, est) <- gate)
+      assert(est >= exact, s"CMS must never undercount: user $u $est < $exact")
+    assert(gate.exists { case (_, exact, est) => est > exact },
+      s"width 2 must force at least one real collision: $gate")
+  }
+
   test("topSupplier surfaces every supplier tied at the scalar max") {
     val supplier = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
       .toDF("s_suppkey", "s_name")
