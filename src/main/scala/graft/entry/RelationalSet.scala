@@ -304,6 +304,22 @@ private[graft] object RelationalSet {
     // not declared
     "e24_cms_hitter_gate" -> ((s, dir) =>
       graft.relational.Temporal.cmsHitterGate(events(s, dir))),
+    // CMS through the SERIALIZED two-phase topology (the third
+    // engine-extension counter type on the counter.go:483-512 hop):
+    // per-shard non-zero cells → JSON intermediate records → parse +
+    // version gate → cell-wise cross-shard sum (sketch LINEARITY — the
+    // merge is bit-identical to the single-phase build) → the e24 gate.
+    // Oracle = e24's SQL verbatim: the shard hop must be invisible.
+    "e26_twophase_cms" -> ((s, dir) => {
+      val sharded = events(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(8)))
+      graft.relational.Temporal.cmsGateFromCounters(events(s, dir),
+        Intermediate.mergeCmsRecords(
+          Intermediate.toCmsRecords(
+            graft.relational.Temporal.partialCmsState(sharded, "ts", "shard"),
+            "cms_2p", "arn:aws:kinesis:ap-northeast-1:111122223333:stream/in"),
+          "cms_2p", requiredVersion = Some(">=0.1.0")))
+    }),
     // STREAMING face of the CMS counter: the cells as a plain
     // watermarked windowed agg (no custom state — CMS cells ARE what
     // Spark's streaming agg maintains), emitted on window close, gated
@@ -1066,6 +1082,8 @@ private[graft] object RelationalSet {
       // windows (strict <, the c29/e20 convention).
       "e24_cms_hitter_gate" -> cmsGateSql(closedOnly = false),
       "e25_stream_cms_counters" -> cmsGateSql(closedOnly = true),
+      // e26: the two-phase hop must be invisible — same SQL as e24
+      "e26_twophase_cms" -> cmsGateSql(closedOnly = false),
       // e20: e14's exact SQL restricted to watermark-closed windows
       // (strict <, the c29 convention); the streamed sketch's bound
       // violation would flip within_bound Spark-side

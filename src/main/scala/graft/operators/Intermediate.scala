@@ -90,6 +90,10 @@ object Intermediate {
         StructField("n", LongType))))),
       StructField("counts", ArrayType(StructType(Seq(
         StructField("u", LongType),
+        StructField("n", LongType))))),
+      StructField("cells", ArrayType(StructType(Seq(
+        StructField("j", LongType),
+        StructField("b", LongType),
         StructField("n", LongType))))))))))
 
   /** The `required_version` gate (`counter.go:366-368` → `config.go:122-138`)
@@ -338,4 +342,65 @@ object Intermediate {
                          k: Int = 3): DataFrame =
     graft.relational.Temporal.mergeHitterPartials(
       parseHitters(records, counterId, requiredVersion), k)
+
+  // ---- count–min sketch counter through the same hop (ENGINE EXTENSION) ----
+
+  /** The `counter_type` tag of the CMS counter's records — the fifth
+    * union member beside count/ACD/quantiles/heavy-hitters.
+    */
+  val CmsTypeName = "cms_counters"
+
+  /** [[toRecords]] for the CMS counter
+    * ([[graft.relational.Temporal.partialCmsState]] partials): the
+    * per-(window, shard) non-zero sketch cells serialize as the
+    * `counter_state.cells` union member — same envelope, partition key,
+    * and version field as the other counter types (`counter.go:483-512`).
+    */
+  def toCmsRecords(partial: DataFrame, counterId: String,
+                   eventSourceArn: String,
+                   counterVersion: String = ConfigLoader.EngineVersion): DataFrame =
+    partial.select(
+      lit(counterId).as("partition_key"),
+      to_json(struct(
+        lit(eventSourceArn).as("event_source_arn"),
+        col("shard_id").cast("string").as("shard_id"),
+        lit(counterId).as("counter_id"),
+        lit(CmsTypeName).as("counter_type"),
+        lit(counterVersion).as("counter_version"),
+        struct(
+          date_format(col("window.start"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("start"),
+          date_format(col("window.end"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("end")
+        ).as("window"),
+        struct(col("partial_cells").as("cells")).as("counter_state"))).as("value"))
+
+  /** [[parse]] for CMS records: the same warn-and-skip filtering
+    * (id + type tag + version gate); state lands back as `partial_cells`.
+    */
+  def parseCms(records: DataFrame, counterId: String,
+               requiredVersion: Option[String] = None): DataFrame = {
+    val versionOk: Column = requiredVersion.map(VersionConstraint(_)) match {
+      case None => lit(true)
+      case Some(vc) => versionCheck(vc, col("r.counter_version"))
+    }
+    records
+      .select(from_json(col("value"), recordSchema).as("r"))
+      .where(col("r").isNotNull &&
+        col("r.counter_id") === counterId &&
+        col("r.counter_type") === CmsTypeName &&
+        versionOk)
+      .select(
+        struct(col("r.window.start").as("start"), col("r.window.end").as("end")).as("window"),
+        col("r.shard_id"),
+        col("r.counter_state.cells").as("partial_cells"))
+  }
+
+  /** Full consumer for the CMS counter — parse + filter + cell-wise
+    * merge, the [[mergeRecords]] twin. Output matches
+    * [[graft.relational.Temporal.cmsCounters]] exactly (sketch
+    * linearity), so it feeds `cmsGateFromCounters` unchanged.
+    */
+  def mergeCmsRecords(records: DataFrame, counterId: String,
+                      requiredVersion: Option[String] = None): DataFrame =
+    graft.relational.Temporal.mergeCmsPartials(
+      parseCms(records, counterId, requiredVersion))
 }

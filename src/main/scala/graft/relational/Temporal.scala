@@ -535,6 +535,52 @@ object Temporal {
         col("user_id"), col("n_events"), col("rank"))
   }
 
+  /** Phase-1 partial state for the COUNT–MIN SKETCH counter through the
+    * reference's two-phase topology (`counter.go:483-512` analog, the
+    * third counter type this engine adds beyond count/ACD): per
+    * (window, shard), the non-zero sketch cells as a sorted `[{j, b, n}]`
+    * array. This is where CMS earns its place in the family: the sketch
+    * is LINEAR, so the cross-shard merge is plain cell-wise sum —
+    * associative, commutative, and BIT-IDENTICAL to the single-phase
+    * [[cmsCounters]] build — and unlike the hitter table the state is
+    * (depth × width)-bounded per (window, shard) no matter how many
+    * distinct keys the shard saw, which is exactly the regime the
+    * sketch exists for. The corpus-sized work is the first map-side-
+    * combinable groupBy; the second shuffles only sketch-sized rows.
+    */
+  def partialCmsState(events: DataFrame, tsCol: String, shardCol: String,
+                      windowDuration: String = "1 hour",
+                      depth: Int = 3, width: Int = 64): DataFrame =
+    events
+      .select(window(col(tsCol), windowDuration).as("window"),
+        col(shardCol).cast("string").as("shard_id"),
+        col("user_id").cast("string").as("__key"))
+      .select(col("window"), col("shard_id"),
+        explode(array((0 until depth).map(j => lit(j)): _*)).as("j"),
+        col("__key"))
+      .select(col("window"), col("shard_id"), col("j"),
+        pmod(graft.functions.PortableHash.md5Long60(
+          concat(lit("cms"), col("j").cast("string"), lit(":"), col("__key"))),
+          lit(width.toLong)).as("b"))
+      .groupBy(col("window"), col("shard_id"), col("j"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"), col("shard_id"))
+      .agg(sort_array(collect_list(struct(col("j").cast("long").as("j"),
+        col("b"), col("n")))).as("partial_cells"))
+
+  /** Phase-2 cross-shard merge for the CMS counter: cells concatenate
+    * and re-sum per (window, j, bucket) — sketch linearity — yielding
+    * exactly [[cmsCounters]]' (window_start, j, bucket, cnt) shape, so
+    * the result feeds [[cmsGateFromCounters]] unchanged and the shard
+    * hop is invisible in the e24 gate output.
+    */
+  def mergeCmsPartials(partial: DataFrame): DataFrame =
+    partial
+      .select(col("window"), explode(col("partial_cells")).as("h"))
+      .groupBy(unix_millis(col("window.start")).as("window_start"),
+        col("h.j").as("j"), col("h.b").as("bucket"))
+      .agg(sum(col("h.n")).as("cnt"))
+
   /** Windowed heavy hitters (the leaderboard step on counter output): per
     * tumbling window, the top-`k` users by event count with their rank
     * (count desc, user asc tiebreak — deterministic).

@@ -451,6 +451,35 @@ class TemporalSpec extends SparkTestBase {
     assert(Intermediate.mergeQuantileRecords(records, "other_id").count() == 0)
   }
 
+  test("two-phase CMS ≡ single-phase through the serialized record hop (sketch linearity)") {
+    import graft.operators.Intermediate
+    val events = ((0 until 8).map(i => (s"2024-01-01 10:00:0$i", 7L)) ++
+      (0 until 4).map(i => (s"2024-01-01 10:00:2$i", (i + 1).toLong)) ++
+      Seq(("2024-01-01 11:00:01", 9L)))
+      .toDF("d", "user_id")
+      .withColumn("ts", col("d").cast("timestamp"))
+      .withColumn("shard", pmod(col("user_id"), lit(3)))
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getLong(2)) -> r.getLong(3)).toMap
+    val single = cellMap(graft.relational.Temporal.cmsCounters(
+      events, depth = 2, width = 4))
+    val records = Intermediate.toCmsRecords(
+      graft.relational.Temporal.partialCmsState(events, "ts", "shard",
+        depth = 2, width = 4),
+      "cms2p", "arn:aws:kinesis:us-east-1:000000000000:stream/agg")
+    val merged = cellMap(Intermediate.mergeCmsRecords(records, "cms2p",
+      requiredVersion = Some(">=0.1.0")))
+    assert(merged == single, s"two-phase $merged vs single-phase $single")
+    // the shard decomposition produced >1 partial record for the 10:00
+    // window — the cell-wise merge genuinely crossed shards
+    assert(records.count() > 2)
+    // version gate and foreign-counter filtering
+    assert(Intermediate.mergeCmsRecords(records, "cms2p",
+      requiredVersion = Some(">=99.0.0")).count() == 0)
+    assert(Intermediate.mergeCmsRecords(records, "other_id").count() == 0)
+  }
+
   test("two-phase heavy hitters ≡ single-phase through the serialized record hop") {
     import graft.operators.Intermediate
     val events = Seq(
