@@ -157,7 +157,11 @@ object BenchScale {
     // (windows × depth × width)-bounded regardless of key cardinality
     // (the sketch's point); growth must track the events scan only, in
     // BOTH topologies (e25 is the fifth streaming state face)
-    "e24_cms_hitter_gate", "e25_stream_cms_counters", "e26_twophase_cms")
+    "e24_cms_hitter_gate", "e25_stream_cms_counters", "e26_twophase_cms",
+    // g15: the g06 LPA loop + two label joins + the modularity
+    // aggregation; t54: the t25 transition-frame family with the KN
+    // type-count joins — both must stay ~linear in documents
+    "g15_modularity", "t54_kneser_ney")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

@@ -487,6 +487,13 @@ private[graft] object RelationalSet {
     // adopting its neighbors' most frequent previous-round label, ties
     // to the smallest. Fixed rounds + a total tie order make the result
     // a pure function of the graph both engines replay bit-for-bit.
+    // Newman modularity of the g06 partition — the measured-quality
+    // score for the LPA communities (per community: internal edges,
+    // degree sum, q_ppm contribution; positive = denser than chance)
+    "g15_modularity" -> ((s, dir) => {
+      val e = hostEdgesFixture(Tables.documents(s, dir))
+      GraphOps.modularity(e, GraphOps.labelPropagation(e, rounds = 4))
+    }),
     "g06_label_communities" -> ((s, dir) =>
       GraphOps.labelPropagation(hostEdgesFixture(Tables.documents(s, dir)),
         rounds = 4)),
@@ -510,6 +517,35 @@ private[graft] object RelationalSet {
     "g11_link_prediction" -> ((s, dir) =>
       GraphOps.linkPrediction(hostEdgesFixture(Tables.documents(s, dir)))),
   )
+
+  /** The g06 LPA oracle chain (edges → nodes → sym → four synchronous
+    * rounds l1..l4), shared by g06 and g15's modularity score so the
+    * two partitions cannot desynchronize. Per round: neighbor-label
+    * vote counts and a (count desc, label asc) row_number argmax;
+    * isolated nodes keep their label via LEFT JOIN + coalesce. */
+  private def lpaCtes: String = {
+    def lpaRound(prev: String, out: String): String =
+      s"""v$out AS (SELECT s.u AS host, l.community AS lab, count(*) AS c
+        |  FROM sym s JOIN l$prev l ON s.v = l.host GROUP BY 1, 2),
+        |w$out AS (SELECT host, lab FROM (
+        |  SELECT host, lab, row_number() OVER (
+        |    PARTITION BY host ORDER BY c DESC, lab ASC) AS rn FROM v$out)
+        |  WHERE rn = 1),
+        |l$out AS (SELECT l.host, coalesce(w.lab, l.community) AS community
+        |  FROM l$prev l LEFT JOIN w$out w ON l.host = w.host)""".stripMargin
+    s"""edges AS (
+      |  ${hostEdgesCte.replace("\n", "\n  ")}),
+      |nodes AS (SELECT DISTINCT host FROM (
+      |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) n),
+      |sym AS (SELECT DISTINCT u, v FROM (
+      |    SELECT src AS u, dst AS v FROM edges
+      |    UNION ALL SELECT dst, src FROM edges) s WHERE u != v),
+      |l0 AS (SELECT host, host AS community FROM nodes),
+      |${lpaRound("0", "1")},
+      |${lpaRound("1", "2")},
+      |${lpaRound("2", "3")},
+      |${lpaRound("3", "4")}""".stripMargin
+  }
 
   /** e24/e25 shared oracle: e14's exact top-3 hitters + a cell-for-cell
     * rebuild of the deterministic CMS counter table (depth 3, width 64,
@@ -1533,30 +1569,34 @@ private[graft] object RelationalSet {
       // round, neighbor-label vote counts and a (count desc, label asc)
       // row_number argmax; isolated nodes keep their label via the
       // LEFT JOIN + coalesce (mirroring the Spark side exactly)
-      "g06_label_communities" -> {
-        def lpaRound(prev: String, out: String): String =
-          s"""v$out AS (SELECT s.u AS host, l.community AS lab, count(*) AS c
-            |  FROM sym s JOIN l$prev l ON s.v = l.host GROUP BY 1, 2),
-            |w$out AS (SELECT host, lab FROM (
-            |  SELECT host, lab, row_number() OVER (
-            |    PARTITION BY host ORDER BY c DESC, lab ASC) AS rn FROM v$out)
-            |  WHERE rn = 1),
-            |l$out AS (SELECT l.host, coalesce(w.lab, l.community) AS community
-            |  FROM l$prev l LEFT JOIN w$out w ON l.host = w.host)""".stripMargin
-        s"""WITH edges AS (
-          |  ${hostEdgesCte.replace("\n", "\n  ")}),
-          |nodes AS (SELECT DISTINCT host FROM (
-          |    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges) n),
-          |sym AS (SELECT DISTINCT u, v FROM (
-          |    SELECT src AS u, dst AS v FROM edges
-          |    UNION ALL SELECT dst, src FROM edges) s WHERE u != v),
-          |l0 AS (SELECT host, host AS community FROM nodes),
-          |${lpaRound("0", "1")},
-          |${lpaRound("1", "2")},
-          |${lpaRound("2", "3")},
-          |${lpaRound("3", "4")}
-          |SELECT host, community FROM l4""".stripMargin
-      },
+      "g06_label_communities" ->
+        s"""WITH $lpaCtes
+          |SELECT host, community FROM l4""".stripMargin,
+      // g15: the g06 chain verbatim (one definition — the partitions
+      // cannot desynchronize), then Newman's per-community contribution:
+      // internal undirected edges, degree sums, and the two truncating
+      // divisions in the same fixed order as the Spark side (HUGEINT for
+      // the D_c² channel, the Spark DECIMAL(38,0) twin)
+      "g15_modularity" ->
+        s"""WITH $lpaCtes,
+          |und AS (SELECT u, v FROM sym WHERE u < v),
+          |mm AS (SELECT count(*)::BIGINT AS m FROM und),
+          |deg AS (SELECT u AS host, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+          |intra AS (SELECT lu.community, count(*)::BIGINT AS m_internal
+          |  FROM und JOIN l4 lu ON und.u = lu.host
+          |  JOIN l4 lv ON und.v = lv.host
+          |  WHERE lu.community = lv.community GROUP BY 1),
+          |comm AS (SELECT l4.community, count(*)::BIGINT AS n_hosts,
+          |    sum(coalesce(deg.d, 0))::BIGINT AS degree_sum
+          |  FROM l4 LEFT JOIN deg ON l4.host = deg.host GROUP BY 1)
+          |SELECT comm.community, comm.n_hosts,
+          |  coalesce(intra.m_internal, 0)::BIGINT AS m_internal,
+          |  comm.degree_sum,
+          |  ((1000000 * coalesce(intra.m_internal, 0)) // mm.m
+          |   - (1000000::HUGEINT * comm.degree_sum * comm.degree_sum)
+          |     // (4::HUGEINT * mm.m * mm.m))::BIGINT AS q_ppm
+          |FROM comm CROSS JOIN mm
+          |LEFT JOIN intra ON intra.community = comm.community""".stripMargin,
       // g03: the same host/link formulas (www/scheme decorations resolve
       // to the bare lowercase host), md5-hashed ids, recursive-CTE CC
       "g03_host_components" ->

@@ -119,6 +119,12 @@ private[graft] object TextSet {
     // per transition, digest-only count-table joins
     "t25_lm_perplexity" -> ((s, dir) =>
       TextAnalysis.lmPerplexity(Tables.documents(s, dir))),
+    // interpolated Kneser–Ney bigram perplexity — the OTHER LM family
+    // (KenLM's smoothing, CCNet's actual filter model): absolute
+    // discounting + the continuation distribution, integer-exact on the
+    // centi-count/ppm channels, t25's output shape
+    "t54_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.knPerplexity(Tables.documents(s, dir))),
     // the Gopher rule battery (word count / mean word length / alpha
     // fraction / distinct stopwords) as one shuffle-free projection
     "t26_gopher_rules" -> ((s, dir) =>
@@ -922,6 +928,36 @@ private[graft] object TextSet {
       // t25: bigram-LM transition costs — FL2(c1+V) − FL2(c2+1) per
       // transition; md5-60 digests keyed "lm1:"/"lm2:" as in Spark
       "t25_lm_perplexity" -> t25Sql,
+      // t54: t25's transition frame + the KN quantities — bigram counts,
+      // prefix counts, distinct-type continuation counts — and the three
+      // fixed-order truncating divisions of the interpolated form
+      "t54_kneser_ney" ->
+        s"""WITH tr AS (SELECT doc_id,
+           |    ${h60("'lm2:' || g")} AS g2,
+           |    ${h60("'lm1:' || string_split(g, ' ')[1]")} AS g1,
+           |    ${h60("'lm1:' || string_split(g, ' ')[2]")} AS gw
+           |  FROM (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> t[i]||' '||t[i+1])) AS g
+           |    FROM (SELECT doc_id, $toks AS t FROM documents))),
+           |big AS (SELECT g2, count(*) AS c2 FROM tr GROUP BY 1),
+           |pre AS (SELECT g1, count(*) AS c1 FROM tr GROUP BY 1),
+           |ty AS (SELECT DISTINCT g2, g1, gw FROM tr),
+           |n1v AS (SELECT g1, count(*) AS n1v FROM ty GROUP BY 1),
+           |n1w AS (SELECT gw, count(*) AS n1w FROM ty GROUP BY 1),
+           |ntot AS (SELECT count(*) AS ntot FROM ty),
+           |p AS (SELECT doc_id,
+           |    ((100 * c2 - 75) * 1000000) // (100 * c1)
+           |    + (((75 * n1v.n1v * 1000000) // (100 * c1))
+           |       * ((n1w.n1w * 1000000) // ntot.ntot)) // 1000000 AS p_ppm
+           |  FROM tr JOIN big USING (g2) JOIN pre USING (g1)
+           |  JOIN n1v USING (g1) JOIN n1w USING (gw), ntot),
+           |bits AS (SELECT doc_id,
+           |    20 - (length(bin((p_ppm + 1)::BIGINT)) - 1) AS bits FROM p)
+           |SELECT doc_id, count(*)::BIGINT AS n_transitions,
+           |       sum(bits)::BIGINT AS total_bits,
+           |       (sum(bits) * 1000000 // count(*))::BIGINT AS mean_bits_ppm
+           |FROM bits GROUP BY 1""".stripMargin,
       // t28: the t03 + t26 + t25 verdicts composed — one keep per doc;
       // docs too short for bigrams drop with the LM verdict
       "t28_ccnet_pipeline" ->

@@ -960,6 +960,72 @@ object GraphOps {
           .as("stress_est"))
   }
 
+  /** Newman MODULARITY (Newman & Girvan 2004, "Finding and evaluating
+    * community structure in networks") of a labeled partition over the
+    * undirected host graph — the measured-quality gate for
+    * [[labelPropagation]]'s communities, closing the repo's own loop
+    * ("an algorithm isn't done until its output quality is measured"):
+    * g06 produces a partition, this op SCORES it, per community.
+    *
+    * Engine-exact semantics on [[labelPropagation]]'s exact edge
+    * convention (symmetrized, self-loop-free, distinct; m = undirected
+    * edge count, degree = symmetric-neighbor count): per community c,
+    *   q_ppm(c) = (10⁶ · m_c) div m − (10⁶ · D_c²) div (4m²)
+    * with m_c = internal undirected edges, D_c = Σ degrees — Newman's
+    * per-community contribution, two truncating integral divisions in a
+    * fixed order (both operands non-negative, so Spark's `div` and
+    * DuckDB's `//` agree), D_c² on the DECIMAL(38,0) channel (the
+    * [[degreeAssortativity]] device) so a 10⁸-degree-sum community
+    * cannot overflow. Σ_c q_ppm ≈ the partition's total Q — positive
+    * communities are denser than chance, negative ones worse than
+    * random, the read a crawl-dedup policy acts on before trusting
+    * g06's labels.
+    *
+    * Scale shape: degrees are ONE map-side-combinable groupBy; internal
+    * edges are the undirected frame joined twice against the
+    * hosts-bounded label frame (broadcast by default — `broadcastLabels
+    * = false` is the [[pageRank]] hatch for 10⁸-host graphs, turning
+    * them into shuffle equi-joins); everything downstream is
+    * communities-bounded. m is the only driver scalar (the [[pageRank]]
+    * N convention).
+    *
+    * Returns (community, n_hosts, m_internal, degree_sum, q_ppm).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 broadcastLabels: Boolean = true): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val und = sym.where(col("u") < col("v"))
+    val m = und.count()
+    require(m > 0, "modularity needs at least one undirected edge")
+    val lab = labels.select(col("host"), col("community")).localCheckpoint()
+    def maybeB(df: DataFrame) = if (broadcastLabels) broadcast(df) else df
+    val internal = und
+      .join(maybeB(lab.select(col("host").as("u"), col("community").as("cu"))),
+        Seq("u"))
+      .join(maybeB(lab.select(col("host").as("v"), col("community").as("cv"))),
+        Seq("v"))
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("m_internal"))
+    val deg = sym.groupBy(col("u").as("host")).agg(count(lit(1)).as("d"))
+    lab.join(deg, Seq("host"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_hosts"),
+        sum(coalesce(col("d"), lit(0L))).as("degree_sum"))
+      .join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_hosts"),
+        coalesce(col("m_internal"), lit(0L)).as("m_internal"),
+        col("degree_sum"))
+      .withColumn("q_ppm",
+        expr(s"(1000000L * m_internal) div ${m}L") -
+          expr(s"""(CAST(1000000 AS DECIMAL(38,0)) * degree_sum * degree_sum)
+                  |div (CAST(4 AS DECIMAL(38,0)) * ${m}L * ${m}L)"""
+            .stripMargin).cast("long"))
+  }
+
   def weakComponents(edges: DataFrame, propagationRounds: Int = 8): DataFrame = {
     import graft.functions.PortableHash
     val names = edges.select(col("src").as("host"))

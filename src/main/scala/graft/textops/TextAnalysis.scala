@@ -611,6 +611,80 @@ object TextAnalysis {
         intDiv(col("total_bits") * lit(1000000L), col("n_transitions")))
   }
 
+  /** Interpolated KNESER–NEY bigram perplexity (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998 §4.2) — the smoothing the
+    * production filter actually ships: CCNet's quality signal is a KenLM
+    * model, and KenLM IS interpolated modified Kneser–Ney. Beside
+    * [[lmPerplexity]]'s add-smoothed bigram this is the other LM family,
+    * with the two ideas plain add-k lacks: ABSOLUTE DISCOUNTING (each
+    * seen bigram gives up a fixed D of its count) and the CONTINUATION
+    * distribution (the backoff weight of a word is how many distinct
+    * contexts it follows, not how often — the "San Francisco" fix: a
+    * frequent-but-predictable word stops inflating unseen-context mass).
+    *
+    * Engine-exact integer formulation on the centi-count channel
+    * (D = `discountCc`/100, default 0.75 — Chen–Goodman's fixed-discount
+    * baseline), each step one truncating division in a fixed order:
+    *   - term1_ppm = ((100·c(vw) − D_cc) · 10⁶) div (100·c(v·))
+    *   - λ_ppm     = (D_cc · N1+(v·) · 10⁶) div (100·c(v·))
+    *   - pcont_ppm = (N1+(·w) · 10⁶) div N1+(··)
+    *   - p_ppm     = term1_ppm + (λ_ppm · pcont_ppm) div 10⁶
+    * where N1+ are distinct-bigram-TYPE counts. Scoring is the corpus's
+    * own model (the t25/t32 self-consistency shape), so every scored
+    * transition has c(vw) ≥ 1 and the max(·,0) clamp never binds.
+    * Surprisal is floor-log2 quantized on the ppm channel —
+    * `bits = 20 − FL2(p_ppm + 1)` (2²⁰ > 10⁶ ≥ 2¹⁹, so p = 1 scores 1
+    * bit, p → 0 scores 20) — the [[lmPerplexity]] device one level up.
+    *
+    * Scale shape: the transition frame materializes ONCE (lazy
+    * `localCheckpoint` — FIVE consumers) carrying three 60-bit digests
+    * per transition (bigram, prefix word, suffix word; raw text never
+    * shuffles); counts and type-counts are map-side-combinable groupBys
+    * over digests; the type frame (one `distinct`) feeds both N1+ sides
+    * and the scalar total (broadcast). Long-overflow bound: safe while
+    * c(vw) < 9·10¹⁰ and N1+(·w) · 10⁶ fits a long — beyond that the
+    * DECIMAL(38,0) channel is the documented hatch.
+    *
+    * Returns per doc: (doc_id, n_transitions, total_bits,
+    * mean_bits_ppm) — [[lmPerplexity]]'s exact output shape, so the two
+    * models drop into the same downstream band filters.
+    */
+  def knPerplexity(docs: DataFrame, discountCc: Long = 75L): DataFrame = {
+    require(discountCc > 0 && discountCc < 100,
+      "discountCc is a centi-count discount in (0, 100)")
+    val tr = withTokens(docs)
+      .select(col("doc_id"), explode(kgrams(col("__toks"), 2)).as("g"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.md5Long60(
+          concat(lit("lm2:"), col("g"))).as("g2"),
+        graft.functions.PortableHash.md5Long60(
+          concat(lit("lm1:"), substring_index(col("g"), " ", 1))).as("g1"),
+        graft.functions.PortableHash.md5Long60(
+          concat(lit("lm1:"), substring_index(col("g"), " ", -1))).as("gw"))
+      .localCheckpoint(eager = false)
+    val big = tr.groupBy(col("g2")).agg(count(lit(1)).as("c2"))
+    val pre = tr.groupBy(col("g1")).agg(count(lit(1)).as("c1"))
+    val types = tr.select(col("g2"), col("g1"), col("gw")).distinct()
+      .localCheckpoint(eager = false)
+    val n1v = types.groupBy(col("g1")).agg(count(lit(1)).as("n1v"))
+    val n1w = types.groupBy(col("gw")).agg(count(lit(1)).as("n1w"))
+    val ntot = types.agg(count(lit(1)).as("ntot"))
+    def fl2(c: Column): Column = (length(bin(c.cast("long"))) - 1).cast("long")
+    tr.join(big, Seq("g2")).join(pre, Seq("g1"))
+      .join(n1v, Seq("g1")).join(n1w, Seq("gw"))
+      .crossJoin(broadcast(ntot))
+      .select(col("doc_id"),
+        (expr(s"((100L * c2 - ${discountCc}L) * 1000000L) div (100L * c1)") +
+          expr(s"""(((${discountCc}L * n1v * 1000000L) div (100L * c1))
+                  | * ((n1w * 1000000L) div ntot)) div 1000000L"""
+            .stripMargin)).as("p_ppm"))
+      .select(col("doc_id"), (lit(20L) - fl2(col("p_ppm") + 1)).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("bits")).as("total_bits"))
+      .withColumn("mean_bits_ppm",
+        intDiv(col("total_bits") * lit(1000000L), col("n_transitions")))
+  }
+
   /** Multinomial Naive-Bayes document classifier over hashed token
     * buckets — the fastText-style quality/domain classifier of LLM data
     * pipelines (CCNet/LLaMA-class corpora score every crawl doc with a

@@ -2325,6 +2325,60 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $out")
   }
 
+  test("knPerplexity: hand-computed interpolated KN values; seen-mass per prefix stays ≤ 1") {
+    // corpus "a b", "a b", "a c": c(a·)=3, c(ab)=2, c(ac)=1;
+    // types (ab),(ac) → N1+(a·)=2, N1+(·b)=N1+(·c)=1, N1+(··)=2
+    // P(b|a) = (200−75)·10⁶//300 + ((75·2·10⁶//300)·(10⁶//2))//10⁶
+    //        = 416666 + (500000·500000)//10⁶ = 666666 → bits 20−19 = 1
+    // P(c|a) = (100−75)·10⁶//300 + 250000 = 83333+250000 = 333333 → bits 2
+    val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knPerplexity(tiny)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (1L, 1L, 1000000L), s"got $out")
+    assert(out(2L) == (1L, 1L, 1000000L), s"got $out")
+    assert(out(3L) == (1L, 2L, 2000000L), s"got $out")
+    // truncation keeps the discounted+interpolated seen mass ≤ 1:
+    // Σ_w p_ppm(·|a) over seen continuations = 666666+333333 ≤ 10⁶
+    // (the property the fixed division order exists to preserve) — and
+    // on the real corpus every doc's quantized surprisal is in [1, 20]
+    val real = TextAnalysis.knPerplexity(docs)
+      .agg(min(expr("total_bits div n_transitions")).as("lo"),
+        max(expr("(total_bits + n_transitions - 1) div n_transitions")).as("hi"))
+      .collect().head
+    assert(real.getLong(0) >= 0L && real.getLong(1) <= 20L, s"bits band: $real")
+  }
+
+  test("modularity: two-triangle hand value, singleton partition scores negative, shuffle hatch parity") {
+    import graft.graph.GraphOps
+    // two triangles bridged by one edge, m = 7; natural partition:
+    // each community has m_c = 3, D_c = 7 →
+    // q_ppm = (3·10⁶) div 7 − (10⁶·49) div (4·49) = 428571 − 250000
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")).toDF("src", "dst")
+    val labels = Seq(("a", "x"), ("b", "x"), ("c", "x"),
+      ("d", "y"), ("e", "y"), ("f", "y")).toDF("host", "community")
+    val out = GraphOps.modularity(g, labels)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("x") == (3L, 3L, 7L, 178571L), s"got $out")
+    assert(out("y") == (3L, 3L, 7L, 178571L), s"got $out")
+    // every host its own community: zero internal edges everywhere,
+    // strictly negative contributions for every non-isolated host
+    val singletons = g.select(col("src").as("host"))
+      .unionAll(g.select(col("dst").as("host"))).distinct()
+      .withColumn("community", col("host"))
+    val sing = GraphOps.modularity(g, singletons)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(sing.values.forall(_ < 0L), s"singletons must score negative: $sing")
+    // the 10⁸-host shuffle hatch is bit-identical
+    val nb = GraphOps.modularity(g, labels, broadcastLabels = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(nb == out, "broadcastLabels=false must match the broadcast plan")
+  }
+
   test("stressCentrality: hand-computed path/diamond counts, shortcut discards longer paths") {
     import graft.graph.GraphOps
     // path a→b→c→d: interior members of the 6 within-radius pairs
