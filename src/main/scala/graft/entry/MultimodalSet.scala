@@ -367,6 +367,32 @@ private[graft] object MultimodalSet {
           col("energy"), col("silent"))
     }),
 
+    // Energy-VAD voice segments over REAL decoded WAV — the e05
+    // gaps-and-islands device in the audio domain: 16-sample analysis
+    // windows ALIGNED to the fixture's silence stretches (silent iff
+    // (id + s²) % 5 < 2 — per-doc irregular runs and gaps of 1–3), then
+    // voiced-run islands + the hangover-1 merge, so some gaps close and
+    // others split, per doc. The oracle replays samples → window
+    // verdicts → both island passes in SQL.
+    "m22_audio_vad" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (96 + id % 64).toInt
+          val samples = Array.tabulate(ns) { i =>
+            val st = i / 16
+            if ((id + st.toLong * st) % 5 < 2) 0
+            else (((id * 37 + i) * 251) % 4096 - 2048).toInt
+          }
+          (id, Multimodal.syntheticPcmWav(
+            (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt, samples))
+        }).toDF("doc_id", "media").withColumn("media_type", lit("audio"))
+      Multimodal.vadSegments(
+        Multimodal.audioEnergy(wavs, windowSamples = 16,
+          silenceMeanSq = 1000000L).toDF(),
+        hangover = 1)
+    }),
+
     // ---- host-graph centrality (web-corpus link structure) ----,
   )
 
@@ -544,6 +570,44 @@ private[graft] object MultimodalSet {
           |  sum(c)::BIGINT AS crossings,
           |  (sum(c) * 1000000 < 600000 * count(*)) AS voiced
           |FROM x GROUP BY 1, 2""".stripMargin,
+      // m22: replay the silence-patterned sample formula → 16-sample
+      // window energies + the strict mean-square verdict → voiced-run
+      // islands (win − row_number) → the hangover-1 run merge via a
+      // second island pass over the runs frame
+      "m22_audio_vad" ->
+        """WITH d AS (SELECT doc_id, 96 + (doc_id % 64) AS ns FROM documents),
+          |s AS (SELECT doc_id, i,
+          |        CASE WHEN (doc_id + (i // 16) * (i // 16)) % 5 < 2 THEN 0
+          |             ELSE ((doc_id * 37 + i) * 251) % 4096 - 2048 END AS v
+          |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 159)) AS i)
+          |      WHERE i < ns),
+          |w AS (SELECT doc_id, (i // 16) AS win_idx, count(*) AS n,
+          |        sum(v * v)::BIGINT AS energy
+          |      FROM s GROUP BY 1, 2),
+          |vo AS (SELECT doc_id, win_idx, energy FROM w
+          |       WHERE energy >= 1000000 * n),
+          |r0 AS (SELECT doc_id, win_idx, energy,
+          |        win_idx - row_number() OVER (
+          |          PARTITION BY doc_id ORDER BY win_idx) AS isl
+          |       FROM vo),
+          |runs AS (SELECT doc_id, isl, min(win_idx) AS start_win,
+          |        max(win_idx) AS end_win, count(*) AS n_windows,
+          |        sum(energy) AS energy
+          |       FROM r0 GROUP BY 1, 2),
+          |m1 AS (SELECT *, lag(end_win) OVER (
+          |         PARTITION BY doc_id ORDER BY start_win) AS prev_end
+          |       FROM runs),
+          |m2 AS (SELECT *, CASE WHEN prev_end IS NULL
+          |         OR start_win - prev_end - 1 > 1 THEN 1 ELSE 0 END AS brk
+          |       FROM m1),
+          |m3 AS (SELECT *, sum(brk) OVER (
+          |         PARTITION BY doc_id ORDER BY start_win) AS seg FROM m2)
+          |SELECT doc_id, (seg - 1)::BIGINT AS seg_idx,
+          |  min(start_win)::BIGINT AS start_win,
+          |  max(end_win)::BIGINT AS end_win,
+          |  sum(n_windows)::BIGINT AS n_voiced_windows,
+          |  sum(energy)::BIGINT AS energy
+          |FROM m3 GROUP BY 1, 2""".stripMargin,
       // m14: the m09 sample formula with every third 16-sample stretch
       // zeroed; exact integer Σs² per 32-sample window (last window
       // partial) and the strict mean-square silence gate — the REAL

@@ -403,6 +403,58 @@ object Multimodal {
       }))
   }
 
+  /** VOICE-ACTIVITY segments over [[audioEnergy]]'s window verdicts —
+    * the classic energy-VAD smoothing step (Rabiner & Sambur 1975 is the
+    * lineage; every speech-data pipeline ships some form of it): maximal
+    * runs of NON-silent windows, with runs separated by at most
+    * `hangover` silent windows merged into one segment (the "hangover"
+    * that keeps a plosive gap from splitting an utterance). The
+    * audio-domain twin of e05's gaps-and-islands sessionization, run in
+    * two exact island passes:
+    *
+    *   1. voiced runs: `win_idx − row_number()` islands over the
+    *      non-silent windows (consecutive indices collapse to one key);
+    *   2. hangover merge: over the RUNS frame ordered by start, a new
+    *      segment starts iff `start − prev_end − 1 > hangover`; the
+    *      running sum of starts numbers segments 0-based per doc.
+    *
+    * Both passes are window functions over per-doc frames — windows are
+    * (doc × duration/windowSamples)-bounded decode OUTPUT, never raw
+    * audio bytes, and the runs frame is smaller still; nothing here
+    * scales with corpus size beyond the docs axis. Silent windows
+    * BETWEEN merged runs contribute neither `n_voiced_windows` nor
+    * `energy` (they are absence, not signal — the value_min/value_max
+    * NULL discipline applied to audio).
+    *
+    * Returns (doc_id, seg_idx, start_win, end_win, n_voiced_windows,
+    * energy).
+    */
+  def vadSegments(windows: DataFrame, hangover: Int = 1): DataFrame = {
+    require(hangover >= 0, "hangover must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    val runs = windows.where(!col("silent"))
+      .withColumn("__isl", col("win_idx") - row_number().over(w1))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("win_idx")).as("start_win"),
+        max(col("win_idx")).as("end_win"),
+        count(lit(1)).as("n_windows"), sum(col("energy")).as("energy"))
+    val w2 = Window.partitionBy(col("doc_id")).orderBy(col("start_win"))
+    runs
+      .withColumn("__prev_end", lag(col("end_win"), 1).over(w2))
+      .withColumn("__brk", (col("__prev_end").isNull ||
+        col("start_win") - col("__prev_end") - 1 > hangover).cast("long"))
+      .withColumn("__seg", sum(col("__brk")).over(w2))
+      .groupBy(col("doc_id"), col("__seg"))
+      .agg(min(col("start_win")).as("start_win"),
+        max(col("end_win")).as("end_win"),
+        sum(col("n_windows")).as("n_voiced_windows"),
+        sum(col("energy")).as("energy"))
+      .select(col("doc_id"), (col("__seg") - 1).as("seg_idx"),
+        col("start_win"), col("end_win"), col("n_voiced_windows"),
+        col("energy"))
+  }
+
   case class AudioZcr(doc_id: Long, win_idx: Long, n_samples: Long,
                       crossings: Long, voiced: Boolean)
 

@@ -384,6 +384,32 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(b.energy == 32000000L && !b.silent, "boundary mean-square is not silent")
   }
 
+  test("vadSegments: voiced-run islands, hangover merges 1-gaps but not 2-gaps, energy excludes bridged silence") {
+    import graft.multimodal.Multimodal
+    // hand window frame for one doc:
+    // win:    0  1  2  3  4  5  6  7  8  9
+    // silent: F  F  T  F  T  T  F  F  T  F
+    // runs {0,1} {3} {6,7} {9}; hangover 1 merges across the single
+    // silent window 2 and 8, NOT across the double gap {4,5}:
+    // segments: [0..3], [6..9]
+    val silents = Seq(false, false, true, false, true, true,
+      false, false, true, false)
+    val wins = silents.zipWithIndex.map { case (sil, k) =>
+      (1L, k.toLong, 16L, if (sil) 0L else 100L + k, sil)
+    }.toDF("doc_id", "win_idx", "n_samples", "energy", "silent")
+    val segs = Multimodal.vadSegments(wins, hangover = 1)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // energy sums the VOICED windows only (silent window 2 bridged, not counted)
+    assert(segs(0L) == (0L, 3L, 3L, 100L + 101L + 103L), s"got $segs")
+    assert(segs(1L) == (6L, 9L, 3L, 106L + 107L + 109L), s"got $segs")
+    assert(segs.size == 2)
+    // hangover 0: every silent window splits — 4 segments
+    val strict = Multimodal.vadSegments(wins, hangover = 0)
+      .collect().map(_.getLong(1)).sorted
+    assert(strict.sameElements(Array(0L, 1L, 2L, 3L)), s"got ${strict.toSeq}")
+  }
+
   test("audioZeroCrossings: exact window-internal sign changes, voiced gate splits") {
     import graft.multimodal.Multimodal
     // 32 alternating samples (31 crossings), then 32 constant (0), then
