@@ -354,6 +354,69 @@ object Dedup {
           lit(numHashes.toLong)).as("est_ppm"))
   }
 
+  /** Cross-source overlap by HLL SET ALGEBRA with a measured gate — the
+    * sketch-only scale path beside [[corpusOverlap]]'s minhash Jaccard:
+    * per source pair, the exact distinct-shingle counts (|A|, |B|,
+    * |A∩B| — the fixture-affordable truth, hash-compared) ride next to
+    * the inclusion–exclusion estimate
+    * `est∩ = est(A) + est(B) − est(A∪B)` computed ONLY from the two
+    * per-source HLL sketches (`hll_union` is DataSketches' lossless
+    * sketch union, so est(A∪B) needs no data pass), under the a01/g04
+    * verdict: `within_eps` = |est∩ − |A∩B|| · 10⁶ ≤ epsPpm · (|A|+|B|).
+    * Inclusion–exclusion compounds the three sketches' relative errors
+    * against the (smaller) intersection, which is why the gate
+    * normalizes by |A|+|B| — the published caveat (Dasgupta et al.,
+    * "HLL set operations") stated as a measured bound, not lore.
+    *
+    * Scale shape: ONE distinct over (slice, shingle-digest) feeds both
+    * sides (lazy checkpoint); the exact intersection is a digest-only
+    * self-equi-join (Σ_g pairs, slices-bounded output); the sketch side
+    * is slices-bounded rows crossed against a broadcast of themselves —
+    * at web scale you keep ONLY the sketch columns and the estimate
+    * costs slices² sketch unions, zero data passes: the whole point.
+    *
+    * Returns (src_a, src_b, n_a, n_b, n_common, within_eps).
+    */
+  def sketchOverlap(docs: DataFrame, k: Int = 3, sliceCol: String = "source",
+                    epsPpm: Long = 50000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dist = docs.select(col(sliceCol).cast("string"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (s, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < k) Iterator.empty
+        else toks.sliding(k).map(w => (s, w.mkString(" ")))
+      }
+      .toDF("slice", "shingle")
+      .select(col("slice"),
+        graft.functions.PortableHash.md5Long60(col("shingle")).as("g"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val perSlice = dist.groupBy(col("slice"))
+      .agg(count(lit(1)).as("n"), hll_sketch_agg(col("g")).as("sk"))
+      .localCheckpoint(eager = false)
+    val common = dist.as("x")
+      .join(dist.as("y"),
+        col("x.g") === col("y.g") && col("x.slice") < col("y.slice"))
+      .groupBy(col("x.slice").as("__ca"), col("y.slice").as("__cb"))
+      .agg(count(lit(1)).as("n_common"))
+    val est = hll_sketch_estimate(col("a.sk")) +
+      hll_sketch_estimate(col("b.sk")) -
+      hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))
+    perSlice.as("a").crossJoin(broadcast(perSlice.as("b")))
+      .where(col("a.slice") < col("b.slice"))
+      .select(col("a.slice").as("src_a"), col("b.slice").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"), est.as("__est"))
+      .join(common, col("src_a") === col("__ca") &&
+        col("src_b") === col("__cb"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (abs(col("__est") - coalesce(col("n_common"), lit(0L))) *
+          lit(1000000L) <= lit(epsPpm) * (col("n_a") + col("n_b")))
+          .cast("long").as("within_eps"))
+  }
+
   def minhashCalibration(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
                          bands: Int = 16, tauPpm: Long = 300000L): DataFrame = {
     // the candidate table feeds BOTH the semi-join and the final join —

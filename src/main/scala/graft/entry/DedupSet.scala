@@ -211,6 +211,11 @@ private[graft] object DedupSet {
     // aggregate; nothing but (slice, digest) pairs ever shuffles
     "d21_corpus_overlap" -> ((s, dir) =>
       Dedup.corpusOverlap(Tables.documents(s, dir))),
+    // cross-source overlap by HLL set algebra — the sketch-only scale
+    // path beside d21's minhash: exact |A|,|B|,|A∩B| hash-compared,
+    // the inclusion–exclusion estimate gated within eps·(|A|+|B|)
+    "d33_sketch_overlap" -> ((s, dir) =>
+      Dedup.sketchOverlap(Tables.documents(s, dir))),
     // ingest-time exact dedup, oracle-checked: a horizon wider than the
     // dataset makes within-watermark dedup ≡ global DISTINCT, and keying
     // the OUTPUT by content digest (not row identity) makes the result
@@ -347,6 +352,23 @@ private[graft] object DedupSet {
       // d21: slice-level union signatures — NON-distinct k-grams feed the
       // same h1/h2 min family (duplicates cannot move a min), pairwise
       // slot agreement over the slices-bounded signature table
+      // d33: exact distinct-shingle counts + pairwise intersections on
+      // the digest channel; the sketch estimate's verdict is measured
+      // Spark-side (the a01/g04 convention — literal-true here)
+      "d33_sketch_overlap" ->
+        s"""WITH g AS (SELECT DISTINCT source AS slice,
+           |    ${h60("g")} AS g
+           |  FROM (SELECT source, unnest($kgrams) AS g
+           |    FROM (SELECT source, $toks AS t FROM documents))),
+           |n AS (SELECT slice, count(*)::BIGINT AS n FROM g GROUP BY 1),
+           |c AS (SELECT x.slice AS a, y.slice AS b, count(*)::BIGINT AS nc
+           |  FROM g x JOIN g y ON x.g = y.g AND x.slice < y.slice
+           |  GROUP BY 1, 2)
+           |SELECT na.slice AS src_a, nb.slice AS src_b, na.n AS n_a,
+           |  nb.n AS n_b, coalesce(c.nc, 0)::BIGINT AS n_common,
+           |  1::BIGINT AS within_eps
+           |FROM n na JOIN n nb ON na.slice < nb.slice
+           |LEFT JOIN c ON c.a = na.slice AND c.b = nb.slice""".stripMargin,
       "d21_corpus_overlap" ->
         s"""WITH sh AS (SELECT source AS slice, unnest($kgrams) AS g
            |  FROM (SELECT source, $toks AS t FROM documents)),

@@ -2351,6 +2351,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $out")
   }
 
+  test("sketchOverlap: exact shingle-set algebra on hand sources; HLL inclusion–exclusion gate holds") {
+    import graft.dedup.Dedup
+    // A: 4 distinct 3-grams, B shares exactly 2 of them, C is disjoint
+    val docsH = Seq(
+      (1L, "A", "a b c d e f"),          // grams: abc bcd cde def
+      (2L, "B", "c d e f g h"),          // grams: cde def efg fgh → ∩A = {cde, def}
+      (3L, "C", "x y z w"))              // grams: xyz yzw
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sketchOverlap(docsH)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("A", "B")) == (4L, 4L, 2L, 1L), s"got $out")
+    assert(out(("A", "C")) == (4L, 2L, 0L, 1L), s"got $out")
+    assert(out(("B", "C")) == (4L, 2L, 0L, 1L), s"got $out")
+    // at these cardinalities the HLL estimates are exact, so the gate
+    // must hold with the default eps on every pair (asserted above) —
+    // and on the real corpus too: every pair's verdict is 1
+    val real = Dedup.sketchOverlap(docs)
+    assert(real.where(col("within_eps") === 0L).count() == 0L,
+      "inclusion–exclusion must stay within eps·(|A|+|B|) on the corpus")
+  }
+
   test("knPerplexity: hand-computed interpolated KN values; seen-mass per prefix stays ≤ 1") {
     // corpus "a b", "a b", "a c": c(a·)=3, c(ab)=2, c(ac)=1;
     // types (ab),(ac) → N1+(a·)=2, N1+(·b)=N1+(·c)=1, N1+(··)=2
