@@ -119,6 +119,12 @@ private[graft] object TextSet {
     // per transition, digest-only count-table joins
     "t25_lm_perplexity" -> ((s, dir) =>
       TextAnalysis.lmPerplexity(Tables.documents(s, dir))),
+    // sequential Poisson (Ohlsson) weighted WOR sample: per source the
+    // k smallest quantized md5-priority div weight — inclusion ∝ token
+    // count, never the same doc twice, one pass; the WOR complement of
+    // t49's systematic PPS picks
+    "t55_seqpoisson_sample" -> ((s, dir) =>
+      TextAnalysis.seqPoissonSample(Tables.documents(s, dir))),
     // interpolated Kneser–Ney bigram perplexity — the OTHER LM family
     // (KenLM's smoothing, CCNet's actual filter model): absolute
     // discounting + the continuation distribution, integer-exact on the
@@ -928,6 +934,17 @@ private[graft] object TextSet {
       // t25: bigram-LM transition costs — FL2(c1+V) − FL2(c2+1) per
       // transition; md5-60 digests keyed "lm1:"/"lm2:" as in Spark
       "t25_lm_perplexity" -> t25Sql,
+      // t55: the quantized order-sampling priority and the per-stratum
+      // row_number window, verbatim
+      "t55_seqpoisson_sample" ->
+        s"""WITH s AS (SELECT source::VARCHAR AS stratum, doc_id,
+           |    len($toks)::BIGINT AS weight,
+           |    ${h60("'sps:' || doc_id")} // len($toks) AS priority
+           |  FROM documents),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY stratum
+           |    ORDER BY priority ASC, doc_id ASC) AS rank FROM s)
+           |SELECT stratum, doc_id, weight, priority, rank::BIGINT AS rank
+           |FROM r WHERE rank <= 5""".stripMargin,
       // t54: t25's transition frame + the KN quantities — bigram counts,
       // prefix counts, distinct-type continuation counts — and the three
       // fixed-order truncating divisions of the interpolated form

@@ -1821,6 +1821,47 @@ object TextAnalysis {
     * (doc_id, long) pair per doc. Output: (doc_id, n_tokens, n_picks)
     * for picked docs only.
     */
+  /** SEQUENTIAL POISSON weighted sample-without-replacement (Ohlsson
+    * 1998, "Sequential Poisson sampling"; Rosén 1997's order sampling —
+    * the scheme official statistics actually runs): per stratum, each
+    * doc gets priority `u_i / w_i` with a uniform u and weight w (token
+    * count), and the k SMALLEST priorities are the sample — inclusion
+    * probability ≈ proportional to weight, without replacement, in one
+    * pass. The WOR complement of [[ppsSample]]'s systematic
+    * with-replacement picks and [[temperatureSample]]'s mixture
+    * reweighting: this is the scheme for "give me k docs per source,
+    * long docs proportionally more likely, never the same doc twice".
+    *
+    * Engine-exact determinism: u_i is the portable 60-bit md5 of
+    * `"sps:" + doc_id`, and the priority is the QUANTIZED integer
+    * `u_i div w_i` (one truncating division — the ordering is a defined
+    * snapshot both engines replay; ties break by doc_id asc, a total
+    * order). Doubling a doc's weight can only lower its priority, so
+    * the weight-monotonicity of the real scheme survives quantization
+    * exactly.
+    *
+    * Scale shape: one projection computes (stratum, weight, priority);
+    * the top-k is a row_number window PARTITIONED BY STRATUM over that
+    * skinny frame — strata-bounded frames, no global sort, text never
+    * shuffles. Returns (stratum, doc_id, weight, priority, rank),
+    * rank 1..k per stratum.
+    */
+  def seqPoissonSample(docs: DataFrame, k: Int = 5,
+                       strataCol: String = "source"): DataFrame = {
+    require(k > 0, s"bad sample size: $k")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    withTokens(docs)
+      .select(col(strataCol).cast("string").as("stratum"), col("doc_id"),
+        size(col("__toks")).cast("long").as("weight"))
+      .withColumn("__u", graft.functions.PortableHash.md5Long60(
+        concat(lit("sps:"), col("doc_id").cast("string"))))
+      .withColumn("priority", expr("__u div weight"))
+      .drop("__u")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   def ppsSample(docs: DataFrame, k: Long = 100L): DataFrame = {
     require(k > 0, s"bad sample size: $k")
     val spark = docs.sparkSession

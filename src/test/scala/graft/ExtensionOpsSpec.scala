@@ -2351,6 +2351,35 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $out")
   }
 
+  test("seqPoissonSample: weight monotonicity, WOR, all-equal weights reduce to md5 bottom-k") {
+    import graft.textops.TextAnalysis
+    // one stratum, doc weights 1 except doc 7 which we inflate: its
+    // quantized priority u div w can only FALL as w grows, so once
+    // sampled at w it stays sampled at any larger w
+    def corpus(w7: Int) = (0L until 20L).map { id =>
+      val n = if (id == 7L) w7 else 1
+      (id, "s", Seq.fill(n)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    def picked(w7: Int): Set[Long] =
+      TextAnalysis.seqPoissonSample(corpus(w7), k = 5)
+        .collect().map(_.getLong(1)).toSet
+    val base = picked(1)
+    assert(base.size == 5, "WOR: exactly k distinct docs")
+    // weight 1 everywhere = plain md5 bottom-k — replicate explicitly
+    def h60s(str: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val expected = (0L until 20L)
+      .sortBy(id => (h60s(s"sps:$id"), id))
+      .take(5).toSet
+    assert(base == expected, s"got $base expected $expected")
+    // inflate doc 7 until it enters; it must then stay at every larger w
+    val in64 = picked(1 << 16)
+    assert(in64.contains(7L), "a 65536x weight must pull doc 7 in")
+    assert(picked(1 << 18).contains(7L), "monotone: heavier still in")
+  }
+
   test("sketchOverlap: exact shingle-set algebra on hand sources; HLL inclusion–exclusion gate holds") {
     import graft.dedup.Dedup
     // A: 4 distinct 3-grams, B shares exactly 2 of them, C is disjoint
