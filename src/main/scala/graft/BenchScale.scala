@@ -161,7 +161,13 @@ object BenchScale {
     // g15: the g06 LPA loop + two label joins + the modularity
     // aggregation; t54: the t25 transition-frame family with the KN
     // type-count joins — both must stay ~linear in documents
-    "g15_modularity", "t54_kneser_ney")
+    "g15_modularity", "t54_kneser_ney",
+    // m22: decode + two per-doc island windows (the m08 decode class);
+    // d33: the digest distinct + exact-intersection equi-join + the
+    // slices-bounded sketch cross — the exact side must stay ~linear in
+    // documents. t55 stays out: one projection + a strata-partitioned
+    // row_number, the t47 shuffle-free exemption class.
+    "m22_audio_vad", "d33_sketch_overlap")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded
