@@ -859,4 +859,93 @@ class PlanAuditSpec extends SparkTestBase {
       s"pairwise estimate must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"data-sized join leaked:\n$p")
   }
+
+  test("stressCentrality: keyed equi-joins only (no cartesian), no UDF, one scalar broadcast") {
+    val e = EntryHelpers.hostEdgesFixture(docs)
+    val p = plan(graft.graph.GraphOps.stressCentrality(e, radius = 2))
+    assert(!p.contains("CartesianProduct"),
+      s"pair frames must never cartesian:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF leaked into the BFS:\n$p")
+    // the (n_all, n_samp) scalar row is the only nested-loop broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pivot-count scalars must broadcast:\n$p")
+  }
+
+  test("CMS counters: cell build combines map-side; gate joins stay equi (no cartesian)") {
+    val p = plan(graft.relational.Temporal.cmsHitterGate(events))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"cell counts must combine partial+final:\n$p")
+    assert(!p.contains("CartesianProduct"), s"probe join must be equi:\n$p")
+    assert(!p.contains("ScalaUDF"), s"md5 bucketing must stay native:\n$p")
+  }
+
+  test("two-phase CMS record hop: JSON envelope rides native expressions, no UDF") {
+    val sharded = events.withColumn("shard", pmod(col("user_id"), lit(4)))
+    val p = plan(graft.operators.Intermediate.mergeCmsRecords(
+      graft.operators.Intermediate.toCmsRecords(
+        graft.relational.Temporal.partialCmsState(sharded, "ts", "shard"),
+        "cms_audit", "arn:aws:kinesis:us-east-1:000000000000:stream/agg"),
+      "cms_audit"))
+    assert(!p.contains("ScalaUDF"),
+      s"to_json/from_json/version gate must stay native:\n$p")
+    assert(!p.contains("CartesianProduct"), s"merge must stay keyed:\n$p")
+  }
+
+  test("modularity: labels broadcast into the edge frame; internal-edge count combines map-side") {
+    val e = EntryHelpers.hostEdgesFixture(docs)
+    val labels = e.select(col("src").as("host")).distinct()
+      .withColumn("community", col("host"))
+    val p = plan(graft.graph.GraphOps.modularity(e, labels))
+    assert(p.contains("BroadcastHashJoin"),
+      s"hosts-bounded labels must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair frame here:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"degree/internal counts must combine partial+final:\n$p")
+  }
+
+  test("knPerplexity: digest counts combine map-side above the checkpointed transitions; no UDF") {
+    // the transition frame is a lazy localCheckpoint (five consumers), so
+    // the parquet scan hides behind its RDD placeholder — the auditable
+    // surface is everything above it: the four digest aggregates and the
+    // scoring joins must all be combined hash aggregates and equi-joins
+    val p = plan(TextAnalysis.knPerplexity(docs))
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"bigram/type counts must combine map-side:\n$p")
+    assert(!p.contains("ScalaUDF"), s"hashing must stay native:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scoring joins must stay equi:\n$p")
+  }
+
+  test("vadSegments: island windows partition by doc, never a global sort") {
+    val wins = graft.multimodal.Multimodal.audioEnergy(
+      docs.select(col("doc_id"), col("text").cast("binary").as("media"))
+        .withColumn("media_type", lit("audio")),
+      windowSamples = 16).toDF()
+    val p = plan(graft.multimodal.Multimodal.vadSegments(wins))
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"windows must partition by doc:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a global sort leaked into the island windows:\n$p")
+  }
+
+  test("sketchOverlap: pairwise side broadcasts; the exact intersection stays an equi-join") {
+    // the distinct digest frame and per-slice sketch rows are lazy
+    // checkpoints (each feeds two consumers), so the sketch aggregate
+    // hides behind RDD placeholders; the auditable surface is the join
+    // structure above them
+    val p = plan(Dedup.sketchOverlap(docs))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the slices² pairwise pass must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the exact intersection must stay an equi-join:\n$p")
+  }
+
+  test("seqPoissonSample: rank window partitions by stratum over a skinny projection") {
+    val p = plan(TextAnalysis.seqPoissonSample(docs))
+    assert(p.contains("hashpartitioning(stratum"),
+      s"top-k must partition by stratum:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no global sort:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,text:string>") ||
+      p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"scan must prune to (doc_id, source, text):\n$p")
+  }
 }
