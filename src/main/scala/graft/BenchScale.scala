@@ -167,7 +167,11 @@ object BenchScale {
     // slices-bounded sketch cross — the exact side must stay ~linear in
     // documents. t55 stays out: one projection + a strata-partitioned
     // row_number, the t47 shuffle-free exemption class.
-    "m22_audio_vad", "d33_sketch_overlap")
+    "m22_audio_vad", "d33_sketch_overlap",
+    // t56: the v4 pipeline capstone (dedup digests + the full KN chain +
+    // the stratum window) — like t29/t38/t46, the composition must stay
+    // ~linear in documents
+    "t56_training_pipeline_v4")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded

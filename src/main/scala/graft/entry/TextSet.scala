@@ -152,6 +152,12 @@ private[graft] object TextSet {
     // formula) → exact content dedup → Gopher gate, reported per host
     // with the host-graph PageRank prior joined on — the round-9 ops
     // (UrlOps, GraphOps) composing with the dedup/quality stages
+    // v4, the ROUND-12 composition: exact dedup → Kneser–Ney perplexity
+    // BAND (the CCNet shape on the KenLM-family model) → sequential-
+    // Poisson per-source budget → survivor accounting with sample token
+    // mass
+    "t56_training_pipeline_v4" -> ((s, dir) =>
+      graft.pipeline.TrainingData.runV4(Tables.documents(s, dir))),
     "t46_training_pipeline_v3" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val res = expr("doc_id div 4")
@@ -357,6 +363,36 @@ private[graft] object TextSet {
        |      WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang,
        | g AS lang_score
        |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)""".stripMargin
+
+  /** t54's full KN chain, shared with t56's band stage (one definition —
+    * the model and the pipeline's filter cannot desynchronize). */
+  private def knSql: String =
+    s"""WITH tr AS (SELECT doc_id,
+       |    ${h60("'lm2:' || g")} AS g2,
+       |    ${h60("'lm1:' || string_split(g, ' ')[1]")} AS g1,
+       |    ${h60("'lm1:' || string_split(g, ' ')[2]")} AS gw
+       |  FROM (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(t)-1),
+       |      i -> t[i]||' '||t[i+1])) AS g
+       |    FROM (SELECT doc_id, $toks AS t FROM documents))),
+       |big AS (SELECT g2, count(*) AS c2 FROM tr GROUP BY 1),
+       |pre AS (SELECT g1, count(*) AS c1 FROM tr GROUP BY 1),
+       |ty AS (SELECT DISTINCT g2, g1, gw FROM tr),
+       |n1v AS (SELECT g1, count(*) AS n1v FROM ty GROUP BY 1),
+       |n1w AS (SELECT gw, count(*) AS n1w FROM ty GROUP BY 1),
+       |ntot AS (SELECT count(*) AS ntot FROM ty),
+       |p AS (SELECT doc_id,
+       |    ((100 * c2 - 75) * 1000000) // (100 * c1)
+       |    + (((75 * n1v.n1v * 1000000) // (100 * c1))
+       |       * ((n1w.n1w * 1000000) // ntot.ntot)) // 1000000 AS p_ppm
+       |  FROM tr JOIN big USING (g2) JOIN pre USING (g1)
+       |  JOIN n1v USING (g1) JOIN n1w USING (gw), ntot),
+       |bits AS (SELECT doc_id,
+       |    20 - (length(bin((p_ppm + 1)::BIGINT)) - 1) AS bits FROM p)
+       |SELECT doc_id, count(*)::BIGINT AS n_transitions,
+       |       sum(bits)::BIGINT AS total_bits,
+       |       (sum(bits) * 1000000 // count(*))::BIGINT AS mean_bits_ppm
+       |FROM bits GROUP BY 1""".stripMargin
 
   def oracle: Map[String, String] = Map(
       // t47: the identical per-row array folds over the same synthesized
@@ -948,33 +984,43 @@ private[graft] object TextSet {
       // t54: t25's transition frame + the KN quantities — bigram counts,
       // prefix counts, distinct-type continuation counts — and the three
       // fixed-order truncating divisions of the interpolated form
-      "t54_kneser_ney" ->
-        s"""WITH tr AS (SELECT doc_id,
-           |    ${h60("'lm2:' || g")} AS g2,
-           |    ${h60("'lm1:' || string_split(g, ' ')[1]")} AS g1,
-           |    ${h60("'lm1:' || string_split(g, ' ')[2]")} AS gw
-           |  FROM (SELECT doc_id,
-           |    unnest(list_transform(generate_series(1, len(t)-1),
-           |      i -> t[i]||' '||t[i+1])) AS g
-           |    FROM (SELECT doc_id, $toks AS t FROM documents))),
-           |big AS (SELECT g2, count(*) AS c2 FROM tr GROUP BY 1),
-           |pre AS (SELECT g1, count(*) AS c1 FROM tr GROUP BY 1),
-           |ty AS (SELECT DISTINCT g2, g1, gw FROM tr),
-           |n1v AS (SELECT g1, count(*) AS n1v FROM ty GROUP BY 1),
-           |n1w AS (SELECT gw, count(*) AS n1w FROM ty GROUP BY 1),
-           |ntot AS (SELECT count(*) AS ntot FROM ty),
-           |p AS (SELECT doc_id,
-           |    ((100 * c2 - 75) * 1000000) // (100 * c1)
-           |    + (((75 * n1v.n1v * 1000000) // (100 * c1))
-           |       * ((n1w.n1w * 1000000) // ntot.ntot)) // 1000000 AS p_ppm
-           |  FROM tr JOIN big USING (g2) JOIN pre USING (g1)
-           |  JOIN n1v USING (g1) JOIN n1w USING (gw), ntot),
-           |bits AS (SELECT doc_id,
-           |    20 - (length(bin((p_ppm + 1)::BIGINT)) - 1) AS bits FROM p)
-           |SELECT doc_id, count(*)::BIGINT AS n_transitions,
-           |       sum(bits)::BIGINT AS total_bits,
-           |       (sum(bits) * 1000000 // count(*))::BIGINT AS mean_bits_ppm
-           |FROM bits GROUP BY 1""".stripMargin,
+      "t54_kneser_ney" -> knSql,
+      // t56: the composed stages — d01's keeper formula, t54's chain as
+      // a derived table, t55's priority, per-source accounting
+      "t56_training_pipeline_v4" ->
+        s"""WITH keep AS (SELECT min(doc_id) AS doc_id
+           |  FROM documents GROUP BY md5(text)),
+           |kn AS ($knSql),
+           |band AS (SELECT doc_id FROM kn
+           |  WHERE mean_bits_ppm BETWEEN 5300000 AND 5550000),
+           |base AS (SELECT source::VARCHAR AS stratum, doc_id
+           |  FROM documents),
+           |kept AS (SELECT b.stratum, b.doc_id,
+           |    len($toks)::BIGINT AS weight,
+           |    ${h60("'sps:' || b.doc_id")} // len($toks) AS priority
+           |  FROM documents
+           |  JOIN base b USING (doc_id)
+           |  JOIN keep USING (doc_id) JOIN band USING (doc_id)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY stratum
+           |    ORDER BY priority ASC, doc_id ASC) AS rank FROM kept),
+           |samp AS (SELECT stratum, count(*)::BIGINT AS n_sampled,
+           |    sum(weight)::BIGINT AS sample_tokens
+           |  FROM r WHERE rank <= 10 GROUP BY 1),
+           |nd AS (SELECT stratum, count(*)::BIGINT AS n_docs
+           |  FROM base GROUP BY 1),
+           |ndd AS (SELECT b.stratum, count(*)::BIGINT AS n_dedup
+           |  FROM base b JOIN keep USING (doc_id) GROUP BY 1),
+           |nb AS (SELECT b.stratum, count(*)::BIGINT AS n_band
+           |  FROM base b JOIN keep USING (doc_id) JOIN band USING (doc_id)
+           |  GROUP BY 1)
+           |SELECT nd.stratum, nd.n_docs,
+           |  coalesce(ndd.n_dedup, 0)::BIGINT AS n_dedup,
+           |  coalesce(nb.n_band, 0)::BIGINT AS n_band,
+           |  coalesce(samp.n_sampled, 0)::BIGINT AS n_sampled,
+           |  coalesce(samp.sample_tokens, 0)::BIGINT AS sample_tokens
+           |FROM nd LEFT JOIN ndd ON ndd.stratum = nd.stratum
+           |LEFT JOIN nb ON nb.stratum = nd.stratum
+           |LEFT JOIN samp ON samp.stratum = nd.stratum""".stripMargin,
       // t28: the t03 + t26 + t25 verdicts composed — one keep per doc;
       // docs too short for bigrams drop with the LM verdict
       "t28_ccnet_pipeline" ->

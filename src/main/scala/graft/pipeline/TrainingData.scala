@@ -123,6 +123,54 @@ object TrainingData {
         coalesce(col("pagerank"), lit(0L)).as("pagerank"))
   }
 
+  /** v4 — the ROUND-12 composition: exact-dedup keepers → the
+    * Kneser–Ney perplexity BAND (CCNet's actual shape: a KenLM-family
+    * model scores every doc and only the middle band survives — too-low
+    * surprisal is boilerplate, too-high is garbage) → a SEQUENTIAL-
+    * POISSON per-source budget (k docs per source, inclusion ∝ token
+    * count, without replacement — the weighted WOR draw a mixture
+    * builder actually wants) → per-source survivor accounting with the
+    * sample's token mass.
+    *
+    * Composition is doc-id left-semi joins end-to-end (the v1/v2/v3
+    * discipline): text flows through each stage's own digest/score
+    * channel and never re-shuffles between stages. The KN model trains
+    * on the FULL corpus (the t25/t32 self-consistency convention — a
+    * production run trains on a curated slice; same plan either way).
+    *
+    * Returns per source: (stratum, n_docs, n_dedup, n_band, n_sampled,
+    * sample_tokens).
+    */
+  def runV4(docs: DataFrame, loPpm: Long = 5300000L, hiPpm: Long = 5550000L,
+            k: Int = 10): DataFrame = {
+    val keepers = Dedup.exactGroups(docs)
+      .select(col("keeper_id").as("doc_id"))
+    val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val band = TextAnalysis.knPerplexity(docs)
+      .where(col("mean_bits_ppm") >= loPpm && col("mean_bits_ppm") <= hiPpm)
+      .select(col("doc_id"))
+    val kept = deduped.join(band, Seq("doc_id"), "left_semi")
+    val sampled = TextAnalysis.seqPoissonSample(kept, k)
+    val bySource = docs.select(col("source").cast("string").as("stratum"),
+      col("doc_id"))
+    def cnt(df: DataFrame, name: String): DataFrame =
+      bySource.join(df.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy("stratum").agg(count(lit(1)).as(name))
+    bySource.groupBy("stratum").agg(count(lit(1)).as("n_docs"))
+      .join(cnt(deduped, "n_dedup"), Seq("stratum"), "left")
+      .join(cnt(kept, "n_band"), Seq("stratum"), "left")
+      .join(sampled.groupBy("stratum")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("weight")).as("sample_tokens")),
+        Seq("stratum"), "left")
+      .select(col("stratum"),
+        col("n_docs"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_band"), lit(0L)).as("n_band"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sample_tokens"), lit(0L)).as("sample_tokens"))
+  }
+
   def run(docs: DataFrame,
           ratesPpm: Map[String, Long] = DefaultRatesPpm,
           budget: Long = 50000L): DataFrame = {

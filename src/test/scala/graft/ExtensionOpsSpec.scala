@@ -2351,6 +2351,32 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $out")
   }
 
+  test("runV4: stage funnel is monotone per source; dedup and band genuinely cut; k caps the sample") {
+    import graft.pipeline.TrainingData
+    val out = TrainingData.runV4(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out.nonEmpty)
+    for ((s, (n, nd, nb, ns, tok)) <- out) {
+      assert(n >= nd && nd >= nb && nb >= ns, s"funnel must shrink: $s $n/$nd/$nb/$ns")
+      assert(ns <= 10L, s"sample capped at k: $s")
+      assert(ns == 0L || tok > 0L, s"sampled docs carry token mass: $s")
+    }
+    // the band stage genuinely filters somewhere on this corpus
+    assert(out.values.exists { case (_, nd, nb, _, _) => nb < nd },
+      "KN band must cut at least one doc somewhere")
+    // duplicate docs collapse in the dedup stage: doubling a doc changes
+    // n_docs but not n_dedup
+    val dup = docs.unionAll(docs.where(col("doc_id") === 0)
+      .withColumn("doc_id", lit(100000L)))
+    val out2 = TrainingData.runV4(dup).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val src0 = docs.where(col("doc_id") === 0)
+      .select(col("source").cast("string")).head.getString(0)
+    assert(out2(src0)._1 == out(src0)._1 + 1, "n_docs sees the duplicate")
+    assert(out2(src0)._2 == out(src0)._2, "n_dedup must collapse it")
+  }
+
   test("seqPoissonSample: weight monotonicity, WOR, all-equal weights reduce to md5 bottom-k") {
     import graft.textops.TextAnalysis
     // one stratum, doc weights 1 except doc 7 which we inflate: its
