@@ -433,6 +433,11 @@ private[graft] object RelationalSet {
     // degree. Output: (host, n_triangles) per corner membership.
     "g05_triangle_counts" -> ((s, dir) =>
       GraphOps.triangleCounts(hostEdgesFixture(Tables.documents(s, dir)))),
+    // Watts–Strogatz local clustering per host — g05's corner counts
+    // normalized by possible wedges; degree-<2 hosts carry NULL (no
+    // possible wedge: absence, not zero)
+    "g16_local_clustering" -> ((s, dir) =>
+      GraphOps.localClustering(hostEdgesFixture(Tables.documents(s, dir)))),
     // Host-graph weakly-connected components — site clusters, through the
     // REAL UrlOps.hostOf extraction (lowercase + www-strip on raw page/
     // out-link URLs) and the shared CC machinery on portable md5 host
@@ -517,6 +522,31 @@ private[graft] object RelationalSet {
     "g11_link_prediction" -> ((s, dir) =>
       GraphOps.linkPrediction(hostEdgesFixture(Tables.documents(s, dir)))),
   )
+
+  /** The g05 compact-forward triangle oracle chain (edges → und → deg →
+    * oriented → wedges → closed triangles → corner memberships), shared
+    * by g05 and g16's per-host normalization. */
+  private def triCtes: String =
+    s"""edges AS (
+          |  ${hostEdgesCte.replace("\n", "\n  ")}),
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |        FROM edges WHERE src != dst),
+          |deg AS (SELECT host, count(*) AS d FROM (
+          |    SELECT a AS host FROM und UNION ALL SELECT b FROM und) x GROUP BY 1),
+          |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+          |               THEN a ELSE b END AS u,
+          |             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+          |               THEN b ELSE a END AS v,
+          |             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+          |               THEN db.d ELSE da.d END AS dv
+          |      FROM und JOIN deg da ON da.host = a JOIN deg db ON db.host = b),
+          |w AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+          |      FROM o e1 JOIN o e2 ON e1.u = e2.u
+          |      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+          |tri AS (SELECT w.u, w.v1, w.v2
+          |        FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2),
+          |corners AS (SELECT u AS host FROM tri
+          |  UNION ALL SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)""".stripMargin
 
   /** The g06 LPA oracle chain (edges → nodes → sym → four synchronous
     * rounds l1..l4), shared by g06 and g15's modularity score so the
@@ -1377,28 +1407,22 @@ private[graft] object RelationalSet {
       // (degree, host), ordered wedge pairs, close on the oriented edge,
       // then count corner memberships; integer-exact throughout
       "g05_triangle_counts" ->
-        s"""WITH edges AS (
-          |  ${hostEdgesCte.replace("\n", "\n  ")}),
-          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-          |        FROM edges WHERE src != dst),
-          |deg AS (SELECT host, count(*) AS d FROM (
-          |    SELECT a AS host FROM und UNION ALL SELECT b FROM und) x GROUP BY 1),
-          |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
-          |               THEN a ELSE b END AS u,
-          |             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
-          |               THEN b ELSE a END AS v,
-          |             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
-          |               THEN db.d ELSE da.d END AS dv
-          |      FROM und JOIN deg da ON da.host = a JOIN deg db ON db.host = b),
-          |w AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
-          |      FROM o e1 JOIN o e2 ON e1.u = e2.u
-          |      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
-          |tri AS (SELECT w.u, w.v1, w.v2
-          |        FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2),
-          |corners AS (SELECT u AS host FROM tri
-          |  UNION ALL SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
+        s"""WITH $triCtes
           |SELECT host, count(*)::BIGINT AS n_triangles
           |FROM corners GROUP BY 1""".stripMargin,
+      // g16: the g05 chain verbatim (one definition — the triangle
+      // construction cannot desynchronize), normalized per host by the
+      // possible wedge count; degree-<2 hosts carry NULL
+      "g16_local_clustering" ->
+        s"""WITH $triCtes,
+          |tc AS (SELECT host, count(*)::BIGINT AS n_triangles
+          |  FROM corners GROUP BY 1)
+          |SELECT deg.host, deg.d::BIGINT AS degree,
+          |  coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+          |  CASE WHEN deg.d >= 2 THEN
+          |    (2 * coalesce(tc.n_triangles, 0) * 1000000)
+          |      // (deg.d * (deg.d - 1)) END::BIGINT AS lcc_ppm
+          |FROM deg LEFT JOIN tc ON tc.host = deg.host""".stripMargin,
       // g09: six synchronous peel rounds as chained CTEs (fixpoint on
       // this fixture lands earlier; extra rounds are no-ops), then the
       // final survivor-subgraph degrees

@@ -822,6 +822,43 @@ object GraphOps {
       .withColumn("pref_attach", col("deg_a") * col("deg_b"))
   }
 
+  /** LOCAL clustering coefficient (Watts & Strogatz 1998, "Collective
+    * dynamics of 'small-world' networks") per host — the normalized read
+    * [[triangleCounts]]' raw corner counts feed: of the d·(d−1)/2
+    * possible edges among v's neighbors, what fraction exists,
+    * `lcc_ppm = (2 · tri(v) · 10⁶) div (d·(d−1))` on the undirected
+    * host graph (the g05 edge convention exactly — one definition of
+    * `und` would be nicer but the two ops share it via
+    * [[triangleCounts]] itself: this op CALLS it). The density-vs-
+    * centrality read per node: a link farm's hosts sit near 10⁶, a hub
+    * bridging unrelated communities near 0 — the per-node complement of
+    * [[degreeAssortativity]]'s one global number.
+    *
+    * Hosts with degree < 2 have no possible wedge: `lcc_ppm` is NULL
+    * for them (absence, not zero — the value_min/value_max discipline),
+    * while degree and triangle count still report.
+    *
+    * Scale shape: [[triangleCounts]]' O(m^1.5) compact-forward pass
+    * plus one degree groupBy and one left join — both hosts-bounded.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges)
+      .select(col("host").as("__th"), col("n_triangles"))
+    deg.join(tri, col("host") === col("__th"), "left")
+      .select(col("host"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_ppm",
+        when(col("degree") >= 2,
+          expr("(2L * n_triangles * 1000000L) div (degree * (degree - 1L))")))
+  }
+
   /** Radius-bounded STRESS centrality (Shimbel 1953; the integer sibling
     * of betweenness) over the directed host graph, computed in the
     * Brandes shape (Brandes 2001, "A faster algorithm for betweenness

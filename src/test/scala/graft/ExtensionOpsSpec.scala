@@ -2453,6 +2453,23 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(real.getLong(0) >= 0L && real.getLong(1) <= 20L, s"bits band: $real")
   }
 
+  test("localClustering: K4 corners score 10⁶, pendant bridges score partial, degree-1 is NULL") {
+    import graft.graph.GraphOps
+    // K4 {a,b,c,d} + pendant e–a: a has degree 4, 3 triangles among its
+    // 6 neighbor pairs → 500000; b/c/d have degree 3, all 3 wedges
+    // closed → 10⁶; e has degree 1 → NULL
+    val g = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("e", "a")).toDF("src", "dst")
+    val rows = GraphOps.localClustering(g).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(rows("a") == (4L, 3L, Some(500000L)), s"got $rows")
+    assert(rows("b") == (3L, 3L, Some(1000000L)), s"got $rows")
+    assert(rows("c") == (3L, 3L, Some(1000000L)), s"got $rows")
+    assert(rows("d") == (3L, 3L, Some(1000000L)), s"got $rows")
+    assert(rows("e") == (1L, 0L, None), s"degree-1 must be NULL: $rows")
+  }
+
   test("modularity: two-triangle hand value, singleton partition scores negative, shuffle hatch parity") {
     import graft.graph.GraphOps
     // two triangles bridged by one edge, m = 7; natural partition:
