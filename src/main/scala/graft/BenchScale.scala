@@ -171,7 +171,9 @@ object BenchScale {
     // t56: the v4 pipeline capstone (dedup digests + the full KN chain +
     // the stratum window) — like t29/t38/t46, the composition must stay
     // ~linear in documents
-    "t56_training_pipeline_v4")
+    "t56_training_pipeline_v4",
+    // g16: the g05 wedge pass + a degree join — same gate rationale
+    "g16_local_clustering")
 
   /** The scale-claim gate: every dedup and ANN query in the sweep, plus
     * the multimodal animation pair queries (m11/m12) — candidate-bounded
