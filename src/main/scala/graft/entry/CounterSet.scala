@@ -194,7 +194,7 @@ private[graft] object CounterSet {
     // micro-batch) and the weighted counts aggregate per window — the
     // third streaming-join class beside c28's stream-stream interval
     // join and t30/t33's broadcast-model literals
-    "c51_stream_static_enrich" -> ((s, dir) => {
+    "c51_stream_static_enrich" -> ((s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
       val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 5L),
         ("signup", 3L), ("error", 0L)).toDF("event_type", "weight")
@@ -221,7 +221,7 @@ private[graft] object CounterSet {
     // watermark pipeline (target_expr + jq) → RecordPutter sinks; the
     // emitted sink RECORDS (not a query handle) parse back and must
     // hash-match the relational oracle for every closed window
-    "c52_stream_engine_e2e" -> ((s, dir) => {
+    "c52_stream_engine_e2e" -> ((s, dir) => withStatePartitions(s, 8) {
       import org.apache.spark.sql.types._
       val yaml =
         """counters:
@@ -821,7 +821,7 @@ private[graft] object CounterSet {
         events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
         "ts", "shard", cValueMin)),
     // ...and value_min's STREAMING face via the generic windowed-agg path
-    "c60_min_streaming_parity" -> ((s, dir) => {
+    "c60_min_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val c = cValueMin.copy(id = "value_min_stream")
       val out = graft.streaming.StreamingCounters.run(
         Tables.eventsStream(s, dir), "ts", c, watermarkDelay = "0 seconds")
@@ -846,7 +846,7 @@ private[graft] object CounterSet {
     // ...and its STREAMING face: the generic windowed-agg path (aggExpr
     // composes into the watermark aggregation unchanged) — rows must
     // hash-match the batch counter for every closed window
-    "c50_sum_streaming_parity" -> ((s, dir) => {
+    "c50_sum_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val c = cValueSum.copy(id = "revenue_cents_stream")
       val out = graft.streaming.StreamingCounters.run(
         Tables.eventsStream(s, dir), "ts", c, watermarkDelay = "0 seconds")

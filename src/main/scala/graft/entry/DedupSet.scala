@@ -220,7 +220,7 @@ private[graft] object DedupSet {
     // dataset makes within-watermark dedup ≡ global DISTINCT, and keying
     // the OUTPUT by content digest (not row identity) makes the result
     // independent of which arrival won the first-occurrence race
-    "d14_stream_dedup_parity" -> ((s, dir) => {
+    "d14_stream_dedup_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val deduped = graft.streaming.StreamingDedup.dropExactDuplicates(
         Tables.eventsStream(s, dir), "ts", "props", watermarkDelay = "3650 days")
       // null-props rows pass through dedup untouched by design; the oracle
@@ -238,7 +238,7 @@ private[graft] object DedupSet {
     // stage): d25's raw fetch variants arrive as a stream, canonicalize,
     // first arrival per canonical URL survives — the surviving URL SET
     // is arrival-independent and ≡ batch DISTINCT canonical urls
-    "d27_stream_url_dedup" -> ((s, dir) => {
+    "d27_stream_url_dedup" -> ((s, dir) => withStatePartitions(s, 8) {
       val stream = Tables.documentsStream(s, dir)
         .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
       val out = graft.streaming.StreamingDedup.dropSeenUrls(
@@ -255,7 +255,7 @@ private[graft] object DedupSet {
     // recomputed bucket ids of the survivors ≡ the distinct bucket set
     // (which doc won each bucket is arrival-dependent; the bucket set
     // is not)
-    "d15_stream_neardup_parity" -> ((s, dir) => {
+    "d15_stream_neardup_parity" -> ((s, dir) => withStatePartitions(s, 8) {
       val stream = Tables.embeddingsStream(s, dir)
         .withColumn("ts", timestamp_micros(col("vec_id")))
       val kept = graft.streaming.StreamingDedup.dropNearDuplicatesWithinWatermark(

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   *    constraint, not row count).
   */
 object Multimodal {
+  // r12 optimization: ImageIO's default useCache=true backs every
+  // createImageInputStream over a non-file stream with a TEMP FILE
+  // (create+write+delete per image decode/encode — syscalls per row for
+  // in-memory byte payloads). Memory-cached streams are semantically
+  // identical for these ≤KB payloads; set once per JVM, at the object that
+  // encloses every ImageIO call site (ImageIoCodec AND the GIF helpers).
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** A media row: id + raw bytes + declared type ("image"|"audio"|"video"). */
   case class MediaRecord(doc_id: Long, media: Array[Byte], media_type: String)
@@ -192,6 +199,50 @@ object Multimodal {
     * set for images. Compressed codecs (MP3/AAC/Opus) genuinely are not
     * in the JRE and remain [[StubCodec]] territory.
     */
+  /** The JRE's audio SPI providers, looked up ONCE per JVM (r12
+    * optimization, opt guide §4.5 — heavyweight lookup once, not per row):
+    * `AudioSystem.getAudioInputStream`/`write` route EVERY call through
+    * `JDK13Services.getProviders`, a `synchronized` static that rebuilds
+    * the provider list each time — 32 concurrent decode tasks serialize on
+    * that lock (measured 13 ms/doc on m15's decode→encode→decode chain;
+    * stage taskSum 66 s for 5 000 docs). The cached instances ARE the
+    * JRE's real readers/writers (WaveFileReader/WaveFileWriter & co.), so
+    * decode/encode semantics are bit-identical; only the per-call lookup
+    * goes away. Probe order mirrors AudioSystem: mark, try each reader,
+    * reset on miss.
+    */
+  private object JreAudio {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+    val readers: List[AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toList
+    val writers: List[AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[AudioFileWriter]).asScala.toList
+
+    def getAudioInputStream(in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+      in.mark(Int.MaxValue)
+      val it = readers.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioInputStream(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset()
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "Stream of unsupported format")
+    }
+
+    def write(ais: javax.sound.sampled.AudioInputStream,
+              tpe: javax.sound.sampled.AudioFileFormat.Type,
+              out: java.io.OutputStream): Unit = {
+      writers.find(_.isFileTypeSupported(tpe, ais)) match {
+        case Some(w) => w.write(ais, tpe, out)
+        case None => throw new IllegalArgumentException(
+          s"could not write audio file: file type not supported: $tpe")
+      }
+    }
+  }
+
   object WavCodec {
     /** Channel-0 PCM of a decoded container. */
     private[graft] final case class Pcm(sampleRate: Long, channels: Int,
@@ -204,7 +255,9 @@ object Multimodal {
       */
     private[graft] def decode(bytes: Array[Byte]): Option[Pcm] =
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        // JreAudio ≡ AudioSystem.getAudioInputStream minus the per-call
+        // synchronized SPI lookup (see JreAudio)
+        val in = JreAudio.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
@@ -285,7 +338,9 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
+    // JreAudio ≡ AudioSystem.write minus the per-call synchronized SPI
+    // lookup (see JreAudio)
+    JreAudio.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
