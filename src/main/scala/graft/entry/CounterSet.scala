@@ -22,16 +22,27 @@ import graft.EntryHelpers._
   */
 private[graft] object CounterSet {
 
+  // Loader split (r12 optimization, the RelationalSet convention): counters
+  // whose per-row work is LIGHT (plain-column window/groupBy aggregations,
+  // target_expr arithmetic, exact distinct) read [[EntryHelpers.eventsLean]]
+  // — for those the conditional local spread() repartition costs more than
+  // the single-task scan it parallelizes (measured e09 0.94→0.69 s class).
+  // Heavy-per-row consumers (jq compile paths, JSON/variant parse, SipHash
+  // ACD hashing, serialized intermediate-record hops) keep the spread
+  // [[EntryHelpers.events]] loader — c70 measured 2.1→3.0 s without it.
+  // At production scale the two loaders plan identically (spread is a
+  // no-op once the source is maxPartitionBytes-split).
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O8+O12+O13: tumbling-window count of every record (target_column "*")
     "c01_window_count" -> ((s, dir) =>
-      Counters.run(events(s, dir), "ts", cRequestCount)),
+      Counters.run(eventsLean(s, dir), "ts", cRequestCount)),
     // O5/O6: null-rejecting column count (target_column projection)
     "c02_column_count" -> ((s, dir) =>
-      Counters.run(events(s, dir), "ts", cColumnCount)),
+      Counters.run(eventsLean(s, dir), "ts", cColumnCount)),
     // O9 exact twin: COUNT(DISTINCT) ground truth for the HLL counter
     "c03_distinct_exact" -> ((s, dir) =>
-      Counters.runExactDistinct(events(s, dir), "ts", cUserAcd)),
+      Counters.runExactDistinct(eventsLean(s, dir), "ts", cUserAcd)),
     // O9: HLL++ approx_count_distinct at the reference's precision 16,
     // ε-gated per window against the exact count (see acdEpsilonGate)
     "c04_window_acd" -> ((s, dir) => {
@@ -42,10 +53,10 @@ private[graft] object CounterSet {
     }),
     // O7: target_expr dialect, count semantics (non-null ∧ non-false)
     "c05_expr_count" -> ((s, dir) =>
-      Counters.run(events(s, dir), "ts", cClickCount)),
+      Counters.run(eventsLean(s, dir), "ts", cClickCount)),
     // O7+O9 exact twin: expr-valued distinct (ACD variant ε-tested)
     "c06_expr_distinct_exact" -> ((s, dir) =>
-      Counters.runExactDistinct(events(s, dir), "ts", cClickUsersAcd)),
+      Counters.runExactDistinct(eventsLean(s, dir), "ts", cClickUsersAcd)),
     // O10/O11: explicit two-phase per-shard partial → cross-shard merge
     "c07_twophase_count" -> ((s, dir) =>
       Counters.runTwoPhase(
@@ -104,7 +115,7 @@ private[graft] object CounterSet {
     // (counter.go:423-425)
     "c15_per_shard_count" -> ((s, dir) =>
       Counters.runPerShard(
-        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8))),
+        eventsLean(s, dir).withColumn("shard", pmod(col("user_id"), lit(8))),
         "ts", "shard", cRequestCount.copy(id = "request_count_shard"))),
     // O1/O2/O12 streaming semantics, oracle-checked: the SAME counter run
     // through Structured Streaming (file-stream source → tumbling window →
@@ -138,7 +149,7 @@ private[graft] object CounterSet {
     // windowing EXTENSIONS beyond the reference's tumbling-only surface:
     // sliding windows (each record in window/slide overlapping buckets)
     "c18_sliding_count" -> ((s, dir) =>
-      Counters.runSliding(events(s, dir), "ts",
+      Counters.runSliding(eventsLean(s, dir), "ts",
         cRequestCount.copy(id = "sliding_count"), slide = "30 minutes")),
     // session windows (gap-merged per-user activity)
     "c19_session_count" -> ((s, dir) =>
@@ -765,38 +776,38 @@ private[graft] object CounterSet {
           |   mset: (.m | setpath([$k]; $lv) | getpath(["a"])),
           |   mdel: (.m | del(.[$k]) | getpath(["a"]))}""".stripMargin)),
     "c40_quantile_counter" -> ((s, dir) =>
-      Counters.run(events(s, dir), "ts", cValueP90)),
+      Counters.run(eventsLean(s, dir), "ts", cValueP90)),
     // top-3 users per window as a heavy_hitters counter, run through the
     // TWO-PHASE shard topology — the hop must be invisible vs the oracle
     "c41_hitter_counter" -> ((s, dir) =>
       Counters.runTwoPhase(
-        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(8))),
+        eventsLean(s, dir).withColumn("shard", pmod(col("user_id"), lit(8))),
         "ts", "shard", cTopUsers)),
     // the per-shard topology for the quantile type: shard_id in the O13
     // record, one quantile per (window, shard) — completing the
     // type × topology matrix with an oracle row
     "c45_quantile_per_shard" -> ((s, dir) =>
       Counters.runPerShard(
-        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
+        eventsLean(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
         "ts", "shard", cValueP90)),
     // ...and the same matrix row for heavy_hitters: top-3 per (window,
     // shard), member/rank beside the conditional shard_id
     "c46_hitter_per_shard" -> ((s, dir) =>
       Counters.runPerShard(
-        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
+        eventsLean(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
         "ts", "shard", cTopUsers)),
     // ...and the per-shard topology row for value_sum, completing the
     // type x topology matrix (one sum per (window, shard), shard_id in
     // the O13 record)
     "c53_sum_per_shard" -> ((s, dir) =>
       Counters.runPerShard(
-        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
+        eventsLean(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
         "ts", "shard", cValueSum)),
     // THIRD engine-extension counter type as a config citizen: per-window
     // SUM of the record value in integer cents (the basic aggregate the
     // reference lacks) — same O13 record, single-phase topology
     "c48_sum_counter" -> ((s, dir) =>
-      Counters.run(events(s, dir), "ts", cValueSum)),
+      Counters.run(eventsLean(s, dir), "ts", cValueSum)),
     // FOURTH/FIFTH extension counter types: per-window MIN and MAX of the
     // value in cents (the latency-floor/spike read) — BOTH through the
     // shared fanOut pass: one scan, one shuffle, two counters
@@ -818,7 +829,7 @@ private[graft] object CounterSet {
     // extreme types' topology matrix (one extreme per (window, shard))
     "c61_min_per_shard" -> ((s, dir) =>
       Counters.runPerShard(
-        events(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
+        eventsLean(s, dir).withColumn("shard", pmod(col("user_id"), lit(4))),
         "ts", "shard", cValueMin)),
     // ...and value_min's STREAMING face via the generic windowed-agg path
     "c60_min_streaming_parity" -> ((s, dir) => withStatePartitions(s, 8) {

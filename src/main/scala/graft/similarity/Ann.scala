@@ -705,9 +705,20 @@ object Ann {
     val cents = centroids.getOrElse(corpus.where(col("vec_id") % centroidStep === 0)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm")))
     val assigned = assignCells(corpus, cents)
-
     val queries = corpus.where(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    ivfSearchFrom(assigned, queries, cents, k, nprobe)
+  }
+
+  /** The probe-cut + search half of [[ivfTopK]] over a PREBUILT
+    * (assigned, queries, cents) triple — shared by [[ivfTopK]] (which
+    * builds the index) and [[ivfTuningCurve]] (which builds it ONCE and
+    * sweeps `nprobe`; re-running the centroid collect and the full-corpus
+    * cell assignment per sweep point tripled the expensive stages for
+    * zero information — the beamSearchFrom discipline, r12).
+    */
+  private def ivfSearchFrom(assigned: DataFrame, queries: DataFrame,
+                            cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val qcos = dotCol("qv", "cv") / (col("qnorm") * col("cnorm"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("cell").asc)
     val probes = broadcast(queries).crossJoin(broadcast(cents))
@@ -873,8 +884,21 @@ object Ann {
     require(probes.nonEmpty, "ivfTuningCurve needs at least one nprobe")
     val exact = bruteForceTopK(embeddings, queryPred, k)
       .localCheckpoint(eager = false)
+    // Build the probe-INDEPENDENT index parts ONCE (r12 — the
+    // beamTuningCurve discipline): one centroid frame (one driver
+    // collect inside assignCells instead of one per sweep point), one
+    // full-corpus cell-assignment pass checkpointed, one query frame.
+    // Each sweep point then pays only its own probe cut + the
+    // candidate-bounded search join. Identical expressions → identical
+    // rows; only the duplicated work goes away.
+    val corpus = normalize(embeddings, "vec_id")
+    val cents = corpus.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val assigned = assignCells(corpus, cents).localCheckpoint(eager = false)
+    val queries = corpus.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     probes.map { np =>
-      recallCurveRow(exact, ivfTopK(embeddings, queryPred, k, centroidStep, np),
+      recallCurveRow(exact, ivfSearchFrom(assigned, queries, cents, k, np),
         "nprobe", np.toLong, k)
     }.reduce(_.union(_))
   }
