@@ -119,6 +119,38 @@ object Tables {
     spark.readStream.schema(schema).parquet(s"$sfDir/{documents}.parquet")
   }
 
+  /** Streaming twin of [[spread]] (r12 optimization): a single-file
+    * fixture arrives in a micro-batch as ONE input split (row-group
+    * granularity bounds file splitting), so a stream whose PER-ROW work is
+    * heavy (JSON/KPL parse, tokenize+hash scoring, media digests) runs it
+    * all on one task — measured 1.4–2.2 s single-task stages on c52/t30.
+    * Same conditional, same deterministic synthetic key as [[spread]]
+    * (stable under task retries — SPARK-38388); a production-shaped
+    * source (many files/shards) skips the exchange entirely. Stateless,
+    * so legal anywhere before the watermark/stateful op; row sets are
+    * unchanged.
+    */
+  def spreadStream(df: DataFrame, path: String, idCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    if (estSplits(spark, path) >= par) df
+    else df.repartition(par, pmod(xxhash64(idCol), lit(par * 64)))
+  }
+
+  /** File-size estimate of a path's scan split count — the shared
+    * underfill probe of [[spread]]/[[spreadStream]]. Unstattable paths
+    * (object store, zero length) read as "already split". */
+  private def estSplits(spark: SparkSession, path: String): Long = {
+    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length()
+    val bytes = sizeOf(new java.io.File(path))
+    if (bytes <= 0L) Long.MaxValue // unstattable → assume split
+    else (bytes + maxBytes - 1) / maxBytes
+  }
+
   /** Repartition ONLY when the scan underfills the cluster — the local
     * single-file fixtures plan one task; a production-scale source is
     * already maxPartitionBytes-split and must not be re-shuffled just to
@@ -135,14 +167,6 @@ object Tables {
   private def spread(df: DataFrame, path: String, idCol: Column): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
-      else f.length()
-    val bytes = sizeOf(new java.io.File(path))
-    val estSplits = if (bytes <= 0L) Long.MaxValue // unstattable → assume split
-      else (bytes + maxBytes - 1) / maxBytes
     // Deterministic synthetic key, not round-robin: keyless repartition
     // pays a defensive local sort of its whole input (SPARK-23207 —
     // sortBeforeRepartition, so retried tasks reproduce their assignment;
@@ -151,7 +175,7 @@ object Tables {
     // Hashing the table's unique id is stable under retries and, with
     // 64× more distinct key values than partitions, spreads evenly
     // (opt guide §2.5).
-    if (estSplits >= par) df
+    if (estSplits(spark, path) >= par) df
     else df.repartition(par, pmod(xxhash64(idCol), lit(par * 64)))
   }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -485,7 +485,23 @@ object Dedup {
                         simTauPpm: Long = 800000L): DataFrame = {
     require(simTauPpm >= 0 && simTauPpm <= 1000000L,
       "simTauPpm must be a ppm fraction in [0, 1000000]")
+    // Explicit verify-parallelism repartition (r12, opt guide §2.5/§1.2):
+    // AQE coalesces the candidate frame's exchange by BYTES (the id-pair
+    // rows are ~24 B each), blind to the O(len·K) DP each row costs in the
+    // banded-levenshtein verify below — measured: the whole verify ran as
+    // ONE 2 s task at sf0.1 behind a 193 KB coalesced partition. The key
+    // must NOT be (a, b) itself: that exactly matches the upstream
+    // distinct's hashpartitioning, so Catalyst elides the repartition and
+    // AQE coalesces the surviving exchange regardless (observed). The
+    // spread()-style synthetic key (deterministic, 64× partition count —
+    // retry-stable per SPARK-38388, even per guide §2.5) survives both:
+    // an explicit REPARTITION_BY_NUM exchange AQE may not coalesce. It
+    // moves three longs per candidate — the cheapest shuffle in the
+    // query — and pins verify parallelism to the cluster size regardless
+    // of how the planner attaches the texts.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val cand = minhashLshPairs(docs, k, numHashes, bands, candTauPpm)
+      .repartition(par, pmod(xxhash64(col("a"), col("b")), lit(par * 64)))
     val tx = docs.select(col("doc_id"), col("text"))
     val tauComp = 1000000L - simTauPpm
     // driver scalar: the longest text bounds every pair's edit cutoff

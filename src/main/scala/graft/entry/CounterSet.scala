@@ -256,7 +256,13 @@ private[graft] object CounterSet {
         StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      val raw = Tables.eventsStream(s, dir)
+      // spreadStream BEFORE the JSON encode: the engine's whole per-row
+      // chain (encode → KPL parse → JSON parse → counter eval) otherwise
+      // runs on the single-split local file source's ONE task (measured
+      // 1.4 s single-task stage; production multi-shard sources skip the
+      // exchange by the underfill probe)
+      val raw = Tables.spreadStream(Tables.eventsStream(s, dir),
+          s"$dir/events.parquet", col("event_id"))
         .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))).cast("binary").as("value"))
       graft.sinks.Sinks.CollectingPutter.drain() // clear prior runs

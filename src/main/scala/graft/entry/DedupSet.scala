@@ -68,7 +68,8 @@ private[graft] object DedupSet {
     "d29_stream_repeated_grams" -> ((s, dir) => withStatePartitions(s, 8) {
       withConf(s, "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-        val stream = Tables.documentsStream(s, dir)
+        val stream = Tables.spreadStream(Tables.documentsStream(s, dir),
+            s"$dir/documents.parquet", col("doc_id"))
           .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
         val out = graft.streaming.StreamingDedup.repeatedGramDigests(
           stream, "ts", L = 8, watermarkDelay = "3650 days")
@@ -239,7 +240,8 @@ private[graft] object DedupSet {
     // first arrival per canonical URL survives — the surviving URL SET
     // is arrival-independent and ≡ batch DISTINCT canonical urls
     "d27_stream_url_dedup" -> ((s, dir) => withStatePartitions(s, 8) {
-      val stream = Tables.documentsStream(s, dir)
+      val stream = Tables.spreadStream(Tables.documentsStream(s, dir),
+          s"$dir/documents.parquet", col("doc_id"))
         .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
       val out = graft.streaming.StreamingDedup.dropSeenUrls(
           stream, "ts", rawUrlFixture, watermarkDelay = "3650 days")

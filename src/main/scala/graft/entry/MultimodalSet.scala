@@ -277,7 +277,8 @@ private[graft] object MultimodalSet {
       require(nDocs + nDocs / 4 + 1 < 256256,
         s"m19 fixture key space exhausted at $nDocs docs (needs < ~200k): " +
           "two resources would share a raster digest")
-      val stream = Tables.documentsStream(s, dir)
+      val stream = Tables.spreadStream(Tables.documentsStream(s, dir),
+          s"$dir/documents.parquet", col("doc_id"))
         .withColumn("ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
         .select(col("doc_id"), col("ts"))
         .as[(Long, java.sql.Timestamp)]

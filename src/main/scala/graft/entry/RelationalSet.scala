@@ -341,7 +341,8 @@ private[graft] object RelationalSet {
       // native windowed agg → default state store, the e12/e17/e22
       // convention (RocksDB is the transformWithState faces' choice)
       val counters = graft.streaming.StreamingCounters.cmsCounterStream(
-        Tables.eventsStream(s, dir), "ts")
+        Tables.spreadStream(Tables.eventsStream(s, dir),
+          s"$dir/events.parquet", col("event_id")), "ts")
       val sink = "e25_cms_sink"
       val q = counters.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()

@@ -224,7 +224,8 @@ private[graft] object TextSet {
     "t30_stream_dsir_parity" -> ((s, dir) => {
       val lam = TextAnalysis.dsirLambda(Tables.documents(s, dir))
       val out = graft.streaming.StreamingText.dsirScoreStream(
-        Tables.documentsStream(s, dir), lam)
+        Tables.spreadStream(Tables.documentsStream(s, dir),
+          s"$dir/documents.parquet", col("doc_id")), lam)
       val sink = "t30_stream_dsir_sink"
       val q = out.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
@@ -339,7 +340,8 @@ private[graft] object TextSet {
     "t33_stream_nb_parity" -> ((s, dir) => {
       val model = TextAnalysis.nbModel(Tables.documents(s, dir))
       val out = graft.streaming.StreamingText.nbScoreStream(
-        Tables.documentsStream(s, dir), model)
+        Tables.spreadStream(Tables.documentsStream(s, dir),
+          s"$dir/documents.parquet", col("doc_id")), model)
       val sink = "t33_stream_nb_sink"
       val q = out.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()

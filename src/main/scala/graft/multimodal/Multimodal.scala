@@ -214,8 +214,19 @@ object Multimodal {
   private object JreAudio {
     import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
     import scala.jdk.CollectionConverters._
+    // Probe order: WAVE first, SoftMidi LAST. Container magics are
+    // mutually exclusive (RIFF/WAVE vs AIFF vs AU vs MIDI), so at most one
+    // reader accepts a payload and reordering cannot change which result
+    // is returned — but SoftMidiAudioFileReader's PROBE internally calls
+    // MidiSystem.getProviders, i.e. re-enters the synchronized
+    // JDK13Services lookup this cache exists to avoid (jstack: 32 decode
+    // threads BLOCKED there when it probed before WaveFileReader).
     val readers: List[AudioFileReader] =
       java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toList
+        .sortBy { r =>
+          val n = r.getClass.getSimpleName
+          if (n.startsWith("Wave")) 0 else if (n.contains("Midi")) 2 else 1
+        }
     val writers: List[AudioFileWriter] =
       java.util.ServiceLoader.load(classOf[AudioFileWriter]).asScala.toList
 
