@@ -178,7 +178,17 @@ object Tables {
     if (estSplits(spark, path) >= par) df
     else df.repartition(par, pmod(xxhash64(idCol), lit(par * 64)))
   }
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  /** The embeddings table feeds vector math whose per-row cost dwarfs the
+    * scan (dot products per centroid/codeword, sub-vector slicing, PQ
+    * Lloyd rounds) — same rationale as [[documents]], so same conditional
+    * [[spread]] (r12: previously each `Ann.normalize` call probed
+    * `rdd.getNumPartitions` — materializing the physical plan once per
+    * call — and repartitioned round-robin, paying SPARK-23207's defensive
+    * local sort; the loader-level keyed spread does it once, statically).
+    */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spread(load(spark, sfDir, "embeddings"), s"$sfDir/embeddings.parquet",
+      col("vec_id"))
 
   /** Streaming twin of [[embeddings]] (same glob-anchored file-stream trick
     * as [[eventsStream]]) — feeds the ingest-time near-dup parity query.

@@ -316,7 +316,10 @@ private[graft] object RelationalSet {
     // verdicts (never-undercount theorem, ε-slack) are hash-compared,
     // not declared
     "e24_cms_hitter_gate" -> ((s, dir) =>
-      graft.relational.Temporal.cmsHitterGate(events(s, dir))),
+      // spread loader: the cell build explodes depth×width rows per event
+      // (the e26 rationale; the r12-session lean switch was a net loss
+      // for the CMS pair's explode-heavy map side)
+      graft.relational.Temporal.cmsHitterGate(EntryHelpers.events(s, dir))),
     // CMS through the SERIALIZED two-phase topology (the third
     // engine-extension counter type on the counter.go:483-512 hop):
     // per-shard non-zero cells → JSON intermediate records → parse +
@@ -324,7 +327,10 @@ private[graft] object RelationalSet {
     // merge is bit-identical to the single-phase build) → the e24 gate.
     // Oracle = e24's SQL verbatim: the shard hop must be invisible.
     "e26_twophase_cms" -> ((s, dir) => {
-      val sharded = events(s, dir)
+      // the partial side explodes depth×width CMS cells per row (heavy
+      // per-row) — that pass takes the SPREAD loader (measured 0.6 s
+      // single-task map under the lean one); the gate side stays lean
+      val sharded = EntryHelpers.events(s, dir)
         .withColumn("shard", pmod(col("user_id"), lit(8)))
       graft.relational.Temporal.cmsGateFromCounters(events(s, dir),
         Intermediate.mergeCmsRecords(

@@ -45,16 +45,14 @@ object Ann {
       // vec_dot(v, v) sums squares in the same left-to-right order as the
       // aggregate-HOF spelling (bit-identical) but stays in codegen
       .withColumn("norm", sqrt(VecDot.dot(col("v"), col("v"))))
-    // Repartition ONLY when the source scan underfills the cluster (the
-    // single-parquet-file test fixture plans one task): at production
-    // scale the scan is already maxPartitionBytes-split and a blind
-    // round-robin would shuffle the entire corpus — vectors included —
-    // before every ANN/dedup operator. Every consumer is order-exact
-    // (integer sums, max_by argmax, equi-join candidates), so the
-    // partitioning choice never changes results.
-    val parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
-    if (embeddings.rdd.getNumPartitions >= parallelism) base
-    else base.repartition(parallelism)
+    // Underfill handling moved to the LOADER (r12): [[graft.Tables.embeddings]]
+    // conditionally spreads the single-file fixture with the shared keyed
+    // spread() — the per-call `rdd.getNumPartitions` probe here
+    // materialized the physical plan once per normalize call, and the
+    // keyless repartition paid SPARK-23207's defensive local sort. Every
+    // consumer is order-exact (integer sums, max_by argmax, equi-join
+    // candidates), so partitioning never changes results.
+    base
   }
 
   private def dotCol(a: String, b: String): Column = VecDot.dot(col(a), col(b))
